@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.etl.EtlQueries
+import graft.ops.{Multimodal, Relational, Similarity, StreamingAnalogs, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator family's query map; `oracleSql`
+  * carries the DuckDB-equivalent SQL for each hash-checkable query
+  * (non-SQL-expressible ops — LSH, SimHash, HLL sketches — are rows-only
+  * checked per the contract).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-style pricing summary over normalized lineitem.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggPricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EtlQueries.queries ++
+      Relational.queries ++
+      TextOps.queries ++
+      Similarity.queries ++
+      StreamingAnalogs.queries ++
+      Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    EtlQueries.oracles ++
+      Relational.oracles ++
+      TextOps.oracles ++
+      Similarity.oracles ++
+      StreamingAnalogs.oracles ++
+      Multimodal.oracles
 }

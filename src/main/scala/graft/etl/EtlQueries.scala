@@ -1,0 +1,133 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.transform.Normalize
+
+/** Oracle-checkable query forms of the reference's ETL semantics
+  * (SURVEY §2.1-2.3): normalization, range filtering, delete-range
+  * idempotent merge, and batch planning. These express the *relational
+  * meaning* of each pipeline step so the DuckDB oracle can verify it; the
+  * physical write paths live in [[graft.io.Sinks]] and are exercised by
+  * ScalaTest (run-twice idempotency, partition layout).
+  */
+object EtlQueries {
+
+  /** P1+P2: date normalization to canonical string + typed day twin
+    * (reference `utils.py:300-307`).
+    */
+  def etlNormalizeDates(s: SparkSession, d: String): DataFrame = {
+    val norm = Normalize.normalize(Sources.orders(s, d))
+    norm.select(
+      col("o_orderkey"),
+      col("o_orderdate"), // canonical "yyyy-MM-dd HH:mm:ss" string
+      date_format(col("o_orderdate_ts"), "yyyy-MM-dd").as("o_orderdate_day"),
+    ).orderBy("o_orderkey")
+  }
+
+  /** P4/S2: the BETWEEN predicate with reference-style widened bounds
+    * (`utils.py:166-187`) — pushed down to the Parquet scan by Catalyst.
+    */
+  def etlRangeFilter(s: SparkSession, d: String): DataFrame =
+    Sources.lineitem(s, d)
+      .filter(col("l_shipdate").between(lit("1996-03-01 00:00:00"), lit("1996-03-31 23:59:59")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        round(col("l_quantity"), 2).as("l_quantity"),
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** S5: delete-range + append as a relational expression — `(old outside
+    * window) UNION ALL (new batch inside window)` (reference
+    * `utils.py:390-398`). The "new batch" here is the window re-extracted
+    * with a marker transform so the merge is observable.
+    */
+  def etlIdempotentMerge(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d)
+    val inWindow = col("l_shipdate").between(lit("1997-01-01 00:00:00"), lit("1997-01-31 23:59:59"))
+    val old = li.filter(!inWindow)
+    val fresh = li.filter(inWindow).withColumn("l_quantity", col("l_quantity") * 2)
+    old.unionByName(fresh)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("ship_month")
+  }
+
+  /** B1: monthly batch planning as data — the generated month spine joined
+    * back to facts (reference `get_monthly_ranges`, `config.py:152-172`).
+    * Months with no orders stay present with n_orders = 0 (left join), the
+    * same set of batches the reference would schedule.
+    */
+  def etlMonthlyBatches(s: SparkSession, d: String): DataFrame = {
+    val months = s.range(1).select(
+      explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("2001-12-01")),
+        expr("interval 1 month"))).as("month_start"))
+    months
+      .join(Sources.orders(s, d), trunc(col("o_orderdate"), "MM") === col("month_start"), "left")
+      .groupBy(date_format(col("month_start"), "yyyy-MM").as("batch_month"))
+      .agg(count(col("o_orderkey")).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("batch_month")
+  }
+
+  /** B5: the recent-refresh window re-pull (reference `utils.py:406-451`):
+    * re-extract `[anchor - 7 days, anchor]` and merge idempotently. Anchor
+    * is fixed (not current_date) so the oracle is reproducible.
+    */
+  def etlRefreshWindow(s: SparkSession, d: String): DataFrame = {
+    val anchor = "2001-07-15"
+    Sources.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")).between(date_sub(to_date(lit(anchor)), 7), to_date(lit(anchor))))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("ship_day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_normalize_dates" -> (etlNormalizeDates _),
+    "etl_range_filter" -> (etlRangeFilter _),
+    "etl_idempotent_merge" -> (etlIdempotentMerge _),
+    "etl_monthly_batches" -> (etlMonthlyBatches _),
+    "etl_refresh_window" -> (etlRefreshWindow _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "etl_normalize_dates" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "etl_range_filter" ->
+      """SELECT l_orderkey, l_linenumber,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+        | round(l_quantity, 2) AS l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-03-01 00:00:00' AND TIMESTAMP '1996-03-31 23:59:59'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "etl_idempotent_merge" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        | count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM (
+        | SELECT l_shipdate, l_quantity FROM lineitem
+        |  WHERE l_shipdate NOT BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-01-31 23:59:59'
+        | UNION ALL
+        | SELECT l_shipdate, l_quantity * 2 FROM lineitem
+        |  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-01-31 23:59:59')
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+    "etl_monthly_batches" ->
+      """SELECT strftime(m, '%Y-%m') AS batch_month,
+        | count(o_orderkey) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS m)
+        |LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        |GROUP BY batch_month ORDER BY batch_month""".stripMargin,
+    "etl_refresh_window" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+        | count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '2001-07-08' AND DATE '2001-07-15'
+        |GROUP BY ship_day ORDER BY ship_day""".stripMargin,
+  )
+}

@@ -1,0 +1,70 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table sinks reproducing the reference's three write dispositions
+  * (`utils.py:286-322`, `utils.py:255-283`) on partitioned Parquet.
+  *
+  *  - full snapshot  = `WRITE_TRUNCATE`            -> [[truncate]]
+  *  - plain append   = `WRITE_APPEND`              -> [[append]]
+  *  - idempotent increment = DELETE date-range then append
+  *    (`utils.py:255-283`) -> [[deleteRangeAppend]]: dynamic partition
+  *    overwrite of exactly the date partitions present in the new batch.
+  *
+  * The delete-range fidelity points (SURVEY §7.3):
+  *  - partition column is a derived DATE (`<field>_date`) so pruning works
+  *    while the payload keeps the reference's string-typed date column;
+  *  - "empty extract deletes nothing" (`utils.py:391-398`) holds for free:
+  *    dynamic overwrite replaces only partitions the batch writes, an empty
+  *    batch writes none, so stale rows stay — matching the documented
+  *    reference semantics, and NOT matching a truncate-style overwrite.
+  *
+  * At scale this is the only write pattern that stays O(changed days), not
+  * O(table): a 100 TB table re-ingesting an 8-day refresh window rewrites
+  * only those 8 date partitions.
+  */
+object Sinks {
+
+  /** Set once per session; scoped here so tests are explicit about it. */
+  def enableDynamicOverwrite(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  /** Full snapshot (`WRITE_TRUNCATE`, `utils.py:309-313` +
+    * `config.py:69-92` full-load tables).
+    */
+  def truncate(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Plain append (`WRITE_APPEND`). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Idempotent incremental load: replace exactly the date partitions the
+    * batch contains. `dateField` may be a typed timestamp/date or the
+    * reference's canonical string form — both derive the partition date.
+    *
+    * Equivalent relational semantics: `(old ANTI-JOIN batch-dates) UNION ALL
+    * batch` (see the `etl_idempotent_merge` query for the oracle-checked
+    * form).
+    */
+  def deleteRangeAppend(df: DataFrame, dateField: String, path: String): Unit = {
+    val spark = df.sparkSession
+    enableDynamicOverwrite(spark)
+    val partCol = dateField + "_date"
+    val withPart =
+      if (df.columns.contains(partCol)) df
+      else df.withColumn(partCol, to_date(col(dateField)))
+    withPart.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(path)
+  }
+
+  /** Empty-batch guard (reference `utils.py:287-292`): skip the load when
+    * the batch has no rows. `isEmpty` runs a LocalLimit(1) job, not a full
+    * count.
+    */
+  def loadIfNonEmpty(df: DataFrame, write: DataFrame => Unit): Boolean =
+    if (df.isEmpty) false else { write(df); true }
+}

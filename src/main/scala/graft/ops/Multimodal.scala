@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Multimodal column plumbing (SURVEY §2.13): media as opaque `binary`
+  * columns with typed metadata, batch-shaped decode / feature-extract.
+  *
+  * The fixtures carry no real media, and this container has no image/audio
+  * codecs, so — per the build contract — the DECODE step is a
+  * clearly-marked deterministic fake, while everything Spark-side is real
+  * and tested: the binary column, the metadata struct schema, the
+  * per-partition batched UDF shape (Scala `mapPartitions`, the JVM analog
+  * of `mapInPandas`: one iterator per partition, amortized per-batch
+  * setup), and the partitioning.
+  *
+  * At 100 TB: binary payloads dominate row size, so operators project the
+  * binary column away as early as possible (metadata-only plans never read
+  * the blob pages in Parquet thanks to column pruning), and decode
+  * parallelism = partition count, tuned with `maxPartitionBytes`.
+  */
+object Multimodal {
+
+  /** Decoded-feature record produced by the (stubbed) decoder. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      // STUB: a real implementation decodes the blob (image/audio) here and
+      // emits model features; the container has no codecs, so features are
+      // a deterministic fold of the raw bytes — the Spark plumbing (schema,
+      // batching, partitioning) is identical either way.
+      checksum: Long,
+      width: Int,
+      height: Int,
+  )
+
+  /** Attach a fake binary "media" column + metadata struct to documents —
+    * the multimodal table shape (text + binary + typed metadata in one
+    * row).
+    */
+  def withMediaColumns(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("media", col("text").cast("binary"))
+      .withColumn("media_meta", struct(
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        lit("fake/raw").as("mime"),
+        (col("doc_id") % 4).cast("int").as("channel")))
+
+  /** Batched per-partition decode: the `mapPartitions` shape a real codec
+    * would use (iterator in, iterator out, per-partition init). The decode
+    * itself is STUBBED deterministically from the bytes.
+    */
+  def decodeFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withMediaColumns(docs)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init happens here (a real decoder opens its codec once)
+        it.map { case (id, bytes) =>
+          var acc = 0L
+          var i = 0
+          while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+          // STUB dimensions derived from content, stand-ins for decoded w×h
+          MediaFeatures(id, bytes.length.toLong, acc, (acc % 640).toInt, (acc % 480).toInt)
+        }
+      }
+  }
+
+  /** Oracle-checkable metadata projection: byte length and first byte of
+    * the binary column (ASCII fixture text ⇒ octet_length == length).
+    */
+  def mediaMeta(s: SparkSession, d: String): DataFrame =
+    withMediaColumns(Sources.documents(s, d))
+      .select(
+        col("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+        col("media_meta.channel").cast("long").as("channel"),
+      )
+      .orderBy("doc_id")
+
+  /** The decode pipeline as a query (fingerprint checksum is the same
+    * rolling hash the oracle can compute over characters — ASCII text ⇒
+    * bytes == codepoints).
+    */
+  def mediaDecodeStub(s: SparkSession, d: String): DataFrame = {
+    val ds = decodeFeatures(s, Sources.documents(s, d))
+    ds.toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_meta" -> (mediaMeta _),
+    "mm_decode_stub" -> (mediaDecodeStub _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_media_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+        | doc_id % 4 AS channel
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_stub" ->
+      """WITH f AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+        | FROM documents)
+        |SELECT doc_id, n_bytes, checksum, checksum % 640 AS width, checksum % 480 AS height
+        |FROM f ORDER BY doc_id""".stripMargin,
+  )
+}

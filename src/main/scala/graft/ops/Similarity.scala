@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Similarity search over the `embeddings` table (SURVEY §2.13):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing as the approximate scale path, and per-label centroids.
+  *
+  * Vector math uses only codegen'd higher-order functions (`zip_with`,
+  * `aggregate`, `transform`) — no UDFs, no serialization off the Tungsten
+  * row format.
+  *
+  * Scale story (100 TB of vectors):
+  *  - the exact path broadcasts the (small) query set and streams the
+  *    corpus once — cost O(|corpus| × |queries| × dim), shuffle-free except
+  *    the final per-query top-k window over |queries| × k rows;
+  *  - the LSH path computes a signature per vector in one linear pass,
+  *    shuffles once on (band, bucket), and only compares within buckets —
+  *    the standard IVF/LSH trade of recall for a ~1000× candidate cut.
+  */
+object Similarity {
+
+  /** dot(a, b) with double accumulation (inputs are float arrays). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact cosine top-k: for each query vector (vec_id < 8), the 5 nearest
+    * corpus vectors. Ranking uses the cosine rounded to 4 decimals with
+    * vec_id tie-break, so ordering is engine-stable at float precision.
+    */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * a fixed-seed hash folded to [-0.5, 0.5). Engine-only (no oracle).
+    */
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane LSH ANN: 12-bit signature per vector; vectors
+    * sharing a signature bucket are candidate neighbors; exact cosine
+    * re-ranks within buckets and keeps the top neighbor per vector.
+    * No oracle (LSH is approximate); rows-only check.
+    */
+  def annLshTopNeighbor(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val dim = 64
+    val planes = hyperplanes(12, dim)
+    val sigBits = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(v => lit(v)): _*)
+      when(dot(col("embedding"), planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val sig = sigBits.reduce(_ + _)
+    val signed = emb.withColumn("bucket", sig)
+    val a = signed.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = signed.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket").as("bucket_b"))
+    val pairs = a.join(b, col("bucket") === col("bucket_b") && col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id_a"), col("id_b").as("nn_id"), col("cos"))
+      .orderBy("id_a")
+  }
+
+  /** Per-label centroid by vector position (custom typed aggregation
+    * surface, SURVEY §2.5) — posexplode + avg keeps it oracle-checkable;
+    * first 8 dims reported.
+    */
+  def centroidByLabel(s: SparkSession, d: String): DataFrame =
+    Sources.embeddings(s, d)
+      // slice BEFORE exploding: 8 rows per vector instead of 64 then filter
+      .select(col("label"), posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), 4).as("avg_v"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("avg_v"), col("n_vecs"))
+      .orderBy("label", "pos")
+
+  /** Embedding L2-norm distribution per label — exercises the vector HOFs
+    * in an aggregation (norms are engine-stable to 4 decimals).
+    */
+  def normStats(s: SparkSession, d: String): DataFrame =
+    Sources.embeddings(s, d)
+      .select(col("label"), round(l2norm(col("embedding")), 4).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"))
+      .orderBy("label")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (cosineTopK _),
+    "sim_ann_lsh" -> (annLshTopNeighbor _),
+    "sim_centroid_by_label" -> (centroidByLabel _),
+    "sim_norm_stats" -> (normStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        | s AS (SELECT q_id, vec_id,
+        |   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) AS cos FROM c, q),
+        | r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s)
+        |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "sim_centroid_by_label" ->
+      """SELECT label, i - 1 AS pos, round(avg(CAST(v AS DOUBLE)), 4) AS avg_v, count(*) AS n_vecs
+        |FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |WHERE i <= 8 GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "sim_norm_stats" ->
+      """WITH n AS (SELECT label,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b)), 4) AS nrm
+        | FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+  )
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Batch-mode equivalents of the streaming surface (SURVEY §2.10) over the
+  * `events` fixture: tumbling / sliding / session windows. The *same*
+  * groupings run unchanged under Structured Streaming (see
+  * [[graft.streaming.StreamingOps]], which wires `readStream` + watermark
+  * around identical expressions); batch mode keeps them DuckDB-oracle
+  * checkable.
+  *
+  * The reference has no event-driven path — its incremental story is the
+  * scheduled refresh window (`utils.py:406-451`); these operators are its
+  * idiomatic streaming generalization.
+  */
+object StreamingAnalogs {
+
+  /** Tumbling 1-hour windows per event type (`window(ts, "1 hour")`). */
+  def tumblingHourly(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Sliding 1-hour windows every 30 minutes — each event lands in two
+    * windows; the oracle reproduces that with a two-bucket UNION ALL.
+    */
+  def slidingHourly(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Session windows with a 30-minute gap per user
+    * (`session_window(ts, "30 minutes")`); oracle via gaps-and-islands.
+    */
+  def sessionPerUser(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_hourly" -> (tumblingHourly _),
+    "stream_sliding_hourly" -> (slidingHourly _),
+    "stream_session_per_user" -> (sessionPerUser _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+        | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "stream_sliding_hourly" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM (
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+        | UNION ALL
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, event_type, value FROM events)
+        |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "stream_session_per_user" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+  )
+}

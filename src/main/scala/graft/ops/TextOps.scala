@@ -1,0 +1,298 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the LLM-training-data surface mandated by the north star (SURVEY §2.13):
+  * exact dedup, keep-latest dedup, MinHash+LSH / SimHash / n-gram-Jaccard
+  * near-dup, language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built-in Catalyst expressions (higher-order array
+  * functions, regexp, xxhash64) — no UDFs, so the whole surface stays in
+  * whole-stage codegen and scales linearly with the corpus. The quadratic
+  * steps (pair comparison) are always preceded by a blocking/banding stage
+  * so candidate pairs, not all pairs, are compared — the property that
+  * keeps near-dup tractable at 100 TB.
+  */
+object TextOps {
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Exact dedup by content signature: keep the lowest doc_id per
+    * (lang, n_chars) group. Deterministic form of `dropDuplicates(keys)` —
+    * a single hash aggregate (one shuffle on the signature).
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .groupBy("lang", "n_chars")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("lang", "n_chars")
+
+  /** Keep-latest dedup on events: one row per user, latest by event id
+    * (SURVEY §2.13 "keep-latest"; the streaming analog is
+    * `dropDuplicatesWithinWatermark`).
+    */
+  def dedupKeepLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    Sources.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
+  /** Per-document statistics: chars, words, regex token count (BPE-ish
+    * `\w+|[^\w\s]` pre-tokenizer), distinct-word ratio.
+    */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("long").as("n_tokens"),
+        size(array_distinct(words(col("text")))).cast("long").as("n_distinct_words"),
+      )
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio, punctuation ratio, mean word length,
+    * and a composite keep/drop flag — the standard pre-training corpus
+    * filters (length + symbol + stopword heuristics).
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(ws, w => array_contains(stopArr, w))).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double")
+    val meanWordLen = (length(col("text")) - size(ws) + 1).cast("double") / nWords
+    Sources.documents(s, d)
+      .select(
+        col("doc_id"),
+        round(nStop / nWords, 4).as("stopword_ratio"),
+        round(nPunct / length(col("text")).cast("double"), 4).as("punct_ratio"),
+        round(meanWordLen, 4).as("mean_word_len"),
+        (nWords >= 5 && nStop / nWords >= 0.05).as("keep"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Corpus histogram: language × source with size stats. */
+  def langHistogram(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang", "source")
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts —
+    * the n-gram-profile approach reduced to its oracle-checkable core.
+    */
+  def langIdHeuristic(s: SparkSession, d: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "de" -> Seq("der", "und", "die", "das", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "est"),
+    )
+    val ws = words(col("text"))
+    val hits = profiles.map { case (lang, sw) =>
+      val arr = array(sw.map(lit): _*)
+      size(filter(ws, w => array_contains(arr, w))).cast("long").as(s"hits_$lang")
+    }
+    val predicted = when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr"), lit("en"))
+      .when(col("hits_de") >= col("hits_fr"), lit("de"))
+      .otherwise(lit("fr"))
+    Sources.documents(s, d)
+      .select(col("doc_id") +: col("lang") +: hits: _*)
+      .withColumn("predicted_lang", predicted)
+      .orderBy("doc_id")
+  }
+
+  /** Polynomial rolling-hash fingerprint over characters (mod 1e9+7) —
+    * deterministic, engine-independent document fingerprint.
+    */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    val chars = split(col("text"), "")
+    val fp = aggregate(
+      chars, lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    Sources.documents(s, d)
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram (word-set) Jaccard near-dup: candidate pairs via blocking on
+    * (lang, n_chars bucket) then exact Jaccard on distinct-word sets.
+    * Blocking keeps the pair count linear-ish; the full-corpus variant is
+    * [[dedupMinHashLsh]]. Oracle: same pairs in DuckDB list algebra.
+    */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // Blocking must be EQUI-joinable: a bare `abs(nc_a - nc_b) <= 3` next
+    // to a 3-value lang key degenerates to a per-language cross product.
+    // Bucket n_chars (width 7 covers the ±3 band) and explode the probe
+    // side to its 3 neighbor buckets — the join becomes hash/SMJ on
+    // (lang, bucket) and scales linearly with bucket occupancy.
+    val docs = Sources.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(words(col("text"))).as("wset"))
+      .withColumn("bucket", (col("n_chars") / 7).cast("long"))
+    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"),
+        col("wset").as("ws_a"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("jb"))
+    val bb = docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("n_chars").as("nc_b"),
+        col("wset").as("ws_b"), col("bucket").as("jb_b"))
+    a.join(bb, col("lang") === col("lang_b") && col("jb") === col("jb_b")
+        && col("id_a") < col("id_b")
+        && abs(col("nc_a") - col("nc_b")) <= 3)
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(array_union(col("ws_a"), col("ws_b"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash + LSH banding near-dup (SURVEY §2.13): 5-char shingles →
+    * 12 minhash signatures (xxhash64 with per-seed salt) → 3 bands of 4 →
+    * documents sharing any band bucket become candidates. No oracle
+    * (hash-function-specific); rows-only check. This is the 100 TB dedup
+    * path: cost is linear in corpus size + band-bucket joins, never all
+    * pairs.
+    */
+  def dedupMinHashLsh(s: SparkSession, d: String): DataFrame = {
+    val nHashes = 12
+    val bandSize = 4
+    val shingles = expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substr(text, i, 5))")
+    val minhashes = (0 until nHashes).map { seed =>
+      array_min(transform(col("shingles"), sh => xxhash64(sh, lit(seed)))).as(s"mh_$seed")
+    }
+    val bands = (0 until nHashes / bandSize).map { bnd =>
+      xxhash64(lit(bnd) +: (bnd * bandSize until (bnd + 1) * bandSize).map(i => col(s"mh_$i")): _*).as(s"band_$bnd")
+    }
+    val sigs = Sources.documents(s, d)
+      .withColumn("shingles", shingles)
+      .select(col("doc_id") +: minhashes: _*)
+      .select(col("doc_id") +: bands: _*)
+    // explode bands -> bucket join: docs sharing a (band_idx, band_hash)
+    val exploded = sigs.select(col("doc_id"),
+      posexplode(array((0 until nHashes / bandSize).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "band_hash")))
+    val pairs = exploded.as("x").join(exploded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    pairs.orderBy("id_a", "id_b")
+  }
+
+  /** SimHash (16-bit) near-dup signatures: per word hash, each bit votes
+    * ±1, sign of the vote sum forms the signature bit. Documents are
+    * grouped by signature; hamming-close signatures are near-dups. No
+    * oracle (hash-specific); rows-only check.
+    */
+  def dedupSimHash(s: SparkSession, d: String): DataFrame = {
+    val nBits = 16
+    val exploded = Sources.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitVotes = (0 until nBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val sig = (0 until nBits).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .withColumn("simhash", sig)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("simhash")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_keep_latest" -> (dedupKeepLatest _),
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_lang_histogram" -> (langHistogram _),
+    "text_lang_id" -> (langIdHeuristic _),
+    "text_fingerprint" -> (textFingerprint _),
+    "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
+    "dedup_minhash_lsh" -> (dedupMinHashLsh _),
+    "dedup_simhash" -> (dedupSimHash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY lang, n_chars HAVING count(*) > 1
+        |ORDER BY lang, n_chars""".stripMargin,
+    "dedup_keep_latest" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        | event_type, round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+        | len(string_split(text, ' ')) AS n_words,
+        | len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | round(len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w)))::DOUBLE
+        |   / len(string_split(text,' ')), 4) AS stopword_ratio,
+        | round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE / length(text), 4) AS punct_ratio,
+        | round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE / len(string_split(text,' ')), 4) AS mean_word_len,
+        | (len(string_split(text,' ')) >= 5 AND
+        |  len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w)))::DOUBLE
+        |   / len(string_split(text,' ')) >= 0.05) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_histogram" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | round(avg(n_chars), 2) AS avg_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_lang_id" ->
+      """SELECT doc_id, lang,
+        | len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','is'], w))) AS hits_en,
+        | len(list_filter(string_split(text,' '), w -> list_contains(['der','und','die','das','ist'], w))) AS hits_de,
+        | len(list_filter(string_split(text,' '), w -> list_contains(['le','la','et','les','est'], w))) AS hits_fr,
+        | CASE WHEN len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','is'], w))) >=
+        |           len(list_filter(string_split(text,' '), w -> list_contains(['der','und','die','das','ist'], w)))
+        |       AND len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','is'], w))) >=
+        |           len(list_filter(string_split(text,' '), w -> list_contains(['le','la','et','les','est'], w)))
+        |      THEN 'en'
+        |      WHEN len(list_filter(string_split(text,' '), w -> list_contains(['der','und','die','das','ist'], w))) >=
+        |           len(list_filter(string_split(text,' '), w -> list_contains(['le','la','et','les','est'], w)))
+        |      THEN 'de' ELSE 'fr' END AS predicted_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS wset FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.wset, b.wset))::DOUBLE /
+        |       len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 3
+        |WHERE round(len(list_intersect(a.wset, b.wset))::DOUBLE /
+        |       len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** True Structured Streaming forms of the batch analogs in
+  * [[graft.ops.StreamingAnalogs]] — the same aggregation expressions wired
+  * with `readStream` semantics: watermarks bound state, window aggregates
+  * emit per-watermark, `dropDuplicatesWithinWatermark` handles late
+  * duplicate events (the streaming form of the reference's refresh-window
+  * re-pull, `utils.py:406-451`).
+  *
+  * These take an already-streaming DataFrame (tests feed a MemoryStream;
+  * production feeds `spark.readStream.format(...)`), so the transforms are
+  * source-agnostic. Each returns a streaming DataFrame ready for
+  * `writeStream`.
+  */
+object StreamingOps {
+
+  /** Tumbling hourly counts with a 10-minute watermark. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** Session windows (30-minute gap) per user with watermark-bounded state. */
+  def sessionPerUser(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** Late-duplicate removal inside the watermark horizon — the streaming
+    * idempotency analog of the reference's delete-range+append.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+}
