@@ -39,11 +39,12 @@ object Normalize {
   def lowercaseColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toLowerCase): _*)
 
-  /** Parse-or-NULL a string/timestamp column to TimestampType.
-    * `to_timestamp` already has pandas' `errors="coerce"` semantics:
-    * unparseable -> NULL, no exception.
+  /** Parse-or-NULL a string/timestamp column to TimestampType. Spark 4
+    * runs in ANSI mode where `to_timestamp` THROWS on malformed input;
+    * `try_to_timestamp` restores pandas' `errors="coerce"` semantics
+    * (unparseable -> NULL) that the reference relies on (`utils.py:301`).
     */
-  private def coerceTs(c: org.apache.spark.sql.Column) = to_timestamp(c)
+  private def coerceTs(c: org.apache.spark.sql.Column) = try_to_timestamp(c)
 
   /** Full RAW normalization: lowercase names, then for every known date
     * column normalize to canonical string and (if `typedTwins`) add

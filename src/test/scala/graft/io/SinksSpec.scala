@@ -1,0 +1,68 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.transform.Normalize
+
+/** Sink semantics (SURVEY §7.3 hard parts): delete-range+append is
+  * idempotent (run twice ⇒ identical table), replaces only touched date
+  * partitions, and an empty batch deletes nothing (utils.py:391-398).
+  */
+class SinksSpec extends SparkSpec {
+
+  private def mkBatch(rows: Seq[(Long, String, Double)]) = {
+    val s = spark
+    import s.implicits._
+    Normalize.normalize(rows.toDF("id", "dtmovimento", "amount"))
+  }
+
+  private val day1 = Seq((1L, "2024-03-05 10:00:00", 10.0), (2L, "2024-03-05 11:00:00", 20.0))
+  private val day2 = Seq((3L, "2024-03-06 09:00:00", 30.0))
+
+  "deleteRangeAppend" should "be idempotent: run twice yields the identical table" in {
+    val path = tmpDir("sink-idem")
+    val batch = mkBatch(day1 ++ day2)
+    Sinks.deleteRangeAppend(batch, "dtmovimento_ts", path)
+    val first = spark.read.parquet(path).orderBy("id").collect()
+    Sinks.deleteRangeAppend(batch, "dtmovimento_ts", path)
+    val second = spark.read.parquet(path).orderBy("id").collect()
+    second shouldBe first
+    second.length shouldBe 3
+  }
+
+  it should "replace only the date partitions present in the new batch" in {
+    val path = tmpDir("sink-dyn")
+    Sinks.deleteRangeAppend(mkBatch(day1 ++ day2), "dtmovimento_ts", path)
+    // re-load day1 with changed amounts; day2 must survive untouched
+    val reprocessed = mkBatch(Seq((1L, "2024-03-05 10:00:00", 99.0)))
+    Sinks.deleteRangeAppend(reprocessed, "dtmovimento_ts", path)
+    val out = spark.read.parquet(path)
+    out.count() shouldBe 2 // 1 new day1 row + 1 untouched day2 row
+    out.filter(col("id") === 3L).count() shouldBe 1
+    out.filter(col("id") === 1L).select("amount").collect()(0).getDouble(0) shouldBe 99.0
+  }
+
+  it should "leave stale rows in place on an empty extract (utils.py:391-398)" in {
+    val path = tmpDir("sink-empty")
+    Sinks.deleteRangeAppend(mkBatch(day1), "dtmovimento_ts", path)
+    val empty = mkBatch(day1).filter(lit(false))
+    val loaded = Sinks.loadIfNonEmpty(empty, b => Sinks.deleteRangeAppend(b, "dtmovimento_ts", path))
+    loaded shouldBe false
+    spark.read.parquet(path).count() shouldBe 2 // nothing deleted
+  }
+
+  "truncate" should "fully replace the table (WRITE_TRUNCATE)" in {
+    val path = tmpDir("sink-trunc")
+    Sinks.truncate(mkBatch(day1 ++ day2), path)
+    Sinks.truncate(mkBatch(day2), path)
+    spark.read.parquet(path).count() shouldBe 1
+  }
+
+  "append" should "accumulate rows (WRITE_APPEND)" in {
+    val path = tmpDir("sink-app")
+    Sinks.append(mkBatch(day1), path)
+    Sinks.append(mkBatch(day2), path)
+    spark.read.parquet(path).count() shouldBe 3
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Sources
+
+/** Operator-level invariants not covered by the DuckDB oracle (the oracle
+  * checks values; these check semantic properties and the approximate
+  * operators).
+  */
+class OpsSpec extends SparkSpec {
+
+  "cosine" should "be 1.0 for identical vectors and symmetric" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine(col("a"), col("a")).as("self"),
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("b"), col("a")).as("ba")).collect()(0)
+    out.getDouble(0) shouldBe 1.0 +- 1e-9
+    out.getDouble(1) shouldBe out.getDouble(2)
+    out.getDouble(1) shouldBe (10.0 / 14.0) +- 1e-9
+  }
+
+  "annLshTopNeighbor" should "find high-cosine neighbors (sanity vs exact)" in {
+    val nn = Similarity.annLshTopNeighbor(spark, sfDir)
+    nn.count() should be > 0L
+    // every reported neighbor must actually be similar-ish (bucket-mates)
+    nn.agg(min("cos")).collect()(0).getDouble(0) should be > -1.0
+  }
+
+  "aggApproxDistinct" should "be within the configured 2% rsd of exact" in {
+    val approx = Relational.aggApproxDistinct(spark, sfDir)
+      .select("l_returnflag", "approx_orders").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Sources.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (k, n) =>
+      approx(k).toDouble shouldBe n.toDouble +- math.max(10.0, n * 0.1)
+    }
+  }
+
+  "dedupMinHashLsh" should "report each candidate pair once, ordered" in {
+    val pairs = dedupPairs()
+    pairs.foreach { case (a, b) => a should be < b }
+    pairs.distinct.length shouldBe pairs.length
+  }
+
+  private def dedupPairs(): Seq[(Long, Long)] =
+    TextOps.dedupMinHashLsh(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  "textFingerprint" should "be deterministic across runs" in {
+    val a = TextOps.textFingerprint(spark, sfDir).collect().map(_.toSeq)
+    val b = TextOps.textFingerprint(spark, sfDir).collect().map(_.toSeq)
+    a shouldBe b
+  }
+
+  "multimodal decode" should "produce one feature row per document with stable checksums" in {
+    val feats = Multimodal.decodeFeatures(spark, Sources.documents(spark, sfDir))
+    val n = Sources.documents(spark, sfDir).count()
+    feats.count() shouldBe n
+    // checksum matches the oracle-checked rolling hash definition
+    val viaQuery = Multimodal.mediaDecodeStub(spark, sfDir)
+      .select("doc_id", "checksum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp = TextOps.textFingerprint(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaQuery shouldBe fp
+  }
+}

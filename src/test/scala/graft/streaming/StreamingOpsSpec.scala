@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Top-level so Spark can derive its encoder (inner classes capture the
+  * spec's scope and fail encoder resolution).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** True Structured Streaming semantics (SURVEY §2.10): the streaming forms
+  * of the batch analogs run under MemoryStream and agree with batch
+  * results; watermark dedup drops late duplicates.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 10:15:00"), 1, "click", 2.0),
+    Ev(3, ts("2024-01-01 11:05:00"), 1, "view", 3.0),
+    Ev(4, ts("2024-01-01 10:20:00"), 2, "click", 4.0),
+    Ev(5, ts("2024-01-01 12:00:00"), 2, "view", 5.0),
+  )
+
+  "tumblingHourly (stream)" should "match the batch aggregation" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = StreamingOps.tumblingHourly(mem.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = s.table("tumb")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w"), col("event_type"), col("n_events"))
+      .orderBy("w", "event_type").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = sample.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w"), col("event_type"), col("n_events"))
+      .orderBy("w", "event_type").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got shouldBe want
+    got.length should be > 0
+  }
+
+  "sessionPerUser (stream)" should "merge events within the 30-minute gap" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = StreamingOps.sessionPerUser(mem.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = s.table("sess")
+      .select(col("user_id"), col("n_events"))
+      .orderBy("user_id", "n_events").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // user 1: events at 10:05+10:15 merge (gap 10m), 11:05 separate;
+    // user 2: 10:20 and 12:00 are separate sessions
+    got shouldBe Array((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L))
+  }
+
+  "dedupWithinWatermark" should "drop duplicate event_ids inside the horizon" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample :+ Ev(1, ts("2024-01-01 10:06:00"), 1, "click", 1.0): _*)
+    val q = StreamingOps.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    s.table("dedup").count() shouldBe sample.length.toLong
+  }
+}
