@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Multimodal, Relational, Similarity, StreamingAnalogs, TextOps}
+import graft.ops.{Multimodal, Relational, RelationalExt, Similarity, StreamingAnalogs, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++
       Relational.queries ++
+      RelationalExt.queries ++
       TextOps.queries ++
       Similarity.queries ++
       StreamingAnalogs.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     EtlQueries.oracles ++
       Relational.oracles ++
+      RelationalExt.oracles ++
       TextOps.oracles ++
       Similarity.oracles ++
       StreamingAnalogs.oracles ++

@@ -86,7 +86,34 @@ object EtlQueries {
       .orderBy("ship_day")
   }
 
+  /** The FULL pipeline as an oracle-checked query: run the incremental
+    * orders load (monthly ranges → normalize → delete-range write → gold
+    * trigger) into a scratch warehouse, read the RAW table back, and
+    * aggregate — the oracle computes the same aggregate straight from the
+    * source, so parquet round-trip + normalization + partitioned write are
+    * all under the hash check.
+    */
+  def etlPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val wh = s"/tmp/graft_e2e_wh_${math.abs(d.hashCode)}"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(); ()
+    }
+    del(new java.io.File(wh))
+    val p = new Pipeline(s, d, wh)
+    p.runTable(
+      graft.model.ServiceSpec("orders", Some("o_orderdate"),
+        graft.model.LoadMode.IncrementalByDate, graft.model.RangeGrain.Monthly),
+      historical = Some(graft.model.ServiceSpec.DateRange(
+        java.time.LocalDate.parse("1996-01-01"), java.time.LocalDate.parse("1996-06-30"))))
+    p.readRaw("orders")
+      .groupBy(date_format(col("o_orderdate_ts"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("order_month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_pipeline_e2e" -> (etlPipelineE2e _),
     "etl_normalize_dates" -> (etlNormalizeDates _),
     "etl_range_filter" -> (etlRangeFilter _),
     "etl_idempotent_merge" -> (etlIdempotentMerge _),
@@ -95,6 +122,12 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_pipeline_e2e" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+        |GROUP BY order_month ORDER BY order_month""".stripMargin,
     "etl_normalize_dates" ->
       """SELECT o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,

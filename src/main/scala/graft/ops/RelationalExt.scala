@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Extended relational surface (SURVEY §2.5-2.9 breadth): statistical
+  * aggregates, analytic window functions, extended scalar families,
+  * pivot, grouping sets, outer/cross joins, collection aggregates.
+  * Same determinism/type-parity conventions as [[Relational]].
+  */
+object RelationalExt {
+
+  /** Statistical aggregates: stddev/variance/correlation/covariance and
+    * exact interpolated percentile (all two-phase partial aggregates in
+    * Spark — scale is one shuffle of constant-size state per group).
+    */
+  def aggStatsSummary(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar_vu"),
+        round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
+      )
+      .orderBy("event_type")
+
+  /** Collection aggregates: sorted collect_list / collect_set and the
+    * string_agg analog (`concat_ws` over a sorted set).
+    */
+  def aggCollect(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("types_csv"),
+        array_sort(collect_list(round(col("value"), 2))).as("values_sorted"),
+        count(lit(1)).as("n_events"),
+      )
+      .orderBy("user_id")
+
+  /** GROUPING SETS via the SQL surface (same ambiguity note as rollup). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Sources.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .createOrReplaceTempView("graft_gsets_in")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM graft_gsets_in
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Pivot: event counts per user fanned to one column per event type
+    * (Spark `pivot` with explicit values = a single-pass conditional
+    * aggregation, no extra shuffle vs plain groupBy).
+    */
+  def pivotEventCounts(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Analytic window functions over the full-partition frame. */
+  def winAnalytics(s: SparkSession, d: String): DataFrame = {
+    val byId = Window.partitionBy("user_id").orderBy("event_id")
+    val full = byId.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Sources.events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        ntile(4).over(byId).cast("long").as("quartile"),
+        round(percent_rank().over(byId), 6).as("pct_rank"),
+        round(cume_dist().over(byId), 6).as("cume"),
+        round(first(col("value")).over(full), 2).as("first_value"),
+        round(last(col("value")).over(full), 2).as("last_value"),
+        round(nth_value(col("value"), 2).over(full), 2).as("second_value"),
+      )
+      .orderBy("event_id")
+  }
+
+  /** Extended string scalar family. */
+  def scalarStringExt(s: SparkSession, d: String): DataFrame =
+    Sources.part(s, d)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        rpad(col("p_brand"), 12, ".").as("rpadded"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("caps_vowels"),
+        expr("repeat(p_brand, 2)").as("doubled"),
+        reverse(col("p_name")).as("reversed"),
+        expr("left(p_name, 6)").as("l6"),
+        expr("right(p_name, 4)").as("r4"),
+        instr(col("p_name"), "o").cast("long").as("first_o"),
+        regexp_extract(col("p_name"), "[0-9]+", 0).as("digits"),
+        levenshtein(col("p_brand"), lit("Brand#0")).cast("long").as("lev"),
+      )
+      .orderBy("p_partkey")
+
+  /** Extended date scalar family. */
+  def scalarDateExt(s: SparkSession, d: String): DataFrame =
+    Sources.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("woy"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since_epoch_start"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_format(make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)), "yyyy-MM-dd").as("month_floor"),
+      )
+      .orderBy("o_orderkey")
+
+  /** Conditional / null-handling scalar family. */
+  def scalarConditional(s: SparkSession, d: String): DataFrame =
+    Sources.lineitem(s, d)
+      .filter(col("l_orderkey") < 300)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)), 4).as("disc_or_neg1"),
+        when(col("l_quantity") > 25, "bulk").when(col("l_quantity") > 10, "mid").otherwise("small").as("qty_band"),
+        (col("l_returnflag") === "R").cast("boolean").as("is_return"),
+        round(expr("if(l_tax > l_discount, l_tax, l_discount)"), 4).as("max_rate_if"),
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Explicit CROSS JOIN (the pruned-cross pattern underlies the
+    * similarity operators; here the bare operator over two tiny dims).
+    */
+  def joinCrossRegions(s: SparkSession, d: String): DataFrame =
+    Sources.region(s, d).select(col("r_name").as("name_a"))
+      .crossJoin(Sources.region(s, d).select(col("r_name").as("name_b")))
+      .orderBy("name_a", "name_b")
+
+  /** LEFT OUTER: every customer with their order count in a window,
+    * including zero-order customers (NULL-preserving side).
+    */
+  def joinLeftOuterCounts(s: SparkSession, d: String): DataFrame =
+    Sources.customer(s, d)
+      .join(
+        Sources.orders(s, d)
+          .filter(col("o_orderdate").between(lit("1995-01-01"), lit("1995-03-31 23:59:59"))),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+      .orderBy("c_custkey")
+
+  /** FULL OUTER over per-year activity — rows surviving from either side. */
+  def joinFullOuterYears(s: SparkSession, d: String): DataFrame = {
+    val ord = Sources.orders(s, d)
+    val y95 = ord.filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey").as("ck95")).agg(count(lit(1)).as("n95"))
+    val y96 = ord.filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_custkey").as("ck96")).agg(count(lit(1)).as("n96"))
+    y95.join(y96, col("ck95") === col("ck96"), "full_outer")
+      .select(
+        coalesce(col("ck95"), col("ck96")).as("custkey"),
+        coalesce(col("n95"), lit(0L)).as("n95"),
+        coalesce(col("n96"), lit(0L)).as("n96"))
+      .orderBy("custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats_summary" -> (aggStatsSummary _),
+    "agg_collect" -> (aggCollect _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "pivot_event_counts" -> (pivotEventCounts _),
+    "win_analytics" -> (winAnalytics _),
+    "scalar_string_ext" -> (scalarStringExt _),
+    "scalar_date_ext" -> (scalarDateExt _),
+    "scalar_conditional" -> (scalarConditional _),
+    "join_cross_regions" -> (joinCrossRegions _),
+    "join_left_outer_counts" -> (joinLeftOuterCounts _),
+    "join_full_outer_years" -> (joinFullOuterYears _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_stats_summary" ->
+      """SELECT event_type,
+        | round(stddev_samp(value), 4) AS sd_value,
+        | round(var_samp(value), 4) AS var_value,
+        | round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+        | round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
+        | round(quantile_cont(value, 0.5), 4) AS median_value,
+        | round(quantile_cont(value, 0.9), 4) AS p90_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_collect" ->
+      """SELECT user_id,
+        | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+        | list_sort(list(round(value, 2))) AS values_sorted,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "pivot_event_counts" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "win_analytics" ->
+      """SELECT event_id, user_id,
+        | ntile(4) OVER b AS quartile,
+        | round(percent_rank() OVER b, 6) AS pct_rank,
+        | round(cume_dist() OVER b, 6) AS cume,
+        | round(first_value(value) OVER f, 2) AS first_value,
+        | round(last_value(value) OVER f, 2) AS last_value,
+        | round(nth_value(value, 2) OVER f, 2) AS second_value
+        |FROM events
+        |WINDOW b AS (PARTITION BY user_id ORDER BY event_id),
+        |       f AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "scalar_string_ext" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '*') AS padded,
+        | rpad(p_brand, 12, '.') AS rpadded,
+        | translate(p_type, 'aeiou', 'AEIOU') AS caps_vowels,
+        | repeat(p_brand, 2) AS doubled,
+        | reverse(p_name) AS reversed,
+        | left(p_name, 6) AS l6,
+        | right(p_name, 4) AS r4,
+        | strpos(p_name, 'o') AS first_o,
+        | coalesce(regexp_extract(p_name, '[0-9]+'), '') AS digits,
+        | levenshtein(p_brand, 'Brand#0') AS lev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_date_ext" ->
+      """SELECT o_orderkey,
+        | quarter(o_orderdate) AS qtr,
+        | dayofyear(o_orderdate) AS doy,
+        | weekofyear(o_orderdate) AS woy,
+        | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        | strftime(make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1), '%Y-%m-%d') AS month_floor
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(coalesce(nullif(l_discount, 0.0), -1.0), 4) AS disc_or_neg1,
+        | CASE WHEN l_quantity > 25 THEN 'bulk' WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS qty_band,
+        | (l_returnflag = 'R') AS is_return,
+        | round(CASE WHEN l_tax > l_discount THEN l_tax ELSE l_discount END, 4) AS max_rate_if
+        |FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_cross_regions" ->
+      """SELECT a.r_name AS name_a, b.r_name AS name_b
+        |FROM region a CROSS JOIN region b ORDER BY name_a, name_b""".stripMargin,
+    "join_left_outer_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-03-31 23:59:59'
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer_years" ->
+      """WITH y95 AS (SELECT o_custkey AS ck95, count(*) AS n95 FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        | y96 AS (SELECT o_custkey AS ck96, count(*) AS n96 FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT coalesce(ck95, ck96) AS custkey, coalesce(n95, 0) AS n95, coalesce(n96, 0) AS n96
+        |FROM y95 FULL OUTER JOIN y96 ON ck95 = ck96 ORDER BY custkey""".stripMargin,
+  )
+}

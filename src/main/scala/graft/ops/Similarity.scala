@@ -111,14 +111,65 @@ object Similarity {
         round(max("nrm"), 4).as("max_norm"))
       .orderBy("label")
 
+  /** Same top-k as [[cosineTopK]] but through the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (`cosine_sim` SQL
+    * function injected by GraftExtensions) — one fused loop, no
+    * intermediate arrays. Shares cosineTopK's oracle.
+    */
+  def cosineTopKNative(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 4).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Per-label centroid through the custom typed Aggregator
+    * ([[graft.functions.CentroidAggregator]]) — fixed-size buffers with
+    * map-side partial aggregation instead of a posexplode row blow-up.
+    */
+  def centroidUdaf(s: SparkSession, d: String): DataFrame = {
+    val cent = graft.functions.CentroidAggregator.centroid(8)
+    Sources.embeddings(s, d)
+      .groupBy("label")
+      .agg(cent(col("embedding")).as("raw"), count(lit(1)).as("n_vecs"))
+      .select(col("label"),
+        transform(col("raw"), x => round(x, 4)).as("centroid"),
+        col("n_vecs"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
+    "sim_cosine_topk_native" -> (cosineTopKNative _),
+    "sim_centroid_udaf" -> (centroidUdaf _),
     "sim_ann_lsh" -> (annLshTopNeighbor _),
     "sim_centroid_by_label" -> (centroidByLabel _),
     "sim_norm_stats" -> (normStats _),
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_cosine_topk_native" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        | s AS (SELECT q_id, vec_id,
+        |   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) AS cos FROM c, q),
+        | r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s)
+        |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "sim_centroid_udaf" ->
+      """SELECT label,
+        | [round(avg(CAST(embedding[1] AS DOUBLE)), 4), round(avg(CAST(embedding[2] AS DOUBLE)), 4),
+        |  round(avg(CAST(embedding[3] AS DOUBLE)), 4), round(avg(CAST(embedding[4] AS DOUBLE)), 4),
+        |  round(avg(CAST(embedding[5] AS DOUBLE)), 4), round(avg(CAST(embedding[6] AS DOUBLE)), 4),
+        |  round(avg(CAST(embedding[7] AS DOUBLE)), 4), round(avg(CAST(embedding[8] AS DOUBLE)), 4)] AS centroid,
+        | count(*) AS n_vecs
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),

@@ -18,6 +18,7 @@ trait SparkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
