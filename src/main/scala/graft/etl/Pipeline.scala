@@ -45,7 +45,8 @@ final class Pipeline(
 
   /** One table, one run (reference `process_table`, `main.py:33-52`). */
   def runTable(spec: ServiceSpec, historical: Option[DateRange] = None,
-      refreshAnchor: Option[LocalDate] = None): TableResult = {
+      refreshAnchor: Option[LocalDate] = None,
+      coalesceWindows: Boolean = true): TableResult = {
     val source = Sources.table(spark, sourceDir, spec.name)
     val normalized = Normalize.normalize(source)
 
@@ -66,18 +67,34 @@ final class Pipeline(
             .collect()(0).toSeq.map(_.toString).toArray
           DateRange(LocalDate.parse(lo), LocalDate.parse(hi))
         }
-        val windows = Ranges.forGrain(spec.rangeGrain, bounds.start, bounds.end) ++
-          refreshAnchor.map(a => Ranges.refreshWindow(a)).toSeq
-        windows.foreach { w =>
+        val histWindows = Ranges.forGrain(spec.rangeGrain, bounds.start, bounds.end)
+
+        def writeWindows(ws: Seq[DateRange]): Unit = ws.foreach { w =>
           val batch = normalized.filter(
             to_date(col(tsField)).between(lit(w.start.toString), lit(w.end.toString)))
           // extract-first, delete-only-if-non-empty (utils.py:379-398):
-          // dynamic partition overwrite writes (and hence replaces) nothing
-          // for an empty batch.
+          // dynamic partition overwrite writes (and hence replaces)
+          // nothing for an empty batch.
           Sinks.loadIfNonEmpty(batch, b => {
             Sinks.deleteRangeAppend(b, tsField, rawPath(spec.name))
           })
         }
+
+        // Delete-range+append per window is commutative over disjoint
+        // windows, and the grain generators partition [start, end] exactly
+        // (no gaps — property-tested), so the CONTIGUOUS historical
+        // windows coalesce into ONE dynamic partition overwrite covering
+        // the whole range — semantically identical to the reference's
+        // per-range loop (`utils.py:361-404`) but one Spark job instead of
+        // N. At 100 TB this is the difference between 2,500 daily jobs
+        // re-scanning the source and a single partitioned write.
+        // `coalesceWindows = false` keeps the literal per-window behavior
+        // (useful when the source must be extracted page-by-page, e.g. a
+        // rate-limited API). The refresh window may be DISCONTIGUOUS from
+        // the historical range, so it always runs as its own write — a
+        // blanket min..max coalesce would wrongly re-extract the gap days.
+        if (coalesceWindows) writeWindows(Seq(bounds)) else writeWindows(histWindows)
+        writeWindows(refreshAnchor.map(a => Ranges.refreshWindow(a)).toSeq)
         spark.read.parquet(rawPath(spec.name)).count()
     }
 

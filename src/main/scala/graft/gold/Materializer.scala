@@ -39,6 +39,20 @@ object Materializer {
     GoldSpec("gold_events_hourly", "ts_date", Seq("user_id", "event_type")),
   )
 
+  /** Gold battery mode (reference `materialize_gold.py:104-137`, O4):
+    * materialize every gold spec sequentially from its RAW table.
+    */
+  def materializeAll(spark: org.apache.spark.sql.SparkSession,
+      rawPathFor: String => String, goldPathFor: String => String): Seq[String] = {
+    val rawByGold = graft.model.ServiceSpec.triggerMap.map(_.swap)
+    goldSpecs.map { spec =>
+      val rawName = rawByGold.getOrElse(spec.name,
+        throw new IllegalStateException(s"no RAW trigger edge for ${spec.name}"))
+      materialize(spark.read.parquet(rawPathFor(rawName)), spec, goldPathFor(spec.name))
+      spec.name
+    }
+  }
+
   /** Snapshot `view` into a partitioned + clustered table at `path`. */
   def materialize(view: DataFrame, spec: GoldSpec, path: String): Unit = {
     val base =

