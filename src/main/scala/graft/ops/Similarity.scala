@@ -100,6 +100,23 @@ object Similarity {
       .select(col("label"), col("pos").cast("long").as("pos"), col("avg_v"), col("n_vecs"))
       .orderBy("label", "pos")
 
+  /** Embedding-cosine near-dup (SURVEY §2.13): all vector pairs with
+    * cosine ≥ 0.4 via the native `cosine_sim` expression. The exact
+    * pairwise form is the oracle baseline; the 100 TB path replaces the
+    * self-join with LSH bucketing ([[annLshTopNeighbor]]) so only
+    * bucket-mates are compared.
+    */
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding L2-norm distribution per label — exercises the vector HOFs
     * in an aggregation (norms are engine-stable to 4 decimals).
     */
@@ -149,12 +166,20 @@ object Similarity {
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_cosine_topk_native" -> (cosineTopKNative _),
     "sim_centroid_udaf" -> (centroidUdaf _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "sim_ann_lsh" -> (annLshTopNeighbor _),
     "sim_centroid_by_label" -> (centroidByLabel _),
     "sim_norm_stats" -> (normStats _),
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "sim_cosine_topk_native" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),

@@ -3,6 +3,12 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Minimal typed event for custom-state streaming. */
+case class UserEvent(user_id: Long, value: Double)
+
+/** Per-user running totals held in the state store. */
+case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
 /** True Structured Streaming forms of the batch analogs in
   * [[graft.ops.StreamingAnalogs]] — the same aggregation expressions wired
   * with `readStream` semantics: watermarks bound state, window aggregates
@@ -38,4 +44,28 @@ object StreamingOps {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Custom arbitrary state (SURVEY §2.10: `mapGroupsWithState`): running
+    * per-user totals — event count and value sum accumulated across
+    * micro-batches in a typed state store. The state is one fixed-size
+    * record per user; at scale that is exactly the keyed-state layout
+    * RocksDB-backed stores shard across executors.
+    */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[UserEvent]):
+      org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          val (n, sum) = batch.foldLeft((prev.n_events, prev.sum_value)) {
+            case ((c, s), e) => (c + 1, s + e.value)
+          }
+          val next = UserTotal(user, n, sum)
+          state.update(next)
+          next
+      }
+  }
 }

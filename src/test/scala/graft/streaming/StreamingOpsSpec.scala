@@ -68,6 +68,23 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe Array((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L))
   }
 
+  "runningUserTotals (mapGroupsWithState)" should "accumulate state across micro-batches" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingOps.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    mem.addData(UserEvent(1, 10.0), UserEvent(1, 5.0), UserEvent(2, 1.0))
+    q.processAllAvailable()
+    mem.addData(UserEvent(1, 2.5)) // second micro-batch: state must carry over
+    q.processAllAvailable(); q.stop()
+    val last = s.table("totals").groupBy("user_id")
+      .agg(max("n_events").as("n"), max("sum_value").as("sum"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    last shouldBe Array((1L, 3L, 17.5), (2L, 1L, 1.0))
+  }
+
   "dedupWithinWatermark" should "drop duplicate event_ids inside the horizon" in {
     val s = spark
     import s.implicits._
