@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Generic join operators beyond the built-in kinds (SURVEY §2.4). */
+object Joins {
+
+  /** As-of join: for every left row, attach the latest right row with
+    * `right.tsCol <= left.tsCol` within the same `key`.
+    *
+    * Implementation is the union+window pass, NOT a pairwise range join:
+    * both sides are tagged and unioned, a single window partitioned by
+    * `key` ordered by (ts, side) carries the last-seen right payload
+    * forward (`last(_, ignoreNulls = true)`), then left rows are kept.
+    * Cost: ONE shuffle on `key` and a sort — linear, vs the quadratic
+    * per-key blow-up of `left JOIN right ON r.ts <= l.ts` + max.
+    *
+    * Right rows sort BEFORE left rows at equal timestamps (side 0 < 1),
+    * matching the inclusive `<=` of e.g. DuckDB's ASOF JOIN.
+    *
+    * Right payload columns come back prefixed `asof_` (null when no right
+    * row precedes the left row — as-of LEFT join semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadType = StructType(payloadCols.map(c => right.schema(c)))
+    val leftType = StructType(leftCols.map(c => left.schema(c)))
+
+    val l = left.select(
+      col(key), col(tsCol), lit(1).as("__side"),
+      lit(null).cast(payloadType).as("__payload"),
+      struct(leftCols.map(col): _*).as("__left"))
+    val r = right.select(
+      col(key), col(tsCol), lit(0).as("__side"),
+      struct(payloadCols.map(col): _*).as("__payload"),
+      lit(null).cast(leftType).as("__left"))
+
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val leftBack = leftCols.map(c => col(s"__left.$c").as(c))
+    val payloadBack = payloadCols.map(c => col(s"__asof.$c").as(s"asof_$c"))
+    carried.select(leftBack ++ payloadBack: _*)
+  }
+
+  /** Per-group top-k: the k best rows per key by `orderCol` descending
+    * (deterministic via `tieBreak`). Plans a WindowGroupLimit — partial
+    * top-k before the shuffle.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
+      tieBreak: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -117,15 +117,15 @@ object Relational {
     */
   def joinAsofLastClick(s: SparkSession, d: String): DataFrame = {
     val ev = Sources.events(s, d)
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("click_ts", when(col("event_type") === "click", col("ts")))
-      .withColumn("last_click_ts", last("click_ts", ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    Joins.asofJoin(purchases, clicks, "user_id", "ts", Seq("ts"))
       .select(
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
-        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"),
       )
       .orderBy("event_id")
   }

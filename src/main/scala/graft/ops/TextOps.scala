@@ -30,27 +30,20 @@ object TextOps {
     * a single hash aggregate (one shuffle on the signature).
     */
   def dedupExact(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
-      .groupBy("lang", "n_chars")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .filter(col("n_copies") > 1)
+    Dedup.duplicateGroups(Sources.documents(s, d), Seq("lang", "n_chars"), "doc_id")
       .orderBy("lang", "n_chars")
 
   /** Keep-latest dedup on events: one row per user, latest by event id
     * (SURVEY §2.13 "keep-latest"; the streaming analog is
     * `dropDuplicatesWithinWatermark`).
     */
-  def dedupKeepLatest(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
-    Sources.events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def dedupKeepLatest(s: SparkSession, d: String): DataFrame =
+    Dedup.keepLatest(Sources.events(s, d), Seq("user_id"), "event_id")
       .select(
         col("user_id"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
         col("event_type"), round(col("value"), 2).as("value"))
       .orderBy("user_id")
-  }
 
   /** Per-document statistics: chars, words, regex token count (BPE-ish
     * `\w+|[^\w\s]` pre-tokenizer), distinct-word ratio.
@@ -172,42 +165,9 @@ object TextOps {
     * pairs.
     */
   def dedupMinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val nHashes = 12
-    val bandSize = 4
-    // 3-word shingles (the standard document-dedup unit): ~5× fewer
-    // shingles than character 5-grams at equal near-dup recall. `split`
-    // is materialized into its own column first — referencing it inside
-    // the transform lambda would re-split the text once per shingle.
-    val shingles = expr(
-      "transform(sequence(1, greatest(size(w) - 2, 1))," +
-        " i -> concat_ws(' ', slice(w, i, 3)))")
-    // hash each shingle string ONCE, then derive the k minhash signatures
-    // by re-hashing the fixed-width longs — variable-length string hashing
-    // dominates the cost, so this is far cheaper than k string passes.
-    // (A multiplicative h*A+B mix would be cheaper still, but Spark's ANSI
-    // mode faults on the intended Long wraparound.)
-    val minhashes = (0 until nHashes).map { seed =>
-      array_min(transform(col("shash"), h => xxhash64(h, lit(seed)))).as(s"mh_$seed")
-    }
-    val bands = (0 until nHashes / bandSize).map { bnd =>
-      xxhash64(lit(bnd) +: (bnd * bandSize until (bnd + 1) * bandSize).map(i => col(s"mh_$i")): _*).as(s"band_$bnd")
-    }
-    val sigs = Sources.documents(s, d)
-      .withColumn("w", words(col("text")))
-      .withColumn("shingles", shingles)
-      .withColumn("shash", transform(col("shingles"), sh => xxhash64(sh)))
-      .select(col("doc_id") +: minhashes: _*)
-      .select(col("doc_id") +: bands: _*)
-    // explode bands -> bucket join: docs sharing a (band_idx, band_hash)
-    val exploded = sigs.select(col("doc_id"),
-      posexplode(array((0 until nHashes / bandSize).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "band_hash")))
-    val pairs = exploded.as("x").join(exploded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    pairs.orderBy("id_a", "id_b")
+    val sigs = Dedup.minHashBands(Sources.documents(s, d), "doc_id", "text",
+      nHashes = 12, bandSize = 4)
+    Dedup.lshCandidatePairs(sigs, "doc_id").orderBy("id_a", "id_b")
   }
 
   /** SimHash (16-bit) near-dup signatures: per word hash, each bit votes

@@ -1,0 +1,80 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Generic operator API (Dedup / Joins): semantics checked against
+  * brute-force equivalents on small inputs.
+  */
+class GenericOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  "Joins.asofJoin" should "attach the latest right row at-or-before each left row" in {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq( // key, ts, px
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:02:00"), 200.0),
+    ).toDF("k", "ts", "px")
+    val trades = Seq( // key, ts, qty
+      (1L, ts("2024-01-01 10:00:00"), 5.0), // equal ts: inclusive <=
+      (1L, ts("2024-01-01 10:04:59"), 6.0),
+      (1L, ts("2024-01-01 10:06:00"), 7.0),
+      (2L, ts("2024-01-01 10:01:00"), 8.0), // before any quote: null
+      (3L, ts("2024-01-01 10:00:00"), 9.0), // key with no quotes: null
+    ).toDF("k", "ts", "qty")
+
+    val got = Joins.asofJoin(trades, quotes, "k", "ts", Seq("px"))
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    got shouldBe Array(
+      (1L, 5.0, Some(100.0)),
+      (1L, 6.0, Some(100.0)),
+      (1L, 7.0, Some(101.0)),
+      (2L, 8.0, None),
+      (3L, 9.0, None))
+  }
+
+  "Dedup.exactKeepMin" should "keep exactly the min-tieBreak row per group" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 10), (2L, "a", 10), (3L, "b", 20)).toDF("id", "g", "v")
+    val out = Dedup.exactKeepMin(df, Seq("g", "v"), "id")
+      .orderBy("id").collect().map(_.getLong(0))
+    out shouldBe Array(1L, 3L)
+  }
+
+  "Dedup.keepLatest" should "keep the max-order row per key" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1L, "x"), (1L, 5L, "y"), (2L, 3L, "z")).toDF("k", "seq", "payload")
+    val out = Dedup.keepLatest(df, Seq("k"), "seq")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(2)))
+    out shouldBe Array((1L, "y"), (2L, "z"))
+  }
+
+  "Joins.topKPerKey" should "match sort-based top-k" in {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map(i => (i % 3, i, (i * 7 % 11).toDouble)).toDF("k", "id", "score")
+    val got = Joins.topKPerKey(df, Seq("k"), "score", "id", 2)
+      .orderBy("k", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(2).map(t => (t._1, t._2))
+      }.sortBy(identity)
+    got.toSeq shouldBe want
+  }
+
+  "Dedup.jaccard" should "compute set jaccard on array columns" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    df.select(Dedup.jaccard(col("x"), col("y"))).collect()(0).getDouble(0) shouldBe 0.5 +- 1e-9
+  }
+}
