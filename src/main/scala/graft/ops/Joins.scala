@@ -49,6 +49,36 @@ object Joins {
     carried.select(leftBack ++ payloadBack: _*)
   }
 
+  /** Skew-salted equi join (SURVEY §4 "salting for skew"): when one join
+    * key carries a disproportionate share of the left side, a plain
+    * shuffle join sends that key's rows to ONE reducer. Salting splits
+    * each left key into `saltFactor` sub-keys (content-hashed, so the
+    * assignment is deterministic) and replicates each right row
+    * `saltFactor` times; the join runs on (key, salt) with `saltFactor`×
+    * the parallelism on the hot key.
+    *
+    * AQE's skew-join handling covers many cases at runtime; explicit
+    * salting remains the tool when a single key exceeds what one task can
+    * hold, or when the skew is known up front. Cost: right side is
+    * replicated `saltFactor`× — use for fact-skew joins against small-ish
+    * right sides.
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val leftSalted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor.toLong)).cast("int"))
+    val salts = (0 until saltFactor).toDF("__salt")
+    val rightReplicated = right.crossJoin(broadcast(salts))
+    leftSalted.join(rightReplicated,
+        leftSalted(key) === rightReplicated(key) && leftSalted("__salt") === rightReplicated("__salt"),
+        joinType)
+      .drop(rightReplicated(key))
+      .drop("__salt")
+  }
+
   /** Per-group top-k: the k best rows per key by `orderCol` descending
     * (deterministic via `tieBreak`). Plans a WindowGroupLimit — partial
     * top-k before the shuffle.

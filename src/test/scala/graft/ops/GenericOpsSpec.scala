@@ -71,6 +71,29 @@ class GenericOpsSpec extends SparkSpec {
     got.toSeq shouldBe want
   }
 
+  "Joins.saltedEquiJoin" should "match the plain join on skewed keys" in {
+    val s = spark
+    import s.implicits._
+    // 90% of left rows share key 0 (hot key)
+    val left = (1L to 1000L).map(i => (if (i % 10 == 0) i % 5 else 0L, i)).toDF("k", "lv")
+    val right = (0L to 4L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = left.join(right, "k").orderBy("lv").collect().map(_.toSeq)
+    val salted = Joins.saltedEquiJoin(left, right, "k", saltFactor = 8)
+      .select("k", "lv", "name").orderBy("lv").collect().map(_.toSeq)
+    salted shouldBe plain
+  }
+
+  it should "preserve left-outer semantics" in {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "a"), (9L, "no-match")).toDF("k", "lv")
+    val right = Seq((1L, "dim")).toDF("k", "name")
+    val out = Joins.saltedEquiJoin(left, right, "k", 4, "left_outer")
+      .select("k", "lv", "name").orderBy("k").collect()
+    out.length shouldBe 2
+    out(1).isNullAt(2) shouldBe true
+  }
+
   "Dedup.jaccard" should "compute set jaccard on array columns" in {
     val s = spark
     import s.implicits._
