@@ -84,6 +84,46 @@ object RelationalExt {
       .orderBy("event_id")
   }
 
+  /** max_by / min_by (argmax/argmin aggregates). */
+  def aggMinmaxBy(s: SparkSession, d: String): DataFrame =
+    Sources.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+        round(max("o_totalprice"), 2).as("max_price"),
+      )
+      .orderBy("o_orderpriority")
+
+  /** RANGE window frame (value-based, not row-based): sliding sum over a
+    * key distance of 5 event ids.
+    */
+  def winRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id").rangeBetween(-5, 0)
+    Sources.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 2).as("sum_5back"),
+        count(lit(1)).over(w).as("n_5back"))
+      .orderBy("event_id")
+  }
+
+  /** Cast surface incl. failure-tolerant try_cast (semantics shared by
+    * both engines: int↔double exact, int→string, floor-then-cast for
+    * double→int since bare double→int casts ROUND in DuckDB but TRUNCATE
+    * in Spark).
+    */
+  def scalarCasts(s: SparkSession, d: String): DataFrame =
+    Sources.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("double").as("key_dbl"),
+        col("o_orderkey").cast("string").as("key_str"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        expr("try_cast(o_orderstatus AS BIGINT)").as("bad_cast"),
+        col("o_custkey").cast("int").as("cust_int"),
+      )
+      .orderBy("o_orderkey")
+
   /** Extended string scalar family. */
   def scalarStringExt(s: SparkSession, d: String): DataFrame =
     Sources.part(s, d)
@@ -168,6 +208,9 @@ object RelationalExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_stats_summary" -> (aggStatsSummary _),
+    "agg_minmax_by" -> (aggMinmaxBy _),
+    "win_range_frame" -> (winRangeFrame _),
+    "scalar_casts" -> (scalarCasts _),
     "agg_collect" -> (aggCollect _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "pivot_event_counts" -> (pivotEventCounts _),
@@ -181,6 +224,27 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_minmax_by" ->
+      """SELECT o_orderpriority,
+        | arg_max(o_orderkey, o_totalprice) AS priciest_order,
+        | arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "win_range_frame" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER w, 2) AS sum_5back,
+        | count(*) OVER w AS n_5back
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "scalar_casts" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderkey AS DOUBLE) AS key_dbl,
+        | CAST(o_orderkey AS VARCHAR) AS key_str,
+        | CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        | TRY_CAST(o_orderstatus AS BIGINT) AS bad_cast,
+        | CAST(o_custkey AS INT) AS cust_int
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "agg_stats_summary" ->
       """SELECT event_type,
         | round(stddev_samp(value), 4) AS sd_value,

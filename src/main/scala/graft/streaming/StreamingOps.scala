@@ -45,6 +45,23 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream interval join: each purchase joined to clicks of the
+    * same user within the preceding hour. Both sides carry watermarks so
+    * Spark can bound the join state (clicks older than purchase-watermark
+    * − 1 h are evicted) — the state-safety requirement that makes
+    * stream-stream joins run indefinitely.
+    */
+  def purchasesWithRecentClicks(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
   /** Custom arbitrary state (SURVEY §2.10: `mapGroupsWithState`): running
     * per-user totals — event count and value sum accumulated across
     * micro-batches in a typed state store. The state is one fixed-size

@@ -85,6 +85,25 @@ class StreamingOpsSpec extends SparkSpec {
     last shouldBe Array((1L, 3L, 17.5), (2L, 1L, 1.0))
   }
 
+  "purchasesWithRecentClicks (stream-stream join)" should "pair within the interval only" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingOps.purchasesWithRecentClicks(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    clicks.addData(
+      Ev(10, ts("2024-01-01 09:30:00"), 1, "click", 0.0), // in window
+      Ev(11, ts("2024-01-01 08:00:00"), 1, "click", 0.0), // too old
+      Ev(12, ts("2024-01-01 09:45:00"), 2, "click", 0.0)) // other user
+    purchases.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 50.0))
+    q.processAllAvailable(); q.stop()
+    val got = s.table("ssj").select("p_user", "c_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    got shouldBe Array((1L, ts("2024-01-01 09:30:00")))
+  }
+
   "foreachBatch + deleteRangeAppend" should "stream into an idempotent partitioned table" in {
     val s = spark
     import s.implicits._
