@@ -169,6 +169,30 @@ object RelationalExt {
       )
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Map-typed JSON: parse `props` into a MapType, explode entries, and
+    * aggregate per key (SURVEY §2.9 map/JSON family — `from_json`,
+    * `explode` over maps, `map_keys`).
+    */
+  def scalarMapProps(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .select(explode(from_json(col("props"), lit("map<string,int>"))).as(Seq("key", "val")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("val").cast("long").as("sum_val"))
+      .orderBy("key")
+
+  /** Quantified array HOFs: exists / forall / filter over the embedding
+    * vectors (all codegen'd Catalyst lambda expressions).
+    */
+  def scalarHofQuantifiers(s: SparkSession, d: String): DataFrame =
+    Sources.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0.2f)).cast("long").as("n_big"),
+        exists(col("embedding"), x => x > 0.2f).as("has_big"),
+        forall(col("embedding"), x => abs(x) < lit(1.0f)).as("all_unit"),
+      )
+      .orderBy("vec_id")
+
   /** Explicit CROSS JOIN (the pruned-cross pattern underlies the
     * similarity operators; here the bare operator over two tiny dims).
     */
@@ -209,6 +233,8 @@ object RelationalExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_stats_summary" -> (aggStatsSummary _),
     "agg_minmax_by" -> (aggMinmaxBy _),
+    "scalar_map_props" -> (scalarMapProps _),
+    "scalar_hof_quantifiers" -> (scalarHofQuantifiers _),
     "win_range_frame" -> (winRangeFrame _),
     "scalar_casts" -> (scalarCasts _),
     "agg_collect" -> (aggCollect _),
@@ -230,6 +256,17 @@ object RelationalExt {
         | arg_min(o_orderkey, o_totalprice) AS cheapest_order,
         | round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scalar_map_props" ->
+      """SELECT k AS key, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.' || k) AS INT)) AS BIGINT) AS sum_val
+        |FROM (SELECT unnest(json_keys(props)) AS k, props FROM events)
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "scalar_hof_quantifiers" ->
+      """SELECT vec_id,
+        | len(list_filter(embedding, x -> x > 0.2)) AS n_big,
+        | len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_big,
+        | len(list_filter(embedding, x -> abs(x) < 1.0)) = len(embedding) AS all_unit
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "win_range_frame" ->
       """SELECT event_id, user_id,
         | round(sum(value) OVER w, 2) AS sum_5back,
