@@ -21,6 +21,13 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parse(args.toList, Map.empty)
+    if (!opts.contains("all") && !opts.contains("table") && !opts.contains("gold")) {
+      // no implicit default: a typo'd mode flag must not silently launch
+      // the full every-table run over the warehouse
+      System.err.println("usage: graft.Main (--all | --table NAME | --gold) " +
+        "[--workers N] [--source DIR] [--warehouse DIR] [--refresh-anchor YYYY-MM-DD]")
+      sys.exit(2)
+    }
     val source = opts.getOrElse("source", "/root/testdata/sf0.001")
     val warehouse = opts.getOrElse("warehouse", "/tmp/graft_warehouse")
     val workers = opts.getOrElse("workers", Runtime.getRuntime.availableProcessors().toString).toInt
@@ -50,7 +57,7 @@ object Main {
       val res = pipeline.runTable(spec, refreshAnchor = refreshAnchor)
       println(s"[graft] ${res.table}: ${res.rowsLoaded} rows" +
         res.goldFired.fold("")(g => s", gold -> $g"))
-    } else {
+    } else { // --all
       val results = pipeline.runAll(parallelism = workers)
       results.toSeq.sortBy(_._1).foreach {
         case (n, scala.util.Success(r)) =>

@@ -50,33 +50,42 @@ final class Pipeline(
     val source = Sources.table(spark, sourceDir, spec.name)
     val normalized = Normalize.normalize(source)
 
+    var rangesPlanned = 1
     val rows = spec.loadMode match {
       case LoadMode.FullTruncate =>
-        // cadastral full snapshot (utils.py:346-357)
-        val n = normalized.count()
+        // cadastral full snapshot (utils.py:346-357); count the WRITTEN
+        // table, not the source — counting first would scan the source
+        // twice per run
         Sinks.truncate(normalized, rawPath(spec.name))
-        n
+        spark.read.parquet(rawPath(spec.name)).count()
 
       case LoadMode.IncrementalByDate =>
         val field = spec.filterField.getOrElse(
           throw new IllegalArgumentException(s"${spec.name}: incremental load needs filterField"))
         val tsField = field + "_ts"
-        val bounds = historical.getOrElse {
-          val Array(lo, hi) = normalized
+        // min/max are NULL for an empty source or an all-unparseable date
+        // field (try_to_timestamp coerces to NULL) — that is the empty-
+        // extract case: load nothing, delete nothing (utils.py:391-398)
+        val bounds = historical.orElse {
+          val row = normalized
             .agg(min(to_date(col(tsField))).cast("string"), max(to_date(col(tsField))).cast("string"))
-            .collect()(0).toSeq.map(_.toString).toArray
-          DateRange(LocalDate.parse(lo), LocalDate.parse(hi))
+            .collect()(0)
+          if (row.isNullAt(0) || row.isNullAt(1)) None
+          else Some(DateRange(LocalDate.parse(row.getString(0)), LocalDate.parse(row.getString(1))))
         }
-        val histWindows = Ranges.forGrain(spec.rangeGrain, bounds.start, bounds.end)
+        val histWindows = bounds.toSeq.flatMap(b => Ranges.forGrain(spec.rangeGrain, b.start, b.end))
 
         def writeWindows(ws: Seq[DateRange]): Unit = ws.foreach { w =>
           val batch = normalized.filter(
             to_date(col(tsField)).between(lit(w.start.toString), lit(w.end.toString)))
           // extract-first, delete-only-if-non-empty (utils.py:379-398):
           // dynamic partition overwrite writes (and hence replaces)
-          // nothing for an empty batch.
+          // nothing for an empty batch. Partitioning keys on the payload
+          // field's existing `<field>_date` twin from Normalize — NOT a
+          // new derived column — so readers filtering the documented twin
+          // get partition pruning.
           Sinks.loadIfNonEmpty(batch, b => {
-            Sinks.deleteRangeAppend(b, tsField, rawPath(spec.name))
+            Sinks.deleteRangeAppend(b, field, rawPath(spec.name))
           })
         }
 
@@ -93,18 +102,25 @@ final class Pipeline(
         // rate-limited API). The refresh window may be DISCONTIGUOUS from
         // the historical range, so it always runs as its own write — a
         // blanket min..max coalesce would wrongly re-extract the gap days.
-        if (coalesceWindows) writeWindows(Seq(bounds)) else writeWindows(histWindows)
-        writeWindows(refreshAnchor.map(a => Ranges.refreshWindow(a)).toSeq)
-        spark.read.parquet(rawPath(spec.name)).count()
+        val refreshWindows = refreshAnchor.map(a => Ranges.refreshWindow(a)).toSeq
+        rangesPlanned = histWindows.size + refreshWindows.size
+        if (coalesceWindows) writeWindows(bounds.toSeq) else writeWindows(histWindows)
+        writeWindows(refreshWindows)
+        // nothing may have been written at all (empty source AND empty
+        // refresh) — the table then may not exist yet
+        if (!new java.io.File(rawPath(spec.name)).exists()) 0L
+        else spark.read.parquet(rawPath(spec.name)).count()
     }
 
-    val gold = ServiceSpec.triggerMap.get(spec.name).map { goldName =>
+    val gold = ServiceSpec.triggerMap.get(spec.name)
+      .filter(_ => new java.io.File(rawPath(spec.name)).exists()) // nothing loaded -> nothing to materialize
+      .map { goldName =>
       val goldSpec = Materializer.goldSpecs.find(_.name == goldName)
         .getOrElse(throw new IllegalStateException(s"no gold spec $goldName"))
       Materializer.materialize(spark.read.parquet(rawPath(spec.name)), goldSpec, goldPath(goldName))
       goldName
     }
-    TableResult(spec.name, 1, rows, gold)
+    TableResult(spec.name, rangesPlanned, rows, gold)
   }
 
   /** All tables concurrently (reference `run_parallel_etl`, `main.py:97`):

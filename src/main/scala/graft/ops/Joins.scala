@@ -66,6 +66,13 @@ object Joins {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    // right/full outer would emit saltFactor null-padded copies of every
+    // unmatched right row (it was replicated per salt) — reject up front
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports $allowed join types; right/full outer would " +
+        "duplicate unmatched right rows (one per salt replica)")
     val spark = left.sparkSession
     import spark.implicits._
     val leftSalted = left.withColumn("__salt",

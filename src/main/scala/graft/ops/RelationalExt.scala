@@ -64,7 +64,9 @@ object RelationalExt {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .count()
-      .na.fill(0L)
+      // fill ONLY the pivoted count columns: a bare na.fill(0) would also
+      // rewrite a NULL group key into user 0
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
 
   /** Analytic window functions over the full-partition frame. */
@@ -84,13 +86,18 @@ object RelationalExt {
       .orderBy("event_id")
   }
 
-  /** max_by / min_by (argmax/argmin aggregates). */
+  /** max_by / min_by (argmax/argmin aggregates). The ordering value is the
+    * UNIQUE o_orderkey — argmax over a column with ties (o_totalprice has
+    * duplicate values at sf≥0.01) is engine-arbitrary and would flake the
+    * oracle hash.
+    */
   def aggMinmaxBy(s: SparkSession, d: String): DataFrame =
     Sources.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
-        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
-        min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+        max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+        min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+        round(max_by(col("o_totalprice"), col("o_orderkey")), 2).as("latest_price"),
         round(max("o_totalprice"), 2).as("max_price"),
       )
       .orderBy("o_orderpriority")
@@ -252,8 +259,9 @@ object RelationalExt {
   val oracles: Map[String, String] = Map(
     "agg_minmax_by" ->
       """SELECT o_orderpriority,
-        | arg_max(o_orderkey, o_totalprice) AS priciest_order,
-        | arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        | arg_max(o_orderstatus, o_orderkey) AS latest_status,
+        | arg_min(o_orderstatus, o_orderkey) AS first_status,
+        | round(arg_max(o_totalprice, o_orderkey), 2) AS latest_price,
         | round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "scalar_map_props" ->

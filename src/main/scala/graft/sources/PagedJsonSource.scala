@@ -168,7 +168,7 @@ private class PageReader(file: String, schema: StructType)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(file)
+  private val lines = scala.io.Source.fromFile(file, "UTF-8")
   private val it = lines.getLines().filter(_.nonEmpty)
   private var current: InternalRow = _
 

@@ -59,6 +59,19 @@ class PipelineSpec extends SparkSpec {
     extended should be > base
   }
 
+  it should "no-op gracefully on an empty source (empty-extract semantics)" in {
+    val wh = tmpDir("wh-empty")
+    val srcDir = tmpDir("empty-src")
+    // an events table with zero rows
+    graft.io.Sources.events(spark, sfDir).filter(org.apache.spark.sql.functions.lit(false))
+      .write.parquet(s"$srcDir/events.parquet")
+    val p = new Pipeline(spark, srcDir, wh)
+    val spec = ServiceSpec("events", Some("ts"), LoadMode.IncrementalByDate, RangeGrain.Daily)
+    val res = p.runTable(spec) // bounds derive from data: none -> no windows
+    res.rowsLoaded shouldBe 0
+    res.ranges shouldBe 0
+  }
+
   "runAll" should "run multiple tables concurrently with per-table results" in {
     val wh = tmpDir("wh-all")
     val p = new Pipeline(spark, sfDir, wh)

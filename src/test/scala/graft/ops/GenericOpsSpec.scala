@@ -94,6 +94,14 @@ class GenericOpsSpec extends SparkSpec {
     out(1).isNullAt(2) shouldBe true
   }
 
+  it should "reject right/full outer (salt replicas would duplicate unmatched rows)" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Joins.saltedEquiJoin(df, df, "k", 4, "full_outer")
+  }
+
   "Dedup.jaccard" should "compute set jaccard on array columns" in {
     val s = spark
     import s.implicits._
