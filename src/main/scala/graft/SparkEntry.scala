@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Multimodal, Relational, RelationalExt, Similarity, StreamingAnalogs, TextOps}
+import graft.ops.{Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,7 @@ object SparkEntry {
       TextOps.queries ++
       Similarity.queries ++
       StreamingAnalogs.queries ++
+      Sampling.queries ++
       Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       TextOps.oracles ++
       Similarity.oracles ++
       StreamingAnalogs.oracles ++
+      Sampling.oracles ++
       Multimodal.oracles
 }

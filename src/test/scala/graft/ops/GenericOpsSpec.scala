@@ -102,6 +102,20 @@ class GenericOpsSpec extends SparkSpec {
       Joins.saltedEquiJoin(df, df, "k", 4, "full_outer")
   }
 
+  "Sampling.split" should "assign deterministic, partition-independent buckets" in {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val once = Sampling.split(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val again = Sampling.split(df.repartition(13), "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    again shouldBe once // repartitioning must not change membership
+    once("train").toDouble shouldBe 1600.0 +- 120.0 // ~8/1/1
+    once("val").toDouble shouldBe 200.0 +- 80.0
+    once("test").toDouble shouldBe 200.0 +- 80.0
+  }
+
   "Dedup.jaccard" should "compute set jaccard on array columns" in {
     val s = spark
     import s.implicits._
