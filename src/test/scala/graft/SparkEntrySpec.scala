@@ -1,0 +1,42 @@
+package graft
+
+import graft.etl.EtlQueries
+import graft.ops._
+
+/** Driver-contract invariants: no silent query-name collisions across the
+  * operator modules (Map ++ would shadow), oracle keys all resolve to
+  * queries, flagship entry returns rows.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  private val modules = Seq(
+    "etl" -> EtlQueries.queries.keySet,
+    "relational" -> Relational.queries.keySet,
+    "relationalExt" -> RelationalExt.queries.keySet,
+    "text" -> TextOps.queries.keySet,
+    "similarity" -> Similarity.queries.keySet,
+    "streaming" -> StreamingAnalogs.queries.keySet,
+    "sampling" -> Sampling.queries.keySet,
+    "multimodal" -> Multimodal.queries.keySet,
+  )
+
+  "queries" should "have no name collisions across modules" in {
+    val total = modules.map(_._2.size).sum
+    SparkEntry.queries.size shouldBe total
+  }
+
+  "oracleSql" should "only reference existing queries" in {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    unknown shouldBe empty
+  }
+
+  it should "cover every query except the documented sketch ops" in {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    rowsOnly shouldBe Set("agg_approx_distinct", "dedup_minhash_lsh",
+      "dedup_simhash", "sim_ann_lsh")
+  }
+
+  "entry" should "return rows on the smoke fixture" in {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+}
