@@ -347,8 +347,24 @@ object Relational {
       )
       .orderBy("vec_id")
 
+  /** Approximate percentile sketch (GK/QuantileSummaries) — the quantile
+    * analog of HLL: mergeable fixed-size state per group, the only
+    * quantile that scales to 100 TB without a global sort. No oracle
+    * (approximate); rows-only + tolerance-tested against exact.
+    */
+  def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 1000)"), 2).as("approx_median"),
+        round(expr("approx_percentile(value, 0.99, 1000)"), 2).as("approx_p99"),
+        count(lit(1)).as("n_events"),
+      )
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "agg_pricing_summary" -> (aggPricingSummary _),
+    "agg_approx_percentile" -> (aggApproxPercentile _),
     "join_region_revenue" -> (joinRegionRevenue _),
     "join_price_bands" -> (joinPriceBands _),
     "join_semi_segment" -> (joinSemiSegment _),

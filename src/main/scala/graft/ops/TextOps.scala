@@ -114,6 +114,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Character-level Shannon entropy per document — an
+    * information-theoretic quality signal (gibberish and boilerplate sit
+    * at the entropy extremes). Two hash aggregations + one window; all
+    * distributed, no per-document collection.
+    */
+  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Sources.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("c"))
+    val tot = Window.partitionBy("doc_id")
+    counts
+      .withColumn("p", col("c").cast("double") / sum("c").over(tot))
+      .groupBy("doc_id")
+      .agg(round(-sum(col("p") * log2(col("p"))), 4).as("char_entropy"),
+        count(lit(1)).as("n_distinct_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Polynomial rolling-hash fingerprint over characters (mod 1e9+7) —
     * deterministic, engine-independent document fingerprint.
     */
@@ -201,6 +220,7 @@ object TextOps {
     "text_lang_histogram" -> (langHistogram _),
     "text_lang_id" -> (langIdHeuristic _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_entropy" -> (textEntropy _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_simhash" -> (dedupSimHash _),
@@ -250,6 +270,13 @@ object TextOps {
         |           len(list_filter(string_split(text,' '), w -> list_contains(['le','la','et','les','est'], w)))
         |      THEN 'de' ELSE 'fr' END AS predicted_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        | cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+        | p AS (SELECT doc_id, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS p FROM cnt)
+        |SELECT doc_id, round(-sum(p * log2(p)), 4) AS char_entropy,
+        | count(*) AS n_distinct_chars
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

@@ -32,8 +32,8 @@ class SparkEntrySpec extends SparkSpec {
 
   it should "cover every query except the documented sketch ops" in {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    rowsOnly shouldBe Set("agg_approx_distinct", "dedup_minhash_lsh",
-      "dedup_simhash", "sim_ann_lsh")
+    rowsOnly shouldBe Set("agg_approx_distinct", "agg_approx_percentile",
+      "dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh")
   }
 
   "entry" should "return rows on the smoke fixture" in {

@@ -44,6 +44,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  "aggApproxPercentile" should "land near the exact percentile" in {
+    val approx = Relational.aggApproxPercentile(spark, sfDir)
+      .select("event_type", "approx_median").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Sources.events(spark, sfDir)
+      .groupBy("event_type").agg(expr("percentile(value, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, m) =>
+      approx(k) shouldBe m +- math.max(2.0, m * 0.1)
+    }
+  }
+
   "dedupMinHashLsh" should "report each candidate pair once, ordered" in {
     val pairs = dedupPairs()
     pairs.foreach { case (a, b) => a should be < b }
