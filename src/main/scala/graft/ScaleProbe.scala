@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: replicates the sf0.1 fact tables 1×/4×/16× with
+  * key-space offsets (so join cardinalities scale, not multiply), writes
+  * them as multi-file parquet, and times three representative plan shapes
+  * at each scale — scan+aggregate, fact-fact join, window top-k.
+  * Near-linear growth is the evidence that the plans (partial aggs,
+  * shuffle joins, WindowGroupLimit) hold as data grows.
+  * Prints one JSON line per scale. Usage: `runMain graft.ScaleProbe`.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_scale"
+
+    def replicate(table: String, k: Int, keyCols: Seq[String]): DataFrame = {
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      val rep = src.crossJoin(spark.range(k).toDF("__rep"))
+      keyCols.foldLeft(rep) { (df, c) =>
+        df.withColumn(c, col(c) + col("__rep") * 100000000L)
+      }.drop("__rep")
+    }
+
+    Seq(1, 4, 16).foreach { k =>
+      val dir = s"$out/x$k"
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        replicate("lineitem", k, Seq("l_orderkey"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        replicate("orders", k, Seq("o_orderkey", "o_custkey"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      }
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+
+      def time(thunk: => Long): Double = {
+        thunk // warm (footer/codegen caches)
+        val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
+      }
+
+      val tAgg = time {
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count()
+      }
+      val tJoin = time {
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).count()
+      }
+      val tWin = time {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+      }
+      val rows = li.count()
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin}""")
+    }
+    spark.stop()
+  }
+}
