@@ -162,12 +162,69 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** IVF-style ANN (the other standard scale path next to LSH). Coarse
+    * centroids are *trained* from the data — the per-label element-wise
+    * mean via the typed [[graft.functions.CentroidAggregator]] (one
+    * distributed pass; the stand-in for offline k-means). Each corpus
+    * vector is indexed in its nearest cell; each query probes its
+    * `nprobe=2` nearest cells; exact cosine runs only on (probe, index)
+    * cell matches. Cost drops from O(n²) to O(n·k + nprobe·Σ|cell|²),
+    * and the cell match is an **equi-join** — at 100 TB one shuffle on
+    * `cell`, never a cross product. Approximate ⇒ rows-only check;
+    * recall vs the exact neighbor is asserted in OpsSpec.
+    */
+  def ivfTopNeighbor(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val assigned = ivfAssign(emb)
+    val probes = ivfProbe(emb, nprobe = 2)
+    val idx = assigned.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("cell"))
+    val pairs = probes.join(idx, probes("probe_cell") === idx("cell") && probes("vec_id") =!= idx("id_b"))
+      .select(probes("vec_id").as("id_a"), col("id_b"),
+        round(expr("cosine_sim(q_emb, emb_b)"), 4).as("cos"))
+      // a neighbor can match via both probed cells — keep one copy
+      .dropDuplicates("id_a", "id_b")
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id_a"), col("id_b").as("nn_id"), col("cos"))
+      .orderBy("id_a")
+  }
+
+  /** Trained coarse quantizer: per-label centroid over all 64 dims. */
+  private def ivfCentroids(emb: DataFrame): DataFrame = {
+    val cent = graft.functions.CentroidAggregator.centroid(64)
+    emb.groupBy("label").agg(cent(col("embedding")).as("cent_emb"))
+      .select(col("label").as("cent_id"),
+        transform(col("cent_emb"), x => x.cast("float")).as("cent_emb"))
+  }
+
+  /** Rank a vector's cells by centroid cosine, keep the top `n`. */
+  private def nearestCells(emb: DataFrame, n: Int): DataFrame = {
+    val scored = emb.crossJoin(broadcast(ivfCentroids(emb)))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        expr("cosine_sim(embedding, cent_emb)").as("cs"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cent_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Index-side assignment (top-1 cell); factored out so the spec can
+    * check it partitions the corpus.
+    */
+  private[ops] def ivfAssign(emb: DataFrame): DataFrame =
+    nearestCells(emb, 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+
+  /** Query-side probe list (top-`nprobe` cells per vector). */
+  private def ivfProbe(emb: DataFrame, nprobe: Int): DataFrame =
+    nearestCells(emb, nprobe)
+      .select(col("vec_id"), col("embedding").as("q_emb"), col("cent_id").as("probe_cell"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_cosine_topk_native" -> (cosineTopKNative _),
     "sim_centroid_udaf" -> (centroidUdaf _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "sim_ann_lsh" -> (annLshTopNeighbor _),
+    "sim_ann_ivf" -> (ivfTopNeighbor _),
     "sim_centroid_by_label" -> (centroidByLabel _),
     "sim_norm_stats" -> (normStats _),
   )

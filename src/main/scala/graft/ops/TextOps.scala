@@ -212,7 +212,34 @@ object TextOps {
       .orderBy("simhash")
   }
 
+  /** End-to-end training-data curation (the north-star ops composed as one
+    * plan): quality filter (min words + stopword ratio) → exact dedup
+    * (first doc per (lang, n_chars) signature) → per-(lang, source) corpus
+    * stats with BPE-ish token totals. One linear scan, one window shuffle,
+    * one aggregation shuffle — the whole curation pass over 100 TB is
+    * 2 shuffles, no pairwise stage.
+    */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nWords = size(ws).cast("double")
+    val nStop = size(filter(ws, w => array_contains(stopArr, w))).cast("double")
+    val quality = Sources.documents(s, d)
+      .filter(nWords >= 5 && nStop / nWords >= 0.05)
+    val w = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
+    quality
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("lang"), col("source"), col("n_chars"),
+        regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("long").as("n_tokens"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_curation_pipeline" -> (curationPipeline _),
     "dedup_exact" -> (dedupExact _),
     "dedup_keep_latest" -> (dedupKeepLatest _),
     "text_stats" -> (textStats _),
@@ -227,6 +254,19 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_curation_pipeline" ->
+      """WITH q AS (
+        |  SELECT * FROM documents
+        |  WHERE len(string_split(text,' ')) >= 5
+        |    AND len(list_filter(string_split(text,' '),
+        |          w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w)))::DOUBLE
+        |        / len(string_split(text,' ')) >= 0.05),
+        | d AS (SELECT *, row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn FROM q)
+        |SELECT lang, source, count(*) AS n_docs_kept,
+        | CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_tokens,
+        | round(avg(n_chars), 2) AS avg_chars
+        |FROM d WHERE rn = 1
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "dedup_exact" ->
       """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lang, n_chars HAVING count(*) > 1

@@ -33,7 +33,7 @@ class SparkEntrySpec extends SparkSpec {
   it should "cover every query except the documented sketch ops" in {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     rowsOnly shouldBe Set("agg_approx_distinct", "agg_approx_percentile",
-      "dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh")
+      "dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf")
   }
 
   "entry" should "return rows on the smoke fixture" in {

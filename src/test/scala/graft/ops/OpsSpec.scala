@@ -31,6 +31,42 @@ class OpsSpec extends SparkSpec {
     nn.agg(min("cos")).collect()(0).getDouble(0) should be > -1.0
   }
 
+  "ivfTopNeighbor" should "partition vectors into cells and recover most exact neighbors" in {
+    val emb = Sources.embeddings(spark, sfDir)
+    val n = emb.count()
+    // assignment is a partition: every vector lands in exactly one cell
+    val assigned = Similarity.ivfAssign(emb)
+    assigned.count() shouldBe n
+    assigned.select("vec_id").distinct().count() shouldBe n
+
+    // recall@1 vs the exact nearest neighbor. The fixture embeddings are
+    // deliberately unclustered (only 7% of exact NNs share a label; mean
+    // NN cosine 0.37) — a near-worst-case corpus for cell-based ANN — so
+    // the bound is modest; on clustered real-world embeddings recall
+    // rises with cluster purity.
+    val ivfRows = Similarity.ivfTopNeighbor(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ivf = ivfRows.map(t => t._1 -> t._2).toMap
+    val ivfCos = ivfRows.map(t => t._1 -> t._3).toMap
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    val exactRows = a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = exactRows.map(t => t._1 -> t._2).toMap
+    val exactCos = exactRows.map(t => t._1 -> t._3).toMap
+    val recall = exact.count { case (id, nn) => ivf.get(id).contains(nn) }.toDouble / exact.size
+    recall should be > 0.3
+
+    // subset-search invariant: IVF can never find a BETTER neighbor than
+    // the exhaustive scan (equality exactly when it found the true NN)
+    ivfCos.foreach { case (id, c) => c should be <= exactCos(id) + 1e-9 }
+  }
+
   "aggApproxDistinct" should "be within the configured 2% rsd of exact" in {
     val approx = Relational.aggApproxDistinct(spark, sfDir)
       .select("l_returnflag", "approx_orders").collect()
