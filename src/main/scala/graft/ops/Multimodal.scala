@@ -94,9 +94,30 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over a media blob: treat the payload as fixed-width
+    * 16-byte "frames", keep every 4th, fingerprint each kept frame — the
+    * plan shape of video frame-sampling (explode positions → slice bytes →
+    * per-frame feature). A real decoder swaps the substring for codec
+    * frame extraction; the distribution story is identical: one generator
+    * per row, output rows ∝ sampled frames, no driver involvement. ASCII
+    * fixture text ⇒ bytes == characters, which keeps it oracle-checkable.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0L, (length(text) - 1) div 16)")).as("frame_id"))
+      .filter(col("frame_id") % 4 === 0)
+      .withColumn("frame", expr("substring(text, cast(frame_id * 16 + 1 as int), 16)"))
+      .select(col("doc_id"), col("frame_id"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        aggregate(split(col("frame"), ""), lit(0L),
+          (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("frame_fp"))
+      .orderBy("doc_id", "frame_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> (mediaMeta _),
     "mm_decode_stub" -> (mediaDecodeStub _),
+    "mm_frame_sample" -> (frameSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +134,16 @@ object Multimodal {
         | FROM documents)
         |SELECT doc_id, n_bytes, checksum, checksum % 640 AS width, checksum % 480 AS height
         |FROM f ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, (length(text) - 1) // 16 + 1)) AS frame_id, text
+        |  FROM documents)
+        |SELECT doc_id, frame_id,
+        | CAST(length(substring(text, CAST(frame_id * 16 + 1 AS INT), 16)) AS BIGINT) AS frame_bytes,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(substring(text, CAST(frame_id * 16 + 1 AS INT), 16), ''),
+        |     c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
+        |FROM f WHERE frame_id % 4 = 0 ORDER BY doc_id, frame_id""".stripMargin,
   )
 }

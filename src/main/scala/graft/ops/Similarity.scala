@@ -175,11 +175,19 @@ object Similarity {
     */
   def ivfTopNeighbor(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
-    val assigned = ivfAssign(emb)
-    val probes = ivfProbe(emb, nprobe = 2)
-    val idx = assigned.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("cell"))
-    val pairs = probes.join(idx, probes("probe_cell") === idx("cell") && probes("vec_id") =!= idx("id_b"))
-      .select(probes("vec_id").as("id_a"), col("id_b"),
+    // one cell-ranking pass feeds both sides; persisting it is the batch
+    // analog of building the IVF index once offline (without it, the
+    // centroid training and scoring run again per DAG branch)
+    val cells = nearestCells(emb, 2).persist()
+    val idx = cells.filter(col("rn") === 1)
+      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("cent_id").as("cell"))
+    val probes = cells
+      .select(col("vec_id"), col("embedding").as("q_emb"),
+        col("cent_id").as("probe_cell"))
+    val pairs = probes.join(idx,
+        col("probe_cell") === col("cell") && col("vec_id") =!= col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b"),
         round(expr("cosine_sim(q_emb, emb_b)"), 4).as("cos"))
       // a neighbor can match via both probed cells — keep one copy
       .dropDuplicates("id_a", "id_b")
@@ -212,11 +220,6 @@ object Similarity {
   private[ops] def ivfAssign(emb: DataFrame): DataFrame =
     nearestCells(emb, 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-
-  /** Query-side probe list (top-`nprobe` cells per vector). */
-  private def ivfProbe(emb: DataFrame, nprobe: Int): DataFrame =
-    nearestCells(emb, nprobe)
-      .select(col("vec_id"), col("embedding").as("q_emb"), col("cent_id").as("probe_cell"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
