@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * at each scale — scan+aggregate, fact-fact join, window top-k.
   * Near-linear growth is the evidence that the plans (partial aggs,
   * shuffle joins, WindowGroupLimit) hold as data grows.
-  * Prints one JSON line per scale. Usage: `runMain graft.ScaleProbe`.
+  * Prints one JSON line per scale.
+  * Usage: `runMain graft.ScaleProbe [scale...]` (default 1 4 16).
   */
 object ScaleProbe {
 
@@ -34,7 +35,8 @@ object ScaleProbe {
       }.drop("__rep")
     }
 
-    Seq(1, 4, 16).foreach { k =>
+    val scales = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
+    scales.foreach { k =>
       val dir = s"$out/x$k"
       if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
         replicate("lineitem", k, Seq("l_orderkey"))

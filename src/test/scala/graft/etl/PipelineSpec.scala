@@ -59,6 +59,27 @@ class PipelineSpec extends SparkSpec {
     extended should be > base
   }
 
+  it should "prune partitions when reading RAW by the derived date column" in {
+    val wh = tmpDir("wh-prune")
+    val p = new Pipeline(spark, sfDir, wh)
+    val spec = ServiceSpec("orders", Some("o_orderdate"), LoadMode.IncrementalByDate, RangeGrain.Monthly)
+    p.runTable(spec, historical = Some(DateRange(LocalDate.parse("1997-01-01"), LocalDate.parse("1997-03-31"))))
+
+    // a one-day predicate on the partition column must reach the scan as a
+    // partition filter — at 100 TB this is the difference between reading
+    // one day's directory and the whole table
+    val pruned = p.readRaw("orders")
+      .filter(col("o_orderdate_date") === lit("1997-02-03").cast("date"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    scan should not be empty
+    scan.get.partitionFilters.map(_.toString).mkString should include("o_orderdate_date")
+    // the pruned scan reads exactly the one matching partition directory
+    scan.get.relation.location.listFiles(scan.get.partitionFilters, Nil)
+      .map(_.files.size).sum should be < 5
+    pruned.count() should be > 0L
+  }
+
   it should "no-op gracefully on an empty source (empty-extract semantics)" in {
     val wh = tmpDir("wh-empty")
     val srcDir = tmpDir("empty-src")
