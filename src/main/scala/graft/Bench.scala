@@ -30,10 +30,17 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the JSON line short enough to survive log-tail
+    // truncation; the same line is also written to bench.json so the
+    // driver can parse it even if stdout is wrapped by sbt noise
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val out = new java.io.PrintWriter("bench.json")
+    try out.println(line) finally out.close()
+    println(line)
     spark.stop()
   }
 }

@@ -343,7 +343,10 @@ object Relational {
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
         round(element_at(col("embedding"), -1).cast("double"), 6).as("last_v"),
-        transform(slice(col("embedding"), 1, 3), x => round(x.cast("double"), 4)).as("head3"),
+        // CSV, not a raw array: the oracle harness hashes scalar columns only;
+        // `+ 0.0` collapses -0.0 so both engines format identically
+        concat_ws(",", transform(slice(col("embedding"), 1, 3),
+          x => format_string("%.4f", round(x.cast("double"), 4) + lit(0.0)))).as("head3_csv"),
       )
       .orderBy("vec_id")
 
@@ -521,7 +524,8 @@ object Relational {
       """SELECT vec_id, len(embedding) AS dim,
         | round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
         | round(CAST(embedding[-1] AS DOUBLE), 6) AS last_v,
-        | list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+        | array_to_string(list_transform(embedding[1:3],
+        |   x -> printf('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0)), ',') AS head3_csv
         |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }

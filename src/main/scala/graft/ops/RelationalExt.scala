@@ -38,7 +38,11 @@ object RelationalExt {
       .groupBy("user_id")
       .agg(
         concat_ws(",", array_sort(collect_set(col("event_type")))).as("types_csv"),
-        array_sort(collect_list(round(col("value"), 2))).as("values_sorted"),
+        // CSV, not a raw array: the oracle harness hashes scalar columns only.
+        // `+ 0.0` collapses IEEE -0.0 to 0.0 before formatting so both
+        // engines print the same string; numeric sort BEFORE formatting.
+        concat_ws(",", transform(array_sort(collect_list(round(col("value"), 2))),
+          x => format_string("%.2f", x + lit(0.0)))).as("values_csv"),
         count(lit(1)).as("n_events"),
       )
       .orderBy("user_id")
@@ -302,7 +306,8 @@ object RelationalExt {
     "agg_collect" ->
       """SELECT user_id,
         | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
-        | list_sort(list(round(value, 2))) AS values_sorted,
+        | array_to_string(list_transform(list_sort(list(round(value, 2))),
+        |   x -> printf('%.2f', x + 0.0)), ',') AS values_csv,
         | count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_grouping_sets" ->

@@ -157,7 +157,10 @@ object Similarity {
       .groupBy("label")
       .agg(cent(col("embedding")).as("raw"), count(lit(1)).as("n_vecs"))
       .select(col("label"),
-        transform(col("raw"), x => round(x, 4)).as("centroid"),
+        // CSV, not a raw array: the oracle harness hashes scalar columns
+        // only; `+ 0.0` collapses -0.0 so both engines format identically
+        concat_ws(",", transform(col("raw"),
+          x => format_string("%.4f", round(x, 4) + lit(0.0)))).as("centroid_csv"),
         col("n_vecs"))
       .orderBy("label")
   }
@@ -249,10 +252,12 @@ object Similarity {
         |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "sim_centroid_udaf" ->
       """SELECT label,
-        | [round(avg(CAST(embedding[1] AS DOUBLE)), 4), round(avg(CAST(embedding[2] AS DOUBLE)), 4),
-        |  round(avg(CAST(embedding[3] AS DOUBLE)), 4), round(avg(CAST(embedding[4] AS DOUBLE)), 4),
-        |  round(avg(CAST(embedding[5] AS DOUBLE)), 4), round(avg(CAST(embedding[6] AS DOUBLE)), 4),
-        |  round(avg(CAST(embedding[7] AS DOUBLE)), 4), round(avg(CAST(embedding[8] AS DOUBLE)), 4)] AS centroid,
+        | array_to_string(list_transform(
+        |  [round(avg(CAST(embedding[1] AS DOUBLE)), 4), round(avg(CAST(embedding[2] AS DOUBLE)), 4),
+        |   round(avg(CAST(embedding[3] AS DOUBLE)), 4), round(avg(CAST(embedding[4] AS DOUBLE)), 4),
+        |   round(avg(CAST(embedding[5] AS DOUBLE)), 4), round(avg(CAST(embedding[6] AS DOUBLE)), 4),
+        |   round(avg(CAST(embedding[7] AS DOUBLE)), 4), round(avg(CAST(embedding[8] AS DOUBLE)), 4)],
+        |  x -> printf('%.4f', x + 0.0)), ',') AS centroid_csv,
         | count(*) AS n_vecs
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "sim_cosine_topk" ->
