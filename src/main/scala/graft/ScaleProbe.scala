@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 
 /** Scaling probe: replicates the sf0.1 fact tables 1×/4×/16× with
   * key-space offsets (so join cardinalities scale, not multiply), writes
-  * them as multi-file parquet, and times three representative plan shapes
-  * at each scale — scan+aggregate, fact-fact join, window top-k.
-  * Near-linear growth is the evidence that the plans (partial aggs,
-  * shuffle joins, WindowGroupLimit) hold as data grows.
-  * Prints one JSON line per scale.
+  * them as multi-file parquet, and times four representative plan shapes
+  * at each scale — scan+aggregate, fact-fact join, window top-k, and
+  * LSH-dedup candidate generation over replicated embeddings (signature
+  * width re-sized per scale, so candidate counts should grow ~linearly,
+  * not quadratically). Near-linear growth is the evidence that the plans
+  * (partial aggs, shuffle joins, WindowGroupLimit, banded LSH) hold as
+  * data grows. At the largest scale the fact-fact join plan is dumped to
+  * `join_plan_x<k>.txt` — the scale where AQE leaves broadcast for
+  * sort-merge. Prints one JSON line per scale.
   * Usage: `runMain graft.ScaleProbe [scale...]` (default 1 4 16).
   */
 object ScaleProbe {
@@ -44,8 +48,13 @@ object ScaleProbe {
         replicate("orders", k, Seq("o_orderkey", "o_custkey"))
           .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
       }
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        replicate("embeddings", k, Seq("vec_id"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
       val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
       def time(thunk: => Long): Double = {
         thunk // warm (footer/codegen caches)
@@ -65,8 +74,28 @@ object ScaleProbe {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
         ord.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
       }
+      // LSH dedup: replicated corpora are exactly the near-dup-heavy case;
+      // bits re-sized per scale keeps expected bucket size constant, so the
+      // candidate count (and the timing) should track n, not n²
+      val nEmb = emb.count()
+      val bits = math.max(4,
+        math.ceil(math.log(nEmb.toDouble / 32) / math.log(2.0)).toInt)
+      var cands = 0L
+      val tLsh = time {
+        cands = graft.ops.Similarity.annLshCandidates(emb, 4, bits, 256).count()
+        cands
+      }
+      if (k == scales.max) {
+        val plan = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/join_plan_x$k.txt"), plan)
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh}""")
     }
     spark.stop()
   }

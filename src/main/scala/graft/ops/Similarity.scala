@@ -7,20 +7,24 @@ import org.apache.spark.sql.functions._
 import graft.io.Sources
 
 /** Similarity search over the `embeddings` table (SURVEY §2.13):
-  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
-  * bucketing as the approximate scale path, and per-label centroids.
+  * brute-force cosine top-k as the exact baseline, two approximate scale
+  * paths (multi-band random-hyperplane LSH and IVF cells), and an *exact*
+  * cell-blocked threshold join for embedding near-dup.
   *
-  * Vector math uses only codegen'd higher-order functions (`zip_with`,
-  * `aggregate`, `transform`) — no UDFs, no serialization off the Tungsten
-  * row format.
+  * Vector math runs through the native codegen'd `cosine_sim` expression
+  * ([[graft.functions.CosineSimilarity]]) or codegen'd higher-order
+  * functions — no scalar UDFs, nothing leaves the Tungsten row format.
   *
   * Scale story (100 TB of vectors):
-  *  - the exact path broadcasts the (small) query set and streams the
-  *    corpus once — cost O(|corpus| × |queries| × dim), shuffle-free except
-  *    the final per-query top-k window over |queries| × k rows;
-  *  - the LSH path computes a signature per vector in one linear pass,
-  *    shuffles once on (band, bucket), and only compares within buckets —
-  *    the standard IVF/LSH trade of recall for a ~1000× candidate cut.
+  *  - the exact top-k path broadcasts the (small) query set and streams
+  *    the corpus once — cost O(|corpus| × |queries| × dim);
+  *  - the quantizer ("index model") is k centroid vectors — a bounded,
+  *    hyperparameter-sized object, so it lives driver-side like any
+  *    trained k-means model, and cell assignment is a pure map-side
+  *    codegen projection against literal centroids: no crossJoin, no
+  *    window shuffle, no cached intermediate to leak;
+  *  - candidate generation everywhere is an equi-join on cell/bucket
+  *    keys — one shuffle, never a broadcast of the corpus.
   */
 object Similarity {
 
@@ -53,33 +57,132 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
-    * a fixed-seed hash folded to [-0.5, 0.5). Engine-only (no oracle).
+  // ---------------------------------------------------------------------
+  // Quantizer: trained coarse centroids, held driver-side as a model
+  // ---------------------------------------------------------------------
+
+  /** Train the coarse quantizer (per-label element-wise mean via the typed
+    * [[graft.functions.CentroidAggregator]] — the stand-in for offline
+    * k-means) and collect it. The model is k centroid vectors where k is
+    * a *hyperparameter* (here the label count, 10): bounded like any
+    * k-means model and independent of corpus size, so materializing it on
+    * the driver is the bounded-collect pattern, not a corpus collect.
     */
-  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  private[ops] def trainQuantizer(emb: DataFrame): Seq[(Int, Array[Float])] = {
+    val cent = graft.functions.CentroidAggregator.centroid(64)
+    emb.groupBy("label").agg(cent(col("embedding")).as("cent_emb"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+      .sortBy(_._1).toSeq
   }
 
-  /** Random-hyperplane LSH ANN: 12-bit signature per vector; vectors
-    * sharing a signature bucket are candidate neighbors; exact cosine
-    * re-ranks within buckets and keeps the top neighbor per vector.
-    * No oracle (LSH is approximate); rows-only check.
+  /** `array<struct<cs,cent_id>>` of cosine-to-centroid scores, built from
+    * literal centroid vectors — evaluates as one codegen projection.
+    */
+  private def cellScores(cents: Seq[(Int, Array[Float])]): Column =
+    array(cents.map { case (id, v) =>
+      struct(
+        call_function("cosine_sim", col("embedding"),
+          array(v.map(x => lit(x)): _*)).as("cs"),
+        lit(id).as("cent_id"))
+    }: _*)
+
+  /** Comparator: cosine descending, cent_id ascending on ties —
+    * deterministic regardless of evaluation order.
+    */
+  private val csDescIdAsc: (Column, Column) => Column = (l, r) =>
+    when(l.getField("cs") > r.getField("cs"), lit(-1))
+      .when(l.getField("cs") < r.getField("cs"), lit(1))
+      .otherwise(l.getField("cent_id") - r.getField("cent_id"))
+
+  /** Adds `cells`: the `nprobe` nearest cells as struct<cs,cent_id>,
+    * nearest first. Pure projection — no shuffle, no cache.
+    */
+  private def assignCells(emb: DataFrame, cents: Seq[(Int, Array[Float])],
+      nprobe: Int): DataFrame =
+    emb.withColumn("cells",
+      slice(array_sort(cellScores(cents), csDescIdAsc), 1, nprobe))
+
+  /** Index-side assignment (top-1 cell); factored out so the spec can
+    * check it partitions the corpus.
+    */
+  private[ops] def ivfAssign(emb: DataFrame): DataFrame =
+    assignCells(emb, trainQuantizer(emb), 1)
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cells"), 1).getField("cent_id").as("cell"))
+
+  // ---------------------------------------------------------------------
+  // LSH: multi-band random-hyperplane signatures
+  // ---------------------------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplane pool (fixed seed). */
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian().toFloat)
+  }
+
+  /** LSH candidate pairs with scale-aware parameters.
+    *
+    * `bits` per band must grow with the corpus — a fixed signature width
+    * makes buckets (hence within-bucket pair counts) quadratic in n. With
+    * `bits ≈ log2(n / targetBucket)` the expected bucket stays constant,
+    * so candidates grow ~linearly: O(bands · n · targetBucket). The
+    * multi-band OR-construction recovers the recall a single wider
+    * signature gives up (same construction as `Dedup.minHashBands`).
+    * `maxBucket` guards the degenerate case (skewed/duplicated regions of
+    * embedding space): an oversized bucket is dropped rather than allowed
+    * to go quadratic — a recall trade documented at the call site.
+    *
+    * The sign of `cosine_sim(v, plane)` equals the sign of the dot
+    * product (norms are positive), so signature bits reuse the fused
+    * codegen expression. Everything up to the equi-join is a map-side
+    * projection; the join shuffles once on (band, bucket).
+    */
+  private[graft] def annLshCandidates(emb: DataFrame, nBands: Int, bits: Int,
+      maxBucket: Long): DataFrame = {
+    val planes = hyperplanes(nBands * bits, 64)
+    val bandCols = (0 until nBands).map { bIdx =>
+      val sig = (0 until bits).map { j =>
+        val planeCol = array(planes(bIdx * bits + j).map(x => lit(x)): _*)
+        when(call_function("cosine_sim", col("embedding"), planeCol) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(bIdx).as("band"), sig.as("bucket"))
+    }
+    val signed = emb
+      .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val okBuckets = signed.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
+      .select("band", "bucket")
+    val bounded = signed.join(okBuckets, Seq("band", "bucket"))
+    val a = bounded.select(col("band"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = bounded.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b")
+        && col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Random-hyperplane LSH ANN: top cosine neighbor per vector among
+    * bucket-mates. Signature width is sized from the corpus count (one
+    * cheap count job — parquet metadata) so bucket sizes stay constant as
+    * data grows. Approximate ⇒ rows-only check; recall asserted in
+    * OpsSpec, candidate sub-linearity in ScaleProbe.
     */
   def annLshTopNeighbor(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
-    val dim = 64
-    val planes = hyperplanes(12, dim)
-    val sigBits = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(v => lit(v)): _*)
-      when(dot(col("embedding"), planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    val sig = sigBits.reduce(_ + _)
-    val signed = emb.withColumn("bucket", sig)
-    val a = signed.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
-    val b = signed.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket").as("bucket_b"))
-    val pairs = a.join(b, col("bucket") === col("bucket_b") && col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+    val n = emb.count()
+    val targetBucket = 32L
+    val bits = math.max(4,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+    val pairs = annLshCandidates(emb, nBands = 4, bits = bits,
+      maxBucket = 8 * targetBucket)
+      .select(col("id_a"), col("id_b"),
+        round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
     val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -101,16 +204,60 @@ object Similarity {
       .orderBy("label", "pos")
 
   /** Embedding-cosine near-dup (SURVEY §2.13): all vector pairs with
-    * cosine ≥ 0.4 via the native `cosine_sim` expression. The exact
-    * pairwise form is the oracle baseline; the 100 TB path replaces the
-    * self-join with LSH bucketing ([[annLshTopNeighbor]]) so only
-    * bucket-mates are compared.
+    * cosine ≥ 0.4 — **exact**, but cell-blocked instead of all-pairs.
+    *
+    * Each vector goes to its nearest quantizer cell; per cell we keep the
+    * max member angle r_c (the cell radius). By the angular triangle
+    * inequality, a pair (u ∈ c₁, v ∈ c₂) with θ(u,v) ≤ θ* forces
+    * θ(c₁,c₂) ≤ θ* + r₁ + r₂ — so only *compatible* cell pairs can hold
+    * a qualifying pair, and skipping the rest loses nothing: the result
+    * hash-matches the all-pairs oracle by construction. The compatibility
+    * matrix is k×k (quantizer-sized) and is computed driver-side from the
+    * collected model + k cell radii (two bounded collects).
+    *
+    * Candidate generation is then equi-joins: corpus ⋈ compat (tiny
+    * broadcast) ⋈ corpus on cell ids — one shuffle at scale, never a
+    * corpus broadcast or cross join. Pruning power tracks how clustered
+    * the data is: near-dup corpora are heavily clustered, so most cell
+    * pairs prune; on uniformly random vectors (this fixture's worst case)
+    * compatibility degrades toward all cell pairs but the plan shape —
+    * shuffled equi-join on bounded cells — still stands at 100 TB.
     */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    val cents = trainQuantizer(emb)
+    val assigned = assignCells(emb, cents, 1)
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cells"), 1).getField("cent_id").as("cell"),
+        element_at(col("cells"), 1).getField("cs").as("cs"))
+    // cell radii: k rows (model-sized), second bounded collect
+    val radii = assigned.groupBy("cell").agg(min("cs").as("min_cs"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        math.acos(math.max(-1.0, math.min(1.0, r.getDouble(1))))).toMap
+    val thetaStar = math.acos(0.4)
+    def angle(u: Array[Float], v: Array[Float]): Double = {
+      var duv = 0.0; var du = 0.0; var dv = 0.0; var i = 0
+      while (i < u.length) {
+        duv += u(i).toDouble * v(i); du += u(i).toDouble * u(i)
+        dv += v(i).toDouble * v(i); i += 1
+      }
+      math.acos(math.max(-1.0, math.min(1.0, duv / math.sqrt(du * dv))))
+    }
+    val compat = for {
+      (ci, vi) <- cents
+      (cj, vj) <- cents
+      if angle(vi, vj) <= thetaStar + radii.getOrElse(ci, 0.0) + radii.getOrElse(cj, 0.0)
+    } yield (ci, cj)
+    import s.implicits._
+    val compatDf = compat.toDF("ca", "cb")
+    val a = assigned.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("cell").as("ca"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("cell").as("cb"))
+    a.join(broadcast(compatDf), "ca")
+      .join(b, "cb")
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
       .filter(col("cos") >= 0.4)
@@ -166,28 +313,25 @@ object Similarity {
   }
 
   /** IVF-style ANN (the other standard scale path next to LSH). Coarse
-    * centroids are *trained* from the data — the per-label element-wise
-    * mean via the typed [[graft.functions.CentroidAggregator]] (one
-    * distributed pass; the stand-in for offline k-means). Each corpus
-    * vector is indexed in its nearest cell; each query probes its
+    * centroids are *trained* from the data ([[trainQuantizer]]); each
+    * corpus vector is indexed in its nearest cell; each query probes its
     * `nprobe=2` nearest cells; exact cosine runs only on (probe, index)
     * cell matches. Cost drops from O(n²) to O(n·k + nprobe·Σ|cell|²),
     * and the cell match is an **equi-join** — at 100 TB one shuffle on
-    * `cell`, never a cross product. Approximate ⇒ rows-only check;
-    * recall vs the exact neighbor is asserted in OpsSpec.
+    * `cell`, never a cross product. Assignment is a map-side projection
+    * against the literal model, so there is no cached intermediate (and
+    * nothing left pinned in a shared session). Approximate ⇒ rows-only
+    * check; recall vs the exact neighbor is asserted in OpsSpec.
     */
   def ivfTopNeighbor(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
-    // one cell-ranking pass feeds both sides; persisting it is the batch
-    // analog of building the IVF index once offline (without it, the
-    // centroid training and scoring run again per DAG branch)
-    val cells = nearestCells(emb, 2).persist()
-    val idx = cells.filter(col("rn") === 1)
-      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-        col("cent_id").as("cell"))
-    val probes = cells
-      .select(col("vec_id"), col("embedding").as("q_emb"),
-        col("cent_id").as("probe_cell"))
+    val cents = trainQuantizer(emb)
+    val assigned = assignCells(emb, cents, 2)
+    val idx = assigned.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      element_at(col("cells"), 1).getField("cent_id").as("cell"))
+    val probes = assigned
+      .select(col("vec_id"), col("embedding").as("q_emb"), explode(col("cells")).as("pc"))
+      .select(col("vec_id"), col("q_emb"), col("pc.cent_id").as("probe_cell"))
     val pairs = probes.join(idx,
         col("probe_cell") === col("cell") && col("vec_id") =!= col("id_b"))
       .select(col("vec_id").as("id_a"), col("id_b"),
@@ -199,30 +343,6 @@ object Similarity {
       .select(col("id_a"), col("id_b").as("nn_id"), col("cos"))
       .orderBy("id_a")
   }
-
-  /** Trained coarse quantizer: per-label centroid over all 64 dims. */
-  private def ivfCentroids(emb: DataFrame): DataFrame = {
-    val cent = graft.functions.CentroidAggregator.centroid(64)
-    emb.groupBy("label").agg(cent(col("embedding")).as("cent_emb"))
-      .select(col("label").as("cent_id"),
-        transform(col("cent_emb"), x => x.cast("float")).as("cent_emb"))
-  }
-
-  /** Rank a vector's cells by centroid cosine, keep the top `n`. */
-  private def nearestCells(emb: DataFrame, n: Int): DataFrame = {
-    val scored = emb.crossJoin(broadcast(ivfCentroids(emb)))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        expr("cosine_sim(embedding, cent_emb)").as("cs"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cent_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-  }
-
-  /** Index-side assignment (top-1 cell); factored out so the spec can
-    * check it partitions the corpus.
-    */
-  private[ops] def ivfAssign(emb: DataFrame): DataFrame =
-    nearestCells(emb, 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),

@@ -67,6 +67,30 @@ class OpsSpec extends SparkSpec {
     ivfCos.foreach { case (id, c) => c should be <= exactCos(id) + 1e-9 }
   }
 
+  "dedupEmbeddingCosine" should "equal the exact all-pairs result (cell blocking is lossless)" in {
+    val emb = Sources.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity.dedupEmbeddingCosine(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // triangle-inequality blocking must lose nothing: same pairs, same cos
+    blocked shouldBe exact
+  }
+
+  "similarity queries" should "leave no cached RDDs behind in a shared session" in {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.ivfTopNeighbor(spark, sfDir).count()
+    Similarity.dedupEmbeddingCosine(spark, sfDir).count()
+    Similarity.annLshTopNeighbor(spark, sfDir).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    (after -- before) shouldBe empty
+  }
+
   "aggApproxDistinct" should "be within the configured 2% rsd of exact" in {
     val approx = Relational.aggApproxDistinct(spark, sfDir)
       .select("l_returnflag", "approx_orders").collect()
