@@ -58,7 +58,11 @@ object Main {
       println(s"[graft] ${res.table}: ${res.rowsLoaded} rows" +
         res.goldFired.fold("")(g => s", gold -> $g"))
     } else { // --all
-      val results = pipeline.runAll(parallelism = workers)
+      // live dashboard (reference main.py rich.Live): in-place redraw on a
+      // TTY, sequential renders on a pipe; per-service file logs land in
+      // <warehouse>/logs/etl_<SERVICE>.log
+      val board = new graft.etl.StatusBoard(ServiceSpec.serviceMap.map(_.name))
+      val results = pipeline.runAll(parallelism = workers, onStatus = board.transition)
       results.toSeq.sortBy(_._1).foreach {
         case (n, scala.util.Success(r)) =>
           println(s"[graft] $n: ${r.rowsLoaded} rows" + r.goldFired.fold("")(g => s", gold -> $g"))

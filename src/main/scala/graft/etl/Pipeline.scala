@@ -125,13 +125,36 @@ final class Pipeline(
 
   /** All tables concurrently (reference `run_parallel_etl`, `main.py:97`):
     * one Future per table on a bounded pool; Spark interleaves their jobs.
+    *
+    * `onStatus` receives pending→running→success|error transitions (the
+    * hook the status board / reference dashboard consumes); each table
+    * additionally logs start/finish/failure to its own file logger
+    * (reference `utils.py:42-71`) under `<warehouse>/logs/`.
     */
   def runAll(specs: Seq[ServiceSpec] = ServiceSpec.serviceMap, parallelism: Int = 4,
-      historical: Option[DateRange] = None): Map[String, Try[TableResult]] = {
+      historical: Option[DateRange] = None,
+      onStatus: (String, String) => Unit = (_, _) => ()): Map[String, Try[TableResult]] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val futures = specs.map(spec => spec.name -> Future(Try(runTable(spec, historical))))
+      val futures = specs.map { spec =>
+        spec.name -> Future {
+          val log = graft.io.ServiceLogger(spec.name, s"$warehouseDir/logs")
+          onStatus(spec.name, "running")
+          log.info(s"run start (mode=${spec.loadMode})")
+          val res = Try(runTable(spec, historical))
+          res match {
+            case scala.util.Success(r) =>
+              log.info(s"run done: ${r.rowsLoaded} rows, ${r.ranges} range(s)" +
+                r.goldFired.fold("")(g => s", gold -> $g"))
+              onStatus(spec.name, "success")
+            case scala.util.Failure(e) =>
+              log.error(s"run FAILED: ${e.getMessage}")
+              onStatus(spec.name, "error")
+          }
+          res
+        }
+      }
       futures.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
     } finally pool.shutdown()
   }

@@ -154,6 +154,33 @@ object Relational {
       )
       .orderBy("l_returnflag")
 
+  /** Exact twin of [[aggApproxDistinct]] — same grouping, exact two-phase
+    * distinct, hash-checked: pairs the sketch with an oracle-verified
+    * companion (sketch accuracy itself is tolerance-tested in OpsSpec).
+    */
+  def aggExactDistinct(s: SparkSession, d: String): DataFrame =
+    Sources.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"),
+      )
+      .orderBy("l_returnflag")
+
+  /** Exact twin of [[aggApproxPercentile]] — exact interpolated
+    * percentiles over the same groups, hash-checked against DuckDB's
+    * quantile_cont.
+    */
+  def aggExactPercentile(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
+        count(lit(1)).as("n_rows"),
+      )
+      .orderBy("event_type")
+
   /** ROLLUP over the region→nation hierarchy, via the SQL surface (the
     * DataFrame `rollup` + post-agg sort trips Spark's ambiguous-self-join
     * detection on the Expand-duplicated grouping attributes; SQL resolves
@@ -390,6 +417,8 @@ object Relational {
     "scalar_math_funcs" -> (scalarMathFuncs _),
     "scalar_json_props" -> (scalarJsonProps _),
     "scalar_array_ops" -> (scalarArrayOps _),
+    "agg_exact_distinct" -> (aggExactDistinct _),
+    "agg_exact_percentile" -> (aggExactPercentile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -520,6 +549,13 @@ object Relational {
         | round(avg(k), 2) AS avg_k, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_exact_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_exact_percentile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value,
+        | round(quantile_cont(value, 0.9), 4) AS p90_value, count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scalar_array_ops" ->
       """SELECT vec_id, len(embedding) AS dim,
         | round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,

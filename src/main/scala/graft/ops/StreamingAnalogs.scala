@@ -53,10 +53,45 @@ object StreamingAnalogs {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Stream-stream interval join, batch form: purchases joined to clicks
+    * of the same user within the preceding hour, counted per purchase.
+    * Runs the *actual* [[graft.streaming.StreamingOps.purchasesWithRecentClicks]]
+    * transform — `withWatermark` is a no-op on batch frames, so the
+    * oracle hash-checks the very join the streaming path executes.
+    */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Sources.events(s, d)
+    val joined = graft.streaming.StreamingOps.purchasesWithRecentClicks(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+    joined.groupBy(col("p_user").as("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
+  /** Custom-state surface, batch form: per-user running totals through the
+    * *actual* typed [[graft.streaming.StreamingOps.runningUserTotals]]
+    * `mapGroupsWithState` (batch mode runs the state function once per
+    * group from empty state), so the oracle checks the stateful code path
+    * itself against a plain GROUP BY.
+    */
+  def runningTotals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Sources.events(s, d)
+      .select(col("user_id"), col("value")).as[graft.streaming.UserEvent]
+    graft.streaming.StreamingOps.runningUserTotals(ev).toDF()
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_hourly" -> (tumblingHourly _),
     "stream_sliding_hourly" -> (slidingHourly _),
     "stream_session_per_user" -> (sessionPerUser _),
+    "stream_interval_join" -> (intervalJoin _),
+    "stream_running_totals" -> (runningTotals _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,6 +107,18 @@ object StreamingAnalogs {
         | UNION ALL
         | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, event_type, value FROM events)
         |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        | count(*) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+        |GROUP BY p.user_id, purchase_ts
+        |ORDER BY p.user_id, purchase_ts""".stripMargin,
+    "stream_running_totals" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_session_per_user" ->
       """WITH x AS (
         |  SELECT user_id, ts, value,

@@ -101,9 +101,18 @@ class PipelineSpec extends SparkSpec {
       ServiceSpec("nation", None, LoadMode.FullTruncate, RangeGrain.Full),
       ServiceSpec("customer", None, LoadMode.FullTruncate, RangeGrain.Full),
     )
-    val out = p.runAll(specs, parallelism = 3)
+    val seen = scala.collection.concurrent.TrieMap[String, Vector[String]]()
+    val out = p.runAll(specs, parallelism = 3,
+      onStatus = (t, s) => seen.updateWith(t)(v => Some(v.getOrElse(Vector.empty) :+ s)))
     out.size shouldBe 3
     out.values.forall(_.isSuccess) shouldBe true
     out("nation").get.rowsLoaded shouldBe 25
+    // O6 hook: every table reported running then success, in order
+    specs.foreach(s => seen(s.name) shouldBe Vector("running", "success"))
+    // O5: each table wrote its own log file with a completion line
+    specs.foreach { s =>
+      val log = scala.io.Source.fromFile(s"$wh/logs/etl_${s.name}.log").getLines().toSeq
+      log.exists(_.contains("run done")) shouldBe true
+    }
   }
 }
