@@ -61,19 +61,35 @@ object Similarity {
   // Quantizer: trained coarse centroids, held driver-side as a model
   // ---------------------------------------------------------------------
 
-  /** Train the coarse quantizer (per-label element-wise mean via the typed
-    * [[graft.functions.CentroidAggregator]] — the stand-in for offline
-    * k-means) and collect it. The model is k centroid vectors where k is
-    * a *hyperparameter* (here the label count, 10): bounded like any
-    * k-means model and independent of corpus size, so materializing it on
-    * the driver is the bounded-collect pattern, not a corpus collect.
+  /** Train the coarse quantizer with distributed Lloyd's k-means:
+    * initialize cells from the per-label element-wise means (deterministic,
+    * well-spread seeding), then `iters` refinement passes — assign every
+    * vector to its nearest cell (map-side projection against the literal
+    * model, no shuffle) and recompute cell means with the typed
+    * [[graft.functions.CentroidAggregator]] (map-side partial agg, k-row
+    * shuffle). The model is k centroid vectors where k is a
+    * *hyperparameter*: bounded like any k-means model and independent of
+    * corpus size, so materializing it on the driver each pass is the
+    * bounded-collect pattern, not a corpus collect. Cells that lose all
+    * members drop out (standard Lloyd behavior).
     */
-  private[ops] def trainQuantizer(emb: DataFrame): Seq[(Int, Array[Float])] = {
+  private[ops] def trainQuantizer(emb: DataFrame, iters: Int = 2): Seq[(Int, Array[Float])] = {
     val cent = graft.functions.CentroidAggregator.centroid(64)
-    emb.groupBy("label").agg(cent(col("embedding")).as("cent_emb"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
-      .sortBy(_._1).toSeq
+    def toModel(rows: Array[org.apache.spark.sql.Row]): Seq[(Int, Array[Float])] =
+      rows.map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .sortBy(_._1).toSeq
+    var model = toModel(
+      emb.groupBy(col("label").as("cell")).agg(cent(col("embedding")).as("cent_emb"))
+        .collect())
+    for (_ <- 1 to iters) {
+      model = toModel(
+        assignCells(emb, model, 1)
+          .select(element_at(col("cells"), 1).getField("cent_id").as("cell"),
+            col("embedding"))
+          .groupBy("cell").agg(cent(col("embedding")).as("cent_emb"))
+          .collect())
+    }
+    model
   }
 
   /** `array<struct<cs,cent_id>>` of cosine-to-centroid scores, built from
