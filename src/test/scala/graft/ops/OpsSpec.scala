@@ -24,11 +24,23 @@ class OpsSpec extends SparkSpec {
     out.getDouble(1) shouldBe (10.0 / 14.0) +- 1e-9
   }
 
-  "annLshTopNeighbor" should "find high-cosine neighbors (sanity vs exact)" in {
+  "annLshTopNeighbor" should "obey the subset-search bound vs the exact NN" in {
     val nn = Similarity.annLshTopNeighbor(spark, sfDir)
-    nn.count() should be > 0L
-    // every reported neighbor must actually be similar-ish (bucket-mates)
-    nn.agg(min("cos")).collect()(0).getDouble(0) should be > -1.0
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    nn should not be empty
+    // LSH searches a subset of the corpus, so its best neighbor can never
+    // beat the exhaustive scan's (equality exactly when it found the NN)
+    val emb = Sources.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    val exactCos = a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    nn.foreach { case (id, c) => c should be <= exactCos(id) + 1e-9 }
   }
 
   "ivfTopNeighbor" should "partition vectors into cells and recover most exact neighbors" in {
