@@ -73,14 +73,26 @@ object Similarity {
     * bounded-collect pattern, not a corpus collect. Cells that lose all
     * members drop out (standard Lloyd behavior).
     */
-  private[ops] def trainQuantizer(emb: DataFrame, iters: Int = 2): Seq[(Int, Array[Float])] = {
+  private[ops] def trainQuantizer(emb: DataFrame, iters: Int = 2,
+      k: Int = 0): Seq[(Int, Array[Float])] = {
     val cent = graft.functions.CentroidAggregator.centroid(64)
     def toModel(rows: Array[org.apache.spark.sql.Row]): Seq[(Int, Array[Float])] =
       rows.map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
         .sortBy(_._1).toSeq
-    var model = toModel(
-      emb.groupBy(col("label").as("cell")).agg(cent(col("embedding")).as("cent_emb"))
-        .collect())
+    // Seeding: k ≤ 0 uses one cell per label (the fixture's natural
+    // coarse grouping). Explicit k — the quantizer-size hyperparameter,
+    // k ≈ √n at ANN scale — seeds from k actual corpus vectors picked in
+    // deterministic hash order (spread like the data; subset-MEAN seeds
+    // would all sit near the global centroid and collapse Lloyd).
+    var model: Seq[(Int, Array[Float])] =
+      if (k <= 0)
+        toModel(emb.groupBy(col("label").as("cell"))
+          .agg(cent(col("embedding")).as("cent_emb")).collect())
+      else
+        emb.select(col("vec_id"), col("embedding"))
+          .orderBy(abs(hash(col("vec_id"))), col("vec_id")).limit(k)
+          .collect().zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Float](1).toArray }.toSeq
     for (_ <- 1 to iters) {
       model = toModel(
         assignCells(emb, model, 1)

@@ -79,6 +79,15 @@ class OpsSpec extends SparkSpec {
     ivfCos.foreach { case (id, c) => c should be <= exactCos(id) + 1e-9 }
   }
 
+  "trainQuantizer" should "honor an explicit k with sampled-vector seeding" in {
+    val emb = Sources.embeddings(spark, sfDir)
+    val model = Similarity.trainQuantizer(emb, iters = 2, k = 16)
+    model.size should be <= 16
+    model.size should be > 1 // seeds are spread, Lloyd must not collapse
+    model.map(_._1).distinct.size shouldBe model.size
+    all(model.map(_._2.length)) shouldBe 64
+  }
+
   "dedupEmbeddingCosine" should "equal the exact all-pairs result (cell blocking is lossless)" in {
     val emb = Sources.embeddings(spark, sfDir)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
