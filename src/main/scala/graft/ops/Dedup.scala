@@ -71,17 +71,37 @@ object Dedup {
   /** Candidate near-dup pairs from banded signatures: ids sharing any
     * (band index, band hash) bucket. One shuffle on the bucket key; no
     * all-pairs comparison ever happens.
+    *
+    * Buckets larger than `cliqueCap` — boilerplate/empty-document
+    * signatures, the classic 100 TB failure where one bucket of m docs
+    * would emit m²/2 pairs — fall back to **star-linking**: every member
+    * pairs with the bucket's minimum id only. That is O(m) pairs and
+    * keeps the bucket connected, which is all dedup-grouping (connected
+    * components → keep one survivor) needs; pairwise completeness inside
+    * a mega-bucket is irrelevant because its members are near-identical
+    * by construction. (Contrast with ANN top-k, where an oversized
+    * bucket is an *uninformative* signature region and is dropped —
+    * `Similarity.annLshCandidates`.)
     */
-  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+  def lshCandidatePairs(bands: DataFrame, idCol: String,
+      cliqueCap: Int = 4096): DataFrame = {
     val bandCols = bands.columns.filter(_.startsWith("band_"))
     val exploded = bands.select(col(idCol),
       posexplode(array(bandCols.map(col): _*)).as(Seq("band_idx", "band_hash")))
-    exploded.as("x").join(exploded.as("y"),
+    val stats = exploded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("__bsz"), min(col(idCol)).as("__hub"))
+    val tagged = exploded.join(stats, Seq("band_idx", "band_hash"))
+    val small = tagged.filter(col("__bsz") <= cliqueCap)
+      .select(col(idCol), col("band_idx"), col("band_hash"))
+    val cliquePairs = small.as("x").join(small.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
+    val starPairs = tagged
+      .filter(col("__bsz") > cliqueCap && col(idCol) =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col(idCol).as("id_b"))
+    cliquePairs.union(starPairs).distinct()
   }
 
   /** Jaccard similarity of two array columns (distinct-element sets). */

@@ -62,4 +62,25 @@ class DedupPropertiesSpec extends SparkSpec {
       Dedup.minHashBands(docs, "doc_id", "text"), "doc_id").collect()
     pairs.foreach(r => r.getLong(0) should be < r.getLong(1))
   }
+
+  it should "star-link mega-buckets: O(m) pairs, every member connected to the hub" in {
+    val s = spark
+    import s.implicits._
+    // 300 identical boilerplate docs (one signature bucket per band) + a
+    // few distinct ones — the degenerate corpus where a clique join would
+    // emit 300*299/2 pairs per band
+    val m = 300
+    val docs = ((1 to m).map(i => (i.toLong, "lorem ipsum dolor sit amet " * 5)) ++
+      Seq((1000L, "completely different text about spark plans"),
+          (1001L, "another unrelated document entirely for this test")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minHashBands(docs, "doc_id", "text"), "doc_id", cliqueCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // star fallback: linear in bucket size, nowhere near the m^2 clique
+    pairs.length.toLong should be < (m * 3).toLong
+    // connectivity survives: every boilerplate doc pairs with the hub (id 1)
+    val fromHub = pairs.filter(_._1 == 1L).map(_._2).toSet
+    fromHub should contain allElementsOf (2 to m).map(_.toLong)
+  }
 }
