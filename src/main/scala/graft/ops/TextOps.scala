@@ -238,7 +238,29 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Boilerplate heavy-hitters (curation: over-represented word 5-grams
+    * signal template text to strip). Shingle explode → count → global
+    * top-20: map-side partial agg + `TakeOrderedAndProject`, both scale
+    * shapes — the exploded shingle stream never materializes per doc.
+    * Word arrays are bound to a column before the lambda (design rule);
+    * sub-5-word docs are filtered so the shingle ranges agree with the
+    * oracle's exclusive `range` semantics.
+    */
+  def textHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+      .withColumn("__w", split(col("text"), " "))
+      .filter(size(col("__w")) >= 5)
+    docs
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 4),
+        i => concat_ws(" ", slice(col("__w"), i, lit(5))))).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("shingle"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "text_curation_pipeline" -> (curationPipeline _),
     "dedup_exact" -> (dedupExact _),
     "dedup_keep_latest" -> (dedupKeepLatest _),
@@ -254,6 +276,13 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        | sh AS (SELECT unnest(list_transform(range(1, len(ws) - 3),
+        |   i -> array_to_string(ws[i:i+4], ' '))) AS shingle FROM w)
+        |SELECT shingle, count(*) AS n_occurrences FROM sh
+        |GROUP BY shingle ORDER BY n_occurrences DESC, shingle LIMIT 20""".stripMargin,
     "text_curation_pipeline" ->
       """WITH q AS (
         |  SELECT * FROM documents
