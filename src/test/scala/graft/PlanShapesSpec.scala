@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape regression guards: the audits PLANS.md documents, executed
+  * on every build. A change that degrades a query to a cartesian product
+  * or loses scan pushdown should fail here, not in a round review.
+  */
+class PlanShapesSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+
+  /** Queries whose *intended* shape is a broadcast nested-loop / cross
+    * join of a bounded side: the 5×5 region cross, the 10-row theta band
+    * build, and the ≤8-row broadcast query sets of the top-k scans.
+    */
+  private val sanctionedCross = Set(
+    "join_cross_regions", "join_price_bands",
+    "sim_cosine_topk", "sim_cosine_topk_native")
+
+  "every query plan" should "be free of cartesian products" in {
+    val offenders = SparkEntry.queries.keys.filter { name =>
+      planOf(name).contains("CartesianProduct")
+    }
+    offenders.toSeq shouldBe empty
+  }
+
+  it should "use broadcast-NL joins only where a bounded build side is intended" in {
+    val offenders = SparkEntry.queries.keys.filterNot(sanctionedCross).filter { name =>
+      planOf(name).contains("BroadcastNestedLoopJoin")
+    }
+    offenders.toSeq shouldBe empty
+  }
+
+  "etl_range_filter" should "push its date range down to the parquet scan" in {
+    val p = planOf("etl_range_filter")
+    p should include("PushedFilters")
+    p should include("GreaterThanOrEqual(l_shipdate")
+  }
+
+  "agg_pricing_summary" should "prune the scan to the referenced columns" in {
+    val p = planOf("agg_pricing_summary")
+    // 6 of lineitem's 11 columns are referenced; the scan must not read more
+    p should include("ReadSchema")
+    p should not include "l_partkey"
+    p should not include "l_comment"
+  }
+
+  "win_topk_orders" should "push the rank limit below the window" in {
+    planOf("win_topk_orders") should include("WindowGroupLimit")
+  }
+
+  "topk_global_orders" should "avoid a global sort via TakeOrderedAndProject" in {
+    planOf("topk_global_orders") should include("TakeOrderedAndProject")
+  }
+}
