@@ -93,6 +93,46 @@ object ScaleProbe {
             org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$out/join_plan_x$k.txt"), plan)
+
+        // Skew probe: remap 25% of lineitem onto one existing orderkey and
+        // join — one shuffle partition carries ~k/4 of the fact table. AQE
+        // skew-join must split it; measured off-vs-on plus the executed
+        // plan's "skew=true" marker is the evidence. Thresholds are scaled
+        // to the local data (the 256 MB default is cluster-sized).
+        val hot = ord.select("o_orderkey").orderBy("o_orderkey").limit(1)
+          .collect()(0).getLong(0)
+        val skewed = li.withColumn("l_orderkey",
+          when(pmod(col("l_orderkey"), lit(4)) === 0, lit(hot))
+            .otherwise(col("l_orderkey")))
+        def skewQuery() = skewed.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        val saved = Seq(
+          "spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        ).map(c => c -> spark.conf.getOption(c))
+        try {
+          // shuffle bytes are lz4-compressed and the hot partition is
+          // highly repetitive, so thresholds scale WAY below the 256 MB
+          // cluster default for a local-mode probe
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+          val tOff = time(skewQuery().count())
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          val tOn = time(skewQuery().count())
+          // drive THIS QueryExecution (df.count() builds a separate one
+          // whose adaptive plan never finalizes -> marker always absent)
+          val qe = skewQuery().queryExecution
+          qe.toRdd.count()
+          val skewMarked = qe.executedPlan.toString.contains("skew=true")
+          println(s"""{"scale":$k,"skew_probe":{"hot_key_share":0.25,""" +
+            s""""skewjoin_off_sec":$tOff,"skewjoin_on_sec":$tOn,"plan_skew_marker":$skewMarked}}""")
+        } finally saved.foreach {
+          case (c, Some(v)) => spark.conf.set(c, v)
+          case (c, None)    => spark.conf.unset(c)
+        }
       }
       val rows = li.count()
       println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh}""")
