@@ -108,4 +108,43 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Collapse candidate pairs into duplicate GROUPS: connected components
+    * by iterative min-label propagation. Every node starts labeled with
+    * its own id; each round a node takes the minimum label among itself
+    * and its neighbors; at the fixpoint each component carries its
+    * minimum member id as `group_id` — the deterministic survivor key
+    * that completes the dedup pipeline (pairs → groups → keep one).
+    *
+    * Each round is one equi-join + groupBy-min — all shuffles on the id
+    * key. Rounds needed = component diameter; near-dup clusters are
+    * shallow (pairs come from shared buckets), so a handful of rounds
+    * converges and the loop exits on the first round with zero label
+    * changes. At petabyte scale the same loop runs with a per-round
+    * checkpoint to truncate lineage (or the large-star/small-star
+    * variant for log-round convergence on adversarial graphs); the
+    * operator shape — join, min, repeat — is unchanged.
+    */
+  def connectedGroups(pairs: DataFrame, nodes: DataFrame, idCol: String,
+      maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min("lbl").as("nlbl"))
+      val next = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.lbl") =!= col("p.lbl"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels.select(col("id"), col("lbl").as("group_id"))
+  }
 }

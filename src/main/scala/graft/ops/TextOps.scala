@@ -176,6 +176,22 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Pairs → GROUPS: the Jaccard candidate pairs collapsed to connected
+    * components via [[Dedup.connectedGroups]]; every document reports its
+    * component's minimum doc_id as `group_id` (singletons report
+    * themselves). This is the step that turns near-dup *detection* into
+    * actual deduplication — downstream `keep group_id` is the survivor
+    * rule. Oracle: recursive-CTE reachability over the identical pair
+    * set.
+    */
+  def textDedupGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d).select(col("id_a"), col("id_b"))
+    val docs = Sources.documents(s, d).select(col("doc_id"))
+    Dedup.connectedGroups(pairs, docs, "doc_id")
+      .select(col("id").as("doc_id"), col("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash + LSH banding near-dup (SURVEY §2.13): 5-char shingles →
     * 12 minhash signatures (xxhash64 with per-seed salt) → 3 bands of 4 →
     * documents sharing any band bucket become candidates. No oracle
@@ -271,6 +287,7 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _),
     "text_entropy" -> (textEntropy _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
+    "text_dedup_groups" -> (textDedupGroups _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_simhash" -> (dedupSimHash _),
   )
@@ -353,6 +370,23 @@ object TextOps {
         |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_dedup_groups" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS wset FROM documents),
+        | p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(a.n_chars - b.n_chars) <= 3
+        |  WHERE round(len(list_intersect(a.wset, b.wset))::DOUBLE /
+        |        len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.3),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        | reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS doc_id, min(dst) AS group_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS wset FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

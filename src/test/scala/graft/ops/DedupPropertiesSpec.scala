@@ -63,6 +63,32 @@ class DedupPropertiesSpec extends SparkSpec {
     pairs.foreach(r => r.getLong(0) should be < r.getLong(1))
   }
 
+  "connectedGroups" should "label components with their minimum member id" in {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4, isolated 10, pair 20-21 (edge given high-to-low)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (21L, 20L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 20L, 21L).toDF("node_id")
+    val got = Dedup.connectedGroups(pairs, nodes, "node_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 20L -> 20L, 21L -> 20L)
+  }
+
+  it should "put both ends of every candidate pair in the same group" in {
+    val docs = graft.io.Sources.documents(spark, sfDir)
+    val pairs = TextOps.ngramJaccardPairs(spark, sfDir).select("id_a", "id_b")
+    val groups = Dedup.connectedGroups(pairs, docs.select("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.collect().foreach { r =>
+      groups(r.getLong(0)) shouldBe groups(r.getLong(1))
+    }
+    // every group id is its own minimum member
+    groups.groupBy(_._2).foreach { case (g, members) =>
+      members.keys.min shouldBe g
+    }
+  }
+
   it should "star-link mega-buckets: O(m) pairs, every member connected to the hub" in {
     val s = spark
     import s.implicits._
