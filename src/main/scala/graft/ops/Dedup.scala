@@ -110,41 +110,80 @@ object Dedup {
       size(array_union(a, b)).cast("double")
 
   /** Collapse candidate pairs into duplicate GROUPS: connected components
-    * by iterative min-label propagation. Every node starts labeled with
-    * its own id; each round a node takes the minimum label among itself
-    * and its neighbors; at the fixpoint each component carries its
-    * minimum member id as `group_id` — the deterministic survivor key
-    * that completes the dedup pipeline (pairs → groups → keep one).
+    * by alternating **large-star / small-star** contraction (the
+    * MapReduce-CC scheme of Kiveris et al.) — each component converges to
+    * a star rooted at its minimum member id, which becomes `group_id`,
+    * the deterministic survivor key completing the dedup pipeline
+    * (pairs → groups → keep one).
     *
-    * Each round is one equi-join + groupBy-min — all shuffles on the id
-    * key. Rounds needed = component diameter; near-dup clusters are
-    * shallow (pairs come from shared buckets), so a handful of rounds
-    * converges and the loop exits on the first round with zero label
-    * changes. At petabyte scale the same loop runs with a per-round
-    * checkpoint to truncate lineage (or the large-star/small-star
-    * variant for log-round convergence on adversarial graphs); the
-    * operator shape — join, min, repeat — is unchanged.
+    * Per round, large-star points every node's larger neighbors at the
+    * minimum of its neighborhood and small-star does the same for the
+    * smaller neighbors; both are a groupBy-min plus an equi-join on the
+    * *shrinking* edge set, and the alternation converges in O(log²)
+    * rounds regardless of component diameter — naive label propagation
+    * needs diameter rounds, and banded blocking chains real corpora into
+    * components hundreds of hops deep (measured diameter ≈180 on the
+    * sf0.1 fixture). Fixpoint = edge count and endpoint sum both stable.
+    *
+    * Iterative lineage MUST be truncated: localCheckpoint materializes
+    * each round's edges; superseded checkpoint blocks become unreachable
+    * a round later and the ContextCleaner frees them (the GraphX
+    * lifecycle), so nothing stays pinned once the result is released.
+    * At toy scale wall-time is round-count × scheduler overhead; at
+    * cluster scale the same ~O(log) rounds amortize over real data.
     */
   def connectedGroups(pairs: DataFrame, nodes: DataFrame, idCol: String,
-      maxIter: Int = 15): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
-    var converged = false
+      maxIter: Int = 30): DataFrame = {
+    def bothDirs(e: DataFrame): DataFrame =
+      e.select(col("a"), col("b"))
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+    // m(u) = min(N(u) ∪ {u}) over the given directed neighbor set
+    def minOfNbh(dir: DataFrame): DataFrame =
+      dir.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a").as("u"), least(col("a"), col("mn")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = bothDirs(e)
+      dir.filter(col("b") > col("a"))
+        .join(minOfNbh(dir), col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = bothDirs(e).filter(col("b") <= col("a"))
+      val m = minOfNbh(dir)
+      dir.join(m, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def stats(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum((col("a") + col("b")).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var (prevN, prevSum) = stats(edges)
+    var converged = prevN == 0
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy("src").agg(min("lbl").as("nlbl"))
-      val next = labels.join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.lbl") =!= col("p.lbl"))
-        .limit(1).count() > 0
-      labels = next
-      converged = !changed
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val (n, s) = stats(edges)
+      converged = n == prevN && (s == null || s.compareTo(prevSum) == 0)
+      prevN = n
+      prevSum = s
       i += 1
     }
-    labels.select(col("id"), col("lbl").as("group_id"))
+    require(converged, s"connectedGroups did not converge in $maxIter rounds")
+    // at the fixpoint edges are (member, root) stars; roots map to
+    // themselves, edge-free nodes are their own singleton group
+    val members = bothDirs(edges).groupBy("a").agg(min("b").as("mn"))
+      .select(col("a").as("id"), least(col("a"), col("mn")).as("group_id"))
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(members.select(col("id").as("mid")), col("id") === col("mid"), "left_anti")
+      .select(col("id"), col("id").as("group_id"))
+    members.union(singletons)
   }
 }
