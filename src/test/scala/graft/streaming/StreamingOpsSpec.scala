@@ -127,6 +127,33 @@ class StreamingOpsSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 3
   }
 
+  "foreachBatch + deleteRangeAppend" should "keep the sink idempotent across replayed batches" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val path = tmpDir("stream-sink") + "/events"
+    // day 1 in batch 1; batch 2 REPLAYS day 1 (same rows, the at-least-once
+    // delivery case) and adds day 2 — dynamic partition overwrite must
+    // leave exactly one copy of each day
+    val day1 = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 11:00:00"), 1, "view", 2.0))
+    val day2 = Seq(Ev(3, ts("2024-01-02 09:00:00"), 2, "click", 3.0))
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.io.Sinks.loadIfNonEmpty(batch,
+          b => graft.io.Sinks.deleteRangeAppend(b, "ts", path)): Unit
+      }
+      .start()
+    mem.addData(day1: _*); q.processAllAvailable()
+    mem.addData(day1 ++ day2: _*); q.processAllAvailable()
+    q.stop()
+    val out = s.read.parquet(path)
+    out.count() shouldBe 3
+    out.select("event_id").orderBy("event_id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L, 3L)
+  }
+
   "dedupWithinWatermark" should "drop duplicate event_ids inside the horizon" in {
     val s = spark
     import s.implicits._
