@@ -36,7 +36,11 @@ object Bench {
     // printed is a compact JSON — total + the 30 slowest queries + the
     // aggregated rest — sized well inside the tail window so the driver's
     // parse always succeeds.
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which on
+    // comma-decimal locales would emit invalid JSON ("value":37,850)
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

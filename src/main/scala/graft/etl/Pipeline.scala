@@ -139,18 +139,27 @@ final class Pipeline(
     try {
       val futures = specs.map { spec =>
         spec.name -> Future {
-          val log = graft.io.ServiceLogger(spec.name, s"$warehouseDir/logs")
-          onStatus(spec.name, "running")
-          log.info(s"run start (mode=${spec.loadMode})")
+          // observability must never kill the load: a full disk under the
+          // log dir or a throwing dashboard callback loses telemetry for
+          // this table, not the run (a raw throw here would escape the
+          // Try and abort runAll for EVERY table)
+          def safely(f: => Unit): Unit =
+            try f catch {
+              case e: Throwable =>
+                System.err.println(s"[pipeline] ${spec.name} status/log failed: ${e.getMessage}")
+            }
+          val log = Try(graft.io.ServiceLogger(spec.name, s"$warehouseDir/logs")).toOption
+          safely(onStatus(spec.name, "running"))
+          safely(log.foreach(_.info(s"run start (mode=${spec.loadMode})")))
           val res = Try(runTable(spec, historical))
           res match {
             case scala.util.Success(r) =>
-              log.info(s"run done: ${r.rowsLoaded} rows, ${r.ranges} range(s)" +
-                r.goldFired.fold("")(g => s", gold -> $g"))
-              onStatus(spec.name, "success")
+              safely(log.foreach(_.info(s"run done: ${r.rowsLoaded} rows, ${r.ranges} range(s)" +
+                r.goldFired.fold("")(g => s", gold -> $g"))))
+              safely(onStatus(spec.name, "success"))
             case scala.util.Failure(e) =>
-              log.error(s"run FAILED: ${e.getMessage}")
-              onStatus(spec.name, "error")
+              safely(log.foreach(_.error(s"run FAILED: ${e.getMessage}")))
+              safely(onStatus(spec.name, "error"))
           }
           res
         }

@@ -281,10 +281,15 @@ object Similarity {
       }
       math.acos(math.max(-1.0, math.min(1.0, duv / math.sqrt(du * dv))))
     }
+    // 1e-6 rad slack: radii and cell angles carry ~1e-7 float error
+    // (acos amplifies rounding near cos≈1); a strict comparison could
+    // prune a boundary cell pair and silently lose a qualifying pair —
+    // the epsilon keeps the bound conservative, preserving exactness
+    val eps = 1e-6
     val compat = for {
       (ci, vi) <- cents
       (cj, vj) <- cents
-      if angle(vi, vj) <= thetaStar + radii.getOrElse(ci, 0.0) + radii.getOrElse(cj, 0.0)
+      if angle(vi, vj) <= thetaStar + radii.getOrElse(ci, 0.0) + radii.getOrElse(cj, 0.0) + eps
     } yield (ci, cj)
     import s.implicits._
     val compatDf = compat.toDF("ca", "cb")

@@ -8,6 +8,12 @@ import org.apache.spark.sql.execution.SimpleMode
   */
 class PlanShapesSpec extends SparkSpec {
 
+  // computed once: constructing some queries eagerly runs driver-side
+  // work (quantizer training collects, the connected-components loop),
+  // and two tests sweep all of them
+  private lazy val allPlans: Map[String, String] =
+    SparkEntry.queries.keys.map(n => n -> planOf(n)).toMap
+
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(SimpleMode)
@@ -21,15 +27,16 @@ class PlanShapesSpec extends SparkSpec {
     "sim_cosine_topk", "sim_cosine_topk_native")
 
   "every query plan" should "be free of cartesian products" in {
-    val offenders = SparkEntry.queries.keys.filter { name =>
-      planOf(name).contains("CartesianProduct")
+    val offenders = allPlans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
     }
     offenders.toSeq shouldBe empty
   }
 
   it should "use broadcast-NL joins only where a bounded build side is intended" in {
-    val offenders = SparkEntry.queries.keys.filterNot(sanctionedCross).filter { name =>
-      planOf(name).contains("BroadcastNestedLoopJoin")
+    val offenders = allPlans.collect {
+      case (name, plan) if !sanctionedCross(name) &&
+        plan.contains("BroadcastNestedLoopJoin") => name
     }
     offenders.toSeq shouldBe empty
   }

@@ -27,6 +27,7 @@ class StatusBoardSpec extends AnyFlatSpec with Matchers {
     r should include("!! error")
     board.statusOf("customer") shouldBe "success"
     board.statusOf("orders") shouldBe "error"
+    board.snapshot shouldBe Map("customer" -> "success", "orders" -> "error")
   }
 
   it should "redraw in place with ANSI on a tty and append without" in {

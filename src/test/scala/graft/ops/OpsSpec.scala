@@ -24,22 +24,29 @@ class OpsSpec extends SparkSpec {
     out.getDouble(1) shouldBe (10.0 / 14.0) +- 1e-9
   }
 
+  /** Exact nearest neighbor per vector via the O(n²) scan — the shared
+    * oracle for both ANN tests; computed once per suite.
+    */
+  private lazy val exactNeighbors: Seq[(Long, Long, Double)] = {
+    val emb = Sources.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
   "annLshTopNeighbor" should "obey the subset-search bound vs the exact NN" in {
     val nn = Similarity.annLshTopNeighbor(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     nn should not be empty
     // LSH searches a subset of the corpus, so its best neighbor can never
     // beat the exhaustive scan's (equality exactly when it found the NN)
-    val emb = Sources.embeddings(spark, sfDir)
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
-    val exactCos = a.join(b, col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val exactCos = exactNeighbors.map(t => t._1 -> t._3).toMap
     nn.foreach { case (id, c) => c should be <= exactCos(id) + 1e-9 }
   }
 
@@ -60,17 +67,8 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val ivf = ivfRows.map(t => t._1 -> t._2).toMap
     val ivfCos = ivfRows.map(t => t._1 -> t._3).toMap
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
-    val exactRows = a.join(b, col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val exact = exactRows.map(t => t._1 -> t._2).toMap
-    val exactCos = exactRows.map(t => t._1 -> t._3).toMap
+    val exact = exactNeighbors.map(t => t._1 -> t._2).toMap
+    val exactCos = exactNeighbors.map(t => t._1 -> t._3).toMap
     val recall = exact.count { case (id, nn) => ivf.get(id).contains(nn) }.toDouble / exact.size
     recall should be > 0.3
 
