@@ -133,6 +133,28 @@ object ScaleProbe {
           case (c, Some(v)) => spark.conf.set(c, v)
           case (c, None)    => spark.conf.unset(c)
         }
+
+        // Large-k IVF assignment probe: ANN's k ≈ √n rule puts k ≈ 512 at
+        // this replicated corpus size — far past literalAssignMaxK, so
+        // training and assignment dispatch to the broadcast-join +
+        // bounded top-nprobe aggregate path whose plan is O(1) in k.
+        // Single timed runs (training already warms scan/codegen caches);
+        // the formatted plan is dumped for the codegen audit (scoring
+        // must sit in a WholeStageCodegen span; the top-nprobe reduce is
+        // ObjectHashAggregate by design — bounded buffer, partial aggs).
+        val tTrain0 = System.nanoTime()
+        val model512 = graft.ops.Similarity.trainQuantizer(emb, iters = 1, k = 512)
+        val tTrain = (System.nanoTime() - tTrain0) / 1e9
+        val assigned512 = graft.ops.Similarity.assignCellsJoined(emb, model512, 1)
+        val qeA = assigned512.queryExecution
+        val tAssign0 = System.nanoTime()
+        qeA.toRdd.count()
+        val tAssign = (System.nanoTime() - tAssign0) / 1e9
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/ivf_assign_k512_x$k.txt"),
+          qeA.explainString(org.apache.spark.sql.execution.FormattedMode))
+        println(s"""{"scale":$k,"ivf_assign_probe":{"k":512,""" +
+          s""""model_cells":${model512.size},"train_sec":$tTrain,"assign_sec":$tAssign}}""")
       }
       val rows = li.count()
       println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh}""")

@@ -20,9 +20,12 @@ import graft.io.Sources
   *    the corpus once — cost O(|corpus| × |queries| × dim);
   *  - the quantizer ("index model") is k centroid vectors — a bounded,
   *    hyperparameter-sized object, so it lives driver-side like any
-  *    trained k-means model, and cell assignment is a pure map-side
-  *    codegen projection against literal centroids: no crossJoin, no
-  *    window shuffle, no cached intermediate to leak;
+  *    trained k-means model. Cell assignment has two plan shapes chosen
+  *    by model size: small k is a pure map-side codegen projection
+  *    against literal centroids (no join, no shuffle); large k (past
+  *    [[literalAssignMaxK]], where a k-literal plan would hit Catalyst
+  *    plan-size/codegen limits) broadcasts the model as data and reduces
+  *    with a bounded top-nprobe aggregate — O(1) plan size in k;
   *  - candidate generation everywhere is an equi-join on cell/bucket
   *    keys — one shuffle, never a broadcast of the corpus.
   */
@@ -73,7 +76,7 @@ object Similarity {
     * bounded-collect pattern, not a corpus collect. Cells that lose all
     * members drop out (standard Lloyd behavior).
     */
-  private[ops] def trainQuantizer(emb: DataFrame, iters: Int = 2,
+  private[graft] def trainQuantizer(emb: DataFrame, iters: Int = 2,
       k: Int = 0): Seq[(Int, Array[Float])] = {
     val cent = graft.functions.CentroidAggregator.centroid(64)
     def toModel(rows: Array[org.apache.spark.sql.Row]): Seq[(Int, Array[Float])] =
@@ -123,13 +126,61 @@ object Similarity {
       .when(l.getField("cs") < r.getField("cs"), lit(1))
       .otherwise(l.getField("cent_id") - r.getField("cent_id"))
 
-  /** Adds `cells`: the `nprobe` nearest cells as struct<cs,cent_id>,
-    * nearest first. Pure projection — no shuffle, no cache.
+  /** Above this model size, cell assignment switches from the k-literal
+    * projection to the broadcast-join form. The literal plan embeds
+    * k·dim literal nodes in ONE expression tree — fastest at
+    * hyperparameter-sized k (pure map-side codegen, zero shuffle), but
+    * Catalyst plan size and codegen limits bite around k ≈ 10³, and the
+    * IVF guidance of k ≈ √n means k ≈ 3·10⁴ at n = 10⁹ vectors. The
+    * joined plan is O(1) in k: the model rides along as broadcast *data*,
+    * not as plan nodes.
     */
-  private def assignCells(emb: DataFrame, cents: Seq[(Int, Array[Float])],
+  private[graft] val literalAssignMaxK = 256
+
+  /** Adds `cells`: the `nprobe` nearest cells as struct<cs,cent_id>,
+    * nearest first — literal-projection form. Pure projection: no
+    * shuffle, no cache; right for hyperparameter-sized models.
+    */
+  private[graft] def assignCellsLiteral(emb: DataFrame, cents: Seq[(Int, Array[Float])],
       nprobe: Int): DataFrame =
     emb.withColumn("cells",
       slice(array_sort(cellScores(cents), csDescIdAsc), 1, nprobe))
+
+  /** Same contract as [[assignCellsLiteral]] (same columns, same `cells`
+    * schema, bit-identical scores) for large k: broadcast the centroids
+    * as a DataFrame, score with one `cosine_sim` node evaluated per
+    * (vector, centroid) match, and reduce the k candidates per vector to
+    * the top `nprobe` with the bounded typed aggregate
+    * [[graft.functions.TopCellsAggregator]].
+    *
+    * Scale shape: the broadcast join replicates each vector across the k
+    * model rows map-side (no shuffle in candidate scoring); the
+    * aggregation's partial step collapses those k rows to an
+    * nprobe-sized buffer before the single n-row shuffle. Non-key
+    * columns ride through `first(...)` — every row in a group carries
+    * identical values (they all derive from the same input row), so
+    * `first` is deterministic here.
+    */
+  private[graft] def assignCellsJoined(emb: DataFrame, cents: Seq[(Int, Array[Float])],
+      nprobe: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val centDf = cents.toDF("cent_id", "cent_emb")
+    val scored = emb.crossJoin(broadcast(centDf))
+      .withColumn("__cs", call_function("cosine_sim", col("embedding"), col("cent_emb")))
+    val top = graft.functions.TopCellsAggregator.topCells(nprobe)
+    val carry = emb.columns.filterNot(_ == "vec_id")
+    val aggs = carry.map(c => first(col(c)).as(c)) :+
+      top(col("__cs"), col("cent_id")).as("cells")
+    scored.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(emb.columns.map(col) :+ col("cells"): _*)
+  }
+
+  /** Dispatch on model size — see [[literalAssignMaxK]]. */
+  private def assignCells(emb: DataFrame, cents: Seq[(Int, Array[Float])],
+      nprobe: Int): DataFrame =
+    if (cents.size <= literalAssignMaxK) assignCellsLiteral(emb, cents, nprobe)
+    else assignCellsJoined(emb, cents, nprobe)
 
   /** Index-side assignment (top-1 cell); factored out so the spec can
     * check it partitions the corpus.
@@ -207,14 +258,18 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH ANN: top cosine neighbor per vector among
-    * bucket-mates. Signature width is sized from the corpus count (one
-    * cheap count job — parquet metadata) so bucket sizes stay constant as
-    * data grows. Approximate ⇒ rows-only check; recall asserted in
-    * OpsSpec, candidate sub-linearity in ScaleProbe.
+    * bucket-mates. Signature width is sized from the corpus count so
+    * bucket sizes stay constant as data grows. Pass `corpusCount` when
+    * the caller already knows it (catalog stats, a prior job) to skip
+    * the sizing count job — it's cheap (parquet footers) but repeated
+    * invocations at 100 TB shouldn't re-plan it every time. Approximate
+    * ⇒ rows-only check; recall asserted in OpsSpec, candidate
+    * sub-linearity in ScaleProbe.
     */
-  def annLshTopNeighbor(s: SparkSession, d: String): DataFrame = {
+  def annLshTopNeighbor(s: SparkSession, d: String,
+      corpusCount: Option[Long] = None): DataFrame = {
     val emb = Sources.embeddings(s, d)
-    val n = emb.count()
+    val n = corpusCount.getOrElse(emb.count())
     val targetBucket = 32L
     val bits = math.max(4,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
@@ -391,7 +446,7 @@ object Similarity {
     "sim_cosine_topk_native" -> (cosineTopKNative _),
     "sim_centroid_udaf" -> (centroidUdaf _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
-    "sim_ann_lsh" -> (annLshTopNeighbor _),
+    "sim_ann_lsh" -> ((s, d) => annLshTopNeighbor(s, d)),
     "sim_ann_ivf" -> (ivfTopNeighbor _),
     "sim_centroid_by_label" -> (centroidByLabel _),
     "sim_norm_stats" -> (normStats _),

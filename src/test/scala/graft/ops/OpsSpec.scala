@@ -77,6 +77,40 @@ class OpsSpec extends SparkSpec {
     ivfCos.foreach { case (id, c) => c should be <= exactCos(id) + 1e-9 }
   }
 
+  "assignCells" should "produce bit-identical cells via the literal and joined paths" in {
+    val emb = Sources.embeddings(spark, sfDir)
+    val model = Similarity.trainQuantizer(emb, iters = 1, k = 16)
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Double, Int)]] =
+      df.select("vec_id", "cells").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(c => (c.getDouble(0), c.getInt(1))).toSeq)
+        .toMap
+    // same floats in, same cosine expression, same ordering rule — the two
+    // plan shapes must agree bitwise, not just approximately
+    val viaLiteral = cellsOf(Similarity.assignCellsLiteral(emb, model, 2))
+    val viaJoin = cellsOf(Similarity.assignCellsJoined(emb, model, 2))
+    viaJoin shouldBe viaLiteral
+  }
+
+  "assignCellsJoined" should "partition the corpus at k past the literal-plan ceiling" in {
+    val emb = Sources.embeddings(spark, sfDir)
+    val n = emb.count()
+    // k > literalAssignMaxK: trainQuantizer + assignment both dispatch to
+    // the broadcast-join path; assignment must still be a partition
+    val model = Similarity.trainQuantizer(emb, iters = 1,
+      k = Similarity.literalAssignMaxK + 44)
+    model.size should be > 1
+    val assigned = Similarity.assignCellsJoined(emb, model, 1)
+    assigned.count() shouldBe n
+    assigned.select("vec_id").distinct().count() shouldBe n
+    // nprobe=1: exactly one cell per vector, drawn from the model
+    val cellIds = model.map(_._1).toSet
+    val hit = assigned.select(explode(col("cells")).as("c"))
+      .select(col("c.cent_id")).collect().map(_.getInt(0))
+    hit.length shouldBe n
+    all(hit.map(cellIds.contains(_))) shouldBe true
+  }
+
   "trainQuantizer" should "honor an explicit k with sampled-vector seeding" in {
     val emb = Sources.embeddings(spark, sfDir)
     val model = Similarity.trainQuantizer(emb, iters = 2, k = 16)
