@@ -43,6 +43,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** `n`-word shingles of a pre-split word array column (short arrays
+    * yield one truncated shingle, so no document is shingle-less). Shared
+    * by signature building and the exact re-rank so both sides of an
+    * LSH-propose / exact-verify pipeline agree on the set definition.
+    */
+  def wordShingles(wordsCol: Column, n: Int = 3): Column =
+    transform(sequence(lit(1), greatest(size(wordsCol) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(wordsCol, i, lit(n))))
+
   /** MinHash signatures + LSH band hashes for a text column: `nHashes`
     * minhashes over 3-word shingles, grouped into `nHashes/bandSize` band
     * hashes. Strings are hashed ONCE; the per-seed signatures re-hash the
@@ -51,9 +60,7 @@ object Dedup {
   def minHashBands(df: DataFrame, idCol: String, textCol: String,
       nHashes: Int = 12, bandSize: Int = 4): DataFrame = {
     require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
-    val shingles = expr(
-      s"transform(sequence(1, greatest(size(__w) - 2, 1))," +
-        s" i -> concat_ws(' ', slice(__w, i, 3)))")
+    val shingles = wordShingles(col("__w"))
     val minhashes = (0 until nHashes).map { seed =>
       array_min(transform(col("__shash"), h => xxhash64(h, lit(seed)))).as(s"mh_$seed")
     }
@@ -133,7 +140,16 @@ object Dedup {
     * cluster scale the same ~O(log) rounds amortize over real data.
     */
   def connectedGroups(pairs: DataFrame, nodes: DataFrame, idCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    connectedGroupsWithStats(pairs, nodes, idCol, maxIter)._1
+
+  /** [[connectedGroups]] plus the number of contraction rounds it took to
+    * converge — the observable the scale design cares about (each round
+    * is a fixed number of shuffles, so rounds × shuffle cost is the whole
+    * bill; exposed for probes/specs rather than logged).
+    */
+  def connectedGroupsWithStats(pairs: DataFrame, nodes: DataFrame, idCol: String,
+      maxIter: Int = 30): (DataFrame, Int) = {
     def bothDirs(e: DataFrame): DataFrame =
       e.select(col("a"), col("b"))
         .union(e.select(col("b").as("a"), col("a").as("b")))
@@ -184,6 +200,6 @@ object Dedup {
     val singletons = nodes.select(col(idCol).as("id"))
       .join(members.select(col("id").as("mid")), col("id") === col("mid"), "left_anti")
       .select(col("id"), col("id").as("group_id"))
-    members.union(singletons)
+    (members.union(singletons), i)
   }
 }

@@ -63,6 +63,33 @@ class DedupPropertiesSpec extends SparkSpec {
     pairs.foreach(r => r.getLong(0) should be < r.getLong(1))
   }
 
+  "sketch-verified near-dup queries" should "match or under-approximate the all-pairs verified set" in {
+    // The all-pairs ground truth at τ=0.6. The fixture is bimodal (dups
+    // ≥ 0.8 shingle-Jaccard, unrelated < 0.15), so τ sits in a wide gap.
+    val docs = graft.io.Sources.documents(spark, sfDir)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(Dedup.wordShingles(split(col("text"), " "))).as("sset"))
+    val a = sets.select(col("doc_id").as("id_a"), col("sset").as("sa"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sset").as("sb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("sa"), col("sb")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    exact should not be empty
+    def result(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // minhash: COMPLETE recall above τ — this equivalence is what
+    // licenses its all-pairs DuckDB oracle; a miss is a real failure.
+    result(TextOps.dedupMinHashLsh(spark, sfDir)) shouldBe exact
+    // simhash: precision 1 (every reported pair is a true verified pair)
+    // but structurally incomplete recall (see dedupSimHash scaladoc) —
+    // a strict subset here, which is why it has no oracle.
+    val viaSimhash = result(TextOps.dedupSimHash(spark, sfDir))
+    viaSimhash should not be empty
+    viaSimhash.subsetOf(exact) shouldBe true
+  }
+
   "connectedGroups" should "label components with their minimum member id" in {
     val s = spark
     import s.implicits._
@@ -78,7 +105,12 @@ class DedupPropertiesSpec extends SparkSpec {
   it should "put both ends of every candidate pair in the same group" in {
     val docs = graft.io.Sources.documents(spark, sfDir)
     val pairs = TextOps.ngramJaccardPairs(spark, sfDir).select("id_a", "id_b")
-    val groups = Dedup.connectedGroups(pairs, docs.select("doc_id"), "doc_id")
+    val (groupsDf, rounds) =
+      Dedup.connectedGroupsWithStats(pairs, docs.select("doc_id"), "doc_id")
+    // O(log²)-round regime, not diameter-rounds: the sf0.1 graph (~180
+    // hops deep) converges in 8; the sf0.001 graph must stay single-digit
+    rounds should be <= 9
+    val groups = groupsDf
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     pairs.collect().foreach { r =>
       groups(r.getLong(0)) shouldBe groups(r.getLong(1))
