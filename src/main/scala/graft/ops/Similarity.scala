@@ -361,6 +361,23 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Pairs → GROUPS for the embedding modality: the exact cell-blocked
+    * near-dup pairs ([[dedupEmbeddingCosine]]) collapsed to connected
+    * components via [[Dedup.connectedGroups]] — each vector reports its
+    * component's minimum vec_id, the deterministic survivor key. Same
+    * completion step as `text_dedup_groups` but over semantic (vector)
+    * duplicates; together they close the detect → group → keep-one loop
+    * for both text and embedding near-dup. Oracle: recursive-CTE
+    * reachability over the identical pair definition.
+    */
+  def dedupEmbeddingGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupEmbeddingCosine(s, d).select(col("id_a"), col("id_b"))
+    val vecs = Sources.embeddings(s, d).select(col("vec_id"))
+    Dedup.connectedGroups(pairs, vecs, "vec_id")
+      .select(col("id").as("vec_id"), col("group_id"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding L2-norm distribution per label — exercises the vector HOFs
     * in an aggregation (norms are engine-stable to 4 decimals).
     */
@@ -446,6 +463,7 @@ object Similarity {
     "sim_cosine_topk_native" -> (cosineTopKNative _),
     "sim_centroid_udaf" -> (centroidUdaf _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "sim_dedup_groups" -> (dedupEmbeddingGroups _),
     "sim_ann_lsh" -> ((s, d) => annLshTopNeighbor(s, d)),
     "sim_ann_ivf" -> (ivfTopNeighbor _),
     "sim_centroid_by_label" -> (centroidByLabel _),
@@ -460,6 +478,19 @@ object Similarity {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "sim_dedup_groups" ->
+      """WITH RECURSIVE ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |   FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+        |   WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        | reach(src, dst) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS vec_id, min(dst) AS group_id
+        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
     "sim_cosine_topk_native" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),

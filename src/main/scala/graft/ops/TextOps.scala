@@ -307,6 +307,75 @@ object TextOps {
     exactRerank(cands, docs)
   }
 
+  /** Decontamination (LLM-pipeline core op): n-gram containment of a
+    * held-out split against the train split — the check every training
+    * corpus runs so benchmark/test text is not silently memorized. Split
+    * is `doc_id % 10` (deterministic and oracle-expressible; the
+    * library's general hash-bucket split is [[Sampling]]).
+    *
+    * containment(t, r) = |S'(t) ∩ S'(r)| / |S'(t)| over the df-capped
+    * shingle vocabulary S' (train document frequency ≤ `dfCap`).
+    * The df cap is the scale guard AND part of the metric definition
+    * (applied identically in the oracle): boilerplate shingles with huge
+    * posting lists are both a join blow-up and meaningless evidence of
+    * contamination, so production decontamination drops them too.
+    *
+    * Scale shape: inverted-index equi-join on the shingle — explode to
+    * (doc, shingle) postings, one df aggregation, one postings join,
+    * one (test, train) count aggregation. No all-pairs comparison; cost
+    * is Σ posting-list² bounded by dfCap per shingle.
+    */
+  def textContamination(s: SparkSession, d: String): DataFrame = {
+    val dfCap = 100L
+    val sets = shingleSets(Sources.documents(s, d))
+    val test = sets.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val train = sets.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    // The shingle explode is the expensive pass here (split + 3-gram
+    // transform + distinct over every document), and the DAG consumes the
+    // train postings from multiple branches (df stats, the capped
+    // posting list) — without materialization Spark re-derives that pass
+    // per consumer (measured: 7.1 s → 3.6 s at sf0.1 from checkpointing
+    // the narrow (train_id, sh) postings plus the two small reused
+    // intermediates; same bounded-materialization lifecycle as
+    // connectedGroups). At cluster scale this is the standard "build the
+    // inverted index once" materialization, not a toy-mode hack.
+    val postings = train.select(col("doc_id").as("train_id"), explode(col("sset")).as("sh"))
+      .localCheckpoint()
+    val testPost = test.select(col("doc_id").as("test_id"), explode(col("sset")).as("sh"))
+    val stopShingles = postings.groupBy("sh")
+      .agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("sh")
+      .localCheckpoint()
+    // vocabulary keeps unseen shingles (train df = 0 ≤ cap): anti-join
+    // against the over-cap list rather than inner-join against the rest
+    val testOk = testPost.join(stopShingles, Seq("sh"), "left_anti")
+      .localCheckpoint()
+    val trainOk = postings.join(stopShingles, Seq("sh"), "left_anti")
+    val denom = testOk.groupBy("test_id").agg(count(lit(1)).as("n_sh"))
+    val matches = testOk.join(trainOk, "sh")
+      .groupBy("test_id", "train_id").agg(count(lit(1)).as("n_match"))
+    matches.join(denom, "test_id")
+      .select(col("test_id"), col("train_id"),
+        round(col("n_match").cast("double") / col("n_sh").cast("double"), 4).as("containment"))
+      .filter(col("containment") >= 0.5)
+      .orderBy("test_id", "train_id")
+  }
+
+  /** Token budgeting (LLM-pipeline core op): keep documents per language
+    * in deterministic priority order until the cumulative BPE-ish token
+    * count crosses the per-language budget (2 500 tokens: small enough to bind at every fixture SF, so the filter is exercised, not vacuous) — how corpus mixes are sized
+    * to a token target. One window shuffle; the token count is the same
+    * regex pre-tokenizer as [[textStats]].
+    */
+  def textTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val budgetPerLang = 2500L
+    val toks = Sources.documents(s, d).select(col("doc_id"), col("lang"),
+      regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    toks.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .orderBy("lang", "doc_id")
+  }
+
   /** End-to-end training-data curation (the north-star ops composed as one
     * plan): quality filter (min words + stopword ratio) → exact dedup
     * (first doc per (lang, n_chars) signature) → per-(lang, source) corpus
@@ -369,6 +438,8 @@ object TextOps {
     "text_dedup_groups" -> (textDedupGroups _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_simhash" -> (dedupSimHash _),
+    "text_contamination" -> (textContamination _),
+    "text_token_budget" -> (textTokenBudget _),
   )
 
   /** All pairs whose exact 3-shingle Jaccard clears τ — the ground truth
@@ -490,6 +561,34 @@ object TextOps {
     // its recall above τ is structurally incomplete (see its scaladoc),
     // so only its precision is testable.
     "dedup_minhash_lsh" -> verifiedPairsOracle,
+    "text_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | d AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, greatest(len(ws) - 2, 1) + 1),
+        |   i -> array_to_string(ws[i:i+2], ' '))) AS sset FROM w),
+        | test AS (SELECT doc_id AS test_id, unnest(sset) AS sh FROM d WHERE doc_id % 10 = 0),
+        | train AS (SELECT doc_id AS train_id, unnest(sset) AS sh FROM d WHERE doc_id % 10 <> 0),
+        | dfreq AS (SELECT sh, count(*) AS df FROM train GROUP BY sh),
+        | test_ok AS (SELECT t.test_id, t.sh FROM test t
+        |   LEFT JOIN dfreq f USING (sh) WHERE coalesce(f.df, 0) <= 100),
+        | train_ok AS (SELECT r.train_id, r.sh FROM train r
+        |   JOIN dfreq f USING (sh) WHERE f.df <= 100),
+        | denom AS (SELECT test_id, count(*) AS n_sh FROM test_ok GROUP BY test_id),
+        | m AS (SELECT test_id, train_id, count(*) AS n_match
+        |   FROM test_ok JOIN train_ok USING (sh) GROUP BY test_id, train_id)
+        |SELECT m.test_id, m.train_id,
+        | round(n_match::DOUBLE / n_sh, 4) AS containment
+        |FROM m JOIN denom USING (test_id)
+        |WHERE round(n_match::DOUBLE / n_sh, 4) >= 0.5
+        |ORDER BY test_id, train_id""".stripMargin,
+    "text_token_budget" ->
+      """SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        | SELECT doc_id, lang,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))
+        |    OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        | FROM documents)
+        |WHERE cum_tokens <= 2500 ORDER BY lang, doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS wset FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
