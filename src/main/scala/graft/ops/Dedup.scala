@@ -111,6 +111,32 @@ object Dedup {
     cliquePairs.union(starPairs).distinct()
   }
 
+  /** Cross-set candidate pairs: ids from `bandsNew` sharing any (band,
+    * bucket) with ids from `bandsCorpus` — the incremental-dedup shape
+    * (new batch probed against the existing corpus) as opposed to the
+    * self-join of [[lshCandidatePairs]]. Oversized corpus buckets
+    * (> `bucketCap` postings) are dropped like ANN's uninformative
+    * regions: at 100 TB a busy band bucket is boilerplate signature
+    * space, and the batch member will match it through its other bands
+    * if it is a genuine near-dup.
+    */
+  def lshCandidatePairsAcross(bandsNew: DataFrame, bandsCorpus: DataFrame,
+      idCol: String, bucketCap: Long = 4096L): DataFrame = {
+    def explodeBands(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        posexplode(array(df.columns.filter(_.startsWith("band_")).map(col): _*))
+          .as(Seq("band_idx", "band_hash")))
+    val corpus = explodeBands(bandsCorpus, "id_b")
+    val okBuckets = corpus.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") <= bucketCap)
+      .select("band_idx", "band_hash")
+    explodeBands(bandsNew, "id_a")
+      .join(corpus.join(okBuckets, Seq("band_idx", "band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Jaccard similarity of two array columns (distinct-element sets). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
