@@ -20,7 +20,13 @@ object Bench {
     // latency without GC/compilation noise
     // a failed query reports -1.0 (loudly, on stderr) rather than its
     // time-to-throw — otherwise a planning error reads as a speedup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name-prefix filter for iterating on one
+    // query locally; the driver never sets it, so round benches run all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -45,8 +51,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val out = new java.io.PrintWriter("bench.json")
-    try out.println(line) finally out.close()
+    if (only.isEmpty) { // filtered local runs must not clobber the round record
+      val out = new java.io.PrintWriter("bench.json")
+      try out.println(line) finally out.close()
+    }
     println(line)
     val top = results.sortBy { case (_, v) => -v }.take(30)
     val topQs = top.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -25,8 +25,16 @@ case class CellScore(cs: Double, cent_id: Int)
 class TopCellsAggregator(nprobe: Int)
     extends Aggregator[CellScore, Seq[CellScore], Seq[CellScore]] {
 
-  private def better(a: CellScore, b: CellScore): Boolean =
-    a.cs > b.cs || (a.cs == b.cs && a.cent_id < b.cent_id)
+  /** Spark SQL's total order for doubles, so the two assignment paths
+    * agree even on NaN scores (NaN-element embeddings): NaN = NaN and
+    * NaN ranks above every other value, -0.0 = 0.0 — the semantics the
+    * literal path's comparator inherits from Catalyst's `>`/`<`.
+    */
+  private def better(a: CellScore, b: CellScore): Boolean = {
+    val tie = a.cs == b.cs || (a.cs.isNaN && b.cs.isNaN)
+    if (tie) a.cent_id < b.cent_id
+    else a.cs > b.cs || a.cs.isNaN
+  }
 
   /** Insert into a best-first sorted buffer, keeping at most nprobe. */
   private def insert(buf: Seq[CellScore], v: CellScore): Seq[CellScore] =

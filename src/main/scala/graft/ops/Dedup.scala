@@ -134,6 +134,9 @@ object Dedup {
       .join(corpus.join(okBuckets, Seq("band_idx", "band_hash")),
         Seq("band_idx", "band_hash"))
       .select(col("id_a"), col("id_b"))
+      // re-probing ids already merged into the corpus must not propose
+      // them as their own near-dup
+      .filter(col("id_a") =!= col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

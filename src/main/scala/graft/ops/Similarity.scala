@@ -160,6 +160,14 @@ object Similarity {
     * columns ride through `first(...)` — every row in a group carries
     * identical values (they all derive from the same input row), so
     * `first` is deterministic here.
+    *
+    * PRECONDITION: `vec_id` must be unique in `emb`. This path groups by
+    * it, so duplicate ids would collapse to one row where the literal
+    * path preserves both — and since [[assignCells]] dispatches on model
+    * size, duplicates would make row semantics depend on k. All library
+    * ingress points satisfy this (`vec_id` is the embeddings table's
+    * key); asserted in the OpsSpec parity test rather than with a
+    * per-call count job.
     */
   private[graft] def assignCellsJoined(emb: DataFrame, cents: Seq[(Int, Array[Float])],
       nprobe: Int): DataFrame = {
@@ -176,7 +184,10 @@ object Similarity {
       .select(emb.columns.map(col) :+ col("cells"): _*)
   }
 
-  /** Dispatch on model size — see [[literalAssignMaxK]]. */
+  /** Dispatch on model size — see [[literalAssignMaxK]]. Requires unique
+    * `vec_id` (see [[assignCellsJoined]]) so the dispatch can never
+    * change result cardinality.
+    */
   private def assignCells(emb: DataFrame, cents: Seq[(Int, Array[Float])],
       nprobe: Int): DataFrame =
     if (cents.size <= literalAssignMaxK) assignCellsLiteral(emb, cents, nprobe)

@@ -339,16 +339,19 @@ object TextOps {
     // intermediates; same bounded-materialization lifecycle as
     // connectedGroups). At cluster scale this is the standard "build the
     // inverted index once" materialization, not a toy-mode hack.
+    // `eager = false` defers the materialization jobs to the first
+    // action, so merely *building* this DataFrame stays side-effect-free
+    // like every other queries-map entry.
     val postings = train.select(col("doc_id").as("train_id"), explode(col("sset")).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val testPost = test.select(col("doc_id").as("test_id"), explode(col("sset")).as("sh"))
     val stopShingles = postings.groupBy("sh")
       .agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("sh")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // vocabulary keeps unseen shingles (train df = 0 ≤ cap): anti-join
     // against the over-cap list rather than inner-join against the rest
     val testOk = testPost.join(stopShingles, Seq("sh"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val trainOk = postings.join(stopShingles, Seq("sh"), "left_anti")
     val denom = testOk.groupBy("test_id").agg(count(lit(1)).as("n_sh"))
     val matches = testOk.join(trainOk, "sh")

@@ -63,6 +63,46 @@ class DedupPropertiesSpec extends SparkSpec {
     pairs.foreach(r => r.getLong(0) should be < r.getLong(1))
   }
 
+  "lshCandidatePairsAcross" should "find cross-set dups, emit no self-pairs, and drop over-cap corpus buckets" in {
+    val s = spark
+    import s.implicits._
+    val boiler = "lorem ipsum dolor sit amet " * 5
+    val corpusDocs = ((1 to 60).map(i => (i.toLong, boiler)) ++ Seq(
+      (200L, "spark catalyst optimizer rewrites logical plans into physical plans for execution"),
+      (201L, "structured streaming incrementalizes a batch query over an unbounded source table")))
+      .toDF("doc_id", "text")
+    // batch: one doc already in the corpus (id 200), one near-dup of 201,
+    // one boilerplate doc, one unrelated
+    val batchDocs = Seq(
+      (200L, "spark catalyst optimizer rewrites logical plans into physical plans for execution"),
+      (300L, "structured streaming incrementalizes a batch query over an unbounded source stream"),
+      (301L, boiler),
+      (302L, "entirely unrelated text mentioning nothing shared with anything else whatsoever"))
+      .toDF("doc_id", "text")
+    val corpusBands = Dedup.minHashBands(corpusDocs, "doc_id", "text")
+    val batchBands = Dedup.minHashBands(batchDocs, "doc_id", "text")
+
+    val pairs = Dedup.lshCandidatePairsAcross(batchBands, corpusBands, "doc_id", bucketCap = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no self-pairs even though id 200 appears on both sides
+    pairs.filter(p => p._1 == p._2) shouldBe empty
+    // re-probed doc still matches its identical corpus copy (as a!=b pair? no —
+    // identical text means every band collides, but the only corpus partner
+    // with that signature is itself, filtered; near-dup 300↔201 must survive)
+    pairs should contain ((300L, 201L))
+    // over-cap boilerplate buckets are dropped: the batch boilerplate doc
+    // proposes no pairs into the 60-doc mega-bucket
+    pairs.filter(_._1 == 301L) shouldBe empty
+    // unrelated doc proposes nothing
+    pairs.filter(_._1 == 302L) shouldBe empty
+
+    // with a generous cap the mega-bucket is admitted: 301 pairs with all 60
+    val uncapped = Dedup.lshCandidatePairsAcross(batchBands, corpusBands, "doc_id", bucketCap = 4096L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped.filter(_._1 == 301L).map(_._2) shouldBe (1 to 60).map(_.toLong).toSet
+    uncapped.filter(p => p._1 == p._2) shouldBe empty
+  }
+
   "sketch-verified near-dup queries" should "match or under-approximate the all-pairs verified set" in {
     // The all-pairs ground truth at τ=0.6. The fixture is bimodal (dups
     // ≥ 0.8 shingle-Jaccard, unrelated < 0.15), so τ sits in a wide gap.

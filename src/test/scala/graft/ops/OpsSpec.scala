@@ -92,6 +92,41 @@ class OpsSpec extends SparkSpec {
     viaJoin shouldBe viaLiteral
   }
 
+  it should "agree across paths on NaN and zero-norm embeddings (shared total order)" in {
+    val s = spark
+    import s.implicits._
+    // NaN-element embedding → cosine_sim NaN against every centroid;
+    // zero-norm embedding → 0.0 against every centroid. Both are total
+    // ties, so both paths must fall back to the same cent_id-asc rule —
+    // the Spark SQL total order (NaN = NaN, NaN above everything).
+    val emb = Seq(
+      (1L, Array(Float.NaN, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val model = Seq(
+      (0, Array(1.0f, 0.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f, 0.0f)),
+      (2, Array(0.0f, 0.0f, 1.0f)))
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Double, Int)]] =
+      df.select("vec_id", "cells").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(c => (c.getDouble(0), c.getInt(1))).toSeq)
+        .toMap
+    val viaLiteral = cells(Similarity.assignCellsLiteral(emb, model, 2))
+    val viaJoin = cells(Similarity.assignCellsJoined(emb, model, 2))
+    // sanity on the tie semantics themselves, then cross-path equality
+    viaLiteral(1L).map(_._2) shouldBe Seq(0, 1)
+    viaLiteral(1L).foreach(_._1.isNaN shouldBe true)
+    viaLiteral(2L) shouldBe Seq((0.0, 0), (0.0, 1))
+    (viaJoin.keySet ++ viaLiteral.keySet).foreach { id =>
+      val (l, j) = (viaLiteral(id), viaJoin(id))
+      l.map(_._2) shouldBe j.map(_._2)
+      l.zip(j).foreach { case ((lc, _), (jc, _)) =>
+        java.lang.Double.compare(lc, jc) shouldBe 0
+      }
+    }
+  }
+
   "assignCellsJoined" should "partition the corpus at k past the literal-plan ceiling" in {
     val emb = Sources.embeddings(spark, sfDir)
     val n = emb.count()
