@@ -160,6 +160,9 @@ object Dedup {
     * needs diameter rounds, and banded blocking chains real corpora into
     * components hundreds of hops deep (measured diameter ≈180 on the
     * sf0.1 fixture). Fixpoint = edge count and endpoint sum both stable.
+    * Once the shrinking edge set drops below [[localFinishMaxEdges]] the
+    * remaining rounds are replaced by one bounded collect + union-find
+    * (the standard hybrid; see the threshold's scaladoc).
     *
     * Iterative lineage MUST be truncated: localCheckpoint materializes
     * each round's edges; superseded checkpoint blocks become unreachable
@@ -172,13 +175,28 @@ object Dedup {
       maxIter: Int = 30): DataFrame =
     connectedGroupsWithStats(pairs, nodes, idCol, maxIter)._1
 
+  /** Edge-count threshold below which the contraction finishes with a
+    * single collect + driver union-find instead of more distributed
+    * rounds. 1M (long, long) edges ≈ 16 MB — trivially driver-sized —
+    * while each avoided round is 3-4 shuffles plus a scheduling barrier.
+    * This is the hybrid the MapReduce-CC literature itself prescribes
+    * (Kiveris et al. §6.2 finish small graphs in memory): contraction
+    * shrinks the edge set monotonically, so at 100 TB the loop runs its
+    * O(log²) distributed rounds only while the graph genuinely exceeds
+    * one machine, then stops scheduling cluster rounds for a kilobyte of
+    * survivors. NOT a driver-side loop over big data: the collect is
+    * bounded by this constant, checked against the measured edge count.
+    */
+  private[graft] val localFinishMaxEdges = 1000000L
+
   /** [[connectedGroups]] plus the number of contraction rounds it took to
     * converge — the observable the scale design cares about (each round
     * is a fixed number of shuffles, so rounds × shuffle cost is the whole
     * bill; exposed for probes/specs rather than logged).
     */
   def connectedGroupsWithStats(pairs: DataFrame, nodes: DataFrame, idCol: String,
-      maxIter: Int = 30): (DataFrame, Int) = {
+      maxIter: Int = 30,
+      localFinishEdges: Long = localFinishMaxEdges): (DataFrame, Int) = {
     def bothDirs(e: DataFrame): DataFrame =
       e.select(col("a"), col("b"))
         .union(e.select(col("b").as("a"), col("a").as("b")))
@@ -212,26 +230,61 @@ object Dedup {
         sum((col("a") + col("b")).cast("decimal(38,0)"))).collect()(0)
       (r.getLong(0), r.getDecimal(1))
     }
+    // lazy checkpoint: the stats action both materializes the round's
+    // edges (cached for the next round) and computes the convergence
+    // aggregate — ONE job per round where eager + separate stats paid two
     var edges = pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var (prevN, prevSum) = stats(edges)
     var converged = prevN == 0
     var i = 0
-    while (!converged && i < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+    // distributed contraction ONLY while the edge set genuinely exceeds
+    // one machine (see localFinishMaxEdges); each round shrinks it
+    while (!converged && prevN > localFinishEdges && i < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val (n, s) = stats(edges)
       converged = n == prevN && (s == null || s.compareTo(prevSum) == 0)
       prevN = n
       prevSum = s
       i += 1
     }
-    require(converged, s"connectedGroups did not converge in $maxIter rounds")
-    // at the fixpoint edges are (member, root) stars; roots map to
-    // themselves, edge-free nodes are their own singleton group
-    val members = bothDirs(edges).groupBy("a").agg(min("b").as("mn"))
-      .select(col("a").as("id"), least(col("a"), col("mn")).as("group_id"))
+    require(converged || prevN <= localFinishEdges,
+      s"connectedGroups did not converge in $maxIter rounds")
+    val members =
+      if (converged) {
+        // at the fixpoint edges are (member, root) stars; roots map to
+        // themselves, edge-free nodes are their own singleton group
+        bothDirs(edges).groupBy("a").agg(min("b").as("mn"))
+          .select(col("a").as("id"), least(col("a"), col("mn")).as("group_id"))
+      } else {
+        // bounded local finish: union-find with min-id roots over the
+        // collected (still partially contracted) edge list — exact, and
+        // union-by-min keeps every root the component's minimum member
+        val es = edges.collect().map(r =>
+          (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val s2 = pairs.sparkSession
+        import s2.implicits._
+        val idType = nodes.schema(idCol).dataType
+        es.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
+          .map(id => (id, find(id)))
+          .toDF("id", "group_id")
+          .select(col("id").cast(idType).as("id"),
+            col("group_id").cast(idType).as("group_id"))
+      }
     val singletons = nodes.select(col(idCol).as("id"))
       .join(members.select(col("id").as("mid")), col("id") === col("mid"), "left_anti")
       .select(col("id"), col("id").as("group_id"))

@@ -145,8 +145,12 @@ class DedupPropertiesSpec extends SparkSpec {
   it should "put both ends of every candidate pair in the same group" in {
     val docs = graft.io.Sources.documents(spark, sfDir)
     val pairs = TextOps.ngramJaccardPairs(spark, sfDir).select("id_a", "id_b")
+    // localFinishEdges = 0 forces the pure-distributed star loop — the
+    // path that runs at 100 TB — rather than the immediate local finish
+    // a fixture-sized edge set would take
     val (groupsDf, rounds) =
-      Dedup.connectedGroupsWithStats(pairs, docs.select("doc_id"), "doc_id")
+      Dedup.connectedGroupsWithStats(pairs, docs.select("doc_id"), "doc_id",
+        localFinishEdges = 0L)
     // O(log²)-round regime, not diameter-rounds: the sf0.1 graph (~180
     // hops deep) converges in 8; the sf0.001 graph must stay single-digit
     rounds should be <= 9
@@ -159,6 +163,12 @@ class DedupPropertiesSpec extends SparkSpec {
     groups.groupBy(_._2).foreach { case (g, members) =>
       members.keys.min shouldBe g
     }
+    // the hybrid local finish (default threshold) must agree exactly with
+    // the pure-distributed fixpoint — same groups, same min-id roots
+    val (hybridDf, hybridRounds) =
+      Dedup.connectedGroupsWithStats(pairs, docs.select("doc_id"), "doc_id")
+    hybridRounds should be < rounds
+    hybridDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe groups
   }
 
   it should "star-link mega-buckets: O(m) pairs, every member connected to the hub" in {
