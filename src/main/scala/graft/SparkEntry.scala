@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, TextOps}
+import graft.ops.{Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +26,7 @@ object SparkEntry {
       Relational.queries ++
       RelationalExt.queries ++
       TextOps.queries ++
+      TextSignals.queries ++
       Similarity.queries ++
       StreamingAnalogs.queries ++
       Sampling.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       Relational.oracles ++
       RelationalExt.oracles ++
       TextOps.oracles ++
+      TextSignals.oracles ++
       Similarity.oracles ++
       StreamingAnalogs.oracles ++
       Sampling.oracles ++

@@ -69,9 +69,46 @@ object Sampling {
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy("lang", "doc_id")
 
+  /** Domain-mixture downsampling: each source (domain) gets a target
+    * keep-rate and rows are kept by a DETERMINISTIC per-row uniform draw
+    * — how a corpus is rebalanced to target mixture weights (e.g. cap
+    * over-represented web domains) while staying reproducible across
+    * runs, engines and partitionings.
+    *
+    * The draw is a Knuth multiplicative hash of the id reduced mod 2²⁰:
+    * r = (id · 2654435761) mod 2²⁰ / 2²⁰ — exact integer arithmetic and
+    * an exact dyadic rational, so `r < rate` is bit-reproducible in any
+    * engine (no RNG, no float accumulation). Rates cycle ¼..1 by source
+    * index so every rate bin is exercised by the fixture.
+    *
+    * Plan: keep-decision is a pure map-side projection (no shuffle); the
+    * per-source audit is one hash aggregate. At 100 TB the decision
+    * streams with the scan — the mixture rebalance costs zero extra
+    * passes.
+    */
+  def sampleDomainMixture(s: SparkSession, d: String): DataFrame = {
+    val rate = when(pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) === 0, 1.0)
+      .when(pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) === 1, 0.75)
+      .when(pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) === 2, 0.5)
+      .otherwise(0.25)
+    val draw = pmod(col("doc_id") * lit(2654435761L), lit(1048576L))
+      .cast("double") / lit(1048576.0)
+    Sources.documents(s, d)
+      .withColumn("rate", rate)
+      .withColumn("kept", draw < col("rate"))
+      .groupBy("source", "rate")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("observed_rate",
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 4))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split_counts" -> (sampleSplitCounts _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_domain_mixture" -> (sampleDomainMixture _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,5 +122,16 @@ object Sampling {
         | SELECT lang, doc_id, n_chars,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         | FROM documents) WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
+    "sample_domain_mixture" ->
+      """WITH t AS (
+        | SELECT source,
+        |  CASE CAST(substr(source, 4) AS BIGINT) % 4
+        |   WHEN 0 THEN 1.0 WHEN 1 THEN 0.75 WHEN 2 THEN 0.5 ELSE 0.25 END AS rate,
+        |  ((doc_id * 2654435761) % 1048576)::DOUBLE / 1048576.0 AS draw
+        | FROM documents)
+        |SELECT source, rate, count(*) AS n_total,
+        | CAST(sum(CASE WHEN draw < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | round(sum(CASE WHEN draw < rate THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS observed_rate
+        |FROM t GROUP BY source, rate ORDER BY source""".stripMargin,
   )
 }

@@ -469,8 +469,42 @@ object Similarity {
       .orderBy("id_a")
   }
 
+  /** Embedding outlier flagging by cosine-to-centroid: each vector is
+    * scored against its label's mean vector and flagged when the rounded
+    * cosine falls below 0.05 — the embedding-space noise filter a
+    * curation pipeline runs to drop mislabeled / off-distribution
+    * samples before training (the scoring half of SemDeDup-style
+    * semantic pruning; the dedup half is [[dedupEmbeddingGroups]]).
+    *
+    * Centroids come from the typed [[graft.functions.CentroidAggregator]]
+    * (map-side partial agg, one label-count-sized result) and join back
+    * broadcast, so the pass over the corpus is a single scan + one
+    * label-key aggregate — no shuffle of the vectors themselves. The
+    * cosine runs in FULL DOUBLE precision higher-order functions (not
+    * the float-native `cosine_sim`) because the centroid is a computed
+    * double vector: float truncation would put ~0.2% of fixture rows on
+    * the wrong side of the round-4 hash at sf0.01.
+    */
+  def centroidOutliers(s: SparkSession, d: String): DataFrame = {
+    val cent = graft.functions.CentroidAggregator.centroid(64)
+    val cents = Sources.embeddings(s, d)
+      .groupBy("label").agg(cent(col("embedding")).as("cent"))
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val dot = aggregate(zip_with(vd, col("cent"), (x, y) => x * y),
+      lit(0.0), (a, b) => a + b)
+    val nv = aggregate(vd, lit(0.0), (a, x) => a + x * x)
+    val nc = aggregate(col("cent"), lit(0.0), (a, x) => a + x * x)
+    Sources.embeddings(s, d)
+      .join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        round(dot / (sqrt(nv) * sqrt(nc)), 4).as("cos_centroid"))
+      .withColumn("outlier", col("cos_centroid") < 0.05)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
+    "sim_outliers" -> (centroidOutliers _),
     "sim_cosine_topk_native" -> (cosineTopKNative _),
     "sim_centroid_udaf" -> (centroidUdaf _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -482,6 +516,14 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | u AS (SELECT label, i, avg(v[i]) AS m FROM e, range(1, 65) r(i) GROUP BY label, i),
+        | c AS (SELECT label, list(m ORDER BY i) AS cent FROM u GROUP BY label)
+        |SELECT vec_id, e.label,
+        | round(list_cosine_similarity(e.v, c.cent), 4) AS cos_centroid,
+        | round(list_cosine_similarity(e.v, c.cent), 4) < 0.05 AS outlier
+        |FROM e JOIN c USING (label) ORDER BY vec_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Corpus-statistics quality signals — the filters a pre-training data
+  * pipeline derives from GLOBAL corpus statistics rather than from a
+  * single document in isolation (complementing [[TextOps]], whose
+  * quality scores are per-document-local):
+  *
+  *  - repetition signals (top-word fraction, duplicate-bigram fraction) —
+  *    the Gopher-style "repetitious document" filters;
+  *  - TF-IDF keyword extraction — inverse document frequency needs the
+  *    corpus-wide df table;
+  *  - a unigram language-model score (mean log₂ p under the corpus
+  *    unigram distribution) — the cheap perplexity proxy used to rank
+  *    documents by "typicality" before a real LM scores them;
+  *  - percentile-based length outlier trimming — thresholds derived from
+  *    the observed per-language distribution, not hard-coded.
+  *
+  * Scale shapes: every corpus statistic here is either a broadcastable
+  * aggregate (vocabulary-sized unigram/df tables, one row per distinct
+  * word) or a window over a partitionable key (per-language ranks) — no
+  * all-pairs stage anywhere. The explode → two-level aggregate pattern
+  * keeps per-document word counting in map-side partial aggregation, and
+  * the df/unigram joins broadcast because a vocabulary is bounded (≪
+  * corpus size) by Heaps' law.
+  */
+object TextSignals {
+
+  private def words(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  /** Repetition signals per document (Gopher-style): fraction of tokens
+    * that are the single most frequent word, and the duplicate-bigram
+    * fraction (1 − distinct/total bigrams). Both catch templated or
+    * looping text that per-document length/stopword checks miss.
+    *
+    * The top-word count is explode → (doc, word) partial agg → per-doc
+    * max — two shuffles of (doc_id, word) width, linear in corpus size.
+    * The bigram fraction never leaves the row: a codegen'd higher-order
+    * transform over the word array. The keep flag is evaluated on the
+    * ROUNDED fractions so the decision is reproducible across engines.
+    */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+    val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val top = wc.groupBy("doc_id")
+      .agg(max("c").as("top_c"), sum("c").as("n_words"))
+      .select(col("doc_id"),
+        round(col("top_c").cast("double") / col("n_words").cast("double"), 4)
+          .as("top_word_frac"))
+    val bgs = transform(
+      sequence(lit(1), size(col("__w")) - 1),
+      i => concat_ws(" ", slice(col("__w"), i, lit(2))))
+    val dup = docs.withColumn("__w", words(col("text")))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(bgs)).cast("double") /
+          size(bgs).cast("double"), 4).as("dup_2gram_frac"))
+    top.join(dup, "doc_id")
+      .withColumn("keep",
+        col("top_word_frac") <= 0.11 && col("dup_2gram_frac") <= 0.05)
+      .orderBy("doc_id")
+  }
+
+  /** Per-document top-3 keywords by TF-IDF. tf is the in-document count;
+    * idf = ln(N / df) over the corpus document frequency. Ranking uses
+    * the ROUNDED score (ties broken by word) so the top-3 cut is
+    * engine-reproducible.
+    *
+    * Plan: the df table and the corpus size N are vocabulary-sized /
+    * scalar aggregates — broadcast joins against the (doc, word, tf)
+    * stream — and the top-3 is a per-doc window that WindowGroupLimit
+    * reduces to a running top-k, not a full sort.
+    */
+  def tfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+    val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfTbl = wc.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = wc
+      .join(broadcast(dfTbl), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("w").as("word"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Unigram LM score: mean log₂ p(w) per document under the corpus
+    * unigram distribution — the cheap "how typical is this text"
+    * ranking used to pre-sort documents before an expensive model-based
+    * quality pass. Every token is in-vocabulary by construction (the LM
+    * is trained on the same corpus), so no smoothing term is needed.
+    *
+    * Plan: unigram counts + the total are vocabulary-sized broadcast
+    * aggregates; the scoring pass is one explode + broadcast join + per-
+    * doc average — linear, two narrow shuffles.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Sources.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").cast("double").as("t"))
+    toks
+      .join(broadcast(uni), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log2(col("c").cast("double") / col("t"))), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Percentile-trimmed length filter: keep documents whose n_chars
+    * percent_rank within their language lies in [0.05, 0.95] — thresholds
+    * from the DATA's distribution, the way production corpus trimming
+    * derives cutoffs (fixed byte cutoffs misbehave across languages).
+    * percent_rank = (rank−1)/(n−1) is exact rational arithmetic, so the
+    * cut is engine-reproducible; ties share a rank on both sides.
+    * One window shuffle on the language key.
+    */
+  def lengthOutliers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+    Sources.documents(s, d)
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("pr"), 4).as("len_pct_rank"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "text_tfidf_keywords" -> (tfidfKeywords _),
+    "text_lm_score" -> (lmScore _),
+    "text_length_outliers" -> (lengthOutliers _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        | wc AS (SELECT doc_id, word, count(*) AS c
+        |   FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word),
+        | tw AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_word_frac
+        |   FROM wc GROUP BY doc_id),
+        | bg AS (SELECT doc_id,
+        |   round(1.0 - len(list_distinct(list_transform(range(1, len(ws)),
+        |     i -> ws[i] || ' ' || ws[i+1])))::DOUBLE /
+        |     len(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])), 4)
+        |     AS dup_2gram_frac
+        |   FROM w)
+        |SELECT tw.doc_id, top_word_frac, dup_2gram_frac,
+        | (top_word_frac <= 0.11 AND dup_2gram_frac <= 0.05) AS keep
+        |FROM tw JOIN bg ON tw.doc_id = bg.doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf_keywords" ->
+      """WITH wc AS (SELECT doc_id, word, count(*) AS tf
+        |   FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+        |   GROUP BY doc_id, word),
+        | dfq AS (SELECT word, count(*) AS df FROM wc GROUP BY word),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | sc AS (SELECT doc_id, word,
+        |   round(tf::DOUBLE * ln(n_docs::DOUBLE / df), 4) AS score
+        |   FROM wc JOIN dfq USING (word) CROSS JOIN n)
+        |SELECT doc_id, rnk, word, score FROM (
+        | SELECT doc_id, word, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk
+        | FROM sc)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        | uni AS (SELECT word, count(*) AS c FROM t GROUP BY word),
+        | tot AS (SELECT sum(c)::DOUBLE AS tt FROM uni)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(avg(log2(c::DOUBLE / tt)), 4) AS lm_score
+        |FROM t JOIN uni USING (word) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_length_outliers" ->
+      """SELECT doc_id, lang, n_chars, round(pr, 4) AS len_pct_rank FROM (
+        | SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        | FROM documents)
+        |WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Corpus-statistics quality signals ([[TextSignals]]) and the mixture
+  * sampler / embedding outlier ops added alongside them: semantics
+  * checked against independent brute-force recomputation in plain Scala
+  * over the collected sf0.001 fixture (500 docs / 500 vectors — small
+  * enough to recompute exactly, no Spark code shared with the op under
+  * test).
+  */
+class TextSignalsSpec extends SparkSpec {
+
+  private def round4(x: Double): Double = BigDecimal(x)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val docs: Seq[(Long, String, String, Long)] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  "TextSignals.textRepetition" should "match brute-force fractions and bind both keep outcomes" in {
+    val got = TextSignals.textRepetition(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    got.size shouldBe docs.size
+    docs.take(25).foreach { case (id, text, _, _) =>
+      val ws = text.split(" ", -1).toSeq
+      val topFrac = round4(ws.groupBy(identity).values.map(_.size).max.toDouble / ws.size)
+      val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+      val dupFrac = round4(1.0 - bgs.distinct.size.toDouble / bgs.size)
+      val (gTop, gDup, gKeep) = got(id)
+      gTop shouldBe topFrac
+      gDup shouldBe dupFrac
+      gKeep shouldBe (topFrac <= 0.11 && dupFrac <= 0.05)
+    }
+    // thresholds must actually bind on the fixture (not vacuous)
+    got.values.count(_._3) should (be > 0 and be < docs.size)
+  }
+
+  "TextSignals.tfidfKeywords" should "rank by rounded tf·idf with word tie-break" in {
+    val n = docs.size.toDouble
+    val df = docs.flatMap { case (_, t, _, _) => t.split(" ", -1).distinct }
+      .groupBy(identity).map { case (w, o) => w -> o.size }
+    val got = TextSignals.tfidfKeywords(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .groupBy(_._1)
+    got.size shouldBe docs.size
+    docs.take(15).foreach { case (id, text, _, _) =>
+      val tf = text.split(" ", -1).toSeq.groupBy(identity).map { case (w, o) => w -> o.size }
+      val exp = tf.map { case (w, f) => (w, round4(f * math.log(n / df(w)))) }
+        .toSeq.sortBy { case (w, sc) => (-sc, w) }.take(3)
+      val g = got(id).sortBy(_._2).map(r => (r._3, r._4))
+      g shouldBe exp
+    }
+  }
+
+  "TextSignals.lmScore" should "match the brute-force corpus unigram mean log-prob" in {
+    val all = docs.flatMap(_._2.split(" ", -1))
+    val uni = all.groupBy(identity).map { case (w, o) => w -> o.size }
+    val tot = all.size.toDouble
+    val got = TextSignals.lmScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    docs.take(15).foreach { case (id, text, _, _) =>
+      val toks = text.split(" ", -1).toSeq
+      val exp = round4(toks.map(w => math.log(uni(w) / tot) / math.log(2)).sum / toks.size)
+      got(id)._1 shouldBe toks.size.toLong
+      got(id)._2 shouldBe exp +- 1e-9
+    }
+  }
+
+  "TextSignals.lengthOutliers" should "keep exactly the [0.05, 0.95] percent_rank band per language" in {
+    val kept = TextSignals.lengthOutliers(spark, sfDir).collect()
+      .map(r => r.getLong(0)).toSet
+    val expected = docs.groupBy(_._3).flatMap { case (_, group) =>
+      val sorted = group.sortBy(_._4)
+      val n = sorted.size
+      // percent_rank = (rank-1)/(n-1) with ties sharing the min rank
+      val rankOf = sorted.map(_._4).zipWithIndex.groupBy(_._1)
+        .map { case (nc, xs) => nc -> xs.map(_._2).min }
+      group.filter { case (_, _, _, nc) =>
+        val pr = rankOf(nc).toDouble / (n - 1)
+        pr >= 0.05 && pr <= 0.95
+      }.map(_._1)
+    }.toSet
+    kept shouldBe expected
+    kept.size should be < docs.size // the trim must bind
+  }
+
+  "Sampling.sampleDomainMixture" should "match exact integer-hash keep counts per source" in {
+    val got = Sampling.sampleDomainMixture(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = docs.groupBy(_._3).map(identity) // placeholder; recompute below per source
+    val bySource = docs.groupBy { case (_, _, _, _) => () }
+    val perSource = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .groupBy(_._2)
+    perSource.foreach { case (src, rows) =>
+      val rate = (src.drop(3).toLong % 4) match {
+        case 0 => 1.0; case 1 => 0.75; case 2 => 0.5; case _ => 0.25
+      }
+      val nKept = rows.count { case (id, _) =>
+        ((id * 2654435761L) % 1048576L).toDouble / 1048576.0 < rate
+      }
+      val (gRate, gTotal, gKept) = got(src)
+      gRate shouldBe rate
+      gTotal shouldBe rows.size.toLong
+      gKept shouldBe nKept.toLong
+    }
+    // distinct rates must actually appear (the mixture is non-trivial)
+    got.values.map(_._1).toSet.size should be >= 3
+  }
+
+  "Similarity.centroidOutliers" should "match a brute-force double-precision cosine to the label centroid" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray)).toSeq
+    val cents = vecs.groupBy(_._2).map { case (l, vs) =>
+      val dim = vs.head._3.length
+      val m = Array.ofDim[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(i => m(i) += v._3(i)))
+      l -> m.map(_ / vs.size)
+    }
+    val got = Similarity.centroidOutliers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    got.size shouldBe vecs.size
+    vecs.take(25).foreach { case (id, l, v) =>
+      val c = cents(l)
+      val dot = v.zip(c).map { case (a, b) => a * b }.sum
+      val cos = round4(dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum)))
+      got(id)._1 shouldBe cos +- 1e-9
+      got(id)._2 shouldBe (got(id)._1 < 0.05)
+    }
+    got.values.count(_._2) should (be > 0 and be < vecs.size) // flag binds
+  }
+}
