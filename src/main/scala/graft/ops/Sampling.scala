@@ -76,10 +76,15 @@ object Sampling {
     * runs, engines and partitionings.
     *
     * The draw is a Knuth multiplicative hash of the id reduced mod 2²⁰:
-    * r = (id · 2654435761) mod 2²⁰ / 2²⁰ — exact integer arithmetic and
-    * an exact dyadic rational, so `r < rate` is bit-reproducible in any
-    * engine (no RNG, no float accumulation). Rates cycle ¼..1 by source
-    * index so every rate bin is exercised by the fixture.
+    * r = ((id mod 2²⁰) · 2654435761) mod 2²⁰ / 2²⁰ — exact integer
+    * arithmetic and an exact dyadic rational, so `r < rate` is
+    * bit-reproducible in any engine (no RNG, no float accumulation).
+    * The id is reduced mod 2²⁰ BEFORE the multiply: since 2²⁰ | 2⁶⁴ the
+    * result is congruent to the unmasked product under either wrapping
+    * (Spark/Scala) or arbitrary-precision (DuckDB) semantics, and the
+    * masked intermediate stays < 2⁵² — no engine can overflow or
+    * diverge at any id range. Rates cycle ¼..1 by source index so every
+    * rate bin is exercised by the fixture.
     *
     * Plan: keep-decision is a pure map-side projection (no shuffle); the
     * per-source audit is one hash aggregate. At 100 TB the decision
@@ -91,7 +96,7 @@ object Sampling {
       .when(pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) === 1, 0.75)
       .when(pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) === 2, 0.5)
       .otherwise(0.25)
-    val draw = pmod(col("doc_id") * lit(2654435761L), lit(1048576L))
+    val draw = pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L), lit(1048576L))
       .cast("double") / lit(1048576.0)
     Sources.documents(s, d)
       .withColumn("rate", rate)
@@ -109,9 +114,57 @@ object Sampling {
     "sample_split_counts" -> (sampleSplitCounts _),
     "sample_stratified" -> (sampleStratified _),
     "sample_domain_mixture" -> (sampleDomainMixture _),
+    "sample_quality_weighted" -> (sampleQualityWeighted _),
   )
 
+  /** Importance-weighted sampling with a CONTINUOUS per-document rate:
+    * keep probability = the doc's unique-word ratio (distinct/total
+    * words), so repetitive documents are downweighted smoothly instead of
+    * cut at a threshold — the soft version of the Gopher repetition
+    * filter, used when the pipeline wants to *reduce* low-quality mass,
+    * not eliminate it.
+    *
+    * The accept test never touches floating point: the draw is the
+    * dyadic rational k/2²⁰ (Knuth hash, as in [[sampleDomainMixture]])
+    * and the rate is the exact rational a/b, so `keep ⇔ k·b < a·2²⁰`
+    * compares 64-bit integers (k < 2²⁰, b ≤ words-per-doc ⇒ no
+    * overflow). Bit-reproducible in any engine at any id range.
+    *
+    * Plan: the keep decision is a map-side projection over the scan
+    * (distinct-ratio via in-row array ops — no explode); the audit agg
+    * is one shuffle on lang. At 100 TB the sampler streams with the scan.
+    */
+  def sampleQualityWeighted(s: SparkSession, d: String): DataFrame = {
+    val ws = org.apache.spark.sql.functions.split(col("text"), " ")
+    val a = size(array_distinct(ws)).cast("long")   // rate numerator
+    val b = size(ws).cast("long")                   // rate denominator
+    val k = pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L), lit(1048576L))
+    Sources.documents(s, d)
+      .withColumn("kept", k * b < a * lit(1048576L))
+      .withColumn("rate", a.cast("double") / b.cast("double"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        round(avg("rate"), 4).as("target_rate"))
+      .withColumn("observed_rate",
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 4))
+      .orderBy("lang")
+  }
+
   val oracles: Map[String, String] = Map(
+    "sample_quality_weighted" ->
+      """WITH t AS (
+        | SELECT lang,
+        |  len(list_distinct(string_split(text, ' '))) AS a,
+        |  len(string_split(text, ' ')) AS b,
+        |  ((doc_id % 1048576) * 2654435761) % 1048576 AS k
+        | FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        | CAST(sum(CASE WHEN k * b < a * 1048576 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | round(avg(a::DOUBLE / b), 4) AS target_rate,
+        | round(sum(CASE WHEN k * b < a * 1048576 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS observed_rate
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "sample_split_counts" ->
       """SELECT lang,
         | CASE WHEN doc_id % 10 < 8 THEN 'train' WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split,
@@ -127,7 +180,7 @@ object Sampling {
         | SELECT source,
         |  CASE CAST(substr(source, 4) AS BIGINT) % 4
         |   WHEN 0 THEN 1.0 WHEN 1 THEN 0.75 WHEN 2 THEN 0.5 ELSE 0.25 END AS rate,
-        |  ((doc_id * 2654435761) % 1048576)::DOUBLE / 1048576.0 AS draw
+        |  (((doc_id % 1048576) * 2654435761) % 1048576)::DOUBLE / 1048576.0 AS draw
         | FROM documents)
         |SELECT source, rate, count(*) AS n_total,
         | CAST(sum(CASE WHEN draw < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

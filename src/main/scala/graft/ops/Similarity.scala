@@ -271,16 +271,16 @@ object Similarity {
   /** Random-hyperplane LSH ANN: top cosine neighbor per vector among
     * bucket-mates. Signature width is sized from the corpus count so
     * bucket sizes stay constant as data grows. Pass `corpusCount` when
-    * the caller already knows it (catalog stats, a prior job) to skip
-    * the sizing count job — it's cheap (parquet footers) but repeated
-    * invocations at 100 TB shouldn't re-plan it every time. Approximate
+    * the caller already knows it (catalog stats, a prior job); otherwise
+    * the count is memoized per path in [[graft.io.CorpusStats]], so
+    * repeated invocations never re-run the sizing job. Approximate
     * ⇒ rows-only check; recall asserted in OpsSpec, candidate
     * sub-linearity in ScaleProbe.
     */
   def annLshTopNeighbor(s: SparkSession, d: String,
       corpusCount: Option[Long] = None): DataFrame = {
     val emb = Sources.embeddings(s, d)
-    val n = corpusCount.getOrElse(emb.count())
+    val n = corpusCount.getOrElse(graft.io.CorpusStats.rowCount(s, d, "embeddings"))
     val targetBucket = 32L
     val bits = math.max(4,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
@@ -502,7 +502,46 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the compression
+    * step an embedding store runs before ANN serving (4× smaller than
+    * float32, SIMD-friendly dot products). Per vector: scale
+    * s = 127 / max|xᵢ|, qᵢ = clamp(⌊xᵢ·s + 0.5⌋, −127, 127); reported
+    * per vector are the saturation count and the dequantization MSE
+    * (mean (xᵢ − qᵢ/s)²) — the audit a pipeline runs to decide whether
+    * int8 is safe for its distribution.
+    *
+    * Everything stays in-row (codegen'd higher-order functions over the
+    * array — no explode, no shuffle, no UDF): the whole pass is a
+    * map-side projection that streams with the scan at any corpus size.
+    * ⌊x·s + 0.5⌋ is used instead of round() half-up so every engine
+    * computes the identical IEEE-754 double sequence: float→double cast,
+    * multiply, floor, subtract, square, in-order array sum.
+    */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val maxAbs = array_max(transform(vd, x => abs(x)))
+    // all-zero vector ⇒ scale 0, q ≡ 0, error ≡ 0 (not a ÷0 inf/NaN)
+    val scl = when(col("max_abs") === 0.0, lit(0.0))
+      .otherwise(lit(127.0) / col("max_abs"))
+    val q = transform(col("vd"), x =>
+      when(col("scl") === 0.0, lit(0.0)).otherwise(
+        greatest(lit(-127.0), least(lit(127.0), floor(x * col("scl") + 0.5)))))
+    val err = zip_with(col("vd"), col("q"), (x, qi) => {
+      val dq = when(col("scl") === 0.0, lit(0.0)).otherwise(qi / col("scl"))
+      (x - dq) * (x - dq)
+    })
+    Sources.embeddings(s, d)
+      .withColumn("vd", vd).withColumn("max_abs", maxAbs)
+      .withColumn("scl", scl).withColumn("q", q)
+      .select(col("vec_id"),
+        size(filter(col("q"), qi => abs(qi) === 127.0)).cast("long").as("n_saturated"),
+        round(col("scl"), 6).as("scale"),
+        round(aggregate(err, lit(0.0), (a, e) => a + e) / size(col("q")), 10).as("mse"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_outliers" -> (centroidOutliers _),
     "sim_cosine_topk_native" -> (cosineTopKNative _),
@@ -516,6 +555,20 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        | s AS (SELECT vec_id, v, CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scl FROM m),
+        | q AS (SELECT vec_id, v, scl,
+        |   list_transform(v, x -> CASE WHEN scl = 0 THEN 0.0
+        |     ELSE greatest(-127.0, least(127.0, floor(x * scl + 0.5))) END) AS qv
+        |   FROM s)
+        |SELECT vec_id,
+        | CAST(len(list_filter(qv, x -> abs(x) = 127.0)) AS BIGINT) AS n_saturated,
+        | round(scl, 6) AS scale,
+        | round(list_sum(list_transform(range(1, len(v) + 1),
+        |   i -> (v[i] - CASE WHEN scl = 0 THEN 0.0 ELSE qv[i] / scl END) ^ 2)) / len(v), 10) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
     "sim_outliers" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | u AS (SELECT label, i, avg(v[i]) AS m FROM e, range(1, 65) r(i) GROUP BY label, i),

@@ -86,12 +86,57 @@ object StreamingAnalogs {
       .orderBy("user_id")
   }
 
+  /** Batch twin of [[graft.streaming.StreamingOps.dedupWithinWatermark]]
+    * (`dropDuplicatesWithinWatermark`): late replays of an event inside
+    * the 10-minute watermark horizon are dropped; replays arriving after
+    * the horizon (state already evicted) survive as new rows. The fixture
+    * has unique `event_id`s, so replays are synthesized deterministically
+    * — every 5th event replayed at +5 min (in-horizon ⇒ dropped), every
+    * 7th at +30 min (out-of-horizon ⇒ kept) — which makes both outcomes
+    * bind and keeps the input non-chaining (each survivor ≥ horizon after
+    * the previous), so the oracle's min-anchored window check is exact.
+    *
+    * The horizon fold itself is general: per event_id, an `aggregate`
+    * HOF over the sorted arrival array keeps a row iff it is ≥ horizon
+    * after the last KEPT row — the deterministic contract of streaming
+    * state eviction. One shuffle on event_id; per-key arrays are
+    * replay-count-sized (bounded), and the fold is codegen'd — no UDF.
+    */
+  def dedupWatermarkBatch(s: SparkSession, d: String): DataFrame = {
+    val horizonUs = 10L * 60L * 1000000L
+    val ev = Sources.events(s, d).select(col("event_id"), col("ts"))
+    val all = ev
+      .unionAll(ev.filter(col("event_id") % 5 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES")))
+      .unionAll(ev.filter(col("event_id") % 7 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTES")))
+    all.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("event_id").agg(array_sort(collect_list("us")).as("ts_all"))
+      .select(col("event_id"), explode(aggregate(
+        col("ts_all"),
+        struct(lit(null).cast("bigint").as("last"),
+          expr("CAST(array() AS ARRAY<BIGINT>)").as("kept")),
+        (acc, t) => {
+          val keep = acc.getField("last").isNull ||
+            (t - acc.getField("last") >= lit(horizonUs))
+          struct(
+            when(keep, t).otherwise(acc.getField("last")).as("last"),
+            when(keep, concat(acc.getField("kept"), array(t)))
+              .otherwise(acc.getField("kept")).as("kept"))
+        },
+        acc => acc.getField("kept"))).as("us"))
+      .select(col("event_id"),
+        date_format(timestamp_micros(col("us")), "yyyy-MM-dd HH:mm:ss").as("ts_kept"))
+      .orderBy("event_id", "ts_kept")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_hourly" -> (tumblingHourly _),
     "stream_sliding_hourly" -> (slidingHourly _),
     "stream_session_per_user" -> (sessionPerUser _),
     "stream_interval_join" -> (intervalJoin _),
     "stream_running_totals" -> (runningTotals _),
+    "stream_dropdup_watermark" -> (dedupWatermarkBatch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +164,16 @@ object StreamingAnalogs {
     "stream_running_totals" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_dropdup_watermark" ->
+      """WITH all_ev AS (
+        |  SELECT event_id, ts FROM events
+        |  UNION ALL SELECT event_id, ts + INTERVAL '5 minutes' FROM events WHERE event_id % 5 = 0
+        |  UNION ALL SELECT event_id, ts + INTERVAL '30 minutes' FROM events WHERE event_id % 7 = 0),
+        | m AS (SELECT event_id, min(ts) AS t0 FROM all_ev GROUP BY event_id)
+        |SELECT a.event_id, strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts_kept
+        |FROM all_ev a JOIN m USING (event_id)
+        |WHERE a.ts = m.t0 OR a.ts >= m.t0 + INTERVAL '10 minutes'
+        |ORDER BY event_id, ts_kept""".stripMargin,
     "stream_session_per_user" ->
       """WITH x AS (
         |  SELECT user_id, ts, value,

@@ -426,7 +426,79 @@ object TextOps {
       .limit(20)
   }
 
+  /** Incremental ingestion dedup — the nightly-batch shape every growing
+    * corpus runs: a NEW batch (here doc_id % 10 ≥ 8, the 20% "tonight's
+    * crawl" slice) is probed against the EXISTING corpus (the other 80%)
+    * and batch docs near-duplicating any corpus doc are dropped. The
+    * asymmetry is the point at 100 TB: candidates come from
+    * [[Dedup.lshCandidatePairsAcross]] (batch bands equi-joined to
+    * corpus bands; corpus×corpus is never joined), so a nightly run costs
+    * O(batch + matched buckets), not O(corpus²) — and the corpus band
+    * table is the precomputable, appendable "dedup index" of the store.
+    * Verification is the same exact shingle-Jaccard ≥ τ re-rank as
+    * [[dedupMinHashLsh]], whose recall above τ is complete on the bimodal
+    * fixture, so the output hash-matches the all-pairs batch×corpus
+    * oracle. `dup_of` reports the smallest matched corpus id (−1 = none).
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) >= 8)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) < 8)
+    val cands = Dedup.lshCandidatePairsAcross(
+      Dedup.minHashBands(batch, "doc_id", "text", nHashes = 16, bandSize = 2),
+      Dedup.minHashBands(corpus, "doc_id", "text", nHashes = 16, bandSize = 2),
+      "doc_id")
+    val sets = shingleSets(docs)
+    val matched = cands
+      .join(sets.select(col("doc_id").as("id_a"), col("sset").as("set_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sset").as("set_b")), "id_b")
+      .filter(round(Dedup.jaccard(col("set_a"), col("set_b")), 4) >= nearDupTau)
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(min("id_b").as("__dup"))
+    batch.select("doc_id").join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__dup"), lit(-1L)).as("dup_of"))
+      .withColumn("kept", col("dup_of") === -1L)
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction — the scrub pass a pre-training pipeline runs before
+    * anything else sees the text: emails and phone-shaped strings are
+    * replaced with typed placeholder tokens and the per-document
+    * redaction counts are reported for audit. The fixture corpus is
+    * synthetic-clean, so PII is INJECTED deterministically first (every
+    * 3rd doc gains an email, every 4th a phone number, built from the
+    * doc_id) — both redaction outcomes bind and the whole construction
+    * is reproducible in any engine.
+    *
+    * Pure map-side projection (regexp over the row, no shuffle); the
+    * patterns are RE2-compatible so source-pushed scrubbing engines can
+    * run the same rules. Output keys on md5 of the redacted text so the
+    * oracle checks the FULL redacted string, not just counts.
+    */
+  def redactPii(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.[a-z]+"
+    val phonePat = "555-[0-9]{4}"
+    val injected = concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Sources.documents(s, d)
+      .withColumn("__t", injected)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("__t"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("__t"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("__t"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
+    "text_redact_pii" -> (redactPii _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_curation_pipeline" -> (curationPipeline _),
     "dedup_exact" -> (dedupExact _),
@@ -464,6 +536,30 @@ object TextOps {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | dd AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, greatest(len(ws) - 2, 1) + 1),
+        |   i -> array_to_string(ws[i:i+2], ' '))) AS sset FROM w),
+        | b AS (SELECT * FROM dd WHERE doc_id % 10 >= 8),
+        | c AS (SELECT * FROM dd WHERE doc_id % 10 < 8),
+        | v AS (SELECT b.doc_id, min(c.doc_id) AS dup_of
+        |   FROM b JOIN c ON round(len(list_intersect(b.sset, c.sset))::DOUBLE /
+        |        len(list_distinct(list_concat(b.sset, c.sset))), 4) >= 0.6
+        |   GROUP BY b.doc_id)
+        |SELECT doc_id, COALESCE(dup_of, -1) AS dup_of, COALESCE(dup_of, -1) = -1 AS kept
+        |FROM b LEFT JOIN v USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_redact_pii" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  AS txt FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(txt, '[A-Za-z0-9]+@[A-Za-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(txt, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(txt, '[A-Za-z0-9]+@[A-Za-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
+        |   '555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_heavy_hitters" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
         |           WHERE len(string_split(text, ' ')) >= 5),

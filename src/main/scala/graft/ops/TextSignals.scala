@@ -56,10 +56,13 @@ object TextSignals {
     val bgs = transform(
       sequence(lit(1), size(col("__w")) - 1),
       i => concat_ws(" ", slice(col("__w"), i, lit(2))))
+    // <2 words ⇒ no bigrams: defined as 0.0 (CaseWhen short-circuits, so
+    // the descending sequence(1, 0) / slice(_, 0, _) path never evaluates)
     val dup = docs.withColumn("__w", words(col("text")))
       .select(col("doc_id"),
-        round(lit(1.0) - size(array_distinct(bgs)).cast("double") /
-          size(bgs).cast("double"), 4).as("dup_2gram_frac"))
+        when(size(col("__w")) < 2, lit(0.0))
+          .otherwise(round(lit(1.0) - size(array_distinct(bgs)).cast("double") /
+            size(bgs).cast("double"), 4)).as("dup_2gram_frac"))
     top.join(dup, "doc_id")
       .withColumn("keep",
         col("top_word_frac") <= 0.11 && col("dup_2gram_frac") <= 0.05)
@@ -90,7 +93,7 @@ object TextSignals {
           log(col("n_docs").cast("double") / col("df").cast("double")), 4))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("w").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("w").as("word"), col("score"))
       .orderBy("doc_id", "rnk")
@@ -139,7 +142,45 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Bigram LM score: mean log₂ P(wᵢ | wᵢ₋₁) per document under the
+    * corpus MLE bigram model — the next step up from [[lmScore]]'s
+    * unigram typicality; repetitive/templated text scores HIGH (its
+    * transitions are corpus-common) while word-salad scores low, so the
+    * two scores together separate "fluent", "templated" and "random"
+    * regimes before any neural model runs. P(w|prev) = c(prev w) /
+    * c(prev·): the denominator counts prev as a bigram CONTEXT, so the
+    * conditional properly normalizes and every scored bigram is in-model
+    * by construction (no smoothing term).
+    *
+    * Plan: bigram stream via the same guarded in-row shingle transform
+    * as the dedup path (no cross-row work); the context-count table is
+    * vocabulary-sized ⇒ broadcast; the bigram-count join keys on the
+    * bigram string and is left to AQE — at 100 TB bigram vocabulary can
+    * exceed broadcast size, and a shuffle equi-join on the bigram key is
+    * the correct scale shape (one linear shuffle each side).
+    */
+  def bigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Sources.documents(s, d)
+      .withColumn("__w", words(col("text")))
+      .filter(size(col("__w")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.wordShingles(col("__w"), 2)).as("bg"))
+      .withColumn("prev", split(col("bg"), " ").getItem(0))
+    val bgCounts = toks.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val prevCounts = toks.groupBy("prev").agg(count(lit(1)).as("cp"))
+    toks
+      .join(bgCounts, "bg")
+      .join(broadcast(prevCounts), "prev")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log2(col("cb").cast("double") / col("cp").cast("double"))), 4)
+          .as("bigram_lm_score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> (bigramLmScore _),
     "text_repetition" -> (textRepetition _),
     "text_tfidf_keywords" -> (tfidfKeywords _),
     "text_lm_score" -> (lmScore _),
@@ -147,6 +188,17 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | tp AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS prev FROM (
+        |   SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |     i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w WHERE len(ws) >= 2)),
+        | bc AS (SELECT bg, count(*) AS cb FROM tp GROUP BY bg),
+        | pc AS (SELECT prev, count(*) AS cp FROM tp GROUP BY prev)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(avg(log2(cb::DOUBLE / cp)), 4) AS bigram_lm_score
+        |FROM tp JOIN bc USING (bg) JOIN pc USING (prev)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         | wc AS (SELECT doc_id, word, count(*) AS c
@@ -154,14 +206,15 @@ object TextSignals {
         | tw AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_word_frac
         |   FROM wc GROUP BY doc_id),
         | bg AS (SELECT doc_id,
+        |   CASE WHEN len(ws) < 2 THEN 0.0 ELSE
         |   round(1.0 - len(list_distinct(list_transform(range(1, len(ws)),
         |     i -> ws[i] || ' ' || ws[i+1])))::DOUBLE /
         |     len(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])), 4)
-        |     AS dup_2gram_frac
+        |     END AS dup_2gram_frac
         |   FROM w)
-        |SELECT tw.doc_id, top_word_frac, dup_2gram_frac,
+        |SELECT doc_id, top_word_frac, dup_2gram_frac,
         | (top_word_frac <= 0.11 AND dup_2gram_frac <= 0.05) AS keep
-        |FROM tw JOIN bg ON tw.doc_id = bg.doc_id ORDER BY doc_id""".stripMargin,
+        |FROM tw JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_tfidf_keywords" ->
       """WITH wc AS (SELECT doc_id, word, count(*) AS tf
         |   FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)

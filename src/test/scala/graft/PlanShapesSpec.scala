@@ -20,11 +20,16 @@ class PlanShapesSpec extends SparkSpec {
 
   /** Queries whose *intended* shape is a broadcast nested-loop / cross
     * join of a bounded side: the 5×5 region cross, the 10-row theta band
-    * build, and the ≤8-row broadcast query sets of the top-k scans.
+    * build, the ≤8-row broadcast query sets of the top-k scans, and the
+    * 1-row scalar-aggregate attaches (corpus size N, unigram total) that
+    * TF-IDF / LM scoring crossJoin(broadcast(...)) onto every row — a
+    * single-row build side is the cheapest way to attach a corpus scalar
+    * without a shuffle.
     */
   private val sanctionedCross = Set(
     "join_cross_regions", "join_price_bands",
-    "sim_cosine_topk", "sim_cosine_topk_native")
+    "sim_cosine_topk", "sim_cosine_topk_native",
+    "text_tfidf_keywords", "text_lm_score")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

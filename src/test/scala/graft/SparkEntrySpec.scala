@@ -18,6 +18,7 @@ class SparkEntrySpec extends SparkSpec {
     "streaming" -> StreamingAnalogs.queries.keySet,
     "sampling" -> Sampling.queries.keySet,
     "multimodal" -> Multimodal.queries.keySet,
+    "textSignals" -> TextSignals.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {

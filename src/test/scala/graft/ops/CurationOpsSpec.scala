@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Round-5 curation operators (incremental dedup, PII redaction, bigram
+  * LM, quality-weighted sampling, int8 quantization): semantics checked
+  * against independent brute-force recomputation in plain Scala over the
+  * collected sf0.001 fixture — no Spark code shared with the op under
+  * test.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private def round4(x: Double): Double = BigDecimal(x)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def shingles(text: String): Set[String] =
+    text.split(" ", -1).toSeq.sliding(3).map(_.mkString(" ")).toSet
+
+  "TextOps.dedupIncremental" should "match brute-force batch-vs-corpus near-dup verdicts" in {
+    val batch = docs.filter(_._1 % 10 >= 8)
+    val corpus = docs.filter(_._1 % 10 < 8)
+    val corpusSets = corpus.map { case (id, t, _) => id -> shingles(t) }
+    val expected = batch.map { case (id, t, _) =>
+      val ss = shingles(t)
+      val hits = corpusSets.filter { case (_, cs) =>
+        val j = round4(ss.intersect(cs).size.toDouble / ss.union(cs).size)
+        j >= 0.6
+      }.map(_._1)
+      id -> (if (hits.isEmpty) -1L else hits.min)
+    }.toMap
+    val got = TextOps.dedupIncremental(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (id, dupOf) =>
+      got(id)._1 shouldBe dupOf
+      got(id)._2 shouldBe (dupOf == -1L)
+    }
+    // both verdicts must bind on the fixture
+    got.values.count(_._2) should (be > 0 and be < got.size)
+  }
+
+  "TextOps.redactPii" should "count and scrub injected emails/phones" in {
+    val emailPat = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.[a-z]+".r
+    val phonePat = "555-[0-9]{4}".r
+    val got = TextOps.redactPii(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    got.size shouldBe docs.size
+    docs.take(30).foreach { case (id, text, _) =>
+      val injected = text +
+        (if (id % 3 == 0) s" contact user$id@example.com" else "") +
+        (if (id % 4 == 0) f" call 555-${id % 10000}%04d" else "")
+      val redacted = phonePat.replaceAllIn(
+        emailPat.replaceAllIn(injected, "[EMAIL]"), "[PHONE]")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (nE, nP, h) = got(id)
+      nE shouldBe emailPat.findAllIn(injected).size.toLong
+      nP shouldBe phonePat.findAllIn(injected).size.toLong
+      h shouldBe md5
+    }
+    // injection must actually fire on the fixture
+    got.values.map(_._1).sum should be > 0L
+    got.values.map(_._2).sum should be > 0L
+  }
+
+  "TextSignals.bigramLmScore" should "match the brute-force corpus bigram MLE" in {
+    val allBigrams = docs.flatMap(_._2.split(" ", -1).toSeq.sliding(2).map(_.mkString(" ")))
+    val cb = allBigrams.groupBy(identity).map { case (b, o) => b -> o.size }
+    val cp = allBigrams.map(_.split(" ")(0)).groupBy(identity).map { case (p, o) => p -> o.size }
+    val got = TextSignals.bigramLmScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    docs.take(15).foreach { case (id, text, _) =>
+      val bgs = text.split(" ", -1).toSeq.sliding(2).map(_.mkString(" ")).toSeq
+      val exp = bgs.map(b => math.log(cb(b).toDouble / cp(b.split(" ")(0))) / math.log(2))
+        .sum / bgs.size
+      got(id)._1 shouldBe bgs.size.toLong
+      got(id)._2 shouldBe round4(exp) +- 1e-9
+    }
+  }
+
+  "Sampling.sampleQualityWeighted" should "match exact integer accept tests per lang" in {
+    val perLang = docs.groupBy(_._3)
+    val got = Sampling.sampleQualityWeighted(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    perLang.foreach { case (lang, rows) =>
+      val kept = rows.count { case (id, text, _) =>
+        val ws = text.split(" ", -1)
+        val a = ws.distinct.length.toLong
+        val b = ws.length.toLong
+        val k = ((id % 1048576L) * 2654435761L) % 1048576L
+        k * b < a * 1048576L
+      }
+      val rates = rows.map { case (_, text, _) =>
+        val ws = text.split(" ", -1); ws.distinct.length.toDouble / ws.length
+      }
+      val (nTotal, nKept, targetRate) = got(lang)
+      nTotal shouldBe rows.size.toLong
+      nKept shouldBe kept.toLong
+      targetRate shouldBe round4(rates.sum / rates.size) +- 1e-9
+    }
+    // the sampler must actually thin (rates < 1 somewhere)
+    got.values.map(_._2).sum should be < docs.size.toLong
+  }
+
+  "Similarity.quantizeInt8" should "match brute-force scale, saturation and MSE" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val got = Similarity.quantizeInt8(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    got.size shouldBe vecs.size
+    vecs.take(25).foreach { case (id, v) =>
+      val ma = v.map(math.abs).max
+      val s = if (ma == 0.0) 0.0 else 127.0 / ma
+      val q = v.map(x => if (s == 0.0) 0.0
+        else math.max(-127.0, math.min(127.0, math.floor(x * s + 0.5))))
+      val mse = v.zip(q).map { case (x, qi) =>
+        val dq = if (s == 0.0) 0.0 else qi / s; (x - dq) * (x - dq)
+      }.sum / v.length
+      val (nSat, scale, gm) = got(id)
+      nSat shouldBe q.count(qi => math.abs(qi) == 127.0).toLong
+      scale shouldBe BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-12
+      gm shouldBe mse +- 1e-9
+      nSat should be >= 1L // the max-magnitude dim always saturates
+    }
+  }
+}

@@ -37,12 +37,31 @@ class TextSignalsSpec extends SparkSpec {
     got.values.count(_._3) should (be > 0 and be < docs.size)
   }
 
+  it should "define dup_2gram_frac = 0.0 for single-word documents" in {
+    // the fixture has no 1-word docs, so exercise the guard directly:
+    // without it, sequence(1, 0) descends and slice(_, 0, 2) throws
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    Seq((1L, "solo"), (2L, "two words"), (3L, "a a"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", F.lit("en"))
+      .withColumn("n_chars", F.length($"text").cast("long"))
+      .withColumn("source", F.lit("src0"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextSignals.textRepetition(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    got(1L) shouldBe ((1.0, 0.0))   // one word: top frac 1, no bigrams
+    got(2L) shouldBe ((0.5, 0.0))   // "two words": 1 distinct bigram of 1
+    got(3L) shouldBe ((1.0, 0.0))   // "a a": bigram "a a" unique
+  }
+
   "TextSignals.tfidfKeywords" should "rank by rounded tf·idf with word tie-break" in {
     val n = docs.size.toDouble
     val df = docs.flatMap { case (_, t, _, _) => t.split(" ", -1).distinct }
       .groupBy(identity).map { case (w, o) => w -> o.size }
     val got = TextSignals.tfidfKeywords(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
       .groupBy(_._1)
     got.size shouldBe docs.size
     docs.take(15).foreach { case (id, text, _, _) =>
@@ -89,8 +108,6 @@ class TextSignalsSpec extends SparkSpec {
   "Sampling.sampleDomainMixture" should "match exact integer-hash keep counts per source" in {
     val got = Sampling.sampleDomainMixture(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
-    val expected = docs.groupBy(_._3).map(identity) // placeholder; recompute below per source
-    val bySource = docs.groupBy { case (_, _, _, _) => () }
     val perSource = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -100,7 +117,7 @@ class TextSignalsSpec extends SparkSpec {
         case 0 => 1.0; case 1 => 0.75; case 2 => 0.5; case _ => 0.25
       }
       val nKept = rows.count { case (id, _) =>
-        ((id * 2654435761L) % 1048576L).toDouble / 1048576.0 < rate
+        (((id % 1048576L) * 2654435761L) % 1048576L).toDouble / 1048576.0 < rate
       }
       val (gRate, gTotal, gKept) = got(src)
       gRate shouldBe rate
