@@ -52,6 +52,10 @@ object ScaleProbe {
         replicate("embeddings", k, Seq("vec_id"))
           .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       }
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        replicate("documents", k, Seq("doc_id"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
       val ord = spark.read.parquet(s"$dir/orders.parquet")
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -156,8 +160,37 @@ object ScaleProbe {
         println(s"""{"scale":$k,"ivf_assign_probe":{"k":512,""" +
           s""""model_cells":${model512.size},"train_sec":$tTrain,"assign_sec":$tAssign}}""")
       }
+      // Incremental-dedup probe: a FIXED batch (the base sf0.1 20% slice)
+      // probed against a corpus replicated k× — the nightly-ingestion
+      // shape. The replica offset is a multiple of 10, so id%10 splits
+      // consistently and every corpus replica keeps its near-dup text.
+      // Time must track corpus size ~linearly (corpus band build is one
+      // scan; the batch×corpus work is bucket-bounded) — a corpus×corpus
+      // or all-pairs shape would grow ~k².
+      val docsBase = spark.read.parquet(s"$base/documents.parquet")
+      val batchDocs = docsBase.filter(pmod(col("doc_id"), lit(10L)) >= 8)
+      val corpDocs = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(10L)) < 8)
+      val nCorp = corpDocs.count()
+      var incMatches = 0L
+      val tInc = time {
+        val cand = graft.ops.Dedup.lshCandidatePairsAcross(
+          graft.ops.Dedup.minHashBands(batchDocs, "doc_id", "text", 16, 2),
+          graft.ops.Dedup.minHashBands(corpDocs, "doc_id", "text", 16, 2),
+          "doc_id")
+        val sets = docsBase.unionAll(spark.read.parquet(s"$dir/documents.parquet"))
+          .dropDuplicates("doc_id")
+          .select(col("doc_id"), array_distinct(
+            graft.ops.Dedup.wordShingles(split(col("text"), " "))).as("sset"))
+        incMatches = cand
+          .join(sets.select(col("doc_id").as("id_a"), col("sset").as("set_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("sset").as("set_b")), "id_b")
+          .filter(graft.ops.Dedup.jaccard(col("set_a"), col("set_b")) >= 0.6)
+          .count()
+        incMatches
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc}""")
     }
     spark.stop()
   }
