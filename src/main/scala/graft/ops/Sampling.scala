@@ -110,11 +110,76 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Sequence packing — the assembly step between curation and training:
+    * documents are concatenated in a canonical order (lang, doc_id) and
+    * the resulting token stream is sliced into fixed-budget context
+    * windows; each document is assigned to the window where it STARTS
+    * (offset ÷ budget). The output audits the packing: documents and
+    * tokens per sequence, and the doc-id range each window covers —
+    * what a trainer needs to map a loss spike back to source documents.
+    *
+    * Assignment is a pure function of the running token cumsum, so it is
+    * reproducible across engines and partitionings (no bin-packing
+    * heuristic state). Plan: one window shuffle on lang for the cumsum,
+    * one hash aggregate — the packing pass over 100 TB is 2 narrow
+    * shuffles, and the per-lang windows parallelize across the
+    * language key.
+    */
+  def sampleSeqPack(s: SparkSession, d: String): DataFrame = {
+    val budget = 2048.0
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Sources.documents(s, d)
+      .withColumn("n_tokens", size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .withColumn("off", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("off") / lit(budget)).cast("long"))
+      .groupBy("lang", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "seq_id")
+  }
+
+  /** Train/test leakage audit — after any split, the first integrity
+    * check a training pipeline runs: does any val/test document's content
+    * also appear in train? Membership is by a BAG-OF-WORDS fingerprint
+    * (md5 of the sorted distinct word set), which catches reordered and
+    * repetition-variant copies that byte-equality misses — the cheap
+    * middle ground between exact-hash and n-gram decontamination. The
+    * check is an equi-join on a 32-char key — shuffle-correct at 100 TB
+    * (never a pairwise scan) — and the train side is reduced to DISTINCT
+    * fingerprints first, so the probe build is bounded by unique-content
+    * count, not corpus size. The fixture's near-dup families cross the
+    * mod-10 split (3 val + 6 test hits at sf0.01), so both outcomes bind.
+    */
+  def sampleLeakageAudit(s: SparkSession, d: String): DataFrame = {
+    val b = pmod(col("doc_id"), lit(10L))
+    val docs = Sources.documents(s, d)
+      .withColumn("split",
+        when(b < 8, "train").when(b < 9, "val").otherwise("test"))
+      .withColumn("fp", md5(concat_ws(" ",
+        array_sort(array_distinct(org.apache.spark.sql.functions.split(col("text"), " "))))))
+    val trainFps = docs.filter(col("split") === "train")
+      .select(col("fp")).distinct().withColumn("leaked", lit(true))
+    docs.filter(col("split") =!= "train")
+      .join(trainFps, Seq("fp"), "left")
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("leaked"), 1L).otherwise(0L)).as("n_leaked"))
+      .withColumn("leak_rate",
+        round(col("n_leaked").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split_counts" -> (sampleSplitCounts _),
     "sample_stratified" -> (sampleStratified _),
     "sample_domain_mixture" -> (sampleDomainMixture _),
     "sample_quality_weighted" -> (sampleQualityWeighted _),
+    "sample_seq_pack" -> (sampleSeqPack _),
+    "sample_leakage_audit" -> (sampleLeakageAudit _),
   )
 
   /** Importance-weighted sampling with a CONTINUOUS per-document rate:
@@ -153,6 +218,30 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_seq_pack" ->
+      """WITH t AS (
+        | SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  sum(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id)
+        |    - len(string_split(text, ' ')) AS off
+        | FROM documents)
+        |SELECT lang, CAST(floor(off / 2048.0) AS BIGINT) AS seq_id,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM t GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+    "sample_leakage_audit" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |  CASE WHEN doc_id % 10 < 8 THEN 'train' WHEN doc_id % 10 < 9 THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM documents),
+        | tr AS (SELECT DISTINCT fp FROM t WHERE split = 'train')
+        |SELECT split, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+        | round(sum(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS leak_rate
+        |FROM t LEFT JOIN tr ON t.fp = tr.fp
+        |WHERE split <> 'train'
+        |GROUP BY split ORDER BY split""".stripMargin,
     "sample_quality_weighted" ->
       """WITH t AS (
         | SELECT lang,

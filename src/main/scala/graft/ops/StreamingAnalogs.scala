@@ -130,7 +130,47 @@ object StreamingAnalogs {
       .orderBy("event_id", "ts_kept")
   }
 
+  /** Drift monitor — the ingestion-health check a continuously-fed corpus
+    * runs on every batch: per event type, today's volume against the
+    * trailing-7-observation baseline, flagged when it sits more than 2
+    * sample standard deviations out. The streaming form is the same
+    * aggregation under a sliding watermarked window; batch mode keeps it
+    * oracle-checkable.
+    *
+    * The baseline moments come from INTEGER window sums (count, Σn, Σn²)
+    * — exact at any scale — and the mean/variance/z float math is a
+    * fixed expression tree over those exact sums, so the rounded z is
+    * engine-reproducible (no engine-specific Welford accumulation
+    * order). Days with fewer than 3 baseline points report null. Plan:
+    * one hash aggregate to daily grain (map-side partial over the scan),
+    * then a window over the tiny (type × day) table.
+    */
+  def driftMonitor(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    val daily = Sources.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val withSums = daily
+      .withColumn("cnt_w", count("n").over(w))
+      .withColumn("sum_w", sum("n").over(w))
+      .withColumn("ssq_w", sum(col("n") * col("n")).over(w))
+    val meanD = col("sum_w").cast("double") / col("cnt_w").cast("double")
+    val varD = (col("ssq_w").cast("double") -
+      col("sum_w").cast("double") * col("sum_w").cast("double") / col("cnt_w").cast("double")) /
+      (col("cnt_w").cast("double") - 1.0)
+    withSums
+      .withColumn("base_mean", when(col("cnt_w") >= 3, round(meanD, 4)))
+      .withColumn("z", when(col("cnt_w") >= 3 && varD > 0,
+        round((col("n").cast("double") - meanD) / sqrt(varD), 4)))
+      .withColumn("anomaly", coalesce(abs(col("z")) > 2, lit(false)))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("base_mean"), col("z"), col("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_drift_monitor" -> (driftMonitor _),
     "stream_tumbling_hourly" -> (tumblingHourly _),
     "stream_sliding_hourly" -> (slidingHourly _),
     "stream_session_per_user" -> (sessionPerUser _),
@@ -140,6 +180,29 @@ object StreamingAnalogs {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_drift_monitor" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        | FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        | wnd AS (
+        | SELECT event_type, day, n,
+        |  count(n) OVER w AS cnt_w, sum(n) OVER w AS sum_w, sum(n*n) OVER w AS ssq_w
+        | FROM daily
+        | WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        | scored AS (
+        | SELECT event_type, day, n,
+        |  CASE WHEN cnt_w >= 3
+        |   THEN round(sum_w::DOUBLE / cnt_w, 4) END AS base_mean,
+        |  CASE WHEN cnt_w >= 3 AND
+        |    (ssq_w::DOUBLE - sum_w::DOUBLE * sum_w::DOUBLE / cnt_w) / (cnt_w - 1.0) > 0
+        |   THEN round((n - sum_w::DOUBLE / cnt_w) /
+        |     sqrt((ssq_w::DOUBLE - sum_w::DOUBLE * sum_w::DOUBLE / cnt_w) / (cnt_w - 1.0)), 4)
+        |   END AS z
+        | FROM wnd)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, base_mean, z,
+        | COALESCE(abs(z) > 2, false) AS anomaly
+        |FROM scored ORDER BY event_type, day""".stripMargin,
     "stream_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

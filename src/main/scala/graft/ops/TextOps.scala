@@ -192,6 +192,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Canonical-document selection — the survivor rule applied to the
+    * near-dup groups: within each multi-document group keep the LONGEST
+    * variant (ties to the smallest doc_id), the heuristic that preserves
+    * the most complete copy of templated/truncated near-duplicates. One
+    * row per non-singleton group: its size, the kept doc and its length.
+    *
+    * Plan: the group table joins back to (doc_id, n_chars) on the id key,
+    * then a per-group window picks the survivor — WindowGroupLimit keeps
+    * it a running top-1, and groups are near-dup-cluster sized, so the
+    * window partitions are tiny at any corpus scale.
+    */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val sized = Sources.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    textDedupGroups(s, d)
+      .join(sized, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("group_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(when(col("rn") === 1, col("doc_id"))).as("canonical_doc"),
+        min(when(col("rn") === 1, col("n_chars"))).as("canonical_chars"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("group_id")
+  }
+
   /** Shared threshold for the verified near-dup pair queries: the fixture
     * (like real near-dup corpora) is cleanly bimodal in 3-shingle Jaccard
     * — duplicates sit ≥ 0.8, unrelated pairs < 0.15 at every SF — so any
@@ -511,6 +538,7 @@ object TextOps {
     "text_entropy" -> (textEntropy _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "text_dedup_groups" -> (textDedupGroups _),
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_simhash" -> (dedupSimHash _),
     "text_contamination" -> (textContamination _),
@@ -654,6 +682,31 @@ object TextOps {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, min(dst) AS group_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "dedup_canonical" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS wset FROM documents),
+        | p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(a.n_chars - b.n_chars) <= 3
+        |  WHERE round(len(list_intersect(a.wset, b.wset))::DOUBLE /
+        |        len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.3),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        | reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        | g AS (SELECT src AS doc_id, min(dst) AS group_id
+        |        FROM reach GROUP BY src),
+        | j AS (SELECT g.doc_id, g.group_id, dd.n_chars,
+        |        row_number() OVER (PARTITION BY g.group_id
+        |          ORDER BY dd.n_chars DESC, g.doc_id) AS rn
+        |       FROM g JOIN documents dd ON g.doc_id = dd.doc_id)
+        |SELECT group_id, count(*) AS n_docs,
+        | min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+        | min(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars
+        |FROM j GROUP BY group_id HAVING count(*) >= 2 ORDER BY group_id""".stripMargin,
     // dedup_minhash_lsh hash-matches the all-pairs oracle because the
     // banded minhash reaches COMPLETE recall above τ on the fixture
     // (asserted in DedupPropertiesSpec). dedup_simhash gets no oracle:

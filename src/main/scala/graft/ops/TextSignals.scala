@@ -179,7 +179,40 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage — the tokenizer-design statistic: what fraction
+    * of each language's token mass is covered by the corpus-wide top-K
+    * words? A language whose coverage is low under a shared vocabulary
+    * is under-served by it (the multilingual-tokenizer fairness check).
+    * K = 10 here so the cut binds on the fixture's compact vocabulary
+    * (coverage ~0.34-0.36, varying by language); production would use a
+    * vocabulary-sized K — the plan is K-independent.
+    *
+    * The top-K cut uses a GLOBAL row_number over the vocabulary table
+    * — a single-partition sort, but of a vocabulary-sized (Heaps-law
+    * bounded) aggregate, not the corpus; the ranked head then broadcasts
+    * into a hash join against the token stream. Ties break on the word
+    * so the cut is engine-reproducible. Two linear shuffles total.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Sources.documents(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val top = uni
+      .withColumn("rn", row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+      .filter(col("rn") <= 10)
+      .select(col("w")).withColumn("in_top", lit(true))
+    toks.join(broadcast(top), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_top"), 1L).otherwise(0L)).as("n_in_top"))
+      .withColumn("coverage",
+        round(col("n_in_top").cast("double") / col("n_tokens").cast("double"), 4))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_coverage" -> (vocabCoverage _),
     "text_bigram_lm" -> (bigramLmScore _),
     "text_repetition" -> (textRepetition _),
     "text_tfidf_keywords" -> (tfidfKeywords _),
@@ -188,6 +221,17 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_coverage" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        | uni AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+        | topk AS (SELECT w FROM (
+        |   SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM uni)
+        |  WHERE rn <= 10)
+        |SELECT lang, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN topk.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_top,
+        | round(sum(CASE WHEN topk.w IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS coverage
+        |FROM t LEFT JOIN topk ON t.w = topk.w
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_bigram_lm" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | tp AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS prev FROM (

@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Round-5 additions (sequence packing, leakage audit, vocabulary
+  * coverage, canonical-doc selection, drift monitor): semantics checked
+  * against independent brute-force recomputation in plain Scala over the
+  * collected sf0.001 fixture — no Spark code shared with the op under
+  * test.
+  */
+class RoundFiveOpsSpec extends SparkSpec {
+
+  private def round4(x: Double): Double = BigDecimal(x)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val docs: Seq[(Long, String, String, Long)] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  "Sampling.sampleSeqPack" should "assign each doc to the window where its token offset starts" in {
+    val expected = docs.groupBy(_._3).flatMap { case (lang, group) =>
+      var off = 0L
+      group.sortBy(_._1).map { case (id, text, _, _) =>
+        val n = text.split(" ", -1).length.toLong
+        val seqId = off / 2048L
+        off += n
+        (lang, seqId, id, n)
+      }
+    }.toSeq.groupBy(t => (t._1, t._2)).map { case ((lang, seq), rows) =>
+      (lang, seq) -> ((rows.size.toLong, rows.map(_._4).sum, rows.map(_._3).min, rows.map(_._3).max))
+    }
+    val got = Sampling.sampleSeqPack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    got shouldBe expected
+    // packing must produce >1 sequence per language to bind
+    got.keys.groupBy(_._1).values.foreach(_.size should be > 1)
+  }
+
+  "Sampling.sampleLeakageAudit" should "count val/test docs whose word-set fingerprint appears in train" in {
+    def split(id: Long) = if (id % 10 < 8) "train" else if (id % 10 < 9) "val" else "test"
+    def fp(text: String) = text.split(" ", -1).distinct.sorted.mkString(" ")
+    val trainFps = docs.filter(d => split(d._1) == "train").map(d => fp(d._2)).toSet
+    val expected = docs.filter(d => split(d._1) != "train")
+      .groupBy(d => split(d._1)).map { case (s, group) =>
+        s -> ((group.size.toLong, group.count(d => trainFps(fp(d._2))).toLong))
+      }
+    val got = Sampling.sampleLeakageAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    got.keySet shouldBe expected.keySet
+    expected.foreach { case (s, (n, leaked)) =>
+      got(s)._1 shouldBe n
+      got(s)._2 shouldBe leaked
+      got(s)._3 shouldBe round4(leaked.toDouble / n)
+    }
+    // leakage must actually fire on the fixture
+    got.values.map(_._2).sum should be > 0L
+  }
+
+  "TextSignals.vocabCoverage" should "report per-language token mass covered by the global top-10 words" in {
+    val allWords = docs.flatMap(d => d._2.split(" ", -1).map(w => (d._3, w)))
+    val top10 = allWords.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(10).map(_._1).toSet
+    val expected = allWords.groupBy(_._1).map { case (lang, toks) =>
+      val inTop = toks.count(t => top10(t._2)).toLong
+      lang -> ((toks.size.toLong, inTop, round4(inTop.toDouble / toks.size)))
+    }
+    val got = TextSignals.vocabCoverage(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe expected
+    // the cut must bind: coverage strictly between 0 and 1
+    got.values.foreach { case (_, _, cov) => cov should (be > 0.0 and be < 1.0) }
+  }
+
+  "TextOps.dedupCanonical" should "keep the longest variant (min-id ties) per multi-doc group" in {
+    // brute-force union-find over the same pair predicate as the groups oracle
+    val wsets = docs.map(d => d._1 -> d._2.split(" ", -1).distinct.toSet).toMap
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._3 == b._3 && math.abs(a._4 - b._4) <= 3
+      j = round4(wsets(a._1).intersect(wsets(b._1)).size.toDouble /
+        wsets(a._1).union(wsets(b._1)).size)
+      if j >= 0.3
+    } parent(find(a._1)) = find(b._1)
+    val groups = docs.groupBy(d => find(d._1)).values.filter(_.size >= 2)
+    val expected = groups.map { g =>
+      val gid = g.map(_._1).min
+      val canon = g.minBy(d => (-d._4, d._1))
+      gid -> ((g.size.toLong, canon._1, canon._4))
+    }.toMap
+    val got = TextOps.dedupCanonical(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got shouldBe expected
+    got.size should be > 0
+  }
+
+  "StreamingAnalogs.driftMonitor" should "flag days more than 2 sigma from the trailing-7 baseline" in {
+    val events = graft.io.Sources.events(spark, sfDir)
+      .selectExpr("event_type", "date_format(ts, 'yyyy-MM-dd') AS day")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val daily = events.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t, day), n) => (t, day, n) }.sortBy(t => (t._1, t._2))
+    val expected = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, day, n), i) =>
+        val base = sorted.slice(math.max(0, i - 7), i).map(_._3)
+        if (base.size >= 3) {
+          val cnt = base.size.toDouble
+          val sum = base.sum.toDouble
+          val ssq = base.map(x => x * x).sum.toDouble
+          val mean = sum / cnt
+          val varr = (ssq - sum * sum / cnt) / (cnt - 1.0)
+          val z = if (varr > 0) Some(round4((n - mean) / math.sqrt(varr))) else None
+          (t, day) -> ((n, Some(round4(mean)), z, z.exists(v => math.abs(v) > 2)))
+        } else (t, day) -> ((n, None: Option[Double], None: Option[Double], false))
+      }
+    }
+    val got = StreamingAnalogs.driftMonitor(spark, sfDir).collect()
+      .map { r =>
+        (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))
+      }.toMap
+    got shouldBe expected.toMap
+    // at least one anomaly and one calm day must bind
+    val flags = got.values.map(_._4)
+    flags.exists(identity) shouldBe true
+    flags.exists(!_) shouldBe true
+  }
+}
