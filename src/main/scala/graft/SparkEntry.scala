@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, TextOps, TextSignals}
+import graft.ops.{Analytics, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
       Similarity.queries ++
       StreamingAnalogs.queries ++
       Sampling.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       Similarity.oracles ++
       StreamingAnalogs.oracles ++
       Sampling.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++
+      Analytics.oracles
 }

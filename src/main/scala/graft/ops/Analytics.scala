@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Decision-support analytics — the complex-query surface of the engine:
+  * correlated subqueries (which Catalyst decorrelates into aggregate +
+  * join plans), EXISTS / NOT EXISTS (semi / anti joins), and the two
+  * event-history analyses every product pipeline runs (conversion
+  * funnel, retention cohorts).
+  *
+  * The three `complex_*` queries are deliberately expressed through
+  * `spark.sql` over registered views rather than the DataFrame API: they
+  * exercise the SQL surface end-to-end (parser → analyzer → decorrelation
+  * rules), proving a reference user could bring their SQL unchanged. The
+  * oracle text is near-identical SQL, so the pair also documents engine
+  * parity at the language level.
+  */
+object Analytics {
+
+  /** Register the TPC-H-ish fixture tables as temp views for spark.sql. */
+  private def views(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => Sources.table(s, d, n).createOrReplaceTempView(n))
+
+  /** Q2-style correlated scalar subquery: for every part, the suppliers
+    * offering its minimum unit cost. `unit_cost` is a MIN over exact
+    * per-row divisions (no accumulation), so the correlated equality is
+    * bit-deterministic in any engine — best_cost ships UNROUNDED because
+    * both engines produce the identical IEEE double, while decimal
+    * rounding of a binary double is engine-dependent at ties. Catalyst
+    * decorrelates the subquery
+    * into a per-part aggregate joined back on the part key — two
+    * shuffles over the cost table, no per-row subquery execution.
+    */
+  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "part", "supplier")
+    s.sql("""
+      WITH costs AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT p.p_partkey, s.s_suppkey, p.p_name, s.s_name,
+             c.unit_cost AS best_cost
+      FROM costs c
+      JOIN part p ON c.partkey = p.p_partkey
+      JOIN supplier s ON c.suppkey = s.s_suppkey
+      WHERE c.unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+                           WHERE c2.partkey = c.partkey)
+      ORDER BY p.p_partkey, s.s_suppkey""")
+  }
+
+  /** Q18-style IN-subquery with HAVING: large-quantity orders and their
+    * customers. The IN rewrites to a semi join against the HAVING
+    * aggregate; quantities are integer-valued doubles, so the sums and
+    * the threshold comparison are exact.
+    */
+  def bigOrders(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "customer", "orders", "lineitem")
+    s.sql("""
+      SELECT c_name, o_orderkey, round(sum(l_quantity), 1) AS total_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      GROUP BY c_name, o_orderkey
+      ORDER BY total_qty DESC, o_orderkey""")
+  }
+
+  /** Churn via EXISTS / NOT EXISTS: customers who ordered in 1995 but
+    * never again in 1996. Catalyst plans the pair as a semi join plus an
+    * anti join on the customer key — the scale-correct shape (never a
+    * per-customer probe).
+    */
+  def churnedCustomers(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "customer", "orders")
+    s.sql("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1996)
+      ORDER BY c_custkey""")
+  }
+
+  /** Conversion funnel with per-stage 1-day windows: first view → first
+    * click within a day of it → first purchase within a day of that
+    * click. Each stage is a user-keyed aggregate then an equi-join back
+    * to the event stream — at 100 TB the funnel costs three shuffles on
+    * user_id, and the time windows keep the join fan-out per user
+    * bounded. The fixture yields a real dropoff (150 → 60 → 25 at
+    * sf0.01), so every stage binds.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Sources.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = v.join(ev.filter(col("event_type") === "click").select(col("user_id"), col("ts")), "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = c.join(ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts")), "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 1 DAY"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  /** Retention cohorts over order history: customers grouped by first-
+    * order year, counted as retained in each later year they ordered
+    * (offsets 0-3). Two aggregates and one equi-join on the customer key
+    * — cohort analysis over any corpus size is three linear shuffles.
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val orders = Sources.orders(s, d)
+    val f = orders.groupBy("o_custkey")
+      .agg(min(year(col("o_orderdate"))).cast("long").as("cohort"))
+    val act = orders
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .distinct()
+    f.join(act, "o_custkey")
+      .withColumn("yr_offset", col("yr") - col("cohort"))
+      .filter(col("yr_offset") <= 3)
+      .groupBy("cohort", "yr_offset")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("cohort", "yr_offset")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_min_cost_supplier" -> (minCostSupplier _),
+    "complex_big_orders" -> (bigOrders _),
+    "complex_churned_customers" -> (churnedCustomers _),
+    "stream_funnel_1day" -> (funnel _),
+    "agg_retention_cohorts" -> (retentionCohorts _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "complex_min_cost_supplier" ->
+      """WITH costs AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT p.p_partkey, s.s_suppkey, p.p_name, s.s_name,
+        |       c.unit_cost AS best_cost
+        |FROM costs c
+        |JOIN part p ON c.partkey = p.p_partkey
+        |JOIN supplier s ON c.suppkey = s.s_suppkey
+        |WHERE c.unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+        |                     WHERE c2.partkey = c.partkey)
+        |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin,
+    "complex_big_orders" ->
+      """SELECT c_name, o_orderkey, round(sum(l_quantity), 1) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "complex_churned_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1996)
+        |ORDER BY c_custkey""".stripMargin,
+    "stream_funnel_1day" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT v.user_id, min(e.ts) AS t2 FROM v JOIN events e
+        |       ON e.user_id = v.user_id AND e.event_type = 'click'
+        |        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+        |       GROUP BY v.user_id),
+        | p AS (SELECT c.user_id, min(e.ts) AS t3 FROM c JOIN events e
+        |       ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        |        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 DAY
+        |       GROUP BY c.user_id)
+        |SELECT stage, n_users FROM (
+        | SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        | UNION ALL SELECT '2_click', count(*) FROM c
+        | UNION ALL SELECT '3_purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "agg_retention_cohorts" ->
+      """WITH f AS (SELECT o_custkey, min(year(o_orderdate)) AS cohort
+        |           FROM orders GROUP BY o_custkey),
+        | act AS (SELECT DISTINCT o_custkey, year(o_orderdate) AS yr FROM orders)
+        |SELECT cohort, yr - cohort AS yr_offset, count(*) AS n_customers
+        |FROM f JOIN act USING (o_custkey)
+        |WHERE yr - cohort <= 3
+        |GROUP BY cohort, yr_offset ORDER BY cohort, yr_offset""".stripMargin,
+  )
+}

@@ -19,6 +19,7 @@ class SparkEntrySpec extends SparkSpec {
     "sampling" -> Sampling.queries.keySet,
     "multimodal" -> Multimodal.queries.keySet,
     "textSignals" -> TextSignals.queries.keySet,
+    "analytics" -> Analytics.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {

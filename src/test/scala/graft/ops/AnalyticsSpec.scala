@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Analytics surface (correlated subqueries, EXISTS/NOT EXISTS, funnel,
+  * retention): brute-force recomputation in plain Scala over collected
+  * sf0.001 fixtures, plus plan-level decorrelation evidence.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private lazy val lineitem: Seq[(Long, Long, Long, Double, Double)] =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+
+  private lazy val orders: Seq[(Long, Long, Int)] =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey", "year(o_orderdate) AS yr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+  "Analytics.minCostSupplier" should "keep exactly the min-unit-cost suppliers per part" in {
+    val costs = lineitem.groupBy(t => (t._2, t._3)).map { case ((pk, sk), rows) =>
+      (pk, sk, rows.map(r => r._5 / r._4).min)
+    }.toSeq
+    val minPerPart = costs.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val expected = costs.filter { case (pk, _, c) => c == minPerPart(pk) }
+      .map { case (pk, sk, _) => (pk, sk) }.toSet
+    val got = Analytics.minCostSupplier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe expected
+    // binding: some part must have more than one candidate supplier
+    costs.groupBy(_._1).values.exists(_.size > 1) shouldBe true
+  }
+
+  it should "decorrelate the scalar subquery (no nested-loop artifacts)" in {
+    val plan = Analytics.minCostSupplier(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should include("Join")
+  }
+
+  "Analytics.bigOrders" should "match the brute-force HAVING threshold" in {
+    val bigKeys = lineitem.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+      .filter(_._2 > 300.0).keySet
+    val got = Analytics.bigOrders(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    got.keySet shouldBe bigKeys
+    bigKeys.size should be > 0
+  }
+
+  "Analytics.churnedCustomers" should "be the 1995-active minus 1996-active set" in {
+    val in95 = orders.filter(_._3 == 1995).map(_._2).toSet
+    val in96 = orders.filter(_._3 == 1996).map(_._2).toSet
+    val expected = in95 -- in96
+    val got = Analytics.churnedCustomers(spark, sfDir).collect().map(_.getLong(0)).toSet
+    got shouldBe expected
+    // both the EXISTS and the NOT EXISTS must prune something
+    expected.size should be > 0
+    (in95 & in96).size should be > 0
+  }
+
+  "Analytics.funnel" should "show a strict dropoff across the three stages" in {
+    val got = Analytics.funnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe Set("1_view", "2_click", "3_purchase")
+    got("1_view") should be > got("2_click")
+    got("2_click") should be > got("3_purchase")
+    got("3_purchase") should be > 0L
+  }
+
+  "Analytics.retentionCohorts" should "match brute-force cohort counts" in {
+    val firstYr = orders.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    val expected = orders.map(o => (firstYr(o._2).toLong, (o._3 - firstYr(o._2)).toLong, o._2))
+      .distinct.filter(_._2 <= 3)
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val got = Analytics.retentionCohorts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe expected
+    // retention must decay somewhere for the analysis to bind
+    val c0 = got.collect { case ((c, 0L), n) => c -> n }.toMap
+    got.exists { case ((c, off), n) => off > 0 && n < c0(c) } shouldBe true
+  }
+}
