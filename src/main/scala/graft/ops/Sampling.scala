@@ -173,7 +173,31 @@ object Sampling {
       .orderBy("split")
   }
 
+  /** Group-preserving split — the leakage-safe refinement of the plain
+    * hash split: the split key is the near-dup GROUP id (from connected
+    * components), not the document id, so an entire family of near-
+    * duplicates lands in one split and can never straddle the
+    * train/eval boundary. This is how production corpora split after
+    * dedup clustering. Output audits the assignment: groups and
+    * documents per split.
+    *
+    * Plan: the groups pipeline's CC output keyed by group_id, one
+    * map-side bucket projection, one aggregate — the split itself adds
+    * one narrow shuffle over the group table. The per-group atomicity is
+    * structural (the key IS the group), asserted in the spec.
+    */
+  def sampleGroupSplit(s: SparkSession, d: String): DataFrame = {
+    val b = pmod(col("group_id"), lit(10L))
+    TextOps.textDedupGroups(s, d)
+      .withColumn("split",
+        when(b < 8, "train").when(b < 9, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(countDistinct("group_id").as("n_groups"), count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_group_split" -> (sampleGroupSplit _),
     "sample_split_counts" -> (sampleSplitCounts _),
     "sample_stratified" -> (sampleStratified _),
     "sample_domain_mixture" -> (sampleDomainMixture _),
@@ -218,6 +242,29 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_group_split" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS wset FROM documents),
+        | p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(a.n_chars - b.n_chars) <= 3
+        |  WHERE round(len(list_intersect(a.wset, b.wset))::DOUBLE /
+        |        len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.3),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        | reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        | g AS (SELECT src AS doc_id, min(dst) AS group_id
+        |        FROM reach GROUP BY src),
+        | t AS (SELECT doc_id, group_id,
+        |   CASE WHEN group_id % 10 < 8 THEN 'train' WHEN group_id % 10 < 9 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM g)
+        |SELECT split, count(DISTINCT group_id) AS n_groups, count(*) AS n_docs
+        |FROM t GROUP BY split ORDER BY split""".stripMargin,
     "sample_seq_pack" ->
       """WITH t AS (
         | SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens,

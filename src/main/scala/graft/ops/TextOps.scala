@@ -219,6 +219,35 @@ object TextOps {
       .orderBy("group_id")
   }
 
+  /** Overlapping document chunking — the segmentation step for context-
+    * window training data and retrieval indexing: 64-word chunks at a
+    * 48-word stride (16 words of overlap so no boundary-spanning content
+    * is lost to either neighbor). Chunk identity ships as the md5 of the
+    * chunk text, which is what a downstream chunk-level dedup or
+    * embedding job keys on.
+    *
+    * The whole operator is an in-row HOF transform + explode — zero
+    * shuffles, zero joins; at 100 TB chunking streams with the scan and
+    * the only cost is the output volume. Chunk starts come from
+    * `sequence(1, n_words, stride)`, so every word is covered and the
+    * tail chunk is short rather than dropped.
+    */
+  def textChunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val chunkWords = 64
+    val strideWords = 48
+    Sources.documents(s, d)
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__w")), lit(strideWords)),
+        st => struct(
+          floor((st - lit(1)).cast("double") / lit(strideWords.toDouble)).cast("long").as("chunk_id"),
+          concat_ws(" ", slice(col("__w"), st, lit(chunkWords))).as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        size(split(col("c.chunk"), " ")).cast("long").as("n_words"),
+        md5(col("c.chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Shared threshold for the verified near-dup pair queries: the fixture
     * (like real near-dup corpora) is cleanly bimodal in 3-shingle Jaccard
     * — duplicates sit ≥ 0.8, unrelated pairs < 0.15 at every SF — so any
@@ -539,6 +568,7 @@ object TextOps {
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "text_dedup_groups" -> (textDedupGroups _),
     "dedup_canonical" -> (dedupCanonical _),
+    "text_chunk_overlap" -> (textChunkOverlap _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
     "dedup_simhash" -> (dedupSimHash _),
     "text_contamination" -> (textContamination _),
@@ -682,6 +712,16 @@ object TextOps {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, min(dst) AS group_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "text_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | c AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1, 48),
+        |   st -> struct_pack(chunk_id := CAST((st-1)//48 AS BIGINT),
+        |                     chunk := array_to_string(ws[st:st+63], ' ')))) AS ch
+        |  FROM w)
+        |SELECT doc_id, ch.chunk_id AS chunk_id,
+        | CAST(len(string_split(ch.chunk, ' ')) AS BIGINT) AS n_words,
+        | md5(ch.chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "dedup_canonical" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS wset FROM documents),

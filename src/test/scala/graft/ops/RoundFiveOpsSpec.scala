@@ -73,8 +73,10 @@ class RoundFiveOpsSpec extends SparkSpec {
     got.values.foreach { case (_, _, cov) => cov should (be > 0.0 and be < 1.0) }
   }
 
-  "TextOps.dedupCanonical" should "keep the longest variant (min-id ties) per multi-doc group" in {
-    // brute-force union-find over the same pair predicate as the groups oracle
+  /** Brute-force union-find over the same pair predicate as the groups
+    * oracle: doc_id → component member list.
+    */
+  private lazy val bruteGroups: Map[Long, Seq[(Long, String, String, Long)]] = {
     val wsets = docs.map(d => d._1 -> d._2.split(" ", -1).distinct.toSet).toMap
     val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
     def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
@@ -85,8 +87,11 @@ class RoundFiveOpsSpec extends SparkSpec {
         wsets(a._1).union(wsets(b._1)).size)
       if j >= 0.3
     } parent(find(a._1)) = find(b._1)
-    val groups = docs.groupBy(d => find(d._1)).values.filter(_.size >= 2)
-    val expected = groups.map { g =>
+    docs.groupBy(d => find(d._1)).map { case (_, g) => g.map(_._1).min -> g }
+  }
+
+  "TextOps.dedupCanonical" should "keep the longest variant (min-id ties) per multi-doc group" in {
+    val expected = bruteGroups.values.filter(_.size >= 2).map { g =>
       val gid = g.map(_._1).min
       val canon = g.minBy(d => (-d._4, d._1))
       gid -> ((g.size.toLong, canon._1, canon._4))
@@ -95,6 +100,35 @@ class RoundFiveOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     got shouldBe expected
     got.size should be > 0
+  }
+
+  "TextOps.textChunkOverlap" should "cover every word with 64-word chunks at 48-word stride" in {
+    def md5(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.flatMap { case (id, text, _, _) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length by 48).map { st =>
+        val chunk = ws.slice(st, st + 64)
+        (id, (st / 48).toLong) -> ((chunk.length.toLong, md5(chunk.mkString(" "))))
+      }
+    }.toMap
+    val got = TextOps.textChunkOverlap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    got shouldBe expected
+    // overlap must bind: some doc needs more than one chunk
+    got.keys.groupBy(_._1).values.exists(_.size > 1) shouldBe true
+  }
+
+  "Sampling.sampleGroupSplit" should "assign whole near-dup groups to one split" in {
+    def splitOf(gid: Long) = if (gid % 10 < 8) "train" else if (gid % 10 < 9) "val" else "test"
+    val expected = bruteGroups.toSeq.groupBy { case (gid, _) => splitOf(gid) }
+      .map { case (s, gs) => s -> ((gs.size.toLong, gs.map(_._2.size.toLong).sum)) }
+    val got = Sampling.sampleGroupSplit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe expected
+    // atomicity is structural (the split key IS the group id); binding check:
+    // some multi-doc group must land outside train so co-location matters
+    bruteGroups.exists { case (gid, g) => g.size >= 2 && splitOf(gid) != "train" } shouldBe true
   }
 
   "StreamingAnalogs.driftMonitor" should "flag days more than 2 sigma from the trailing-7 baseline" in {
