@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, TextOps, TextSignals}
+import graft.ops.{Analytics, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,8 @@ object SparkEntry {
       StreamingAnalogs.queries ++
       Sampling.queries ++
       Multimodal.queries ++
-      Analytics.queries
+      Analytics.queries ++
+      Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       StreamingAnalogs.oracles ++
       Sampling.oracles ++
       Multimodal.oracles ++
-      Analytics.oracles
+      Analytics.oracles ++
+      Temporal.oracles
 }

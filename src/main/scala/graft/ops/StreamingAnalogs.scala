@@ -169,8 +169,25 @@ object StreamingAnalogs {
       .orderBy("event_type", "day")
   }
 
+  /** Stream-static enrichment, batch form: the event stream joined to the
+    * customer dimension then windowed per market segment. In Structured
+    * Streaming a static dimension side is re-broadcast per micro-batch —
+    * `broadcast()` here pins that exact shape (no shuffle of the stream
+    * side on the join key; the only exchange is the windowed aggregate's).
+    */
+  def staticEnrich(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .join(broadcast(Sources.customer(s, d)), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("segment"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "segment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_drift_monitor" -> (driftMonitor _),
+    "stream_static_enrich" -> (staticEnrich _),
     "stream_tumbling_hourly" -> (tumblingHourly _),
     "stream_sliding_hourly" -> (slidingHourly _),
     "stream_session_per_user" -> (sessionPerUser _),
@@ -180,6 +197,12 @@ object StreamingAnalogs {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_static_enrich" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+        | c_mktsegment AS segment, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY win_start, segment ORDER BY win_start, segment""".stripMargin,
     "stream_drift_monitor" ->
       """WITH daily AS (
         | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

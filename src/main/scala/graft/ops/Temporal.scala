@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Temporal / history operators — the three time-shaped transforms every
+  * warehouse pipeline ends up needing beyond plain windowed aggregation:
+  * SCD2 dimension-history compaction (gaps-and-islands), calendar
+  * gap-filling for time series, and first-order event-transition
+  * statistics. All three extend the reference's batch-window surface
+  * (`utils.py` date-range batching) to stateful history semantics.
+  *
+  * Scale notes: every operator here is a window + hash-aggregate over a
+  * single key (`custkey` / `user_id`) — one shuffle each, no self-joins,
+  * no driver-side state. The gap-fill spine is `sequence` + `explode`
+  * (rows = keys × days, generated distributed, never collected).
+  */
+object Temporal {
+
+  /** SCD2 history from a change stream (gaps-and-islands): collapse each
+    * customer's order-priority timeline into validity intervals
+    * `[valid_from, valid_to)`. Classic two-window shape — `lag` marks
+    * change points, a running `sum` numbers the runs, a `lead` over the
+    * run aggregate closes each interval. One shuffle on `custkey`; run
+    * numbering is per-key and order-deterministic (ties broken by
+    * `o_orderkey`), so the result is reproducible under any partitioning.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("custkey").orderBy("ts", "ok")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("prio"), 1).over(w)
+    val runs = Sources.orders(s, d)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("ok"), col("o_orderpriority").as("prio"))
+      .withColumn("chg", when(prev.isNull || prev =!= col("prio"), 1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(wRun))
+    val wv = Window.partitionBy("custkey").orderBy("version")
+    runs.groupBy("custkey", "version", "prio")
+      .agg(to_date(min("ts")).as("vf"), count(lit(1)).as("n_orders"))
+      .withColumn("vt", lead("vf", 1).over(wv))
+      // dates ship as ISO strings: engine-neutral for the oracle compare
+      .select(col("custkey"), col("version"), col("prio"),
+        date_format(col("vf"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("vt"), "yyyy-MM-dd").as("valid_to"), col("n_orders"))
+      .orderBy("custkey", "version")
+  }
+
+  /** Calendar gap-fill: per-customer daily order totals over Jan 1995
+    * with explicit zero rows for order-free days. The date spine is
+    * generated with `sequence` + `explode` per key — distributed, linear
+    * in keys × days — then left-joined back to the observed aggregate.
+    * The join is on (custkey, day): co-partitioned with the aggregate's
+    * own shuffle, and AQE folds both into one exchange reuse at scale.
+    */
+  def gapfillDaily(s: SparkSession, d: String): DataFrame = {
+    val jan = Sources.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate") < lit("1995-02-01").cast("date"))
+      .groupBy(col("o_custkey").as("custkey"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+    val spine = jan.select("custkey").distinct()
+      .select(col("custkey"), explode(sequence(
+        lit("1995-01-01").cast("date"), lit("1995-01-31").cast("date"))).as("day"))
+    spine.join(jan, Seq("custkey", "day"), "left")
+      .select(col("custkey"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy("custkey", "day")
+  }
+
+  /** First-order transition matrix over the event stream: for each
+    * ordered pair of consecutive event types per user, the transition
+    * count and row-normalized probability. `lag` over (user, time) then a
+    * tiny (|types|²-row) aggregate — the heavy lift is the one user-keyed
+    * window shuffle; the probability normalization windows over the
+    * aggregate, which is sketch-sized at any corpus scale.
+    */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = Sources.events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    tr.withColumn("p", round(
+        col("n").cast("double") / sum("n").over(Window.partitionBy("prev")), 4))
+      .orderBy("prev", "nxt")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2_history" -> (scd2History _),
+    "ts_gapfill_daily" -> (gapfillDaily _),
+    "stream_transition_matrix" -> (transitionMatrix _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "etl_scd2_history" ->
+      """WITH m AS (
+        | SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS ok,
+        |   o_orderpriority AS prio,
+        |   CASE WHEN lag(o_orderpriority) OVER
+        |     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |     IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg
+        | FROM orders),
+        | r AS (SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY ts, ok
+        |   ROWS UNBOUNDED PRECEDING) AS version FROM m),
+        | a AS (SELECT custkey, CAST(version AS BIGINT) AS version, prio,
+        |   CAST(min(ts) AS DATE) AS vf, count(*) AS n_orders
+        |   FROM r GROUP BY custkey, version, prio)
+        |SELECT custkey, version, prio, strftime(vf, '%Y-%m-%d') AS valid_from,
+        | strftime(lead(vf) OVER (PARTITION BY custkey ORDER BY version),
+        |   '%Y-%m-%d') AS valid_to,
+        | n_orders
+        |FROM a ORDER BY custkey, version""".stripMargin,
+    "ts_gapfill_daily" ->
+      """WITH jan AS (
+        | SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS day,
+        |   count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        | FROM orders
+        | WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+        | GROUP BY 1, 2),
+        | spine AS (SELECT custkey, CAST(g AS DATE) AS day
+        |   FROM (SELECT DISTINCT custkey FROM jan),
+        |     generate_series(DATE '1995-01-01', DATE '1995-01-31', INTERVAL 1 DAY) s(g))
+        |SELECT spine.custkey, strftime(spine.day, '%Y-%m-%d') AS day,
+        | coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0.0) AS spend
+        |FROM spine LEFT JOIN jan USING (custkey, day)
+        |ORDER BY custkey, day""".stripMargin,
+    "stream_transition_matrix" ->
+      """WITH tr AS (
+        | SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS prev, event_type AS nxt
+        | FROM events),
+        | c AS (SELECT prev, nxt, count(*) AS n FROM tr
+        |   WHERE prev IS NOT NULL GROUP BY prev, nxt)
+        |SELECT prev, nxt, n,
+        | round(n::DOUBLE / sum(n) OVER (PARTITION BY prev), 4) AS p
+        |FROM c ORDER BY prev, nxt""".stripMargin,
+  )
+}

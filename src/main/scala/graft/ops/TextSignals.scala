@@ -211,7 +211,67 @@ object TextSignals {
       .orderBy("lang")
   }
 
+  /** Pointwise mutual information of adjacent word pairs — the corpus
+    * collocation statistic (which pairs co-occur far above chance). The
+    * unigram and bigram tables are vocabulary-sized aggregates (broadcast
+    * to the pair table); totals attach as 1-row broadcasts (sanctioned
+    * BNLJ shape, see PlanShapesSpec). Min-count 5 keeps the estimate out
+    * of the noisy tail. No all-pairs stage: pairs come from adjacency
+    * within rows, counts from hash aggregation.
+    */
+  def pmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d).withColumn("__w", words(col("text")))
+    val uni = docs.select(explode(col("__w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val tw = uni.agg(sum("cw").cast("double").as("tw"))
+    val bg = docs.filter(size(col("__w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__w")) - 1),
+        i => concat_ws(" ", slice(col("__w"), i, lit(2))))).as("bgs"))
+      .select(split(col("bgs"), " ").getItem(0).as("wa"),
+        split(col("bgs"), " ").getItem(1).as("wb"))
+    val tb = bg.agg(count(lit(1)).cast("double").as("tb"))
+    bg.groupBy("wa", "wb").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+      .join(broadcast(uni.select(col("w").as("wa"), col("cw").as("ca"))), "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("cw").as("cb"))), "wb")
+      .crossJoin(broadcast(tw))
+      .crossJoin(broadcast(tb))
+      .withColumn("pmi", round(log2((col("n_pair") / col("tb")) /
+        ((col("ca") / col("tw")) * (col("cb") / col("tw")))), 4))
+      .select("wa", "wb", "n_pair", "pmi")
+      .orderBy("wa", "wb")
+  }
+
+  /** Per-document bigram novelty: the fraction of a document's distinct
+    * bigrams that appear in NO earlier document (ownership attributed to
+    * the minimum doc_id containing each bigram). A cheap contribution
+    * signal for curriculum ordering / dedup triage — a document whose
+    * bigrams all appeared before adds little. Pure integer arithmetic
+    * (counts and a min), so the rounded ratio is bit-reproducible in any
+    * engine. One equi-join on the bigram key — first-occurrence via
+    * `min(doc_id)`, never a pairwise comparison.
+    */
+  def bigramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docBg = Sources.documents(s, d)
+      .withColumn("__w", words(col("text")))
+      .filter(size(col("__w")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("__w")) - 1),
+        i => concat_ws(" ", slice(col("__w"), i, lit(2)))))).as("bg"))
+    val first = docBg.groupBy("bg").agg(min("doc_id").as("first_doc"))
+    docBg.join(first, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_bigrams").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_bigrams" -> (pmiBigrams _),
+    "text_bigram_novelty" -> (bigramNovelty _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_bigram_lm" -> (bigramLmScore _),
     "text_repetition" -> (textRepetition _),
@@ -221,6 +281,34 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
+        | tok AS (SELECT unnest(ws) AS wd FROM w),
+        | uni AS (SELECT wd, count(*) AS cw FROM tok GROUP BY wd),
+        | tw AS (SELECT sum(cw)::DOUBLE AS tw FROM uni),
+        | bg AS (SELECT string_split(bgs,' ')[1] AS wa, string_split(bgs,' ')[2] AS wb
+        |   FROM (SELECT unnest(list_transform(range(1, len(ws)),
+        |     i -> ws[i] || ' ' || ws[i+1])) AS bgs FROM w WHERE len(ws) >= 2)),
+        | tb AS (SELECT count(*)::DOUBLE AS tb FROM bg),
+        | bc AS (SELECT wa, wb, count(*) AS n_pair FROM bg
+        |   GROUP BY wa, wb HAVING count(*) >= 5)
+        |SELECT bc.wa, bc.wb, n_pair,
+        | round(log2((n_pair / tb.tb) / ((ua.cw / tw.tw) * (ub.cw / tw.tw))), 4) AS pmi
+        |FROM bc JOIN uni ua ON bc.wa = ua.wd JOIN uni ub ON bc.wb = ub.wd
+        | CROSS JOIN tw CROSS JOIN tb
+        |ORDER BY wa, wb""".stripMargin,
+    "text_bigram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |   WHERE len(string_split(text,' ')) >= 2),
+        | db AS (SELECT DISTINCT doc_id, bg FROM (
+        |   SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |     i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w)),
+        | f AS (SELECT bg, min(doc_id) AS first_doc FROM db GROUP BY bg)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |   AS novelty
+        |FROM db JOIN f USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_vocab_coverage" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
         | uni AS (SELECT w, count(*) AS c FROM t GROUP BY w),

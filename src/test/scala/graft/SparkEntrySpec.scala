@@ -20,6 +20,7 @@ class SparkEntrySpec extends SparkSpec {
     "multimodal" -> Multimodal.queries.keySet,
     "textSignals" -> TextSignals.queries.keySet,
     "analytics" -> Analytics.queries.keySet,
+    "temporal" -> Temporal.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {

@@ -165,4 +165,32 @@ class RoundFiveOpsSpec extends SparkSpec {
     flags.exists(identity) shouldBe true
     flags.exists(!_) shouldBe true
   }
+
+  "StreamingAnalogs.staticEnrich" should "match brute-force hourly per-segment totals over the dim join" in {
+    def round2(x: Double): Double = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val segs = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val events = graft.io.Sources.events(spark, sfDir)
+      .selectExpr("user_id", "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm') AS h", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val expected = events.flatMap { case (u, h, v) =>
+      segs.get(u).map(seg => ((h, seg), v))
+    }.groupBy(_._1).view.mapValues { vs =>
+      (vs.size.toLong, round2(vs.map(_._2).sum))
+    }.toMap
+    val got = StreamingAnalogs.staticEnrich(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (k, (n, sv)) =>
+      n shouldBe expected(k)._1
+      sv shouldBe expected(k)._2 +- 0.01
+    }
+    // the dim join must actually enrich: several segments present
+    got.keySet.map(_._2).size should be >= 3
+    // and the plan must broadcast the dimension side (stream-static shape)
+    StreamingAnalogs.staticEnrich(spark, sfDir)
+      .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
 }

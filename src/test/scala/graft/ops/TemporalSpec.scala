@@ -1,0 +1,110 @@
+package graft.ops
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import graft.SparkSpec
+
+/** Temporal operators: brute-force recomputation over collected sf0.001
+  * fixtures (SCD2 run structure, gap-fill spine algebra, transition
+  * counts/probabilities).
+  */
+class TemporalSpec extends SparkSpec {
+
+  private def dayOf(us: Long): LocalDate =
+    Instant.ofEpochMilli(us / 1000L).atZone(ZoneOffset.UTC).toLocalDate
+
+  private lazy val orders: Seq[(Long, Long, Long, String)] =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey",
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is lossless
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS ts_us",
+        "o_orderkey", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+  "Temporal.scd2History" should "collapse each customer's priority timeline into runs" in {
+    val rows = Temporal.scd2History(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        LocalDate.parse(r.get(3).toString),
+        Option(r.get(4)).map(d => LocalDate.parse(d.toString)), r.getLong(5)))
+
+    // brute force: per customer, runs of consecutive equal priorities
+    val expected = orders.groupBy(_._1).view.mapValues { os =>
+      val sorted = os.sortBy(o => (o._2, o._3))
+      val runs = sorted.foldLeft(List.empty[(String, Int)]) {
+        case (acc, (_, _, _, prio)) => acc match {
+          case (p, n) :: rest if p == prio => (p, n + 1) :: rest
+          case _ => (prio, 1) :: acc
+        }
+      }.reverse
+      runs
+    }.toMap
+
+    val got = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._6.toInt)).toList).toMap
+    got shouldBe expected.map { case (k, v) => (k, v) }
+
+    // interval chaining: valid_to of run i equals valid_from of run i+1
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          a._5 shouldBe Some(b._4)
+          a._3 should not be b._3 // consecutive runs differ in priority
+        case _ =>
+      }
+      sorted.last._5 shouldBe None // open-ended current version
+    }
+    // binding: some customer must have more than one version
+    rows.groupBy(_._1).values.exists(_.length > 1) shouldBe true
+  }
+
+  "Temporal.gapfillDaily" should "emit a complete 31-day spine per active customer" in {
+    val rows = Temporal.gapfillDaily(spark, sfDir).collect()
+      .map(r => (r.getLong(0), LocalDate.parse(r.get(1).toString),
+        r.getLong(2), r.getDouble(3)))
+
+    val jan = orders.filter { o =>
+      val d = dayOf(o._2)
+      d.getYear == 1995 && d.getMonthValue == 1
+    }
+    val custs = jan.map(_._1).toSet
+    custs.size should be > 0
+
+    rows.length shouldBe custs.size * 31
+    rows.groupBy(_._1).keySet shouldBe custs
+    // every customer covers exactly Jan 1..31
+    rows.groupBy(_._1).values.foreach { rs =>
+      rs.map(_._2.getDayOfMonth).sorted shouldBe (1 to 31)
+    }
+    // order counts match the raw data; zero-filled days really are zero
+    rows.map(_._3).sum shouldBe jan.size
+    val activeDays = jan.map(o => (o._1, dayOf(o._2))).toSet
+    rows.filterNot(r => activeDays((r._1, r._2))).foreach { r =>
+      r._3 shouldBe 0L
+      r._4 shouldBe 0.0
+    }
+    rows.filter(r => activeDays((r._1, r._2))).foreach(_._3 should be > 0L)
+  }
+
+  "Temporal.transitionMatrix" should "match brute-force pair counts and normalize per source" in {
+    val events = graft.io.Sources.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+    val expected = events.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val rows = Temporal.transitionMatrix(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    rows.map(r => r._1 -> r._2).toMap shouldBe expected
+
+    // probabilities are row-normalized (up to the 4-digit rounding)
+    rows.groupBy(_._1._1).values.foreach { rs =>
+      rs.map(_._3).sum shouldBe 1.0 +- (0.0001 * rs.size)
+    }
+  }
+}

@@ -150,4 +150,49 @@ class TextSignalsSpec extends SparkSpec {
     }
     got.values.count(_._2) should (be > 0 and be < vecs.size) // flag binds
   }
+
+  "TextSignals.pmiBigrams" should "match brute-force PMI over adjacent pairs with count >= 5" in {
+    val ws = docs.map(_._2.split(" ", -1).toSeq)
+    val uni = ws.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tw = uni.values.sum.toDouble
+    val bgs = ws.filter(_.size >= 2).flatMap(w => w.zip(w.drop(1)))
+    val tb = bgs.size.toDouble
+    val expected = bgs.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5).map { case ((wa, wb), cab) =>
+        val pmi = math.log((cab / tb) / ((uni(wa) / tw) * (uni(wb) / tw))) / math.log(2.0)
+        (wa, wb) -> ((cab, round4(pmi)))
+      }.toMap
+    val got = TextSignals.pmiBigrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (k, (n, pmi)) =>
+      n shouldBe expected(k)._1
+      pmi shouldBe expected(k)._2 +- 1e-9
+    }
+    // both above-chance and below-chance collocations must appear
+    got.values.map(_._2).exists(_ > 0) shouldBe true
+    got.values.map(_._2).exists(_ < 0) shouldBe true
+  }
+
+  "TextSignals.bigramNovelty" should "attribute each distinct bigram to its minimum doc_id" in {
+    val perDoc = docs.filter(_._2.split(" ", -1).length >= 2).map { case (id, text, _, _) =>
+      val w = text.split(" ", -1).toSeq
+      id -> w.zip(w.drop(1)).map(p => p._1 + " " + p._2).distinct
+    }
+    val firstDoc = perDoc.flatMap { case (id, bs) => bs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = perDoc.map { case (id, bs) =>
+      val novel = bs.count(firstDoc(_) == id).toLong
+      id -> ((bs.size.toLong, novel, round4(novel.toDouble / bs.size)))
+    }.toMap
+    val got = TextSignals.bigramNovelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe expected
+    // novelty must decay: later docs should on average be less novel
+    val early = got.view.filterKeys(_ < 100).toMap
+    val late = got.view.filterKeys(_ >= 400).toMap
+    val avg = (m: Map[Long, (Long, Long, Double)]) =>
+      m.values.map(_._3).sum / m.size
+    avg(early) should be > avg(late)
+  }
 }
