@@ -241,7 +241,54 @@ object RelationalExt {
       .orderBy("custkey")
   }
 
+  /** Pareto / contribution analysis: customers ranked by revenue with
+    * cumulative share and an 80%-head flag. The window runs over the
+    * customer-level AGGREGATE (entity-sized, like the vocabulary table —
+    * documented single-partition trade; raw orders never enter the
+    * window). The running sum is evaluated in window order — the same
+    * addition sequence in any engine — so the rounded share is stable;
+    * the head flag is computed from the ROUNDED share for engine parity.
+    */
+  def aggParetoCustomers(s: SparkSession, d: String): DataFrame = {
+    val rev = Sources.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val tot = rev.agg(sum("revenue").as("tot"))
+    val w = Window.orderBy(col("revenue").desc, col("custkey"))
+    rev
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_share", round(col("cum") / col("tot"), 4))
+      .withColumn("in_top80", col("cum_share") <= 0.8)
+      .select("custkey", "rk", "revenue", "cum_share", "in_top80")
+      .orderBy("rk")
+  }
+
+  /** Cumulative distinct count over a window — not natively expressible
+    * (no `count(DISTINCT)` window in either engine), composed from the
+    * standard two-window trick: a first-occurrence flag (row_number = 1
+    * per (user, type)) running-summed over the user's timeline. Both
+    * windows partition by user — one exchange, two sorts.
+    */
+  def winCumDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val timeline = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.events(s, d)
+      .withColumn("first_seen",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_type"),
+        sum("first_seen").over(timeline).as("n_distinct_types"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pareto_customers" -> (aggParetoCustomers _),
+    "win_cum_distinct" -> (winCumDistinct _),
     "agg_stats_summary" -> (aggStatsSummary _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "scalar_map_props" -> (scalarMapProps _),
@@ -261,6 +308,29 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_pareto_customers" ->
+      """WITH rev AS (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS revenue
+        |   FROM orders GROUP BY o_custkey),
+        | tot AS (SELECT sum(revenue) AS tot FROM rev),
+        | ranked AS (SELECT custkey, revenue,
+        |   CAST(row_number() OVER w AS BIGINT) AS rk,
+        |   sum(revenue) OVER (ORDER BY revenue DESC, custkey
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM rev WINDOW w AS (ORDER BY revenue DESC, custkey))
+        |SELECT custkey, rk, revenue,
+        | round(cum / tot, 4) AS cum_share,
+        | round(cum / tot, 4) <= 0.8 AS in_top80
+        |FROM ranked CROSS JOIN tot ORDER BY rk""".stripMargin,
+    "win_cum_distinct" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        | FROM events)
+        |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | event_type,
+        | CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
     "agg_minmax_by" ->
       """SELECT o_orderpriority,
         | arg_max(o_orderstatus, o_orderkey) AS latest_status,

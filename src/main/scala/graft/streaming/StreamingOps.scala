@@ -62,6 +62,24 @@ object StreamingOps {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a STATIC
+    * dimension frame. The static side's JOIN executes per micro-batch
+    * (with `broadcast()` it re-broadcasts each batch), but a plain
+    * parquet-backed frame pins its file listing at plan time — swapping
+    * the dimension files under a running query throws FILE_NOT_EXIST
+    * (verified in StreamingOpsSpec' s sibling test during development);
+    * live dimension refresh needs a table format with snapshot isolation
+    * or a query restart. The stream side never shuffles on the join key;
+    * only the windowed aggregate exchanges. Batch twin:
+    * `StreamingAnalogs.staticEnrich` (oracle-checked — same expressions).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
   /** Custom arbitrary state (SURVEY §2.10: `mapGroupsWithState`): running
     * per-user totals — event count and value sum accumulated across
     * micro-batches in a typed state store. The state is one fixed-size

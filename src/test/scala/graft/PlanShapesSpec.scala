@@ -29,7 +29,8 @@ class PlanShapesSpec extends SparkSpec {
   private val sanctionedCross = Set(
     "join_cross_regions", "join_price_bands",
     "sim_cosine_topk", "sim_cosine_topk_native",
-    "text_tfidf_keywords", "text_lm_score", "text_pmi_bigrams")
+    "text_tfidf_keywords", "text_lm_score", "text_pmi_bigrams",
+    "agg_pareto_customers")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

@@ -165,4 +165,30 @@ class StreamingOpsSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     s.table("dedup").count() shouldBe sample.length.toLong
   }
+
+  "enrichWithDim (stream-static join)" should "enrich each micro-batch against the dimension" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dimPath = tmpDir("dim") + "/customer"
+    Seq((1L, "AUTO"), (2L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.enrichWithDim(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("complete").start()
+    mem.addData(sample: _*) // users 1 and 2 both present
+    q.processAllAvailable()
+    val got1 = s.table("enriched")
+      .groupBy("c_mktsegment").agg(sum("n_events").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got1 shouldBe Map("AUTO" -> 3L, "BUILDING" -> 2L)
+    // a later micro-batch joins the same pinned dimension snapshot
+    mem.addData(Ev(6, ts("2024-01-01 13:00:00"), 2, "view", 6.0))
+    q.processAllAvailable(); q.stop()
+    val got2 = s.table("enriched")
+      .groupBy("c_mktsegment").agg(sum("n_events").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got2 shouldBe Map("AUTO" -> 3L, "BUILDING" -> 3L)
+  }
 }
