@@ -188,7 +188,7 @@ object Sampling {
     */
   def sampleGroupSplit(s: SparkSession, d: String): DataFrame = {
     val b = pmod(col("group_id"), lit(10L))
-    TextOps.textDedupGroups(s, d)
+    TextOps.textDedupGroupsRaw(s, d)
       .withColumn("split",
         when(b < 8, "train").when(b < 9, "val").otherwise("test"))
       .groupBy("split")

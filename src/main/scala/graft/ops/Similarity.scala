@@ -381,13 +381,13 @@ object Similarity {
     * for both text and embedding near-dup. Oracle: recursive-CTE
     * reachability over the identical pair definition.
     */
-  def dedupEmbeddingGroups(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupEmbeddingCosine(s, d).select(col("id_a"), col("id_b"))
-    val vecs = Sources.embeddings(s, d).select(col("vec_id"))
-    Dedup.connectedGroups(pairs, vecs, "vec_id")
-      .select(col("id").as("vec_id"), col("group_id"))
-      .orderBy("vec_id")
-  }
+  def dedupEmbeddingGroups(s: SparkSession, d: String): DataFrame =
+    graft.io.Materialized.of(s, s"dedupEmbeddingGroups|$d") {
+      val pairs = dedupEmbeddingCosine(s, d).select(col("id_a"), col("id_b"))
+      val vecs = Sources.embeddings(s, d).select(col("vec_id"))
+      Dedup.connectedGroups(pairs, vecs, "vec_id")
+        .select(col("id").as("vec_id"), col("group_id"))
+    }.orderBy("vec_id")
 
   /** Embedding L2-norm distribution per label — exercises the vector HOFs
     * in an aggregation (norms are engine-stable to 4 decimals).

@@ -184,13 +184,21 @@ object TextOps {
     * rule. Oracle: recursive-CTE reachability over the identical pair
     * set.
     */
-  def textDedupGroups(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccardPairs(s, d).select(col("id_a"), col("id_b"))
-    val docs = Sources.documents(s, d).select(col("doc_id"))
-    Dedup.connectedGroups(pairs, docs, "doc_id")
-      .select(col("id").as("doc_id"), col("group_id"))
-      .orderBy("doc_id")
-  }
+  /** Unsorted groups table for downstream consumers (canonical pick,
+    * group split) — materialized once per (session, path) via
+    * [[graft.io.Materialized]]: CC is the costliest stage of every
+    * consumer, and a production pipeline writes this table once.
+    */
+  private[ops] def textDedupGroupsRaw(s: SparkSession, d: String): DataFrame =
+    graft.io.Materialized.of(s, s"textDedupGroups|$d") {
+      val pairs = ngramJaccardPairs(s, d).select(col("id_a"), col("id_b"))
+      val docs = Sources.documents(s, d).select(col("doc_id"))
+      Dedup.connectedGroups(pairs, docs, "doc_id")
+        .select(col("id").as("doc_id"), col("group_id"))
+    }
+
+  def textDedupGroups(s: SparkSession, d: String): DataFrame =
+    textDedupGroupsRaw(s, d).orderBy("doc_id")
 
   /** Canonical-document selection — the survivor rule applied to the
     * near-dup groups: within each multi-document group keep the LONGEST
@@ -207,7 +215,7 @@ object TextOps {
     val sized = Sources.documents(s, d).select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy("group_id")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
-    textDedupGroups(s, d)
+    textDedupGroupsRaw(s, d)
       .join(sized, "doc_id")
       .withColumn("rn", row_number().over(w))
       .groupBy("group_id")

@@ -30,4 +30,28 @@ class CorpusStatsSpec extends SparkSpec {
     graft.ops.Similarity.annLshTopNeighbor(spark, sfDir).limit(1).collect()
     CorpusStats.cacheSize shouldBe after
   }
+
+  "Materialized.of" should "compute once per (session, label) and serve identical rows" in {
+    Materialized.clear()
+    var computes = 0
+    def frame() = Materialized.of(spark, "test|groups") {
+      computes += 1
+      graft.ops.TextOps.textDedupGroups(spark, sfDir).limit(50)
+    }
+    val first = frame().collect()
+    val second = frame().collect()
+    computes shouldBe 1
+    Materialized.cacheSize should be >= 1
+    second shouldBe first
+  }
+
+  it should "share the groups table across its three consumers" in {
+    Materialized.clear()
+    graft.ops.TextOps.textDedupGroups(spark, sfDir).limit(1).collect()
+    val after = Materialized.cacheSize
+    // canonical pick and group split must REUSE the materialized groups
+    graft.ops.TextOps.dedupCanonical(spark, sfDir).limit(1).collect()
+    graft.ops.Sampling.sampleGroupSplit(spark, sfDir).collect()
+    Materialized.cacheSize shouldBe after
+  }
 }
