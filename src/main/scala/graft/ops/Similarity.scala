@@ -326,7 +326,19 @@ object Similarity {
     * compatibility degrades toward all cell pairs but the plan shape —
     * shuffled equi-join on bounded cells — still stands at 100 TB.
     */
-  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
+  def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame =
+    dedupEmbeddingCosineRaw(s, d).orderBy("id_a", "id_b")
+
+  /** Unsorted near-dup PAIRS table, materialized once per (session,
+    * path) — consumed by the pairs query and the groups build; a
+    * production pipeline persists exactly this table.
+    */
+  private[graft] def dedupEmbeddingCosineRaw(s: SparkSession, d: String): DataFrame =
+    graft.io.Materialized.of(s, s"dedupEmbeddingCosine|$d") {
+      dedupEmbeddingCosineCompute(s, d)
+    }
+
+  private def dedupEmbeddingCosineCompute(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
     val cents = trainQuantizer(emb)
     val assigned = assignCells(emb, cents, 1)
@@ -369,7 +381,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(expr("cosine_sim(emb_a, emb_b)"), 4).as("cos"))
       .filter(col("cos") >= 0.4)
-      .orderBy("id_a", "id_b")
   }
 
   /** Pairs → GROUPS for the embedding modality: the exact cell-blocked
@@ -383,7 +394,7 @@ object Similarity {
     */
   def dedupEmbeddingGroups(s: SparkSession, d: String): DataFrame =
     graft.io.Materialized.of(s, s"dedupEmbeddingGroups|$d") {
-      val pairs = dedupEmbeddingCosine(s, d).select(col("id_a"), col("id_b"))
+      val pairs = dedupEmbeddingCosineRaw(s, d).select(col("id_a"), col("id_b"))
       val vecs = Sources.embeddings(s, d).select(col("vec_id"))
       Dedup.connectedGroups(pairs, vecs, "vec_id")
         .select(col("id").as("vec_id"), col("group_id"))

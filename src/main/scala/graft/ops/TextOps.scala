@@ -151,7 +151,19 @@ object TextOps {
     * Blocking keeps the pair count linear-ish; the full-corpus variant is
     * [[dedupMinHashLsh]]. Oracle: same pairs in DuckDB list algebra.
     */
-  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairsRaw(s, d).orderBy("id_a", "id_b")
+
+  /** Unsorted PAIRS table, materialized once per (session, path) —
+    * consumed by the pairs query and the groups build (a production
+    * pipeline persists exactly this table).
+    */
+  private[ops] def ngramJaccardPairsRaw(s: SparkSession, d: String): DataFrame =
+    graft.io.Materialized.of(s, s"ngramJaccardPairs|$d") {
+      ngramJaccardPairsCompute(s, d)
+    }
+
+  private def ngramJaccardPairsCompute(s: SparkSession, d: String): DataFrame = {
     // Blocking must be EQUI-joinable: a bare `abs(nc_a - nc_b) <= 3` next
     // to a 3-value lang key degenerates to a per-language cross product.
     // Bucket n_chars (width 7 covers the ±3 band) and explode the probe
@@ -173,7 +185,6 @@ object TextOps {
         round(size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
           size(array_union(col("ws_a"), col("ws_b"))).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
-      .orderBy("id_a", "id_b")
   }
 
   /** Pairs → GROUPS: the Jaccard candidate pairs collapsed to connected
@@ -191,7 +202,7 @@ object TextOps {
     */
   private[ops] def textDedupGroupsRaw(s: SparkSession, d: String): DataFrame =
     graft.io.Materialized.of(s, s"textDedupGroups|$d") {
-      val pairs = ngramJaccardPairs(s, d).select(col("id_a"), col("id_b"))
+      val pairs = ngramJaccardPairsRaw(s, d).select(col("id_a"), col("id_b"))
       val docs = Sources.documents(s, d).select(col("doc_id"))
       Dedup.connectedGroups(pairs, docs, "doc_id")
         .select(col("id").as("doc_id"), col("group_id"))
