@@ -551,7 +551,95 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization codebooks: for each of `m` subspaces, `k`
+    * centroids of `subDim` dims, trained by per-subspace Lloyd in ONE
+    * distributed pass per iteration: vectors explode to (subspace,
+    * subvector) rows, assignment is a broadcast codebook join + `min_by`
+    * argmin (ties to the lower cell id — deterministic), re-estimation is
+    * a single (subspace, cell) centroid aggregate. The model is
+    * m·k·subDim floats — hyperparameter-sized, collected like any
+    * k-means model; at 10⁹ vectors the per-iteration cost is one linear
+    * pass with an m·k-row broadcast, the canonical PQ training shape.
+    */
+  private[graft] def trainPq(s: SparkSession, emb: DataFrame,
+      m: Int = 8, k: Int = 16, subDim: Int = 8, iters: Int = 2): Seq[((Int, Int), Array[Double])] = {
+    import s.implicits._
+    def subRows(e: DataFrame) = e.select(col("vec_id"), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        i => struct(i.as("sub"), slice(col("embedding"), i * subDim + 1, lit(subDim)).as("sv"))))
+      .as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"),
+        transform(col("x.sv"), v => v.cast("double")).as("sv"))
+    // seed from k corpus vectors in deterministic hash order (spread like
+    // the data — subset-mean seeds would collapse Lloyd; same rule as IVF)
+    val seeds = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(abs(hash(col("vec_id"))), col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+    var model: Seq[((Int, Int), Array[Double])] = (for {
+      sub <- 0 until m
+      cell <- 0 until k
+    } yield (sub, cell) -> seeds(cell).slice(sub * subDim, (sub + 1) * subDim)
+      .map(_.toDouble)).toSeq
+    val sr = subRows(emb)
+    val cent = graft.functions.CentroidAggregator.centroid(subDim)
+    for (_ <- 1 to iters) {
+      val cb = model.map { case ((sub, cell), v) => (sub, cell, v) }
+        .toDF("sub", "cell", "cent")
+      val d2 = aggregate(zip_with(col("sv"), col("cent"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, e) => a + e)
+      val assigned = sr.join(broadcast(cb), "sub")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+      model = assigned.join(sr, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cell"),
+          transform(col("sv"), v => v.cast("float")).as("sv"))
+        .groupBy("sub", "cell").agg(cent(col("sv")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toSeq.sortBy(_._1)
+    }
+    model
+  }
+
+  /** PQ encode + audit (`sim_pq_audit`): each vector's 8×4-bit code word
+    * (64 dims → 8 bytes, 32× compression vs float32) plus the
+    * reconstruction MSE — the audit a pipeline runs before switching ANN
+    * search to asymmetric-distance (ADC) scoring over codes. Encoding is
+    * the same broadcast-join argmin as training (at serving scale the
+    * codebook inlines into a literal projection exactly like IVF's
+    * literal path). Trained-model op ⇒ rows-only check; ADC fidelity and
+    * compression-dominance bounds are asserted in PqSpec.
+    */
+  def pqAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Sources.embeddings(s, d)
+    val model = trainPq(s, emb)
+    val m = 8; val subDim = 8
+    val cb = model.map { case ((sub, cell), v) => (sub, cell, v) }
+      .toDF("sub", "cell", "cent")
+    val sr = emb.select(col("vec_id"), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        i => struct(i.as("sub"), slice(col("embedding"), i * subDim + 1, lit(subDim)).as("sv"))))
+      .as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"),
+        transform(col("x.sv"), v => v.cast("double")).as("sv"))
+    val d2 = aggregate(zip_with(col("sv"), col("cent"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, e) => a + e)
+    sr.join(broadcast(cb), "sub")
+      .withColumn("d2", d2)
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+      .groupBy("vec_id")
+      .agg(
+        concat_ws("-", transform(array_sort(collect_list(struct(col("sub"), col("best.cell").as("cell")))),
+          p => p.getField("cell").cast("string"))).as("codes"),
+        round(sum(col("best.d2")) / lit(m * subDim), 8).as("recon_mse"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_audit" -> (pqAudit _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_outliers" -> (centroidOutliers _),

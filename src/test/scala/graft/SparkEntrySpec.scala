@@ -39,8 +39,10 @@ class SparkEntrySpec extends SparkSpec {
     // rows-only: its recall above τ is structurally incomplete (measured
     // hamming up to 12/64 on qualifying pairs — see its scaladoc).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // sim_pq_audit joined r5: trained-model op (k-means codebooks), like
+    // the ANN sketches — PqSpec carries the semantic assertions instead.
     rowsOnly shouldBe Set("agg_approx_distinct", "agg_approx_percentile",
-      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf")
+      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "sim_pq_audit")
   }
 
   "entry" should "return rows on the smoke fixture" in {
