@@ -611,11 +611,12 @@ object Similarity {
     * literal path). Trained-model op ⇒ rows-only check; ADC fidelity and
     * compression-dominance bounds are asserted in PqSpec.
     */
-  def pqAudit(s: SparkSession, d: String): DataFrame = {
+  /** PQ encode: (vec_id, sub, best=struct(d2, cell)) — the broadcast-join
+    * argmin shared by the audit and the ADC search path.
+    */
+  private def pqEncode(s: SparkSession, emb: DataFrame,
+      model: Seq[((Int, Int), Array[Double])], m: Int = 8, subDim: Int = 8): DataFrame = {
     import s.implicits._
-    val emb = Sources.embeddings(s, d)
-    val model = trainPq(s, emb)
-    val m = 8; val subDim = 8
     val cb = model.map { case ((sub, cell), v) => (sub, cell, v) }
       .toDF("sub", "cell", "cent")
     val sr = emb.select(col("vec_id"), explode(transform(
@@ -630,6 +631,12 @@ object Similarity {
       .withColumn("d2", d2)
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("d2"), col("cell"))).as("best"))
+  }
+
+  def pqAudit(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val m = 8; val subDim = 8
+    pqEncode(s, emb, trainPq(s, emb), m, subDim)
       .groupBy("vec_id")
       .agg(
         concat_ws("-", transform(array_sort(collect_list(struct(col("sub"), col("best.cell").as("cell")))),
@@ -638,7 +645,55 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** ADC (asymmetric distance) nearest neighbor over PQ codes
+    * (`sim_pq_adc`): query vectors (vec_id < 8) stay full-precision, the
+    * corpus is searched through its 8-byte codes. Per-query distances
+    * come from a LOOKUP TABLE — (query, subspace, cell) partial squared
+    * distances, |q|·m·k rows (1024 here), computed driver-side from the
+    * model and broadcast — so scanning a coded vector costs m table
+    * lookups + adds instead of a 64-dim float kernel: the classic
+    * IVF-ADC serving arithmetic (Jégou et al., PQ for NN search). All
+    * joins are equi (codes ⨝ LUT on (sub, cell)); the per-(query, vector)
+    * reduce is one sum + min_by aggregate. Trained-model op ⇒ rows-only;
+    * PqSpec bounds the competitive ratio vs exact L2 search.
+    */
+  def pqAdcTopNeighbor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Sources.embeddings(s, d)
+    val m = 8; val subDim = 8
+    val model = trainPq(s, emb)
+    val corpusCodes = pqEncode(s, emb.filter(col("vec_id") >= 8), model, m, subDim)
+      .select(col("vec_id"), col("sub"), col("best.cell").as("cell"))
+    // query set is bounded (the search REQUEST, not the corpus): collect
+    // and expand against the model into the ADC lookup table
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val lut = for {
+      (qid, qv) <- queries.toSeq
+      ((sub, cell), cent) <- model
+    } yield {
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) {
+        val diff = qv(sub * subDim + i).toDouble - cent(i)
+        acc += diff * diff
+        i += 1
+      }
+      (qid, sub, cell, acc)
+    }
+    corpusCodes
+      .join(broadcast(lut.toDF("q_id", "sub", "cell", "pd")), Seq("sub", "cell"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum("pd").as("adc_d2"))
+      .groupBy("q_id")
+      .agg(min_by(col("vec_id"), struct(col("adc_d2"), col("vec_id"))).as("nn_id"),
+        round(min(struct(col("adc_d2"), col("vec_id"))).getField("adc_d2"), 6).as("adc_d2"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_adc" -> (pqAdcTopNeighbor _),
     "sim_pq_audit" -> (pqAudit _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_cosine_topk" -> (cosineTopK _),

@@ -269,7 +269,36 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Zipf-law fit over the corpus vocabulary: least-squares slope of
+    * log-frequency vs log-rank (natural text ≈ −1; templated/synthetic
+    * corpora drift toward 0 or over-steepen). The regression runs over
+    * the vocabulary-sized rank table (Heaps-bounded single-partition
+    * window, the documented trade shared with `text_vocab_coverage`);
+    * everything after is one constant-size aggregate.
+    */
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    val uni = Sources.documents(s, d)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pts = uni
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("double"))
+      .select(log(col("r")).as("lr"), log(col("c").cast("double")).as("lc"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("lr").as("sx"), sum("lc").as("sy"),
+        sum(col("lr") * col("lc")).as("sxy"),
+        sum(col("lr") * col("lr")).as("sxx"))
+      .select(
+        col("n").cast("long").as("n_types"),
+        round(slope, 4).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_slope" -> (zipfSlope _),
     "text_pmi_bigrams" -> (pmiBigrams _),
     "text_bigram_novelty" -> (bigramNovelty _),
     "text_vocab_coverage" -> (vocabCoverage _),
@@ -281,6 +310,17 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_zipf_slope" ->
+      """WITH t AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        | uni AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+        | pts AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS lr,
+        |   ln(c::DOUBLE) AS lc FROM uni),
+        | a AS (SELECT count(*)::DOUBLE AS n, sum(lr) AS sx, sum(lc) AS sy,
+        |   sum(lr*lc) AS sxy, sum(lr*lr) AS sxx FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        | round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) AS zipf_slope,
+        | round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx)/n, 4) AS intercept
+        |FROM a""".stripMargin,
     "text_pmi_bigrams" ->
       """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
         | tok AS (SELECT unnest(ws) AS wd FROM w),

@@ -42,7 +42,8 @@ class SparkEntrySpec extends SparkSpec {
     // sim_pq_audit joined r5: trained-model op (k-means codebooks), like
     // the ANN sketches — PqSpec carries the semantic assertions instead.
     rowsOnly shouldBe Set("agg_approx_distinct", "agg_approx_percentile",
-      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "sim_pq_audit")
+      "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "sim_pq_audit",
+      "sim_pq_adc")
   }
 
   "entry" should "return rows on the smoke fixture" in {

@@ -87,4 +87,25 @@ class PqSpec extends SparkSpec {
     // dominance bound with headroom against seeding jitter
     (pqMse.sum / pqMse.size) should be < 0.7 * (k1Mse.sum / k1Mse.size)
   }
+
+  "Similarity.pqAdcTopNeighbor" should "stay L2-competitive with exact search" in {
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val queries = vecs.filter(_._1 < 8)
+    val corpus = vecs.filter(_._1 >= 8)
+    val exactNn = queries.map { case (qid, qv) =>
+      qid -> corpus.map { case (id, v) => (d2(qv, v), id) }.min
+    }.toMap
+    val got = Similarity.pqAdcTopNeighbor(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe queries.map(_._1).toSet
+    // competitive ratio: the TRUE distance to the ADC-chosen neighbor vs
+    // the exact-NN distance — robust where exact recall@1 is brittle
+    val byId = corpus.toMap
+    val ratios = queries.map { case (qid, qv) =>
+      d2(qv, byId(got(qid))) / exactNn(qid)._1
+    }
+    ratios.foreach(_ should be < 3.0)
+    (ratios.sum / ratios.size) should be < 1.8
+  }
 }

@@ -195,4 +195,21 @@ class TextSignalsSpec extends SparkSpec {
       m.values.map(_._3).sum / m.size
     avg(early) should be > avg(late)
   }
+
+  "TextSignals.zipfSlope" should "match the brute-force log-log regression" in {
+    val counts = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.size).toSeq
+    val ranked = counts.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((_, c), i) => (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = ranked.size.toDouble
+    val sx = ranked.map(_._1).sum; val sy = ranked.map(_._2).sum
+    val sxy = ranked.map(p => p._1 * p._2).sum
+    val sxx = ranked.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val row = TextSignals.zipfSlope(spark, sfDir).collect().head
+    row.getLong(0) shouldBe counts.size.toLong
+    row.getDouble(1) shouldBe round4(slope) +- 1e-9
+    row.getDouble(2) shouldBe round4((sy - slope * sx) / n) +- 1e-9
+    slope should be < 0.0 // frequencies must decay with rank
+  }
 }
