@@ -40,6 +40,45 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet table into files of roughly
+    * `targetFileBytes` each. Appending micro-batches (streaming
+    * foreachBatch, incremental refresh) accretes files far below the
+    * scan-efficient size; NameNode/list pressure and per-file task
+    * overhead then dominate reads. Sizing comes from the table's CURRENT
+    * on-disk bytes (file metadata — no data scan), the rewrite is one
+    * round-robin `repartition(n)` (even output sizes, no key skew), and
+    * the swap goes through a temp directory so a concurrent reader never
+    * sees a half-written table. Returns (filesBefore, filesAfter).
+    *
+    * At scale this is the maintenance job every table format schedules
+    * (OPTIMIZE / rewrite_data_files); per-partition compaction composes
+    * by calling this on each date partition directory.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def dataFiles(p: java.io.File): Seq[java.io.File] =
+      Option(p.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val dir = new java.io.File(path)
+    val before = dataFiles(dir)
+    val totalBytes = before.map(_.length()).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact_tmp"
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-enough local swap; object stores would commit via rename of
+    // the table pointer (metastore/table-format), same two-phase shape
+    val bak = new java.io.File(path.stripSuffix("/") + ".compact_old")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(): Unit
+    }
+    dir.renameTo(bak)
+    new java.io.File(tmp).renameTo(dir)
+    deleteRec(bak)
+    (before.size, dataFiles(dir).size)
+  }
+
   /** Idempotent incremental load: replace exactly the date partitions the
     * batch contains. `dateField` may be a typed timestamp/date or the
     * reference's canonical string form — both derive the partition date.

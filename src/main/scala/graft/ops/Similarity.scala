@@ -561,6 +561,20 @@ object Similarity {
     * k-means model; at 10⁹ vectors the per-iteration cost is one linear
     * pass with an m·k-row broadcast, the canonical PQ training shape.
     */
+  /** Trained PQ models, memoized per (session, source, shape) — the
+    * persisted-model stand-in (same rationale as [[graft.io.CorpusStats]]):
+    * both PQ queries and any repeated audit/search call reuse one
+    * training run.
+    */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[((Int, Int), Array[Double])]]()
+
+  private[graft] def trainPqCached(s: SparkSession, emb: DataFrame, label: String,
+      m: Int = 8, k: Int = 16, subDim: Int = 8, iters: Int = 2): Seq[((Int, Int), Array[Double])] =
+    pqModels.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$label|$m|$k|$subDim|$iters",
+      _ => trainPq(s, emb, m, k, subDim, iters))
+
   private[graft] def trainPq(s: SparkSession, emb: DataFrame,
       m: Int = 8, k: Int = 16, subDim: Int = 8, iters: Int = 2): Seq[((Int, Int), Array[Double])] = {
     import s.implicits._
@@ -636,7 +650,7 @@ object Similarity {
   def pqAudit(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
     val m = 8; val subDim = 8
-    pqEncode(s, emb, trainPq(s, emb), m, subDim)
+    pqEncode(s, emb, trainPqCached(s, emb, d), m, subDim)
       .groupBy("vec_id")
       .agg(
         concat_ws("-", transform(array_sort(collect_list(struct(col("sub"), col("best.cell").as("cell")))),
@@ -661,7 +675,7 @@ object Similarity {
     import s.implicits._
     val emb = Sources.embeddings(s, d)
     val m = 8; val subDim = 8
-    val model = trainPq(s, emb)
+    val model = trainPqCached(s, emb, d)
     val corpusCodes = pqEncode(s, emb.filter(col("vec_id") >= 8), model, m, subDim)
       .select(col("vec_id"), col("sub"), col("best.cell").as("cell"))
     // query set is bounded (the search REQUEST, not the corpus): collect

@@ -65,4 +65,24 @@ class SinksSpec extends SparkSpec {
     Sinks.append(mkBatch(day2), path)
     spark.read.parquet(path).count() shouldBe 3
   }
+
+  "compact" should "collapse micro-batch files and preserve every row" in {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("sink-compact") + "/t"
+    // simulate 20 micro-batch appends -> at least 20 data files
+    (1 to 20).foreach { i =>
+      Sinks.append(Seq((i.toLong, s"row$i")).toDF("id", "v").coalesce(1), path)
+    }
+    val rowsBefore = spark.read.parquet(path).orderBy("id").collect().toSeq
+    val (before, after) = Sinks.compact(spark, path) // target >> table size
+    before should be >= 20
+    after shouldBe 1
+    val rowsAfter = spark.read.parquet(path).orderBy("id").collect().toSeq
+    rowsAfter shouldBe rowsBefore
+    // sized compaction: tiny target must split into multiple files
+    val (_, multi) = Sinks.compact(spark, path, targetFileBytes = 700L)
+    multi should be > 1
+    spark.read.parquet(path).count() shouldBe 20
+  }
 }

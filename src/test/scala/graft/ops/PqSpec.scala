@@ -21,8 +21,11 @@ class PqSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getString(1).split("-").map(_.toInt), r.getDouble(2))))
       .toMap
 
+  // the cached model — the SAME instance the audit/ADC queries encode
+  // with (a retrain could differ in final ulps and flip near-tie argmins)
   private lazy val model: Map[(Int, Int), Array[Double]] =
-    Similarity.trainPq(spark, graft.io.Sources.embeddings(spark, sfDir)).toMap
+    Similarity.trainPqCached(spark,
+      graft.io.Sources.embeddings(spark, sfDir), sfDir).toMap
 
   "Similarity.pqAudit" should "emit one 8-part code word per vector with cells in [0,16)" in {
     audit.size shouldBe vecs.size
@@ -75,7 +78,8 @@ class PqSpec extends SparkSpec {
   }
 
   it should "beat the trivial one-cell-per-subspace codebook" in {
-    val k1 = Similarity.trainPq(spark, graft.io.Sources.embeddings(spark, sfDir), k = 1).toMap
+    val k1 = Similarity.trainPqCached(spark,
+      graft.io.Sources.embeddings(spark, sfDir), sfDir, k = 1).toMap
     val k1Mse = vecs.map { case (_, v) =>
       (0 until M).map { sub =>
         val sv = v.slice(sub * SubDim, (sub + 1) * SubDim).map(_.toDouble)
