@@ -297,7 +297,42 @@ object TextSignals {
         round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
   }
 
+  /** BM25 ranked retrieval for a fixed 3-term query — the IR scoring
+    * function every keyword-search / retrieval-augmentation pipeline
+    * runs (k1 = 1.2, b = 0.75, Robertson idf with the +1 floor). The
+    * posting lists come from one token-filtered explode (scan-side
+    * `isin` prune — only query terms survive the Generate), document
+    * lengths and the corpus stats (N, avgdl) are one narrow aggregate
+    * each, and scoring is a per-(doc, term) projection summed per doc.
+    * Output keeps every matched doc ordered by doc_id (rank-order
+    * assertions live in the spec; a rounded-score ORDER BY would be
+    * tie-unstable across engines at the cutoff).
+    */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "vector", "dup")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Sources.documents(s, d)
+    val lens = docs.select(col("doc_id"), size(words(col("text"))).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val score = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfT), "w")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", score)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"), round(sum("sc"), 4).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (bm25 _),
     "text_zipf_slope" -> (zipfSlope _),
     "text_pmi_bigrams" -> (pmiBigrams _),
     "text_bigram_novelty" -> (bigramNovelty _),
@@ -310,6 +345,19 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bm25" ->
+      """WITH lens AS (SELECT doc_id, len(string_split(text,' '))::DOUBLE AS dl
+        |   FROM documents),
+        | st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+        | tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM (
+        |   SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |  WHERE w IN ('spark', 'vector', 'dup') GROUP BY doc_id, w),
+        | dfq AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w)
+        |SELECT doc_id, count(*) AS n_terms_matched,
+        | round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |   (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN dfq USING (w) JOIN lens USING (doc_id) CROSS JOIN st
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_zipf_slope" ->
       """WITH t AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
         | uni AS (SELECT w, count(*) AS c FROM t GROUP BY w),

@@ -9,6 +9,37 @@ case class UserEvent(user_id: Long, value: Double)
 /** Per-user running totals held in the state store. */
 case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Emitted by [[HighWaterProcessor]] whenever a user's maximum improves. */
+case class UserHighWater(user_id: Long, high: Double)
+
+/** Spark 4 arbitrary-state v2 (`StatefulProcessor` / `transformWithState`
+  * — the successor to `mapGroupsWithState` with typed per-key state
+  * primitives): a per-user high-water mark in a `ValueState[Double]`,
+  * emitting only on improvement (the dedup/alerting shape: suppress
+  * non-improving events, state is one double per key). Requires the
+  * RocksDB state store provider, which is what a production deployment
+  * runs anyway for large keyed state.
+  */
+class HighWaterProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserHighWater] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var high: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    high = getHandle.getValueState[Double]("high",
+      org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timers: TimerValues): Iterator[UserHighWater] = {
+    val prev = if (high.exists()) high.get() else Double.NegativeInfinity
+    val mx = rows.foldLeft(prev)((a, e) => math.max(a, e.value))
+    if (mx > prev) {
+      high.update(mx)
+      Iterator.single(UserHighWater(key, mx))
+    } else Iterator.empty
+  }
+}
+
 /** True Structured Streaming forms of the batch analogs in
   * [[graft.ops.StreamingAnalogs]] — the same aggregation expressions wired
   * with `readStream` semantics: watermarks bound state, window aggregates
@@ -79,6 +110,17 @@ object StreamingOps {
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** Arbitrary state v2: see [[HighWaterProcessor]]. Update-mode emission,
+    * processing-time semantics (no timers needed for a high-water mark).
+    */
+  def highWaterPerUser(events: org.apache.spark.sql.Dataset[UserEvent]):
+      org.apache.spark.sql.Dataset[UserHighWater] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new HighWaterProcessor, TimeMode.None(), OutputMode.Update())
+  }
 
   /** Custom arbitrary state (SURVEY §2.10: `mapGroupsWithState`): running
     * per-user totals — event count and value sum accumulated across

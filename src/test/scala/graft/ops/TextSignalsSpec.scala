@@ -196,6 +196,41 @@ class TextSignalsSpec extends SparkSpec {
     avg(early) should be > avg(late)
   }
 
+  "TextSignals.bm25" should "match brute-force scoring and rank exact-phrase docs sensibly" in {
+    val terms = Seq("spark", "vector", "dup")
+    val k1 = 1.2; val b = 0.75
+    val toks = docs.map { case (id, text, _, _) => id -> text.split(" ", -1).toSeq }
+    val n = docs.size.toDouble
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val tf = toks.flatMap { case (id, ws) =>
+      terms.map(t => (id, t, ws.count(_ == t))).filter(_._3 > 0)
+    }
+    val dfm = tf.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val expected = tf.groupBy(_._1).view.mapValues { rows =>
+      val score = rows.map { case (id, t, f) =>
+        val dl = toks.toMap.apply(id).size.toDouble
+        math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+          (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+      (rows.size.toLong, score)
+    }.toMap
+    val got = TextSignals.bm25(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (id, (m, sc)) =>
+      m shouldBe expected(id)._1
+      sc shouldBe round4(expected(id)._2) +- 1e-9
+    }
+    // discrimination binds: docs matching the rare term outscore the rest
+    val rareDocs = toks.filter(_._2.contains("dup")).map(_._1).toSet
+    if (rareDocs.nonEmpty && rareDocs.size < got.size) {
+      val rareAvg = rareDocs.toSeq.map(got(_)._2).sum / rareDocs.size
+      val restAvg = (got.keySet -- rareDocs).toSeq.map(got(_)._2).sum /
+        (got.size - rareDocs.size)
+      rareAvg should be > restAvg
+    }
+  }
+
   "TextSignals.zipfSlope" should "match the brute-force log-log regression" in {
     val counts = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
       .view.mapValues(_.size).toSeq

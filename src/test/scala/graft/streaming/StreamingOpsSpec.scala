@@ -166,6 +166,28 @@ class StreamingOpsSpec extends SparkSpec {
     s.table("dedup").count() shouldBe sample.length.toLong
   }
 
+  "highWaterPerUser (transformWithState)" should "emit only on per-user improvements across batches" in {
+    // transformWithState needs the RocksDB state store; isolate the
+    // provider conf in a child session (shared context, own SQLConf)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingOps.highWaterPerUser(mem.toDS())
+      .writeStream.format("memory").queryName("hiwater").outputMode("update").start()
+    mem.addData(UserEvent(1, 5.0), UserEvent(1, 3.0), UserEvent(2, 1.0))
+    q.processAllAvailable()
+    mem.addData(UserEvent(1, 4.0)) // below user 1's high water: no emit
+    q.processAllAvailable()
+    mem.addData(UserEvent(1, 7.0), UserEvent(2, 0.5)) // only user 1 improves
+    q.processAllAvailable(); q.stop()
+    val got = s2.table("hiwater").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    got shouldBe Seq((1L, 5.0), (1L, 7.0), (2L, 1.0))
+  }
+
   "enrichWithDim (stream-static join)" should "enrich each micro-batch against the dimension" in {
     val s = spark
     import s.implicits._
