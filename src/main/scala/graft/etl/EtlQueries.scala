@@ -112,7 +112,26 @@ object EtlQueries {
       .orderBy("order_month")
   }
 
+  /** CDC apply over the event stream: treat each event as a change record
+    * for its user (op = delete when `event_type = 'error'`, upsert
+    * otherwise) and collapse to current state with
+    * [[graft.ops.Dedup.cdcApply]] — latest change wins, tombstoned keys
+    * drop out. The batch form of applying a binlog/Debezium feed; one
+    * user-keyed window shuffle.
+    */
+  def etlCdcApply(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.cdcApply(
+        Sources.events(s, d)
+          .withColumn("op", when(col("event_type") === "error", "D").otherwise("U")),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        opCol = "op", deleteOp = "D")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_type").as("last_type"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_cdc_apply" -> (etlCdcApply _),
     "etl_pipeline_e2e" -> (etlPipelineE2e _),
     "etl_normalize_dates" -> (etlNormalizeDates _),
     "etl_range_filter" -> (etlRangeFilter _),
@@ -122,6 +141,15 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_cdc_apply" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | event_type AS last_type, round(value, 2) AS value
+        |FROM c WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "etl_pipeline_e2e" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price

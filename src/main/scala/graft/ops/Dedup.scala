@@ -35,6 +35,22 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** CDC apply: collapse a change stream (upserts + deletes) to current
+    * state — the batch form of applying a Debezium/binlog feed to a
+    * snapshot. Latest change per key wins (`orderCols`, descending, must
+    * be a total order — e.g. ts + a unique sequence id); a key whose
+    * latest change is `deleteOp` disappears. One keyed window shuffle —
+    * the same shape as keep-latest, plus the tombstone filter.
+    */
+  def cdcApply(changes: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      opCol: String, deleteOp: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
+
   /** Duplicate-group report: keys + surviving id + copy count, only for
     * groups with more than one row.
     */

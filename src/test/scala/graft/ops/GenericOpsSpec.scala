@@ -49,6 +49,20 @@ class GenericOpsSpec extends SparkSpec {
     out shouldBe Array(1L, 3L)
   }
 
+  "Dedup.cdcApply" should "apply latest-wins upserts and drop tombstoned keys" in {
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      (1L, 1L, "U", "v1"), (1L, 3L, "U", "v2"),   // key 1: latest upsert wins
+      (2L, 1L, "U", "v1"), (2L, 2L, "D", ""),     // key 2: deleted at the end
+      (3L, 1L, "D", ""), (3L, 2L, "U", "back"),   // key 3: re-inserted after delete
+      (4L, 9L, "D", ""),                          // key 4: only a tombstone
+    ).toDF("k", "seq", "op", "payload")
+    val out = Dedup.cdcApply(changes, Seq("k"), Seq("seq"), "op", "D")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(3)))
+    out shouldBe Array((1L, "v2"), (3L, "back"))
+  }
+
   "Dedup.keepLatest" should "keep the max-order row per key" in {
     val s = spark
     import s.implicits._
