@@ -189,8 +189,22 @@ object ScaleProbe {
           .count()
         incMatches
       }
+      // PQ probe: codebook training + full-corpus encoding over the
+      // replicated vectors. Per-iteration cost is one corpus pass against
+      // an m·k-row broadcast, so both timings must track corpus size
+      // ~linearly — superlinear growth would mean the encode stopped
+      // being a broadcast-join + bounded argmin aggregate.
+      val embP = spark.read.parquet(s"$dir/embeddings.parquet")
+      val tPqT0 = System.nanoTime()
+      val pqModel = graft.ops.Similarity.trainPq(spark, embP)
+      val tPqTrain = (System.nanoTime() - tPqT0) / 1e9
+      var pqRows = 0L
+      val tPqEnc = time {
+        pqRows = graft.ops.Similarity.pqEncode(spark, embP, pqModel).count()
+        pqRows
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows}""")
     }
     spark.stop()
   }

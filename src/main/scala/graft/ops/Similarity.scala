@@ -628,7 +628,7 @@ object Similarity {
   /** PQ encode: (vec_id, sub, best=struct(d2, cell)) — the broadcast-join
     * argmin shared by the audit and the ADC search path.
     */
-  private def pqEncode(s: SparkSession, emb: DataFrame,
+  private[graft] def pqEncode(s: SparkSession, emb: DataFrame,
       model: Seq[((Int, Int), Array[Double])], m: Int = 8, subDim: Int = 8): DataFrame = {
     import s.implicits._
     val cb = model.map { case ((sub, cell), v) => (sub, cell, v) }
