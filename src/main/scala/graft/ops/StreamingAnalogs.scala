@@ -185,9 +185,34 @@ object StreamingAnalogs {
         col("segment"), col("n_events"), col("sum_value"))
       .orderBy("win_start", "segment")
 
+  /** MATCH_RECOGNIZE-style sequence mining, composed from primitives
+    * neither engine needs an extension for: each user's event history
+    * collapses to an ordered initial-string (c/e/p/s/v), and a regex
+    * counts conversion runs (`c+p` — one or more clicks closed by a
+    * purchase, non-overlapping left-to-right in both engines). The heavy
+    * step is one user-keyed aggregate; per-user history strings are
+    * session-sized. The in-row sort of the collected (ts, event_id,
+    * initial) structs makes the string order-deterministic regardless of
+    * partitioning — `collect_list` alone has no ordering contract.
+    */
+  def patternConversions(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i"))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("i")))),
+        x => x.getField("i")), "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        size(regexp_extract_all(col("seq"), lit("c+p"), lit(0))).cast("long")
+          .as("n_conversions"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_drift_monitor" -> (driftMonitor _),
     "stream_static_enrich" -> (staticEnrich _),
+    "stream_pattern_conversions" -> (patternConversions _),
     "stream_tumbling_hourly" -> (tumblingHourly _),
     "stream_sliding_hourly" -> (slidingHourly _),
     "stream_session_per_user" -> (sessionPerUser _),
@@ -197,6 +222,14 @@ object StreamingAnalogs {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_pattern_conversions" ->
+      """WITH s AS (SELECT user_id,
+        |   string_agg(substring(event_type, 1, 1), ''
+        |     ORDER BY ts, event_id) AS seq
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        | CAST(len(regexp_extract_all(seq, 'c+p')) AS BIGINT) AS n_conversions
+        |FROM s ORDER BY user_id""".stripMargin,
     "stream_static_enrich" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
         | c_mktsegment AS segment, count(*) AS n_events,

@@ -585,6 +585,7 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _),
     "text_entropy" -> (textEntropy _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
+    "graph_triangle_stats" -> (triangleStats _),
     "text_dedup_groups" -> (textDedupGroups _),
     "dedup_canonical" -> (dedupCanonical _),
     "text_chunk_overlap" -> (textChunkOverlap _),
@@ -593,6 +594,32 @@ object TextOps {
     "text_contamination" -> (textContamination _),
     "text_token_budget" -> (textTokenBudget _),
   )
+
+  /** Triangle statistics over the near-dup graph — the structural audit
+    * of a dedup pair set: triangles vs wedges (global clustering
+    * coefficient) distinguishes tight duplicate cliques (cc → 1) from
+    * chain-like false-positive bridges (cc → 0). The standard
+    * two-join edge-list algorithm: edges are oriented a < b, so each
+    * triangle a < b < c is counted exactly once by joining (a,b)⨝(b,c)
+    * and closing with (a,c) — equi-joins only, never an all-pairs stage;
+    * degrees and wedges are one aggregate over the edge list.
+    */
+  def triangleStats(s: SparkSession, d: String): DataFrame = {
+    val e = ngramJaccardPairsRaw(s, d).select(col("id_a"), col("id_b"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val wedges = e.select(col("id_a").as("v")).unionAll(e.select(col("id_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+      .agg(sum(col("dg") * (col("dg") - 1L) / 2L).cast("long").as("n_wedges"))
+    val tri = e.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+      .join(e.select(col("id_a").as("a"), col("id_b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(when(col("n_wedges") === 0L, 0.0)
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 4)
+          .as("global_cc"))
+  }
 
   /** All pairs whose exact 3-shingle Jaccard clears τ — the ground truth
     * both sketch-verified pair queries must reproduce. O(n²) is fine for
@@ -810,5 +837,24 @@ object TextOps {
         |WHERE round(len(list_intersect(a.wset, b.wset))::DOUBLE /
         |       len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    "graph_triangle_stats" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |   list_distinct(string_split(text,' ')) AS wset FROM documents),
+        | e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |   FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 3
+        |   WHERE round(len(list_intersect(a.wset, b.wset))::DOUBLE /
+        |     len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.3),
+        | ne AS (SELECT count(*) AS n_edges FROM e),
+        | wd AS (SELECT CAST(sum(dg * (dg - 1) / 2) AS BIGINT) AS n_wedges FROM (
+        |   SELECT v, count(*) AS dg FROM (
+        |     SELECT id_a AS v FROM e UNION ALL SELECT id_b AS v FROM e) GROUP BY v)),
+        | tr AS (SELECT count(*) AS n_triangles FROM e e1
+        |   JOIN e e2 ON e1.id_b = e2.id_a
+        |   JOIN e e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b)
+        |SELECT n_edges, n_wedges, n_triangles,
+        | round(CASE WHEN n_wedges = 0 THEN 0.0
+        |   ELSE 3.0 * n_triangles / n_wedges END, 4) AS global_cc
+        |FROM ne CROSS JOIN wd CROSS JOIN tr""".stripMargin,
   )
 }

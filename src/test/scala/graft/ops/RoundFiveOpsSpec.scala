@@ -166,6 +166,39 @@ class RoundFiveOpsSpec extends SparkSpec {
     flags.exists(!_) shouldBe true
   }
 
+  "TextOps.triangleStats" should "match brute-force triangle and wedge counts over the pair graph" in {
+    val edges = TextOps.ngramJaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edgeSet = edges.toSet
+    val tri = (for {
+      (a, b) <- edges
+      (b2, c) <- edges if b2 == b && edgeSet((a, c))
+    } yield (a, b, c)).size.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val row = TextOps.triangleStats(spark, sfDir).collect().head
+    row.getLong(0) shouldBe edges.size.toLong
+    row.getLong(1) shouldBe wedges
+    row.getLong(2) shouldBe tri
+    tri should be > 0L // the dup clusters must close triangles
+    row.getDouble(3) should (be > 0.0 and be <= 1.0)
+  }
+
+  "StreamingAnalogs.patternConversions" should "match brute-force regex counting over ordered histories" in {
+    val events = graft.io.Sources.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "substring(event_type, 1, 1) AS i")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4).mkString
+      (seq.length.toLong, "c+p".r.findAllIn(seq).size.toLong)
+    }.toMap
+    val got = StreamingAnalogs.patternConversions(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe expected
+    got.values.map(_._2).sum should be > 0L // conversions bind
+  }
+
   "StreamingAnalogs.staticEnrich" should "match brute-force hourly per-segment totals over the dim join" in {
     def round2(x: Double): Double = BigDecimal(x)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
