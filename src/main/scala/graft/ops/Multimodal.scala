@@ -114,10 +114,49 @@ object Multimodal {
           (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("frame_fp"))
       .orderBy("doc_id", "frame_id")
 
+  /** Media near-dup via sampled-frame fingerprint overlap — the video/
+    * audio dedup shape: two assets are candidate duplicates when a large
+    * fraction of their sampled frames fingerprint identically (tolerant
+    * of local edits, since only the touched frames change). Candidates
+    * come from an INVERTED-INDEX equi-join on the frame fingerprint —
+    * never an asset×asset comparison; fingerprints shared by more than
+    * `dfCap` assets are boilerplate (intros, silence, black frames) and
+    * are dropped from the index, exactly like the df cap in text
+    * decontamination. Overlap = shared / min(frames), on exact integers.
+    */
+  def frameOverlapPairs(s: SparkSession, d: String): DataFrame = {
+    val dfCap = 50
+    // (doc_id, frame_id) is unique by construction; matching keys on
+    // (frame_id, frame_fp) makes the overlap POSITION-ALIGNED, the
+    // standard temporal-alignment assumption of video dedup
+    val frames = frameSample(s, d)
+      .select(col("doc_id"), col("frame_id"), col("frame_fp"))
+    val counts = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"))
+    val rare = frames.join(
+      frames.groupBy("frame_id", "frame_fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap),
+      Seq("frame_id", "frame_fp"))
+    val shared = rare.select(col("doc_id").as("id_a"), col("frame_id"), col("frame_fp"))
+      .join(rare.select(col("doc_id").as("id_b"), col("frame_id"), col("frame_fp")),
+        Seq("frame_id", "frame_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col("doc_id").as("id_a"), col("n_frames").as("nf_a")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("n_frames").as("nf_b")), "id_b")
+      .withColumn("overlap", round(col("n_shared").cast("double") /
+        least(col("nf_a"), col("nf_b")).cast("double"), 4))
+      .filter(col("overlap") >= 0.5)
+      .select("id_a", "id_b", "n_shared", "overlap")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> (mediaMeta _),
     "mm_decode_stub" -> (mediaDecodeStub _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_frame_overlap" -> (frameOverlapPairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +184,30 @@ object Multimodal {
         |     c -> CAST(ascii(c) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
         |FROM f WHERE frame_id % 4 = 0 ORDER BY doc_id, frame_id""".stripMargin,
+    "mm_frame_overlap" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, (length(text) - 1) // 16 + 1)) AS frame_id, text
+        |  FROM documents),
+        | fp AS (SELECT doc_id, frame_id,
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(substring(text, CAST(frame_id * 16 + 1 AS INT), 16), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))),
+        |     (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
+        |   FROM f WHERE frame_id % 4 = 0),
+        | cnt AS (SELECT doc_id, count(*) AS n_frames FROM fp GROUP BY doc_id),
+        | rare AS (SELECT fp.doc_id, fp.frame_id, fp.frame_fp FROM fp JOIN (
+        |   SELECT frame_id, frame_fp, count(*) AS df FROM fp
+        |   GROUP BY frame_id, frame_fp) d
+        |  ON fp.frame_id = d.frame_id AND fp.frame_fp = d.frame_fp AND d.df <= 50),
+        | sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |   FROM rare a JOIN rare b ON a.frame_id = b.frame_id
+        |    AND a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
+        |   GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, n_shared,
+        | round(n_shared::DOUBLE / least(ca.n_frames, cb.n_frames), 4) AS overlap
+        |FROM sh JOIN cnt ca ON sh.id_a = ca.doc_id
+        | JOIN cnt cb ON sh.id_b = cb.doc_id
+        |WHERE round(n_shared::DOUBLE / least(ca.n_frames, cb.n_frames), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -230,4 +230,29 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     viaQuery shouldBe fp
   }
+
+  "Multimodal.frameOverlapPairs" should "match brute-force position-aligned frame overlap" in {
+    val texts = Sources.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def frames(t: String): Map[Long, String] =
+      (0L to (t.length - 1) / 16).filter(_ % 4 == 0)
+        .map(i => i -> t.slice((i * 16).toInt, (i * 16 + 16).toInt)).toMap
+    val perDoc = texts.map { case (id, t) => id -> frames(t) }
+    // df cap: drop (frame_id, frame) keys appearing in > 50 docs
+    val df = perDoc.flatMap { case (_, fs) => fs.toSeq }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = (for {
+      (a, fa) <- perDoc
+      (b, fb) <- perDoc if a < b
+      shared = fa.toSeq.count { case (i, f) => df((i, f)) <= 50 && fb.get(i).contains(f) }
+      if shared > 0
+      overlap = BigDecimal(shared.toDouble / math.min(fa.size, fb.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if overlap >= 0.5
+    } yield (a, b) -> ((shared.toLong, overlap))).toMap
+    val got = Multimodal.frameOverlapPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe expected
+    got.size should be > 0 // the near-dup families must surface
+  }
 }
