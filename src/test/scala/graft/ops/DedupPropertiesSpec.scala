@@ -191,4 +191,33 @@ class DedupPropertiesSpec extends SparkSpec {
     val fromHub = pairs.filter(_._1 == 1L).map(_._2).toSet
     fromHub should contain allElementsOf (2 to m).map(_.toLong)
   }
+
+  "cdcApply" should "equal a sequential replay of the change log on random streams" in {
+    val s = spark
+    import s.implicits._
+    (1 to 5).foreach { _ =>
+      val n = 300 + rnd.nextInt(300)
+      val changes = (1 to n).map { seq =>
+        val key = rnd.nextInt(25).toLong
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        (key, seq.toLong, op, s"p$seq")
+      }
+      // reference: replay in sequence order into a mutable map
+      val state = collection.mutable.Map.empty[Long, String]
+      changes.sortBy(_._2).foreach {
+        case (k, _, "D", _) => state.remove(k): Unit
+        case (k, _, _, p)   => state(k) = p
+      }
+      val got = Dedup.cdcApply(changes.toDF("k", "seq", "op", "payload"),
+          Seq("k"), Seq("seq"), "op", "D")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      got shouldBe state.toMap
+      // applying the result of apply as a fresh upsert-only log is a no-op
+      val replayed = Dedup.cdcApply(
+        got.toSeq.map { case (k, p) => (k, 1L, "U", p) }.toDF("k", "seq", "op", "payload"),
+        Seq("k"), Seq("seq"), "op", "D")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      replayed shouldBe got
+    }
+  }
 }
