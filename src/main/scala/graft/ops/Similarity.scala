@@ -706,7 +706,56 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Exact maximum-inner-product top-k (`sim_mips_topk`): for each query
+    * vector, the 5 corpus vectors with the largest dot product —
+    * retrieval scoring when embeddings are NOT length-normalized (inner
+    * product ≠ cosine: norm carries salience). Brute-force baseline with
+    * the same broadcast-queries/stream-corpus shape as `sim_cosine_topk`;
+    * the scale path is [[mipsAugmented]], which reduces MIPS to cosine so
+    * the LSH/IVF/PQ indexes serve it unchanged.
+    */
+  def mipsTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("embedding"), col("q_emb")), 4).as("ip"))
+    val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("ip"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** The Neyshabur–Srebro MIPS→cosine reduction: corpus vectors augment
+    * with sqrt(M² − |x|²) (M = max corpus norm, a 1-row bounded
+    * aggregate) so every augmented vector has norm M; queries augment
+    * with 0. Then cos(x̂, q̂) = ⟨x, q⟩ / (M·|q|) — MONOTONE in the inner
+    * product for a fixed query — so any cosine index (LSH buckets, IVF
+    * cells, PQ codes) answers MIPS without modification. Returns
+    * (vec_id, aug) rows; ranking parity with [[mipsTopK]] is asserted in
+    * OpsSpec.
+    */
+  private[graft] def mipsAugmented(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = Sources.embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val m2 = corpus
+      .agg(max(aggregate(col("embedding"), lit(0.0),
+        (a, v) => a + v.cast("double") * v.cast("double"))).as("m2"))
+      .collect()(0).getDouble(0)
+    val augC = corpus.select(col("vec_id"),
+      concat(transform(col("embedding"), v => v.cast("double")),
+        array(sqrt(lit(m2) - aggregate(col("embedding"), lit(0.0),
+          (a, v) => a + v.cast("double") * v.cast("double"))))).as("aug"))
+    val augQ = emb.filter(col("vec_id") < 8).select(col("vec_id"),
+      concat(transform(col("embedding"), v => v.cast("double")),
+        array(lit(0.0))).as("aug"))
+    (augC, augQ)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mips_topk" -> (mipsTopK _),
     "sim_pq_adc" -> (pqAdcTopNeighbor _),
     "sim_pq_audit" -> (pqAudit _),
     "sim_quantize_int8" -> (quantizeInt8 _),
@@ -723,6 +772,14 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_mips_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        | s AS (SELECT q_id, vec_id,
+        |   round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) AS ip FROM c, q),
+        | r AS (SELECT q_id, vec_id, ip, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) AS rn FROM s)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, ip FROM r
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "sim_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),

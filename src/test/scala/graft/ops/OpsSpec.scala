@@ -231,6 +231,28 @@ class OpsSpec extends SparkSpec {
     viaQuery shouldBe fp
   }
 
+  "Similarity.mipsAugmented" should "make cosine ranking reproduce inner-product ranking" in {
+    val (augC, augQ) = Similarity.mipsAugmented(spark, sfDir)
+    val corpus = augC.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val queries = augQ.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // every augmented corpus vector has the same norm M (the reduction's core)
+    val norms = corpus.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+    norms.max shouldBe norms.min +- 1e-6
+    // top-5 by augmented cosine == top-5 by raw inner product, per query
+    val mips = Similarity.mipsTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    queries.foreach { case (qid, qv) =>
+      val byCos = corpus.map { case (id, v) => (cos(v, qv), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+      val byIp = (1L to 5L).map(rn => mips((qid, rn))).toSet
+      byCos shouldBe byIp
+    }
+  }
+
   "Multimodal.frameOverlapPairs" should "match brute-force position-aligned frame overlap" in {
     val texts = Sources.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
