@@ -49,6 +49,62 @@ object Joins {
     carried.select(leftBack ++ payloadBack: _*)
   }
 
+  /** Nearest join: for every left row, the single right row with the
+    * same `key` whose timestamp is CLOSEST (either direction) within
+    * `tolMicros` — the sensor-fusion / feature-store alignment join that
+    * backward-only as-of cannot express. Ties (equal distance before and
+    * after) resolve to the earlier right row.
+    *
+    * Same linear shape as [[asofJoin]]: both sides union once, then TWO
+    * window passes over ONE key shuffle — an ascending scan carrying the
+    * latest preceding right row and a descending scan carrying the
+    * earliest following one — and a per-row pick of the nearer candidate.
+    * Never a `|l.ts - r.ts| <= tol` range join (which degenerates to a
+    * per-key cross product).
+    *
+    * Right payload comes back prefixed `near_`, plus `near_delta_us`
+    * (non-negative; null when nothing lies within tolerance).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      payloadCols: Seq[String], tolMicros: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val withUs = (df: DataFrame) =>
+      df.withColumn("__us", expr(s"unix_micros(cast($tsCol as timestamp))"))
+    val lu = withUs(left)
+    val ru = withUs(right)
+    val payloadType = StructType(
+      payloadCols.map(c => right.schema(c)) :+ lu.schema("__us"))
+    val leftType = StructType(leftCols.map(c => left.schema(c)))
+
+    val l = lu.select(col(key), col("__us"), lit(1).as("__side"),
+      lit(null).cast(payloadType).as("__payload"),
+      struct(leftCols.map(col): _*).as("__left"))
+    val r = ru.select(col(key), col("__us"), lit(0).as("__side"),
+      struct(payloadCols.map(col) :+ col("__us"): _*).as("__payload"),
+      lit(null).cast(leftType).as("__left"))
+
+    val wB = Window.partitionBy(key).orderBy(col("__us").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key).orderBy(col("__us").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = l.unionByName(r)
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__payload"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn("__db", col("__us") - col("__b.__us"))
+      .withColumn("__df", col("__f.__us") - col("__us"))
+      // prefer the nearer side; exact ties go backward (earlier right row)
+      .withColumn("__n", when(
+          col("__b").isNotNull && col("__db") <= lit(tolMicros) &&
+            (col("__f").isNull || col("__df") > lit(tolMicros) || col("__db") <= col("__df")),
+          col("__b"))
+        .when(col("__f").isNotNull && col("__df") <= lit(tolMicros), col("__f")))
+    val leftBack = leftCols.map(c => col(s"__left.$c").as(c))
+    val payloadBack = payloadCols.map(c => col(s"__n.$c").as(s"near_$c"))
+    picked.select(leftBack ++ payloadBack :+
+      abs(col("__n.__us") - col("__us")).as("near_delta_us"): _*)
+  }
+
   /** Skew-salted equi join (SURVEY §4 "salting for skew"): when one join
     * key carries a disproportionate share of the left side, a plain
     * shuffle join sends that key's rows to ONE reducer. Salting splits

@@ -130,6 +130,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Nearest-click attribution within ±30 minutes ([[Joins.nearestJoin]]):
+    * unlike the backward-only as-of, a purchase may match a click shortly
+    * AFTER it (post-purchase confirmation clicks) — whichever is closer;
+    * exact ties go to the earlier click.
+    */
+  def joinNearestClick(s: SparkSession, d: String): DataFrame = {
+    val ev = Sources.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    Joins.nearestJoin(purchases, clicks, "user_id", "ts",
+        Seq("click_id"), tolMicros = 1800000000L)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("near_click_id"), col("near_delta_us"))
+      .orderBy("event_id")
+  }
+
   /** Exact distinct aggregation (Catalyst expands to a two-phase plan). */
   def aggDistinctPriority(s: SparkSession, d: String): DataFrame =
     Sources.orders(s, d)
@@ -400,6 +419,7 @@ object Relational {
     "join_semi_segment" -> (joinSemiSegment _),
     "join_anti_customers" -> (joinAntiCustomers _),
     "join_asof_last_click" -> (joinAsofLastClick _),
+    "join_nearest_click" -> (joinNearestClick _),
     "agg_distinct_priority" -> (aggDistinctPriority _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_rollup_region" -> (aggRollupRegion _),
@@ -456,6 +476,27 @@ object Relational {
         |FROM customer WHERE c_custkey NOT IN
         | (SELECT o_custkey FROM orders WHERE o_orderdate <= TIMESTAMP '1995-03-31 23:59:59')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_nearest_click" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts AS cts, event_id AS click_id FROM events
+        |   WHERE event_type = 'click'),
+        | cand AS (SELECT p.event_id, c.click_id,
+        |   abs(epoch_us(CAST(p.ts AS TIMESTAMP)) -
+        |       epoch_us(CAST(c.cts AS TIMESTAMP))) AS d_us,
+        |   row_number() OVER (PARTITION BY p.event_id ORDER BY
+        |     abs(epoch_us(CAST(p.ts AS TIMESTAMP)) -
+        |         epoch_us(CAST(c.cts AS TIMESTAMP))),
+        |     epoch_us(CAST(c.cts AS TIMESTAMP)), c.click_id) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE abs(epoch_us(CAST(p.ts AS TIMESTAMP)) -
+        |        epoch_us(CAST(c.cts AS TIMESTAMP))) <= 1800000000),
+        | best AS (SELECT event_id, click_id, d_us FROM cand WHERE rn = 1)
+        |SELECT p.event_id, p.user_id,
+        | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        | best.click_id AS near_click_id, best.d_us AS near_delta_us
+        |FROM p LEFT JOIN best ON p.event_id = best.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "join_asof_last_click" ->
       """SELECT p.event_id, p.user_id,
         | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,

@@ -49,6 +49,28 @@ class GenericOpsSpec extends SparkSpec {
     out shouldBe Array(1L, 3L)
   }
 
+  "Joins.nearestJoin" should "pick the closer side, break ties backward, and respect tolerance" in {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, 100L, t(100)), (1L, 101L, t(200)), (2L, 102L, t(100)),
+        (3L, 103L, t(100)))
+      .toDF("k", "lid", "ts")
+    val right = Seq(
+      (1L, 10L, t(90)),   // 10s before left@100 — nearer than 11 (20s after)
+      (1L, 11L, t(120)),  // 20s after left@100; 80s before left@200
+      (2L, 20L, t(80)), (2L, 21L, t(120)),  // exact tie: 20s both sides -> earlier (20)
+      (3L, 30L, t(2000))) // outside the 60s tolerance for left@100
+      .toDF("k", "rid", "ts")
+    val got = Joins.nearestJoin(left, right, "k", "ts", Seq("rid"), 60000000L)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4))))).toMap
+    got(100L) shouldBe Some((10L, 10000000L))  // nearer predecessor wins
+    got(101L) shouldBe None                    // best candidate is 80s away > 60s
+    got(102L) shouldBe Some((20L, 20000000L))  // exact tie -> earlier right row
+    got(103L) shouldBe None                    // nothing within tolerance
+  }
+
   "Dedup.cdcApply" should "apply latest-wins upserts and drop tombstoned keys" in {
     val s = spark
     import s.implicits._
