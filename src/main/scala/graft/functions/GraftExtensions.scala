@@ -24,5 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, s"cosine_sim expects 2 arguments, got ${children.size}")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"dot_product expects 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }))
   }
 }

@@ -720,7 +720,10 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = emb.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("embedding"), col("q_emb")), 4).as("ip"))
+        // native fused loop (graft.functions.DotProduct) — the HOF dot
+        // walks three lambda chains per row on the hot scoring path
+        round(call_function("dot_product", col("embedding"), col("q_emb")), 4)
+          .as("ip"))
     val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)

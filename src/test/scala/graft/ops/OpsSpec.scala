@@ -231,6 +231,19 @@ class OpsSpec extends SparkSpec {
     viaQuery shouldBe fp
   }
 
+  "dot_product (native expression)" should "be bit-identical to the HOF composition" in {
+    val emb = Sources.embeddings(spark, sfDir).limit(100)
+    val paired = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+    val both = paired.select(
+      expr("dot_product(embedding, q_emb)").as("native"),
+      Similarity.dot(col("embedding"), col("q_emb")).as("hof"))
+      .collect()
+    both.length should be > 0
+    both.foreach(r => r.getDouble(0) shouldBe r.getDouble(1)) // same fold order ⇒ identical
+  }
+
   "Similarity.mipsAugmented" should "make cosine ranking reproduce inner-product ranking" in {
     val (augC, augQ) = Similarity.mipsAugmented(spark, sfDir)
     val corpus = augC.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
