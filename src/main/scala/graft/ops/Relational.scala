@@ -242,8 +242,8 @@ object Relational {
     Sources.events(s, d)
       .select(
         col("event_id"), col("user_id"),
-        round(col("value") - lag("value", 1).over(w), 2).as("delta_prev"),
-        round(lead("value", 1).over(w) - col("value"), 2).as("delta_next"),
+        graft.functions.Num.roundNorm(col("value") - lag("value", 1).over(w), 2).as("delta_prev"),
+        graft.functions.Num.roundNorm(lead("value", 1).over(w) - col("value"), 2).as("delta_next"),
       )
       .orderBy("event_id")
   }
@@ -387,8 +387,8 @@ object Relational {
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
-        round(element_at(col("embedding"), -1).cast("double"), 6).as("last_v"),
+        graft.functions.Num.roundNorm(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
+        graft.functions.Num.roundNorm(element_at(col("embedding"), -1).cast("double"), 6).as("last_v"),
         // CSV, not a raw array: the oracle harness hashes scalar columns only;
         // `+ 0.0` collapses -0.0 so both engines format identically
         concat_ws(",", transform(slice(col("embedding"), 1, 3),
@@ -526,8 +526,8 @@ object Relational {
         | FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "win_lag_delta" ->
       """SELECT event_id, user_id,
-        | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta_prev,
-        | round(lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) - value, 2) AS delta_next
+        | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 2) + 0.0 AS delta_prev,
+        | round(lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) - value, 2) + 0.0 AS delta_next
         |FROM events ORDER BY event_id""".stripMargin,
     "win_running_spend" ->
       """SELECT o_custkey, o_orderkey,
@@ -599,8 +599,8 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scalar_array_ops" ->
       """SELECT vec_id, len(embedding) AS dim,
-        | round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
-        | round(CAST(embedding[-1] AS DOUBLE), 6) AS last_v,
+        | round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS first_v,
+        | round(CAST(embedding[-1] AS DOUBLE), 6) + 0.0 AS last_v,
         | array_to_string(list_transform(embedding[1:3],
         |   x -> printf('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0)), ',') AS head3_csv
         |FROM embeddings ORDER BY vec_id""".stripMargin,

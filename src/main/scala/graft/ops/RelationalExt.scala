@@ -23,8 +23,8 @@ object RelationalExt {
       .agg(
         round(stddev_samp(col("value")), 4).as("sd_value"),
         round(var_samp(col("value")), 4).as("var_value"),
-        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
-        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar_vu"),
+        graft.functions.Num.roundNorm(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
+        graft.functions.Num.roundNorm(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar_vu"),
         round(expr("percentile(value, 0.5)"), 4).as("median_value"),
         round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
       )
@@ -368,8 +368,8 @@ object RelationalExt {
       """SELECT event_type,
         | round(stddev_samp(value), 4) AS sd_value,
         | round(var_samp(value), 4) AS var_value,
-        | round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
-        | round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
+        | round(corr(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS corr_vu,
+        | round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS covar_vu,
         | round(quantile_cont(value, 0.5), 4) AS median_value,
         | round(quantile_cont(value, 0.9), 4) AS p90_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

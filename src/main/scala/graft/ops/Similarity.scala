@@ -52,7 +52,7 @@ object Similarity {
     val corpus = emb.filter(col("vec_id") >= 8)
     val scored = corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+        graft.functions.Num.roundNorm(cosine(col("embedding"), col("q_emb")), 4).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
@@ -302,7 +302,7 @@ object Similarity {
       // slice BEFORE exploding: 8 rows per vector instead of 64 then filter
       .select(col("label"), posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg(round(avg(col("v").cast("double")), 4).as("avg_v"), count(lit(1)).as("n_vecs"))
+      .agg(graft.functions.Num.roundNorm(avg(col("v").cast("double")), 4).as("avg_v"), count(lit(1)).as("n_vecs"))
       .select(col("label"), col("pos").cast("long").as("pos"), col("avg_v"), col("n_vecs"))
       .orderBy("label", "pos")
 
@@ -422,7 +422,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = emb.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
-        round(expr("cosine_sim(embedding, q_emb)"), 4).as("cos"))
+        graft.functions.Num.roundNorm(expr("cosine_sim(embedding, q_emb)"), 4).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
@@ -508,7 +508,7 @@ object Similarity {
     Sources.embeddings(s, d)
       .join(broadcast(cents), "label")
       .select(col("vec_id"), col("label"),
-        round(dot / (sqrt(nv) * sqrt(nc)), 4).as("cos_centroid"))
+        graft.functions.Num.roundNorm(dot / (sqrt(nv) * sqrt(nc)), 4).as("cos_centroid"))
       .withColumn("outlier", col("cos_centroid") < 0.05)
       .orderBy("vec_id")
   }
@@ -722,7 +722,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         // native fused loop (graft.functions.DotProduct) — the HOF dot
         // walks three lambda chains per row on the hot scoring path
-        round(call_function("dot_product", col("embedding"), col("q_emb")), 4)
+        graft.functions.Num.roundNorm(call_function("dot_product", col("embedding"), col("q_emb")), 4)
           .as("ip"))
     val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -779,7 +779,7 @@ object Similarity {
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
         | s AS (SELECT q_id, vec_id,
-        |   round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) AS ip FROM c, q),
+        |   round(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) + 0.0 AS ip FROM c, q),
         | r AS (SELECT q_id, vec_id, ip, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) AS rn FROM s)
         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, ip FROM r
         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
@@ -802,7 +802,7 @@ object Similarity {
         | u AS (SELECT label, i, avg(v[i]) AS m FROM e, range(1, 65) r(i) GROUP BY label, i),
         | c AS (SELECT label, list(m ORDER BY i) AS cent FROM u GROUP BY label)
         |SELECT vec_id, e.label,
-        | round(list_cosine_similarity(e.v, c.cent), 4) AS cos_centroid,
+        | round(list_cosine_similarity(e.v, c.cent), 4) + 0.0 AS cos_centroid,
         | round(list_cosine_similarity(e.v, c.cent), 4) < 0.05 AS outlier
         |FROM e JOIN c USING (label) ORDER BY vec_id""".stripMargin,
     "dedup_embedding_cosine" ->
@@ -829,7 +829,7 @@ object Similarity {
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
         | s AS (SELECT q_id, vec_id,
-        |   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) AS cos FROM c, q),
+        |   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) + 0.0 AS cos FROM c, q),
         | r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s)
         |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "sim_centroid_udaf" ->
@@ -846,11 +846,11 @@ object Similarity {
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
         | s AS (SELECT q_id, vec_id,
-        |   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) AS cos FROM c, q),
+        |   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) + 0.0 AS cos FROM c, q),
         | r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s)
         |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "sim_centroid_by_label" ->
-      """SELECT label, i - 1 AS pos, round(avg(CAST(v AS DOUBLE)), 4) AS avg_v, count(*) AS n_vecs
+      """SELECT label, i - 1 AS pos, round(avg(CAST(v AS DOUBLE)), 4) + 0.0 AS avg_v, count(*) AS n_vecs
         |FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM embeddings)
         |WHERE i <= 8 GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "sim_norm_stats" ->

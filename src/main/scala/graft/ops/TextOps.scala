@@ -128,7 +128,7 @@ object TextOps {
     counts
       .withColumn("p", col("c").cast("double") / sum("c").over(tot))
       .groupBy("doc_id")
-      .agg(round(-sum(col("p") * log2(col("p"))), 4).as("char_entropy"),
+      .agg(graft.functions.Num.roundNorm(-sum(col("p") * log2(col("p"))), 4).as("char_entropy"),
         count(lit(1)).as("n_distinct_chars"))
       .orderBy("doc_id")
   }
@@ -731,7 +731,7 @@ object TextOps {
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         | cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
         | p AS (SELECT doc_id, CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS p FROM cnt)
-        |SELECT doc_id, round(-sum(p * log2(p)), 4) AS char_entropy,
+        |SELECT doc_id, round(-sum(p * log2(p)), 4) + 0.0 AS char_entropy,
         | count(*) AS n_distinct_chars
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->

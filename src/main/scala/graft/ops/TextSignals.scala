@@ -120,7 +120,7 @@ object TextSignals {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(log2(col("c").cast("double") / col("t"))), 4).as("lm_score"))
+        graft.functions.Num.roundNorm(avg(log2(col("c").cast("double") / col("t"))), 4).as("lm_score"))
       .orderBy("doc_id")
   }
 
@@ -174,7 +174,7 @@ object TextSignals {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(log2(col("cb").cast("double") / col("cp").cast("double"))), 4)
+        graft.functions.Num.roundNorm(avg(log2(col("cb").cast("double") / col("cp").cast("double"))), 4)
           .as("bigram_lm_score"))
       .orderBy("doc_id")
   }
@@ -237,7 +237,7 @@ object TextSignals {
       .join(broadcast(uni.select(col("w").as("wb"), col("cw").as("cb"))), "wb")
       .crossJoin(broadcast(tw))
       .crossJoin(broadcast(tb))
-      .withColumn("pmi", round(log2((col("n_pair") / col("tb")) /
+      .withColumn("pmi", graft.functions.Num.roundNorm(log2((col("n_pair") / col("tb")) /
         ((col("ca") / col("tw")) * (col("cb") / col("tw")))), 4))
       .select("wa", "wb", "n_pair", "pmi")
       .orderBy("wa", "wb")
@@ -293,8 +293,8 @@ object TextSignals {
         sum(col("lr") * col("lr")).as("sxx"))
       .select(
         col("n").cast("long").as("n_types"),
-        round(slope, 4).as("zipf_slope"),
-        round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
+        graft.functions.Num.roundNorm(slope, 4).as("zipf_slope"),
+        graft.functions.Num.roundNorm((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
   }
 
   /** BM25 ranked retrieval for a fixed 3-term query — the IR scoring
@@ -366,8 +366,8 @@ object TextSignals {
         | a AS (SELECT count(*)::DOUBLE AS n, sum(lr) AS sx, sum(lc) AS sy,
         |   sum(lr*lc) AS sxy, sum(lr*lr) AS sxx FROM pts)
         |SELECT CAST(n AS BIGINT) AS n_types,
-        | round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) AS zipf_slope,
-        | round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx)/n, 4) AS intercept
+        | round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) + 0.0 AS zipf_slope,
+        | round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx)/n, 4) + 0.0 AS intercept
         |FROM a""".stripMargin,
     "text_pmi_bigrams" ->
       """WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
@@ -381,7 +381,7 @@ object TextSignals {
         | bc AS (SELECT wa, wb, count(*) AS n_pair FROM bg
         |   GROUP BY wa, wb HAVING count(*) >= 5)
         |SELECT bc.wa, bc.wb, n_pair,
-        | round(log2((n_pair / tb.tb) / ((ua.cw / tw.tw) * (ub.cw / tw.tw))), 4) AS pmi
+        | round(log2((n_pair / tb.tb) / ((ua.cw / tw.tw) * (ub.cw / tw.tw))), 4) + 0.0 AS pmi
         |FROM bc JOIN uni ua ON bc.wa = ua.wd JOIN uni ub ON bc.wb = ub.wd
         | CROSS JOIN tw CROSS JOIN tb
         |ORDER BY wa, wb""".stripMargin,
@@ -416,7 +416,7 @@ object TextSignals {
         | bc AS (SELECT bg, count(*) AS cb FROM tp GROUP BY bg),
         | pc AS (SELECT prev, count(*) AS cp FROM tp GROUP BY prev)
         |SELECT doc_id, count(*) AS n_bigrams,
-        | round(avg(log2(cb::DOUBLE / cp)), 4) AS bigram_lm_score
+        | round(avg(log2(cb::DOUBLE / cp)), 4) + 0.0 AS bigram_lm_score
         |FROM tp JOIN bc USING (bg) JOIN pc USING (prev)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
@@ -454,7 +454,7 @@ object TextSignals {
         | uni AS (SELECT word, count(*) AS c FROM t GROUP BY word),
         | tot AS (SELECT sum(c)::DOUBLE AS tt FROM uni)
         |SELECT doc_id, count(*) AS n_tokens,
-        | round(avg(log2(c::DOUBLE / tt)), 4) AS lm_score
+        | round(avg(log2(c::DOUBLE / tt)), 4) + 0.0 AS lm_score
         |FROM t JOIN uni USING (word) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_length_outliers" ->
