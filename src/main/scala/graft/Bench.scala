@@ -26,12 +26,21 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // a failure's exception text is RECORDED in the JSON (not only on
+    // stderr, which the round harness discards) and the process exits
+    // non-zero — a record containing a -1.0 must never ship as "final"
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+          val msg = (Option(e.getMessage).getOrElse("") match {
+            case "" => e.getClass.getName
+            case m  => e.getClass.getSimpleName + ": " + m
+          }).replaceAll("\\s+", " ").take(300)
+          errors(name) = msg
+          System.err.println(s"[bench] $name FAILED: $msg"); -1.0
         }
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
@@ -47,10 +56,20 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1.0"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     if (only.isEmpty) { // filtered local runs must not clobber the round record
       val out = new java.io.PrintWriter("bench.json")
       try out.println(line) finally out.close()
@@ -63,5 +82,8 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,""" +
       s""""other_sec":${fmt(rest)},"n_queries":${results.size},"detail":"bench.json","sf":"$sfDir"}""")
     spark.stop()
+    // any -1.0 in the record ⇒ non-zero exit: a caller (or a builder about
+    // to commit bench.json) cannot mistake a partially-failed run for clean
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

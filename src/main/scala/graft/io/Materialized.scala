@@ -1,9 +1,10 @@
 package graft.io
 
+import java.lang.ref.WeakReference
 import java.util.concurrent.ConcurrentHashMap
 import java.util.function.{Function => JFunction}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Process-lifetime cache of expensive deterministic intermediates —
   * the in-session stand-in for the materialized table a production
@@ -21,19 +22,50 @@ import org.apache.spark.sql.DataFrame
   */
 object Materialized {
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  /** Guaranteed-unique per-session id. `System.identityHashCode` is NOT
+    * unique: a new session can collide with a stopped one and receive a
+    * cached DataFrame whose checkpoint blocks are gone. The WeakHashMap
+    * holds sessions weakly (identity semantics — SparkSession doesn't
+    * override equals), so the id mapping itself never pins a session.
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private[graft] def sessionId(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, new JFunction[SparkSession, String] {
+      def apply(k: SparkSession): String = java.util.UUID.randomUUID().toString
+    })
+
+  private final case class Entry(owner: WeakReference[SparkSession], df: DataFrame)
+
+  private val cache = new ConcurrentHashMap[String, Entry]()
+
+  /** Drop entries whose owning session is gone or stopped: their
+    * checkpoint blocks no longer exist, and keeping them would pin the
+    * frames (and transitively the sessions) for process lifetime.
+    */
+  private def evictDead(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val owner = it.next().getValue.owner.get()
+      if (owner == null || owner.sparkContext.isStopped) it.remove()
+    }
+  }
 
   /** The materialized frame for `label`, computed at most once per
-    * (session, label) for the life of the process. `compute` must be
+    * (session, label) while the session lives. `compute` must be
     * deterministic; callers apply any output ordering AFTER this call so
     * the cached plan stays sort-free.
     */
-  def of(session: org.apache.spark.sql.SparkSession, label: String)
-      (compute: => DataFrame): DataFrame =
-    cache.computeIfAbsent(s"${System.identityHashCode(session)}|$label",
-      new JFunction[String, DataFrame] {
-        def apply(k: String): DataFrame = compute.localCheckpoint(eager = true)
-      })
+  def of(session: SparkSession, label: String)
+      (compute: => DataFrame): DataFrame = {
+    evictDead()
+    cache.computeIfAbsent(s"${sessionId(session)}|$label",
+      new JFunction[String, Entry] {
+        def apply(k: String): Entry =
+          Entry(new WeakReference(session), compute.localCheckpoint(eager = true))
+      }).df
+  }
 
   /** Visible for tests: number of cached entries. */
   private[graft] def cacheSize: Int = cache.size

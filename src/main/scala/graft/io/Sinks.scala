@@ -63,18 +63,34 @@ object Sinks {
     val before = dataFiles(dir)
     val totalBytes = before.map(_.length()).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = path.stripSuffix("/") + ".compact_tmp"
-    spark.read.parquet(path).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-enough local swap; object stores would commit via rename of
-    // the table pointer (metastore/table-format), same two-phase shape
+    val tmp = new java.io.File(path.stripSuffix("/") + ".compact_tmp")
     val bak = new java.io.File(path.stripSuffix("/") + ".compact_old")
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
       f.delete(): Unit
     }
-    dir.renameTo(bak)
-    new java.io.File(tmp).renameTo(dir)
+    // a stale .compact_old from a crashed prior run may be the ONLY copy
+    // of the table (crash between the two renames) — never delete it
+    // silently; a stale tmp is always discardable rewrite output
+    require(!bak.exists(),
+      s"compact: stale $bak exists (prior run crashed mid-swap?) — recover or remove it first")
+    if (tmp.exists()) deleteRec(tmp)
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    // two-phase local swap with VERIFIED renames: any failure leaves the
+    // data intact (in place, or restored from bak) and throws instead of
+    // deleting the surviving copy. Local-FS caveat: a concurrent reader
+    // can observe a brief missing-dir window between the renames; object
+    // stores avoid it by committing via the table pointer
+    // (metastore/table-format), same two-phase shape.
+    if (!dir.renameTo(bak))
+      throw new java.io.IOException(s"compact: could not move $path aside; table untouched")
+    if (!tmp.renameTo(dir)) {
+      val restored = bak.renameTo(dir)
+      throw new java.io.IOException(
+        s"compact: could not move compacted files into $path; " +
+          (if (restored) "original restored" else s"original preserved at $bak"))
+    }
     deleteRec(bak)
     (before.size, dataFiles(dir).size)
   }

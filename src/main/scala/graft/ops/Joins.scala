@@ -53,7 +53,8 @@ object Joins {
     * same `key` whose timestamp is CLOSEST (either direction) within
     * `tolMicros` — the sensor-fusion / feature-store alignment join that
     * backward-only as-of cannot express. Ties (equal distance before and
-    * after) resolve to the earlier right row.
+    * after) resolve to the earlier right row; right rows sharing the same
+    * (key, timestamp) resolve to the minimum payload tuple.
     *
     * Same linear shape as [[asofJoin]]: both sides union once, then TWO
     * window passes over ONE key shuffle — an ascending scan carrying the
@@ -83,9 +84,18 @@ object Joins {
       struct(payloadCols.map(col) :+ col("__us"): _*).as("__payload"),
       lit(null).cast(leftType).as("__left"))
 
-    val wB = Window.partitionBy(key).orderBy(col("__us").asc, col("__side").asc)
+    // the trailing `__payload DESC` makes the scan order TOTAL: several
+    // right rows can share (key, ts), and without it last(..., ignoreNulls)
+    // would pick whichever the shuffle happened to order last. Struct
+    // ordering is lexicographic over payloadCols, and min-payload-last
+    // under DESC means both scans resolve such ties to the MINIMUM payload
+    // tuple (e.g. the smallest click_id) — the same rule a deterministic
+    // oracle writes.
+    val wB = Window.partitionBy(key)
+      .orderBy(col("__us").asc, col("__side").asc, col("__payload").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = Window.partitionBy(key).orderBy(col("__us").desc, col("__side").desc)
+    val wF = Window.partitionBy(key)
+      .orderBy(col("__us").desc, col("__side").desc, col("__payload").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val picked = l.unionByName(r)
       .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wB))

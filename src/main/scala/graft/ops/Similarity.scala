@@ -572,7 +572,9 @@ object Similarity {
   private[graft] def trainPqCached(s: SparkSession, emb: DataFrame, label: String,
       m: Int = 8, k: Int = 16, subDim: Int = 8, iters: Int = 2): Seq[((Int, Int), Array[Double])] =
     pqModels.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$label|$m|$k|$subDim|$iters",
+      // unique per-session id (identity hashes can collide across a
+      // stopped and a new session — see Materialized.sessionId)
+      s"${graft.io.Materialized.sessionId(s)}|$label|$m|$k|$subDim|$iters",
       _ => trainPq(s, emb, m, k, subDim, iters))
 
   private[graft] def trainPq(s: SparkSession, emb: DataFrame,
@@ -589,9 +591,13 @@ object Similarity {
     val seeds = emb.select(col("vec_id"), col("embedding"))
       .orderBy(abs(hash(col("vec_id"))), col("vec_id")).limit(k)
       .collect().map(_.getSeq[Float](1).toArray)
+    require(seeds.nonEmpty, "trainPq: empty corpus")
+    // a corpus smaller than k yields fewer than k seeds — clamp rather
+    // than index out of bounds; Lloyd keeps only populated cells anyway
+    val kEff = math.min(k, seeds.length)
     var model: Seq[((Int, Int), Array[Double])] = (for {
       sub <- 0 until m
-      cell <- 0 until k
+      cell <- 0 until kEff
     } yield (sub, cell) -> seeds(cell).slice(sub * subDim, (sub + 1) * subDim)
       .map(_.toDouble)).toSeq
     val sr = subRows(emb)

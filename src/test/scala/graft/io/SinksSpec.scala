@@ -85,4 +85,38 @@ class SinksSpec extends SparkSpec {
     multi should be > 1
     spark.read.parquet(path).count() shouldBe 20
   }
+
+  it should "fail fast on a stale .compact_old instead of deleting the survivor" in {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("sink-compact-stale") + "/t"
+    Sinks.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), path)
+    // simulate a prior run that crashed between the two renames: the
+    // backup dir holds what may be the only copy of the table
+    val bak = new java.io.File(path + ".compact_old")
+    bak.mkdirs() shouldBe true
+    an[IllegalArgumentException] should be thrownBy Sinks.compact(spark, path)
+    // nothing was deleted: table still readable, backup untouched
+    spark.read.parquet(path).count() shouldBe 2
+    bak.exists() shouldBe true
+    // after the operator recovers (removes the stale dir), compact works
+    bak.delete() shouldBe true
+    val (_, after) = Sinks.compact(spark, path)
+    after shouldBe 1
+    spark.read.parquet(path).count() shouldBe 2
+  }
+
+  it should "discard a stale .compact_tmp (always re-creatable rewrite output)" in {
+    val s = spark
+    import s.implicits._
+    val path = tmpDir("sink-compact-tmp") + "/t"
+    Sinks.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), path)
+    val tmp = new java.io.File(path + ".compact_tmp")
+    tmp.mkdirs() shouldBe true
+    new java.io.File(tmp, "garbage.txt").createNewFile() shouldBe true
+    val (_, after) = Sinks.compact(spark, path)
+    after shouldBe 1
+    spark.read.parquet(path).count() shouldBe 2
+    tmp.exists() shouldBe false
+  }
 }

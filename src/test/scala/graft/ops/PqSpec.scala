@@ -92,6 +92,16 @@ class PqSpec extends SparkSpec {
     (pqMse.sum / pqMse.size) should be < 0.7 * (k1Mse.sum / k1Mse.size)
   }
 
+  "Similarity.trainPq" should "clamp k to the corpus size instead of throwing" in {
+    // 5 vectors, k=16: seeding collects only 5 — must not index past them
+    val tiny = graft.io.Sources.embeddings(spark, sfDir).limit(5)
+    val m = Similarity.trainPq(spark, tiny, k = 16)
+    m should not be empty
+    // every cell id stays within the clamped range, every subspace seeded
+    m.map(_._1._2).max should be < 5
+    m.map(_._1._1).toSet shouldBe (0 until M).toSet
+  }
+
   "Similarity.pqAdcTopNeighbor" should "stay L2-competitive with exact search" in {
     def d2(a: Array[Float], b: Array[Float]): Double =
       a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
