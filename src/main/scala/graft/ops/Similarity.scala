@@ -107,6 +107,17 @@ object Similarity {
     model
   }
 
+  /** The default coarse quantizer served from its persisted model table
+    * ([[graft.io.ModelStore]]): trained and written once per source
+    * snapshot, read back by every consumer — the IVF index and the
+    * near-dup cell blocking share one model artifact, and a fresh
+    * session never retrains.
+    */
+  private[graft] def quantizerServed(s: SparkSession, d: String,
+      emb: DataFrame): Seq[(Int, Array[Float])] =
+    graft.io.ModelStore.ensureCentroids(s, d, "quant|seed=label|it=2")(
+      trainQuantizer(emb))
+
   /** `array<struct<cs,cent_id>>` of cosine-to-centroid scores, built from
     * literal centroid vectors — evaluates as one codegen projection.
     */
@@ -340,7 +351,7 @@ object Similarity {
 
   private def dedupEmbeddingCosineCompute(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
-    val cents = trainQuantizer(emb)
+    val cents = quantizerServed(s, d, emb)
     val assigned = assignCells(emb, cents, 1)
       .select(col("vec_id"), col("embedding"),
         element_at(col("cells"), 1).getField("cent_id").as("cell"),
@@ -394,10 +405,14 @@ object Similarity {
     */
   def dedupEmbeddingGroups(s: SparkSession, d: String): DataFrame =
     graft.io.Materialized.of(s, s"dedupEmbeddingGroups|$d") {
-      val pairs = dedupEmbeddingCosineRaw(s, d).select(col("id_a"), col("id_b"))
-      val vecs = Sources.embeddings(s, d).select(col("vec_id"))
-      Dedup.connectedGroups(pairs, vecs, "vec_id")
-        .select(col("id").as("vec_id"), col("group_id"))
+      // the groups table is a persisted model artifact: computed+written
+      // once per source snapshot, served from parquet by later sessions
+      graft.io.ModelStore.ensureDf(s, "groups-emb", d) {
+        val pairs = dedupEmbeddingCosineRaw(s, d).select(col("id_a"), col("id_b"))
+        val vecs = Sources.embeddings(s, d).select(col("vec_id"))
+        Dedup.connectedGroups(pairs, vecs, "vec_id")
+          .select(col("id").as("vec_id"), col("group_id"))
+      }
     }.orderBy("vec_id")
 
   /** Embedding L2-norm distribution per label — exercises the vector HOFs
@@ -461,7 +476,7 @@ object Similarity {
     */
   def ivfTopNeighbor(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
-    val cents = trainQuantizer(emb)
+    val cents = quantizerServed(s, d, emb)
     val assigned = assignCells(emb, cents, 2)
     val idx = assigned.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       element_at(col("cells"), 1).getField("cent_id").as("cell"))
@@ -561,13 +576,16 @@ object Similarity {
     * k-means model; at 10⁹ vectors the per-iteration cost is one linear
     * pass with an m·k-row broadcast, the canonical PQ training shape.
     */
-  /** Trained PQ models, memoized per (session, source, shape) — the
-    * persisted-model stand-in (same rationale as [[graft.io.CorpusStats]]):
-    * both PQ queries and any repeated audit/search call reuse one
-    * training run.
+  /** Trained PQ models: train-once / serve-from-table through
+    * [[graft.io.ModelStore]] (a fresh session reads the written codebook
+    * table instead of retraining), with a per-session memo on top so
+    * repeated audit/search calls in one session skip even the table read.
     */
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[((Int, Int), Array[Double])]]()
+
+  private[graft] def pqShape(m: Int, k: Int, subDim: Int, iters: Int): String =
+    s"pq|m=$m|k=$k|sd=$subDim|it=$iters"
 
   private[graft] def trainPqCached(s: SparkSession, emb: DataFrame, label: String,
       m: Int = 8, k: Int = 16, subDim: Int = 8, iters: Int = 2): Seq[((Int, Int), Array[Double])] =
@@ -575,7 +593,8 @@ object Similarity {
       // unique per-session id (identity hashes can collide across a
       // stopped and a new session — see Materialized.sessionId)
       s"${graft.io.Materialized.sessionId(s)}|$label|$m|$k|$subDim|$iters",
-      _ => trainPq(s, emb, m, k, subDim, iters))
+      _ => graft.io.ModelStore.ensurePq(s, label, pqShape(m, k, subDim, iters))(
+        trainPq(s, emb, m, k, subDim, iters)))
 
   private[graft] def trainPq(s: SparkSession, emb: DataFrame,
       m: Int = 8, k: Int = 16, subDim: Int = 8, iters: Int = 2): Seq[((Int, Int), Array[Double])] = {

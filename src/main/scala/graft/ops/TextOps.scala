@@ -202,10 +202,14 @@ object TextOps {
     */
   private[ops] def textDedupGroupsRaw(s: SparkSession, d: String): DataFrame =
     graft.io.Materialized.of(s, s"textDedupGroups|$d") {
-      val pairs = ngramJaccardPairsRaw(s, d).select(col("id_a"), col("id_b"))
-      val docs = Sources.documents(s, d).select(col("doc_id"))
-      Dedup.connectedGroups(pairs, docs, "doc_id")
-        .select(col("id").as("doc_id"), col("group_id"))
+      // persisted model artifact (write-once, serve-from-table across
+      // sessions) — see graft.io.ModelStore
+      graft.io.ModelStore.ensureDf(s, "groups-text", d) {
+        val pairs = ngramJaccardPairsRaw(s, d).select(col("id_a"), col("id_b"))
+        val docs = Sources.documents(s, d).select(col("doc_id"))
+        Dedup.connectedGroups(pairs, docs, "doc_id")
+          .select(col("id").as("doc_id"), col("group_id"))
+      }
     }
 
   def textDedupGroups(s: SparkSession, d: String): DataFrame =
