@@ -12,6 +12,160 @@ case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
 /** Emitted by [[HighWaterProcessor]] whenever a user's maximum improves. */
 case class UserHighWater(user_id: Long, high: Double)
 
+/** Full typed event row (the fixture `events` schema) for the stateful
+  * funnel / transition processors.
+  */
+case class TypedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user funnel progress: stage timestamps in epoch micros, -1 = unset. */
+case class FunnelSt(t1: Long, t2: Long, t3: Long)
+
+/** Emitted by [[FunnelProcessor]] when a user first reaches a stage. */
+case class FunnelStage(user_id: Long, stage: String)
+
+/** Last event seen per user — the streaming carrier of `lag(event_type)`. */
+case class LastEv(ts: Long, event_id: Long, et: String)
+
+/** Emitted by [[TransitionProcessor]] for each consecutive event pair. */
+case class Transition(user_id: Long, prev: String, nxt: String)
+
+/** A finalized (event-time closed) daily count for one event type — the
+  * output of the watermarked daily aggregate, input to [[DriftProcessor]].
+  */
+case class DailyCount(event_type: String, day: String, n: Long)
+
+/** Drift verdict for one finalized day, identical math and column
+  * semantics to the batch `StreamingAnalogs.driftMonitor`.
+  */
+case class DriftRow(event_type: String, day: String, n: Long,
+    base_mean: Option[Double], z: Option[Double], anomaly: Boolean)
+
+/** Trailing ≤7-day baseline buffer held per event type by [[DriftProcessor]]. */
+case class Baseline(days: Seq[String], ns: Seq[Long])
+
+/** Streaming conversion funnel (twin of `Analytics.funnel`): a per-user
+  * stage machine in a `ValueState[FunnelSt]` — first view sets t1, first
+  * click in (t1, t1+1d] sets t2, first purchase in (t2, t2+1d] sets t3 —
+  * emitting one [[FunnelStage]] row the moment a user reaches a stage.
+  * With per-user in-timestamp-order delivery (rows are sorted within
+  * each micro-batch; cross-batch order is the source's delivery
+  * contract) "first satisfying" equals the batch `min(ts)` semantics, so
+  * stage counts equal the batch funnel. State is three longs per user —
+  * the keyed-state layout RocksDB shards across executors at any user
+  * count.
+  */
+class FunnelProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, FunnelStage] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  private val DayMicros = 86400000000L
+  @transient private var st: ValueState[FunnelSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelSt]("funnel",
+      org.apache.spark.sql.Encoders.product[FunnelSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[FunnelStage] = {
+    var s = if (st.exists()) st.get() else FunnelSt(-1L, -1L, -1L)
+    val out = Seq.newBuilder[FunnelStage]
+    def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+    // micro-batch iterators carry no order; sort the (bounded) batch
+    rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+      val us = micros(e)
+      e.event_type match {
+        case "view" if s.t1 < 0 =>
+          s = s.copy(t1 = us); out += FunnelStage(key, "1_view")
+        case "click" if s.t1 >= 0 && s.t2 < 0 && us > s.t1 && us <= s.t1 + DayMicros =>
+          s = s.copy(t2 = us); out += FunnelStage(key, "2_click")
+        case "purchase" if s.t2 >= 0 && s.t3 < 0 && us > s.t2 && us <= s.t2 + DayMicros =>
+          s = s.copy(t3 = us); out += FunnelStage(key, "3_purchase")
+        case _ => ()
+      }
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
+/** Streaming first-order transitions (twin of
+  * `Temporal.transitionMatrix`): `lag(event_type) OVER (PARTITION BY
+  * user ORDER BY ts, event_id)` re-expressed as one [[LastEv]] record of
+  * state per user, emitting a [[Transition]] per consecutive pair.
+  * Counting/normalizing the emitted pairs downstream (update-mode
+  * aggregate or `foreachBatch`) reproduces the batch matrix.
+  */
+class TransitionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, Transition] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var last: ValueState[LastEv] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[LastEv]("last",
+      org.apache.spark.sql.Encoders.product[LastEv], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[Transition] = {
+    var prev = if (last.exists()) Some(last.get()) else None
+    val out = Seq.newBuilder[Transition]
+    rows.toSeq.map { e =>
+      val us = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+      LastEv(us, e.event_id, e.event_type)
+    }.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      prev.foreach(p => out += Transition(key, p.et, e.et))
+      prev = Some(e)
+    }
+    prev.foreach(last.update)
+    out.result().iterator
+  }
+}
+
+/** Streaming drift monitor (twin of `StreamingAnalogs.driftMonitor`):
+  * keyed by event type, a bounded trailing buffer of the last 7
+  * FINALIZED daily counts; each incoming closed day is scored against
+  * the buffered baseline with the exact integer-sum moment math of the
+  * batch query (Σn, Σn² over ≤7 longs, then the identical float
+  * expression tree and HALF_UP rounding), so streaming and batch z
+  * verdicts are bit-equal. State is ≤7 (day, n) pairs per event type.
+  * Upstream, [[StreamingOps.dailyCounts]] closes days via watermark;
+  * days finalize in event-time order, which is the delivery order this
+  * processor assumes.
+  */
+class DriftProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[String, DailyCount, DriftRow] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var base: ValueState[Baseline] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    base = getHandle.getValueState[Baseline]("base",
+      org.apache.spark.sql.Encoders.product[Baseline], TTLConfig.NONE)
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  override def handleInputRows(key: String, rows: Iterator[DailyCount],
+      timers: TimerValues): Iterator[DriftRow] = {
+    var b = if (base.exists()) base.get() else Baseline(Nil, Nil)
+    val out = Seq.newBuilder[DriftRow]
+    rows.toSeq.sortBy(_.day).foreach { d =>
+      val cnt = b.ns.length
+      val (mean, z): (Option[Double], Option[Double]) =
+        if (cnt >= 3) {
+          val sum = b.ns.sum
+          val ssq = b.ns.map(n => n * n).sum
+          val meanD = sum.toDouble / cnt.toDouble
+          val varD = (ssq.toDouble - sum.toDouble * sum.toDouble / cnt.toDouble) / (cnt.toDouble - 1.0)
+          (Some(r4(meanD)),
+            if (varD > 0) Some(r4((d.n.toDouble - meanD) / math.sqrt(varD))) else None)
+        } else (None, None)
+      out += DriftRow(key, d.day, d.n, mean, z, z.exists(v => math.abs(v) > 2))
+      b = Baseline((b.days :+ d.day).takeRight(7), (b.ns :+ d.n).takeRight(7))
+    }
+    base.update(b)
+    out.result().iterator
+  }
+}
+
 /** Spark 4 arbitrary-state v2 (`StatefulProcessor` / `transformWithState`
   * — the successor to `mapGroupsWithState` with typed per-key state
   * primitives): a per-user high-water mark in a `ValueState[Double]`,
@@ -120,6 +274,53 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new HighWaterProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming funnel: see [[FunnelProcessor]]. Update-mode emission; a
+    * downstream count of rows per stage equals the batch
+    * `Analytics.funnel` stage counts under in-order delivery.
+    */
+  def funnelStages(events: org.apache.spark.sql.Dataset[TypedEvent]):
+      org.apache.spark.sql.Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming consecutive-pair extraction: see [[TransitionProcessor]]. */
+  def transitionPairs(events: org.apache.spark.sql.Dataset[TypedEvent]):
+      org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Watermarked tumbling DAILY counts — the stage that finalizes
+    * (event_type, day, n) rows for the drift monitor. In append mode a
+    * day's row emits exactly once, when the watermark passes the window
+    * end: the finalized-day stream [[DriftProcessor]] consumes.
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("n"))
+
+  /** Streaming drift scoring over finalized daily counts: see
+    * [[DriftProcessor]]. Production chains `dailyCounts` (append mode)
+    * into this; the test harness runs the two stages as connected
+    * queries and asserts bit-equality with the batch monitor.
+    */
+  def driftOverDaily(daily: org.apache.spark.sql.Dataset[DailyCount]):
+      org.apache.spark.sql.Dataset[DriftRow] = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    daily.groupByKey(_.event_type)
+      .transformWithState(new DriftProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Custom arbitrary state (SURVEY §2.10: `mapGroupsWithState`): running

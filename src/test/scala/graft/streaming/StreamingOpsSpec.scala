@@ -188,6 +188,99 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe Seq((1L, 5.0), (1L, 7.0), (2L, 1.0))
   }
 
+  /** Child session with the RocksDB state store `transformWithState`
+    * requires, plus the fixture events as an in-order TypedEvent array
+    * ready to split across micro-batches.
+    */
+  private def rocksSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2
+  }
+
+  private def fixtureEvents(s2: org.apache.spark.sql.SparkSession): Array[TypedEvent] = {
+    import s2.implicits._
+    graft.io.Sources.events(s2, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[TypedEvent].collect()
+      .sortBy(e => (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
+  }
+
+  "funnelStages (transformWithState)" should "reproduce the batch funnel stage counts" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.funnelStages(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    val got = s2.table("funnel_s").groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.ops.Analytics.funnel(s2, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    got shouldBe want
+  }
+
+  "transitionPairs (transformWithState)" should "reproduce the batch transition counts" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    val (b1, b2) = evs.splitAt(evs.length / 3)
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.transitionPairs(mem.toDS())
+      .writeStream.format("memory").queryName("trans_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    val got = s2.table("trans_s").groupBy("prev", "nxt").agg(count(lit(1)).as("n"))
+      .orderBy("prev", "nxt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val want = graft.ops.Temporal.transitionMatrix(s2, sfDir)
+      .select("prev", "nxt", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
+  "dailyCounts → driftOverDaily" should "match the batch drift monitor on finalized days" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    // stage 1: watermarked daily aggregate; a far-future sentinel event
+    // advances the watermark so every fixture day finalizes (the
+    // sentinel's own day stays open and never emits)
+    val sentinel = TypedEvent(-1L, ts("2030-01-01 00:00:00"), -1L, "view", 0.0)
+    val memEv = MemoryStream[TypedEvent]
+    val q1 = StreamingOps.dailyCounts(memEv.toDF())
+      .writeStream.format("memory").queryName("daily_s").outputMode("append").start()
+    memEv.addData(evs.toSeq: _*); q1.processAllAvailable()
+    memEv.addData(sentinel); q1.processAllAvailable(); q1.stop()
+    val finalized = s2.table("daily_s").filter(col("event_type") =!= "view" || col("day") =!= "2030-01-01")
+      .as[DailyCount].collect().sortBy(d => (d.event_type, d.day))
+    finalized.length should be > 0
+    // stage 2: drift scoring over the finalized-day stream, in day order
+    val memDaily = MemoryStream[DailyCount]
+    val q2 = StreamingOps.driftOverDaily(memDaily.toDS())
+      .writeStream.format("memory").queryName("drift_s").outputMode("update").start()
+    memDaily.addData(finalized.toSeq: _*); q2.processAllAvailable(); q2.stop()
+    val got = s2.table("drift_s")
+      .select("event_type", "day", "n", "base_mean", "z", "anomaly")
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getAs[java.lang.Double]("base_mean")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue), r.getBoolean(5))).toSeq
+    val want = graft.ops.StreamingAnalogs.driftMonitor(s2, sfDir)
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getAs[java.lang.Double]("base_mean")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue), r.getBoolean(5))).toSeq
+    got shouldBe want
+  }
+
   "enrichWithDim (stream-static join)" should "enrich each micro-batch against the dimension" in {
     val s = spark
     import s.implicits._
