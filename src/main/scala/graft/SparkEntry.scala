@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,7 +32,8 @@ object SparkEntry {
       Sampling.queries ++
       Multimodal.queries ++
       Analytics.queries ++
-      Temporal.queries
+      Temporal.queries ++
+      Audit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       Sampling.oracles ++
       Multimodal.oracles ++
       Analytics.oracles ++
-      Temporal.oracles
+      Temporal.oracles ++
+      Audit.oracles
 }

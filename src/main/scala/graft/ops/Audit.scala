@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num.roundNorm
+import graft.io.Sources
+
+/** Data-audit operators — the checks a pipeline runs BEFORE and AFTER
+  * moving 100 TB: snapshot diffing (what changed between two loads),
+  * join-key skew diagnosis (will this key distribution melt a shuffle),
+  * blocked fuzzy entity matching (near-identical records that exact
+  * dedup misses), and a rolling-median window (robust trend baseline).
+  *
+  * Scale notes: the diff is one full-outer equi-join on the snapshot
+  * key (co-partitioned shuffle; zero-shuffle under bucketing); the skew
+  * audit is a two-level aggregate whose second level is
+  * |distinct keys|-sized; fuzzy matching only compares within bounded
+  * blocks (never all-pairs); the rolling median windows over a
+  * day-grain aggregate, which is calendar-sized at any corpus scale.
+  */
+object Audit {
+
+  /** Snapshot diff: inserts / deletes / updates between two versions of
+    * the orders table (simulated deterministically from the fixture: v1
+    * lacks keys ≡0 mod 89, v2 lacks keys ≡0 mod 97 and bumps totals on
+    * keys ≡0 mod 101 by exactly +1.0 — IEEE-exact, so change detection
+    * compares identical bit patterns). One full-outer equi-join on the
+    * key; unchanged rows filtered out. At scale this is the table-diff
+    * primitive for validating an incremental load against a full
+    * re-snapshot: co-partitioned single shuffle, or zero shuffles when
+    * both snapshots are bucketed by the key.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d)
+    val v1 = o.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_total"))
+    val v2 = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(101)) === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("new_total"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when(col("old_total").isNull, lit("insert"))
+          .when(col("new_total").isNull, lit("delete"))
+          .when(col("old_total") =!= col("new_total"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col("o_orderkey"), col("change"), col("old_total"), col("new_total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Join-key skew audit over `events.user_id`: per-key frequencies
+    * reduced to the top-10 heavy hitters with share, cumulative share,
+    * and ratio-to-mean — the numbers that decide between a plain
+    * shuffle join, AQE skew splitting, and manual salting. Two-level
+    * aggregate: the per-key count is one map-side-combinable shuffle;
+    * everything after runs on the |keys|-sized table. Shares are exact
+    * integer ratios rounded at 6 decimals.
+    */
+  def keySkew(s: SparkSession, d: String): DataFrame = {
+    val perKey = Sources.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = perKey.agg(
+      sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    // top-10 via orderBy+limit = TakeOrderedAndProject (distributed
+    // per-partition top-k, then a 10·partitions driver merge) — never a
+    // single-partition window over all |keys| rows
+    val top = perKey.orderBy(col("cnt").desc, col("user_id")).limit(10)
+    val wTop = Window.orderBy(col("cnt").desc, col("user_id")) // 10-row set
+    top.crossJoin(broadcast(totals)) // 1-row aggregate attach
+      .withColumn("rnk", row_number().over(wTop))
+      .withColumn("share", roundNorm(col("cnt").cast("double") / col("total").cast("double"), 6))
+      .withColumn("cum_share", roundNorm(
+        sum("cnt").over(wTop.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("total").cast("double"), 6))
+      .withColumn("ratio_to_mean", roundNorm(
+        col("cnt").cast("double") * col("n_keys").cast("double") / col("total").cast("double"), 4))
+      .select(col("rnk").cast("long").as("rnk"), col("user_id"), col("cnt"), col("share"),
+        col("cum_share"), col("ratio_to_mean"))
+      .orderBy("rnk")
+  }
+
+  /** Blocked fuzzy entity matching over part names: within each
+    * (brand, size) block, report pairs whose names are within
+    * Levenshtein distance 4 — the record-linkage shape (blocking keeps
+    * candidate pairs bounded; the edit-distance predicate runs only
+    * inside blocks, never all-pairs). The self-join is an equi-join on
+    * the block key; at 100 TB block sizes are capped by the blocking
+    * scheme, which is the standard ER trade-off.
+    */
+  def fuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val p = Sources.part(s, d)
+      .select(col("p_brand"), col("p_size"), col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("key_a") < col("key_b") &&
+        col("name_a") =!= col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 4)
+      .select(col("p_brand"), col("p_size").cast("long").as("p_size"),
+        col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("p_brand", "p_size", "key_a", "key_b")
+  }
+
+  /** Rolling 7-day median of daily order counts per priority class —
+    * the robust-baseline window (medians shrug off the spike days that
+    * drag a mean). Exact `percentile` as a WINDOW aggregate over a
+    * rows-frame; the input is the day-grain aggregate, so the window's
+    * sort is calendar-sized however large the fact table. Medians of
+    * integer counts interpolate identically in both engines (average of
+    * the two middle values).
+    */
+  def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("med7", percentile(col("n_orders"), lit(0.5)).over(w))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .filter(col("n_days") === 7) // only full windows: stable baseline
+      .select(col("o_orderpriority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_orders"), roundNorm(col("med7"), 1).as("med7"))
+      .orderBy("o_orderpriority", "day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_snapshot_diff" -> (snapshotDiff _),
+    "audit_key_skew" -> (keySkew _),
+    "audit_fuzzy_match" -> (fuzzyMatch _),
+    "win_rolling_median" -> (rollingMedian _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "audit_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice AS old_total
+        |   FROM orders WHERE o_orderkey % 89 <> 0),
+        | v2 AS (SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+        |        ELSE o_totalprice END AS new_total
+        |   FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        | CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+        |      WHEN v2.o_orderkey IS NULL THEN 'delete'
+        |      WHEN old_total <> new_total THEN 'update' END AS change,
+        | old_total, new_total
+        |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+        |   OR old_total <> new_total
+        |ORDER BY o_orderkey""".stripMargin,
+    "audit_key_skew" ->
+      """WITH per_key AS (
+        |   SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        | tot AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM per_key),
+        | ranked AS (SELECT user_id, cnt,
+        |   row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk,
+        |   sum(cnt) OVER (ORDER BY cnt DESC, user_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |   FROM per_key)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, user_id, cnt,
+        | round(cnt::DOUBLE / total::DOUBLE, 6) + 0.0 AS share,
+        | round(cum::DOUBLE / total::DOUBLE, 6) + 0.0 AS cum_share,
+        | round(cnt::DOUBLE * n_keys::DOUBLE / total::DOUBLE, 4) + 0.0 AS ratio_to_mean
+        |FROM ranked, tot WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    "audit_fuzzy_match" ->
+      """SELECT a.p_brand, CAST(a.p_size AS BIGINT) AS p_size,
+        | a.p_partkey AS key_a, b.p_partkey AS key_b,
+        | a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE a.p_name <> b.p_name
+        |  AND levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY a.p_brand, p_size, key_a, key_b""".stripMargin,
+    "win_rolling_median" ->
+      """WITH daily AS (
+        |   SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+        |     count(*) AS n_orders
+        |   FROM orders GROUP BY 1, 2),
+        | rolled AS (SELECT o_orderpriority, day, n_orders,
+        |   median(n_orders) OVER (PARTITION BY o_orderpriority ORDER BY day
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7,
+        |   count(*) OVER (PARTITION BY o_orderpriority ORDER BY day
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
+        |   FROM daily)
+        |SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day, n_orders,
+        | round(med7, 1) + 0.0 AS med7
+        |FROM rolled WHERE n_days = 7
+        |ORDER BY o_orderpriority, day""".stripMargin,
+  )
+}

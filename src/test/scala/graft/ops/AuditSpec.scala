@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Audit operators: brute-force recomputation over collected sf0.001
+  * fixtures (snapshot-diff classification, skew-share algebra, blocked
+  * Levenshtein pairs, rolling-median windows).
+  */
+class AuditSpec extends SparkSpec {
+
+  "Audit.snapshotDiff" should "classify every changed key by the modular simulation rules" in {
+    val rows = Audit.snapshotDiff(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    rows should not be empty
+
+    rows.foreach { case (k, change, oldT, newT) =>
+      change match {
+        case "insert" => // in v2 only: dropped from v1 (k%89==0) but kept in v2
+          k % 89 shouldBe 0
+          k % 97 should not be 0
+          oldT shouldBe None
+        case "delete" =>
+          k % 97 shouldBe 0
+          k % 89 should not be 0
+          newT shouldBe None
+        case "update" => // +1.0 is IEEE-exact on these magnitudes
+          k % 101 shouldBe 0
+          newT.get - oldT.get shouldBe 1.0
+        case other => fail(s"unexpected change tag $other")
+      }
+    }
+    // all three classes must be exercised by the fixture
+    rows.map(_._2).distinct.sorted shouldBe Seq("delete", "insert", "update")
+  }
+
+  "Audit.keySkew" should "report top-10 shares consistent with the raw key counts" in {
+    val perKey = graft.io.Sources.events(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = perKey.map(_._2).sum.toDouble
+    val nKeys = perKey.length.toDouble
+    val top10 = perKey.sortBy { case (id, c) => (-c, id) }.take(10)
+
+    val rows = Audit.keySkew(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    rows.map(r => (r._2, r._3)).toSeq shouldBe top10.toSeq
+    rows.map(_._1).toSeq shouldBe (1L to 10L)
+
+    var cum = 0L
+    rows.zip(top10).foreach { case ((_, _, cnt, share, cumShare, ratio), (_, c)) =>
+      cum += c
+      share shouldBe BigDecimal(cnt / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      cumShare shouldBe BigDecimal(cum / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ratio shouldBe BigDecimal(cnt * nKeys / total).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // cumulative share is strictly increasing and bounded by 1
+    rows.map(_._5).sliding(2).foreach { case Array(a, b) => a should be < b; case _ => }
+    rows.last._5 should be <= 1.0
+  }
+
+  "Audit.fuzzyMatch" should "find exactly the within-block pairs at edit distance <= 4" in {
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .selectExpr("p_brand", "CAST(p_size AS BIGINT) AS p_size", "p_partkey", "p_name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+
+    val expected = (for {
+      Seq((br, sz, ka, na), (_, _, kb, nb)) <-
+        parts.groupBy(p => (p._1, p._2)).values.flatMap(_.sortBy(_._3).toSeq.combinations(2))
+      if na != nb && lev(na, nb) <= 4
+    } yield (br, sz, ka, kb, na, nb, lev(na, nb).toLong)).toSet
+
+    val got = Audit.fuzzyMatch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6))).toSet
+    got shouldBe expected
+  }
+
+  "Audit.rollingMedian" should "match a brute-force 7-day rows-frame median" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderpriority", "date_format(CAST(o_orderdate AS DATE), 'yyyy-MM-dd') AS day")
+      .groupBy("o_orderpriority", "day").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    val expected = daily.groupBy(_._1).flatMap { case (prio, ds) =>
+      val sorted = ds.sortBy(_._2)
+      sorted.indices.drop(6).map { i =>
+        val window = (i - 6 to i).map(j => sorted(j)._3.toDouble).sorted
+        val med = window(3) // 7 values: exact middle element
+        ((prio, sorted(i)._2), (sorted(i)._3, med))
+      }
+    }
+
+    val got = Audit.rollingMedian(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (k, (n, med)) =>
+      expected(k)._1 shouldBe n
+      med shouldBe BigDecimal(expected(k)._2).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+}
