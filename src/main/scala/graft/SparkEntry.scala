@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Audit, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Decomp, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,8 @@ object SparkEntry {
       Multimodal.queries ++
       Analytics.queries ++
       Temporal.queries ++
-      Audit.queries
+      Audit.queries ++
+      Decomp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -50,5 +51,6 @@ object SparkEntry {
       Multimodal.oracles ++
       Analytics.oracles ++
       Temporal.oracles ++
-      Audit.oracles
+      Audit.oracles ++
+      Decomp.oracles
 }
