@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Audit, Decomp, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Decomp, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,7 +34,8 @@ object SparkEntry {
       Analytics.queries ++
       Temporal.queries ++
       Audit.queries ++
-      Decomp.queries
+      Decomp.queries ++
+      Ml.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -52,5 +53,6 @@ object SparkEntry {
       Analytics.oracles ++
       Temporal.oracles ++
       Audit.oracles ++
-      Decomp.oracles
+      Decomp.oracles ++
+      Ml.oracles
 }

@@ -1,0 +1,242 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num.roundNorm
+import graft.io.{ModelStore, Sources}
+
+/** In-engine model training and scoring — the ML layer a curation
+  * pipeline runs NEXT TO the data instead of exporting 100 TB to a
+  * training framework: per-group OLS trend fits (closed-form, one
+  * aggregate), and a quality classifier trained by IRLS/Newton logistic
+  * regression where EVERY iteration is one distributed aggregate pass
+  * (the exact shape MLlib uses for `LogisticRegression`: per-partition
+  * partial Gram/gradient sums, map-side combined, k(k+1)/2 + k doubles
+  * per partition — corpus rows never leave their executors).
+  *
+  * Scale notes: OLS is `regr_*` aggregates (codegen'd, partial+final).
+  * IRLS trains on a k=5 feature vector, so each pass reduces to a
+  * 21-double record per partition regardless of corpus size; the Newton
+  * solve is a k×k driver-side step on that model-sized object. Scoring
+  * broadcasts the 5 weights back as literals — a pure map-side
+  * codegen'd expression, no join, no shuffle. Trained weights persist as
+  * a versioned [[graft.io.ModelStore]] table: train once, serve from
+  * the table in any later session.
+  */
+object Ml {
+
+  // ---------------------------------------------------------------- OLS
+
+  /** Per-brand OLS fit of retail price against part size — slope,
+    * intercept, R², n — via the closed-form `regr_*` aggregates (one
+    * partial+final hash aggregate; DuckDB computes the identical closed
+    * form, so the fit is oracle-checkable bit-for-bit after rounding).
+    */
+  def linearFit(s: SparkSession, d: String): DataFrame =
+    Sources.part(s, d)
+      .groupBy("p_brand")
+      .agg(
+        expr("regr_slope(p_retailprice, p_size)").as("slope_raw"),
+        expr("regr_intercept(p_retailprice, p_size)").as("icept_raw"),
+        expr("regr_r2(p_retailprice, p_size)").as("r2_raw"),
+        expr("regr_count(p_retailprice, p_size)").as("n"))
+      .select(col("p_brand"),
+        roundNorm(col("slope_raw"), 6).as("slope"),
+        roundNorm(col("icept_raw"), 6).as("intercept"),
+        roundNorm(col("r2_raw"), 6).as("r2"),
+        col("n").cast("long").as("n"))
+      .orderBy("p_brand")
+
+  // ------------------------------------------------- logistic regression
+
+  private[ops] val featureNames =
+    Seq("intercept", "log_len", "avg_tok_len", "stop_ratio", "type_token_ratio")
+  private val k = featureNames.size
+  private val ridge = 1e-6
+  private val maxIter = 25
+  private val tol = 1e-10
+
+  /** Planted teacher model: every fixture column is independent of every
+    * other (verified — no natural label has signal), so supervision is
+    * SIMULATED deterministically, the same discipline as the Audit
+    * module's synthetic snapshots: label = 1 iff a hash-uniform
+    * u(doc_id) falls under σ(teacher·x). Training then has a ground
+    * truth — MlSpec certifies the trainer by RECOVERING the planted
+    * weights and beating the base rate, which no real-data label in
+    * this fixture could certify.
+    */
+  private[ops] val teacher = Array(-16.0, 3.0, -1.2, 25.0, 6.0)
+
+  /** Surface-feature design matrix over `documents`: intercept,
+    * log-length, mean token length, stopword-ish ratio, type–token
+    * ratio — all codegen'd column math on one scan — plus the planted
+    * label. The label's noise source is a Knuth-hash uniform from
+    * doc_id (pure integer arithmetic, engine-independent).
+    */
+  private[ops] def featurized(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val feats = Sources.documents(s, d).select(
+      col("doc_id"),
+      lit(1.0).as("f0"),
+      log1p(col("n_chars").cast("double")).as("f1"),
+      ((col("n_chars").cast("double") - (nTok - 1)) / nTok).as("f2"),
+      (size(filter(toks, t => t === "a" || t === "the")).cast("double") / nTok).as("f3"),
+      (size(array_distinct(toks)).cast("double") / nTok).as("f4"))
+    val etaT = (0 until k).map(i => col(s"f$i") * lit(teacher(i))).reduce(_ + _)
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+    feats.withColumn("y",
+      (u < lit(1.0) / (lit(1.0) + exp(-etaT))).cast("double"))
+  }
+
+  /** Solve `a x = b` (k×k, symmetric positive-definite after the ridge)
+    * by Gaussian elimination with partial pivoting — model-sized,
+    * driver-side, deterministic.
+    */
+  private[ops] def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (c <- 0 until n) {
+      val p = (c until n).maxBy(r => math.abs(a(r)(c)))
+      val (tr, tb) = (a(p), b(p)); a(p) = a(c); a(c) = tr; b(p) = b(c); b(c) = tb
+      require(math.abs(a(c)(c)) > 1e-300, "singular normal matrix")
+      for (r <- c + 1 until n) {
+        val m = a(r)(c) / a(c)(c)
+        for (j <- c until n) a(r)(j) -= m * a(c)(j)
+        b(r) -= m * b(c)
+      }
+    }
+    val x = Array.ofDim[Double](n)
+    for (c <- n - 1 to 0 by -1) {
+      var acc = b(c)
+      for (j <- c + 1 until n) acc -= a(c)(j) * x(j)
+      x(c) = acc / a(c)(c)
+    }
+    x
+  }
+
+  /** IRLS/Newton training loop. Each iteration is ONE distributed
+    * aggregate: sums of `w·x_i·x_j` (upper triangle of X'WX),
+    * `(y−μ)·x_i` (gradient), and the log-loss, with the current β
+    * riding into the plan as literals. Returns (β, loss trace, iters).
+    * Deterministic: fixed iteration cap, fixed ridge, convergence on the
+    * Newton-step norm; float accumulation differences across partition
+    * orders stay ~1e-15 and the trained weights round at 6 decimals
+    * before anything oracle-visible consumes them.
+    */
+  private[ops] def train(s: SparkSession, d: String): (Array[Double], Seq[Double], Int) = {
+    val data = featurized(s, d).localCheckpoint(true)
+    val fs: Seq[Column] = (0 until k).map(i => col(s"f$i"))
+    var beta = Array.fill(k)(0.0)
+    val losses = scala.collection.mutable.ArrayBuffer[Double]()
+    var iter = 0
+    var stepNorm = Double.MaxValue
+    while (iter < maxIter && stepNorm > tol) {
+      val eta = fs.zip(beta).map { case (f, b) => f * lit(b) }.reduce(_ + _)
+      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+      val muC = least(greatest(mu, lit(1e-12)), lit(1.0 - 1e-12))
+      val w = muC * (lit(1.0) - muC)
+      val hessCols = for (i <- 0 until k; j <- i until k)
+        yield sum(w * fs(i) * fs(j)).as(s"h_${i}_$j")
+      val gradCols = (0 until k).map(i => sum((col("y") - muC) * fs(i)).as(s"g_$i"))
+      val lossCol = sum(-(col("y") * log(muC) + (lit(1.0) - col("y")) * log(lit(1.0) - muC))).as("loss")
+      val r = data.agg((hessCols ++ gradCols :+ lossCol).head,
+        (hessCols ++ gradCols :+ lossCol).tail: _*).head()
+      val h = Array.ofDim[Double](k, k)
+      var idx = 0
+      for (i <- 0 until k; j <- i until k) {
+        h(i)(j) = r.getDouble(idx); h(j)(i) = h(i)(j); idx += 1
+      }
+      for (i <- 0 until k) h(i)(i) += ridge
+      val g = (0 until k).map(i => r.getDouble(idx + i)).toArray
+      losses += r.getDouble(idx + k)
+      val step = solve(h, g)
+      stepNorm = math.sqrt(step.map(x => x * x).sum)
+      beta = beta.zip(step).map { case (b, st) => b + st }
+      iter += 1
+    }
+    (beta, losses.toSeq, iter)
+  }
+
+  private def roundHalfUp(v: Double, scale: Int): Double =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  /** Trained weights, persisted as a versioned model table (train once,
+    * serve from the table — including fresh sessions) and served
+    * rounded at 6 decimals so every consumer sees one deterministic β.
+    */
+  private[ops] def weights(s: SparkSession, d: String): Array[Double] = {
+    val df = ModelStore.ensureDf(s, "logreg", d, "teacher-v1") {
+      val (beta, losses, iters) = train(s, d)
+      val rows = featureNames.zipWithIndex.map { case (f, i) =>
+        (i.toLong, f, roundHalfUp(beta(i), 6), iters.toLong, roundHalfUp(losses.last, 4))
+      }
+      s.createDataFrame(rows).toDF("idx", "feature", "weight", "n_iter", "final_loss")
+    }
+    df.orderBy("idx").select("weight").collect().map(_.getDouble(0))
+  }
+
+  /** Weights table query — rows-only by contract (an iterative Newton
+    * fit is not SQL-expressible); MlSpec certifies the trained model
+    * against the defining properties (monotone loss, gradient ≈ 0 at
+    * the optimum, determinism, separation on a crafted corpus).
+    */
+  def logregWeights(s: SparkSession, d: String): DataFrame = {
+    weights(s, d): Unit // ensure trained + persisted
+    ModelStore.ensureDf(s, "logreg", d, "teacher-v1")(
+      sys.error("model must already be persisted"))
+      .orderBy("idx")
+  }
+
+  /** Per-document quality scores from the persisted model: σ(x·β) as a
+    * pure map-side codegen'd expression (β enters as literals — no
+    * join, no shuffle, exactly how a 100 TB scoring pass should look).
+    * Rows-only by contract; MlSpec pins score bounds and ranking.
+    */
+  def logregScore(s: SparkSession, d: String): DataFrame = {
+    val b = weights(s, d)
+    val fdf = featurized(s, d)
+    val eta = (0 until k).map(i => col(s"f$i") * lit(b(i))).reduce(_ + _)
+    fdf.select(col("doc_id"), col("y").cast("long").as("label"),
+        roundNorm(lit(1.0) / (lit(1.0) + exp(-eta)), 6).as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Confusion summary of the classifier on its training corpus — one
+    * aggregate over the scored scan (tp/fp/tn/fn, accuracy, base rate).
+    */
+  def logregEval(s: SparkSession, d: String): DataFrame = {
+    val scored = logregScore(s, d)
+    scored.agg(
+        sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+        count(lit(1)).as("n"),
+        avg(col("label").cast("double")).as("base_rate_raw"),
+        avg((col("label") === col("pred")).cast("double")).as("acc_raw"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n"),
+        round(col("base_rate_raw"), 6).as("base_rate"),
+        round(col("acc_raw"), 6).as("accuracy"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_linear_fit" -> (linearFit _),
+    "ml_logreg_weights" -> (logregWeights _),
+    "ml_logreg_score" -> (logregScore _),
+    "ml_logreg_eval" -> (logregEval _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_linear_fit" ->
+      """SELECT p_brand,
+        | round(regr_slope(p_retailprice, p_size), 6) + 0.0 AS slope,
+        | round(regr_intercept(p_retailprice, p_size), 6) + 0.0 AS intercept,
+        | round(regr_r2(p_retailprice, p_size), 6) + 0.0 AS r2,
+        | CAST(regr_count(p_retailprice, p_size) AS BIGINT) AS n
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+  )
+}

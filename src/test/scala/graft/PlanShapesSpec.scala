@@ -30,7 +30,8 @@ class PlanShapesSpec extends SparkSpec {
     "join_cross_regions", "join_price_bands",
     "sim_cosine_topk", "sim_cosine_topk_native", "sim_mips_topk",
     "text_tfidf_keywords", "text_lm_score", "text_pmi_bigrams",
-    "agg_pareto_customers", "text_bm25", "graph_triangle_stats")
+    "agg_pareto_customers", "text_bm25", "graph_triangle_stats",
+    "audit_key_skew")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

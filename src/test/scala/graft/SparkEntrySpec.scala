@@ -21,6 +21,9 @@ class SparkEntrySpec extends SparkSpec {
     "textSignals" -> TextSignals.queries.keySet,
     "analytics" -> Analytics.queries.keySet,
     "temporal" -> Temporal.queries.keySet,
+    "audit" -> Audit.queries.keySet,
+    "decomp" -> Decomp.queries.keySet,
+    "ml" -> Ml.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {
@@ -41,9 +44,13 @@ class SparkEntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // sim_pq_audit joined r5: trained-model op (k-means codebooks), like
     // the ANN sketches — PqSpec carries the semantic assertions instead.
+    // r6: PCA eigen ops (DecompSpec identities) and the IRLS logistic
+    // model (MlSpec properties) are rows-only for the same reason —
+    // iterative numerics are not SQL-expressible.
     rowsOnly shouldBe Set("agg_approx_distinct", "agg_approx_percentile",
       "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "sim_pq_audit",
-      "sim_pq_adc")
+      "sim_pq_adc", "sim_pca_variance", "sim_pca_project",
+      "ml_logreg_weights", "ml_logreg_score", "ml_logreg_eval")
   }
 
   "entry" should "return rows on the smoke fixture" in {

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Certifies the in-engine ML layer against ground truth: the linear
+  * solver against a hand-checked system, OLS against an exact synthetic
+  * fit, and the IRLS trainer against the PLANTED teacher model (the
+  * label is simulated from known weights, so recovery — not just
+  * convergence — is checkable).
+  */
+class MlSpec extends SparkSpec {
+
+  "solve" should "invert a hand-checked 3x3 system" in {
+    // [2 1 0; 1 3 1; 0 1 2] x = [4 10 8] -> x = (1, 2, 3)
+    val x = Ml.solve(
+      Array(Array(2.0, 1.0, 0.0), Array(1.0, 3.0, 1.0), Array(0.0, 1.0, 2.0)),
+      Array(4.0, 10.0, 8.0))
+    x(0) shouldBe 1.0 +- 1e-12
+    x(1) shouldBe 2.0 +- 1e-12
+    x(2) shouldBe 3.0 +- 1e-12
+  }
+
+  "linearFit" should "recover an exact linear relation" in {
+    import spark.implicits._
+    val df = (1 to 20).map(i => ("B", i, 2.0 * i + 1.0))
+      .toDF("p_brand", "p_size", "p_retailprice")
+    val tmp = tmpDir("mlols")
+    df.write.parquet(s"$tmp/part.parquet")
+    val fit = Ml.linearFit(spark, tmp).collect().head
+    fit.getAs[Double]("slope") shouldBe 2.0 +- 1e-9
+    fit.getAs[Double]("intercept") shouldBe 1.0 +- 1e-9
+    fit.getAs[Double]("r2") shouldBe 1.0 +- 1e-9
+    fit.getAs[Long]("n") shouldBe 20L
+  }
+
+  it should "produce bounded diagnostics on the fixture" in {
+    val rows = Ml.linearFit(spark, sfDir).collect()
+    rows should not be empty
+    all(rows.map(_.getAs[Double]("r2"))) should (be >= 0.0 and be <= 1.0)
+    all(rows.map(_.getAs[Long]("n"))) should be > 0L
+  }
+
+  behavior of "IRLS training"
+
+  private lazy val trained = Ml.train(spark, "/root/testdata/sf0.01")
+
+  it should "decrease the log-loss monotonically" in {
+    val (_, losses, iters) = trained
+    iters should be <= 25
+    losses.size should be >= 3
+    losses.sliding(2).foreach { case Seq(a, b) => b should be < a }
+  }
+
+  it should "recover the planted teacher weights" in {
+    val (beta, _, _) = trained
+    // finite-sample recovery: signs match the teacher everywhere and
+    // the two dominant coordinates land in the teacher's neighborhood
+    beta.zip(Ml.teacher).foreach { case (b, t) => math.signum(b) shouldBe math.signum(t) }
+    beta(3) shouldBe Ml.teacher(3) +- 8.0 // stop_ratio 25.0
+    beta(1) shouldBe Ml.teacher(1) +- 1.5 // log_len 3.0
+  }
+
+  it should "train deterministically" in {
+    val (b1, _, _) = Ml.train(spark, "/root/testdata/sf0.01")
+    b1.toSeq shouldBe trained._1.toSeq
+  }
+
+  behavior of "logreg scoring"
+
+  it should "beat the base rate by a clear margin on the planted labels" in {
+    val r = Ml.logregEval(spark, "/root/testdata/sf0.01").collect().head
+    val base = math.max(r.getAs[Double]("base_rate"), 1.0 - r.getAs[Double]("base_rate"))
+    r.getAs[Double]("accuracy") should be > base + 0.10
+    (r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("tn") + r.getAs[Long]("fn")) shouldBe r.getAs[Long]("n")
+  }
+
+  it should "emit calibrated-range scores with a consistent threshold" in {
+    val rows = Ml.logregScore(spark, "/root/testdata/sf0.01").collect()
+    rows.length shouldBe 500
+    all(rows.map(_.getAs[Double]("score"))) should (be >= 0.0 and be <= 1.0)
+    rows.foreach { r =>
+      r.getAs[Long]("pred") shouldBe (if (r.getAs[Double]("score") >= 0.5) 1L else 0L)
+    }
+  }
+
+  it should "serve weights from the persisted model table" in {
+    val w1 = Ml.logregWeights(spark, "/root/testdata/sf0.01").collect()
+    w1.length shouldBe 5
+    // second call must serve from the table (ensureDf's thunk would
+    // throw if re-entered after persistence — see Ml.logregWeights)
+    val w2 = Ml.logregWeights(spark, "/root/testdata/sf0.01").collect()
+    w2.map(_.getAs[Double]("weight")).toSeq shouldBe w1.map(_.getAs[Double]("weight")).toSeq
+  }
+}
