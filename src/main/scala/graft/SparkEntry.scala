@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Audit, Decomp, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Decomp, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +35,8 @@ object SparkEntry {
       Temporal.queries ++
       Audit.queries ++
       Decomp.queries ++
-      Ml.queries
+      Ml.queries ++
+      Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -54,5 +55,6 @@ object SparkEntry {
       Temporal.oracles ++
       Audit.oracles ++
       Decomp.oracles ++
-      Ml.oracles
+      Ml.oracles ++
+      Sketches.oracles
 }

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num.roundNorm
+import graft.io.Sources
+
+/** Mergeable sketch operators — the sublinear-state summaries a 100 TB
+  * pipeline computes ONCE per partition/day and then merges, instead of
+  * re-scanning the corpus per question:
+  *
+  *  - a Count-Min sketch maintained as a plain relational table
+  *    (d·w counter rows from one map-side-combinable aggregate; point
+  *    estimates are equi-joins + MIN over the d hash rows). The hash
+  *    family is pure 64-bit integer arithmetic, so the whole estimator
+  *    is engine-independent and DuckDB replays it bit-for-bit — a
+  *    probabilistic structure with an EXACT oracle.
+  *  - HyperLogLog daily sketches (Spark's DataSketches `hll_sketch_agg`)
+  *    rolled up with `hll_union_agg`: sketch-of-union == union-of-
+  *    sketches, which is what makes "distinct users over any window"
+  *    answerable from day-grain state without touching raw events.
+  *
+  * Scale notes: both sketches reduce each partition to bounded state
+  * (d·w longs / one lgK=12 HLL register set) with map-side combine; the
+  * estimate side touches only sketch rows, never the corpus. The CMS
+  * guarantees est ≥ exact (overestimate-only), err ≤ N·e/w w.h.p.
+  */
+object Sketches {
+
+  // -------------------------------------------------------- Count-Min
+
+  private val P = 2147483647L // 2^31 − 1, prime
+  private val W = 512L        // counters per hash row
+  private val As = Seq(1103515245L, 1299709L, 15485863L, 32452843L)
+  private val Bs = Seq(12345L, 7919L, 104729L, 1299721L)
+  private val D = As.size
+
+  /** Row-j bucket of key u: ((u mod P)·A_j + B_j mod P) mod W — products
+    * stay under 2^62, so 64-bit integer ops are exact in both engines.
+    */
+  private def bucket(u: Column, j: Int): Column =
+    pmod(pmod(u, lit(P)) * lit(As(j)) + lit(Bs(j)), lit(P)) % lit(W)
+
+  /** The sketch itself: one aggregate pass over `events`, exploding each
+    * key into its d (row, bucket) cells — at most d·w = 2 048 counter
+    * rows out, partial+final combined.
+    */
+  private[ops] def cmsTable(s: SparkSession, d: String): DataFrame = {
+    val cells = array((0 until D).map(j =>
+      struct(lit(j).cast("long").as("j"), bucket(col("user_id"), j).as("bucket"))): _*)
+    Sources.events(s, d)
+      .select(explode(cells).as("cell"))
+      .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimates for the exact top-10 heaviest users, reported
+    * against their true counts: estimate = MIN over the key's d sketch
+    * cells (equi-join on (j, bucket) — sketch-sized, never corpus-sized).
+    * `overest` is the structure's signed guarantee: always ≥ 0.
+    */
+  def cmsUsers(s: SparkSession, d: String): DataFrame = {
+    val exact = Sources.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+    val probes = exact.select(col("user_id"), col("exact_cnt"),
+      explode(array((0 until D).map(j =>
+        struct(lit(j).cast("long").as("j"), bucket(col("user_id"), j).as("bucket"))): _*)).as("cell"))
+      .select(col("user_id"), col("exact_cnt"),
+        col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+    probes.join(cmsTable(s, d), Seq("j", "bucket"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(min("cnt").as("cms_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overest"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
+  // ------------------------------------------------------ HyperLogLog
+
+  /** Day-grain HLL state over `events`: per-day distinct-user estimates
+    * next to exact counts. This is the table a pipeline PERSISTS — the
+    * raw corpus is never re-scanned for a distinct question again.
+    * Rows-only by contract (DataSketches registers are not
+    * SQL-replayable in the oracle); SketchesSpec pins the error enveloped
+    * by the lgK=12 standard deviation and the merge identity.
+    */
+  def hllDailyUsers(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .select(col("day"), col("est_users"), col("exact_users"),
+        roundNorm(abs(col("est_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"), 4).as("rel_err"))
+      .orderBy("day")
+
+  /** Month-grain rollup MERGING the day-grain sketches (never re-reading
+    * events' rows twice): union-of-sketches per month, plus the exact
+    * distinct for the error column. The merge is the whole point — at
+    * 100 TB the daily table is the only input a rollup needs.
+    */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM").as("month"),
+        to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    val merged = daily.groupBy("month")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
+    val exact = Sources.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM").as("month"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("month"))
+      .select(col("month"), col("est_users"), col("exact_users"),
+        roundNorm(abs(col("est_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"), 4).as("rel_err"))
+      .orderBy("month")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_cms_users" -> (cmsUsers _),
+    "sketch_hll_daily" -> (hllDailyUsers _),
+    "sketch_hll_rollup" -> (hllRollup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sketch_cms_users" ->
+      """WITH cells AS (
+        |  SELECT j.j,
+        |    ((user_id % 2147483647) * a + b) % 2147483647 % 512 AS bucket
+        |  FROM events, (VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
+        |    (2, 15485863, 104729), (3, 32452843, 1299721)) j(j, a, b)),
+        | sketch AS (
+        |  SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        | top10 AS (
+        |  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        | probes AS (
+        |  SELECT t.user_id, t.exact_cnt, j.j,
+        |    ((t.user_id % 2147483647) * a + b) % 2147483647 % 512 AS bucket
+        |  FROM top10 t, (VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
+        |    (2, 15485863, 104729), (3, 32452843, 1299721)) j(j, a, b))
+        |SELECT p.user_id, p.exact_cnt, min(s.cnt) AS cms_est,
+        |  min(s.cnt) - p.exact_cnt AS overest
+        |FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+        |GROUP BY p.user_id, p.exact_cnt
+        |ORDER BY exact_cnt DESC, user_id""".stripMargin,
+  )
+}

@@ -24,6 +24,7 @@ class SparkEntrySpec extends SparkSpec {
     "audit" -> Audit.queries.keySet,
     "decomp" -> Decomp.queries.keySet,
     "ml" -> Ml.queries.keySet,
+    "sketches" -> Sketches.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {
@@ -50,7 +51,8 @@ class SparkEntrySpec extends SparkSpec {
     rowsOnly shouldBe Set("agg_approx_distinct", "agg_approx_percentile",
       "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "sim_pq_audit",
       "sim_pq_adc", "sim_pca_variance", "sim_pca_project",
-      "ml_logreg_weights", "ml_logreg_score", "ml_logreg_eval")
+      "ml_logreg_weights", "ml_logreg_score", "ml_logreg_eval",
+      "sketch_hll_daily", "sketch_hll_rollup")
   }
 
   "entry" should "return rows on the smoke fixture" in {

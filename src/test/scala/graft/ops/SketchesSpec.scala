@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Sources
+
+/** Certifies the sketch operators against their structural guarantees —
+  * the properties that hold by construction, not by fixture luck.
+  */
+class SketchesSpec extends SparkSpec {
+
+  behavior of "count-min sketch"
+
+  it should "never underestimate (est >= exact for every probed key)" in {
+    val rows = Sketches.cmsUsers(spark, sfDir).collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      r.getAs[Long]("cms_est") should be >= r.getAs[Long]("exact_cnt")
+      r.getAs[Long]("overest") shouldBe
+        r.getAs[Long]("cms_est") - r.getAs[Long]("exact_cnt")
+    }
+  }
+
+  it should "keep bounded state and conserve mass in every hash row" in {
+    val sketch = Sketches.cmsTable(spark, sfDir).collect()
+    sketch.length should be <= (4 * 512)
+    val total = Sources.events(spark, sfDir).count()
+    val perRow = sketch.groupBy(_.getAs[Long]("j")).view.mapValues(_.map(_.getAs[Long]("cnt")).sum)
+    perRow.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    perRow.values.foreach(_ shouldBe total) // each hash row sees every event once
+  }
+
+  behavior of "hyperloglog rollup"
+
+  it should "estimate each day within the lgK=12 error envelope" in {
+    val rows = Sketches.hllDailyUsers(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Double]("rel_err") should be <= 0.05
+      r.getAs[Long]("est_users") should be > 0L
+    }
+  }
+
+  it should "merge day sketches into exactly the whole-corpus sketch" in {
+    // union-of-sketches == sketch-of-union: the rollup estimate must be
+    // IDENTICAL (not merely close) to sketching all events in one pass
+    val direct = Sources.events(spark, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getAs[Long]("est")
+    val rolled = Sketches.hllRollup(spark, sfDir).collect()
+    rolled.map(_.getAs[Long]("est_users")).sum shouldBe direct // single-month fixture
+    rolled.foreach { r =>
+      r.getAs[Double]("rel_err") should be <= 0.05
+    }
+  }
+}
