@@ -130,8 +130,36 @@ object EtlQueries {
         col("event_type").as("last_type"), round(col("value"), 2).as("value"))
       .orderBy("user_id")
 
+  /** Incremental view maintenance: the month-grain revenue view kept as
+    * PARTIAL-aggregate state (exact decimal sums + counts) and advanced
+    * by merging a delta batch's partials — re-aggregating two partial
+    * tables, never re-scanning history. This is the 100 TB refresh
+    * shape: the state table is months-sized, the delta is one batch, and
+    * the merge is sum-of-sums / sum-of-counts (both algebraic). Sums run
+    * in DECIMAL(18,2) so they are EXACT — accumulation order can't
+    * perturb them — and cast to double only at the edge, which is why
+    * merged state hash-matches the full-recompute oracle bit-for-bit.
+    */
+  def etlIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d).select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      col("o_orderdate"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val cutoff = lit("1999-01-01").cast("date")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("month").agg(sum("price").as("rev"), count(lit(1)).as("n"))
+    val state = partial(o.filter(col("o_orderdate") < cutoff))   // persisted view state
+    val delta = partial(o.filter(col("o_orderdate") >= cutoff))  // the new batch
+    state.unionByName(delta)
+      .groupBy("month")
+      .agg(sum("rev").as("rev_m"), sum("n").as("n_orders"))
+      .select(col("month"), col("rev_m").cast("double").as("revenue"), col("n_orders"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_cdc_apply" -> (etlCdcApply _),
+    "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_pipeline_e2e" -> (etlPipelineE2e _),
     "etl_normalize_dates" -> (etlNormalizeDates _),
     "etl_range_filter" -> (etlRangeFilter _),
@@ -141,6 +169,13 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full recompute — the semantics the partial-merge must equal; the
+    // decimal sums make both sides exact, so the doubles agree bitwise
+    "etl_incremental_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
     "etl_cdc_apply" ->
       """WITH c AS (SELECT user_id, ts, event_id, event_type, value,
         |   row_number() OVER (PARTITION BY user_id

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -130,12 +131,40 @@ object Analytics {
       .orderBy("cohort", "yr_offset")
   }
 
+  /** 2-D skyline (Pareto frontier) over parts: the cheapest-for-their-
+    * size parts — p survives iff NO part is (price ≤, size ≥) with at
+    * least one strict. Computed WITHOUT a self-join: collapse to price
+    * levels (distinct price → max size), then one running-max window
+    * ordered by price gives, per level, the best size at-or-below and
+    * strictly-below; a part is dominated iff either beats its size.
+    * The level table is |distinct prices|-sized; at corpus scale where
+    * even that is large, skyline merges algebraically —
+    * skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so local
+    * frontiers per partition reduce first (the NOT-EXISTS oracle is the
+    * quadratic semantics this plan avoids).
+    */
+  def skylineParts(s: SparkSession, d: String): DataFrame = {
+    val pts = Sources.part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("long").as("p_size"), col("p_retailprice"))
+    val wLe = Window.orderBy("p_retailprice")
+    val levels = pts.groupBy("p_retailprice").agg(max("p_size").as("lvl_size"))
+      .withColumn("best_le", max("lvl_size").over(
+        wLe.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("best_lt", lag("best_le", 1).over(wLe))
+    pts.join(levels.select("p_retailprice", "best_le", "best_lt"), Seq("p_retailprice"))
+      .filter(!(coalesce(col("best_lt") >= col("p_size"), lit(false)) ||
+        col("best_le") > col("p_size")))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "complex_min_cost_supplier" -> (minCostSupplier _),
     "complex_big_orders" -> (bigOrders _),
     "complex_churned_customers" -> (churnedCustomers _),
     "stream_funnel_1day" -> (funnel _),
     "agg_retention_cohorts" -> (retentionCohorts _),
+    "complex_skyline_parts" -> (skylineParts _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +222,15 @@ object Analytics {
         |FROM f JOIN act USING (o_custkey)
         |WHERE yr - cohort <= 3
         |GROUP BY cohort, yr_offset ORDER BY cohort, yr_offset""".stripMargin,
+    // the oracle states the quadratic NOT-EXISTS semantics the window
+    // plan avoids — strict Pareto domination on (price min, size max)
+    "complex_skyline_parts" ->
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
   )
 }

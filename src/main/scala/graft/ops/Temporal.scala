@@ -90,10 +90,49 @@ object Temporal {
       .orderBy("prev", "nxt")
   }
 
+  /** Per-user EWMA (α = 0.5) over the event-value series — the classic
+    * exponential smoother, computed as an exact left fold: per user,
+    * `collect_list` + `array_sort` reassembles the (ts, event_id)-ordered
+    * series inside one task, and a HOF `aggregate` folds
+    * `e ← e + α(v − e)` emitting every intermediate. The fold's IEEE op
+    * sequence is written IDENTICALLY in the DuckDB recursive-CTE oracle,
+    * so the doubles hash-match bit-for-bit with NO rounding — the
+    * strongest determinism class in the suite.
+    *
+    * Scale: one shuffle on user_id; state is one user's series per task
+    * (the same bound as any per-key session reassembly — an unbounded
+    * key's running EWMA belongs to the streaming twin shape,
+    * `transformWithState`, which keeps only the scalar `e`).
+    */
+  def ewma(s: SparkSession, d: String): DataFrame = {
+    val series = Sources.events(s, d)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("series"))
+    val folded = aggregate(
+      col("series"),
+      struct(
+        array().cast("array<struct<value:double,ewma:double>>").as("arr"),
+        lit(null).cast("double").as("last")),
+      (acc, e) => {
+        val v = e.getField("value")
+        val nv = when(acc.getField("last").isNull, v)
+          .otherwise(acc.getField("last") + lit(0.5) * (v - acc.getField("last")))
+        struct(
+          concat(acc.getField("arr"), array(struct(v.as("value"), nv.as("ewma")))).as("arr"),
+          nv.as("last"))
+      },
+      acc => acc.getField("arr"))
+    series.select(col("user_id"), posexplode(folded).as(Seq("pos", "e")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("e.value").as("value"), col("e.ewma").as("ewma"))
+      .orderBy("user_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_scd2_history" -> (scd2History _),
     "ts_gapfill_daily" -> (gapfillDaily _),
     "stream_transition_matrix" -> (transitionMatrix _),
+    "ts_ewma" -> (ewma _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,5 +178,18 @@ object Temporal {
         |SELECT prev, nxt, n,
         | round(n::DOUBLE / sum(n) OVER (PARTITION BY prev), 4) AS p
         |FROM c ORDER BY prev, nxt""".stripMargin,
+    // identical IEEE fold (e + 0.5*(v - e)) as the Spark HOF — the
+    // doubles hash-match with NO rounding on either side
+    "ts_ewma" ->
+      """WITH RECURSIVE s AS (
+        | SELECT user_id, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        | r AS (
+        |  SELECT user_id, rn, value, value AS ewma FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, s.value, r.ewma + 0.5 * (s.value - r.ewma)
+        |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT user_id, rn, value, ewma FROM r ORDER BY user_id, rn""".stripMargin,
   )
 }

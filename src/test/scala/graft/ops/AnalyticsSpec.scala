@@ -80,4 +80,16 @@ class AnalyticsSpec extends SparkSpec {
     val c0 = got.collect { case ((c, 0L), n) => c -> n }.toMap
     got.exists { case ((c, off), n) => off > 0 && n < c0(c) } shouldBe true
   }
+
+  "Analytics.skylineParts" should "be exactly the non-dominated set" in {
+    val pts = graft.io.Sources.part(spark, sfDir)
+      .select("p_partkey", "p_size", "p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+    def dominated(p: (Long, Long, Double)) = pts.exists(q =>
+      q._3 <= p._3 && q._2 >= p._2 && (q._3 < p._3 || q._2 > p._2))
+    val expected = pts.filterNot(dominated).map(_._1).toSet
+    val got = Analytics.skylineParts(spark, sfDir).collect().map(_.getLong(0)).toSet
+    got shouldBe expected // sound AND complete vs the quadratic definition
+    expected should not be empty
+  }
 }

@@ -107,4 +107,32 @@ class TemporalSpec extends SparkSpec {
       rs.map(_._3).sum shouldBe 1.0 +- (0.0001 * rs.size)
     }
   }
+
+  "Temporal.ewma" should "fold exactly like the sequential recurrence" in {
+    val rows = Temporal.ewma(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    rows should not be empty
+    // replay the recurrence per user in plain Scala: must match BITWISE
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      sorted.head._2 shouldBe 1L
+      var e = sorted.head._3
+      sorted.head._4 shouldBe e
+      sorted.drop(1).foreach { case (_, _, v, got) =>
+        e = e + 0.5 * (v - e)
+        got shouldBe e // exact double equality — same IEEE op sequence
+      }
+    }
+  }
+
+  it should "stay inside the running min/max envelope" in {
+    Temporal.ewma(spark, sfDir).collect().groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      var (lo, hi) = (Double.MaxValue, Double.MinValue)
+      sorted.foreach { r =>
+        lo = math.min(lo, r.getDouble(2)); hi = math.max(hi, r.getDouble(2))
+        r.getDouble(3) should (be >= lo and be <= hi)
+      }
+    }
+  }
 }
