@@ -187,6 +187,55 @@ object TextOps {
       .filter(col("jaccard") >= 0.3)
   }
 
+  /** FULL-corpus set-similarity join at τ = 0.5 via prefix filtering
+    * (the PPJoin family) — no blocking assumptions at all, yet provably
+    * COMPLETE: order each doc's tokens by global rarity (df asc, word
+    * asc) and keep only the first |A| − ⌈τ·|A|⌉ + 1 as its prefix; any
+    * pair with J ≥ τ must share a prefix token (if the rarest shared
+    * token fell outside a prefix, the whole intersection would have to
+    * fit in the < τ·|A| ≤ |A∩B| trailing slots — contradiction).
+    * Candidates are therefore one equi-join on prefix tokens; exact
+    * Jaccard re-ranks. The prefix holds each doc's RAREST tokens, so
+    * frequent tokens never fan out — candidate count stays near the true
+    * pair count at any corpus size, which is what makes the threshold
+    * join feasible at 100 TB where [[ngramJaccardPairs]]'s length-band
+    * blocking is a semantic narrowing. Oracle: the quadratic threshold
+    * join (with the lossless 2·min ≥ max size prefilter J ≥ ½ implies).
+    */
+  def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.5
+    // 3-word shingle sets — the same set definition as the MinHash/LSH
+    // pipeline, so this is its exact-threshold ground truth at scale
+    // (distinct-WORD sets saturate on this corpus: one shared vocabulary
+    // makes nearly every doc pair "similar", which is a tokenization
+    // artifact, not similarity — order-sensitive shingles keep the
+    // measure discriminative)
+    val docs = Sources.documents(s, d)
+      .select(col("doc_id"), array_distinct(Dedup.wordShingles(words(col("text")))).as("wset"))
+      .withColumn("sz", size(col("wset")))
+    val tok = docs.select(col("doc_id"), explode(col("wset")).as("word"))
+    val dfreq = tok.groupBy("word").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("doc_id").orderBy("df", "word")
+    val prefix = tok.join(dfreq, "word")
+      .withColumn("rk", row_number().over(wRank))
+      .join(docs.select("doc_id", "sz"), "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * tau) + 1)
+      .select(col("doc_id"), col("word"))
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.word") === col("pb.word") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("wset").as("ws_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("wset").as("ws_b")), "id_b")
+      .withColumn("j_raw",
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+          size(array_union(col("ws_a"), col("ws_b"))).cast("double"))
+      .filter(col("j_raw") >= tau) // exact ratio: bit-identical in the oracle
+      .select(col("id_a"), col("id_b"), round(col("j_raw"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Pairs → GROUPS: the Jaccard candidate pairs collapsed to connected
     * components via [[Dedup.connectedGroups]]; every document reports its
     * component's minimum doc_id as `group_id` (singletons report
@@ -589,6 +638,7 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _),
     "text_entropy" -> (textEntropy _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
+    "dedup_jaccard_prefix" -> (jaccardPrefixJoin _),
     "graph_triangle_stats" -> (triangleStats _),
     "text_dedup_groups" -> (textDedupGroups _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -840,6 +890,22 @@ object TextOps {
         | AND abs(a.n_chars - b.n_chars) <= 3
         |WHERE round(len(list_intersect(a.wset, b.wset))::DOUBLE /
         |       len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the quadratic threshold-join semantics the prefix filter equals;
+    // the size prefilter is lossless (J >= 1/2 forces max <= 2*min)
+    "dedup_jaccard_prefix" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | d AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, greatest(len(ws) - 2, 1) + 1),
+        |   i -> array_to_string(ws[i:i+2], ' '))) AS wset FROM w),
+        | s AS (SELECT doc_id, wset, len(wset) AS sz FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.wset, b.wset))::DOUBLE /
+        |       len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | AND a.sz <= 2 * b.sz AND b.sz <= 2 * a.sz
+        |WHERE len(list_intersect(a.wset, b.wset))::DOUBLE /
+        |      len(list_distinct(list_concat(a.wset, b.wset))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "graph_triangle_stats" ->
       """WITH d AS (SELECT doc_id, lang, n_chars,

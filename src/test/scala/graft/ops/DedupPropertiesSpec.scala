@@ -128,6 +128,16 @@ class DedupPropertiesSpec extends SparkSpec {
     val viaSimhash = result(TextOps.dedupSimHash(spark, sfDir))
     viaSimhash should not be empty
     viaSimhash.subsetOf(exact) shouldBe true
+    // prefix-filtered threshold join: EXACTLY the τ=0.5 all-pairs set —
+    // the prefix-token candidate generator is provably complete, so any
+    // drift from the brute-force join is a real bug, not sketch noise.
+    val exactHalf = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("sa"), col("sb")), 4).as("jaccard"))
+      .filter(Dedup.jaccard(col("sa"), col("sb")) >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    result(TextOps.jaccardPrefixJoin(spark, sfDir)) shouldBe exactHalf
+    exactHalf.size should be >= exact.size // τ=0.5 is the looser cut
   }
 
   "connectedGroups" should "label components with their minimum member id" in {
