@@ -166,6 +166,47 @@ class DriftProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[St
   }
 }
 
+/** Running EWMA per user: the current smoothed value (`set` false until
+  * the first event seeds it).
+  */
+case class EwmaSt(e: Double, set: Boolean)
+
+/** Emitted by [[EwmaProcessor]] per event: the post-update smoothed value. */
+case class EwmaOut(user_id: Long, event_id: Long, value: Double, ewma: Double)
+
+/** Streaming EWMA (twin of `Temporal.ewma`, α = 0.5): the batch
+  * operator reassembles each user's full series in one task, which is
+  * the right shape when series fit a task; THIS is the shape when they
+  * don't — state is ONE double per user (`e ← e + α(v − e)` is
+  * associative over prefixes, so no history is ever needed), the
+  * recurrence runs in arrival order, and under per-user in-timestamp-
+  * order delivery the emitted values are BIT-EQUAL to the batch fold
+  * (identical IEEE op sequence; asserted in StreamingOpsSpec).
+  */
+class EwmaProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, EwmaOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[EwmaSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[EwmaSt]("ewma",
+      org.apache.spark.sql.Encoders.product[EwmaSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[EwmaOut] = {
+    var s = if (st.exists()) st.get() else EwmaSt(0.0, set = false)
+    val out = Seq.newBuilder[EwmaOut]
+    def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+    rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+      val nv = if (!s.set) e.value else s.e + 0.5 * (e.value - s.e)
+      s = EwmaSt(nv, set = true)
+      out += EwmaOut(key, e.event_id, e.value, nv)
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
 /** Spark 4 arbitrary-state v2 (`StatefulProcessor` / `transformWithState`
   * — the successor to `mapGroupsWithState` with typed per-key state
   * primitives): a per-user high-water mark in a `ValueState[Double]`,
@@ -286,6 +327,17 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming per-user EWMA: see [[EwmaProcessor]]. One double of state
+    * per user — the unbounded-series form of `Temporal.ewma`.
+    */
+  def ewmaPerUser(events: org.apache.spark.sql.Dataset[TypedEvent]):
+      org.apache.spark.sql.Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming consecutive-pair extraction: see [[TransitionProcessor]]. */

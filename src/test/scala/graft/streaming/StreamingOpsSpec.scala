@@ -245,6 +245,38 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  "ewmaPerUser (transformWithState)" should "be bit-equal to the batch fold" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.ewmaPerUser(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    // join on (user, event_id): every streamed ewma must equal the batch
+    // fold EXACTLY — same IEEE op sequence, state carried across batches
+    val batch = graft.ops.Temporal.ewma(s2, sfDir)
+      .orderBy("user_id", "rn").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(3)).toSeq).toMap
+    val streamed = s2.table("ewma_s").orderBy("user_id", "event_id")
+    val got = streamed.collect().groupBy(_.getAs[Long]("user_id"))
+    got.keySet shouldBe batch.keySet
+    // per-user in-ts-order delivery: fixtureEvents is globally ts-sorted
+    // and splitAt preserves it, so sequence k of the stream = batch rn k+1
+    val streamedSeq = s2.table("ewma_s").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Double]("ewma")))
+    val evOrder = evs.zipWithIndex.groupBy(_._1.user_id).view
+      .mapValues(_.sortBy(_._2).map(_._1.event_id).toSeq).toMap
+    streamedSeq.groupBy(_._1).foreach { case (u, rows) =>
+      val byEvent = rows.map(r => r._2 -> r._3).toMap
+      val ordered = evOrder(u).map(byEvent)
+      ordered shouldBe batch(u) // exact double equality
+    }
+  }
+
   "dailyCounts → driftOverDaily" should "match the batch drift monitor on finalized days" in {
     val s2 = rocksSession
     import s2.implicits._
