@@ -209,28 +209,71 @@ object TextOps {
     // (distinct-WORD sets saturate on this corpus: one shared vocabulary
     // makes nearly every doc pair "similar", which is a tokenization
     // artifact, not similarity — order-sensitive shingles keep the
-    // measure discriminative)
+    // measure discriminative).
+    //
+    // Shingles are hashed to 64-bit ids up front: every downstream set
+    // op (df count, prefix rank, the final intersect/union) then runs on
+    // primitive long arrays. Spark's array_intersect/array_union take an
+    // O(n·m) generic scan on string elements but a hashed fast path on
+    // longs — on the re-rank join this is a ~4x wall-clock difference.
+    // A 64-bit collision inside one pair's union would perturb the exact
+    // Jaccard (probability ~|corpus|·|set|²/2^64 ≈ 1e-12, and the DuckDB
+    // oracle hash-compare would surface it); determinism is unaffected
+    // (xxhash64 is a fixed function of the text).
+    //
+    // The projection barrier before shingling matters too: inlining
+    // `split()` into the transform() lambda re-tokenizes the document
+    // once per shingle (O(words²) per doc); materializing `__w` first
+    // makes the lambda read a bound array reference.
     val docs = Sources.documents(s, d)
-      .select(col("doc_id"), array_distinct(Dedup.wordShingles(words(col("text")))).as("wset"))
-      .withColumn("sz", size(col("wset")))
-    val tok = docs.select(col("doc_id"), explode(col("wset")).as("word"))
-    val dfreq = tok.groupBy("word").agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy("doc_id").orderBy("df", "word")
-    val prefix = tok.join(dfreq, "word")
+      .select(col("doc_id"), words(col("text")).as("__w"))
+      .localCheckpoint(eager = false)
+      .select(col("doc_id"),
+        array_distinct(transform(Dedup.wordShingles(col("__w")), h => xxhash64(h))).as("hset"))
+      .withColumn("sz", size(col("hset")))
+      .localCheckpoint(eager = true)
+    val tok = docs.select(col("doc_id"), explode(col("hset")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    // Global token order = (df asc, hash asc) — any consistent total
+    // order preserves the prefix-filter completeness proof; rarest-first
+    // keeps the candidate fan-out minimal. The eager checkpoint lets the
+    // self-join below read the prefix table once instead of recomputing
+    // the df-join + window on both sides.
+    val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
+    val prefix = tok.join(dfreq, "h")
       .withColumn("rk", row_number().over(wRank))
       .join(docs.select("doc_id", "sz"), "doc_id")
       .filter(col("rk") <= col("sz") - ceil(col("sz") * tau) + 1)
-      .select(col("doc_id"), col("word"))
+      .select(col("doc_id"), col("h"), col("rk"), col("sz"))
+      .localCheckpoint(eager = true)
+    // PPJoin pruning at candidate time (all three are lossless for J≥τ):
+    //  - length filter: τ·|A| ≤ |B| ≤ |A|/τ;
+    //  - per-token positional filter: the overlap still reachable after
+    //    this match, 1 + min(|A|-rk_a, |B|-rk_b), must meet the overlap
+    //    minimum ⌈τ/(1+τ)·(|A|+|B|)⌉;
+    //  - pair-level positional filter (replaces the distinct(): same
+    //    one-shuffle shape): matched-prefix count plus the shortest
+    //    remaining tail must still reach the overlap minimum.
+    val minOv = ceil((col("pa.sz") + col("pb.sz")) * lit(tau / (1.0 + tau)))
     val cand = prefix.as("pa").join(prefix.as("pb"),
-        col("pa.word") === col("pb.word") && col("pa.doc_id") < col("pb.doc_id"))
-      .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
-      .distinct()
+        col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id")
+          && col("pb.sz") >= col("pa.sz") * tau && col("pa.sz") >= col("pb.sz") * tau
+          && least(col("pa.sz") - col("pa.rk"), col("pb.sz") - col("pb.rk")) + 1 >= minOv)
+      .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"),
+        col("pa.rk").as("rka"), col("pb.rk").as("rkb"),
+        col("pa.sz").as("sza"), col("pb.sz").as("szb"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("cnt"), max("rka").as("mrka"), max("rkb").as("mrkb"),
+        first("sza").as("sza"), first("szb").as("szb"))
+      .filter(col("cnt") + least(col("sza") - col("mrka"), col("szb") - col("mrkb"))
+        >= ceil((col("sza") + col("szb")) * lit(tau / (1.0 + tau))))
+      .select(col("id_a"), col("id_b"))
     cand
-      .join(docs.select(col("doc_id").as("id_a"), col("wset").as("ws_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("wset").as("ws_b")), "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("hset").as("hs_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("hset").as("hs_b")), "id_b")
       .withColumn("j_raw",
-        size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
-          size(array_union(col("ws_a"), col("ws_b"))).cast("double"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
       .filter(col("j_raw") >= tau) // exact ratio: bit-identical in the oracle
       .select(col("id_a"), col("id_b"), round(col("j_raw"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
