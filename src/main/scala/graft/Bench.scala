@@ -70,8 +70,13 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
-    if (only.isEmpty) { // filtered local runs must not clobber the round record
-      val out = new java.io.PrintWriter("bench.json")
+    // filtered local runs must not clobber the round record, and neither
+    // must a partially-failed run: a caller ignoring the non-zero exit (or
+    // a later blanket commit) would ship the broken record over the last
+    // clean one — failures land in bench-failed.json instead
+    if (only.isEmpty) {
+      val out = new java.io.PrintWriter(
+        if (errors.isEmpty) "bench.json" else "bench-failed.json")
       try out.println(line) finally out.close()
     }
     println(line)

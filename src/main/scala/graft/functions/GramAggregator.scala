@@ -23,10 +23,20 @@ case class GramStats(n: Long, s: Array[Double], g: Array[Double])
   * vector is model-sized (for d=64: 2 144 doubles), so collecting it
   * driver-side is a bounded 1-row fetch, same class as a trained
   * k-means model.
+  *
+  * An optional per-dimension `shift` (broadcast with the aggregator,
+  * d doubles) is subtracted from every value before accumulation. A
+  * second pass shifted by the first pass's means turns the raw moments
+  * into CENTERED moments Σ(x−μ)(y−μ) — the numerically stable
+  * covariance form, free of the catastrophic cancellation the raw
+  * E[xy] − E[x]E[y] difference suffers when |μ| dominates the
+  * covariance.
   */
-class GramAggregator(dim: Int) extends Aggregator[Array[Float], GramStats, GramStats] {
+class GramAggregator(dim: Int, shift: Array[Double] = Array.empty)
+    extends Aggregator[Array[Float], GramStats, GramStats] {
 
   private val tri = dim * (dim + 1) / 2
+  private val sh: Array[Double] = if (shift.isEmpty) Array.ofDim[Double](dim) else shift
 
   override def zero: GramStats = GramStats(0L, Array.ofDim[Double](dim), Array.ofDim[Double](tri))
 
@@ -34,10 +44,10 @@ class GramAggregator(dim: Int) extends Aggregator[Array[Float], GramStats, GramS
     var i = 0
     var k = 0
     while (i < dim) {
-      val xi = v(i).toDouble
+      val xi = v(i).toDouble - sh(i)
       b.s(i) += xi
       var j = i
-      while (j < dim) { b.g(k) += xi * v(j).toDouble; k += 1; j += 1 }
+      while (j < dim) { b.g(k) += xi * (v(j).toDouble - sh(j)); k += 1; j += 1 }
       i += 1
     }
     GramStats(b.n + 1, b.s, b.g)
@@ -58,8 +68,11 @@ class GramAggregator(dim: Int) extends Aggregator[Array[Float], GramStats, GramS
 }
 
 object GramAggregator {
-  /** Column-usable UDAF: `gram(64)(col("embedding"))`. */
-  def gram(dim: Int): UserDefinedFunction = udaf(new GramAggregator(dim))
+  /** Column-usable UDAF: `gram(64)(col("embedding"))`; pass `shift` (the
+    * first pass's means) for the numerically stable centered second pass.
+    */
+  def gram(dim: Int, shift: Array[Double] = Array.empty): UserDefinedFunction =
+    udaf(new GramAggregator(dim, shift))
 
   /** Flat upper-triangle index of (i, j), i ≤ j. */
   def triIdx(dim: Int, i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)

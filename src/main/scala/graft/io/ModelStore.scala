@@ -3,8 +3,11 @@ package graft.io
 import java.io.File
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Persisted model tables — the production lifecycle for trained
   * artifacts (PQ codebooks, IVF centroids, near-dup group assignments):
@@ -15,26 +18,74 @@ import org.apache.spark.sql.functions._
   * the source of truth is the table on disk, exactly as a 100 TB
   * deployment versions its model artifacts next to the data.
   *
-  * Layout: `<root>/<kind>/<key>` where key hashes (source path, shape,
-  * format version). Every table carries `model_version` (the shape
-  * descriptor) and `source` (the snapshot it was trained from) columns,
-  * so a table found on disk is self-describing. `formatVersion` is part
-  * of the key: bump it when training semantics change so stale tables
-  * from older code can never serve.
+  * Layout: `<root>/<kind>/<key>` where key hashes (source path, data
+  * fingerprint, shape, format version, TRAINER BYTECODE). Every table
+  * carries `model_version` (the shape descriptor) and `source` (the
+  * snapshot it was trained from) columns, so a table found on disk is
+  * self-describing. The bytecode digest means a recompile that changes
+  * any training class re-keys automatically — stale tables from older
+  * code can never serve, even if nobody remembers to bump
+  * `formatVersion` (kept for intentional semantic bumps).
+  *
+  * The default root is a per-user directory under the user's home (mode
+  * 700), not the world-writable tmpdir — a predictable /tmp path would
+  * let another local user pre-plant a table at a guessable key.
   *
   * Writes are two-phase (unique temp dir, then a verified rename) so a
   * concurrent writer race resolves to one winner and a reader never sees
-  * a partial table — the same swap discipline as [[Sinks.compact]].
+  * a partial table — the same swap discipline as [[Sinks.compact]]. A
+  * damaged occupant (marker or data files missing) is deleted and the
+  * rename retried, so the store self-heals instead of wedging.
   */
 object ModelStore {
 
-  /** Format version baked into every table key — bump on any change to
-    * training/grouping semantics.
+  /** Format version baked into every table key — bump on any
+    * INTENTIONAL change to training/grouping semantics (mechanical code
+    * changes are caught by the bytecode digest below).
     */
-  private val formatVersion = "mv1"
+  private val formatVersion = "mv2"
 
-  def root: String = sys.env.getOrElse("GRAFT_MODEL_DIR",
-    sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") + "/graft-models")
+  /** Digest of the training-relevant bytecode, folded into every key.
+    * Covers the classes that produce model tables (quantizer training,
+    * dedup grouping) plus this store itself; a recompile that alters any
+    * of them changes every key, forcing retrain-over-serve-stale. Falls
+    * back to the format version alone if a class file is not resolvable
+    * (e.g. exotic classloader) — the explicit bump path still works.
+    */
+  private lazy val codeId: String = {
+    val classes = Seq(
+      ModelStore.getClass, Class.forName("graft.ops.Similarity$"),
+      Class.forName("graft.ops.Dedup$"), Class.forName("graft.ops.TextOps$"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    classes.foreach { c =>
+      val res = c.getResourceAsStream("/" + c.getName.replace('.', '/') + ".class")
+      if (res != null) try {
+        val buf = new Array[Byte](8192)
+        var n = res.read(buf)
+        while (n > 0) { md.update(buf, 0, n); n = res.read(buf) }
+      } finally res.close()
+    }
+    md.digest().map("%02x".format(_)).mkString.take(8)
+  }
+
+  def root: String = sys.env.getOrElse("GRAFT_MODEL_DIR", {
+    val home = sys.props.getOrElse("user.home",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")).stripSuffix("/")
+    s"$home/.graft-models"
+  })
+
+  private def ensureRoot(): Unit = {
+    val r = new File(root)
+    if (!r.exists()) {
+      r.mkdirs()
+      // best-effort 700: keys are content-derived, the directory is the
+      // trust boundary
+      Try {
+        java.nio.file.Files.setPosixFilePermissions(r.toPath,
+          java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+      }: Unit
+    }
+  }
 
   /** Snapshot fingerprint of the source data: (path, size, mtime) of every
     * file under it. A model table keyed on the fingerprint can never serve
@@ -52,16 +103,21 @@ object ModelStore {
 
   private def keyOf(source: String, shape: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$formatVersion|$source|${fingerprint(source)}|$shape".getBytes("UTF-8"))
+      .digest(s"$formatVersion|$codeId|$source|${fingerprint(source)}|$shape".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
 
   private[graft] def dirFor(kind: String, source: String, shape: String): File =
     new File(s"$root/$kind/${keyOf(source, shape)}")
 
-  /** A table is complete iff its committed `_SUCCESS` marker exists
-    * (the rename publishes marker and data together).
+  /** A table is complete iff its committed `_SUCCESS` marker exists AND
+    * at least one non-empty parquet part file sits next to it (a marker
+    * alone can survive a damaged copy; data alone can be an interrupted
+    * write with markers disabled).
     */
-  private def complete(dir: File): Boolean = new File(dir, "_SUCCESS").exists()
+  private def complete(dir: File): Boolean =
+    new File(dir, "_SUCCESS").exists() &&
+      Option(dir.listFiles()).toSeq.flatten
+        .exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet") && f.length > 0)
 
   private def deleteRec(f: File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
@@ -69,13 +125,27 @@ object ModelStore {
   }
 
   private def writeAtomic(df: DataFrame, dir: File): Unit = {
+    ensureRoot()
     val tmp = new File(dir.getParentFile, dir.getName + ".tmp-" + UUID.randomUUID())
     df.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
     dir.getParentFile.mkdirs()
-    if (!tmp.renameTo(dir)) {
-      // lost a concurrent-writer race (or dir appeared): models are
-      // deterministic per key, so the winner's table is equivalent —
-      // discard ours, but insist a complete table is now there
+    var attempts = 0
+    var published = false
+    while (!published && attempts < 3) {
+      attempts += 1
+      if (tmp.renameTo(dir)) published = true
+      else if (complete(dir)) {
+        // lost a concurrent-writer race to a COMPLETE winner: models are
+        // deterministic per key, so the winner's table is equivalent
+        deleteRec(tmp)
+        published = true
+      } else {
+        // occupant is damaged/incomplete (interrupted write, markers
+        // disabled): clear it and retry the rename — self-heal, don't wedge
+        deleteRec(dir)
+      }
+    }
+    if (!published) {
       deleteRec(tmp)
       require(complete(dir), s"model table $dir neither writable nor complete")
     }
@@ -130,6 +200,62 @@ object ModelStore {
       writeAtomic(df, dir)
     }
     s.read.parquet(dir.getPath).drop("model_version", "source")
+  }
+
+  /** Registry: one row per persisted table under the store root —
+    * (kind, key, model_version, source, created, complete, size_bytes).
+    * Provenance columns come from the table's own metadata row, so the
+    * listing is self-describing even for keys no live code can rebuild
+    * (the orphans [[gc]] exists to reap). Driver-side directory walk:
+    * the store is model-sized by construction.
+    */
+  def registry(s: SparkSession): DataFrame = {
+    val rows = for {
+      kindDir <- Option(new File(root).listFiles()).toSeq.flatten.filter(_.isDirectory)
+      tableDir <- Option(kindDir.listFiles()).toSeq.flatten.filter(_.isDirectory)
+    } yield {
+      val ok = complete(tableDir)
+      val (mv, src) =
+        if (ok)
+          Try {
+            val r = s.read.parquet(tableDir.getPath).select("model_version", "source").head()
+            (r.getString(0), r.getString(1))
+          }.getOrElse((null: String, null: String))
+        else (null: String, null: String)
+      val size = Option(tableDir.listFiles()).toSeq.flatten.map(_.length).sum
+      Row(kindDir.getName, tableDir.getName, mv, src,
+        new java.sql.Timestamp(tableDir.lastModified), ok, size)
+    }
+    val schema = StructType(Seq(
+      StructField("kind", StringType), StructField("key", StringType),
+      StructField("model_version", StringType), StructField("source", StringType),
+      StructField("created", TimestampType), StructField("complete", BooleanType),
+      StructField("size_bytes", LongType)))
+    s.createDataFrame(new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .orderBy("kind", "key")
+  }
+
+  /** Evict every table whose key is NOT derivable from the given live
+    * (kind, source, shape) triples under the CURRENT code/data — the GC
+    * for keys orphaned by in-place data changes, recompiles, or format
+    * bumps. Also reaps abandoned `.tmp-*` write dirs. `kinds` restricts
+    * the sweep to the named kind directories (empty = the whole store).
+    * Returns the deleted paths (empty when the store only holds live
+    * keys).
+    */
+  def gc(live: Seq[(String, String, String)], kinds: Set[String] = Set.empty): Seq[String] = {
+    val keep: Set[String] =
+      live.map { case (kind, source, shape) => dirFor(kind, source, shape).getPath }.toSet
+    val deleted = for {
+      kindDir <- Option(new File(root).listFiles()).toSeq.flatten.filter(_.isDirectory)
+      if kinds.isEmpty || kinds.contains(kindDir.getName)
+      tableDir <- Option(kindDir.listFiles()).toSeq.flatten
+      if !keep.contains(tableDir.getPath)
+    } yield {
+      deleteRec(tableDir)
+      tableDir.getPath
+    }
+    deleted.sorted
   }
 
   /** Visible for tests: drop every persisted model table. */

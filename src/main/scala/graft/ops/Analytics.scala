@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -137,20 +136,24 @@ object Analytics {
     * levels (distinct price → max size), then one running-max window
     * ordered by price gives, per level, the best size at-or-below and
     * strictly-below; a part is dominated iff either beats its size.
-    * The level table is |distinct prices|-sized; at corpus scale where
-    * even that is large, skyline merges algebraically —
-    * skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so local
-    * frontiers per partition reduce first (the NOT-EXISTS oracle is the
+    * The running max uses the algebraic skyline merge —
+    * skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — in its two-pass
+    * [[Prefix]] form: each range partition's LOCAL running max IS its
+    * local frontier, the k per-partition maxima are the frontier
+    * summaries (merged on the driver, k = #partitions), and the broadcast
+    * prefix-max offset folds the earlier partitions' frontier into each
+    * local one. Max is exact and associative, so results are
+    * bit-identical to the global window with no single-partition sort
+    * however many price levels exist (the NOT-EXISTS oracle is the
     * quadratic semantics this plan avoids).
     */
   def skylineParts(s: SparkSession, d: String): DataFrame = {
     val pts = Sources.part(s, d)
       .select(col("p_partkey"), col("p_size").cast("long").as("p_size"), col("p_retailprice"))
-    val wLe = Window.orderBy("p_retailprice")
-    val levels = pts.groupBy("p_retailprice").agg(max("p_size").as("lvl_size"))
-      .withColumn("best_le", max("lvl_size").over(
-        wLe.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("best_lt", lag("best_le", 1).over(wLe))
+    val levels = Prefix.running(
+      pts.groupBy("p_retailprice").agg(max("p_size").as("lvl_size")),
+      order = Seq(col("p_retailprice").asc),
+      maxes = Seq(Prefix.RunMax(col("lvl_size"), "best_le", Some("best_lt"))))
     pts.join(levels.select("p_retailprice", "best_le", "best_lt"), Seq("p_retailprice"))
       .filter(!(coalesce(col("best_lt") >= col("p_size"), lit(false)) ||
         col("best_le") > col("p_size")))

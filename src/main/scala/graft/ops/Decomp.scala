@@ -26,30 +26,43 @@ object Decomp {
 
   private val dim = 64
 
-  /** Moment sketch memoized per fixture path (immutable data — a
-    * mutating deployment would key on a snapshot id, as with
-    * [[graft.io.CorpusStats]]). Bounded: one 2 144-double array per path.
+  /** Moment sketches memoized per (fixture path, shift) (immutable data —
+    * a mutating deployment would key on a snapshot id, as with
+    * [[graft.io.CorpusStats]]). Bounded: one 2 144-double array per entry,
+    * two entries per path (raw pass for means, centered pass).
     */
   private val gramCache = new ConcurrentHashMap[String, (Long, Array[Double], Array[Double])]()
 
-  private def gramStats(s: SparkSession, d: String): (Long, Array[Double], Array[Double]) =
-    gramCache.computeIfAbsent(d, _ => {
+  private def gramStats(s: SparkSession, d: String, shift: Array[Double] = Array.empty)
+      : (Long, Array[Double], Array[Double]) =
+    gramCache.computeIfAbsent(s"$d|${shift.length}", _ => {
       val r = Sources.embeddings(s, d)
-        .agg(GramAggregator.gram(dim)(col("embedding")).as("m"))
+        .agg(GramAggregator.gram(dim, shift)(col("embedding")).as("m"))
         .select(col("m.n"), col("m.s"), col("m.g"))
         .head()
       (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
     })
 
-  /** Population covariance matrix (dense d×d) from the moment sketch:
-    * cov(i,j) = E[x_i x_j] − E[x_i]E[x_j].
+  /** Population covariance matrix (dense d×d), computed in the
+    * numerically stable TWO-PASS form: a first moment pass yields the
+    * per-dimension means, a second pass accumulates CENTERED moments
+    * Σ(x−μ)(y−μ) (the shift rides into [[GramAggregator]]), and
+    * cov(i,j) = E[(x−μx)(y−μy)] − E[x−μx]·E[y−μy] (the residual term is
+    * ~0 but kept for exactness). The raw one-pass E[xy] − E[x]E[y] form
+    * cancels catastrophically when |μ| dominates the covariance, leaving
+    * ~1e-12 engine-dependent noise that can flip a 6-decimal rounding
+    * boundary against the oracle's stable `covar_pop`; the centered form
+    * agrees with it to machine precision. Still two linear corpus passes,
+    * one d²-sized buffer per partition each.
     */
   private[ops] def covMatrix(s: SparkSession, d: String): Array[Array[Double]] = {
-    val (n, sums, g) = gramStats(s, d)
-    val mean = sums.map(_ / n)
+    val (n0, sums, _) = gramStats(s, d)
+    val mean = sums.map(_ / n0)
+    val (n, cs, cg) = gramStats(s, d, mean)
+    val cmean = cs.map(_ / n)
     Array.tabulate(dim, dim) { (i, j) =>
       val (lo, hi) = if (i <= j) (i, j) else (j, i)
-      g(GramAggregator.triIdx(dim, lo, hi)) / n - mean(lo) * mean(hi)
+      cg(GramAggregator.triIdx(dim, lo, hi)) / n - cmean(lo) * cmean(hi)
     }
   }
 

@@ -242,25 +242,29 @@ object RelationalExt {
   }
 
   /** Pareto / contribution analysis: customers ranked by revenue with
-    * cumulative share and an 80%-head flag. The window runs over the
-    * customer-level AGGREGATE (entity-sized, like the vocabulary table —
-    * documented single-partition trade; raw orders never enter the
-    * window). The running sum is evaluated in window order — the same
-    * addition sequence in any engine — so the rounded share is stable;
-    * the head flag is computed from the ROUNDED share for engine parity.
+    * cumulative share and an 80%-head flag. The rank and running sum use
+    * the two-pass prefix aggregation in [[Prefix]] — range-partition by
+    * (revenue desc, custkey), per-partition local rank/prefix, broadcast
+    * the k partition offsets back — so NO single-partition window exists
+    * even though customers grow with the corpus. Revenue converts to
+    * exact integer cents before summing: integer prefix sums are
+    * associative, so the two-pass regrouping is bit-identical to a
+    * sequential scan (and the oracle's window sum is exact too — the
+    * float-accumulation-order tie class cannot occur).
     */
   def aggParetoCustomers(s: SparkSession, d: String): DataFrame = {
     val rev = Sources.orders(s, d)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(round(sum("o_totalprice"), 2).as("revenue"))
-    val tot = rev.agg(sum("revenue").as("tot"))
-    val w = Window.orderBy(col("revenue").desc, col("custkey"))
-    rev
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum",
-        sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cents", round(col("revenue") * 100).cast("long"))
+    val tot = rev.agg(sum("cents").as("tot_cents"))
+    Prefix.running(rev,
+        order = Seq(col("revenue").desc, col("custkey").asc),
+        rankOut = Some("rk"),
+        sums = Seq(col("cents") -> "cum_cents"))
       .crossJoin(broadcast(tot))
-      .withColumn("cum_share", round(col("cum") / col("tot"), 4))
+      .withColumn("cum_share",
+        round(col("cum_cents").cast("double") / col("tot_cents").cast("double"), 4))
       .withColumn("in_top80", col("cum_share") <= 0.8)
       .select("custkey", "rk", "revenue", "cum_share", "in_top80")
       .orderBy("rk")
@@ -311,15 +315,17 @@ object RelationalExt {
     "agg_pareto_customers" ->
       """WITH rev AS (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS revenue
         |   FROM orders GROUP BY o_custkey),
-        | tot AS (SELECT sum(revenue) AS tot FROM rev),
+        | cents AS (SELECT custkey, revenue,
+        |   CAST(round(revenue * 100) AS BIGINT) AS c FROM rev),
+        | tot AS (SELECT sum(c) AS tot_cents FROM cents),
         | ranked AS (SELECT custkey, revenue,
         |   CAST(row_number() OVER w AS BIGINT) AS rk,
-        |   sum(revenue) OVER (ORDER BY revenue DESC, custkey
-        |     ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM rev WINDOW w AS (ORDER BY revenue DESC, custkey))
+        |   sum(c) OVER (ORDER BY revenue DESC, custkey
+        |     ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |  FROM cents WINDOW w AS (ORDER BY revenue DESC, custkey))
         |SELECT custkey, rk, revenue,
-        | round(cum / tot, 4) AS cum_share,
-        | round(cum / tot, 4) <= 0.8 AS in_top80
+        | round(CAST(cum_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE), 4) AS cum_share,
+        | round(CAST(cum_cents AS DOUBLE) / CAST(tot_cents AS DOUBLE), 4) <= 0.8 AS in_top80
         |FROM ranked CROSS JOIN tot ORDER BY rk""".stripMargin,
     "win_cum_distinct" ->
       """WITH f AS (SELECT user_id, event_id, ts, event_type,

@@ -731,6 +731,72 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Composed IVFADC serving path (`sim_ivfadc_topk`) — the canonical
+    * billion-scale ANN architecture (Jégou et al.: inverted file +
+    * asymmetric distance): a coarse probe selects each query's
+    * `nprobe = 2` nearest quantizer cells, and ADC re-ranks ONLY the PQ
+    * codes indexed in those cells. Both model artifacts serve from their
+    * persisted tables ([[quantizerServed]] centroids,
+    * [[trainPqCached]] codebook) — a fresh session runs this query
+    * without retraining anything.
+    *
+    * Scale shape: the index side (coarse cell + 8×4-bit code per corpus
+    * vector) is two equi-joined map-side passes; candidate generation is
+    * an equi-join of the code table against the |q|·nprobe broadcast
+    * probe list, so the scanned fraction is nprobe/k of the corpus
+    * (PqSpec asserts the candidate count); scoring is m lookup-adds per
+    * candidate against the broadcast |q|·m·k LUT; the per-query top-5 is
+    * a bounded window over candidates. No stage touches vectors outside
+    * the probed cells. Trained-model op ⇒ rows-only; PqSpec asserts
+    * probed-cell containment and a recall floor vs exact search.
+    */
+  def ivfAdcTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Sources.embeddings(s, d)
+    val m = 8; val subDim = 8; val nprobe = 2
+    val cents = quantizerServed(s, d, emb)
+    val model = trainPqCached(s, emb, d)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val qs = emb.filter(col("vec_id") < 8)
+    // index side: coarse cell (top-1) + PQ codes, equi-joined on vec_id
+    val cellOf = assignCells(corpus, cents, 1)
+      .select(col("vec_id"), element_at(col("cells"), 1).getField("cent_id").as("cell"))
+    val codes = pqEncode(s, corpus, model, m, subDim)
+      .select(col("vec_id"), col("sub"), col("best.cell").as("code"))
+      .join(cellOf, "vec_id")
+    // query side: probe cells through the SAME assignment metric/tie-break
+    // as the index, so a query always probes the cell its own vector
+    // would index into
+    val probes = assignCells(qs, cents, nprobe)
+      .select(col("vec_id").as("q_id"), explode(col("cells")).as("pc"))
+      .select(col("q_id"), col("pc.cent_id").as("cell"))
+    // ADC lookup table from the bounded query REQUEST set (|q|·m·k rows)
+    val queries = qs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val lut = for {
+      (qid, qv) <- queries.toSeq
+      ((sub, cell), cent) <- model
+    } yield {
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) {
+        val diff = qv(sub * subDim + i).toDouble - cent(i)
+        acc += diff * diff
+        i += 1
+      }
+      (qid, sub, cell, acc)
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id").asc)
+    codes.join(broadcast(probes), Seq("cell")) // candidates: probed cells only
+      .join(broadcast(lut.toDF("q_id", "sub", "code", "pd")), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("pd").as("adc_d2"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), round(col("adc_d2"), 6).as("adc_d2"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Exact maximum-inner-product top-k (`sim_mips_topk`): for each query
     * vector, the 5 corpus vectors with the largest dot product —
     * retrieval scoring when embeddings are NOT length-normalized (inner
@@ -784,6 +850,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_mips_topk" -> (mipsTopK _),
+    "sim_ivfadc_topk" -> (ivfAdcTopK _),
     "sim_pq_adc" -> (pqAdcTopNeighbor _),
     "sim_pq_audit" -> (pqAudit _),
     "sim_quantize_int8" -> (quantizeInt8 _),

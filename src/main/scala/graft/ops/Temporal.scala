@@ -91,13 +91,17 @@ object Temporal {
   }
 
   /** Per-user EWMA (α = 0.5) over the event-value series — the classic
-    * exponential smoother, computed as an exact left fold: per user,
-    * `collect_list` + `array_sort` reassembles the (ts, event_id)-ordered
-    * series inside one task, and a HOF `aggregate` folds
-    * `e ← e + α(v − e)` emitting every intermediate. The fold's IEEE op
-    * sequence is written IDENTICALLY in the DuckDB recursive-CTE oracle,
-    * so the doubles hash-match bit-for-bit with NO rounding — the
-    * strongest determinism class in the suite.
+    * exponential smoother, computed as an exact left fold per user. The
+    * fold `e ← e + α(v − e)` runs imperatively inside a typed
+    * `flatMapGroups` — the batch mirror of the streaming twin's
+    * `transformWithState` handler — in ONE linear pass per key: sort the
+    * group by (ts, event_id) in-task, fold a single scalar, emit every
+    * intermediate. (An earlier HOF-`aggregate` form rebuilt the
+    * accumulator array with `concat` per element — O(n²) copying per
+    * series; the typed fold is O(n) time and memory at the same per-key
+    * bound.) The fold's IEEE op sequence is written IDENTICALLY in the
+    * DuckDB recursive-CTE oracle, so the doubles hash-match bit-for-bit
+    * with NO rounding — the strongest determinism class in the suite.
     *
     * Scale: one shuffle on user_id; state is one user's series per task
     * (the same bound as any per-key session reassembly — an unbounded
@@ -105,26 +109,22 @@ object Temporal {
     * `transformWithState`, which keeps only the scalar `e`).
     */
   def ewma(s: SparkSession, d: String): DataFrame = {
-    val series = Sources.events(s, d)
-      .groupBy("user_id")
-      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("series"))
-    val folded = aggregate(
-      col("series"),
-      struct(
-        array().cast("array<struct<value:double,ewma:double>>").as("arr"),
-        lit(null).cast("double").as("last")),
-      (acc, e) => {
-        val v = e.getField("value")
-        val nv = when(acc.getField("last").isNull, v)
-          .otherwise(acc.getField("last") + lit(0.5) * (v - acc.getField("last")))
-        struct(
-          concat(acc.getField("arr"), array(struct(v.as("value"), nv.as("ewma")))).as("arr"),
-          nv.as("last"))
-      },
-      acc => acc.getField("arr"))
-    series.select(col("user_id"), posexplode(folded).as(Seq("pos", "e")))
-      .select(col("user_id"), (col("pos") + 1).cast("long").as("rn"),
-        col("e.value").as("value"), col("e.ewma").as("ewma"))
+    import s.implicits._
+    Sources.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, rows) =>
+        val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+        var e = 0.0
+        var first = true
+        sorted.iterator.zipWithIndex.map { case (r, i) =>
+          val v = r._4
+          e = if (first) { first = false; v } else e + 0.5 * (v - e)
+          (user, (i + 1).toLong, v, e)
+        }
+      }
+      .toDF("user_id", "rn", "value", "ewma")
       .orderBy("user_id", "rn")
   }
 

@@ -187,19 +187,19 @@ object TextSignals {
     * (coverage ~0.34-0.36, varying by language); production would use a
     * vocabulary-sized K — the plan is K-independent.
     *
-    * The top-K cut uses a GLOBAL row_number over the vocabulary table
-    * — a single-partition sort, but of a vocabulary-sized (Heaps-law
-    * bounded) aggregate, not the corpus; the ranked head then broadcasts
-    * into a hash join against the token stream. Ties break on the word
-    * so the cut is engine-reproducible. Two linear shuffles total.
+    * The top-K cut is `orderBy(...).limit(K)` — Spark plans it as
+    * `TakeOrderedAndProject`: per-partition top-K on every executor, then
+    * a K·partitions-row driver merge. No row_number, no single-partition
+    * sort, vocabulary growth never concentrates on one task; the ranked
+    * head then broadcasts into a hash join against the token stream.
+    * Ties break on the word so the cut is engine-reproducible.
     */
   def vocabCoverage(s: SparkSession, d: String): DataFrame = {
     val toks = Sources.documents(s, d)
       .select(col("lang"), explode(words(col("text"))).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val top = uni
-      .withColumn("rn", row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
-      .filter(col("rn") <= 10)
+      .orderBy(col("c").desc, col("w").asc).limit(10)
       .select(col("w")).withColumn("in_top", lit(true))
     toks.join(broadcast(top), Seq("w"), "left")
       .groupBy("lang")
@@ -271,19 +271,21 @@ object TextSignals {
 
   /** Zipf-law fit over the corpus vocabulary: least-squares slope of
     * log-frequency vs log-rank (natural text ≈ −1; templated/synthetic
-    * corpora drift toward 0 or over-steepen). The regression runs over
-    * the vocabulary-sized rank table (Heaps-bounded single-partition
-    * window, the documented trade shared with `text_vocab_coverage`);
-    * everything after is one constant-size aggregate.
+    * corpora drift toward 0 or over-steepen). Global rank comes from the
+    * two-pass prefix aggregation in [[Prefix]] (range-partition by
+    * (count desc, word), local row_number, broadcast k count-offsets) —
+    * the rank is an exact integer, so the two-pass form is bit-identical
+    * to a global window with no single-partition sort as the vocabulary
+    * grows (Heaps' law); everything after is one constant-size aggregate.
     */
   def zipfSlope(s: SparkSession, d: String): DataFrame = {
     val uni = Sources.documents(s, d)
       .select(explode(words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val pts = uni
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("double"))
-      .select(log(col("r")).as("lr"), log(col("c").cast("double")).as("lc"))
+    val pts = Prefix.running(uni,
+        order = Seq(col("c").desc, col("w").asc),
+        rankOut = Some("r"))
+      .select(log(col("r").cast("double")).as("lr"), log(col("c").cast("double")).as("lc"))
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (col("n") * col("sxx") - col("sx") * col("sx"))
     pts.agg(

@@ -207,6 +207,56 @@ class EwmaProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Lon
   }
 }
 
+/** Per-user pattern-matching state: whether the scanner is inside an
+  * open `c+` run, plus the running totals the batch query reports.
+  */
+case class PatternSt(in_run: Boolean, n_events: Long, n_conversions: Long)
+
+/** Emitted by [[PatternProcessor]] once per (user, micro-batch): the
+  * user's running totals after that batch.
+  */
+case class PatternOut(user_id: Long, n_events: Long, n_conversions: Long)
+
+/** Streaming sequence-pattern mining (twin of
+  * `StreamingAnalogs.patternConversions`): the batch query counts
+  * non-overlapping `c+p` regex matches over each user's ordered
+  * event-initial string; a left-to-right regex scan is a 2-state
+  * machine, so the streaming form needs ONE BOOLEAN of pattern state
+  * per user (inside an open `c+` run or not) plus the two running
+  * counters — no history string is ever stored. Per event-initial:
+  * `c` opens/continues a run, `p` closes an open run as one conversion,
+  * anything else breaks the run — exactly the non-overlapping greedy
+  * semantics of `regexp_extract_all(seq, 'c+p')` in both engines. Under
+  * per-user in-order delivery the final totals are equal to the batch
+  * query (asserted in StreamingOpsSpec across micro-batch splits, which
+  * exercise runs spanning batch boundaries).
+  */
+class PatternProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, PatternOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[PatternSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[PatternSt]("pattern",
+      org.apache.spark.sql.Encoders.product[PatternSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[PatternOut] = {
+    var s = if (st.exists()) st.get() else PatternSt(in_run = false, 0L, 0L)
+    def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+    rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+      s = e.event_type.charAt(0) match {
+        case 'c' => PatternSt(in_run = true, s.n_events + 1, s.n_conversions)
+        case 'p' if s.in_run =>
+          PatternSt(in_run = false, s.n_events + 1, s.n_conversions + 1)
+        case _ => PatternSt(in_run = false, s.n_events + 1, s.n_conversions)
+      }
+    }
+    st.update(s)
+    Iterator.single(PatternOut(key, s.n_events, s.n_conversions))
+  }
+}
+
 /** Spark 4 arbitrary-state v2 (`StatefulProcessor` / `transformWithState`
   * — the successor to `mapGroupsWithState` with typed per-key state
   * primitives): a per-user high-water mark in a `ValueState[Double]`,
@@ -338,6 +388,18 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming sequence-pattern mining: see [[PatternProcessor]]. One
+    * boolean + two counters of state per user — the unbounded-series
+    * form of `StreamingAnalogs.patternConversions`.
+    */
+  def patternCounts(events: org.apache.spark.sql.Dataset[TypedEvent]):
+      org.apache.spark.sql.Dataset[PatternOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new PatternProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming consecutive-pair extraction: see [[TransitionProcessor]]. */

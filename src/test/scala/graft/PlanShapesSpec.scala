@@ -1,22 +1,27 @@
 package graft
 
-import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.execution.{QueryExecution, SimpleMode}
 
 /** Plan-shape regression guards: the audits PLANS.md documents, executed
-  * on every build. A change that degrades a query to a cartesian product
-  * or loses scan pushdown should fail here, not in a round review.
+  * on every build. A change that degrades a query to a cartesian product,
+  * loses scan pushdown, or re-introduces a single-partition global window
+  * should fail here, not in a round review.
   */
 class PlanShapesSpec extends SparkSpec {
 
   // computed once: constructing some queries eagerly runs driver-side
-  // work (quantizer training collects, the connected-components loop),
-  // and two tests sweep all of them
-  private lazy val allPlans: Map[String, String] =
-    SparkEntry.queries.keys.map(n => n -> planOf(n)).toMap
+  // work (quantizer training collects, the connected-components loop,
+  // prefix-offset collects), and several tests sweep all of them
+  private lazy val allQe: Map[String, QueryExecution] =
+    SparkEntry.queries.keys.map { n =>
+      n -> SparkEntry.queries(n)(spark, sfDir).queryExecution
+    }.toMap
 
-  private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, sfDir)
-      .queryExecution.explainString(SimpleMode)
+  private lazy val allPlans: Map[String, String] =
+    allQe.map { case (n, qe) => n -> qe.explainString(SimpleMode) }
+
+  private def planOf(name: String): String = allPlans(name)
 
   /** Queries whose *intended* shape is a broadcast nested-loop / cross
     * join of a bounded side: the 5×5 region cross, the 10-row theta band
@@ -33,6 +38,15 @@ class PlanShapesSpec extends SparkSpec {
     "agg_pareto_customers", "text_bm25", "graph_triangle_stats",
     "audit_key_skew")
 
+  /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
+    * single-partition window Exchange. Sanctioned ONLY when the windowed
+    * input is bounded by construction, not merely aggregate-reduced:
+    * `audit_key_skew` ranks a 10-row post-`limit` set. Corpus-growing
+    * inputs (customer aggregates, vocabularies, price levels) must use
+    * the two-pass [[graft.ops.Prefix]] shape instead.
+    */
+  private val sanctionedGlobalWindow = Set("audit_key_skew")
+
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {
       case (name, plan) if plan.contains("CartesianProduct") => name
@@ -44,6 +58,16 @@ class PlanShapesSpec extends SparkSpec {
     val offenders = allPlans.collect {
       case (name, plan) if !sanctionedCross(name) &&
         plan.contains("BroadcastNestedLoopJoin") => name
+    }
+    offenders.toSeq shouldBe empty
+  }
+
+  it should "contain no unpartitioned window over an unbounded input" in {
+    val offenders = allQe.collect {
+      case (name, qe) if !sanctionedGlobalWindow(name) &&
+        qe.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }.nonEmpty => name
     }
     offenders.toSeq shouldBe empty
   }
@@ -68,5 +92,9 @@ class PlanShapesSpec extends SparkSpec {
 
   "topk_global_orders" should "avoid a global sort via TakeOrderedAndProject" in {
     planOf("topk_global_orders") should include("TakeOrderedAndProject")
+  }
+
+  "text_vocab_coverage" should "take its top-10 via TakeOrderedAndProject" in {
+    planOf("text_vocab_coverage") should include("TakeOrderedAndProject")
   }
 }

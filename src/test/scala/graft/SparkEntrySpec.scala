@@ -48,9 +48,12 @@ class SparkEntrySpec extends SparkSpec {
     // r6: PCA eigen ops (DecompSpec identities) and the IRLS logistic
     // model (MlSpec properties) are rows-only for the same reason —
     // iterative numerics are not SQL-expressible.
+    // r7: sim_ivfadc_topk composes two trained models (coarse quantizer +
+    // PQ codebook) — rows-only like its halves; PqSpec asserts probed-cell
+    // containment and L2-competitiveness.
     rowsOnly shouldBe Set("agg_approx_distinct", "agg_approx_percentile",
       "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "sim_pq_audit",
-      "sim_pq_adc", "sim_pca_variance", "sim_pca_project",
+      "sim_pq_adc", "sim_ivfadc_topk", "sim_pca_variance", "sim_pca_project",
       "ml_logreg_weights", "ml_logreg_score", "ml_logreg_eval",
       "sketch_hll_daily", "sketch_hll_rollup")
   }

@@ -55,4 +55,67 @@ class ModelStoreSpec extends SparkSpec {
     ModelStore.dirFor("centroids", "/data/x", "pq|m=8|k=16").getParentFile should
       not be a.getParentFile
   }
+
+  it should "list every persisted table in the registry with provenance" in {
+    import org.apache.spark.sql.functions.lit
+    // guarantee at least one complete table exists
+    ModelStore.ensureDf(spark, "reg-probe", sfDir, "v-reg") {
+      spark.range(3).toDF("id").withColumn("x", lit(1))
+    }.count() shouldBe 3
+    val reg = ModelStore.registry(spark)
+    reg.columns.toSeq shouldBe Seq(
+      "kind", "key", "model_version", "source", "created", "complete", "size_bytes")
+    // a recompile re-keys (codeId is part of the key), so older orphans
+    // of this kind may coexist — pin the assertion to the CURRENT key
+    val key = ModelStore.dirFor("reg-probe", sfDir, "v-reg").getName
+    val probe = reg.filter(s"kind = 'reg-probe' AND key = '$key'").collect()
+    probe.length shouldBe 1
+    probe(0).getAs[String]("model_version") shouldBe "v-reg"
+    probe(0).getAs[String]("source") shouldBe sfDir
+    probe(0).getAs[Boolean]("complete") shouldBe true
+    probe(0).getAs[Long]("size_bytes") should be > 0L
+  }
+
+  it should "evict orphaned keys via gc while keeping live ones" in {
+    import org.apache.spark.sql.functions.lit
+    def mk(shape: String) = ModelStore.ensureDf(spark, "gc-probe", sfDir, shape) {
+      spark.range(2).toDF("id").withColumn("x", lit(1))
+    }
+    mk("v-live").count() shouldBe 2
+    mk("v-stale").count() shouldBe 2 // simulates a key orphaned by a shape change
+    val liveDir = ModelStore.dirFor("gc-probe", sfDir, "v-live")
+    val staleDir = ModelStore.dirFor("gc-probe", sfDir, "v-stale")
+    staleDir.exists() shouldBe true
+
+    // scope the sweep to this kind so other suites' live tables survive
+    val deleted = ModelStore.gc(Seq(("gc-probe", sfDir, "v-live")), Set("gc-probe"))
+    deleted should contain(staleDir.getPath)
+    deleted should not contain liveDir.getPath
+    liveDir.exists() shouldBe true
+    staleDir.exists() shouldBe false
+    // live table still serves without recompute
+    mk("v-live").count() shouldBe 2
+  }
+
+  it should "self-heal a damaged occupant instead of wedging" in {
+    import org.apache.spark.sql.functions.lit
+    val dir = ModelStore.dirFor("heal-probe", sfDir, "v1")
+    // idempotence: a healed table from a previous run may occupy the key
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(dir)
+    // plant a damaged table: marker present, zero data files
+    dir.mkdirs()
+    new java.io.File(dir, "_SUCCESS").createNewFile() shouldBe true
+    val served = ModelStore.ensureDf(spark, "heal-probe", sfDir, "v1") {
+      spark.range(4).toDF("id").withColumn("x", lit(1))
+    }
+    served.count() shouldBe 4 // recomputed over the damaged occupant
+    // and now the table is complete: a fresh call serves without compute
+    ModelStore.ensureDf(spark, "heal-probe", sfDir, "v1") {
+      fail("compute ran — the healed table should have been served")
+    }.count() shouldBe 4
+  }
 }

@@ -102,6 +102,50 @@ class PqSpec extends SparkSpec {
     m.map(_._1._1).toSet shouldBe (0 until M).toSet
   }
 
+  "Similarity.ivfAdcTopK" should "rank only candidates from probed cells and stay L2-competitive" in {
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val cents = Similarity.quantizerServed(spark, sfDir,
+      graft.io.Sources.embeddings(spark, sfDir))
+    def cellsOf(v: Array[Float], n: Int): Seq[Int] =
+      cents.map { case (id, c) => (-cos(v, c), id) }.sorted.take(n).map(_._2)
+
+    val res = Similarity.ivfAdcTopK(spark, sfDir).collect()
+    val queries = vecs.filter(_._1 < 8)
+    val corpus = vecs.filter(_._1 >= 8)
+    val byId = corpus.toMap
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.keySet shouldBe queries.map(_._1).toSet
+    byQ.values.foreach { rows =>
+      rows.map(_.getLong(1)).sorted.toSeq shouldBe (1L to rows.length)
+    }
+    // definitional: every returned neighbor is indexed in one of the
+    // query's nprobe=2 probed cells — nothing outside was scanned
+    val qv = queries.toMap
+    byQ.foreach { case (qid, rows) =>
+      val probed = cellsOf(qv(qid), 2).toSet
+      rows.foreach { r =>
+        probed should contain(cellsOf(byId(r.getLong(2)), 1).head)
+      }
+    }
+    // competitive ratio of the top-1 pick vs the exact NN (true L2 of the
+    // chosen neighbor / true L2 of the best) — bounds calibrated on the
+    // fixture, with headroom
+    val exactNn = queries.map { case (qid, q) =>
+      qid -> corpus.map { case (id, v) => (d2(q, v), id) }.min._1
+    }.toMap
+    val ratios = byQ.toSeq.map { case (qid, rows) =>
+      val top1 = rows.minBy(_.getLong(1)).getLong(2)
+      d2(qv(qid), byId(top1)) / exactNn(qid)
+    }
+    ratios.foreach(_ should be < 3.0)
+    (ratios.sum / ratios.size) should be < 1.8
+  }
+
   "Similarity.pqAdcTopNeighbor" should "stay L2-competitive with exact search" in {
     def d2(a: Array[Float], b: Array[Float]): Double =
       a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum

@@ -245,6 +245,32 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  "patternCounts (transformWithState)" should "reproduce the batch conversion counts" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    // uneven split so some c+p runs straddle the micro-batch boundary —
+    // the state machine must carry an open run across batches
+    val (b1, b2) = evs.splitAt(evs.length / 3)
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.patternCounts(mem.toDS())
+      .writeStream.format("memory").queryName("pattern_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    // update mode emits one totals row per (user, batch): keep the LAST
+    // per user (max n_events is the latest, counters are monotone)
+    val got = s2.table("pattern_s")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_conversions"))).as("m"))
+      .select(col("user_id"), col("m.n_events"), col("m.n_conversions"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = graft.ops.StreamingAnalogs.patternConversions(s2, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
   "ewmaPerUser (transformWithState)" should "be bit-equal to the batch fold" in {
     val s2 = rocksSession
     import s2.implicits._
