@@ -42,15 +42,20 @@ object Sketches {
   private def bucket(u: Column, j: Int): Column =
     pmod(pmod(u, lit(P)) * lit(As(j)) + lit(Bs(j)), lit(P)) % lit(W)
 
+  /** The key's d (row, bucket) cells as an array column — shared by the
+    * batch sketch, the probe side, and the streaming twin.
+    */
+  private[graft] def cellArray(u: Column): Column =
+    array((0 until D).map(j =>
+      struct(lit(j).cast("long").as("j"), bucket(u, j).as("bucket"))): _*)
+
   /** The sketch itself: one aggregate pass over `events`, exploding each
     * key into its d (row, bucket) cells — at most d·w = 2 048 counter
     * rows out, partial+final combined.
     */
-  private[ops] def cmsTable(s: SparkSession, d: String): DataFrame = {
-    val cells = array((0 until D).map(j =>
-      struct(lit(j).cast("long").as("j"), bucket(col("user_id"), j).as("bucket"))): _*)
+  private[graft] def cmsTable(s: SparkSession, d: String): DataFrame = {
     Sources.events(s, d)
-      .select(explode(cells).as("cell"))
+      .select(explode(cellArray(col("user_id"))).as("cell"))
       .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -65,8 +70,7 @@ object Sketches {
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
     val probes = exact.select(col("user_id"), col("exact_cnt"),
-      explode(array((0 until D).map(j =>
-        struct(lit(j).cast("long").as("j"), bucket(col("user_id"), j).as("bucket"))): _*)).as("cell"))
+      explode(cellArray(col("user_id"))).as("cell"))
       .select(col("user_id"), col("exact_cnt"),
         col("cell.j").as("j"), col("cell.bucket").as("bucket"))
     probes.join(cmsTable(s, d), Seq("j", "bucket"))

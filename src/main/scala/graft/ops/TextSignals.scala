@@ -333,8 +333,60 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval fusion (`search_hybrid_rrf`): reciprocal-rank
+    * fusion (RRF, Cormack et al.) of the BM25 keyword arm and the
+    * embedding-cosine arm for one request — the standard fusion step of
+    * a RAG / hybrid-search serving stack (`score = Σ 1/(60 + rank)`,
+    * rank-based so neither arm's score scale needs calibration).
+    *
+    * Engine-parity design: each arm ranks by its ROUNDED score with a
+    * doc_id tie-break (rounded BM25 is already oracle-verified; cosine
+    * runs in full double precision and rounds at 6), so ranks — integer
+    * arithmetic from there on — are deterministic across engines. Each
+    * arm's top-20 comes from `orderBy.limit` = TakeOrderedAndProject
+    * (distributed top-k); rank assignment is a global window over the
+    * bounded 20-row result (sanctioned in PlanShapesSpec, same class as
+    * `audit_key_skew`). The fusion join is 20×20-row. At corpus scale
+    * nothing outside the two top-k scans runs: BM25's posting lists are
+    * term-filtered at the scan, the cosine arm is one map-side
+    * projection against the broadcast 1-row query vector.
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val topN = 20
+    // keyword arm: rounded-BM25 ranks on the bounded top-20
+    val kwTop = bm25(s, d).select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(topN)
+    val wK = Window.orderBy(col("bm25").desc, col("doc_id")) // 20-row set
+    val kw = kwTop.withColumn("rank_kw", row_number().over(wK).cast("long"))
+    // embedding arm: double-precision cosine to the doc-0 query vector,
+    // rounded at 6 before ranking (rounded-equal values tie-break on
+    // doc_id identically in both engines)
+    val emb = graft.io.Sources.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("q"))
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val dotQ = aggregate(zip_with(vd, col("q"), (x, y) => x * y), lit(0.0), (a, b) => a + b)
+    val nV = aggregate(vd, lit(0.0), (a, x) => a + x * x)
+    val nQ = aggregate(col("q"), lit(0.0), (a, x) => a + x * x)
+    val embTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv)) // 1-row query-vector attach
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.Num.roundNorm(dotQ / (sqrt(nV) * sqrt(nQ)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(topN)
+    val wE = Window.orderBy(col("cos").desc, col("doc_id")) // 20-row set
+    val embR = embTop.withColumn("rank_emb", row_number().over(wE).cast("long"))
+    kw.select("doc_id", "rank_kw")
+      .join(embR.select("doc_id", "rank_emb"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("rank_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_emb")), lit(0.0)), 6))
+      .select(col("doc_id"), col("rank_kw"), col("rank_emb"), col("rrf"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (bm25 _),
+    "search_hybrid_rrf" -> (hybridRrf _),
     "text_zipf_slope" -> (zipfSlope _),
     "text_pmi_bigrams" -> (pmiBigrams _),
     "text_bigram_novelty" -> (bigramNovelty _),
@@ -347,6 +399,35 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    "search_hybrid_rrf" ->
+      """WITH lens AS (SELECT doc_id, len(string_split(text,' '))::DOUBLE AS dl
+        |   FROM documents),
+        | st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+        | tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM (
+        |   SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |  WHERE w IN ('spark', 'vector', 'dup') GROUP BY doc_id, w),
+        | dfq AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+        | scores AS (SELECT doc_id,
+        |   round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM tf JOIN dfq USING (w) JOIN lens USING (doc_id) CROSS JOIN st
+        |  GROUP BY doc_id),
+        | kw AS (SELECT doc_id,
+        |   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_kw
+        |  FROM (SELECT * FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20)),
+        | q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+        |   FROM embeddings WHERE vec_id = 0),
+        | cosb AS (SELECT vec_id AS doc_id,
+        |   round(list_cosine_similarity(
+        |     list_transform(embedding, x -> x::DOUBLE), q.qe), 6) + 0.0 AS cos
+        |  FROM embeddings, q WHERE vec_id <> 0),
+        | embr AS (SELECT doc_id,
+        |   CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_emb
+        |  FROM (SELECT * FROM cosb ORDER BY cos DESC, doc_id LIMIT 20))
+        |SELECT COALESCE(kw.doc_id, embr.doc_id) AS doc_id, rank_kw, rank_emb,
+        | round(COALESCE(1.0/(60 + rank_kw), 0) + COALESCE(1.0/(60 + rank_emb), 0), 6) AS rrf
+        |FROM kw FULL OUTER JOIN embr ON kw.doc_id = embr.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "text_bm25" ->
       """WITH lens AS (SELECT doc_id, len(string_split(text,' '))::DOUBLE AS dl
         |   FROM documents),

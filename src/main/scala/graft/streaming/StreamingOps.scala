@@ -390,6 +390,24 @@ object StreamingOps {
       .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming Count-Min sketch maintenance (twin of
+    * `Sketches.cmsTable`): a mergeable sketch IS a streaming aggregate —
+    * explode each arriving key into its d (row, bucket) cells and keep a
+    * running count per cell in the streaming state store (update mode).
+    * The state is the sketch: d·w = 2 048 counters total regardless of
+    * stream length or key cardinality, and after any prefix of the
+    * stream the latest emitted counts equal the batch sketch of the
+    * events seen so far (exact integer hashing, no order sensitivity —
+    * asserted in StreamingOpsSpec). No custom processor is needed; the
+    * sketch's mergeability is exactly what makes the built-in
+    * partial-agg streaming machinery correct for it.
+    */
+  def cmsCellCounts(events: DataFrame): DataFrame =
+    events
+      .select(explode(graft.ops.Sketches.cellArray(col("user_id"))).as("cell"))
+      .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming sequence-pattern mining: see [[PatternProcessor]]. One
     * boolean + two counters of state per user — the unbounded-series
     * form of `StreamingAnalogs.patternConversions`.

@@ -36,16 +36,18 @@ class PlanShapesSpec extends SparkSpec {
     "sim_cosine_topk", "sim_cosine_topk_native", "sim_mips_topk",
     "text_tfidf_keywords", "text_lm_score", "text_pmi_bigrams",
     "agg_pareto_customers", "text_bm25", "graph_triangle_stats",
-    "audit_key_skew")
+    "audit_key_skew", "search_hybrid_rrf")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
     * input is bounded by construction, not merely aggregate-reduced:
-    * `audit_key_skew` ranks a 10-row post-`limit` set. Corpus-growing
-    * inputs (customer aggregates, vocabularies, price levels) must use
-    * the two-pass [[graft.ops.Prefix]] shape instead.
+    * `audit_key_skew` ranks a 10-row post-`limit` set;
+    * `search_hybrid_rrf` assigns ranks on its two 20-row post-`limit`
+    * top-k arms. Corpus-growing inputs (customer aggregates,
+    * vocabularies, price levels) must use the two-pass
+    * [[graft.ops.Prefix]] shape instead.
     */
-  private val sanctionedGlobalWindow = Set("audit_key_skew")
+  private val sanctionedGlobalWindow = Set("audit_key_skew", "search_hybrid_rrf")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

@@ -245,6 +245,29 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  "cmsCellCounts (streaming aggregate)" should "converge to the batch sketch" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val users = graft.io.Sources.events(s2, sfDir)
+      .select("user_id").as[Long].collect()
+    val (b1, b2) = users.splitAt(users.length / 2)
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.cmsCellCounts(mem.toDS().toDF("user_id"))
+      .writeStream.format("memory").queryName("cms_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    // update mode re-emits a cell on every change: the LATEST count per
+    // cell is the max (counts are monotone)
+    val got = s2.table("cms_s").groupBy("j", "bucket")
+      .agg(max("cnt").as("cnt")).orderBy("j", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = graft.ops.Sketches.cmsTable(s2, sfDir)
+      .orderBy("j", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
+
   "patternCounts (transformWithState)" should "reproduce the batch conversion counts" in {
     val s2 = rocksSession
     import s2.implicits._
