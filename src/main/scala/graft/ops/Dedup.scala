@@ -71,10 +71,15 @@ object Dedup {
   /** MinHash signatures + LSH band hashes for a text column: `nHashes`
     * minhashes over 3-word shingles, grouped into `nHashes/bandSize` band
     * hashes. Strings are hashed ONCE; the per-seed signatures re-hash the
-    * resulting 8-byte longs.
+    * resulting 8-byte longs. `carry` columns (expressions over the input
+    * row, e.g. the distinct shingle set an exact verifier needs) ride
+    * through to the output unchanged — the streaming ingestion-dedup
+    * twin uses this to keep signature and verification payload in one
+    * row.
     */
   def minHashBands(df: DataFrame, idCol: String, textCol: String,
-      nHashes: Int = 12, bandSize: Int = 4): DataFrame = {
+      nHashes: Int = 12, bandSize: Int = 4,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
     val shingles = wordShingles(col("__w"))
     val minhashes = (0 until nHashes).map { seed =>
@@ -84,11 +89,13 @@ object Dedup {
       xxhash64(lit(bnd) +: (bnd * bandSize until (bnd + 1) * bandSize).map(i => col(s"mh_$i")): _*)
         .as(s"band_$bnd")
     }
+    val carried = carry.map { case (n, c) => c.as(n) }
+    val carriedRefs = carry.map { case (n, _) => col(n) }
     df.withColumn("__w", split(col(textCol), " "))
       .withColumn("__shingles", shingles)
       .withColumn("__shash", transform(col("__shingles"), sh => xxhash64(sh)))
-      .select(col(idCol) +: minhashes: _*)
-      .select(col(idCol) +: bands: _*)
+      .select((col(idCol) +: carried) ++ minhashes: _*)
+      .select((col(idCol) +: carriedRefs) ++ bands: _*)
   }
 
   /** Candidate near-dup pairs from banded signatures: ids sharing any

@@ -207,6 +207,72 @@ class EwmaProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Lon
   }
 }
 
+/** One (document × LSH band) routing row for streaming ingestion dedup:
+  * the band bucket it lands in plus the distinct shingle set the exact
+  * verifier needs.
+  */
+case class DocBandRow(doc_id: Long, band_idx: Int, band_hash: Long, sset: Seq[String])
+
+/** A document's verification payload stored in a band bucket's state. */
+case class DocSig(doc_id: Long, sset: Seq[String])
+
+/** An exact-verified near-duplicate pair emitted at ingestion time. */
+case class NearDupHit(id_a: Long, id_b: Long, jaccard: Double)
+
+/** Streaming ingestion-time near-dup detection (twin of the batch
+  * `dedup_minhash_lsh` propose/verify pipeline): keyed by (band index,
+  * band hash) — i.e. the LSH BUCKET is the state shard — each bucket
+  * holds the signatures of every document ever routed to it
+  * (`ListState[DocSig]`, the inverted LSH index RocksDB shards across
+  * executors). An arriving document exact-Jaccard-verifies against its
+  * bucket's residents (identical shingle/rounding/τ definitions to the
+  * batch `exactRerank`) and joins the bucket. Under doc_id-ordered
+  * delivery the emitted pair set equals the batch query exactly — same
+  * bands, same τ, same verified values (asserted in StreamingOpsSpec;
+  * pairs sharing several bands emit once per shared band, dedup
+  * downstream exactly as the batch `distinct()` does). Buckets past
+  * `bucketCap` degrade to hub-only comparison — the streaming form of
+  * the batch star-linking cap, bounding boilerplate buckets at O(m)
+  * work instead of O(m²).
+  */
+class NearDupProcessor(tau: Double, bucketCap: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), DocBandRow, NearDupHit] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var bucket: ListState[DocSig] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    bucket = getHandle.getListState[DocSig]("bucket",
+      org.apache.spark.sql.Encoders.product[DocSig], TTLConfig.NONE)
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[DocBandRow],
+      timers: TimerValues): Iterator[NearDupHit] = {
+    val stored = scala.collection.mutable.ArrayBuffer.empty[DocSig]
+    bucket.get().foreach(stored += _)
+    val out = Seq.newBuilder[NearDupHit]
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      if (!stored.exists(_.doc_id == r.doc_id)) { // re-delivery guard
+        val residents = if (stored.length > bucketCap) stored.take(1) else stored
+        val a = r.sset.toSet
+        residents.foreach { s =>
+          val b = s.sset.toSet
+          val inter = a.count(b)
+          val jac = r4(inter.toDouble / (a.size + b.size - inter).toDouble)
+          if (jac >= tau)
+            out += NearDupHit(math.min(r.doc_id, s.doc_id), math.max(r.doc_id, s.doc_id), jac)
+        }
+        val sig = DocSig(r.doc_id, r.sset)
+        stored += sig
+        bucket.appendValue(sig)
+      }
+    }
+    out.result().iterator
+  }
+}
+
 /** Per-user pattern-matching state: whether the scanner is inside an
   * open `c+` run, plus the running totals the batch query reports.
   */
@@ -388,6 +454,28 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming ingestion-time near-dup detection: see
+    * [[NearDupProcessor]]. The signature/band projection is the SAME
+    * `Dedup.minHashBands` expression tree the batch pipeline plans
+    * (per-row, stream-safe); the shingle set rides along via `carry` so
+    * routing and verification payload travel in one row.
+    */
+  def nearDupHits(docs: DataFrame, tau: Double = 0.6,
+      bucketCap: Int = 4096): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val bands = graft.ops.Dedup.minHashBands(docs, "doc_id", "text",
+      carry = Seq("sset" ->
+        array_distinct(graft.ops.Dedup.wordShingles(split(col("text"), " ")))))
+    bands
+      .select(col("doc_id"), col("sset"),
+        posexplode(array(bands.columns.filter(_.startsWith("band_")).map(col): _*))
+          .as(Seq("band_idx", "band_hash")))
+      .as[DocBandRow]
+      .groupByKey(r => (r.band_idx, r.band_hash))
+      .transformWithState(new NearDupProcessor(tau, bucketCap), TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming Count-Min sketch maintenance (twin of

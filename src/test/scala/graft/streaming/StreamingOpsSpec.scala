@@ -245,6 +245,31 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  "nearDupHits (transformWithState)" should "emit exactly the batch verified near-dup pairs" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val docs = graft.io.Sources.documents(s2, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // boundary split: pairs whose members arrive in different batches
+    // must still match through the bucket state
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupHits(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    // a pair sharing k bands emits k times (identically) — distinct, as
+    // the batch candidate generator's distinct() does
+    val got = s2.table("neardup_s").distinct()
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.SparkEntry.queries("dedup_minhash_lsh")(s2, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    got shouldBe want
+    got should not be empty
+  }
+
   "cmsCellCounts (streaming aggregate)" should "converge to the batch sketch" in {
     val s2 = rocksSession
     import s2.implicits._
