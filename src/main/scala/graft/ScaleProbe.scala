@@ -189,6 +189,32 @@ object ScaleProbe {
           .count()
         incMatches
       }
+      // Global-rank probe (r7): the two-pass Prefix shape vs the
+      // single-partition global window over the SAME customer aggregate
+      // (rank + exact-cents running sum — the agg_pareto_customers
+      // shape). The prefix path must track |customers| ~linearly with
+      // bounded per-task state; the global window concentrates every
+      // row in one task, and its widening gap with scale is the
+      // measured justification for the r7 rewrite.
+      val revP = ord.groupBy(col("o_custkey").as("custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+        .withColumn("cents", round(col("revenue") * 100).cast("long"))
+      // reduce over the WINDOWED columns — a bare count() would let the
+      // optimizer prune the unreferenced window/prefix work entirely
+      val custRows = revP.count()
+      val tPrefix = time {
+        graft.ops.Prefix.running(revP,
+            Seq(col("revenue").desc, col("custkey").asc),
+            rankOut = Some("rk"), sums = Seq(col("cents") -> "cum"))
+          .agg(sum(pmod(col("rk") + col("cum"), lit(1000000007L)))).head().getLong(0)
+      }
+      val tGlobalWin = time {
+        val w = Window.orderBy(col("revenue").desc, col("custkey"))
+        revP.withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("cum",
+            sum("cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .agg(sum(pmod(col("rk") + col("cum"), lit(1000000007L)))).head().getLong(0)
+      }
       // PQ probe: codebook training + full-corpus encoding over the
       // replicated vectors. Per-iteration cost is one corpus pass against
       // an m·k-row broadcast, so both timings must track corpus size
@@ -204,7 +230,7 @@ object ScaleProbe {
         pqRows
       }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin}""")
     }
     spark.stop()
   }
