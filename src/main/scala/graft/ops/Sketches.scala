@@ -123,13 +123,124 @@ object Sketches {
       .orderBy("month")
   }
 
+  // ----------------------------------------------- Quantile grid sketch
+
+  private val QW = 64L // grid buckets
+  private val Qs = Seq(0.5, 0.9, 0.99)
+
+  /** Day-grain fixed-grid histogram over `events.value` — the mergeable
+    * quantile sketch in plain relational form (the same "persist bounded
+    * state per day, merge for any window" discipline as the HLL daily
+    * table, but with EXACT oracle-replayable arithmetic: bucket indexes
+    * are floor arithmetic over the global [min, max] range, counts are
+    * integers). State per day: ≤ 64 (bucket, cnt) rows.
+    */
+  def quantileGridDaily(s: SparkSession, d: String): DataFrame = {
+    val ev = Sources.events(s, d)
+    val bounds = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        least(floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(QW.toDouble))),
+          lit(QW - 1)).cast("long").as("bucket"))
+      .groupBy("day", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("day", "bucket")
+  }
+
+  /** Quantile estimates from MERGED day-grain grids (p50/p90/p99): sum
+    * the daily bucket counts — the merge is a plain integer aggregate,
+    * which is the entire point of the grid form — then linearly
+    * interpolate inside the first bucket whose running mass reaches
+    * q·N. Reported next to the exact percentile, with the estimate's
+    * absolute error bounded by one bucket width. Every step is integer
+    * counts + one float expression both engines compute identically, so
+    * this probabilistic-class structure carries a FULL oracle like the
+    * CMS.
+    */
+  def quantileGridMerged(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Sources.events(s, d)
+    val bounds = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val merged = quantileGridDaily(s, d)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    val n = merged.agg(sum("cnt").as("n"))
+    // running mass BEFORE each bucket: the two-pass prefix is overkill
+    // for ≤64 rows, and the shape guard forbids global windows — a
+    // 64-row broadcast self-join computes the exclusive prefix exactly
+    val before = merged.as("a")
+      .join(broadcast(merged.as("b")), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"), col("a.cnt").as("cnt"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("cum_before"))
+    val qdf = Qs.toDF("q")
+    val width = (col("hi") - col("lo")) / lit(QW.toDouble)
+    val target = col("q") * col("n").cast("double")
+    val hit = before.crossJoin(broadcast(qdf))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(bounds))
+      .filter(col("cum_before").cast("double") < target &&
+        target <= (col("cum_before") + col("cnt")).cast("double"))
+      .select(col("q"),
+        roundNorm(col("lo") + width * (col("bucket").cast("double") +
+          (target - col("cum_before").cast("double")) / col("cnt").cast("double")), 4)
+          .as("est"))
+    val exact = ev
+      .agg(expr(s"percentile(value, array(${Qs.mkString(", ")}))").as("ex"))
+      .select(posexplode(col("ex")).as(Seq("i", "exact")))
+      .join(broadcast(Qs.zipWithIndex.toDF("q", "i")), "i")
+      .select(col("q"), roundNorm(col("exact"), 4).as("exact"))
+    hit.join(exact, "q")
+      .withColumn("abs_err", roundNorm(abs(col("est") - col("exact")), 4))
+      .select("q", "est", "exact", "abs_err")
+      .orderBy("q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cms_users" -> (cmsUsers _),
     "sketch_hll_daily" -> (hllDailyUsers _),
     "sketch_hll_rollup" -> (hllRollup _),
+    "sketch_qgrid_daily" -> (quantileGridDaily _),
+    "sketch_qgrid_quantiles" -> (quantileGridMerged _),
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_qgrid_daily" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        | CAST(least(floor((value - lo) / ((hi - lo) / 64.0)), 63) AS BIGINT) AS bucket,
+        | count(*) AS cnt
+        |FROM events CROSS JOIN b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sketch_qgrid_quantiles" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        | daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |   CAST(least(floor((value - lo) / ((hi - lo) / 64.0)), 63) AS BIGINT) AS bucket,
+        |   count(*) AS cnt
+        |  FROM events CROSS JOIN b GROUP BY 1, 2),
+        | merged AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+        |   FROM daily GROUP BY 1),
+        | nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM merged),
+        | bef AS (SELECT a.bucket, a.cnt,
+        |   CAST(COALESCE(sum(b2.cnt), 0) AS BIGINT) AS cum_before
+        |  FROM merged a LEFT JOIN merged b2 ON b2.bucket < a.bucket
+        |  GROUP BY a.bucket, a.cnt),
+        | qs AS (SELECT CAST(q AS DOUBLE) AS q
+        |   FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+        | hit AS (SELECT q,
+        |   round(lo + ((hi - lo) / 64.0) * (CAST(bucket AS DOUBLE) +
+        |     (q * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE))
+        |       / CAST(cnt AS DOUBLE)), 4) + 0.0 AS est
+        |  FROM bef CROSS JOIN qs CROSS JOIN nn CROSS JOIN b
+        |  WHERE CAST(cum_before AS DOUBLE) < q * CAST(n AS DOUBLE)
+        |    AND q * CAST(n AS DOUBLE) <= CAST(cum_before + cnt AS DOUBLE)),
+        | ex AS (
+        |  SELECT CAST(0.5 AS DOUBLE) AS q,
+        |    round(quantile_cont(value, 0.5), 4) + 0.0 AS exact FROM events
+        |  UNION ALL SELECT CAST(0.9 AS DOUBLE),
+        |    round(quantile_cont(value, 0.9), 4) + 0.0 FROM events
+        |  UNION ALL SELECT CAST(0.99 AS DOUBLE),
+        |    round(quantile_cont(value, 0.99), 4) + 0.0 FROM events)
+        |SELECT hit.q, est, exact, round(abs(est - exact), 4) + 0.0 AS abs_err
+        |FROM hit JOIN ex ON hit.q = ex.q
+        |ORDER BY hit.q""".stripMargin,
     "sketch_cms_users" ->
       """WITH cells AS (
         |  SELECT j.j,

@@ -36,7 +36,9 @@ class PlanShapesSpec extends SparkSpec {
     "sim_cosine_topk", "sim_cosine_topk_native", "sim_mips_topk",
     "text_tfidf_keywords", "text_lm_score", "text_pmi_bigrams",
     "agg_pareto_customers", "text_bm25", "graph_triangle_stats",
-    "audit_key_skew", "search_hybrid_rrf")
+    "audit_key_skew", "search_hybrid_rrf",
+    // 1-row bounds / 3-row quantile / ≤64-row grid broadcast builds
+    "sketch_qgrid_daily", "sketch_qgrid_quantiles")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -31,6 +31,29 @@ class SketchesSpec extends SparkSpec {
     perRow.values.foreach(_ shouldBe total) // each hash row sees every event once
   }
 
+  behavior of "quantile grid sketch"
+
+  it should "keep day-grain state bounded and conserve total mass" in {
+    val daily = Sketches.quantileGridDaily(spark, sfDir).collect()
+    val days = daily.map(_.getAs[String]("day")).distinct.length
+    daily.length should be <= (days * 64)
+    daily.foreach(r => r.getAs[Long]("bucket") should (be >= 0L and be < 64L))
+    daily.map(_.getAs[Long]("cnt")).sum shouldBe Sources.events(spark, sfDir).count()
+  }
+
+  it should "estimate every quantile within one bucket width of exact" in {
+    val bounds = Sources.events(spark, sfDir)
+      .agg(min("value").as("lo"), max("value").as("hi")).head()
+    val width = (bounds.getAs[Double]("hi") - bounds.getAs[Double]("lo")) / 64.0
+    val rows = Sketches.quantileGridMerged(spark, sfDir).collect()
+    rows.map(_.getAs[Double]("q")).sorted.toSeq shouldBe Seq(0.5, 0.9, 0.99)
+    rows.foreach { r =>
+      // the estimate interpolates inside the bucket containing the true
+      // quantile, so its error is bounded by the grid resolution
+      r.getAs[Double]("abs_err") should be <= width
+    }
+  }
+
   behavior of "hyperloglog rollup"
 
   it should "estimate each day within the lgK=12 error envelope" in {
