@@ -496,6 +496,24 @@ object StreamingOps {
       .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming quantile-grid maintenance (twin of
+    * `Sketches.quantileGridDaily`): like the CMS, the grid is a plain
+    * streaming aggregate — bucket each arriving value and keep a running
+    * count per bucket (update mode, ≤64 counters of state). The grid
+    * BOUNDS are a fixed model artifact (chosen at sketch creation from a
+    * training pass or config, exactly as the batch sketch derives them
+    * from its corpus pass) — a stream cannot re-derive global min/max
+    * without re-bucketing history, which is the known trade of every
+    * fixed-grid streaming sketch. Quantile READS interpolate from the
+    * counters exactly as the batch merge does.
+    */
+  def qgridCells(events: DataFrame, lo: Double, hi: Double, buckets: Int = 64): DataFrame =
+    events
+      .select(least(floor((col("value") - lit(lo)) / lit((hi - lo) / buckets)),
+        lit(buckets - 1L)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming sequence-pattern mining: see [[PatternProcessor]]. One
     * boolean + two counters of state per user — the unbounded-series
     * form of `StreamingAnalogs.patternConversions`.

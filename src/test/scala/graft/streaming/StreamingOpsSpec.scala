@@ -270,6 +270,29 @@ class StreamingOpsSpec extends SparkSpec {
     got should not be empty
   }
 
+  "qgridCells (streaming aggregate)" should "converge to the batch merged grid" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val b = graft.io.Sources.events(s2, sfDir)
+      .agg(min("value").as("lo"), max("value").as("hi")).head()
+    val (lo, hi) = (b.getAs[Double]("lo"), b.getAs[Double]("hi"))
+    val vals = graft.io.Sources.events(s2, sfDir).select("value").as[Double].collect()
+    val (v1, v2) = vals.splitAt(vals.length / 2)
+    val mem = MemoryStream[Double]
+    val q = StreamingOps.qgridCells(mem.toDS().toDF("value"), lo, hi)
+      .writeStream.format("memory").queryName("qgrid_s").outputMode("update").start()
+    mem.addData(v1.toSeq: _*); q.processAllAvailable()
+    mem.addData(v2.toSeq: _*); q.processAllAvailable(); q.stop()
+    val got = s2.table("qgrid_s").groupBy("bucket")
+      .agg(max("cnt").as("cnt")).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.ops.Sketches.quantileGridDaily(s2, sfDir)
+      .groupBy("bucket").agg(sum("cnt").as("cnt")).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe want
+  }
+
   "cmsCellCounts (streaming aggregate)" should "converge to the batch sketch" in {
     val s2 = rocksSession
     import s2.implicits._
