@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Audit, Decomp, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Decomp, Mining, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +36,8 @@ object SparkEntry {
       Audit.queries ++
       Decomp.queries ++
       Ml.queries ++
-      Sketches.queries
+      Sketches.queries ++
+      Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -56,5 +57,6 @@ object SparkEntry {
       Audit.oracles ++
       Decomp.oracles ++
       Ml.oracles ++
-      Sketches.oracles
+      Sketches.oracles ++
+      Mining.oracles
 }

@@ -129,11 +129,42 @@ object Audit {
       .orderBy("o_orderpriority", "day")
   }
 
+  private val histBuckets = 16
+
+  /** Equi-depth (equal-height) histogram over `lineitem.l_extendedprice`
+    * — the optimizer-statistics / data-profiling primitive: 16 buckets
+    * that each hold (as near as integer division allows) the same row
+    * count, with the value range [lo, hi] each bucket spans. Bucket
+    * assignment is pure integer arithmetic on the GLOBAL sort rank,
+    * `(rank−1)·b div n`, so bucket populations differ by at most one —
+    * by construction, not by estimation.
+    *
+    * The rank comes from the two-pass [[Prefix]] aggregation (range
+    * partition → local row_number → broadcast offsets), never a
+    * single-partition window; the row total rides in as a 1-row
+    * broadcast attach; the per-bucket reduce is one map-side-combinable
+    * aggregate. Contrast with `approx_percentile` bounds: this is the
+    * EXACT histogram at one extra (distributed) pass.
+    */
+  def equidepthHist(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d)
+      .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = Prefix.running(li,
+      Seq(col("v"), col("l_orderkey"), col("l_linenumber")), rankOut = Some("rnk"))
+    val tot = li.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(tot)) // 1-row aggregate attach
+      .withColumn("bucket", expr(s"(rnk - 1) * $histBuckets div n_total"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_snapshot_diff" -> (snapshotDiff _),
     "audit_key_skew" -> (keySkew _),
     "audit_fuzzy_match" -> (fuzzyMatch _),
     "win_rolling_median" -> (rollingMedian _),
+    "audit_equidepth_hist" -> (equidepthHist _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +224,13 @@ object Audit {
         | round(med7, 1) + 0.0 AS med7
         |FROM rolled WHERE n_days = 7
         |ORDER BY o_orderpriority, day""".stripMargin,
+    "audit_equidepth_hist" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |   row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rnk,
+        |   count(*) OVER () AS n_total
+        | FROM lineitem)
+        |SELECT (rnk - 1) * 16 // n_total AS bucket,
+        | count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -164,4 +164,46 @@ object Joins {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  // ---------------------------------------------------------- Bloom filter
+
+  /** Build an m-bit Bloom filter (k hash probes per key, xxhash64 family
+    * seeded by probe index) over the distinct values of `key` in `keys`
+    * — the explicit form of the runtime-filter join pruning Spark's
+    * optimizer injects under `spark.sql.optimizer.runtime.bloomFilter`.
+    *
+    * Scale shape: the build is `explode(k positions) → DISTINCT →
+    * collect`, and distinct bit positions are bounded by m (a CONFIG
+    * constant), never by the key count — so the driver collect stays
+    * model-sized however large the build side. The filter itself is
+    * (m/64) longs, broadcast to probers as a literal array.
+    */
+  def bloomBuild(keys: DataFrame, key: Column, m: Int, k: Int): Array[Long] = {
+    require(m % 64 == 0, "m must be a multiple of 64")
+    val posCols = (0 until k).map(i => pmod(xxhash64(key, lit(i)), lit(m.toLong)))
+    val words = new Array[Long](m / 64)
+    keys.select(explode(array(posCols: _*)).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        words((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+      }
+    words
+  }
+
+  /** Membership probe against a [[bloomBuild]] filter: true if all k bit
+    * positions for `key` are set — no false negatives, false positives
+    * bounded by (1 − e^(−kn/m))^k. Pure builtin column arithmetic
+    * (xxhash64 / shift / mask over a literal long array), so the probe is
+    * a map-side codegen'd predicate: it prunes the fact scan BEFORE the
+    * join shuffle, which is the entire point of a runtime filter.
+    */
+  def bloomContains(key: Column, words: Array[Long], m: Int, k: Int): Column =
+    (0 until k).map { i =>
+      val p = pmod(xxhash64(key, lit(i)), lit(m.toLong))
+      val word = element_at(
+        array(words.map(w => lit(w)): _*),
+        (call_function("shiftright", p, lit(6)) + lit(1L)).cast("int"))
+      call_function("shiftrightunsigned", word, pmod(p, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
 }

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num.roundNorm
+import graft.io.Sources
+
+/** Pattern mining and join-pruning operators (SURVEY §2.13 extensions):
+  * market-basket frequent-pair mining, sorted-neighborhood near-dup
+  * detection (the Hernández–Stolfo merge/purge method), and an explicit
+  * runtime Bloom-filter pruned join.
+  *
+  * Scale notes: pair mining fans out per-basket (bounded by max basket
+  * size squared, never corpus²) and reduces through a map-side-combined
+  * pair aggregate; the sorted neighborhood gets its GLOBAL sort rank
+  * from the two-pass [[Prefix]] aggregation — no single-partition
+  * window — and only compares rows within a fixed rank distance via a
+  * bucketed equi-join; the Bloom build's driver collect is bounded by
+  * the filter's bit count m (a config constant), not by data.
+  */
+object Mining {
+
+  /** Frequent co-occurring part pairs across order baskets with support
+    * and lift — the A-priori k=2 pass, the workhorse of co-occurrence /
+    * affinity analysis. Baskets = distinct (order, part); the pair
+    * generator is a self-equi-join ON the order key (fan-out per order
+    * ≤ basket², a data-model bound, not corpus²); pair counting is one
+    * map-side-combinable aggregate; item supports join back on the
+    * aggregate-reduced item table; the basket total rides in as a 1-row
+    * broadcast attach. Lift/support are single-op-per-row double
+    * divisions — identical IEEE sequences in both engines.
+    */
+  def frequentPairs(s: SparkSession, d: String): DataFrame = {
+    val minSup = 3L
+    val li = Sources.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.select(col("ok"), col("pk").as("pk_a"))
+      .join(li.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSup)
+    val itemCnt = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val tot = li.agg(countDistinct("ok").as("n_orders"))
+    pairs
+      .join(itemCnt.select(col("pk").as("pk_a"), col("cnt").as("cnt_a")), Seq("pk_a"))
+      .join(itemCnt.select(col("pk").as("pk_b"), col("cnt").as("cnt_b")), Seq("pk_b"))
+      .crossJoin(broadcast(tot)) // 1-row aggregate attach
+      .select(col("pk_a"), col("pk_b"), col("pair_cnt"), col("cnt_a"), col("cnt_b"),
+        roundNorm(col("pair_cnt").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"),
+        roundNorm(col("pair_cnt").cast("double") * col("n_orders").cast("double") /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 4).as("lift"))
+      .orderBy("pk_a", "pk_b")
+  }
+
+  private val snWindow = 5   // neighborhood width in rank positions
+  private val snKeyLen = 80  // comparison-key prefix length
+  private val snMaxDist = 10 // Levenshtein threshold on the key
+
+  /** Sorted-neighborhood near-duplicate detection over documents — the
+    * merge/purge alternative to hash blocking: sort the corpus by the
+    * record text, then compare only rows within `snWindow` positions of
+    * each other (edit distance ≤ [[snMaxDist]] on an 80-char key).
+    * Recall is deliberately prefix-biased (variants whose edits hit the
+    * FIRST words sort apart — the method's documented trade-off; the
+    * MinHash path is the recall-complete one), but it finds the
+    * shared-prefix families at linear candidate cost: exactly w
+    * comparisons per row.
+    *
+    * The global sort rank comes from the two-pass [[Prefix]] aggregation
+    * (range partition → local row_number → broadcast offsets) — never a
+    * single-partition window — and the neighborhood join is an equi-join
+    * on `rank div w` (each right row also probes the preceding bucket),
+    * so a pair at rank distance ≤ w matches exactly once.
+    */
+  def sortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d).select(col("doc_id"), col("text"))
+    val ranked = Prefix.running(docs, Seq(col("text"), col("doc_id")),
+        rankOut = Some("rnk"))
+      .withColumn("key", substring(col("text"), 1, snKeyLen))
+    val a = ranked.select(col("rnk").as("rnk_a"), col("doc_id").as("id_a"),
+        col("key").as("key_a"))
+      .withColumn("bkt", expr(s"(rnk_a - 1) div $snWindow"))
+    val b = ranked.select(col("rnk").as("rnk_b"), col("doc_id").as("id_b"),
+        col("key").as("key_b"))
+      .withColumn("bkt", explode(array(
+        expr(s"(rnk_b - 1) div $snWindow"), expr(s"(rnk_b - 1) div $snWindow - 1"))))
+    a.join(b, Seq("bkt"))
+      .filter(col("rnk_b") > col("rnk_a") &&
+        col("rnk_b") - col("rnk_a") <= snWindow &&
+        levenshtein(col("key_a"), col("key_b")) <= snMaxDist)
+      .select(col("rnk_a"), col("rnk_b"), col("id_a"), col("id_b"),
+        (col("rnk_b") - col("rnk_a")).as("gap"),
+        levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+      .orderBy("rnk_a", "rnk_b")
+  }
+
+  private val bloomBits = 1 << 16
+  private val bloomHashes = 3
+
+  /** Revenue per high-balance customer with an explicit runtime
+    * Bloom-filter prune: the selective dim side (c_acctbal > 9000, ~9%
+    * of customers) builds an m-bit filter ([[Joins.bloomBuild]] —
+    * driver state bounded by m, not by dim size), and the fact side
+    * drops non-matching orders in a map-side codegen'd predicate BEFORE
+    * the join shuffle ([[Joins.bloomContains]]). No false negatives, and
+    * the exact equi-join afterwards removes the bounded false positives
+    * — so the result equals the plain join, which IS the oracle.
+    * Revenue accumulates in DECIMAL(18,2) (exact cents — accumulation
+    * order can't perturb it) and ships as a double.
+    */
+  def bloomPrunedRevenue(s: SparkSession, d: String): DataFrame = {
+    val cust = Sources.customer(s, d)
+      .filter(col("c_acctbal") > lit(9000.0))
+      .select(col("c_custkey"), col("c_name"))
+    val words = Joins.bloomBuild(cust, col("c_custkey"), bloomBits, bloomHashes)
+    val pruned = Sources.orders(s, d)
+      .filter(Joins.bloomContains(col("o_custkey"), words, bloomBits, bloomHashes))
+    pruned.join(cust, pruned("o_custkey") === cust("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mining_frequent_pairs" -> (frequentPairs _),
+    "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
+    "join_bloom_pruned" -> (bloomPrunedRevenue _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mining_frequent_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        | p AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS pair_cnt
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |   GROUP BY 1, 2 HAVING count(*) >= 3),
+        | ic AS (SELECT pk, count(*) AS cnt FROM li GROUP BY pk),
+        | tot AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+        |SELECT pk_a, pk_b, pair_cnt, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+        | round(pair_cnt::DOUBLE / n_orders::DOUBLE, 6) + 0.0 AS support,
+        | round(pair_cnt::DOUBLE * n_orders::DOUBLE /
+        |   (ia.cnt::DOUBLE * ib.cnt::DOUBLE), 4) + 0.0 AS lift
+        |FROM p JOIN ic ia ON p.pk_a = ia.pk JOIN ic ib ON p.pk_b = ib.pk, tot
+        |ORDER BY pk_a, pk_b""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id, text,
+        |   row_number() OVER (ORDER BY text, doc_id) AS rn
+        | FROM documents)
+        |SELECT a.rn AS rnk_a, b.rn AS rnk_b, a.doc_id AS id_a, b.doc_id AS id_b,
+        | b.rn - a.rn AS gap,
+        | CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+        |WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 10
+        |ORDER BY rnk_a, rnk_b""".stripMargin,
+    // the Bloom prune is lossless (no false negatives; the exact join
+    // removes false positives), so the oracle is the PLAIN join
+    "join_bloom_pruned" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000.0
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -196,7 +196,39 @@ object Sampling {
       .orderBy("split")
   }
 
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup): each document draws priority = weight / u
+    * with u uniform on (0, 1], and the k = 64 largest priorities win —
+    * heavier documents (weight = n_chars) win proportionally more often,
+    * the weighted subset-selection step of corpus curation. The draw u
+    * is the deterministic Knuth-hash dyadic rational
+    * (hash(doc_id)+1)/2²⁰+1 — bit-reproducible, like every sampler in
+    * this module — and the priority is two correctly-rounded IEEE
+    * divisions per row, so both engines compute the identical double and
+    * the top-k boundary cannot disagree. (The A-ES u^(1/w) key would
+    * route through `pow`/`log`, whose last-ulp behavior is libm-specific
+    * — priority sampling gives the same statistical guarantee on
+    * division-only arithmetic.)
+    *
+    * Plan: priorities are a map-side projection over the scan; selection
+    * is `orderBy(desc).limit(64)` = TakeOrderedAndProject (per-partition
+    * top-k, driver merges k·partitions rows) — no global sort, no
+    * single-partition window, no shuffle of the corpus.
+    */
+  def sampleWeightedReservoir(s: SparkSession, d: String): DataFrame = {
+    val k = pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L), lit(1048576L))
+    val u = (k + lit(1L)).cast("double") / lit(1048577.0)
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars").cast("double") / u).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(64)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("priority"), 4).as("priority"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted_reservoir" -> (sampleWeightedReservoir _),
     "sample_group_split" -> (sampleGroupSplit _),
     "sample_split_counts" -> (sampleSplitCounts _),
     "sample_stratified" -> (sampleStratified _),
@@ -242,6 +274,15 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted_reservoir" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |   n_chars::DOUBLE /
+        |     ((((doc_id % 1048576) * 2654435761) % 1048576 + 1)::DOUBLE / 1048577.0)
+        |   AS priority
+        | FROM documents)
+        |SELECT doc_id, lang, n_chars, round(priority, 4) AS priority
+        |FROM (SELECT * FROM t ORDER BY priority DESC, doc_id LIMIT 64)
+        |ORDER BY doc_id""".stripMargin,
     "sample_group_split" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS wset FROM documents),

@@ -128,11 +128,41 @@ object Temporal {
       .orderBy("user_id", "rn")
   }
 
+  /** Max-concurrency sweep line over order "activity" intervals
+    * ([start = order date, end = start + (orderkey mod 30 + 1) days) —
+    * a deterministic synthetic duration, the same discipline as the
+    * Audit module's synthetic snapshots): the classic interval-overlap
+    * counting algorithm as a relational plan. Every interval emits a +1
+    * delta at its start day and a −1 at its (exclusive) end day; the
+    * day-grain aggregate reduces the corpus to calendar-sized rows; the
+    * running prefix sum of the net deltas IS the concurrency on each
+    * day. The prefix sum runs through the two-pass [[Prefix]]
+    * aggregation — exact integer arithmetic, no single-partition
+    * window — so the shape survives any corpus scale (the sweep input
+    * is 2 rows per fact, the cumsum input is calendar-bounded).
+    */
+  def concurrentIntervals(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d).select(
+      to_date(col("o_orderdate")).as("start_day"),
+      expr("date_add(to_date(o_orderdate), cast(o_orderkey % 30 + 1 as int))").as("end_day"))
+    val deltas = o.select(col("start_day").as("day"), lit(1L).as("delta"))
+      .unionAll(o.select(col("end_day").as("day"), lit(-1L).as("delta")))
+    val daily = deltas.groupBy("day").agg(
+      sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+      sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"),
+      sum(col("delta")).as("net"))
+    Prefix.running(daily, Seq(col("day")), sums = Seq((col("net"), "concurrency")))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_starts"), col("n_ends"), col("concurrency"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_scd2_history" -> (scd2History _),
     "ts_gapfill_daily" -> (gapfillDaily _),
     "stream_transition_matrix" -> (transitionMatrix _),
     "ts_ewma" -> (ewma _),
+    "ts_concurrent_intervals" -> (concurrentIntervals _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,5 +221,20 @@ object Temporal {
         |  SELECT s.user_id, s.rn, s.value, r.ewma + 0.5 * (s.value - r.ewma)
         |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
         |SELECT user_id, rn, value, ewma FROM r ORDER BY user_id, rn""".stripMargin,
+    "ts_concurrent_intervals" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS sd,
+        |   CAST(CAST(o_orderdate AS DATE) + (o_orderkey % 30 + 1) * INTERVAL 1 DAY AS DATE) AS ed
+        | FROM orders),
+        | dl AS (SELECT sd AS dy, 1 AS delta FROM o
+        |   UNION ALL SELECT ed, -1 FROM o),
+        | g AS (SELECT dy,
+        |   sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts,
+        |   sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS n_ends,
+        |   sum(delta) AS net FROM dl GROUP BY dy)
+        |SELECT strftime(dy, '%Y-%m-%d') AS day,
+        | CAST(n_starts AS BIGINT) AS n_starts, CAST(n_ends AS BIGINT) AS n_ends,
+        | CAST(sum(net) OVER (ORDER BY dy ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |   AS concurrency
+        |FROM g ORDER BY day""".stripMargin,
   )
 }

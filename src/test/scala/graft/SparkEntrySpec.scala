@@ -25,6 +25,7 @@ class SparkEntrySpec extends SparkSpec {
     "decomp" -> Decomp.queries.keySet,
     "ml" -> Ml.queries.keySet,
     "sketches" -> Sketches.queries.keySet,
+    "mining" -> Mining.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {
