@@ -1,8 +1,8 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Fixture/table readers.
   *
@@ -18,12 +18,26 @@ object Sources {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Fixture parquet may carry timestamps either UTC-adjusted (read as
+    * TIMESTAMP) or timezone-naive (read as TIMESTAMP_NTZ under Spark 4's
+    * `inferTimestampNTZ` default). Every session here runs with
+    * `spark.sql.session.timeZone=UTC`, so casting NTZ back to TIMESTAMP is
+    * value-preserving and gives all downstream operators (`unix_micros`,
+    * watermarks, interval joins) one consistent instant type — the same
+    * wall-clock values DuckDB's naive reader hands the oracle.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == TimestampNTZType) acc.withColumn(f.name, col(f.name).cast("timestamp"))
+      else acc
+    }
+
   /** Generic accessor — routes `events` through its ns-timestamp handling
     * so every caller (Pipeline, gold battery, tests) gets a readable ts.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
@@ -41,9 +55,10 @@ object Sources {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    normalizeTs(
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
