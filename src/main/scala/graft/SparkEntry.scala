@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Audit, Decomp, Mining, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Decomp, Graph, Mining, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,7 +37,8 @@ object SparkEntry {
       Decomp.queries ++
       Ml.queries ++
       Sketches.queries ++
-      Mining.queries
+      Mining.queries ++
+      Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -58,5 +59,6 @@ object SparkEntry {
       Decomp.oracles ++
       Ml.oracles ++
       Sketches.oracles ++
-      Mining.oracles
+      Mining.oracles ++
+      Graph.oracles
 }

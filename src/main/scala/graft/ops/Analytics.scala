@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -161,6 +162,53 @@ object Analytics {
       .orderBy("p_retailprice", "p_partkey")
   }
 
+  /** Linear (equal-weight) revenue attribution — the marketing-science
+    * twin of the funnel: each purchase's revenue is split equally across
+    * the user's touch events (click / view / signup) in the 7 days
+    * before it, with purchases that had no preceding touch reported as
+    * unattributed. Revenue is integer CENTS and each channel's share is
+    * `(cents · n_channel) div n_total` — integer floor division, with
+    * the per-purchase remainder reported as its own `residual` channel,
+    * so total mass is conserved and the gate is an EXACT compare.
+    *
+    * Scale shape: ONE shuffle on `user_id`, then per-purchase touch
+    * counts come from a RANGE frame (`[ts − 7d, ts]` in micros) over the
+    * unioned touch+purchase stream — never the `p ⨝ t ON t.ts BETWEEN …`
+    * range join, which degenerates to a per-user cross product (the
+    * oracle runs that quadratic form; the engine must not).
+    */
+  def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    val touch = Seq("click", "view", "signup")
+    val base = Sources.events(s, d)
+      .filter(col("event_type").isin("purchase" +: touch: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-7L * 86400L * 1000000L, 0L)
+    val nOf = touch.map { t =>
+      t -> sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w)
+    }
+    val perPurchase = nOf.foldLeft(base) { case (df, (t, c)) => df.withColumn(s"n_$t", c) }
+      .filter(col("event_type") === "purchase")
+      .withColumn("total", touch.map(t => col(s"n_$t")).reduce(_ + _))
+    val shares = touch.map { t =>
+      sum(expr(s"CASE WHEN total > 0 THEN (cents * n_$t) div total ELSE 0 END"))
+        .as(s"c_$t")
+    }
+    val resid = sum(expr(
+      "CASE WHEN total > 0 THEN cents - (" +
+        touch.map(t => s"(cents * n_$t) div total").mkString(" + ") +
+        ") ELSE 0 END")).as("c_residual")
+    val unatt = sum(when(col("total") === 0, col("cents")).otherwise(0L)).as("c_unattributed")
+    perPurchase.agg(shares.head, (shares.tail :+ resid :+ unatt): _*)
+      .select(expr(
+        "stack(5, 'click', c_click, 'view', c_view, 'signup', c_signup, " +
+          "'residual', c_residual, 'unattributed', c_unattributed) " +
+          "AS (channel, attributed_cents)"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "complex_min_cost_supplier" -> (minCostSupplier _),
     "complex_big_orders" -> (bigOrders _),
@@ -168,9 +216,40 @@ object Analytics {
     "stream_funnel_1day" -> (funnel _),
     "agg_retention_cohorts" -> (retentionCohorts _),
     "complex_skyline_parts" -> (skylineParts _),
+    "join_attribution_linear" -> (attributionLinear _),
   )
 
   val oracles: Map[String, String] = Map(
+    "join_attribution_linear" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+        |   CAST(round(value * 100) AS BIGINT) AS cents
+        |   FROM events WHERE event_type = 'purchase'),
+        | t AS (SELECT user_id, ts, event_type FROM events
+        |   WHERE event_type IN ('click', 'view', 'signup')),
+        | j AS (SELECT p.event_id, any_value(p.cents) AS cents,
+        |   CAST(count(*) FILTER (WHERE t.event_type = 'click') AS BIGINT) AS n_click,
+        |   CAST(count(*) FILTER (WHERE t.event_type = 'view') AS BIGINT) AS n_view,
+        |   CAST(count(*) FILTER (WHERE t.event_type = 'signup') AS BIGINT) AS n_signup
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.ts BETWEEN p.ts - INTERVAL 7 DAY AND p.ts
+        |  GROUP BY p.event_id),
+        | k AS (SELECT *, n_click + n_view + n_signup AS total FROM j),
+        | agg AS (SELECT
+        |   CAST(sum(CASE WHEN total > 0 THEN (cents * n_click) // total ELSE 0 END) AS BIGINT) AS c_click,
+        |   CAST(sum(CASE WHEN total > 0 THEN (cents * n_view) // total ELSE 0 END) AS BIGINT) AS c_view,
+        |   CAST(sum(CASE WHEN total > 0 THEN (cents * n_signup) // total ELSE 0 END) AS BIGINT) AS c_signup,
+        |   CAST(sum(CASE WHEN total > 0 THEN cents - ((cents * n_click) // total
+        |     + (cents * n_view) // total + (cents * n_signup) // total)
+        |     ELSE 0 END) AS BIGINT) AS c_residual,
+        |   CAST(sum(CASE WHEN total = 0 THEN cents ELSE 0 END) AS BIGINT) AS c_unattributed
+        |  FROM k)
+        |SELECT channel, attributed_cents FROM (
+        |  SELECT 'click' AS channel, c_click AS attributed_cents FROM agg
+        |  UNION ALL SELECT 'view', c_view FROM agg
+        |  UNION ALL SELECT 'signup', c_signup FROM agg
+        |  UNION ALL SELECT 'residual', c_residual FROM agg
+        |  UNION ALL SELECT 'unattributed', c_unattributed FROM agg)
+        |ORDER BY channel""".stripMargin,
     "complex_min_cost_supplier" ->
       """WITH costs AS (
         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,

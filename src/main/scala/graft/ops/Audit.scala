@@ -159,12 +159,49 @@ object Audit {
       .orderBy("bucket")
   }
 
+  /** Robust per-segment outlier detection via MAD (median absolute
+    * deviation) — the anomaly screen that survives the very outliers it
+    * hunts, unlike mean/stddev z-scores which the outliers themselves
+    * inflate. Two exact-`percentile` aggregation passes (median, then
+    * median of |x − med|), a broadcast join of the 5-row segment stats
+    * back onto the fact rows, and one counting pass — every stage is a
+    * keyed aggregate, nothing concentrates. The 1.4826 factor (σ
+    * consistency under normality) is pre-folded to one literal `4.4478`
+    * (3·1.4826) written identically in both engines, so the flag
+    * comparison is one IEEE multiply + compare on each side.
+    *
+    * med/mad ship UNROUNDED (the `ts_ewma` discipline): the interpolated
+    * exact percentile is the same IEEE op sequence in both engines, so
+    * the raw doubles compare bitwise — while rounding to 2 decimals
+    * introduced the only divergence (a `.885` value that decimal-rounds
+    * differently from its binary expansion across engines, observed at
+    * sf0.01).
+    */
+  def robustOutliers(s: SparkSession, d: String): DataFrame = {
+    val cust = Sources.customer(s, d).select(col("c_mktsegment"), col("c_acctbal"))
+    val med = cust.groupBy("c_mktsegment")
+      .agg(percentile(col("c_acctbal"), lit(0.5)).as("med"))
+    val mad = cust.join(broadcast(med), "c_mktsegment")
+      .groupBy("c_mktsegment")
+      .agg(percentile(abs(col("c_acctbal") - col("med")), lit(0.5)).as("mad"))
+    cust.join(broadcast(med), "c_mktsegment").join(broadcast(mad), "c_mktsegment")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(abs(col("c_acctbal") - col("med")) > lit(4.4478) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_snapshot_diff" -> (snapshotDiff _),
     "audit_key_skew" -> (keySkew _),
     "audit_fuzzy_match" -> (fuzzyMatch _),
     "win_rolling_median" -> (rollingMedian _),
     "audit_equidepth_hist" -> (equidepthHist _),
+    "audit_robust_outliers" -> (robustOutliers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,6 +261,22 @@ object Audit {
         | round(med7, 1) + 0.0 AS med7
         |FROM rolled WHERE n_days = 7
         |ORDER BY o_orderpriority, day""".stripMargin,
+    "audit_robust_outliers" ->
+      """WITH med AS (SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS med
+        |   FROM customer GROUP BY c_mktsegment),
+        | mad AS (SELECT c.c_mktsegment,
+        |   quantile_cont(abs(c.c_acctbal - med.med), 0.5) AS mad
+        |   FROM customer c JOIN med ON c.c_mktsegment = med.c_mktsegment
+        |   GROUP BY c.c_mktsegment)
+        |SELECT c.c_mktsegment, count(*) AS n_rows,
+        | CAST(sum(CASE WHEN abs(c.c_acctbal - med.med) > 4.4478 * mad.mad
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | any_value(med.med) AS med,
+        | any_value(mad.mad) AS mad
+        |FROM customer c
+        |JOIN med ON c.c_mktsegment = med.c_mktsegment
+        |JOIN mad ON c.c_mktsegment = mad.c_mktsegment
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "audit_equidepth_hist" ->
       """WITH r AS (SELECT l_extendedprice AS v,
         |   row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rnk,

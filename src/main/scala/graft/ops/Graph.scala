@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Iterative graph analytics over the order-basket co-purchase graph
+  * (SURVEY §2 extension — the link-analysis ops a training-data pipeline
+  * uses to rank crawl seeds / score document inter-linking).
+  *
+  * The graph is derived deterministically from `lineitem`: within an
+  * order, the part on line *i* points at the part on line *i+1* (the
+  * "bought-after" chain — an equi-join on `(l_orderkey, l_linenumber+1)`,
+  * bounded fan-out per order, never an all-pairs stage). At 100 TB the
+  * edge build is one shuffle on `l_orderkey` and every iteration below is
+  * an equi-join + aggregate on the part key — the standard
+  * PageRank-on-DataFrames shape where AQE handles hub-part skew.
+  *
+  * All rank arithmetic is FIXED-POINT (longs, 1e-12 units) with integer
+  * division only, so the iteration is bit-reproducible in any engine and
+  * the DuckDB oracle replays it exactly — the same trick as the
+  * integer-hash Count-Min (`Sketches.scala`) and the cent-exact EWMA.
+  */
+object Graph {
+
+  /** Rank unit: 1.0 of PageRank mass = 1e12 units. Total in-flight mass
+    * is ≤ 1e12 and every per-iteration product is ≤ 85e12, far under
+    * Long.MaxValue (~9.2e18).
+    */
+  private val Scale = 1000000000000L
+
+  /** Directed bought-after edges, distinct, self-loops dropped. */
+  private def boughtAfterEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    li.as("a")
+      .join(
+        li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") + 1 === col("b.l_linenumber"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** PageRank, 5 fixed iterations, damping 0.85, teleport uniform.
+    *
+    * Per iteration: each node divides its rank evenly over its out-edges
+    * (`r div outd` — integer floor division), incoming contributions are
+    * summed per destination, and the new rank is
+    * `teleport + (85 * inSum) div 100`. Nodes without out-edges leak
+    * their damped mass (the classic "dangling mass dropped" variant) and
+    * floor division sheds < 1 unit per edge — both deterministic, both
+    * mirrored in the oracle, so the gate is an EXACT integer compare.
+    *
+    * Edges / out-degrees / the node list are cached: the loop body
+    * references them five times and an uncached plan would re-scan
+    * parquet per iteration.
+    */
+  def pageRankParts(s: SparkSession, d: String): DataFrame = {
+    val e = boughtAfterEdges(s, d).cache()
+    val nodes = e.select(col("src").as("part"))
+      .union(e.select(col("dst").as("part"))).distinct().cache()
+    val nCnt = nodes.agg(count(lit(1)).as("n"))
+    val outd = e.groupBy("src").agg(count(lit(1)).as("outd"))
+    val eo = e.join(outd, "src").cache() // src, dst, outd
+
+    var r = nodes.crossJoin(broadcast(nCnt))
+      .select(col("part"), expr(s"$Scale div n").as("r"))
+    for (_ <- 1 to 5) {
+      val sums = eo
+        .join(r.withColumnRenamed("part", "src"), "src")
+        .select(col("dst").as("part"), expr("r div outd").as("c"))
+        .groupBy("part").agg(sum("c").as("m"))
+      r = nodes.crossJoin(broadcast(nCnt)).join(sums, Seq("part"), "left")
+        .select(
+          col("part"),
+          (expr(s"${15 * Scale} div (100 * n)") +
+            expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+    }
+    r.orderBy(col("r").desc, col("part"))
+      .limit(20)
+      .select(col("part"), col("r").as("rank_e12"))
+  }
+
+  /** K-hop reachability from seed parts (`part % 200 = 0`) over the
+    * UNDIRECTED co-purchase graph: distinct non-seed nodes within 1 and
+    * within 2 hops. Frontier expansion is distinct equi-joins on the
+    * node key — per-seed closure size bounds the intermediate, and the
+    * distinct collapses multi-path fan-in at each hop (the same
+    * large/small-star discipline as the connected-components op).
+    */
+  def khopReach(s: SparkSession, d: String): DataFrame = {
+    val e = boughtAfterEdges(s, d)
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().cache()
+    val seeds = und.select(col("u").as("seed")).distinct()
+      .filter(pmod(col("seed"), lit(200L)) === 0)
+    val hop1 = seeds.join(und, col("seed") === col("u"))
+      .select(col("seed"), col("v")).distinct().cache()
+    val hop2 = hop1.join(und.select(col("u").as("v"), col("v").as("w")), "v")
+      .select(col("seed"), col("w").as("v"))
+      .union(hop1.select(col("seed"), col("v")))
+      .distinct()
+      .filter(col("v") =!= col("seed"))
+    hop1.filter(col("v") =!= col("seed"))
+      .groupBy("seed").agg(count(lit(1)).as("n_1hop"))
+      .join(hop2.groupBy("seed").agg(count(lit(1)).as("n_2hop")), Seq("seed"), "left")
+      .select(col("seed"), col("n_1hop"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+      .orderBy("seed")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank_parts" -> (pageRankParts _),
+    "graph_khop_reach" -> (khopReach _),
+  )
+
+  private val edgeCte: String =
+    """li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+      | e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_linenumber + 1 = b.l_linenumber
+      |   WHERE a.l_partkey <> b.l_partkey)""".stripMargin
+
+  /** One unrolled PageRank iteration k-1 → k (DuckDB `//` floor division
+    * matches Spark `div` on the all-positive fixed-point values).
+    */
+  private def prStep(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""s$k AS (SELECT e.dst AS part, CAST(sum($prev.r // od.outd) AS BIGINT) AS m
+       |   FROM e JOIN od ON e.src = od.src JOIN $prev ON $prev.part = e.src
+       |   GROUP BY e.dst),
+       | r$k AS (SELECT nodes.part,
+       |   (15000000000000 // (100 * nn.n)) + (85 * coalesce(s$k.m, 0)) // 100 AS r
+       |   FROM nodes CROSS JOIN nn LEFT JOIN s$k ON nodes.part = s$k.part)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank_parts" ->
+      s"""WITH $edgeCte,
+         | nodes AS (SELECT src AS part FROM e UNION SELECT dst FROM e),
+         | nn AS (SELECT count(*) AS n FROM nodes),
+         | od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+         | r0 AS (SELECT part, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+         | ${(1 to 5).map(prStep).mkString(",\n ")}
+         |SELECT part, r AS rank_e12 FROM r5
+         |ORDER BY r DESC, part LIMIT 20""".stripMargin,
+    "graph_khop_reach" ->
+      s"""WITH $edgeCte,
+         | und AS (SELECT src AS u, dst AS v FROM e
+         |   UNION SELECT dst, src FROM e),
+         | seeds AS (SELECT DISTINCT u AS seed FROM und WHERE u % 200 = 0),
+         | h1 AS (SELECT DISTINCT seed, v FROM seeds JOIN und ON seed = u),
+         | h2 AS (SELECT DISTINCT seed, v FROM (
+         |   SELECT h1.seed, und.v FROM h1 JOIN und ON h1.v = und.u
+         |   UNION ALL SELECT seed, v FROM h1) WHERE v <> seed)
+         |SELECT c1.seed, c1.n_1hop, coalesce(c2.n_2hop, 0) AS n_2hop
+         |FROM (SELECT seed, count(*) AS n_1hop FROM h1 WHERE v <> seed GROUP BY seed) c1
+         |LEFT JOIN (SELECT seed, count(*) AS n_2hop FROM h2 GROUP BY seed) c2
+         | ON c1.seed = c2.seed
+         |ORDER BY c1.seed""".stripMargin,
+  )
+}

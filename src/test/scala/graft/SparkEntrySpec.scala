@@ -26,6 +26,7 @@ class SparkEntrySpec extends SparkSpec {
     "ml" -> Ml.queries.keySet,
     "sketches" -> Sketches.queries.keySet,
     "mining" -> Mining.queries.keySet,
+    "graph" -> Graph.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {

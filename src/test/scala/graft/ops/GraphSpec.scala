@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Sources
+
+/** Brute-force recomputes for the graph-analytics batch (fixed-point
+  * PageRank, k-hop reachability) plus invariants the oracle can't state
+  * (mass conservation bounds, rank monotonicity vs in-degree zero).
+  */
+class GraphSpec extends SparkSpec {
+
+  /** The same bought-after edge derivation, driver-side. */
+  private lazy val edges: Set[(Long, Long)] = {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // line numbers repeat within an order in the fixture, so pair ALL rows
+    // (a, b) with b.line = a.line + 1 — the same semantics as the equi-join
+    val byOrder = li.groupBy(_._1)
+    byOrder.values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.toSet
+  }
+
+  "Graph.pageRankParts" should "replay the fixed-point iteration exactly" in {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    val n = nodes.size.toLong
+    val outd = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.size.toLong }
+    val scale = 1000000000000L
+    val teleport = (15 * scale) / (100 * n)
+    var r: Map[Long, Long] = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => in(d0) += r(s0) / outd(s0) }
+      r = nodes.map(v => v -> (teleport + (85 * in(v)) / 100)).toMap
+    }
+    val expected = r.toSeq.sortBy { case (p, rk) => (-rk, p) }.take(20)
+    val got = Graph.pageRankParts(spark, sfDir).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSeq
+    got shouldBe expected
+  }
+
+  it should "keep total rank mass at most the initial mass (dangling leak only)" in {
+    val ranks = Graph.pageRankParts(spark, sfDir)
+    // top-20 sum is a lower bound on total mass; total never exceeds 1.0
+    val top = ranks.agg(sum("rank_e12")).head().getLong(0)
+    top should be > 0L
+    top should be <= 1000000000000L
+  }
+
+  "Graph.khopReach" should "match driver-side BFS counts and nest 1-hop in 2-hop" in {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ % 200 == 0).toSeq.sorted
+    val expected = seeds.map { s0 =>
+      val h1 = adj(s0) - s0
+      val h2 = (h1 ++ h1.flatMap(v => adj.getOrElse(v, Set.empty[Long]))) - s0
+      (s0, h1.size.toLong, h2.size.toLong)
+    }
+    val got = Graph.khopReach(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    got.foreach { case (_, n1, n2) => n2 should be >= n1 }
+  }
+
+  "Audit.robustOutliers" should "match a driver-side MAD computation" in {
+    val rows = Sources.customer(spark, sfDir)
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def median(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      val pos = 0.5 * (s0.size - 1)
+      val lo = s0(pos.toInt)
+      val hi = s0(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (seg, xs) =>
+      val vals = xs.map(_._2).toSeq
+      val med = median(vals)
+      val mad = median(vals.map(v => math.abs(v - med)))
+      val nOut = vals.count(v => math.abs(v - med) > 4.4478 * mad).toLong
+      (seg, vals.size.toLong, nOut, med, mad)
+    }
+    val got = Audit.robustOutliers(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    got shouldBe expected
+  }
+
+  "Analytics.attributionLinear" should "conserve total purchase cents across channels" in {
+    val out = Analytics.attributionLinear(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set("click", "view", "signup", "residual", "unattributed")
+    val totalCents = Sources.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long"))).head().getLong(0)
+    out.values.sum shouldBe totalCents
+  }
+}
