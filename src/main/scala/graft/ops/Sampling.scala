@@ -227,7 +227,44 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled mixture allocation — the corpus-rebalancing step
+    * of a multilingual / multi-domain training run (the mT5 / XLM-R
+    * sampling scheme): a fixed document budget is split across sources
+    * proportionally to `n_s^(1/T)`, flattening the head so low-resource
+    * sources are not drowned out. T = 2, and the weight is the INTEGER
+    * square root (`floor(sqrt(n))` — IEEE sqrt is correctly rounded, so
+    * the floor is engine-exact), which keeps the whole allocation in
+    * integer arithmetic: base seats are `(K·w_s) div ΣW`, leftover seats
+    * go to the largest integer REMAINDERS `(K·w_s) mod ΣW` (Hamilton's
+    * method, ties broken by source name) — so the seat vector sums to K
+    * exactly and the DuckDB oracle replays it bit-for-bit, with no
+    * float-sum association anywhere.
+    *
+    * Plan: one keyed aggregate for the counts; ΣW and the leftover-seat
+    * count ride in as 1-row broadcast attaches; the remainder rank runs
+    * through the two-pass [[Prefix]] aggregation, never a
+    * single-partition window (the source taxonomy grows with a corpus's
+    * provenance breadth).
+    */
+  def sampleTemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val budget = 100L
+    val counts = Sources.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_total"))
+      .withColumn("w", floor(sqrt(col("n_total").cast("double"))).cast("long"))
+    val base = counts
+      .crossJoin(broadcast(counts.agg(sum("w").as("wsum"))))
+      .withColumn("base", expr(s"($budget * w) div wsum"))
+      .withColumn("rem", expr(s"($budget * w) % wsum"))
+    val extra = base.agg((lit(budget) - sum("base")).as("extra"))
+    Prefix.running(base, Seq(col("rem").desc, col("source").asc), rankOut = Some("rnk"))
+      .crossJoin(broadcast(extra))
+      .select(col("source"), col("n_total"), col("w"),
+        (col("base") + when(col("rnk") <= col("extra"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature_mix" -> (sampleTemperatureMix _),
     "sample_weighted_reservoir" -> (sampleWeightedReservoir _),
     "sample_group_split" -> (sampleGroupSplit _),
     "sample_split_counts" -> (sampleSplitCounts _),
@@ -274,6 +311,19 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+        | w AS (SELECT source, n_total,
+        |   CAST(floor(sqrt(n_total)) AS BIGINT) AS w FROM c),
+        | t AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w),
+        | b AS (SELECT source, n_total, w,
+        |   (100 * w) // wsum AS base, (100 * w) % wsum AS rem
+        |   FROM w CROSS JOIN t),
+        | e AS (SELECT CAST(100 - sum(base) AS BIGINT) AS extra FROM b),
+        | r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk FROM b)
+        |SELECT source, n_total, w,
+        | CAST(base + CASE WHEN rnk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r CROSS JOIN e ORDER BY source""".stripMargin,
     "sample_weighted_reservoir" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,
         |   n_chars::DOUBLE /

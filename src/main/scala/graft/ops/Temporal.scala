@@ -48,6 +48,36 @@ object Temporal {
       .orderBy("custkey", "version")
   }
 
+  /** AS-OF snapshot read over the [[scd2History]] intervals — the
+    * time-travel query an SCD2 table exists for: reconstruct every
+    * customer's state at one instant T by keeping the single version
+    * whose `[valid_from, valid_to)` interval covers T. Same one-shuffle
+    * gaps-and-islands construction as the history build, then a
+    * map-side interval filter — snapshotting 100 TB of history costs
+    * exactly the history pass, with no extra shuffle and no per-version
+    * fan-out.
+    */
+  def asofSnapshot(s: SparkSession, d: String): DataFrame = {
+    val asOf = "1996-06-30"
+    val w = Window.partitionBy("custkey").orderBy("ts", "ok")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("prio"), 1).over(w)
+    val runs = Sources.orders(s, d)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("ok"), col("o_orderpriority").as("prio"))
+      .withColumn("chg", when(prev.isNull || prev =!= col("prio"), 1L).otherwise(0L))
+      .withColumn("version", sum("chg").over(wRun))
+    val wv = Window.partitionBy("custkey").orderBy("version")
+    runs.groupBy("custkey", "version", "prio")
+      .agg(to_date(min("ts")).as("vf"))
+      .withColumn("vt", lead("vf", 1).over(wv))
+      .filter(col("vf") <= lit(asOf).cast("date") &&
+        (col("vt").isNull || col("vt") > lit(asOf).cast("date")))
+      .select(col("custkey"), col("version"), col("prio"),
+        date_format(col("vf"), "yyyy-MM-dd").as("valid_from"))
+      .orderBy("custkey")
+  }
+
   /** Calendar gap-fill: per-customer daily order totals over Jan 1995
     * with explicit zero rows for order-free days. The date spine is
     * generated with `sequence` + `explode` per key — distributed, linear
@@ -159,6 +189,7 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_scd2_history" -> (scd2History _),
+    "ts_asof_snapshot" -> (asofSnapshot _),
     "ts_gapfill_daily" -> (gapfillDaily _),
     "stream_transition_matrix" -> (transitionMatrix _),
     "ts_ewma" -> (ewma _),
@@ -166,6 +197,25 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_asof_snapshot" ->
+      """WITH m AS (
+        | SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS ok,
+        |   o_orderpriority AS prio,
+        |   CASE WHEN lag(o_orderpriority) OVER
+        |     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |     IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg
+        | FROM orders),
+        | r AS (SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY ts, ok
+        |   ROWS UNBOUNDED PRECEDING) AS version FROM m),
+        | a AS (SELECT custkey, CAST(version AS BIGINT) AS version, prio,
+        |   CAST(min(ts) AS DATE) AS vf
+        |   FROM r GROUP BY custkey, version, prio),
+        | iv AS (SELECT *, lead(vf) OVER (PARTITION BY custkey ORDER BY version) AS vt
+        |   FROM a)
+        |SELECT custkey, version, prio, strftime(vf, '%Y-%m-%d') AS valid_from
+        |FROM iv
+        |WHERE vf <= DATE '1996-06-30' AND (vt IS NULL OR vt > DATE '1996-06-30')
+        |ORDER BY custkey""".stripMargin,
     "etl_scd2_history" ->
       """WITH m AS (
         | SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS ok,

@@ -39,8 +39,10 @@ class PlanShapesSpec extends SparkSpec {
     "audit_key_skew", "search_hybrid_rrf",
     // 1-row bounds / 3-row quantile / ≤64-row grid broadcast builds
     "sketch_qgrid_daily", "sketch_qgrid_quantiles",
-    // 1-row aggregate attaches (basket total / row total / node count)
-    "mining_frequent_pairs", "audit_equidepth_hist", "graph_pagerank_parts")
+    // 1-row aggregate attaches (basket total / row total / node count /
+    // weight total + leftover seats)
+    "mining_frequent_pairs", "audit_equidepth_hist", "graph_pagerank_parts",
+    "sample_temperature_mix")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -135,4 +135,35 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  "Temporal.asofSnapshot" should "agree with the covering scd2History interval per customer" in {
+    val hist = Temporal.scd2History(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), Option(r.getString(4)))
+    }
+    val asOf = "1996-06-30"
+    val expected = hist.filter { case (_, _, _, vf, vt) =>
+      vf <= asOf && vt.forall(_ > asOf) // ISO strings compare like dates
+    }.map { case (ck, v, prio, vf, _) => (ck, v, prio, vf) }.sortBy(_._1)
+    val got = Temporal.asofSnapshot(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    got shouldBe expected.toSeq
+    // exactly one covering interval per customer
+    got.map(_._1).distinct.size shouldBe got.size
+  }
+
+  "Sampling.sampleTemperatureMix" should "allocate exactly the budget via Hamilton seats" in {
+    val rows = Sampling.sampleTemperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.map(_._4).sum shouldBe 100L
+    // every source holds at least its floor seat share and at most +1
+    val wsum = rows.map(_._3).sum
+    rows.foreach { case (_, _, w, alloc) =>
+      val base = 100L * w / wsum
+      alloc should (be >= base and be <= base + 1)
+    }
+    // integer sqrt weights
+    rows.foreach { case (_, n, w, _) =>
+      w shouldBe math.floor(math.sqrt(n.toDouble)).toLong
+    }
+  }
 }
