@@ -174,6 +174,75 @@ case class EwmaSt(e: Double, set: Boolean)
 /** Emitted by [[EwmaProcessor]] per event: the post-update smoothed value. */
 case class EwmaOut(user_id: Long, event_id: Long, value: Double, ewma: Double)
 
+/** A user's retained touch window: (epoch-micros, event_type) pairs no
+  * older than 7 days before the newest event processed for the user.
+  */
+case class AttrSt(touches: Seq[AttrTouch])
+case class AttrTouch(us: Long, kind: String)
+
+/** Per-purchase attribution emitted at purchase time (integer cents;
+  * channel splits + floor-division residual + the no-touch bucket —
+  * identical arithmetic to the batch `join_attribution_linear`).
+  */
+case class AttrOut(user_id: Long, event_id: Long, cents: Long,
+    click_cents: Long, view_cents: Long, signup_cents: Long,
+    residual_cents: Long, unattributed_cents: Long)
+
+/** Streaming linear attribution (twin of
+  * `Analytics.attributionLinear`): the batch operator counts a
+  * purchase's preceding touches with a 7-day RANGE frame — a shape that
+  * needs the user's window co-resident in one task. THIS is the
+  * unbounded form: state per user is only the touches younger than 7
+  * days (pruned as the clock advances — the same retention the range
+  * frame implies), and each arriving purchase splits its cents over the
+  * retained counts with the exact integer arithmetic of the batch op.
+  * Under per-user in-timestamp-order delivery the per-purchase outputs
+  * are EXACTLY the batch rows (integer cents — no float tolerance
+  * needed; asserted in StreamingOpsSpec across a micro-batch boundary).
+  */
+class AttributionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, AttrOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  private val SevenDaysUs = 7L * 86400L * 1000000L
+  private val Touches = Set("click", "view", "signup")
+
+  @transient private var st: ValueState[AttrSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[AttrSt]("attr",
+      org.apache.spark.sql.Encoders.product[AttrSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[AttrOut] = {
+    var touches = if (st.exists()) st.get().touches.toVector else Vector.empty[AttrTouch]
+    val out = Seq.newBuilder[AttrOut]
+    def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+    rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+      val us = micros(e)
+      // retention: anything at exactly us - 7d is still inside the
+      // inclusive batch frame, so prune strictly-older only
+      touches = touches.filter(_.us >= us - SevenDaysUs)
+      if (Touches(e.event_type)) {
+        touches :+= AttrTouch(us, e.event_type)
+      } else if (e.event_type == "purchase") {
+        val cents = math.round(e.value * 100)
+        val nC = touches.count(_.kind == "click").toLong
+        val nV = touches.count(_.kind == "view").toLong
+        val nS = touches.count(_.kind == "signup").toLong
+        val tot = nC + nV + nS
+        val (aC, aV, aS) =
+          if (tot > 0) (cents * nC / tot, cents * nV / tot, cents * nS / tot)
+          else (0L, 0L, 0L)
+        out += AttrOut(key, e.event_id, cents, aC, aV, aS,
+          if (tot > 0) cents - (aC + aV + aS) else 0L,
+          if (tot == 0) cents else 0L)
+      }
+    }
+    st.update(AttrSt(touches))
+    out.result().iterator
+  }
+}
+
 /** Streaming EWMA (twin of `Temporal.ewma`, α = 0.5): the batch
   * operator reassembles each user's full series in one task, which is
   * the right shape when series fit a task; THIS is the shape when they
@@ -454,6 +523,17 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming linear attribution: see [[AttributionProcessor]].
+    * State per user = the 7-day touch window only.
+    */
+  def attributionPerPurchase(events: org.apache.spark.sql.Dataset[TypedEvent]):
+      org.apache.spark.sql.Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming ingestion-time near-dup detection: see

@@ -342,6 +342,39 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  "attributionPerPurchase (transformWithState)" should "reproduce the batch channel totals exactly" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.attributionPerPurchase(mem.toDS())
+      .writeStream.format("memory").queryName("attr_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    val rows = s2.table("attr_s").collect()
+    rows should not be empty
+    // per-purchase mass conservation
+    rows.foreach { r =>
+      r.getAs[Long]("cents") shouldBe
+        r.getAs[Long]("click_cents") + r.getAs[Long]("view_cents") +
+        r.getAs[Long]("signup_cents") + r.getAs[Long]("residual_cents") +
+        r.getAs[Long]("unattributed_cents")
+    }
+    // channel totals equal the batch operator's 5-row output EXACTLY
+    // (integer cents; state carried across the micro-batch boundary)
+    val got = Map(
+      "click" -> rows.map(_.getAs[Long]("click_cents")).sum,
+      "view" -> rows.map(_.getAs[Long]("view_cents")).sum,
+      "signup" -> rows.map(_.getAs[Long]("signup_cents")).sum,
+      "residual" -> rows.map(_.getAs[Long]("residual_cents")).sum,
+      "unattributed" -> rows.map(_.getAs[Long]("unattributed_cents")).sum)
+    val want = graft.ops.Analytics.attributionLinear(s2, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe want
+  }
+
   "ewmaPerUser (transformWithState)" should "be bit-equal to the batch fold" in {
     val s2 = rocksSession
     import s2.implicits._
