@@ -113,9 +113,48 @@ object Graph {
       .orderBy("seed")
   }
 
+  /** Personalized PageRank from the `part % 200 = 0` seed set (the same
+    * seeds as [[khopReach]]) — the crawl-prioritization form: teleport
+    * mass returns ONLY to seeds, so rank measures proximity to the seed
+    * set rather than global centrality. Identical fixed-point loop and
+    * plan shape as [[pageRankParts]]; only the teleport vector differs
+    * (seed-indicator instead of uniform). Nodes unreachable from the
+    * seeds hold exactly 0 and are filtered before the top-20.
+    */
+  def pprCrawlSeeds(s: SparkSession, d: String): DataFrame = {
+    val e = boughtAfterEdges(s, d).cache()
+    val nodes = e.select(col("src").as("part"))
+      .union(e.select(col("dst").as("part"))).distinct()
+      .withColumn("is_seed", pmod(col("part"), lit(200L)) === 0)
+      .cache()
+    val sCnt = nodes.agg(sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"))
+    val outd = e.groupBy("src").agg(count(lit(1)).as("outd"))
+    val eo = e.join(outd, "src").cache()
+
+    var r = nodes.crossJoin(broadcast(sCnt))
+      .select(col("part"),
+        when(col("is_seed"), expr(s"$Scale div ns")).otherwise(0L).as("r"))
+    for (_ <- 1 to 5) {
+      val sums = eo
+        .join(r.withColumnRenamed("part", "src"), "src")
+        .select(col("dst").as("part"), expr("r div outd").as("c"))
+        .groupBy("part").agg(sum("c").as("m"))
+      r = nodes.crossJoin(broadcast(sCnt)).join(sums, Seq("part"), "left")
+        .select(
+          col("part"),
+          (when(col("is_seed"), expr(s"${15 * Scale} div (100 * ns)")).otherwise(0L) +
+            expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+    }
+    r.filter(col("r") > 0)
+      .orderBy(col("r").desc, col("part"))
+      .limit(20)
+      .select(col("part"), col("r").as("rank_e12"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_parts" -> (pageRankParts _),
     "graph_khop_reach" -> (khopReach _),
+    "graph_ppr_seeds" -> (pprCrawlSeeds _),
   )
 
   private val edgeCte: String =
@@ -138,7 +177,32 @@ object Graph {
        |   FROM nodes CROSS JOIN nn LEFT JOIN s$k ON nodes.part = s$k.part)""".stripMargin
   }
 
+  /** One unrolled PERSONALIZED iteration — teleport only to seeds. */
+  private def prStepSeed(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""s$k AS (SELECT e.dst AS part, CAST(sum($prev.r // od.outd) AS BIGINT) AS m
+       |   FROM e JOIN od ON e.src = od.src JOIN $prev ON $prev.part = e.src
+       |   GROUP BY e.dst),
+       | r$k AS (SELECT nodes.part, nodes.is_seed,
+       |   (CASE WHEN nodes.is_seed THEN 15000000000000 // (100 * sn.ns) ELSE 0 END)
+       |     + (85 * coalesce(s$k.m, 0)) // 100 AS r
+       |   FROM nodes CROSS JOIN sn LEFT JOIN s$k ON nodes.part = s$k.part)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_ppr_seeds" ->
+      s"""WITH $edgeCte,
+         | nodes AS (SELECT part, part % 200 = 0 AS is_seed FROM
+         |   (SELECT src AS part FROM e UNION SELECT dst FROM e)),
+         | sn AS (SELECT CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) AS ns
+         |   FROM nodes),
+         | od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+         | r0 AS (SELECT part, is_seed,
+         |   CASE WHEN is_seed THEN 1000000000000 // sn.ns ELSE 0 END AS r
+         |   FROM nodes CROSS JOIN sn),
+         | ${(1 to 5).map(prStepSeed).mkString(",\n ")}
+         |SELECT part, r AS rank_e12 FROM r5 WHERE r > 0
+         |ORDER BY r DESC, part LIMIT 20""".stripMargin,
     "graph_pagerank_parts" ->
       s"""WITH $edgeCte,
          | nodes AS (SELECT src AS part FROM e UNION SELECT dst FROM e),

@@ -384,7 +384,30 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Boolean-AND retrieval (`search_boolean_and`) — the conjunctive
+    * half of the search surface next to BM25 (ranked) and RRF (fusion):
+    * documents containing EVERY query term, with per-term frequencies
+    * for downstream ranking. The token stream is filtered to the query
+    * terms BEFORE the per-document aggregate — the inverted-index probe
+    * shape: only matching postings shuffle, so cost scales with the
+    * terms' document frequencies, never the corpus token count.
+    */
+  def booleanAnd(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "dup")
+    val tf = Sources.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("w") === terms.head, 1L).otherwise(0L)).as(s"tf_${terms.head}"),
+        terms.tail.map(t =>
+          sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    terms.foldLeft(tf)((df, t) => df.filter(col(s"tf_$t") > 0))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_boolean_and" -> (booleanAnd _),
     "text_bm25" -> (bm25 _),
     "search_hybrid_rrf" -> (hybridRrf _),
     "text_zipf_slope" -> (zipfSlope _),
@@ -399,6 +422,15 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    "search_boolean_and" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | f AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN w = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+        |   CAST(sum(CASE WHEN w = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_dup
+        |  FROM w WHERE w IN ('spark', 'dup') GROUP BY doc_id)
+        |SELECT doc_id, tf_spark, tf_dup FROM f
+        |WHERE tf_spark > 0 AND tf_dup > 0 ORDER BY doc_id""".stripMargin,
     "search_hybrid_rrf" ->
       """WITH lens AS (SELECT doc_id, len(string_split(text,' '))::DOUBLE AS dl
         |   FROM documents),

@@ -53,6 +53,26 @@ class GraphSpec extends SparkSpec {
     top should be <= 1000000000000L
   }
 
+  "Graph.pprCrawlSeeds" should "replay the seed-teleport iteration exactly" in {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    val seeds = nodes.filter(_ % 200 == 0).toSet
+    val ns = seeds.size.toLong
+    val outd = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.size.toLong }
+    val scale = 1000000000000L
+    var r: Map[Long, Long] = nodes.map(v => v -> (if (seeds(v)) scale / ns else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => in(d0) += r(s0) / outd(s0) }
+      r = nodes.map { v =>
+        v -> ((if (seeds(v)) (15 * scale) / (100 * ns) else 0L) + (85 * in(v)) / 100)
+      }.toMap
+    }
+    val expected = r.toSeq.filter(_._2 > 0).sortBy { case (p, rk) => (-rk, p) }.take(20)
+    val got = Graph.pprCrawlSeeds(spark, sfDir).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSeq
+    got shouldBe expected
+  }
+
   "Graph.khopReach" should "match driver-side BFS counts and nest 1-hop in 2-hop" in {
     val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
