@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.Sources
+import graft.io.{Materialized, Sources}
 
 /** Iterative graph analytics over the order-basket co-purchase graph
   * (SURVEY §2 extension — the link-analysis ops a training-data pipeline
@@ -44,6 +44,27 @@ object Graph {
       .distinct()
   }
 
+  /** `(src, dst, outd)` — the edge list with the source's out-degree,
+    * built ONCE per (session, fixture) via [[Materialized]]: both
+    * PageRank variants and the reachability query consume the identical
+    * edge table, and each PageRank iteration references it again — the
+    * in-session stand-in for the edge table a production graph pipeline
+    * materializes before any traversal.
+    */
+  private def edgesWithDeg(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, s"graph-edges|$d") {
+      val e = boughtAfterEdges(s, d)
+      e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src")
+    }
+
+  /** All nodes (src ∪ dst), materialized once per (session, fixture). */
+  private def nodeTable(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, s"graph-nodes|$d") {
+      val eo = edgesWithDeg(s, d)
+      eo.select(col("src").as("part"))
+        .union(eo.select(col("dst").as("part"))).distinct()
+    }
+
   /** PageRank, 5 fixed iterations, damping 0.85, teleport uniform.
     *
     * Per iteration: each node divides its rank evenly over its out-edges
@@ -54,17 +75,15 @@ object Graph {
     * floor division sheds < 1 unit per edge — both deterministic, both
     * mirrored in the oracle, so the gate is an EXACT integer compare.
     *
-    * Edges / out-degrees / the node list are cached: the loop body
-    * references them five times and an uncached plan would re-scan
-    * parquet per iteration.
+    * Edges-with-out-degree and the node list come from [[Materialized]]
+    * (once per session × fixture): the loop body references them five
+    * times, the PPR variant reuses the identical tables, and an
+    * unmaterialized plan would re-scan parquet per iteration.
     */
   def pageRankParts(s: SparkSession, d: String): DataFrame = {
-    val e = boughtAfterEdges(s, d).cache()
-    val nodes = e.select(col("src").as("part"))
-      .union(e.select(col("dst").as("part"))).distinct().cache()
+    val eo = edgesWithDeg(s, d)
+    val nodes = nodeTable(s, d)
     val nCnt = nodes.agg(count(lit(1)).as("n"))
-    val outd = e.groupBy("src").agg(count(lit(1)).as("outd"))
-    val eo = e.join(outd, "src").cache() // src, dst, outd
 
     var r = nodes.crossJoin(broadcast(nCnt))
       .select(col("part"), expr(s"$Scale div n").as("r"))
@@ -92,10 +111,12 @@ object Graph {
     * large/small-star discipline as the connected-components op).
     */
   def khopReach(s: SparkSession, d: String): DataFrame = {
-    val e = boughtAfterEdges(s, d)
-    val und = e.select(col("src").as("u"), col("dst").as("v"))
-      .union(e.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().cache()
+    val und = Materialized.of(s, s"graph-und|$d") {
+      val e = edgesWithDeg(s, d)
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+        .distinct()
+    }
     val seeds = und.select(col("u").as("seed")).distinct()
       .filter(pmod(col("seed"), lit(200L)) === 0)
     val hop1 = seeds.join(und, col("seed") === col("u"))
@@ -122,14 +143,10 @@ object Graph {
     * seeds hold exactly 0 and are filtered before the top-20.
     */
   def pprCrawlSeeds(s: SparkSession, d: String): DataFrame = {
-    val e = boughtAfterEdges(s, d).cache()
-    val nodes = e.select(col("src").as("part"))
-      .union(e.select(col("dst").as("part"))).distinct()
+    val eo = edgesWithDeg(s, d)
+    val nodes = nodeTable(s, d)
       .withColumn("is_seed", pmod(col("part"), lit(200L)) === 0)
-      .cache()
     val sCnt = nodes.agg(sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"))
-    val outd = e.groupBy("src").agg(count(lit(1)).as("outd"))
-    val eo = e.join(outd, "src").cache()
 
     var r = nodes.crossJoin(broadcast(sCnt))
       .select(col("part"),
