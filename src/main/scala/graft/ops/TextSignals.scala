@@ -406,7 +406,29 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Positional phrase match (`search_phrase_match`) — exact-phrase
+    * retrieval ("window join") from a POSITIONAL posting join: tokens
+    * carry their offset, each phrase word's postings are filtered out of
+    * the token stream first, and adjacency is an equi-join on
+    * `(doc_id, pos)` with the second word shifted by −1. Cost ∝ the two
+    * words' posting sizes (the standard positional-index intersection),
+    * never a substring scan over the corpus — and `LIKE '%w1 w2%'`
+    * could not distinguish token boundaries anyway.
+    */
+  def phraseMatch(s: SparkSession, d: String): DataFrame = {
+    val (w1, w2) = ("window", "join")
+    val toks = Sources.documents(s, d)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+    val a = toks.filter(col("w") === w1).select(col("doc_id"), col("pos"))
+    val b = toks.filter(col("w") === w2).select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min("pos").cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_phrase_match" -> (phraseMatch _),
     "search_boolean_and" -> (booleanAnd _),
     "text_bm25" -> (bm25 _),
     "search_hybrid_rrf" -> (hybridRrf _),
@@ -422,6 +444,16 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    "search_phrase_match" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | p AS (SELECT doc_id, unnest(list_transform(
+        |     range(1, greatest(len(ws), 2)),
+        |     i -> CASE WHEN ws[i] = 'window' AND ws[i+1] = 'join'
+        |          THEN i - 1 ELSE NULL END)) AS pos
+        |   FROM w)
+        |SELECT doc_id, count(*) AS n_occurrences,
+        | CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM p WHERE pos IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "search_boolean_and" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |   FROM documents),
