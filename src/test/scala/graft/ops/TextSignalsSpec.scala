@@ -231,6 +231,30 @@ class TextSignalsSpec extends SparkSpec {
     }
   }
 
+  "TextSignals.booleanAnd" should "match a brute-force conjunctive scan" in {
+    val expected = docs.flatMap { case (id, text, _, _) =>
+      val ws = text.split(" ", -1)
+      val (c1, c2) = (ws.count(_ == "spark").toLong, ws.count(_ == "dup").toLong)
+      if (c1 > 0 && c2 > 0) Some((id, c1, c2)) else None
+    }.sortBy(_._1)
+    val got = TextSignals.booleanAnd(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
+
+  "TextSignals.phraseMatch" should "match a brute-force adjacent-pair scan" in {
+    val expected = docs.flatMap { case (id, text, _, _) =>
+      val ws = text.split(" ", -1)
+      val hits = ws.indices.dropRight(1)
+        .filter(i => ws(i) == "window" && ws(i + 1) == "join")
+      if (hits.nonEmpty) Some((id, hits.size.toLong, hits.min.toLong)) else None
+    }.sortBy(_._1)
+    val got = TextSignals.phraseMatch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    expected should not be empty // the fixture phrase must bind
+  }
+
   "TextSignals.zipfSlope" should "match the brute-force log-log regression" in {
     val counts = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
       .view.mapValues(_.size).toSeq
