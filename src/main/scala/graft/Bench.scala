@@ -15,6 +15,16 @@ object Bench {
     // query doesn't absorb session startup (~3-4s on a cold JVM)
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // host-speed canary: a FIXED data-independent CPU-bound aggregate
+    // (codegen'd range sum, all cores). Its time calibrates the run —
+    // measured spreads up to ~2.4x on identical code from hypervisor
+    // contention make raw totals incomparable across runs; readers
+    // should compare total/canary ratios, not totals.
+    val canary = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // two timed iterations per query, min reported: the second run reuses
     // warmed JIT/codegen caches, so min-of-2 approximates steady-state
     // latency without GC/compilation noise
@@ -69,7 +79,7 @@ object Bench {
       else ",\"errors\":" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},"queries":$qs$errJson,"sf":"$sfDir"}"""
     // filtered local runs must not clobber the round record, and neither
     // must a partially-failed run: a caller ignoring the non-zero exit (or
     // a later blanket commit) would ship the broken record over the last
@@ -84,7 +94,7 @@ object Bench {
     val topQs = top.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rest = results.map(_._2).filter(_ >= 0).sum - top.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,""" +
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},"queries":$topQs,""" +
       s""""other_sec":${fmt(rest)},"n_queries":${results.size},"detail":"bench.json","sf":"$sfDir"}""")
     spark.stop()
     // any -1.0 in the record ⇒ non-zero exit: a caller (or a builder about
