@@ -81,6 +81,37 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("user_id"))
   }
 
+  /** CMS join-size estimation (`sketch_join_size`) — the
+    * cost-based-optimizer primitive at 100 TB: |A ⨝ B| on a key is
+    * estimated from two SKETCHES (per hash row j, Σ_b A_j[b]·B_j[b];
+    * min over rows), so planning a join between two petabyte tables
+    * reads 2·d·w = 4 096 counters instead of either table. The
+    * estimate is an upper bound in expectation (hash collisions only
+    * ADD cross terms); the query reports it against the exact size —
+    * itself computed from per-key COUNT aggregates, never a
+    * materialized join. Integer hashes ⇒ the whole estimator replays
+    * exactly in the oracle.
+    */
+  def joinSizeEst(s: SparkSession, d: String): DataFrame = {
+    def sketchOf(df: DataFrame, key: String, out: String): DataFrame =
+      df.select(explode(cellArray(col(key))).as("cell"))
+        .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val est = sketchOf(Sources.events(s, d), "user_id", "ca")
+      .join(sketchOf(Sources.orders(s, d), "o_custkey", "cb"), Seq("j", "bucket"))
+      .groupBy("j").agg(sum(col("ca") * col("cb")).as("est_j"))
+      .agg(min("est_j").as("cms_est"))
+    val exact = Sources.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+      .join(Sources.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id")).agg(count(lit(1)).as("nb")),
+        "user_id")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_size"))
+    est.crossJoin(broadcast(exact)) // 1-row × 1-row attach
+      .select(col("cms_est"), col("exact_size"),
+        (col("cms_est") - col("exact_size")).as("overest"))
+  }
+
   // ------------------------------------------------------ HyperLogLog
 
   /** Day-grain HLL state over `events`: per-day distinct-user estimates
@@ -195,6 +226,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cms_users" -> (cmsUsers _),
+    "sketch_join_size" -> (joinSizeEst _),
     "sketch_hll_daily" -> (hllDailyUsers _),
     "sketch_hll_rollup" -> (hllRollup _),
     "sketch_qgrid_daily" -> (quantileGridDaily _),
@@ -241,6 +273,25 @@ object Sketches {
         |SELECT hit.q, est, exact, round(abs(est - exact), 4) + 0.0 AS abs_err
         |FROM hit JOIN ex ON hit.q = ex.q
         |ORDER BY hit.q""".stripMargin,
+    "sketch_join_size" ->
+      """WITH hp(j, a, b) AS (VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
+        |   (2, 15485863, 104729), (3, 32452843, 1299721)),
+        | ca AS (SELECT hp.j,
+        |   ((user_id % 2147483647) * a + b) % 2147483647 % 512 AS bucket,
+        |   count(*) AS ca FROM events, hp GROUP BY 1, 2),
+        | cb AS (SELECT hp.j,
+        |   ((o_custkey % 2147483647) * a + b) % 2147483647 % 512 AS bucket,
+        |   count(*) AS cb FROM orders, hp GROUP BY 1, 2),
+        | est AS (SELECT CAST(min(est_j) AS BIGINT) AS cms_est FROM (
+        |   SELECT ca.j, sum(ca.ca * cb.cb) AS est_j
+        |   FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+        |   GROUP BY ca.j)),
+        | ex AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_size
+        |   FROM (SELECT user_id, count(*) AS na FROM events GROUP BY 1) a
+        |   JOIN (SELECT o_custkey AS user_id, count(*) AS nb FROM orders
+        |     GROUP BY 1) b USING (user_id))
+        |SELECT cms_est, exact_size, cms_est - exact_size AS overest
+        |FROM est CROSS JOIN ex""".stripMargin,
     "sketch_cms_users" ->
       """WITH cells AS (
         |  SELECT j.j,

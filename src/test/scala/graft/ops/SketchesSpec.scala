@@ -65,6 +65,19 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  "Sketches.joinSizeEst" should "upper-bound the exact join size from sketches alone" in {
+    val row = Sketches.joinSizeEst(spark, sfDir).head()
+    val (est, exact, over) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    over shouldBe est - exact
+    est should be >= exact // collisions only ADD cross terms
+    // exact replay: per-key count dot product
+    val ev = Sources.events(spark, sfDir).groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val or = Sources.orders(spark, sfDir).groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact shouldBe ev.map { case (k, n) => n * or.getOrElse(k, 0L) }.sum
+  }
+
   it should "merge day sketches into exactly the whole-corpus sketch" in {
     // union-of-sketches == sketch-of-union: the rollup estimate must be
     // IDENTICAL (not merely close) to sketching all events in one pass
