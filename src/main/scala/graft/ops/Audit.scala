@@ -195,7 +195,31 @@ object Audit {
       .orderBy("c_mktsegment")
   }
 
+  /** Histogram-based selectivity estimation (`audit_selectivity_est`)
+    * — the second CBO primitive next to `sketch_join_size`: price a
+    * range predicate from the 16-bucket equi-depth histogram
+    * ([[equidepthHist]]) instead of scanning the fact table. Buckets
+    * that INTERSECT the range count fully, so the estimate is a
+    * guaranteed integer upper bound (every qualifying row lives in an
+    * intersecting bucket); the query reports it against the exact
+    * count. At 100 TB the histogram is the persisted statistic — the
+    * estimate reads 16 rows.
+    */
+  def selectivityEst(s: SparkSession, d: String): DataFrame = {
+    val (lo, hi) = (2000.0, 5000.0)
+    val est = equidepthHist(s, d)
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("est_rows"))
+    val exact = Sources.lineitem(s, d)
+      .filter(col("l_extendedprice").between(lo, hi))
+      .agg(count(lit(1)).as("exact_rows"))
+    est.crossJoin(broadcast(exact)) // 1-row × 1-row attach
+      .select(col("est_rows"), col("exact_rows"),
+        (col("est_rows") - col("exact_rows")).as("overest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_selectivity_est" -> (selectivityEst _),
     "audit_snapshot_diff" -> (snapshotDiff _),
     "audit_key_skew" -> (keySkew _),
     "audit_fuzzy_match" -> (fuzzyMatch _),
@@ -261,6 +285,20 @@ object Audit {
         | round(med7, 1) + 0.0 AS med7
         |FROM rolled WHERE n_days = 7
         |ORDER BY o_orderpriority, day""".stripMargin,
+    "audit_selectivity_est" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |   row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rnk,
+        |   count(*) OVER () AS n_total
+        | FROM lineitem),
+        | h AS (SELECT (rnk - 1) * 16 // n_total AS bucket,
+        |   count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+        |  FROM r GROUP BY 1),
+        | est AS (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS est_rows
+        |   FROM h WHERE hi >= 2000 AND lo <= 5000),
+        | ex AS (SELECT count(*) AS exact_rows FROM lineitem
+        |   WHERE l_extendedprice BETWEEN 2000 AND 5000)
+        |SELECT est_rows, exact_rows, est_rows - exact_rows AS overest
+        |FROM est CROSS JOIN ex""".stripMargin,
     "audit_robust_outliers" ->
       """WITH med AS (SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS med
         |   FROM customer GROUP BY c_mktsegment),
