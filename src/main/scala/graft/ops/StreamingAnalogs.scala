@@ -209,7 +209,26 @@ object StreamingAnalogs {
           .as("n_conversions"))
       .orderBy("user_id")
 
+  /** Top user paths (`seq_user_paths`): the first three event types of
+    * each user's timeline, joined into a path string, counted across
+    * users — the onboarding-flow analysis every event pipeline runs.
+    * Same order-determinism discipline as [[patternConversions]]:
+    * `array_sort` over (ts, event_id, type) structs fixes the sequence
+    * under any partitioning before the slice; the top-10 is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def userPaths(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(array_join(slice(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), 1, 3), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_user_paths" -> (userPaths _),
     "stream_drift_monitor" -> (driftMonitor _),
     "stream_static_enrich" -> (staticEnrich _),
     "stream_pattern_conversions" -> (patternConversions _),
@@ -222,6 +241,12 @@ object StreamingAnalogs {
   )
 
   val oracles: Map[String, String] = Map(
+    "seq_user_paths" ->
+      """WITH p AS (SELECT user_id, array_to_string(
+        |   (array_agg(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+        | FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
     "stream_pattern_conversions" ->
       """WITH s AS (SELECT user_id,
         |   string_agg(substring(event_type, 1, 1), ''
