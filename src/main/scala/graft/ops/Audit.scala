@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -218,7 +218,39 @@ object Audit {
         (col("est_rows") - col("exact_rows")).as("overest"))
   }
 
+  /** Data-contract check (`audit_contract_check`) — the admission gate a
+    * lakehouse runs before promoting a batch: each declared constraint
+    * (non-null, positive amount, enum membership, date range,
+    * referential integrity) is evaluated as a map-side predicate and the
+    * violation counts come back in one aggregate pass; the FK rule is a
+    * broadcast anti-join on the dimension. One scan prices the whole
+    * contract at any corpus size — rules are columns, not passes.
+    */
+  def contractCheck(s: SparkSession, d: String): DataFrame = {
+    val orders = Sources.orders(s, d)
+    val rowRules: Seq[(String, Column)] = Seq(
+      "totalprice_positive" -> (col("o_totalprice") <= 0),
+      "status_enum" -> !col("o_orderstatus").isin("F", "O", "P"),
+      "orderdate_range" ->
+        (col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+      "priority_nonnull" -> col("o_orderpriority").isNull)
+    val rowCounts = orders.agg(
+      sum(when(rowRules.head._2, 1L).otherwise(0L)).as(rowRules.head._1),
+      rowRules.tail.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }: _*)
+    val fkViolations = orders
+      .join(broadcast(Sources.customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("custkey_fk"))
+    rowCounts.crossJoin(broadcast(fkViolations)) // 1-row × 1-row attach
+      .select(expr(
+        "stack(5, " + (rowRules.map(_._1) :+ "custkey_fk")
+          .map(n => s"'$n', $n").mkString(", ") + ") AS (rule, n_violations)"))
+      .orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_contract_check" -> (contractCheck _),
     "audit_selectivity_est" -> (selectivityEst _),
     "audit_snapshot_diff" -> (snapshotDiff _),
     "audit_key_skew" -> (keySkew _),
@@ -285,6 +317,28 @@ object Audit {
         | round(med7, 1) + 0.0 AS med7
         |FROM rolled WHERE n_days = 7
         |ORDER BY o_orderpriority, day""".stripMargin,
+    "audit_contract_check" ->
+      """WITH rc AS (SELECT
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS totalprice_positive,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS status_enum,
+        |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |    OR o_orderdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS orderdate_range,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS priority_nonnull
+        | FROM orders),
+        | fk AS (SELECT count(*) AS custkey_fk FROM orders o
+        |   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |   WHERE c.c_custkey IS NULL)
+        |SELECT rule, n_violations FROM (
+        |  SELECT 'totalprice_positive' AS rule, totalprice_positive AS n_violations FROM rc
+        |  UNION ALL SELECT 'status_enum', status_enum FROM rc
+        |  UNION ALL SELECT 'orderdate_range', orderdate_range FROM rc
+        |  UNION ALL SELECT 'priority_nonnull', priority_nonnull FROM rc
+        |  UNION ALL SELECT 'custkey_fk', custkey_fk FROM fk)
+        |ORDER BY rule""".stripMargin,
     "audit_selectivity_est" ->
       """WITH r AS (SELECT l_extendedprice AS v,
         |   row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rnk,
