@@ -78,6 +78,31 @@ object ScaleProbe {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
         ord.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
       }
+      // PageRank scaling: replicate lineitem with BOTH orderkey and
+      // partkey offset, so the co-purchase graph's nodes AND edges grow
+      // ~k× (offsetting only the orderkey would collapse every replica's
+      // part pairs in the distinct). Edge/degree/node tables are
+      // checkpointed first — the iteration references them five times —
+      // and only the 5-iteration fixed-point loop is timed. Time must
+      // track edges ~linearly: each iteration is one equi-join + one
+      // keyed aggregate, and a shape that concentrated rank rows or
+      // fanned out non-equi would grow super-linearly.
+      if (!new java.io.File(s"$dir/lineitem_g.parquet").exists()) {
+        replicate("lineitem", k, Seq("l_orderkey", "l_partkey"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem_g.parquet")
+      }
+      val eG = graft.ops.Graph.edgesFrom(
+        spark.read.parquet(s"$dir/lineitem_g.parquet"))
+      val eoG = eG.join(eG.groupBy("src").agg(count(lit(1)).as("outd")), "src")
+        .localCheckpoint(true)
+      val nodesG = eoG.select(col("src").as("part"))
+        .union(eoG.select(col("dst").as("part"))).distinct()
+        .localCheckpoint(true)
+      val nEdges = eoG.count()
+      val tPr = time {
+        graft.ops.Graph.pageRankLoop(eoG, nodesG).count()
+      }
+
       // LSH dedup: replicated corpora are exactly the near-dup-heavy case;
       // bits re-sized per scale keeps expected bucket size constant, so the
       // candidate count (and the timing) should track n, not n²
@@ -230,7 +255,7 @@ object ScaleProbe {
         pqRows
       }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr}""")
     }
     spark.stop()
   }

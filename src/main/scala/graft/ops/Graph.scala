@@ -31,18 +31,8 @@ object Graph {
   private val Scale = 1000000000000L
 
   /** Directed bought-after edges, distinct, self-loops dropped. */
-  private def boughtAfterEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Sources.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    li.as("a")
-      .join(
-        li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_linenumber") + 1 === col("b.l_linenumber"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-  }
+  private def boughtAfterEdges(s: SparkSession, d: String): DataFrame =
+    edgesFrom(Sources.lineitem(s, d))
 
   /** `(src, dst, outd)` — the edge list with the source's out-degree,
     * built ONCE per (session, fixture) via [[Materialized]]: both
@@ -80,11 +70,13 @@ object Graph {
     * times, the PPR variant reuses the identical tables, and an
     * unmaterialized plan would re-scan parquet per iteration.
     */
-  def pageRankParts(s: SparkSession, d: String): DataFrame = {
-    val eo = edgesWithDeg(s, d)
-    val nodes = nodeTable(s, d)
+  /** The uniform-teleport fixed-point loop over prepared `(src, dst,
+    * outd)` edges and a `part` node table — shared by the fixture query
+    * and the ScaleProbe scaling measurement. Returns the full rank
+    * table.
+    */
+  private[graft] def pageRankLoop(eo: DataFrame, nodes: DataFrame): DataFrame = {
     val nCnt = nodes.agg(count(lit(1)).as("n"))
-
     var r = nodes.crossJoin(broadcast(nCnt))
       .select(col("part"), expr(s"$Scale div n").as("r"))
     for (_ <- 1 to 5) {
@@ -98,10 +90,29 @@ object Graph {
           (expr(s"${15 * Scale} div (100 * n)") +
             expr("(85 * coalesce(m, 0)) div 100")).as("r"))
     }
-    r.orderBy(col("r").desc, col("part"))
+    r
+  }
+
+  /** The bought-after edge derivation over an arbitrary lineitem frame —
+    * shared with ScaleProbe, which feeds replicated fixtures.
+    */
+  private[graft] def edgesFrom(li: DataFrame): DataFrame = {
+    val t = li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    t.as("a")
+      .join(
+        t.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") + 1 === col("b.l_linenumber"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  def pageRankParts(s: SparkSession, d: String): DataFrame =
+    pageRankLoop(edgesWithDeg(s, d), nodeTable(s, d))
+      .orderBy(col("r").desc, col("part"))
       .limit(20)
       .select(col("part"), col("r").as("rank_e12"))
-  }
 
   /** K-hop reachability from seed parts (`part % 200 = 0`) over the
     * UNDIRECTED co-purchase graph: distinct non-seed nodes within 1 and
