@@ -249,7 +249,51 @@ object Audit {
       .orderBy("rule")
   }
 
+  /** PSI drift (`audit_psi_drift`) — the population-stability index ML
+    * monitoring runs between a baseline and a current window: decile
+    * edges come from the BASELINE's exact percentiles, both periods are
+    * bucketed against those frozen edges, and each bucket contributes
+    * `(p_b − p_a)·ln(p_b/p_a)` with Laplace smoothing (+1 per bucket,
+    * +10 per period) so an empty current bucket yields a finite,
+    * deterministic contribution instead of ±∞. The ratio inside the log
+    * is formed from INTEGER products (`(cb+1)(na+10) / (nb+10)(ca+1)`),
+    * so each side runs the identical two-IEEE-op sequence and the
+    * rounded contributions hash-match; per-bucket rows ship WITHOUT a
+    * float total (the consumer sums — no cross-engine sum-order
+    * divergence). Bucketing is a map-side HOF over the 9-edge broadcast
+    * array: one scan per period at any scale.
+    */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val split = lit("2024-01-16").cast("timestamp")
+    val ev = Sources.events(s, d).select(col("value"), col("ts"))
+    val a = ev.filter(col("ts") < split)
+    val b = ev.filter(col("ts") >= split)
+    val edges = a.agg(expr(
+      "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("edges"))
+    def bucketCounts(df: DataFrame, out: String): DataFrame =
+      df.crossJoin(broadcast(edges))
+        .select(size(filter(col("edges"),
+          e => col("value") > e)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    val na = a.agg(count(lit(1)).as("na"))
+    val nb = b.agg(count(lit(1)).as("nb"))
+    s.range(10).select(col("id").as("bucket"))
+      .join(bucketCounts(a, "ca0"), Seq("bucket"), "left")
+      .join(bucketCounts(b, "cb0"), Seq("bucket"), "left")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("bucket"),
+        coalesce(col("ca0"), lit(0L)).as("ca"),
+        coalesce(col("cb0"), lit(0L)).as("cb"),
+        col("na"), col("nb"))
+      .withColumn("psi", roundNorm(expr(
+        "(cast(cb+1 as double)/(nb+10) - cast(ca+1 as double)/(na+10)) * " +
+          "ln(cast((cb+1)*(na+10) as double)/((nb+10)*(ca+1)))"), 6))
+      .select(col("bucket"), col("ca"), col("cb"), col("psi"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_psi_drift" -> (psiDrift _),
     "audit_contract_check" -> (contractCheck _),
     "audit_selectivity_est" -> (selectivityEst _),
     "audit_snapshot_diff" -> (snapshotDiff _),
@@ -317,6 +361,27 @@ object Audit {
         | round(med7, 1) + 0.0 AS med7
         |FROM rolled WHERE n_days = 7
         |ORDER BY o_orderpriority, day""".stripMargin,
+    "audit_psi_drift" ->
+      """WITH a AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        | b AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+        | e AS (SELECT quantile_cont(value,
+        |   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges FROM a),
+        | ba AS (SELECT CAST(len(list_filter(e.edges, x -> value > x)) AS BIGINT)
+        |   AS bucket, count(*) AS ca FROM a CROSS JOIN e GROUP BY 1),
+        | bb AS (SELECT CAST(len(list_filter(e.edges, x -> value > x)) AS BIGINT)
+        |   AS bucket, count(*) AS cb FROM b CROSS JOIN e GROUP BY 1),
+        | na AS (SELECT count(*) AS na FROM a),
+        | nb AS (SELECT count(*) AS nb FROM b),
+        | g AS (SELECT CAST(r.range AS BIGINT) AS bucket,
+        |   coalesce(ba.ca, 0) AS ca, coalesce(bb.cb, 0) AS cb, na.na, nb.nb
+        |  FROM range(0, 10) r
+        |  LEFT JOIN ba ON r.range = ba.bucket
+        |  LEFT JOIN bb ON r.range = bb.bucket
+        |  CROSS JOIN na CROSS JOIN nb)
+        |SELECT bucket, ca, cb,
+        | round((CAST(cb+1 AS DOUBLE)/(nb+10) - CAST(ca+1 AS DOUBLE)/(na+10)) *
+        |   ln(CAST((cb+1)*(na+10) AS DOUBLE)/((nb+10)*(ca+1))), 6) + 0.0 AS psi
+        |FROM g ORDER BY bucket""".stripMargin,
     "audit_contract_check" ->
       """WITH rc AS (SELECT
         |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)

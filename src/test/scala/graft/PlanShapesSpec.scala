@@ -43,7 +43,7 @@ class PlanShapesSpec extends SparkSpec {
     // weight total + leftover seats)
     "mining_frequent_pairs", "audit_equidepth_hist", "graph_pagerank_parts",
     "graph_ppr_seeds", "sample_temperature_mix", "sketch_join_size",
-    "audit_selectivity_est", "audit_contract_check")
+    "audit_selectivity_est", "audit_contract_check", "audit_psi_drift")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
