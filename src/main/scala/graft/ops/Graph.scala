@@ -179,10 +179,56 @@ object Graph {
       .select(col("part"), col("r").as("rank_e12"))
   }
 
+  /** Edge-weighted PageRank (`graph_pagerank_weighted`): edges carry
+    * their co-occurrence MULTIPLICITY (how many order chains produced
+    * the pair — kept by aggregating instead of `distinct`), and each
+    * node divides rank over outgoing WEIGHT: contribution =
+    * `(r · w_e) div Σw_out`. Still pure integer arithmetic — the
+    * weighted generalization costs nothing in determinism, and strong
+    * repeat-co-purchase links now attract proportionally more rank
+    * than one-off pairings. Same join-aggregate iteration shape.
+    */
+  def pageRankWeighted(s: SparkSession, d: String): DataFrame = {
+    val ew = Materialized.of(s, s"graph-wedges|$d") {
+      val li = Sources.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val pairs = li.as("a")
+        .join(
+          li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") + 1 === col("b.l_linenumber"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      pairs.join(
+        pairs.groupBy("src").agg(sum("w").as("wout")), "src")
+    }
+    val nodes = ew.select(col("src").as("part"))
+      .union(ew.select(col("dst").as("part"))).distinct()
+    val nCnt = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(nCnt))
+      .select(col("part"), expr(s"$Scale div n").as("r"))
+    for (_ <- 1 to 5) {
+      val sums = ew
+        .join(r.withColumnRenamed("part", "src"), "src")
+        .select(col("dst").as("part"), expr("(r * w) div wout").as("c"))
+        .groupBy("part").agg(sum("c").as("m"))
+      r = nodes.crossJoin(broadcast(nCnt)).join(sums, Seq("part"), "left")
+        .select(
+          col("part"),
+          (expr(s"${15 * Scale} div (100 * n)") +
+            expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+    }
+    r.orderBy(col("r").desc, col("part"))
+      .limit(20)
+      .select(col("part"), col("r").as("rank_e12"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_parts" -> (pageRankParts _),
     "graph_khop_reach" -> (khopReach _),
     "graph_ppr_seeds" -> (pprCrawlSeeds _),
+    "graph_pagerank_weighted" -> (pageRankWeighted _),
   )
 
   private val edgeCte: String =
@@ -217,7 +263,34 @@ object Graph {
        |   FROM nodes CROSS JOIN sn LEFT JOIN s$k ON nodes.part = s$k.part)""".stripMargin
   }
 
+  /** One unrolled WEIGHTED iteration. */
+  private def prStepW(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""s$k AS (SELECT p.dst AS part,
+       |   CAST(sum(($prev.r * p.w) // p.wout) AS BIGINT) AS m
+       |   FROM p JOIN $prev ON $prev.part = p.src
+       |   GROUP BY p.dst),
+       | r$k AS (SELECT nodes.part,
+       |   (15000000000000 // (100 * nn.n)) + (85 * coalesce(s$k.m, 0)) // 100 AS r
+       |   FROM nodes CROSS JOIN nn LEFT JOIN s$k ON nodes.part = s$k.part)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank_weighted" ->
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+         |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_linenumber + 1 = b.l_linenumber
+         |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+         | p AS (SELECT pw.src, pw.dst, pw.w, wo.wout FROM pw JOIN
+         |   (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM pw GROUP BY src) wo
+         |   ON pw.src = wo.src),
+         | nodes AS (SELECT src AS part FROM p UNION SELECT dst FROM p),
+         | nn AS (SELECT count(*) AS n FROM nodes),
+         | r0 AS (SELECT part, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+         | ${(1 to 5).map(prStepW).mkString(",\n ")}
+         |SELECT part, r AS rank_e12 FROM r5
+         |ORDER BY r DESC, part LIMIT 20""".stripMargin,
     "graph_ppr_seeds" ->
       s"""WITH $edgeCte,
          | nodes AS (SELECT part, part % 200 = 0 AS is_seed FROM

@@ -42,7 +42,8 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row aggregate attaches (basket total / row total / node count /
     // weight total + leftover seats)
     "mining_frequent_pairs", "audit_equidepth_hist", "graph_pagerank_parts",
-    "graph_ppr_seeds", "sample_temperature_mix", "sketch_join_size",
+    "graph_ppr_seeds", "graph_pagerank_weighted", "sample_temperature_mix",
+    "sketch_join_size",
     "audit_selectivity_est", "audit_contract_check", "audit_psi_drift")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a

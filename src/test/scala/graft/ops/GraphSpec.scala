@@ -73,6 +73,32 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Graph.pageRankWeighted" should "replay the weighted fixed-point iteration exactly" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val wEdges = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.groupBy(identity).map { case ((s0, d0), xs) => (s0, d0, xs.size.toLong) }.toSeq
+    val nodes = (wEdges.map(_._1) ++ wEdges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val wout = wEdges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+    val scale = 1000000000000L
+    var r: Map[Long, Long] = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      wEdges.foreach { case (s0, d0, w) => in(d0) += r(s0) * w / wout(s0) }
+      r = nodes.map(v => v -> ((15 * scale) / (100 * n) + (85 * in(v)) / 100)).toMap
+    }
+    val expected = r.toSeq.sortBy { case (p, rk) => (-rk, p) }.take(20)
+    val got = Graph.pageRankWeighted(spark, sfDir).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSeq
+    got shouldBe expected
+  }
+
   "Graph.khopReach" should "match driver-side BFS counts and nest 1-hop in 2-hop" in {
     val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
