@@ -594,6 +594,23 @@ object StreamingOps {
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming PSI bucket maintenance (twin of `Audit.psiDrift`'s
+    * current-window side): the baseline decile EDGES are a frozen model
+    * artifact (exactly as the batch op freezes them from the baseline
+    * period), and the current window's bucket populations are a plain
+    * streaming aggregate — ≤10 counters of state, updated map-side
+    * against the broadcast edge array. PSI contributions are a 10-row
+    * read over these counters with the batch op's smoothed formula; the
+    * frozen-edge trade is the same one the quantile-grid twin documents.
+    */
+  def psiBuckets(events: DataFrame, edges: Seq[Double]): DataFrame = {
+    val arr = array(edges.map(lit): _*)
+    events
+      .select(size(filter(arr, e => col("value") > e)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming sequence-pattern mining: see [[PatternProcessor]]. One
     * boolean + two counters of state per user — the unbounded-series
     * form of `StreamingAnalogs.patternConversions`.

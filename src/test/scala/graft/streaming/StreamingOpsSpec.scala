@@ -316,6 +316,33 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  "psiBuckets (streaming aggregate)" should "match the batch current-window bucket counts" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    // frozen edges from the batch baseline period (the model artifact)
+    val edges = graft.io.Sources.events(s2, sfDir)
+      .filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+      .agg(expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"))
+      .head().getSeq[Double](0)
+    val cur = graft.io.Sources.events(s2, sfDir)
+      .filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+      .select("value").as[Double].collect()
+    val (b1, b2) = cur.splitAt(cur.length / 2)
+    val mem = MemoryStream[Double]
+    val q = StreamingOps.psiBuckets(mem.toDS().toDF("value"), edges)
+      .writeStream.format("memory").queryName("psi_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    val got = s2.table("psi_s").groupBy("bucket")
+      .agg(max("cnt").as("cnt")).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the batch op's current-window counts (cb) per non-empty bucket
+    val want = graft.ops.Audit.psiDrift(s2, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).filter(_._2 > 0).toSeq
+    got shouldBe want
+  }
+
   "patternCounts (transformWithState)" should "reproduce the batch conversion counts" in {
     val s2 = rocksSession
     import s2.implicits._
