@@ -126,13 +126,51 @@ object Mining {
       .orderBy("c_custkey")
   }
 
+  /** Bucketed interval-overlap join (`join_interval_bucketed`) — the
+    * discretization pattern that turns a range join into an EQUI-join:
+    * each 1-hour purchase window registers in the (≤2) hour buckets it
+    * touches, each event hashes to its single bucket, and the bucket
+    * equi-join plus an exact containment filter finds every (window,
+    * event) overlap. Cost ∝ events × windows-per-bucket — never the
+    * `e.ts BETWEEN w.lo AND w.hi` range join that Spark plans as a
+    * broadcast-NL/cartesian filter (the oracle runs exactly that
+    * quadratic form). The event's bucket is unique, so no pair
+    * duplicates arise and no distinct is needed.
+    */
+  def intervalBucketed(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Sources.events(s, d)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("win_id"), col("us").as("w_lo"),
+        (col("us") + hourUs).as("w_hi"))
+    val wB = windows.select(col("win_id"), col("w_lo"), col("w_hi"),
+      explode(array_distinct(array(
+        expr(s"w_lo div $hourUs"), expr(s"(w_hi - 1) div $hourUs")))).as("bucket"))
+    val eB = ev.select(col("event_id"), col("us"),
+      expr(s"us div $hourUs").as("bucket"))
+    wB.join(eB, "bucket")
+      .filter(col("us") >= col("w_lo") && col("us") < col("w_hi"))
+      .groupBy("win_id").agg(count(lit(1)).as("n_covered"))
+      .orderBy("win_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mining_frequent_pairs" -> (frequentPairs _),
     "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
     "join_bloom_pruned" -> (bloomPrunedRevenue _),
+    "join_interval_bucketed" -> (intervalBucketed _),
   )
 
   val oracles: Map[String, String] = Map(
+    "join_interval_bucketed" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |   epoch_us(ts) AS us FROM events),
+        | w AS (SELECT event_id AS win_id, us AS w_lo, us + 3600000000 AS w_hi
+        |   FROM ev WHERE event_type = 'purchase')
+        |SELECT w.win_id, count(*) AS n_covered
+        |FROM w JOIN ev ON ev.us >= w.w_lo AND ev.us < w.w_hi
+        |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin,
     "mining_frequent_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         | p AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS pair_cnt
