@@ -667,7 +667,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric CONTAINMENT join (`dedup_containment`) — excerpt /
+    * superset detection, the dedup semantics Jaccard cannot express: a
+    * short quotation inside a long document scores near-zero Jaccard
+    * but containment |A∩B|/|A| ≈ 1. Complete prefix filter on the
+    * CONTAINED side only: if c(A,B) ≥ τ then ≥ ⌈τ|A|⌉ of A's shingles
+    * are in B, so at least one of A's (|A| − ⌈τ|A|⌉ + 1) rarest
+    * shingles is shared — A's prefix joins B's FULL posting list (B
+    * keeps every token: the container side admits no prefix, which is
+    * exactly why containment needs its own operator). Candidates are
+    * bounded by the prefix tokens' document frequencies; the exact
+    * re-rank touches survivors only. Directional output: equal-size
+    * mutual containments dedupe by id order.
+    */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.8
+    val docs = Sources.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("__w"))
+      .localCheckpoint(eager = false)
+      .select(col("doc_id"),
+        array_distinct(transform(Dedup.wordShingles(col("__w")), h => xxhash64(h))).as("hset"))
+      .withColumn("sz", size(col("hset")))
+      .localCheckpoint(eager = true)
+    val tok = docs.select(col("doc_id"), explode(col("hset")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
+    val prefixA = tok.join(dfreq, "h")
+      .withColumn("rk", row_number().over(wRank))
+      .join(docs.select("doc_id", "sz"), "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * tau) + 1)
+      .select(col("doc_id").as("id_a"), col("h"), col("sz").as("sz_a"))
+    val full = tok.join(docs.select("doc_id", "sz"), "doc_id")
+      .select(col("doc_id").as("id_b"), col("h"), col("sz").as("sz_b"))
+    val cand = prefixA.join(full, "h")
+      .filter((col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))) &&
+        col("sz_b") >= ceil(col("sz_a") * tau)) // lossless: B holds ≥ ⌈τ|A|⌉ shared
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("hset").as("set_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("hset").as("set_b")), "id_b")
+      .withColumn("containment",
+        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          col("sz_a").cast("double"), 4))
+      .filter(col("containment") >= tau)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("containment"))
+      .orderBy("contained_id", "container_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_incremental" -> (dedupIncremental _),
     "text_redact_pii" -> (redactPii _),
     "text_heavy_hitters" -> (textHeavyHitters _),
@@ -737,6 +788,18 @@ object TextOps {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | d AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, greatest(len(ws) - 2, 1) + 1),
+        |   i -> array_to_string(ws[i:i+2], ' '))) AS wset FROM w),
+        | s AS (SELECT doc_id, wset, len(wset) AS sz FROM d)
+        |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        | round(len(list_intersect(a.wset, b.wset))::DOUBLE / a.sz, 4)
+        |   AS containment
+        |FROM s a JOIN s b ON (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+        |WHERE len(list_intersect(a.wset, b.wset))::DOUBLE / a.sz >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
     "dedup_incremental" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | dd AS (SELECT doc_id, list_distinct(list_transform(
