@@ -224,11 +224,45 @@ object Graph {
       .select(col("part"), col("r").as("rank_e12"))
   }
 
+  /** Connected components over the STRONG co-purchase graph
+    * (`graph_components`): only edges seen in ≥2 distinct order chains
+    * qualify — repeat co-purchase is signal, one-off adjacency is noise
+    * — and the resulting sparse graph's components are the product
+    * communities. Reuses the dedup pipeline's alternating large-/
+    * small-star contraction ([[Dedup.connectedGroups]] — O(log²)
+    * rounds, every round a keyed shuffle), proving the CC operator is
+    * generic over any edge relation, not a dedup special case. Output
+    * is the full membership table (part → min-id component).
+    */
+  def components(s: SparkSession, d: String): DataFrame = {
+    val strong = Materialized.of(s, s"graph-strong|$d") {
+      val li = Sources.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      li.as("a")
+        .join(
+          li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") + 1 === col("b.l_linenumber"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+    }
+    val nodes = strong.select(col("src").as("part"))
+      .union(strong.select(col("dst").as("part"))).distinct()
+    Dedup.connectedGroups(
+      strong.select(col("src").as("id_a"), col("dst").as("id_b")),
+      nodes, "part")
+      .select(col("id").as("part"), col("group_id").as("component_id"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_parts" -> (pageRankParts _),
     "graph_khop_reach" -> (khopReach _),
     "graph_ppr_seeds" -> (pprCrawlSeeds _),
     "graph_pagerank_weighted" -> (pageRankWeighted _),
+    "graph_components" -> (components _),
   )
 
   private val edgeCte: String =
@@ -276,6 +310,21 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_components" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | nodes AS (SELECT src AS part FROM st UNION SELECT dst FROM st),
+        | e AS (SELECT src, dst FROM st UNION ALL SELECT dst, src FROM st),
+        | reach(src, dst) AS (
+        |   SELECT part, part FROM nodes
+        |   UNION
+        |   SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS part, min(dst) AS component_id
+        |FROM reach GROUP BY src ORDER BY part""".stripMargin,
     "graph_pagerank_weighted" ->
       s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
          | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
