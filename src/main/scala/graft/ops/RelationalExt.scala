@@ -290,7 +290,39 @@ object RelationalExt {
       .orderBy("user_id", "event_id")
   }
 
+  /** Exact WEIGHTED median per group (`agg_weighted_median`): the
+    * smallest price whose running quantity-weight reaches half the
+    * group's total — robust pricing where a 50-unit line should pull
+    * the median 50× harder than a single unit, which plain `median`
+    * cannot express. Scale-safe: the running weight comes from the
+    * two-pass [[Prefix]] aggregation over the GLOBAL
+    * (group, price, tie-break) order — groups are contiguous in that
+    * order, so the per-group running weight is the global running sum
+    * minus the group's start offset (one extra keyed aggregate), and
+    * no 3-partition `Window.partitionBy(flag)` sort of the whole fact
+    * table ever exists. All weights are integer units, so the
+    * threshold test `2·cum ≥ total` is exact in both engines.
+    */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d).select(
+      col("l_returnflag"), col("l_extendedprice"),
+      col("l_quantity").cast("long").as("q"),
+      col("l_orderkey"), col("l_linenumber"))
+    val run = Prefix.running(li,
+      Seq(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber")),
+      sums = Seq((col("q"), "gs")))
+    val off = run.groupBy("l_returnflag")
+      .agg(min(col("gs") - col("q")).as("off"), sum("q").as("tw"))
+    run.join(broadcast(off), "l_returnflag")
+      .filter((col("gs") - col("off")) * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("wmedian_price"), min("tw").as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> (weightedMedian _),
     "agg_pareto_customers" -> (aggParetoCustomers _),
     "win_cum_distinct" -> (winCumDistinct _),
     "agg_stats_summary" -> (aggStatsSummary _),
@@ -312,6 +344,18 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag, l_extendedprice,
+        |   CAST(l_quantity AS BIGINT) AS q,
+        |   sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |     ROWS UNBOUNDED PRECEDING) AS cw,
+        |   sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem)
+        |SELECT l_returnflag, min(l_extendedprice) AS wmedian_price,
+        | CAST(min(tw) AS BIGINT) AS total_qty
+        |FROM c WHERE 2 * cw >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_pareto_customers" ->
       """WITH rev AS (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS revenue
         |   FROM orders GROUP BY o_custkey),
