@@ -321,7 +321,27 @@ object RelationalExt {
       .orderBy("l_returnflag")
   }
 
+  /** Deterministic MODE per group (`agg_mode`): the most frequent
+    * quantity per return flag, ties resolved to the SMALLEST value —
+    * spelled out as count + argmax rather than a `mode()` builtin
+    * precisely because builtins leave tie order unspecified and an
+    * unspecified tie is a hash-gate coin flip. Two keyed aggregates
+    * (map-side combinable); the argmax is `min(struct(-cnt, value))`,
+    * one struct comparison per candidate.
+    */
+  def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    Sources.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(min(struct((-col("cnt")).as("nc"), col("qty"))).as("m"))
+      .select(col("l_returnflag"), col("m.qty").as("mode_qty"),
+        (-col("m.nc")).as("n_occurrences"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (modePerGroup _),
     "agg_weighted_median" -> (weightedMedian _),
     "agg_pareto_customers" -> (aggParetoCustomers _),
     "win_cum_distinct" -> (winCumDistinct _),
@@ -344,6 +364,14 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |   count(*) AS cnt FROM lineitem GROUP BY 1, 2),
+        | m AS (SELECT l_returnflag, qty, cnt,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY cnt DESC, qty) AS rn FROM c)
+        |SELECT l_returnflag, qty AS mode_qty, cnt AS n_occurrences
+        |FROM m WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "agg_weighted_median" ->
       """WITH c AS (SELECT l_returnflag, l_extendedprice,
         |   CAST(l_quantity AS BIGINT) AS q,
