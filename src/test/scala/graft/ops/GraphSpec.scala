@@ -114,6 +114,66 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, n1, n2) => n2 should be >= n1 }
   }
 
+  "Graph.components" should "match a driver-side union-find over strong edges" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val strong = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.groupBy(identity).iterator // iterator: Map.collect of a tuple-valued
+      // fn would rebuild a MAP and collapse pairs sharing a src key
+      .collect { case (e, xs) if xs.size >= 2 => e }.toVector
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    strong.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = (strong.map(_._1) ++ strong.map(_._2)).distinct
+    val expected = nodes.map(v => (v, find(v))).sortBy(_._1)
+    val got = Graph.components(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+  }
+
+  "RelationalExt.weightedMedian" should "match a driver-side weighted-median scan" in {
+    val rows = Sources.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2).toLong,
+        r.getLong(3), r.getInt(4)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (rf, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._4, x._5))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { x => cum += x._3; 2 * cum >= tot }.get._2
+      (rf, med, tot)
+    }
+    val got = RelationalExt.weightedMedian(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
+
+  "RelationalExt.modePerGroup" should "match a driver-side frequency argmax" in {
+    val rows = Sources.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (rf, xs) =>
+      val (qty, cnt) = xs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.minBy { case (q, c) => (-c, q) }
+      (rf, qty, cnt)
+    }
+    val got = RelationalExt.modePerGroup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
+
   "Audit.robustOutliers" should "match a driver-side MAD computation" in {
     val rows = Sources.customer(spark, sfDir)
       .select("c_mktsegment", "c_acctbal").collect()
