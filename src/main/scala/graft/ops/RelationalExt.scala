@@ -340,7 +340,27 @@ object RelationalExt {
       .orderBy("l_returnflag")
   }
 
+  /** Bitwise aggregate + scalar surface (`agg_bitwise`): AND/OR/XOR
+    * aggregates over per-order flag masks (built with shifts from order
+    * facts) — the permission-mask / feature-flag rollup shape. Exact
+    * integer semantics in any engine; one map-side-combinable pass.
+    */
+  def bitwiseAgg(s: SparkSession, d: String): DataFrame =
+    Sources.orders(s, d)
+      .select(col("o_orderpriority"),
+        shiftleft(when(col("o_orderstatus") === "F", 1L).otherwise(0L), 0)
+          .bitwiseOR(shiftleft(when(col("o_totalprice") > 100000.0, 1L).otherwise(0L), 1))
+          .bitwiseOR(shiftleft(pmod(col("o_custkey"), lit(4L)), 2)).as("mask"))
+      .groupBy("o_orderpriority")
+      .agg(
+        bit_and(col("mask")).as("mask_and"),
+        bit_or(col("mask")).as("mask_or"),
+        bit_xor(col("mask")).as("mask_xor"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitwise" -> (bitwiseAgg _),
     "agg_mode" -> (modePerGroup _),
     "agg_weighted_median" -> (weightedMedian _),
     "agg_pareto_customers" -> (aggParetoCustomers _),
@@ -364,6 +384,18 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_bitwise" ->
+      """WITH m AS (SELECT o_orderpriority,
+        |  (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |   | ((CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) << 1)
+        |   | ((o_custkey % 4) << 2) AS mask
+        | FROM orders)
+        |SELECT o_orderpriority,
+        | CAST(bit_and(mask) AS BIGINT) AS mask_and,
+        | CAST(bit_or(mask) AS BIGINT) AS mask_or,
+        | CAST(bit_xor(mask) AS BIGINT) AS mask_xor,
+        | count(*) AS n_rows
+        |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
         |   count(*) AS cnt FROM lineitem GROUP BY 1, 2),
