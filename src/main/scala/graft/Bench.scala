@@ -36,6 +36,18 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // shared-materialization phase: pre-build every Materialized entry
+    // (edge tables, dedup pair/group tables) and report the cost as its
+    // own line — otherwise whichever query touches a shared table first
+    // absorbs its build and per-query numbers depend on run order
+    // (observed 6x on graph_pagerank_parts). Queries run in pinned
+    // (sorted) order, so with the shared builds factored out the
+    // per-query numbers are warm-path and run-to-run comparable.
+    // Skipped for filtered local runs (which never ship bench.json).
+    val shared =
+      if (only.isEmpty) SharedTables.warmAll(spark, sfDir)
+      else Seq.empty[(String, Double)]
+    val sharedSec = shared.map(_._2).sum
     // a failure's exception text is RECORDED in the JSON (not only on
     // stderr, which the round harness discards) and the process exits
     // non-zero — a record containing a -1.0 must never ship as "final"
@@ -78,8 +90,12 @@ object Bench {
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},"queries":$qs$errJson,"sf":"$sfDir"}"""
+    val total = results.map(_._2).filter(_ >= 0).sum + sharedSec
+    val sharedJson = shared.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},""" +
+      s""""materialization_sec":${fmt(sharedSec)},"materialization":$sharedJson,""" +
+      s""""queries":$qs$errJson,"sf":"$sfDir"}"""
     // filtered local runs must not clobber the round record, and neither
     // must a partially-failed run: a caller ignoring the non-zero exit (or
     // a later blanket commit) would ship the broken record over the last
@@ -94,7 +110,8 @@ object Bench {
     val topQs = top.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rest = results.map(_._2).filter(_ >= 0).sum - top.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},"queries":$topQs,""" +
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},""" +
+      s""""materialization_sec":${fmt(sharedSec)},"queries":$topQs,""" +
       s""""other_sec":${fmt(rest)},"n_queries":${results.size},"detail":"bench.json","sf":"$sfDir"}""")
     spark.stop()
     // any -1.0 in the record ⇒ non-zero exit: a caller (or a builder about

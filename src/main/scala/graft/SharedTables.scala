@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Registry of every [[graft.io.Materialized]] shared intermediate, for
+  * order-independent benchmarking.
+  *
+  * The session cache is the right production shape (the edge table is
+  * built once and every traversal reuses it), but it makes per-query
+  * timings ORDER-DEPENDENT: whichever query touches a shared table
+  * first pays its build (observed 6×: `graph_pagerank_parts` 1.3 s warm
+  * vs 8.1 s when it happened to run first). `graft.Bench` therefore
+  * pre-builds every entry here in a separately-timed materialization
+  * phase and reports it as `materialization_sec`, so the per-query
+  * numbers are warm-path and comparable across runs regardless of
+  * query order.
+  *
+  * Completeness is enforced by `SharedTablesSpec`: constructing every
+  * `SparkEntry` query must create no Materialized entry beyond the ones
+  * this registry builds — a new `Materialized.of` site without a
+  * registry row fails the build.
+  */
+object SharedTables {
+
+  /** (label, builder): builder triggers the eager materialization via
+    * `Materialized.of` — each is idempotent per (session, fixture).
+    */
+  val entries: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "graph-edges" -> ((s, d) => { ops.Graph.edgesWithDeg(s, d); () }),
+    "graph-nodes" -> ((s, d) => { ops.Graph.nodeTable(s, d); () }),
+    "graph-und" -> ((s, d) => { ops.Graph.undirectedEdges(s, d); () }),
+    "graph-wedges" -> ((s, d) => { ops.Graph.weightedEdges(s, d); () }),
+    "graph-strong" -> ((s, d) => { ops.Graph.strongEdges(s, d); () }),
+    "ngramJaccardPairs" -> ((s, d) => { ops.TextOps.ngramJaccardPairsRaw(s, d); () }),
+    "textDedupGroups" -> ((s, d) => { ops.TextOps.textDedupGroupsRaw(s, d); () }),
+    "dedupEmbeddingCosine" -> ((s, d) => { ops.Similarity.dedupEmbeddingCosineRaw(s, d); () }),
+    "dedupEmbeddingGroups" -> ((s, d) => { ops.Similarity.dedupEmbeddingGroups(s, d); () }),
+  )
+
+  /** Build every shared table for `sfDir`; returns (label, seconds). */
+  def warmAll(s: SparkSession, sfDir: String): Seq[(String, Double)] =
+    entries.map { case (label, build) =>
+      val t0 = System.nanoTime()
+      build(s, sfDir)
+      label -> (System.nanoTime() - t0) / 1e9
+    }
+}

@@ -12,10 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table: three downstream operators consume it, and connected
   * components is the costliest stage of each).
   *
-  * `localCheckpoint` materializes the result (executor-local blocks —
-  * the same storage class a cluster materialization would use before
-  * promotion to a real table) and truncates lineage, so every consumer
-  * reuses the computed rows instead of replanning the whole CC pipeline.
+  * [[Checkpoints.pin]] materializes the result (executor-local blocks
+  * by default — the same storage class a cluster materialization would
+  * use before promotion to a real table; a reliable checkpoint dir when
+  * `spark.graft.checkpoint.reliable` is set) and truncates lineage, so
+  * every consumer reuses the computed rows instead of replanning the
+  * whole CC pipeline.
   * Entries key on (session, label): results are deterministic per source
   * path and fixtures are immutable — a mutating deployment would key on
   * a snapshot/version id, exactly as with [[CorpusStats]].
@@ -63,7 +65,7 @@ object Materialized {
     cache.computeIfAbsent(s"${sessionId(session)}|$label",
       new JFunction[String, Entry] {
         def apply(k: String): Entry =
-          Entry(new WeakReference(session), compute.localCheckpoint(eager = true))
+          Entry(new WeakReference(session), Checkpoints.pin(compute))
       }).df
   }
 

@@ -256,9 +256,12 @@ object Audit {
     * `(p_b − p_a)·ln(p_b/p_a)` with Laplace smoothing (+1 per bucket,
     * +10 per period) so an empty current bucket yields a finite,
     * deterministic contribution instead of ±∞. The ratio inside the log
-    * is formed from INTEGER products (`(cb+1)(na+10) / (nb+10)(ca+1)`),
-    * so each side runs the identical two-IEEE-op sequence and the
-    * rounded contributions hash-match; per-bucket rows ship WITHOUT a
+    * multiplies counts AS DOUBLES (`(cb+1)·(na+10) / ((nb+10)·(ca+1))`,
+    * each factor cast first): an integer product would overflow Long
+    * once window counts pass ~3e9 (the 100 TB framing), while the
+    * double product is exact below 2^52 and merely rounds above it —
+    * and both engines run the identical IEEE op sequence either way,
+    * so the rounded contributions hash-match; per-bucket rows ship WITHOUT a
     * float total (the consumer sums — no cross-engine sum-order
     * divergence). Bucketing is a map-side HOF over the 9-edge broadcast
     * array: one scan per period at any scale.
@@ -287,7 +290,7 @@ object Audit {
         col("na"), col("nb"))
       .withColumn("psi", roundNorm(expr(
         "(cast(cb+1 as double)/(nb+10) - cast(ca+1 as double)/(na+10)) * " +
-          "ln(cast((cb+1)*(na+10) as double)/((nb+10)*(ca+1)))"), 6))
+          "ln((cast(cb+1 as double)*(na+10))/(cast(nb+10 as double)*(ca+1)))"), 6))
       .select(col("bucket"), col("ca"), col("cb"), col("psi"))
       .orderBy("bucket")
   }
@@ -380,7 +383,7 @@ object Audit {
         |  CROSS JOIN na CROSS JOIN nb)
         |SELECT bucket, ca, cb,
         | round((CAST(cb+1 AS DOUBLE)/(nb+10) - CAST(ca+1 AS DOUBLE)/(na+10)) *
-        |   ln(CAST((cb+1)*(na+10) AS DOUBLE)/((nb+10)*(ca+1))), 6) + 0.0 AS psi
+        |   ln((CAST(cb+1 AS DOUBLE)*(na+10))/(CAST(nb+10 AS DOUBLE)*(ca+1))), 6) + 0.0 AS psi
         |FROM g ORDER BY bucket""".stripMargin,
     "audit_contract_check" ->
       """WITH rc AS (SELECT

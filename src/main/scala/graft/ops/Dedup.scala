@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.io.Checkpoints.PinOps
+
 /** Generic, reusable deduplication operators (DataFrame in → DataFrame
   * out). The `SparkEntry` queries are thin fixture-bound wrappers over
   * these; library users call them directly on arbitrary tables.
@@ -187,7 +189,8 @@ object Dedup {
     * remaining rounds are replaced by one bounded collect + union-find
     * (the standard hybrid; see the threshold's scaladoc).
     *
-    * Iterative lineage MUST be truncated: localCheckpoint materializes
+    * Iterative lineage MUST be truncated: [[graft.io.Checkpoints.pin]]
+    * (localCheckpoint by default, a reliable dir on clusters) materializes
     * each round's edges; superseded checkpoint blocks become unreachable
     * a round later and the ContextCleaner frees them (the GraphX
     * lifecycle), so nothing stays pinned once the result is released.
@@ -259,14 +262,14 @@ object Dedup {
     var edges = pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(eager = false)
+      .pinned(eager = false)
     var (prevN, prevSum) = stats(edges)
     var converged = prevN == 0
     var i = 0
     // distributed contraction ONLY while the edge set genuinely exceeds
     // one machine (see localFinishMaxEdges); each round shrinks it
     while (!converged && prevN > localFinishEdges && i < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      edges = smallStar(largeStar(edges)).pinned(eager = false)
       val (n, s) = stats(edges)
       converged = n == prevN && (s == null || s.compareTo(prevSum) == 0)
       prevN = n

@@ -41,14 +41,14 @@ object Graph {
     * in-session stand-in for the edge table a production graph pipeline
     * materializes before any traversal.
     */
-  private def edgesWithDeg(s: SparkSession, d: String): DataFrame =
+  private[graft] def edgesWithDeg(s: SparkSession, d: String): DataFrame =
     Materialized.of(s, s"graph-edges|$d") {
       val e = boughtAfterEdges(s, d)
       e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src")
     }
 
   /** All nodes (src ∪ dst), materialized once per (session, fixture). */
-  private def nodeTable(s: SparkSession, d: String): DataFrame =
+  private[graft] def nodeTable(s: SparkSession, d: String): DataFrame =
     Materialized.of(s, s"graph-nodes|$d") {
       val eo = edgesWithDeg(s, d)
       eo.select(col("src").as("part"))
@@ -121,17 +121,28 @@ object Graph {
     * distinct collapses multi-path fan-in at each hop (the same
     * large/small-star discipline as the connected-components op).
     */
-  def khopReach(s: SparkSession, d: String): DataFrame = {
-    val und = Materialized.of(s, s"graph-und|$d") {
+  /** Undirected edge table `(u, v)` — materialized once per (session,
+    * fixture); shared by reachability and any future undirected op.
+    */
+  private[graft] def undirectedEdges(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, s"graph-und|$d") {
       val e = edgesWithDeg(s, d)
       e.select(col("src").as("u"), col("dst").as("v"))
         .union(e.select(col("dst").as("u"), col("src").as("v")))
         .distinct()
     }
+
+  def khopReach(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d)
     val seeds = und.select(col("u").as("seed")).distinct()
       .filter(pmod(col("seed"), lit(200L)) === 0)
-    val hop1 = seeds.join(und, col("seed") === col("u"))
-      .select(col("seed"), col("v")).distinct().cache()
+    // lazy pin (not cache): the first action materializes hop1 once for
+    // both consumers, and the ContextCleaner reclaims the blocks when
+    // the frame is released — a cache() entry would sit in the
+    // block-manager for session lifetime
+    val hop1 = graft.io.Checkpoints.pin(
+      seeds.join(und, col("seed") === col("u"))
+        .select(col("seed"), col("v")).distinct(), eager = false)
     val hop2 = hop1.join(und.select(col("u").as("v"), col("v").as("w")), "v")
       .select(col("seed"), col("w").as("v"))
       .union(hop1.select(col("seed"), col("v")))
@@ -159,9 +170,13 @@ object Graph {
       .withColumn("is_seed", pmod(col("part"), lit(200L)) === 0)
     val sCnt = nodes.agg(sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"))
 
+    // ns = 0 guard: an empty seed set means no teleport mass anywhere —
+    // every rank is 0 and the r > 0 filter yields the empty result,
+    // instead of an ANSI division-by-zero (same CASE in the oracle)
     var r = nodes.crossJoin(broadcast(sCnt))
       .select(col("part"),
-        when(col("is_seed"), expr(s"$Scale div ns")).otherwise(0L).as("r"))
+        when(col("is_seed") && col("ns") > 0, expr(s"$Scale div ns"))
+          .otherwise(0L).as("r"))
     for (_ <- 1 to 5) {
       val sums = eo
         .join(r.withColumnRenamed("part", "src"), "src")
@@ -170,7 +185,8 @@ object Graph {
       r = nodes.crossJoin(broadcast(sCnt)).join(sums, Seq("part"), "left")
         .select(
           col("part"),
-          (when(col("is_seed"), expr(s"${15 * Scale} div (100 * ns)")).otherwise(0L) +
+          (when(col("is_seed") && col("ns") > 0,
+            expr(s"${15 * Scale} div (100 * ns)")).otherwise(0L) +
             expr("(85 * coalesce(m, 0)) div 100")).as("r"))
     }
     r.filter(col("r") > 0)
@@ -188,8 +204,12 @@ object Graph {
     * repeat-co-purchase links now attract proportionally more rank
     * than one-off pairings. Same join-aggregate iteration shape.
     */
-  def pageRankWeighted(s: SparkSession, d: String): DataFrame = {
-    val ew = Materialized.of(s, s"graph-wedges|$d") {
+  /** Weighted edge table `(src, dst, w, wout)` — co-occurrence
+    * multiplicity plus the source's outgoing weight total; materialized
+    * once per (session, fixture).
+    */
+  private[graft] def weightedEdges(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, s"graph-wedges|$d") {
       val li = Sources.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       val pairs = li.as("a")
@@ -203,6 +223,9 @@ object Graph {
       pairs.join(
         pairs.groupBy("src").agg(sum("w").as("wout")), "src")
     }
+
+  def pageRankWeighted(s: SparkSession, d: String): DataFrame = {
+    val ew = weightedEdges(s, d)
     val nodes = ew.select(col("src").as("part"))
       .union(ew.select(col("dst").as("part"))).distinct()
     val nCnt = nodes.agg(count(lit(1)).as("n"))
@@ -234,8 +257,11 @@ object Graph {
     * generic over any edge relation, not a dedup special case. Output
     * is the full membership table (part → min-id component).
     */
-  def components(s: SparkSession, d: String): DataFrame = {
-    val strong = Materialized.of(s, s"graph-strong|$d") {
+  /** Strong (multiplicity ≥ 2) edge table — materialized once per
+    * (session, fixture); feeds components and the SSSP closure bound.
+    */
+  private[graft] def strongEdges(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, s"graph-strong|$d") {
       val li = Sources.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       li.as("a")
@@ -248,6 +274,9 @@ object Graph {
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
     }
+
+  def components(s: SparkSession, d: String): DataFrame = {
+    val strong = strongEdges(s, d)
     val nodes = strong.select(col("src").as("part"))
       .union(strong.select(col("dst").as("part"))).distinct()
     Dedup.connectedGroups(
@@ -292,7 +321,8 @@ object Graph {
        |   FROM e JOIN od ON e.src = od.src JOIN $prev ON $prev.part = e.src
        |   GROUP BY e.dst),
        | r$k AS (SELECT nodes.part, nodes.is_seed,
-       |   (CASE WHEN nodes.is_seed THEN 15000000000000 // (100 * sn.ns) ELSE 0 END)
+       |   (CASE WHEN nodes.is_seed AND sn.ns > 0
+       |     THEN 15000000000000 // (100 * sn.ns) ELSE 0 END)
        |     + (85 * coalesce(s$k.m, 0)) // 100 AS r
        |   FROM nodes CROSS JOIN sn LEFT JOIN s$k ON nodes.part = s$k.part)""".stripMargin
   }
@@ -348,7 +378,8 @@ object Graph {
          |   FROM nodes),
          | od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
          | r0 AS (SELECT part, is_seed,
-         |   CASE WHEN is_seed THEN 1000000000000 // sn.ns ELSE 0 END AS r
+         |   CASE WHEN is_seed AND sn.ns > 0 THEN 1000000000000 // sn.ns
+         |        ELSE 0 END AS r
          |   FROM nodes CROSS JOIN sn),
          | ${(1 to 5).map(prStepSeed).mkString(",\n ")}
          |SELECT part, r AS rank_e12 FROM r5 WHERE r > 0

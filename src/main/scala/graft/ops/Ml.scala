@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Num.roundNorm
 import graft.io.{ModelStore, Sources}
+import graft.io.Checkpoints.PinOps
 
 /** In-engine model training and scoring — the ML layer a curation
   * pipeline runs NEXT TO the data instead of exporting 100 TB to a
@@ -127,7 +128,7 @@ object Ml {
     * before anything oracle-visible consumes them.
     */
   private[ops] def train(s: SparkSession, d: String): (Array[Double], Seq[Double], Int) = {
-    val data = featurized(s, d).localCheckpoint(true)
+    val data = featurized(s, d).pinned()
     val fs: Seq[Column] = (0 until k).map(i => col(s"f$i"))
     var beta = Array.fill(k)(0.0)
     val losses = scala.collection.mutable.ArrayBuffer[Double]()

@@ -34,9 +34,11 @@ import org.apache.spark.sql.types._
   * convert to minor units (cents) first — which also makes the DuckDB
   * oracle's window sum exact, closing the float-tie class entirely.
   *
-  * `localCheckpoint` stores the range-partitioned table distributed on
-  * executors; on a real cluster with dynamic allocation one would use a
-  * reliable checkpoint dir instead — the plan shape is unchanged.
+  * The pinned layout goes through [[graft.io.Checkpoints]]: default is
+  * `localCheckpoint` (executor-local blocks — right for local[32]);
+  * `spark.graft.checkpoint.reliable=true` switches to a reliable
+  * checkpoint dir so executor loss on a real cluster cannot invalidate
+  * the two-pass layout — the plan shape is unchanged either way.
   */
 object Prefix {
 
@@ -62,10 +64,9 @@ object Prefix {
     val s = df.sparkSession
     val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val parted = df
-      .repartitionByRange(nParts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val parted = graft.io.Checkpoints.pin(
+      df.repartitionByRange(nParts, order: _*)
+        .withColumn("__pid", spark_partition_id()))
 
     val w = Window.partitionBy("__pid").orderBy(order: _*)
     val wIncl = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

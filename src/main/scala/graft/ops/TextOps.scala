@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
+import graft.io.Checkpoints.PinOps
 
 /** Text-analysis and deduplication operators over the `documents` table —
   * the LLM-training-data surface mandated by the north star (SURVEY §2.13):
@@ -158,7 +159,7 @@ object TextOps {
     * consumed by the pairs query and the groups build (a production
     * pipeline persists exactly this table).
     */
-  private[ops] def ngramJaccardPairsRaw(s: SparkSession, d: String): DataFrame =
+  private[graft] def ngramJaccardPairsRaw(s: SparkSession, d: String): DataFrame =
     graft.io.Materialized.of(s, s"ngramJaccardPairs|$d") {
       ngramJaccardPairsCompute(s, d)
     }
@@ -227,11 +228,11 @@ object TextOps {
     // makes the lambda read a bound array reference.
     val docs = Sources.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("__w"))
-      .localCheckpoint(eager = false)
+      .pinned(eager = false)
       .select(col("doc_id"),
         array_distinct(transform(Dedup.wordShingles(col("__w")), h => xxhash64(h))).as("hset"))
       .withColumn("sz", size(col("hset")))
-      .localCheckpoint(eager = true)
+      .pinned()
     val tok = docs.select(col("doc_id"), explode(col("hset")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
     // Global token order = (df asc, hash asc) — any consistent total
@@ -245,7 +246,7 @@ object TextOps {
       .join(docs.select("doc_id", "sz"), "doc_id")
       .filter(col("rk") <= col("sz") - ceil(col("sz") * tau) + 1)
       .select(col("doc_id"), col("h"), col("rk"), col("sz"))
-      .localCheckpoint(eager = true)
+      .pinned()
     // PPJoin pruning at candidate time (all three are lossless for J≥τ):
     //  - length filter: τ·|A| ≤ |B| ≤ |A|/τ;
     //  - per-token positional filter: the overlap still reachable after
@@ -292,7 +293,7 @@ object TextOps {
     * [[graft.io.Materialized]]: CC is the costliest stage of every
     * consumer, and a production pipeline writes this table once.
     */
-  private[ops] def textDedupGroupsRaw(s: SparkSession, d: String): DataFrame =
+  private[graft] def textDedupGroupsRaw(s: SparkSession, d: String): DataFrame =
     graft.io.Materialized.of(s, s"textDedupGroups|$d") {
       // persisted model artifact (write-once, serve-from-table across
       // sessions) — see graft.io.ModelStore
@@ -514,15 +515,15 @@ object TextOps {
     // action, so merely *building* this DataFrame stays side-effect-free
     // like every other queries-map entry.
     val postings = train.select(col("doc_id").as("train_id"), explode(col("sset")).as("sh"))
-      .localCheckpoint(eager = false)
+      .pinned(eager = false)
     val testPost = test.select(col("doc_id").as("test_id"), explode(col("sset")).as("sh"))
     val stopShingles = postings.groupBy("sh")
       .agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("sh")
-      .localCheckpoint(eager = false)
+      .pinned(eager = false)
     // vocabulary keeps unseen shingles (train df = 0 ≤ cap): anti-join
     // against the over-cap list rather than inner-join against the rest
     val testOk = testPost.join(stopShingles, Seq("sh"), "left_anti")
-      .localCheckpoint(eager = false)
+      .pinned(eager = false)
     val trainOk = postings.join(stopShingles, Seq("sh"), "left_anti")
     val denom = testOk.groupBy("test_id").agg(count(lit(1)).as("n_sh"))
     val matches = testOk.join(trainOk, "sh")
@@ -679,16 +680,24 @@ object TextOps {
     * bounded by the prefix tokens' document frequencies; the exact
     * re-rank touches survivors only. Directional output: equal-size
     * mutual containments dedupe by id order.
+    *
+    * Collision assumption: shingles are compared via `xxhash64`, so two
+    * DISTINCT shingles colliding on 64 bits would perturb `sz` and the
+    * intersection count (the oracle intersects raw strings). With d
+    * distinct shingles per doc the per-doc collision odds are
+    * ~d²/2⁶⁵ — ≈10⁻¹³ at d = 10⁴ — the standard hashed-set trade the
+    * prefix filter's completeness proof already prices in; a paranoid
+    * deployment widens to a 128-bit hash, same plan.
     */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
     val tau = 0.8
     val docs = Sources.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("__w"))
-      .localCheckpoint(eager = false)
+      .pinned(eager = false)
       .select(col("doc_id"),
         array_distinct(transform(Dedup.wordShingles(col("__w")), h => xxhash64(h))).as("hset"))
       .withColumn("sz", size(col("hset")))
-      .localCheckpoint(eager = true)
+      .pinned()
     val tok = docs.select(col("doc_id"), explode(col("hset")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy("doc_id").orderBy("df", "h")

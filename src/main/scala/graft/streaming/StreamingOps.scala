@@ -196,9 +196,19 @@ case class AttrOut(user_id: Long, event_id: Long, cents: Long,
   * days (pruned as the clock advances — the same retention the range
   * frame implies), and each arriving purchase splits its cents over the
   * retained counts with the exact integer arithmetic of the batch op.
-  * Under per-user in-timestamp-order delivery the per-purchase outputs
-  * are EXACTLY the batch rows (integer cents — no float tolerance
-  * needed; asserted in StreamingOpsSpec across a micro-batch boundary).
+  * The batch RANGE frame is inclusive of the purchase's own timestamp,
+  * so within a batch rows are processed in per-TIMESTAMP groups —
+  * every touch at time t joins the state BEFORE any purchase at t is
+  * split — matching the frame's peer semantics regardless of event-id
+  * tie order. Cents use BigDecimal HALF_UP (`round(value*100)` in the
+  * batch op — `math.round` would differ on negative values). Under
+  * per-user in-timestamp-order delivery the per-purchase outputs are
+  * EXACTLY the batch rows (integer cents — no float tolerance needed;
+  * asserted in StreamingOpsSpec across a micro-batch boundary). The
+  * one caveat delivery order cannot erase: a same-timestamp touch
+  * arriving in a LATER micro-batch than its purchase was already
+  * emitted without it — inherent to emit-at-purchase streaming, not to
+  * this operator.
   */
 class AttributionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, AttrOut] {
   import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
@@ -217,27 +227,38 @@ class AttributionProcessor extends org.apache.spark.sql.streaming.StatefulProces
     var touches = if (st.exists()) st.get().touches.toVector else Vector.empty[AttrTouch]
     val out = Seq.newBuilder[AttrOut]
     def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
-    rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
-      val us = micros(e)
-      // retention: anything at exactly us - 7d is still inside the
-      // inclusive batch frame, so prune strictly-older only
-      touches = touches.filter(_.us >= us - SevenDaysUs)
-      if (Touches(e.event_type)) {
-        touches :+= AttrTouch(us, e.event_type)
-      } else if (e.event_type == "purchase") {
-        val cents = math.round(e.value * 100)
-        val nC = touches.count(_.kind == "click").toLong
-        val nV = touches.count(_.kind == "view").toLong
-        val nS = touches.count(_.kind == "signup").toLong
-        val tot = nC + nV + nS
-        val (aC, aV, aS) =
-          if (tot > 0) (cents * nC / tot, cents * nV / tot, cents * nS / tot)
-          else (0L, 0L, 0L)
-        out += AttrOut(key, e.event_id, cents, aC, aV, aS,
-          if (tot > 0) cents - (aC + aV + aS) else 0L,
-          if (tot == 0) cents else 0L)
+    // per-timestamp groups: ALL touches at time t enter the state before
+    // any purchase at t is split — the inclusive RANGE frame counts
+    // same-timestamp touches as peers whatever their event-id order
+    rows.toSeq.sortBy(e => (micros(e), e.event_id)).groupBy(micros).toSeq.sortBy(_._1)
+      .foreach { case (us, group) =>
+        // retention: anything at exactly us - 7d is still inside the
+        // inclusive batch frame, so prune strictly-older only
+        touches = touches.filter(_.us >= us - SevenDaysUs)
+        group.foreach { e =>
+          if (Touches(e.event_type)) touches :+= AttrTouch(us, e.event_type)
+        }
+        group.sortBy(_.event_id).foreach { e =>
+          if (e.event_type == "purchase") {
+            // HALF_UP at scale 0 = the batch op's round(value * 100)
+            // (math.round is floor(x+.5): off by one cent for negative x)
+            val cents = java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            val nC = touches.count(_.kind == "click").toLong
+            val nV = touches.count(_.kind == "view").toLong
+            val nS = touches.count(_.kind == "signup").toLong
+            val tot = nC + nV + nS
+            // plain / = Java truncation, matching the batch `div`
+            // (Spark IntegralDivide truncates toward zero)
+            val (aC, aV, aS) =
+              if (tot > 0) (cents * nC / tot, cents * nV / tot, cents * nS / tot)
+              else (0L, 0L, 0L)
+            out += AttrOut(key, e.event_id, cents, aC, aV, aS,
+              if (tot > 0) cents - (aC + aV + aS) else 0L,
+              if (tot == 0) cents else 0L)
+          }
+        }
       }
-    }
     st.update(AttrSt(touches))
     out.result().iterator
   }
