@@ -102,6 +102,17 @@ object ScaleProbe {
       val tPr = time {
         graft.ops.Graph.pageRankLoop(eoG, nodesG).count()
       }
+      // Adaptive-loop probe: per-iteration seconds must stay FLAT across
+      // iterations (per-step lineage truncation — a loop whose plan
+      // deepened each round would show times growing with the iteration
+      // index), and per-iteration cost must track edges ~linearly across
+      // scales like the fixed loop.
+      val iterTimes = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+      val (prA, aIters, _) = graft.ops.Graph.pageRankLoopAdaptive(
+        eoG, nodesG, onIter = (it, dl, sec) => { iterTimes += ((it, dl, sec)); () })
+      prA.count()
+      val iterJson = iterTimes.map { case (it, dl, sec) =>
+        f"""{"iter":$it,"delta":$dl,"sec":$sec%.3f}""" }.mkString("[", ",", "]")
 
       // LSH dedup: replicated corpora are exactly the near-dup-heavy case;
       // bits re-sized per scale keeps expected bucket size constant, so the
@@ -255,7 +266,7 @@ object ScaleProbe {
         pqRows
       }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson}""")
     }
     spark.stop()
   }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.{Materialized, Sources}
+import graft.io.{Checkpoints, Materialized, Sources}
 
 /** Iterative graph analytics over the order-basket co-purchase graph
   * (SURVEY §2 extension — the link-analysis ops a training-data pipeline
@@ -114,6 +114,71 @@ object Graph {
       .limit(20)
       .select(col("part"), col("r").as("rank_e12"))
 
+  /** Convergence tolerance for the adaptive loop: total L1 rank
+    * movement ≤ 1e6 units = 1e-6 of the total mass. Integer, so the
+    * stopping rule is bit-deterministic in any engine.
+    */
+  private[graft] val AdaptiveThreshold = 1000000L
+
+  /** ADAPTIVE PageRank (`graph_pagerank_adaptive`): the fixed-5 loop
+    * above answers "a few refinement passes"; this one iterates TO
+    * CONVERGENCE — while the global L1 delta `Σ|r_k − r_{k-1}|` (an
+    * exact integer, like everything else in the loop) stays above
+    * [[AdaptiveThreshold]], capped at `maxIter`. Scale discipline per
+    * iteration: the new rank table is LAZY-pinned (Checkpoints.pin) and
+    * the single delta aggregate both materializes it and decides
+    * convergence — one job per iteration, lineage truncated at every
+    * step so the plan stays constant-depth at ANY iteration count
+    * (unbounded-lineage iteration is the classic driver-OOM at scale;
+    * superseded checkpoint blocks are freed by the ContextCleaner a
+    * round later, the same lifecycle as connected components). The
+    * DuckDB oracle replays the identical adaptive rule with a recursive
+    * CTE whose step is guarded by the previous iteration's delta, so
+    * the iteration COUNT — not just the per-step arithmetic — is
+    * replayed exactly (observed: 10 iterations, delta ÷≈4.3 per step on
+    * this shallow co-purchase graph).
+    */
+  private[graft] def pageRankLoopAdaptive(
+      eo: DataFrame, nodes: DataFrame,
+      threshold: Long = AdaptiveThreshold,
+      maxIter: Int = 100,
+      onIter: (Int, Long, Double) => Unit = (_, _, _) => ()): (DataFrame, Int, Long) = {
+    val nCnt = nodes.agg(count(lit(1)).as("n"))
+    var r = Checkpoints.pin(
+      nodes.crossJoin(broadcast(nCnt))
+        .select(col("part"), expr(s"$Scale div n").as("r")),
+      eager = false)
+    var delta = Long.MaxValue
+    var i = 0
+    while (delta > threshold && i < maxIter) {
+      val t0 = System.nanoTime()
+      val sums = eo
+        .join(r.withColumnRenamed("part", "src"), "src")
+        .select(col("dst").as("part"), expr("r div outd").as("c"))
+        .groupBy("part").agg(sum("c").as("m"))
+      val rNew = Checkpoints.pin(
+        nodes.crossJoin(broadcast(nCnt)).join(sums, Seq("part"), "left")
+          .select(
+            col("part"),
+            (expr(s"${15 * Scale} div (100 * n)") +
+              expr("(85 * coalesce(m, 0)) div 100")).as("r")),
+        eager = false)
+      val row = rNew.join(r.select(col("part"), col("r").as("rp")), "part")
+        .agg(sum(abs(col("r") - col("rp"))).as("d")).head()
+      delta = if (row.isNullAt(0)) 0L else row.getLong(0)
+      r = rNew
+      i += 1
+      onIter(i, delta, (System.nanoTime() - t0) / 1e9)
+    }
+    (r, i, delta)
+  }
+
+  def pageRankAdaptive(s: SparkSession, d: String): DataFrame =
+    pageRankLoopAdaptive(edgesWithDeg(s, d), nodeTable(s, d))._1
+      .orderBy(col("r").desc, col("part"))
+      .limit(20)
+      .select(col("part"), col("r").as("rank_e12"))
+
   /** K-hop reachability from seed parts (`part % 200 = 0`) over the
     * UNDIRECTED co-purchase graph: distinct non-seed nodes within 1 and
     * within 2 hops. Frontier expansion is distinct equi-joins on the
@@ -140,7 +205,7 @@ object Graph {
     // both consumers, and the ContextCleaner reclaims the blocks when
     // the frame is released — a cache() entry would sit in the
     // block-manager for session lifetime
-    val hop1 = graft.io.Checkpoints.pin(
+    val hop1 = Checkpoints.pin(
       seeds.join(und, col("seed") === col("u"))
         .select(col("seed"), col("v")).distinct(), eager = false)
     val hop2 = hop1.join(und.select(col("u").as("v"), col("v").as("w")), "v")
@@ -286,8 +351,81 @@ object Graph {
       .orderBy("part")
   }
 
+  /** Single-source shortest paths (`graph_sssp`) over the UNDIRECTED
+    * weighted co-purchase graph: edge cost = `1000000 div w` (integer —
+    * heavier repeat-co-purchase links are cheaper to traverse; both
+    * directions of a mutual pair collapse to `max(w)` first so the cost
+    * is direction-free), source = the highest-degree hub (ties to the
+    * smallest part key — the min-key source landed in a 2-node
+    * component on the sparse fixtures; the hub reaches the giant
+    * component), distances by level-synchronous Bellman-Ford relaxation —
+    * `dist_{k+1}(v) = min(dist_k(v), min_{u→v}(dist_k(u) + cost))` over
+    * the REACHED set only (the frontier representation: one equi-join +
+    * keyed min per round, the same shape as a PageRank iteration, never
+    * a |V|-sized table before reachability warrants it). Integer costs
+    * make the fixed point EXACT, so the stopping rule is "nothing
+    * changed" — checked like connected components with a (count, sum)
+    * stats action that doubles as the round's materialization job; each
+    * round is lazy-pinned so lineage stays constant-depth. The oracle
+    * replays the identical relaxation in a recursive CTE; it runs a
+    * fixed 60 rounds — past the exact fixed point extra rounds are
+    * no-ops (min is idempotent), so Spark's early-stop and the oracle's
+    * over-iteration provably agree, the same over-iteration trick as
+    * the components closure. 60 bounds the hub's eccentricity in HOPS
+    * — measured 5 on these small-world fixtures, 12× margin; a cluster
+    * deployment sizes it to the known diameter or adds the change-guard
+    * the Spark side uses.
+    */
+  private[graft] def ssspLoop(
+      ce: DataFrame, source: Long, maxIter: Int = 150): (DataFrame, Int) = {
+    val s = ce.sparkSession
+    import s.implicits._
+    var dist = Checkpoints.pin(
+      Seq((source, 0L)).toDF("part", "dist"), eager = false)
+    var (prevN, prevSum) = (1L, 0L)
+    var stable = false
+    var i = 0
+    while (!stable && i < maxIter) {
+      val relax = dist.join(ce, dist("part") === ce("src"))
+        .select(col("dst").as("part"), (col("dist") + col("cost")).as("dist"))
+      val nxt = Checkpoints.pin(
+        dist.union(relax).groupBy("part").agg(min("dist").as("dist")),
+        eager = false)
+      val row = nxt.agg(count(lit(1)).as("n"), sum("dist").as("s")).head()
+      val (n, sm) = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      // distances only decrease and the reached set only grows, so
+      // (count, sum) stable ⟺ exact fixed point
+      stable = n == prevN && sm == prevSum
+      prevN = n; prevSum = sm
+      dist = nxt
+      i += 1
+    }
+    (dist, i)
+  }
+
+  def sssp(s: SparkSession, d: String): DataFrame = {
+    val es = weightedEdges(s, d).select(col("src"), col("dst"), col("w"))
+    val ce = es
+      .union(es.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(max("w").as("w"))
+      .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
+    // hub source: 1-row bounded collect (argmax degree, min-key ties)
+    val srcRows = ce.groupBy("src").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("src")).limit(1).collect()
+    if (srcRows.isEmpty) {
+      // empty graph (degenerate fixture): empty result, same as oracle
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("part", "dist")
+    } else {
+      ssspLoop(ce, srcRows(0).getLong(0))._1
+        .orderBy("dist", "part").limit(100)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_parts" -> (pageRankParts _),
+    "graph_sssp" -> (sssp _),
+    "graph_pagerank_adaptive" -> (pageRankAdaptive _),
     "graph_khop_reach" -> (khopReach _),
     "graph_ppr_seeds" -> (pprCrawlSeeds _),
     "graph_pagerank_weighted" -> (pageRankWeighted _),
@@ -340,6 +478,34 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // fixed 60 rounds: past the exact fixed point every extra round is
+    // a no-op (min is idempotent), so Spark's change-guard early stop
+    // and this over-iteration provably emit identical distances
+    "graph_sssp" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | ce AS (SELECT src, dst, 1000000 // max(w) AS cost FROM
+        |   (SELECT src, dst, w FROM pw UNION ALL SELECT dst, src, w FROM pw)
+        |   GROUP BY src, dst),
+        | deg AS (SELECT src, count(*) AS dg FROM ce GROUP BY src),
+        | s0 AS (SELECT src AS sp FROM deg ORDER BY dg DESC, src LIMIT 1),
+        | it(iter, part, dist) AS (
+        |   SELECT 0, sp, CAST(0 AS BIGINT) FROM s0
+        |   UNION ALL
+        |   SELECT z.ni, z.part, min(z.nd) FROM (
+        |     SELECT p.iter + 1 AS ni, p.part, p.dist AS nd
+        |     FROM it p WHERE p.iter < 60
+        |     UNION ALL
+        |     SELECT p2.iter + 1, ce.dst, p2.dist + ce.cost
+        |     FROM it p2 JOIN ce ON p2.part = ce.src WHERE p2.iter < 60
+        |   ) z GROUP BY z.ni, z.part
+        | ),
+        | last AS (SELECT max(iter) AS mi FROM it)
+        |SELECT part, dist FROM it, last WHERE iter = last.mi
+        |ORDER BY dist, part LIMIT 100""".stripMargin,
     "graph_components" ->
       """WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
@@ -392,6 +558,41 @@ object Graph {
          | r0 AS (SELECT part, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
          | ${(1 to 5).map(prStep).mkString(",\n ")}
          |SELECT part, r AS rank_e12 FROM r5
+         |ORDER BY r DESC, part LIMIT 20""".stripMargin,
+    // Adaptive replay: the recursive step re-derives iteration k+1 from
+    // the WORKING TABLE (iteration k only — both references see just
+    // the last iteration in DuckDB) and is guarded by the previous
+    // delta, so DuckDB stops at exactly the same iteration Spark does.
+    // NOTE: inside WITH RECURSIVE, DuckDB splits a bare `a UNION b`
+    // helper CTE into base/recursive halves and skips the dedup — the
+    // node list must be DISTINCT-over-UNION-ALL.
+    "graph_pagerank_adaptive" ->
+      s"""WITH RECURSIVE $edgeCte,
+         | nodes AS (SELECT DISTINCT part FROM
+         |   (SELECT src AS part FROM e UNION ALL SELECT dst FROM e)),
+         | nn AS (SELECT count(*) AS n FROM nodes),
+         | od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+         | it(iter, part, r, delta) AS (
+         |   SELECT 0, part, 1000000000000 // nn.n, 9000000000000000000
+         |   FROM nodes CROSS JOIN nn
+         |   UNION ALL
+         |   SELECT z.iter + 1, z.part, z.rnew,
+         |          CAST(sum(abs(z.rnew - z.r)) OVER () AS BIGINT)
+         |   FROM (
+         |     SELECT p.iter, p.part, p.r,
+         |       (15000000000000 // (100 * nn.n))
+         |         + (85 * coalesce(c.m, 0)) // 100 AS rnew
+         |     FROM it p CROSS JOIN nn
+         |     LEFT JOIN (SELECT e.dst AS part,
+         |                  CAST(sum(p2.r // od.outd) AS BIGINT) AS m
+         |                FROM it p2 JOIN e ON p2.part = e.src
+         |                JOIN od ON od.src = e.src
+         |                GROUP BY e.dst) c ON c.part = p.part
+         |     WHERE p.delta > $AdaptiveThreshold AND p.iter < 100
+         |   ) z
+         | ),
+         | last AS (SELECT max(iter) AS mi FROM it)
+         |SELECT part, r AS rank_e12 FROM it, last WHERE iter = last.mi
          |ORDER BY r DESC, part LIMIT 20""".stripMargin,
     "graph_khop_reach" ->
       s"""WITH $edgeCte,

@@ -45,6 +45,37 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Graph.pageRankAdaptive" should "replay the adaptive L1-threshold loop exactly" in {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    val n = nodes.size.toLong
+    val outd = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.size.toLong }
+    val scale = 1000000000000L
+    val teleport = (15 * scale) / (100 * n)
+    var r: Map[Long, Long] = nodes.map(_ -> scale / n).toMap
+    var delta = Long.MaxValue
+    var iters = 0
+    while (delta > Graph.AdaptiveThreshold && iters < 100) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => in(d0) += r(s0) / outd(s0) }
+      val rNew = nodes.map(v => v -> (teleport + (85 * in(v)) / 100)).toMap
+      delta = nodes.map(v => math.abs(rNew(v) - r(v))).sum
+      r = rNew
+      iters += 1
+    }
+    val expected = r.toSeq.sortBy { case (p, rk) => (-rk, p) }.take(20)
+
+    val (ranks, gotIters, gotDelta) =
+      Graph.pageRankLoopAdaptive(
+        Graph.edgesWithDeg(spark, sfDir), Graph.nodeTable(spark, sfDir))
+    gotIters shouldBe iters
+    gotDelta shouldBe delta
+    gotDelta should be <= Graph.AdaptiveThreshold
+    gotIters should be < 100
+    val got = ranks.orderBy(col("r").desc, col("part")).limit(20)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    got shouldBe expected
+  }
+
   it should "keep total rank mass at most the initial mass (dangling leak only)" in {
     val ranks = Graph.pageRankParts(spark, sfDir)
     // top-20 sum is a lower bound on total mass; total never exceeds 1.0
@@ -140,6 +171,52 @@ class GraphSpec extends SparkSpec {
     val got = Graph.components(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     got shouldBe expected
+  }
+
+  "Graph.sssp" should "match a driver-side Dijkstra over the weighted graph" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val weighted = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // symmetrize with max(w), cost = 1e6 / w (integer)
+    val cost = scala.collection.mutable.Map[(Long, Long), Long]()
+    weighted.foreach { case ((a, b), w) =>
+      Seq((a, b), (b, a)).foreach { e =>
+        cost(e) = math.max(cost.getOrElse(e, 0L), w)
+      }
+    }
+    val adj = cost.toSeq.map { case ((u, v), w) => (u, v, 1000000L / w) }
+      .groupBy(_._1)
+    if (adj.nonEmpty) {
+      // hub source: argmax degree, min key on ties
+      val source = adj.toSeq.map { case (u, es) => (-es.size, u) }.min._2
+      val dist = scala.collection.mutable.Map(source -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, source))(
+        Ordering.by[(Long, Long), Long](-_._1))
+      while (pq.nonEmpty) {
+        val (du, u) = pq.dequeue()
+        if (du == dist(u)) {
+          adj.getOrElse(u, Nil).foreach { case (_, v, c) =>
+            if (dist.getOrElse(v, Long.MaxValue) > du + c) {
+              dist(v) = du + c
+              pq.enqueue((du + c, v))
+            }
+          }
+        }
+      }
+      val expected = dist.toSeq.map { case (v, dv) => (dv, v) }
+        .sorted.take(100).map { case (dv, v) => (v, dv) }
+      val got = Graph.sssp(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      got shouldBe expected
+    } else {
+      Graph.sssp(spark, sfDir).count() shouldBe 0L
+    }
   }
 
   "RelationalExt.weightedMedian" should "match a driver-side weighted-median scan" in {
