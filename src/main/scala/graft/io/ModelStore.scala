@@ -258,6 +258,43 @@ object ModelStore {
     deleted.sorted
   }
 
+  /** Retention policy GC — the cron-safe sweep [[gc]] is not: `gc`
+    * needs the caller to enumerate the live (kind, source, shape)
+    * triples, which an external scheduler cannot know. This one needs
+    * no bookkeeping: within every (kind, source) group it keeps the
+    * `keepLatest` most-recent COMPLETE tables (directory mtime, key as
+    * the deterministic tie-break) and deletes the rest — old code-id /
+    * format-version / fingerprint generations age out as soon as the
+    * retrained table lands, while the serving generation always
+    * survives because a retrain updates before retention runs. Tables
+    * whose provenance is unreadable (incomplete or damaged) are left
+    * for [[gc]] — retention never deletes what it cannot attribute.
+    * `keepLatest` must cover the number of CONCURRENTLY-SERVED shapes
+    * per (kind, source) — one for every kind this library writes; a
+    * deployment serving k shapes of one kind sets `keepLatest ≥ k`.
+    * Returns deleted paths.
+    */
+  def retain(s: SparkSession, keepLatest: Int,
+      kinds: Set[String] = Set.empty): Seq[String] = {
+    require(keepLatest >= 1, s"keepLatest must be >= 1, got $keepLatest")
+    val entries = registry(s).collect()
+      .filter(r => r.getAs[Boolean]("complete") && r.getAs[String]("source") != null)
+      .filter(r => kinds.isEmpty || kinds.contains(r.getAs[String]("kind")))
+    val deleted = entries
+      .groupBy(r => (r.getAs[String]("kind"), r.getAs[String]("source")))
+      .toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r =>
+            (-r.getAs[java.sql.Timestamp]("created").getTime, r.getAs[String]("key")))
+          .drop(keepLatest)
+      }
+      .map { r =>
+        val dir = new File(s"$root/${r.getAs[String]("kind")}/${r.getAs[String]("key")}")
+        deleteRec(dir)
+        dir.getPath
+      }
+    deleted.sorted
+  }
+
   /** Visible for tests: drop every persisted model table. */
   private[graft] def clear(): Unit = deleteRec(new File(root))
 }

@@ -453,6 +453,67 @@ class HighWaterProcessor extends org.apache.spark.sql.streaming.StatefulProcesso
   * source-agnostic. Each returns a streaming DataFrame ready for
   * `writeStream`.
   */
+/** One (term × document) posting: term frequency plus the 0-based token
+  * positions the positional index needs for phrase adjacency.
+  */
+case class PostingIn(term: String, doc_id: Long, tf: Long, positions: Seq[Long])
+
+/** Per-term index state: document frequency and collection frequency of
+  * the term's posting list.
+  */
+case class IdxSt(df: Long, cf: Long)
+
+/** An index-maintenance update emitted as a posting is appended: the
+  * posting itself plus the term's running (df, cf) AFTER the append —
+  * the last update per term carries the final statistics BM25-style
+  * scoring reads.
+  */
+case class PostingUpd(term: String, doc_id: Long, tf: Long,
+    positions: Seq[Long], df: Long, cf: Long)
+
+/** Streaming inverted-index maintenance (twin of the batch retrieval
+  * surface `search_boolean_and` / `search_phrase_match` / `text_bm25`):
+  * keyed by TERM — the posting LIST is the state shard, exactly how a
+  * distributed index partitions — each arriving document's posting is
+  * appended to the term's `ListState` (the RocksDB-backed posting list)
+  * and the term's (df, cf) counters advance. Emitted updates carry the
+  * appended posting with positions plus the running statistics, so the
+  * union of updates IS the from-scratch index (documents are
+  * append-only; a posting is emitted exactly once) and the final (df,
+  * cf) per term equals the batch scan's. Ingestion-time maintenance is
+  * what a 100 TB retrieval pipeline actually runs — the batch builder
+  * re-tokenizes the full corpus per refresh; this pays one append per
+  * new posting. Asserted in StreamingOpsSpec: reconstructed index ==
+  * batch index, and boolean-AND + positional-phrase queries served from
+  * the streamed index equal the batch query results exactly.
+  */
+class PostingIndexProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[String, PostingIn, PostingUpd] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig, ValueState}
+
+  @transient private var stats: ValueState[IdxSt] = _
+  @transient private var postings: ListState[PostingIn] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    stats = getHandle.getValueState[IdxSt]("idx",
+      org.apache.spark.sql.Encoders.product[IdxSt], TTLConfig.NONE)
+    postings = getHandle.getListState[PostingIn]("postings",
+      org.apache.spark.sql.Encoders.product[PostingIn], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[PostingIn],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[PostingUpd] = {
+    var st = if (stats.exists()) stats.get() else IdxSt(0L, 0L)
+    val out = Seq.newBuilder[PostingUpd]
+    rows.toSeq.sortBy(_.doc_id).foreach { p =>
+      postings.appendValue(p)
+      st = IdxSt(st.df + 1, st.cf + p.tf)
+      out += PostingUpd(p.term, p.doc_id, p.tf, p.positions, st.df, st.cf)
+    }
+    stats.update(st)
+    out.result().iterator
+  }
+}
+
 object StreamingOps {
 
   /** Tumbling hourly counts with a 10-minute watermark. */
@@ -677,6 +738,28 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     daily.groupByKey(_.event_type)
       .transformWithState(new DriftProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming posting-list maintenance: see [[PostingIndexProcessor]].
+    * Tokenization is per-row (`split(" ", -1)` — the Java twin of the
+    * batch `split(text, " ")`, which keeps trailing empties) and the
+    * per-document (term, tf, positions) rollup happens INSIDE the row's
+    * flatMap, so the only stateful stage is the keyed index append — no
+    * streaming pre-aggregate, one shuffle on term.
+    */
+  def postingIndex(docs: DataFrame): org.apache.spark.sql.Dataset[PostingUpd] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (w, occ) =>
+            PostingIn(w, id, occ.length.toLong, occ.map(_._2.toLong).sorted.toSeq)
+          }
+      }
+      .groupByKey(_.term)
+      .transformWithState(new PostingIndexProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Custom arbitrary state (SURVEY §2.10: `mapGroupsWithState`): running

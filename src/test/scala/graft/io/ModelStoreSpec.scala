@@ -97,6 +97,42 @@ class ModelStoreSpec extends SparkSpec {
     mk("v-live").count() shouldBe 2
   }
 
+  it should "keep only the newest N generations per (kind, source) via retain" in {
+    import org.apache.spark.sql.functions.lit
+    def mk(shape: String) = ModelStore.ensureDf(spark, "ret-probe", sfDir, shape) {
+      spark.range(3).toDF("id").withColumn("x", lit(1))
+    }
+    // three generations (distinct shapes stand in for re-keyed retrains)
+    Seq("gen-a", "gen-b", "gen-c").foreach(sh => mk(sh).count() shouldBe 3)
+    val dirs = Seq("gen-a", "gen-b", "gen-c")
+      .map(sh => sh -> ModelStore.dirFor("ret-probe", sfDir, sh)).toMap
+    // stagger mtimes so recency is unambiguous (c newest)
+    val t0 = System.currentTimeMillis() - 60000
+    dirs("gen-a").setLastModified(t0) shouldBe true
+    dirs("gen-b").setLastModified(t0 + 10000) shouldBe true
+    dirs("gen-c").setLastModified(t0 + 20000) shouldBe true
+
+    // an unattributable occupant (no readable provenance) must survive
+    val damaged = new java.io.File(dirs("gen-a").getParentFile, "damaged-key")
+    damaged.mkdirs() shouldBe true
+
+    val deleted = ModelStore.retain(spark, keepLatest = 1, Set("ret-probe"))
+    deleted should contain(dirs("gen-a").getPath)
+    deleted should contain(dirs("gen-b").getPath)
+    deleted should not contain dirs("gen-c").getPath
+    deleted should not contain damaged.getPath
+    dirs("gen-c").exists() shouldBe true
+    damaged.exists() shouldBe true
+    // the survivor still serves without recompute
+    ModelStore.ensureDf(spark, "ret-probe", sfDir, "gen-c") {
+      fail("compute ran — the retained table should have been served")
+    }.count() shouldBe 3
+    // idempotent: a second sweep deletes nothing
+    ModelStore.retain(spark, keepLatest = 1, Set("ret-probe")) shouldBe empty
+    an[IllegalArgumentException] should be thrownBy
+      ModelStore.retain(spark, keepLatest = 0, Set("ret-probe"))
+  }
+
   it should "self-heal a damaged occupant instead of wedging" in {
     import org.apache.spark.sql.functions.lit
     val dir = ModelStore.dirFor("heal-probe", sfDir, "v1")

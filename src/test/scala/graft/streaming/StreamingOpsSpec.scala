@@ -270,6 +270,76 @@ class StreamingOpsSpec extends SparkSpec {
     got should not be empty
   }
 
+  "postingIndex (transformWithState)" should "maintain the exact from-scratch index and serve batch query results" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val docs = graft.io.Sources.documents(s2, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // boundary split: posting lists and (df, cf) counters must carry
+    // across the micro-batch boundary
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.postingIndex(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("idx_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    val upds = s2.table("idx_s")
+
+    // 1. the union of appends IS the from-scratch positional index
+    val gotIdx = upds
+      .select(col("term"), col("doc_id"), col("tf"), col("positions"))
+      .orderBy("term", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSeq
+    val wantIdx = graft.io.Sources.documents(s2, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .groupBy("w", "doc_id")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .orderBy("w", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSeq
+    gotIdx shouldBe wantIdx
+    gotIdx should not be empty
+
+    // 2. the LAST update per term carries the batch (df, cf)
+    val gotStats = upds.groupBy("term")
+      .agg(max(struct(col("df"), col("cf"))).as("m"))
+      .select(col("term"), col("m.df"), col("m.cf")).orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val wantStats = wantIdx.groupBy(_._1).view
+      .mapValues(ps => (ps.size.toLong, ps.map(_._3).sum)).toSeq
+      .map { case (t, (df, cf)) => (t, df, cf) }.sortBy(_._1)
+    gotStats shouldBe wantStats
+
+    // 3. boolean-AND served from the maintained index == batch query
+    // (fresh DataFrame per reference: self-joining the memory-sink view
+    // trips a conflicting-attribute INTERNAL_ERROR in Spark 4.1)
+    def idx = gotIdx.toDF("term", "doc_id", "tf", "positions")
+    def tfOf(t: String) = idx.filter(col("term") === t)
+      .select(col("doc_id"), col("tf").as(s"tf_$t"))
+    val gotBool = tfOf("spark").join(tfOf("dup"), "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val wantBool = graft.ops.TextSignals.booleanAnd(s2, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    gotBool shouldBe wantBool
+
+    // 4. positional phrase match served from the maintained index
+    val a = idx.filter(col("term") === "window")
+      .select(col("doc_id"), explode(col("positions")).as("pos"))
+    val b = idx.filter(col("term") === "join")
+      .select(col("doc_id"), explode(col("positions")).as("p0"))
+      .select(col("doc_id"), (col("p0") - 1).as("pos"))
+    val gotPhrase = a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min("pos").cast("long").as("first_pos"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val wantPhrase = graft.ops.TextSignals.phraseMatch(s2, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    gotPhrase shouldBe wantPhrase
+    gotPhrase should not be empty
+  }
+
   "qgridCells (streaming aggregate)" should "converge to the batch merged grid" in {
     val s2 = rocksSession
     import s2.implicits._
