@@ -295,7 +295,76 @@ object Audit {
       .orderBy("bucket")
   }
 
+  /** A/B experiment analysis (`audit_ab_experiment`) — the readout a
+    * data-ablation experiment runs: users split into two deterministic
+    * arms (`user_id % 2` — the hash-mod assignment an experimentation
+    * system uses), per-arm user counts, converted-user counts (more
+    * purchases than errors — a scale-free split; "≥ 1 purchase"
+    * saturates at p = 1 on any fixture dense enough, degenerating the
+    * test), conversion rates, and the pooled two-proportion
+    * z-statistic, 0 by convention when the pooled variance is 0. One
+    * scan + one per-user aggregate; the z arithmetic runs on the four
+    * integer counts only, in a mirrored expression tree, so the
+    * rounded statistic hash-matches across engines. At 100 TB the
+    * per-user aggregate is the only shuffle and the final reduction is
+    * 2 rows.
+    */
+  def abExperiment(s: SparkSession, d: String): DataFrame = {
+    val perUser = Sources.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(when(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)), 1L)
+        .otherwise(0L).as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    perUser.groupBy()
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a", roundNorm(col("conv_a").cast("double") / col("n_a"), 6))
+      .withColumn("rate_b", roundNorm(col("conv_b").cast("double") / col("n_b"), 6))
+      .withColumn("z_conversion", roundNorm(expr(
+        "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE " +
+          "(cast(conv_a as double)/n_a - cast(conv_b as double)/n_b) / " +
+          "sqrt((cast(conv_a+conv_b as double)/(n_a+n_b)) * " +
+          "(1.0 - cast(conv_a+conv_b as double)/(n_a+n_b)) * " +
+          "(1.0/n_a + 1.0/n_b)) END"), 6))
+      .select("n_a", "conv_a", "n_b", "conv_b", "rate_a", "rate_b", "z_conversion")
+  }
+
+  /** Mutual information between order priority and status
+    * (`ml_mutual_info`) — the feature-selection signal a pipeline uses
+    * to rank categorical columns against a label: per-cell
+    * `p(x,y)·ln(p(x,y)/(p(x)p(y)))` from one contingency scan. Ships
+    * PER-CELL contributions (the consumer sums — no cross-engine
+    * sum-order divergence, the PSI pattern) with the counts; the log
+    * ratio multiplies counts as DOUBLES (exact below 2^52; a Long
+    * product overflows at ~3e9×3e9 cells). Marginals attach by
+    * broadcast map-side joins — one shuffle total for the cell
+    * aggregate.
+    */
+  def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d)
+      .select(col("o_orderpriority").as("x"), col("o_orderstatus").as("y"))
+    val cells = o.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val mx = o.groupBy("x").agg(count(lit(1)).as("n_x"))
+    val my = o.groupBy("y").agg(count(lit(1)).as("n_y"))
+    val tot = o.agg(count(lit(1)).as("n"))
+    cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("mi_contrib", roundNorm(expr(
+        "(cast(n_xy as double)/n) * " +
+          "ln((cast(n_xy as double)*n)/(cast(n_x as double)*n_y))"), 6))
+      .select(col("x"), col("y"), col("n_xy"), col("mi_contrib"))
+      .orderBy("x", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_ab_experiment" -> (abExperiment _),
+    "ml_mutual_info" -> (mutualInfo _),
     "audit_psi_drift" -> (psiDrift _),
     "audit_contract_check" -> (contractCheck _),
     "audit_selectivity_est" -> (selectivityEst _),
@@ -308,6 +377,38 @@ object Audit {
   )
 
   val oracles: Map[String, String] = Map(
+    "audit_ab_experiment" ->
+      """WITH pu AS (SELECT user_id,
+        |   CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+        |     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |     THEN 1 ELSE 0 END AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id),
+        | a AS (SELECT
+        |   CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |   CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        | round(CAST(conv_a AS DOUBLE)/n_a, 6) + 0.0 AS rate_a,
+        | round(CAST(conv_b AS DOUBLE)/n_b, 6) + 0.0 AS rate_b,
+        | round(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE
+        |   (CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b) /
+        |   sqrt((CAST(conv_a+conv_b AS DOUBLE)/(n_a+n_b)) *
+        |   (1.0 - CAST(conv_a+conv_b AS DOUBLE)/(n_a+n_b)) *
+        |   (1.0/n_a + 1.0/n_b)) END, 6) + 0.0 AS z_conversion
+        |FROM a""".stripMargin,
+    "ml_mutual_info" ->
+      """WITH o AS (SELECT o_orderpriority AS x, o_orderstatus AS y FROM orders),
+        | cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM o GROUP BY x, y),
+        | mx AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x FROM o GROUP BY x),
+        | my AS (SELECT y, CAST(count(*) AS BIGINT) AS n_y FROM o GROUP BY y),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o)
+        |SELECT cells.x, cells.y, n_xy,
+        | round((CAST(n_xy AS DOUBLE)/n) *
+        |   ln((CAST(n_xy AS DOUBLE)*n)/(CAST(n_x AS DOUBLE)*n_y)), 6) + 0.0 AS mi_contrib
+        |FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        |ORDER BY x, y""".stripMargin,
     "audit_snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey, o_totalprice AS old_total
         |   FROM orders WHERE o_orderkey % 89 <> 0),

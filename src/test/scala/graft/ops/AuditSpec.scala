@@ -87,6 +87,34 @@ class AuditSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Audit.abExperiment" should "match a driver-side two-proportion readout" in {
+    val perUser = graft.io.Sources.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues { es =>
+        es.count(_._2 == "purchase") > es.count(_._2 == "error")
+      }.toMap
+    val (na, ca) = (perUser.count(_._1 % 2 == 0), perUser.count(u => u._1 % 2 == 0 && u._2))
+    val (nb, cb) = (perUser.count(_._1 % 2 == 1), perUser.count(u => u._1 % 2 == 1 && u._2))
+    val row = Audit.abExperiment(spark, sfDir).head()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe
+      (na.toLong, ca.toLong, nb.toLong, cb.toLong)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = if (p == 0.0 || p == 1.0) 0.0
+      else (ca.toDouble / na - cb.toDouble / nb) /
+        math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    row.getAs[Double]("z_conversion") shouldBe
+      (BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-6)
+  }
+
+  "Audit.mutualInfo" should "sum per-cell contributions to a non-negative MI" in {
+    val rows = Audit.mutualInfo(spark, sfDir).collect()
+    rows.map(_.getAs[Long]("n_xy")).sum shouldBe
+      graft.io.Sources.orders(spark, sfDir).count()
+    // MI >= 0 (rounding can push the tiny-dependence sum only ~1e-6 under)
+    rows.map(_.getAs[Double]("mi_contrib")).sum should be >= -1e-5
+  }
+
   "Audit.rollingMedian" should "match a brute-force 7-day rows-frame median" in {
     val daily = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("o_orderpriority", "date_format(CAST(o_orderdate AS DATE), 'yyyy-MM-dd') AS day")
