@@ -155,14 +155,81 @@ object Mining {
       .orderBy("win_id")
   }
 
+  /** Directional association rules (`mining_association_rules`) — the
+    * actionable half of the A-priori k=2 pass [[frequentPairs]] stops
+    * short of: each frequent unordered pair expands to BOTH rules
+    * a→b and b→a with confidence `n_ab / n_a` (the antecedent's count
+    * in the denominator — direction matters) next to the symmetric
+    * support and lift. Same bounded pair generator (self-equi-join per
+    * basket), same one aggregate + broadcast marginals; the rule
+    * expansion is a 2-row-per-pair map-side explode. Consumers filter
+    * by confidence ≥ τ downstream; the query ships every rule at
+    * support ≥ 3 so the oracle checks the full surface, top-200 by
+    * (confidence, antecedent, consequent) keeps the output bounded
+    * at any corpus size via TakeOrderedAndProject.
+    */
+  def associationRules(s: SparkSession, d: String): DataFrame = {
+    val minSup = 3L
+    val li = Sources.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.select(col("ok"), col("pk").as("pk_a"))
+      .join(li.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSup)
+    val itemCnt = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val tot = li.agg(countDistinct("ok").as("n_orders"))
+    val sided = pairs
+      .join(itemCnt.select(col("pk").as("pk_a"), col("cnt").as("cnt_a")), Seq("pk_a"))
+      .join(itemCnt.select(col("pk").as("pk_b"), col("cnt").as("cnt_b")), Seq("pk_b"))
+    val rules = sided.select(
+        col("pk_a").as("antecedent"), col("pk_b").as("consequent"),
+        col("n_ab"), col("cnt_a").as("n_ante"), col("cnt_b").as("n_cons"))
+      .union(sided.select(
+        col("pk_b").as("antecedent"), col("pk_a").as("consequent"),
+        col("n_ab"), col("cnt_b").as("n_ante"), col("cnt_a").as("n_cons")))
+    rules.crossJoin(broadcast(tot))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        roundNorm(col("n_ab").cast("double") / col("n_ante").cast("double"), 6)
+          .as("confidence"),
+        roundNorm(col("n_ab").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"),
+        roundNorm(col("n_ab").cast("double") * col("n_orders").cast("double") /
+          (col("n_ante").cast("double") * col("n_cons").cast("double")), 4).as("lift"))
+      .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mining_frequent_pairs" -> (frequentPairs _),
+    "mining_association_rules" -> (associationRules _),
     "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
     "join_bloom_pruned" -> (bloomPrunedRevenue _),
     "join_interval_bucketed" -> (intervalBucketed _),
   )
 
   val oracles: Map[String, String] = Map(
+    "mining_association_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        | pairs AS (SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(count(*) AS BIGINT) AS n_ab
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |   GROUP BY 1, 2 HAVING count(*) >= 3),
+        | ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY pk),
+        | tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        | sided AS (SELECT pk_a, pk_b, n_ab, ia.cnt AS cnt_a, ib.cnt AS cnt_b
+        |   FROM pairs JOIN ic ia ON ia.pk = pk_a JOIN ic ib ON ib.pk = pk_b),
+        | rules AS (
+        |   SELECT pk_a AS antecedent, pk_b AS consequent, n_ab,
+        |          cnt_a AS n_ante, cnt_b AS n_cons FROM sided
+        |   UNION ALL
+        |   SELECT pk_b, pk_a, n_ab, cnt_b, cnt_a FROM sided)
+        |SELECT antecedent, consequent, n_ab,
+        | round(CAST(n_ab AS DOUBLE) / CAST(n_ante AS DOUBLE), 6) + 0.0 AS confidence,
+        | round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) + 0.0 AS support,
+        | round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+        |   (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)), 4) + 0.0 AS lift
+        |FROM rules CROSS JOIN tot
+        |ORDER BY confidence DESC, antecedent, consequent LIMIT 200""".stripMargin,
     "join_interval_bucketed" ->
       """WITH ev AS (SELECT event_id, event_type,
         |   epoch_us(ts) AS us FROM events),

@@ -41,10 +41,12 @@ class PlanShapesSpec extends SparkSpec {
     "sketch_qgrid_daily", "sketch_qgrid_quantiles",
     // 1-row aggregate attaches (basket total / row total / node count /
     // weight total + leftover seats)
-    "mining_frequent_pairs", "audit_equidepth_hist", "graph_pagerank_parts",
+    "mining_frequent_pairs", "mining_association_rules", "audit_equidepth_hist",
+    "graph_pagerank_parts",
     "graph_ppr_seeds", "graph_pagerank_weighted", "sample_temperature_mix",
     "sketch_join_size",
-    "audit_selectivity_est", "audit_contract_check", "audit_psi_drift")
+    "audit_selectivity_est", "audit_contract_check", "audit_psi_drift",
+    "ml_mutual_info")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -113,8 +113,10 @@ class ModelStoreSpec extends SparkSpec {
     dirs("gen-c").setLastModified(t0 + 20000) shouldBe true
 
     // an unattributable occupant (no readable provenance) must survive
+    // (mkdirs is idempotent: the dir persists across suite runs)
     val damaged = new java.io.File(dirs("gen-a").getParentFile, "damaged-key")
-    damaged.mkdirs() shouldBe true
+    damaged.mkdirs()
+    damaged.exists() shouldBe true
 
     val deleted = ModelStore.retain(spark, keepLatest = 1, Set("ret-probe"))
     deleted should contain(dirs("gen-a").getPath)
