@@ -362,8 +362,36 @@ object Audit {
       .orderBy("x", "y")
   }
 
+  /** Referential-integrity audit (`audit_referential`) — the FK orphan
+    * counts an admission gate checks before promoting a snapshot:
+    * orders whose customer is missing, lineitems whose order / part /
+    * supplier is missing. Each probe is one `left_anti` equi-join
+    * against the DISTINCT key projection of the dimension (broadcast
+    * for the small ones, shuffle for orders — Catalyst picks), then a
+    * count: no row payload ever shuffles, only keys. One output row so
+    * dashboards can alert on any nonzero cell.
+    */
+  def referential(s: SparkSession, d: String): DataFrame = {
+    def orphans(fact: DataFrame, key: String, dim: DataFrame, dimKey: String,
+        out: String): DataFrame =
+      fact.select(col(key)).join(
+        dim.select(col(dimKey).as(key)).distinct(), Seq(key), "left_anti")
+        .agg(count(lit(1)).as(out))
+    val li = Sources.lineitem(s, d)
+    // one lazy plan: four independent anti-join counts, 1-row crossJoins
+    orphans(Sources.orders(s, d), "o_custkey", Sources.customer(s, d),
+        "c_custkey", "orphan_orders")
+      .crossJoin(orphans(li, "l_orderkey", Sources.orders(s, d),
+        "o_orderkey", "orphan_li_orders"))
+      .crossJoin(orphans(li, "l_partkey", Sources.part(s, d),
+        "p_partkey", "orphan_li_parts"))
+      .crossJoin(orphans(li, "l_suppkey", Sources.supplier(s, d),
+        "s_suppkey", "orphan_li_suppliers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_ab_experiment" -> (abExperiment _),
+    "audit_referential" -> (referential _),
     "ml_mutual_info" -> (mutualInfo _),
     "audit_psi_drift" -> (psiDrift _),
     "audit_contract_check" -> (contractCheck _),
@@ -377,6 +405,16 @@ object Audit {
   )
 
   val oracles: Map[String, String] = Map(
+    "audit_referential" ->
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orphan_orders,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_li_orders,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS orphan_li_parts,
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS orphan_li_suppliers""".stripMargin,
     "audit_ab_experiment" ->
       """WITH pu AS (SELECT user_id,
         |   CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >

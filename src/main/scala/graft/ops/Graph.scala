@@ -422,9 +422,42 @@ object Graph {
     }
   }
 
+  /** Local clustering coefficient (`graph_clustering_coeff`) over the
+    * UNDIRECTED strong co-purchase graph: per node, the fraction of
+    * neighbor pairs that are themselves connected —
+    * `2·t(v) / (deg(v)·(deg(v)−1))`, the standard transitivity measure
+    * separating hub-and-spoke parts from clique-y product families.
+    * Triangle counting is the wedge equi-join: neighbor pairs `(a, b),
+    * a < b` from a per-node self-join (fan-out bounded by deg², and the
+    * strong filter bounds deg), closed against the edge set by one more
+    * equi-join — never an all-pairs stage. Nodes with deg < 2 report 0
+    * by convention (mirrored CASE in the oracle).
+    */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val es = strongEdges(s, d)
+    val und = es.select(col("src").as("u"), col("dst").as("v"))
+      .union(es.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("u"), col("v").as("a"))
+      .join(und.select(col("u"), col("v").as("b")), Seq("u"))
+      .filter(col("a") < col("b"))
+    val tri = wedges
+      .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
+      .groupBy("u").agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("u"), "left")
+      .select(col("u").as("part"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        graft.functions.Num.roundNorm(expr(
+          "CASE WHEN deg < 2 THEN 0.0 ELSE " +
+            "2.0 * coalesce(n_tri, 0) / (deg * (deg - 1)) END"), 6).as("coeff"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_parts" -> (pageRankParts _),
     "graph_sssp" -> (sssp _),
+    "graph_clustering_coeff" -> (clusteringCoeff _),
     "graph_pagerank_adaptive" -> (pageRankAdaptive _),
     "graph_khop_reach" -> (khopReach _),
     "graph_ppr_seeds" -> (pprCrawlSeeds _),
@@ -478,6 +511,25 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM st UNION ALL SELECT dst, src FROM st)),
+        | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+        | tri AS (SELECT w1.u, CAST(count(*) AS BIGINT) AS n_tri
+        |   FROM und w1 JOIN und w2 ON w1.u = w2.u AND w1.v < w2.v
+        |   JOIN und e ON e.u = w1.v AND e.v = w2.v
+        |   GROUP BY w1.u)
+        |SELECT deg.u AS part, deg.deg, coalesce(tri.n_tri, 0) AS n_tri,
+        | round(CASE WHEN deg.deg < 2 THEN 0.0 ELSE
+        |   2.0 * coalesce(tri.n_tri, 0) / (deg.deg * (deg.deg - 1)) END, 6) + 0.0 AS coeff
+        |FROM deg LEFT JOIN tri ON deg.u = tri.u
+        |ORDER BY part""".stripMargin,
     // fixed 60 rounds: past the exact fixed point every extra round is
     // a no-op (min is idempotent), so Spark's change-guard early stop
     // and this over-iteration provably emit identical distances

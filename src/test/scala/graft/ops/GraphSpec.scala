@@ -173,6 +173,28 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Graph.clusteringCoeff" should "match a driver-side triangle count" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val strong = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.groupBy(identity).iterator
+      .collect { case (e, xs) if xs.size >= 2 => e }.toVector
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    strong.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val expected = adj.toSeq.sortBy(_._1).map { case (v, ns) =>
+      val tri = ns.toSeq.combinations(2).count { case Seq(a, b) => adj(a)(b) }
+      (v, ns.size.toLong, tri.toLong)
+    }
+    val got = Graph.clusteringCoeff(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
+
   "Graph.sssp" should "match a driver-side Dijkstra over the weighted graph" in {
     val li = Sources.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_partkey").collect()
