@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -157,7 +157,51 @@ object EtlQueries {
       .orderBy("month")
   }
 
+  /** Z-order layout statistics (`etl_zorder_stats`) — the data-skipping
+    * evidence behind a `ZORDER BY (l_partkey, l_suppkey)` table
+    * optimize: rows are bucketed two ways — by the interleaved-bit
+    * Morton code of the two keys (32 buckets = the code's top 5 bits)
+    * and by the linear partkey order — and each bucket reports its
+    * min/max range PER KEY. Under z-order BOTH columns' per-bucket
+    * ranges are ~√32× narrower than the global domain, so a predicate
+    * on EITHER key prunes most buckets from file-level min/max stats;
+    * under linear layout only the sort key prunes. The Morton code is
+    * 32 shift/mask/add terms — pure integer codegen, identical
+    * arithmetic in the oracle; the bucket aggregate is one shuffle of
+    * (bucket, keys). This is the layout decision a 100 TB table makes
+    * once at write time to turn full scans into ~1/32 scans.
+    */
+  def etlZorderStats(s: SparkSession, d: String): DataFrame = {
+    // interleave the low 16 bits: pk bit i -> 2i+1, sk bit i -> 2i
+    val morton = (0 until 16).map { i =>
+      s"(shiftleft(pk16 >> $i & 1, ${2 * i + 1}) + shiftleft(sk16 >> $i & 1, ${2 * i}))"
+    }.mkString(" + ")
+    // spread each key onto the full 16-bit domain first — integer floor
+    // division off the 1-row max attach, so small fixture key spaces
+    // still exercise all 32 buckets (identical arithmetic in the oracle)
+    val mx = Sources.lineitem(s, d)
+      .agg(max("l_partkey").as("pk_max"), max("l_suppkey").as("sk_max"))
+    val base = Sources.lineitem(s, d)
+      .crossJoin(broadcast(mx))
+      .select(
+        expr("(l_partkey * 65536) div (pk_max + 1)").as("pk16"),
+        expr("(l_suppkey * 65536) div (sk_max + 1)").as("sk16"))
+      .withColumn("z", expr(morton))
+    def stats(df: DataFrame, bucket: Column, layout: String): DataFrame =
+      df.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("pk16").as("pk_min"), max("pk16").as("pk_max"),
+          min("sk16").as("sk_min"), max("sk16").as("sk_max"))
+        .withColumn("layout", lit(layout))
+    stats(base, expr("z >> 27"), "zorder")
+      .union(stats(base, expr("pk16 >> 11"), "linear"))
+      .select("layout", "bucket", "n_rows", "pk_min", "pk_max", "sk_min", "sk_max")
+      .orderBy("layout", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_zorder_stats" -> (etlZorderStats _),
     "etl_cdc_apply" -> (etlCdcApply _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
     "etl_pipeline_e2e" -> (etlPipelineE2e _),
@@ -169,6 +213,29 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_zorder_stats" -> {
+      val morton = (0 until 16).map { i =>
+        s"((((pk16 >> $i) & 1) << ${2 * i + 1}) + (((sk16 >> $i) & 1) << ${2 * i}))"
+      }.mkString(" + ")
+      s"""WITH mx AS (SELECT max(l_partkey) AS pk_max, max(l_suppkey) AS sk_max
+         |   FROM lineitem),
+         | base AS (SELECT CAST((l_partkey * 65536) // (pk_max + 1) AS BIGINT) AS pk16,
+         |   CAST((l_suppkey * 65536) // (sk_max + 1) AS BIGINT) AS sk16
+         |  FROM lineitem CROSS JOIN mx),
+         | z AS (SELECT pk16, sk16, $morton AS z FROM base),
+         | zb AS (SELECT 'zorder' AS layout, CAST(z >> 27 AS BIGINT) AS bucket,
+         |   CAST(count(*) AS BIGINT) AS n_rows,
+         |   min(pk16) AS pk_min, max(pk16) AS pk_max,
+         |   min(sk16) AS sk_min, max(sk16) AS sk_max
+         |  FROM z GROUP BY 2),
+         | lb AS (SELECT 'linear' AS layout, CAST(pk16 >> 11 AS BIGINT) AS bucket,
+         |   CAST(count(*) AS BIGINT) AS n_rows,
+         |   min(pk16) AS pk_min, max(pk16) AS pk_max,
+         |   min(sk16) AS sk_min, max(sk16) AS sk_max
+         |  FROM z GROUP BY 2)
+         |SELECT * FROM zb UNION ALL SELECT * FROM lb
+         |ORDER BY layout, bucket""".stripMargin
+    },
     // full recompute — the semantics the partial-merge must equal; the
     // decimal sums make both sides exact, so the doubles agree bitwise
     "etl_incremental_agg" ->
