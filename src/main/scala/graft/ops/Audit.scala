@@ -389,9 +389,36 @@ object Audit {
         "s_suppkey", "orphan_li_suppliers"))
   }
 
+  /** Order-independent content checksum (`audit_content_checksum`) —
+    * the cross-engine table-compare primitive a 100 TB replication
+    * validator runs: per month, a commutative fingerprint of the
+    * orders partition that two engines can compute WITHOUT sorting or
+    * co-locating rows. Each row maps to an integer digest
+    * `pmod(k·P1 + c·P2 + cents, M)` (cents via the exact cent cast, so
+    * floats never enter); digests SUM in DECIMAL(38,0) — exact, so
+    * accumulation order cannot perturb the total the way a double sum
+    * would — and reduce mod M at the edge. Any single-row difference
+    * changes the month's checksum with probability ~1−1/M. One
+    * map-side digest + one partial-aggregated shuffle of (month,
+    * decimal) — the cheapest possible cross-replica diff.
+    */
+  def contentChecksum(s: SparkSession, d: String): DataFrame = {
+    val M = 9007199254740881L // largest prime < 2^53
+    Sources.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr(s"pmod(o_orderkey * 1000003 + o_custkey * 8191 + " +
+          s"cast(round(o_totalprice * 100) as bigint), ${M}L)").as("digest"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"cast(pmod(sum(cast(digest as decimal(38,0))), ${M}L) as bigint)")
+          .as("checksum"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_ab_experiment" -> (abExperiment _),
     "audit_referential" -> (referential _),
+    "audit_content_checksum" -> (contentChecksum _),
     "ml_mutual_info" -> (mutualInfo _),
     "audit_psi_drift" -> (psiDrift _),
     "audit_contract_check" -> (contractCheck _),
@@ -405,6 +432,14 @@ object Audit {
   )
 
   val oracles: Map[String, String] = Map(
+    "audit_content_checksum" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |   (o_orderkey * 1000003 + o_custkey * 8191 +
+        |    CAST(round(o_totalprice * 100) AS BIGINT)) % 9007199254740881 AS digest
+        |  FROM orders)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(digest) % 9007199254740881 AS BIGINT) AS checksum
+        |FROM o GROUP BY month ORDER BY month""".stripMargin,
     "audit_referential" ->
       """SELECT
         | (SELECT CAST(count(*) AS BIGINT) FROM orders
