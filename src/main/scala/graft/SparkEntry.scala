@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Audit, Decomp, Graph, Mining, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Decomp, Graph, Mining, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, Stats, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,7 +38,8 @@ object SparkEntry {
       Ml.queries ++
       Sketches.queries ++
       Mining.queries ++
-      Graph.queries
+      Graph.queries ++
+      Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -60,5 +61,6 @@ object SparkEntry {
       Ml.oracles ++
       Sketches.oracles ++
       Mining.oracles ++
-      Graph.oracles
+      Graph.oracles ++
+      Stats.oracles
 }

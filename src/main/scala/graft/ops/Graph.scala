@@ -454,7 +454,44 @@ object Graph {
       .orderBy("part")
   }
 
+  /** Degree assortativity (`graph_assortativity`) of the strong
+    * co-purchase graph: Pearson correlation of (deg_u, deg_v) over all
+    * directed orientations of the undirected strong edges — positive
+    * means hub parts co-purchase with other hubs, negative means
+    * hub-to-leaf (the mixing pattern that decides whether hub removal
+    * fragments the catalog graph). Built as two keyed aggregates (degree
+    * table, then the six power sums) and two equi-joins of the edge list
+    * against the degree table — never an adjacency matrix. Degrees are
+    * exact Longs and the correlation is assembled from the integer power
+    * sums with one closed-form float finish, identical in both engines
+    * (Long is exact in double to 2^53; deg ≤ 1e6 at n·sxx ≈ 1e18 still
+    * holds — beyond that, DECIMAL).
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val es = strongEdges(s, d)
+    val und = es.select(col("src").as("u"), col("dst").as("v"))
+      .union(es.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val j = und
+      .join(deg, "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("degv")), "v")
+    j.agg(
+        count(lit(1)).as("n_dir_edges"),
+        sum("deg").as("sx"), sum("degv").as("sy"),
+        sum(col("deg") * col("deg")).as("sxx"),
+        sum(col("degv") * col("degv")).as("syy"),
+        sum(col("deg") * col("degv")).as("sxy"))
+      .select(col("n_dir_edges"),
+        graft.functions.Num.roundNorm(
+          (col("n_dir_edges") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt((col("n_dir_edges") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n_dir_edges") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_pagerank_parts" -> (pageRankParts _),
     "graph_sssp" -> (sssp _),
     "graph_clustering_coeff" -> (clusteringCoeff _),
@@ -511,6 +548,26 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM st UNION ALL SELECT dst, src FROM st)),
+        | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+        | j AS (SELECT d1.deg AS dx, d2.deg AS dy
+        |   FROM und JOIN deg d1 ON und.u = d1.u JOIN deg d2 ON und.v = d2.u),
+        | p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |   CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy,
+        |   CAST(sum(dx * dy) AS BIGINT) AS sxy FROM j)
+        |SELECT n AS n_dir_edges,
+        | round((n * sxy - sx * sy) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS assortativity
+        |FROM p""".stripMargin,
     "graph_clustering_coeff" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num.roundNorm
+import graft.io.Sources
+
+/** Exact distributed evaluation statistics — the model-quality and
+  * distribution-shape measures a curation pipeline computes over the
+  * WHOLE corpus, not a sample: ROC-AUC as the Mann-Whitney rank
+  * statistic, the Gini concentration coefficient, and Spearman rank
+  * correlation. All three are rank statistics, i.e. exactly the class
+  * naive implementations sort globally for — here each one reduces to
+  * a keyed aggregate plus one [[Prefix]] two-pass running sum, so no
+  * single-partition sort of corpus-sized data ever exists and every
+  * intermediate is an exact integer both engines replay bit-for-bit
+  * (reference analogue: the pandas `Series.rank`/`corr` post-processing
+  * in `utils.py` — recomputed here as distributed plans).
+  *
+  * Scale notes: the rank products are Long; with per-key counts beyond
+  * ~3e9 the `pos*neg` cross terms need DECIMAL — documented at each
+  * site rather than paid on every row at today's scales.
+  */
+object Stats {
+
+  /** Exact ROC-AUC (`ml_auc_exact`) of an integer score against a
+    * deterministic planted label, via the tie-aware Mann-Whitney U:
+    *
+    *   AUC = [ Σ_s pos_s·negBelow_s + ½·Σ_s pos_s·neg_s ] / (P·N)
+    *
+    * summed over DISTINCT score values s — the per-row global sort a
+    * textbook AUC does collapses to a groupBy(score) + one running sum
+    * of negatives in score order ([[Prefix]]: distributed range
+    * partition, never a single-partition window). Everything up to the
+    * final division is Long (`u2 = 2·ΣposᐧnegBelow + Σpos·neg` is
+    * emitted as an exact gate column); the label is a Knuth-hash
+    * uniform thresholded by a score-dependent integer cut, so both
+    * engines derive identical supervision with pure integer arithmetic.
+    * Long bound: u2 < 2·P·N — overflows past P·N ≈ 4.6e18 (P,N ≈ 2e9);
+    * beyond that cast the products to DECIMAL(38,0).
+    */
+  def aucExact(s: SparkSession, d: String): DataFrame = {
+    val scored = Sources.orders(s, d).select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey"))
+      .withColumn("u", pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)) % 1000000L)
+      .withColumn("label",
+        (col("u") < least(lit(100000L) + expr("cents div 100"), lit(900000L))).cast("long"))
+    val byScore = scored.groupBy("cents").agg(
+      sum(col("label")).as("pos"),
+      sum(lit(1L) - col("label")).as("neg"))
+    val run = Prefix.running(byScore, Seq(col("cents")),
+      sums = Seq((col("neg"), "cumneg")))
+    run.agg(
+        sum("pos").as("n_pos"),
+        sum("neg").as("n_neg"),
+        sum(col("pos") * (col("cumneg") - col("neg")) * 2 + col("pos") * col("neg")).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        roundNorm(col("u2") / (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
+  }
+
+  /** Per-segment Gini coefficient (`agg_gini_segment`) of customer
+    * revenue — how concentrated spend is inside each market segment,
+    * the same statistic used to decide whether a domain's token counts
+    * are dominated by a few hosts. Closed form over ascending x with
+    * 1-based index i:  G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx).
+    * The global index comes from one [[Prefix]] rank over
+    * (segment, cents, custkey); segments are contiguous in that order,
+    * so the per-segment index is the global rank minus the segment's
+    * start offset (one keyed aggregate + broadcast-back), exactly the
+    * weighted-median trick — no per-segment repartition, no global
+    * sort. Σ i·x_i is Long-exact to ~9e18 (i ≈ 1e6 customers at
+    * x ≈ 1e10 cents); past that, DECIMAL.
+    */
+  def giniBySegment(s: SparkSession, d: String): DataFrame = {
+    val rev = Sources.orders(s, d)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("x"))
+    val seg = Sources.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val ranked = Prefix.running(
+      rev.join(seg, "o_custkey"),
+      Seq(col("c_mktsegment"), col("x"), col("o_custkey")),
+      rankOut = Some("grank"))
+    val off = ranked.groupBy("c_mktsegment").agg(min(col("grank") - 1).as("off"))
+    ranked.join(broadcast(off), "c_mktsegment")
+      .withColumn("i", col("grank") - col("off"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("x").as("total_cents"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+        roundNorm(
+          (col("six") * 2 - (col("n_customers") + 1) * col("total_cents")) /
+            (col("n_customers") * col("total_cents")).cast("double"), 6).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Spearman rank correlation (`agg_spearman`) between part size and
+    * retail price, tie-aware (midranks). Midranks are built WITHOUT a
+    * per-row global sort: groupBy(value) → counts, one [[Prefix]]
+    * running sum in value order gives each distinct value's cumulative
+    * count, and `2·midrank = 2·cum − cnt + 1` stays integer. Rows get
+    * their ranks back by an equi-join on the value (distinct-value
+    * table, shuffle-joined — never collected). The correlation itself
+    * is assembled from the SIX exact integer power sums via the closed
+    * form, so both engines perform the identical final float ops on
+    * identical integers — the rounded value cannot straddle engines.
+    */
+  def spearman(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.part(s, d).select(
+      col("p_size").cast("long").as("xv"),
+      round(col("p_retailprice") * 100).cast("long").as("yv"))
+
+    def rank2(col0: String): DataFrame = {
+      val g = t.groupBy(col0).agg(count(lit(1)).as("cnt"))
+      Prefix.running(g, Seq(col(col0)), sums = Seq((col("cnt"), "cum")))
+        .select(col(col0), (col("cum") * 2 - col("cnt") + 1).as(s"r_$col0"))
+    }
+
+    val withRanks = t
+      .join(rank2("xv"), "xv")
+      .join(rank2("yv"), "yv")
+    withRanks.agg(
+        count(lit(1)).as("n"),
+        sum("r_xv").as("sx"), sum("r_yv").as("sy"),
+        sum(col("r_xv") * col("r_xv")).as("sxx"),
+        sum(col("r_yv") * col("r_yv")).as("syy"),
+        sum(col("r_xv") * col("r_yv")).as("sxy"))
+      .select(col("n"),
+        roundNorm(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("spearman_rho"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_auc_exact" -> (aucExact _),
+    "agg_gini_segment" -> (giniBySegment _),
+    "agg_spearman" -> (spearman _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_auc_exact" ->
+      """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | bys AS (SELECT cents, sum(label) AS pos, sum(1 - label) AS neg
+        |  FROM scored GROUP BY cents),
+        | run AS (SELECT pos, neg,
+        |   sum(neg) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumneg
+        |  FROM bys)
+        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        | CAST(sum(neg) AS BIGINT) AS n_neg,
+        | CAST(sum(pos * (cumneg - neg) * 2 + pos * neg) AS BIGINT) AS u2,
+        | round(CAST(sum(pos * (cumneg - neg) * 2 + pos * neg) AS BIGINT)
+        |   / (CAST(sum(pos) AS BIGINT) * CAST(sum(neg) AS BIGINT) * 2.0), 6) + 0.0 AS auc
+        |FROM run""".stripMargin,
+    "agg_gini_segment" ->
+      """WITH rev AS (SELECT o_custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey),
+        | j AS (SELECT c.c_mktsegment, r.x,
+        |   row_number() OVER (PARTITION BY c.c_mktsegment
+        |     ORDER BY r.x, r.o_custkey) AS i
+        |  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment,
+        | count(*) AS n_customers,
+        | CAST(sum(x) AS BIGINT) AS total_cents,
+        | round((2 * CAST(sum(i * x) AS BIGINT) - (count(*) + 1) * CAST(sum(x) AS BIGINT))
+        |   / CAST(count(*) * CAST(sum(x) AS BIGINT) AS DOUBLE), 6) + 0.0 AS gini
+        |FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_spearman" ->
+      """WITH t AS (SELECT CAST(p_size AS BIGINT) AS xv,
+        |   CAST(round(p_retailprice * 100) AS BIGINT) AS yv FROM part),
+        | rx AS (SELECT xv, 2 * sum(cnt) OVER (ORDER BY xv ROWS UNBOUNDED PRECEDING)
+        |     - cnt + 1 AS r_xv
+        |   FROM (SELECT xv, count(*) AS cnt FROM t GROUP BY xv)),
+        | ry AS (SELECT yv, 2 * sum(cnt) OVER (ORDER BY yv ROWS UNBOUNDED PRECEDING)
+        |     - cnt + 1 AS r_yv
+        |   FROM (SELECT yv, count(*) AS cnt FROM t GROUP BY yv)),
+        | w AS (SELECT CAST(r_xv AS BIGINT) AS r_xv, CAST(r_yv AS BIGINT) AS r_yv
+        |   FROM t JOIN rx USING (xv) JOIN ry USING (yv)),
+        | p AS (SELECT count(*) AS n, sum(r_xv) AS sx, sum(r_yv) AS sy,
+        |   sum(r_xv * r_xv) AS sxx, sum(r_yv * r_yv) AS syy,
+        |   sum(r_xv * r_yv) AS sxy FROM w)
+        |SELECT CAST(n AS BIGINT) AS n,
+        | round((CAST(n AS BIGINT) * CAST(sxy AS BIGINT) - CAST(sx AS BIGINT) * CAST(sy AS BIGINT))
+        |   / (sqrt(CAST(CAST(n AS BIGINT) * CAST(sxx AS BIGINT) - CAST(sx AS BIGINT) * CAST(sx AS BIGINT) AS DOUBLE))
+        |     * sqrt(CAST(CAST(n AS BIGINT) * CAST(syy AS BIGINT) - CAST(sy AS BIGINT) * CAST(sy AS BIGINT) AS DOUBLE))), 6) + 0.0 AS spearman_rho
+        |FROM p""".stripMargin,
+  )
+}

@@ -726,7 +726,72 @@ object TextOps {
       .orderBy("contained_id", "container_id")
   }
 
+  /** Distributed BPE merge learning (`text_bpe_merges`): the top-k
+    * byte-pair merges over the corpus — tokenizer TRAINING run inside
+    * the engine, on the same cluster that holds the 100 TB corpus,
+    * instead of exporting text to a single-node trainer.
+    *
+    * Scale design: BPE statistics live on the WORD-FREQUENCY table, not
+    * the corpus — one explode+groupBy builds (word, count) and every
+    * subsequent iteration is vocabulary-bounded (distinct words), so the
+    * corpus is scanned exactly once no matter how many merges are
+    * learned. Each iteration: adjacent symbol pairs via an indexed
+    * `transform` (no UDF, stays in codegen), one count-weighted groupBy,
+    * a 1-row TakeOrdered collect (bounded: the argmax pair), and a
+    * left-to-right greedy merge applied with the `aggregate` HOF. The
+    * per-iteration `pinned()` checkpoint keeps lineage depth constant,
+    * the same discipline as the PageRank loop. Ties break
+    * lexicographically, making the merge sequence deterministic; the
+    * max pair count is provably non-increasing across steps (a new pair
+    * containing the merged symbol occurs at most as often as the merge
+    * itself did), which BpeSpec asserts along with a hand-replayed
+    * fixture. Rows-only by contract: an iterative argmax-and-rewrite
+    * loop is not SQL-expressible.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesOn(Sources.documents(s, d).select("text"), 8)
+
+  private[ops] def bpeMergesOn(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    var vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", split(col("w"), ""))
+      .select("cnt", "syms")
+      .pinned()
+    val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val top = vocab
+        .select(col("cnt"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1)," +
+            " (x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step.toLong, a, b, a + b, pc))
+        vocab = vocab.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))))
+          .pinned()
+        step += 1
+      }
+    }
+    s.createDataFrame(learned.toSeq)
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> (bpeMerges _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_incremental" -> (dedupIncremental _),
     "text_redact_pii" -> (redactPii _),

@@ -27,6 +27,7 @@ class SparkEntrySpec extends SparkSpec {
     "sketches" -> Sketches.queries.keySet,
     "mining" -> Mining.queries.keySet,
     "graph" -> Graph.queries.keySet,
+    "stats" -> Stats.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {
@@ -53,11 +54,14 @@ class SparkEntrySpec extends SparkSpec {
     // r7: sim_ivfadc_topk composes two trained models (coarse quantizer +
     // PQ codebook) — rows-only like its halves; PqSpec asserts probed-cell
     // containment and L2-competitiveness.
+    // r8: text_bpe_merges — an iterative argmax-and-rewrite loop (BPE
+    // tokenizer training) is not SQL-expressible; BpeSpec replays the
+    // reference algorithm and asserts the structural invariants.
     rowsOnly shouldBe Set("agg_approx_distinct", "agg_approx_percentile",
       "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "sim_pq_audit",
       "sim_pq_adc", "sim_ivfadc_topk", "sim_pca_variance", "sim_pca_project",
       "ml_logreg_weights", "ml_logreg_score", "ml_logreg_eval",
-      "sketch_hll_daily", "sketch_hll_rollup")
+      "sketch_hll_daily", "sketch_hll_rollup", "text_bpe_merges")
   }
 
   "entry" should "return rows on the smoke fixture" in {

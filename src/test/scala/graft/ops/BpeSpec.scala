@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Certifies the distributed BPE trainer against a driver-side reference
+  * implementation of the classic algorithm (word-frequency table,
+  * greedy left-to-right merge, count-desc/lexicographic tie-break), plus
+  * the structural invariants on the real fixture.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Naive reference BPE over a weighted word list. */
+  private def referenceBpe(words: Seq[(String, Long)], k: Int): Seq[(String, String, Long)] = {
+    var vocab = words.map { case (w, c) => (w.split("").toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var continue = true
+    while (out.length < k && continue) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((a, b), pc) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((a, b, pc))
+        vocab = vocab.map { case (syms, c) =>
+          val merged = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (merged.nonEmpty && merged.last == a && x == b) {
+              merged.remove(merged.length - 1); merged += (a + b)
+            } else merged += x
+          }
+          (merged.toVector, c)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  behavior of "TextOps.bpeMerges"
+
+  it should "replay the reference merge sequence on a crafted corpus" in {
+    import spark.implicits._
+    val docs = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest",
+      "widest widest widest",
+      "lowest lowest").toDF("text")
+    val words = docs.as[String].collect()
+      .flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val want = referenceBpe(words, 6)
+
+    val got = TextOps.bpeMergesOn(docs, 6).collect()
+    got.length shouldBe want.length
+    got.zip(want).zipWithIndex.foreach { case ((r, (a, b, pc)), i) =>
+      r.getAs[Long]("merge_rank") shouldBe (i + 1).toLong
+      r.getAs[String]("left") shouldBe a
+      r.getAs[String]("right") shouldBe b
+      r.getAs[String]("merged") shouldBe (a + b)
+      r.getAs[Long]("pair_count") shouldBe pc
+    }
+  }
+
+  it should "hold the structural invariants on the fixture corpus" in {
+    val got = TextOps.bpeMerges(spark, sfDir).collect()
+    got.length should be > 0
+    // max pair count is non-increasing across merge steps: a pair
+    // containing the new symbol occurs at most as often as the merge did
+    got.map(_.getAs[Long]("pair_count")).sliding(2).foreach {
+      case Array(prev, next) => next should be <= prev
+      case _ =>
+    }
+    got.foreach { r =>
+      r.getAs[String]("merged") shouldBe
+        (r.getAs[String]("left") + r.getAs[String]("right"))
+      r.getAs[Long]("pair_count") should be > 0L
+    }
+  }
+}

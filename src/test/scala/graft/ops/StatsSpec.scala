@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.io.Sources
+
+/** Driver-side brute-force replays of the rank-statistic module: AUC,
+  * Gini, and Spearman are each recomputed with naive O(n log n) / O(n²)
+  * reference code over the collected fixture and compared to the
+  * distributed two-pass results, so the Prefix regrouping and the
+  * closed-form integer assembly are checked against the *definition*,
+  * not just the SQL oracle.
+  */
+class StatsSpec extends SparkSpec {
+
+  behavior of "Stats.aucExact"
+
+  it should "match the tie-aware pairwise AUC definition" in {
+    val rows = Sources.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(1) * 100)
+        val u = ((r.getLong(0) * 2654435761L) % 4294967296L) % 1000000L
+        val label = if (u < math.min(100000L + cents / 100, 900000L)) 1 else 0
+        (cents, label)
+      }
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    var num2 = 0L // 2·(wins) + ties, over all pos×neg pairs
+    for (p <- pos; n <- neg) {
+      if (p > n) num2 += 2
+      else if (p == n) num2 += 1
+    }
+    val want = num2.toDouble / (2.0 * pos.length * neg.length)
+
+    val got = Stats.aucExact(spark, sfDir).head()
+    got.getAs[Long]("n_pos") shouldBe pos.length.toLong
+    got.getAs[Long]("n_neg") shouldBe neg.length.toLong
+    got.getAs[Long]("u2") shouldBe num2
+    got.getAs[Double]("auc") shouldBe (BigDecimal(want)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9)
+  }
+
+  behavior of "Stats.giniBySegment"
+
+  it should "match the sorted closed-form Gini per segment" in {
+    val rev = Sources.orders(spark, sfDir)
+      .select("o_custkey", "o_totalprice").collect()
+      .groupBy(_.getLong(0))
+      .map { case (ck, rs) => ck -> rs.map(r => math.round(r.getDouble(1) * 100)).sum }
+    val seg = Sources.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = rev.toSeq.map { case (ck, x) => (seg(ck), x, ck) }
+      .groupBy(_._1).map { case (sg, xs) =>
+        val sorted = xs.sortBy(t => (t._2, t._3)).map(_._2)
+        val n = sorted.length.toLong
+        val sx = sorted.sum
+        val six = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+        sg -> (n, sx, (2.0 * six - (n + 1) * sx) / (n.toDouble * sx))
+      }
+
+    val got = Stats.giniBySegment(spark, sfDir).collect()
+    got.length shouldBe want.size
+    got.foreach { r =>
+      val (n, sx, g) = want(r.getAs[String]("c_mktsegment"))
+      r.getAs[Long]("n_customers") shouldBe n
+      r.getAs[Long]("total_cents") shouldBe sx
+      r.getAs[Double]("gini") shouldBe (g +- 1e-6)
+    }
+  }
+
+  behavior of "Stats.spearman"
+
+  it should "match midrank-based Spearman computed naively" in {
+    val t = Sources.part(spark, sfDir)
+      .select("p_size", "p_retailprice").collect()
+      .map(r => (r.getInt(0).toLong, math.round(r.getDouble(1) * 100)))
+
+    def midranks(vs: Array[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val rx = midranks(t.map(_._1)); val ry = midranks(t.map(_._2))
+    val xs = t.map(p => rx(p._1)); val ys = t.map(p => ry(p._2))
+    val n = t.length.toDouble
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val want = cov / math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+      ys.map(b => (b - my) * (b - my)).sum)
+
+    val got = Stats.spearman(spark, sfDir).head()
+    got.getAs[Long]("n") shouldBe t.length.toLong
+    got.getAs[Double]("spearman_rho") shouldBe (want +- 1e-6)
+  }
+}
