@@ -514,7 +514,69 @@ class PostingIndexProcessor extends org.apache.spark.sql.streaming.StatefulProce
   }
 }
 
+/** One token for the streaming heavy-hitters sketch: group key, item,
+  * and a total-order sequence id that fixes the fold order (estimates
+  * of a Misra-Gries sketch depend on processing order; pinning the
+  * order makes the stream replayable bit-for-bit).
+  */
+case class MGIn(grp: String, item: String, seq: Long)
+
+/** Sketch snapshot row: emitted per group after each micro-batch;
+  * `n_seen` (items folded so far) identifies the latest snapshot.
+  */
+case class MGOut(grp: String, item: String, est: Long, n_seen: Long)
+
+/** Per-group sketch state: the ≤ k counters plus the fold length. */
+case class MGSt(counters: Map[String, Long], nSeen: Long)
+
+/** Streaming twin of the [[graft.functions.MisraGriesAggregator]]
+  * heavy-hitters sketch: the k-counter summary lives in a per-group
+  * `ValueState` and every arriving token advances it with the SAME
+  * `reduce` step the batch aggregator uses — one sketch maintained at
+  * ingestion time instead of a per-refresh full recount. State is k
+  * counters per group regardless of stream length, the bounded-state
+  * property that makes the sketch deployable over an unbounded 100 TB
+  * ingest. Tokens inside a batch are folded in `seq` order, so the
+  * maintained sketch is EXACTLY the sequential fold over the full
+  * stream — StreamingOpsSpec replays that fold on the driver and
+  * asserts bit-equality across a micro-batch boundary, plus the
+  * classic guarantee (true frequency > n/(k+1) ⇒ item survives).
+  */
+class MisraGriesProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, MGIn, MGOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+
+  private val mg = new graft.functions.MisraGriesAggregator(k)
+  @transient private var st: ValueState[MGSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[MGSt]("mg",
+      org.apache.spark.sql.Encoders.product[MGSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[MGIn],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[MGOut] = {
+    val prev = if (st.exists()) st.get() else MGSt(Map.empty, 0L)
+    val toks = rows.toSeq.sortBy(_.seq)
+    val counters = toks.foldLeft(prev.counters)((b, t) => mg.reduce(b, t.item))
+    val next = MGSt(counters, prev.nSeen + toks.length)
+    st.update(next)
+    mg.finish(counters).iterator
+      .map(e => MGOut(key, e.item, e.est, next.nSeen))
+  }
+}
+
 object StreamingOps {
+
+  /** Streaming heavy-hitters maintenance over grouped tokens; the
+    * latest snapshot per group is the row set with maximal `n_seen`.
+    */
+  def heavyHittersSketch(toks: org.apache.spark.sql.Dataset[MGIn], k: Int):
+      org.apache.spark.sql.Dataset[MGOut] = {
+    import toks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    toks.groupByKey(_.grp)
+      .transformWithState(new MisraGriesProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
 
   /** Tumbling hourly counts with a 10-minute watermark. */
   def tumblingHourly(events: DataFrame): DataFrame =

@@ -565,4 +565,47 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     got2 shouldBe Map("AUTO" -> 3L, "BUILDING" -> 3L)
   }
+
+  "heavyHittersSketch (transformWithState)" should "equal the sequential sketch fold across a batch boundary" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val k = 8
+    // per-language token streams from the fixture, in (doc_id, pos) order
+    val toks = graft.io.Sources.documents(s2, sfDir)
+      .select(col("lang"), col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .orderBy("lang", "doc_id", "pos").collect().zipWithIndex
+      .map { case (r, i) => MGIn(r.getString(0), r.getString(3), i.toLong) }
+    val (b1, b2) = toks.splitAt(toks.length / 2)
+    val mem = MemoryStream[MGIn]
+    val q = StreamingOps.heavyHittersSketch(mem.toDS(), k)
+      .writeStream.format("memory").queryName("mg_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+
+    // latest snapshot per group = rows at that group's max n_seen
+    val snaps = s2.table("mg_s").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (g, rows) =>
+        val last = rows.map(_._4).max
+        g -> rows.filter(_._4 == last).map(t => (t._2, t._3)).sortBy(p => (-p._2, p._1)).toSeq
+      }
+
+    // driver-side sequential fold with the identical reduce step
+    val mg = new graft.functions.MisraGriesAggregator(k)
+    val want = toks.groupBy(_.grp).map { case (g, ts) =>
+      val counters = ts.sortBy(_.seq).foldLeft(Map.empty[String, Long])((b, t) => mg.reduce(b, t.item))
+      g -> mg.finish(counters).map(e => (e.item, e.est))
+    }
+    snaps shouldBe want
+
+    // classic MG guarantee: true frequency > n/(k+1) ⇒ item reported
+    toks.groupBy(_.grp).foreach { case (g, ts) =>
+      val n = ts.length
+      val exact = ts.groupBy(_.item).view.mapValues(_.length).toMap
+      val reported = snaps(g).map(_._1).toSet
+      exact.filter { case (_, c) => c > n / (k + 1) }.keys
+        .foreach(w => reported should contain(w))
+    }
+  }
 }
