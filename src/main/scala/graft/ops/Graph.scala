@@ -490,7 +490,41 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** HITS hubs/authorities (`graph_hits`) over the directed bought-after
+    * graph, 3 fixed iterations: authority a_k(v) = Σ h_{k-1}(u) over
+    * in-edges, hub h_k(u) = Σ a_k(v) over out-edges, h_0 ≡ 1 — the
+    * UN-normalized integer recurrence. Normalization in HITS is a
+    * positive per-iteration scalar, so it changes no ordering; dropping
+    * it keeps every value an exact Long both engines replay bit-for-bit
+    * (same trick as the fixed-point PageRank). Magnitudes grow as
+    * deg_max^(2·iters): safe in Long to deg_max ≈ 1300 at 3 iterations;
+    * a deeper or denser deployment switches to the scaled-integer
+    * normalization used by the PageRank family. Per iteration: two
+    * equi-join + keyed-aggregate shuffles against the once-materialized
+    * edge table — no per-iteration scan, no concentrating stage; the
+    * top-20 finish is TakeOrderedAndProject.
+    */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val e = edgesWithDeg(s, d).select("src", "dst")
+    val nodes = nodeTable(s, d)
+    var h = nodes.select(col("part"), lit(1L).as("h"))
+    var a = nodes.select(col("part"), lit(0L).as("a"))
+    for (_ <- 1 to 3) {
+      val aNew = e.join(h.withColumnRenamed("part", "src"), "src")
+        .groupBy(col("dst").as("part")).agg(sum("h").as("a"))
+      a = nodes.join(aNew, Seq("part"), "left").na.fill(0L, Seq("a"))
+      val hNew = e.join(a.withColumnRenamed("part", "dst"), "dst")
+        .groupBy(col("src").as("part")).agg(sum("a").as("h"))
+      h = nodes.join(hNew, Seq("part"), "left").na.fill(0L, Seq("h"))
+    }
+    a.join(h, "part")
+      .orderBy(col("a").desc, col("part"))
+      .limit(20)
+      .select(col("part"), col("a").as("authority"), col("h").as("hub"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> (hits _),
     "graph_assortativity" -> (assortativity _),
     "graph_pagerank_parts" -> (pageRankParts _),
     "graph_sssp" -> (sssp _),
@@ -547,7 +581,34 @@ object Graph {
        |   FROM nodes CROSS JOIN nn LEFT JOIN s$k ON nodes.part = s$k.part)""".stripMargin
   }
 
+  /** One unrolled HITS iteration k-1 → k (exact integer sums). */
+  private def hitsStep(k: Int): String =
+    s"""a${k}r AS (SELECT e.dst AS part, sum(h${k - 1}.h) AS a
+       |   FROM e JOIN h${k - 1} ON h${k - 1}.part = e.src GROUP BY e.dst),
+       | a$k AS (SELECT nodes.part, coalesce(a${k}r.a, 0) AS a
+       |   FROM nodes LEFT JOIN a${k}r ON nodes.part = a${k}r.part),
+       | h${k}r AS (SELECT e.src AS part, sum(a$k.a) AS h
+       |   FROM e JOIN a$k ON a$k.part = e.dst GROUP BY e.src),
+       | h$k AS (SELECT nodes.part, coalesce(h${k}r.h, 0) AS h
+       |   FROM nodes LEFT JOIN h${k}r ON nodes.part = h${k}r.part)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_hits" ->
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+         | e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_linenumber + 1 = b.l_linenumber
+         |   WHERE a.l_partkey <> b.l_partkey),
+         | nodes AS (SELECT DISTINCT part FROM
+         |   (SELECT src AS part FROM e UNION ALL SELECT dst FROM e)),
+         | h0 AS (SELECT part, CAST(1 AS BIGINT) AS h FROM nodes),
+         | ${hitsStep(1)},
+         | ${hitsStep(2)},
+         | ${hitsStep(3)}
+         |SELECT a3.part, CAST(a3.a AS BIGINT) AS authority,
+         | CAST(h3.h AS BIGINT) AS hub
+         |FROM a3 JOIN h3 ON a3.part = h3.part
+         |ORDER BY authority DESC, a3.part LIMIT 20""".stripMargin,
     "graph_assortativity" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w

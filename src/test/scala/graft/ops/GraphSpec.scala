@@ -45,6 +45,25 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Graph.hits" should "replay the un-normalized integer recurrence exactly" in {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    var h: Map[Long, Long] = nodes.map(_ -> 1L).toMap
+    var a: Map[Long, Long] = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val aM = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => aM(d0) += h(s0) }
+      a = nodes.map(v => v -> aM(v)).toMap
+      val hM = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => hM(s0) += a(d0) }
+      h = nodes.map(v => v -> hM(v)).toMap
+    }
+    val expected = nodes.map(v => (v, a(v), h(v)))
+      .sortBy { case (p, av, _) => (-av, p) }.take(20)
+    val got = Graph.hits(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
+
   "Graph.pageRankAdaptive" should "replay the adaptive L1-threshold loop exactly" in {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
     val n = nodes.size.toLong
