@@ -751,6 +751,17 @@ object TextOps {
   def bpeMerges(s: SparkSession, d: String): DataFrame =
     bpeMergesOn(Sources.documents(s, d).select("text"), 8)
 
+  /** One left-to-right greedy merge pass of pair (a, b) over a symbol
+    * array — the `aggregate` HOF fold shared by BPE training and
+    * tokenization (pure column math: stays in codegen, no UDF).
+    */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
   private[ops] def bpeMergesOn(docs: DataFrame, k: Int): DataFrame = {
     val s = docs.sparkSession
     var vocab = docs.select(explode(split(col("text"), " ")).as("w"))
@@ -775,13 +786,7 @@ object TextOps {
       else {
         val (a, b, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step.toLong, a, b, a + b, pc))
-        vocab = vocab.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) =>
-              when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                .otherwise(concat(acc, array(x)))))
-          .pinned()
+        vocab = vocab.withColumn("syms", applyMerge(col("syms"), a, b)).pinned()
         step += 1
       }
     }
@@ -790,7 +795,43 @@ object TextOps {
       .orderBy("merge_rank")
   }
 
+  /** BPE tokenization (`text_bpe_tokenize`) — the SERVE side of
+    * `text_bpe_merges`: the learned merge table persists once as a
+    * versioned [[graft.io.ModelStore]] table (train once, tokenize from
+    * the table in any later session — the logreg weights discipline),
+    * is collected driver-side (k rows, model-bounded), and each merge
+    * becomes one chained `aggregate`-HOF fold applied in rank order.
+    * The whole tokenizer is k map-side column transforms on ONE corpus
+    * scan — no join, no shuffle until the per-document count, exactly
+    * how a 100 TB tokenization pass should look. Per-document output:
+    * word count, post-merge token count (always between n_words and
+    * character count), and the percent saved vs character-level
+    * encoding (integer basis points, engine-exact). Rows-only by
+    * contract (the learned merges are not SQL-derivable); BpeSpec
+    * re-applies the reference tokenizer and compares counts exactly.
+    */
+  def bpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.io.ModelStore.ensureDf(s, "bpe", d, "merges-v1")(bpeMerges(s, d))
+      .orderBy("merge_rank").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = Sources.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("syms", split(col("w"), ""))
+    val merged = merges.foldLeft(toks) { case (df, (a, b)) =>
+      df.withColumn("syms", applyMerge(col("syms"), a, b))
+    }
+    merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms")).cast("long")).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_letters"))
+      .withColumn("saved_bp",
+        expr("(10000 * (n_letters - n_tokens)) div n_letters"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokenize" -> (bpeTokenize _),
     "text_bpe_merges" -> (bpeMerges _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_incremental" -> (dedupIncremental _),

@@ -61,7 +61,8 @@ class SparkEntrySpec extends SparkSpec {
       "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "sim_pq_audit",
       "sim_pq_adc", "sim_ivfadc_topk", "sim_pca_variance", "sim_pca_project",
       "ml_logreg_weights", "ml_logreg_score", "ml_logreg_eval",
-      "sketch_hll_daily", "sketch_hll_rollup", "text_bpe_merges")
+      "sketch_hll_daily", "sketch_hll_rollup", "text_bpe_merges",
+      "text_bpe_tokenize")
   }
 
   "entry" should "return rows on the smoke fixture" in {

@@ -66,6 +66,44 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  behavior of "TextOps.bpeTokenize"
+
+  it should "match reference tokenization with the learned merges" in {
+    val merges = TextOps.bpeMerges(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("merge_rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+
+    def tokenize(w: String): Vector[String] =
+      merges.foldLeft(w.split("").toVector) { case (syms, (a, b)) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) {
+            out.remove(out.length - 1); out += (a + b)
+          } else out += x
+        }
+        out.toVector
+      }
+
+    val want = graft.io.Sources.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+        val nTok = ws.map(w => tokenize(w).length.toLong).sum
+        val nLet = ws.map(_.length.toLong).sum
+        (r.getLong(0), ws.length.toLong, nTok, nLet,
+          10000 * (nLet - nTok) / nLet)
+      }.sortBy(_._1).toSeq
+
+    val got = TextOps.bpeTokenize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe want
+    // merging can only shrink, never below one token per word
+    got.foreach { case (_, nw, nt, nl, _) =>
+      nt should be <= nl
+      nt should be >= nw
+    }
+  }
+
   it should "hold the structural invariants on the fixture corpus" in {
     val got = TextOps.bpeMerges(spark, sfDir).collect()
     got.length should be > 0
