@@ -209,8 +209,42 @@ object Analytics {
       .orderBy("channel")
   }
 
+  /** Q5-style local-supplier revenue (`join_local_supplier_rev`): the
+    * canonical star-schema plan — the lineitem fact joins orders on the
+    * shuffle side, then customer/supplier by key PLUS the
+    * nation-locality predicate, while nation and region attach as
+    * explicit `broadcast()`s (dims stay dim-sized at any corpus scale,
+    * so the fact table never shuffles for them). Revenue is the exact
+    * integer Σ cents·(100−disc_cents) in 10⁻⁴-dollar units — no float
+    * accumulation, so the five-way join is hash-gate exact. The 1995
+    * year filter sits on orders ahead of every join (pushdown visible in
+    * the scan's PushedFilters).
+    */
+  def localSupplierRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      round(col("l_discount") * 100).cast("long").as("disc"))
+    val ord = Sources.orders(s, d).filter(year(col("o_orderdate")) === 1995)
+      .select("o_orderkey", "o_custkey")
+    val cust = Sources.customer(s, d).select("c_custkey", "c_nationkey")
+    val sup = Sources.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Sources.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Sources.region(s, d).select("r_regionkey", "r_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("cents") * (lit(100L) - col("disc"))).as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "complex_min_cost_supplier" -> (minCostSupplier _),
+    "join_local_supplier_rev" -> (localSupplierRevenue _),
     "complex_big_orders" -> (bigOrders _),
     "complex_churned_customers" -> (churnedCustomers _),
     "stream_funnel_1day" -> (funnel _),
@@ -220,6 +254,19 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_local_supplier_rev" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(o_orderdate) = 1995
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "join_attribution_linear" ->
       """WITH p AS (SELECT event_id, user_id, ts,
         |   CAST(round(value * 100) AS BIGINT) AS cents

@@ -135,13 +135,42 @@ object Stats {
           .as("spearman_rho"))
   }
 
+  /** Percentile-rank normalization (`text_length_pct_rank`): each
+    * document's corpus-wide length percentile in integer basis points —
+    * the rank-normalize step a curation pipeline applies before
+    * mixing heterogeneous quality signals (rank features are robust to
+    * arbitrary monotone distortions of the raw score). The global rank
+    * is one [[Prefix]] two-pass pass (distributed range partition,
+    * never a single-partition window); the corpus count attaches as a
+    * sanctioned 1-row broadcast; `pct = 10000·(rank−1) div (n−1)` is
+    * integer floor math, identical in both engines.
+    */
+  def lengthPctRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d).select("doc_id", "n_chars")
+    val ranked = Prefix.running(docs,
+      Seq(col("n_chars"), col("doc_id")), rankOut = Some("rk"))
+    ranked.crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(col("doc_id"), col("n_chars"),
+        expr("(10000 * (rk - 1)) div (n - 1)").as("pct_bp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_length_pct_rank" -> (lengthPctRank _),
     "ml_auc_exact" -> (aucExact _),
     "agg_gini_segment" -> (giniBySegment _),
     "agg_spearman" -> (spearman _),
   )
 
   val oracles: Map[String, String] = Map(
+    "text_length_pct_rank" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |   row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        | n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, n_chars,
+        | CAST((10000 * (rk - 1)) // (n - 1) AS BIGINT) AS pct_bp
+        |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin,
     "ml_auc_exact" ->
       """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000

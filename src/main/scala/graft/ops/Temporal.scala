@@ -187,7 +187,34 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** Day-of-week seasonality profile (`ts_seasonal_dow`): per event
+    * type, each ISO weekday's share of events and of monetary value in
+    * integer basis points — the weekly traffic shape a scheduler uses
+    * to place backfills in quiet windows. Two keyed aggregates (weekday
+    * counts, then type totals joined back — the totals table is
+    * type-count-sized, broadcast); shares use integer floor division so
+    * both engines emit identical Longs. ISO weekday (Mon=1..Sun=7) is
+    * the one day-numbering Spark (`weekday()+1`) and DuckDB (`isodow`)
+    * express identically — `dayofweek` starts Sunday at 1 in Spark and
+    * at 0 in DuckDB, a cross-engine trap this query documents.
+    */
+  def seasonalDow(s: SparkSession, d: String): DataFrame = {
+    val byDow = Sources.events(s, d)
+      .select(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("isodow"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "isodow")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+    val totals = byDow.groupBy("event_type")
+      .agg(sum("n").as("tn"), sum("c").as("tc"))
+    byDow.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("isodow"), col("n").as("n_events"),
+        expr("(10000 * n) div tn").as("share_bp"),
+        expr("CASE WHEN tc > 0 THEN (10000 * c) div tc ELSE null END").as("value_share_bp"))
+      .orderBy("event_type", "isodow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal_dow" -> (seasonalDow _),
     "etl_scd2_history" -> (scd2History _),
     "ts_asof_snapshot" -> (asofSnapshot _),
     "ts_gapfill_daily" -> (gapfillDaily _),
@@ -197,6 +224,17 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_seasonal_dow" ->
+      """WITH b AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+        |   count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        | t AS (SELECT event_type, sum(n) AS tn, sum(c) AS tc
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type, b.isodow, CAST(b.n AS BIGINT) AS n_events,
+        | CAST((10000 * b.n) // t.tn AS BIGINT) AS share_bp,
+        | CAST(CASE WHEN t.tc > 0 THEN (10000 * b.c) // t.tc ELSE NULL END AS BIGINT) AS value_share_bp
+        |FROM b JOIN t ON b.event_type = t.event_type
+        |ORDER BY b.event_type, b.isodow""".stripMargin,
     "ts_asof_snapshot" ->
       """WITH m AS (
         | SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS ok,

@@ -406,6 +406,53 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Boolean OR/NOT retrieval (`search_boolean_or_not`) — the
+    * disjunctive+exclusion half of the boolean surface next to
+    * `search_boolean_and`: documents containing "merge" OR "stream" but
+    * NOT "slow". Same inverted-index probe shape: the token stream is
+    * filtered to the three query terms before any aggregate, so only
+    * matching postings shuffle (cost ∝ the terms' document
+    * frequencies); the NOT is a per-document counter test on that
+    * bounded set, never an anti-join against the corpus.
+    */
+  def booleanOrNot(s: SparkSession, d: String): DataFrame = {
+    val (t1, t2, neg) = ("merge", "stream", "slow")
+    val tf = Sources.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(t1, t2, neg))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("w") === t1, 1L).otherwise(0L)).as(s"tf_$t1"),
+        sum(when(col("w") === t2, 1L).otherwise(0L)).as(s"tf_$t2"),
+        sum(when(col("w") === neg, 1L).otherwise(0L)).as(s"tf_$neg"))
+    tf.filter((col(s"tf_$t1") > 0 || col(s"tf_$t2") > 0) && col(s"tf_$neg") === 0)
+      .select(col("doc_id"), col(s"tf_$t1"), col(s"tf_$t2"))
+      .orderBy("doc_id")
+  }
+
+  /** Proximity search (`search_proximity`) — "window" followed by
+    * "join" within 3 tokens: the within-k generalization of the
+    * adjacency phrase match, the operator behind NEAR/k query syntax.
+    * Both words' positional postings are filtered out of the token
+    * stream first; the pairing is an equi-join on doc_id with the
+    * distance band as a residual predicate, so per-document cost is
+    * tf(w1)·tf(w2) on matching documents only — df-bounded like every
+    * candidate generator in the engine, never a corpus scan.
+    */
+  def proximitySearch(s: SparkSession, d: String): DataFrame = {
+    val (w1, w2, k) = ("window", "join", 3)
+    val toks = Sources.documents(s, d)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+    val a = toks.filter(col("w") === w1).select(col("doc_id"), col("pos").as("pa"))
+    val b = toks.filter(col("w") === w2).select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, "doc_id")
+      .filter(col("pb") > col("pa") && col("pb") - col("pa") <= k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("pb") - col("pa")).cast("long").as("min_dist"))
+      .orderBy("doc_id")
+  }
+
   /** Positional phrase match (`search_phrase_match`) — exact-phrase
     * retrieval ("window join") from a POSITIONAL posting join: tokens
     * carry their offset, each phrase word's postings are filtered out of
@@ -430,6 +477,8 @@ object TextSignals {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_phrase_match" -> (phraseMatch _),
     "search_boolean_and" -> (booleanAnd _),
+    "search_boolean_or_not" -> (booleanOrNot _),
+    "search_proximity" -> (proximitySearch _),
     "text_bm25" -> (bm25 _),
     "search_hybrid_rrf" -> (hybridRrf _),
     "text_zipf_slope" -> (zipfSlope _),
@@ -454,6 +503,28 @@ object TextSignals {
         |SELECT doc_id, count(*) AS n_occurrences,
         | CAST(min(pos) AS BIGINT) AS first_pos
         |FROM p WHERE pos IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "search_boolean_or_not" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | f AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN w = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf_merge,
+        |   CAST(sum(CASE WHEN w = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream,
+        |   CAST(sum(CASE WHEN w = 'slow' THEN 1 ELSE 0 END) AS BIGINT) AS tf_slow
+        |  FROM w WHERE w IN ('merge', 'stream', 'slow') GROUP BY doc_id)
+        |SELECT doc_id, tf_merge, tf_stream FROM f
+        |WHERE (tf_merge > 0 OR tf_stream > 0) AND tf_slow = 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_proximity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | t AS (SELECT doc_id, unnest(ws) AS w,
+        |   generate_subscripts(ws, 1) AS pos FROM w),
+        | a AS (SELECT doc_id, pos AS pa FROM t WHERE w = 'window'),
+        | b AS (SELECT doc_id, pos AS pb FROM t WHERE w = 'join')
+        |SELECT a.doc_id, count(*) AS n_pairs,
+        | CAST(min(b.pb - a.pa) AS BIGINT) AS min_dist
+        |FROM a JOIN b ON a.doc_id = b.doc_id
+        | AND b.pb > a.pa AND b.pb - a.pa <= 3
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "search_boolean_and" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |   FROM documents),

@@ -46,7 +46,9 @@ class PlanShapesSpec extends SparkSpec {
     "graph_ppr_seeds", "graph_pagerank_weighted", "sample_temperature_mix",
     "sketch_join_size",
     "audit_selectivity_est", "audit_contract_check", "audit_psi_drift",
-    "ml_mutual_info", "audit_referential", "etl_zorder_stats")
+    "ml_mutual_info", "audit_referential", "etl_zorder_stats",
+    // 1-row corpus-count attach for the percentile denominator
+    "text_length_pct_rank")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
