@@ -415,7 +415,38 @@ object Audit {
       .orderBy("month")
   }
 
+  /** One-pass column profile (`audit_column_profile`) of the orders
+    * table: per column — null count, distinct count, min/max as
+    * strings — the schema-on-read triage every ingestion pipeline runs
+    * before trusting a new drop. All five columns profile in ONE scan:
+    * the per-column aggregates are independent expressions of a single
+    * hash aggregate (the multi-column count_distinct plans an Expand —
+    * rows replicate per distinct-agg, still a single scan of the fact
+    * table), then a model-sized transpose of the 1-row result to
+    * (column, stat) rows via `inline(array(struct...))` — no collect,
+    * no second scan. Strings make min/max type-uniform across
+    * numeric/date/text columns in both engines.
+    */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c).cast("string")).as(s"mn_$c"),
+        max(col(c).cast("string")).as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = Sources.orders(s, d).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows").as("n_rows"),
+        col(s"nn_$c").as("n_null"), col(s"nd_$c").cast("long").as("n_distinct"),
+        col(s"mn_$c").as("min_s"), col(s"mx_$c").as("max_s"))
+    }
+    one.select(inline(array(rows: _*))).orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_column_profile" -> (columnProfile _),
     "audit_ab_experiment" -> (abExperiment _),
     "audit_referential" -> (referential _),
     "audit_content_checksum" -> (contentChecksum _),
@@ -431,7 +462,17 @@ object Audit {
     "audit_robust_outliers" -> (robustOutliers _),
   )
 
+  private def profileCol(c: String): String =
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+       | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       | min(CAST($c AS VARCHAR)) AS min_s, max(CAST($c AS VARCHAR)) AS max_s
+       |FROM orders""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "audit_column_profile" ->
+      (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .map(profileCol).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     "audit_content_checksum" ->
       """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |   (o_orderkey * 1000003 + o_custkey * 8191 +

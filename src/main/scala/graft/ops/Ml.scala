@@ -224,7 +224,28 @@ object Ml {
         round(col("acc_raw"), 6).as("accuracy"))
   }
 
+  /** Calibration table (`ml_calibration`) of the persisted classifier:
+    * predicted-probability deciles vs observed positive rate — the
+    * reliability diagram a quality-score consumer checks before using
+    * scores as sampling weights (a well-ranked but mis-calibrated model
+    * over/under-samples systematically). One map-side bucket assignment
+    * on the scoring scan + one 10-row aggregate; rows-only like every
+    * trained-model consumer, with MlSpec pinning the structural
+    * invariants (bucket bounds contain their mean prediction, counts
+    * sum to the corpus, observed rates in [0,1]).
+    */
+  def logregCalibration(s: SparkSession, d: String): DataFrame =
+    logregScore(s, d)
+      .withColumn("bucket", least(floor(col("score") * 10), lit(9.0)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("label").as("n_pos"),
+        round(avg("score"), 6).as("mean_pred"),
+        round(avg(col("label").cast("double")), 6).as("obs_rate"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_calibration" -> (logregCalibration _),
     "ml_linear_fit" -> (linearFit _),
     "ml_logreg_weights" -> (logregWeights _),
     "ml_logreg_score" -> (logregScore _),

@@ -213,7 +213,42 @@ object Temporal {
       .orderBy("event_type", "isodow")
   }
 
+  /** Per-brand revenue trend (`ts_trend_slope`): OLS slope of monthly
+    * shipped-revenue cents against the month index — the
+    * grow-or-shrink signal per product line. Two keyed aggregates: the
+    * monthly rollup (brand × month, integer cents), then the five
+    * integer power sums per brand over that month-count-bounded table,
+    * with the closed-form slope assembled ONCE from identical Longs in
+    * both engines (at cents magnitude the engines' streaming `regr_*`
+    * paths differ in the last float bits, so the power-sum form is the
+    * hash-safe one — the Stats-module discipline on a time series).
+    */
+  def trendSlope(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d).select(col("l_partkey"),
+      ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("mi"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val brand = Sources.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val monthly = li.join(brand, "l_partkey")
+      .groupBy("p_brand", "mi").agg(sum("cents").as("y"))
+    // slope from exact integer power sums — at cents magnitude the
+    // engines' streaming regr_slope paths can differ in the last float
+    // bits, so the closed form is assembled once from identical Longs
+    monthly.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("mi").as("sx"), sum("y").as("sy"),
+        sum(col("mi") * col("y")).as("sxy"),
+        sum(col("mi") * col("mi")).as("sxx"))
+      .select(col("p_brand"),
+        graft.functions.Num.roundNorm(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+          .as("slope_cents_per_month"),
+        col("n").as("n_months"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_trend_slope" -> (trendSlope _),
     "ts_seasonal_dow" -> (seasonalDow _),
     "etl_scd2_history" -> (scd2History _),
     "ts_asof_snapshot" -> (asofSnapshot _),
@@ -224,6 +259,21 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_trend_slope" ->
+      """WITH m AS (SELECT p.p_brand,
+        |   CAST((year(l.l_shipdate) - 1992) * 12 + month(l.l_shipdate) - 1 AS BIGINT) AS mi,
+        |   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        | p AS (SELECT p_brand, count(*) AS n,
+        |   CAST(sum(mi) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(mi * y) AS BIGINT) AS sxy, CAST(sum(mi * mi) AS BIGINT) AS sxx
+        |  FROM m GROUP BY p_brand)
+        |SELECT p_brand,
+        | round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0
+        |   AS slope_cents_per_month,
+        | n AS n_months
+        |FROM p ORDER BY p_brand""".stripMargin,
     "ts_seasonal_dow" ->
       """WITH b AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
         |   count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS c

@@ -62,7 +62,7 @@ class SparkEntrySpec extends SparkSpec {
       "sim_pq_adc", "sim_ivfadc_topk", "sim_pca_variance", "sim_pca_project",
       "ml_logreg_weights", "ml_logreg_score", "ml_logreg_eval",
       "sketch_hll_daily", "sketch_hll_rollup", "text_bpe_merges",
-      "text_bpe_tokenize")
+      "text_bpe_tokenize", "ml_calibration")
   }
 
   "entry" should "return rows on the smoke fixture" in {

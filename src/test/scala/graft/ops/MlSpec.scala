@@ -84,6 +84,27 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  it should "produce a structurally sound calibration table" in {
+    val scored = Ml.logregScore(spark, "/root/testdata/sf0.01").collect()
+    val rows = Ml.logregCalibration(spark, "/root/testdata/sf0.01").collect()
+    rows.map(_.getAs[Long]("bucket")).toSeq shouldBe rows.map(_.getAs[Long]("bucket")).toSeq.sorted
+    all(rows.map(_.getAs[Long]("bucket"))) should (be >= 0L and be <= 9L)
+    rows.map(_.getAs[Long]("n")).sum shouldBe scored.length.toLong
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val mp = r.getAs[Double]("mean_pred")
+      // bucket 9 also absorbs score = 1.0 exactly
+      mp should (be >= b / 10.0 and be <= (b + 1) / 10.0)
+      r.getAs[Double]("obs_rate") should (be >= 0.0 and be <= 1.0)
+      r.getAs[Long]("n_pos") should be <= r.getAs[Long]("n")
+    }
+    // replay the bucketing from the scored rows: counts must agree
+    val want = scored.groupBy { r =>
+      math.min((r.getAs[Double]("score") * 10).toInt, 9).toLong
+    }.view.mapValues(_.length.toLong).toMap
+    rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap shouldBe want
+  }
+
   it should "serve weights from the persisted model table" in {
     val w1 = Ml.logregWeights(spark, "/root/testdata/sf0.01").collect()
     w1.length shouldBe 5
