@@ -242,7 +242,78 @@ object Analytics {
       .orderBy("r_name", "n_name")
   }
 
+  /** Q14-style promotion share: per ship month, promo revenue as an
+    * integer basis-point share of total revenue. One fact-side join to
+    * `part` (broadcast at dimension scale, shuffle + AQE beyond), one
+    * month-grain aggregate; revenue in exact 1e-4-dollar units
+    * (cents × (100 − disc-in-%)) and the share via integer floor
+    * division, so every output value is an exact Long in both engines.
+    */
+  def promoShare(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "part")
+    s.sql("""
+      WITH m AS (
+        SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS ym,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+               p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      SELECT CAST(ym AS BIGINT) AS ym,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_e4,
+             CAST(sum(rev) AS BIGINT) AS total_e4,
+             CAST((10000 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END))
+               DIV sum(rev) AS BIGINT) AS promo_share_bp
+      FROM m GROUP BY ym ORDER BY ym""")
+  }
+
+  /** Q17-style small-quantity revenue: per brand, the revenue carried by
+    * lineitems whose quantity is below 20% of their part's average. The
+    * correlated `avg` decorrelates into a per-part aggregate joined back
+    * on the part key; the threshold comparison is cross-multiplied to
+    * integers (`5·qty·n < Σqty` ⇔ `qty < 0.2·avg`), so the filter — the
+    * part both engines could disagree on in float — is exact. Quantities
+    * are integer-valued doubles; the BIGINT cast is value-preserving in
+    * both engines.
+    */
+  def smallQtyRev(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "part")
+    s.sql("""
+      WITH pa AS (SELECT l_partkey AS pk,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               count(*) AS n
+             FROM lineitem GROUP BY l_partkey)
+      SELECT p_brand,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN pa ON l_partkey = pa.pk
+      JOIN part ON l_partkey = p_partkey
+      WHERE 5 * CAST(l_quantity AS BIGINT) * pa.n < pa.sq
+      GROUP BY p_brand ORDER BY p_brand""")
+  }
+
+  /** Q4-style late-shipment priority count: orders (by priority) with at
+    * least one lineitem shipped more than a year after the order date.
+    * The correlated EXISTS carries a non-equi conjunct referencing the
+    * outer row (`l_shipdate > o_orderdate + 365d`); Catalyst plans it as
+    * a semi join on the order key with the date comparison as the join
+    * residual — one shuffle, never a per-order probe.
+    */
+  def lateOrders(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "orders", "lineitem")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_promo_share" -> (promoShare _),
+    "complex_small_qty_rev" -> (smallQtyRev _),
+    "complex_late_orders" -> (lateOrders _),
     "complex_min_cost_supplier" -> (minCostSupplier _),
     "join_local_supplier_rev" -> (localSupplierRevenue _),
     "complex_big_orders" -> (bigOrders _),
@@ -254,6 +325,39 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_promo_share" ->
+      """WITH m AS (
+        |  SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS ym,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+        |         p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT CAST(ym AS BIGINT) AS ym,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_e4,
+        |  CAST(sum(rev) AS BIGINT) AS total_e4,
+        |  CAST((10000 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END))
+        |    // sum(rev) AS BIGINT) AS promo_share_bp
+        |FROM m GROUP BY ym ORDER BY ym""".stripMargin,
+    "complex_small_qty_rev" ->
+      """WITH pa AS (SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN pa ON l_partkey = pa.pk
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * pa.n < pa.sq
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "complex_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_local_supplier_rev" ->
       """SELECT r_name, n_name,
         | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

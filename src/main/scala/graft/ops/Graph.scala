@@ -523,7 +523,42 @@ object Graph {
       .select(col("part"), col("a").as("authority"), col("h").as("hub"))
   }
 
+  /** Common-neighbor link prediction (`graph_link_prediction`) over the
+    * UNDIRECTED strong co-purchase graph: every non-adjacent part pair
+    * sharing ≥1 neighbor, scored by common-neighbor count and the
+    * preferential-attachment product deg(a)·deg(b) — the two classic
+    * exact link-prediction scores, i.e. the candidate edges a
+    * recommender would re-rank. Same wedge equi-join as
+    * [[clusteringCoeff]] (per-node fan-out deg², bounded by the strong
+    * filter; a degree cap is the standard mitigation if a deployment's
+    * strong graph grows hubs), closed with a left-ANTI join against the
+    * edge set — candidates are exactly the wedges that are not
+    * triangles. All scores exact Longs; the top-20 by (count, pair) is
+    * a TakeOrderedAndProject over a total order, so the cut is
+    * deterministic.
+    */
+  def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    val es = strongEdges(s, d)
+    val und = es.select(col("src").as("u"), col("dst").as("v"))
+      .union(es.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val cand = und.select(col("u"), col("v").as("a"))
+      .join(und.select(col("u"), col("v").as("b")), Seq("u"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("u").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("degb")), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        (col("dega") * col("degb")).as("pref_attach"))
+      .orderBy(col("n_common").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_prediction" -> (linkPrediction _),
     "graph_hits" -> (hits _),
     "graph_assortativity" -> (assortativity _),
     "graph_pagerank_parts" -> (pageRankParts _),
@@ -629,6 +664,25 @@ object Graph {
         | round((n * sxy - sx * sy) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS assortativity
         |FROM p""".stripMargin,
+    "graph_link_prediction" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM st UNION ALL SELECT dst, src FROM st)),
+        | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+        | cn AS (SELECT w1.v AS a, w2.v AS b, CAST(count(*) AS BIGINT) AS n_common
+        |   FROM und w1 JOIN und w2 ON w1.u = w2.u AND w1.v < w2.v
+        |   GROUP BY 1, 2),
+        | nc AS (SELECT cn.* FROM cn WHERE NOT EXISTS
+        |   (SELECT 1 FROM und WHERE und.u = cn.a AND und.v = cn.b))
+        |SELECT nc.a, nc.b, nc.n_common,
+        | CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+        |FROM nc JOIN deg da ON da.u = nc.a JOIN deg db ON db.u = nc.b
+        |ORDER BY n_common DESC, a, b LIMIT 20""".stripMargin,
     "graph_clustering_coeff" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -247,7 +247,90 @@ object Temporal {
       .orderBy("p_brand")
   }
 
+  /** Gap-filled daily order-revenue series in exact integer dollars with
+    * a dense 0-based day index — the shared input of the
+    * autocorrelation and changepoint queries. The daily rollup is one
+    * shuffle on the day key (calendar-bounded output at any corpus
+    * scale); the spine explodes a `sequence` from the 1-row min/max
+    * bounds aggregate — a calendar-sized generate, never a collect.
+    * Integer dollars (not cents) keep every downstream power sum well
+    * inside Long to sf100 (daily total ≤ ~1e7 → Σxy ≤ ~2.4e17).
+    */
+  private[graft] def dailyRevenueSeries(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = bounds.select(col("d0"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(datediff(col("day"), col("d0")).cast("long").as("i"),
+        col("day"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Sample autocorrelation (`ts_autocorr`): lag-k Pearson correlation
+    * of the gap-filled daily revenue series for k = 1..7 — the
+    * signature statistic separating weekly-periodic load from white
+    * noise, and the input to any seasonal-model order choice. Each lag
+    * is an equi-join of the series against itself on the shifted day
+    * index (the 7 lags ride one exploded join, fan-out ×7 — never a
+    * window over the whole series), then six integer power sums per lag
+    * and one closed-form float finish. The sums are exact Longs; the
+    * finish casts each sum to double ONCE and runs the identical
+    * IEEE expression in both engines (same discipline as
+    * `graph_assortativity` / `agg_spearman`).
+    */
+  def autocorr(s: SparkSession, d: String): DataFrame = {
+    val ser = dailyRevenueSeries(s, d)
+    val a = ser.select(col("i"), col("x"),
+      explode(array((1 to 7).map(lit(_)): _*)).as("k"))
+      .withColumn("ti", col("i") + col("k"))
+    val b = ser.select(col("i").as("ti"), col("x").as("y"))
+    def D(c: Column): Column = c.cast("double")
+    a.join(b, "ti")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("k").cast("long").as("lag"), col("n").as("n_pairs"),
+        graft.functions.Num.roundNorm(
+          (D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
+            (sqrt(D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) *
+              sqrt(D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))), 6)
+          .as("acf"))
+      .orderBy("lag")
+  }
+
+  /** CUSUM changepoint scan (`ts_cusum_changepoint`): over the same
+    * daily series, the cumulative-sum statistic
+    * `S_i = n·P_i − (i+1)·T` (P_i = prefix sum, T = total) — an
+    * integer rescaling of the classic mean-shift CUSUM
+    * `Σ_{j≤i}(x_j − x̄)`, exact in Longs (n·P ≤ ~6e13 at sf0.1; safe
+    * to sf1000). The day with maximal |S| is the best single
+    * mean-shift split. The prefix sum runs through the two-pass
+    * [[Prefix]] aggregation (no single-partition window); the (n, T)
+    * scalars attach as a 1-row broadcast; the top-5 finish is
+    * TakeOrderedAndProject. Series length is calendar-bounded, so
+    * every stage is corpus-scale-safe.
+    */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val ser = dailyRevenueSeries(s, d)
+    val tot = ser.agg(count(lit(1)).as("n"), sum("x").as("t"))
+    Prefix.running(ser, Seq(col("i")), sums = Seq((col("x"), "p")))
+      .crossJoin(broadcast(tot))
+      .filter(col("i") < col("n") - 1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("n") * col("p") - (col("i") + 1) * col("t")).as("cusum"))
+      .withColumn("cusum_abs", abs(col("cusum")))
+      .orderBy(col("cusum_abs").desc, col("day"))
+      .limit(5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_autocorr" -> (autocorr _),
+    "ts_cusum_changepoint" -> (cusumChangepoint _),
     "ts_trend_slope" -> (trendSlope _),
     "ts_seasonal_dow" -> (seasonalDow _),
     "etl_scd2_history" -> (scd2History _),
@@ -258,7 +341,47 @@ object Temporal {
     "ts_concurrent_intervals" -> (concurrentIntervals _),
   )
 
+  /** Shared oracle CTE: the gap-filled daily integer-dollar series with
+    * a dense 0-based index — mirrors [[dailyRevenueSeries]] exactly.
+    */
+  private val seriesCte: String =
+    """dd AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |   CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      | bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM dd),
+      | sp AS (SELECT unnest(generate_series((SELECT d0 FROM bnd),
+      |     (SELECT d1 FROM bnd), INTERVAL 1 DAY))::DATE AS day),
+      | ser AS (SELECT datediff('day', (SELECT d0 FROM bnd), sp.day) AS i,
+      |   sp.day, coalesce(dd.x, 0) AS x
+      |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ts_autocorr" ->
+      (s"""WITH $seriesCte,
+        | ks AS (SELECT unnest(range(1, 8)) AS k),
+        | p AS (SELECT ks.k, a.x AS x, c.x AS y
+        |   FROM ks CROSS JOIN ser a JOIN ser c ON c.i = a.i + ks.k),
+        | g AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM p GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |   (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS acf
+        |FROM g ORDER BY lag""".stripMargin),
+    "ts_cusum_changepoint" ->
+      (s"""WITH $seriesCte,
+        | agg AS (SELECT count(*) AS n, sum(x) AS t FROM ser),
+        | c AS (SELECT i, day,
+        |   sum(x) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS p FROM ser),
+        | v AS (SELECT strftime(c.day, '%Y-%m-%d') AS day,
+        |   CAST(agg.n * c.p - (c.i + 1) * agg.t AS BIGINT) AS cusum
+        |  FROM c, agg WHERE c.i < agg.n - 1)
+        |SELECT day, cusum, abs(cusum) AS cusum_abs FROM v
+        |ORDER BY cusum_abs DESC, day LIMIT 5""".stripMargin),
     "ts_trend_slope" ->
       """WITH m AS (SELECT p.p_brand,
         |   CAST((year(l.l_shipdate) - 1992) * 12 + month(l.l_shipdate) - 1 AS BIGINT) AS mi,

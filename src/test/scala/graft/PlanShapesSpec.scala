@@ -48,7 +48,9 @@ class PlanShapesSpec extends SparkSpec {
     "audit_selectivity_est", "audit_contract_check", "audit_psi_drift",
     "ml_mutual_info", "audit_referential", "etl_zorder_stats",
     // 1-row corpus-count attach for the percentile denominator
-    "text_length_pct_rank")
+    "text_length_pct_rank",
+    // 1-row (n, total) attach for the CUSUM statistic
+    "ts_cusum_changepoint")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

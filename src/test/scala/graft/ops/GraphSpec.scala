@@ -315,6 +315,35 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Graph.linkPrediction" should "match a brute-force common-neighbor scan" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val w = scala.collection.mutable.Map[(Long, Long), Int]().withDefaultValue(0)
+    li.groupBy(_._1).values.foreach { rows =>
+      for { a <- rows.toSeq; b <- rows.toSeq
+            if b._2 == a._2 + 1 && a._3 != b._3 } w((a._3, b._3)) += 1
+    }
+    // NB: w.collect { case (e, n) ... => e } would resolve to the
+    // Map-building collect (e is a (Long, Long) tuple) and silently
+    // collapse edges sharing a src — filter + keySet keeps them all
+    val st = w.filter(_._2 >= 2).keySet.toSet
+    val und = st ++ st.map { case (a, b) => (b, a) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    val wedgePairs = for {
+      (_, ns) <- nbrs.toSeq; a <- ns.toSeq; b <- ns.toSeq
+      if a < b && !nbrs(a).contains(b)
+    } yield (a, b)
+    val expected = wedgePairs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), c) => (a, b, c, deg(a) * deg(b)) }
+      .sortBy { case (a, b, c, _) => (-c, a, b) }
+      .take(20)
+    val got = Graph.linkPrediction(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe expected
+  }
+
   "Analytics.attributionLinear" should "conserve total purchase cents across channels" in {
     val out = Analytics.attributionLinear(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

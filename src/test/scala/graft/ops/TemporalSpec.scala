@@ -166,4 +166,53 @@ class TemporalSpec extends SparkSpec {
       w shouldBe math.floor(math.sqrt(n.toDouble)).toLong
     }
   }
+
+  /** The gap-filled daily integer-dollar series, replayed driver-side. */
+  private lazy val dailySeries: Vector[(LocalDate, Long)] = {
+    val byDay = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS BIGINT) AS x")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("x").as("x"))
+      .collect()
+      .map(r => (LocalDate.parse(r.get(0).toString), r.getLong(1))).toMap
+    val d0 = byDay.keys.min(Ordering.by[LocalDate, Long](_.toEpochDay))
+    val d1 = byDay.keys.max(Ordering.by[LocalDate, Long](_.toEpochDay))
+    Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(day => (day, byDay.getOrElse(day, 0L))).toVector
+  }
+
+  "Temporal.cusumChangepoint" should "match the sequential CUSUM argmax scan" in {
+    val n = dailySeries.size.toLong
+    val t = dailySeries.map(_._2).sum
+    var p = 0L
+    val svals = dailySeries.zipWithIndex.map { case ((day, x), i) =>
+      p += x
+      (day.toString, n * p - (i + 1) * t)
+    }.dropRight(1)
+    val expected = svals.map { case (d0, s0) => (d0, s0, math.abs(s0)) }
+      .sortBy { case (d0, _, a) => (-a, d0) }.take(5)
+    val got = Temporal.cusumChangepoint(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
+
+  "Temporal.autocorr" should "match the lag-k Pearson definition" in {
+    val xs = dailySeries.map(_._2)
+    val got = Temporal.autocorr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.map(_._1).toSeq shouldBe (1L to 7L)
+    got.foreach { case (k, nPairs, acf) =>
+      val pairs = xs.dropRight(k.toInt).zip(xs.drop(k.toInt))
+      nPairs shouldBe pairs.size.toLong
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxx = pairs.map(v => v._1 * v._1).sum.toDouble
+      val syy = pairs.map(v => v._2 * v._2).sum.toDouble
+      val sxy = pairs.map(v => v._1 * v._2).sum.toDouble
+      val r = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      acf shouldBe (r +- 1e-6)
+    }
+  }
 }
