@@ -445,7 +445,38 @@ object Audit {
     one.select(inline(array(rows: _*))).orderBy("col_name")
   }
 
+  /** Benford first-digit audit (`audit_benford`): distribution of the
+    * leading digit of order totals against Benford's law — the classic
+    * fabricated-data / unit-mixup screen for monetary columns (organic
+    * multi-scale amounts follow log10(1+1/d); truncated, capped, or
+    * synthesized ones don't). The digit is extracted from the exact
+    * integer-dollar string (engine-neutral — no float log10 in the
+    * grouping key); shares and the Benford expectation ship as integer
+    * basis points (expectation precomputed as ⌊10⁴·log10(1+1/d)⌋, a
+    * 9-row constant). One hash aggregate to 9 rows plus a 1-row total
+    * attach — a full-column audit for the cost of a count(*).
+    */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val byDigit = Sources.orders(s, d)
+      .select(round(col("o_totalprice")).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = byDigit.agg(sum("n").as("tn"))
+    val expected = (1 to 9).map(dd =>
+      (dd.toLong, math.floor(10000 * math.log10(1 + 1.0 / dd)).toLong))
+    val expDf = s.createDataFrame(expected).toDF("digit", "expected_bp")
+    byDigit.crossJoin(broadcast(tot))
+      .join(broadcast(expDf), Seq("digit"))
+      .select(col("digit"), col("n"),
+        expr("(10000 * n) div tn").as("share_bp"),
+        col("expected_bp"),
+        (expr("(10000 * n) div tn") - col("expected_bp")).as("dev_bp"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_benford" -> (benford _),
     "audit_column_profile" -> (columnProfile _),
     "audit_ab_experiment" -> (abExperiment _),
     "audit_referential" -> (referential _),
@@ -470,6 +501,21 @@ object Audit {
        |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "audit_benford" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS v
+        |  FROM orders WHERE round(o_totalprice) > 0),
+        | b AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |   count(*) AS n FROM v GROUP BY 1),
+        | t AS (SELECT sum(n) AS tn FROM b),
+        | j AS (SELECT digit, CAST(n AS BIGINT) AS n,
+        |   CAST((10000 * n) // tn AS BIGINT) AS share_bp,
+        |   CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 WHEN 3 THEN 1249
+        |     WHEN 4 THEN 969 WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579
+        |     WHEN 8 THEN 511 ELSE 457 END AS BIGINT) AS expected_bp
+        |  FROM b CROSS JOIN t)
+        |SELECT digit, n, share_bp, expected_bp,
+        | share_bp - expected_bp AS dev_bp
+        |FROM j ORDER BY digit""".stripMargin,
     "audit_column_profile" ->
       (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
         .map(profileCol).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),

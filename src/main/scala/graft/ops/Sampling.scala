@@ -263,7 +263,42 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Deterministic Poisson bootstrap (`sample_bootstrap_reps`): 32
+    * bootstrap replicates of the mean order value, each row weighted by
+    * a Poisson(1)-distributed pseudo-count — the online-bootstrap
+    * construction (Oza & Russell) that replaces with-replacement
+    * resampling at corpus scale, since every row's weight is computed
+    * map-side from a hash, never by sampling row indices. The draw is
+    * the Knuth multiplicative hash of (id, replicate) reduced mod 2²⁰
+    * (the [[sampleDomainMixture]] discipline — masked intermediates
+    * < 2⁵², identical under wrapping or arbitrary-precision
+    * arithmetic), inverted through the exact integer-scaled Poisson(1)
+    * CDF (385749/2²⁰ = P[X=0], …), so every weight is bit-reproducible
+    * in any engine. Plan: ×32 map-side explode, then partial
+    * aggregation collapses each partition to 32 rows before the one
+    * shuffle — at 100 TB the bootstrap costs one scan regardless of
+    * replicate count. The replicate means ship as exact integer cents
+    * (floor division); CI construction is order statistics over the
+    * 32-row output.
+    */
+  def sampleBootstrapReps(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d).select(col("o_orderkey").as("id"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val u = pmod((pmod(col("id"), lit(1048576L)) + col("rep") * lit(7919L))
+      * lit(2654435761L), lit(1048576L))
+    val w = when(u < 385749L, 0L).when(u < 771499L, 1L).when(u < 964373L, 2L)
+      .when(u < 1028665L, 3L).when(u < 1044738L, 4L).otherwise(5L)
+    o.select(col("id"), col("cents"),
+        explode(array((0 until 32).map(lit(_)): _*)).as("rep"))
+      .withColumn("w", w)
+      .groupBy(col("rep").cast("long").as("rep"))
+      .agg(sum("w").as("n_eff"), sum(col("w") * col("cents")).as("wsum"))
+      .select(col("rep"), col("n_eff"), expr("wsum div n_eff").as("mean_cents"))
+      .orderBy("rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_bootstrap_reps" -> (sampleBootstrapReps _),
     "sample_temperature_mix" -> (sampleTemperatureMix _),
     "sample_weighted_reservoir" -> (sampleWeightedReservoir _),
     "sample_group_split" -> (sampleGroupSplit _),
@@ -311,6 +346,20 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_bootstrap_reps" ->
+      """WITH o AS (SELECT o_orderkey AS id,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        | r AS (SELECT unnest(range(0, 32)) AS rep),
+        | x AS (SELECT r.rep,
+        |   ((id % 1048576 + rep * 7919) * 2654435761) % 1048576 AS u, cents
+        |  FROM o CROSS JOIN r),
+        | wt AS (SELECT rep,
+        |   CASE WHEN u < 385749 THEN 0 WHEN u < 771499 THEN 1
+        |        WHEN u < 964373 THEN 2 WHEN u < 1028665 THEN 3
+        |        WHEN u < 1044738 THEN 4 ELSE 5 END AS w, cents FROM x)
+        |SELECT CAST(rep AS BIGINT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
+        | CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+        |FROM wt GROUP BY rep ORDER BY rep""".stripMargin,
     "sample_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
         | w AS (SELECT source, n_total,

@@ -848,7 +848,42 @@ object Similarity {
     (augC, augQ)
   }
 
+  /** One exact k-means assignment step (`ml_kmeans_assign`): every
+    * vector assigned to its nearest of k=8 seed centroids (the first 8
+    * vectors by id — deterministic seeding), with per-cluster size and
+    * mean squared distance. Distances are computed on FIXED-POINT
+    * integer coordinates (`round(x·10⁴)` per element), so the argmin —
+    * the decision both engines could disagree on in float — compares
+    * exact Longs (64 dims × (2·10⁴)² ≤ 2.6e10, nowhere near overflow)
+    * and ties break on the lower centroid id. Plan: the 8 quantized
+    * seeds broadcast to every vector (the k-means E-step at any corpus
+    * scale: N·k codegen'd `zip_with`/`aggregate` dot products, one
+    * scan, no shuffle), then a k-row aggregate. The M-step is the same
+    * shape with the assignment as the key — [[pqTrain]] runs that loop
+    * for the PQ codebooks.
+    */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val emb = Sources.embeddings(s, d).withColumn("qv", qv)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val d2 = aggregate(zip_with(col("qv"), col("cv"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    emb.crossJoin(broadcast(seeds))
+      .withColumn("d2", d2)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("best.cid").as("cluster_id"), col("best.d2").as("d2"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"), sum("d2").as("sum_d2"))
+      .select(col("cluster_id"), col("n_vecs"),
+        expr("sum_d2 div n_vecs").as("mean_d2"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_kmeans_assign" -> (kmeansAssign _),
     "sim_mips_topk" -> (mipsTopK _),
     "sim_ivfadc_topk" -> (ivfAdcTopK _),
     "sim_pq_adc" -> (pqAdcTopNeighbor _),
@@ -867,6 +902,22 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | s AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < 8),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM e),
+        | su AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS y FROM s),
+        | dist AS (SELECT eu.vec_id, su.cid,
+        |   CAST(sum((x - y) * (x - y)) AS BIGINT) AS d2
+        |  FROM eu JOIN su USING (i) GROUP BY 1, 2),
+        | best AS (SELECT vec_id, cid, d2,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist)
+        |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2
+        |FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
     "sim_mips_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),

@@ -50,7 +50,11 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row corpus-count attach for the percentile denominator
     "text_length_pct_rank",
     // 1-row (n, total) attach for the CUSUM statistic
-    "ts_cusum_changepoint")
+    "ts_cusum_changepoint",
+    // 1-row digit-total attach for the Benford shares
+    "audit_benford",
+    // 8-row quantized-seed broadcast (the k-means E-step)
+    "ml_kmeans_assign")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

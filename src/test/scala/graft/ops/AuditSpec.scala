@@ -138,4 +138,25 @@ class AuditSpec extends SparkSpec {
       med shouldBe BigDecimal(expected(k)._2).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
   }
+
+  "Audit.benford" should "match a driver-side first-digit tally" in {
+    val vs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice) AS BIGINT) AS v").collect()
+      .map(_.getLong(0)).filter(_ > 0)
+    val byDigit = vs.groupBy(v => v.toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    val tn = byDigit.values.sum
+    val got = Audit.benford(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.map(_._1).toSet shouldBe byDigit.keySet
+    got.foreach { case (digit, n, shareBp, expBp, devBp) =>
+      n shouldBe byDigit(digit)
+      shareBp shouldBe (10000L * n) / tn
+      expBp shouldBe math.floor(10000 * math.log10(1 + 1.0 / digit)).toLong
+      devBp shouldBe shareBp - expBp
+    }
+    // the audit's job is the deviation report, not conformance — the
+    // synthetic fixture peaks at digit 2, and dev_bp flags exactly that
+    got.map(_._2).sum shouldBe vs.length.toLong
+  }
 }

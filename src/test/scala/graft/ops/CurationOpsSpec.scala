@@ -129,4 +129,52 @@ class CurationOpsSpec extends SparkSpec {
       nSat should be >= 1L // the max-magnitude dim always saturates
     }
   }
+
+  "Sampling.sampleBootstrapReps" should "replay the hash-Poisson weights and stay near the sample mean" in {
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val thresholds = Seq(385749L, 771499L, 964373L, 1028665L, 1044738L)
+    def weight(id: Long, rep: Int): Long = {
+      val u = ((id % 1048576L + rep * 7919L) * 2654435761L) % 1048576L
+      thresholds.indexWhere(u < _) match { case -1 => 5L; case i => i.toLong }
+    }
+    val got = Sampling.sampleBootstrapReps(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.map(_._1).toSeq shouldBe (0L until 32L)
+    val n = rows.length.toLong
+    val trueMean = rows.map(_._2).sum / n
+    got.foreach { case (rep, nEff, meanCents) =>
+      val ws = rows.map { case (id, c) => (weight(id, rep.toInt), c) }
+      nEff shouldBe ws.map(_._1).sum
+      meanCents shouldBe ws.map { case (w, c) => w * c }.sum / nEff
+      // Poisson(1) weights: effective mass within 10% of n, and the
+      // replicate mean within 10% of the sample mean
+      math.abs(nEff - n).toDouble / n should be < 0.1
+      math.abs(meanCents - trueMean).toDouble / trueMean should be < 0.1
+    }
+  }
+
+  "Similarity.kmeansAssign" should "match a driver-side exact argmin assignment" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        // HALF_UP to mirror Spark's round() on negative components
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+    val seeds = vecs.filter(_._1 < 8)
+    val assign = vecs.map { case (id, qv) =>
+      val best = seeds.map { case (cid, cv) =>
+        val d2 = qv.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d2, cid)
+      }.min
+      (best._2, best._1)
+    }
+    val expected = assign.groupBy(_._1).view.mapValues { ds =>
+      (ds.length.toLong, ds.map(_._2).sum / ds.length)
+    }.toMap
+    val got = Similarity.kmeansAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe expected
+  }
 }
