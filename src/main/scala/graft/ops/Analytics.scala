@@ -310,7 +310,29 @@ object Analytics {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** Q15-style top supplier: the supplier(s) achieving the maximum 1995
+    * shipped revenue. The scalar `max` subquery over the revenue CTE is
+    * the classic max-join decorrelation — Catalyst evaluates the 1-row
+    * scalar subquery once and broadcasts it into the filter, never a
+    * per-row rescan. Revenue in exact 1e-4-dollar integer units, so the
+    * `=` against the max — where float engines disagree — compares
+    * exact Longs, and ALL tied suppliers surface (the Q15 semantics).
+    */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "supplier")
+    s.sql("""
+      WITH rev AS (SELECT l_suppkey AS suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev
+             FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev
+      FROM supplier JOIN rev ON s_suppkey = suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s_suppkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_top_supplier" -> (topSupplier _),
     "complex_promo_share" -> (promoShare _),
     "complex_small_qty_rev" -> (smallQtyRev _),
     "complex_late_orders" -> (lateOrders _),
@@ -325,6 +347,15 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey AS suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev
+        |  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "complex_promo_share" ->
       """WITH m AS (
         |  SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS ym,

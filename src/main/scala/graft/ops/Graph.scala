@@ -557,7 +557,48 @@ object Graph {
       .limit(20)
   }
 
+  /** 2-core peeling trajectory (`graph_kcore2`) of the UNDIRECTED
+    * strong co-purchase graph: repeatedly drop every node of degree < 2
+    * (and its edges) — the surviving subgraph after each round
+    * converges to the 2-core, the cycle-bearing backbone separating
+    * catalog "chains" from genuinely clustered product families (and
+    * the standard pruning pass before expensive community detection).
+    * The query reports the per-round census (nodes, undirected edges
+    * remaining) over eight fixed rounds — the collapse speed and the
+    * size of the surviving core are the diagnostic (the sf0.001 strong
+    * graph keeps a 12-node 2-core). Peeling is monotone and idempotent
+    * at the fixed point, so the same-unroll-count oracle provably
+    * matches whether or not the fixture converges earlier — the
+    * [[sssp]] over-iteration trick. Each round is one degree aggregate
+    * + two semi joins on the node key; the per-round [[Checkpoints]]
+    * pin keeps lineage constant-depth at any round count, and each
+    * pinned round feeds both its census row and the next round without
+    * recomputation.
+    */
+  def kcore2(s: SparkSession, d: String): DataFrame = {
+    val es = strongEdges(s, d)
+    var und = es.select(col("src").as("u"), col("dst").as("v"))
+      .union(es.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (t <- 1 to 8) {
+      val keep = und.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= 2).select("u")
+      und = Checkpoints.pin(
+        und.join(keep, Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select("u", "v"),
+        eager = false)
+      rounds += und.agg(
+        countDistinct(col("u")).as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"))
+        .select(lit(t.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    rounds.reduce(_ unionAll _).orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore2" -> (kcore2 _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_hits" -> (hits _),
     "graph_assortativity" -> (assortativity _),
@@ -581,6 +622,18 @@ object Graph {
   /** One unrolled PageRank iteration k-1 → k (DuckDB `//` floor division
     * matches Spark `div` on the all-positive fixed-point values).
     */
+  /** One unrolled peeling round for the 2-core oracle. MATERIALIZED:
+    * each round references the previous one three times, so inlined
+    * CTEs re-evaluate the whole chain 3^8 times (observed as DuckDB
+    * exhausting file handles re-opening the parquet).
+    */
+  private def kcoreStep(t: Int): String = {
+    val p = t - 1
+    s"""k$t AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS c FROM und$p GROUP BY u) WHERE c >= 2),
+       | und$t AS MATERIALIZED (SELECT a.u, a.v FROM und$p a
+       |   JOIN k$t x ON a.u = x.u JOIN k$t y ON a.v = y.u)""".stripMargin
+  }
+
   private def prStep(k: Int): String = {
     val prev = s"r${k - 1}"
     s"""s$k AS (SELECT e.dst AS part, CAST(sum($prev.r // od.outd) AS BIGINT) AS m
@@ -664,6 +717,25 @@ object Graph {
         | round((n * sxy - sx * sy) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS assortativity
         |FROM p""".stripMargin,
+    "graph_kcore2" ->
+      ("""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | und0 AS MATERIALIZED (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM st UNION ALL SELECT dst, src FROM st)),
+        |""".stripMargin +
+        (1 to 8).map(kcoreStep).mkString(" ", ",\n ", ",\n") +
+        (1 to 8).map(t =>
+          s""" s$t AS (SELECT CAST($t AS BIGINT) AS round,
+             |   CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,
+             |   CAST(count(*) // 2 AS BIGINT) AS n_edges FROM und$t)""".stripMargin)
+          .mkString("", ",\n", "\n") +
+        "SELECT * FROM (" +
+        (1 to 8).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ") +
+        ") ORDER BY round"),
     "graph_link_prediction" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w

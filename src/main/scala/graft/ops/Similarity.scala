@@ -882,7 +882,62 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** Three full Lloyd iterations (`ml_kmeans_lloyd`): E-step as in
+    * [[kmeansAssign]] (broadcast centroids, integer-exact argmin), then
+    * an M-step that recomputes each centroid as the ELEMENTWISE
+    * TRUNCATED integer mean of its members — `div` keeps every
+    * coordinate an exact Long, and Spark's `div`, Scala's `/` and
+    * DuckDB's `//` all truncate toward zero, so the negative embedding
+    * sums stay bit-identical across engines (verified: −7 div 2 = −3
+    * in all three). Per-iteration output is the cluster census
+    * (size + inertia), the convergence trace an operator dashboard
+    * plots. The M-step aggregates to k·dim rows and collects them — a
+    * model-sized (8×64) driver pass, the same bounded-collect class as
+    * the PQ codebooks; at corpus scale the heavy lift stays in the
+    * two keyed aggregates per iteration. Empty clusters keep their
+    * previous centroid (same coalesce rule in the oracle).
+    */
+  def kmeansLloyd(s: SparkSession, d: String): DataFrame = {
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val emb = Sources.embeddings(s, d).select(col("vec_id"), qv.as("qv"))
+    var centMap: Map[Long, Array[Long]] =
+      emb.filter(col("vec_id") < 8).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val stats = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (t <- 1 to 3) {
+      val cents = s.createDataFrame(
+        centMap.toSeq.sortBy(_._1).map { case (c, v) => (c, v.toSeq) })
+        .toDF("cid", "cv")
+      val d2 = aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val assign = emb.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("b"), first("qv").as("qv"))
+        .select(col("vec_id"), col("b.cid").as("cid"), col("b.d2").as("d2"), col("qv"))
+      stats += assign.groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+        .select(lit(t.toLong).as("iter"), col("cid").as("cluster_id"),
+          col("n_vecs"), col("inertia"))
+      if (t < 3) {
+        val sums = assign
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("cn"))
+          .collect()
+        val updated = sums.groupBy(_.getLong(0)).map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2) / r.getLong(3)).toArray
+        }
+        centMap = centMap ++ updated // empty cluster keeps previous centroid
+      }
+    }
+    stats.reduce(_ unionAll _).orderBy("iter", "cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_kmeans_lloyd" -> (kmeansLloyd _),
     "ml_kmeans_assign" -> (kmeansAssign _),
     "sim_mips_topk" -> (mipsTopK _),
     "sim_ivfadc_topk" -> (ivfAdcTopK _),
@@ -901,7 +956,42 @@ object Similarity {
     "sim_norm_stats" -> (normStats _),
   )
 
+  /** One unrolled Lloyd iteration for the DuckDB oracle: E-step distance
+    * + argmin, census, then the truncated-integer-mean M-step with the
+    * empty-cluster coalesce (`//` truncates toward zero like Spark `div`).
+    */
+  private def lloydStep(t: Int): String = {
+    val p = t - 1
+    s"""d$t AS (SELECT eu.vec_id, cu$p.cid, CAST(sum((x - y) * (x - y)) AS BIGINT) AS d2
+       |  FROM eu JOIN cu$p USING (i) GROUP BY 1, 2),
+       | a$t AS (SELECT vec_id, cid, d2,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$t),
+       | s$t AS (SELECT CAST($t AS BIGINT) AS iter, cid AS cluster_id,
+       |   CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia
+       |  FROM a$t WHERE rn = 1 GROUP BY cid),
+       | m$t AS (SELECT a.cid, eu.i,
+       |   CAST(sum(eu.x) AS BIGINT) // CAST(count(*) AS BIGINT) AS y
+       |  FROM (SELECT vec_id, cid FROM a$t WHERE rn = 1) a
+       |  JOIN eu USING (vec_id) GROUP BY 1, 2),
+       | cu$t AS (SELECT cid, i, y FROM m$t UNION ALL
+       |   SELECT cid, i, y FROM cu$p WHERE cid NOT IN (SELECT cid FROM m$t))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ml_kmeans_lloyd" ->
+      (s"""WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM e),
+        | c0 AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < 8),
+        | cu0 AS (SELECT cid, generate_subscripts(cv, 1) AS i, unnest(cv) AS y FROM c0),
+        | ${lloydStep(1)},
+        | ${lloydStep(2)},
+        | ${lloydStep(3)}
+        |SELECT iter, cluster_id, n_vecs, inertia
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |ORDER BY iter, cluster_id""".stripMargin),
     "ml_kmeans_assign" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

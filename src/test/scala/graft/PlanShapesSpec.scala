@@ -54,7 +54,7 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row digit-total attach for the Benford shares
     "audit_benford",
     // 8-row quantized-seed broadcast (the k-means E-step)
-    "ml_kmeans_assign")
+    "ml_kmeans_assign", "ml_kmeans_lloyd")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

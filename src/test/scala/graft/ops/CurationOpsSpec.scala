@@ -155,6 +155,43 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  "Similarity.kmeansLloyd" should "replay three Lloyd iterations exactly" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+    var cents: Map[Long, Array[Long]] = vecs.filter(_._1 < 8).toMap
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (t <- 1 to 3) {
+      val assign = vecs.map { case (id, qv) =>
+        val best = cents.toSeq.map { case (cid, cv) =>
+          (qv.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+        }.min
+        (best._2, best._1, qv)
+      }
+      assign.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (cid, ms) =>
+        expected += ((t.toLong, cid, ms.length.toLong, ms.map(_._2).sum))
+      }
+      if (t < 3) {
+        val updated = assign.groupBy(_._1).map { case (cid, ms) =>
+          val n = ms.length
+          cid -> Array.tabulate(ms.head._3.length)(i =>
+            ms.map(_._3(i)).sum / n) // truncation toward zero, like div
+        }
+        cents = cents ++ updated
+      }
+    }
+    val got = Similarity.kmeansLloyd(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe expected.toSeq
+    // inertia is non-increasing across Lloyd iterations (up to the
+    // integer truncation of the M-step, which cannot raise it here)
+    val inertia = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    inertia(2L) should be <= inertia(1L)
+    inertia(3L) should be <= inertia(2L)
+  }
+
   "Similarity.kmeansAssign" should "match a driver-side exact argmin assignment" in {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("vec_id", "embedding").collect()

@@ -344,6 +344,32 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Graph.kcore2" should "match a driver-side peeling replay" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val w = scala.collection.mutable.Map[(Long, Long), Int]().withDefaultValue(0)
+    li.groupBy(_._1).values.foreach { rows =>
+      for { a <- rows.toSeq; b <- rows.toSeq
+            if b._2 == a._2 + 1 && a._3 != b._3 } w((a._3, b._3)) += 1
+    }
+    val st = w.filter(_._2 >= 2).keySet.toSet
+    var und = st ++ st.map { case (a, b) => (b, a) }
+    val expected = (1 to 8).map { t =>
+      val deg = und.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      und = und.filter { case (a, b) => keep(a) && keep(b) }
+      (t.toLong, und.map(_._1).size.toLong, und.size.toLong / 2)
+    }
+    val got = Graph.kcore2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    // peeling is monotone: the census never grows round over round
+    got.sliding(2).foreach { case Seq(a, b) =>
+      b._2 should be <= a._2; b._3 should be <= a._3
+    }
+  }
+
   "Analytics.attributionLinear" should "conserve total purchase cents across channels" in {
     val out = Analytics.attributionLinear(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
