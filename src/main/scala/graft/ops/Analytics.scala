@@ -331,7 +331,53 @@ object Analytics {
       ORDER BY s_suppkey""")
   }
 
+  /** Q3-style shipping priority: top-10 building-segment orders by the
+    * revenue still unshipped at the cutoff (ordered before, shipped
+    * after 1998-01-01). Three-way fact join with both date predicates
+    * pushed to the scans; revenue in exact 1e-4-dollar units so the
+    * DESC sort and the top-10 cut (tie-broken by date and key — a total
+    * order) are engine-exact. TakeOrderedAndProject finishes it.
+    */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "customer", "orders", "lineitem")
+    s.sql("""
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+             date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue_e4 DESC, orderdate, l_orderkey LIMIT 10""")
+  }
+
+  /** Q10-style returned-item report: top-20 customers by revenue they
+    * returned in 1996Q1 — the churn-risk ranking. Four-way join
+    * (nation broadcast at dimension scale), quarter predicate pushed to
+    * the orders scan, exact integer revenue, total-order top-20.
+    */
+  def returnedItems(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "customer", "orders", "lineitem", "nation")
+    s.sql("""
+      SELECT c_custkey, c_name, n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_shipping_priority" -> (shippingPriority _),
+    "complex_returned_items" -> (returnedItems _),
     "complex_top_supplier" -> (topSupplier _),
     "complex_promo_share" -> (promoShare _),
     "complex_small_qty_rev" -> (smallQtyRev _),
@@ -347,6 +393,30 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_e4 DESC, orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "complex_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
     "complex_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey AS suppkey,
         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -328,7 +328,42 @@ object Temporal {
       .limit(5)
   }
 
+  /** Page's one-sided CUSUM per user (`ts_page_cusum`): the ONLINE
+    * mean-shift detector complementing the offline argmax scan of
+    * [[cusumChangepoint]] — `S ← max(0, S + x − T)` with target
+    * T = 5000 cents (≈ the fixture's mean event value) and alarm
+    * threshold H = 60000; on alarm the statistic restarts at 0 (the
+    * standard Page restart). All integer cents, so the recursion is
+    * bit-exact and the DuckDB recursive-CTE oracle replays it
+    * row-for-row. Per-user summary out: event count, alarm count,
+    * final statistic. One shuffle on user_id; the per-key fold is the
+    * same in-memory bound as any session reassembly — the unbounded-key
+    * form is the [[graft.streaming.PageCusumProcessor]] twin, which
+    * keeps only the (S, alarms, n) scalars as state.
+    */
+  def pageCusum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+        var sAcc = 0L
+        var alarms = 0L
+        sorted.foreach { r =>
+          val base = math.max(0L, sAcc + r._4 - 5000L)
+          if (base > 60000L) { alarms += 1; sAcc = 0L } else sAcc = base
+        }
+        (user, sorted.length.toLong, alarms, sAcc)
+      }
+      .toDF("user_id", "n_events", "n_alarms", "final_s")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_page_cusum" -> (pageCusum _),
     "ts_autocorr" -> (autocorr _),
     "ts_cusum_changepoint" -> (cusumChangepoint _),
     "ts_trend_slope" -> (trendSlope _),
@@ -356,6 +391,29 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_page_cusum" ->
+      """WITH RECURSIVE s AS (
+        | SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        | r AS (
+        |  SELECT user_id, rn,
+        |    CASE WHEN greatest(0, cents - 5000) > 60000 THEN 0
+        |         ELSE greatest(0, cents - 5000) END AS sacc,
+        |    CASE WHEN greatest(0, cents - 5000) > 60000 THEN 1 ELSE 0 END AS alarms
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |    CASE WHEN greatest(0, r.sacc + s.cents - 5000) > 60000 THEN 0
+        |         ELSE greatest(0, r.sacc + s.cents - 5000) END,
+        |    r.alarms + CASE WHEN greatest(0, r.sacc + s.cents - 5000) > 60000
+        |      THEN 1 ELSE 0 END
+        |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1),
+        | last AS (SELECT user_id, max(rn) AS mr FROM r GROUP BY user_id)
+        |SELECT r.user_id, CAST(last.mr AS BIGINT) AS n_events,
+        | CAST(r.alarms AS BIGINT) AS n_alarms, CAST(r.sacc AS BIGINT) AS final_s
+        |FROM r JOIN last ON r.user_id = last.user_id AND r.rn = last.mr
+        |ORDER BY r.user_id""".stripMargin,
     "ts_autocorr" ->
       (s"""WITH $seriesCte,
         | ks AS (SELECT unnest(range(1, 8)) AS k),

@@ -565,6 +565,47 @@ class MisraGriesProcessor(k: Int)
   }
 }
 
+/** Per-user Page-CUSUM state: the running statistic, alarms fired, rows seen. */
+case class PageSt(sacc: Long, alarms: Long, n: Long)
+
+/** Cumulative Page-CUSUM summary per user, emitted after each batch. */
+case class PageOut(user_id: Long, n_events: Long, n_alarms: Long, final_s: Long)
+
+/** Streaming twin of `Temporal.pageCusum` (Page's one-sided CUSUM,
+  * T = 5000 cents / H = 60000, restart on alarm): three Longs of state
+  * per user — the unbounded-series form of the batch per-key fold.
+  * Rows are processed in (ts, event_id) order within each batch, and
+  * cents use BigDecimal HALF_UP to match the batch `round(value*100)`
+  * exactly (math.round would differ for negative values), so under
+  * in-order delivery the final emission per user is BIT-EQUAL to the
+  * batch summary row (asserted in StreamingOpsSpec across a
+  * micro-batch boundary).
+  */
+class PageCusumProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, PageOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[PageSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[PageSt]("page",
+      org.apache.spark.sql.Encoders.product[PageSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[PageOut] = {
+    var s = if (st.exists()) st.get() else PageSt(0L, 0L, 0L)
+    def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+    rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+      val cents = java.math.BigDecimal.valueOf(e.value * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val base = math.max(0L, s.sacc + cents - 5000L)
+      s = if (base > 60000L) PageSt(0L, s.alarms + 1, s.n + 1)
+          else PageSt(base, s.alarms, s.n + 1)
+    }
+    st.update(s)
+    Iterator.single(PageOut(key, s.n, s.alarms, s.sacc))
+  }
+}
+
 object StreamingOps {
 
   /** Streaming heavy-hitters maintenance over grouped tokens; the
@@ -656,6 +697,15 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming per-user Page CUSUM: see [[PageCusumProcessor]]. */
+  def pageCusumPerUser(events: org.apache.spark.sql.Dataset[TypedEvent]):
+      org.apache.spark.sql.Dataset[PageOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new PageCusumProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming per-user EWMA: see [[EwmaProcessor]]. One double of state

@@ -472,6 +472,29 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  "pageCusumPerUser (transformWithState)" should "match the batch summary bit-for-bit" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.pageCusumPerUser(mem.toDS())
+      .writeStream.format("memory").queryName("page_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    // Update sink keeps the latest row per key = the post-all-data state
+    val got = s2.table("page_s").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_alarms"), r.getAs[Long]("final_s"))))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2).toMap
+    val want = graft.ops.Temporal.pageCusum(s2, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got shouldBe want
+    // the thresholds bind on the fixture: some user fires an alarm
+    want.values.map(_._2).sum should be > 0L
+  }
+
   "ewmaPerUser (transformWithState)" should "be bit-equal to the batch fold" in {
     val s2 = rocksSession
     import s2.implicits._
