@@ -375,7 +375,42 @@ object Analytics {
       ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""")
   }
 
+  /** Q8-style national market share: NATION_3's share of supplier
+    * revenue within the EUROPE customer region, per order year, in
+    * integer basis points. Six-way star join (nation aliased twice —
+    * once for the customer side, once for the supplier side; region +
+    * both nation arms broadcast at dimension scale), year-grain
+    * aggregate, integer floor-division share. The 10⁴·Σrev product
+    * stays in Long to ~sf1 per year-group (≈8.6e17 at sf0.1); a larger
+    * deployment promotes the share numerator to DECIMAL — same note as
+    * the assortativity power sums.
+    */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "orders", "customer", "nation", "region", "supplier")
+    s.sql("""
+      WITH j AS (
+        SELECT year(o_orderdate) AS yr,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'EUROPE')
+      SELECT CAST(yr AS BIGINT) AS yr,
+             CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT) AS nation_e4,
+             CAST(sum(rev) AS BIGINT) AS total_e4,
+             CAST((10000 * sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END))
+               DIV sum(rev) AS BIGINT) AS share_bp
+      FROM j GROUP BY yr ORDER BY yr""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_market_share" -> (marketShare _),
     "complex_shipping_priority" -> (shippingPriority _),
     "complex_returned_items" -> (returnedItems _),
     "complex_top_supplier" -> (topSupplier _),
@@ -393,6 +428,26 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_market_share" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT CAST(yr AS BIGINT) AS yr,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT) AS nation_e4,
+        |  CAST(sum(rev) AS BIGINT) AS total_e4,
+        |  CAST((10000 * sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END))
+        |    // sum(rev) AS BIGINT) AS share_bp
+        |FROM j GROUP BY yr ORDER BY yr""".stripMargin,
     "complex_shipping_priority" ->
       """SELECT l_orderkey,
         | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -475,7 +475,38 @@ object Audit {
       .orderBy("digit")
   }
 
+  /** Calendar continuity audit (`audit_day_islands`): the contiguous
+    * runs ("islands") of days that have orders — the first check a
+    * backfill scheduler runs, since every island boundary is either a
+    * legitimate outage or a missing ingest batch. Built without any
+    * global window: island STARTS are days whose predecessor is absent
+    * (one anti join of the day set against its shifted self), island
+    * ENDS are days whose successor is absent, and each start pairs with
+    * the nearest end ≥ it (a theta join + min aggregate — both sides
+    * calendar-bounded, so the broadcast nested-loop stays island-count
+    * sized at any corpus scale; the day set itself is one distinct
+    * aggregate over the scan). sf0.001 has ~hundreds of islands,
+    * sf0.1 exactly one — both shapes verified.
+    */
+  def dayIslands(s: SparkSession, d: String): DataFrame = {
+    val days = Sources.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day")).distinct()
+    val starts = days.join(
+      days.select(date_add(col("day"), 1).as("day")), Seq("day"), "left_anti")
+      .select(col("day").as("s"))
+    val ends = days.join(
+      days.select(date_sub(col("day"), 1).as("day")), Seq("day"), "left_anti")
+      .select(col("day").as("e"))
+    starts.join(ends, col("e") >= col("s"))
+      .groupBy("s").agg(min("e").as("e"))
+      .select(date_format(col("s"), "yyyy-MM-dd").as("island_start"),
+        date_format(col("e"), "yyyy-MM-dd").as("island_end"),
+        (datediff(col("e"), col("s")) + 1).cast("long").as("n_days"))
+      .orderBy("island_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_day_islands" -> (dayIslands _),
     "audit_benford" -> (benford _),
     "audit_column_profile" -> (columnProfile _),
     "audit_ab_experiment" -> (abExperiment _),
@@ -501,6 +532,16 @@ object Audit {
        |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "audit_day_islands" ->
+      """WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+        | st AS (SELECT day FROM days WHERE day - 1 NOT IN (SELECT day FROM days)),
+        | en AS (SELECT day FROM days WHERE day + 1 NOT IN (SELECT day FROM days)),
+        | isl AS (SELECT st.day AS s, min(en.day) AS e
+        |   FROM st JOIN en ON en.day >= st.day GROUP BY st.day)
+        |SELECT strftime(s, '%Y-%m-%d') AS island_start,
+        | strftime(e, '%Y-%m-%d') AS island_end,
+        | CAST(datediff('day', s, e) + 1 AS BIGINT) AS n_days
+        |FROM isl ORDER BY island_start""".stripMargin,
     "audit_benford" ->
       """WITH v AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS v
         |  FROM orders WHERE round(o_totalprice) > 0),

@@ -597,7 +597,37 @@ object Graph {
     rounds.reduce(_ unionAll _).orderBy("round")
   }
 
+  /** Bipartite co-purchase projection (`graph_copurchase_customers`):
+    * project the customer×part purchase graph onto customers — pairs of
+    * customers sharing the most distinct parts, the collaborative-
+    * filtering neighbor list. One distinct aggregate builds the
+    * (part, customer) incidence; a df-cap drops parts bought by > 64
+    * customers BEFORE the self-join (the PPJoin discipline: hub
+    * products pair half the customer base and say nothing — at the
+    * fixture scales no part exceeds the cap, at 100 TB it bounds the
+    * per-part fan-out at cap² hard); then one equi-join on the part key
+    * and a pair-keyed count. Top-20 by (shared, pair) is a total order
+    * — deterministic cut. The oracle applies the identical cap.
+    */
+  def copurchaseCustomers(s: SparkSession, d: String): DataFrame = {
+    val cp = Sources.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(Sources.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
+      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+      .distinct()
+    val keep = cp.groupBy("part").agg(count(lit(1)).as("pdeg"))
+      .filter(col("pdeg") <= 64).select("part")
+    val capped = cp.join(keep, "part")
+    capped.select(col("part"), col("cust").as("cust_a"))
+      .join(capped.select(col("part"), col("cust").as("cust_b")), Seq("part"))
+      .filter(col("cust_a") < col("cust_b"))
+      .groupBy("cust_a", "cust_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("cust_a"), col("cust_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_copurchase_customers" -> (copurchaseCustomers _),
     "graph_kcore2" -> (kcore2 _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_hits" -> (hits _),
@@ -717,6 +747,18 @@ object Graph {
         | round((n * sxy - sx * sy) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS assortativity
         |FROM p""".stripMargin,
+    "graph_copurchase_customers" ->
+      """WITH cp AS (SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | keep AS (SELECT part FROM
+        |   (SELECT part, count(*) AS n FROM cp GROUP BY part) WHERE n <= 64),
+        | c2 AS (SELECT cp.part, cp.cust FROM cp JOIN keep USING (part)),
+        | p AS (SELECT a.cust AS cust_a, b.cust AS cust_b,
+        |   CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM c2 a JOIN c2 b ON a.part = b.part AND a.cust < b.cust
+        |  GROUP BY 1, 2)
+        |SELECT cust_a, cust_b, n_shared FROM p
+        |ORDER BY n_shared DESC, cust_a, cust_b LIMIT 20""".stripMargin,
     "graph_kcore2" ->
       ("""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w

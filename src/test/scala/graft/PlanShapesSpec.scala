@@ -54,7 +54,9 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row digit-total attach for the Benford shares
     "audit_benford",
     // 8-row quantized-seed broadcast (the k-means E-step)
-    "ml_kmeans_assign", "ml_kmeans_lloyd")
+    "ml_kmeans_assign", "ml_kmeans_lloyd",
+    // calendar-bounded island-start × island-end theta join
+    "audit_day_islands")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -139,6 +139,28 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  "Audit.dayIslands" should "match a sequential islands scan" in {
+    val days = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day").distinct().collect()
+      .map(r => java.time.LocalDate.parse(r.get(0).toString)).sortBy(_.toEpochDay)
+    val expected = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var start = days.head
+    var prev = days.head
+    days.tail.foreach { d =>
+      if (d.toEpochDay != prev.toEpochDay + 1) {
+        expected += ((start.toString, prev.toString, prev.toEpochDay - start.toEpochDay + 1))
+        start = d
+      }
+      prev = d
+    }
+    expected += ((start.toString, prev.toString, prev.toEpochDay - start.toEpochDay + 1))
+    val got = Audit.dayIslands(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    got shouldBe expected.toSeq
+    // islands tile the present-day set exactly
+    got.map(_._3).sum shouldBe days.length.toLong
+  }
+
   "Audit.benford" should "match a driver-side first-digit tally" in {
     val vs = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("CAST(round(o_totalprice) AS BIGINT) AS v").collect()

@@ -344,6 +344,26 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Graph.copurchaseCustomers" should "match a brute-force projection" in {
+    val li = Sources.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ord = Sources.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cp = li.map { case (ok, pk) => (pk, ord(ok)) }.distinct
+    val keep = cp.groupBy(_._1).filter(_._2.length <= 64).keySet
+    val byPart = cp.filter(p => keep(p._1)).groupBy(_._1)
+    val pairs: Seq[(Long, Long)] = byPart.values.toSeq.flatMap { cs =>
+      val custs: Seq[Long] = cs.map(_._2).toSeq.sorted
+      for { a <- custs; b <- custs if a < b } yield (a, b)
+    }
+    val expected = pairs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    val got = Graph.copurchaseCustomers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+  }
+
   "Graph.kcore2" should "match a driver-side peeling replay" in {
     val li = Sources.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_partkey").collect()
