@@ -936,7 +936,49 @@ object Similarity {
     stats.reduce(_ unionAll _).orderBy("iter", "cluster_id")
   }
 
+  /** Matryoshka prefix-recall audit (`sim_prefix_recall`): for each of
+    * the 8 query vectors, how many of the full-dimension top-5 MIPS
+    * neighbors survive when scoring with only the FIRST 16 of 64
+    * dimensions — the measurement that decides whether truncated
+    * ("matryoshka") embeddings can serve the first-stage retrieval at a
+    * fraction of the dot-product cost. Both rankings use QUANTIZED
+    * integer dot products (round(x·10⁴) per element), so every score,
+    * both top-5 cuts (ties broken by vec_id) and the overlap count are
+    * exact Longs in any engine. Plan: one broadcast of the 8 queries,
+    * N·k codegen'd dot products, two per-query (bounded-partition)
+    * rank windows, an equi-join of the two top-5 sets. At corpus scale
+    * the candidate ranking is TakeOrdered-shaped per query — the same
+    * serving path as [[mipsTopK]].
+    */
+  def prefixRecall(s: SparkSession, d: String): DataFrame = {
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val emb = Sources.embeddings(s, d).withColumn("qv", qv)
+    val queries8 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("qe"))
+    val cands = emb.filter(col("vec_id") >= 8).select(col("vec_id"), col("qv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val scored = cands.crossJoin(broadcast(queries8))
+      .select(col("q_id"), col("vec_id"),
+        dot(slice(col("qv"), 1, 16), slice(col("qe"), 1, 16)).as("dp16"),
+        dot(col("qv"), col("qe")).as("dp64"))
+    val w16 = Window.partitionBy("q_id").orderBy(col("dp16").desc, col("vec_id"))
+    val w64 = Window.partitionBy("q_id").orderBy(col("dp64").desc, col("vec_id"))
+    val ranked = scored
+      .withColumn("r16", row_number().over(w16))
+      .withColumn("r64", row_number().over(w64))
+    val top16 = ranked.filter(col("r16") <= 5).select("q_id", "vec_id")
+    val top64 = ranked.filter(col("r64") <= 5).select("q_id", "vec_id")
+    val overlap = top64.join(top16, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    queries8.select("q_id").join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_prefix_recall" -> (prefixRecall _),
     "ml_kmeans_lloyd" -> (kmeansLloyd _),
     "ml_kmeans_assign" -> (kmeansAssign _),
     "sim_mips_topk" -> (mipsTopK _),
@@ -978,6 +1020,30 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_prefix_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, qv AS qe FROM e WHERE vec_id < 8),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x
+        |   FROM e WHERE vec_id >= 8),
+        | qu AS (SELECT q_id, generate_subscripts(qe, 1) AS i, unnest(qe) AS y FROM q),
+        | dp AS (SELECT eu.vec_id, qu.q_id,
+        |   CAST(sum(CASE WHEN eu.i <= 16 THEN x * y ELSE 0 END) AS BIGINT) AS dp16,
+        |   CAST(sum(x * y) AS BIGINT) AS dp64
+        |  FROM eu JOIN qu USING (i) GROUP BY 1, 2),
+        | r AS (SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY dp16 DESC, vec_id) AS r16,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY dp64 DESC, vec_id) AS r64
+        |  FROM dp),
+        | ov AS (SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM (SELECT q_id, vec_id FROM r WHERE r64 <= 5) a
+        |  JOIN (SELECT q_id, vec_id FROM r WHERE r16 <= 5) b
+        |    ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+        |  GROUP BY a.q_id)
+        |SELECT q.q_id, coalesce(ov.n_overlap, 0) AS n_overlap
+        |FROM q LEFT JOIN ov ON q.q_id = ov.q_id ORDER BY q.q_id""".stripMargin,
     "ml_kmeans_lloyd" ->
       (s"""WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

@@ -362,7 +362,33 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** Order inter-arrival histogram (`ts_interarrival`): per customer,
+    * the day gaps between consecutive orders, bucketed into weeks
+    * (capped at 8+) with integer basis-point shares — the
+    * arrival-process profile a capacity planner reads before choosing a
+    * refresh cadence. One window shuffle on the customer key (the
+    * per-key `lag` is partitioned — never a global sort), then a
+    * 9-row aggregate; the share denominator attaches by a window-free
+    * broadcast of the 1-row total. All integers, engine-exact.
+    */
+  def interarrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("custkey").orderBy("day", "ok")
+    val gaps = Sources.orders(s, d)
+      .select(col("o_custkey").as("custkey"), to_date(col("o_orderdate")).as("day"),
+        col("o_orderkey").as("ok"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("least(CAST(datediff(day, prev) AS BIGINT) div 7, CAST(8 AS BIGINT))").as("bucket"))
+    val byBucket = gaps.groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+    val tot = byBucket.agg(sum("n_gaps").as("tn"))
+    byBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_gaps"),
+        expr("(10000 * n_gaps) div tn").as("share_bp"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_interarrival" -> (interarrival _),
     "ts_page_cusum" -> (pageCusum _),
     "ts_autocorr" -> (autocorr _),
     "ts_cusum_changepoint" -> (cusumChangepoint _),
@@ -391,6 +417,20 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_interarrival" ->
+      """WITH g AS (SELECT o_custkey,
+        |   CAST(o_orderdate AS DATE) AS day, o_orderkey,
+        |   lag(CAST(o_orderdate AS DATE)) OVER
+        |     (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+        |  FROM orders),
+        | b AS (SELECT least(CAST(datediff('day', prev, day) AS BIGINT) // 7,
+        |     CAST(8 AS BIGINT)) AS bucket
+        |  FROM g WHERE prev IS NOT NULL),
+        | h AS (SELECT bucket, count(*) AS n_gaps FROM b GROUP BY bucket),
+        | t AS (SELECT sum(n_gaps) AS tn FROM h)
+        |SELECT bucket, CAST(n_gaps AS BIGINT) AS n_gaps,
+        | CAST((10000 * n_gaps) // tn AS BIGINT) AS share_bp
+        |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
     "ts_page_cusum" ->
       """WITH RECURSIVE s AS (
         | SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,

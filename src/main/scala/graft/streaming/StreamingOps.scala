@@ -565,6 +565,45 @@ class MisraGriesProcessor(k: Int)
   }
 }
 
+/** Per-user last-event-time state for the inter-arrival stream. */
+case class ArrivalSt(lastUs: Long)
+
+/** One inter-arrival observation: gap to the previous event in micros
+  * (−1 for the user's first event).
+  */
+case class GapOut(user_id: Long, event_id: Long, gap_us: Long)
+
+/** Streaming per-user inter-arrival gaps: one Long of state per user
+  * (the last event time). Under (ts, event_id)-ordered delivery the
+  * emitted gap multiset equals the batch `lag`-window derivation
+  * exactly (asserted in StreamingOpsSpec across a micro-batch
+  * boundary) — the stream form of `Temporal.interarrival`'s windowed
+  * input, feeding the same bucket histogram downstream.
+  */
+class InterArrivalProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, GapOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[ArrivalSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[ArrivalSt]("arr",
+      org.apache.spark.sql.Encoders.product[ArrivalSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[GapOut] = {
+    var last = if (st.exists()) st.get().lastUs else -1L
+    def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+    val out = Seq.newBuilder[GapOut]
+    rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+      val us = micros(e)
+      out += GapOut(key, e.event_id, if (last < 0) -1L else us - last)
+      last = us
+    }
+    st.update(ArrivalSt(last))
+    out.result().iterator
+  }
+}
+
 /** Per-user Page-CUSUM state: the running statistic, alarms fired, rows seen. */
 case class PageSt(sacc: Long, alarms: Long, n: Long)
 
@@ -697,6 +736,15 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming per-user inter-arrival gaps: see [[InterArrivalProcessor]]. */
+  def interArrivalPerUser(events: org.apache.spark.sql.Dataset[TypedEvent]):
+      org.apache.spark.sql.Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new InterArrivalProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming per-user Page CUSUM: see [[PageCusumProcessor]]. */

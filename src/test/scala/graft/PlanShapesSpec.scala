@@ -56,7 +56,9 @@ class PlanShapesSpec extends SparkSpec {
     // 8-row quantized-seed broadcast (the k-means E-step)
     "ml_kmeans_assign", "ml_kmeans_lloyd",
     // calendar-bounded island-start × island-end theta join
-    "audit_day_islands")
+    "audit_day_islands",
+    // 8-row query broadcast / 1-row gap-total attach
+    "sim_prefix_recall", "ts_interarrival")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -472,6 +472,31 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  "interArrivalPerUser (transformWithState)" should "emit the batch lag gaps exactly" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.interArrivalPerUser(mem.toDS())
+      .writeStream.format("memory").queryName("arr_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    val got = s2.table("arr_s").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Long]("gap_us")))
+      .toSet
+    // batch derivation: per-user (ts, event_id)-sorted consecutive diffs
+    def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+    val want = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (micros(e), e.event_id))
+      sorted.zipWithIndex.map { case (e, i) =>
+        (u, e.event_id, if (i == 0) -1L else micros(e) - micros(sorted(i - 1)))
+      }
+    }.toSet
+    got shouldBe want
+  }
+
   "pageCusumPerUser (transformWithState)" should "match the batch summary bit-for-bit" in {
     val s2 = rocksSession
     import s2.implicits._
