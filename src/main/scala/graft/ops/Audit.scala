@@ -505,7 +505,33 @@ object Audit {
       .orderBy("island_start")
   }
 
+  /** Primary-key uniqueness audit (`audit_pk_uniqueness`): per table,
+    * rows vs distinct key values and the count of duplicated keys — the
+    * first invariant every snapshot load asserts (a duplicated key
+    * silently doubles a downstream join). One aggregate per table
+    * (count-distinct is the two-level partial/final plan), unioned into
+    * a 5-row report; each scan reads only the key column (verified
+    * pushdown class).
+    */
+  def pkUniqueness(s: SparkSession, d: String): DataFrame = {
+    def check(table: String, df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("k"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("k")).as("n_distinct"))
+        .select(lit(table).as("table_name"), col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dup_rows"))
+    // events goes through Sources.events (ns-timestamp normalization)
+    Seq(
+      check("customer", Sources.customer(s, d), "c_custkey"),
+      check("events", Sources.events(s, d), "event_id"),
+      check("orders", Sources.orders(s, d), "o_orderkey"),
+      check("part", Sources.part(s, d), "p_partkey"),
+      check("supplier", Sources.supplier(s, d), "s_suppkey"))
+      .reduce(_ unionAll _)
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_pk_uniqueness" -> (pkUniqueness _),
     "audit_day_islands" -> (dayIslands _),
     "audit_benford" -> (benford _),
     "audit_column_profile" -> (columnProfile _),
@@ -532,6 +558,15 @@ object Audit {
        |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "audit_pk_uniqueness" ->
+      (Seq(("customer", "c_custkey"), ("events", "event_id"), ("orders", "o_orderkey"),
+        ("part", "p_partkey"), ("supplier", "s_suppkey"))
+        .map { case (t, k) =>
+          s"""SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             | CAST(count(DISTINCT $k) AS BIGINT) AS n_distinct,
+             | CAST(count(*) - count(DISTINCT $k) AS BIGINT) AS n_dup_rows
+             |FROM $t""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")),
     "audit_day_islands" ->
       """WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
         | st AS (SELECT day FROM days WHERE day - 1 NOT IN (SELECT day FROM days)),

@@ -626,7 +626,25 @@ object Graph {
       .limit(20)
   }
 
+  /** Edge reciprocity (`graph_reciprocity`) of the directed bought-after
+    * graph: the share of edges whose reverse edge also exists, in
+    * integer basis points — high reciprocity means co-purchase order is
+    * arbitrary (bundle-like), low means a genuine "A then B" direction
+    * (accessory-like). One self-semi-join of the distinct edge list on
+    * the swapped key pair plus two counts — two shuffles, exact Longs.
+    */
+  def reciprocity(s: SparkSession, d: String): DataFrame = {
+    val e = edgesWithDeg(s, d).select("src", "dst")
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("(10000 * n_reciprocal) div n_edges").as("reciprocity_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_reciprocity" -> (reciprocity _),
     "graph_copurchase_customers" -> (copurchaseCustomers _),
     "graph_kcore2" -> (kcore2 _),
     "graph_link_prediction" -> (linkPrediction _),
@@ -747,6 +765,14 @@ object Graph {
         | round((n * sxy - sx * sy) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS assortativity
         |FROM p""".stripMargin,
+    "graph_reciprocity" ->
+      (s"""WITH $edgeCte,
+        | r AS (SELECT a.src, a.dst FROM e a
+        |   JOIN e b ON a.src = b.dst AND a.dst = b.src)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        | (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_reciprocal,
+        | CAST((10000 * (SELECT count(*) FROM r))
+        |   // (SELECT count(*) FROM e) AS BIGINT) AS reciprocity_bp""".stripMargin),
     "graph_copurchase_customers" ->
       """WITH cp AS (SELECT DISTINCT l_partkey AS part, o_custkey AS cust
         |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

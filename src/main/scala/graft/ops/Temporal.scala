@@ -387,7 +387,53 @@ object Temporal {
       .orderBy("bucket")
   }
 
+  /** Holt linear (double-exponential) smoothing (`ts_holt_linear`) of
+    * the gap-filled daily revenue series with α = β = ½:
+    * `l' = ½·x + ½·(l + b)`, `b' = ½·(l' − l) + ½·b`, seeded
+    * l₀ = x₀, b₀ = x₁ − x₀ — the level+trend filter behind every
+    * short-range capacity forecast. Halving is EXACT in binary floating
+    * point, so the recursion is the same IEEE op sequence in both
+    * engines and the DuckDB recursive CTE replays it bit-for-bit (the
+    * `ts_ewma` argument, extended to the coupled two-term recursion).
+    * The series is CALENDAR-bounded, so the single-group fold is a
+    * bounded single task by construction (same class as the Prefix
+    * offset collect — bounded by the calendar, never the corpus); the
+    * heavy lift, the daily rollup, stays distributed. Output: the last
+    * 10 days with level, trend and the one-step-ahead forecast.
+    */
+  def holtLinear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 10
+    val fitted = dailyRevenueSeries(s, d)
+      .select(col("i"), date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"))
+      .as[(Long, String, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, rows) =>
+        val ser = rows.toArray.sortBy(_._1)
+        var l = ser(0)._3.toDouble
+        var b = ser(1)._3.toDouble - ser(0)._3.toDouble
+        ser.iterator.zipWithIndex.map { case ((i, day, x), idx) =>
+          if (idx > 0) {
+            val lNew = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (lNew - l) + 0.5 * b
+            l = lNew
+          }
+          (i, day, x, l, b, l + b)
+        }
+      }
+      .toDF("i", "day", "x", "level", "trend", "forecast_next")
+    val top = fitted.agg(max("i").as("mi"))
+    fitted.crossJoin(broadcast(top))
+      .filter(col("i") > col("mi") - n)
+      .select(col("day"), col("x"),
+        graft.functions.Num.roundNorm(col("level"), 4).as("level"),
+        graft.functions.Num.roundNorm(col("trend"), 4).as("trend"),
+        graft.functions.Num.roundNorm(col("forecast_next"), 4).as("forecast_next"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_holt_linear" -> (holtLinear _),
     "ts_interarrival" -> (interarrival _),
     "ts_page_cusum" -> (pageCusum _),
     "ts_autocorr" -> (autocorr _),
@@ -417,6 +463,25 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_holt_linear" ->
+      (s"""WITH RECURSIVE $seriesCte,
+        | r AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |    CAST((SELECT x FROM ser WHERE i = 0) AS DOUBLE) AS l,
+        |    CAST((SELECT x FROM ser WHERE i = 1) AS DOUBLE)
+        |      - CAST((SELECT x FROM ser WHERE i = 0) AS DOUBLE) AS b
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    0.5 * s.x + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        |  FROM r JOIN ser s ON s.i = r.i + 1),
+        | mx AS (SELECT max(i) AS mi FROM ser)
+        |SELECT strftime(ser.day, '%Y-%m-%d') AS day, ser.x,
+        | round(r.l, 4) + 0.0 AS level, round(r.b, 4) + 0.0 AS trend,
+        | round(r.l + r.b, 4) + 0.0 AS forecast_next
+        |FROM r JOIN ser ON ser.i = r.i CROSS JOIN mx
+        |WHERE r.i > mx.mi - 10
+        |ORDER BY day""".stripMargin),
     "ts_interarrival" ->
       """WITH g AS (SELECT o_custkey,
         |   CAST(o_orderdate AS DATE) AS day, o_orderkey,

@@ -58,7 +58,9 @@ class PlanShapesSpec extends SparkSpec {
     // calendar-bounded island-start × island-end theta join
     "audit_day_islands",
     // 8-row query broadcast / 1-row gap-total attach
-    "sim_prefix_recall", "ts_interarrival")
+    "sim_prefix_recall", "ts_interarrival",
+    // 1-row max-index / reciprocal-count attaches
+    "ts_holt_linear", "graph_reciprocity")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -344,6 +344,14 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Graph.reciprocity" should "match a driver-side reverse-edge count" in {
+    val n = edges.size.toLong
+    val nRecip = edges.count { case (a, b) => edges((b, a)) }.toLong
+    val got = Graph.reciprocity(spark, sfDir).collect().head
+    (got.getLong(0), got.getLong(1), got.getLong(2)) shouldBe
+      ((n, nRecip, 10000L * nRecip / n))
+  }
+
   "Graph.copurchaseCustomers" should "match a brute-force projection" in {
     val li = Sources.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -196,6 +196,28 @@ class TemporalSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Temporal.holtLinear" should "replay the level/trend recursion" in {
+    val xs = dailySeries.map(_._2)
+    var l = xs(0).toDouble
+    var b = xs(1).toDouble - xs(0).toDouble
+    val trace = dailySeries.zipWithIndex.map { case ((day, x), idx) =>
+      if (idx > 0) {
+        val lNew = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (lNew - l) + 0.5 * b
+        l = lNew
+      }
+      (day.toString, x, l, b, l + b)
+    }
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val expected = trace.takeRight(10)
+      .map { case (day, x, lv, tr, fc) => (day, x, r4(lv), r4(tr), r4(fc)) }
+    val got = Temporal.holtLinear(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    got shouldBe expected
+  }
+
   "Temporal.autocorr" should "match the lag-k Pearson definition" in {
     val xs = dailySeries.map(_._2)
     val got = Temporal.autocorr(spark, sfDir).collect()
