@@ -409,7 +409,76 @@ object Analytics {
       FROM j GROUP BY yr ORDER BY yr""")
   }
 
+  /** Q6-style forecast-revenue change: the revenue that would be gained
+    * by eliminating small discounts on low-quantity 1996 lineitems —
+    * a pure scan-filter-aggregate whose every predicate (year band,
+    * integer discount band via the exact cents representation, quantity
+    * cap) pushes to the parquet scan. One row, exact integer output.
+    */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem")
+    s.sql("""
+      SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+             count(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        AND l_quantity < 24""")
+  }
+
+  /** Q19-style disjunctive band revenue: three OR-ed (brand, quantity
+    * band, size band) conjunctions — the classic test that the planner
+    * pushes a disjunction of conjunctions into one scan + join instead
+    * of three unions. Exact integer revenue per matching band tag.
+    */
+  def disjunctBands(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "part")
+    s.sql("""
+      SELECT CASE WHEN p_brand = 'Brand#1' THEN 'small'
+                  WHEN p_brand = 'Brand#2' THEN 'medium'
+                  ELSE 'large' END AS band,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+         OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+         OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+      GROUP BY band ORDER BY band""")
+  }
+
+  /** Q7-style bilateral volume: yearly shipped revenue where the
+    * supplier sits in one three-nation bloc and the customer in the
+    * other (either direction) — the cross-border flow report. Five-way join, both nation
+    * arms broadcast, the (supplier, customer) nation pair as the
+    * grouping key alongside the year; exact integer revenue.
+    */
+  def nationVolume(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "orders", "customer", "supplier", "nation")
+    s.sql("""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE (sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+              AND cn.n_name IN ('NATION_4', 'NATION_5', 'NATION_6'))
+         OR (sn.n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+              AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+      GROUP BY supp_nation, cust_nation, yr
+      ORDER BY supp_nation, cust_nation, yr""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_forecast_revenue" -> (forecastRevenue _),
+    "complex_disjunct_bands" -> (disjunctBands _),
+    "complex_nation_volume" -> (nationVolume _),
     "complex_market_share" -> (marketShare _),
     "complex_shipping_priority" -> (shippingPriority _),
     "complex_returned_items" -> (returnedItems _),
@@ -428,6 +497,43 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "complex_disjunct_bands" ->
+      """SELECT CASE WHEN p_brand = 'Brand#1' THEN 'small'
+        |            WHEN p_brand = 'Brand#2' THEN 'medium'
+        |            ELSE 'large' END AS band,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "complex_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS yr,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |        AND cn.n_name IN ('NATION_4', 'NATION_5', 'NATION_6'))
+        |   OR (sn.n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+        |        AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
     "complex_market_share" ->
       """WITH j AS (
         |  SELECT year(o_orderdate) AS yr,
