@@ -265,8 +265,31 @@ object ScaleProbe {
         pqRows = graft.ops.Similarity.pqEncode(spark, embP, pqModel).count()
         pqRows
       }
+      // Bipartite-projection probe (r8): the graph-replicated lineitem
+      // (orderkeys AND partkeys offset per replica) joined to the
+      // replicated orders (custkeys offset) — parts and customers BOTH
+      // grow ~k×, per-part customer degree stays constant, so the
+      // df-capped self-join's pair count and time must track k
+      // ~linearly. Uncapped hub growth (or replicas collapsing onto
+      // shared parts) would show pairs ~k² — the failure mode the
+      // ≤64-customer cap exists to prevent at corpus scale.
+      val liG2 = spark.read.parquet(s"$dir/lineitem_g.parquet")
+      var projPairs = 0L
+      val tProj = time {
+        val cp = liG2.select("l_orderkey", "l_partkey")
+          .join(ord.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
+          .select(col("l_partkey").as("part"), col("o_custkey").as("cust")).distinct()
+        val keep = cp.groupBy("part").agg(count(lit(1)).as("pdeg"))
+          .filter(col("pdeg") <= 64).select("part")
+        val capped = cp.join(keep, "part")
+        projPairs = capped.select(col("part"), col("cust").as("a"))
+          .join(capped.select(col("part"), col("cust").as("b")), Seq("part"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n")).count()
+        projPairs
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj}""")
     }
     spark.stop()
   }

@@ -40,13 +40,19 @@ object Stats {
     * Long bound: u2 < 2·P·N — overflows past P·N ≈ 4.6e18 (P,N ≈ 2e9);
     * beyond that cast the products to DECIMAL(38,0).
     */
-  def aucExact(s: SparkSession, d: String): DataFrame = {
-    val scored = Sources.orders(s, d).select(
+  /** (cents, label) rows with the planted Knuth-hash teacher label —
+    * shared by the AUC and ROC queries (and their oracles verbatim).
+    */
+  private[graft] def plantedScores(s: SparkSession, d: String): DataFrame =
+    Sources.orders(s, d).select(
       round(col("o_totalprice") * 100).cast("long").as("cents"),
       col("o_orderkey"))
       .withColumn("u", pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)) % 1000000L)
       .withColumn("label",
         (col("u") < least(lit(100000L) + expr("cents div 100"), lit(900000L))).cast("long"))
+
+  def aucExact(s: SparkSession, d: String): DataFrame = {
+    val scored = plantedScores(s, d)
     val byScore = scored.groupBy("cents").agg(
       sum(col("label")).as("pos"),
       sum(lit(1L) - col("label")).as("neg"))
@@ -155,7 +161,38 @@ object Stats {
       .orderBy("doc_id")
   }
 
+  /** ROC operating points (`ml_roc_curve`): TP/FP and basis-point
+    * TPR/FPR at 19 equally spaced score thresholds between the min and
+    * max observed score — the threshold-sweep a deployment runs to pick
+    * an operating point once AUC says the scorer works at all. Same
+    * planted integer teacher as [[aucExact]], so every count and the
+    * bp rates are exact Longs: the sweep reduces the corpus ONCE to
+    * |distinct scores| rows, then evaluates all 19 thresholds against
+    * that bounded table via a 19-row broadcast — one conditional
+    * aggregate, not 19 scans.
+    */
+  def rocCurve(s: SparkSession, d: String): DataFrame = {
+    val byScore = plantedScores(s, d).groupBy("cents").agg(
+      sum(col("label")).as("pos"), sum(lit(1L) - col("label")).as("neg"))
+    val th = byScore
+      .agg(min("cents").as("mn"), max("cents").as("mx"),
+        sum("pos").as("np"), sum("neg").as("nn"))
+      .select(explode(array((1 to 19).map(lit(_)): _*)).as("j"),
+        col("mn"), col("mx"), col("np"), col("nn"))
+      .select(col("j").cast("long").as("j"),
+        (col("mn") + expr("j * (mx - mn) div 20")).as("t"), col("np"), col("nn"))
+    byScore.crossJoin(broadcast(th))
+      .groupBy("j", "t", "np", "nn")
+      .agg(sum(when(col("cents") >= col("t"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("cents") >= col("t"), col("neg")).otherwise(0L)).as("fp"))
+      .select(col("j"), col("t").as("threshold_cents"), col("tp"), col("fp"),
+        expr("(10000 * tp) div np").as("tpr_bp"),
+        expr("(10000 * fp) div nn").as("fpr_bp"))
+      .orderBy("j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_roc_curve" -> (rocCurve _),
     "text_length_pct_rank" -> (lengthPctRank _),
     "ml_auc_exact" -> (aucExact _),
     "agg_gini_segment" -> (giniBySegment _),
@@ -163,6 +200,27 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_roc_curve" ->
+      """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | bys AS (SELECT cents, CAST(sum(label) AS BIGINT) AS pos,
+        |   CAST(sum(1 - label) AS BIGINT) AS neg FROM scored GROUP BY cents),
+        | b AS (SELECT min(cents) AS mn, max(cents) AS mx,
+        |   CAST(sum(pos) AS BIGINT) AS np, CAST(sum(neg) AS BIGINT) AS nn FROM bys),
+        | th AS (SELECT CAST(j AS BIGINT) AS j,
+        |   mn + (j * (mx - mn)) // 20 AS t, np, nn
+        |  FROM b CROSS JOIN (SELECT unnest(range(1, 20)) AS j)),
+        | g AS (SELECT j, t, np, nn,
+        |   CAST(sum(CASE WHEN cents >= t THEN pos ELSE 0 END) AS BIGINT) AS tp,
+        |   CAST(sum(CASE WHEN cents >= t THEN neg ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bys CROSS JOIN th GROUP BY j, t, np, nn)
+        |SELECT j, t AS threshold_cents, tp, fp,
+        | CAST((10000 * tp) // np AS BIGINT) AS tpr_bp,
+        | CAST((10000 * fp) // nn AS BIGINT) AS fpr_bp
+        |FROM g ORDER BY j""".stripMargin,
     "text_length_pct_rank" ->
       """WITH r AS (SELECT doc_id, n_chars,
         |   row_number() OVER (ORDER BY n_chars, doc_id) AS rk

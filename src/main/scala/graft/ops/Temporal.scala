@@ -432,7 +432,35 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** Batch sessionization (`ts_sessionize`): gaps-and-islands over the
+    * event stream — a new session starts after a > 30-minute silence;
+    * each session reports its ordinal, event count, duration and value
+    * total. The batch twin of the streaming session window
+    * (`stream_session_per_user`), producing the session IDs an offline
+    * feature pipeline joins on. Two stacked per-user windows (lag marks
+    * boundaries, a running sum numbers sessions — both PARTITIONED by
+    * user, never global) and one keyed aggregate; cents exact.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Sources.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_n", sum("brk").over(wRun))
+    ev.groupBy("user_id", "session_n")
+      .agg(count(lit(1)).as("n_events"), min("us").as("mn"), max("us").as("mx"),
+        sum("cents").as("value_cents"))
+      .select(col("user_id"), col("session_n"), col("n_events"),
+        expr("(mx - mn) div 1000000").as("duration_sec"), col("value_cents"))
+      .orderBy("user_id", "session_n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_sessionize" -> (sessionize _),
     "ts_holt_linear" -> (holtLinear _),
     "ts_interarrival" -> (interarrival _),
     "ts_page_cusum" -> (pageCusum _),
@@ -463,6 +491,23 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |   CAST(round(value * 100) AS BIGINT) AS cents,
+        |   lag(epoch_us(ts)) OVER
+        |     (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        | b AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        | sn AS (SELECT *, sum(brk) OVER
+        |   (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_n FROM b)
+        |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+        | count(*) AS n_events,
+        | CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM sn GROUP BY user_id, session_n
+        |ORDER BY user_id, session_n""".stripMargin,
     "ts_holt_linear" ->
       (s"""WITH RECURSIVE $seriesCte,
         | r AS (

@@ -60,7 +60,9 @@ class PlanShapesSpec extends SparkSpec {
     // 8-row query broadcast / 1-row gap-total attach
     "sim_prefix_recall", "ts_interarrival",
     // 1-row max-index / reciprocal-count attaches
-    "ts_holt_linear", "graph_reciprocity")
+    "ts_holt_linear", "graph_reciprocity",
+    // 19-row threshold broadcast against the |distinct scores| table
+    "ml_roc_curve")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
