@@ -643,7 +643,30 @@ object Graph {
         expr("(10000 * n_reciprocal) div n_edges").as("reciprocity_bp"))
   }
 
+  /** Log₂-bucketed degree histogram (`graph_degree_hist`) of the
+    * undirected co-purchase graph — the first plot of any graph audit
+    * (a heavy power-law tail here predicts hub-skew in every downstream
+    * per-node join). The bucket is the INTEGER log₂ via the binary
+    * string length (`length(bin(deg)) − 1`) — exact in both engines,
+    * avoiding float `log2` whose value at exact powers of two is
+    * implementation-dependent (Math.log(x)/Math.log(2) lands below the
+    * integer and floors wrong). Two keyed aggregates; output
+    * bucket-count sized.
+    */
+  def degreeHist(s: SparkSession, d: String): DataFrame = {
+    val e = edgesWithDeg(s, d).select("src", "dst")
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v"))).distinct()
+    und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .withColumn("bucket", (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_hist" -> (degreeHist _),
     "graph_reciprocity" -> (reciprocity _),
     "graph_copurchase_customers" -> (copurchaseCustomers _),
     "graph_kcore2" -> (kcore2 _),
@@ -765,6 +788,15 @@ object Graph {
         | round((n * sxy - sx * sy) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS assortativity
         |FROM p""".stripMargin,
+    "graph_degree_hist" ->
+      (s"""WITH $edgeCte,
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+        | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        | count(*) AS n_nodes,
+        | CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY bucket ORDER BY bucket""".stripMargin),
     "graph_reciprocity" ->
       (s"""WITH $edgeCte,
         | r AS (SELECT a.src, a.dst FROM e a

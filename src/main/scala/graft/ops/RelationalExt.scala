@@ -270,6 +270,34 @@ object RelationalExt {
       .orderBy("rk")
   }
 
+  /** Scale-safe global NTILE (`win_ntile_quartiles`): customers split
+    * into revenue quartiles WITHOUT `Window.orderBy` — a global ntile
+    * plans a single-partition exchange, so the quartile comes from the
+    * two-pass [[Prefix]] rank plus the 1-row count attach:
+    * `q = (4·(rk−1)) div n + 1`. That formula reproduces SQL ntile's
+    * remainder-to-the-FIRST-buckets rule only when 4 | n, so the oracle
+    * states the identical row_number arithmetic rather than DuckDB's
+    * `ntile` (whose remainder layout differs — documented cross-engine
+    * trap). Output is the quartile census: bounds and mass per bucket,
+    * all exact cents.
+    */
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
+    val rev = Sources.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val tot = rev.agg(count(lit(1)).as("n"))
+    Prefix.running(rev,
+        order = Seq(col("cents").desc, col("custkey").asc),
+        rankOut = Some("rk"))
+      .crossJoin(broadcast(tot))
+      .withColumn("quartile", expr("(4 * (rk - 1)) div n + 1"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        max("cents").as("max_cents"), min("cents").as("min_cents"),
+        sum("cents").as("total_cents"))
+      .orderBy("quartile")
+  }
+
   /** Cumulative distinct count over a window — not natively expressible
     * (no `count(DISTINCT)` window in either engine), composed from the
     * standard two-window trick: a first-occurrence flag (row_number = 1
@@ -360,6 +388,7 @@ object RelationalExt {
       .orderBy("o_orderpriority")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ntile_quartiles" -> (ntileQuartiles _),
     "agg_bitwise" -> (bitwiseAgg _),
     "agg_mode" -> (modePerGroup _),
     "agg_weighted_median" -> (weightedMedian _),
@@ -384,6 +413,21 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_ntile_quartiles" ->
+      """WITH rev AS (SELECT o_custkey AS custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        | n AS (SELECT count(*) AS n FROM rev),
+        | r AS (SELECT custkey, cents,
+        |   CAST(row_number() OVER (ORDER BY cents DESC, custkey) AS BIGINT) AS rk
+        |  FROM rev),
+        | q AS (SELECT cents, (4 * (rk - 1)) // n.n + 1 AS quartile FROM r CROSS JOIN n)
+        |SELECT CAST(quartile AS BIGINT) AS quartile,
+        | count(*) AS n_customers,
+        | CAST(max(cents) AS BIGINT) AS max_cents,
+        | CAST(min(cents) AS BIGINT) AS min_cents,
+        | CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
     "agg_bitwise" ->
       """WITH m AS (SELECT o_orderpriority,
         |  (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
