@@ -297,7 +297,44 @@ object Sampling {
       .orderBy("rep")
   }
 
+  /** Deterministic negative sampling (`sample_negatives`): for every
+    * customer, 3 pseudo-random parts they did NOT purchase — the
+    * contrastive negatives a recommender or embedding trainer pairs
+    * with each positive. Candidates come from the Knuth hash of
+    * (customer, draw-index) reduced onto the dense part-key space
+    * (the [[sampleDomainMixture]] arithmetic, so the draw is
+    * bit-reproducible in any engine); an 8-draw oversample anti-joined
+    * against the positives absorbs collisions, and a per-customer
+    * (PARTITIONED) rank keeps the first 3 survivors by draw index.
+    * Plan: one distinct positives shuffle, a ×8 map-side explode, one
+    * anti join on (customer, part), one user-keyed window — every stage
+    * keyed, nothing global. The part count attaches as a 1-row
+    * broadcast.
+    */
+  def sampleNegatives(s: SparkSession, d: String): DataFrame = {
+    val pos = Sources.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(Sources.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("part"))
+      .distinct()
+    val nParts = Sources.part(s, d).agg(count(lit(1)).as("np"))
+    val cands = pos.select("custkey").distinct()
+      .crossJoin(broadcast(nParts))
+      .select(col("custkey"), col("np"),
+        explode(array((1 to 8).map(lit(_)): _*)).as("j"))
+      .withColumn("part", pmod(
+        pmod(col("custkey") * lit(2654435761L) + col("j") * lit(7919L), lit(1048576L)),
+        col("np")))
+    val survivors = cands.join(pos, Seq("custkey", "part"), "left_anti")
+    val w = Window.partitionBy("custkey").orderBy("j")
+    survivors.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("custkey"), col("rnk"), col("part").as("neg_part"))
+      .orderBy("custkey", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_negatives" -> (sampleNegatives _),
     "sample_bootstrap_reps" -> (sampleBootstrapReps _),
     "sample_temperature_mix" -> (sampleTemperatureMix _),
     "sample_weighted_reservoir" -> (sampleWeightedReservoir _),
@@ -346,6 +383,23 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_negatives" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS part
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | np AS (SELECT count(*) AS np FROM part),
+        | c AS (SELECT custkey, j.j,
+        |   ((custkey * 2654435761 + j.j * 7919) % 1048576) % np.np AS part
+        |  FROM (SELECT DISTINCT custkey FROM pos) u
+        |  CROSS JOIN (SELECT unnest(range(1, 9)) AS j) j
+        |  CROSS JOIN np),
+        | sv AS (SELECT c.custkey, c.j, c.part FROM c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos
+        |    WHERE pos.custkey = c.custkey AND pos.part = c.part)),
+        | r AS (SELECT custkey, part,
+        |   CAST(row_number() OVER (PARTITION BY custkey ORDER BY j) AS BIGINT) AS rnk
+        |  FROM sv)
+        |SELECT custkey, rnk, part AS neg_part FROM r
+        |WHERE rnk <= 3 ORDER BY custkey, rnk""".stripMargin,
     "sample_bootstrap_reps" ->
       """WITH o AS (SELECT o_orderkey AS id,
         |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

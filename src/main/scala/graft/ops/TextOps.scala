@@ -830,7 +830,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-document boilerplate audit (`text_boilerplate`): per source,
+    * the share of distinct 5-gram shingles appearing in ≥ 30% of that
+    * source's documents — the template/navigation-chrome signal that
+    * intra-document repetition (`text_repetition`) cannot see, and the
+    * standard trigger for source-level boilerplate stripping before
+    * training. Shape: per-doc DISTINCT shingles (in-row array ops, no
+    * cross-doc state), one (source, shingle) doc-frequency aggregate —
+    * the inverted-index shuffle, keyed wide enough that 100 TB spreads
+    * it — then a source-grain rollup with the threshold as exact
+    * integer cross-multiplication (`10·df ≥ 3·n_docs`).
+    */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(graft.ops.Dedup.wordShingles(
+          split(col("text"), " "), 5))).as("sh"))
+    val nDocs = Sources.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val df5 = docs.groupBy("source", "sh").agg(countDistinct("doc_id").as("df"))
+    df5.join(nDocs, "source")
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") * 10 >= col("n_docs") * 3, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("source"), col("n_docs"), col("n_shingles"), col("n_boiler"),
+        expr("(10000 * n_boiler) div n_shingles").as("boiler_bp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (boilerplate _),
     "text_bpe_tokenize" -> (bpeTokenize _),
     "text_bpe_merges" -> (bpeMerges _),
     "dedup_containment" -> (dedupContainment _),
@@ -939,6 +969,21 @@ object TextOps {
         | md5(regexp_replace(regexp_replace(txt, '[A-Za-z0-9]+@[A-Za-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
         |   '555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents),
+        | sh AS (SELECT source, doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(ws) - 3, 2)),
+        |   i -> array_to_string(ws[i:i+4], ' ')))) AS sh FROM w),
+        | nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        | df AS (SELECT source, sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1, 2),
+        | r AS (SELECT df.source, max(nd.n_docs) AS n_docs, count(*) AS n_shingles,
+        |   sum(CASE WHEN df.df * 10 >= nd.n_docs * 3 THEN 1 ELSE 0 END) AS n_boiler
+        |  FROM df JOIN nd ON df.source = nd.source GROUP BY df.source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(n_shingles AS BIGINT) AS n_shingles,
+        | CAST(n_boiler AS BIGINT) AS n_boiler,
+        | CAST((10000 * n_boiler) // n_shingles AS BIGINT) AS boiler_bp
+        |FROM r ORDER BY source""".stripMargin,
     "text_heavy_hitters" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
         |           WHERE len(string_split(text, ' ')) >= 5),

@@ -64,7 +64,9 @@ class PlanShapesSpec extends SparkSpec {
     // 19-row threshold broadcast against the |distinct scores| table
     "ml_roc_curve",
     // 1-row customer-count attach for the ntile denominator
-    "win_ntile_quartiles")
+    "win_ntile_quartiles",
+    // 1-row part-count attach for the negative-sample hash range
+    "sample_negatives")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
