@@ -291,6 +291,24 @@ object Relational {
     y95.except(y96).orderBy("custkey")
   }
 
+  /** EXCEPT ALL — BAG semantics (`setop_except_all`): the multiset of
+    * 1995 part purchases minus the 1996 multiset, i.e. per part the
+    * surplus purchase count 1995 carried over 1996 (set EXCEPT would
+    * collapse every surviving part to one row and lose the magnitude).
+    * Spark plans `exceptAll` as the generated-count union + aggregate
+    * + replicate — no pairwise matching; the result is aggregated per
+    * part so the output is deterministic, top-20 by (surplus, part).
+    */
+  def setopExceptAll(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d)
+    val y95 = li.filter(year(col("l_shipdate")) === 1995).select(col("l_partkey").as("part"))
+    val y96 = li.filter(year(col("l_shipdate")) === 1996).select(col("l_partkey").as("part"))
+    y95.exceptAll(y96)
+      .groupBy("part").agg(count(lit(1)).as("surplus_95"))
+      .orderBy(col("surplus_95").desc, col("part"))
+      .limit(20)
+  }
+
   /** INTERSECT of active customer keys across two years. */
   def setopIntersectYears(s: SparkSession, d: String): DataFrame = {
     val ord = Sources.orders(s, d)
@@ -430,6 +448,7 @@ object Relational {
     "win_rank_suppliers" -> (winRankSuppliers _),
     "topk_global_orders" -> (topkGlobalOrders _),
     "setop_except_years" -> (setopExceptYears _),
+    "setop_except_all" -> (setopExceptAll _),
     "setop_intersect_years" -> (setopIntersectYears _),
     "setop_union_tagged" -> (setopUnionTagged _),
     "scalar_string_funcs" -> (scalarStringFuncs _),
@@ -545,6 +564,13 @@ object Relational {
     "topk_global_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "setop_except_all" ->
+      """WITH r AS (
+        |  SELECT l_partkey AS part FROM lineitem WHERE year(l_shipdate) = 1995
+        |  EXCEPT ALL
+        |  SELECT l_partkey AS part FROM lineitem WHERE year(l_shipdate) = 1996)
+        |SELECT part, count(*) AS surplus_95 FROM r
+        |GROUP BY part ORDER BY surplus_95 DESC, part LIMIT 20""".stripMargin,
     "setop_except_years" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996

@@ -115,6 +115,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix (`text_langid_confusion`): the
+    * heuristic of [[langIdHeuristic]] evaluated against the labeled
+    * `lang` column — per (actual, predicted) cell counts and the
+    * actual-language share in integer basis points, i.e. the evaluation
+    * table that decides whether the cheap classifier is good enough to
+    * gate ingestion. Same integer hit counts and argmax (so the matrix
+    * is engine-exact); one 9-cell aggregate plus a language-count-sized
+    * totals join.
+    */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "de" -> Seq("der", "und", "die", "das", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "est"),
+    )
+    val ws = words(col("text"))
+    val hits = profiles.map { case (lang, sw) =>
+      val arr = array(sw.map(lit): _*)
+      size(filter(ws, w => array_contains(arr, w))).cast("long").as(s"hits_$lang")
+    }
+    val predicted = when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr"), lit("en"))
+      .when(col("hits_de") >= col("hits_fr"), lit("de"))
+      .otherwise(lit("fr"))
+    val cells = Sources.documents(s, d)
+      .select(col("lang") +: hits: _*)
+      .withColumn("predicted_lang", predicted)
+      .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("lang").agg(sum("n_docs").as("tn"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("predicted_lang"), col("n_docs"),
+        expr("(10000 * n_docs) div tn").as("share_bp"))
+      .orderBy("lang", "predicted_lang")
+  }
+
   /** Character-level Shannon entropy per document — an
     * information-theoretic quality signal (gibberish and boilerplate sit
     * at the entropy extremes). Two hash aggregations + one window; all
@@ -860,6 +894,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_confusion" -> (langIdConfusion _),
     "text_boilerplate" -> (boilerplate _),
     "text_bpe_tokenize" -> (bpeTokenize _),
     "text_bpe_merges" -> (bpeMerges _),
@@ -1033,6 +1068,24 @@ object TextOps {
       """SELECT lang, source, count(*) AS n_docs,
         | round(avg(n_chars), 2) AS avg_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_langid_confusion" ->
+      """WITH p AS (SELECT lang,
+        | CASE WHEN len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','is'], w))) >=
+        |           len(list_filter(string_split(text,' '), w -> list_contains(['der','und','die','das','ist'], w)))
+        |       AND len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','is'], w))) >=
+        |           len(list_filter(string_split(text,' '), w -> list_contains(['le','la','et','les','est'], w)))
+        |      THEN 'en'
+        |      WHEN len(list_filter(string_split(text,' '), w -> list_contains(['der','und','die','das','ist'], w))) >=
+        |           len(list_filter(string_split(text,' '), w -> list_contains(['le','la','et','les','est'], w)))
+        |      THEN 'de' ELSE 'fr' END AS predicted_lang
+        | FROM documents),
+        | c AS (SELECT lang, predicted_lang, count(*) AS n_docs
+        |  FROM p GROUP BY lang, predicted_lang),
+        | t AS (SELECT lang, sum(n_docs) AS tn FROM c GROUP BY lang)
+        |SELECT c.lang, c.predicted_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+        | CAST((10000 * c.n_docs) // t.tn AS BIGINT) AS share_bp
+        |FROM c JOIN t ON c.lang = t.lang
+        |ORDER BY c.lang, c.predicted_lang""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, lang,
         | len(list_filter(string_split(text,' '), w -> list_contains(['the','and','of','to','is'], w))) AS hits_en,
