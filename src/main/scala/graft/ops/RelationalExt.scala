@@ -270,6 +270,32 @@ object RelationalExt {
       .orderBy("rk")
   }
 
+  /** Herfindahl–Hirschman concentration index (`agg_hhi_segment`): per
+    * market segment, Σ(customer revenue share in bp)² — the regulator's
+    * concentration measure, and (with sources for segments) the same
+    * statistic a data pipeline uses to flag domains dominated by a few
+    * hosts. Complements the Gini (`agg_gini_segment`): HHI weights the
+    * head, Gini the whole curve. Shares are integer floor-division
+    * basis points, so the index is an exact Long in both engines (max
+    * 10⁸ = monopoly); two keyed aggregates + one segment-count-sized
+    * equi join.
+    */
+  def hhiSegment(s: SparkSession, d: String): DataFrame = {
+    val rev = Sources.orders(s, d)
+      .join(Sources.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val tot = rev.groupBy("segment")
+      .agg(sum("cents").as("tc"), count(lit(1)).as("n_customers"))
+    rev.join(broadcast(tot), "segment")
+      .withColumn("share_bp", expr("(10000 * cents) div tc"))
+      .groupBy("segment")
+      .agg(max("n_customers").as("n_customers"),
+        sum(col("share_bp") * col("share_bp")).as("hhi"))
+      .orderBy("segment")
+  }
+
   /** Scale-safe global NTILE (`win_ntile_quartiles`): customers split
     * into revenue quartiles WITHOUT `Window.orderBy` — a global ntile
     * plans a single-partition exchange, so the quartile comes from the
@@ -389,6 +415,7 @@ object RelationalExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_ntile_quartiles" -> (ntileQuartiles _),
+    "agg_hhi_segment" -> (hhiSegment _),
     "agg_bitwise" -> (bitwiseAgg _),
     "agg_mode" -> (modePerGroup _),
     "agg_weighted_median" -> (weightedMedian _),
@@ -413,6 +440,19 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_hhi_segment" ->
+      """WITH rev AS (SELECT c_mktsegment AS segment, o_custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        | t AS (SELECT segment, CAST(sum(cents) AS BIGINT) AS tc,
+        |   count(*) AS n_customers FROM rev GROUP BY segment),
+        | sh AS (SELECT rev.segment, t.n_customers,
+        |   (10000 * rev.cents) // t.tc AS share_bp
+        |  FROM rev JOIN t ON rev.segment = t.segment)
+        |SELECT segment, CAST(max(n_customers) AS BIGINT) AS n_customers,
+        | CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi
+        |FROM sh GROUP BY segment ORDER BY segment""".stripMargin,
     "win_ntile_quartiles" ->
       """WITH rev AS (SELECT o_custkey AS custkey,
         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

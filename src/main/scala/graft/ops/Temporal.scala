@@ -459,7 +459,32 @@ object Temporal {
       .orderBy("user_id", "session_n")
   }
 
+  /** Trailing-7-day distinct active users per day (`ts_wau_daily`) —
+    * the WAU curve. A rolling COUNT DISTINCT has no window form in
+    * either engine; the scale shape is the COVER-SET explode: each
+    * (day, user) activity row replicates to the ≤7 window-END days it
+    * falls into (map-side ×7, no window state), then one
+    * distinct-aggregate per end day. At 100 TB that is one shuffle of
+    * 7×|daily-active| rows — linear, partitionable, and exact; output
+    * restricted to days that actually occur (leading partial windows
+    * are real WAU semantics and kept). Documented alternative for much
+    * wider windows: per-day HLL sketch union (`sketch_hll_rollup`).
+    */
+  def wauDaily(s: SparkSession, d: String): DataFrame = {
+    val act = Sources.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = act.select("day").distinct()
+    val spread = act.select(
+      explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+      col("user_id"))
+    spread.join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+      .groupBy("wday").agg(countDistinct("user_id").as("wau"))
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_wau_daily" -> (wauDaily _),
     "ts_sessionize" -> (sessionize _),
     "ts_holt_linear" -> (holtLinear _),
     "ts_interarrival" -> (interarrival _),
@@ -491,6 +516,14 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_wau_daily" ->
+      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        | days AS (SELECT DISTINCT day FROM e),
+        | sp AS (SELECT unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE
+        |   AS wday, user_id FROM e),
+        | w AS (SELECT wday, count(DISTINCT user_id) AS wau FROM sp GROUP BY wday)
+        |SELECT strftime(w.wday, '%Y-%m-%d') AS day, CAST(wau AS BIGINT) AS wau
+        |FROM w JOIN days ON w.wday = days.day ORDER BY day""".stripMargin,
     "ts_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
         |   CAST(round(value * 100) AS BIGINT) AS cents,
