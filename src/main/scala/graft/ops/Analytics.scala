@@ -475,7 +475,46 @@ object Analytics {
       ORDER BY supp_nation, cust_nation, yr""")
   }
 
+  /** Q13-style customer order-count distribution: how many customers
+    * placed exactly k orders, INCLUDING the zero bucket — the left
+    * outer join whose null-preserving count is the whole point (an
+    * inner join silently drops never-ordered customers). Two
+    * aggregates over one outer equi-join; exact integers.
+    */
+  def custOrderDist(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "customer", "orders")
+    s.sql("""
+      WITH c AS (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      SELECT n_orders, count(*) AS n_customers
+      FROM c GROUP BY n_orders
+      ORDER BY n_customers DESC, n_orders""")
+  }
+
+  /** Q16-style supplier-count report: per (brand, size band), how many
+    * distinct suppliers ship the part family — the assortment-breadth
+    * report, with the part-supplier incidence derived from lineitem
+    * (the fixture has no partsupp table; the distinct aggregate is the
+    * same shape). One distinct + one count-distinct aggregate over a
+    * dimension join.
+    */
+  def partSuppliers(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "part")
+    s.sql("""
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_brand, CAST((p_size - 1) DIV 10 AS BIGINT) AS size_band,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM ps JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, size_band
+      ORDER BY p_brand, size_band""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_cust_order_dist" -> (custOrderDist _),
+    "complex_part_suppliers" -> (partSuppliers _),
     "complex_forecast_revenue" -> (forecastRevenue _),
     "complex_disjunct_bands" -> (disjunctBands _),
     "complex_nation_volume" -> (nationVolume _),
@@ -497,6 +536,22 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_cust_order_dist" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT CAST(n_orders AS BIGINT) AS n_orders, count(*) AS n_customers
+        |FROM c GROUP BY n_orders
+        |ORDER BY n_customers DESC, n_orders""".stripMargin,
+    "complex_part_suppliers" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, CAST((p_size - 1) // 10 AS BIGINT) AS size_band,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand, size_band
+        |ORDER BY p_brand, size_band""".stripMargin,
     "complex_forecast_revenue" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
         |   * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
