@@ -333,7 +333,34 @@ object Sampling {
       .orderBy("custkey", "rnk")
   }
 
+  /** Temporal split audit (`sample_time_split`): orders split at a
+    * fixed cutoff (train < 1999-01-01 ≤ test) with per-split volumes
+    * and the count of customers appearing on BOTH sides — the
+    * entity-overlap figure that quantifies temporal-leakage exposure
+    * when per-customer features are trained on the past and evaluated
+    * on the future (complements the group-leakage audit, which splits
+    * by entity instead of time). Two filtered aggregates + one
+    * distinct-key intersection via an inner join; all exact.
+    */
+  def sampleTimeSplit(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"),
+        (col("o_orderdate") < lit("1999-01-01").cast("date")).as("is_train"))
+    val bySplit = o.groupBy("is_train")
+      .agg(count(lit(1)).as("n_orders"), countDistinct("o_custkey").as("n_customers"))
+    val both = o.filter(col("is_train")).select("o_custkey").distinct()
+      .join(o.filter(!col("is_train")).select("o_custkey").distinct(), "o_custkey")
+      .agg(count(lit(1)).as("n_cust_both"))
+    bySplit.crossJoin(broadcast(both))
+      .select(
+        when(col("is_train"), "train").otherwise("test").as("split"),
+        col("n_orders"), col("n_customers"), col("n_cust_both"),
+        expr("(10000 * n_cust_both) div n_customers").as("overlap_bp"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_time_split" -> (sampleTimeSplit _),
     "sample_negatives" -> (sampleNegatives _),
     "sample_bootstrap_reps" -> (sampleBootstrapReps _),
     "sample_temperature_mix" -> (sampleTemperatureMix _),
@@ -383,6 +410,21 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_time_split" ->
+      """WITH o AS (SELECT o_custkey,
+        |   o_orderdate < DATE '1999-01-01' AS is_train FROM orders),
+        | s AS (SELECT is_train, count(*) AS n_orders,
+        |   count(DISTINCT o_custkey) AS n_customers FROM o GROUP BY is_train),
+        | b AS (SELECT count(*) AS n_cust_both FROM
+        |   (SELECT DISTINCT o_custkey FROM o WHERE is_train) tr
+        |   JOIN (SELECT DISTINCT o_custkey FROM o WHERE NOT is_train) te
+        |     USING (o_custkey))
+        |SELECT CASE WHEN is_train THEN 'train' ELSE 'test' END AS split,
+        | CAST(n_orders AS BIGINT) AS n_orders,
+        | CAST(n_customers AS BIGINT) AS n_customers,
+        | CAST(n_cust_both AS BIGINT) AS n_cust_both,
+        | CAST((10000 * n_cust_both) // n_customers AS BIGINT) AS overlap_bp
+        |FROM s CROSS JOIN b ORDER BY split""".stripMargin,
     "sample_negatives" ->
       """WITH pos AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS part
         |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

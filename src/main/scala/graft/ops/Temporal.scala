@@ -483,7 +483,32 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** Month-over-month growth (`ts_mom_growth`): monthly revenue with
+    * the previous month's value, absolute delta, and growth in integer
+    * basis points — computed WINDOW-free: the monthly rollup
+    * equi-joins its own (ym+1)-shifted self, so there is no global
+    * ordering operator at all (the lag-over-calendar trap). First
+    * month reports null prev/growth. All integers except nothing —
+    * growth is floor-division bp of exact Longs.
+    */
+  def momGrowth(s: SparkSession, d: String): DataFrame = {
+    val monthly = Sources.orders(s, d)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("mi"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val prev = monthly.select((col("mi") + 1).as("mi"), col("cents").as("prev_cents"))
+    monthly.join(prev, Seq("mi"), "left")
+      .select(col("mi"),
+        expr("mi div 12").as("yr"), (pmod(col("mi"), lit(12L)) + 1).as("mo"),
+        col("cents"), col("prev_cents"),
+        (col("cents") - col("prev_cents")).as("delta_cents"),
+        expr("CASE WHEN prev_cents > 0 THEN (10000 * (cents - prev_cents)) div prev_cents END")
+          .as("growth_bp"))
+      .orderBy("mi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_mom_growth" -> (momGrowth _),
     "ts_wau_daily" -> (wauDaily _),
     "ts_sessionize" -> (sessionize _),
     "ts_holt_linear" -> (holtLinear _),
@@ -516,6 +541,17 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_mom_growth" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT a.mi, a.mi // 12 AS yr, a.mi % 12 + 1 AS mo,
+        | a.cents, b.cents AS prev_cents,
+        | a.cents - b.cents AS delta_cents,
+        | CASE WHEN b.cents > 0
+        |   THEN (10000 * (a.cents - b.cents)) // b.cents END AS growth_bp
+        |FROM m a LEFT JOIN m b ON a.mi = b.mi + 1
+        |ORDER BY a.mi""".stripMargin,
     "ts_wau_daily" ->
       """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         | days AS (SELECT DISTINCT day FROM e),

@@ -66,7 +66,9 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row customer-count attach for the ntile denominator
     "win_ntile_quartiles",
     // 1-row part-count attach for the negative-sample hash range
-    "sample_negatives")
+    "sample_negatives",
+    // 1-row both-sides-overlap attach for the split audit
+    "sample_time_split")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
