@@ -665,7 +665,41 @@ object Graph {
       .orderBy("bucket")
   }
 
+  /** BFS layer census (`graph_bfs_layers`): from the highest-degree hub
+    * of the undirected co-purchase graph (the [[sssp]] source rule —
+    * argmax degree, min-key ties), the count of nodes first reached at
+    * each hop 0..6 — the unweighted ball-growth profile that tells a
+    * crawler or recommender how fast the catalog neighborhood
+    * saturates. Frontier-style loop: each round is one equi-join +
+    * distinct + anti-join against the visited set, with per-round
+    * [[Checkpoints]] pins keeping lineage constant-depth. A node's
+    * layer is its true hop distance when ≤ 6, and nodes farther than 6
+    * never appear — exactly what the depth-6 iteration-indexed
+    * recursive oracle computes, so the census matches by construction.
+    */
+  def bfsLayers(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d)
+    val srcRows = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(1).collect()
+    import s.implicits._
+    if (srcRows.isEmpty) return Seq.empty[(Long, Long)].toDF("hop", "n_nodes")
+    var visited = Checkpoints.pin(
+      Seq((srcRows(0).getLong(0), 0L)).toDF("node", "hop"), eager = false)
+    var frontier = visited
+    for (h <- 1 to 6) {
+      frontier = Checkpoints.pin(
+        frontier.join(und, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("hop", lit(h.toLong)),
+        eager = false)
+      visited = Checkpoints.pin(visited.unionAll(frontier), eager = false)
+    }
+    visited.groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_layers" -> (bfsLayers _),
     "graph_degree_hist" -> (degreeHist _),
     "graph_reciprocity" -> (reciprocity _),
     "graph_copurchase_customers" -> (copurchaseCustomers _),
@@ -788,6 +822,25 @@ object Graph {
         | round((n * sxy - sx * sy) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS assortativity
         |FROM p""".stripMargin,
+    "graph_bfs_layers" ->
+      (s"""WITH RECURSIVE $edgeCte,
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+        | deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u),
+        | s0 AS (SELECT u AS sp FROM deg ORDER BY dg DESC, u LIMIT 1),
+        | it(iter, node, dist) AS (
+        |   SELECT 0, sp, CAST(0 AS BIGINT) FROM s0
+        |   UNION ALL
+        |   SELECT z.ni, z.node, min(z.nd) FROM (
+        |     SELECT p.iter + 1 AS ni, p.node, p.dist AS nd
+        |     FROM it p WHERE p.iter < 6
+        |     UNION ALL
+        |     SELECT p2.iter + 1, und.v, p2.dist + 1
+        |     FROM it p2 JOIN und ON p2.node = und.u WHERE p2.iter < 6
+        |   ) z GROUP BY z.ni, z.node),
+        | last AS (SELECT max(iter) AS mi FROM it)
+        |SELECT CAST(dist AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM it, last WHERE iter = last.mi GROUP BY dist ORDER BY hop""".stripMargin),
     "graph_degree_hist" ->
       (s"""WITH $edgeCte,
         | und AS (SELECT DISTINCT u, v FROM

@@ -344,6 +344,25 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  "Graph.bfsLayers" should "match a driver-side BFS from the hub" in {
+    val und = edges ++ edges.map(_.swap)
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val src = adj.view.mapValues(_.size).toSeq
+      .minBy { case (u, dg) => (-dg, u) }._1
+    var vis = Map(src -> 0L)
+    var frontier = Set(src)
+    for (h <- 1 to 6) {
+      val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty[Long])) -- vis.keySet
+      vis ++= nxt.map(_ -> h.toLong)
+      frontier = nxt
+    }
+    val expected = vis.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sorted
+    val got = Graph.bfsLayers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+  }
+
   "Graph.reciprocity" should "match a driver-side reverse-edge count" in {
     val n = edges.size.toLong
     val nRecip = edges.count { case (a, b) => edges((b, a)) }.toLong
