@@ -153,13 +153,50 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_plan" -> (shardPlan _),
     "mm_media_meta" -> (mediaMeta _),
     "mm_decode_stub" -> (mediaDecodeStub _),
     "mm_frame_sample" -> (frameSample _),
     "mm_frame_overlap" -> (frameOverlapPairs _),
   )
 
+  /** Inference shard planning (`mm_shard_plan`): within each modality
+    * channel, media rows pack in doc-id order into ≤4 KiB shards by
+    * exclusive running byte count — the size-balanced batch layout a
+    * GPU decode/embed stage consumes (too-big batches OOM the
+    * accelerator, too-small ones waste it). The running sum is a
+    * PARTITIONED window (per channel), so the plan scales with channel
+    * cardinality; shard id = exclusive-prefix-bytes div budget, exact
+    * integers; one keyed rollup emits the per-shard manifest.
+    */
+  def shardPlan(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("channel").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    withMediaColumns(Sources.documents(s, d))
+      .select(col("doc_id"), col("media_meta.channel").cast("long").as("channel"),
+        length(col("media")).cast("long").as("n_bytes"))
+      .withColumn("prev_bytes", coalesce(sum("n_bytes").over(w), lit(0L)))
+      .withColumn("shard", expr("prev_bytes div 4096"))
+      .groupBy("channel", "shard")
+      .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("bytes"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("channel", "shard")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_shard_plan" ->
+      """WITH m AS (SELECT doc_id, doc_id % 4 AS channel,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        | p AS (SELECT *, coalesce(sum(n_bytes) OVER
+        |   (PARTITION BY channel ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_bytes
+        |  FROM m),
+        | sh AS (SELECT channel, prev_bytes // 4096 AS shard, doc_id, n_bytes FROM p)
+        |SELECT channel, CAST(shard AS BIGINT) AS shard, count(*) AS n_items,
+        | CAST(sum(n_bytes) AS BIGINT) AS bytes,
+        | CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM sh GROUP BY channel, shard ORDER BY channel, shard""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
