@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -270,6 +270,47 @@ object RelationalExt {
       .orderBy("rk")
   }
 
+  /** Pairwise correlation matrix (`agg_corr_matrix`) of the four
+    * lineitem measures (quantity, price dollars, discount %, tax %) — the
+    * feature-redundancy screen run before any modeling. All six
+    * pairwise Pearson coefficients from ONE scan: a single aggregate
+    * computes the 4 sums, 4 sums of squares and 6 cross sums as exact
+    * Longs (every measure integer-encoded; price in whole dollars so
+    * the sum of squares stays inside Long to ~sf10), then each coefficient is
+    * the identical-IEEE closed form from identical Longs (the
+    * `ts_trend_slope` discipline). Built-in `corr()` would stream
+    * float-state in partition order — not hash-stable cross-engine.
+    */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val vars = Seq(
+      "qty" -> col("l_quantity").cast("long"),
+      "usd" -> round(col("l_extendedprice")).cast("long"),
+      "disc" -> round(col("l_discount") * 100).cast("long"),
+      "tax" -> round(col("l_tax") * 100).cast("long"))
+    val base = Sources.lineitem(s, d)
+      .select(vars.map { case (n, c) => c.as(n) }: _*)
+    val sums: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        vars.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+        vars.map { case (n, _) => sum(col(n) * col(n)).as(s"ss_$n") } ++
+        vars.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+          sum(col(a) * col(b)).as(s"sp_${a}_$b")
+        }
+    val g = base.agg(sums.head, sums.tail: _*)
+    def D(c: Column): Column = c.cast("double")
+    val rows = vars.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        graft.functions.Num.roundNorm(
+          (D(col("n")) * D(col(s"sp_${a}_$b")) - D(col(s"s_$a")) * D(col(s"s_$b"))) /
+            (sqrt(D(col("n")) * D(col(s"ss_$a")) - D(col(s"s_$a")) * D(col(s"s_$a"))) *
+              sqrt(D(col("n")) * D(col(s"ss_$b")) - D(col(s"s_$b")) * D(col(s"s_$b")))), 6)
+          .as("corr"))
+    }
+    g.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.var_a"), col("r.var_b"), col("r.corr"))
+      .orderBy("var_a", "var_b")
+  }
+
   /** Herfindahl–Hirschman concentration index (`agg_hhi_segment`): per
     * market segment, Σ(customer revenue share in bp)² — the regulator's
     * concentration measure, and (with sources for segments) the same
@@ -416,6 +457,7 @@ object RelationalExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_ntile_quartiles" -> (ntileQuartiles _),
     "agg_hhi_segment" -> (hhiSegment _),
+    "agg_corr_matrix" -> (corrMatrix _),
     "agg_bitwise" -> (bitwiseAgg _),
     "agg_mode" -> (modePerGroup _),
     "agg_weighted_median" -> (weightedMedian _),
@@ -439,7 +481,40 @@ object RelationalExt {
     "join_full_outer_years" -> (joinFullOuterYears _),
   )
 
+  /** One UNION arm of the correlation-matrix oracle: the identical
+    * closed form from identical Longs, per variable pair.
+    */
+  private def corrArm(a: String, b: String): String =
+    s"""SELECT '$a' AS var_a, '$b' AS var_b,
+       | round((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+       |     - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+       |   (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+       |     - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+       |    sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+       |     - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6) + 0.0 AS corr
+       |FROM g""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "agg_corr_matrix" ->
+      ("""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |   CAST(round(l_extendedprice) AS BIGINT) AS usd,
+        |   CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |   CAST(round(l_tax * 100) AS BIGINT) AS tax FROM lineitem),
+        | g AS (SELECT count(*) AS n,
+        |   sum(qty) AS s_qty, sum(usd) AS s_usd,
+        |   sum(disc) AS s_disc, sum(tax) AS s_tax,
+        |   sum(qty*qty) AS ss_qty, sum(usd*usd) AS ss_usd,
+        |   sum(disc*disc) AS ss_disc, sum(tax*tax) AS ss_tax,
+        |   sum(qty*usd) AS sp_qty_usd, sum(qty*disc) AS sp_qty_disc,
+        |   sum(qty*tax) AS sp_qty_tax, sum(usd*disc) AS sp_usd_disc,
+        |   sum(usd*tax) AS sp_usd_tax, sum(disc*tax) AS sp_disc_tax
+        |  FROM v)
+        |SELECT var_a, var_b, corr FROM (
+        |""".stripMargin +
+        Seq(("qty", "usd"), ("qty", "disc"), ("qty", "tax"),
+          ("usd", "disc"), ("usd", "tax"), ("disc", "tax"))
+          .map { case (a, b) => corrArm(a, b) }.mkString("", "\nUNION ALL\n", "") +
+        "\n) ORDER BY var_a, var_b"),
     "agg_hhi_segment" ->
       """WITH rev AS (SELECT c_mktsegment AS segment, o_custkey,
         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
