@@ -512,7 +512,65 @@ object Analytics {
       ORDER BY p_brand, size_band""")
   }
 
+  /** Q9-style product profit: per (supplier nation, order year), profit
+    * = revenue − 80%-of-retail supply cost (the fixture has no partsupp
+    * supply cost; 0.8·p_retailprice is the stand-in, stated in the
+    * oracle identically). Four-way star join — fact side shuffles once
+    * on the order key, the part/supplier/nation dims broadcast at
+    * dimension scale. Profit is computed entirely in exact 1e-4-dollar
+    * integers: cents·(100−disc) for revenue, 80·retail_cents·qty for
+    * cost (quantities are integer-valued doubles), so the per-group sum
+    * is engine-independent at any scale — no float accumulation order
+    * to disagree on across 1000 executors.
+    */
+  def productProfit(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "orders", "part", "supplier", "nation")
+    s.sql("""
+      SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  - 80 * CAST(round(p_retailprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_e4,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY supp_nation, yr
+      ORDER BY supp_nation, yr""")
+  }
+
+  /** Q11-style important parts: parts whose discounted revenue exceeds
+    * 1.5× the mean per-part revenue — the HAVING-against-a-global-scalar
+    * shape (Catalyst plans the scalar subquery as a one-row broadcast
+    * over the per-part aggregate, one shuffle total). The threshold is
+    * scale-INVARIANT (a fraction-of-total cut like TPC-H's 0.0001 stops
+    * binding as the part count grows) and the comparison is
+    * cross-multiplied to exact integers: v > 1.5·T/n ⇔ 2·n·v > 3·T with
+    * v, T in 1e-4-dollar units — the one row both engines could disagree
+    * on in float sits exactly on the boundary, and integers have no
+    * boundary ulps.
+    */
+  def importantParts(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "part")
+    s.sql("""
+      WITH pr AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS v_e4
+        FROM lineitem GROUP BY l_partkey),
+      tot AS (SELECT CAST(sum(v_e4) AS BIGINT) AS t_e4,
+                     CAST(count(*) AS BIGINT) AS n FROM pr)
+      SELECT p_partkey, p_brand, v_e4
+      FROM pr JOIN part ON l_partkey = p_partkey, tot
+      WHERE 2 * n * v_e4 > 3 * t_e4
+      ORDER BY v_e4 DESC, p_partkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_product_profit" -> (productProfit _),
+    "complex_important_parts" -> (importantParts _),
     "complex_cust_order_dist" -> (custOrderDist _),
     "complex_part_suppliers" -> (partSuppliers _),
     "complex_forecast_revenue" -> (forecastRevenue _),
@@ -536,6 +594,32 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_product_profit" ->
+      """SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |  - 80 * CAST(round(p_retailprice * 100) AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_e4,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY supp_nation, yr
+        |ORDER BY supp_nation, yr""".stripMargin,
+    "complex_important_parts" ->
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS v_e4
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT CAST(sum(v_e4) AS BIGINT) AS t_e4,
+        |               CAST(count(*) AS BIGINT) AS n FROM pr)
+        |SELECT p_partkey, p_brand, v_e4
+        |FROM pr JOIN part ON l_partkey = p_partkey, tot
+        |WHERE 2 * n * v_e4 > 3 * t_e4
+        |ORDER BY v_e4 DESC, p_partkey""".stripMargin,
     "complex_cust_order_dist" ->
       """WITH c AS (
         |  SELECT c_custkey, count(o_orderkey) AS n_orders

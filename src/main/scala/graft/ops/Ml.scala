@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num.roundNorm
@@ -244,7 +245,76 @@ object Ml {
         round(avg(col("label").cast("double")), 6).as("obs_rate"))
       .orderBy("bucket")
 
+  // ------------------------------------------------- multinomial NB
+
+  /** Multinomial Naive Bayes language classifier, trained on the even
+    * doc_ids and evaluated on the odd ones — the cheap supervised
+    * upgrade over the stop-word heuristic of
+    * [[graft.ops.TextOps.langIdConfusion]], and the canonical
+    * counts-only classifier a curation pipeline can train INSIDE the
+    * engine (training is two hash aggregates over the token stream; no
+    * gradient steps, no driver math).
+    *
+    * Determinism: every Laplace-smoothed log-probability is snapped to
+    * FIXED-POINT MICRO-NATS — `round(1e6·ln(c+1))`, `round(1e6·ln(t_l+V))`,
+    * `round(1e6·ln(n_l/N))` — so the per-document score
+    * `P(l) − T_d·B(l) + Σ_w k_w·A(w,l)` is pure BIGINT arithmetic that
+    * both engines replay exactly (a flip would need libm's ln to land
+    * within ~1e-9 of a rounding boundary). The Σ k·A term only needs
+    * the (word, lang) pairs PRESENT in the trained model — absent words
+    * contribute the per-lang floor, factored out as −T_d·B(l) — so
+    * scoring is one equi-join against the model table plus a 5-row
+    * broadcast grid, never a vocab×docs cross product. Argmax breaks
+    * ties by language code. At 100 TB the model table (vocab×langs) is
+    * the only shuffled state; documents never leave their executors
+    * except as (doc, lang, partial-sum) rows.
+    */
+  def nbConfusion(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val trainTok = train
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    // model: per-(lang, word) micro-nat evidence weight A(w,l)
+    val model = trainTok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .withColumn("am", round(log(col("c") + lit(1)) * 1e6).cast("long"))
+    // per-lang stats + the two corpus scalars (1-row cross joins)
+    val langStats = train.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .join(trainTok.groupBy("lang").agg(count(lit(1)).as("t_l")), "lang")
+      .crossJoin(trainTok.agg(countDistinct("w").as("v")))
+      .crossJoin(train.agg(count(lit(1)).as("nd")))
+      .select(col("lang").as("cand_lang"),
+        round(log(col("t_l") + col("v")) * 1e6).cast("long").as("bm"),
+        round(log(col("n_l").cast("double") / col("nd")) * 1e6).cast("long").as("pm"))
+    val testTok = test
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val kw = testTok.groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+    val td = testTok.groupBy("doc_id")
+      .agg(first("lang").as("actual"), count(lit(1)).as("t"))
+    val sdl = kw.join(model, "w")
+      .groupBy(col("doc_id"), col("lang").as("cand_lang"))
+      .agg(sum(col("k") * col("am")).as("sm"))
+    val grid = td.crossJoin(broadcast(langStats))
+      .join(sdl, Seq("doc_id", "cand_lang"), "left")
+      .withColumn("score",
+        col("pm") - col("t") * col("bm") + coalesce(col("sm"), lit(0L)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand_lang"))
+    val pred = grid
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val cells = pred.groupBy(col("actual").as("lang"),
+      col("cand_lang").as("predicted_lang")).agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("lang").agg(sum("n_docs").as("tn"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("predicted_lang"), col("n_docs"),
+        expr("(10000 * n_docs) div tn").as("share_bp"))
+      .orderBy("lang", "predicted_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_nb_confusion" -> (nbConfusion _),
     "ml_calibration" -> (logregCalibration _),
     "ml_linear_fit" -> (linearFit _),
     "ml_logreg_weights" -> (logregWeights _),
@@ -253,6 +323,44 @@ object Ml {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_nb_confusion" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM train),
+        |ttok2 AS (SELECT * FROM ttok WHERE w <> ''),
+        |model AS (SELECT lang, w, CAST(round(ln(count(*) + 1) * 1e6) AS BIGINT) AS am
+        |          FROM ttok2 GROUP BY lang, w),
+        |ls AS (SELECT nl.lang AS cand_lang,
+        |         CAST(round(ln(t_l + v) * 1e6) AS BIGINT) AS bm,
+        |         CAST(round(ln(CAST(n_l AS DOUBLE) / nd) * 1e6) AS BIGINT) AS pm
+        |       FROM (SELECT lang, count(*) AS n_l FROM train GROUP BY lang) nl
+        |       JOIN (SELECT lang, count(*) AS t_l FROM ttok2 GROUP BY lang) lt
+        |         ON nl.lang = lt.lang,
+        |       (SELECT count(DISTINCT w) AS v FROM ttok2),
+        |       (SELECT count(*) AS nd FROM train)),
+        |tt AS (SELECT doc_id, lang AS actual, unnest(string_split(text, ' ')) AS w
+        |       FROM test),
+        |tt2 AS (SELECT * FROM tt WHERE w <> ''),
+        |kw AS (SELECT doc_id, w, count(*) AS k FROM tt2 GROUP BY doc_id, w),
+        |td AS (SELECT doc_id, any_value(actual) AS actual, count(*) AS t
+        |       FROM tt2 GROUP BY doc_id),
+        |sdl AS (SELECT kw.doc_id, model.lang AS cand_lang, sum(k * am) AS sm
+        |        FROM kw JOIN model ON kw.w = model.w GROUP BY kw.doc_id, model.lang),
+        |grid AS (SELECT td.doc_id, td.actual, ls.cand_lang,
+        |           pm - t * bm + coalesce(sm, 0) AS score
+        |         FROM td CROSS JOIN ls
+        |         LEFT JOIN sdl ON sdl.doc_id = td.doc_id AND sdl.cand_lang = ls.cand_lang),
+        |pred AS (SELECT doc_id, actual, cand_lang AS predicted_lang,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, cand_lang) AS rn
+        |         FROM grid),
+        |cells AS (SELECT actual AS lang, predicted_lang, count(*) AS n_docs
+        |          FROM pred WHERE rn = 1 GROUP BY actual, predicted_lang),
+        |tot AS (SELECT lang, sum(n_docs) AS tn FROM cells GROUP BY lang)
+        |SELECT cells.lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST((10000 * n_docs) // tn AS BIGINT) AS share_bp
+        |FROM cells JOIN tot ON cells.lang = tot.lang
+        |ORDER BY cells.lang, predicted_lang""".stripMargin,
     "ml_linear_fit" ->
       """SELECT p_brand,
         | round(regr_slope(p_retailprice, p_size), 6) + 0.0 AS slope,
