@@ -530,7 +530,97 @@ object Audit {
       .orderBy("table_name")
   }
 
+  /** Chi-square independence audit (`audit_chi2_segment_nation`) — is
+    * market segment independent of nation in the customer base? Ships
+    * PER-CELL contributions `(obs−exp)²/exp` alongside the observed and
+    * expected counts (the PSI/mutual-info pattern: the consumer sums the
+    * 125 cells; no cross-engine sum-order divergence in the shipped
+    * rows). Marginals are integer counts attached by broadcast joins —
+    * one contingency shuffle total, any corpus size. Expected counts
+    * multiply marginals as DOUBLES: exact below 2^52, and a Long product
+    * of two ~3e9 marginals would overflow where the double stays exact.
+    */
+  def chi2SegmentNation(s: SparkSession, d: String): DataFrame = {
+    val cust = Sources.customer(s, d).select("c_mktsegment", "c_nationkey")
+    val cells = cust.groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy("c_mktsegment").agg(sum("obs").as("seg_n"))
+    val colTot = cells.groupBy("c_nationkey").agg(sum("obs").as("nat_n"))
+    val n = cells.agg(sum("obs").as("n"))
+    cells
+      .join(broadcast(rowTot), "c_mktsegment")
+      .join(broadcast(colTot), "c_nationkey")
+      .crossJoin(broadcast(n))
+      .withColumn("expected", roundNorm(
+        col("seg_n").cast("double") * col("nat_n") / col("n"), 6))
+      .withColumn("chi2_cell", roundNorm(
+        expr("pow(obs - cast(seg_n as double) * nat_n / n, 2) / " +
+          "(cast(seg_n as double) * nat_n / n)"), 6))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("obs"),
+        col("seg_n"), col("nat_n"), col("expected"), col("chi2_cell"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  /** Welch two-sample t-test (`audit_welch_ttest`) — do MACHINERY and
+    * AUTOMOBILE customers differ in mean order value? The unequal-
+    * variance test a pipeline runs before acting on a segment gap.
+    * Numerically this follows the Decomp two-pass mean-shift discipline
+    * AND stays engine-exact end to end: pass one sums integer cents into
+    * decimal(38,0) (DuckDB's HUGEINT twin — a plain Long sum overflows
+    * at ~1e12 rows × $50k orders), pass two re-centers every row on the
+    * FLOOR-integer arm mean (so deviations are small exact Longs) and
+    * sums their squares in decimal(38,0) — exact to 1e38, i.e. to ~1e12
+    * rows of $500k deviations. The only float roundings are the final
+    * casts, so mean/sd/t/df are BIT-IDENTICAL doubles in both engines —
+    * no rounding-boundary luck involved. Two shuffles on the arm key;
+    * the pass-one means travel back as a 2-row broadcast.
+    */
+  def welchTtest(s: SparkSession, d: String): DataFrame = {
+    val joined = Sources.orders(s, d)
+      .join(Sources.customer(s, d)
+        .filter(col("c_mktsegment").isin("MACHINERY", "AUTOMOBILE"))
+        .select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("arm"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val pass1 = joined.groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("s"))
+    val pass2 = joined.join(broadcast(pass1), "arm")
+      // `div` = IntegralDivide: EXACT integral quotient on decimals
+      // (a float-division floor could flip at a .999… boundary)
+      .withColumn("dev", col("cents") - expr("s div n"))
+      .groupBy("arm")
+      .agg(first("n").as("n"), first("s").as("s"),
+        sum((col("dev").cast("decimal(19,0)") *
+          col("dev").cast("decimal(19,0)")).cast("decimal(38,0)")).as("m2"))
+      .withColumn("mean_usd", expr("cast(s as double) / n / 100"))
+      .withColumn("var_usd2", expr("cast(m2 as double) / (n - 1) / 1e4"))
+    val wide = pass2.groupBy()
+      .agg(
+        max(when(col("arm") === "MACHINERY", col("n"))).as("n_a"),
+        max(when(col("arm") === "MACHINERY", col("mean_usd"))).as("mean_ua"),
+        max(when(col("arm") === "MACHINERY", col("var_usd2"))).as("var_ua"),
+        max(when(col("arm") === "AUTOMOBILE", col("n"))).as("n_b"),
+        max(when(col("arm") === "AUTOMOBILE", col("mean_usd"))).as("mean_ub"),
+        max(when(col("arm") === "AUTOMOBILE", col("var_usd2"))).as("var_ub"))
+    wide
+      .select(col("n_a"), roundNorm(col("mean_ua"), 6).as("mean_a"),
+        roundNorm(expr("sqrt(var_ua)"), 6).as("sd_a"),
+        col("n_b"), roundNorm(col("mean_ub"), 6).as("mean_b"),
+        roundNorm(expr("sqrt(var_ub)"), 6).as("sd_b"),
+        roundNorm(expr(
+          "(mean_ua - mean_ub) / sqrt(var_ua / n_a + var_ub / n_b)"), 6)
+          .as("t_stat"),
+        roundNorm(expr(
+          "pow(var_ua / n_a + var_ub / n_b, 2) / " +
+            "(pow(var_ua / n_a, 2) / (n_a - 1) + pow(var_ub / n_b, 2) / (n_b - 1))"), 4)
+          .as("df_welch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_chi2_segment_nation" -> (chi2SegmentNation _),
+    "audit_welch_ttest" -> (welchTtest _),
     "audit_pk_uniqueness" -> (pkUniqueness _),
     "audit_day_islands" -> (dayIslands _),
     "audit_benford" -> (benford _),
@@ -558,6 +648,53 @@ object Audit {
        |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "audit_chi2_segment_nation" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS obs
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey),
+        |rt AS (SELECT c_mktsegment, CAST(sum(obs) AS BIGINT) AS seg_n
+        |       FROM cells GROUP BY c_mktsegment),
+        |ct AS (SELECT c_nationkey, CAST(sum(obs) AS BIGINT) AS nat_n
+        |       FROM cells GROUP BY c_nationkey),
+        |tt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+        |SELECT cells.c_mktsegment, cells.c_nationkey,
+        |  CAST(obs AS BIGINT) AS obs, seg_n, nat_n,
+        |  round(CAST(seg_n AS DOUBLE) * nat_n / n, 6) + 0.0 AS expected,
+        |  round(pow(obs - CAST(seg_n AS DOUBLE) * nat_n / n, 2) /
+        |        (CAST(seg_n AS DOUBLE) * nat_n / n), 6) + 0.0 AS chi2_cell
+        |FROM cells
+        |JOIN rt ON cells.c_mktsegment = rt.c_mktsegment
+        |JOIN ct ON cells.c_nationkey = ct.c_nationkey, tt
+        |ORDER BY cells.c_mktsegment, cells.c_nationkey""".stripMargin,
+    "audit_welch_ttest" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS arm,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')),
+        |p1 AS (SELECT arm, count(*) AS n, sum(cents) AS s FROM j GROUP BY arm),
+        |p2 AS (SELECT j.arm, any_value(n) AS n, any_value(s) AS s,
+        |         sum(CAST(cents - CAST(s // n AS BIGINT) AS HUGEINT)
+        |           * (cents - CAST(s // n AS BIGINT))) AS m2
+        |       FROM j JOIN p1 ON j.arm = p1.arm GROUP BY j.arm),
+        |st AS (SELECT arm, n, CAST(s AS DOUBLE) / n / 100 AS mean_usd,
+        |         CAST(m2 AS DOUBLE) / (n - 1) / 1e4 AS var_usd2 FROM p2),
+        |w AS (SELECT
+        |  max(CASE WHEN arm = 'MACHINERY' THEN n END) AS n_a,
+        |  max(CASE WHEN arm = 'MACHINERY' THEN mean_usd END) AS mean_ua,
+        |  max(CASE WHEN arm = 'MACHINERY' THEN var_usd2 END) AS var_ua,
+        |  max(CASE WHEN arm = 'AUTOMOBILE' THEN n END) AS n_b,
+        |  max(CASE WHEN arm = 'AUTOMOBILE' THEN mean_usd END) AS mean_ub,
+        |  max(CASE WHEN arm = 'AUTOMOBILE' THEN var_usd2 END) AS var_ub
+        |  FROM st)
+        |SELECT CAST(n_a AS BIGINT) AS n_a,
+        |  round(mean_ua, 6) + 0.0 AS mean_a, round(sqrt(var_ua), 6) + 0.0 AS sd_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  round(mean_ub, 6) + 0.0 AS mean_b, round(sqrt(var_ub), 6) + 0.0 AS sd_b,
+        |  round((mean_ua - mean_ub) / sqrt(var_ua / n_a + var_ub / n_b), 6) + 0.0 AS t_stat,
+        |  round(pow(var_ua / n_a + var_ub / n_b, 2) /
+        |    (pow(var_ua / n_a, 2) / (n_a - 1) + pow(var_ub / n_b, 2) / (n_b - 1)), 4) + 0.0 AS df_welch
+        |FROM w""".stripMargin,
     "audit_pk_uniqueness" ->
       (Seq(("customer", "c_custkey"), ("events", "event_id"), ("orders", "o_orderkey"),
         ("part", "p_partkey"), ("supplier", "s_suppkey"))
