@@ -62,11 +62,22 @@ object Materialized {
   def of(session: SparkSession, label: String)
       (compute: => DataFrame): DataFrame = {
     evictDead()
-    cache.computeIfAbsent(s"${sessionId(session)}|$label",
-      new JFunction[String, Entry] {
-        def apply(k: String): Entry =
-          Entry(new WeakReference(session), Checkpoints.pin(compute))
-      }).df
+    val key = s"${sessionId(session)}|$label"
+    // check-then-putIfAbsent, NOT computeIfAbsent: builds nest (the
+    // undirected-edge table computes the edge table inside its own
+    // of-block), and a nested computeIfAbsent on the same map throws
+    // "Recursive update" whenever the two keys hash to the same bin —
+    // a collision-dependent crash. The race this permits (two threads
+    // computing the same label once each) is benign: compute is
+    // deterministic, and the loser's pinned blocks are reclaimed by the
+    // ContextCleaner when its frame is dropped.
+    val existing = cache.get(key)
+    if (existing != null) existing.df
+    else {
+      val e = Entry(new WeakReference(session), Checkpoints.pin(compute))
+      val prev = cache.putIfAbsent(key, e)
+      (if (prev != null) prev else e).df
+    }
   }
 
   /** Visible for tests: number of cached entries. */

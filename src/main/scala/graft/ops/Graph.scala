@@ -351,6 +351,50 @@ object Graph {
       .orderBy("part")
   }
 
+  /** Partition modularity (`graph_modularity`) — Newman's Q for the
+    * strong-component partition evaluated over the FULL undirected
+    * co-purchase graph (nodes outside any strong component count as
+    * singletons, the standard completion). Ships PER-COMMUNITY cells:
+    * internal edges `e_c`, degree mass `d_c`, and the integer numerator
+    * `4·m·e_c − d_c²` of the Q-term `e_c/m − (d_c/2m)²` over the common
+    * denominator 4m² — the consumer sums `q_num/(4m²)`; Q itself is also
+    * shipped per cell as a double derived from exact integers (both
+    * engines cast the same Longs, so the bits agree). All BIGINT: exact
+    * while `4·m·e_c < 2^63`, i.e. to ~10⁹ edges — past that the cell
+    * numerator needs decimal(38,0) (same documented bound discipline as
+    * the PSI counts). Three keyed joins against the label table + two
+    * aggregates; labels pin once (lazy) because three consumers read
+    * them — nothing quadratic, nothing driver-side.
+    */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d)
+    val canon = und.filter(col("u") < col("v"))
+    val mRow = canon.agg(count(lit(1)).as("m"))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("k"))
+    val comp = components(s, d).select("part", "component_id")
+    val lab = Checkpoints.pin(
+      und.select(col("u").as("part")).distinct()
+        .join(comp, Seq("part"), "left")
+        .select(col("part"),
+          coalesce(col("component_id"), col("part")).as("community_id")),
+      eager = false)
+    val ec = canon
+      .join(lab.select(col("part").as("u"), col("community_id").as("ca")), "u")
+      .join(lab.select(col("part").as("v"), col("community_id").as("cb")), "v")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community_id")).agg(count(lit(1)).as("e_in"))
+    val dc = deg.join(lab, col("u") === col("part"))
+      .groupBy("community_id")
+      .agg(sum("k").as("d_c"), count(lit(1)).as("n_nodes"))
+    dc.join(ec, Seq("community_id"), "left").crossJoin(broadcast(mRow))
+      .select(col("community_id"), col("n_nodes"), col("d_c"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("m"))
+      .withColumn("q_num", lit(4L) * col("m") * col("e_in") - col("d_c") * col("d_c"))
+      .withColumn("q_cell", graft.functions.Num.roundNorm(
+        expr("cast(q_num as double) / (4.0 * m * m)"), 8))
+      .orderBy("community_id")
+  }
+
   /** Single-source shortest paths (`graph_sssp`) over the UNDIRECTED
     * weighted co-purchase graph: edge cost = `1000000 div w` (integer —
     * heavier repeat-co-purchase links are cheaper to traverse; both
@@ -699,6 +743,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> (modularity _),
     "graph_bfs_layers" -> (bfsLayers _),
     "graph_degree_hist" -> (degreeHist _),
     "graph_reciprocity" -> (reciprocity _),
@@ -955,6 +1000,47 @@ object Graph {
         | last AS (SELECT max(iter) AS mi FROM it)
         |SELECT part, dist FROM it, last WHERE iter = last.mi
         |ORDER BY dist, part LIMIT 100""".stripMargin,
+    "graph_modularity" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey),
+        | und AS (SELECT DISTINCT u, v FROM (
+        |   SELECT src AS u, dst AS v FROM e0
+        |   UNION ALL SELECT dst, src FROM e0)),
+        | canon AS (SELECT u, v FROM und WHERE u < v),
+        | mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+        | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY u),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | snodes AS (SELECT src AS part FROM st UNION SELECT dst FROM st),
+        | se AS (SELECT src, dst FROM st UNION ALL SELECT dst, src FROM st),
+        | reach(src, dst) AS (
+        |   SELECT part, part FROM snodes
+        |   UNION
+        |   SELECT r.src, se.dst FROM reach r JOIN se ON r.dst = se.src),
+        | comp AS (SELECT src AS part, min(dst) AS cid FROM reach GROUP BY src),
+        | nodes AS (SELECT DISTINCT u AS part FROM und),
+        | lab AS (SELECT nodes.part, coalesce(cid, nodes.part) AS community_id
+        |   FROM nodes LEFT JOIN comp ON nodes.part = comp.part),
+        | ec AS (SELECT la.community_id, CAST(count(*) AS BIGINT) AS e_in
+        |   FROM canon JOIN lab la ON canon.u = la.part
+        |   JOIN lab lb ON canon.v = lb.part
+        |   WHERE la.community_id = lb.community_id GROUP BY la.community_id),
+        | dc AS (SELECT community_id, CAST(sum(k) AS BIGINT) AS d_c,
+        |     CAST(count(*) AS BIGINT) AS n_nodes
+        |   FROM deg JOIN lab ON deg.u = lab.part GROUP BY community_id)
+        |SELECT dc.community_id, n_nodes, d_c,
+        |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in, m,
+        |  CAST(4 * m * coalesce(e_in, 0) - d_c * d_c AS BIGINT) AS q_num,
+        |  round(CAST(4 * m * coalesce(e_in, 0) - d_c * d_c AS DOUBLE)
+        |    / (4.0 * m * m), 8) + 0.0 AS q_cell
+        |FROM dc LEFT JOIN ec ON dc.community_id = ec.community_id, mm
+        |ORDER BY dc.community_id""".stripMargin,
     "graph_components" ->
       """WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
