@@ -313,7 +313,42 @@ object Ml {
       .orderBy("lang", "predicted_lang")
   }
 
+  /** Leave-one-out smoothed target encoding (`ml_target_encoding`) —
+    * the categorical-feature transform a training pipeline applies to
+    * high-cardinality keys: each order's market segment becomes
+    * `(S_g − x_o + m·μ) / (n_g − 1 + m)` with the row's OWN label
+    * excluded (leakage-free by construction) and an m=20 pseudo-count
+    * pull toward the global mean (rare groups shrink to the prior).
+    * Group sums accumulate exact integer cents in decimal(38,0) (the
+    * Welch discipline — Long sums overflow at ~1e12 rows), the global
+    * mean and the encoding are then single deterministic double casts
+    * of exact integers, so both engines produce identical bits. Plan:
+    * one segment-keyed aggregate whose 5-row result broadcasts back —
+    * the encoding itself is a map-side codegen'd expression over the
+    * fact stream, no second shuffle at any corpus size.
+    */
+  def targetEncoding(s: SparkSession, d: String): DataFrame = {
+    val rows = Sources.orders(s, d)
+      .join(Sources.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val grp = rows.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("cents").cast("decimal(38,0)")).as("s_g"))
+    val glob = rows.agg(count(lit(1)).as("n_all"),
+      sum(col("cents").cast("decimal(38,0)")).as("s_all"))
+    rows.join(broadcast(grp), "c_mktsegment")
+      .crossJoin(broadcast(glob))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        roundNorm(expr(
+          "(cast(s_g as double) - cents + 20.0 * (cast(s_all as double) / n_all)) " +
+            "/ (n_g - 1 + 20) / 100"), 6).as("enc_usd"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_target_encoding" -> (targetEncoding _),
     "ml_nb_confusion" -> (nbConfusion _),
     "ml_calibration" -> (logregCalibration _),
     "ml_linear_fit" -> (linearFit _),
@@ -323,6 +358,20 @@ object Ml {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_target_encoding" ->
+      """WITH rows_ AS (
+        |  SELECT o_orderkey, c_mktsegment,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |grp AS (SELECT c_mktsegment, count(*) AS n_g, sum(cents) AS s_g
+        |        FROM rows_ GROUP BY c_mktsegment),
+        |tots AS (SELECT count(*) AS n_all, sum(cents) AS s_all FROM rows_)
+        |SELECT o_orderkey, rows_.c_mktsegment,
+        |  round((CAST(s_g AS DOUBLE) - cents
+        |      + 20.0 * (CAST(s_all AS DOUBLE) / n_all))
+        |    / (n_g - 1 + 20) / 100, 6) + 0.0 AS enc_usd
+        |FROM rows_ JOIN grp ON rows_.c_mktsegment = grp.c_mktsegment, tots
+        |ORDER BY o_orderkey""".stripMargin,
     "ml_nb_confusion" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
         |test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),

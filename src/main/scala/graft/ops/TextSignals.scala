@@ -474,7 +474,42 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Corpus keyness (`text_keyness`) — per-word log-odds z-score of
+    * source `src0` against the rest of the corpus (Monroe et al.'s
+    * "Fightin' Words" with a flat +1 Dirichlet prior): which words are
+    * DISTINCTIVE of one slice, the register/domain-shift readout a
+    * curation pipeline runs when a new crawl source lands.
+    * `δ_w = ln((y₀+1)/(n₀+V−y₀−1)) − ln((y₁+1)/(n₁+V−y₁−1))`,
+    * `z_w = δ_w / √(1/(y₀+1) + 1/(y₁+1))`. Every input to the formula
+    * is an exact integer (counts, totals, vocab size), so both engines
+    * evaluate the identical double expression — one token-count
+    * aggregate, a words×2 pivot, and two 1-row broadcasts; nothing
+    * scales worse than the vocabulary. Words under 5 corpus occurrences
+    * are dropped (their z is prior noise either way).
+    */
+  def keyness(s: SparkSession, d: String): DataFrame = {
+    val tok = Sources.documents(s, d)
+      .select((col("source") === "src0").cast("int").as("in0"),
+        explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val counts = tok.groupBy("w").agg(
+      sum("in0").as("y0"),
+      sum(lit(1) - col("in0")).as("y1"))
+    val totals = counts.agg(
+      sum("y0").as("n0"), sum("y1").as("n1"),
+      count(lit(1)).as("v"))
+    counts.filter(col("y0") + col("y1") >= 5)
+      .crossJoin(broadcast(totals))
+      .withColumn("z_keyness", graft.functions.Num.roundNorm(expr(
+        "(ln((y0 + 1.0) / (n0 + v - y0 - 1.0)) - " +
+          " ln((y1 + 1.0) / (n1 + v - y1 - 1.0))) / " +
+          "sqrt(1.0 / (y0 + 1) + 1.0 / (y1 + 1))"), 6))
+      .select("w", "y0", "y1", "z_keyness")
+      .orderBy("w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyness" -> (keyness _),
     "search_phrase_match" -> (phraseMatch _),
     "search_boolean_and" -> (booleanAnd _),
     "search_boolean_or_not" -> (booleanOrNot _),
@@ -493,6 +528,21 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_keyness" ->
+      """WITH tok AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS in0,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |counts AS (SELECT w, CAST(sum(in0) AS BIGINT) AS y0,
+        |    CAST(sum(1 - in0) AS BIGINT) AS y1
+        |  FROM tok WHERE w <> '' GROUP BY w),
+        |tot AS (SELECT CAST(sum(y0) AS BIGINT) AS n0,
+        |    CAST(sum(y1) AS BIGINT) AS n1,
+        |    CAST(count(*) AS BIGINT) AS v FROM counts)
+        |SELECT w, y0, y1,
+        |  round((ln((y0 + 1.0) / (n0 + v - y0 - 1.0)) -
+        |     ln((y1 + 1.0) / (n1 + v - y1 - 1.0))) /
+        |    sqrt(1.0 / (y0 + 1) + 1.0 / (y1 + 1)), 6) + 0.0 AS z_keyness
+        |FROM counts, tot WHERE y0 + y1 >= 5
+        |ORDER BY w""".stripMargin,
     "search_phrase_match" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | p AS (SELECT doc_id, unnest(list_transform(
