@@ -618,7 +618,51 @@ object Audit {
           .as("df_welch"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test (`audit_ks_test`) — the
+    * nonparametric complement to [[welchTtest]] on the same two segment
+    * arms: D = max over values of |F_A − F_B|. EXACT at any scale: the
+    * value stream first collapses to per-distinct-cent arm counts (one
+    * hash aggregate — the only corpus-sized shuffle), the two CDFs come
+    * from [[Prefix]] two-pass running sums (never a single-partition
+    * window), and the sup-gap comparison is cross-multiplied to the
+    * integer lattice `|cumA·n_B − cumB·n_A|` so the argmax cannot sit on
+    * a float boundary. Both CDFs only step at observed values, so
+    * evaluating after each step covers the sup. Ships the exact rational
+    * (d_num, d_den), the smallest cent value attaining it, and the
+    * double quotient. Long products cap at ~3e9 rows per arm (the PSI
+    * bound discipline); past that the two cum columns cast to
+    * decimal(38,0).
+    */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val rows = Sources.orders(s, d)
+      .join(Sources.customer(s, d)
+        .filter(col("c_mktsegment").isin("MACHINERY", "AUTOMOBILE"))
+        .select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("arm"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val perValue = rows.groupBy("cents").agg(
+      sum(when(col("arm") === "MACHINERY", 1L).otherwise(0L)).as("a"),
+      sum(when(col("arm") === "AUTOMOBILE", 1L).otherwise(0L)).as("b"))
+    val cum = Prefix.running(perValue, Seq(col("cents")),
+      sums = Seq((col("a"), "cum_a"), (col("b"), "cum_b")))
+    val tot = cum.agg(sum("a").as("n_a"), sum("b").as("n_b"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .withColumn("gap", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    val dmax = gaps.agg(max("gap").as("d_num"))
+    gaps.crossJoin(broadcast(dmax))
+      .filter(col("gap") === col("d_num"))
+      .groupBy()
+      .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
+        first("d_num").as("d_num"), min("cents").as("at_cents"))
+      .withColumn("d_den", col("n_a") * col("n_b"))
+      .withColumn("ks_d", roundNorm(
+        expr("cast(d_num as double) / (cast(n_a as double) * n_b)"), 8))
+      .select("n_a", "n_b", "d_num", "d_den", "at_cents", "ks_d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_ks_test" -> (ksTest _),
     "audit_chi2_segment_nation" -> (chi2SegmentNation _),
     "audit_welch_ttest" -> (welchTtest _),
     "audit_pk_uniqueness" -> (pkUniqueness _),
@@ -648,6 +692,32 @@ object Audit {
        |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "audit_ks_test" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS arm,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')),
+        |pv AS (SELECT cents,
+        |    CAST(sum(CASE WHEN arm = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM j GROUP BY cents),
+        |cum AS (SELECT cents,
+        |    CAST(sum(a) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+        |    CAST(sum(b) OVER (ORDER BY cents) AS BIGINT) AS cum_b
+        |  FROM pv),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(b) AS BIGINT) AS n_b FROM pv),
+        |gaps AS (SELECT cents, abs(cum_a * n_b - cum_b * n_a) AS gap, n_a, n_b
+        |  FROM cum, tot),
+        |dm AS (SELECT max(gap) AS d_num FROM gaps)
+        |SELECT any_value(gaps.n_a) AS n_a, any_value(gaps.n_b) AS n_b,
+        |  CAST(any_value(dm.d_num) AS BIGINT) AS d_num,
+        |  CAST(any_value(gaps.n_a) * any_value(gaps.n_b) AS BIGINT) AS d_den,
+        |  min(cents) AS at_cents,
+        |  round(CAST(any_value(dm.d_num) AS DOUBLE)
+        |    / (CAST(any_value(gaps.n_a) AS DOUBLE) * any_value(gaps.n_b)), 8) + 0.0 AS ks_d
+        |FROM gaps, dm WHERE gap = d_num""".stripMargin,
     "audit_chi2_segment_nation" ->
       """WITH cells AS (
         |  SELECT c_mktsegment, c_nationkey, count(*) AS obs

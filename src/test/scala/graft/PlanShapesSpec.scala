@@ -68,7 +68,17 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row part-count attach for the negative-sample hash range
     "sample_negatives",
     // 1-row both-sides-overlap attach for the split audit
-    "sample_time_split")
+    "sample_time_split",
+    // 1-row contingency-total / arm-stat / gap-max attaches
+    "audit_chi2_segment_nation", "audit_ks_test",
+    // 1-row edge-count attach for the Q denominator
+    "graph_modularity",
+    // 5-row language-stats grid / 1-row global-mean attach
+    "ml_nb_confusion", "ml_target_encoding",
+    // 1-row global-revenue-scalar attach (the Q11 HAVING threshold)
+    "complex_important_parts",
+    // 1-row corpus-totals attach for the log-odds prior
+    "text_keyness")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
