@@ -645,7 +645,71 @@ class PageCusumProcessor extends org.apache.spark.sql.streaming.StatefulProcesso
   }
 }
 
+/** One labeled fact for the feature-store twin: key, its categorical
+  * group, and the integer-cents label.
+  */
+case class EncIn(order_id: Long, seg: String, cents: Long)
+
+/** Per-group sufficient statistics for target encoding: row count and
+  * exact integer label sum.
+  */
+case class SegSt(n_g: Long, s_g: Long)
+
+/** A statistics update emitted per appended fact — the group's (n, Σ)
+  * AFTER the append; the last update per group carries the serving
+  * state.
+  */
+case class SegStatOut(seg: String, n_g: Long, s_g: Long)
+
+/** Streaming feature-store maintenance (twin of the batch
+  * `ml_target_encoding`): keyed by the categorical group, the state is
+  * the group's target-encoding SUFFICIENT STATISTICS (n_g, Σcents) —
+  * the fixed-size record an online feature store keeps per key so new
+  * facts update features without a batch recompute. Appends fold in
+  * input order within a key (sorted by order id for replayability);
+  * the final state per group equals the batch aggregate exactly
+  * (integer addition is associative), so serving LOO encodings from the
+  * maintained state reproduces the batch transform bit-for-bit —
+  * asserted in StreamingOpsSpec across a micro-batch boundary. Long
+  * sums bound the corpus at ~2e11 orders of $500k; a larger deployment
+  * shards the key-space into (group, salt) sub-sums and merges at
+  * serve time.
+  */
+class TargetEncProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[String, EncIn, SegStatOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[SegSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SegSt]("seg",
+      org.apache.spark.sql.Encoders.product[SegSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[EncIn],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SegStatOut] = {
+    var s = if (st.exists()) st.get() else SegSt(0L, 0L)
+    val out = Seq.newBuilder[SegStatOut]
+    rows.toSeq.sortBy(_.order_id).foreach { r =>
+      s = SegSt(s.n_g + 1, s.s_g + r.cents)
+      out += SegStatOut(key, s.n_g, s.s_g)
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
 object StreamingOps {
+
+  /** Streaming target-encoding statistics maintenance over labeled
+    * facts; the serving snapshot per group is the row with maximal
+    * `n_g`.
+    */
+  def targetEncStats(facts: org.apache.spark.sql.Dataset[EncIn]):
+      org.apache.spark.sql.Dataset[SegStatOut] = {
+    import facts.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    facts.groupByKey(_.seg)
+      .transformWithState(new TargetEncProcessor, TimeMode.None(), OutputMode.Update())
+  }
 
   /** Streaming heavy-hitters maintenance over grouped tokens; the
     * latest snapshot per group is the row set with maximal `n_seen`.

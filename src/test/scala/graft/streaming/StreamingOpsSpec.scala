@@ -656,4 +656,49 @@ class StreamingOpsSpec extends SparkSpec {
         .foreach(w => reported should contain(w))
     }
   }
+
+  "targetEncStats (transformWithState)" should "serve the exact batch LOO encodings from maintained state" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val facts = graft.io.Sources.orders(s2, sfDir)
+      .join(graft.io.Sources.customer(s2, sfDir)
+        .select("c_custkey", "c_mktsegment"), expr("o_custkey = c_custkey"))
+      .select(col("o_orderkey").as("order_id"),
+        col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[EncIn].collect().sortBy(_.order_id)
+    // boundary split: group sums must carry across the micro-batch edge
+    val (b1, b2) = facts.splitAt(facts.length / 2)
+    val mem = MemoryStream[EncIn]
+    val q = StreamingOps.targetEncStats(mem.toDS())
+      .writeStream.format("memory").queryName("tenc_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+
+    // serving snapshot: the last update per group == the batch aggregate
+    val stats = s2.table("tenc_s").groupBy("seg")
+      .agg(max(struct(col("n_g"), col("s_g"))).as("m"))
+      .select(col("seg"), col("m.n_g").as("n_g"), col("m.s_g").as("s_g"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wantStats = facts.groupBy(_.seg).view.mapValues(fs =>
+      (fs.length.toLong, fs.map(_.cents).sum)).toMap
+    stats shouldBe wantStats
+
+    // LOO encodings computed FROM THE MAINTAINED STATE reproduce the
+    // batch ml_target_encoding rows bit-for-bit
+    val nAll = stats.values.map(_._1).sum
+    val sAll = stats.values.map(_._2).sum
+    val got = facts.map { f =>
+      val (ng, sg) = stats(f.seg)
+      val enc = BigDecimal(
+        (sg.toDouble - f.cents + 20.0 * (sAll.toDouble / nAll)) / (ng - 1 + 20) / 100)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (f.order_id, f.seg, enc)
+    }.sortBy(_._1).toSeq
+    val want = graft.SparkEntry.queries("ml_target_encoding")(s2, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    got shouldBe want
+    got should not be empty
+  }
 }
