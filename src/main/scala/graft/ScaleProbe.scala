@@ -288,8 +288,51 @@ object ScaleProbe {
           .groupBy("a", "b").agg(count(lit(1)).as("n")).count()
         projPairs
       }
+      // Modularity probe (r8): the full label+cell pipeline over the
+      // graph-replicated lineitem — replicas are key-disjoint, so edges,
+      // communities and degree mass all grow ~k× while per-community
+      // shapes stay constant; time must track the CC star-contraction
+      // (the dominant stage), i.e. ~linearly in k, never k² (the
+      // three label joins are all keyed equi-joins).
+      var modCommunities = 0L
+      val tMod = time {
+        val e0 = graft.ops.Graph.edgesFrom(liG2)
+        val und = e0.select(col("src").as("u"), col("dst").as("v"))
+          .union(e0.select(col("dst").as("u"), col("src").as("v"))).distinct()
+        val canon = und.filter(col("u") < col("v"))
+        val strong = liG2.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .as("a").join(
+            liG2.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_linenumber") + 1 === col("b.l_linenumber"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        val snodes = strong.select(col("src").as("part"))
+          .union(strong.select(col("dst").as("part"))).distinct()
+        val comp = graft.ops.Dedup.connectedGroups(
+          strong.select(col("src").as("id_a"), col("dst").as("id_b")), snodes, "part")
+          .select(col("id").as("part"), col("group_id").as("community_id"))
+        val lab = und.select(col("u").as("part")).distinct()
+          .join(comp, Seq("part"), "left")
+          .select(col("part"),
+            coalesce(col("community_id"), col("part")).as("community_id"))
+        val mRow = canon.agg(count(lit(1)).as("m"))
+        val ec = canon
+          .join(lab.select(col("part").as("u"), col("community_id").as("ca")), "u")
+          .join(lab.select(col("part").as("v"), col("community_id").as("cb")), "v")
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community_id")).agg(count(lit(1)).as("e_in"))
+        val dc = und.groupBy("u").agg(count(lit(1)).as("k"))
+          .join(lab, col("u") === col("part"))
+          .groupBy("community_id").agg(sum("k").as("d_c"))
+        modCommunities = dc.join(ec, Seq("community_id"), "left")
+          .crossJoin(broadcast(mRow)).count()
+        modCommunities
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod}""")
     }
     spark.stop()
   }

@@ -568,7 +568,30 @@ object Analytics {
       ORDER BY v_e4 DESC, p_partkey""")
   }
 
+  /** Q4-style priority check: per order priority, how many orders have
+    * at least one line shipped more than 90 days after the order date
+    * (the fixture has no commit/receipt dates; ship-lag is the
+    * equivalent lateness predicate). The EXISTS plans as a left SEMI
+    * join — each order contributes at most once no matter how many late
+    * lines it has, which a plain join+distinct would pay a dedup
+    * shuffle to express. Date arithmetic stays on the DATE lattice
+    * (integer days), so the 90-day boundary is exact in both engines.
+    */
+  def priorityWaiting(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "orders", "lineitem")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_priority_waiting" -> (priorityWaiting _),
     "complex_product_profit" -> (productProfit _),
     "complex_important_parts" -> (importantParts _),
     "complex_cust_order_dist" -> (custOrderDist _),
@@ -594,6 +617,15 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_priority_waiting" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "complex_product_profit" ->
       """SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
         | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

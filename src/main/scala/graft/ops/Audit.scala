@@ -661,7 +661,32 @@ object Audit {
       .select("n_a", "n_b", "d_num", "d_den", "at_cents", "ks_d")
   }
 
+  /** Cramér's V (`audit_cramers_v`) — the [0,1]-normalized effect size
+    * over the same segment×nation contingency as [[chi2SegmentNation]]:
+    * the one-number answer to "is this dependence big enough to care".
+    * The χ² total is reduced on the INTEGER lattice — each cell's
+    * contribution rounds to 1e-6 units and sums as BIGINT — because a
+    * double Σ over cells is partition-order-dependent and the two
+    * engines would disagree in the last bits; the integer sum is
+    * associative, so the reduction is exact and V derives from one
+    * deterministic cast. Same one-shuffle contingency plan, then a
+    * cell-count-sized aggregate.
+    */
+  def cramersV(s: SparkSession, d: String): DataFrame = {
+    val cells = chi2SegmentNation(s, d)
+      .withColumn("cell_e6", round(col("chi2_cell") * 1e6).cast("long"))
+    val dims = cells.agg(
+      countDistinct("c_mktsegment").as("r"),
+      countDistinct("c_nationkey").as("c"),
+      sum("obs").as("n"),
+      sum("cell_e6").as("chi2_e6"))
+    dims.select(col("r"), col("c"), col("n"), col("chi2_e6"),
+      roundNorm(expr(
+        "sqrt(chi2_e6 / 1e6 / (n * least(r - 1, c - 1)))"), 6).as("cramers_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_cramers_v" -> (cramersV _),
     "audit_ks_test" -> (ksTest _),
     "audit_chi2_segment_nation" -> (chi2SegmentNation _),
     "audit_welch_ttest" -> (welchTtest _),
@@ -692,6 +717,30 @@ object Audit {
        |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "audit_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS obs
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey),
+        |rt AS (SELECT c_mktsegment, CAST(sum(obs) AS BIGINT) AS seg_n
+        |       FROM cells GROUP BY c_mktsegment),
+        |ct AS (SELECT c_nationkey, CAST(sum(obs) AS BIGINT) AS nat_n
+        |       FROM cells GROUP BY c_nationkey),
+        |tt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |contrib AS (
+        |  SELECT CAST(round(round(pow(obs - CAST(seg_n AS DOUBLE) * nat_n / n, 2) /
+        |      (CAST(seg_n AS DOUBLE) * nat_n / n), 6) * 1e6) AS BIGINT) AS cell_e6,
+        |    cells.c_mktsegment, cells.c_nationkey, obs
+        |  FROM cells
+        |  JOIN rt ON cells.c_mktsegment = rt.c_mktsegment
+        |  JOIN ct ON cells.c_nationkey = ct.c_nationkey, tt)
+        |SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS c,
+        |  CAST(sum(obs) AS BIGINT) AS n,
+        |  CAST(sum(cell_e6) AS BIGINT) AS chi2_e6,
+        |  round(sqrt(sum(cell_e6) / 1e6 /
+        |    (sum(obs) * least(count(DISTINCT c_mktsegment) - 1,
+        |                      count(DISTINCT c_nationkey) - 1))), 6) + 0.0 AS cramers_v
+        |FROM contrib""".stripMargin,
     "audit_ks_test" ->
       """WITH j AS (
         |  SELECT c_mktsegment AS arm,

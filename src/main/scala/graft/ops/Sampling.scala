@@ -359,7 +359,32 @@ object Sampling {
       .orderBy("split")
   }
 
+  /** Deterministic k-fold assignment with a balance audit
+    * (`sample_kfold_balance`): customers hash onto 5 folds via the
+    * Knuth-multiplicative draw (pure integer arithmetic — the same
+    * engine-independent randomness as the negative sampler; no
+    * stateful shuffle, any executor can compute any row's fold), and
+    * the audit reports per (fold, segment) counts with integer
+    * basis-point shares — the check that cross-validation folds are
+    * exchangeable w.r.t. the stratifier before a CV run trusts them.
+    * One contingency aggregate + a 5-row totals broadcast.
+    */
+  def sampleKfoldBalance(s: SparkSession, d: String): DataFrame = {
+    val folds = Sources.customer(s, d)
+      .select(col("c_mktsegment"),
+        pmod(pmod(col("c_custkey"), lit(1048576L)) * lit(2654435761L),
+          lit(1048576L)).mod(5).as("fold"))
+    val cells = folds.groupBy("fold", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("fold").agg(sum("n").as("fold_n"))
+    cells.join(broadcast(tot), "fold")
+      .select(col("fold"), col("c_mktsegment"), col("n"), col("fold_n"),
+        expr("(10000 * n) div fold_n").as("share_bp"))
+      .orderBy("fold", "c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_kfold_balance" -> (sampleKfoldBalance _),
     "sample_time_split" -> (sampleTimeSplit _),
     "sample_negatives" -> (sampleNegatives _),
     "sample_bootstrap_reps" -> (sampleBootstrapReps _),
@@ -410,6 +435,18 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_kfold_balance" ->
+      """WITH f AS (SELECT c_mktsegment,
+        |    ((c_custkey % 1048576) * 2654435761 % 1048576) % 5 AS fold
+        |  FROM customer),
+        |cells AS (SELECT fold, c_mktsegment, count(*) AS n
+        |  FROM f GROUP BY fold, c_mktsegment),
+        |tot AS (SELECT fold, sum(n) AS fold_n FROM cells GROUP BY fold)
+        |SELECT cells.fold, c_mktsegment, CAST(n AS BIGINT) AS n,
+        |  CAST(fold_n AS BIGINT) AS fold_n,
+        |  CAST((10000 * n) // fold_n AS BIGINT) AS share_bp
+        |FROM cells JOIN tot ON cells.fold = tot.fold
+        |ORDER BY cells.fold, c_mktsegment""".stripMargin,
     "sample_time_split" ->
       """WITH o AS (SELECT o_custkey,
         |   o_orderdate < DATE '1999-01-01' AS is_train FROM orders),

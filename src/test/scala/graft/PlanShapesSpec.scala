@@ -70,7 +70,7 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row both-sides-overlap attach for the split audit
     "sample_time_split",
     // 1-row contingency-total / arm-stat / gap-max attaches
-    "audit_chi2_segment_nation", "audit_ks_test",
+    "audit_chi2_segment_nation", "audit_ks_test", "audit_cramers_v",
     // 1-row edge-count attach for the Q denominator
     "graph_modularity",
     // 5-row language-stats grid / 1-row global-mean attach
