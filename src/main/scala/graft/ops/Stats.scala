@@ -191,7 +191,74 @@ object Stats {
       .orderBy("j")
   }
 
+  /** Precision–recall operating points (`ml_pr_curve`) — the curve
+    * that matters when positives are rare (ROC flatters imbalanced
+    * classifiers; a curation gate tunes its threshold on precision).
+    * Same reduced machinery as [[rocCurve]]: the corpus collapses ONCE
+    * to |distinct scores| rows, 19 lattice thresholds broadcast, and
+    * precision/recall/F1 are exact integer basis points (`div` on
+    * exact counts — no float threshold, no sum-order anywhere). A
+    * threshold above the max score predicts nothing; its precision is
+    * reported as NULL (0/0) rather than a fake 0, mirrored in the
+    * oracle.
+    */
+  def prCurve(s: SparkSession, d: String): DataFrame = {
+    val byScore = plantedScores(s, d).groupBy("cents").agg(
+      sum(col("label")).as("pos"), sum(lit(1L) - col("label")).as("neg"))
+    val th = byScore
+      .agg(min("cents").as("mn"), max("cents").as("mx"), sum("pos").as("np"))
+      .select(explode(array((1 to 19).map(lit(_)): _*)).as("j"),
+        col("mn"), col("mx"), col("np"))
+      .select(col("j").cast("long").as("j"),
+        (col("mn") + expr("j * (mx - mn) div 20")).as("t"), col("np"))
+    byScore.crossJoin(broadcast(th))
+      .groupBy("j", "t", "np")
+      .agg(sum(when(col("cents") >= col("t"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("cents") >= col("t"), col("neg")).otherwise(0L)).as("fp"))
+      .select(col("j"), col("t").as("threshold_cents"), col("tp"), col("fp"),
+        when(col("tp") + col("fp") > 0,
+          expr("(10000 * tp) div (tp + fp)")).as("precision_bp"),
+        expr("(10000 * tp) div np").as("recall_bp"),
+        when(col("tp") > 0,
+          expr("(20000 * tp) div (2 * tp + fp + (np - tp))")).otherwise(0L)
+          .as("f1_bp"))
+      .orderBy("j")
+  }
+
+  /** Theil T inequality index per segment (`agg_theil_segment`) —
+    * `T = Σ (x_i/X)·ln(n·x_i/X)` over customer spend: the decomposable
+    * complement to [[giniBySegment]] (Theil is additively separable
+    * into within/between components; Gini is not). No global rank
+    * needed — unlike Gini this is one keyed aggregate. Each customer's
+    * term is a deterministic double from exact integers, snapped to the
+    * 1e-9 lattice and SUMMED AS BIGINT (the Cramér's-V discipline —
+    * a double Σ over customers is partition-order-dependent); T then
+    * derives from one cast. Segment totals attach by broadcast.
+    * Zero-spend customers contribute 0 (lim x→0 of x·ln x), mirrored
+    * in the oracle's CASE.
+    */
+  def theilBySegment(s: SparkSession, d: String): DataFrame = {
+    val rev = Sources.orders(s, d)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("x"))
+      .join(Sources.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+    val tot = rev.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("x").as("xs"))
+    rev.join(broadcast(tot), "c_mktsegment")
+      .withColumn("t_e9", when(col("x") > 0, round(expr(
+        "1e9 * (cast(x as double) / xs) * ln(n * (cast(x as double) / xs))"))
+        .cast("long")).otherwise(0L))
+      .groupBy("c_mktsegment")
+      .agg(first("n").as("n_customers"), first("xs").as("total_cents"),
+        sum("t_e9").as("theil_e9"))
+      .withColumn("theil", roundNorm(expr("theil_e9 / 1e9"), 6))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_theil_segment" -> (theilBySegment _),
+    "ml_pr_curve" -> (prCurve _),
     "ml_roc_curve" -> (rocCurve _),
     "text_length_pct_rank" -> (lengthPctRank _),
     "ml_auc_exact" -> (aucExact _),
@@ -200,6 +267,50 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_theil_segment" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT c_mktsegment, x FROM rev
+        |      JOIN customer ON o_custkey = c_custkey),
+        |tot AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS xs FROM j GROUP BY c_mktsegment),
+        |terms AS (SELECT j.c_mktsegment, n, xs,
+        |    CASE WHEN x > 0 THEN CAST(round(
+        |      1e9 * (CAST(x AS DOUBLE) / xs) * ln(n * (CAST(x AS DOUBLE) / xs))) AS BIGINT)
+        |    ELSE 0 END AS t_e9
+        |  FROM j JOIN tot ON j.c_mktsegment = tot.c_mktsegment)
+        |SELECT c_mktsegment, any_value(n) AS n_customers,
+        |  any_value(xs) AS total_cents,
+        |  CAST(sum(t_e9) AS BIGINT) AS theil_e9,
+        |  round(sum(t_e9) / 1e9, 6) + 0.0 AS theil
+        |FROM terms GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "ml_pr_curve" ->
+      """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | bys AS (SELECT cents, CAST(sum(label) AS BIGINT) AS pos,
+        |   CAST(sum(1 - label) AS BIGINT) AS neg FROM scored GROUP BY cents),
+        | b AS (SELECT min(cents) AS mn, max(cents) AS mx,
+        |   CAST(sum(pos) AS BIGINT) AS np FROM bys),
+        | th AS (SELECT CAST(j AS BIGINT) AS j,
+        |   mn + (j * (mx - mn)) // 20 AS t, np
+        |  FROM b CROSS JOIN (SELECT unnest(range(1, 20)) AS j)),
+        | g AS (SELECT j, t, np,
+        |   CAST(sum(CASE WHEN cents >= t THEN pos ELSE 0 END) AS BIGINT) AS tp,
+        |   CAST(sum(CASE WHEN cents >= t THEN neg ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bys CROSS JOIN th GROUP BY j, t, np)
+        |SELECT j, t AS threshold_cents, tp, fp,
+        |  CASE WHEN tp + fp > 0
+        |    THEN CAST((10000 * tp) // (tp + fp) AS BIGINT) END AS precision_bp,
+        |  CAST((10000 * tp) // np AS BIGINT) AS recall_bp,
+        |  CASE WHEN tp > 0
+        |    THEN CAST((20000 * tp) // (2 * tp + fp + (np - tp)) AS BIGINT)
+        |    ELSE 0 END AS f1_bp
+        |FROM g ORDER BY j""".stripMargin,
     "ml_roc_curve" ->
       """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000

@@ -213,6 +213,40 @@ object Temporal {
       .orderBy("event_type", "isodow")
   }
 
+  /** Seasonally-adjusted daily anomaly scores (`ts_anomaly_zscore`) —
+    * each order day's revenue as a z-score against its OWN WEEKDAY's
+    * distribution (raw daily z flags every weekend; deseasonalizing by
+    * weekday is the standard first-order correction), |z| > 2 flagged.
+    * Exactness follows the Welch discipline per weekday: integer-cent
+    * day sums, the exact integral-divide weekday mean re-centers the
+    * deviations, squared deviations sum in decimal(38,0), and z derives
+    * from single deterministic casts — bit-identical in both engines.
+    * The weekday stats table is 7 rows — a broadcast — so scoring is
+    * map-side; the only corpus shuffle is the daily rollup.
+    */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("day", "isodow").agg(sum("cents").as("rev"))
+    val pass1 = daily.groupBy("isodow")
+      .agg(count(lit(1)).as("n"), sum(col("rev").cast("decimal(38,0)")).as("sw"))
+    val pass2 = daily.join(broadcast(pass1), "isodow")
+      .withColumn("dev", col("rev") - expr("sw div n"))
+      .groupBy("isodow")
+      .agg(first("n").as("n"), first("sw").as("sw"),
+        sum((col("dev").cast("decimal(19,0)") *
+          col("dev").cast("decimal(19,0)")).cast("decimal(38,0)")).as("m2"))
+      .withColumn("mean_rev", expr("cast(sw as double) / n"))
+      .withColumn("sd_rev", expr("sqrt(cast(m2 as double) / (n - 1))"))
+    daily.join(broadcast(pass2.select("isodow", "mean_rev", "sd_rev")), "isodow")
+      .select(col("day"), col("isodow"), col("rev"),
+        graft.functions.Num.roundNorm(expr("(rev - mean_rev) / sd_rev"), 6).as("z"),
+        (abs(expr("(rev - mean_rev) / sd_rev")) > 2.0).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** Per-brand revenue trend (`ts_trend_slope`): OLS slope of monthly
     * shipped-revenue cents against the month index — the
     * grow-or-shrink signal per product line. Two keyed aggregates: the
@@ -517,6 +551,7 @@ object Temporal {
     "ts_autocorr" -> (autocorr _),
     "ts_cusum_changepoint" -> (cusumChangepoint _),
     "ts_trend_slope" -> (trendSlope _),
+    "ts_anomaly_zscore" -> (anomalyZscore _),
     "ts_seasonal_dow" -> (seasonalDow _),
     "etl_scd2_history" -> (scd2History _),
     "ts_asof_snapshot" -> (asofSnapshot _),
@@ -541,6 +576,26 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY day, isodow),
+        |p1 AS (SELECT isodow, count(*) AS n, sum(rev) AS sw
+        |       FROM daily GROUP BY isodow),
+        |p2 AS (SELECT daily.isodow, any_value(n) AS n, any_value(sw) AS sw,
+        |         sum(CAST(rev - CAST(sw // n AS BIGINT) AS HUGEINT)
+        |           * (rev - CAST(sw // n AS BIGINT))) AS m2
+        |       FROM daily JOIN p1 ON daily.isodow = p1.isodow
+        |       GROUP BY daily.isodow),
+        |st AS (SELECT isodow, CAST(sw AS DOUBLE) / n AS mean_rev,
+        |         sqrt(CAST(m2 AS DOUBLE) / (n - 1)) AS sd_rev FROM p2)
+        |SELECT day, daily.isodow, rev,
+        |  round((rev - mean_rev) / sd_rev, 6) + 0.0 AS z,
+        |  abs((rev - mean_rev) / sd_rev) > 2.0 AS is_anomaly
+        |FROM daily JOIN st ON daily.isodow = st.isodow
+        |ORDER BY day""".stripMargin,
     "ts_mom_growth" ->
       """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -62,7 +62,7 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row max-index / reciprocal-count attaches
     "ts_holt_linear", "graph_reciprocity",
     // 19-row threshold broadcast against the |distinct scores| table
-    "ml_roc_curve",
+    "ml_roc_curve", "ml_pr_curve",
     // 1-row customer-count attach for the ntile denominator
     "win_ntile_quartiles",
     // 1-row part-count attach for the negative-sample hash range
