@@ -35,6 +35,7 @@ object SharedTables {
     "textDedupGroups" -> ((s, d) => { ops.TextOps.textDedupGroupsRaw(s, d); () }),
     "dedupEmbeddingCosine" -> ((s, d) => { ops.Similarity.dedupEmbeddingCosineRaw(s, d); () }),
     "dedupEmbeddingGroups" -> ((s, d) => { ops.Similarity.dedupEmbeddingGroups(s, d); () }),
+    "kmeansQv" -> ((s, d) => { ops.Similarity.quantEmb(s, d); () }),
   )
 
   /** Build every shared table for `sfDir`; returns (label, seconds). */

@@ -53,8 +53,6 @@ class PlanShapesSpec extends SparkSpec {
     "ts_cusum_changepoint",
     // 1-row digit-total attach for the Benford shares
     "audit_benford",
-    // 8-row quantized-seed broadcast (the k-means E-step)
-    "ml_kmeans_assign", "ml_kmeans_lloyd",
     // calendar-bounded island-start × island-end theta join
     "audit_day_islands",
     // 8-row query broadcast / 1-row gap-total attach
@@ -140,5 +138,16 @@ class PlanShapesSpec extends SparkSpec {
 
   "text_vocab_coverage" should "take its top-10 via TakeOrderedAndProject" in {
     planOf("text_vocab_coverage") should include("TakeOrderedAndProject")
+  }
+
+  // The k-means E-step must stay a literal-centroid map-side projection:
+  // centroids are driver-resident between iterations, so any join (the
+  // old crossJoin(broadcast(seeds)) + groupBy(vec_id) shape re-shuffled
+  // the full embedding payload k× per iteration) is a regression. The
+  // only allowed Exchanges are the k-row census / M-step aggregates and
+  // the final order.
+  "ml_kmeans_lloyd and ml_kmeans_assign" should "assign map-side with no join" in {
+    planOf("ml_kmeans_lloyd") should not include "Join"
+    planOf("ml_kmeans_assign") should not include "Join"
   }
 }
