@@ -48,24 +48,44 @@ object Bench {
       if (only.isEmpty) SharedTables.warmAll(spark, sfDir)
       else Seq.empty[(String, Double)]
     val sharedSec = shared.map(_._2).sum
+    // model provenance: how many ModelStore artifacts the warm phase had
+    // to TRAIN (0 = all served from disk; >0 = cold store or recompiled
+    // trainer bytecode re-keyed the tables) plus the trainer code-id —
+    // so a reader can tell a cold-trained record from a warm-served one
+    val modelsTrained = graft.io.ModelStore.trainEvents.size
+    val modelCodeId = graft.io.ModelStore.codeIdTag
     // a failure's exception text is RECORDED in the JSON (not only on
     // stderr, which the round harness discards) and the process exits
     // non-zero — a record containing a -1.0 must never ship as "final"
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query GC telemetry: driver-JVM collection-time delta (ms,
+    // all collectors) alongside seconds, taken from the SAME iteration
+    // as the reported min time. The CPU canary calibrates host speed but
+    // cannot see memory pressure — an order-of-magnitude per-query
+    // outlier with gc_ms ≈ 0 is hypervisor contention, one with large
+    // gc_ms is heap pressure; recording both makes a contended run
+    // self-diagnosing instead of a cross-host adjudication.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        val g0 = gcMillis()
+        try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, gcMillis() - g0) }
         catch { case e: Throwable =>
           val msg = (Option(e.getMessage).getOrElse("") match {
             case "" => e.getClass.getName
             case m  => e.getClass.getSimpleName + ": " + m
           }).replaceAll("\\s+", " ").take(300)
           errors(name) = msg
-          System.err.println(s"[bench] $name FAILED: $msg"); -1.0
+          System.err.println(s"[bench] $name FAILED: $msg"); (-1.0, 0L)
         }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val best = times.minBy(_._1)
+      gcByQuery(name) = best._2
+      name -> (if (times.exists(_._1 == -1.0)) -1.0 else best._1)
     }
     // The harness keeps only the last ~2000 chars of stdout, and 78 query
     // names cannot fit in that window. So: the FULL per-query JSON goes to
@@ -86,6 +106,8 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val gcJson = gcByQuery.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -95,7 +117,8 @@ object Bench {
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},""" +
       s""""materialization_sec":${fmt(sharedSec)},"materialization":$sharedJson,""" +
-      s""""queries":$qs$errJson,"sf":"$sfDir"}"""
+      s""""models":{"trained":$modelsTrained,"code_id":"$modelCodeId"},""" +
+      s""""queries":$qs,"gc_ms":$gcJson$errJson,"sf":"$sfDir"}"""
     // filtered local runs must not clobber the round record, and neither
     // must a partially-failed run: a caller ignoring the non-zero exit (or
     // a later blanket commit) would ship the broken record over the last

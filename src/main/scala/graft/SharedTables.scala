@@ -38,9 +38,32 @@ object SharedTables {
     "kmeansQv" -> ((s, d) => { ops.Similarity.quantEmb(s, d); () }),
   )
 
-  /** Build every shared table for `sfDir`; returns (label, seconds). */
+  /** Persisted [[graft.io.ModelStore]] artifacts, warmed alongside the
+    * Materialized tables: every round's recompile changes the store's
+    * bytecode digest and therefore re-keys every model table, so in a
+    * cold environment the first query serving each model would silently
+    * absorb its IRLS / BPE-merge / Lloyd training cost (the same
+    * attribution bug the materialization phase fixed for shared
+    * DataFrames, one layer up). Each hook forces the ensure path; the
+    * groups-text / groups-emb models train inside the `textDedupGroups`
+    * / `dedupEmbeddingGroups` entries above. Completeness is enforced by
+    * `SharedTablesSpec` against a cold store: after `warmAll`,
+    * constructing every `SparkEntry` query must record zero new
+    * `ModelStore` train events.
+    */
+  val models: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "model-logreg" -> ((s, d) => { ops.Ml.logregWeights(s, d); () }),
+    "model-bpe" -> ((s, d) => { ops.TextOps.bpeTokenize(s, d); () }),
+    "model-quantizer" -> ((s, d) => ops.Similarity.warmQuantizer(s, d)),
+    "model-pq" -> ((s, d) => ops.Similarity.warmPq(s, d)),
+  )
+
+  /** Build every shared table and model for `sfDir`; returns
+    * (label, seconds) per entry — model labels carry the `model-`
+    * prefix, so the bench can report the two phases in one map.
+    */
   def warmAll(s: SparkSession, sfDir: String): Seq[(String, Double)] =
-    entries.map { case (label, build) =>
+    (entries ++ models).map { case (label, build) =>
       val t0 = System.nanoTime()
       build(s, sfDir)
       label -> (System.nanoTime() - t0) / 1e9

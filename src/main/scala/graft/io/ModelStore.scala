@@ -68,11 +68,41 @@ object ModelStore {
     md.digest().map("%02x".format(_)).mkString.take(8)
   }
 
-  def root: String = sys.env.getOrElse("GRAFT_MODEL_DIR", {
+  /** Test-only root override (forces a cold store so warm-coverage specs
+    * are meaningful even when the on-disk store already has every model).
+    */
+  @volatile private[graft] var rootOverride: Option[String] = None
+
+  def root: String = rootOverride.getOrElse(sys.env.getOrElse("GRAFT_MODEL_DIR", {
     val home = sys.props.getOrElse("user.home",
       sys.props.getOrElse("java.io.tmpdir", "/tmp")).stripSuffix("/")
     s"$home/.graft-models"
-  })
+  }))
+
+  /** Every `<kind>/<key>` whose TRAIN branch actually ran in this
+    * process (a serve-from-table hit records nothing). `graft.Bench`
+    * reports the count after its model-warm phase — on a fresh round the
+    * recompiled [[codeId]] re-keys every table, so without the warm
+    * phase the first `ml_*`/`sim_*`/`text_bpe_*` query would silently
+    * absorb its training cost — and `SharedTablesSpec` asserts that
+    * constructing every query after a full warm trains nothing new.
+    */
+  private val trained = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[String]())
+
+  private def recordTrain(kind: String, dir: File): Unit = {
+    trained.add(s"$kind/${dir.getName}"): Unit
+  }
+
+  private[graft] def trainEvents: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    trained.synchronized(trained.asScala.toList)
+  }
+
+  /** The bytecode digest baked into every key — surfaced so the bench
+    * record can tie its model-warm cost to the exact trainer build.
+    */
+  private[graft] def codeIdTag: String = codeId
 
   private def ensureRoot(): Unit = {
     val r = new File(root)
@@ -156,6 +186,7 @@ object ModelStore {
       (train: => Seq[((Int, Int), Array[Double])]): Seq[((Int, Int), Array[Double])] = {
     val dir = dirFor("pq", source, shape)
     if (!complete(dir)) {
+      recordTrain("pq", dir)
       import s.implicits._
       val df = train.map { case ((sub, cell), c) => (sub, cell, c.toSeq) }
         .toDF("sub", "cell", "cent")
@@ -174,6 +205,7 @@ object ModelStore {
       (train: => Seq[(Int, Array[Float])]): Seq[(Int, Array[Float])] = {
     val dir = dirFor("centroids", source, shape)
     if (!complete(dir)) {
+      recordTrain("centroids", dir)
       import s.implicits._
       val df = train.map { case (cell, c) => (cell, c.toSeq) }
         .toDF("cell", "cent")
@@ -195,6 +227,7 @@ object ModelStore {
       (compute: => DataFrame): DataFrame = {
     val dir = dirFor(kind, source, shape)
     if (!complete(dir)) {
+      recordTrain(kind, dir)
       val df = compute
         .withColumn("model_version", lit(shape)).withColumn("source", lit(source))
       writeAtomic(df, dir)
