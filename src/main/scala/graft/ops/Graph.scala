@@ -77,18 +77,26 @@ object Graph {
     */
   private[graft] def pageRankLoop(eo: DataFrame, nodes: DataFrame): DataFrame = {
     val nCnt = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(nCnt))
-      .select(col("part"), expr(s"$Scale div n").as("r"))
+    // same per-round lazy-pin discipline as [[pageRankLoopAdaptive]]:
+    // every iteration's rank table truncates lineage, so the final plan
+    // is constant-depth (orderBy over one RDD scan) at ANY iteration
+    // count — the fixed count exists only because the oracle replays it
+    var r = Checkpoints.pin(
+      nodes.crossJoin(broadcast(nCnt))
+        .select(col("part"), expr(s"$Scale div n").as("r")),
+      eager = false)
     for (_ <- 1 to 5) {
       val sums = eo
         .join(r.withColumnRenamed("part", "src"), "src")
         .select(col("dst").as("part"), expr("r div outd").as("c"))
         .groupBy("part").agg(sum("c").as("m"))
-      r = nodes.crossJoin(broadcast(nCnt)).join(sums, Seq("part"), "left")
-        .select(
-          col("part"),
-          (expr(s"${15 * Scale} div (100 * n)") +
-            expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+      r = Checkpoints.pin(
+        nodes.crossJoin(broadcast(nCnt)).join(sums, Seq("part"), "left")
+          .select(
+            col("part"),
+            (expr(s"${15 * Scale} div (100 * n)") +
+              expr("(85 * coalesce(m, 0)) div 100")).as("r")),
+        eager = false)
     }
     r
   }
@@ -238,21 +246,26 @@ object Graph {
     // ns = 0 guard: an empty seed set means no teleport mass anywhere —
     // every rank is 0 and the r > 0 filter yields the empty result,
     // instead of an ANSI division-by-zero (same CASE in the oracle)
-    var r = nodes.crossJoin(broadcast(sCnt))
-      .select(col("part"),
-        when(col("is_seed") && col("ns") > 0, expr(s"$Scale div ns"))
-          .otherwise(0L).as("r"))
+    // per-round lazy pin: same lineage discipline as the adaptive loop
+    var r = Checkpoints.pin(
+      nodes.crossJoin(broadcast(sCnt))
+        .select(col("part"),
+          when(col("is_seed") && col("ns") > 0, expr(s"$Scale div ns"))
+            .otherwise(0L).as("r")),
+      eager = false)
     for (_ <- 1 to 5) {
       val sums = eo
         .join(r.withColumnRenamed("part", "src"), "src")
         .select(col("dst").as("part"), expr("r div outd").as("c"))
         .groupBy("part").agg(sum("c").as("m"))
-      r = nodes.crossJoin(broadcast(sCnt)).join(sums, Seq("part"), "left")
-        .select(
-          col("part"),
-          (when(col("is_seed") && col("ns") > 0,
-            expr(s"${15 * Scale} div (100 * ns)")).otherwise(0L) +
-            expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+      r = Checkpoints.pin(
+        nodes.crossJoin(broadcast(sCnt)).join(sums, Seq("part"), "left")
+          .select(
+            col("part"),
+            (when(col("is_seed") && col("ns") > 0,
+              expr(s"${15 * Scale} div (100 * ns)")).otherwise(0L) +
+              expr("(85 * coalesce(m, 0)) div 100")).as("r")),
+        eager = false)
     }
     r.filter(col("r") > 0)
       .orderBy(col("r").desc, col("part"))
@@ -294,18 +307,23 @@ object Graph {
     val nodes = ew.select(col("src").as("part"))
       .union(ew.select(col("dst").as("part"))).distinct()
     val nCnt = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(nCnt))
-      .select(col("part"), expr(s"$Scale div n").as("r"))
+    // per-round lazy pin: same lineage discipline as the adaptive loop
+    var r = Checkpoints.pin(
+      nodes.crossJoin(broadcast(nCnt))
+        .select(col("part"), expr(s"$Scale div n").as("r")),
+      eager = false)
     for (_ <- 1 to 5) {
       val sums = ew
         .join(r.withColumnRenamed("part", "src"), "src")
         .select(col("dst").as("part"), expr("(r * w) div wout").as("c"))
         .groupBy("part").agg(sum("c").as("m"))
-      r = nodes.crossJoin(broadcast(nCnt)).join(sums, Seq("part"), "left")
-        .select(
-          col("part"),
-          (expr(s"${15 * Scale} div (100 * n)") +
-            expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+      r = Checkpoints.pin(
+        nodes.crossJoin(broadcast(nCnt)).join(sums, Seq("part"), "left")
+          .select(
+            col("part"),
+            (expr(s"${15 * Scale} div (100 * n)") +
+              expr("(85 * coalesce(m, 0)) div 100")).as("r")),
+        eager = false)
     }
     r.orderBy(col("r").desc, col("part"))
       .limit(20)

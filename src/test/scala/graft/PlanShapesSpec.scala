@@ -42,8 +42,7 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row aggregate attaches (basket total / row total / node count /
     // weight total + leftover seats)
     "mining_frequent_pairs", "mining_association_rules", "audit_equidepth_hist",
-    "graph_pagerank_parts",
-    "graph_ppr_seeds", "graph_pagerank_weighted", "sample_temperature_mix",
+    "sample_temperature_mix",
     "sketch_join_size",
     "audit_selectivity_est", "audit_contract_check", "audit_psi_drift",
     "ml_mutual_info", "audit_referential", "etl_zorder_stats",
@@ -146,6 +145,20 @@ class PlanShapesSpec extends SparkSpec {
   // the full embedding payload k× per iteration) is a regression. The
   // only allowed Exchanges are the k-row census / M-step aggregates and
   // the final order.
+  // Every PageRank-family loop pins its rank table per round, so the
+  // final plan must be constant-depth regardless of iteration count:
+  // a top-k over one RDD scan, with no join (and no 1-row broadcast
+  // attach) surviving above the pin. A join here means a loop body
+  // leaked into the final lineage — the unbounded-plan-growth failure
+  // mode at scale.
+  "the fixed-iteration graph loops" should "end constant-depth at a pinned rank table" in {
+    Seq("graph_pagerank_parts", "graph_ppr_seeds", "graph_pagerank_weighted")
+      .foreach { q =>
+        planOf(q) should include("ExistingRDD")
+        planOf(q) should not include "Join"
+      }
+  }
+
   "ml_kmeans_lloyd and ml_kmeans_assign" should "assign map-side with no join" in {
     planOf("ml_kmeans_lloyd") should not include "Join"
     planOf("ml_kmeans_assign") should not include "Join"
