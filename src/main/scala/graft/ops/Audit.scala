@@ -629,9 +629,10 @@ object Audit {
     * a float boundary. Both CDFs only step at observed values, so
     * evaluating after each step covers the sup. Ships the exact rational
     * (d_num, d_den), the smallest cent value attaining it, and the
-    * double quotient. Long products cap at ~3e9 rows per arm (the PSI
-    * bound discipline); past that the two cum columns cast to
-    * decimal(38,0).
+    * double quotient. Long products are exact to [[KsLongBound]] rows
+    * per arm; past that the plan BRANCHES to a DECIMAL(38,0) lattice
+    * ([[ksFromPerValue]] `wide` — gated by a metadata-cheap source
+    * count, property-tested at planted >2³¹ counts in AuditSpec).
     */
   def ksTest(s: SparkSession, d: String): DataFrame = {
     val rows = Sources.orders(s, d)
@@ -644,18 +645,43 @@ object Audit {
     val perValue = rows.groupBy("cents").agg(
       sum(when(col("arm") === "MACHINERY", 1L).otherwise(0L)).as("a"),
       sum(when(col("arm") === "AUTOMOBILE", 1L).otherwise(0L)).as("b"))
+    // lattice-width gate: orders row count bounds each arm count, and a
+    // filterless parquet count is metadata-cheap at any corpus size.
+    // Under the bound the Long lattice is exact (the fixture/oracle
+    // path); past it the cross terms branch to DECIMAL(38,0) — the
+    // 100 TB claim held by code, not by a doc-comment.
+    val wide = Sources.orders(s, d).count() > KsLongBound
+    ksFromPerValue(perValue, wide)
+  }
+
+  /** Per-arm row-count bound for the Long gap lattice: each cross term
+    * is `cum · n_other ≤ n_a · n_b`, so Long (< 9.22e18) is exact while
+    * both arms stay under ~3.03e9 rows; 2e9 leaves a 2.3× margin.
+    */
+  private[graft] val KsLongBound = 2000000000L
+
+  /** The KS sup-gap reduction over per-distinct-value arm counts
+    * `(cents, a, b)` — shared by the fixture query and the wide-count
+    * property test. `wide=false` keeps the exact Long lattice;
+    * `wide=true` lifts the cross terms (and the shipped d_num/d_den,
+    * which themselves exceed Long past the bound) to DECIMAL(38,0) —
+    * good to n_a·n_b < 1e38, i.e. ~1e19 rows per arm.
+    */
+  private[graft] def ksFromPerValue(perValue: DataFrame, wide: Boolean): DataFrame = {
     val cum = Prefix.running(perValue, Seq(col("cents")),
       sums = Seq((col("a"), "cum_a"), (col("b"), "cum_b")))
     val tot = cum.agg(sum("a").as("n_a"), sum("b").as("n_b"))
+    def w(c: Column): Column = if (wide) c.cast("decimal(38,0)") else c
     val gaps = cum.crossJoin(broadcast(tot))
-      .withColumn("gap", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .withColumn("gap",
+        abs(w(col("cum_a")) * w(col("n_b")) - w(col("cum_b")) * w(col("n_a"))))
     val dmax = gaps.agg(max("gap").as("d_num"))
     gaps.crossJoin(broadcast(dmax))
       .filter(col("gap") === col("d_num"))
       .groupBy()
       .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
         first("d_num").as("d_num"), min("cents").as("at_cents"))
-      .withColumn("d_den", col("n_a") * col("n_b"))
+      .withColumn("d_den", w(col("n_a")) * w(col("n_b")))
       .withColumn("ks_d", roundNorm(
         expr("cast(d_num as double) / (cast(n_a as double) * n_b)"), 8))
       .select("n_a", "n_b", "d_num", "d_den", "at_cents", "ks_d")

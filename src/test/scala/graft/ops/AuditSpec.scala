@@ -181,4 +181,49 @@ class AuditSpec extends SparkSpec {
     // synthetic fixture peaks at digit 2, and dev_bp flags exactly that
     got.map(_._2).sum shouldBe vs.length.toLong
   }
+
+  // The 100 TB claim for the KS lattice, held by code: with arm counts
+  // beyond ~2^31 the Long cross terms cumA·n_B would overflow (here
+  // they reach ~4e20, 40x past Long.MaxValue), so the wide branch must
+  // reproduce the BigInt reference exactly on the DECIMAL(38,0) lattice.
+  "Audit.ksFromPerValue(wide)" should "match a BigInt reference at planted >2^31 arm counts" in {
+    import spark.implicits._
+    val rows = Seq(
+      (100L, 4000000000L, 1000000000L),
+      (200L, 3000000000L, 5000000000L),
+      (300L, 2500000000L, 4500000000L),
+      (400L, 6000000000L, 2000000000L),
+      (500L, 1500000000L, 7000000000L))
+    val na = rows.map(_._2).sum
+    val nb = rows.map(_._3).sum
+    var ca = 0L; var cb = 0L
+    val gaps = rows.sortBy(_._1).map { case (c, a, b) =>
+      ca += a; cb += b
+      (c, (BigInt(ca) * nb - BigInt(cb) * na).abs)
+    }
+    val dnum = gaps.map(_._2).max
+    dnum should be > BigInt(Long.MaxValue) // the test is vacuous otherwise
+    val got = Audit.ksFromPerValue(rows.toDF("cents", "a", "b"), wide = true).head()
+    got.getLong(0) shouldBe na
+    got.getLong(1) shouldBe nb
+    BigInt(got.getDecimal(2).toBigInteger) shouldBe dnum
+    BigInt(got.getDecimal(3).toBigInteger) shouldBe BigInt(na) * nb
+    got.getLong(4) shouldBe gaps.filter(_._2 == dnum).map(_._1).min
+    got.getDouble(5) shouldBe
+      (BigDecimal(dnum) / (BigDecimal(na) * BigDecimal(nb))).toDouble +- 1e-8
+  }
+
+  it should "agree value-for-value with the Long lattice under the bound" in {
+    import spark.implicits._
+    val pv = Seq((1L, 3L, 9L), (2L, 5L, 1L), (3L, 2L, 4L), (4L, 0L, 6L))
+      .toDF("cents", "a", "b")
+    val n = Audit.ksFromPerValue(pv, wide = false).head()
+    val w = Audit.ksFromPerValue(pv, wide = true).head()
+    n.getLong(0) shouldBe w.getLong(0)
+    n.getLong(1) shouldBe w.getLong(1)
+    n.getLong(2) shouldBe w.getDecimal(2).longValueExact()
+    n.getLong(3) shouldBe w.getDecimal(3).longValueExact()
+    n.getLong(4) shouldBe w.getLong(4)
+    n.getDouble(5) shouldBe w.getDouble(5)
+  }
 }
