@@ -312,14 +312,20 @@ object RelationalExt {
   }
 
   /** Herfindahl–Hirschman concentration index (`agg_hhi_segment`): per
-    * market segment, Σ(customer revenue share in bp)² — the regulator's
-    * concentration measure, and (with sources for segments) the same
-    * statistic a data pipeline uses to flag domains dominated by a few
-    * hosts. Complements the Gini (`agg_gini_segment`): HHI weights the
-    * head, Gini the whole curve. Shares are integer floor-division
-    * basis points, so the index is an exact Long in both engines (max
-    * 10⁸ = monopoly); two keyed aggregates + one segment-count-sized
-    * equi join.
+    * market segment, Σ(customer revenue share)² on the 1e-8 lattice —
+    * the regulator's concentration measure, and (with sources for
+    * segments) the same statistic a data pipeline uses to flag domains
+    * dominated by a few hosts. Complements the Gini
+    * (`agg_gini_segment`): HHI weights the head, Gini the whole curve.
+    * The index is ONE exact floor division at the end —
+    * `hhi = (10⁸·Σcents²) div tc²` — not a sum of per-customer floored
+    * shares: flooring each share to basis points first would zero every
+    * customer under 1 bp of segment revenue, collapsing the index
+    * toward 0 exactly when the tail is long (i.e. at scale). Squares
+    * sum in decimal(38,0) (exact to ~1e9 customers × ~1e9-cent
+    * revenues; 10⁸·Σc² ≤ ~1e35 < 1e38), the quotient is a Long ≤ 10⁸
+    * (= monopoly), and both engines replay the identical integer
+    * arithmetic. Two keyed aggregates, no join.
     */
   def hhiSegment(s: SparkSession, d: String): DataFrame = {
     val rev = Sources.orders(s, d)
@@ -327,13 +333,14 @@ object RelationalExt {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val tot = rev.groupBy("segment")
-      .agg(sum("cents").as("tc"), count(lit(1)).as("n_customers"))
-    rev.join(broadcast(tot), "segment")
-      .withColumn("share_bp", expr("(10000 * cents) div tc"))
-      .groupBy("segment")
-      .agg(max("n_customers").as("n_customers"),
-        sum(col("share_bp") * col("share_bp")).as("hhi"))
+    rev.groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("tc"),
+        sum((col("cents").cast("decimal(19,0)") *
+          col("cents").cast("decimal(19,0)")).cast("decimal(38,0)")).as("sc2"))
+      .select(col("segment"), col("n_customers"),
+        expr("(100000000 * sc2) div (cast(tc as decimal(19,0)) * cast(tc as decimal(19,0)))")
+          .as("hhi"))
       .orderBy("segment")
   }
 
@@ -520,14 +527,13 @@ object RelationalExt {
         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2),
-        | t AS (SELECT segment, CAST(sum(cents) AS BIGINT) AS tc,
-        |   count(*) AS n_customers FROM rev GROUP BY segment),
-        | sh AS (SELECT rev.segment, t.n_customers,
-        |   (10000 * rev.cents) // t.tc AS share_bp
-        |  FROM rev JOIN t ON rev.segment = t.segment)
-        |SELECT segment, CAST(max(n_customers) AS BIGINT) AS n_customers,
-        | CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi
-        |FROM sh GROUP BY segment ORDER BY segment""".stripMargin,
+        | t AS (SELECT segment, count(*) AS n_customers,
+        |   CAST(sum(cents) AS HUGEINT) AS tc,
+        |   sum(CAST(cents AS HUGEINT) * cents) AS sc2
+        |  FROM rev GROUP BY segment)
+        |SELECT segment, CAST(n_customers AS BIGINT) AS n_customers,
+        | CAST((100000000 * sc2) // (tc * tc) AS BIGINT) AS hhi
+        |FROM t ORDER BY segment""".stripMargin,
     "win_ntile_quartiles" ->
       """WITH rev AS (SELECT o_custkey AS custkey,
         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

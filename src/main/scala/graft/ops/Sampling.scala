@@ -318,12 +318,20 @@ object Sampling {
       .select(col("o_custkey").as("custkey"), col("l_partkey").as("part"))
       .distinct()
     val nParts = Sources.part(s, d).agg(count(lit(1)).as("np"))
+    // intermediate lattice 2^40, NOT the repo's usual 2^20 draw lattice:
+    // here the draw maps onto the PART-KEY DOMAIN, so a 2^20 lattice
+    // would make parts with key >= 1,048,576 undrawable past ~sf5 and
+    // bias the double-mod by up to np/2^20. At 2^40 the domain holds to
+    // ~1.1e12 parts (far past 100 TB's ~2e10) and the double-mod bias
+    // is <= np/2^40 ~ 2e-4 bp. The hash stays Long-exact: custkey *
+    // 2654435761 overflows only past custkey ~ 3.4e9.
     val cands = pos.select("custkey").distinct()
       .crossJoin(broadcast(nParts))
       .select(col("custkey"), col("np"),
         explode(array((1 to 8).map(lit(_)): _*)).as("j"))
       .withColumn("part", pmod(
-        pmod(col("custkey") * lit(2654435761L) + col("j") * lit(7919L), lit(1048576L)),
+        pmod(col("custkey") * lit(2654435761L) + col("j") * lit(7919L),
+          lit(1099511627776L)),
         col("np")))
     val survivors = cands.join(pos, Seq("custkey", "part"), "left_anti")
     val w = Window.partitionBy("custkey").orderBy("j")
@@ -467,7 +475,7 @@ object Sampling {
         |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         | np AS (SELECT count(*) AS np FROM part),
         | c AS (SELECT custkey, j.j,
-        |   ((custkey * 2654435761 + j.j * 7919) % 1048576) % np.np AS part
+        |   ((custkey * 2654435761 + j.j * 7919) % 1099511627776) % np.np AS part
         |  FROM (SELECT DISTINCT custkey FROM pos) u
         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS j) j
         |  CROSS JOIN np),

@@ -222,7 +222,11 @@ object Temporal {
     * deviations, squared deviations sum in decimal(38,0), and z derives
     * from single deterministic casts — bit-identical in both engines.
     * The weekday stats table is 7 rows — a broadcast — so scoring is
-    * map-side; the only corpus shuffle is the daily rollup.
+    * map-side; the only corpus shuffle is the daily rollup. Degenerate
+    * weekdays (one observation, or zero variance) score NULL in BOTH
+    * engines by an explicit guard — Spark's x/0 yields NaN/Infinity
+    * where DuckDB yields NULL, so without the CASE a degenerate group
+    * would diverge instead of failing loudly.
     */
   def anomalyZscore(s: SparkSession, d: String): DataFrame = {
     val daily = Sources.orders(s, d)
@@ -239,11 +243,14 @@ object Temporal {
         sum((col("dev").cast("decimal(19,0)") *
           col("dev").cast("decimal(19,0)")).cast("decimal(38,0)")).as("m2"))
       .withColumn("mean_rev", expr("cast(sw as double) / n"))
-      .withColumn("sd_rev", expr("sqrt(cast(m2 as double) / (n - 1))"))
+      .withColumn("sd_rev",
+        expr("CASE WHEN n > 1 THEN sqrt(cast(m2 as double) / (n - 1)) END"))
+    val zExpr = expr(
+      "CASE WHEN sd_rev IS NOT NULL AND sd_rev <> 0 THEN (rev - mean_rev) / sd_rev END")
     daily.join(broadcast(pass2.select("isodow", "mean_rev", "sd_rev")), "isodow")
       .select(col("day"), col("isodow"), col("rev"),
-        graft.functions.Num.roundNorm(expr("(rev - mean_rev) / sd_rev"), 6).as("z"),
-        (abs(expr("(rev - mean_rev) / sd_rev")) > 2.0).as("is_anomaly"))
+        graft.functions.Num.roundNorm(zExpr, 6).as("z"),
+        (abs(zExpr) > 2.0).as("is_anomaly"))
       .orderBy("day")
   }
 
@@ -444,15 +451,21 @@ object Temporal {
       .groupByKey(_ => 0)
       .flatMapGroups { (_, rows) =>
         val ser = rows.toArray.sortBy(_._1)
-        var l = ser(0)._3.toDouble
-        var b = ser(1)._3.toDouble - ser(0)._3.toDouble
-        ser.iterator.zipWithIndex.map { case ((i, day, x), idx) =>
-          if (idx > 0) {
-            val lNew = 0.5 * x + 0.5 * (l + b)
-            b = 0.5 * (lNew - l) + 0.5 * b
-            l = lNew
+        // the trend seed needs two points: a shorter series emits
+        // nothing (mirrored by the oracle's `mi >= 1` guard) instead of
+        // throwing on ser(1) while DuckDB degrades to NULL seeds
+        if (ser.length < 2) Iterator.empty
+        else {
+          var l = ser(0)._3.toDouble
+          var b = ser(1)._3.toDouble - ser(0)._3.toDouble
+          ser.iterator.zipWithIndex.map { case ((i, day, x), idx) =>
+            if (idx > 0) {
+              val lNew = 0.5 * x + 0.5 * (l + b)
+              b = 0.5 * (lNew - l) + 0.5 * b
+              l = lNew
+            }
+            (i, day, x, l, b, l + b)
           }
-          (i, day, x, l, b, l + b)
         }
       }
       .toDF("i", "day", "x", "level", "trend", "forecast_next")
@@ -590,10 +603,13 @@ object Temporal {
         |       FROM daily JOIN p1 ON daily.isodow = p1.isodow
         |       GROUP BY daily.isodow),
         |st AS (SELECT isodow, CAST(sw AS DOUBLE) / n AS mean_rev,
-        |         sqrt(CAST(m2 AS DOUBLE) / (n - 1)) AS sd_rev FROM p2)
+        |         CASE WHEN n > 1 THEN sqrt(CAST(m2 AS DOUBLE) / (n - 1)) END
+        |           AS sd_rev FROM p2)
         |SELECT day, daily.isodow, rev,
-        |  round((rev - mean_rev) / sd_rev, 6) + 0.0 AS z,
-        |  abs((rev - mean_rev) / sd_rev) > 2.0 AS is_anomaly
+        |  round(CASE WHEN sd_rev IS NOT NULL AND sd_rev <> 0
+        |    THEN (rev - mean_rev) / sd_rev END, 6) + 0.0 AS z,
+        |  abs(CASE WHEN sd_rev IS NOT NULL AND sd_rev <> 0
+        |    THEN (rev - mean_rev) / sd_rev END) > 2.0 AS is_anomaly
         |FROM daily JOIN st ON daily.isodow = st.isodow
         |ORDER BY day""".stripMargin,
     "ts_mom_growth" ->
@@ -649,7 +665,7 @@ object Temporal {
         | round(r.l, 4) + 0.0 AS level, round(r.b, 4) + 0.0 AS trend,
         | round(r.l + r.b, 4) + 0.0 AS forecast_next
         |FROM r JOIN ser ON ser.i = r.i CROSS JOIN mx
-        |WHERE r.i > mx.mi - 10
+        |WHERE r.i > mx.mi - 10 AND mx.mi >= 1
         |ORDER BY day""".stripMargin),
     "ts_interarrival" ->
       """WITH g AS (SELECT o_custkey,
