@@ -645,6 +645,70 @@ class PageCusumProcessor extends org.apache.spark.sql.streaming.StatefulProcesso
   }
 }
 
+/** Per-user sessionization state: last event micros, current session
+  * ordinal, its start micros, event count and cents total.
+  */
+case class SessSt(lastUs: Long, sessionN: Long, startUs: Long,
+    nEvents: Long, cents: Long)
+
+/** One session row — the final form for closed sessions, the
+  * latest-so-far form for the user's open session.
+  */
+case class SessOut(user_id: Long, session_n: Long, n_events: Long,
+    duration_sec: Long, value_cents: Long)
+
+/** Streaming sessionization (twin of the batch `ts_sessionize`
+  * gaps-and-islands): one fixed-size [[SessSt]] record per user — a new
+  * session starts after a > 30-minute silence, exactly the batch `lag`
+  * break rule. Each batch folds the user's rows in (ts, event_id)
+  * order; a session CLOSED by an in-batch gap emits its final row once,
+  * and the still-open session re-emits its latest aggregate whenever it
+  * absorbs events — so the last emission per (user, session_n) (the one
+  * with maximal n_events; a session only re-emits when it grows) equals
+  * the batch row BIT-FOR-BIT under in-order delivery (asserted in
+  * StreamingOpsSpec across micro-batch boundaries, including a split
+  * that lands mid-session). Cents use BigDecimal HALF_UP to match the
+  * batch `round(value*100)` on negative values. This is the
+  * `transformWithState` gap-close form an online feature pipeline
+  * serves session features from; the windowed-aggregate form
+  * ([[StreamingOps.sessionPerUser]] via `session_window`) answers the
+  * same question when only per-window aggregates are needed.
+  */
+class SessionizeProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, SessOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[SessSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SessSt]("sess",
+      org.apache.spark.sql.Encoders.product[SessSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[SessOut] = {
+    def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+    def row(s: SessSt): SessOut = SessOut(key, s.sessionN, s.nEvents,
+      (s.lastUs - s.startUs) / 1000000L, s.cents)
+    var s = if (st.exists()) st.get() else null
+    // LinkedHashMap: one (latest) emission per session touched this batch
+    val touched = scala.collection.mutable.LinkedHashMap[Long, SessOut]()
+    rows.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+      val us = micros(e)
+      val cents = java.math.BigDecimal.valueOf(e.value * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      s = if (s == null) SessSt(us, 1L, us, 1L, cents)
+      else if (us - s.lastUs > 1800000000L) {
+        touched(s.sessionN) = row(s) // closed in-batch: final form
+        SessSt(us, s.sessionN + 1, us, 1L, cents)
+      } else SessSt(us, s.sessionN, s.startUs, s.nEvents + 1, s.cents + cents)
+    }
+    if (s != null) {
+      touched(s.sessionN) = row(s)
+      st.update(s)
+    }
+    touched.valuesIterator
+  }
+}
+
 /** One labeled fact for the feature-store twin: key, its categorical
   * group, and the integer-cents label.
   */
@@ -809,6 +873,15 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new InterArrivalProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming per-user sessionization: see [[SessionizeProcessor]]. */
+  def sessionizePerUser(events: org.apache.spark.sql.Dataset[TypedEvent]):
+      org.apache.spark.sql.Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming per-user Page CUSUM: see [[PageCusumProcessor]]. */

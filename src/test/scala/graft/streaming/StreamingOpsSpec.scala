@@ -701,4 +701,36 @@ class StreamingOpsSpec extends SparkSpec {
     got shouldBe want
     got should not be empty
   }
+
+  "sessionizePerUser (transformWithState)" should "reproduce the batch ts_sessionize table" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    // a three-way split so open sessions cross TWO micro-batch
+    // boundaries: the state (ordinal, start, count, cents) must carry
+    // and the re-emitted open-session rows must supersede
+    val (b1, rest) = evs.splitAt(evs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.sessionizePerUser(mem.toDS())
+      .writeStream.format("memory").queryName("sess_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    mem.addData(b3.toSeq: _*); q.processAllAvailable(); q.stop()
+    // last emission per (user, session_n) = the one with maximal
+    // n_events (a session only re-emits when it absorbed events)
+    val got = s2.table("sess_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(t => (t._1, t._2)).values.map(_.maxBy(_._3)).toSeq.sorted
+    val want = graft.ops.Temporal.sessionize(s2, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    got shouldBe want
+    got should not be empty
+    // and sessions must actually straddle the splits for the test to
+    // mean anything: some user must have rows in more than one batch
+    val usersPerBatch = Seq(b1, b2, b3).map(_.map(_.user_id).toSet)
+    usersPerBatch.sliding(2).exists(p => (p(0) & p(1)).nonEmpty) shouldBe true
+  }
 }
