@@ -331,8 +331,55 @@ object ScaleProbe {
           .crossJoin(broadcast(mRow)).count()
         modCommunities
       }
+      // Incremental-CC probe (r9): chain components of 100 docs over the
+      // replicated id space, 1% of ids (i % 1000 < 10) as the delta
+      // batch. "Yesterday's" base groups are prebuilt (checkpointed,
+      // untimed — a production run READS them). The operational claim
+      // is the CC INPUT ratio: the full rerun star-contracts every edge
+      // (~1 per doc), while the merge's CC sees only the contracted
+      // {delta ∪ touched-root} graph — delta-sized at every scale, so
+      // the edge counts (exact, deterministic) are the evidence that
+      // the touched subgraph, not the corpus, pays for the update. Both
+      // are also timed, but at toy scale BOTH paths collapse into the
+      // bounded local finish (edges << localFinishMaxEdges), so
+      // wall-clock is fixed scheduling overhead, not data volume — the
+      // edge ratio is what predicts the 100 TB behavior.
+      val docsX = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).localCheckpoint(true)
+      val chainE = docsX.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        .filter(pmod(col("id_a"), lit(100L)) =!= 99)
+        .join(docsX.select(col("doc_id").as("id_b")), Seq("id_b"))
+        .localCheckpoint(true)
+      def isDeltaId(c: org.apache.spark.sql.Column) = pmod(c, lit(1000L)) < 10
+      val baseDocsX = docsX.filter(!isDeltaId(col("doc_id")))
+      val deltaDocsX = docsX.filter(isDeltaId(col("doc_id")))
+      val baseGroupsX = graft.ops.Dedup.connectedGroups(
+        chainE.filter(!isDeltaId(col("id_a")) && !isDeltaId(col("id_b"))),
+        baseDocsX, "doc_id").localCheckpoint(true)
+      val deltaPairsX = chainE.filter(
+        isDeltaId(col("id_a")) || isDeltaId(col("id_b")))
+      val ga = baseGroupsX.select(col("id").as("id_a"), col("group_id").as("gca"))
+      val gb = baseGroupsX.select(col("id").as("id_b"), col("group_id").as("gcb"))
+      val inccFullEdges = chainE.count()
+      val inccContractedEdges = deltaPairsX
+        .join(ga, Seq("id_a"), "left").join(gb, Seq("id_b"), "left")
+        .select(coalesce(col("gca"), col("id_a")).as("a"),
+          coalesce(col("gcb"), col("id_b")).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      var inccTouched = 0L
+      val tInccFull = time {
+        graft.ops.Dedup.connectedGroups(chainE, docsX, "doc_id").count()
+      }
+      val tInccMerge = time {
+        val r = graft.ops.Dedup.incrementalMerge(
+          baseGroupsX, deltaPairsX, deltaDocsX, "doc_id")
+          .localCheckpoint(false)
+        inccTouched = r.filter(col("is_delta") || col("relabeled")).count()
+        r.count()
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge}""")
     }
     spark.stop()
   }

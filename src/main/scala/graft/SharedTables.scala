@@ -33,6 +33,7 @@ object SharedTables {
     "graph-strong" -> ((s, d) => { ops.Graph.strongEdges(s, d); () }),
     "ngramJaccardPairs" -> ((s, d) => { ops.TextOps.ngramJaccardPairsRaw(s, d); () }),
     "textDedupGroups" -> ((s, d) => { ops.TextOps.textDedupGroupsRaw(s, d); () }),
+    "textDedupBaseGroups" -> ((s, d) => { ops.TextOps.textDedupBaseGroupsRaw(s, d); () }),
     "dedupEmbeddingCosine" -> ((s, d) => { ops.Similarity.dedupEmbeddingCosineRaw(s, d); () }),
     "dedupEmbeddingGroups" -> ((s, d) => { ops.Similarity.dedupEmbeddingGroups(s, d); () }),
     "kmeansQv" -> ((s, d) => { ops.Similarity.quantEmb(s, d); () }),

@@ -316,4 +316,56 @@ object Dedup {
       .select(col("id"), col("id").as("group_id"))
     (members.union(singletons), i)
   }
+
+  /** Incremental connected-components maintenance — the operational
+    * shape of dedup grouping at 100 TB: yesterday's `(id, group_id)`
+    * table stands, a DELTA batch of new documents arrives with its new
+    * candidate pairs, and only the TOUCHED components are re-labeled.
+    *
+    * The trick is star-contraction over the CONTRACTED graph: each
+    * delta-adjacent pair maps its base endpoint to that component's
+    * existing root (one equi-join against the groups table — at scale,
+    * a shuffle on the delta-pair side only), so the CC rerun sees a
+    * graph whose nodes are `{delta ids} ∪ {touched roots}` — delta-
+    * sized, never corpus-sized. Because every root IS its component's
+    * minimum member id, the min-label CC over the contracted graph
+    * yields exactly the full-recompute labels: min over a merged
+    * component of (roots ∪ delta ids) = the global minimum id.
+    * Untouched components keep their labels without being read.
+    *
+    * Output per node: `(id, group_id, is_delta, relabeled)` —
+    * `relabeled` marks base docs whose label CHANGED, i.e. the exact
+    * write-back set an incremental materialization updates (deltas are
+    * inserts, not relabels, and carry `false`). Oracle: the full
+    * recursive-CTE recompute over ALL pairs must equal this result
+    * row-for-row (`text_dedup_incremental`).
+    */
+  def incrementalMerge(baseGroups: DataFrame, deltaPairs: DataFrame,
+      deltaNodes: DataFrame, idCol: String): DataFrame = {
+    val ga = baseGroups.select(col("id").as("id_a"), col("group_id").as("ga"))
+    val gb = baseGroups.select(col("id").as("id_b"), col("group_id").as("gb"))
+    val contracted = deltaPairs.select("id_a", "id_b")
+      .join(ga, Seq("id_a"), "left")
+      .join(gb, Seq("id_b"), "left")
+      .select(coalesce(col("ga"), col("id_a")).as("id_a"),
+        coalesce(col("gb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val touched = contracted.select(col("id_a").as("id"))
+      .union(contracted.select(col("id_b").as("id")))
+      .union(deltaNodes.select(col(idCol).as("id")))
+      .distinct()
+    val merged = connectedGroups(contracted, touched, "id")
+      .select(col("id").as("node"), col("group_id").as("new_gid"))
+    val deltaOut = deltaNodes.select(col(idCol).as("id"))
+      .join(merged, col("id") === col("node"), "left")
+      .select(col("id"), coalesce(col("new_gid"), col("id")).as("group_id"),
+        lit(true).as("is_delta"), lit(false).as("relabeled"))
+    val baseOut = baseGroups
+      .join(merged, col("group_id") === col("node"), "left")
+      .select(col("id"),
+        coalesce(col("new_gid"), col("group_id")).as("group_id"),
+        lit(false).as("is_delta"),
+        coalesce(col("new_gid") =!= col("group_id"), lit(false)).as("relabeled"))
+    deltaOut.unionAll(baseOut)
+  }
 }

@@ -342,6 +342,46 @@ object TextOps {
   def textDedupGroups(s: SparkSession, d: String): DataFrame =
     textDedupGroupsRaw(s, d).orderBy("doc_id")
 
+  /** Delta split for the incremental-maintenance query: every tenth
+    * document plays the newly-arrived batch, the rest are "yesterday's"
+    * corpus whose groups table already exists.
+    */
+  private def isDeltaDoc(id: Column): Column = pmod(id, lit(10L)) === 0
+
+  /** "Yesterday's" groups table — CC over the BASE (non-delta) docs and
+    * base-base pairs only, materialized once per (session, fixture)
+    * exactly as a production pipeline would read the previous run's
+    * gold table.
+    */
+  private[graft] def textDedupBaseGroupsRaw(s: SparkSession, d: String): DataFrame =
+    graft.io.Materialized.of(s, s"textDedupBaseGroups|$d") {
+      val pairs = ngramJaccardPairsRaw(s, d)
+        .filter(!isDeltaDoc(col("id_a")) && !isDeltaDoc(col("id_b")))
+        .select(col("id_a"), col("id_b"))
+      val baseDocs = Sources.documents(s, d).select(col("doc_id"))
+        .filter(!isDeltaDoc(col("doc_id")))
+      Dedup.connectedGroups(pairs, baseDocs, "doc_id")
+    }
+
+  /** Incremental dedup-group maintenance (`text_dedup_incremental`):
+    * the delta batch (every tenth doc) merges into yesterday's groups
+    * table via [[Dedup.incrementalMerge]] — contracted-graph CC over
+    * `{delta ids} ∪ {touched roots}` only, never the corpus — and the
+    * result must equal the FULL recompute over all pairs row-for-row
+    * (the oracle replays the full recursive-CTE reachability).
+    * `relabeled` is the write-back set: base docs whose group label
+    * changed because a delta doc bridged or extended their component.
+    */
+  def textDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairsRaw(s, d).select(col("id_a"), col("id_b"))
+    val deltaPairs = pairs.filter(isDeltaDoc(col("id_a")) || isDeltaDoc(col("id_b")))
+    val deltaDocs = Sources.documents(s, d).select(col("doc_id"))
+      .filter(isDeltaDoc(col("doc_id")))
+    Dedup.incrementalMerge(textDedupBaseGroupsRaw(s, d), deltaPairs, deltaDocs, "doc_id")
+      .select(col("id").as("doc_id"), col("group_id"), col("is_delta"), col("relabeled"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-document selection — the survivor rule applied to the
     * near-dup groups: within each multi-document group keep the LONGEST
     * variant (ties to the smallest doc_id), the heuristic that preserves
@@ -915,6 +955,7 @@ object TextOps {
     "dedup_jaccard_prefix" -> (jaccardPrefixJoin _),
     "graph_triangle_stats" -> (triangleStats _),
     "text_dedup_groups" -> (textDedupGroups _),
+    "text_dedup_incremental" -> (textDedupIncremental _),
     "dedup_canonical" -> (dedupCanonical _),
     "text_chunk_overlap" -> (textChunkOverlap _),
     "dedup_minhash_lsh" -> (dedupMinHashLsh _),
@@ -1131,6 +1172,36 @@ object TextOps {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS doc_id, min(dst) AS group_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // full recompute over ALL pairs (the equality the incremental path
+    // must reproduce), plus the base-only labels for the relabeled flag
+    "text_dedup_incremental" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) AS wset FROM documents),
+        | p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND abs(a.n_chars - b.n_chars) <= 3
+        |  WHERE round(len(list_intersect(a.wset, b.wset))::DOUBLE /
+        |        len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.3),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        | reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        | fullg AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src),
+        | eb AS (SELECT src, dst FROM e WHERE src % 10 <> 0 AND dst % 10 <> 0),
+        | reachb(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+        |  UNION
+        |  SELECT r.src, eb.dst FROM reachb r JOIN eb ON r.dst = eb.src),
+        | baseg AS (SELECT src AS doc_id, min(dst) AS bgid FROM reachb GROUP BY src)
+        |SELECT f.doc_id, f.group_id,
+        | f.doc_id % 10 = 0 AS is_delta,
+        | CASE WHEN f.doc_id % 10 = 0 THEN FALSE
+        |   ELSE f.group_id <> b.bgid END AS relabeled
+        |FROM fullg f LEFT JOIN baseg b ON f.doc_id = b.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "text_chunk_overlap" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | c AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1, 48),
