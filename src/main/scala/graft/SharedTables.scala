@@ -36,6 +36,7 @@ object SharedTables {
     "textDedupBaseGroups" -> ((s, d) => { ops.TextOps.textDedupBaseGroupsRaw(s, d); () }),
     "dedupEmbeddingCosine" -> ((s, d) => { ops.Similarity.dedupEmbeddingCosineRaw(s, d); () }),
     "dedupEmbeddingGroups" -> ((s, d) => { ops.Similarity.dedupEmbeddingGroups(s, d); () }),
+    "dedupEmbeddingBaseGroups" -> ((s, d) => { ops.Similarity.dedupEmbeddingBaseGroupsRaw(s, d); () }),
     "kmeansQv" -> ((s, d) => { ops.Similarity.quantEmb(s, d); () }),
   )
 

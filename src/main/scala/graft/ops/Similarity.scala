@@ -430,6 +430,47 @@ object Similarity {
       }
     }.orderBy("vec_id")
 
+  /** Delta split for the embedding-side incremental maintenance query —
+    * same convention as the text side: every tenth vector is the
+    * newly-arrived batch.
+    */
+  private def isDeltaVec(id: Column): Column = pmod(id, lit(10L)) === 0
+
+  /** "Yesterday's" embedding groups — CC over base vectors and
+    * base-base cosine pairs only (the pair set is EXACT, so its
+    * restriction to base endpoints is exactly what a base-only corpus
+    * would produce), materialized per (session, fixture).
+    */
+  private[graft] def dedupEmbeddingBaseGroupsRaw(s: SparkSession, d: String): DataFrame =
+    graft.io.Materialized.of(s, s"dedupEmbeddingBaseGroups|$d") {
+      val pairs = dedupEmbeddingCosineRaw(s, d)
+        .filter(!isDeltaVec(col("id_a")) && !isDeltaVec(col("id_b")))
+        .select(col("id_a"), col("id_b"))
+      val base = Sources.embeddings(s, d).select(col("vec_id"))
+        .filter(!isDeltaVec(col("vec_id")))
+      Dedup.connectedGroups(pairs, base, "vec_id")
+    }
+
+  /** Incremental embedding dedup-group maintenance
+    * (`sim_dedup_incremental`): the semantic-modality twin of
+    * `text_dedup_incremental` — delta vectors merge into yesterday's
+    * groups via [[Dedup.incrementalMerge]] (contracted-graph CC over
+    * `{delta ids ∪ touched roots}` only), and the result equals the
+    * full recompute row-for-row; the oracle replays full + base-only
+    * recursive-CTE reachability over the identical cosine pair
+    * definition. Together the two queries close the incremental loop
+    * for BOTH near-dup modalities.
+    */
+  def dedupEmbeddingIncremental(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupEmbeddingCosineRaw(s, d).select(col("id_a"), col("id_b"))
+    val deltaPairs = pairs.filter(isDeltaVec(col("id_a")) || isDeltaVec(col("id_b")))
+    val deltaVecs = Sources.embeddings(s, d).select(col("vec_id"))
+      .filter(isDeltaVec(col("vec_id")))
+    Dedup.incrementalMerge(dedupEmbeddingBaseGroupsRaw(s, d), deltaPairs, deltaVecs, "vec_id")
+      .select(col("id").as("vec_id"), col("group_id"), col("is_delta"), col("relabeled"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding L2-norm distribution per label — exercises the vector HOFs
     * in an aggregation (norms are engine-stable to 4 decimals).
     */
@@ -1027,6 +1068,7 @@ object Similarity {
     "sim_centroid_udaf" -> (centroidUdaf _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "sim_dedup_groups" -> (dedupEmbeddingGroups _),
+    "sim_dedup_incremental" -> (dedupEmbeddingIncremental _),
     "sim_ann_lsh" -> ((s, d) => annLshTopNeighbor(s, d)),
     "sim_ann_ivf" -> (ivfTopNeighbor _),
     "sim_centroid_by_label" -> (centroidByLabel _),
@@ -1159,6 +1201,32 @@ object Similarity {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS vec_id, min(dst) AS group_id
         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
+    // full recompute over ALL cosine pairs (the equality the
+    // incremental path must reproduce) + base-only labels for the flag
+    "sim_dedup_incremental" ->
+      """WITH RECURSIVE ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |   FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+        |   WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |        UNION ALL SELECT id_b, id_a FROM p),
+        | reach(src, dst) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        | fullg AS (SELECT src AS vec_id, min(dst) AS group_id FROM reach GROUP BY src),
+        | eb AS (SELECT src, dst FROM e WHERE src % 10 <> 0 AND dst % 10 <> 0),
+        | reachb(src, dst) AS (
+        |  SELECT vec_id, vec_id FROM embeddings WHERE vec_id % 10 <> 0
+        |  UNION
+        |  SELECT r.src, eb.dst FROM reachb r JOIN eb ON r.dst = eb.src),
+        | baseg AS (SELECT src AS vec_id, min(dst) AS bgid FROM reachb GROUP BY src)
+        |SELECT f.vec_id, f.group_id,
+        | f.vec_id % 10 = 0 AS is_delta,
+        | CASE WHEN f.vec_id % 10 = 0 THEN FALSE
+        |   ELSE f.group_id <> b.bgid END AS relabeled
+        |FROM fullg f LEFT JOIN baseg b ON f.vec_id = b.vec_id
+        |ORDER BY f.vec_id""".stripMargin,
     "sim_cosine_topk_native" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
