@@ -45,6 +45,8 @@ class PlanShapesSpec extends SparkSpec {
     "sample_temperature_mix",
     "sketch_join_size",
     "audit_selectivity_est", "audit_contract_check", "audit_psi_drift",
+    // 1-row distinct-counts attach onto the 1-row basic-stats row
+    "audit_column_profile",
     "ml_mutual_info", "audit_referential", "etl_zorder_stats",
     // 1-row corpus-count attach for the percentile denominator
     "text_length_pct_rank",
