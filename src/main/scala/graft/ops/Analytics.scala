@@ -590,7 +590,77 @@ object Analytics {
       ORDER BY o_orderpriority""")
   }
 
+  /** Q21-style "suppliers who alone kept the order waiting": among
+    * completed ('F') multi-supplier orders, count each supplier's late
+    * lineitems (the repo's 90-day ship-lag lattice) in orders where it
+    * was the ONLY late supplier. The textbook form is a double
+    * EXISTS / NOT EXISTS self-join on lineitem — two extra corpus
+    * shuffles and a decorrelation headache; here the same predicate is
+    * an AGGREGATE over the order: `n_supp >= 2 AND n_late_supp = 1`
+    * per orderkey, computed in one keyed shuffle and joined back, so
+    * the whole query is two shuffles on l_orderkey plus the broadcast
+    * supplier dim. Lateness is a date comparison (integer days) and
+    * numwait an exact count — hash-safe in both engines. Top-20 by
+    * (numwait DESC, suppkey) is a total order.
+    */
+  def soloLateSupplier(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "orders", "lineitem", "supplier")
+    s.sql("""
+      WITH lo AS (
+        SELECT l_orderkey, l_suppkey,
+          CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'),
+      os AS (SELECT l_orderkey,
+          count(DISTINCT l_suppkey) AS n_supp,
+          count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        FROM lo GROUP BY l_orderkey)
+      SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM lo JOIN os USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+      WHERE late AND n_supp >= 2 AND n_late_supp = 1
+      GROUP BY s_suppkey, s_name
+      ORDER BY numwait DESC, s_suppkey
+      LIMIT 20""")
+  }
+
+  /** Q20-style "dominant supplier" promotion screen: suppliers shipping
+    * MORE THAN HALF of some red-named part's total quantity — the
+    * quantity-threshold nested aggregate → semi-join shape (Q20's
+    * `ps_availqty > 0.5 * sum(l_quantity)` recast over the shipped
+    * volumes this schema has). Two keyed aggregates — (part, supplier)
+    * quantity, then part totals re-aggregated from those partials —
+    * and the comparison stays on the integer lattice (`2·sq > tq`), so
+    * the dominance set is exact in any engine. The 1995 ship-year
+    * restriction keeps the predicate BINDING at every fixture SF (the
+    * all-years volume spreads each part across too many suppliers for
+    * a true majority to exist — verified 8/49/536 dominant suppliers
+    * at sf0.001/0.01/0.1). The part-name prefix
+    * filter pushes to the part scan (StartsWith); the supplier dim
+    * broadcasts. Output: each dominant supplier with how many parts it
+    * dominates.
+    */
+  def dominantSupplier(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "part", "supplier")
+    s.sql("""
+      WITH rq AS (
+        SELECT l_partkey, l_suppkey,
+          CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%' AND year(l_shipdate) = 1995
+        GROUP BY l_partkey, l_suppkey),
+      pt AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq
+             FROM rq GROUP BY l_partkey)
+      SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dom_parts
+      FROM rq JOIN pt USING (l_partkey)
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE 2 * sq > tq
+      GROUP BY s_suppkey, s_name
+      ORDER BY s_suppkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_solo_late_supplier" -> (soloLateSupplier _),
+    "complex_dominant_supplier" -> (dominantSupplier _),
     "complex_priority_waiting" -> (priorityWaiting _),
     "complex_product_profit" -> (productProfit _),
     "complex_important_parts" -> (importantParts _),
@@ -617,6 +687,37 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_solo_late_supplier" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |os AS (SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        |  FROM lo GROUP BY l_orderkey)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lo JOIN os USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE late AND n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
+    "complex_dominant_supplier" ->
+      """WITH rq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%' AND year(l_shipdate) = 1995
+        |  GROUP BY l_partkey, l_suppkey),
+        |pt AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq
+        |       FROM rq GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dom_parts
+        |FROM rq JOIN pt USING (l_partkey)
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE 2 * sq > tq
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
     "complex_priority_waiting" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders
