@@ -709,6 +709,66 @@ class SessionizeProcessor extends org.apache.spark.sql.streaming.StatefulProcess
   }
 }
 
+/** CDC current-state record per key: micros + event id of the latest
+  * change (the CDC ordering key), its payload, and whether that latest
+  * change was a tombstone.
+  */
+case class CdcSt(us: Long, eventId: Long, eventType: String, value: Double)
+
+/** One CDC state emission: the key's CURRENT row after the batch —
+  * `deleted = true` means the latest change is a tombstone and the key
+  * is absent from the served table.
+  */
+case class CdcOut(user_id: Long, us: Long, event_id: Long, ts: String,
+    last_type: String, value: Double, deleted: Boolean)
+
+/** Streaming CDC apply (twin of the batch `etl_cdc_apply` /
+  * `Dedup.cdcApply`): one fixed-size [[CdcSt]] record per key holding
+  * the LATEST change by the (ts, event_id) CDC order — exactly the
+  * binlog-consumer state a live replica keeps. Each batch folds the
+  * key's rows through a max on (us, event_id) — commutative and
+  * associative, so delivery order across batches cannot change the
+  * outcome (unlike the sessionize twin, this one is order-insensitive
+  * by construction) — and emits the key's current row, tombstones
+  * flagged rather than dropped (a downstream materializer needs the
+  * delete to propagate). The last emission per key, minus tombstones,
+  * equals the batch keep-latest table bit-for-bit: timestamps format in
+  * UTC exactly as the batch `date_format`, and values round HALF_UP at
+  * 2 decimals like the batch `round(value, 2)` (asserted in
+  * StreamingOpsSpec across micro-batch boundaries).
+  */
+class CdcApplyProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, CdcOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[CdcSt] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CdcSt]("cdc",
+      org.apache.spark.sql.Encoders.product[CdcSt], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[CdcOut] = {
+    def micros(e: TypedEvent): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+    var s = if (st.exists()) st.get() else null
+    rows.foreach { e =>
+      val us = micros(e)
+      if (s == null || us > s.us || (us == s.us && e.event_id > s.eventId))
+        s = CdcSt(us, e.event_id, e.event_type, e.value)
+    }
+    if (s == null) Iterator.empty
+    else {
+      st.update(s)
+      val tsStr = java.time.Instant.ofEpochSecond(s.us / 1000000L, (s.us % 1000000L) * 1000L)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val v2 = java.math.BigDecimal.valueOf(s.value)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      Iterator.single(
+        CdcOut(key, s.us, s.eventId, tsStr, s.eventType, v2, s.eventType == "error"))
+    }
+  }
+}
+
 /** One labeled fact for the feature-store twin: key, its categorical
   * group, and the integer-cents label.
   */
@@ -873,6 +933,15 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     events.groupByKey(_.user_id)
       .transformWithState(new InterArrivalProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming CDC apply: see [[CdcApplyProcessor]]. */
+  def cdcApplyPerUser(events: org.apache.spark.sql.Dataset[TypedEvent]):
+      org.apache.spark.sql.Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new CdcApplyProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming per-user sessionization: see [[SessionizeProcessor]]. */

@@ -702,6 +702,34 @@ class StreamingOpsSpec extends SparkSpec {
     got should not be empty
   }
 
+  "cdcApplyPerUser (transformWithState)" should "reproduce the batch etl_cdc_apply table" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val evs = fixtureEvents(s2)
+    // shuffle-resistant split: CDC apply must be ORDER-INSENSITIVE
+    // (max-fold on the ordering key), so the batches deliberately
+    // interleave event times instead of splitting chronologically
+    val (b1, b2) = evs.partition(_.event_id % 2 == 0)
+    val mem = MemoryStream[TypedEvent]
+    val q = StreamingOps.cdcApplyPerUser(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_s").outputMode("update").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable(); q.stop()
+    // the state is monotone in the CDC order (us, event_id), which the
+    // emission carries — the final state per user is the max-ordinal row
+    val got = s2.table("cdc_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getDouble(5), r.getBoolean(6)))
+      .groupBy(_._1).values.map(_.maxBy(t => (t._2, t._3))).toSeq
+      .filter(!_._7)
+      .map(t => (t._1, t._4, t._5, t._6)).sortBy(_._1)
+    val want = graft.SparkEntry.queries("etl_cdc_apply")(s2, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+    got shouldBe want
+    got should not be empty
+  }
+
   "sessionizePerUser (transformWithState)" should "reproduce the batch ts_sessionize table" in {
     val s2 = rocksSession
     import s2.implicits._
