@@ -654,13 +654,6 @@ object Similarity {
 
   private[graft] def trainPq(s: SparkSession, emb: DataFrame,
       m: Int = 8, k: Int = 16, subDim: Int = 8, iters: Int = 2): Seq[((Int, Int), Array[Double])] = {
-    import s.implicits._
-    def subRows(e: DataFrame) = e.select(col("vec_id"), explode(transform(
-        sequence(lit(0), lit(m - 1)),
-        i => struct(i.as("sub"), slice(col("embedding"), i * subDim + 1, lit(subDim)).as("sv"))))
-      .as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"),
-        transform(col("x.sv"), v => v.cast("double")).as("sv"))
     // seed from k corpus vectors in deterministic hash order (spread like
     // the data — subset-mean seeds would collapse Lloyd; same rule as IVF)
     val seeds = emb.select(col("vec_id"), col("embedding"))
@@ -675,20 +668,31 @@ object Similarity {
       cell <- 0 until kEff
     } yield (sub, cell) -> seeds(cell).slice(sub * subDim, (sub + 1) * subDim)
       .map(_.toDouble)).toSeq
-    val sr = subRows(emb)
     val cent = graft.functions.CentroidAggregator.centroid(subDim)
     for (_ <- 1 to iters) {
-      val cb = model.map { case ((sub, cell), v) => (sub, cell, v) }
-        .toDF("sub", "cell", "cent")
-      val d2 = aggregate(zip_with(col("sv"), col("cent"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, e) => a + e)
-      val assigned = sr.join(broadcast(cb), "sub")
-        .withColumn("d2", d2)
-        .groupBy("vec_id", "sub")
-        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
-      model = assigned.join(sr, Seq("vec_id", "sub"))
-        .select(col("sub"), col("cell"),
-          transform(col("sv"), v => v.cast("float")).as("sv"))
+      // E-step as a literal-codebook projection carrying the sub-vector
+      // (same shape as [[pqEncode]] — the model lives on the driver
+      // between iterations, so the old broadcast-join + min_by +
+      // join-back paid a k× row blowup, a SortAggregate and an extra
+      // equi-join for data that one map pass produces)
+      val bySub = model.groupBy(_._1._1).view
+        .mapValues(_.map { case ((_, cell), v) => (cell, v) }.sortBy(_._1)).toMap
+      val subCols = (0 until m).filter(bySub.contains).map { sub =>
+        val sv = transform(slice(col("embedding"), sub * subDim + 1, subDim),
+          v => v.cast("double"))
+        val cands = bySub(sub).map { case (cell, c) =>
+          struct(
+            aggregate(zip_with(sv, array(c.map(lit(_)): _*),
+              (x, y) => (x - y) * (x - y)), lit(0.0), (a, e) => a + e).as("d2"),
+            lit(cell).as("cell"))
+        }
+        val best = if (cands.size == 1) cands.head else least(cands: _*)
+        struct(lit(sub).as("sub"),
+          best.getField("cell").as("cell"), sv.as("sv"))
+      }
+      model = emb.select(explode(array(subCols: _*)).as("x"))
+        .select(col("x.sub").as("sub"), col("x.cell").as("cell"),
+          transform(col("x.sv"), v => v.cast("float")).as("sv"))
         .groupBy("sub", "cell").agg(cent(col("sv")).as("c"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
@@ -709,23 +713,35 @@ object Similarity {
   /** PQ encode: (vec_id, sub, best=struct(d2, cell)) — the broadcast-join
     * argmin shared by the audit and the ADC search path.
     */
+  /** Encode every vector against a DRIVER-RESIDENT codebook: one
+    * projection computes, per subspace, `least()` over that subspace's
+    * k literal centroids — the same literal-argmin shape as the k-means
+    * E-step. The previous broadcast-join + `min(struct(d2, cell))` form
+    * blew each row up k× AND planned the argmin as a SortAggregate
+    * (struct aggregation buffers don't fit the hash aggregate), sorting
+    * the N·m·k joined table per partition; this form never leaves the
+    * scan. Output shape `(vec_id, sub, best{d2, cell})` is unchanged;
+    * ties break to the smaller cell id exactly as `min(struct)` did.
+    */
   private[graft] def pqEncode(s: SparkSession, emb: DataFrame,
       model: Seq[((Int, Int), Array[Double])], m: Int = 8, subDim: Int = 8): DataFrame = {
-    import s.implicits._
-    val cb = model.map { case ((sub, cell), v) => (sub, cell, v) }
-      .toDF("sub", "cell", "cent")
-    val sr = emb.select(col("vec_id"), explode(transform(
-        sequence(lit(0), lit(m - 1)),
-        i => struct(i.as("sub"), slice(col("embedding"), i * subDim + 1, lit(subDim)).as("sv"))))
-      .as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"),
-        transform(col("x.sv"), v => v.cast("double")).as("sv"))
-    val d2 = aggregate(zip_with(col("sv"), col("cent"),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (a, e) => a + e)
-    sr.join(broadcast(cb), "sub")
-      .withColumn("d2", d2)
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+    val bySub: Map[Int, Seq[(Int, Array[Double])]] =
+      model.groupBy(_._1._1).view
+        .mapValues(_.map { case ((_, cell), v) => (cell, v) }.sortBy(_._1)).toMap
+    val subCols = (0 until m).filter(bySub.contains).map { sub =>
+      val sv = transform(slice(col("embedding"), sub * subDim + 1, subDim),
+        v => v.cast("double"))
+      val cands = bySub(sub).map { case (cell, cent) =>
+        struct(
+          aggregate(zip_with(sv, array(cent.map(lit(_)): _*),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, e) => a + e).as("d2"),
+          lit(cell).as("cell"))
+      }
+      val best = if (cands.size == 1) cands.head else least(cands: _*)
+      struct(lit(sub).as("sub"), best.as("best"))
+    }
+    emb.select(col("vec_id"), explode(array(subCols: _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.best").as("best"))
   }
 
   def pqAudit(s: SparkSession, d: String): DataFrame = {
