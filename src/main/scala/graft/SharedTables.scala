@@ -32,6 +32,7 @@ object SharedTables {
     "graph-wedges" -> ((s, d) => { ops.Graph.weightedEdges(s, d); () }),
     "graph-strong" -> ((s, d) => { ops.Graph.strongEdges(s, d); () }),
     "ngramJaccardPairs" -> ((s, d) => { ops.TextOps.ngramJaccardPairsRaw(s, d); () }),
+    "shingleSets" -> ((s, d) => { ops.TextOps.shingleSetsRaw(s, d); () }),
     "textDedupGroups" -> ((s, d) => { ops.TextOps.textDedupGroupsRaw(s, d); () }),
     "textDedupBaseGroups" -> ((s, d) => { ops.TextOps.textDedupBaseGroupsRaw(s, d); () }),
     "dedupEmbeddingCosine" -> ((s, d) => { ops.Similarity.dedupEmbeddingCosineRaw(s, d); () }),

@@ -447,11 +447,18 @@ object TextOps {
 
   /** Distinct 3-word-shingle set per document — the exact-verification
     * side of both sketch pipelines; same shingle construction as
-    * [[Dedup.minHashBands]].
+    * [[Dedup.minHashBands]]. Materialized once per (session, fixture):
+    * FOUR query paths consume it (the MinHash and SimHash exact
+    * re-ranks, decontamination's train/test split, the incremental LSH
+    * probe), and the shingle pass (split + 3-gram + distinct per doc)
+    * is the expensive stage of each — the classic build-the-shingle-
+    * table-once materialization at corpus scale.
     */
-  private def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(Dedup.wordShingles(words(col("text")))).as("sset"))
+  private[graft] def shingleSetsRaw(s: SparkSession, d: String): DataFrame =
+    graft.io.Materialized.of(s, s"shingleSets|$d") {
+      Sources.documents(s, d).select(col("doc_id"),
+        array_distinct(Dedup.wordShingles(words(col("text")))).as("sset"))
+    }
 
   /** Exact shingle-Jaccard re-rank of candidate `(id_a, id_b)` pairs —
     * the verify half of LSH-propose / exact-verify: candidates come from
@@ -461,8 +468,8 @@ object TextOps {
     * over-merge). Two id equi-joins + one codegen'd set intersection per
     * candidate; cost is O(candidates), never all-pairs.
     */
-  private def exactRerank(cands: DataFrame, docs: DataFrame): DataFrame = {
-    val sets = shingleSets(docs)
+  private def exactRerank(cands: DataFrame, s: SparkSession, d: String): DataFrame = {
+    val sets = shingleSetsRaw(s, d)
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("sset").as("set_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sset").as("set_b")), "id_b")
@@ -493,7 +500,7 @@ object TextOps {
   def dedupMinHashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = Sources.documents(s, d)
     val sigs = Dedup.minHashBands(docs, "doc_id", "text", nHashes = 16, bandSize = 2)
-    exactRerank(Dedup.lshCandidatePairs(sigs, "doc_id"), docs)
+    exactRerank(Dedup.lshCandidatePairs(sigs, "doc_id"), s, d)
   }
 
   /** SimHash near-dup pairs, exact-verified: 64-bit signature (per word
@@ -550,7 +557,7 @@ object TextOps {
       .dropDuplicates("id_a", "id_b")
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
       .select("id_a", "id_b")
-    exactRerank(cands, docs)
+    exactRerank(cands, s, d)
   }
 
   /** Decontamination (LLM-pipeline core op): n-gram containment of a
@@ -573,7 +580,7 @@ object TextOps {
     */
   def textContamination(s: SparkSession, d: String): DataFrame = {
     val dfCap = 100L
-    val sets = shingleSets(Sources.documents(s, d))
+    val sets = shingleSetsRaw(s, d)
     val test = sets.filter(pmod(col("doc_id"), lit(10)) === 0)
     val train = sets.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     // The shingle explode is the expensive pass here (split + 3-gram
@@ -694,7 +701,7 @@ object TextOps {
       Dedup.minHashBands(batch, "doc_id", "text", nHashes = 16, bandSize = 2),
       Dedup.minHashBands(corpus, "doc_id", "text", nHashes = 16, bandSize = 2),
       "doc_id")
-    val sets = shingleSets(docs)
+    val sets = shingleSetsRaw(s, d)
     val matched = cands
       .join(sets.select(col("doc_id").as("id_a"), col("sset").as("set_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sset").as("set_b")), "id_b")
