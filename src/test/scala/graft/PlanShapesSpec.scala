@@ -115,6 +115,32 @@ class PlanShapesSpec extends SparkSpec {
     offenders.toSeq shouldBe empty
   }
 
+  /** Queries allowed a KEYED SortAggregate. String/struct aggregation
+    * buffers don't fit the hash aggregate's UnsafeRow, so min/max over
+    * strings or structs in a grouped aggregate degrades to
+    * SortAggregate — which SORTS its input per partition. That is fine
+    * when the input is model-sized or post-aggregate (these four:
+    * `agg_minmax_by` exercises the max_by/min_by BUILT-INS over a
+    * 5-group corpus — the operator itself is the coverage point;
+    * `agg_mode`'s argmin input is the post-count (flag, qty) table;
+    * `ml_nb_confusion` argmaxes the docs×5-language score grid;
+    * `sim_pq_adc`'s min_by reduces the |q|-row serving grid) but a
+    * corpus-sized input here is the audit_column_profile bug class —
+    * the whole corpus sorted per partition for want of a two-pass
+    * formulation. New offenders fail here.
+    */
+  private val sanctionedSortAgg =
+    Set("agg_minmax_by", "agg_mode", "ml_nb_confusion", "sim_pq_adc")
+
+  it should "plan keyed SortAggregates only at sanctioned model-sized sites" in {
+    val keyed = "SortAggregate\\(key=\\[[^\\]]".r
+    val offenders = allPlans.collect {
+      case (name, plan) if !sanctionedSortAgg(name) &&
+        keyed.findFirstIn(plan).isDefined => name
+    }
+    offenders.toSeq shouldBe empty
+  }
+
   "etl_range_filter" should "push its date range down to the parquet scan" in {
     val p = planOf("etl_range_filter")
     p should include("PushedFilters")
