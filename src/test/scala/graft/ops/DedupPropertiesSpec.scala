@@ -230,4 +230,50 @@ class DedupPropertiesSpec extends SparkSpec {
       replayed shouldBe got
     }
   }
+
+  /** Incremental CC maintenance must equal the full recompute on ANY
+    * graph and ANY delta marking — the fixture oracle proves one split;
+    * this proves the algebra (contracting base endpoints to min-id
+    * roots preserves the global minimum of every merged component)
+    * over seeded random graphs, including deltas that bridge multiple
+    * base components and deltas with no edges at all.
+    */
+  "Dedup.incrementalMerge" should "equal the full recompute on random graphs and delta splits" in {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 5) {
+      val nNodes = 60 + rnd.nextInt(140)
+      val nodeIds = (0 until nNodes).map(_.toLong)
+      val nEdges = rnd.nextInt(2 * nNodes)
+      val edges = (1 to nEdges).map { _ =>
+        (nodeIds(rnd.nextInt(nNodes)), nodeIds(rnd.nextInt(nNodes)))
+      }.filter { case (a, b) => a != b }
+      val deltaMod = 3 + rnd.nextInt(8) // ~12-33% of nodes are delta
+      def isDelta(id: Long): Boolean = id % deltaMod == 0
+      val nodesDf = nodeIds.toDF("id")
+      val pairsDf = edges.toDF("id_a", "id_b")
+      val full = Dedup.connectedGroups(pairsDf, nodesDf, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val baseGroups = Dedup.connectedGroups(
+        pairsDf.filter(!col("id_a").isin(nodeIds.filter(isDelta): _*) &&
+          !col("id_b").isin(nodeIds.filter(isDelta): _*)),
+        nodesDf.filter(!col("id").isin(nodeIds.filter(isDelta): _*)), "id")
+      val baseMap = baseGroups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val merged = Dedup.incrementalMerge(
+        baseGroups,
+        pairsDf.filter(col("id_a").isin(nodeIds.filter(isDelta): _*) ||
+          col("id_b").isin(nodeIds.filter(isDelta): _*)),
+        nodesDf.filter(col("id").isin(nodeIds.filter(isDelta): _*)), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      withClue(s"trial $trial (n=$nNodes, e=${edges.size}, mod=$deltaMod): ") {
+        merged.map(t => t._1 -> t._2).toMap shouldBe full
+        // flags are consistent: is_delta matches the marking, and
+        // relabeled = the base doc's label really changed (iff)
+        merged.foreach { case (id, gid, d, rl) =>
+          d shouldBe isDelta(id)
+          if (!d) rl shouldBe (gid != baseMap(id))
+        }
+      }
+    }
+  }
 }
