@@ -50,6 +50,28 @@ object Checkpoints {
     else df.localCheckpoint(eager)
   }
 
+  /** Pin with a GUARANTEED-preserved output partitioning. Under AQE the
+    * physical plan reports Unknown partitioning until its final plan
+    * materializes, and `Dataset.checkpoint` captures the partitioning
+    * at construction — so a normally-pinned table loses its layout and
+    * every consumer re-exchanges it (measured: the PageRank edge table
+    * re-shuffled EVERY iteration despite being hash-partitioned on the
+    * join key at build). This variant plans the subplan with AQE
+    * disabled, so the checkpointed LogicalRDD carries the real
+    * hashpartitioning and iterative consumers co-locate on it for free.
+    * Use for session-materialized tables whose layout is the point
+    * (edge/node tables repartitioned on their join key); plain [[pin]]
+    * keeps AQE for everything else.
+    */
+  def pinLayout(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try pin(df, eager = true)
+    finally s.conf.set(key, prev)
+  }
+
   /** `.pinned(...)` chain syntax for call sites. */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     def pinned(eager: Boolean = true): DataFrame = pin(df, eager)

@@ -59,7 +59,7 @@ object Materialized {
     * deterministic; callers apply any output ordering AFTER this call so
     * the cached plan stays sort-free.
     */
-  def of(session: SparkSession, label: String)
+  def of(session: SparkSession, label: String, layout: Boolean = false)
       (compute: => DataFrame): DataFrame = {
     evictDead()
     val key = s"${sessionId(session)}|$label"
@@ -74,7 +74,11 @@ object Materialized {
     val existing = cache.get(key)
     if (existing != null) existing.df
     else {
-      val e = Entry(new WeakReference(session), Checkpoints.pin(compute))
+      // layout=true: preserve the computed output partitioning through
+      // the pin (see Checkpoints.pinLayout) so iterative consumers
+      // co-locate on the materialized table instead of re-exchanging it
+      val e = Entry(new WeakReference(session),
+        if (layout) Checkpoints.pinLayout(compute) else Checkpoints.pin(compute))
       val prev = cache.putIfAbsent(key, e)
       (if (prev != null) prev else e).df
     }

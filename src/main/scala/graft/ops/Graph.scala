@@ -42,14 +42,22 @@ object Graph {
     * materializes before any traversal.
     */
   private[graft] def edgesWithDeg(s: SparkSession, d: String): DataFrame =
-    Materialized.of(s, s"graph-edges|$d") {
+    Materialized.of(s, s"graph-edges|$d", layout = true) {
       val e = boughtAfterEdges(s, d)
+      // pin the edge table ALREADY hash-partitioned on src: the pinned
+      // LogicalRDD keeps that output partitioning, so every PageRank /
+      // PPR iteration's join on src shuffles ONLY the node-sized rank
+      // table — without this the full edge table re-exchanges every
+      // iteration (the corpus-sized side, ×iterations, at 100 TB)
       e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src")
+        .repartition(col("src"))
     }
 
   /** All nodes (src ∪ dst), materialized once per (session, fixture). */
   private[graft] def nodeTable(s: SparkSession, d: String): DataFrame =
-    Materialized.of(s, s"graph-nodes|$d") {
+    // layout: distinct leaves the table hash-partitioned on part — the
+    // per-iteration left join then only shuffles the aggregated sums
+    Materialized.of(s, s"graph-nodes|$d", layout = true) {
       val eo = edgesWithDeg(s, d)
       eo.select(col("src").as("part"))
         .union(eo.select(col("dst").as("part"))).distinct()
@@ -198,11 +206,15 @@ object Graph {
     * fixture); shared by reachability and any future undirected op.
     */
   private[graft] def undirectedEdges(s: SparkSession, d: String): DataFrame =
-    Materialized.of(s, s"graph-und|$d") {
+    // layout: repartitioned on the traversal key u, so frontier
+    // expansions join co-located (the frontier side shuffles, the
+    // corpus-sized edge table never does)
+    Materialized.of(s, s"graph-und|$d", layout = true) {
       val e = edgesWithDeg(s, d)
       e.select(col("src").as("u"), col("dst").as("v"))
         .union(e.select(col("dst").as("u"), col("src").as("v")))
         .distinct()
+        .repartition(col("u"))
     }
 
   def khopReach(s: SparkSession, d: String): DataFrame = {
@@ -287,7 +299,9 @@ object Graph {
     * once per (session, fixture).
     */
   private[graft] def weightedEdges(s: SparkSession, d: String): DataFrame =
-    Materialized.of(s, s"graph-wedges|$d") {
+    // layout: pinned hash-partitioned on src (same rationale as
+    // edgesWithDeg — the weighted loop joins it every iteration)
+    Materialized.of(s, s"graph-wedges|$d", layout = true) {
       val li = Sources.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       val pairs = li.as("a")
@@ -300,6 +314,7 @@ object Graph {
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       pairs.join(
         pairs.groupBy("src").agg(sum("w").as("wout")), "src")
+        .repartition(col("src"))
     }
 
   def pageRankWeighted(s: SparkSession, d: String): DataFrame = {
