@@ -41,6 +41,23 @@ object Graph {
     * in-session stand-in for the edge table a production graph pipeline
     * materializes before any traversal.
     */
+  /** Hash-repartition onto a SIZE-DERIVED partition count (~100k rows
+    * per partition, capped at the session's shuffle parallelism) for
+    * the layout-pinned tables: pinLayout preserves exactly this layout,
+    * so iterative joins co-locate on it — but without AQE the session
+    * default (32 here, thousands on a cluster) would leave near-empty
+    * partitions whose per-task scheduling dominates every iteration at
+    * small data. Partition count should track the DATA, not the
+    * session default; the one extra count() runs once per session in
+    * the warm phase.
+    */
+  private def sized(df: DataFrame, key: String): DataFrame = {
+    val parts = math.max(1L, math.min(
+      df.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      df.count() / 100000L + 1L)).toInt
+    df.repartition(parts, col(key))
+  }
+
   private[graft] def edgesWithDeg(s: SparkSession, d: String): DataFrame =
     Materialized.of(s, s"graph-edges|$d", layout = true) {
       val e = boughtAfterEdges(s, d)
@@ -49,8 +66,7 @@ object Graph {
       // PPR iteration's join on src shuffles ONLY the node-sized rank
       // table — without this the full edge table re-exchanges every
       // iteration (the corpus-sized side, ×iterations, at 100 TB)
-      e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src")
-        .repartition(col("src"))
+      sized(e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src"), "src")
     }
 
   /** All nodes (src ∪ dst), materialized once per (session, fixture). */
@@ -59,8 +75,8 @@ object Graph {
     // per-iteration left join then only shuffles the aggregated sums
     Materialized.of(s, s"graph-nodes|$d", layout = true) {
       val eo = edgesWithDeg(s, d)
-      eo.select(col("src").as("part"))
-        .union(eo.select(col("dst").as("part"))).distinct()
+      sized(eo.select(col("src").as("part"))
+        .union(eo.select(col("dst").as("part"))).distinct(), "part")
     }
 
   /** PageRank, 5 fixed iterations, damping 0.85, teleport uniform.
@@ -211,10 +227,9 @@ object Graph {
     // corpus-sized edge table never does)
     Materialized.of(s, s"graph-und|$d", layout = true) {
       val e = edgesWithDeg(s, d)
-      e.select(col("src").as("u"), col("dst").as("v"))
+      sized(e.select(col("src").as("u"), col("dst").as("v"))
         .union(e.select(col("dst").as("u"), col("src").as("v")))
-        .distinct()
-        .repartition(col("u"))
+        .distinct(), "u")
     }
 
   def khopReach(s: SparkSession, d: String): DataFrame = {
@@ -312,9 +327,8 @@ object Graph {
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .filter(col("src") =!= col("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      pairs.join(
-        pairs.groupBy("src").agg(sum("w").as("wout")), "src")
-        .repartition(col("src"))
+      sized(pairs.join(
+        pairs.groupBy("src").agg(sum("w").as("wout")), "src"), "src")
     }
 
   def pageRankWeighted(s: SparkSession, d: String): DataFrame = {
