@@ -204,9 +204,20 @@ object TextOps {
     // Bucket n_chars (width 7 covers the ±3 band) and explode the probe
     // side to its 3 neighbor buckets — the join becomes hash/SMJ on
     // (lang, bucket) and scales linearly with bucket occupancy.
+    //
+    // Word sets are hashed to xxhash64 LONGS before the self-join: the
+    // exploded candidate join shuffles each doc's set 3× and then runs
+    // array_intersect/array_union per candidate — on string arrays
+    // that's the generic O(n·m) scan, on longs the primitive fast path
+    // (~4× measured on jaccardPrefixJoin's re-rank). Jaccard depends
+    // only on element equality, so hashing never changes the output
+    // (collision odds ~|set|²/2⁶⁵ per pair; the string-set oracle would
+    // surface one). Repartition first: the single-file documents read
+    // would otherwise run the tokenize pass on one core.
     val docs = Sources.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(words(col("text"))).as("wset"))
+        array_distinct(transform(words(col("text")), w => xxhash64(w))).as("wset"))
       .withColumn("bucket", (col("n_chars") / 7).cast("long"))
     val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"),
         col("wset").as("ws_a"),
@@ -445,19 +456,41 @@ object TextOps {
     */
   private val nearDupTau = 0.6
 
-  /** Distinct 3-word-shingle set per document — the exact-verification
-    * side of both sketch pipelines; same shingle construction as
-    * [[Dedup.minHashBands]]. Materialized once per (session, fixture):
-    * FOUR query paths consume it (the MinHash and SimHash exact
-    * re-ranks, decontamination's train/test split, the incremental LSH
-    * probe), and the shingle pass (split + 3-gram + distinct per doc)
-    * is the expensive stage of each — the classic build-the-shingle-
-    * table-once materialization at corpus scale.
+  /** Distinct 3-word-shingle set per document, shingles hashed to
+    * xxhash64 LONGS — the exact-verification side of both sketch
+    * pipelines; same shingle construction as [[Dedup.minHashBands]].
+    * Materialized once per (session, fixture): FOUR query paths consume
+    * it (the MinHash and SimHash exact re-ranks, decontamination's
+    * train/test split, the incremental LSH probe), and the shingle pass
+    * (split + 3-gram + distinct per doc) is the expensive stage of each
+    * — the classic build-the-shingle-table-once materialization at
+    * corpus scale.
+    *
+    * Build shape is the [[jaccardPrefixJoin]] fast path, all three legs
+    * mandatory: (1) `repartition` to session parallelism BEFORE the
+    * projection — the documents fixture is one parquet file, so the
+    * inherited split layout runs the whole corpus-sized shingle pass on
+    * a single core; (2) a projection barrier pinning the split word
+    * array — inlining `split()` into the transform() lambda re-tokenizes
+    * the document once per shingle (O(words²) per doc on the interpreted
+    * HOF path; measured 124.9 s vs 0.7 s on the driver's warm phase);
+    * (3) shingles hashed to 64-bit longs so every downstream
+    * `array_intersect`/`array_union`/postings equi-join runs Spark's
+    * primitive-long fast path (~4× over the generic string scan).
+    * Hashing never changes consumer OUTPUT values — Jaccard, containment
+    * and postings counts depend only on element equality, and 64-bit
+    * collisions are ~|set|²/2⁶⁵ per pair (the DuckDB string-set oracles
+    * would surface one as a hash mismatch).
     */
   private[graft] def shingleSetsRaw(s: SparkSession, d: String): DataFrame =
     graft.io.Materialized.of(s, s"shingleSets|$d") {
-      Sources.documents(s, d).select(col("doc_id"),
-        array_distinct(Dedup.wordShingles(words(col("text")))).as("sset"))
+      Sources.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), words(col("text")).as("__w"))
+        .pinned(eager = false)
+        .select(col("doc_id"),
+          array_distinct(transform(Dedup.wordShingles(col("__w")), h => xxhash64(h)))
+            .as("sset"))
     }
 
   /** Exact shingle-Jaccard re-rank of candidate `(id_a, id_b)` pairs —
