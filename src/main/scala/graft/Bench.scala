@@ -68,23 +68,45 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    // per-query process-CPU-seconds next to wall seconds: the canary
+    // calibrates host speed ONCE per run, but hypervisor CPU-steal is
+    // time-windowed — r9's record had 2-14x wall outliers with gc_ms=0
+    // in alphabetically adjacent clusters (queries run sorted, so a
+    // contended window maps to a name range) that cost an adjudication
+    // round-trip. wall >> cpu on a 32-thread-busy query = the host took
+    // the cycles, not the plan; recording both makes it self-diagnosing.
+    // Note cpu is summed over ALL threads, so cpu_sec > sec is normal
+    // for parallel stages; the steal signature is specifically a wall
+    // blow-up at FLAT cpu vs the query's other iteration / other runs.
+    val cpuBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNanos(): Long = cpuBean.map(_.getProcessCpuTime).getOrElse(0L)
     val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val cpuByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val g0 = gcMillis()
-        try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, gcMillis() - g0) }
+        val c0 = cpuNanos()
+        try {
+          fn(spark, sfDir).count()
+          ((System.nanoTime() - t0) / 1e9, gcMillis() - g0, (cpuNanos() - c0) / 1e9)
+        }
         catch { case e: Throwable =>
           val msg = (Option(e.getMessage).getOrElse("") match {
             case "" => e.getClass.getName
             case m  => e.getClass.getSimpleName + ": " + m
           }).replaceAll("\\s+", " ").take(300)
           errors(name) = msg
-          System.err.println(s"[bench] $name FAILED: $msg"); (-1.0, 0L)
+          System.err.println(s"[bench] $name FAILED: $msg"); (-1.0, 0L, 0.0)
         }
       }
       val best = times.minBy(_._1)
       gcByQuery(name) = best._2
+      cpuByQuery(name) = best._3
       name -> (if (times.exists(_._1 == -1.0)) -1.0 else best._1)
     }
     // The harness keeps only the last ~2000 chars of stdout, and 78 query
@@ -115,10 +137,39 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum + sharedSec
     val sharedJson = shared.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // warm-phase cost governance: per shared table, build seconds next
+    // to how many times queries actually consumed it (Materialized
+    // access count minus the warm build itself). A build that costs
+    // more than its consumers save is a net-negative materialization
+    // (r9 shipped one: 125 s build serving ~6 s of query time) — the
+    // record must make that trade visible the day it lands, so any
+    // entry with build > 5 s and ≤ 1 post-warm consumer is FLAGGED.
+    val accessed = graft.io.Materialized.accessCounts
+    val consumers = shared.collect { case (label, _) if !label.startsWith("model-") =>
+      label -> math.max(0L, accessed.getOrElse(label, 1L) - 1L)
+    }
+    val consumersJson = consumers.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val flagged = consumers.collect {
+      case (label, n) if n <= 1 && shared.find(_._1 == label).exists(_._2 > 5.0) => label
+    }
+    flagged.foreach(l => System.err.println(
+      s"[bench] WARM-COST FLAG: shared table '$l' cost >5s to build but served <=1 query"))
+    val flaggedJson = flagged.map(jstr).mkString("[", ",", "]")
+    // model provenance is re-read AFTER the query loop: in a filtered
+    // run warmAll is skipped, so a model trained lazily inside a timed
+    // query would otherwise be invisible while iteration 1 silently
+    // absorbed its training cost — exactly the attribution this field
+    // exists to expose. trained = warm-phase trains; trained_late =
+    // trains that happened inside the timed loop (want: 0).
+    val modelsTrainedLate = graft.io.ModelStore.trainEvents.size - modelsTrained
+    val cpuJson = cpuByQuery.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},""" +
       s""""materialization_sec":${fmt(sharedSec)},"materialization":$sharedJson,""" +
-      s""""models":{"trained":$modelsTrained,"code_id":"$modelCodeId"},""" +
-      s""""queries":$qs,"gc_ms":$gcJson$errJson,"sf":"$sfDir"}"""
+      s""""materialization_consumers":$consumersJson,"materialization_flags":$flaggedJson,""" +
+      s""""models":{"trained":$modelsTrained,"trained_late":$modelsTrainedLate,"code_id":"$modelCodeId"},""" +
+      s""""queries":$qs,"gc_ms":$gcJson,"cpu_sec":$cpuJson$errJson,"sf":"$sfDir"}"""
     // filtered local runs must not clobber the round record, and neither
     // must a partially-failed run: a caller ignoring the non-zero exit (or
     // a later blanket commit) would ship the broken record over the last

@@ -378,8 +378,46 @@ object ScaleProbe {
         inccTouched = r.filter(col("is_delta") || col("relabeled")).count()
         r.count()
       }
+      // Incremental-PageRank maintenance probe (r10): the graph-
+      // replicated fact table splits by order (90% base / 10% delta
+      // batch — the replication offset is ≡ 0 mod 10, so the split is
+      // scale-stable). Yesterday's base edge/degree table is prebuilt
+      // (checkpointed, untimed — a production run READS it). Timed
+      // head-to-head: (a) the FULL re-derivation (fact self-join +
+      // distinct + degree join + write-back) vs (b) the incremental
+      // merge (delta-only self-join + anti-join against the pinned
+      // base + broadcast degree patch + the same write-back). The
+      // merge's only corpus-sized work is one map-side patch pass and
+      // the write-back repartition — never the fact self-join — so its
+      // time must stay well under (a) at every scale, and the
+      // new-edge count is the delta-sized evidence. The rank loop
+      // itself is identical on both paths (bit-equal by GraphSpec), so
+      // maintenance is the entire difference.
+      val liBase = spark.read.parquet(s"$dir/lineitem_g.parquet")
+        .filter(pmod(col("l_orderkey"), lit(10L)) =!= 0)
+      val liDelta = spark.read.parquet(s"$dir/lineitem_g.parquet")
+        .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
+      val eBaseX = graft.ops.Graph.edgesFrom(liBase)
+      val baseEoX = eBaseX
+        .join(eBaseX.groupBy("src").agg(count(lit(1)).as("outd")), "src")
+        .repartition(32, col("src")).localCheckpoint(true)
+      var prmNewEdges = 0L
+      val tPrmFullDerive = time {
+        val e = graft.ops.Graph.edgesFrom(
+          spark.read.parquet(s"$dir/lineitem_g.parquet"))
+        e.join(e.groupBy("src").agg(count(lit(1)).as("outd")), "src")
+          .repartition(32, col("src")).localCheckpoint(true).count()
+      }
+      val tPrmMerge = time {
+        val newE = graft.ops.Graph.edgesFrom(liDelta)
+          .join(baseEoX.select("src", "dst"), Seq("src", "dst"), "left_anti")
+          .localCheckpoint(true)
+        prmNewEdges = newE.count()
+        graft.ops.Graph.mergeEdges(baseEoX, newE)
+          .repartition(32, col("src")).localCheckpoint(true).count()
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge}""")
+      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge,"prmaint_new_edges":$prmNewEdges,"prmaint_full_derive_sec":$tPrmFullDerive,"prmaint_merge_sec":$tPrmMerge}""")
     }
     spark.stop()
   }

@@ -31,6 +31,11 @@ object SharedTables {
     "graph-und" -> ((s, d) => { ops.Graph.undirectedEdges(s, d); () }),
     "graph-wedges" -> ((s, d) => { ops.Graph.weightedEdges(s, d); () }),
     "graph-strong" -> ((s, d) => { ops.Graph.strongEdges(s, d); () }),
+    "graph-base-edges" -> ((s, d) => { ops.Graph.baseEdges(s, d); () }),
+    "graph-base-nodes" -> ((s, d) => { ops.Graph.baseNodes(s, d); () }),
+    "graph-inc-delta" -> ((s, d) => { ops.Graph.deltaNewEdges(s, d); () }),
+    "graph-inc-edges" -> ((s, d) => { ops.Graph.incEdges(s, d); () }),
+    "graph-inc-nodes" -> ((s, d) => { ops.Graph.incNodes(s, d); () }),
     "ngramJaccardPairs" -> ((s, d) => { ops.TextOps.ngramJaccardPairsRaw(s, d); () }),
     "shingleSets" -> ((s, d) => { ops.TextOps.shingleSetsRaw(s, d); () }),
     "textDedupGroups" -> ((s, d) => { ops.TextOps.textDedupGroupsRaw(s, d); () }),

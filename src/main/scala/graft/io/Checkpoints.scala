@@ -63,7 +63,7 @@ object Checkpoints {
     * (edge/node tables repartitioned on their join key); plain [[pin]]
     * keeps AQE for everything else.
     */
-  def pinLayout(df: DataFrame): DataFrame = {
+  def pinLayout(df: DataFrame): DataFrame = layoutLock.synchronized {
     val s = df.sparkSession
     val key = "spark.sql.adaptive.enabled"
     val prev = s.conf.get(key, "true")
@@ -71,6 +71,16 @@ object Checkpoints {
     try pin(df, eager = true)
     finally s.conf.set(key, prev)
   }
+
+  /** pinLayout's set/restore of the session-wide AQE conf is not
+    * atomic: [[Materialized]] explicitly allows two threads to compute
+    * entries concurrently, and two interleaved pinLayout calls could
+    * each read the other's transient "false" as `prev` — leaving AQE
+    * permanently off for the session. One global lock serializes the
+    * (rare, warm-phase-only) layout pins; unrelated sessions serialize
+    * too, which costs nothing at this call frequency.
+    */
+  private val layoutLock = new Object
 
   /** `.pinned(...)` chain syntax for call sites. */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {

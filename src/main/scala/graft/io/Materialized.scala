@@ -42,6 +42,23 @@ object Materialized {
 
   private val cache = new ConcurrentHashMap[String, Entry]()
 
+  /** Access count per label (the `|fixture` suffix stripped), warm
+    * builds included — the consumer-count side of warm-phase cost
+    * governance: a shared table whose build costs more than its
+    * consumers save is a net-negative materialization (observed: a
+    * 125 s build serving ~6 s of query time), and the bench can only
+    * flag that trade if it can see how often each entry is actually
+    * consumed.
+    */
+  private val accesses = new ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+
+  private[graft] def accessCounts: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    accesses.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+
+  private[graft] def resetAccessCounts(): Unit = accesses.clear()
+
   /** Drop entries whose owning session is gone or stopped: their
     * checkpoint blocks no longer exist, and keeping them would pin the
     * frames (and transitively the sessions) for process lifetime.
@@ -62,6 +79,10 @@ object Materialized {
   def of(session: SparkSession, label: String, layout: Boolean = false)
       (compute: => DataFrame): DataFrame = {
     evictDead()
+    accesses.computeIfAbsent(label.takeWhile(_ != '|'),
+      new JFunction[String, java.util.concurrent.atomic.LongAdder] {
+        def apply(k: String) = new java.util.concurrent.atomic.LongAdder
+      }).increment()
     val key = s"${sessionId(session)}|$label"
     // check-then-putIfAbsent, NOT computeIfAbsent: builds nest (the
     // undirected-edge table computes the edge table inside its own
@@ -86,6 +107,18 @@ object Materialized {
 
   /** Visible for tests: number of cached entries. */
   private[graft] def cacheSize: Int = cache.size
+
+  /** Visible for tests: this session's cached (label, frame) pairs —
+    * lets a structural spec sweep every materialized table's physical
+    * shape (partition counts) without knowing who built it.
+    */
+  private[graft] def entriesFor(session: SparkSession): Seq[(String, DataFrame)] = {
+    import scala.jdk.CollectionConverters._
+    val sid = sessionId(session)
+    cache.asScala.collect { case (k, e) if k.startsWith(sid + "|") =>
+      k.drop(sid.length + 1) -> e.df
+    }.toSeq
+  }
 
   /** Visible for tests: drop all cached intermediates. */
   private[graft] def clear(): Unit = cache.clear()

@@ -186,12 +186,14 @@ object ModelStore {
       (train: => Seq[((Int, Int), Array[Double])]): Seq[((Int, Int), Array[Double])] = {
     val dir = dirFor("pq", source, shape)
     if (!complete(dir)) {
-      recordTrain("pq", dir)
       import s.implicits._
       val df = train.map { case ((sub, cell), c) => (sub, cell, c.toSeq) }
         .toDF("sub", "cell", "cent")
         .withColumn("model_version", lit(shape)).withColumn("source", lit(source))
       writeAtomic(df.coalesce(1), dir)
+      // AFTER the write: a train that throws must not count as a train
+      // event, or Bench's models.trained overcounts on a failed warm
+      recordTrain("pq", dir)
     }
     // ALWAYS serve from the table — the read a fresh session would do
     s.read.parquet(dir.getPath)
@@ -205,12 +207,12 @@ object ModelStore {
       (train: => Seq[(Int, Array[Float])]): Seq[(Int, Array[Float])] = {
     val dir = dirFor("centroids", source, shape)
     if (!complete(dir)) {
-      recordTrain("centroids", dir)
       import s.implicits._
       val df = train.map { case (cell, c) => (cell, c.toSeq) }
         .toDF("cell", "cent")
         .withColumn("model_version", lit(shape)).withColumn("source", lit(source))
       writeAtomic(df.coalesce(1), dir)
+      recordTrain("centroids", dir)
     }
     s.read.parquet(dir.getPath)
       .select("cell", "cent").collect()
@@ -227,10 +229,10 @@ object ModelStore {
       (compute: => DataFrame): DataFrame = {
     val dir = dirFor(kind, source, shape)
     if (!complete(dir)) {
-      recordTrain(kind, dir)
       val df = compute
         .withColumn("model_version", lit(shape)).withColumn("source", lit(source))
       writeAtomic(df, dir)
+      recordTrain(kind, dir)
     }
     s.read.parquet(dir.getPath).drop("model_version", "source")
   }

@@ -657,8 +657,12 @@ object Audit {
     // filterless parquet count is metadata-cheap at any corpus size.
     // Under the bound the Long lattice is exact (the fixture/oracle
     // path); past it the cross terms branch to DECIMAL(38,0) — the
-    // 100 TB claim held by code, not by a doc-comment.
-    val wide = Sources.orders(s, d).count() > KsLongBound
+    // 100 TB claim held by code, not by a doc-comment. The count goes
+    // through CorpusStats so building this DataFrame stays job-free
+    // after the first call — plan sweeps construct every query
+    // repeatedly, and an eager per-construction count job is a
+    // side effect no queries-map entry is allowed to have.
+    val wide = graft.io.CorpusStats.rowCount(s, d, "orders") > KsLongBound
     ksFromPerValue(perValue, wide)
   }
 

@@ -929,9 +929,16 @@ object Similarity {
     */
   private[graft] def quantEmb(s: SparkSession, d: String): DataFrame =
     graft.io.Materialized.of(s, s"kmeansQv|$d") {
-      Sources.embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 10000).cast("long")).as("qv"))
+      // repartition BEFORE the quantization projection: the embeddings
+      // fixture is one parquet file, so the inherited split layout
+      // would run the per-element transform (and every downstream
+      // k-means / ANN consumer of the pinned single partition) on one
+      // core — the single-partition-build class SharedTablesSpec sweeps
+      Sources.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 10000).cast("long")).as("qv"))
     }
 
   /** Map-side integer argmin over DRIVER-LITERAL centroids: each

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num.roundNorm
@@ -38,7 +38,12 @@ object Stats {
     * uniform thresholded by a score-dependent integer cut, so both
     * engines derive identical supervision with pure integer arithmetic.
     * Long bound: u2 < 2·P·N — overflows past P·N ≈ 4.6e18 (P,N ≈ 2e9);
-    * beyond that cast the products to DECIMAL(38,0).
+    * past [[AucLongBound]] rows the cross terms BRANCH to
+    * DECIMAL(38,0) ([[aucFromByScore]] `wide` — gated by a
+    * metadata-cheap cached source count, property-tested at planted
+    * >2³¹ per-side counts in StatsSpec), the same count-gated widening
+    * as the KS lattice — the 100 TB claim held by code, not by a
+    * doc-comment.
     */
   /** (cents, label) rows with the planted Knuth-hash teacher label —
     * shared by the AUC and ROC queries (and their oracles verbatim).
@@ -56,14 +61,42 @@ object Stats {
     val byScore = scored.groupBy("cents").agg(
       sum(col("label")).as("pos"),
       sum(lit(1L) - col("label")).as("neg"))
+    // orders row count bounds P+N; the cached parquet count is
+    // metadata-cheap and construction stays job-free after first call
+    val wide = graft.io.CorpusStats.rowCount(s, d, "orders") > AucLongBound
+    aucFromByScore(byScore, wide)
+  }
+
+  /** Per-side row bound for the Long U lattice: u2 = 2·Σpos·negBelow +
+    * Σpos·neg < 2·P·N, so Long (< 9.22e18) is exact while P·N < 4.6e18
+    * — both sides under ~2.1e9 rows; 2e9 leaves margin.
+    */
+  private[graft] val AucLongBound = 2000000000L
+
+  /** The tie-aware Mann-Whitney reduction over per-distinct-score
+    * (cents, pos, neg) counts — shared by the fixture query and the
+    * wide-count property test. `wide=false` keeps the exact Long
+    * lattice (the fixture/oracle path, expression bit-identical to the
+    * pre-branch query); `wide=true` lifts the cross terms and the
+    * shipped u2 gate column to DECIMAL(38,0) — good to P·N < 1e38/2.
+    */
+  private[graft] def aucFromByScore(byScore: DataFrame, wide: Boolean): DataFrame = {
+    def w(c: Column): Column = if (wide) c.cast("decimal(38,0)") else c
     val run = Prefix.running(byScore, Seq(col("cents")),
       sums = Seq((col("neg"), "cumneg")))
     run.agg(
         sum("pos").as("n_pos"),
         sum("neg").as("n_neg"),
-        sum(col("pos") * (col("cumneg") - col("neg")) * 2 + col("pos") * col("neg")).as("u2"))
+        sum(w(col("pos")) * w(col("cumneg") - col("neg")) * 2 +
+          w(col("pos")) * w(col("neg"))).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
-        roundNorm(col("u2") / (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
+        if (wide)
+          // double-cast every factor: n_pos·n_neg itself overflows Long
+          // past ~3e9 per side, which is the regime this branch serves
+          roundNorm(col("u2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double") * 2.0), 6).as("auc")
+        else
+          roundNorm(col("u2") / (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
   }
 
   /** Per-segment Gini coefficient (`agg_gini_segment`) of customer

@@ -21,6 +21,42 @@ class SharedTablesSpec extends SparkSpec {
     Materialized.cacheSize shouldBe warmed
   }
 
+  /** Structural guard for the single-partition-build bug class: a
+    * corpus-derived shared table that inherits single-FILE scan
+    * parallelism runs its whole (expensive) build on one core and is
+    * maximally fragile to host contention — two independent sites
+    * regressed exactly this way in one round (shingleSets at 124.9 s
+    * for a 0.5 s computation; ngramJaccardPairs at 20.3 s), despite a
+    * doc-comment rule prohibiting the shape. Prose rules don't hold;
+    * this sweep does: every materialized entry must either carry more
+    * than one partition or be genuinely tiny. The graph tables are
+    * SANCTIONED at 1 partition — their partition count is size-derived
+    * by construction (~100k rows/partition via Graph.sized, so small
+    * fixtures legitimately collapse to one) — and any new exemption
+    * must be argued here.
+    */
+  it should "never materialize a corpus-derived table at single-partition parallelism" in {
+    Materialized.clear()
+    SharedTables.warmAll(spark, sfDir)
+    val sizeDerived =
+      Set("graph-edges", "graph-nodes", "graph-und", "graph-wedges", "graph-strong",
+        "graph-base-edges", "graph-base-nodes", "graph-inc-edges", "graph-inc-nodes",
+        // delta-sized by construction (new-edge anti-join output): its
+        // partition count is AQE's shuffle coalescing sized to the DELTA,
+        // not inherited file-scan layout — the opposite of the bug class
+        "graph-inc-delta")
+    Materialized.entriesFor(spark).foreach { case (label, df) =>
+      val base = label.takeWhile(_ != '|')
+      if (!sizeDerived.contains(base)) {
+        val parts = df.rdd.getNumPartitions
+        lazy val rows = df.count()
+        withClue(s"shared table '$base' materialized as $parts partition(s): ") {
+          assert(parts > 1 || rows <= 100)
+        }
+      }
+    }
+  }
+
   it should "be idempotent per (session, fixture)" in {
     val n = Materialized.cacheSize
     SharedTables.warmAll(spark, sfDir)

@@ -45,6 +45,34 @@ class GraphSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  // Incremental maintenance must be INDISTINGUISHABLE from the full
+  // rebuild: same edge/degree multiset, same node set, and therefore a
+  // bit-equal rank vector — checked here at the table level and the
+  // query level (the oracle re-checks the query against full-recompute
+  // SQL at the correctness gate).
+  "Graph.pageRankIncremental" should "maintain merged edge/degree tables equal to the full derivation" in {
+    val full = Graph.edgesWithDeg(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val inc = Graph.incEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    inc shouldBe full
+    val fullN = Graph.nodeTable(spark, sfDir).collect().map(_.getLong(0)).sorted.toSeq
+    val incN = Graph.incNodes(spark, sfDir).collect().map(_.getLong(0)).sorted.toSeq
+    incN shouldBe fullN
+  }
+
+  it should "equal the full-recompute PageRank bit-for-bit" in {
+    val full = Graph.pageRankParts(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inc = Graph.pageRankIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    inc shouldBe full
+  }
+
+  it should "produce a genuinely non-empty delta batch (the test is vacuous otherwise)" in {
+    Graph.deltaNewEdges(spark, sfDir).count() should be > 0L
+  }
+
   "Graph.hits" should "replay the un-normalized integer recurrence exactly" in {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
     var h: Map[Long, Long] = nodes.map(_ -> 1L).toMap

@@ -40,6 +40,49 @@ class StatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9)
   }
 
+  // 100 TB widening: past ~2e9 rows per side the U cross terms exceed
+  // Long (u2 < 2·P·N; at the planted counts below u2 reaches ~6e20,
+  // 65x past Long.MaxValue), so the wide branch must reproduce the
+  // BigInt reference exactly on the DECIMAL(38,0) lattice — the same
+  // count-gated discipline as Audit.ksFromPerValue.
+  "Stats.aucFromByScore(wide)" should "match a BigInt reference at planted >2^31 side counts" in {
+    import spark.implicits._
+    val rows = Seq( // (cents, pos, neg) per distinct score
+      (100L, 4000000000L, 1000000000L),
+      (200L, 3000000000L, 5000000000L),
+      (300L, 2500000000L, 4500000000L),
+      (400L, 6000000000L, 2000000000L),
+      (500L, 1500000000L, 7000000000L))
+    val nPos = rows.map(_._2).sum
+    val nNeg = rows.map(_._3).sum
+    var cumNeg = BigInt(0)
+    var u2 = BigInt(0)
+    rows.sortBy(_._1).foreach { case (_, p, n) =>
+      u2 += BigInt(p) * cumNeg * 2 + BigInt(p) * n // negBelow wins ×2 + ties
+      cumNeg += n
+    }
+    u2 should be > BigInt(Long.MaxValue) // the test is vacuous otherwise
+    val got = Stats.aucFromByScore(rows.toDF("cents", "pos", "neg"), wide = true).head()
+    got.getLong(0) shouldBe nPos
+    got.getLong(1) shouldBe nNeg
+    BigInt(got.getDecimal(2).toBigInteger) shouldBe u2
+    got.getDouble(3) shouldBe
+      BigDecimal((BigDecimal(u2) / (BigDecimal(nPos) * BigDecimal(nNeg) * 2)).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-12
+  }
+
+  it should "agree value-for-value with the Long lattice under the bound" in {
+    import spark.implicits._
+    val byScore = Seq((1L, 3L, 9L), (2L, 5L, 1L), (3L, 2L, 4L), (4L, 7L, 6L))
+      .toDF("cents", "pos", "neg")
+    val n = Stats.aucFromByScore(byScore, wide = false).head()
+    val w = Stats.aucFromByScore(byScore, wide = true).head()
+    n.getLong(0) shouldBe w.getLong(0)
+    n.getLong(1) shouldBe w.getLong(1)
+    n.getLong(2) shouldBe w.getDecimal(2).longValueExact()
+    n.getDouble(3) shouldBe w.getDouble(3)
+  }
+
   behavior of "Stats.giniBySegment"
 
   it should "match the sorted closed-form Gini per segment" in {

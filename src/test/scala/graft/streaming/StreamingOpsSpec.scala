@@ -270,6 +270,54 @@ class StreamingOpsSpec extends SparkSpec {
     got should not be empty
   }
 
+  "incGroupAssignments (transformWithState)" should "replay batch incremental group maintenance across micro-batches" in {
+    val s2 = rocksSession
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    // yesterday's static groups table + the delta pair set, exactly as
+    // the batch query defines them (delta = every tenth doc)
+    def isDelta(id: Long): Boolean = id % 10 == 0
+    val baseGroups = graft.ops.TextOps.textDedupBaseGroupsRaw(s2, sfDir)
+    val deltaPairs = graft.ops.TextOps.ngramJaccardPairsRaw(s2, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => isDelta(p._1) || isDelta(p._2)).sorted
+    deltaPairs should not be empty
+    // 3-way replay split: merges that BRIDGE batches (an edge whose
+    // root was relabeled by an earlier batch) must resolve through the
+    // forest state
+    val batches = deltaPairs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1).toSeq)
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.incGroupAssignments(
+        mem.toDS().toDF("id_a", "id_b"), baseGroups)
+      .writeStream.format("memory").queryName("incgroups_s")
+      .outputMode("update").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // labels only decrease, so min-per-node over all emissions = final
+    val merged = s2.table("incgroups_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (n, gs) => n -> gs.map(_._2).min }
+    // assemble the full output with incrementalMerge's rules and
+    // compare to the batch query row-for-row
+    val deltaDocs = graft.io.Sources.documents(s2, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).filter(isDelta)
+    val baseRows = baseGroups.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = (deltaDocs.map(id =>
+        (id, merged.getOrElse(id, id), true, false)) ++
+      baseRows.map { case (id, g) =>
+        val ng = merged.getOrElse(g, g)
+        (id, ng, false, ng != g)
+      }).sortBy(_._1).toSeq
+    val want = graft.SparkEntry.queries("text_dedup_incremental")(s2, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    got shouldBe want
+    // the replay must have actually merged something cross-batch
+    merged.values.toSet.size should be < merged.size
+  }
+
   "postingIndex (transformWithState)" should "maintain the exact from-scratch index and serve batch query results" in {
     val s2 = rocksSession
     import s2.implicits._
