@@ -398,9 +398,16 @@ object ScaleProbe {
       val liDelta = spark.read.parquet(s"$dir/lineitem_g.parquet")
         .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
       val eBaseX = graft.ops.Graph.edgesFrom(liBase)
-      val baseEoX = eBaseX
+      // pinLayout, not a bare localCheckpoint: the merge's claim is
+      // that its joins PROBE the base without re-exchanging it, which
+      // requires the pinned table to actually carry its
+      // hashpartitioning(src) — under AQE a plain checkpoint captures
+      // Unknown partitioning and every merge join silently re-shuffles
+      // the corpus-sized base (the same lesson the r9 pagerank fix
+      // recorded; the real path's Materialized(layout=true) does this)
+      val baseEoX = graft.io.Checkpoints.pinLayout(eBaseX
         .join(eBaseX.groupBy("src").agg(count(lit(1)).as("outd")), "src")
-        .repartition(32, col("src")).localCheckpoint(true)
+        .repartition(32, col("src")))
       var prmNewEdges = 0L
       val tPrmFullDerive = time {
         val e = graft.ops.Graph.edgesFrom(

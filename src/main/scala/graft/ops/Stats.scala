@@ -145,11 +145,38 @@ object Stats {
     * is assembled from the SIX exact integer power sums via the closed
     * form, so both engines perform the identical final float ops on
     * identical integers — the rounded value cannot straddle engines.
+    *
+    * This is the TIGHTEST Long bound in the module: doubled midranks
+    * reach 2n, so `sx·sy ≤ 4n⁴` and `n·sxx ≤ 4n⁴` — Long overflows at
+    * n ≈ 3.9e4 ROWS, i.e. barely past the sf0.1 fixture, not at some
+    * remote exabyte scale. Past [[SpearmanLongBound]] rows the power
+    * sums and the closed-form assembly BRANCH to DECIMAL(38,0)
+    * ([[spearmanFromPairs]] `wide`, gated by a cached metadata count,
+    * property-tested at n > the Long bound against a BigInt
+    * reference) — exact to 4n⁴ < 1e38, n ≈ 1.2e9 rows; a deployment
+    * beyond that splits the power sums or moves to 256-bit.
     */
   def spearman(s: SparkSession, d: String): DataFrame = {
     val t = Sources.part(s, d).select(
       col("p_size").cast("long").as("xv"),
       round(col("p_retailprice") * 100).cast("long").as("yv"))
+    val wide = graft.io.CorpusStats.rowCount(s, d, "part") > SpearmanLongBound
+    spearmanFromPairs(t, wide)
+  }
+
+  /** Row bound for the Long closed-form lattice: 4n⁴ ≤ 9.2e18 holds to
+    * n ≈ 3.9e4; 3e4 leaves margin.
+    */
+  private[graft] val SpearmanLongBound = 30000L
+
+  /** The tie-aware Spearman reduction over (xv, yv) value pairs —
+    * shared by the fixture query and the wide-count property test.
+    * `wide=false` is the exact Long lattice, expression-identical to
+    * the pre-branch query; `wide=true` lifts the power sums and the
+    * closed-form products to DECIMAL(38,0).
+    */
+  private[graft] def spearmanFromPairs(t: DataFrame, wide: Boolean): DataFrame = {
+    def w(c: Column): Column = if (wide) c.cast("decimal(38,0)") else c
 
     def rank2(col0: String): DataFrame = {
       val g = t.groupBy(col0).agg(count(lit(1)).as("cnt"))
@@ -162,15 +189,15 @@ object Stats {
       .join(rank2("yv"), "yv")
     withRanks.agg(
         count(lit(1)).as("n"),
-        sum("r_xv").as("sx"), sum("r_yv").as("sy"),
-        sum(col("r_xv") * col("r_xv")).as("sxx"),
-        sum(col("r_yv") * col("r_yv")).as("syy"),
-        sum(col("r_xv") * col("r_yv")).as("sxy"))
+        sum(w(col("r_xv"))).as("sx"), sum(w(col("r_yv"))).as("sy"),
+        sum(w(col("r_xv")) * w(col("r_xv"))).as("sxx"),
+        sum(w(col("r_yv")) * w(col("r_yv"))).as("syy"),
+        sum(w(col("r_xv")) * w(col("r_yv"))).as("sxy"))
       .select(col("n"),
         roundNorm(
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          ((w(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")) /
+            (sqrt((w(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((w(col("n")) * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
           .as("spearman_rho"))
   }
 

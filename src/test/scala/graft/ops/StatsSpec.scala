@@ -83,6 +83,53 @@ class StatsSpec extends SparkSpec {
     n.getDouble(3) shouldBe w.getDouble(3)
   }
 
+  // The module's TIGHTEST Long bound: doubled midranks reach 2n, so the
+  // closed-form products hit 4n^4 — Long overflow at n ≈ 3.9e4 ROWS. At
+  // the planted n = 100k below the Long lattice would wrap; the wide
+  // branch must reproduce a BigInt reference.
+  "Stats.spearmanFromPairs(wide)" should "match a BigInt reference past the Long row bound" in {
+    import spark.implicits._
+    val n = 100000
+    val rows = (0 until n).map { i =>
+      ((i * 7919L) % 37L, (i * 104729L) % 101L)
+    }
+    def midranks2(vs: Seq[Long]): Map[Long, Long] = {
+      val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var cum = 0L
+      cnt.toSeq.sortBy(_._1).map { case (v, c) =>
+        cum += c
+        v -> (2 * cum - c + 1)
+      }.toMap
+    }
+    val rx = midranks2(rows.map(_._1))
+    val ry = midranks2(rows.map(_._2))
+    val (sx, sy, sxx, syy, sxy) = rows.foldLeft(
+      (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))) {
+      case ((a, b, c, dd, e), (x, y)) =>
+        val gx = BigInt(rx(x)); val gy = BigInt(ry(y))
+        (a + gx, b + gy, c + gx * gx, dd + gy * gy, e + gx * gy)
+    }
+    val bn = BigInt(n)
+    (bn * sxx - sx * sx) should be > BigInt(Long.MaxValue) // vacuous otherwise
+    val want = ((BigDecimal(bn * sxy - sx * sy)) /
+      (BigDecimal(math.sqrt((bn * sxx - sx * sx).toDouble)) *
+        BigDecimal(math.sqrt((bn * syy - sy * sy).toDouble)))).toDouble
+    val got = Stats.spearmanFromPairs(rows.toDF("xv", "yv"), wide = true).head()
+    got.getLong(0) shouldBe n.toLong
+    got.getDouble(1) shouldBe
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 2e-6
+  }
+
+  it should "agree value-for-value with the Long lattice under the bound" in {
+    import spark.implicits._
+    val small = Seq((3L, 9L), (5L, 1L), (5L, 4L), (7L, 6L), (2L, 2L), (9L, 9L))
+      .toDF("xv", "yv")
+    val n = Stats.spearmanFromPairs(small, wide = false).head()
+    val w = Stats.spearmanFromPairs(small, wide = true).head()
+    n.getLong(0) shouldBe w.getLong(0)
+    n.getDouble(1) shouldBe w.getDouble(1)
+  }
+
   behavior of "Stats.giniBySegment"
 
   it should "match the sorted closed-form Gini per segment" in {
