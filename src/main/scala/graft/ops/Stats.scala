@@ -109,16 +109,45 @@ object Stats {
     * so the per-segment index is the global rank minus the segment's
     * start offset (one keyed aggregate + broadcast-back), exactly the
     * weighted-median trick — no per-segment repartition, no global
-    * sort. Σ i·x_i is Long-exact to ~9e18 (i ≈ 1e6 customers at
-    * x ≈ 1e10 cents); past that, DECIMAL.
+    * sort. Long bound: `Σ i·x_i ≤ n·Σx` and the assembly's
+    * `(n+1)·Σx` / `n·Σx` products cap the exact-Long regime at
+    * n·Σx < 9.2e18 — about 4e6 customers per segment at ~$5k average
+    * spend. Past [[GiniLongBound]] customer rows the rank·value
+    * products and the closed-form assembly branch to DECIMAL(38,0)
+    * ([[giniFromCustomerRevenue]] `wide`, property-tested at planted
+    * counts whose products exceed Long against a BigInt reference) —
+    * exact to n·Σx < 1e38, i.e. ~1e18 customers at the same spend.
     */
   def giniBySegment(s: SparkSession, d: String): DataFrame = {
     val rev = Sources.orders(s, d)
       .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy("o_custkey").agg(sum("cents").as("x"))
     val seg = Sources.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    // customer rows bound per-segment n; the cached count keeps query
+    // construction job-free. The gate additionally assumes per-customer
+    // spend stays under ~$100M in cents (x ≤ 1e10) — generous for any
+    // commerce corpus, and the property test covers the wide lattice.
+    val wide = graft.io.CorpusStats.rowCount(s, d, "customer") > GiniLongBound
+    giniFromCustomerRevenue(rev.join(seg, "o_custkey"), wide)
+  }
+
+  /** Customer-row bound for the Long Gini lattice: at x ≤ 1e10 cents
+    * per customer, n·Σx ≤ 1e10·n² ≤ 9.2e18 holds to n ≈ 3e4 in the
+    * worst case, but at the fixture's (and any commerce corpus's)
+    * ~5e5-cent average it holds to n ≈ 4e6; 2e6 leaves margin for a
+    * 2× spend skew. A corpus beyond either assumption flips wide.
+    */
+  private[graft] val GiniLongBound = 2000000L
+
+  /** The per-segment Gini reduction over (c_mktsegment, x,
+    * o_custkey) customer-revenue rows — shared by the fixture query
+    * and the wide-count property test. `wide=false` is the exact Long
+    * lattice, expression-identical to the pre-branch query.
+    */
+  private[graft] def giniFromCustomerRevenue(rows: DataFrame, wide: Boolean): DataFrame = {
+    def w(c: Column): Column = if (wide) c.cast("decimal(38,0)") else c
     val ranked = Prefix.running(
-      rev.join(seg, "o_custkey"),
+      rows,
       Seq(col("c_mktsegment"), col("x"), col("o_custkey")),
       rankOut = Some("grank"))
     val off = ranked.groupBy("c_mktsegment").agg(min(col("grank") - 1).as("off"))
@@ -126,12 +155,15 @@ object Stats {
       .withColumn("i", col("grank") - col("off"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
-        sum("x").as("total_cents"),
-        sum(col("i") * col("x")).as("six"))
+        // wide also lifts Σx: the planted-wide regime admits per-value
+        // magnitudes whose plain Long sum would itself wrap
+        sum(w(col("x"))).as("total_cents"),
+        sum(w(col("i")) * w(col("x"))).as("six"))
       .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
         roundNorm(
-          (col("six") * 2 - (col("n_customers") + 1) * col("total_cents")) /
-            (col("n_customers") * col("total_cents")).cast("double"), 6).as("gini"))
+          (col("six") * 2 - (w(col("n_customers")) + 1) * w(col("total_cents")))
+            .cast("double") /
+            (w(col("n_customers")) * w(col("total_cents"))).cast("double"), 6).as("gini"))
       .orderBy("c_mktsegment")
   }
 

@@ -130,6 +130,50 @@ class StatsSpec extends SparkSpec {
     n.getDouble(1) shouldBe w.getDouble(1)
   }
 
+  // Gini widening: at planted per-customer revenues of 1e16 cents the
+  // rank-weighted sum reaches ~5e21 — 500x past Long — so the wide
+  // branch must reproduce the BigInt closed form exactly.
+  "Stats.giniFromCustomerRevenue(wide)" should "match a BigInt reference past the Long product bound" in {
+    import spark.implicits._
+    val rows = (1 to 1000).flatMap { i =>
+      Seq(("ALPHA", (i.toLong % 7 + 1) * 10000000000000000L, i.toLong),
+          ("BETA", (i.toLong % 13 + 1) * 10000000000000000L, 10000L + i))
+    }
+    def ref(seg: String): (Long, BigInt, Double) = {
+      val xs = rows.filter(_._1 == seg).sortBy(t => (t._2, t._3)).map(t => BigInt(t._2))
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      (six * 2) should be > BigInt(Long.MaxValue) // vacuous otherwise
+      val g = (BigDecimal(six * 2 - (BigInt(n) + 1) * sx) /
+        BigDecimal(BigInt(n) * sx)).toDouble
+      (n, sx, g)
+    }
+    val wideOut = Stats.giniFromCustomerRevenue(
+      rows.toDF("c_mktsegment", "x", "o_custkey"), wide = true).collect()
+    Seq("ALPHA", "BETA").foreach { seg =>
+      val (n, sx, g) = ref(seg)
+      val row = wideOut.find(_.getString(0) == seg).get
+      row.getLong(1) shouldBe n
+      // Σx is also past Long at these magnitudes — the wide branch
+      // ships it as DECIMAL(38,0)
+      BigInt(row.getDecimal(2).toBigInteger) shouldBe sx
+      row.getDouble(3) shouldBe
+        BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 2e-6
+    }
+  }
+
+  it should "agree value-for-value with the Long lattice under the bound" in {
+    import spark.implicits._
+    val small = Seq(("A", 500L, 1L), ("A", 100L, 2L), ("A", 400L, 3L),
+      ("B", 900L, 4L), ("B", 50L, 5L), ("B", 50L, 6L))
+      .toDF("c_mktsegment", "x", "o_custkey")
+    val n = Stats.giniFromCustomerRevenue(small, wide = false).collect()
+    val w = Stats.giniFromCustomerRevenue(small, wide = true).collect()
+    n.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq shouldBe
+      w.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+  }
+
   behavior of "Stats.giniBySegment"
 
   it should "match the sorted closed-form Gini per segment" in {
