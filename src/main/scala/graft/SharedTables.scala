@@ -67,13 +67,27 @@ object SharedTables {
   )
 
   /** Build every shared table and model for `sfDir`; returns
-    * (label, seconds) per entry — model labels carry the `model-`
-    * prefix, so the bench can report the two phases in one map.
+    * (label, wallSeconds, processCpuSeconds) per entry — model labels
+    * carry the `model-` prefix, so the bench can report the two phases
+    * in one map. CPU is recorded per entry for the same reason the
+    * per-query loop records it: the warm phase is the larger contention
+    * surface (r10's driver record spent 332 s here with NO cpu-vs-wall
+    * column, so diagnosing it needed a cross-host re-run — the exact
+    * ritual the per-query column had just retired). wall ≫ cpu-share on
+    * a build = the host took the cycles, not the plan.
     */
-  def warmAll(s: SparkSession, sfDir: String): Seq[(String, Double)] =
+  def warmAll(s: SparkSession, sfDir: String): Seq[(String, Double, Double)] = {
+    val cpuBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNanos(): Long = cpuBean.map(_.getProcessCpuTime).getOrElse(0L)
     (entries ++ models).map { case (label, build) =>
       val t0 = System.nanoTime()
+      val c0 = cpuNanos()
       build(s, sfDir)
-      label -> (System.nanoTime() - t0) / 1e9
+      (label, (System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9)
     }
+  }
 }

@@ -27,9 +27,27 @@ object CorpusStats {
     counts.computeIfAbsent(s"$sfDir/$table",
       _ => Sources.table(s, sfDir, table).count())
 
+  private val sums = new ConcurrentHashMap[String, BigInt]()
+
+  /** Exact integer sum of `colExpr` (a DECIMAL(38,0)-typed expression)
+    * over `sfDir/table.parquet`, computed at most once per
+    * (path, expression) for the life of the process. One column-pruned
+    * scan on first call — the magnitude half of a data-derived
+    * overflow-lattice gate (the row-count half is [[rowCount]]); in a
+    * catalog deployment this is an `ANALYZE TABLE ... FOR COLUMNS`
+    * statistic.
+    */
+  def columnSum(s: SparkSession, sfDir: String, table: String,
+      colExpr: String): BigInt =
+    sums.computeIfAbsent(s"$sfDir/$table/$colExpr", _ => {
+      val r = Sources.table(s, sfDir, table)
+        .selectExpr(s"sum($colExpr) AS s").head()
+      if (r.isNullAt(0)) BigInt(0) else BigInt(r.getDecimal(0).toBigInteger)
+    })
+
   /** Visible for tests: number of cached entries. */
   private[graft] def cacheSize: Int = counts.size
 
   /** Visible for tests: drop all cached stats. */
-  private[graft] def clear(): Unit = counts.clear()
+  private[graft] def clear(): Unit = { counts.clear(); sums.clear() }
 }

@@ -675,9 +675,13 @@ object Audit {
   /** The KS sup-gap reduction over per-distinct-value arm counts
     * `(cents, a, b)` — shared by the fixture query and the wide-count
     * property test. `wide=false` keeps the exact Long lattice;
-    * `wide=true` lifts the cross terms (and the shipped d_num/d_den,
-    * which themselves exceed Long past the bound) to DECIMAL(38,0) —
-    * good to n_a·n_b < 1e38, i.e. ~1e19 rows per arm.
+    * `wide=true` lifts the cross terms to DECIMAL(38,0) — good to
+    * n_a·n_b < 1e38, i.e. ~1e19 rows per arm. The shipped schema is
+    * IDENTICAL in both branches (count-gated widening must never
+    * change the table a consumer reads): the exact rational
+    * `(d_num, d_den)` — which genuinely exceeds Int64 past the bound —
+    * ships as decimal strings (the Int64-in-JSON interchange
+    * discipline) from both lattices.
     */
   private[graft] def ksFromPerValue(perValue: DataFrame, wide: Boolean): DataFrame = {
     val cum = Prefix.running(perValue, Seq(col("cents")),
@@ -692,11 +696,14 @@ object Audit {
       .filter(col("gap") === col("d_num"))
       .groupBy()
       .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
-        first("d_num").as("d_num"), min("cents").as("at_cents"))
-      .withColumn("d_den", w(col("n_a")) * w(col("n_b")))
+        first("d_num").as("d_numi"), min("cents").as("at_cents"))
+      .withColumn("d_deni", w(col("n_a")) * w(col("n_b")))
       .withColumn("ks_d", roundNorm(
-        expr("cast(d_num as double) / (cast(n_a as double) * n_b)"), 8))
-      .select("n_a", "n_b", "d_num", "d_den", "at_cents", "ks_d")
+        expr("cast(d_numi as double) / (cast(n_a as double) * n_b)"), 8))
+      .select(col("n_a"), col("n_b"),
+        col("d_numi").cast("string").as("d_num"),
+        col("d_deni").cast("string").as("d_den"),
+        col("at_cents"), col("ks_d"))
   }
 
   /** Cramér's V (`audit_cramers_v`) — the [0,1]-normalized effect size
@@ -799,8 +806,8 @@ object Audit {
         |  FROM cum, tot),
         |dm AS (SELECT max(gap) AS d_num FROM gaps)
         |SELECT any_value(gaps.n_a) AS n_a, any_value(gaps.n_b) AS n_b,
-        |  CAST(any_value(dm.d_num) AS BIGINT) AS d_num,
-        |  CAST(any_value(gaps.n_a) * any_value(gaps.n_b) AS BIGINT) AS d_den,
+        |  CAST(CAST(any_value(dm.d_num) AS BIGINT) AS VARCHAR) AS d_num,
+        |  CAST(CAST(any_value(gaps.n_a) * any_value(gaps.n_b) AS BIGINT) AS VARCHAR) AS d_den,
         |  min(cents) AS at_cents,
         |  round(CAST(any_value(dm.d_num) AS DOUBLE)
         |    / (CAST(any_value(gaps.n_a) AS DOUBLE) * any_value(gaps.n_b)), 8) + 0.0 AS ks_d

@@ -935,7 +935,7 @@ object Similarity {
       // k-means / ANN consumer of the pinned single partition) on one
       // core — the single-partition-build class SharedTablesSpec sweeps
       Sources.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(math.max(2, s.sparkContext.defaultParallelism)) // floor 2: single-core sessions report parallelism 1
         .select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * 10000).cast("long")).as("qv"))

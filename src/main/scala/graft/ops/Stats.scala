@@ -77,8 +77,14 @@ object Stats {
     * (cents, pos, neg) counts — shared by the fixture query and the
     * wide-count property test. `wide=false` keeps the exact Long
     * lattice (the fixture/oracle path, expression bit-identical to the
-    * pre-branch query); `wide=true` lifts the cross terms and the
-    * shipped u2 gate column to DECIMAL(38,0) — good to P·N < 1e38/2.
+    * pre-branch query); `wide=true` lifts the cross terms to
+    * DECIMAL(38,0) — good to P·N < 1e38/2. The shipped schema is
+    * IDENTICAL in both branches: a count-gated lattice choice must not
+    * change the table a consumer reads, so the exact-integer gate
+    * column `u2` — which genuinely exceeds Int64 in the wide regime —
+    * ships as its decimal-string rendering (the Int64-in-JSON
+    * interchange discipline) from both lattices, and only the internal
+    * arithmetic widens.
     */
   private[graft] def aucFromByScore(byScore: DataFrame, wide: Boolean): DataFrame = {
     def w(c: Column): Column = if (wide) c.cast("decimal(38,0)") else c
@@ -88,15 +94,16 @@ object Stats {
         sum("pos").as("n_pos"),
         sum("neg").as("n_neg"),
         sum(w(col("pos")) * w(col("cumneg") - col("neg")) * 2 +
-          w(col("pos")) * w(col("neg"))).as("u2"))
-      .select(col("n_pos"), col("n_neg"), col("u2"),
+          w(col("pos")) * w(col("neg"))).as("u2i"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2i").cast("string").as("u2"),
         if (wide)
           // double-cast every factor: n_pos·n_neg itself overflows Long
           // past ~3e9 per side, which is the regime this branch serves
-          roundNorm(col("u2").cast("double") /
+          roundNorm(col("u2i").cast("double") /
             (col("n_pos").cast("double") * col("n_neg").cast("double") * 2.0), 6).as("auc")
         else
-          roundNorm(col("u2") / (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
+          roundNorm(col("u2i") / (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
   }
 
   /** Per-segment Gini coefficient (`agg_gini_segment`) of customer
@@ -109,40 +116,50 @@ object Stats {
     * so the per-segment index is the global rank minus the segment's
     * start offset (one keyed aggregate + broadcast-back), exactly the
     * weighted-median trick — no per-segment repartition, no global
-    * sort. Long bound: `Σ i·x_i ≤ n·Σx` and the assembly's
-    * `(n+1)·Σx` / `n·Σx` products cap the exact-Long regime at
-    * n·Σx < 9.2e18 — about 4e6 customers per segment at ~$5k average
-    * spend. Past [[GiniLongBound]] customer rows the rank·value
-    * products and the closed-form assembly branch to DECIMAL(38,0)
-    * ([[giniFromCustomerRevenue]] `wide`, property-tested at planted
-    * counts whose products exceed Long against a BigInt reference) —
-    * exact to n·Σx < 1e38, i.e. ~1e18 customers at the same spend.
+    * sort. Long bound: `Σ i·x_i ≤ n·Σx` and the assembly's doubled /
+    * `(n+1)·Σx` products cap the exact-Long regime at
+    * 2·(n+1)·Σx < 9.2e18 — about 4e6 customers per segment at ~$5k
+    * average spend. The gate is DATA-DERIVED (cached corpus count ×
+    * cached corpus cent sum — see the inline note), so a spend-skewed
+    * corpus flips to the DECIMAL(38,0) lattice exactly when the bound
+    * demands ([[giniFromCustomerRevenue]] `wide`, property-tested at
+    * planted magnitudes whose products exceed Long against a BigInt
+    * reference) — exact to n·Σx < 1e38, i.e. ~1e18 customers at the
+    * same spend.
     */
   def giniBySegment(s: SparkSession, d: String): DataFrame = {
     val rev = Sources.orders(s, d)
       .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy("o_custkey").agg(sum("cents").as("x"))
     val seg = Sources.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-    // customer rows bound per-segment n; the cached count keeps query
-    // construction job-free. The gate additionally assumes per-customer
-    // spend stays under ~$100M in cents (x ≤ 1e10) — generous for any
-    // commerce corpus, and the property test covers the wide lattice.
-    val wide = graft.io.CorpusStats.rowCount(s, d, "customer") > GiniLongBound
+    // DATA-DERIVED lattice gate — unlike the AUC/KS/Spearman gates
+    // (rigorous pure-count bounds), the Long Gini lattice's overflow
+    // condition involves the data's magnitudes, not just n: the largest
+    // narrow-branch intermediate is 2·six ≤ 2·n·Σx, and per-segment
+    // n_s ≤ n, Σx_s ≤ Σx(corpus), so `2·(n+1)·Σcents ≤ Long.MaxValue`
+    // over the WHOLE corpus rigorously bounds every segment. Both
+    // factors come from CorpusStats (one cached metadata count + one
+    // cached single-column scan), so a spend-skewed corpus flips wide
+    // exactly when the exact-integer bound demands it — no assumed
+    // per-customer spend ceiling anywhere.
+    val n = BigInt(graft.io.CorpusStats.rowCount(s, d, "customer"))
+    val totCents = graft.io.CorpusStats.columnSum(
+      s, d, "orders", "cast(round(o_totalprice * 100) as decimal(38,0))")
+    val wide = 2 * (n + 1) * totCents > BigInt(Long.MaxValue)
     giniFromCustomerRevenue(rev.join(seg, "o_custkey"), wide)
   }
-
-  /** Customer-row bound for the Long Gini lattice: at x ≤ 1e10 cents
-    * per customer, n·Σx ≤ 1e10·n² ≤ 9.2e18 holds to n ≈ 3e4 in the
-    * worst case, but at the fixture's (and any commerce corpus's)
-    * ~5e5-cent average it holds to n ≈ 4e6; 2e6 leaves margin for a
-    * 2× spend skew. A corpus beyond either assumption flips wide.
-    */
-  private[graft] val GiniLongBound = 2000000L
 
   /** The per-segment Gini reduction over (c_mktsegment, x,
     * o_custkey) customer-revenue rows — shared by the fixture query
     * and the wide-count property test. `wide=false` is the exact Long
-    * lattice, expression-identical to the pre-branch query.
+    * lattice, expression-identical to the pre-branch query. The
+    * shipped schema is IDENTICAL in both branches (count-gated
+    * widening must never change the table a consumer reads): Σx is
+    * accumulated in DECIMAL(38,0) in BOTH branches — exact at any
+    * magnitude, one extra aggregate column on the narrow path — and
+    * `total_cents` ships as its decimal-string rendering (the
+    * Int64-in-JSON interchange discipline; the planted-wide regime
+    * admits Σx past Int64). Only the rank·value lattice widens.
     */
   private[graft] def giniFromCustomerRevenue(rows: DataFrame, wide: Boolean): DataFrame = {
     def w(c: Column): Column = if (wide) c.cast("decimal(38,0)") else c
@@ -151,19 +168,22 @@ object Stats {
       Seq(col("c_mktsegment"), col("x"), col("o_custkey")),
       rankOut = Some("grank"))
     val off = ranked.groupBy("c_mktsegment").agg(min(col("grank") - 1).as("off"))
+    // narrow re-reads Σx as Long for the bit-exact oracle lattice; the
+    // gate in [[giniBySegment]] guarantees 2·(n+1)·Σx ≤ Long.MaxValue
+    // corpus-wide, so the cast cannot overflow on the narrow path
+    val tc: Column = if (wide) col("tcd") else col("tcd").cast("long")
     ranked.join(broadcast(off), "c_mktsegment")
       .withColumn("i", col("grank") - col("off"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
-        // wide also lifts Σx: the planted-wide regime admits per-value
-        // magnitudes whose plain Long sum would itself wrap
-        sum(w(col("x"))).as("total_cents"),
+        sum(col("x").cast("decimal(38,0)")).as("tcd"),
         sum(w(col("i")) * w(col("x"))).as("six"))
-      .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("tcd").cast("string").as("total_cents"),
         roundNorm(
-          (col("six") * 2 - (w(col("n_customers")) + 1) * w(col("total_cents")))
+          (col("six") * 2 - (w(col("n_customers")) + 1) * tc)
             .cast("double") /
-            (w(col("n_customers")) * w(col("total_cents"))).cast("double"), 6).as("gini"))
+            (w(col("n_customers")) * tc).cast("double"), 6).as("gini"))
       .orderBy("c_mktsegment")
   }
 
@@ -445,7 +465,7 @@ object Stats {
         |  FROM bys)
         |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
         | CAST(sum(neg) AS BIGINT) AS n_neg,
-        | CAST(sum(pos * (cumneg - neg) * 2 + pos * neg) AS BIGINT) AS u2,
+        | CAST(CAST(sum(pos * (cumneg - neg) * 2 + pos * neg) AS BIGINT) AS VARCHAR) AS u2,
         | round(CAST(sum(pos * (cumneg - neg) * 2 + pos * neg) AS BIGINT)
         |   / (CAST(sum(pos) AS BIGINT) * CAST(sum(neg) AS BIGINT) * 2.0), 6) + 0.0 AS auc
         |FROM run""".stripMargin,
@@ -459,7 +479,7 @@ object Stats {
         |  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey)
         |SELECT c_mktsegment,
         | count(*) AS n_customers,
-        | CAST(sum(x) AS BIGINT) AS total_cents,
+        | CAST(CAST(sum(x) AS BIGINT) AS VARCHAR) AS total_cents,
         | round((2 * CAST(sum(i * x) AS BIGINT) - (count(*) + 1) * CAST(sum(x) AS BIGINT))
         |   / CAST(count(*) * CAST(sum(x) AS BIGINT) AS DOUBLE), 6) + 0.0 AS gini
         |FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

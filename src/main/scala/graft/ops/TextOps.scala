@@ -215,7 +215,7 @@ object TextOps {
     // surface one). Repartition first: the single-file documents read
     // would otherwise run the tokenize pass on one core.
     val docs = Sources.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(math.max(2, s.sparkContext.defaultParallelism)) // floor 2: single-core sessions report parallelism 1
       .select(col("doc_id"), col("lang"), col("n_chars"),
         array_distinct(transform(words(col("text")), w => xxhash64(w))).as("wset"))
       .withColumn("bucket", (col("n_chars") / 7).cast("long"))
@@ -485,7 +485,7 @@ object TextOps {
   private[graft] def shingleSetsRaw(s: SparkSession, d: String): DataFrame =
     graft.io.Materialized.of(s, s"shingleSets|$d") {
       Sources.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(math.max(2, s.sparkContext.defaultParallelism)) // floor 2: single-core sessions report parallelism 1
         .select(col("doc_id"), words(col("text")).as("__w"))
         .pinned(eager = false)
         .select(col("doc_id"),

@@ -206,8 +206,10 @@ class AuditSpec extends SparkSpec {
     val got = Audit.ksFromPerValue(rows.toDF("cents", "a", "b"), wide = true).head()
     got.getLong(0) shouldBe na
     got.getLong(1) shouldBe nb
-    BigInt(got.getDecimal(2).toBigInteger) shouldBe dnum
-    BigInt(got.getDecimal(3).toBigInteger) shouldBe BigInt(na) * nb
+    // the exact rational ships as decimal strings in BOTH lattices
+    // (schema stability across the count gate)
+    BigInt(got.getString(2)) shouldBe dnum
+    BigInt(got.getString(3)) shouldBe BigInt(na) * nb
     got.getLong(4) shouldBe gaps.filter(_._2 == dnum).map(_._1).min
     got.getDouble(5) shouldBe
       (BigDecimal(dnum) / (BigDecimal(na) * BigDecimal(nb))).toDouble +- 1e-8
@@ -221,9 +223,18 @@ class AuditSpec extends SparkSpec {
     val w = Audit.ksFromPerValue(pv, wide = true).head()
     n.getLong(0) shouldBe w.getLong(0)
     n.getLong(1) shouldBe w.getLong(1)
-    n.getLong(2) shouldBe w.getDecimal(2).longValueExact()
-    n.getLong(3) shouldBe w.getDecimal(3).longValueExact()
+    n.getString(2) shouldBe w.getString(2)
+    n.getString(3) shouldBe w.getString(3)
     n.getLong(4) shouldBe w.getLong(4)
     n.getDouble(5) shouldBe w.getDouble(5)
+  }
+
+  // Count-gated widening must be invisible to consumers: the narrow
+  // and wide KS lattices must ship ONE schema.
+  it should "ship one schema across the narrow and wide lattices" in {
+    import spark.implicits._
+    val pv = Seq((1L, 3L, 9L)).toDF("cents", "a", "b")
+    Audit.ksFromPerValue(pv, wide = false).schema shouldBe
+      Audit.ksFromPerValue(pv, wide = true).schema
   }
 }

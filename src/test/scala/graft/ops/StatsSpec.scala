@@ -35,7 +35,9 @@ class StatsSpec extends SparkSpec {
     val got = Stats.aucExact(spark, sfDir).head()
     got.getAs[Long]("n_pos") shouldBe pos.length.toLong
     got.getAs[Long]("n_neg") shouldBe neg.length.toLong
-    got.getAs[Long]("u2") shouldBe num2
+    // exact >Int64-capable gate columns ship as decimal strings in
+    // BOTH lattices (schema stability across the count gate)
+    got.getAs[String]("u2") shouldBe num2.toString
     got.getAs[Double]("auc") shouldBe (BigDecimal(want)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9)
   }
@@ -65,7 +67,7 @@ class StatsSpec extends SparkSpec {
     val got = Stats.aucFromByScore(rows.toDF("cents", "pos", "neg"), wide = true).head()
     got.getLong(0) shouldBe nPos
     got.getLong(1) shouldBe nNeg
-    BigInt(got.getDecimal(2).toBigInteger) shouldBe u2
+    BigInt(got.getString(2)) shouldBe u2
     got.getDouble(3) shouldBe
       BigDecimal((BigDecimal(u2) / (BigDecimal(nPos) * BigDecimal(nNeg) * 2)).toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-12
@@ -79,8 +81,24 @@ class StatsSpec extends SparkSpec {
     val w = Stats.aucFromByScore(byScore, wide = true).head()
     n.getLong(0) shouldBe w.getLong(0)
     n.getLong(1) shouldBe w.getLong(1)
-    n.getLong(2) shouldBe w.getDecimal(2).longValueExact()
+    n.getString(2) shouldBe w.getString(2)
     n.getDouble(3) shouldBe w.getDouble(3)
+  }
+
+  // Count-gated widening must be invisible to consumers: the narrow
+  // and wide lattices of every *FromX pair must ship ONE schema — a
+  // deployment crossing the gate must not flip any column's type.
+  it should "ship one schema across the narrow and wide lattices" in {
+    import spark.implicits._
+    val byScore = Seq((1L, 3L, 9L)).toDF("cents", "pos", "neg")
+    Stats.aucFromByScore(byScore, wide = false).schema shouldBe
+      Stats.aucFromByScore(byScore, wide = true).schema
+    val gini = Seq(("A", 5L, 1L)).toDF("c_mktsegment", "x", "o_custkey")
+    Stats.giniFromCustomerRevenue(gini, wide = false).schema shouldBe
+      Stats.giniFromCustomerRevenue(gini, wide = true).schema
+    val pairs = Seq((3L, 9L)).toDF("xv", "yv")
+    Stats.spearmanFromPairs(pairs, wide = false).schema shouldBe
+      Stats.spearmanFromPairs(pairs, wide = true).schema
   }
 
   // The module's TIGHTEST Long bound: doubled midranks reach 2n, so the
@@ -155,9 +173,9 @@ class StatsSpec extends SparkSpec {
       val (n, sx, g) = ref(seg)
       val row = wideOut.find(_.getString(0) == seg).get
       row.getLong(1) shouldBe n
-      // Σx is also past Long at these magnitudes — the wide branch
-      // ships it as DECIMAL(38,0)
-      BigInt(row.getDecimal(2).toBigInteger) shouldBe sx
+      // Σx is also past Long at these magnitudes — total_cents ships
+      // as its exact decimal-string rendering (both lattices)
+      BigInt(row.getString(2)) shouldBe sx
       row.getDouble(3) shouldBe
         BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 2e-6
     }
@@ -170,8 +188,8 @@ class StatsSpec extends SparkSpec {
       .toDF("c_mktsegment", "x", "o_custkey")
     val n = Stats.giniFromCustomerRevenue(small, wide = false).collect()
     val w = Stats.giniFromCustomerRevenue(small, wide = true).collect()
-    n.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq shouldBe
-      w.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    n.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq shouldBe
+      w.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
   }
 
   behavior of "Stats.giniBySegment"
@@ -198,7 +216,7 @@ class StatsSpec extends SparkSpec {
     got.foreach { r =>
       val (n, sx, g) = want(r.getAs[String]("c_mktsegment"))
       r.getAs[Long]("n_customers") shouldBe n
-      r.getAs[Long]("total_cents") shouldBe sx
+      r.getAs[String]("total_cents") shouldBe sx.toString
       r.getAs[Double]("gini") shouldBe (g +- 1e-6)
     }
   }
