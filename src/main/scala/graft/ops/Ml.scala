@@ -210,20 +210,8 @@ object Ml {
   /** Confusion summary of the classifier on its training corpus — one
     * aggregate over the scored scan (tp/fp/tn/fn, accuracy, base rate).
     */
-  def logregEval(s: SparkSession, d: String): DataFrame = {
-    val scored = logregScore(s, d)
-    scored.agg(
-        sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"),
-        sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
-        count(lit(1)).as("n"),
-        avg(col("label").cast("double")).as("base_rate_raw"),
-        avg((col("label") === col("pred")).cast("double")).as("acc_raw"))
-      .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n"),
-        round(col("base_rate_raw"), 6).as("base_rate"),
-        round(col("acc_raw"), 6).as("accuracy"))
-  }
+  def logregEval(s: SparkSession, d: String): DataFrame =
+    confusionOf(logregScore(s, d))
 
   /** Calibration table (`ml_calibration`) of the persisted classifier:
     * predicted-probability deciles vs observed positive rate — the
@@ -236,13 +224,78 @@ object Ml {
     * sum to the corpus, observed rates in [0,1]).
     */
   def logregCalibration(s: SparkSession, d: String): DataFrame =
-    logregScore(s, d)
+    calibrationOf(logregScore(s, d))
+
+  /** Frozen-weight scoring (`ml_logreg_score_frozen`): σ(x·β₀) with the
+    * PUBLISHED teacher vector riding in as the frozen literal model.
+    * Serving a fixed model is plain column math — unlike the IRLS fit
+    * that trains one — so this twin is SQL-expressible and moves the
+    * entire scoring path (feature extraction → dot product → sigmoid →
+    * threshold) under the DuckDB hash check; only the trained-β path
+    * stays rows-only (MlSpec certifies it by property). Same 100 TB
+    * shape as [[logregScore]]: β enters as literals, pure map-side
+    * codegen'd expressions on one documents scan — no join, no
+    * shuffle, nothing driver-side. `pred` thresholds the ROUNDED score
+    * so both engines compare the identical 1e-6-lattice double.
+    */
+  def logregScoreFrozen(s: SparkSession, d: String): DataFrame = {
+    val fdf = featurized(s, d)
+    val eta = (0 until k).map(i => col(s"f$i") * lit(teacher(i))).reduce(_ + _)
+    fdf.select(col("doc_id"), col("y").cast("long").as("label"),
+        roundNorm(lit(1.0) / (lit(1.0) + exp(-eta)), 6).as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Confusion summary of the frozen scorer (`ml_logreg_eval_frozen`) —
+    * the oracle-checked twin of [[logregEval]]: one aggregate over the
+    * frozen scoring scan.
+    */
+  def logregEvalFrozen(s: SparkSession, d: String): DataFrame =
+    confusionOf(logregScoreFrozen(s, d))
+
+  /** Reliability diagram of the frozen scorer
+    * (`ml_calibration_frozen`) — the oracle-checked twin of
+    * [[logregCalibration]]: decile buckets over the ROUNDED score (an
+    * exact double both engines share), one 10-row aggregate.
+    */
+  def logregCalibrationFrozen(s: SparkSession, d: String): DataFrame =
+    calibrationOf(logregScoreFrozen(s, d))
+
+  /** The confusion aggregate shared by the trained and frozen scorers. */
+  private def confusionOf(scored: DataFrame): DataFrame =
+    scored.agg(
+        sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+        count(lit(1)).as("n"),
+        avg(col("label").cast("double")).as("base_rate_raw"),
+        avg((col("label") === col("pred")).cast("double")).as("acc_raw"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"), col("n"),
+        round(col("base_rate_raw"), 6).as("base_rate"),
+        round(col("acc_raw"), 6).as("accuracy"))
+
+  /** The decile-bucket aggregate shared by the trained and frozen
+    * scorers. `mean_pred` follows the Cramér's-V lattice discipline:
+    * the 1e-6-rounded scores are summed as exact integer micro-units
+    * (a double Σ over bucket members is partition-order-dependent and
+    * the two engines would disagree in the last bits), so the mean
+    * derives from one deterministic cast. Label sums are exact in
+    * double (0/1 counts < 2⁵³), so the rates need no lattice.
+    */
+  private def calibrationOf(scored: DataFrame): DataFrame =
+    scored
       .withColumn("bucket", least(floor(col("score") * 10), lit(9.0)).cast("long"))
+      .withColumn("score_e6", round(col("score") * 1e6).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         sum("label").as("n_pos"),
-        round(avg("score"), 6).as("mean_pred"),
+        sum("score_e6").as("s_e6"),
         round(avg(col("label").cast("double")), 6).as("obs_rate"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        roundNorm(col("s_e6").cast("double") / col("n") / 1e6, 6).as("mean_pred"),
+        col("obs_rate"))
       .orderBy("bucket")
 
   // ------------------------------------------------- multinomial NB
@@ -355,6 +408,9 @@ object Ml {
     "ml_logreg_weights" -> (logregWeights _),
     "ml_logreg_score" -> (logregScore _),
     "ml_logreg_eval" -> (logregEval _),
+    "ml_logreg_score_frozen" -> (logregScoreFrozen _),
+    "ml_logreg_eval_frozen" -> (logregEvalFrozen _),
+    "ml_calibration_frozen" -> (logregCalibrationFrozen _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -410,6 +466,89 @@ object Ml {
         |  CAST((10000 * n_docs) // tn AS BIGINT) AS share_bp
         |FROM cells JOIN tot ON cells.lang = tot.lang
         |ORDER BY cells.lang, predicted_lang""".stripMargin,
+    "ml_logreg_score_frozen" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |    ln(1.0 + CAST(n_chars AS DOUBLE)) AS f1,
+        |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1))
+        |      / CAST(len(ws) AS DOUBLE) AS f2,
+        |    CAST(len(list_filter(ws, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f3,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f4
+        |  FROM w),
+        |e AS (SELECT doc_id,
+        |    1.0 * (-16.0) + f1 * 3.0 + f2 * (-1.2) + f3 * 25.0 + f4 * 6.0 AS eta
+        |  FROM f),
+        |p AS (SELECT doc_id, 1.0 / (1.0 + exp(-eta)) AS mu,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM e)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN u < mu THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |  round(mu, 6) + 0.0 AS score,
+        |  CAST(CASE WHEN round(mu, 6) + 0.0 >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "ml_logreg_eval_frozen" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |    ln(1.0 + CAST(n_chars AS DOUBLE)) AS f1,
+        |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1))
+        |      / CAST(len(ws) AS DOUBLE) AS f2,
+        |    CAST(len(list_filter(ws, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f3,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f4
+        |  FROM w),
+        |e AS (SELECT doc_id,
+        |    1.0 * (-16.0) + f1 * 3.0 + f2 * (-1.2) + f3 * 25.0 + f4 * 6.0 AS eta
+        |  FROM f),
+        |p AS (SELECT doc_id, 1.0 / (1.0 + exp(-eta)) AS mu,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM e),
+        |sc AS (SELECT CASE WHEN u < mu THEN 1 ELSE 0 END AS label,
+        |    CASE WHEN round(mu, 6) + 0.0 >= 0.5 THEN 1 ELSE 0 END AS pred
+        |  FROM p)
+        |SELECT
+        |  CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) + 0.0 AS base_rate,
+        |  round(CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) + 0.0 AS accuracy
+        |FROM sc""".stripMargin,
+    "ml_calibration_frozen" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |    ln(1.0 + CAST(n_chars AS DOUBLE)) AS f1,
+        |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1))
+        |      / CAST(len(ws) AS DOUBLE) AS f2,
+        |    CAST(len(list_filter(ws, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f3,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f4
+        |  FROM w),
+        |e AS (SELECT doc_id,
+        |    1.0 * (-16.0) + f1 * 3.0 + f2 * (-1.2) + f3 * 25.0 + f4 * 6.0 AS eta
+        |  FROM f),
+        |p AS (SELECT doc_id, 1.0 / (1.0 + exp(-eta)) AS mu,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM e),
+        |sc AS (SELECT CASE WHEN u < mu THEN 1 ELSE 0 END AS label,
+        |    round(mu, 6) + 0.0 AS score
+        |  FROM p),
+        |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+        |    label, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+        |  FROM sc)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(label) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(score_e6) AS DOUBLE) / count(*) / 1e6, 6) + 0.0 AS mean_pred,
+        |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) + 0.0 AS obs_rate
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ml_linear_fit" ->
       """SELECT p_brand,
         | round(regr_slope(p_retailprice, p_size), 6) + 0.0 AS slope,

@@ -57,6 +57,11 @@ class SparkEntrySpec extends SparkSpec {
     // r8: text_bpe_merges — an iterative argmax-and-rewrite loop (BPE
     // tokenizer training) is not SQL-expressible; BpeSpec replays the
     // reference algorithm and asserts the structural invariants.
+    // r11: the logreg SERVING path gained hash-checked frozen-weight
+    // twins (ml_logreg_score_frozen / ml_logreg_eval_frozen /
+    // ml_calibration_frozen — fixed-β scoring is plain SQL), so only
+    // the trained-β entries below remain rows-only, and their scoring/
+    // eval/calibration machinery is now oracle-covered via the twins.
     rowsOnly shouldBe Set("agg_approx_distinct", "agg_approx_percentile",
       "dedup_simhash", "sim_ann_lsh", "sim_ann_ivf", "sim_pq_audit",
       "sim_pq_adc", "sim_ivfadc_topk", "sim_pca_variance", "sim_pca_project",
