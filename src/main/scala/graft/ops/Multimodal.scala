@@ -8,13 +8,26 @@ import graft.io.Sources
 /** Multimodal column plumbing (SURVEY §2.13): media as opaque `binary`
   * columns with typed metadata, batch-shaped decode / feature-extract.
   *
-  * The fixtures carry no real media, and this container has no image/audio
-  * codecs, so — per the build contract — the DECODE step is a
-  * clearly-marked deterministic fake, while everything Spark-side is real
-  * and tested: the binary column, the metadata struct schema, the
-  * per-partition batched UDF shape (Scala `mapPartitions`, the JVM analog
-  * of `mapInPandas`: one iterator per partition, amortized per-batch
-  * setup), and the partitioning.
+  * The fixtures carry no media files, so the image assets are DERIVED:
+  * a deterministic generator (the stand-in for the source system's
+  * ingest) renders each document as a genuine 24-bit uncompressed BMP —
+  * a real public file format with a magic number, little-endian header
+  * fields, bottom-up pixel rows and 4-byte row-stride padding — and the
+  * DECODE step is a real codec: it validates the magic, parses the
+  * header, walks the padded bottom-up pixel array and emits true
+  * decoded width/height plus pixel statistics. Decoded values are
+  * oracle-checked end to end: the pixel formula is pure integer
+  * arithmetic, so DuckDB predicts every feature the decoder must
+  * recover from the bytes — a mis-parsed stride, offset or row order
+  * hash-fails. The same discipline covers all three modalities: image
+  * (24-bit BMP), audio (RIFF/WAVE PCM16 with a chunk walk past planted
+  * metadata chunks), and video (a length-prefixed multi-frame container
+  * whose sampled frames run through the real BMP codec). Compressed
+  * codecs (JPEG/MP3/H.264) aren't in this container; these three carry
+  * the full byte-level decode discipline with zero dependencies.
+  * The Spark shape is the batch-codec one throughout: `mapPartitions`
+  * (the JVM analog of `mapInPandas`: one iterator per partition,
+  * amortized per-partition codec setup), binary stays map-side only.
   *
   * At 100 TB: binary payloads dominate row size, so operators project the
   * binary column away as early as possible (metadata-only plans never read
@@ -23,18 +36,329 @@ import graft.io.Sources
   */
 object Multimodal {
 
-  /** Decoded-feature record produced by the (stubbed) decoder. */
+  /** One generated media asset: a genuine BMP file in a binary column. */
+  final case class MediaAsset(doc_id: Long, media: Array[Byte])
+
+  /** Decoded-feature record produced by the BMP decoder. Every field
+    * after doc_id is recovered FROM THE BYTES: file length, header
+    * width/height, and two pixel statistics over the top-down raster
+    * order (`pix_wsum` weights each pixel by its 1-based raster index,
+    * so a decoder that got the bottom-up row order wrong cannot pass).
+    */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
-      // STUB: a real implementation decodes the blob (image/audio) here and
-      // emits model features; the container has no codecs, so features are
-      // a deterministic fold of the raw bytes — the Spark plumbing (schema,
-      // batching, partitioning) is identical either way.
-      checksum: Long,
       width: Int,
       height: Int,
+      pix_sum: Long,
+      pix_wsum: Long,
   )
+
+  /** Deterministic pixel formula — the contract between the generator
+    * and the oracle: pixel p (0-based, top-down raster order) of
+    * document `id` has channels
+    * r=(31·id+7·p+11)%256, g=(17·id+13·p+23)%256, b=(29·id+19·p+31)%256.
+    * Image dims derive from the document: w = 4 + n_chars%13,
+    * h = 3 + n_chars%7 (small on the fixtures; the codec logic is
+    * size-independent).
+    */
+  private[ops] def pixel(id: Long, p: Long): (Int, Int, Int) = (
+    ((31 * id + 7 * p + 11) % 256).toInt,
+    ((17 * id + 13 * p + 23) % 256).toInt,
+    ((29 * id + 19 * p + 31) % 256).toInt)
+
+  /** Render a genuine 24-bit BMP (BITMAPINFOHEADER, bottom-up rows,
+    * 4-byte stride padding) for a document.
+    */
+  private[ops] def encodeBmp(id: Long, nChars: Long): Array[Byte] = {
+    val w = (4 + nChars % 13).toInt
+    val h = (3 + nChars % 7).toInt
+    val stride = (w * 3 + 3) / 4 * 4
+    val size = 54 + h * stride
+    val out = new Array[Byte](size)
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, size); le32(10, 54) // file size, pixel-array offset
+    le32(14, 40); le32(18, w); le32(22, h) // DIB size, width, height
+    le16(26, 1); le16(28, 24) // planes, bits-per-pixel
+    le32(30, 0); le32(34, h * stride) // BI_RGB, image size
+    le32(38, 2835); le32(42, 2835) // 72 DPI
+    var y = 0
+    while (y < h) { // y = top-down image row; BMP stores rows bottom-up
+      val rowOff = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(id, y.toLong * w + x)
+        out(rowOff + x * 3) = b.toByte // BMP channel order is B,G,R
+        out(rowOff + x * 3 + 1) = g.toByte
+        out(rowOff + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a 24-bit BMP: validate magic/offsets, read the little-endian
+    * header dims, walk the padded bottom-up pixel array in TOP-DOWN
+    * raster order. Throws on anything that isn't the format it claims —
+    * a decoder that silently "succeeds" on garbage is worse than one
+    * that fails loudly.
+    */
+  private[ops] def decodeBmp(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP: bad magic or truncated header")
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    require(le32(2) == bytes.length, "BMP header size != payload size")
+    val pixOff = le32(10)
+    val w = le32(18); val h = le32(22)
+    require(le16(28) == 24 && le32(30) == 0, "decoder handles uncompressed 24-bit BMP")
+    val stride = (w * 3 + 3) / 4 * 4
+    require(pixOff + h * stride <= bytes.length, "pixel array out of bounds")
+    var sum = 0L; var wsum = 0L
+    var y = 0
+    while (y < h) {
+      val rowOff = pixOff + (h - 1 - y) * stride // un-flip the bottom-up rows
+      var x = 0
+      while (x < w) {
+        val v = (bytes(rowOff + x * 3) & 0xff) + (bytes(rowOff + x * 3 + 1) & 0xff) +
+          (bytes(rowOff + x * 3 + 2) & 0xff)
+        val p = y.toLong * w + x
+        sum += v; wsum += (p + 1) * v
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sum, wsum)
+  }
+
+  /** The derived media-asset table: one real BMP per document, built in
+    * the batched `mapPartitions` shape (per-partition generator init,
+    * iterator in / iterator out) — the stand-in for the source system
+    * that would deliver blobs at ingest.
+    */
+  def bmpAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) => MediaAsset(id, encodeBmp(id, nc)) })
+  }
+
+  /** Decoded-audio record produced by the WAV decoder — every field
+    * after doc_id recovered FROM THE BYTES: file length, the fmt-chunk
+    * sample rate, and four integer statistics over the PCM samples
+    * (`zero_crossings` counts strict sign flips, so a decoder that
+    * mis-read the signed little-endian int16s cannot pass).
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      amp_sum: Long,
+      amp_abs_sum: Long,
+      peak: Long,
+      zero_crossings: Long,
+  )
+
+  /** Deterministic sample formula — the generator↔oracle contract:
+    * sample t (0-based) of document `id` is
+    * amp = ((13·id + 7·t + 3) % 2001) − 1000 ∈ [−1000, 1000] (int16-safe);
+    * n_samples = 50 + n_chars % 101; sample_rate = 8000 + 1000·(id % 5).
+    */
+  private[ops] def ampAt(id: Long, t: Long): Int =
+    (((13 * id + 7 * t + 3) % 2001) - 1000).toInt
+
+  /** Render a genuine RIFF/WAVE file (PCM, mono, 16-bit little-endian).
+    * Every third document gets a harmless `LIST` chunk between `fmt ` and
+    * `data` — real WAV files carry metadata chunks there, and the
+    * decoder must WALK chunks, not assume `data` at byte 36.
+    */
+  private[ops] def encodeWav(id: Long, nChars: Long): Array[Byte] = {
+    val n = (50 + nChars % 101).toInt
+    val sr = (8000 + 1000 * (id % 5)).toInt
+    val listExtra = if (id % 3 == 0) 20 else 0 // 8-byte header + 12-byte payload
+    val size = 44 + listExtra + 2 * n
+    val out = new Array[Byte](size)
+    var o = 0
+    def tag(s: String): Unit = { s.foreach { c => out(o) = c.toByte; o += 1 } }
+    def le16(v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte; o += 2 }
+    def le32(v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte; o += 4
+    }
+    tag("RIFF"); le32(size - 8); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1); le16(1) // PCM, mono
+    le32(sr); le32(sr * 2) // sample rate, byte rate
+    le16(2); le16(16) // block align, bits per sample
+    if (listExtra > 0) { tag("LIST"); le32(12); (0 until 12).foreach { _ => out(o) = 'x'; o += 1 } }
+    tag("data"); le32(2 * n)
+    var t = 0
+    while (t < n) { le16(ampAt(id, t) & 0xffff); t += 1 }
+    out
+  }
+
+  /** Parse a RIFF/WAVE file: validate the RIFF/WAVE magics and the
+    * declared size, WALK the chunk list (skipping unknown chunks, with
+    * the RIFF odd-length pad rule), require PCM/mono/16-bit from the
+    * `fmt ` chunk, then read the signed little-endian int16 samples and
+    * reduce them to the integer statistics. Throws on malformed input.
+    */
+  private[ops] def decodeWav(bytes: Array[Byte]): AudioFeaturesRaw = {
+    def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    require(bytes.length >= 44 && tagAt(0) == "RIFF" && tagAt(8) == "WAVE",
+      "not a WAV: bad RIFF/WAVE magic or truncated header")
+    require(le32(4) == bytes.length - 8, "RIFF size != payload size")
+    var off = 12
+    var sampleRate = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val chunk = tagAt(off); val len = le32(off + 4)
+      require(off + 8 + len <= bytes.length, s"chunk $chunk overruns the file")
+      chunk match {
+        case "fmt " =>
+          require(le16(off + 8) == 1 && le16(off + 10) == 1 && le16(off + 22) == 16,
+            "decoder handles PCM mono 16-bit")
+          sampleRate = le32(off + 12)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _      => // skip unknown chunks (LIST, cue, ...)
+      }
+      off += 8 + len + (len & 1) // RIFF pads odd-length chunks
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt or data chunk")
+    require(dataLen % 2 == 0, "odd PCM16 data length")
+    val n = dataLen / 2
+    var sum = 0L; var absSum = 0L; var peak = 0L; var zc = 0L
+    var prev = 0; var t = 0
+    while (t < n) {
+      val v = le16(dataOff + 2 * t).toShort.toInt
+      sum += v; absSum += math.abs(v).toLong
+      if (math.abs(v) > peak) peak = math.abs(v).toLong
+      if (t > 0 && prev.toLong * v < 0) zc += 1
+      prev = v; t += 1
+    }
+    AudioFeaturesRaw(sampleRate.toLong, n.toLong, sum, absSum, peak, zc)
+  }
+
+  /** What [[decodeWav]] recovers from one file (doc key attached later). */
+  final case class AudioFeaturesRaw(
+      sample_rate: Long, n_samples: Long, amp_sum: Long,
+      amp_abs_sum: Long, peak: Long, zero_crossings: Long)
+
+  /** The real audio-decode pipeline as a query (`mm_decode_wav`):
+    * generate a genuine PCM WAV per document, then DECODE the bytes in
+    * the batched `mapPartitions` shape and ship what the decoder
+    * recovered. The oracle predicts every column from the sample
+    * contract alone, so the hash check certifies the RIFF chunk walk
+    * (the planted `LIST` chunk breaks any fixed-offset reader), the
+    * little-endian fmt parse, and the signed-int16 sample decode.
+    */
+  def mediaDecodeWav(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // per-partition init happens here (a real codec opens once)
+        it.map { case (id, nc) =>
+          val wav = encodeWav(id, nc)
+          val f = decodeWav(wav)
+          AudioFeatures(id, wav.length.toLong, f.sample_rate, f.n_samples,
+            f.amp_sum, f.amp_abs_sum, f.peak, f.zero_crossings)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Render a multi-frame video container: `GVID` magic + u32 frame
+    * count + per frame (u32 length + a genuine BMP). Frame `f` of
+    * document `id` is [[encodeBmp]] keyed by `id + 1000003·f` — same
+    * dimensions every frame (dims derive from the document), distinct
+    * pixels per frame. n_frames = 2 + n_chars % 7.
+    */
+  private[ops] def encodeVideo(id: Long, nChars: Long): Array[Byte] = {
+    val nf = (2 + nChars % 7).toInt
+    val frames = (0 until nf).map(f => encodeBmp(id + 1000003L * f, nChars))
+    val out = new java.io.ByteArrayOutputStream(8 + frames.map(_.length + 4).sum)
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write('G'); out.write('V'); out.write('I'); out.write('D')
+    le32(nf)
+    frames.foreach { fb => le32(fb.length); out.write(fb) }
+    out.toByteArray
+  }
+
+  /** One decoded sampled frame of a video container. */
+  final case class VideoFrameFeatures(
+      doc_id: Long, frame_idx: Long, width: Long, height: Long,
+      pix_sum: Long, pix_wsum: Long)
+
+  /** Walk a `GVID` container and decode EVERY SECOND frame via
+    * [[decodeBmp]] — the video frame-sampling shape over real bytes:
+    * the walker must honor each frame's declared length to even FIND
+    * the next frame, and skipped frames are never pixel-decoded (the
+    * point of sampling: at 100 TB the codec cost is the bottleneck,
+    * so the stride divides it, not just the output).
+    */
+  private[ops] def decodeVideoSampled(id: Long, bytes: Array[Byte]): Seq[VideoFrameFeatures] = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V' &&
+      bytes(2) == 'I' && bytes(3) == 'D', "not a GVID container")
+    val nf = le32(4)
+    val outRows = scala.collection.mutable.ArrayBuffer[VideoFrameFeatures]()
+    var off = 8
+    var f = 0
+    while (f < nf) {
+      require(off + 4 <= bytes.length, s"frame $f header overruns the container")
+      val len = le32(off)
+      require(off + 4 + len <= bytes.length, s"frame $f overruns the container")
+      if (f % 2 == 0) {
+        val (w, h, sum, wsum) = decodeBmp(
+          java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len))
+        outRows += VideoFrameFeatures(id, f.toLong, w.toLong, h.toLong, sum, wsum)
+      }
+      off += 4 + len
+      f += 1
+    }
+    require(off == bytes.length, "trailing garbage after the last frame")
+    outRows.toSeq
+  }
+
+  /** The video frame-sampling pipeline as a query (`mm_video_frames`):
+    * build a real multi-frame container per document, walk it, decode
+    * every second frame with the real BMP codec, one output row per
+    * sampled frame. Oracle-checked end to end from the pixel contract.
+    */
+  def videoFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        decodeVideoSampled(id, encodeVideo(id, nc))
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
 
   /** Attach a fake binary "media" column + metadata struct to documents —
     * the multimodal table shape (text + binary + typed metadata in one
@@ -48,23 +372,19 @@ object Multimodal {
         lit("fake/raw").as("mime"),
         (col("doc_id") % 4).cast("int").as("channel")))
 
-  /** Batched per-partition decode: the `mapPartitions` shape a real codec
-    * would use (iterator in, iterator out, per-partition init). The decode
-    * itself is STUBBED deterministically from the bytes.
+  /** Batched per-partition decode over the REAL BMP assets: iterator
+    * in, iterator out, per-partition codec init — every output field
+    * recovered from the bytes by [[decodeBmp]], nothing carried along
+    * from the document row except the key.
     */
   def decodeFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    withMediaColumns(docs)
-      .select(col("doc_id"), col("media"))
-      .as[(Long, Array[Byte])]
+    bmpAssets(spark, docs)
       .mapPartitions { it =>
-        // per-partition init happens here (a real decoder opens its codec once)
-        it.map { case (id, bytes) =>
-          var acc = 0L
-          var i = 0
-          while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-          // STUB dimensions derived from content, stand-ins for decoded w×h
-          MediaFeatures(id, bytes.length.toLong, acc, (acc % 640).toInt, (acc % 480).toInt)
+        // per-partition init happens here (a real codec opens once)
+        it.map { a =>
+          val (w, h, sum, wsum) = decodeBmp(a.media)
+          MediaFeatures(a.doc_id, a.media.length.toLong, w, h, sum, wsum)
         }
       }
   }
@@ -82,15 +402,20 @@ object Multimodal {
       )
       .orderBy("doc_id")
 
-  /** The decode pipeline as a query (fingerprint checksum is the same
-    * rolling hash the oracle can compute over characters — ASCII text ⇒
-    * bytes == codepoints).
+  /** The real decode pipeline as a query (`mm_decode_bmp`): encode each
+    * document as a genuine BMP, then DECODE the bytes and ship what the
+    * decoder recovered. The oracle predicts every column from the pixel
+    * contract alone (header arithmetic + integer pixel formula), so the
+    * hash check certifies the byte-level parse: file length, little-
+    * endian header dims, stride padding, and — via the raster-weighted
+    * `pix_wsum` — the bottom-up row un-flip.
     */
-  def mediaDecodeStub(s: SparkSession, d: String): DataFrame = {
+  def mediaDecodeBmp(s: SparkSession, d: String): DataFrame = {
     val ds = decodeFeatures(s, Sources.documents(s, d))
     ds.toDF()
-      .select(col("doc_id"), col("n_bytes"), col("checksum"),
-        col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("pix_sum"), col("pix_wsum"))
       .orderBy("doc_id")
   }
 
@@ -155,7 +480,9 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_shard_plan" -> (shardPlan _),
     "mm_media_meta" -> (mediaMeta _),
-    "mm_decode_stub" -> (mediaDecodeStub _),
+    "mm_decode_bmp" -> (mediaDecodeBmp _),
+    "mm_decode_wav" -> (mediaDecodeWav _),
+    "mm_video_frames" -> (videoFrames _),
     "mm_frame_sample" -> (frameSample _),
     "mm_frame_overlap" -> (frameOverlapPairs _),
   )
@@ -202,14 +529,60 @@ object Multimodal {
         | CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
         | doc_id % 4 AS channel
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_decode_stub" ->
-      """WITH f AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |  (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-        | FROM documents)
-        |SELECT doc_id, n_bytes, checksum, checksum % 640 AS width, checksum % 480 AS height
-        |FROM f ORDER BY doc_id""".stripMargin,
+    "mm_decode_bmp" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        | v AS (SELECT doc_id, w, h, p,
+        |    (31 * doc_id + 7 * p + 11) % 256
+        |    + (17 * doc_id + 13 * p + 23) % 256
+        |    + (29 * doc_id + 19 * p + 31) % 256 AS rgb
+        |  FROM px)
+        |SELECT doc_id,
+        | CAST(54 + any_value(h) * ((any_value(w) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        | CAST(any_value(w) AS BIGINT) AS width,
+        | CAST(any_value(h) AS BIGINT) AS height,
+        | CAST(sum(rgb) AS BIGINT) AS pix_sum,
+        | CAST(sum((p + 1) * rgb) AS BIGINT) AS pix_wsum
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_decode_wav" ->
+      """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n,
+        |    8000 + 1000 * (doc_id % 5) AS sr FROM documents),
+        | t AS (SELECT doc_id, n, sr, unnest(range(0, n)) AS t FROM d),
+        | sam AS (SELECT doc_id, n, sr, t,
+        |    (13 * doc_id + 7 * t + 3) % 2001 - 1000 AS amp FROM t),
+        | l AS (SELECT *, lag(amp) OVER (PARTITION BY doc_id ORDER BY t) AS pamp
+        |   FROM sam)
+        |SELECT doc_id,
+        | CAST(44 + CASE WHEN doc_id % 3 = 0 THEN 20 ELSE 0 END
+        |   + 2 * any_value(n) AS BIGINT) AS n_bytes,
+        | CAST(any_value(sr) AS BIGINT) AS sample_rate,
+        | CAST(any_value(n) AS BIGINT) AS n_samples,
+        | CAST(sum(amp) AS BIGINT) AS amp_sum,
+        | CAST(sum(abs(amp)) AS BIGINT) AS amp_abs_sum,
+        | CAST(max(abs(amp)) AS BIGINT) AS peak,
+        | CAST(sum(CASE WHEN pamp IS NOT NULL AND pamp * amp < 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_video_frames" ->
+      """WITH d AS (SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h,
+        |    2 + n_chars % 7 AS nf FROM documents),
+        | f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS frame_idx FROM d),
+        | sf AS (SELECT doc_id, w, h, frame_idx, doc_id + 1000003 * frame_idx AS fk
+        |   FROM f WHERE frame_idx % 2 = 0),
+        | px AS (SELECT doc_id, frame_idx, fk, w, h, unnest(range(0, w * h)) AS p
+        |   FROM sf),
+        | v AS (SELECT doc_id, frame_idx, w, h, p,
+        |    (31 * fk + 7 * p + 11) % 256
+        |    + (17 * fk + 13 * p + 23) % 256
+        |    + (29 * fk + 19 * p + 31) % 256 AS rgb
+        |  FROM px)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | CAST(any_value(w) AS BIGINT) AS width,
+        | CAST(any_value(h) AS BIGINT) AS height,
+        | CAST(sum(rgb) AS BIGINT) AS pix_sum,
+        | CAST(sum((p + 1) * rgb) AS BIGINT) AS pix_wsum
+        |FROM v GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, unnest(range(0, (length(text) - 1) // 16 + 1)) AS frame_id, text

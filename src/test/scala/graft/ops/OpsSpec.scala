@@ -219,16 +219,88 @@ class OpsSpec extends SparkSpec {
     a shouldBe b
   }
 
-  "multimodal decode" should "produce one feature row per document with stable checksums" in {
+  "multimodal decode" should "recover the planted pixels from genuine BMP bytes" in {
     val feats = Multimodal.decodeFeatures(spark, Sources.documents(spark, sfDir))
     val n = Sources.documents(spark, sfDir).count()
     feats.count() shouldBe n
-    // checksum matches the oracle-checked rolling hash definition
-    val viaQuery = Multimodal.mediaDecodeStub(spark, sfDir)
-      .select("doc_id", "checksum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val fp = TextOps.textFingerprint(spark, sfDir)
+    // driver-side reference: re-derive every feature from the pixel
+    // contract (never from the bytes) and demand the decoder recovered
+    // exactly that from its byte-level parse
+    val dims = Sources.documents(spark, sfDir).select("doc_id", "n_chars")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    viaQuery shouldBe fp
+    feats.collect().foreach { f =>
+      val nc = dims(f.doc_id)
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      f.width shouldBe w
+      f.height shouldBe h
+      f.n_bytes shouldBe 54L + h * ((w * 3 + 3) / 4 * 4)
+      var sum = 0L; var wsum = 0L
+      for (p <- 0L until w.toLong * h) {
+        val (r, g, b) = Multimodal.pixel(f.doc_id, p)
+        sum += r + g + b; wsum += (p + 1) * (r + g + b)
+      }
+      f.pix_sum shouldBe sum
+      f.pix_wsum shouldBe wsum
+    }
+  }
+
+  it should "reject bytes that are not the format they claim" in {
+    val good = Multimodal.encodeBmp(7L, 100L)
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeBmp(badMagic)
+    // header/payload size mismatch (truncated file)
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeBmp(good.dropRight(4))
+    // unsupported bit depth
+    val bad16 = good.clone(); bad16(28) = 16
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeBmp(bad16)
+  }
+
+  "WAV decode" should "recover the planted samples through the RIFF chunk walk" in {
+    // id 9 plants the LIST chunk (9 % 3 == 0) — the walker must skip it
+    for (id <- Seq(7L, 9L)) {
+      val wav = Multimodal.encodeWav(id, 123L)
+      val f = Multimodal.decodeWav(wav)
+      val n = 50 + 123 % 101
+      f.n_samples shouldBe n
+      f.sample_rate shouldBe 8000 + 1000 * (id % 5)
+      val amps = (0 until n).map(t => Multimodal.ampAt(id, t.toLong))
+      f.amp_sum shouldBe amps.map(_.toLong).sum
+      f.amp_abs_sum shouldBe amps.map(a => math.abs(a).toLong).sum
+      f.peak shouldBe amps.map(a => math.abs(a).toLong).max
+      f.zero_crossings shouldBe amps.sliding(2).count(w => w(0).toLong * w(1) < 0)
+      wav.length shouldBe 44 + (if (id % 3 == 0) 20 else 0) + 2 * n
+    }
+    // rejection: bad magic, truncation, non-PCM fmt
+    val good = Multimodal.encodeWav(4L, 60L)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeWav(badMagic)
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeWav(good.dropRight(2))
+    val badFmt = good.clone(); badFmt(20) = 2 // format tag != PCM
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeWav(badFmt)
+  }
+
+  "video container decode" should "sample every second frame and decode it with the BMP codec" in {
+    val id = 11L; val nc = 200L
+    val rows = Multimodal.decodeVideoSampled(id, Multimodal.encodeVideo(id, nc))
+    val nf = (2 + nc % 7).toInt
+    rows.map(_.frame_idx) shouldBe (0 until nf).filter(_ % 2 == 0).map(_.toLong)
+    rows.foreach { r =>
+      r.width shouldBe 4 + nc % 13
+      r.height shouldBe 3 + nc % 7
+      // frame pixels come from the frame-keyed formula, not the doc key
+      val fk = id + 1000003L * r.frame_idx
+      var sum = 0L
+      for (p <- 0L until r.width * r.height) {
+        val (pr, pg, pb) = Multimodal.pixel(fk, p)
+        sum += pr + pg + pb
+      }
+      r.pix_sum shouldBe sum
+    }
+    // a corrupted frame-length header must not decode
+    val v = Multimodal.encodeVideo(id, nc)
+    v(8) = (v(8) + 1).toByte // first frame's declared length off by one
+    an[IllegalArgumentException] should be thrownBy Multimodal.decodeVideoSampled(id, v)
   }
 
   "dot_product (native expression)" should "be bit-identical to the HOF composition" in {
