@@ -2,7 +2,7 @@ package graft.ops
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GramAggregator
@@ -165,10 +165,36 @@ object Decomp {
       .orderBy("vec_id")
   }
 
+  /** Frozen-basis projection (`sim_project_frozen`) — the hash-checked
+    * twin of [[pcaProject]]'s plan shape, with a PUBLISHED basis instead
+    * of the trained one (the same move as the frozen-weight logreg
+    * twins): two fixed integer directions c1[i] = (7i+3)%17 − 8,
+    * c2[i] = (5i+11)%19 − 9 — a deterministic random-projection
+    * (Johnson–Lindenstrauss-style) basis, the standard cheap
+    * dimensionality reduction a curation pipeline runs before
+    * clustering. Computed over the 1e4-quantized embedding lattice
+    * ([[Similarity.quantEmb]]) so every product and sum is an exact
+    * BIGINT both engines share. Identical 100 TB shape: basis literals
+    * ride the closure, the scan is one map-side codegen'd HOF
+    * projection — no join, no shuffle; only the trained-eigenbasis
+    * path stays rows-only (DecompSpec certifies it by property).
+    */
+  def projectFrozen(s: SparkSession, d: String): DataFrame = {
+    val c1 = Array.tabulate(dim)(i => ((7L * i + 3) % 17) - 8)
+    val c2 = Array.tabulate(dim)(i => ((5L * i + 11) % 19) - 9)
+    def dotQ(basis: Array[Long]): Column =
+      aggregate(zip_with(col("qv"), lit(basis), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    Similarity.quantEmb(s, d)
+      .select(col("vec_id"), dotQ(c1).as("p1_q"), dotQ(c2).as("p2_q"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_covariance" -> (covariance _),
     "sim_pca_variance" -> (pcaVariance _),
     "sim_pca_project" -> (pcaProject _),
+    "sim_project_frozen" -> (projectFrozen _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +207,16 @@ object Decomp {
         |  round(covar_pop(a.x, b.x), 6) + 0.0 AS cov
         |FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sim_project_frozen" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x
+        |   FROM e)
+        |SELECT vec_id,
+        | CAST(sum(x * ((7 * (i - 1) + 3) % 17 - 8)) AS BIGINT) AS p1_q,
+        | CAST(sum(x * ((5 * (i - 1) + 11) % 19 - 9)) AS BIGINT) AS p2_q
+        |FROM eu GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
 }

@@ -825,6 +825,15 @@ object Graph {
     * per-part fan-out at cap² hard); then one equi-join on the part key
     * and a pair-keyed count. Top-20 by (shared, pair) is a total order
     * — deterministic cut. The oracle applies the identical cap.
+    *
+    * Worst-case arithmetic for the cap: a part with degree ≤ 64 emits
+    * ≤ 64·63/2 = 2 016 ordered pairs, so the self-join's output is
+    * ≤ 2 016 · |parts| rows — LINEAR in the part count no matter how
+    * the per-part degree distribution shifts, where the uncapped join
+    * is Σ deg²/2 and one 10⁶-degree hub alone would emit 5·10¹¹ pairs.
+    * ScaleProbe's bipartite-projection row measures exactly this
+    * (replicas grow parts ~k× at constant per-part degree: pairs and
+    * seconds must track k, never k²) — see the r11 table in PLANS.md.
     */
   def copurchaseCustomers(s: SparkSession, d: String): DataFrame = {
     val cp = Sources.lineitem(s, d).select("l_orderkey", "l_partkey")

@@ -701,6 +701,13 @@ object TextOps {
     */
   def textHeavyHitters(s: SparkSession, d: String): DataFrame = {
     val docs = Sources.documents(s, d)
+      // the fixture is one parquet file ⇒ a 1-partition scan, so the 5-gram
+      // explode + map-side partial count would run in ONE task (the r10
+      // bench's lone under-parallel profile, cpu/wall ≈ 1.4). Fan out to
+      // session parallelism before the explode; at 100 TB the scan is
+      // many-partitioned naturally and this shuffle moves raw text once,
+      // dwarfed by the 5-gram fan-out it parallelizes.
+      .repartition(math.max(2, s.sparkContext.defaultParallelism))
       .withColumn("__w", split(col("text"), " "))
       .filter(size(col("__w")) >= 5)
     docs
