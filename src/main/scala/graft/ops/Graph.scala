@@ -622,10 +622,18 @@ object Graph {
 
   def sssp(s: SparkSession, d: String): DataFrame = {
     val es = weightedEdges(s, d).select(col("src"), col("dst"), col("w"))
-    val ce = es
-      .union(es.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .groupBy("src", "dst").agg(max("w").as("w"))
-      .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
+    // The symmetrized cost table is PINNED with its src layout: every
+    // relaxation round is a separate action, so without the pin the
+    // union+groupBy derivation re-executed on EVERY round (~15 rounds
+    // of a corpus-sized shuffle measured as 2x the query's CPU), and
+    // without the LAYOUT the per-round join would re-exchange it.
+    // Partition sizing via the already-materialized directed table —
+    // a <=2x underestimate of the symmetrized count, fine for sizing.
+    val ce = Checkpoints.pinLayout(sized(
+      es.union(es.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .groupBy("src", "dst").agg(max("w").as("w"))
+        .select(col("src"), col("dst"), expr("1000000 div w").as("cost")),
+      "src", countOf = es))
     // hub source: 1-row bounded collect (argmax degree, min-key ties)
     val srcRows = ce.groupBy("src").agg(count(lit(1)).as("dg"))
       .orderBy(col("dg").desc, col("src")).limit(1).collect()
@@ -719,7 +727,13 @@ object Graph {
     * normalization used by the PageRank family. Per iteration: two
     * equi-join + keyed-aggregate shuffles against the once-materialized
     * edge table — no per-iteration scan, no concentrating stage; the
-    * top-20 finish is TakeOrderedAndProject.
+    * top-20 finish is TakeOrderedAndProject. Each iterate is PINNED
+    * ([[Checkpoints]], the PageRank-loop discipline): the final a⋈h
+    * references every iterate twice, and without the pin the dedup of
+    * the re-expanded subplans rides on AQE exchange reuse — which is
+    * timing-sensitive, so the same query measured 11 vs 46 cpu-sec on
+    * identical code and data (r11 bench). Pinning makes the cost
+    * deterministic: node-sized materializations, constant-depth plan.
     */
   def hits(s: SparkSession, d: String): DataFrame = {
     val e = edgesWithDeg(s, d).select("src", "dst")
@@ -729,10 +743,14 @@ object Graph {
     for (_ <- 1 to 3) {
       val aNew = e.join(h.withColumnRenamed("part", "src"), "src")
         .groupBy(col("dst").as("part")).agg(sum("h").as("a"))
-      a = nodes.join(aNew, Seq("part"), "left").na.fill(0L, Seq("a"))
+      a = Checkpoints.pin(
+        nodes.join(aNew, Seq("part"), "left").na.fill(0L, Seq("a")),
+        eager = false)
       val hNew = e.join(a.withColumnRenamed("part", "dst"), "dst")
         .groupBy(col("src").as("part")).agg(sum("a").as("h"))
-      h = nodes.join(hNew, Seq("part"), "left").na.fill(0L, Seq("h"))
+      h = Checkpoints.pin(
+        nodes.join(hNew, Seq("part"), "left").na.fill(0L, Seq("h")),
+        eager = false)
     }
     a.join(h, "part")
       .orderBy(col("a").desc, col("part"))
