@@ -53,7 +53,14 @@ object Bench {
     // warmAll) inflated the pre-r11 counts so the WARM-COST flag could
     // essentially never fire for nested tables. Post-warm accesses /
     // 2 timed iterations = distinct querying consumers, matching the
-    // metric's stated semantics.
+    // metric's stated semantics. The warm-phase counts are snapshotted
+    // FIRST: an entry consumed by OTHER warm builds (accesses beyond
+    // its own build's) earns its keep through its derived tables even
+    // if few queries touch it directly, so the flag must not fire on
+    // it (first live instance: graph-base-edges, which exists to feed
+    // the three incremental-graph tables during warm and then serves
+    // one query chain).
+    val warmAccessed = graft.io.Materialized.accessCounts
     graft.io.Materialized.resetAccessCounts()
     // model provenance: how many ModelStore artifacts the warm phase had
     // to TRAIN (0 = all served from disk; >0 = cold store or recompiled
@@ -160,8 +167,14 @@ object Bench {
     }
     val consumersJson = consumers.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // warm consumers = accesses by OTHER builds during warmAll (each
+    // entry's own build accesses itself exactly once)
+    val warmConsumers = shared.collect { case (label, _, _) if !label.startsWith("model-") =>
+      label -> math.max(0L, warmAccessed.getOrElse(label, 0L) - 1)
+    }.toMap
     val flagged = consumers.collect {
-      case (label, n) if n <= 1 && shared.find(_._1 == label).exists(_._2 > 5.0) => label
+      case (label, n) if n <= 1 && warmConsumers.getOrElse(label, 0L) == 0 &&
+        shared.find(_._1 == label).exists(_._2 > 5.0) => label
     }
     // canary-gated record hygiene: two consecutive rounds shipped
     // contention-skewed headline numbers (r9 351 s, r10 651 s vs 174 s
@@ -206,7 +219,10 @@ object Bench {
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)}$canaryJson,""" +
       s""""materialization_sec":${fmt(sharedSec)},"materialization":$sharedJson,""" +
       s""""materialization_cpu":$sharedCpuJson,""" +
-      s""""materialization_consumers":$consumersJson,"materialization_flags":$flaggedJson,""" +
+      s""""materialization_consumers":$consumersJson,""" +
+      s""""materialization_warm_consumers":${warmConsumers.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+      s""""materialization_flags":$flaggedJson,""" +
       s""""models":{"trained":$modelsTrained,"trained_late":$modelsTrainedLate,"code_id":"$modelCodeId"},""" +
       s""""queries":$qs,"gc_ms":$gcJson,"cpu_sec":$cpuJson$errJson,"sf":"$sfDir"}"""
     // filtered local runs must not clobber the round record, and neither
