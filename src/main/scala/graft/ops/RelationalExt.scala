@@ -410,10 +410,17 @@ object RelationalExt {
       col("l_returnflag"), col("l_extendedprice"),
       col("l_quantity").cast("long").as("q"),
       col("l_orderkey"), col("l_linenumber"))
-    val run = Prefix.running(li,
-      Seq(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber")),
-      sums = Seq((col("q"), "gs")))
+    // lazy pin: `run` feeds both the per-group offset aggregate and the
+    // threshold join below — unpinned, the per-partition running-sum
+    // window would re-execute once per consumer subplan (dedup of the
+    // duplicated lineage otherwise rides on timing-sensitive AQE
+    // exchange reuse — the graph_hits lesson)
+    val run = graft.io.Checkpoints.pin(
+      Prefix.running(li,
+        Seq(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber")),
+        sums = Seq((col("q"), "gs"))),
+      eager = false)
     val off = run.groupBy("l_returnflag")
       .agg(min(col("gs") - col("q")).as("off"), sum("q").as("tw"))
     run.join(broadcast(off), "l_returnflag")
