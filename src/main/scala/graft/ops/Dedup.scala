@@ -100,6 +100,29 @@ object Dedup {
       .select((col(idCol) +: carriedRefs) ++ bands: _*)
   }
 
+  /** MinHash band hashes derived from a PRE-HASHED shingle column
+    * (`array<long>` of xxhash64(shingle)): the per-seed signature
+    * re-hashes the same 8-byte longs as [[minHashBands]], and a minimum
+    * over a multiset equals the minimum over its distinct support — so
+    * the output is BIT-IDENTICAL to [[minHashBands]] on the same text,
+    * while skipping the re-shingle + first-level hash of the raw text
+    * entirely. Point it at the materialized shingle-set table the exact
+    * re-rank already shares and the whole propose/verify pipeline costs
+    * ONE shingling pass per corpus instead of one per stage.
+    */
+  def minHashBandsFromSets(sets: DataFrame, idCol: String, ssetCol: String,
+      nHashes: Int = 12, bandSize: Int = 4): DataFrame = {
+    require(nHashes % bandSize == 0, "nHashes must be a multiple of bandSize")
+    val minhashes = (0 until nHashes).map { seed =>
+      array_min(transform(col(ssetCol), h => xxhash64(h, lit(seed)))).as(s"mh_$seed")
+    }
+    val bands = (0 until nHashes / bandSize).map { bnd =>
+      xxhash64(lit(bnd) +: (bnd * bandSize until (bnd + 1) * bandSize).map(i => col(s"mh_$i")): _*)
+        .as(s"band_$bnd")
+    }
+    sets.select(col(idCol) +: minhashes: _*).select(col(idCol) +: bands: _*)
+  }
+
   /** Candidate near-dup pairs from banded signatures: ids sharing any
     * (band index, band hash) bucket. One shuffle on the bucket key; no
     * all-pairs comparison ever happens.

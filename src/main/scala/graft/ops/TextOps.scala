@@ -531,8 +531,11 @@ object TextOps {
     * never happens.
     */
   def dedupMinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d)
-    val sigs = Dedup.minHashBands(docs, "doc_id", "text", nHashes = 16, bandSize = 2)
+    // bands from the materialized hashed-shingle table (bit-identical to
+    // banding the raw text — Dedup.minHashBandsFromSets): propose and
+    // verify share one shingling pass per corpus
+    val sigs = Dedup.minHashBandsFromSets(
+      shingleSetsRaw(s, d), "doc_id", "sset", nHashes = 16, bandSize = 2)
     exactRerank(Dedup.lshCandidatePairs(sigs, "doc_id"), s, d)
   }
 
@@ -736,12 +739,18 @@ object TextOps {
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Sources.documents(s, d)
     val batch = docs.filter(pmod(col("doc_id"), lit(10L)) >= 8)
-    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) < 8)
-    val cands = Dedup.lshCandidatePairsAcross(
-      Dedup.minHashBands(batch, "doc_id", "text", nHashes = 16, bandSize = 2),
-      Dedup.minHashBands(corpus, "doc_id", "text", nHashes = 16, bandSize = 2),
-      "doc_id")
     val sets = shingleSetsRaw(s, d)
+    // both band sides derive from the materialized hashed-shingle table
+    // (bit-identical bands, one shingling pass — minHashBandsFromSets);
+    // splitting the SETS table by the same id predicate is exactly the
+    // production shape, where the corpus band index is a maintained
+    // table and only the batch is banded fresh
+    def bandsOf(pred: Column) = Dedup.minHashBandsFromSets(
+      sets.filter(pred), "doc_id", "sset", nHashes = 16, bandSize = 2)
+    val cands = Dedup.lshCandidatePairsAcross(
+      bandsOf(pmod(col("doc_id"), lit(10L)) >= 8),
+      bandsOf(pmod(col("doc_id"), lit(10L)) < 8),
+      "doc_id")
     val matched = cands
       .join(sets.select(col("doc_id").as("id_a"), col("sset").as("set_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sset").as("set_b")), "id_b")
