@@ -267,15 +267,13 @@ object TextOps {
     // oracle hash-compare would surface it); determinism is unaffected
     // (xxhash64 is a fixed function of the text).
     //
-    // The projection barrier before shingling matters too: inlining
-    // `split()` into the transform() lambda re-tokenizes the document
-    // once per shingle (O(words²) per doc); materializing `__w` first
-    // makes the lambda read a bound array reference.
-    val docs = Sources.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("__w"))
-      .pinned(eager = false)
-      .select(col("doc_id"),
-        array_distinct(transform(Dedup.wordShingles(col("__w")), h => xxhash64(h))).as("hset"))
+    // The set construction is exactly [[shingleSetsRaw]]'s, so read the
+    // materialized shared table instead of re-tokenizing (the private
+    // rebuild also inherited the single-file scan's one-partition layout
+    // and PINNED it, so the whole shingling pass ran on one core — the
+    // under-parallel profile the r11 bench surfaced).
+    val docs = shingleSetsRaw(s, d)
+      .select(col("doc_id"), col("sset").as("hset"))
       .withColumn("sz", size(col("hset")))
       .pinned()
     val tok = docs.select(col("doc_id"), explode(col("hset")).as("h"))
@@ -973,6 +971,11 @@ object TextOps {
     */
   def boilerplate(s: SparkSession, d: String): DataFrame = {
     val docs = Sources.documents(s, d)
+      // fan out before the 5-gram explode: the single-file scan would
+      // otherwise shingle the whole corpus on one core (same class as
+      // text_heavy_hitters; at 100 TB the scan is many-partitioned and
+      // this one raw-text shuffle is dwarfed by the explode fan-out)
+      .repartition(math.max(2, s.sparkContext.defaultParallelism))
       .select(col("source"), col("doc_id"),
         explode(array_distinct(graft.ops.Dedup.wordShingles(
           split(col("text"), " "), 5))).as("sh"))

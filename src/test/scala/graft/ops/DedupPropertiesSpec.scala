@@ -63,6 +63,23 @@ class DedupPropertiesSpec extends SparkSpec {
     pairs.foreach(r => r.getLong(0) should be < r.getLong(1))
   }
 
+  "minHashBandsFromSets" should "be bit-identical to banding the raw text" in {
+    // min over a multiset == min over its distinct support, and the
+    // per-seed signatures re-hash the same first-level longs — so bands
+    // derived from the hashed distinct-shingle sets must match the
+    // from-text construction EXACTLY, for every band column and row
+    val docs = graft.io.Sources.documents(spark, sfDir)
+    val fromText = Dedup.minHashBands(docs, "doc_id", "text", nHashes = 16, bandSize = 2)
+    val sets = docs
+      .select(col("doc_id"),
+        array_distinct(transform(
+          Dedup.wordShingles(split(col("text"), " ")), h => xxhash64(h))).as("sset"))
+    val fromSets = Dedup.minHashBandsFromSets(sets, "doc_id", "sset",
+      nHashes = 16, bandSize = 2)
+    fromText.columns shouldBe fromSets.columns
+    rows(fromText) shouldBe rows(fromSets)
+  }
+
   "lshCandidatePairsAcross" should "find cross-set dups, emit no self-pairs, and drop over-cap corpus buckets" in {
     val s = spark
     import s.implicits._
