@@ -275,7 +275,6 @@ object TextOps {
     val docs = shingleSetsRaw(s, d)
       .select(col("doc_id"), col("sset").as("hset"))
       .withColumn("sz", size(col("hset")))
-      .pinned()
     val tok = docs.select(col("doc_id"), explode(col("hset")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
     // Global token order = (df asc, hash asc) — any consistent total
@@ -707,10 +706,14 @@ object TextOps {
       // bench's lone under-parallel profile, cpu/wall ≈ 1.4). Fan out to
       // session parallelism before the explode; at 100 TB the scan is
       // many-partitioned naturally and this shuffle moves raw text once,
-      // dwarfed by the 5-gram fan-out it parallelizes.
+      // dwarfed by the 5-gram fan-out it parallelizes. The lazy pin is
+      // the split-once projection barrier (shingleSetsRaw's discipline):
+      // collapsed into the shingle lambda, split() re-tokenizes the
+      // document once per 5-gram — O(words²) per doc.
       .repartition(math.max(2, s.sparkContext.defaultParallelism))
-      .withColumn("__w", split(col("text"), " "))
+      .select(split(col("text"), " ").as("__w"))
       .filter(size(col("__w")) >= 5)
+      .pinned(eager = false)
     docs
       .select(explode(transform(sequence(lit(1), size(col("__w")) - 4),
         i => concat_ws(" ", slice(col("__w"), i, lit(5))))).as("shingle"))
@@ -819,13 +822,15 @@ object TextOps {
     */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
     val tau = 0.8
-    val docs = Sources.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("__w"))
-      .pinned(eager = false)
-      .select(col("doc_id"),
-        array_distinct(transform(Dedup.wordShingles(col("__w")), h => xxhash64(h))).as("hset"))
+    // same hashed-shingle sets as the materialized shared table (the
+    // private rebuild also inherited — and pinned — the single-file
+    // scan's one-partition layout). No extra pin: the parent table is
+    // already session-materialized, and re-checkpointing it per query
+    // construction would cost more than the cheap size() projection the
+    // consumers re-derive.
+    val docs = shingleSetsRaw(s, d)
+      .select(col("doc_id"), col("sset").as("hset"))
       .withColumn("sz", size(col("hset")))
-      .pinned()
     val tok = docs.select(col("doc_id"), explode(col("hset")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy("doc_id").orderBy("df", "h")
@@ -974,11 +979,15 @@ object TextOps {
       // fan out before the 5-gram explode: the single-file scan would
       // otherwise shingle the whole corpus on one core (same class as
       // text_heavy_hitters; at 100 TB the scan is many-partitioned and
-      // this one raw-text shuffle is dwarfed by the explode fan-out)
+      // this one raw-text shuffle is dwarfed by the explode fan-out).
+      // Lazy pin = the split-once projection barrier (no O(words²)
+      // re-tokenize inside the shingle lambda).
       .repartition(math.max(2, s.sparkContext.defaultParallelism))
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("__w"))
+      .pinned(eager = false)
       .select(col("source"), col("doc_id"),
         explode(array_distinct(graft.ops.Dedup.wordShingles(
-          split(col("text"), " "), 5))).as("sh"))
+          col("__w"), 5))).as("sh"))
     val nDocs = Sources.documents(s, d)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
     val df5 = docs.groupBy("source", "sh").agg(countDistinct("doc_id").as("df"))

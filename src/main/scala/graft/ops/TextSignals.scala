@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
+import graft.io.Checkpoints.PinOps
 
 /** Corpus-statistics quality signals — the filters a pre-training data
   * pipeline derives from GLOBAL corpus statistics rather than from a
@@ -160,22 +161,38 @@ object TextSignals {
     * the correct scale shape (one linear shuffle each side).
     */
   def bigramLmScore(s: SparkSession, d: String): DataFrame = {
-    val toks = Sources.documents(s, d)
-      .withColumn("__w", words(col("text")))
+    // fan out before tokenizing (single-file scan ⇒ one-core otherwise)
+    // and BARRIER the split with a lazy pin of the small (doc_id, words)
+    // table — without it Catalyst collapses the projection and the
+    // shingle lambda re-tokenizes the document once per bigram, the
+    // O(words²) trap shingleSetsRaw documents. The pin is ~5k word
+    // arrays, not the exploded occurrences.
+    val wtab = Sources.documents(s, d)
+      .repartition(math.max(2, s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), words(col("text")).as("__w"))
       .filter(size(col("__w")) >= 2)
-      .select(col("doc_id"),
-        explode(graft.ops.Dedup.wordShingles(col("__w"), 2)).as("bg"))
-      .withColumn("prev", split(col("bg"), " ").getItem(0))
+      .pinned(eager = false)
+    val toks = wtab.select(col("doc_id"),
+      explode(graft.ops.Dedup.wordShingles(col("__w"), 2)).as("bg"))
+    // the conditional-probability table is DISTINCT-BIGRAM-sized (the
+    // synthetic vocabulary keeps it sub-1k; natural corpora ~vocab²
+    // observed, still model-sized): derive the prev totals from the
+    // bigram counts (sum over cb ≡ counting occurrences by prev) so the
+    // exploded table is aggregated ONCE, then broadcast the per-bigram
+    // log-prob back — one shuffle over occurrences + one map-side join,
+    // where the old plan shuffled the occurrences through two joins.
     val bgCounts = toks.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val prevCounts = toks.groupBy("prev").agg(count(lit(1)).as("cp"))
+      .withColumn("prev", split(col("bg"), " ").getItem(0))
+    val prevCounts = bgCounts.groupBy("prev").agg(sum("cb").as("cp"))
+    val probs = bgCounts.join(prevCounts, "prev")
+      .select(col("bg"),
+        log2(col("cb").cast("double") / col("cp").cast("double")).as("lp"))
     toks
-      .join(bgCounts, "bg")
-      .join(broadcast(prevCounts), "prev")
+      .join(broadcast(probs), "bg")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        graft.functions.Num.roundNorm(avg(log2(col("cb").cast("double") / col("cp").cast("double"))), 4)
-          .as("bigram_lm_score"))
+        graft.functions.Num.roundNorm(avg(col("lp")), 4).as("bigram_lm_score"))
       .orderBy("doc_id")
   }
 
