@@ -78,6 +78,12 @@ object Dedup {
     * through to the output unchanged — the streaming ingestion-dedup
     * twin uses this to keep signature and verification payload in one
     * row.
+    *
+    * This is the STREAM-SAFE from-text form (pure per-row projection, no
+    * checkpoint barrier — so Catalyst may collapse the split into the
+    * interpreted shingle lambdas). Batch pipelines with a materialized
+    * hashed-shingle table should band via [[minHashBandsFromSets]]
+    * instead: bit-identical output, one shingling pass per corpus.
     */
   def minHashBands(df: DataFrame, idCol: String, textCol: String,
       nHashes: Int = 12, bandSize: Int = 4,
