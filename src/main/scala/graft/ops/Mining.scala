@@ -33,8 +33,15 @@ object Mining {
     */
   def frequentPairs(s: SparkSession, d: String): DataFrame = {
     val minSup = 3L
-    val li = Sources.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // lazy pin: the distinct basket table feeds FOUR subplans (both
+    // sides of the pair self-join, the item counts, the order total) —
+    // unpinned, the fact-table distinct would re-execute per consumer
+    // unless AQE exchange reuse happens to dedup it (the graph_hits
+    // lesson)
+    val li = graft.io.Checkpoints.pin(
+      Sources.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct(),
+      eager = false)
     val pairs = li.select(col("ok"), col("pk").as("pk_a"))
       .join(li.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
       .filter(col("pk_a") < col("pk_b"))
@@ -76,9 +83,13 @@ object Mining {
     */
   def sortedNeighborhood(s: SparkSession, d: String): DataFrame = {
     val docs = Sources.documents(s, d).select(col("doc_id"), col("text"))
-    val ranked = Prefix.running(docs, Seq(col("text"), col("doc_id")),
-        rankOut = Some("rnk"))
-      .withColumn("key", substring(col("text"), 1, snKeyLen))
+    // lazy pin: both sides of the neighborhood join read `ranked` (the
+    // two-pass global rank would otherwise re-execute per side)
+    val ranked = graft.io.Checkpoints.pin(
+      Prefix.running(docs, Seq(col("text"), col("doc_id")),
+          rankOut = Some("rnk"))
+        .withColumn("key", substring(col("text"), 1, snKeyLen)),
+      eager = false)
     val a = ranked.select(col("rnk").as("rnk_a"), col("doc_id").as("id_a"),
         col("key").as("key_a"))
       .withColumn("bkt", expr(s"(rnk_a - 1) div $snWindow"))
@@ -170,8 +181,15 @@ object Mining {
     */
   def associationRules(s: SparkSession, d: String): DataFrame = {
     val minSup = 3L
-    val li = Sources.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // lazy pin: the distinct basket table feeds FOUR subplans (both
+    // sides of the pair self-join, the item counts, the order total) —
+    // unpinned, the fact-table distinct would re-execute per consumer
+    // unless AQE exchange reuse happens to dedup it (the graph_hits
+    // lesson)
+    val li = graft.io.Checkpoints.pin(
+      Sources.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct(),
+      eager = false)
     val pairs = li.select(col("ok"), col("pk").as("pk_a"))
       .join(li.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
       .filter(col("pk_a") < col("pk_b"))

@@ -312,11 +312,16 @@ object Sampling {
     * broadcast.
     */
   def sampleNegatives(s: SparkSession, d: String): DataFrame = {
-    val pos = Sources.lineitem(s, d).select("l_orderkey", "l_partkey")
-      .join(Sources.orders(s, d)
-        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
-      .select(col("o_custkey").as("custkey"), col("l_partkey").as("part"))
-      .distinct()
+    // lazy pin: the positive set feeds both the candidate generator and
+    // the anti-join — unpinned, the fact join+distinct would re-execute
+    // per consumer (the graph_hits lesson)
+    val pos = graft.io.Checkpoints.pin(
+      Sources.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(Sources.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
+        .select(col("o_custkey").as("custkey"), col("l_partkey").as("part"))
+        .distinct(),
+      eager = false)
     val nParts = Sources.part(s, d).agg(count(lit(1)).as("np"))
     // intermediate lattice 2^40, NOT the repo's usual 2^20 draw lattice:
     // here the draw maps onto the PART-KEY DOMAIN, so a 2^20 lattice
