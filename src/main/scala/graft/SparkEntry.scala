@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Audit, Decomp, Graph, Mining, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, Stats, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Decomp, Graph, Layout, Mining, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, Stats, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,7 +39,8 @@ object SparkEntry {
       Sketches.queries ++
       Mining.queries ++
       Graph.queries ++
-      Stats.queries
+      Stats.queries ++
+      Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -62,5 +63,6 @@ object SparkEntry {
       Sketches.oracles ++
       Mining.oracles ++
       Graph.oracles ++
-      Stats.oracles
+      Stats.oracles ++
+      Layout.oracles
 }

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Multi-dimensional layout clustering: the Z-order (Morton) key and the
+  * bucket-span audit that justifies it.
+  *
+  * At 100 TB a table is pruned, not scanned: parquet row-group min/max
+  * statistics skip files whose range misses the predicate, but a table
+  * SORTED on one column has useless statistics for every other column.
+  * Interleaving the bits of two (bounded-width) dimension keys into one
+  * sort key — Z-ordering, the layout trick behind Delta/Iceberg
+  * `OPTIMIZE ZORDER BY` — keeps BOTH dimensions' min/max spans tight in
+  * every file, so predicates on either column (or both) prune. The key
+  * is pure integer bit arithmetic (five mask-and-shift steps per
+  * dimension, codegen'd `shiftleft`/`&`/`|` — no UDF), so the whole
+  * layout decision is deterministic and the DuckDB oracle replays it
+  * bit-for-bit.
+  *
+  * Width contract: inputs are masked to 31 bits (the two spread words
+  * interleave into ≤ 62 bits — always a positive Long). Dimensions
+  * wider than 31 bits z-order on a truncated prefix (shift the raw key
+  * right first), exactly like the production systems do at coarser
+  * granularity; the fixture keys (custkey ≤ 2¹⁴·sf, order day ≤ 2¹²)
+  * sit far inside the bound at any plausible scale factor.
+  */
+object Layout {
+
+  /** Spread the low 31 bits of `c` so bit i lands at position 2i —
+    * the standard 64-bit Morton part1by1 ladder.
+    */
+  private[ops] def spreadBits(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0x7FFFFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 62-bit Z-order key of two dimension keys: a's bits at even
+    * positions, b's at odd.
+    */
+  def zorderKey(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Driver-side twin of [[spreadBits]]/[[zorderKey]] for tests. */
+  private[ops] def zorderKeyLocal(a: Long, b: Long): Long = {
+    def spread(v0: Long): Long = {
+      var x = v0 & 0x7FFFFFFFL
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      (x | (x << 1)) & 0x5555555555555555L
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
+  /** Z-order bucket-span audit (`layout_zorder_spans`): grid-normalize
+    * each dimension of (custkey, order-day) onto a 16-bit lattice from
+    * its corpus min/max — interleaving RAW keys wastes bits whenever
+    * the dimensions have different widths (measured on the fixture: the
+    * day key is 16× wider, so its high bits alone decided every bucket
+    * and the custkey span stayed corpus-wide; range-normalizing first
+    * is exactly what the production OPTIMIZE ZORDER implementations
+    * do) — then interleave, cut the key space into ≤ 64 equal-width
+    * buckets (the stand-ins for the files a clustered write would
+    * produce; the shift derives from the max key via the integer log₂
+    * ladder, data-dependent but deterministic), and report each
+    * bucket's row count and BOTH dimensions' raw min/max spans. Tight
+    * spans on both columns in every bucket are exactly the statistics
+    * a parquet reader prunes on; the same audit over a single-column
+    * sort shows one tight and one corpus-wide span. One projection +
+    * one 64-group aggregate; the two 1-row stat aggregates ride in as
+    * broadcast attaches.
+    */
+  def zorderSpans(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.orders(s, d).select(
+      col("o_custkey").as("ck"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("dy"))
+    val stats = base.agg(
+      min("ck").as("ck_lo"), max("ck").as("ck_hi"),
+      min("dy").as("dy_lo"), max("dy").as("dy_hi"))
+    // exact integer grid cell: (v − lo)·65535 div max(hi − lo, 1)
+    val keyed = base.crossJoin(broadcast(stats))
+      .withColumn("z", zorderKey(
+        expr("((ck - ck_lo) * 65535) div greatest(ck_hi - ck_lo, 1)"),
+        expr("((dy - dy_lo) * 65535) div greatest(dy_hi - dy_lo, 1)")))
+    val mz = keyed.agg(max("z").as("mz"))
+    keyed.crossJoin(broadcast(mz))
+      // integer log2 via binary-string length (the degreeHist trick —
+      // exact in both engines); shift so ≤ 64 buckets remain
+      .withColumn("bucket",
+        expr("shiftright(z, greatest(0, length(bin(mz)) - 6))"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("ck").as("ck_min"), max("ck").as("ck_max"),
+        min("dy").as("dy_min"), max("dy").as("dy_max"))
+      .select(col("bucket"), col("n_rows"),
+        col("ck_min"), col("ck_max"), (col("ck_max") - col("ck_min")).as("ck_span"),
+        col("dy_min"), col("dy_max"), (col("dy_max") - col("dy_min")).as("dy_span"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder_spans" -> (zorderSpans _),
+  )
+
+  /** The Morton ladder inlined per dimension; constants in decimal
+    * (DuckDB hex literals are strings). Every step parenthesized —
+    * SQL bitwise precedence differs between engines.
+    */
+  private def mortonSql(v: String): String = {
+    var e = s"($v & 2147483647)"
+    e = s"((($e | ($e << 16)) & 281470681808895))"
+    e = s"((($e | ($e << 8)) & 71777214294589695))"
+    e = s"((($e | ($e << 4)) & 1085102592571150095))"
+    e = s"((($e | ($e << 2)) & 3689348814741910323))"
+    s"((($e | ($e << 1)) & 6148914691236517205))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "layout_zorder_spans" ->
+      s"""WITH o AS (SELECT o_custkey AS ck,
+         |   CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS dy
+         |  FROM orders),
+         | st AS (SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+         |   min(dy) AS dy_lo, max(dy) AS dy_hi FROM o),
+         | g AS (SELECT ck, dy,
+         |   ((ck - ck_lo) * 65535) // greatest(ck_hi - ck_lo, 1) AS gk,
+         |   ((dy - dy_lo) * 65535) // greatest(dy_hi - dy_lo, 1) AS gd
+         |  FROM o, st),
+         | z AS (SELECT ck, dy,
+         |   (${mortonSql("gk")} | (${mortonSql("gd")} << 1)) AS z FROM g),
+         | m AS (SELECT max(z) AS mz FROM z),
+         | b AS (SELECT ck, dy,
+         |   z >> greatest(0, length(bin(mz)) - 6) AS bucket FROM z, m)
+         |SELECT bucket, count(*) AS n_rows,
+         | min(ck) AS ck_min, max(ck) AS ck_max, max(ck) - min(ck) AS ck_span,
+         | min(dy) AS dy_min, max(dy) AS dy_max, max(dy) - min(dy) AS dy_span
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+  )
+}

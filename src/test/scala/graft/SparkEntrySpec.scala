@@ -28,6 +28,7 @@ class SparkEntrySpec extends SparkSpec {
     "mining" -> Mining.queries.keySet,
     "graph" -> Graph.queries.keySet,
     "stats" -> Stats.queries.keySet,
+    "layout" -> Layout.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {
