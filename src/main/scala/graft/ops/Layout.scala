@@ -106,8 +106,86 @@ object Layout {
       .orderBy("bucket")
   }
 
+  /** Pruning face-off (`layout_prune_compare`): the same 64-file
+    * simulation under BOTH layouts — Z-order vs a single-column sort
+    * (files = equal value ranges of `ck`, what a sorted write
+    * produces) — against three predicates (a ~10% `ck` band, a ~10%
+    * `dy` band, and their conjunction; bounds derived from corpus
+    * min/max as exact integer percentiles of the span). A file is
+    * "scanned" when its min/max spans overlap every band the predicate
+    * constrains — the parquet row-group skip rule. The numbers tell
+    * the whole layout story: the single-sort layout prunes its own
+    * column hard and scans EVERYTHING for the other column's
+    * predicate; Z-order prunes BOTH (and the conjunction multiplies).
+    * All integer, hash-checked. Bucket tables are 64-row lazy pins —
+    * each feeds three predicate aggregates.
+    */
+  def pruneCompare(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.orders(s, d).select(
+      col("o_custkey").as("ck"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("dy"))
+    val stats = base.agg(
+      min("ck").as("ck_lo"), max("ck").as("ck_hi"),
+      min("dy").as("dy_lo"), max("dy").as("dy_hi"))
+    val withStats = base.crossJoin(broadcast(stats))
+
+    def spansOf(bucket: Column): DataFrame =
+      graft.io.Checkpoints.pin(
+        withStats.withColumn("bucket", bucket)
+          .groupBy("bucket")
+          .agg(min("ck").as("ck_min"), max("ck").as("ck_max"),
+            min("dy").as("dy_min"), max("dy").as("dy_max"),
+            // carry the corpus stats for the predicate bounds (equal on
+            // every row; max() is just the reduce that keeps them)
+            max("ck_lo").as("ck_lo"), max("ck_hi").as("ck_hi"),
+            max("dy_lo").as("dy_lo"), max("dy_hi").as("dy_hi")),
+        eager = false)
+
+    val zSpans = {
+      val keyed = withStats.withColumn("z", zorderKey(
+        expr("((ck - ck_lo) * 65535) div greatest(ck_hi - ck_lo, 1)"),
+        expr("((dy - dy_lo) * 65535) div greatest(dy_hi - dy_lo, 1)")))
+      val mz = keyed.agg(max("z").as("mz"))
+      graft.io.Checkpoints.pin(
+        keyed.crossJoin(broadcast(mz))
+          .withColumn("bucket", expr("shiftright(z, greatest(0, length(bin(mz)) - 6))"))
+          .groupBy("bucket")
+          .agg(min("ck").as("ck_min"), max("ck").as("ck_max"),
+            min("dy").as("dy_min"), max("dy").as("dy_max"),
+            max("ck_lo").as("ck_lo"), max("ck_hi").as("ck_hi"),
+            max("dy_lo").as("dy_lo"), max("dy_hi").as("dy_hi")),
+        eager = false)
+    }
+    val linSpans = spansOf(
+      expr("((ck - ck_lo) * 64) div greatest(ck_hi - ck_lo + 1, 1)"))
+
+    // integer predicate bands: the middle ~10% of each dimension's span
+    val ckBand = ("ck_lo + ((ck_hi - ck_lo) * 45) div 100",
+      "ck_lo + ((ck_hi - ck_lo) * 55) div 100")
+    val dyBand = ("dy_lo + ((dy_hi - dy_lo) * 45) div 100",
+      "dy_lo + ((dy_hi - dy_lo) * 55) div 100")
+    val ckOverlap = s"ck_min <= ${ckBand._2} AND ck_max >= ${ckBand._1}"
+    val dyOverlap = s"dy_min <= ${dyBand._2} AND dy_max >= ${dyBand._1}"
+
+    def audit(spans: DataFrame, layout: String, pred: String, overlapSql: String): DataFrame =
+      spans.agg(count(lit(1)).as("n_buckets"),
+        sum(when(expr(overlapSql), 1L).otherwise(0L)).as("n_scanned"))
+        .select(lit(layout).as("layout"), lit(pred).as("predicate"),
+          col("n_buckets"), col("n_scanned"))
+
+    Seq(
+      audit(zSpans, "zorder", "ck_band", ckOverlap),
+      audit(zSpans, "zorder", "dy_band", dyOverlap),
+      audit(zSpans, "zorder", "both", s"($ckOverlap) AND ($dyOverlap)"),
+      audit(linSpans, "sorted_ck", "ck_band", ckOverlap),
+      audit(linSpans, "sorted_ck", "dy_band", dyOverlap),
+      audit(linSpans, "sorted_ck", "both", s"($ckOverlap) AND ($dyOverlap)"),
+    ).reduce(_ unionAll _).orderBy("layout", "predicate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_spans" -> (zorderSpans _),
+    "layout_prune_compare" -> (pruneCompare _),
   )
 
   /** The Morton ladder inlined per dimension; constants in decimal
@@ -143,5 +221,42 @@ object Layout {
          | min(ck) AS ck_min, max(ck) AS ck_max, max(ck) - min(ck) AS ck_span,
          | min(dy) AS dy_min, max(dy) AS dy_max, max(dy) - min(dy) AS dy_span
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "layout_prune_compare" ->
+      s"""WITH o AS (SELECT o_custkey AS ck,
+         |   CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS dy
+         |  FROM orders),
+         | st AS (SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+         |   min(dy) AS dy_lo, max(dy) AS dy_hi FROM o),
+         | g AS (SELECT ck, dy, ck_lo, ck_hi, dy_lo, dy_hi,
+         |   ((ck - ck_lo) * 65535) // greatest(ck_hi - ck_lo, 1) AS gk,
+         |   ((dy - dy_lo) * 65535) // greatest(dy_hi - dy_lo, 1) AS gd
+         |  FROM o, st),
+         | z AS (SELECT *, (${mortonSql("gk")} | (${mortonSql("gd")} << 1)) AS z FROM g),
+         | m AS (SELECT max(z) AS mz FROM z),
+         | zb AS (SELECT z >> greatest(0, length(bin(mz)) - 6) AS bucket,
+         |   min(ck) AS ck_min, max(ck) AS ck_max, min(dy) AS dy_min, max(dy) AS dy_max,
+         |   max(ck_lo) AS ck_lo, max(ck_hi) AS ck_hi, max(dy_lo) AS dy_lo, max(dy_hi) AS dy_hi
+         |  FROM z, m GROUP BY 1),
+         | lb AS (SELECT ((ck - ck_lo) * 64) // greatest(ck_hi - ck_lo + 1, 1) AS bucket,
+         |   min(ck) AS ck_min, max(ck) AS ck_max, min(dy) AS dy_min, max(dy) AS dy_max,
+         |   max(ck_lo) AS ck_lo, max(ck_hi) AS ck_hi, max(dy_lo) AS dy_lo, max(dy_hi) AS dy_hi
+         |  FROM g GROUP BY 1),
+         | preds(predicate) AS (VALUES ('ck_band'), ('dy_band'), ('both')),
+         | layouts AS (
+         |   SELECT 'zorder' AS layout, * FROM zb
+         |   UNION ALL SELECT 'sorted_ck' AS layout, * FROM lb)
+         |SELECT layout, predicate, count(*) AS n_buckets,
+         | CAST(sum(CASE WHEN
+         |   (predicate IN ('ck_band', 'both')
+         |     AND NOT (ck_min <= ck_lo + ((ck_hi - ck_lo) * 55) // 100
+         |          AND ck_max >= ck_lo + ((ck_hi - ck_lo) * 45) // 100)) THEN 0
+         |  WHEN
+         |   (predicate IN ('dy_band', 'both')
+         |     AND NOT (dy_min <= dy_lo + ((dy_hi - dy_lo) * 55) // 100
+         |          AND dy_max >= dy_lo + ((dy_hi - dy_lo) * 45) // 100)) THEN 0
+         |  ELSE 1 END) AS BIGINT) AS n_scanned
+         |FROM layouts, preds
+         |GROUP BY layout, predicate
+         |ORDER BY layout, predicate""".stripMargin,
   )
 }
