@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Audit, Decomp, Graph, Layout, Mining, Ml, Multimodal, Relational, RelationalExt, Sampling, Similarity, Sketches, Stats, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Decomp, EntityRes, Graph, Layout, Mining, Ml, Multimodal, Privacy, Relational, RelationalExt, Sampling, Similarity, Sketches, Stats, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,7 +40,9 @@ object SparkEntry {
       Mining.queries ++
       Graph.queries ++
       Stats.queries ++
-      Layout.queries
+      Layout.queries ++
+      EntityRes.queries ++
+      Privacy.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -64,5 +66,7 @@ object SparkEntry {
       Mining.oracles ++
       Graph.oracles ++
       Stats.oracles ++
-      Layout.oracles
+      Layout.oracles ++
+      EntityRes.oracles ++
+      Privacy.oracles
 }

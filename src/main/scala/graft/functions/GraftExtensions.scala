@@ -31,5 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, s"dot_product expects 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"jaro_winkler expects 2 arguments, got ${children.size}")
+        JaroWinklerSim(children.head, children(1))
+      }))
   }
 }

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Privacy auditing and release operators (SURVEY §2.13 extension
+  * family): k-anonymity / l-diversity checks over quasi-identifier
+  * equivalence classes, and a differentially-private count release
+  * under the discrete (two-sided geometric) mechanism.
+  *
+  * All three are single-aggregation plans — one shuffle on the
+  * quasi-identifier (or release-cell) key, map-side combined, class
+  * cardinality bounded by the QI domain (≤ |nations| × |balance
+  * buckets|), not the corpus — so the shape is unchanged at 100 TB.
+  *
+  * The DP noise is the alpha = 1/2 two-sided geometric distribution
+  * (P(0) = 1/3, P(±j) = (1/3)·2⁻ʲ), sampled by exact integer CDF
+  * inversion on the 2²⁰ Knuth-hash lattice (the
+  * `sample_domain_mixture` discipline): u = ((cell·2654435761) mod 2²⁰)
+  * is compared against the precomputed integer thresholds
+  * T_j = 2²⁰ − ⌊2²¹ / (3·2ʲ)⌋ — pure BIGINT arithmetic, so the DuckDB
+  * oracle replays the draw bit-for-bit. A production release would key
+  * the hash with a per-release secret seed and emit ONLY the noisy
+  * column; the true count and noise ride along here because the
+  * mechanism (not the secrecy) is what the fixture check certifies.
+  */
+object Privacy {
+
+  private val K = 5
+  private val L = 3
+
+  /** Balance bucket: account balance in cents, offset positive, floor
+    * to 1000.00-wide buckets. Integer end-to-end (cents are exact at
+    * the fixtures' 2-dp precision), so both engines bucket identically.
+    */
+  private def balBucket(c: Column): Column =
+    (round(c * 100).cast("long") + lit(100000L)) / lit(100000L)
+
+  private def qiClasses(s: SparkSession, d: String): DataFrame =
+    Sources.customer(s, d)
+      .select(col("c_nationkey"),
+        balBucket(col("c_acctbal")).cast("long").as("bal_bucket"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_bucket")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct("c_mktsegment").as("seg_diversity"))
+
+  /** k-anonymity audit (`priv_k_anonymity`): equivalence-class sizes of
+    * the quasi-identifier (nation, balance bucket) with the k = 5
+    * violation flag.
+    */
+  def kAnonymity(s: SparkSession, d: String): DataFrame =
+    qiClasses(s, d)
+      .select(col("c_nationkey"), col("bal_bucket"), col("class_size"),
+        (col("class_size") < K).as("k_violation"))
+      .orderBy("c_nationkey", "bal_bucket")
+
+  /** l-diversity audit (`priv_l_diversity`): distinct sensitive values
+    * (market segment) per QI class with the l = 3 violation flag —
+    * k-anonymous classes can still leak when every member shares the
+    * sensitive value.
+    */
+  def lDiversity(s: SparkSession, d: String): DataFrame =
+    qiClasses(s, d)
+      .select(col("c_nationkey"), col("bal_bucket"), col("class_size"),
+        col("seg_diversity"), (col("seg_diversity") < L).as("l_violation"))
+      .orderBy("c_nationkey", "bal_bucket")
+
+  /** Integer CDF thresholds for the alpha = 1/2 two-sided geometric on
+    * the 2²⁰ lattice: magnitude j iff u < T_j, tail collapsed at 9.
+    * T_j = 2²⁰ − ⌊2²¹ / (3·2ʲ)⌋.
+    */
+  private val geoThresholds: Seq[Long] = (0 to 8).map { j =>
+    1048576L - (2097152L / (3L * (1L << j)))
+  }
+
+  /** DP count release (`priv_dp_counts`): order counts per
+    * (year, priority) cell + two-sided geometric noise, clamped at 0
+    * (post-processing keeps DP guarantees).
+    */
+  def dpCounts(s: SparkSession, d: String): DataFrame = {
+    val cells = Sources.orders(s, d)
+      .select(year(col("o_orderdate").cast("date")).cast("long").as("o_year"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"))
+      .groupBy("o_year", "prio")
+      .agg(count(lit(1)).as("n_true"))
+    val cellKey = col("o_year") * 8 + col("prio")
+    val u = pmod(pmod(cellKey, lit(1048576L)) * lit(2654435761L), lit(1048576L))
+    val mag = geoThresholds.zipWithIndex.foldRight(lit(9L): Column) {
+      case ((t, j), rest) => when(u < t, lit(j.toLong)).otherwise(rest)
+    }
+    val sgn = when(
+      pmod(pmod(cellKey, lit(1048576L)) * lit(2246822519L), lit(1048576L)) < 524288L,
+      lit(1L)).otherwise(lit(-1L))
+    cells
+      .withColumn("noise", (sgn * mag).cast("long"))
+      .withColumn("n_noisy", greatest(lit(0L), col("n_true") + col("noise")))
+      .select(col("o_year"), col("prio"), col("n_true"), col("noise"), col("n_noisy"))
+      .orderBy("o_year", "prio")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_k_anonymity" -> (kAnonymity _),
+    "priv_l_diversity" -> (lDiversity _),
+    "priv_dp_counts" -> (dpCounts _),
+  )
+
+  private val qiSql =
+    """SELECT c_nationkey,
+      | (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_bucket,
+      | CAST(count(*) AS BIGINT) AS class_size,
+      | CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS seg_diversity
+      |FROM customer GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "priv_k_anonymity" ->
+      s"""WITH cl AS ($qiSql)
+         |SELECT c_nationkey, bal_bucket, class_size,
+         |  class_size < 5 AS k_violation
+         |FROM cl ORDER BY c_nationkey, bal_bucket""".stripMargin,
+    "priv_l_diversity" ->
+      s"""WITH cl AS ($qiSql)
+         |SELECT c_nationkey, bal_bucket, class_size, seg_diversity,
+         |  seg_diversity < 3 AS l_violation
+         |FROM cl ORDER BY c_nationkey, bal_bucket""".stripMargin,
+    "priv_dp_counts" -> {
+      val ts = geoThresholds.zipWithIndex
+        .map { case (t, j) => s"WHEN u < $t THEN $j" }
+        .mkString(" ")
+      s"""WITH cells AS (
+         | SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         |   CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+         |   CAST(count(*) AS BIGINT) AS n_true
+         | FROM orders GROUP BY 1, 2),
+         |drawn AS (
+         | SELECT *, ((((o_year * 8 + prio) % 1048576) * 2654435761) % 1048576) AS u,
+         |   ((((o_year * 8 + prio) % 1048576) * 2246822519) % 1048576) AS su
+         | FROM cells),
+         |noised AS (
+         | SELECT o_year, prio, n_true,
+         |   (CASE WHEN su < 524288 THEN 1 ELSE -1 END) *
+         |   (CASE $ts ELSE 9 END) AS noise
+         | FROM drawn)
+         |SELECT o_year, prio, n_true, CAST(noise AS BIGINT) AS noise,
+         |  CAST(greatest(0, n_true + noise) AS BIGINT) AS n_noisy
+         |FROM noised ORDER BY o_year, prio""".stripMargin
+    },
+  )
+}

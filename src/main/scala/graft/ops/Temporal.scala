@@ -554,7 +554,62 @@ object Temporal {
       .orderBy("mi")
   }
 
+  /** Kaplan-Meier survival estimator over customer lifetimes
+    * (`ts_kaplan_meier`): duration = days between a customer's first and
+    * last order; a lifetime is an observed churn EVENT when the last
+    * order predates the corpus horizon (global max order date − 90
+    * days), otherwise right-CENSORED. At each event time t:
+    * `n_risk = #{duration ≥ t}`, `d_events = churns at t`, and
+    * `S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)` via the exp-of-summed-logs window
+    * — both cumulatives run through the two-pass [[Prefix]] shape, so
+    * there is no single-partition window: pass 1 in DESCENDING duration
+    * order yields `n_risk` directly as the inclusive suffix count (no
+    * global-total attach needed), pass 2 in ascending order accumulates
+    * the log-survival terms on a 1e-9 integer lattice
+    * (`round(ln(1−d/n)·1e9)` as BIGINT — integer addition is
+    * associative, so the two-pass regrouping is bit-exact and the
+    * DuckDB oracle's window sum replays it term-for-term). The
+    * `d = n` terminal row — only possible at the maximum duration,
+    * since d ≤ n and n counts the tail — short-circuits to 0 before
+    * the log.
+    *
+    * Scale: one custkey-shuffled aggregate over the fact table; both
+    * prefix passes run over the duration-grouped table, whose row count
+    * is bounded by the CALENDAR SPAN in days (≤ a few thousand at any
+    * corpus volume) — and the two-pass shape would hold even if it
+    * were not.
+    */
+  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Num.roundNorm
+    val life = Sources.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
+      .groupBy("o_custkey")
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val horizon = life.agg(date_sub(max(col("last_day")), 90).as("cutoff"))
+    val times = life.crossJoin(broadcast(horizon)) // 1-row horizon attach
+      .select(datediff(col("last_day"), col("first_day")).cast("long").as("t_day"),
+        when(col("last_day") < col("cutoff"), 1L).otherwise(0L).as("event"))
+      .groupBy("t_day")
+      .agg(count(lit(1)).as("n_leave"), sum(col("event")).as("d_events"))
+    val atRisk = Prefix.running(times, Seq(col("t_day").desc),
+      sums = Seq((col("n_leave"), "n_risk")))
+      .withColumn("lg_e9", coalesce(
+        round(log(lit(1.0) -
+          col("d_events").cast("double") / col("n_risk").cast("double")) * 1e9)
+          .cast("long"),
+        lit(0L)))
+    Prefix.running(atRisk, Seq(col("t_day")),
+      sums = Seq((col("lg_e9"), "cum_lg_e9")))
+      .filter(col("d_events") > 0)
+      .select(col("t_day"), col("n_risk"), col("d_events"),
+        when(col("d_events") === col("n_risk"), lit(0.0))
+          .otherwise(roundNorm(exp(col("cum_lg_e9").cast("double") / 1e9), 6))
+          .as("survival"))
+      .orderBy("t_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_kaplan_meier" -> (kaplanMeier _),
     "ts_mom_growth" -> (momGrowth _),
     "ts_wau_daily" -> (wauDaily _),
     "ts_sessionize" -> (sessionize _),
@@ -589,6 +644,37 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_kaplan_meier" ->
+      """WITH cl AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+        |    max(CAST(o_orderdate AS DATE)) AS l
+        |  FROM orders GROUP BY 1),
+        | hz AS (SELECT max(l) - 90 AS cutoff FROM cl),
+        | lt AS (SELECT date_diff('day', f, l) AS t_day,
+        |    CASE WHEN l < (SELECT cutoff FROM hz) THEN 1 ELSE 0 END AS event
+        |  FROM cl),
+        | tm AS (SELECT CAST(t_day AS BIGINT) AS t_day,
+        |    CAST(count(*) AS BIGINT) AS n_leave,
+        |    CAST(sum(event) AS BIGINT) AS d_events
+        |  FROM lt GROUP BY 1),
+        | rk AS (SELECT t_day, n_leave, d_events,
+        |    CAST(sum(n_leave) OVER (ORDER BY t_day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |   FROM tm),
+        | lg AS (SELECT t_day, n_risk, d_events,
+        |    coalesce(CAST(round(
+        |      ln(nullif(1 - d_events::DOUBLE / n_risk::DOUBLE, 0)) * 1e9)
+        |      AS BIGINT), 0) AS lg_e9
+        |   FROM rk),
+        | cm AS (SELECT t_day, n_risk, d_events,
+        |    sum(lg_e9) OVER (ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |   FROM lg)
+        |SELECT t_day, n_risk, d_events,
+        |  CASE WHEN d_events = n_risk THEN 0.0
+        |    ELSE round(exp(cum::DOUBLE / 1e9), 6) + 0.0
+        |  END AS survival
+        |FROM cm WHERE d_events > 0 ORDER BY t_day""".stripMargin,
     "ts_anomaly_zscore" ->
       """WITH daily AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

@@ -77,7 +77,11 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row global-revenue-scalar attach (the Q11 HAVING threshold)
     "complex_important_parts",
     // 1-row corpus-totals attach for the log-odds prior
-    "text_keyness")
+    "text_keyness",
+    // 1-row corpus min/max + max-key attaches for the Z-grid bounds
+    "layout_zorder_spans",
+    // 1-row churn-horizon attach (global max order date − 90d)
+    "ts_kaplan_meier")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -29,6 +29,8 @@ class SparkEntrySpec extends SparkSpec {
     "graph" -> Graph.queries.keySet,
     "stats" -> Stats.queries.keySet,
     "layout" -> Layout.queries.keySet,
+    "entityRes" -> EntityRes.queries.keySet,
+    "privacy" -> Privacy.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.JaroWinkler
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Entity-resolution operators: the native Jaro-Winkler expression
+  * against published vectors and an independently-coded reference
+  * implementation, plus brute-force validation of the blocked-pair and
+  * best-link queries on the sf0.001 fixture.
+  */
+class EntityResSpec extends SparkSpec {
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  /** Independent reference: collection-style formulation (match lists,
+    * zip-counted transpositions) vs the expression's imperative loops.
+    */
+  private def refJw(s1: String, s2: String): Double = {
+    if (s1.isEmpty && s2.isEmpty) return 1.0
+    if (s1.isEmpty || s2.isEmpty) return 0.0
+    val w = math.max(0, math.max(s1.length, s2.length) / 2 - 1)
+    val used = Array.fill(s2.length)(false)
+    val m1 = scala.collection.mutable.ArrayBuffer[Char]()
+    for (i <- s1.indices) {
+      var j = math.max(0, i - w)
+      var done = false
+      while (j <= math.min(s2.length - 1, i + w) && !done) {
+        if (!used(j) && s2(j) == s1(i)) { used(j) = true; m1 += s1(i); done = true }
+        j += 1
+      }
+    }
+    val m2 = s2.indices.filter(used).map(s2(_))
+    val m = m1.length
+    if (m == 0) return 0.0
+    val t = m1.zip(m2).count { case (a, b) => a != b } / 2
+    val jaro = (m.toDouble / s1.length + m.toDouble / s2.length + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val p = s1.zip(s2).take(4).takeWhile { case (a, b) => a == b }.size
+      jaro + 0.1 * p * (1.0 - jaro)
+    }
+  }
+
+  "JaroWinkler.similarity" should "reproduce the published test vectors" in {
+    jw("martha", "marhta") shouldBe (0.9611111111111111 +- 1e-12)
+    jw("dwayne", "duane") shouldBe (0.84 +- 1e-12)
+    jw("DIXON", "DICKSONX") shouldBe (0.8133333333333332 +- 1e-12)
+    jw("abc", "abc") shouldBe 1.0
+    jw("", "abc") shouldBe 0.0
+    jw("abc", "") shouldBe 0.0
+    jw("", "") shouldBe 1.0
+    // common prefix but jaro below the 0.7 boost threshold: NO boost
+    jw("abcdefgh", "abzzzzzz") shouldBe (0.5 +- 1e-12)
+    // boost engages just above the threshold
+    jw("ab", "abcdefghijkl") shouldBe (0.7777777777777779 +- 1e-12)
+  }
+
+  it should "agree with an independent reference on random strings" in {
+    val rnd = new scala.util.Random(42)
+    def randStr(): String =
+      (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (1 to 2000).foreach { _ =>
+      val (a, b) = (randStr(), randStr())
+      withClue(s"jw('$a','$b')") {
+        jw(a, b) shouldBe (refJw(a, b) +- 1e-12)
+        // metric sanity: symmetric, [0, 1]
+        jw(a, b) shouldBe jw(b, a)
+        jw(a, b) should be >= 0.0
+        jw(a, b) should be <= 1.0
+      }
+    }
+  }
+
+  it should "evaluate identically through the codegen'd SQL path" in {
+    import spark.implicits._
+    val pairs = Seq(("martha", "marhta"), ("dwayne", "duane"),
+      ("small ring", "small ribbon"), ("red widget", "red widget"))
+    val got = pairs.toDF("a", "b")
+      .select(call_function("jaro_winkler", col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    got.zip(pairs).foreach { case (g, (a, b)) => g shouldBe jw(a, b) }
+  }
+
+  "EntityRes.jaroPairs" should "match a brute-force blocked scan" in {
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_brand", "p_partkey", "p_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = (for {
+      a <- parts; b <- parts
+      if a._1 == b._1 && a._2 < b._2 && jw(a._3, b._3) >= 0.9
+    } yield (a._1, a._2, b._2)).sorted.toSeq
+    val got = EntityRes.jaroPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got.sorted shouldBe expected
+  }
+
+  "EntityRes.bestLink" should "pick each A record's true argmax under the quantized rank" in {
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_brand", "p_partkey", "p_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val as = parts.filter(_._2 % 2 == 0)
+    val bs = parts.filter(_._2 % 2 == 1)
+    val expected = as.flatMap { a =>
+      val cands = bs.filter(_._1 == a._1)
+      if (cands.isEmpty) None
+      else Some((a._2, cands.map { b =>
+        (math.round(jw(a._3, b._3) * 1e6), b._2)
+      }.maxBy { case (q, k) => (q, -k) }._2))
+    }.sortBy(_._1).toSeq
+    val got = EntityRes.bestLink(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSeq
+    got shouldBe expected
+  }
+}

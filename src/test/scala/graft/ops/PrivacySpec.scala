@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Privacy operators: QI-class audits against brute-force replays of the
+  * collected sf0.001 fixture, and the discrete-geometric DP mechanism
+  * against its closed-form distribution and a local replay of the
+  * integer draw.
+  */
+class PrivacySpec extends SparkSpec {
+
+  private lazy val customers: Seq[(Long, Double, String)] =
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "c_acctbal", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+
+  private def bucket(bal: Double): Long =
+    (math.round(bal * 100) + 100000L) / 100000L
+
+  private lazy val classes: Map[(Long, Long), Seq[String]] =
+    customers.groupBy(c => (c._1, bucket(c._2))).view.mapValues(_.map(_._3)).toMap
+
+  "Privacy.kAnonymity" should "report exact equivalence-class sizes and k=5 violations" in {
+    val got = Privacy.kAnonymity(spark, sfDir).collect()
+      .map(r => ((r.getInt(0).toLong, r.getLong(1)), (r.getLong(2), r.getBoolean(3)))).toMap
+    got.keySet shouldBe classes.keySet
+    classes.foreach { case (k, members) =>
+      got(k) shouldBe ((members.size.toLong, members.size < 5))
+    }
+  }
+
+  "Privacy.lDiversity" should "count distinct sensitive values per class" in {
+    val got = Privacy.lDiversity(spark, sfDir).collect()
+      .map(r => ((r.getInt(0).toLong, r.getLong(1)), (r.getLong(3), r.getBoolean(4)))).toMap
+    got.keySet shouldBe classes.keySet
+    classes.foreach { case (k, members) =>
+      val div = members.distinct.size.toLong
+      got(k) shouldBe ((div, div < 3))
+    }
+  }
+
+  // mirror of the operator's integer thresholds
+  private val thresholds: Seq[Long] =
+    (0 to 8).map(j => 1048576L - (2097152L / (3L * (1L << j))))
+
+  "the geometric thresholds" should "encode the alpha=1/2 two-sided geometric CDF" in {
+    // strictly increasing, inside the 2^20 lattice
+    thresholds.sliding(2).foreach { case Seq(a, b) => a should be < b; case _ => }
+    thresholds.last should be < 1048576L
+    // P(0) = 1/3 of the lattice (±1 from the floor)
+    thresholds.head shouldBe (1048576L / 3 +- 2)
+    // each magnitude bucket is half the previous (the geometric decay)
+    val widths = (thresholds.head +: thresholds.sliding(2).map {
+      case Seq(a, b) => b - a
+      case _ => 0L
+    }.toSeq).map(_.toDouble)
+    // first bucket is two-sided (sign splits it), so compare 1..8
+    (1 until widths.size - 1).foreach { j =>
+      widths(j + 1) / widths(j) shouldBe (0.5 +- 0.01)
+    }
+  }
+
+  "Privacy.dpCounts" should "replay the deterministic integer draw per cell" in {
+    val got = Privacy.dpCounts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got should not be empty
+    got.foreach { case (year, prio, nTrue, noise, nNoisy) =>
+      val key = year * 8 + prio
+      val u = ((key % 1048576L) * 2654435761L) % 1048576L
+      val mag = thresholds.indexWhere(u < _) match {
+        case -1 => 9L
+        case j => j.toLong
+      }
+      val su = ((key % 1048576L) * 2246822519L) % 1048576L
+      val sgn = if (su < 524288L) 1L else -1L
+      noise shouldBe sgn * mag
+      noise.abs should be <= 9L
+      nNoisy shouldBe math.max(0L, nTrue + noise)
+    }
+    // determinism: a second run is identical
+    val again = Privacy.dpCounts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    again.toSeq shouldBe got.toSeq
+  }
+}

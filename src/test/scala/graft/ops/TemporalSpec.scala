@@ -237,4 +237,43 @@ class TemporalSpec extends SparkSpec {
       acf shouldBe (r +- 1e-6)
     }
   }
+
+  "Temporal.kaplanMeier" should "match a sequential product-limit replay" in {
+    import java.time.temporal.ChronoUnit
+    val got = Temporal.kaplanMeier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+    // brute force: per-customer lifetimes, 90-day churn horizon, then
+    // the textbook sequential product over event times
+    val lives = orders.groupBy(_._1).values.map { os =>
+      (dayOf(os.map(_._2).min), dayOf(os.map(_._2).max))
+    }.toSeq
+    val cutoff = lives.map(_._2).maxBy(_.toEpochDay).minusDays(90)
+    val durs = lives.map { case (f, l) =>
+      (ChronoUnit.DAYS.between(f, l), l.isBefore(cutoff))
+    }
+    val byT = durs.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.count(_._2).toLong)).toMap
+    val ts = byT.keys.toSeq.sorted
+    var atRisk = durs.size.toLong
+    var surv = 1.0
+    val expected = ts.flatMap { t =>
+      val (leave, d) = byT(t)
+      val row = if (d > 0) {
+        surv = if (d == atRisk) 0.0 else surv * (1.0 - d.toDouble / atRisk)
+        Some((t, atRisk, d, surv))
+      } else None
+      atRisk -= leave
+      row
+    }
+
+    got.map(r => (r._1, r._2, r._3)) shouldBe expected.map(r => (r._1, r._2, r._3))
+    got.zip(expected).foreach { case (g, e) => g._4 shouldBe (e._4 +- 1e-5) }
+    // survival is a non-increasing [0, 1] step function
+    got.map(_._4).sliding(2).foreach {
+      case Seq(a, b) => b should be <= a + 1e-12
+      case _ =>
+    }
+  }
 }
