@@ -44,6 +44,8 @@ object SharedTables {
     "dedupEmbeddingGroups" -> ((s, d) => { ops.Similarity.dedupEmbeddingGroups(s, d); () }),
     "dedupEmbeddingBaseGroups" -> ((s, d) => { ops.Similarity.dedupEmbeddingBaseGroupsRaw(s, d); () }),
     "kmeansQv" -> ((s, d) => { ops.Similarity.quantEmb(s, d); () }),
+    "miningBaskets" -> ((s, d) => { ops.Mining.basketsRaw(s, d); () }),
+    "miningPairCounts" -> ((s, d) => { ops.Mining.pairCountsRaw(s, d); () }),
   )
 
   /** Persisted [[graft.io.ModelStore]] artifacts, warmed alongside the

@@ -71,9 +71,54 @@ object EntityRes {
       .orderBy("key_a")
   }
 
+  /** End-to-end entity consolidation (`er_cluster_canonical`): the
+    * ≥ 0.9 pair set closes into duplicate CLUSTERS via the
+    * [[Dedup.connectedGroups]] large-star/small-star contraction (the
+    * same O(log²)-round machinery the text/embedding dedup families
+    * run), then each cluster elects a canonical record — most frequent
+    * name (ties to the lexicographically smallest), surviving key = the
+    * smallest key carrying that name. This is the survivorship step of
+    * every MDM pipeline; all tie-breaks are total orders, so the
+    * recursive-CTE oracle replays it exactly. Per-cluster election is
+    * a group-partitioned window over the (cluster, name) aggregate —
+    * cardinality ≤ cluster count, never corpus².
+    */
+  def clusterCanonical(s: SparkSession, d: String): DataFrame = {
+    val p = Sources.part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    val pairs = a.join(b, Seq("p_brand"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(call_function("jaro_winkler", col("name_a"), col("name_b")) >= 0.9)
+      .select(col("id_a"), col("id_b"))
+    val groups = Dedup.connectedGroups(pairs, p.select(col("p_partkey")), "p_partkey")
+    val members = groups.join(
+      p.select(col("p_partkey").as("id"), col("p_name")), Seq("id"))
+    val groupN = members.groupBy("group_id").agg(count(lit(1)).as("group_n"))
+    val nameCnt = members.groupBy("group_id", "p_name")
+      .agg(count(lit(1)).as("name_n"))
+    val wName = Window.partitionBy("group_id")
+      .orderBy(col("name_n").desc, col("p_name").asc)
+    val canonName = nameCnt.withColumn("rn", row_number().over(wName))
+      .filter(col("rn") === 1)
+      .select(col("group_id"), col("p_name").as("canon_name"))
+    val canonKey = members.join(canonName, Seq("group_id"))
+      .filter(col("p_name") === col("canon_name"))
+      .groupBy("group_id").agg(min(col("id")).as("canon_key"))
+    members.join(groupN, Seq("group_id"))
+      .join(canonName, Seq("group_id"))
+      .join(canonKey, Seq("group_id"))
+      .select(col("id").as("p_partkey"), col("group_id"), col("group_n"),
+        col("canon_key"), col("canon_name"),
+        (col("id") === col("canon_key")).as("is_canonical"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_jaro_pairs" -> (jaroPairs _),
     "er_best_link" -> (bestLink _),
+    "er_cluster_canonical" -> (clusterCanonical _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +147,36 @@ object EntityRes {
         |SELECT p_brand, key_a, name_a, key_b, name_b,
         |  round(jw_e6::DOUBLE / 1e6, 6) + 0.0 AS jw_sim
         |FROM ranked WHERE rn = 1 ORDER BY key_a""".stripMargin,
+    "er_cluster_canonical" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |       UNION ALL SELECT id_b, id_a FROM pr),
+        | reach(src, dst) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        | g AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src),
+        | m AS (SELECT g.id, g.group_id, p.p_name
+        |       FROM g JOIN part p ON p.p_partkey = g.id),
+        | gn AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_n
+        |        FROM m GROUP BY 1),
+        | nc AS (SELECT group_id, p_name, count(*) AS name_n FROM m GROUP BY 1, 2),
+        | cn AS (SELECT group_id, p_name AS canon_name FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY group_id
+        |      ORDER BY name_n DESC, p_name ASC) AS rn FROM nc)
+        |    WHERE rn = 1),
+        | ck AS (SELECT m.group_id, min(m.id) AS canon_key
+        |        FROM m JOIN cn ON m.group_id = cn.group_id
+        |         AND m.p_name = cn.canon_name
+        |        GROUP BY 1)
+        |SELECT m.id AS p_partkey, m.group_id, gn.group_n, ck.canon_key,
+        |  cn.canon_name, m.id = ck.canon_key AS is_canonical
+        |FROM m JOIN gn USING (group_id) JOIN cn USING (group_id)
+        |  JOIN ck USING (group_id)
+        |ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -101,10 +101,55 @@ object Privacy {
       .orderBy("o_year", "prio")
   }
 
+  /** DP mean release (`priv_dp_mean`): average order value per market
+    * segment under the standard clamp-and-noise recipe — each order's
+    * contribution is CLAMPED to [0, 50000] cents (bounding per-row
+    * sensitivity, the step every DP aggregate needs before noise means
+    * anything), then the sum gets two-sided geometric noise on the
+    * Δ=50000-cent lattice and the count gets unit-lattice noise from an
+    * INDEPENDENT draw (key offset 512 — a second hash stream, same
+    * mechanism), and the released mean is the noisy ratio. Cell key =
+    * `ascii(segment)` — the five segments have distinct first letters,
+    * and both engines compute the identical byte, keeping the draw
+    * bit-replayable. Clamping is a map-side `least`; the rest is one
+    * keyed aggregate.
+    */
+  def dpMean(s: SparkSession, d: String): DataFrame = {
+    val clamped = Sources.orders(s, d)
+      .join(Sources.customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")), Seq("o_custkey"))
+      .select(col("c_mktsegment"),
+        least(round(col("o_totalprice") * 100).cast("long"), lit(5000000L))
+          .as("cents"))
+    val cells = clamped.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_true"), sum(col("cents")).as("sum_clamped"))
+    def draw(key: Column): (Column, Column) = {
+      val u = pmod(pmod(key, lit(1048576L)) * lit(2654435761L), lit(1048576L))
+      val mag = geoThresholds.zipWithIndex.foldRight(lit(9L): Column) {
+        case ((t, j), rest) => when(u < t, lit(j.toLong)).otherwise(rest)
+      }
+      val sgn = when(
+        pmod(pmod(key, lit(1048576L)) * lit(2246822519L), lit(1048576L)) < 524288L,
+        lit(1L)).otherwise(lit(-1L))
+      (sgn, mag)
+    }
+    val key = ascii(col("c_mktsegment")).cast("long")
+    val (ss, sm) = draw(key)
+    val (cs, cm) = draw(key + 512L)
+    cells
+      .withColumn("noisy_sum_cents",
+        greatest(lit(0L), col("sum_clamped") + (ss * sm).cast("long") * 5000000L))
+      .withColumn("noisy_n", greatest(lit(1L), col("n_true") + (cs * cm).cast("long")))
+      .select(col("c_mktsegment"), col("noisy_n"), col("noisy_sum_cents"),
+        expr("noisy_sum_cents div noisy_n").as("noisy_mean_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_k_anonymity" -> (kAnonymity _),
     "priv_l_diversity" -> (lDiversity _),
     "priv_dp_counts" -> (dpCounts _),
+    "priv_dp_mean" -> (dpMean _),
   )
 
   private val qiSql =
@@ -146,6 +191,40 @@ object Privacy {
          |SELECT o_year, prio, n_true, CAST(noise AS BIGINT) AS noise,
          |  CAST(greatest(0, n_true + noise) AS BIGINT) AS n_noisy
          |FROM noised ORDER BY o_year, prio""".stripMargin
+    },
+    "priv_dp_mean" -> {
+      def magSql(u: String): String =
+        "(CASE " + geoThresholds.zipWithIndex
+          .map { case (t, j) => s"WHEN $u < $t THEN $j" }
+          .mkString(" ") + " ELSE 9 END)"
+      s"""WITH cells AS (
+         | SELECT c_mktsegment,
+         |   CAST(count(*) AS BIGINT) AS n_true,
+         |   CAST(sum(least(CAST(round(o_totalprice * 100) AS BIGINT), 5000000))
+         |     AS BIGINT) AS sum_clamped,
+         |   CAST(ascii(c_mktsegment) AS BIGINT) AS k
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         | GROUP BY c_mktsegment),
+         |drawn AS (
+         | SELECT *,
+         |   (((k % 1048576) * 2654435761) % 1048576) AS su_u,
+         |   (((k % 1048576) * 2246822519) % 1048576) AS su_s,
+         |   ((((k + 512) % 1048576) * 2654435761) % 1048576) AS cn_u,
+         |   ((((k + 512) % 1048576) * 2246822519) % 1048576) AS cn_s
+         | FROM cells),
+         |noised AS (
+         | SELECT c_mktsegment, n_true, sum_clamped,
+         |   greatest(1, n_true +
+         |     (CASE WHEN cn_s < 524288 THEN 1 ELSE -1 END) * ${magSql("cn_u")})
+         |     AS noisy_n,
+         |   greatest(0, sum_clamped +
+         |     (CASE WHEN su_s < 524288 THEN 1 ELSE -1 END) * ${magSql("su_u")}
+         |       * 5000000) AS noisy_sum_cents
+         | FROM drawn)
+         |SELECT c_mktsegment, CAST(noisy_n AS BIGINT) AS noisy_n,
+         |  CAST(noisy_sum_cents AS BIGINT) AS noisy_sum_cents,
+         |  CAST(noisy_sum_cents // noisy_n AS BIGINT) AS noisy_mean_cents
+         |FROM noised ORDER BY c_mktsegment""".stripMargin
     },
   )
 }

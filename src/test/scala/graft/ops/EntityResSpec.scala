@@ -115,4 +115,36 @@ class EntityResSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(3))).toSeq
     got shouldBe expected
   }
+
+  "EntityRes.clusterCanonical" should "match a union-find + survivorship replay" in {
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_brand", "p_partkey", "p_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // brute-force union-find over the >= 0.9 blocked pairs
+    val root = scala.collection.mutable.Map(parts.map(p => p._2 -> p._2): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (root(r) != r) r = root(r)
+      r
+    }
+    for (a <- parts; b <- parts
+         if a._1 == b._1 && a._2 < b._2 && jw(a._3, b._3) >= 0.9) {
+      val (ra, rb) = (find(a._2), find(b._2))
+      if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byGroup = parts.groupBy(p => find(p._2))
+    val expected = parts.map { p =>
+      val gid = find(p._2)
+      val members = byGroup(gid)
+      // most frequent name, ties to lexicographically smallest
+      val best = members.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (name, n) => (-n, name) }.head._1
+      val canonKey = members.filter(_._3 == best).map(_._2).min
+      (p._2, gid, members.size.toLong, canonKey, best, p._2 == canonKey)
+    }.sortBy(_._1).toSeq
+    val got = EntityRes.clusterCanonical(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5))).toSeq
+    got shouldBe expected
+  }
 }

@@ -82,4 +82,36 @@ class PrivacySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     again.toSeq shouldBe got.toSeq
   }
+
+  private def drawNoise(key: Long): Long = {
+    val u = ((key % 1048576L) * 2654435761L) % 1048576L
+    val mag = thresholds.indexWhere(u < _) match {
+      case -1 => 9L
+      case j => j.toLong
+    }
+    val su = ((key % 1048576L) * 2246822519L) % 1048576L
+    (if (su < 524288L) 1L else -1L) * mag
+  }
+
+  "Privacy.dpMean" should "apply clamped sums with independent sum/count draws" in {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val custSeg = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val bySeg = orders.groupBy(o => custSeg(o._1))
+    val got = Privacy.dpMean(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.map(_._1).toSeq shouldBe bySeg.keys.toSeq.sorted
+    got.foreach { case (segName, noisyN, noisySum, noisyMean) =>
+      val rows = bySeg(segName)
+      val nTrue = rows.size.toLong
+      val sumClamped = rows.map(o => math.min(math.round(o._2 * 100), 5000000L)).sum
+      val k = segName.head.toLong
+      noisyN shouldBe math.max(1L, nTrue + drawNoise(k + 512))
+      noisySum shouldBe math.max(0L, sumClamped + drawNoise(k) * 5000000L)
+      noisyMean shouldBe noisySum / noisyN
+    }
+  }
 }
