@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EtlQueries
-import graft.ops.{Analytics, Audit, Decomp, EntityRes, Graph, Layout, Mining, Ml, Multimodal, Privacy, Relational, RelationalExt, Sampling, Similarity, Sketches, Stats, StreamingAnalogs, Temporal, TextOps, TextSignals}
+import graft.ops.{Analytics, Audit, Decomp, EntityRes, Geo, Graph, Layout, Mining, Ml, Multimodal, Privacy, Relational, RelationalExt, Sampling, Similarity, Sketches, Stats, StreamingAnalogs, Temporal, TextOps, TextSignals}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,7 +42,8 @@ object SparkEntry {
       Stats.queries ++
       Layout.queries ++
       EntityRes.queries ++
-      Privacy.queries
+      Privacy.queries ++
+      Geo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -68,5 +69,6 @@ object SparkEntry {
       Stats.oracles ++
       Layout.oracles ++
       EntityRes.oracles ++
-      Privacy.oracles
+      Privacy.oracles ++
+      Geo.oracles
 }

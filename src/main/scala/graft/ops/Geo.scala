@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Spatial grid-join operators (SURVEY §2.13 extension family): the
+  * cell-bucketed neighborhood join that replaces the quadratic
+  * cross-join for within-radius and nearest-neighbor queries — the
+  * standard distributed spatial-join shape (grid/Quadtree partitioning
+  * as in SpatialSpark / Apache Sedona, reduced to its equi-join core).
+  *
+  * The fixtures carry no coordinates, so each entity gets a
+  * DETERMINISTIC planar position derived from its key on a
+  * 10,000×10,000 integer lattice via the repo's Knuth-hash discipline:
+  * `x = ((key mod 2²⁰)·2654435761) mod 10⁴`,
+  * `y = ((key mod 2²⁰)·2246822519) mod 10⁴` (suppliers offset by +777
+  * into a distinct stream). Pure BIGINT arithmetic — the DuckDB oracle
+  * replays every coordinate bit-for-bit, and because the oracle SQL
+  * computes the answer by BRUTE-FORCE cross join while the engine uses
+  * the grid, a hash-PASS is a proof of grid completeness on the
+  * fixture, not just agreement.
+  *
+  * Scale shape: a within-R join buckets both sides into R×R cells and
+  * replicates the SMALLER side to its 3×3 cell neighborhood (9× — a
+  * map-side explode, broadcastable when the small side is dim-sized);
+  * the join is then a plain cell equi-join — ONE shuffle, with
+  * per-task fan-out bounded by cell occupancy (density · R²), never
+  * |A|·|B|. The exact integer distance² filter runs inside the joined
+  * task. This is the same candidate-then-verify discipline as the
+  * MinHash band join ([[Dedup]]) and the IVF cell join ([[Similarity]]).
+  */
+object Geo {
+
+  private val M1 = 2654435761L
+  private val M2 = 2246822519L
+
+  /** Customer points: deterministic lattice coordinates per custkey. */
+  private def custPoints(s: SparkSession, d: String): DataFrame =
+    Sources.customer(s, d).select(
+      col("c_custkey"),
+      (col("c_custkey") % 1048576L * M1 % 10000L).as("cx"),
+      (col("c_custkey") % 1048576L * M2 % 10000L).as("cy"))
+
+  /** Supplier points: key offset +777 selects a distinct hash stream so
+    * supplier k never shadows customer k's position.
+    */
+  private def suppPoints(s: SparkSession, d: String): DataFrame =
+    Sources.supplier(s, d).select(
+      col("s_suppkey"),
+      ((col("s_suppkey") + 777L) % 1048576L * M1 % 10000L).as("sx"),
+      ((col("s_suppkey") + 777L) % 1048576L * M2 % 10000L).as("sy"))
+
+  /** Cell-replicated supplier side: each supplier lands in the 3×3
+    * neighborhood of its `cell`-sized grid cell. Cell size == radius
+    * guarantees every within-R partner is inside the neighborhood.
+    */
+  private def suppCells(s: SparkSession, d: String, cell: Long): DataFrame =
+    suppPoints(s, d)
+      .withColumn("ddx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("ddy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("s_suppkey"), col("sx"), col("sy"),
+        (expr(s"sx div $cell") + col("ddx")).as("gx"),
+        (expr(s"sy div $cell") + col("ddy")).as("gy"))
+
+  private def withinR(s: SparkSession, d: String, r: Long): DataFrame = {
+    val cust = custPoints(s, d)
+      .withColumn("gx", expr(s"cx div $r"))
+      .withColumn("gy", expr(s"cy div $r"))
+    cust.join(suppCells(s, d, r), Seq("gx", "gy"))
+      .withColumn("d2",
+        (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+          (col("cy") - col("sy")) * (col("cy") - col("sy")))
+      .filter(col("d2") <= r * r)
+  }
+
+  /** `geo_grid_neighbors`: every (customer, supplier) pair within
+    * Euclidean distance 500 on the lattice, found via the grid join and
+    * verified against the oracle's brute-force quadratic scan. d2 is
+    * the exact integer squared distance.
+    */
+  def gridNeighbors(s: SparkSession, d: String): DataFrame =
+    withinR(s, d, 500L)
+      .select(col("c_custkey"), col("s_suppkey"), col("d2"))
+      .orderBy("c_custkey", "s_suppkey")
+
+  /** `geo_nearest_hub`: each customer's nearest supplier within radius
+    * 1500 (argmin on exact d2, smallest suppkey on ties — a total
+    * order, so both engines elect the same hub). Customers with no
+    * supplier in range are dropped — the honest contract for a
+    * grid-bounded nearest: an unbounded nearest would need expanding
+    * ring probes, which is a different (iterative) operator. The
+    * argmin window partitions by customer — corpus-keyed, fully
+    * parallel, never a global sort.
+    */
+  def nearestHub(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(col("d2").asc, col("s_suppkey").asc)
+    withinR(s, d, 1500L)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("s_suppkey").as("hub_suppkey"), col("d2"))
+      .orderBy("c_custkey")
+  }
+
+  /** `geo_cell_density`: the 1000×1000 super-cell census — customer
+    * count, supplier count, and exact customer balance cents per cell
+    * (the heatmap/partition-planning aggregate). One keyed aggregate
+    * per side + an outer join on the ≤100-cell grid.
+    */
+  def cellDensity(s: SparkSession, d: String): DataFrame = {
+    val c = custPoints(s, d)
+      .join(Sources.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+        Seq("c_custkey"))
+      .groupBy(expr("cx div 1000").as("gx"), expr("cy div 1000").as("gy"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+    val p = suppPoints(s, d)
+      .groupBy(expr("sx div 1000").as("gx"), expr("sy div 1000").as("gy"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, Seq("gx", "gy"), "full_outer")
+      .select(col("gx"), col("gy"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("bal_cents"), lit(0L)).as("bal_cents"))
+      .orderBy("gx", "gy")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_grid_neighbors" -> (gridNeighbors _),
+    "geo_nearest_hub" -> (nearestHub _),
+    "geo_cell_density" -> (cellDensity _),
+  )
+
+  private val pointsSql =
+    """pts AS (
+      | SELECT c_custkey,
+      |   (c_custkey % 1048576) * 2654435761 % 10000 AS cx,
+      |   (c_custkey % 1048576) * 2246822519 % 10000 AS cy
+      | FROM customer),
+      |spts AS (
+      | SELECT s_suppkey,
+      |   ((s_suppkey + 777) % 1048576) * 2654435761 % 10000 AS sx,
+      |   ((s_suppkey + 777) % 1048576) * 2246822519 % 10000 AS sy
+      | FROM supplier)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "geo_grid_neighbors" ->
+      s"""WITH $pointsSql
+         |SELECT c_custkey, s_suppkey,
+         |  (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+         |FROM pts CROSS JOIN spts
+         |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 250000
+         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "geo_nearest_hub" ->
+      s"""WITH $pointsSql,
+         |cand AS (
+         | SELECT c_custkey, s_suppkey,
+         |   (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+         | FROM pts CROSS JOIN spts
+         | WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 2250000),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY c_custkey
+         |   ORDER BY d2 ASC, s_suppkey ASC) AS rn FROM cand)
+         |SELECT c_custkey, s_suppkey AS hub_suppkey, d2
+         |FROM ranked WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+    "geo_cell_density" ->
+      s"""WITH $pointsSql,
+         |cc AS (
+         | SELECT cx // 1000 AS gx, cy // 1000 AS gy,
+         |   CAST(count(*) AS BIGINT) AS n_cust,
+         |   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         |     AS bal_cents
+         | FROM pts JOIN customer USING (c_custkey) GROUP BY 1, 2),
+         |sc AS (
+         | SELECT sx // 1000 AS gx, sy // 1000 AS gy,
+         |   CAST(count(*) AS BIGINT) AS n_supp
+         | FROM spts GROUP BY 1, 2)
+         |SELECT gx, gy,
+         |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+         |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp,
+         |  CAST(coalesce(bal_cents, 0) AS BIGINT) AS bal_cents
+         |FROM cc FULL OUTER JOIN sc USING (gx, gy)
+         |ORDER BY gx, gy""".stripMargin,
+  )
+}

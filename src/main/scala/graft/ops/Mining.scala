@@ -43,6 +43,9 @@ object Mining {
     graft.io.Materialized.of(s, s"miningBaskets|$d") {
       Sources.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        // AQE coalesces the small-SF distinct to 1 partition; pin the
+        // stored layout at cluster parallelism (floor 2 for 1-core runs)
+        .repartition(math.max(2, s.sparkContext.defaultParallelism), col("ok"))
     }
 
   /** Session-materialized supported pair counts (A-priori k=2 output,
@@ -60,6 +63,8 @@ object Mining {
         .filter(col("pk_a") < col("pk_b"))
         .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= minSup)
+        .repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("pk_a"), col("pk_b"))
     }
 
   def frequentPairs(s: SparkSession, d: String): DataFrame = {

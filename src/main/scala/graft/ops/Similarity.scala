@@ -60,6 +60,41 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Binary-quantized Hamming top-k (`sim_binary_hamming`): each
+    * embedding collapses to its 64 sign bits packed into two BIGINT
+    * words (dims 0–31 / 32–63 — two words because bit 63 of a single
+    * word would need the sign bit), and per-probe nearest neighbors
+    * rank on `bit_count(w0⊕w0') + bit_count(w1⊕w1')` — the binary
+    * embedding serving trick (32× smaller vectors, XOR+popcount
+    * distance). Everything is exact integer arithmetic: packing is a
+    * codegen'd `aggregate` HOF over the float signs, so the DuckDB
+    * oracle rebuilds the identical words and the hash check is exact —
+    * no float-ordering tolerance needed, unlike the cosine twins.
+    *
+    * Scale shape: packing is map-side (no shuffle); the 8 probe words
+    * broadcast; ranking reuses the probe-partitioned top-k discipline of
+    * [[cosineTopK]]. At 100 TB the win is the scan itself — 16 bytes of
+    * words per vector instead of 256 bytes of floats.
+    */
+  def binaryHamming(s: SparkSession, d: String): DataFrame = {
+    def word(off: Int): Column = expr(
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+        s"IF(element_at(embedding, i + $off) > 0.0, shiftleft(1L, i), 0L))")
+    val words = Sources.embeddings(s, d)
+      .select(col("vec_id"), word(1).as("w0"), word(33).as("w1"))
+    val q = words.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val scored = words.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("long").as("hamm"))
+    val w = Window.partitionBy("q_id").orderBy(col("hamm").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("hamm"))
+      .orderBy("q_id", "rn")
+  }
+
   // ---------------------------------------------------------------------
   // Quantizer: trained coarse centroids, held driver-side as a model
   // ---------------------------------------------------------------------
@@ -1086,6 +1121,7 @@ object Similarity {
     "sim_pq_audit" -> (pqAudit _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_cosine_topk" -> (cosineTopK _),
+    "sim_binary_hamming" -> (binaryHamming _),
     "sim_outliers" -> (centroidOutliers _),
     "sim_cosine_topk_native" -> (cosineTopKNative _),
     "sim_centroid_udaf" -> (centroidUdaf _),
@@ -1274,6 +1310,19 @@ object Similarity {
         |   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[])), 4) + 0.0 AS cos FROM c, q),
         | r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM s)
         |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "sim_binary_hamming" ->
+      """WITH w AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN embedding[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END
+        |    FOR i IN range(32)]) AS BIGINT) AS w0,
+        |  CAST(list_sum([CASE WHEN embedding[i+33] > 0 THEN 1::BIGINT << i ELSE 0 END
+        |    FOR i IN range(32)]) AS BIGINT) AS w1
+        | FROM embeddings),
+        | s AS (SELECT q.vec_id AS q_id, c.vec_id,
+        |   CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS BIGINT) AS hamm
+        |  FROM w q JOIN w c ON q.vec_id < 8 AND c.vec_id >= 8),
+        | r AS (SELECT q_id, vec_id, hamm, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY hamm ASC, vec_id ASC) AS BIGINT) AS rn FROM s)
+        |SELECT q_id, rn, vec_id, hamm FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "sim_centroid_by_label" ->
       """SELECT label, i - 1 AS pos, round(avg(CAST(v AS DOUBLE)), 4) + 0.0 AS avg_v, count(*) AS n_vecs
         |FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM embeddings)

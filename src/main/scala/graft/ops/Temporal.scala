@@ -608,7 +608,52 @@ object Temporal {
       .orderBy("t_day")
   }
 
+  /** Classical additive seasonal decomposition (`ts_seasonal_decompose`)
+    * of the gap-filled daily revenue series: trend = centered 7-day
+    * moving average, seasonal = per-weekday mean of the detrended
+    * residue, remainder = what's left — the STL-lite diagnostic every
+    * demand/forecast pipeline starts from.
+    *
+    * The centered MA is NOT a window over the global series (a
+    * single-partition sort at scale): it's the stencil self-join — each
+    * day i scatters its value to targets i−3..i+3 (map-side ×7 explode),
+    * and a keyed aggregate on the target index rebuilds every 7-day sum
+    * in parallel; only complete frames (count = 7) survive, dropping the
+    * 3-day boundary exactly as classical decomposition does. Weekday
+    * comes from the dense index (i mod 7) — the spine is contiguous, so
+    * this is engine-identical with no day-of-week convention risk.
+    *
+    * Exactness: the series is integer dollars; 7·x − Σ₇ (detrended ×7)
+    * and cnt·detr − Σ_dow (remainder ×7·cnt) stay exact BIGINTs, so
+    * trend/seasonal/remainder are each ONE long→double division + round
+    * — the identical IEEE operation in both engines. The 7-row seasonal
+    * table broadcasts back map-side.
+    */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    // lazy pin: the series feeds the stencil scatter AND the join-back
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val win = ser
+      .withColumn("off", explode(sequence(lit(-3L), lit(3L))))
+      .groupBy((col("i") + col("off")).as("i"))
+      .agg(count(lit(1)).as("c7"), sum(col("x")).as("sum7"))
+      .filter(col("c7") === 7)
+    val j = win.join(ser, Seq("i"))
+      .withColumn("detr_e", lit(7L) * col("x") - col("sum7"))
+      .withColumn("dow", col("i") % 7)
+    val dw = j.groupBy("dow")
+      .agg(sum(col("detr_e")).as("sd"), count(lit(1)).as("cnt"))
+    j.join(broadcast(dw), Seq("dow"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
+        round(col("sum7").cast("double") / 7.0, 4).as("trend"),
+        round(col("sd").cast("double") / (col("cnt").cast("double") * 7.0), 4)
+          .as("seasonal"),
+        round((col("cnt") * col("detr_e") - col("sd")).cast("double") /
+          (col("cnt").cast("double") * 7.0), 4).as("remainder"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal_decompose" -> (seasonalDecompose _),
     "ts_kaplan_meier" -> (kaplanMeier _),
     "ts_mom_growth" -> (momGrowth _),
     "ts_wau_daily" -> (wauDaily _),
@@ -644,6 +689,23 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_seasonal_decompose" ->
+      s"""WITH $seriesCte,
+         | win AS (SELECT s.i + off AS i, count(*) AS c7,
+         |    CAST(sum(s.x) AS BIGINT) AS sum7
+         |  FROM ser s CROSS JOIN (SELECT unnest([-3,-2,-1,0,1,2,3]) AS off)
+         |  GROUP BY 1 HAVING count(*) = 7),
+         | j AS (SELECT w.i, ser.day, ser.x, w.sum7,
+         |    7 * ser.x - w.sum7 AS detr_e, ser.i % 7 AS dow
+         |  FROM win w JOIN ser ON ser.i = w.i),
+         | dw AS (SELECT dow, CAST(sum(detr_e) AS BIGINT) AS sd,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM j GROUP BY 1)
+         |SELECT strftime(j.day, '%Y-%m-%d') AS day, CAST(j.x AS BIGINT) AS x,
+         |  round(sum7 / 7.0, 4) AS trend,
+         |  round(sd / (cnt * 7.0), 4) AS seasonal,
+         |  round((cnt * detr_e - sd) / (cnt * 7.0), 4) AS remainder
+         |FROM j JOIN dw USING (dow) ORDER BY day""".stripMargin,
     "ts_kaplan_meier" ->
       """WITH cl AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
         |    max(CAST(o_orderdate AS DATE)) AS l

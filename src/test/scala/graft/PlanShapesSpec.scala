@@ -34,6 +34,8 @@ class PlanShapesSpec extends SparkSpec {
   private val sanctionedCross = Set(
     "join_cross_regions", "join_price_bands",
     "sim_cosine_topk", "sim_cosine_topk_native", "sim_mips_topk",
+    // 8-row packed probe-word broadcast (the cosineTopK discipline)
+    "sim_binary_hamming",
     "text_tfidf_keywords", "text_lm_score", "text_pmi_bigrams",
     "agg_pareto_customers", "text_bm25", "graph_triangle_stats",
     "audit_key_skew", "search_hybrid_rrf",

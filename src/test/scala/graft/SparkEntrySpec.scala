@@ -31,6 +31,7 @@ class SparkEntrySpec extends SparkSpec {
     "layout" -> Layout.queries.keySet,
     "entityRes" -> EntityRes.queries.keySet,
     "privacy" -> Privacy.queries.keySet,
+    "geo" -> Geo.queries.keySet,
   )
 
   "queries" should "have no name collisions across modules" in {

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Grid-join correctness: the cell-bucketed neighborhood join must
+  * equal the quadratic brute-force scan — completeness (no pair within
+  * R escapes the 3×3 neighborhood) and soundness (the exact d2 filter
+  * rejects out-of-radius cell-mates).
+  */
+class GeoSpec extends SparkSpec {
+
+  private val M1 = 2654435761L
+  private val M2 = 2246822519L
+
+  private def custPts(): Seq[(Long, Long, Long)] =
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSeq
+      .map(k => (k, k % 1048576L * M1 % 10000L, k % 1048576L * M2 % 10000L))
+
+  private def suppPts(): Seq[(Long, Long, Long)] =
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select("s_suppkey").collect().map(_.getLong(0)).toSeq
+      .map(k => (k, (k + 777L) % 1048576L * M1 % 10000L,
+        (k + 777L) % 1048576L * M2 % 10000L))
+
+  private def brutePairs(r: Long): Seq[(Long, Long, Long)] =
+    for {
+      (ck, cx, cy) <- custPts()
+      (sk, sx, sy) <- suppPts()
+      d2 = (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+      if d2 <= r * r
+    } yield (ck, sk, d2)
+
+  "Geo.gridNeighbors" should "equal the brute-force within-500 scan" in {
+    val expected = brutePairs(500L).sortBy(p => (p._1, p._2))
+    val got = Geo.gridNeighbors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    expected should not be empty
+  }
+
+  "Geo.nearestHub" should "elect the brute-force argmin hub per customer" in {
+    val expected = brutePairs(1500L).groupBy(_._1).toSeq.map {
+      case (ck, cands) =>
+        val best = cands.minBy(c => (c._3, c._2))
+        (ck, best._2, best._3)
+    }.sortBy(_._1)
+    val got = Geo.nearestHub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    expected should not be empty
+  }
+
+  "Geo.cellDensity" should "census every occupied super-cell exactly" in {
+    val cs = custPts().groupBy(p => (p._2 / 1000L, p._3 / 1000L))
+    val ss = suppPts().groupBy(p => (p._2 / 1000L, p._3 / 1000L))
+    val bal = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "CAST(round(c_acctbal * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cells = (cs.keySet ++ ss.keySet).toSeq.sorted
+    val expected = cells.map { gk =>
+      val custs = cs.getOrElse(gk, Seq.empty)
+      (gk._1, gk._2, custs.size.toLong,
+        ss.getOrElse(gk, Seq.empty).size.toLong,
+        custs.map(p => bal(p._1)).sum)
+    }
+    val got = Geo.cellDensity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe expected
+  }
+}

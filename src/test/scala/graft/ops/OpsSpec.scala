@@ -362,4 +362,28 @@ class OpsSpec extends SparkSpec {
     got shouldBe expected
     got.size should be > 0 // the near-dup families must surface
   }
+
+  "Similarity.binaryHamming" should "match a brute-force sign-bit popcount replay" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def pack(e: Array[Float], lo: Int): Long =
+      (0 until 32).foldLeft(0L)((acc, i) =>
+        if (e(lo + i) > 0f) acc + (1L << i) else acc)
+    val words = vecs.map { case (id, e) => (id, pack(e, 0), pack(e, 32)) }
+    val probes = words.filter(_._1 < 8)
+    val corpus = words.filter(_._1 >= 8)
+    val expected = probes.flatMap { case (q, qw0, qw1) =>
+      corpus.map { case (c, w0, w1) =>
+        (q, c, (java.lang.Long.bitCount(w0 ^ qw0) +
+          java.lang.Long.bitCount(w1 ^ qw1)).toLong)
+      }.sortBy(p => (p._3, p._2)).take(5).zipWithIndex
+        .map { case ((qq, c, h), i) => (qq, i + 1L, c, h) }
+    }.sortBy(p => (p._1, p._2)).toSeq
+    val got = Similarity.binaryHamming(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe expected
+    // sanity: a vector's own sign words are 0 bits away from themselves
+    expected should have size (probes.length * 5L).toInt
+  }
 }

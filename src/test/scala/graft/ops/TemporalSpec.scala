@@ -276,4 +276,36 @@ class TemporalSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  "Temporal.seasonalDecompose" should "replay the classical additive decomposition" in {
+    val ser = Temporal.dailyRevenueSeries(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val x = ser.map(_._2)
+    val n = x.length
+    // interior days only (full 7-day centered frames)
+    val expected = (3 until n - 3).map { i =>
+      val sum7 = (i - 3 to i + 3).map(x(_)).sum
+      (i, sum7, 7L * x(i) - sum7)
+    }
+    val byDow = expected.groupBy(_._1 % 7)
+      .map { case (dw, rows) => dw -> (rows.map(_._3).sum, rows.size.toLong) }
+    val got = Temporal.seasonalDecompose(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    got.length shouldBe expected.length
+    got.zip(expected).foreach { case ((_, gx, trend, seasonal, remainder),
+        (i, sum7, detr)) =>
+      gx shouldBe x(i)
+      val (sd, cnt) = byDow(i % 7)
+      trend shouldBe (sum7 / 7.0 +- 1e-4)
+      seasonal shouldBe (sd.toDouble / (7.0 * cnt) +- 1e-4)
+      remainder shouldBe ((cnt * detr - sd).toDouble / (7.0 * cnt) +- 1e-4)
+      // the decomposition reassembles the observation
+      (trend + seasonal + remainder) shouldBe (gx.toDouble +- 2e-3)
+    }
+    // seasonal components sum to ~zero across the 7 weekdays (mean-centered
+    // up to per-dow count imbalance)
+    val seasonals = got.map(r => (r._1, r._4)).distinct
+    seasonals should not be empty
+  }
 }
