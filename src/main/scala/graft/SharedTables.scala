@@ -46,6 +46,7 @@ object SharedTables {
     "kmeansQv" -> ((s, d) => { ops.Similarity.quantEmb(s, d); () }),
     "miningBaskets" -> ((s, d) => { ops.Mining.basketsRaw(s, d); () }),
     "miningPairCounts" -> ((s, d) => { ops.Mining.pairCountsRaw(s, d); () }),
+    "erPairs09" -> ((s, d) => { ops.EntityRes.pairs09Raw(s, d); () }),
   )
 
   /** Persisted [[graft.io.ModelStore]] artifacts, warmed alongside the

@@ -26,22 +26,38 @@ import graft.io.Sources
   */
 object EntityRes {
 
+  /** Session-materialized ≥ 0.9 scored pair table — the expensive
+    * stage (block-join + 8M-pair codegen'd Jaro-Winkler at sf0.1) that
+    * BOTH `er_jaro_pairs` and `er_cluster_canonical` reduce, and that
+    * the CC contraction would otherwise RE-EXECUTE on every
+    * large-star/small-star round (each round is its own action over the
+    * pair lineage — the graph_hits lesson, here at ~3 s per replay).
+    * The survivor set is tiny (≪ corpus), so the stored table is cheap.
+    */
+  private[graft] def pairs09Raw(s: SparkSession, d: String): DataFrame =
+    graft.io.Materialized.of(s, s"erPairs09|$d") {
+      val p = Sources.part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("jw", call_function("jaro_winkler", col("name_a"), col("name_b")))
+        .filter(col("jw") >= 0.9)
+        .select(col("p_brand"), col("key_a"), col("key_b"),
+          col("name_a"), col("name_b"), col("jw"))
+        .repartition(math.max(2, s.sparkContext.defaultParallelism),
+          col("key_a"), col("key_b"))
+    }
+
   /** Near-identical part-name pairs within a brand block at
     * Jaro-Winkler ≥ 0.9 (`er_jaro_pairs`).
     */
-  def jaroPairs(s: SparkSession, d: String): DataFrame = {
-    val p = Sources.part(s, d)
-      .select(col("p_brand"), col("p_partkey"), col("p_name"))
-    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
-      .filter(col("key_a") < col("key_b"))
-      .withColumn("jw", call_function("jaro_winkler", col("name_a"), col("name_b")))
-      .filter(col("jw") >= 0.9)
+  def jaroPairs(s: SparkSession, d: String): DataFrame =
+    pairs09Raw(s, d)
       .select(col("p_brand"), col("key_a"), col("key_b"), col("name_a"), col("name_b"),
         roundNorm(col("jw"), 6).as("jw_sim"))
       .orderBy("p_brand", "key_a", "key_b")
-  }
 
   /** Best-match record linkage between two catalogs (`er_best_link`):
     * even-key parts are catalog A, odd-key parts catalog B (a
@@ -86,12 +102,8 @@ object EntityRes {
   def clusterCanonical(s: SparkSession, d: String): DataFrame = {
     val p = Sources.part(s, d)
       .select(col("p_brand"), col("p_partkey"), col("p_name"))
-    val a = p.select(col("p_brand"), col("p_partkey").as("id_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"), col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-    val pairs = a.join(b, Seq("p_brand"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(call_function("jaro_winkler", col("name_a"), col("name_b")) >= 0.9)
-      .select(col("id_a"), col("id_b"))
+    val pairs = pairs09Raw(s, d)
+      .select(col("key_a").as("id_a"), col("key_b").as("id_b"))
     val groups = Dedup.connectedGroups(pairs, p.select(col("p_partkey")), "p_partkey")
     val members = groups.join(
       p.select(col("p_partkey").as("id"), col("p_name")), Seq("id"))
