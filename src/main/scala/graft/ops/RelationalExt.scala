@@ -468,7 +468,62 @@ object RelationalExt {
         count(lit(1)).as("n_rows"))
       .orderBy("o_orderpriority")
 
+  /** Unpivot (melt) round-trip (`pivot_unpivot_quarters`): quarterly
+    * revenue pivoted wide (one LONG cents column per quarter) and
+    * immediately melted back to long form with `unpivot` — the
+    * wide↔long reshaping pair every feature-engineering pipeline needs
+    * (pandas melt / SQL UNPIVOT). The oracle is the DIRECT
+    * `GROUP BY (year, quarter)`, so the hash check proves
+    * `unpivot ∘ pivot` is the identity on populated cells. Scale:
+    * pivot is one keyed aggregate carrying 4 columns of state; unpivot
+    * is a pure map-side ×4 row expansion (a `Expand` node — no
+    * shuffle, no UDF); absent cells surface as NULLs and are dropped
+    * to match the direct aggregate exactly.
+    */
+  def unpivotQuarters(s: SparkSession, d: String): DataFrame = {
+    val wide = Sources.orders(s, d)
+      .select(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        concat(lit("q"), quarter(col("o_orderdate"))).as("qtr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_year")
+      .pivot("qtr", Seq("q1", "q2", "q3", "q4"))
+      .agg(sum("cents"))
+    wide.unpivot(
+        Array(col("o_year")),
+        Array(col("q1"), col("q2"), col("q3"), col("q4")),
+        "qtr", "rev_cents")
+      .filter(col("rev_cents").isNotNull)
+      .orderBy("o_year", "qtr")
+  }
+
+  /** Exact distinct count via 64-bit bitmap words
+    * (`agg_bitmap_distinct`): distinct customers per order priority
+    * WITHOUT shuffling raw (priority, custkey) rows — keys pack into
+    * per-(priority, custkey div 64) words with `bit_or(1 << k mod 64)`
+    * (the map-side partial aggregate ORs up to 64 keys into ONE Long
+    * before the exchange), then a second keyed aggregate sums
+    * `bit_count(word)`. The roaring-bitmap trick on a flat 64-bit
+    * lattice: shuffle width is bounded by |key domain|/64 words per
+    * group regardless of row count, where `count(distinct)` shuffles
+    * (and spills) every distinct row. Dense key domains only — a
+    * sparse 2⁶⁴ domain wants HLL ([[Sketches]]) or a real roaring
+    * container; the TPC-H custkey space is exactly the dense case.
+    */
+  def bitmapDistinct(s: SparkSession, d: String): DataFrame =
+    Sources.orders(s, d)
+      .select(col("o_orderpriority"),
+        expr("o_custkey div 64").as("wslot"),
+        expr("shiftleft(1L, CAST(o_custkey % 64 AS INT))").as("bit"))
+      .groupBy("o_orderpriority", "wslot")
+      .agg(bit_or(col("bit")).as("word"))
+      .groupBy("o_orderpriority")
+      .agg(sum(bit_count(col("word"))).as("n_distinct"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_unpivot_quarters" -> (unpivotQuarters _),
+    "agg_bitmap_distinct" -> (bitmapDistinct _),
     "win_ntile_quartiles" -> (ntileQuartiles _),
     "agg_hhi_segment" -> (hhiSegment _),
     "agg_corr_matrix" -> (corrMatrix _),
@@ -556,6 +611,16 @@ object RelationalExt {
         | CAST(min(cents) AS BIGINT) AS min_cents,
         | CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "pivot_unpivot_quarters" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | 'q' || CAST(quarter(o_orderdate) AS VARCHAR) AS qtr,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS rev_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, qtr""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_bitwise" ->
       """WITH m AS (SELECT o_orderpriority,
         |  (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)

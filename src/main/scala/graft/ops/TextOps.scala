@@ -1001,7 +1001,59 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Cross-document duplicate-span detection (`text_dup_spans`) — the
+    * substring-level exact dedup of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al., ACL 2022), reduced to its
+    * MapReduce core: every 5-token window is keyed by its text, windows
+    * occurring in ≥ 2 DISTINCT documents are flagged, and per-document
+    * consecutive flagged positions merge into maximal spans
+    * (gaps-and-islands). Unlike the doc-level dedup family this finds
+    * the boilerplate passage INSIDE otherwise-unique documents — the op
+    * that doc-level MinHash structurally cannot express.
+    *
+    * Scale shape: gram generation is a map-side transform+explode over
+    * the repartitioned corpus; the duplicate test is ONE gram-keyed
+    * aggregate plus the equi-join back (the paper's suffix-array pass
+    * replaced by its hash-join equivalent — no global sort anywhere);
+    * the island merge is a per-document window, corpus-keyed and fully
+    * parallel. The gram table is consumed by both the aggregate and the
+    * join-back, so it is pinned once (the multi-consumer discipline).
+    * At 100 TB the join key would be `xxhash64(gram)` — 8-byte keys
+    * through both shuffles instead of raw strings, with collision odds
+    * ~|grams|²/2⁶⁵ (acceptable for curation); the fixture keeps the raw
+    * string so the DuckDB oracle replays the answer exactly.
+    */
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val w = 5
+    val grams = graft.io.Checkpoints.pin(
+      Sources.documents(s, d)
+        .repartition(math.max(2, s.sparkContext.defaultParallelism))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= w)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ws) - ${w - 1}), i -> " +
+            s"struct(CAST(i AS BIGINT) AS pos, array_join(slice(ws, i, $w), ' ') AS gram))")).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram")),
+      eager = false)
+    val dup = grams.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val flagged = grams.join(dup, "gram").select("doc_id", "pos")
+    val isl = flagged.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    isl.groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), max("pos").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_grams"),
+        (col("span_end") - col("span_start") + w).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dup_spans" -> (dupSpans _),
     "text_langid_confusion" -> (langIdConfusion _),
     "text_boilerplate" -> (boilerplate _),
     "text_bpe_tokenize" -> (bpeTokenize _),
@@ -1077,6 +1129,21 @@ object TextOps {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | p AS (SELECT doc_id, ws,
+        |   UNNEST(range(1, greatest(len(ws) - 4, 0) + 1)) AS pos FROM w),
+        | g AS (SELECT doc_id, pos,
+        |   array_to_string(ws[pos:pos+4], ' ') AS gram FROM p),
+        | dup AS (SELECT gram FROM g GROUP BY gram
+        |   HAVING count(DISTINCT doc_id) >= 2),
+        | f AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        | i AS (SELECT doc_id, pos,
+        |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |   FROM f)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) AS span_end,
+        | count(*) AS n_grams, max(pos) - min(pos) + 5 AS span_tokens
+        |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     "dedup_containment" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | d AS (SELECT doc_id, list_distinct(list_transform(

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Batch-27 operators: duplicate-span detection, bitmap exact distinct,
+  * pivot/unpivot round-trip — each replayed against an independent
+  * brute-force computation (Scala collections or a second Spark plan
+  * with different operators), not just the DuckDB oracle.
+  */
+class ReshapeOpsSpec extends SparkSpec {
+
+  "TextOps.dupSpans" should "match a sequential brute-force replay on the sf0.001 corpus" in {
+    // independent reference: plain Scala — per-doc 5-gram strings with
+    // positions, grams in >=2 distinct docs, islands merged sequentially
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val w = 5
+    val grams = docs.flatMap { case (id, ws) =>
+      if (ws.length < w) Array.empty[(Long, Long, String)]
+      else (0 to ws.length - w).map(i =>
+        (id, (i + 1).toLong, ws.slice(i, i + w).mkString(" "))).toArray
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = grams.filter(g => dup(g._3))
+      .groupBy(_._1).toSeq.flatMap { case (id, gs) =>
+        val ps = gs.map(_._2).sorted
+        // sequential island merge
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        for (p <- ps) {
+          if (spans.nonEmpty && spans.last._2 == p - 1) {
+            val (st, _, n) = spans.remove(spans.length - 1)
+            spans += ((st, p, n + 1))
+          } else spans += ((p, p, 1L))
+        }
+        spans.map { case (st, en, n) => (id, st, en, n, en - st + w) }
+      }.sortBy(t => (t._1, t._2))
+
+    val got = TextOps.dupSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.toSeq shouldBe expected
+    // sanity: the fixture actually exercises the op
+    got.length should be > 10
+    // maximality: spans from the same doc never touch (a shared edge
+    // would mean the island merge failed to coalesce them)
+    got.groupBy(_._1).values.foreach { spans =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => b._2 should be > (a._3 + 1)
+        case _           => ()
+      }
+    }
+  }
+
+  "RelationalExt.bitmapDistinct" should "equal count(distinct) per group" in {
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(count_distinct(col("o_custkey")).as("n_distinct"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = RelationalExt.bitmapDistinct(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got shouldBe expected
+  }
+
+  it should "pack keys that share a word slot into one word" in {
+    val s = spark
+    import s.implicits._
+    // 3 keys in slot 0 (1,2,63), 1 key in slot 1 (64), duplicates collapse
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 2L), ("A", 63L), ("A", 64L))
+      .toDF("o_orderpriority", "o_custkey")
+    val words = df
+      .select(col("o_orderpriority"),
+        expr("o_custkey div 64").as("wslot"),
+        expr("shiftleft(1L, CAST(o_custkey % 64 AS INT))").as("bit"))
+      .groupBy("o_orderpriority", "wslot")
+      .agg(bit_or(col("bit")).as("word"))
+      .orderBy("wslot")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    words shouldBe Array((0L, (1L << 1) | (1L << 2) | (1L << 63)), (1L, 1L))
+  }
+
+  "RelationalExt.unpivotQuarters" should "round-trip pivot∘unpivot to the direct aggregate" in {
+    val direct = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        concat(lit("q"), quarter(col("o_orderdate"))).as("qtr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_year", "qtr").agg(sum("cents").as("rev_cents"))
+      .orderBy("o_year", "qtr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = RelationalExt.unpivotQuarters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    got shouldBe direct
+  }
+}
