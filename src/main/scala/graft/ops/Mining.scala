@@ -229,7 +229,57 @@ object Mining {
       .limit(200)
   }
 
+  private val tripleMinSup = 2L
+
+  /** A-Priori k=3 (`mining_frequent_triples`): frequent part triples
+    * across order baskets. The textbook downward-closure pipeline, each
+    * stage shrinking the next stage's fan-out:
+    * 1. in-basket pairs (self-equi-join on the order key — fan-out ≤
+    *    basket² per order, a data-model bound);
+    * 2. pair supports at the TRIPLE threshold (the materialized
+    *    [[pairCountsRaw]] table prunes at support ≥ 3 and cannot serve
+    *    a ≥ 2 triple pass — A-Priori pruning is only sound when the
+    *    pair threshold ≤ the triple threshold);
+    * 3. occurrences of frequent pairs extend by one basket item with
+    *    b < c (join back to the basket — fan-out ≤ frequent-pair
+    *    occurrences × basket, already pruned);
+    * 4. semi-joins on (a,c) and (b,c) enforce closure BEFORE the count
+    *    (every sub-pair of a surviving candidate is frequent);
+    * 5. one keyed count + support filter.
+    * The in-basket pair table feeds stages 2 and 3, so it is pinned
+    * once. At 100 TB every stage is an equi-join or a keyed aggregate —
+    * no stage ever materializes basket³ of an unpruned order.
+    */
+  def frequentTriples(s: SparkSession, d: String): DataFrame = {
+    val li = basketsRaw(s, d)
+    val inBasket = graft.io.Checkpoints.pin(
+      li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .filter(col("a") < col("b")),
+      eager = false)
+    val freqPairs = inBasket.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= tripleMinSup)
+      .select("a", "b")
+    val occ = inBasket.join(freqPairs, Seq("a", "b"))
+    val ext = occ.join(li.select(col("ok"), col("pk").as("c")), Seq("ok"))
+      .filter(col("b") < col("c"))
+      .join(freqPairs.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .join(freqPairs.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
+    val tot = li.agg(countDistinct("ok").as("n_orders"))
+    ext.groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("triple_cnt"))
+      .filter(col("triple_cnt") >= tripleMinSup)
+      .crossJoin(broadcast(tot)) // 1-row aggregate attach
+      .select(col("a").as("pk_a"), col("b").as("pk_b"), col("c").as("pk_c"),
+        col("triple_cnt"),
+        roundNorm(col("triple_cnt").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"))
+      .orderBy("pk_a", "pk_b", "pk_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mining_frequent_triples" -> (frequentTriples _),
     "mining_frequent_pairs" -> (frequentPairs _),
     "mining_association_rules" -> (associationRules _),
     "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
@@ -238,6 +288,20 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    // brute-force 3-way basket self-join — the engine's A-Priori
+    // candidate pruning must reproduce it exactly (downward closure
+    // drops no triple at or above the threshold)
+    "mining_frequent_triples" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        | tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        | t AS (SELECT a.pk AS pk_a, b.pk AS pk_b, c.pk AS pk_c,
+        |    CAST(count(*) AS BIGINT) AS triple_cnt
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |        JOIN li c ON a.ok = c.ok AND b.pk < c.pk
+        |   GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT pk_a, pk_b, pk_c, triple_cnt,
+        | round(triple_cnt::DOUBLE / n_orders, 6) AS support
+        |FROM t CROSS JOIN tot ORDER BY pk_a, pk_b, pk_c""".stripMargin,
     "mining_association_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         | pairs AS (SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(count(*) AS BIGINT) AS n_ab

@@ -215,6 +215,25 @@ object Multimodal {
     * reduce them to the integer statistics. Throws on malformed input.
     */
   private[ops] def decodeWav(bytes: Array[Byte]): AudioFeaturesRaw = {
+    val (sampleRate, samples) = wavSamples(bytes)
+    var sum = 0L; var absSum = 0L; var peak = 0L; var zc = 0L
+    var prev = 0; var t = 0
+    while (t < samples.length) {
+      val v = samples(t)
+      sum += v; absSum += math.abs(v).toLong
+      if (math.abs(v) > peak) peak = math.abs(v).toLong
+      if (t > 0 && prev.toLong * v < 0) zc += 1
+      prev = v; t += 1
+    }
+    AudioFeaturesRaw(sampleRate, samples.length.toLong, sum, absSum, peak, zc)
+  }
+
+  /** The chunk walk + sample extraction shared by [[decodeWav]] and the
+    * framed [[audioFrameRms]] pass: validate RIFF/WAVE, walk chunks
+    * (odd-length pad rule, unknown chunks skipped), require
+    * PCM/mono/16-bit, return (sample rate, signed int16 samples).
+    */
+  private[ops] def wavSamples(bytes: Array[Byte]): (Long, Array[Int]) = {
     def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
     def le32(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
@@ -241,17 +260,10 @@ object Multimodal {
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt or data chunk")
     require(dataLen % 2 == 0, "odd PCM16 data length")
-    val n = dataLen / 2
-    var sum = 0L; var absSum = 0L; var peak = 0L; var zc = 0L
-    var prev = 0; var t = 0
-    while (t < n) {
-      val v = le16(dataOff + 2 * t).toShort.toInt
-      sum += v; absSum += math.abs(v).toLong
-      if (math.abs(v) > peak) peak = math.abs(v).toLong
-      if (t > 0 && prev.toLong * v < 0) zc += 1
-      prev = v; t += 1
-    }
-    AudioFeaturesRaw(sampleRate.toLong, n.toLong, sum, absSum, peak, zc)
+    val samples = new Array[Int](dataLen / 2)
+    var t = 0
+    while (t < samples.length) { samples(t) = le16(dataOff + 2 * t).toShort.toInt; t += 1 }
+    (sampleRate.toLong, samples)
   }
 
   /** What [[decodeWav]] recovers from one file (doc key attached later). */
@@ -283,6 +295,52 @@ object Multimodal {
       }
       .toDF()
       .orderBy("doc_id")
+  }
+
+  /** One 50-sample analysis frame of a decoded PCM stream. */
+  final case class AudioFrame(
+      doc_id: Long, frame_idx: Long, n_samples: Long, sq_sum: Long, peak: Long)
+
+  /** Framed audio energy (`mm_audio_rms`): decode each document's PCM16
+    * stream and reduce it to per-50-sample-frame RMS energy + peak —
+    * the feature every audio curation pipeline extracts first (silence
+    * trimming, clipping detection, VAD pre-filtering). The frame
+    * aggregates (Σv², max|v|, count) are computed INSIDE the codec pass
+    * and only frame rows leave `mapPartitions` — per-sample rows never
+    * touch a shuffle, so the exchange carries n/50 rows (at 100 TB the
+    * decode is the bottleneck and the map-side reduction is the whole
+    * design; the trailing partial frame keeps its true count). Σv² is
+    * exact: |v| ≤ 1000 on this fixture ⇒ a frame sum ≤ 5·10⁷, and even
+    * full-scale int16 audio caps a 50-sample frame at 5.4·10¹⁰ — Long
+    * territory. The one float op, √(Σv²/n), runs identically in both
+    * engines on identical integers.
+    */
+  def audioFrameRms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 50
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, nc) =>
+          val (_, samples) = wavSamples(encodeWav(id, nc))
+          samples.grouped(frameLen).zipWithIndex.map { case (fr, fi) =>
+            var sq = 0L; var peak = 0L
+            fr.foreach { v =>
+              sq += v.toLong * v
+              if (math.abs(v) > peak) peak = math.abs(v).toLong
+            }
+            AudioFrame(id, fi.toLong, fr.length.toLong, sq, peak)
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_samples"),
+        col("sq_sum"), col("peak"),
+        graft.functions.Num.roundNorm(
+          sqrt(col("sq_sum").cast("double") / col("n_samples").cast("double")), 4)
+          .as("rms"))
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** Render a multi-frame video container: `GVID` magic + u32 frame
@@ -482,6 +540,7 @@ object Multimodal {
     "mm_media_meta" -> (mediaMeta _),
     "mm_decode_bmp" -> (mediaDecodeBmp _),
     "mm_decode_wav" -> (mediaDecodeWav _),
+    "mm_audio_rms" -> (audioFrameRms _),
     "mm_video_frames" -> (videoFrames _),
     "mm_frame_sample" -> (frameSample _),
     "mm_frame_overlap" -> (frameOverlapPairs _),
@@ -564,6 +623,18 @@ object Multimodal {
         | CAST(sum(CASE WHEN pamp IS NOT NULL AND pamp * amp < 0
         |   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // frame formula replay: same amp contract as mm_decode_wav, framed
+    // by t div 50 — predicts every frame aggregate without the bytes
+    "mm_audio_rms" ->
+      """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n FROM documents),
+        | t AS (SELECT doc_id, unnest(range(0, n)) AS t FROM d),
+        | sam AS (SELECT doc_id, t // 50 AS frame_idx,
+        |    (13 * doc_id + 7 * t + 3) % 2001 - 1000 AS amp FROM t)
+        |SELECT doc_id, frame_idx, count(*) AS n_samples,
+        | CAST(sum(amp * amp) AS BIGINT) AS sq_sum,
+        | CAST(max(abs(amp)) AS BIGINT) AS peak,
+        | round(sqrt(sum(amp * amp)::DOUBLE / count(*)), 4) AS rms
+        |FROM sam GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_video_frames" ->
       """WITH d AS (SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h,
         |    2 + n_chars % 7 AS nf FROM documents),

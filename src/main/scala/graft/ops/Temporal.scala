@@ -652,7 +652,39 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** Theil-Sen robust trend slope (`ts_theil_sen`): the median of ALL
+    * pairwise slopes of the gap-filled daily revenue series — the
+    * estimator with a 29% breakdown point that the OLS fit
+    * (`ts_trend_slope`) lacks: one corrupted ingest day drags the OLS
+    * line, while the pairwise median ignores it entirely. The O(n²)
+    * pair join is honest here because the SERIES is calendar-bounded —
+    * ten years is ≈3.7k points → ≤7M pairs regardless of corpus size;
+    * the upstream daily aggregate compresses 100 TB of orders to the
+    * calendar, so the quadratic is over days, never rows. The bounded
+    * right side broadcasts (a nested-loop over a dim-sized table, the
+    * sanctioned shape); each slope is ONE IEEE division of exact
+    * Longs, the median interpolates identically in both engines, and
+    * the final round(4) absorbs the one-ulp interpolation difference.
+    */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    // lazy pin: the series feeds both join sides and the n_days agg
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val a = ser.select(col("i").as("ia"), col("x").as("xa"))
+    val b = ser.select(col("i").as("ib"), col("x").as("xb"))
+    val slopes = a.join(broadcast(b), col("ia") < col("ib"))
+      .select(((col("xb") - col("xa")).cast("double") /
+        (col("ib") - col("ia")).cast("double")).as("slope"))
+    val n = ser.agg(count(lit(1)).as("n_days"))
+    slopes
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.Num.roundNorm(expr("percentile(slope, 0.5)"), 4)
+          .as("ts_slope"))
+      .crossJoin(broadcast(n)) // 1-row aggregate attach
+      .select(col("n_days"), col("n_pairs"), col("ts_slope"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_theil_sen" -> (theilSen _),
     "ts_seasonal_decompose" -> (seasonalDecompose _),
     "ts_kaplan_meier" -> (kaplanMeier _),
     "ts_mom_growth" -> (momGrowth _),
@@ -689,6 +721,14 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_theil_sen" ->
+      s"""WITH $seriesCte,
+         | p AS (SELECT (b.x - a.x)::DOUBLE / (b.i - a.i) AS slope
+         |   FROM ser a JOIN ser b ON a.i < b.i)
+         |SELECT (SELECT count(*) FROM ser) AS n_days,
+         | count(*) AS n_pairs,
+         | round(quantile_cont(slope, 0.5), 4) AS ts_slope
+         |FROM p""".stripMargin,
     "ts_seasonal_decompose" ->
       s"""WITH $seriesCte,
          | win AS (SELECT s.i + off AS i, count(*) AS c7,

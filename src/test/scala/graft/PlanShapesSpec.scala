@@ -83,7 +83,12 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row corpus min/max + max-key attaches for the Z-grid bounds
     "layout_zorder_spans",
     // 1-row churn-horizon attach (global max order date − 90d)
-    "ts_kaplan_meier")
+    "ts_kaplan_meier",
+    // calendar-bounded series × series slope-pair theta join (≤3.7k-row
+    // broadcast build by construction) + 1-row n_days attach
+    "ts_theil_sen",
+    // 1-row basket-total attach for the triple support denominator
+    "mining_frequent_triples")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

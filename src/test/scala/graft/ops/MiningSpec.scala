@@ -134,6 +134,39 @@ class MiningSpec extends SparkSpec {
     rows.sliding(2).foreach { case Array(a, b) => a._4 should be <= b._3; case _ => }
   }
 
+  "Mining.frequentTriples" should "equal the brute-force 3-way basket join (A-Priori drops nothing)" in {
+    val s = spark
+    import s.implicits._
+    val baskets = Sources.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val nOrders = byOrder.size
+    val tripleCounts = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    byOrder.values.foreach { items =>
+      for {
+        i <- items.indices; j <- (i + 1) until items.length; k <- (j + 1) until items.length
+      } {
+        val key = (items(i), items(j), items(k))
+        tripleCounts(key) = tripleCounts.getOrElse(key, 0L) + 1
+      }
+    }
+    val expected = tripleCounts.toSeq.filter(_._2 >= 2)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy(t => (t._1, t._2, t._3))
+    val got = Mining.frequentTriples(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.toSeq shouldBe expected
+    expected.length should be > 10 // the fixture actually exercises the op
+    // support sanity against the same basket table
+    val sup = Mining.frequentTriples(spark, sfDir).collect()
+      .map(r => (r.getLong(3), r.getDouble(4)))
+    sup.foreach { case (n, p) =>
+      p shouldBe (BigDecimal(n.toDouble / nOrders).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) +- 1e-9
+    }
+  }
+
   "Sampling.sampleWeightedReservoir" should "select exactly the top-64 priorities" in {
     val docs = Sources.documents(spark, sfDir)
       .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))

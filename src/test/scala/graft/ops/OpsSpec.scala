@@ -256,6 +256,31 @@ class OpsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeBmp(bad16)
   }
 
+  "Multimodal.audioFrameRms" should "match a whole-stream replay framed in test code" in {
+    val expected = Sources.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (id, nc) =>
+        val n = (50 + nc % 101).toInt
+        val amps = (0 until n).map(t => Multimodal.ampAt(id, t.toLong))
+        amps.grouped(50).zipWithIndex.map { case (fr, fi) =>
+          val sq = fr.map(v => v.toLong * v).sum
+          (id, fi.toLong, fr.length.toLong, sq, fr.map(v => math.abs(v).toLong).max,
+            BigDecimal(math.sqrt(sq.toDouble / fr.length))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.sortBy(t => (t._1, t._2))
+    val got = Multimodal.audioFrameRms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    got.toSeq shouldBe expected.toSeq
+    // framing covers every stream: 50..150 samples -> 2 or 3 frames each
+    got.groupBy(_._1).values.foreach { frames =>
+      frames.map(_._3).sum should (be >= 50L and be <= 150L)
+      frames.length should (be >= 1 and be <= 3)
+    }
+  }
+
   "WAV decode" should "recover the planted samples through the RIFF chunk walk" in {
     // id 9 plants the LIST chunk (9 % 3 == 0) — the walker must skip it
     for (id <- Seq(7L, 9L)) {

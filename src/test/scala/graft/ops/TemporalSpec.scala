@@ -308,4 +308,49 @@ class TemporalSpec extends SparkSpec {
     val seasonals = got.map(r => (r._1, r._4)).distinct
     seasonals should not be empty
   }
+
+  "Temporal.theilSen" should "match the sequential pairwise-slope median on the sf0.001 series" in {
+    import org.apache.spark.sql.functions._
+    // rebuild the gap-filled series exactly as dailyRevenueSeries does
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val d0 = daily.keys.min(Ordering.by((d: LocalDate) => d.toEpochDay))
+    val d1 = daily.keys.max(Ordering.by((d: LocalDate) => d.toEpochDay))
+    val ser = (0L to (d1.toEpochDay - d0.toEpochDay)).map { i =>
+      (i, daily.getOrElse(d0.plusDays(i), 0L))
+    }
+    val slopes = (for {
+      a <- ser.indices; b <- (a + 1) until ser.length
+    } yield (ser(b)._2 - ser(a)._2).toDouble / (ser(b)._1 - ser(a)._1)).sorted
+    val mid = slopes.length
+    val median =
+      if (mid % 2 == 1) slopes(mid / 2)
+      else (slopes(mid / 2 - 1) + slopes(mid / 2)) / 2.0
+
+    val row = Temporal.theilSen(spark, sfDir).head()
+    row.getLong(0) shouldBe ser.length.toLong
+    row.getLong(1) shouldBe slopes.length.toLong
+    row.getDouble(2) shouldBe (median +- 1e-3)
+  }
+
+  it should "shrug off a single corrupted day that drags the OLS slope" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // flat series with one huge spike: OLS slope moves, TS median stays ~0
+    val base = (0L until 101L).map(i => (i, 100L)).toDF("i", "x")
+    val spiked = (0L until 101L).map(i => (i, if (i == 50) 1000000L else 100L))
+      .toDF("i", "x")
+    def tsSlope(df: org.apache.spark.sql.DataFrame): Double = {
+      val a = df.select(col("i").as("ia"), col("x").as("xa"))
+      val b = df.select(col("i").as("ib"), col("x").as("xb"))
+      a.join(broadcast(b), col("ia") < col("ib"))
+        .select(((col("xb") - col("xa")).cast("double") /
+          (col("ib") - col("ia")).cast("double")).as("slope"))
+        .agg(expr("percentile(slope, 0.5)")).head().getDouble(0)
+    }
+    math.abs(tsSlope(spiked) - tsSlope(base)) should be < 1e-9
+  }
 }
