@@ -139,12 +139,13 @@ object Joins {
     require(allowed.contains(joinType.toLowerCase),
       s"saltedEquiJoin supports $allowed join types; right/full outer would " +
         "duplicate unmatched right rows (one per salt replica)")
-    val spark = left.sparkSession
-    import spark.implicits._
     val leftSalted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor.toLong)).cast("int"))
-    val salts = (0 until saltFactor).toDF("__salt")
-    val rightReplicated = right.crossJoin(broadcast(salts))
+    // replicate via a map-side explode (a Generate node), not a
+    // crossJoin(broadcast(salts)) — same rows, but no
+    // BroadcastNestedLoopJoin in the caller's plan
+    val rightReplicated = right.withColumn("__salt",
+      explode(lit((0 until saltFactor).toArray)))
     leftSalted.join(rightReplicated,
         leftSalted(key) === rightReplicated(key) && leftSalted("__salt") === rightReplicated("__salt"),
         joinType)
