@@ -423,8 +423,49 @@ object ScaleProbe {
         graft.ops.Graph.mergeEdges(baseEoX, newE)
           .repartition(32, col("src")).localCheckpoint(true).count()
       }
+      // Duplicate-span probe (r11): the replicated corpus is the
+      // PATHOLOGICAL case for text_dup_spans — every document has k−1
+      // bit-identical replicas, so at k ≥ 2 essentially EVERY 5-gram is
+      // duplicated and every position is flagged (output ≈ corpus
+      // size). Time must still track the gram count ~linearly: gram
+      // generation, the gram-keyed aggregate, the join-back and the
+      // per-doc island merge are each one pass — a shape that exploded
+      // on the duplicated-gram fan-in (e.g. joining flagged grams back
+      // as pairs) would go ~k² exactly here.
+      var spanRows = 0L
+      val tSpan = time {
+        spanRows = graft.ops.TextOps.dupSpans(spark, dir).count()
+        spanRows
+      }
+      // A-Priori triple probe (r11): the graph-replicated lineitem
+      // (order AND part keys offset — replicas key-disjoint) keeps
+      // per-replica basket structure identical, so frequent-triple
+      // counts per replica are scale-invariant and output rows grow
+      // ~k×. Time must track k: every stage is an equi-join or keyed
+      // aggregate over replica-local keys. (The orderkey-only replica
+      // would be WRONG here: shared partkeys inflate every pair/triple
+      // support k×, degrading the fixed absolute threshold to
+      // all-pairs-frequent — a fixture artifact, not a plan property.)
+      var triRows = 0L
+      val tTri = time {
+        val bk = liG2.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val inB = bk.select(col("ok"), col("pk").as("a"))
+          .join(bk.select(col("ok"), col("pk").as("b")), Seq("ok"))
+          .filter(col("a") < col("b")).localCheckpoint(false)
+        val fp = inB.groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select("a", "b")
+        val occ = inB.join(fp, Seq("a", "b"))
+        val ext = occ.join(bk.select(col("ok"), col("pk").as("c")), Seq("ok"))
+          .filter(col("b") < col("c"))
+          .join(fp.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+          .join(fp.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
+        triRows = ext.groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).count()
+        triRows
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge,"prmaint_new_edges":$prmNewEdges,"prmaint_full_derive_sec":$tPrmFullDerive,"prmaint_merge_sec":$tPrmMerge}""")
+      println(s"""{"scale":$k,"dupspan_rows":$spanRows,"dupspan_sec":$tSpan,"tri_rows":$triRows,"tri_sec":$tTri,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge,"prmaint_new_edges":$prmNewEdges,"prmaint_full_derive_sec":$tPrmFullDerive,"prmaint_merge_sec":$tPrmMerge}""")
     }
     spark.stop()
   }
