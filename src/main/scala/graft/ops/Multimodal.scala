@@ -112,6 +112,22 @@ object Multimodal {
     * that fails loudly.
     */
   private[ops] def decodeBmp(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val (w, h, px) = bmpPixels(bytes)
+    var sum = 0L; var wsum = 0L
+    var p = 0
+    while (p < px.length) {
+      sum += px(p); wsum += (p + 1).toLong * px(p)
+      p += 1
+    }
+    (w, h, sum, wsum)
+  }
+
+  /** The header parse + padded bottom-up pixel walk shared by
+    * [[decodeBmp]] and the pooled [[resizePool]] pass: validate
+    * magic/offsets/format, return (w, h, per-pixel r+g+b values in
+    * TOP-DOWN raster order).
+    */
+  private[ops] def bmpPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP: bad magic or truncated header")
     def le32(off: Int): Int =
@@ -124,21 +140,80 @@ object Multimodal {
     require(le16(28) == 24 && le32(30) == 0, "decoder handles uncompressed 24-bit BMP")
     val stride = (w * 3 + 3) / 4 * 4
     require(pixOff + h * stride <= bytes.length, "pixel array out of bounds")
-    var sum = 0L; var wsum = 0L
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val rowOff = pixOff + (h - 1 - y) * stride // un-flip the bottom-up rows
       var x = 0
       while (x < w) {
-        val v = (bytes(rowOff + x * 3) & 0xff) + (bytes(rowOff + x * 3 + 1) & 0xff) +
-          (bytes(rowOff + x * 3 + 2) & 0xff)
-        val p = y.toLong * w + x
-        sum += v; wsum += (p + 1) * v
+        px(y * w + x) = (bytes(rowOff + x * 3) & 0xff) +
+          (bytes(rowOff + x * 3 + 1) & 0xff) + (bytes(rowOff + x * 3 + 2) & 0xff)
         x += 1
       }
       y += 1
     }
-    (w, h, sum, wsum)
+    (w, h, px)
+  }
+
+  /** One pooled (resized) image summary — dims and the integer
+    * checksums over the floor-averaged 2×2 cells.
+    */
+  final case class ResizedImage(
+      doc_id: Long, width: Long, height: Long, out_w: Long, out_h: Long,
+      pool_sum: Long, pool_wsum: Long)
+
+  /** Image resize as 2×2 average pooling (`mm_resize_pool`) — the
+    * missing verb of the decode / feature-extract / RESIZE /
+    * frame-sample quartet: decode the real BMP bytes, floor-average
+    * each 2×2 pixel block (odd edges keep their 1-or-2-pixel partial
+    * blocks — ceil-div output dims, the standard behavior), and ship
+    * the pooled dims plus two integer checksums over the pooled cells
+    * (raster-weighted, so a transposed or edge-mishandled pool cannot
+    * hash-match). Pooling happens INSIDE the codec `mapPartitions`
+    * pass — per-pixel rows never leave the task, the op's whole point
+    * at 100 TB (a resize that exploded pixels through a shuffle would
+    * move 256× the data it returns). Integer-exact end-to-end: cell
+    * value = Σ(r+g+b) div count, and the oracle replays the identical
+    * floor arithmetic from the pixel contract.
+    */
+  def resizePool(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val (w, h, px) = bmpPixels(encodeBmp(id, nc))
+          val ow = (w + 1) / 2; val oh = (h + 1) / 2
+          var sum = 0L; var wsum = 0L
+          var oy = 0
+          while (oy < oh) {
+            var ox = 0
+            while (ox < ow) {
+              var s0 = 0L; var cnt = 0L
+              var dy = 0
+              while (dy < 2) {
+                val y = 2 * oy + dy
+                var dx = 0
+                while (dx < 2) {
+                  val x = 2 * ox + dx
+                  if (x < w && y < h) { s0 += px(y * w + x); cnt += 1 }
+                  dx += 1
+                }
+                dy += 1
+              }
+              val av = s0 / cnt // floor: s0, cnt > 0
+              val cid1 = oy.toLong * ow + ox + 1
+              sum += av; wsum += cid1 * av
+              ox += 1
+            }
+            oy += 1
+          }
+          ResizedImage(id, w.toLong, h.toLong, ow.toLong, oh.toLong, sum, wsum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
   }
 
   /** The derived media-asset table: one real BMP per document, built in
@@ -541,6 +616,7 @@ object Multimodal {
     "mm_decode_bmp" -> (mediaDecodeBmp _),
     "mm_decode_wav" -> (mediaDecodeWav _),
     "mm_audio_rms" -> (audioFrameRms _),
+    "mm_resize_pool" -> (resizePool _),
     "mm_video_frames" -> (videoFrames _),
     "mm_frame_sample" -> (frameSample _),
     "mm_frame_overlap" -> (frameOverlapPairs _),
@@ -604,6 +680,29 @@ object Multimodal {
         | CAST(sum(rgb) AS BIGINT) AS pix_sum,
         | CAST(sum((p + 1) * rgb) AS BIGINT) AS pix_wsum
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // pooled-resize replay: same pixel contract as mm_decode_bmp,
+    // cells keyed by (x div 2, y div 2), floor-averaged
+    "mm_resize_pool" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        | v AS (SELECT doc_id, w, h, p % w AS x, p // w AS y,
+        |    (31 * doc_id + 7 * p + 11) % 256
+        |    + (17 * doc_id + 13 * p + 23) % 256
+        |    + (29 * doc_id + 19 * p + 31) % 256 AS rgb
+        |  FROM px),
+        | c AS (SELECT doc_id, w, h, x // 2 AS ox, y // 2 AS oy,
+        |    CAST(sum(rgb) AS BIGINT) AS s0, count(*) AS cnt
+        |  FROM v GROUP BY 1, 2, 3, 4, 5),
+        | a AS (SELECT doc_id, w, h,
+        |    oy * ((w + 1) // 2) + ox + 1 AS cid1, s0 // cnt AS av FROM c)
+        |SELECT doc_id, CAST(any_value(w) AS BIGINT) AS width,
+        | CAST(any_value(h) AS BIGINT) AS height,
+        | CAST((any_value(w) + 1) // 2 AS BIGINT) AS out_w,
+        | CAST((any_value(h) + 1) // 2 AS BIGINT) AS out_h,
+        | CAST(sum(av) AS BIGINT) AS pool_sum,
+        | CAST(sum(cid1 * av) AS BIGINT) AS pool_wsum
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_decode_wav" ->
       """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n,
         |    8000 + 1000 * (doc_id % 5) AS sr FROM documents),

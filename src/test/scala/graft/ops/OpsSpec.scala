@@ -256,6 +256,36 @@ class OpsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeBmp(bad16)
   }
 
+  "Multimodal.resizePool" should "floor-average 2x2 blocks incl. partial edge blocks" in {
+    val got = Multimodal.resizePool(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    got.length should be > 100
+    // independent replay from the pixel contract (never through the codec)
+    got.foreach { case (id, w, h, ow, oh, poolSum, poolWsum) =>
+      ow shouldBe (w + 1) / 2
+      oh shouldBe (h + 1) / 2
+      var es = 0L; var ews = 0L
+      for (oy <- 0L until oh; ox <- 0L until ow) {
+        val cells = for {
+          dy <- 0 to 1; dx <- 0 to 1
+          x = 2 * ox + dx; y = 2 * oy + dy
+          if x < w && y < h
+        } yield {
+          val (r, g, b) = Multimodal.pixel(id, y * w + x)
+          (r + g + b).toLong
+        }
+        val av = cells.sum / cells.length
+        es += av; ews += (oy * ow + ox + 1) * av
+      }
+      poolSum shouldBe es
+      poolWsum shouldBe ews
+    }
+    // the fixture exercises odd widths AND odd heights (partial blocks)
+    got.exists(_._2 % 2 == 1) shouldBe true
+    got.exists(_._3 % 2 == 1) shouldBe true
+  }
+
   "Multimodal.audioFrameRms" should "match a whole-stream replay framed in test code" in {
     val expected = Sources.documents(spark, sfDir)
       .select("doc_id", "n_chars").collect()
