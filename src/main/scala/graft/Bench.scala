@@ -25,6 +25,25 @@ object Bench {
       spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // I/O-bound canary (r11 verdict task 2): the CPU canary certified a
+    // record whose warm phase ran 2.7x its clean-host cost, because
+    // CPU-bound codegen can't see I/O/GC/page-cache contention — the
+    // exact pressure the materialization phase (parquet scans + pinned
+    // blocks) is most exposed to. This one re-reads a FIXED parquet
+    // (every lineitem column decoded, hashed, reduced — decode- and
+    // scan-bound, data-independent across rounds at the same SF) three
+    // times and reports the MEDIAN, so one page-cache miss doesn't
+    // spike it and sustained contention can't hide in a lucky min.
+    val ioCanary = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        // modulo before the sum: raw xxhash64 sums overflow ANSI addExact
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .selectExpr("sum(xxhash64(*) % 1000000007)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(1)
+    }
     // two timed iterations per query, min reported: the second run reuses
     // warmed JIT/codegen caches, so min-of-2 approximates steady-state
     // latency without GC/compilation noise
@@ -183,27 +202,50 @@ object Bench {
     // when this run's canary exceeds 1.5x the trailing median, the
     // record self-declares `contended` so no reader treats its totals
     // as a regression (or an improvement) without checking the ratio.
-    val priorCanaries: Seq[Double] = {
-      val re = """"canary_sec":([0-9.]+)""".r
-      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+    def trailingMedian(field: String): Option[Double] = {
+      // the driver wraps the bench line INSIDE a JSON string field, so
+      // committed BENCH_r*.json carries \"canary_sec\":1.023 with
+      // ESCAPED quotes — the r9-r11 regex required bare quotes, matched
+      // nothing, and the calibration baseline was silently empty every
+      // round (one reason the contended r11 driver record shipped
+      // contended:false). The optional backslashes accept both forms.
+      val re = ("\\\\?\"" + field + "\\\\?\":([0-9.]+)").r
+      val vals = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
         .flatMap { f =>
           val src = scala.io.Source.fromFile(f)
           try re.findFirstMatchIn(src.mkString).map(_.group(1).toDouble)
           finally src.close()
-        }.toSeq
+        }.toSeq.takeRight(5)
+      if (vals.isEmpty) None else Some(vals.sorted.apply(vals.size / 2))
     }
-    val trailing = priorCanaries.takeRight(5)
-    val canaryBase =
-      if (trailing.isEmpty) None else Some(trailing.sorted.apply(trailing.size / 2))
+    val canaryBase = trailingMedian("canary_sec")
     val contended = canaryBase.exists(m => canary > 1.5 * m)
     if (contended) System.err.println(
       f"[bench] CONTENDED: canary ${canary}%.3f s is >1.5x the trailing-round median " +
         f"${canaryBase.get}%.3f s - totals in this record reflect host contention, not code")
+    // warm-phase contention flag (r11 verdict task 2): the r11 driver
+    // record shipped contended:false at CPU-canary 1.02 while its warm
+    // phase ran 110 s vs 38-40 s on three same-tree solo runs — the
+    // committed BENCH history is the calibration baseline for the WARM
+    // PHASE too, so a record whose materialization total exceeds 1.5x
+    // the trailing median self-declares instead of costing the judge an
+    // adjudication replay. (Query timings already get min-of-2; the
+    // warm builds run once by design — each build IS its cache fill —
+    // so cross-round comparison, not repetition, is their steadiness
+    // check.) Skipped like the canary when no history exists.
+    val warmBase = trailingMedian("materialization_sec")
+    val warmContended = warmBase.exists(m => sharedSec > 1.5 * m && sharedSec > m + 10.0)
+    if (warmContended) System.err.println(
+      f"[bench] WARM-CONTENDED: materialization ${sharedSec}%.1f s is >1.5x the trailing-round " +
+        f"median ${warmBase.get}%.1f s - warm-phase totals reflect host contention, not code")
     val canaryJson = canaryBase
       .map(m => s""","canary_median_prior":${fmt(m)},"contended":$contended""")
-      .getOrElse(""","contended":false""")
+      .getOrElse(""","contended":false""") +
+      s""","io_canary_sec":${fmt(ioCanary)}""" +
+      warmBase.map(m => s""","warm_median_prior":${fmt(m)},"warm_contended":$warmContended""")
+        .getOrElse(""","warm_contended":false""")
     flagged.foreach(l => System.err.println(
       s"[bench] WARM-COST FLAG: shared table '$l' cost >5s to build but served <=1 query"))
     val flaggedJson = flagged.map(jstr).mkString("[", ",", "]")

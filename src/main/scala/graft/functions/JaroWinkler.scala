@@ -29,10 +29,76 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinkler {
 
-  /** Static hot-path entry — called from generated code. */
-  def similarity(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString
-    val s2 = b.toString
+  /** Static hot-path entry — called from generated code.
+    *
+    * Dispatch (r12 advice item): ASCII strings ≤ 64 bytes — every name
+    * field this family blocks on — run a zero-allocation specialization
+    * that reads the UTF8String bytes in place and tracks the two match
+    * sets as Long bitmasks, so the codegen'd join loop pays no String
+    * decode and no heap allocation per candidate pair. Anything longer
+    * or non-ASCII (where byte ≠ char) falls back to the general
+    * char-level path; both compute the identical canonical score (the
+    * spec cross-checks them on shared inputs).
+    */
+  def similarity(a: UTF8String, b: UTF8String): Double =
+    if (a.numBytes <= 64 && b.numBytes <= 64 && a.isFullAscii && b.isFullAscii)
+      similarityAscii(a, b)
+    else
+      similarityChars(a.toString, b.toString)
+
+  /** ASCII ≤ 64-byte specialization: bytes read in place, match flags
+    * in two Long bitmasks — no per-pair allocation at all.
+    */
+  private def similarityAscii(a: UTF8String, b: UTF8String): Double = {
+    val l1 = a.numBytes
+    val l2 = b.numBytes
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    var m1 = 0L
+    var m2 = 0L
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val c = a.getByte(i)
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (((m2 >>> j) & 1L) == 0L && b.getByte(j) == c) {
+          m1 |= 1L << i; m2 |= 1L << j; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var trans = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (((m1 >>> i) & 1L) != 0L) {
+        while (((m2 >>> k) & 1L) == 0L) k += 1
+        if (a.getByte(i) != b.getByte(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = trans / 2
+    val m = matches.toDouble
+    val jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    val maxP = math.min(4, math.min(l1, l2))
+    while (p < maxP && a.getByte(p) == b.getByte(p)) p += 1
+    jaro + 0.1 * p * (1.0 - jaro)
+  }
+
+  /** General char-level path (UTF-16 units) for long or non-ASCII
+    * input.
+    */
+  private def similarityChars(s1: String, s2: String): Double = {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 && l2 == 0) return 1.0

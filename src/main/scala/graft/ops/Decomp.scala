@@ -190,11 +190,108 @@ object Decomp {
       .orderBy("vec_id")
   }
 
+  // ---- frozen-basis PCA twins (r12, verdict task 5) -----------------
+  //
+  // [[pcaProject]]/[[pcaVariance]] stay rows-only by contract (the
+  // eigensolve is not SQL-expressible), so — the frozen-weight-logreg
+  // move — these twins run the IDENTICAL two-pass PCA plan shape
+  // (corpus stats pass → broadcast model → map-side projection) with a
+  // PUBLISHED integer basis, putting the centering, projection,
+  // explained-variance and trace arithmetic under the DuckDB hash gate.
+  // Everything is exact BIGINT on the 1e4 embedding lattice
+  // ([[Similarity.quantEmb]]); the only doubles are the final rounded
+  // outputs of the variance query, computed from identical integers in
+  // an identical operation order in both engines.
+
+  private val frozenC1 = Array.tabulate(dim)(i => ((7L * i + 3) % 17) - 8)
+  private val frozenC2 = Array.tabulate(dim)(i => ((5L * i + 11) % 19) - 9)
+
+  private def dotQ(basis: Array[Long]): Column =
+    aggregate(zip_with(col("qv"), lit(basis), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Exact lattice projection stats — n, ΣD, ΣD² per frozen direction
+    * plus the per-dimension (Σx, Σx²) trace ingredients — one corpus
+    * aggregate each, collected as a model-sized handful of longs and
+    * memoized per fixture. The n·ΣD² products downstream exceed Long
+    * range (≈4e19 at sf0.1), so consumers combine these in BigInt; the
+    * oracle's HUGEINT accumulation mirrors that exactly.
+    */
+  private val frozenStatsCache =
+    new ConcurrentHashMap[String, (Long, Long, Long, Long, Long, BigInt)]()
+
+  private def frozenStats(s: SparkSession, d: String): (Long, Long, Long, Long, Long, BigInt) =
+    frozenStatsCache.computeIfAbsent(d, _ => {
+      val q = Similarity.quantEmb(s, d)
+      val r = q.select(dotQ(frozenC1).as("d1"), dotQ(frozenC2).as("d2"))
+        .agg(count(lit(1)).as("n"), sum("d1").as("s1"), sum("d2").as("s2"),
+          sum(col("d1") * col("d1")).as("s11"), sum(col("d2") * col("d2")).as("s22"))
+        .head()
+      val (n, s1, s2, s11, s22) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // lattice trace (scaled by n²): Σ_i (n·Σx² − (Σx)²)
+      val dims = q.select(posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy("i").agg(sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+        .collect()
+      val t = dims.map(row =>
+        BigInt(n) * row.getLong(2) - BigInt(row.getLong(1)) * row.getLong(1)).sum
+      (n, s1, s2, s11, s22, t)
+    })
+
+  /** Centered frozen-basis projection (`sim_pca_project_frozen`): every
+    * vector's exact CENTERED coordinates along the published basis,
+    * scaled by n to stay on the integer lattice — p·n = n·(qv·c) −
+    * Σ(qv·c). The mean never materializes as a rational: the corpus dot
+    * sums ride the closure as two Long constants, so the scan is one
+    * map-side codegen'd fold per direction (the [[pcaProject]] shape —
+    * broadcast model, no join, no shuffle) and both engines emit
+    * bit-identical BIGINTs.
+    */
+  def pcaProjectFrozen(s: SparkSession, d: String): DataFrame = {
+    val (n, s1, s2, _, _, _) = frozenStats(s, d)
+    Similarity.quantEmb(s, d)
+      .select(col("vec_id"),
+        (dotQ(frozenC1) * lit(n) - lit(s1)).as("p1_cn"),
+        (dotQ(frozenC2) * lit(n) - lit(s2)).as("p2_cn"))
+      .orderBy("vec_id")
+  }
+
+  private val frozenNormSq1: Long = frozenC1.map(c => c * c).sum
+  private val frozenNormSq2: Long = frozenC2.map(c => c * c).sum
+
+  /** Frozen-basis scree table (`sim_pca_variance_frozen`): population
+    * variance of the corpus along each published direction (unit-
+    * normalized, in original embedding units) and its share of the
+    * total variance (trace) — [[pcaVariance]]'s output contract with
+    * the eigenbasis swapped for the frozen one. All moments are exact
+    * lattice integers (BigInt where n·ΣD² exceeds Long); the two final
+    * doubles divide those integers in the same order as the oracle SQL
+    * (`/n /n /1e8 /‖c‖²` and `/‖c‖² /T`), so both engines round the
+    * same IEEE values. Model-sized output (2 rows) from model-sized
+    * stats — the corpus pays two aggregate passes, nothing else.
+    */
+  def pcaVarianceFrozen(s: SparkSession, d: String): DataFrame = {
+    val (n, s1, s2, s11, s22, t) = frozenStats(s, d)
+    def varRow(comp: Long, sd: Long, sdd: Long, normSq: Long): (Long, Double, Double) = {
+      val u = (BigInt(n) * sdd - BigInt(sd) * sd).toDouble
+      val varAlong = roundHalfUp(u / n / n / 1e8 / normSq, 6)
+      val ratio = roundHalfUp(u / normSq / t.toDouble, 6)
+      (comp, varAlong, ratio)
+    }
+    s.createDataFrame(Seq(
+      varRow(1L, s1, s11, frozenNormSq1),
+      varRow(2L, s2, s22, frozenNormSq2)))
+      .toDF("component", "var_along", "ratio_of_trace")
+      .orderBy("component")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_covariance" -> (covariance _),
     "sim_pca_variance" -> (pcaVariance _),
     "sim_pca_project" -> (pcaProject _),
     "sim_project_frozen" -> (projectFrozen _),
+    "sim_pca_project_frozen" -> (pcaProjectFrozen _),
+    "sim_pca_variance_frozen" -> (pcaVarianceFrozen _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,5 +315,55 @@ object Decomp {
         | CAST(sum(x * ((7 * (i - 1) + 3) % 17 - 8)) AS BIGINT) AS p1_q,
         | CAST(sum(x * ((5 * (i - 1) + 11) % 19 - 9)) AS BIGINT) AS p2_q
         |FROM eu GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "sim_pca_project_frozen" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x
+        |   FROM e),
+        | dots AS (SELECT vec_id,
+        |    CAST(sum(x * ((7 * (i - 1) + 3) % 17 - 8)) AS BIGINT) AS d1,
+        |    CAST(sum(x * ((5 * (i - 1) + 11) % 19 - 9)) AS BIGINT) AS d2
+        |   FROM eu GROUP BY vec_id),
+        | ag AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(d1) AS BIGINT) AS s1, CAST(sum(d2) AS BIGINT) AS s2
+        |   FROM dots)
+        |SELECT vec_id, nn * d1 - s1 AS p1_cn, nn * d2 - s2 AS p2_cn
+        |FROM dots, ag ORDER BY vec_id""".stripMargin,
+    "sim_pca_variance_frozen" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x
+        |   FROM e),
+        | dots AS (SELECT vec_id,
+        |    CAST(sum(x * ((7 * (i - 1) + 3) % 17 - 8)) AS BIGINT) AS d1,
+        |    CAST(sum(x * ((5 * (i - 1) + 11) % 19 - 9)) AS BIGINT) AS d2
+        |   FROM eu GROUP BY vec_id),
+        | ag AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(d1) AS BIGINT) AS s1, CAST(sum(d2) AS BIGINT) AS s2,
+        |    sum(d1::HUGEINT * d1) AS s11, sum(d2::HUGEINT * d2) AS s22
+        |   FROM dots),
+        | ds AS (SELECT i, CAST(sum(x) AS BIGINT) AS sx, sum(x::HUGEINT * x) AS sxx
+        |   FROM eu GROUP BY i),
+        | tr AS (SELECT sum((SELECT nn FROM ag)::HUGEINT * sxx - sx::HUGEINT * sx)
+        |   AS t FROM ds)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS component,
+        |  round((nn::HUGEINT * s11 - s1::HUGEINT * s1)::DOUBLE
+        |    / nn / nn / 1e8 / 1538, 6) + 0.0 AS var_along,
+        |  round((nn::HUGEINT * s11 - s1::HUGEINT * s1)::DOUBLE
+        |    / 1538 / t::DOUBLE, 6) + 0.0 AS ratio_of_trace
+        | FROM ag, tr
+        | UNION ALL
+        | SELECT CAST(2 AS BIGINT),
+        |  round((nn::HUGEINT * s22 - s2::HUGEINT * s2)::DOUBLE
+        |    / nn / nn / 1e8 / 1925, 6) + 0.0,
+        |  round((nn::HUGEINT * s22 - s2::HUGEINT * s2)::DOUBLE
+        |    / 1925 / t::DOUBLE, 6) + 0.0
+        | FROM ag, tr)
+        |ORDER BY component""".stripMargin,
   )
 }

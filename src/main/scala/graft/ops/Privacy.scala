@@ -32,11 +32,15 @@ object Privacy {
   private val L = 3
 
   /** Balance bucket: account balance in cents, offset positive, floor
-    * to 1000.00-wide buckets. Integer end-to-end (cents are exact at
-    * the fixtures' 2-dp precision), so both engines bucket identically.
+    * to 1000.00-wide buckets. Integer end-to-end — `div` (IntegralDivide)
+    * truncates toward zero in integer arithmetic, twin of the oracle's
+    * `//`, with no double-division rounding hazard regardless of sign
+    * or magnitude (the r11 advice item: `/` on longs is TRUE double
+    * division in Spark, which only agreed with `//` because the fixture
+    * offset kept values positive and small).
     */
   private def balBucket(c: Column): Column =
-    (round(c * 100).cast("long") + lit(100000L)) / lit(100000L)
+    call_function("div", round(c * 100).cast("long") + lit(100000L), lit(100000L))
 
   private def qiClasses(s: SparkSession, d: String): DataFrame =
     Sources.customer(s, d)

@@ -139,9 +139,17 @@ class PlanShapesSpec extends SparkSpec {
     * corpus-sized input here is the audit_column_profile bug class —
     * the whole corpus sorted per partition for want of a two-pass
     * formulation. New offenders fail here.
+    *
+    * `er_best_link` (r12): the per-A argmax is a groupBy-MIN over a
+    * rank struct, and its input is the ≥ 0.9-thresholded candidate set
+    * — the same cardinality as the er_jaro_pairs MATCH output, never
+    * the corpus or the unfiltered candidate cross — so the per-
+    * partition sort is over survivor pairs only (and keeps map-side
+    * partial aggregation, unlike the window formulation it replaced).
     */
   private val sanctionedSortAgg =
-    Set("agg_minmax_by", "agg_mode", "ml_nb_confusion", "sim_pq_adc")
+    Set("agg_minmax_by", "agg_mode", "ml_nb_confusion", "sim_pq_adc",
+      "er_best_link")
 
   it should "plan keyed SortAggregates only at sanctioned model-sized sites" in {
     val keyed = "SortAggregate\\(key=\\[[^\\]]".r

@@ -75,6 +75,25 @@ class EntityResSpec extends SparkSpec {
     }
   }
 
+  it should "route long and non-ASCII input through the general path with identical scores" in {
+    // > 64 bytes forces the char-level path; the bitmask path must agree
+    // with it wherever both apply, so cross-check via the reference on
+    // strings straddling the 64-byte dispatch boundary
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val n = 60 + rnd.nextInt(10) // 60..69 chars: both sides of the cutoff
+      val a = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val b = (0 until 60 + rnd.nextInt(10)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      withClue(s"jw long('$a','$b')") {
+        jw(a, b) shouldBe (refJw(a, b) +- 1e-12)
+      }
+    }
+    // non-ASCII: bytes != chars, must take (and score via) the char path
+    jw("café noir", "café noir") shouldBe 1.0
+    jw("café", "cafe") shouldBe (refJw("café", "cafe") +- 1e-12)
+    jw("über", "uber") shouldBe (refJw("über", "uber") +- 1e-12)
+  }
+
   it should "evaluate identically through the codegen'd SQL path" in {
     import spark.implicits._
     val pairs = Seq(("martha", "marhta"), ("dwayne", "duane"),
@@ -85,32 +104,38 @@ class EntityResSpec extends SparkSpec {
     got.zip(pairs).foreach { case (g, (a, b)) => g shouldBe jw(a, b) }
   }
 
-  "EntityRes.jaroPairs" should "match a brute-force blocked scan" in {
+  // quantized 1e-6-lattice membership test — the family's only
+  // comparison currency (threshold AND rank), mirroring the engine
+  private def q09(a: String, b: String): Boolean =
+    math.round(jw(a, b) * 1e6) >= 900000L
+
+  "EntityRes.jaroPairs" should "match a brute-force un-blocked scan (banded recall is complete)" in {
     val parts = spark.read.parquet(s"$sfDir/part.parquet")
       .select("p_brand", "p_partkey", "p_name")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     val expected = (for {
       a <- parts; b <- parts
-      if a._1 == b._1 && a._2 < b._2 && jw(a._3, b._3) >= 0.9
+      if a._1 == b._1 && a._2 < b._2 && q09(a._3, b._3)
     } yield (a._1, a._2, b._2)).sorted.toSeq
     val got = EntityRes.jaroPairs(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     got.sorted shouldBe expected
   }
 
-  "EntityRes.bestLink" should "pick each A record's true argmax under the quantized rank" in {
+  "EntityRes.bestLink" should "pick each linked A record's true argmax among >=0.9 candidates" in {
     val parts = spark.read.parquet(s"$sfDir/part.parquet")
       .select("p_brand", "p_partkey", "p_name")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     val as = parts.filter(_._2 % 2 == 0)
     val bs = parts.filter(_._2 % 2 == 1)
     val expected = as.flatMap { a =>
-      val cands = bs.filter(_._1 == a._1)
-      if (cands.isEmpty) None
+      val cands = bs.filter(b => b._1 == a._1 && q09(a._3, b._3))
+      if (cands.isEmpty) None // unlinked: below match threshold everywhere
       else Some((a._2, cands.map { b =>
         (math.round(jw(a._3, b._3) * 1e6), b._2)
       }.maxBy { case (q, k) => (q, -k) }._2))
     }.sortBy(_._1).toSeq
+    expected should not be empty // fixture must exercise the linked path
     val got = EntityRes.bestLink(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(3))).toSeq
     got shouldBe expected
@@ -128,7 +153,7 @@ class EntityResSpec extends SparkSpec {
       r
     }
     for (a <- parts; b <- parts
-         if a._1 == b._1 && a._2 < b._2 && jw(a._3, b._3) >= 0.9) {
+         if a._1 == b._1 && a._2 < b._2 && q09(a._3, b._3)) {
       val (ra, rb) = (find(a._2), find(b._2))
       if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
     }
