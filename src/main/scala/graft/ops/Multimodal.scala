@@ -610,10 +610,43 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** One decoded PNG summary — every field recovered from the bytes by
+    * the full entropy path (chunk CRCs → multi-IDAT zlib → fixed-
+    * Huffman/stored inflate → filter reconstruction).
+    */
+  final case class PngFeatures(
+      doc_id: Long, width: Long, height: Long, pix_sum: Long, pix_wsum: Long)
+
+  /** Entropy-coded decode as a query (`mm_decode_png`): encode each
+    * document as a genuine PNG — compressed IDAT, cycling None/Sub/Up
+    * filters, every 5th doc a stored block, every 4th a split IDAT —
+    * then DECODE the bytes with [[PngCodec]] and ship what the decoder
+    * recovered. The oracle predicts the dims and both raster-weighted
+    * pixel statistics from the shared pixel contract alone, so the hash
+    * check certifies the complete decode chain: chunk walk + CRC-32s,
+    * IDAT reassembly, zlib framing + Adler-32, bit-level fixed-Huffman
+    * inflate with LZ77 window copies, and PNG filter reconstruction —
+    * a wrong bit anywhere lands in the wrong pixel sum. Same batched
+    * `mapPartitions` codec shape as the BMP/WAV passes: per-pixel rows
+    * never leave the task.
+    */
+  def mediaDecodePng(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, sum, wsum) = PngCodec.decodePng(PngCodec.encodePng(id, nc))
+        PngFeatures(id, w.toLong, h.toLong, sum, wsum)
+      })
+      .toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_shard_plan" -> (shardPlan _),
     "mm_media_meta" -> (mediaMeta _),
     "mm_decode_bmp" -> (mediaDecodeBmp _),
+    "mm_decode_png" -> (mediaDecodePng _),
     "mm_decode_wav" -> (mediaDecodeWav _),
     "mm_audio_rms" -> (audioFrameRms _),
     "mm_resize_pool" -> (resizePool _),
@@ -675,6 +708,24 @@ object Multimodal {
         |  FROM px)
         |SELECT doc_id,
         | CAST(54 + any_value(h) * ((any_value(w) * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        | CAST(any_value(w) AS BIGINT) AS width,
+        | CAST(any_value(h) AS BIGINT) AS height,
+        | CAST(sum(rgb) AS BIGINT) AS pix_sum,
+        | CAST(sum((p + 1) * rgb) AS BIGINT) AS pix_wsum
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the PNG replay shares mm_decode_bmp's pixel contract — the oracle
+    // knows nothing about compression; only a byte-perfect decode of
+    // the entropy-coded container reproduces these sums
+    "mm_decode_png" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        | v AS (SELECT doc_id, w, h, p,
+        |    (31 * doc_id + 7 * p + 11) % 256
+        |    + (17 * doc_id + 13 * p + 23) % 256
+        |    + (29 * doc_id + 19 * p + 31) % 256 AS rgb
+        |  FROM px)
+        |SELECT doc_id,
         | CAST(any_value(w) AS BIGINT) AS width,
         | CAST(any_value(h) AS BIGINT) AS height,
         | CAST(sum(rgb) AS BIGINT) AS pix_sum,
