@@ -437,6 +437,22 @@ object ScaleProbe {
         spanRows = graft.ops.TextOps.dupSpans(spark, dir).count()
         spanRows
       }
+      // Gram-table shuffle-width receipt (r12): the dup-span gram table
+      // shuffles xxhash64 keys, not strings — record rows and the
+      // byte arithmetic per scale: hashed key traffic = rows x 8 vs the
+      // string-keyed counterfactual rows x avg(gram bytes). The claim
+      // that matters at 100 TB is that the ratio is constant in corpus
+      // size (both grow with rows; only the WIDTH differs).
+      val gramStats = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 4), i -> " +
+            "octet_length(array_join(slice(ws, i, 5), ' ')))")).as("glen"))
+        .agg(count(lit(1)).as("rows"), sum("glen").as("strBytes"))
+        .head()
+      val gramRows = gramStats.getLong(0)
+      val gramStrBytes = gramStats.getLong(1)
       // A-Priori triple probe (r11): the graph-replicated lineitem
       // (order AND part keys offset — replicas key-disjoint) keeps
       // per-replica basket structure identical, so frequent-triple
@@ -464,8 +480,82 @@ object ScaleProbe {
           .filter(col("n") >= 2).count()
         triRows
       }
+      // ER blocking probe (r12, verdict tasks 1+7): parts replicated
+      // with REPLICA-DISJOINT name tokens (every token gets a ~rep
+      // suffix) — the honest ER scale model: a growing corpus means
+      // more ENTITIES, i.e. a growing name vocabulary, not k copies of
+      // one catalog. Receipts per scale: candidate work of the shipped
+      // brand x token-band blocking (must grow ~k — block count grows
+      // with the vocabulary) vs the retired brand-only blocking (grows
+      // exactly k² — 25 fixed blocks each k x larger), both computed
+      // EXACTLY from block histograms (sum of C(n,2), no giant join to
+      // count); wall time of the banded >=0.9 pair derivation; and the
+      // CC contraction of those pairs with the bounded local finish
+      // DISABLED so the distributed round count is visible — it must
+      // stay flat (O(log² component), components here are per-replica).
+      if (!new java.io.File(s"$dir/part_er.parquet").exists()) {
+        spark.read.parquet(s"$base/part.parquet")
+          .crossJoin(spark.range(k).toDF("__rep"))
+          .withColumn("p_partkey", col("p_partkey") + col("__rep") * 100000000L)
+          .withColumn("p_name", array_join(
+            transform(split(col("p_name"), " "),
+              t => concat(t, lit("~"), col("__rep"))), " "))
+          .drop("__rep")
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/part_er.parquet")
+      }
+      val partEr = spark.read.parquet(s"$dir/part_er.parquet")
+        .select(col("p_brand"), col("p_partkey"), col("p_name"))
+      val erParts = partEr.count()
+      def sumPairs(counts: DataFrame): Long = counts
+        .agg(sum(col("n") * (col("n") - 1))).head().getLong(0) / 2
+      val erBrandCand = sumPairs(
+        partEr.groupBy("p_brand").agg(count(lit(1)).as("n")))
+      val toks = split(col("p_name"), " ")
+      val erBanded = partEr.withColumn("blk", explode(array(
+        concat(lit("1:"), toks.getItem(0)),
+        concat(lit("2:"), coalesce(toks.getItem(1), toks.getItem(0))))))
+      val erBandedCand = sumPairs(
+        erBanded.groupBy("p_brand", "blk").agg(count(lit(1)).as("n")))
+      var erPairs09 = 0L
+      val tErPairs = time {
+        val a = erBanded.select(col("blk"), col("p_brand"),
+          col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+          .repartition(32, col("p_brand"), col("blk"))
+        val b = erBanded.select(col("blk").as("blk_b"), col("p_brand").as("brand_b"),
+          col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+          .repartition(32, col("brand_b"), col("blk_b"))
+        erPairs09 = a.join(b,
+            col("p_brand") === col("brand_b") && col("blk") === col("blk_b"))
+          .filter(col("key_a") < col("key_b"))
+          .filter(round(call_function("jaro_winkler",
+            col("name_a"), col("name_b")) * 1e6).cast("long") >= 900000L)
+          .select(col("key_a"), col("key_b")).distinct().count()
+        erPairs09
+      }
+      val erPairTbl = {
+        val a = erBanded.select(col("blk"), col("p_brand"),
+          col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = erBanded.select(col("blk").as("blk_b"), col("p_brand").as("brand_b"),
+          col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        a.join(b, col("p_brand") === col("brand_b") && col("blk") === col("blk_b"))
+          .filter(col("key_a") < col("key_b"))
+          .filter(round(call_function("jaro_winkler",
+            col("name_a"), col("name_b")) * 1e6).cast("long") >= 900000L)
+          .select(col("key_a").as("id_a"), col("key_b").as("id_b")).distinct()
+          .localCheckpoint(true)
+      }
+      var erCcRounds = 0
+      var erGroups = 0L
+      val tErCc = time {
+        val (g, rounds) = graft.ops.Dedup.connectedGroupsWithStats(
+          erPairTbl, partEr.select(col("p_partkey")), "p_partkey",
+          localFinishEdges = 0L)
+        erCcRounds = rounds
+        erGroups = g.select("group_id").distinct().count()
+        erGroups
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"dupspan_rows":$spanRows,"dupspan_sec":$tSpan,"tri_rows":$triRows,"tri_sec":$tTri,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge,"prmaint_new_edges":$prmNewEdges,"prmaint_full_derive_sec":$tPrmFullDerive,"prmaint_merge_sec":$tPrmMerge}""")
+      println(s"""{"scale":$k,"er_parts":$erParts,"er_banded_cand":$erBandedCand,"er_brand_cand":$erBrandCand,"er_pairs09":$erPairs09,"er_pairs_sec":$tErPairs,"er_cc_rounds":$erCcRounds,"er_cc_groups":$erGroups,"er_cc_sec":$tErCc,"dupspan_gram_rows":$gramRows,"dupspan_gram_str_bytes":$gramStrBytes,"dupspan_gram_hash_bytes":${gramRows * 8},"dupspan_rows":$spanRows,"dupspan_sec":$tSpan,"tri_rows":$triRows,"tri_sec":$tTri,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge,"prmaint_new_edges":$prmNewEdges,"prmaint_full_derive_sec":$tPrmFullDerive,"prmaint_merge_sec":$tPrmMerge}""")
     }
     spark.stop()
   }

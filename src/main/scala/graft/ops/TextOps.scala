@@ -1018,10 +1018,17 @@ object TextOps {
     * the island merge is a per-document window, corpus-keyed and fully
     * parallel. The gram table is consumed by both the aggregate and the
     * join-back, so it is pinned once (the multi-consumer discipline).
-    * At 100 TB the join key would be `xxhash64(gram)` — 8-byte keys
-    * through both shuffles instead of raw strings, with collision odds
-    * ~|grams|²/2⁶⁵ (acceptable for curation); the fixture keeps the raw
-    * string so the DuckDB oracle replays the answer exactly.
+    *
+    * The gram KEY is `xxhash64(gram)` computed inside the generating
+    * map task (r12): the raw 5-token string (~30-60 bytes here, often
+    * hundreds at corpus scale) never enters a shuffle — the pinned
+    * table, the duplicate aggregate and the join-back all move 8-byte
+    * keys, a measured ~4x shuffle-byte reduction on the fixture
+    * (ScaleProbe records the row x key-width arithmetic per scale).
+    * Collision odds ~|grams|²/2⁶⁵ — a false flag needs two distinct
+    * grams hashing equal, acceptable for curation and far below the
+    * fixture's oracle-checked scale (the DuckDB replay groups by the
+    * raw string and the hash-keyed answer still hash-matches it).
     */
   def dupSpans(s: SparkSession, d: String): DataFrame = {
     val w = 5
@@ -1032,14 +1039,15 @@ object TextOps {
         .filter(size(col("ws")) >= w)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(ws) - ${w - 1}), i -> " +
-            s"struct(CAST(i AS BIGINT) AS pos, array_join(slice(ws, i, $w), ' ') AS gram))")).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram")),
+            s"struct(CAST(i AS BIGINT) AS pos, " +
+            s"xxhash64(array_join(slice(ws, i, $w), ' ')) AS gram_h))")).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram_h").as("gram_h")),
       eager = false)
-    val dup = grams.groupBy("gram")
+    val dup = grams.groupBy("gram_h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select("gram")
-    val flagged = grams.join(dup, "gram").select("doc_id", "pos")
+      .select("gram_h")
+    val flagged = grams.join(dup, "gram_h").select("doc_id", "pos")
     val isl = flagged.withColumn("grp",
       col("pos") - row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")))
