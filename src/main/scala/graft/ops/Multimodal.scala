@@ -418,6 +418,133 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---- G.711 µ-law companded audio (r12) ------------------------------
+
+  /** Encode one 16-bit sample to a µ-law byte — the G.711 standard
+    * algorithm (bias 0x84, clip 32635, 3-bit exponent segment + 4-bit
+    * mantissa, ones-complement output).
+    */
+  private[ops] def ulawEncode(pcm: Int): Int = {
+    val sign = if (pcm < 0) 0x80 else 0
+    var v = math.min(math.abs(pcm), 32635) + 0x84
+    // segment e: v in [2^(e+7), 2^(e+8)) for e = 0..7 (v >= 132 > 2^7)
+    var e = 7
+    while (e > 0 && v < (1 << (e + 7))) e -= 1
+    val m = (v >> (e + 3)) & 0x0f
+    ~(sign | (e << 4) | m) & 0xff
+  }
+
+  /** Expand a µ-law byte back to its 16-bit sample. */
+  private[ops] def ulawDecode(b: Int): Int = {
+    val u = ~b & 0xff
+    val e = (u >> 4) & 7
+    val m = u & 0x0f
+    val mag = (((m << 3) + 0x84) << e) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Render a genuine RIFF/WAVE file in format 7 (µ-law, mono, 8-bit),
+    * fmt chunk with the non-PCM 18-byte layout (cbSize = 0), data padded
+    * per the RIFF odd-length rule. Samples are the shared formula
+    * scaled ×33 (range ±33 000) so the encode exercises BOTH the clip
+    * rail and all eight exponent segments.
+    */
+  private[ops] def encodeUlawWav(id: Long, nChars: Long): Array[Byte] = {
+    val n = (50 + nChars % 101).toInt
+    val sr = (8000 + 1000 * (id % 5)).toInt
+    val pad = n & 1
+    val size = 12 + (8 + 18) + 8 + n + pad
+    val out = new Array[Byte](size)
+    var o = 0
+    def tag(s: String): Unit = { s.foreach { c => out(o) = c.toByte; o += 1 } }
+    def le16(v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte; o += 2 }
+    def le32(v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte; o += 4
+    }
+    tag("RIFF"); le32(size - 8); tag("WAVE")
+    tag("fmt "); le32(18)
+    le16(7); le16(1) // µ-law, mono
+    le32(sr); le32(sr) // sample rate, byte rate (1 byte/sample)
+    le16(1); le16(8) // block align, bits per sample
+    le16(0) // cbSize (non-PCM fmt extension length)
+    tag("data"); le32(n)
+    var t = 0
+    while (t < n) { out(o) = ulawEncode(ampAt(id, t) * 33).toByte; o += 1; t += 1 }
+    // `pad` trailing zero byte left in place when n is odd (RIFF rule)
+    out
+  }
+
+  /** Parse a format-7 WAV and expand the µ-law samples: same chunk walk
+    * discipline as [[wavSamples]] but requiring the µ-law/mono/8-bit
+    * fmt (with its 18-byte non-PCM layout) and the odd-length data pad.
+    */
+  private[ops] def ulawSamples(bytes: Array[Byte]): (Long, Array[Int]) = {
+    def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    require(bytes.length >= 46 && tagAt(0) == "RIFF" && tagAt(8) == "WAVE",
+      "not a WAV: bad RIFF/WAVE magic or truncated header")
+    require(le32(4) == bytes.length - 8, "RIFF size != payload size")
+    var off = 12
+    var sampleRate = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val chunk = tagAt(off); val len = le32(off + 4)
+      require(off + 8 + len <= bytes.length, s"chunk $chunk overruns the file")
+      chunk match {
+        case "fmt " =>
+          require(le16(off + 8) == 7 && le16(off + 10) == 1 && le16(off + 22) == 8,
+            "decoder handles mu-law mono 8-bit")
+          sampleRate = le32(off + 12)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _      => // skip unknown chunks
+      }
+      off += 8 + len + (len & 1) // RIFF pads odd-length chunks
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt or data chunk")
+    val samples = new Array[Int](dataLen)
+    var t = 0
+    while (t < dataLen) { samples(t) = ulawDecode(bytes(dataOff + t) & 0xff); t += 1 }
+    (sampleRate.toLong, samples)
+  }
+
+  /** Companded-audio decode as a query (`mm_decode_ulaw`): each
+    * document rendered as a genuine G.711 µ-law WAV, decoded back, and
+    * reduced to integer statistics over the EXPANDED samples. The
+    * oracle replays the full compand cycle in SQL — clip, bias, an
+    * 8-branch exponent-segment CASE, mantissa shift, expansion — so the
+    * hash gate certifies the lossy quantization ladder bit-for-bit,
+    * not just the container walk (which the planted odd-length pad and
+    * 18-byte fmt layout also exercise). Same batched `mapPartitions`
+    * codec shape; per-sample rows never shuffle.
+    */
+  def mediaDecodeUlaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val wav = encodeUlawWav(id, nc)
+        val (sr, samples) = ulawSamples(wav)
+        var sum = 0L; var absSum = 0L; var peak = 0L
+        samples.foreach { v =>
+          sum += v; absSum += math.abs(v).toLong
+          if (math.abs(v) > peak) peak = math.abs(v).toLong
+        }
+        AudioFeatures(id, wav.length.toLong, sr, samples.length.toLong,
+          sum, absSum, peak,
+          samples.toSeq.sliding(2).count {
+            case Seq(a, b) => a.toLong * b < 0
+            case _         => false
+          }.toLong)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Render a multi-frame video container: `GVID` magic + u32 frame
     * count + per frame (u32 length + a genuine BMP). Frame `f` of
     * document `id` is [[encodeBmp]] keyed by `id + 1000003·f` — same
@@ -642,12 +769,36 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Dictionary-entropy decode as a query (`mm_decode_gif`): encode
+    * each document as a genuine GIF87a (256-entry global color table,
+    * variable-width LZW with mid-stream dictionary resets, ≤255-byte
+    * sub-block framing) and DECODE it with [[GifCodec]]. The oracle
+    * predicts dims and pixel sums from the index/palette formulas
+    * alone; the decoded values pass THROUGH the parsed color table, so
+    * a palette mis-read or a one-code LZW slip cannot hash-match.
+    * Complements `mm_decode_png`: Huffman+LZ77 there, dictionary LZW
+    * here — the two entropy-coder families real corpora actually use.
+    */
+  def mediaDecodeGif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, sum, wsum) = GifCodec.decodeGif(GifCodec.encodeGif(id, nc))
+        PngFeatures(id, w.toLong, h.toLong, sum, wsum)
+      })
+      .toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_shard_plan" -> (shardPlan _),
     "mm_media_meta" -> (mediaMeta _),
     "mm_decode_bmp" -> (mediaDecodeBmp _),
     "mm_decode_png" -> (mediaDecodePng _),
+    "mm_decode_gif" -> (mediaDecodeGif _),
     "mm_decode_wav" -> (mediaDecodeWav _),
+    "mm_decode_ulaw" -> (mediaDecodeUlaw _),
     "mm_audio_rms" -> (audioFrameRms _),
     "mm_resize_pool" -> (resizePool _),
     "mm_video_frames" -> (videoFrames _),
@@ -713,6 +864,25 @@ object Multimodal {
         | CAST(sum(rgb) AS BIGINT) AS pix_sum,
         | CAST(sum((p + 1) * rgb) AS BIGINT) AS pix_wsum
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // GIF: index formula -> palette formula, summed per pixel — the
+    // oracle never sees LZW; only a correct variable-width dictionary
+    // decode through the parsed color table reproduces these sums
+    "mm_decode_gif" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        | v AS (SELECT doc_id, w, h, p,
+        |    (13 * doc_id + 17 * p + 7) % 256 AS c
+        |  FROM px),
+        | s AS (SELECT doc_id, w, h, p,
+        |    (11 * c + 3) % 256 + (7 * c + 29) % 256 + (5 * c + 17) % 256 AS rgb
+        |  FROM v)
+        |SELECT doc_id,
+        | CAST(any_value(w) AS BIGINT) AS width,
+        | CAST(any_value(h) AS BIGINT) AS height,
+        | CAST(sum(rgb) AS BIGINT) AS pix_sum,
+        | CAST(sum((p + 1) * rgb) AS BIGINT) AS pix_wsum
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the PNG replay shares mm_decode_bmp's pixel contract — the oracle
     // knows nothing about compression; only a byte-perfect decode of
     // the entropy-coded container reproduces these sums
@@ -771,6 +941,36 @@ object Multimodal {
         | CAST(sum(abs(amp)) AS BIGINT) AS amp_abs_sum,
         | CAST(max(abs(amp)) AS BIGINT) AS peak,
         | CAST(sum(CASE WHEN pamp IS NOT NULL AND pamp * amp < 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // µ-law replay: the ORACLE runs the full G.711 compand cycle in SQL
+    // (clip, +132 bias, 8-branch exponent segment, mantissa shift,
+    // expansion) over the x33-scaled sample formula — only a
+    // bit-faithful encode->decode ladder reproduces these statistics
+    "mm_decode_ulaw" ->
+      """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n,
+        |    8000 + 1000 * (doc_id % 5) AS sr FROM documents),
+        | t AS (SELECT doc_id, n, sr, unnest(range(0, n)) AS t FROM d),
+        | s0 AS (SELECT doc_id, n, sr, t,
+        |    ((13 * doc_id + 7 * t + 3) % 2001 - 1000) * 33 AS s FROM t),
+        | enc AS (SELECT *, CASE WHEN s < 0 THEN -1 ELSE 1 END AS sgn,
+        |    least(abs(s), 32635) + 132 AS v FROM s0),
+        | ex AS (SELECT *, CASE WHEN v >= 16384 THEN 7 WHEN v >= 8192 THEN 6
+        |     WHEN v >= 4096 THEN 5 WHEN v >= 2048 THEN 4 WHEN v >= 1024 THEN 3
+        |     WHEN v >= 512 THEN 2 WHEN v >= 256 THEN 1 ELSE 0 END AS e FROM enc),
+        | dec AS (SELECT doc_id, n, sr, t,
+        |    sgn * ((((v >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132) AS ds
+        |   FROM ex),
+        | l AS (SELECT *, lag(ds) OVER (PARTITION BY doc_id ORDER BY t) AS pds
+        |   FROM dec)
+        |SELECT doc_id,
+        | CAST(46 + any_value(n) + any_value(n) % 2 AS BIGINT) AS n_bytes,
+        | CAST(any_value(sr) AS BIGINT) AS sample_rate,
+        | CAST(any_value(n) AS BIGINT) AS n_samples,
+        | CAST(sum(ds) AS BIGINT) AS amp_sum,
+        | CAST(sum(abs(ds)) AS BIGINT) AS amp_abs_sum,
+        | CAST(max(abs(ds)) AS BIGINT) AS peak,
+        | CAST(sum(CASE WHEN pds IS NOT NULL AND pds * ds < 0
         |   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // frame formula replay: same amp contract as mm_decode_wav, framed

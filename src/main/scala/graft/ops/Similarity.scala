@@ -976,6 +976,77 @@ object Similarity {
             x => round(x.cast("double") * 10000).cast("long")).as("qv"))
     }
 
+  // ---- SemDeDup with frozen sign-projection buckets (r12) ------------
+
+  /** Six published integer directions (the [[Decomp]] frozen-basis
+    * formula family) whose dot-product SIGNS bucket the corpus into
+    * ≤ 2⁶ semantic cells.
+    */
+  private val semBases: Array[Array[Long]] = Array(
+    (7L, 3L, 17L), (5L, 11L, 19L), (11L, 5L, 23L),
+    (13L, 7L, 29L), (3L, 1L, 13L), (17L, 2L, 31L),
+  ).map { case (a, b, m) =>
+    Array.tabulate(64)(i => ((a * i + b) % m) - m / 2)
+  }
+
+  private def semDotQ(basis: Array[Long]): Column =
+    aggregate(zip_with(col("qv"), lit(basis), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Semantic dedup (`sim_semdedup_frozen`) — the SemDeDup shape
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then keep ONE representative per cluster (here the vector
+    * closest to the cluster mean, the paper's keep-centroid-closest
+    * policy) and mark the rest as semantic duplicates. The paper
+    * clusters with trained k-means — not oracle-replayable — so this
+    * runs the identical plan with FROZEN sign-projection buckets
+    * (bucket = 6 sign bits of published integer projections, the
+    * [[Decomp]] frozen-basis discipline), putting the whole pipeline
+    * under the DuckDB hash gate.
+    *
+    * Plan shape at 100 TB: bucketing is one map-side codegen'd HOF pass
+    * over the quantized lattice; the per-bucket (n, Σqv) stats are a
+    * keyed aggregate bounded by buckets × dim (model-sized — more sign
+    * bits at larger corpora keep buckets bounded, the stats stay a
+    * broadcast); the distance-to-mean pass is a broadcast join + one
+    * HOF fold — corpus rows shuffle ONCE, for the per-bucket keep
+    * election. Exactness: distance² to the mean is computed scaled by
+    * n_b² — d2 = Σᵢ (n_b·qvᵢ − Sᵢ)², exact BIGINTs both engines share
+    * (|n_b·qv| ≤ corpusmax·lattice ≈ 2³⁵ on the fixtures; a 100 TB run
+    * switches the election to per-bucket MEAN-centered doubles or
+    * DECIMAL accumulation — the plan is unchanged).
+    */
+  def semDedupFrozen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucketCol = semBases.zipWithIndex.map { case (c, j) =>
+      when(semDotQ(c) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val q = quantEmb(s, d).withColumn("bucket", bucketCol)
+    // per-bucket per-dim exact sums: bounded by 2^6 buckets x 64 dims
+    val stats = q.select(col("bucket"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("bucket", "i")
+      .agg(sum("x").as("sx"), count(lit(1)).as("nb"))
+      .collect()
+    val statRows = stats.groupBy(_.getLong(0)).map { case (b, rs) =>
+      val arr = new Array[Long](64)
+      rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+      (b, rs.head.getLong(3), arr)
+    }.toSeq
+    val statDf = statRows.toDF("bucket", "nb", "sv")
+    val scored = q.join(broadcast(statDf), "bucket")
+      .select(col("vec_id"), col("bucket"),
+        aggregate(
+          zip_with(col("qv"), col("sv"),
+            (x, sv) => (col("nb") * x - sv) * (col("nb") * x - sv)),
+          lit(0L), (acc, v) => acc + v).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("d2").asc, col("vec_id").asc)
+    scored.withColumn("is_kept", row_number().over(w) === 1)
+      .select(col("vec_id"), col("bucket"), col("d2"), col("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** Map-side integer argmin over DRIVER-LITERAL centroids: each
     * centroid becomes a literal array, every distance a codegen'd
     * `zip_with`/`aggregate` fold, and `least` over the k
@@ -1132,6 +1203,7 @@ object Similarity {
     "sim_ann_ivf" -> (ivfTopNeighbor _),
     "sim_centroid_by_label" -> (centroidByLabel _),
     "sim_norm_stats" -> (normStats _),
+    "sim_semdedup_frozen" -> (semDedupFrozen _),
   )
 
   /** One unrolled Lloyd iteration for the DuckDB oracle: E-step distance
@@ -1156,6 +1228,42 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_semdedup_frozen" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x
+        |   FROM e),
+        | dots AS (SELECT vec_id,
+        |    CAST(sum(x * ((7 * (i-1) + 3) % 17 - 8)) AS BIGINT) AS d0,
+        |    CAST(sum(x * ((5 * (i-1) + 11) % 19 - 9)) AS BIGINT) AS d1,
+        |    CAST(sum(x * ((11 * (i-1) + 5) % 23 - 11)) AS BIGINT) AS d2_,
+        |    CAST(sum(x * ((13 * (i-1) + 7) % 29 - 14)) AS BIGINT) AS d3,
+        |    CAST(sum(x * ((3 * (i-1) + 1) % 13 - 6)) AS BIGINT) AS d4,
+        |    CAST(sum(x * ((17 * (i-1) + 2) % 31 - 15)) AS BIGINT) AS d5
+        |   FROM eu GROUP BY vec_id),
+        | bk AS (SELECT vec_id,
+        |    (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN d2_ >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN d4 >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN d5 >= 0 THEN 32 ELSE 0 END) AS bucket
+        |   FROM dots),
+        | st AS (SELECT bucket, i, CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |   FROM eu JOIN bk USING (vec_id) GROUP BY bucket, i),
+        | dist AS (SELECT eu.vec_id, bk.bucket,
+        |    CAST(sum((st.nb * eu.x - st.s) * (st.nb * eu.x - st.s)) AS BIGINT)
+        |      AS d2
+        |   FROM eu JOIN bk USING (vec_id)
+        |   JOIN st ON st.bucket = bk.bucket AND st.i = eu.i
+        |   GROUP BY 1, 2),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY d2 ASC, vec_id ASC) AS rn FROM dist)
+        |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, d2, rn = 1 AS is_kept
+        |FROM r ORDER BY vec_id""".stripMargin,
     "sim_prefix_recall" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

@@ -335,6 +335,55 @@ class OpsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Multimodal.decodeWav(badFmt)
   }
 
+  "mu-law compand" should "satisfy the G.711 quantization-ladder properties" in {
+    // decode(encode(x)) must be sign-preserving, monotone in |x|, and
+    // within the segment's quantization step of x (exact G.711 bounds)
+    val probes = Seq(0, 1, 7, 31, 95, 131, 132, 255, 256, 1000, 4095, 8158,
+      16000, 32635, 33000, 40000) // past the clip rail too
+    for (x0 <- probes; sign <- Seq(1, -1)) {
+      val x = x0 * sign
+      val b = Multimodal.ulawEncode(x)
+      b should (be >= 0 and be <= 255)
+      val y = Multimodal.ulawDecode(b)
+      y.toLong * x should be >= 0L // sign-preserving (0 compatible with either)
+      val cx = math.min(math.abs(x), 32635)
+      // error bound: half the segment step (step = 2^(e+4) at v=cx+132)
+      val e = (7 to 0 by -1).find(e => cx + 132 >= (1 << (e + 7))).getOrElse(0)
+      math.abs(math.abs(y) - cx) should be <= (1 << (e + 3))
+    }
+    // monotone over the positive ramp
+    val decs = (0 to 33000 by 37).map(x =>
+      Multimodal.ulawDecode(Multimodal.ulawEncode(x)))
+    decs.sliding(2).foreach { case Seq(a, b) => b should be >= a; case _ => () }
+    // all 256 code points round-trip: encode(decode(b)) == b
+    (0 to 255).foreach { b =>
+      val s = Multimodal.ulawDecode(b)
+      // ulaw has two zero codes (+0/-0); skip the negative-zero alias
+      if (s != 0 || b == 0xff)
+        withClue(s"code $b (sample $s)") {
+          Multimodal.ulawEncode(s) shouldBe b
+        }
+    }
+  }
+
+  "mu-law WAV decode" should "recover the companded samples through the format-7 walk" in {
+    for (id <- Seq(3L, 4L); nc <- Seq(60L, 123L)) { // odd and even n: pad rule
+      val wav = Multimodal.encodeUlawWav(id, nc)
+      val (sr, samples) = Multimodal.ulawSamples(wav)
+      val n = (50 + nc % 101).toInt
+      samples.length shouldBe n
+      sr shouldBe 8000 + 1000 * (id % 5)
+      wav.length shouldBe 46 + n + n % 2
+      val want = (0 until n).map(t =>
+        Multimodal.ulawDecode(Multimodal.ulawEncode(Multimodal.ampAt(id, t.toLong) * 33)))
+      samples.toSeq shouldBe want
+    }
+    val good = Multimodal.encodeUlawWav(4L, 60L)
+    val badFmt = good.clone(); badFmt(20) = 1 // PCM fmt into the mu-law walker
+    an[IllegalArgumentException] should be thrownBy Multimodal.ulawSamples(badFmt)
+    an[IllegalArgumentException] should be thrownBy Multimodal.ulawSamples(good.dropRight(3))
+  }
+
   "video container decode" should "sample every second frame and decode it with the BMP codec" in {
     val id = 11L; val nc = 200L
     val rows = Multimodal.decodeVideoSampled(id, Multimodal.encodeVideo(id, nc))
