@@ -368,7 +368,95 @@ object Stats {
       .orderBy("c_mktsegment")
   }
 
+  /** Robust location estimates per return flag (`agg_trimmed_mean`):
+    * the 10 %-trimmed mean AND the 10 %-winsorized mean of the
+    * extended price, computed WITHOUT any row-level sort — the same
+    * value-histogram discipline as [[aucExact]]: one groupBy(flag,
+    * cents) histogram pass, then per-flag running counts over the
+    * DISTINCT price values (a histogram-sized window, never the
+    * corpus), and each histogram cell contributes
+    * `overlap([cumBefore+1, cumBefore+cnt], [k+1, n−k])` kept rows.
+    * Ties need no tie-break at all — trimming is value-based, so equal
+    * prices at the cut split a cell arithmetically. Winsorizing reuses
+    * the same running counts to find the two clamp values (the cells
+    * holding global ranks k+1 and n−k) and adds k of each back. All
+    * sums are exact cents; the two means divide identical integers in
+    * the identical order in both engines.
+    */
+  def trimmedMean(s: SparkSession, d: String): DataFrame = {
+    val h = Sources.lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy("l_returnflag", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+    val cells = h
+      .withColumn("cum_before", coalesce(sum("cnt").over(wOrd), lit(0L)))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("k", expr("n div 10"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum_before") + col("cnt"), col("n") - col("k"))
+          - greatest(col("cum_before") + 1, col("k") + 1) + 1))
+    val agg = cells.groupBy("l_returnflag")
+      .agg(max("n").as("n_total"), max("k").as("k"),
+        sum(col("kept") * col("cents")).as("trim_sum_c"),
+        sum("kept").as("n_kept"),
+        // clamp values: the cells holding global ranks k+1 and n-k
+        max(when(col("cum_before") < col("k") + 1 &&
+          col("k") + 1 <= col("cum_before") + col("cnt"), col("cents"))).as("lo_c"),
+        max(when(col("cum_before") < col("n") - col("k") &&
+          col("n") - col("k") <= col("cum_before") + col("cnt"), col("cents"))).as("hi_c"))
+    agg
+      .withColumn("winsor_sum_c",
+        col("trim_sum_c") + col("k") * (col("lo_c") + col("hi_c")))
+      .select(col("l_returnflag"), col("n_total"), col("n_kept"),
+        col("lo_c"), col("hi_c"), col("trim_sum_c"), col("winsor_sum_c"),
+        roundNorm(col("trim_sum_c").cast("double") / col("n_kept") / 100, 4)
+          .as("trimmed_mean"),
+        roundNorm(col("winsor_sum_c").cast("double") / col("n_total") / 100, 4)
+          .as("winsor_mean"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Proportional allocation with largest-remainder rounding
+    * (`agg_largest_remainder`): 10 000 basis points split across
+    * nations proportional to exact order-revenue cents — floor shares
+    * first, then the leftover points go to the largest scaled
+    * remainders (ties to the smaller nation key). The classic
+    * apportionment method (Hamilton/Hare); the allocation is over the
+    * POST-AGGREGATE nation table (25 rows), so the single global
+    * window is model-sized by construction; everything before it is
+    * one join + keyed aggregate. Exact integers end-to-end:
+    * base = (10⁴·rev) div total, remainder = 10⁴·rev − base·total.
+    */
+  def largestRemainder(s: SparkSession, d: String): DataFrame = {
+    val rev = Sources.orders(s, d)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(Sources.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .groupBy("c_nationkey").agg(sum("cents").as("rev_c"))
+    val tot = rev.agg(sum("rev_c").as("total_c"))
+    val based = rev.crossJoin(broadcast(tot))
+      .withColumn("base_bps", expr("(10000 * rev_c) div total_c"))
+      .withColumn("rem", lit(10000) * col("rev_c") - col("base_bps") * col("total_c"))
+    val leftover = based.groupBy()
+      .agg((lit(10000L) - sum("base_bps")).as("leftover"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("c_nationkey").asc)
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("c_nationkey"), col("rev_c"), col("base_bps"),
+        (col("base_bps") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("bps"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_trimmed_mean" -> (trimmedMean _),
+    "agg_largest_remainder" -> (largestRemainder _),
     "agg_theil_segment" -> (theilBySegment _),
     "ml_pr_curve" -> (prCurve _),
     "ml_roc_curve" -> (rocCurve _),
@@ -379,6 +467,51 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_trimmed_mean" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2),
+        | c AS (SELECT l_returnflag, cents, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |   FROM h),
+        | kc AS (SELECT *, n // 10 AS k,
+        |    greatest(0, least(cum_before + cnt, n - n // 10)
+        |      - greatest(cum_before + 1, n // 10 + 1) + 1) AS kept
+        |   FROM c),
+        | a AS (SELECT l_returnflag, max(n) AS n_total, max(k) AS k,
+        |    CAST(sum(kept * cents) AS BIGINT) AS trim_sum_c,
+        |    CAST(sum(kept) AS BIGINT) AS n_kept,
+        |    max(CASE WHEN cum_before < k + 1 AND k + 1 <= cum_before + cnt
+        |      THEN cents END) AS lo_c,
+        |    max(CASE WHEN cum_before < n - k AND n - k <= cum_before + cnt
+        |      THEN cents END) AS hi_c
+        |   FROM kc GROUP BY 1)
+        |SELECT l_returnflag, CAST(n_total AS BIGINT) AS n_total, n_kept,
+        | lo_c, hi_c, trim_sum_c,
+        | CAST(trim_sum_c + k * (lo_c + hi_c) AS BIGINT) AS winsor_sum_c,
+        | round(trim_sum_c::DOUBLE / n_kept / 100, 4) + 0.0 AS trimmed_mean,
+        | round((trim_sum_c + k * (lo_c + hi_c))::DOUBLE / n_total / 100, 4) + 0.0
+        |   AS winsor_mean
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_largest_remainder" ->
+      """WITH rev AS (SELECT c_nationkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |   FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        | tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev),
+        | b AS (SELECT c_nationkey, rev_c,
+        |    (10000 * rev_c) // total_c AS base_bps,
+        |    10000 * rev_c - ((10000 * rev_c) // total_c) * total_c AS rem
+        |   FROM rev, tot),
+        | l AS (SELECT 10000 - CAST(sum(base_bps) AS BIGINT) AS leftover FROM b),
+        | r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, c_nationkey ASC)
+        |   AS rk FROM b)
+        |SELECT c_nationkey, rev_c, CAST(base_bps AS BIGINT) AS base_bps,
+        | CAST(base_bps + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |   AS bps
+        |FROM r, l ORDER BY c_nationkey""".stripMargin,
     "agg_theil_segment" ->
       """WITH rev AS (
         |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x

@@ -683,7 +683,44 @@ object Temporal {
       .select(col("n_days"), col("n_pairs"), col("ts_slope"))
   }
 
+  /** Time-weighted average price per order priority (`ts_twap`): the
+    * step-function TWAP of an IRREGULAR series — the finance/ops
+    * estimator that, unlike a row mean, is invariant to how densely a
+    * period was sampled. Per (priority, day) the day's closing price is
+    * the LAST order's total (max orderkey — a total order, fetched by
+    * aggregate-then-self-join rather than a struct max_by, which would
+    * degrade the corpus aggregate to a SortAggregate); each daily close
+    * then holds until the next observed day (`lead`, last day weight 1).
+    * The corpus pays one keyed aggregate + one equi-join; the gap
+    * windows run over the per-priority DAILY table — calendar-bounded
+    * (≤ 2.4k rows each) regardless of corpus size, the same argument as
+    * [[theilSen]]. TWAP numerator/denominator ship as exact BIGINT gate
+    * columns; the one division is identical IEEE in both engines.
+    */
+  def twap(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d).select(col("o_orderpriority"),
+      to_date(col("o_orderdate")).as("day"), col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val lastKey = o.groupBy("o_orderpriority", "day")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val daily = lastKey.join(o, Seq("o_orderpriority", "day", "o_orderkey"))
+      .select(col("o_orderpriority"), col("day"), col("cents"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+    daily
+      .withColumn("gap", coalesce(
+        datediff(lead(col("day"), 1).over(w), col("day"))
+          .cast("long"), lit(1L)))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cents") * col("gap")).as("twap_num"),
+        sum("gap").as("twap_den"))
+      .withColumn("twap", graft.functions.Num.roundNorm(
+        col("twap_num").cast("double") / col("twap_den") / 100, 4))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_twap" -> (twap _),
     "ts_theil_sen" -> (theilSen _),
     "ts_seasonal_decompose" -> (seasonalDecompose _),
     "ts_kaplan_meier" -> (kaplanMeier _),
@@ -721,6 +758,23 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_twap" ->
+      """WITH o AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+        |    o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        | lk AS (SELECT o_orderpriority, day,
+        |    max(o_orderkey) AS o_orderkey FROM o GROUP BY 1, 2),
+        | daily AS (SELECT o.o_orderpriority, o.day, o.cents
+        |   FROM lk JOIN o USING (o_orderpriority, day, o_orderkey)),
+        | g AS (SELECT *, CAST(coalesce(datediff('day', day,
+        |      lead(day) OVER (PARTITION BY o_orderpriority
+        |        ORDER BY day)), 1) AS BIGINT) AS gap
+        |   FROM daily)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(cents * gap) AS BIGINT) AS twap_num,
+        | CAST(sum(gap) AS BIGINT) AS twap_den,
+        | round(sum(cents * gap)::DOUBLE / sum(gap) / 100, 4) + 0.0 AS twap
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_theil_sen" ->
       s"""WITH $seriesCte,
          | p AS (SELECT (b.x - a.x)::DOUBLE / (b.i - a.i) AS slope

@@ -45,6 +45,8 @@ class PlanShapesSpec extends SparkSpec {
     // weight total + leftover seats)
     "mining_frequent_pairs", "mining_association_rules", "audit_equidepth_hist",
     "sample_temperature_mix",
+    // 1-row revenue-total + 1-row leftover-points attaches
+    "agg_largest_remainder",
     "sketch_join_size",
     "audit_selectivity_est", "audit_contract_check", "audit_psi_drift",
     // 1-row distinct-counts attach onto the 1-row basic-stats row
@@ -95,11 +97,15 @@ class PlanShapesSpec extends SparkSpec {
     * input is bounded by construction, not merely aggregate-reduced:
     * `audit_key_skew` ranks a 10-row post-`limit` set;
     * `search_hybrid_rrf` assigns ranks on its two 20-row post-`limit`
-    * top-k arms. Corpus-growing inputs (customer aggregates,
-    * vocabularies, price levels) must use the two-pass
-    * [[graft.ops.Prefix]] shape instead.
+    * top-k arms; `agg_largest_remainder` (r12) ranks remainders on the
+    * per-NATION allocation table — bounded by the 25-row nation
+    * DIMENSION, which does not grow with the corpus (an apportionment
+    * is definitionally over the dimension being apportioned).
+    * Corpus-growing inputs (customer aggregates, vocabularies, price
+    * levels) must use the two-pass [[graft.ops.Prefix]] shape instead.
     */
-  private val sanctionedGlobalWindow = Set("audit_key_skew", "search_hybrid_rrf")
+  private val sanctionedGlobalWindow =
+    Set("audit_key_skew", "search_hybrid_rrf", "agg_largest_remainder")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

@@ -248,4 +248,87 @@ class StatsSpec extends SparkSpec {
     got.getAs[Long]("n") shouldBe t.length.toLong
     got.getAs[Double]("spearman_rho") shouldBe (want +- 1e-6)
   }
+
+  behavior of "Stats.trimmedMean"
+
+  it should "match the sort-based textbook trimmed and winsorized means" in {
+    val byFlag = Sources.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1)
+    val got = Stats.trimmedMean(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    got.keySet shouldBe byFlag.keySet
+    byFlag.foreach { case (flag, rows) =>
+      val sorted = rows.map(_._2).sorted // value sort IS the definition
+      val n = sorted.length
+      val k = n / 10
+      val interior = sorted.slice(k, n - k)
+      val winsor = sorted.take(k).map(_ => sorted(k)) ++ interior ++
+        sorted.takeRight(k).map(_ => sorted(n - k - 1))
+      val g = got(flag)
+      withClue(s"flag $flag") {
+        g.getAs[Long]("n_total") shouldBe n.toLong
+        g.getAs[Long]("n_kept") shouldBe interior.length.toLong
+        g.getAs[Long]("lo_c") shouldBe sorted(k)
+        g.getAs[Long]("hi_c") shouldBe sorted(n - k - 1)
+        g.getAs[Long]("trim_sum_c") shouldBe interior.sum
+        g.getAs[Long]("winsor_sum_c") shouldBe winsor.sum
+      }
+    }
+  }
+
+  behavior of "Stats.largestRemainder"
+
+  it should "apportion exactly 10000 points, each within 1 of the exact share" in {
+    val got = Stats.largestRemainder(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.map(_._4).sum shouldBe 10000L // the method's defining invariant
+    val total = got.map(_._2).sum
+    got.foreach { case (nk, rev, base, bps) =>
+      withClue(s"nation $nk") {
+        val exact = 10000.0 * rev / total
+        bps should (be >= base and be <= base + 1)
+        math.abs(bps - exact) should be < 1.0 // quota property
+      }
+    }
+    // replay the election: leftover points go to the largest remainders
+    val leftover = 10000L - got.map(_._3).sum
+    val byRem = got.sortBy { case (nk, rev, base, _) =>
+      (-(10000L * rev - base * total), nk)
+    }
+    byRem.take(leftover.toInt).foreach { case (_, _, base, bps) =>
+      bps shouldBe base + 1
+    }
+    byRem.drop(leftover.toInt).foreach { case (_, _, base, bps) =>
+      bps shouldBe base
+    }
+  }
+
+  behavior of "Temporal.twap"
+
+  it should "match a sequential step-function time-weighted average" in {
+    val rows = Sources.orders(spark, sfDir)
+      .select("o_orderpriority", "o_orderdate", "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate,
+        r.getLong(2), math.round(r.getDouble(3) * 100)))
+    val got = Temporal.twap(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("twap_num"), r.getAs[Long]("twap_den")))
+      .toMap
+    rows.groupBy(_._1).foreach { case (pri, rs) =>
+      val daily = rs.groupBy(_._2).toSeq.map { case (day, dayRows) =>
+        (day, dayRows.maxBy(_._3)._4) // last order (max key) closes the day
+      }.sortBy(_._1.toEpochDay)
+      val gaps = daily.zip(daily.drop(1)).map { case ((d0, c), (d1, _)) =>
+        (c, d1.toEpochDay - d0.toEpochDay)
+      } :+ ((daily.last._2, 1L))
+      withClue(s"priority $pri") {
+        got(pri)._1 shouldBe daily.length.toLong
+        got(pri)._2 shouldBe gaps.map { case (c, g) => c * g }.sum
+        got(pri)._3 shouldBe gaps.map(_._2).sum
+      }
+    }
+  }
 }
