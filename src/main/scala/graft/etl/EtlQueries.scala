@@ -200,7 +200,51 @@ object EtlQueries {
       .orderBy("layout", "bucket")
   }
 
+  /** Incremental maintenance of a JOIN view (`etl_ivm_join`): the
+    * nation-revenue view V = γ(orders ⋈ customer) kept current under
+    * deltas on BOTH base tables, by the textbook delta-join rule
+    *
+    *   ΔV = γ( ΔO ⋈ C_old  ∪  O_old ⋈ ΔC  ∪  ΔO ⋈ ΔC )
+    *
+    * merged into the old view state sum-of-sums (extends
+    * [[etlIncrementalAgg]], which maintains a single-table aggregate —
+    * here the three disjoint delta terms are what makes a JOIN view
+    * maintainable without re-scanning either full base table: at 100 TB
+    * the two Δ⋈old terms probe the big sides with batch-sized build
+    * sides, and ΔO⋈ΔC is batch×batch). Splits are deterministic key
+    * slices (orders by orderkey % 10, customers by custkey % 7); the
+    * oracle is the FULL recompute over both complete tables, so the
+    * hash gate proves the delta decomposition is complete and disjoint
+    * — one double-counted or dropped term and the sums diverge.
+    * DECIMAL accumulation keeps both paths exact (the
+    * incremental-agg discipline).
+    */
+  def etlIvmJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d).select(col("o_custkey"),
+      col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val c = Sources.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val oOld = o.filter(col("o_orderkey") % 10 =!= 0)
+    val oDelta = o.filter(col("o_orderkey") % 10 === 0)
+    val cOld = c.filter(col("c_custkey") % 7 =!= 0)
+    val cDelta = c.filter(col("c_custkey") % 7 === 0)
+    def grouped(orders: DataFrame, cust: DataFrame): DataFrame =
+      orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(sum("price").as("rev"), count(lit(1)).as("n"))
+    val vOld = grouped(oOld, cOld) // yesterday's persisted view state
+    val dv1 = grouped(oDelta, cOld) // ΔO ⋈ C_old
+    val dv2 = grouped(oOld, cDelta) // O_old ⋈ ΔC
+    val dv3 = grouped(oDelta, cDelta) // ΔO ⋈ ΔC
+    vOld.unionByName(dv1).unionByName(dv2).unionByName(dv3)
+      .groupBy("c_nationkey")
+      .agg(sum("rev").as("rev_d"), sum("n").as("n_orders"))
+      .select(col("c_nationkey"), col("rev_d").cast("double").as("revenue"),
+        col("n_orders"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_ivm_join" -> (etlIvmJoin _),
     "etl_zorder_stats" -> (etlZorderStats _),
     "etl_cdc_apply" -> (etlCdcApply _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
@@ -236,6 +280,14 @@ object EtlQueries {
          |SELECT * FROM zb UNION ALL SELECT * FROM lb
          |ORDER BY layout, bucket""".stripMargin
     },
+    // full recompute over BOTH complete base tables — the semantics the
+    // three-term delta-join merge must equal exactly
+    "etl_ivm_join" ->
+      """SELECT c_nationkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // full recompute — the semantics the partial-merge must equal; the
     // decimal sums make both sides exact, so the doubles agree bitwise
     "etl_incremental_agg" ->

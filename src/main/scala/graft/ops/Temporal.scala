@@ -719,7 +719,39 @@ object Temporal {
       .orderBy("o_orderpriority")
   }
 
+  /** Zero-clamped running balance per customer (`ts_clamped_balance`) —
+    * inventory/wallet semantics: stock_t = max(0, stock_{t−1} + Δ_t),
+    * the Lindley recursion, which naive engines evaluate with recursive
+    * SQL or a sequential per-key fold. It has a CLOSED FORM — the
+    * reflection identity stock_t = S_t − min(0, min_{j≤t} S_j) over the
+    * plain prefix sums — so the whole operator is two frames over ONE
+    * per-key window (running sum + running min of that sum): a single
+    * shuffle on custkey, no recursion, no per-group iteration, exact
+    * integers end-to-end, and the oracle replays the identical
+    * arithmetic. (A balance capped on BOTH sides has no such closed
+    * form — that variant genuinely needs the sequential fold; the
+    * at-zero clamp is the overwhelmingly common case.) Deltas here:
+    * even order keys deposit the order's cents, odd keys withdraw.
+    */
+  def clampedBalance(s: SparkSession, d: String): DataFrame = {
+    val deltas = Sources.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        (when(col("o_orderkey") % 2 === 0, lit(1L)).otherwise(lit(-1L)) *
+          round(col("o_totalprice") * 100).cast("long")).as("delta_c"))
+      .groupBy("o_custkey", "day")
+      .agg(sum("delta_c").as("net_c"))
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("s", sum("net_c").over(w))
+      .withColumn("stock_c", col("s") - least(lit(0L), min("s").over(w)))
+      .select(col("o_custkey"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("net_c"), col("stock_c"))
+      .orderBy("o_custkey", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_clamped_balance" -> (clampedBalance _),
     "ts_twap" -> (twap _),
     "ts_theil_sen" -> (theilSen _),
     "ts_seasonal_decompose" -> (seasonalDecompose _),
@@ -758,6 +790,19 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_clamped_balance" ->
+      """WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END)
+        |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS net_c
+        |   FROM orders GROUP BY 1, 2),
+        | p AS (SELECT *, CAST(sum(net_c) OVER (PARTITION BY o_custkey
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s FROM d)
+        |SELECT o_custkey, strftime(day, '%Y-%m-%d') AS day, net_c,
+        | CAST(s - least(0, min(s) OVER (PARTITION BY o_custkey ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+        |   AS stock_c
+        |FROM p ORDER BY o_custkey, day""".stripMargin,
     "ts_twap" ->
       """WITH o AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
         |    o_orderkey,

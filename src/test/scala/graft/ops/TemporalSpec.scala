@@ -353,4 +353,35 @@ class TemporalSpec extends SparkSpec {
     }
     math.abs(tsSlope(spiked) - tsSlope(base)) should be < 1e-9
   }
+
+  behavior of "Temporal.clampedBalance"
+
+  it should "equal the sequential Lindley recursion stock_t = max(0, stock_{t-1} + delta_t)" in {
+    // the operator ships the REFLECTION closed form (S_t - min(0, min S_j));
+    // this replays the literal recursion it must equal, customer by customer
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1).toLocalDate,
+        r.getLong(2), math.round(r.getDouble(3) * 100)))
+    val expected = rows.groupBy(_._1).flatMap { case (cust, rs) =>
+      val daily = rs.groupBy(_._2).toSeq.map { case (day, dayRows) =>
+        (day, dayRows.map(t => if (t._3 % 2 == 0) t._4 else -t._4).sum)
+      }.sortBy(_._1.toEpochDay)
+      var stock = 0L
+      daily.map { case (day, net) =>
+        stock = math.max(0L, stock + net) // the recursion, literally
+        (cust, day.toString, net, stock)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Temporal.clampedBalance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe expected
+    // the clamp must actually engage on the fixture (otherwise this
+    // tests nothing beyond a running sum)
+    val plainSums = expected.groupBy(_._1).values.exists { perCust =>
+      perCust.map(_._3).scanLeft(0L)(_ + _).drop(1).exists(_ < 0)
+    }
+    plainSums shouldBe true
+  }
 }
