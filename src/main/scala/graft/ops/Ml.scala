@@ -400,7 +400,33 @@ object Ml {
       .orderBy("o_orderkey")
   }
 
+  /** The hashing trick (`ml_feature_hash`) — Weinberger et al. 2009:
+    * sparse text features hashed into a FIXED 256-bucket space with a
+    * sign bit to keep the estimator unbiased (collisions cancel in
+    * expectation instead of inflating), the standard featurization for
+    * linear models over unbounded vocabularies — no vocabulary table,
+    * no fit step, memory O(buckets) per row regardless of corpus. One
+    * map-side tokenize + per-token fold (the rolling 31·a+c polynomial
+    * both engines already share via `text_fingerprint`), one keyed
+    * aggregate to (doc, bucket) — the output IS the sparse feature
+    * matrix in COO form, exact integers.
+    */
+  def featureHash(s: SparkSession, d: String): DataFrame = {
+    val tok = Sources.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("th", aggregate(split(col("t"), ""), lit(0L),
+        (a, c) => (a * 31 + ascii(c)) % 1000000007L))
+    tok
+      .withColumn("bucket", col("th") % 256)
+      .withColumn("sgn",
+        when(expr("(th div 256) % 2") === 0, lit(1L)).otherwise(lit(-1L)))
+      .groupBy("doc_id", "bucket")
+      .agg(sum("sgn").as("fval"))
+      .orderBy("doc_id", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_feature_hash" -> (featureHash _),
     "ml_target_encoding" -> (targetEncoding _),
     "ml_nb_confusion" -> (nbConfusion _),
     "ml_calibration" -> (logregCalibration _),
@@ -414,6 +440,18 @@ object Ml {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |   FROM documents),
+        | h AS (SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS th FROM tok),
+        | f AS (SELECT doc_id, th % 256 AS bucket,
+        |    CASE WHEN (th // 256) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        | CAST(sum(sgn) AS BIGINT) AS fval
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ml_target_encoding" ->
       """WITH rows_ AS (
         |  SELECT o_orderkey, c_mktsegment,

@@ -521,7 +521,44 @@ object RelationalExt {
       .agg(sum(bit_count(col("word"))).as("n_distinct"))
       .orderBy("o_orderpriority")
 
+  /** Business-day order-to-ship latency per return flag
+    * (`scalar_business_days`): the weekday count between order and ship
+    * dates via the CLOSED-FORM
+    * prefix function — B(e) = 5·((e+3) div 7) + least((e+3) mod 7, 5) − 3
+    * counts business days in [epoch, e) on Monday-indexed weeks
+    * (1970-01-01 was a Thursday, hence the +3 shift) — so
+    * busdays(d₀, d₁] = B(e₁+1) − B(e₀+1) with NO calendar spine, no
+    * per-day explode, no UDF: four integer ops per row, identical in
+    * both engines (Spark `div`/`%` vs DuckDB `//`/`%`, truncation-equal
+    * on these positive epochs). Weekday-number builtins are
+    * deliberately avoided — Spark's dayofweek is 1=Sunday, DuckDB's
+    * isodow is 1=Monday; epoch arithmetic sidesteps the whole class.
+    */
+  def scalarBusinessDays(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d).select(col("l_orderkey"),
+      col("l_returnflag"),
+      datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+        .cast("long").as("er"))
+    val o = Sources.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        .cast("long").as("ec"))
+    def b(c: Column): Column =
+      lit(5L) * call_function("div", c + 4, lit(7L)) +
+        least((c + 4) % 7, lit(5L)) - 3L
+    li.join(o, "l_orderkey")
+      .withColumn("busdays", b(col("er")) - b(col("ec")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum("busdays").as("busdays_sum"),
+        min("busdays").as("busdays_min"),
+        max("busdays").as("busdays_max"))
+      .withColumn("busdays_avg", graft.functions.Num.roundNorm(
+        col("busdays_sum").cast("double") / col("n_items"), 4))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_business_days" -> (scalarBusinessDays _),
     "pivot_unpivot_quarters" -> (unpivotQuarters _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
     "win_ntile_quartiles" -> (ntileQuartiles _),
@@ -564,6 +601,21 @@ object RelationalExt {
        |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "scalar_business_days" ->
+      """WITH d AS (SELECT l_returnflag,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ec,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS er
+        |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | b AS (SELECT l_returnflag,
+        |    (5 * ((er + 4) // 7) + least((er + 4) % 7, 5) - 3)
+        |    - (5 * ((ec + 4) // 7) + least((ec + 4) % 7, 5) - 3) AS busdays
+        |   FROM d)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(busdays) AS BIGINT) AS busdays_sum,
+        | CAST(min(busdays) AS BIGINT) AS busdays_min,
+        | CAST(max(busdays) AS BIGINT) AS busdays_max,
+        | round(sum(busdays)::DOUBLE / count(*), 4) + 0.0 AS busdays_avg
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr_matrix" ->
       ("""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
         |   CAST(round(l_extendedprice) AS BIGINT) AS usd,

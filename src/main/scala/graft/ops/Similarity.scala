@@ -1017,12 +1017,17 @@ object Similarity {
     * switches the election to per-bucket MEAN-centered doubles or
     * DECIMAL accumulation — the plan is unchanged).
     */
-  def semDedupFrozen(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val bucketCol = semBases.zipWithIndex.map { case (c, j) =>
+  /** 6-bit sign bucket of `qv` along [[semBases]] — shared by the
+    * SemDeDup election and the multiprobe ANN query.
+    */
+  private def semBucketCol: Column =
+    semBases.zipWithIndex.map { case (c, j) =>
       when(semDotQ(c) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val q = quantEmb(s, d).withColumn("bucket", bucketCol)
+
+  def semDedupFrozen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantEmb(s, d).withColumn("bucket", semBucketCol)
     // per-bucket per-dim exact sums: bounded by 2^6 buckets x 64 dims
     val stats = q.select(col("bucket"), posexplode(col("qv")).as(Seq("i", "x")))
       .groupBy("bucket", "i")
@@ -1045,6 +1050,43 @@ object Similarity {
     scored.withColumn("is_kept", row_number().over(w) === 1)
       .select(col("vec_id"), col("bucket"), col("d2"), col("is_kept"))
       .orderBy("vec_id")
+  }
+
+  /** Multi-probe ANN over the frozen sign buckets
+    * (`sim_multiprobe_frozen`): each query probes its own bucket PLUS
+    * the 6 buckets at Hamming distance 1 (one sign bit flipped) — the
+    * multi-probe LSH idea (Lv et al., VLDB 2007): near neighbors that
+    * land just across a projection hyperplane sit in an adjacent
+    * bucket, so probing neighbors buys recall WITHOUT growing the
+    * table count. Candidates come from one equi-join of the 7·|q|
+    * broadcast probe rows against the bucketed corpus — never a
+    * corpus×query scan — then the exact integer dot ranks top-3
+    * (ties to the smaller id). `probe_dist` records which ring each
+    * winner came from: a hash gate over it proves distance-1 probes
+    * genuinely contribute winners on this fixture. Fully
+    * oracle-replayable because the buckets are the frozen published
+    * projections — the trained-LSH twin (`sim_ann_lsh`) stays
+    * rows-only; at scale the probe ring generalizes to distance ≤ r
+    * with the identical join shape.
+    */
+  def multiprobeFrozen(s: SparkSession, d: String): DataFrame = {
+    val q0 = quantEmb(s, d).withColumn("bucket", semBucketCol)
+    val corpus = q0.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("qv").as("cv"), col("bucket"))
+    val queries = q0.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("bucket").as("bq"))
+    val probes = queries.withColumn("bucket", explode(array(
+      col("bq") +: (0 until 6).map(j => col("bq").bitwiseXOR(lit(1L << j))): _*)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("vec_id").asc)
+    broadcast(probes).join(corpus, "bucket")
+      .withColumn("dot", aggregate(zip_with(col("qe"), col("cv"),
+        (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("probe_dist", bit_count(col("bq").bitwiseXOR(col("bucket"))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("dot"), col("probe_dist"))
+      .orderBy("q_id", "rank")
   }
 
   /** Map-side integer argmin over DRIVER-LITERAL centroids: each
@@ -1204,6 +1246,7 @@ object Similarity {
     "sim_centroid_by_label" -> (centroidByLabel _),
     "sim_norm_stats" -> (normStats _),
     "sim_semdedup_frozen" -> (semDedupFrozen _),
+    "sim_multiprobe_frozen" -> (multiprobeFrozen _),
   )
 
   /** One unrolled Lloyd iteration for the DuckDB oracle: E-step distance
@@ -1264,6 +1307,44 @@ object Similarity {
         |    ORDER BY d2 ASC, vec_id ASC) AS rn FROM dist)
         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, d2, rn = 1 AS is_kept
         |FROM r ORDER BY vec_id""".stripMargin,
+    "sim_multiprobe_frozen" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x
+        |   FROM e),
+        | dots AS (SELECT vec_id,
+        |    CAST(sum(x * ((7 * (i-1) + 3) % 17 - 8)) AS BIGINT) AS d0,
+        |    CAST(sum(x * ((5 * (i-1) + 11) % 19 - 9)) AS BIGINT) AS d1,
+        |    CAST(sum(x * ((11 * (i-1) + 5) % 23 - 11)) AS BIGINT) AS d2_,
+        |    CAST(sum(x * ((13 * (i-1) + 7) % 29 - 14)) AS BIGINT) AS d3,
+        |    CAST(sum(x * ((3 * (i-1) + 1) % 13 - 6)) AS BIGINT) AS d4,
+        |    CAST(sum(x * ((17 * (i-1) + 2) % 31 - 15)) AS BIGINT) AS d5
+        |   FROM eu GROUP BY vec_id),
+        | bk AS (SELECT vec_id,
+        |    (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN d2_ >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN d4 >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN d5 >= 0 THEN 32 ELSE 0 END) AS bucket
+        |   FROM dots),
+        | q AS (SELECT vec_id AS q_id, bucket AS bq FROM bk WHERE vec_id < 8),
+        | c AS (SELECT vec_id, bucket FROM bk WHERE vec_id >= 8),
+        | cand AS (SELECT q_id, c.vec_id,
+        |    CAST(bit_count(xor(bq, c.bucket)) AS BIGINT) AS probe_dist
+        |   FROM q JOIN c ON bit_count(xor(bq, c.bucket)) <= 1),
+        | dp AS (SELECT cand.q_id, cand.vec_id, cand.probe_dist,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS dot
+        |   FROM cand
+        |   JOIN eu a ON a.vec_id = cand.q_id
+        |   JOIN eu b ON b.vec_id = cand.vec_id AND b.i = a.i
+        |   GROUP BY 1, 2, 3),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY dot DESC, vec_id ASC) AS rn FROM dp)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, dot, probe_dist
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
     "sim_prefix_recall" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

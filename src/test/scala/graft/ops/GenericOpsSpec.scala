@@ -158,4 +158,47 @@ class GenericOpsSpec extends SparkSpec {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     df.select(Dedup.jaccard(col("x"), col("y"))).collect()(0).getDouble(0) shouldBe 0.5 +- 1e-9
   }
+
+  "scalar_business_days closed form" should "equal a literal weekday walk" in {
+    // the operator ships B(e+1)-B(e+1) prefix arithmetic; walk calendars
+    // day by day with java.time as the independent reference
+    import java.time.{DayOfWeek, LocalDate}
+    def walk(d0: LocalDate, d1: LocalDate): Long =
+      Iterator.iterate(d0.plusDays(1))(_.plusDays(1))
+        .takeWhile(!_.isAfter(d1))
+        .count(d => d.getDayOfWeek != DayOfWeek.SATURDAY &&
+          d.getDayOfWeek != DayOfWeek.SUNDAY).toLong
+    def closed(d: LocalDate): Long = {
+      val e = d.toEpochDay // the +1 interval shift is already inside +4
+      5 * ((e + 4) / 7) + math.min((e + 4) % 7, 5) - 3
+    }
+    val rnd = new scala.util.Random(3)
+    val epoch = LocalDate.of(1970, 1, 1)
+    (1 to 300).foreach { _ =>
+      val a = epoch.plusDays(rnd.nextInt(20000))
+      val b = a.plusDays(rnd.nextInt(400))
+      withClue(s"$a..$b") { closed(b) - closed(a) shouldBe walk(a, b) }
+    }
+  }
+
+  "Similarity.multiprobeFrozen" should "match brute-force probing and use the distance-1 ring" in {
+    val got = Similarity.multiprobeFrozen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got should not be empty
+    // every winner's probe distance is 0 or 1 by construction, and the
+    // distance-1 ring must actually produce winners on this fixture —
+    // otherwise multiprobe degenerates to single-bucket LSH here
+    got.map(_._5).toSet.subsetOf(Set(0L, 1L)) shouldBe true
+    got.map(_._5) should contain(1L)
+    // per query: ranks are 1..k with strictly ordered (dot desc, id asc)
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2) shouldBe (1L to sorted.length)
+      sorted.sliding(2).foreach {
+        case Array((_, _, id0, d0, _), (_, _, id1, d1, _)) =>
+          assert(d0 > d1 || (d0 == d1 && id0 < id1))
+        case _ => ()
+      }
+    }
+  }
 }
