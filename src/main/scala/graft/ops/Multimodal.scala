@@ -791,12 +791,35 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Transform-coder decode as a query (`mm_decode_jpeg`): encode each
+    * document as a DC-only baseline JFIF (real Annex K Huffman
+    * streams, DRI=3 restart markers, 0xFF00 stuffing, planted COM
+    * junk) and DECODE it with [[JpegCodec]]. The oracle predicts dims
+    * and the gray sums from the per-block formula alone — constant
+    * blocks make the DCT round trip exact (S₀₀ = 8·(g−128), quantizer
+    * 8), so the hash gate certifies the full marker walk + MSB-first
+    * magnitude-category Huffman decode + predictor resets. Third
+    * entropy-coder family next to PNG (Huffman+LZ77) and GIF (LZW).
+    */
+  def mediaDecodeJpeg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, sum, wsum) = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(id, nc))
+        PngFeatures(id, w.toLong, h.toLong, sum, wsum)
+      })
+      .toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_shard_plan" -> (shardPlan _),
     "mm_media_meta" -> (mediaMeta _),
     "mm_decode_bmp" -> (mediaDecodeBmp _),
     "mm_decode_png" -> (mediaDecodePng _),
     "mm_decode_gif" -> (mediaDecodeGif _),
+    "mm_decode_jpeg" -> (mediaDecodeJpeg _),
     "mm_decode_wav" -> (mediaDecodeWav _),
     "mm_decode_ulaw" -> (mediaDecodeUlaw _),
     "mm_audio_rms" -> (audioFrameRms _),
@@ -883,6 +906,24 @@ object Multimodal {
         | CAST(sum(rgb) AS BIGINT) AS pix_sum,
         | CAST(sum((p + 1) * rgb) AS BIGINT) AS pix_wsum
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // JPEG: per-8x8-block constant-gray formula — the oracle never sees
+    // Huffman categories, restarts, or stuffing; only a correct T.81
+    // baseline decode reproduces these sums
+    "mm_decode_jpeg" ->
+      """WITH dims AS (SELECT doc_id,
+        |    8 * (1 + n_chars % 4) AS w, 8 * (1 + n_chars % 3) AS h
+        |   FROM documents),
+        | px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        | v AS (SELECT doc_id, w, h, p,
+        |    ((p // w) // 8) * (w // 8) + (p % w) // 8 AS b FROM px),
+        | g AS (SELECT doc_id, w, h, p,
+        |    (23 * doc_id + 41 * b + 7 * b * b + 13) % 256 AS gray FROM v)
+        |SELECT doc_id,
+        | CAST(any_value(w) AS BIGINT) AS width,
+        | CAST(any_value(h) AS BIGINT) AS height,
+        | CAST(sum(gray) AS BIGINT) AS pix_sum,
+        | CAST(sum((p + 1) * gray) AS BIGINT) AS pix_wsum
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the PNG replay shares mm_decode_bmp's pixel contract — the oracle
     // knows nothing about compression; only a byte-perfect decode of
     // the entropy-coded container reproduces these sums
