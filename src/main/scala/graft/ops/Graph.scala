@@ -942,7 +942,62 @@ object Graph {
     visited.groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
   }
 
+  /** Hierarchy subtree rollup (`graph_subtree_rollup`): per ancestor,
+    * the order-spend cents and node count of its ENTIRE subtree — the
+    * org-chart / category-tree / BOM aggregation that recursive SQL
+    * engines answer with a recursive CTE and sequential engines with a
+    * per-chain walk. Here the node→ancestor closure is built by
+    * POINTER DOUBLING: `jump_k(n)` = the 2^k-th ancestor, each round
+    * squares the jump table (one self-equi-join) and extends every
+    * node's known-ancestor set through it, so a depth-D hierarchy
+    * closes in ⌈log₂ D⌉ rounds — 4 rounds cover depth 16, i.e. 10^16
+    * nodes of this decimal-radix tree; a 100 TB corpus adds rows, not
+    * rounds. Closure size is N·depth = N·log N pairs (exactly what the
+    * oracle's recursive CTE materializes), the rollup is one keyed agg
+    * over it. The tree is deterministic from the data: parent(c) =
+    * c div 10 (customer 0 is the root), so the DuckDB recursive CTE
+    * replays the identical structure with no published model.
+    */
+  def subtreeRollup(s: SparkSession, d: String): DataFrame = {
+    val par = Sources.customer(s, d)
+      .select(col("c_custkey").cast("long").as("id"))
+      .withColumn("pid", expr("id div 10"))
+    // anc = known (node, ancestor) pairs; jump = 2^k-step parent table
+    var anc = Checkpoints.pin(
+      par.select(col("id").as("n"), col("id").as("a"))
+        .unionAll(par.filter(col("pid") =!= col("id"))
+          .select(col("id").as("n"), col("pid").as("a"))), eager = false)
+    var jump = Checkpoints.pin(par, eager = false)
+    for (_ <- 1 to 4) { // covers depth <= 2^4
+      anc = Checkpoints.pin(
+        anc.unionAll(
+          anc.join(jump, anc("a") === jump("id"))
+            .select(anc("n"), jump("pid").as("a")))
+          .distinct(), eager = false)
+      val j2 = jump.select(col("id").as("jid"), col("pid").as("jpid"))
+      jump = Checkpoints.pin(
+        jump.join(j2, jump("pid") === j2("jid"))
+          .select(jump("id"), col("jpid").as("pid")), eager = false)
+    }
+    val spend = Sources.customer(s, d)
+      .select(col("c_custkey").cast("long").as("id"))
+      .join(Sources.orders(s, d)
+          .select(col("o_custkey").cast("long").as("id"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        Seq("id"), "left")
+      .groupBy("id")
+      .agg(coalesce(sum("cents"), lit(0L)).as("cents"),
+        count(col("cents")).as("n_orders"))
+    anc.join(spend, anc("n") === spend("id"))
+      .groupBy(col("a").as("anc_id"))
+      .agg(count(lit(1)).as("n_desc"),
+        sum("cents").as("sub_cents"),
+        sum("n_orders").as("sub_orders"))
+      .orderBy("anc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_subtree_rollup" -> (subtreeRollup _),
     "graph_modularity" -> (modularity _),
     "graph_bfs_layers" -> (bfsLayers _),
     "graph_degree_hist" -> (degreeHist _),
@@ -1046,6 +1101,29 @@ object Graph {
        |ORDER BY r DESC, part LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recursive CTE over the same decimal-radix parent relation — the
+    // pointer-doubling closure must reproduce it pair-for-pair
+    "graph_subtree_rollup" ->
+      """WITH RECURSIVE par AS (
+        |   SELECT c_custkey AS id, c_custkey // 10 AS pid FROM customer),
+        | anc AS (
+        |   SELECT id AS n, id AS a FROM par
+        |   UNION ALL
+        |   SELECT anc.n, par.pid
+        |   FROM anc JOIN par ON anc.a = par.id WHERE par.pid != anc.a),
+        | spend AS (
+        |   SELECT c.c_custkey AS id,
+        |     CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+        |       AS BIGINT) AS cents,
+        |     CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        |   FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |   GROUP BY 1)
+        |SELECT anc.a AS anc_id,
+        | CAST(count(*) AS BIGINT) AS n_desc,
+        | CAST(sum(spend.cents) AS BIGINT) AS sub_cents,
+        | CAST(sum(spend.n_orders) AS BIGINT) AS sub_orders
+        |FROM anc JOIN spend ON anc.n = spend.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_hits" ->
       s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
          | e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

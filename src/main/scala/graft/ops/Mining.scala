@@ -278,7 +278,36 @@ object Mining {
       .orderBy("pk_a", "pk_b", "pk_c")
   }
 
+  /** Sequential pattern support (`mining_seq_pairs`): for every ordered
+    * event-type pair (a → b), the number of users with SOME a-event
+    * strictly before SOME b-event — the k=2 case of sequential pattern
+    * mining (GSP/PrefixSpan's first pass) and the building block of
+    * funnel mining. The existence test reduces EXACTLY to one keyed
+    * aggregate: user u supports a → b iff min ts(u, a) < max ts(u, b),
+    * so the corpus pays a single (user, type) min/max agg and the pair
+    * expansion is a per-user self-join bounded by the TYPE DOMAIN
+    * squared (≤ |types|² rows per user, a data-model constant) — never
+    * an event×event join. Self-pairs a → a mean "two a-events at
+    * distinct timestamps". Counting is `count(*)` because (user, a, b)
+    * is already unique post-agg.
+    */
+  def seqPairs(s: SparkSession, d: String): DataFrame = {
+    val ut = Sources.events(s, d)
+      .select(col("user_id"), col("event_type").as("t"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id", "t")
+      .agg(min("us").as("first_us"), max("us").as("last_us"))
+    val a = ut.select(col("user_id"), col("t").as("type_a"), col("first_us"))
+    val b = ut.select(col("user_id"), col("t").as("type_b"), col("last_us"))
+    a.join(b, "user_id")
+      .filter(col("first_us") < col("last_us"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("support"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mining_seq_pairs" -> (seqPairs _),
     "mining_frequent_triples" -> (frequentTriples _),
     "mining_frequent_pairs" -> (frequentPairs _),
     "mining_association_rules" -> (associationRules _),
@@ -288,6 +317,17 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    // the min/max reduction must equal the existential definition —
+    // DuckDB replays the same (user, type) agg + bounded pair join
+    "mining_seq_pairs" ->
+      """WITH ut AS (SELECT user_id, event_type AS t,
+        |    min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |   FROM events GROUP BY 1, 2)
+        |SELECT a.t AS type_a, b.t AS type_b,
+        | CAST(count(*) AS BIGINT) AS support
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        | AND a.first_us < b.last_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // brute-force 3-way basket self-join — the engine's A-Priori
     // candidate pruning must reproduce it exactly (downward closure
     // drops no triple at or above the threshold)

@@ -201,4 +201,55 @@ class GenericOpsSpec extends SparkSpec {
       }
     }
   }
+
+  "Graph.subtreeRollup" should "equal a literal per-chain ancestor walk" in {
+    val spend = graft.io.Sources.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("id"))
+      .join(graft.io.Sources.orders(spark, sfDir)
+          .select(col("o_custkey").cast("long").as("id"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        Seq("id"), "left")
+      .groupBy("id")
+      .agg(coalesce(sum("cents"), lit(0L)).as("cents"),
+        count(col("cents")).as("n_orders"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // walk every node's chain n -> n/10 -> ... -> 0, accumulate per anc
+    val acc = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    spend.keys.foreach { n =>
+      var a = n
+      var prev = -1L
+      while (a != prev) {
+        val (c, o) = spend(n)
+        val (d0, c0, o0) = acc.getOrElse(a, (0L, 0L, 0L))
+        acc(a) = (d0 + 1, c0 + c, o0 + o)
+        prev = a; a = a / 10
+      }
+    }
+    val got = Graph.subtreeRollup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got shouldBe acc.toMap
+  }
+
+  "Mining.seqPairs" should "equal the existential before/after definition" in {
+    val evs = graft.io.Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // support = #users with SOME a-event strictly before SOME b-event:
+    // enumerate concrete event pairs per user, dedupe to the user's
+    // supported (a, b) set, then count users per pair
+    val perUser = evs.groupBy(_._1).values.flatMap { rows =>
+      (for {
+        (_, ta, ua) <- rows
+        (_, tb, ub) <- rows
+        if ua < ub
+      } yield (ta, tb)).toSet
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    perUser should not be empty
+    val got = Mining.seqPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got shouldBe perUser
+  }
 }
