@@ -425,7 +425,55 @@ object Ml {
       .orderBy("doc_id", "bucket")
   }
 
+  /** Isotonic calibration of the frozen scorer (`ml_isotonic_frozen`):
+    * the PAVA (pool-adjacent-violators) fit of observed positive rate
+    * vs score decile, computed through the MINIMAX closed form
+    * iso(i) = max_{j≤i} min_{k≥i} rate(j..k) — the textbook identity
+    * that replaces PAVA's sequential pooling loop with pure relational
+    * algebra, which is what makes isotonic regression runnable inside
+    * an engine (and SQL-oracle-checkable) at all. The corpus pays ONE
+    * keyed aggregate (bucket → n, n_pos); everything after runs on the
+    * BUCKET DOMAIN (10 rows): cumulative sums over the bounded bucket
+    * window, the j≤k segment table (≤55 rows), and the (i,j,k) triple
+    * join (≤220 rows) — corpus-size-independent like the nation-window
+    * allocations. Rates compare on the exact integer 1e-9 lattice
+    * (`(pos·1e9) div n`) — floor commutes with min/max, so `iso_e9` IS
+    * floor(1e9·PAVA) exactly, no double ever ordered. Lattice headroom:
+    * pos·1e9 needs pos < 9.2e9, fine to ~10⁹ positives per segment; a
+    * 10¹² -row corpus would drop to a 1e6 lattice (same plan).
+    */
+  def isotonicFrozen(s: SparkSession, d: String): DataFrame = {
+    val bk = logregScoreFrozen(s, d)
+      .withColumn("bucket", least(floor(col("score") * 10), lit(9.0)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+    // global window over the 10-row bucket table: domain-bounded
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bk
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cpos", sum("n_pos").over(w))
+    val segJ = cum.select(col("bucket").as("j"), col("n").as("jn"),
+      col("n_pos").as("jpos"), col("cn").as("jcn"), col("cpos").as("jcpos"))
+    val segK = cum.select(col("bucket").as("k"),
+      col("cn").as("kcn"), col("cpos").as("kcpos"))
+    val seg = segJ.join(segK, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        (col("kcpos") - col("jcpos") + col("jpos")).as("spos"),
+        (col("kcn") - col("jcn") + col("jn")).as("sn"))
+      .withColumn("r_e9", expr("(spos * 1000000000L) div sn"))
+    val idx = bk.select(col("bucket").as("i"), col("n"), col("n_pos"))
+    val iso = idx.select("i")
+      .join(seg, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("r_e9").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso_e9"))
+    idx.join(iso, "i")
+      .select(col("i").as("bucket"), col("n"), col("n_pos"), col("iso_e9"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_isotonic_frozen" -> (isotonicFrozen _),
     "ml_feature_hash" -> (featureHash _),
     "ml_target_encoding" -> (targetEncoding _),
     "ml_nb_confusion" -> (nbConfusion _),
@@ -440,6 +488,47 @@ object Ml {
   )
 
   val oracles: Map[String, String] = Map(
+    // same frozen scoring CTE as ml_calibration_frozen, then the
+    // minimax identity on the exact 1e-9 integer lattice
+    "ml_isotonic_frozen" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |    ln(1.0 + CAST(n_chars AS DOUBLE)) AS f1,
+        |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1))
+        |      / CAST(len(ws) AS DOUBLE) AS f2,
+        |    CAST(len(list_filter(ws, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f3,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f4
+        |  FROM w),
+        |e AS (SELECT doc_id,
+        |    1.0 * (-16.0) + f1 * 3.0 + f2 * (-1.2) + f3 * 25.0 + f4 * 6.0 AS eta
+        |  FROM f),
+        |p AS (SELECT doc_id, 1.0 / (1.0 + exp(-eta)) AS mu,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM e),
+        |sc AS (SELECT CASE WHEN u < mu THEN 1 ELSE 0 END AS label,
+        |    round(mu, 6) + 0.0 AS score
+        |  FROM p),
+        |bk AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS n_pos
+        |  FROM sc GROUP BY 1),
+        |cum AS (SELECT bucket, n, n_pos,
+        |    CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cn,
+        |    CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cpos
+        |  FROM bk),
+        |seg AS (SELECT j.bucket AS j, k.bucket AS k,
+        |    (k.cpos - j.cpos + j.n_pos) AS spos, (k.cn - j.cn + j.n) AS sn
+        |  FROM cum j JOIN cum k ON j.bucket <= k.bucket),
+        |tri AS (SELECT i.bucket AS i, s.j,
+        |    (s.spos * 1000000000) // s.sn AS r
+        |  FROM bk i JOIN seg s ON s.j <= i.bucket AND i.bucket <= s.k),
+        |mn AS (SELECT i, j, min(r) AS m FROM tri GROUP BY 1, 2),
+        |iso AS (SELECT i, max(m) AS iso_e9 FROM mn GROUP BY 1)
+        |SELECT bk.bucket, bk.n, bk.n_pos,
+        | CAST(iso.iso_e9 AS BIGINT) AS iso_e9
+        |FROM bk JOIN iso ON bk.bucket = iso.i ORDER BY 1""".stripMargin,
     "ml_feature_hash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |   FROM documents),

@@ -105,6 +105,40 @@ class MlSpec extends SparkSpec {
     rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap shouldBe want
   }
 
+  "Ml.isotonicFrozen" should "equal the literal sequential PAVA pooling" in {
+    val rows = Ml.isotonicFrozen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    rows should not be empty
+    // reference: textbook pool-adjacent-violators on (n, pos) buckets,
+    // exact rational pools compared by cross-multiplication
+    case class Pool(var n: Long, var pos: Long)
+    val pools = scala.collection.mutable.ArrayBuffer[Pool]()
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    rows.foreach { case (_, n, pos, _) =>
+      pools += Pool(n, pos); sizes += 1
+      while (pools.length > 1 && {
+        val a = pools(pools.length - 2); val b = pools.last
+        a.pos * b.n > b.pos * a.n // violator: rate drops
+      }) {
+        val b = pools.remove(pools.length - 1)
+        pools.last.n += b.n; pools.last.pos += b.pos
+        val s = sizes.remove(sizes.length - 1)
+        sizes(sizes.length - 1) += s
+      }
+    }
+    val pava = pools.iterator.zip(sizes.iterator).flatMap { case (p, s) =>
+      Iterator.fill(s)((p.pos, p.n))
+    }.toSeq
+    // iso_e9 must be floor(1e9 * pooled rate) bucket by bucket
+    rows.map(_._4) shouldBe pava.map { case (pos, n) => pos * 1000000000L / n }
+    // and non-decreasing (the whole point of the fit)
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => a should be <= b
+      case _ => ()
+    }
+  }
+
   it should "serve weights from the persisted model table" in {
     val w1 = Ml.logregWeights(spark, "/root/testdata/sf0.01").collect()
     w1.length shouldBe 5
