@@ -746,12 +746,14 @@ object Multimodal {
 
   /** Entropy-coded decode as a query (`mm_decode_png`): encode each
     * document as a genuine PNG — compressed IDAT, cycling None/Sub/Up
-    * filters, every 5th doc a stored block, every 4th a split IDAT —
-    * then DECODE the bytes with [[PngCodec]] and ship what the decoder
-    * recovered. The oracle predicts the dims and both raster-weighted
-    * pixel statistics from the shared pixel contract alone, so the hash
-    * check certifies the complete decode chain: chunk walk + CRC-32s,
-    * IDAT reassembly, zlib framing + Adler-32, bit-level fixed-Huffman
+    * filters, every 5th doc a stored block, every 3rd a
+    * DYNAMIC-Huffman block (r12: transmitted code-length codes, full
+    * RFC 1951), every 4th a split IDAT — then DECODE the bytes with
+    * [[PngCodec]] and ship what the decoder recovered. The oracle
+    * predicts the dims and both raster-weighted pixel statistics from
+    * the shared pixel contract alone, so the hash check certifies the
+    * complete decode chain: chunk walk + CRC-32s, IDAT reassembly,
+    * zlib framing + Adler-32, bit-level fixed- AND dynamic-Huffman
     * inflate with LZ77 window copies, and PNG filter reconstruction —
     * a wrong bit anywhere lands in the wrong pixel sum. Same batched
     * `mapPartitions` codec shape as the BMP/WAV passes: per-pixel rows

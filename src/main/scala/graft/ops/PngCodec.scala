@@ -1,11 +1,15 @@
 package graft.ops
 
 /** Minimal-but-REAL PNG codec (RFC 2083 container + RFC 1950 zlib +
-  * RFC 1951 deflate restricted to STORED and FIXED-HUFFMAN blocks) —
-  * the entropy-coded step the r11 multimodal work left open: the
-  * BMP/WAV codecs proved the container walk, this proves a genuine
-  * entropy decode (bit-level Huffman, LZ77 back-references, filter
-  * reconstruction) in the same hash-checked style.
+  * the COMPLETE RFC 1951 deflate surface: STORED, FIXED-HUFFMAN, and
+  * DYNAMIC-HUFFMAN blocks) — the entropy-coded step the r11 multimodal
+  * work left open: the BMP/WAV codecs proved the container walk, this
+  * proves a genuine entropy decode (bit-level Huffman, LZ77
+  * back-references, filter reconstruction) in the same hash-checked
+  * style. The r12 dynamic path reads transmitted code-length codes
+  * (16/17/18 RLE symbols) and builds both canonical trees from the
+  * stream — validated against real `java.util.zip.Deflater` output,
+  * which emits dynamic blocks by default.
   *
   * Everything is implemented from the public specs — including CRC-32
   * (ISO 3309 reflected polynomial) and Adler-32, which the spec
@@ -35,8 +39,8 @@ package graft.ops
   * bit-by-bit — 7-bit 256..279, 8-bit 0..143 / 280..287, 9-bit
   * 144..255), overlap-correct window copies, and filter reconstruction
   * for ALL five filter types (encoder emits three; Average/Paeth are
-  * unit-tested). Dynamic-Huffman blocks (BTYPE=10) throw by contract —
-  * the documented subset, loudly refused.
+  * unit-tested). Dynamic-Huffman blocks (BTYPE=10) decode through
+  * [[readDynamicTrees]] — full RFC 1951, no subset carve-out.
   */
 object PngCodec {
 
@@ -136,12 +140,13 @@ object PngCodec {
     else if (sym <= 279) (sym - 256, 7) // 0000000..0010111
     else (0xc0 + (sym - 280), 8) // 11000000..11000111
 
-  // ---- deflate (fixed-Huffman, greedy LZ77) ---------------------------
+  // ---- deflate (fixed + dynamic Huffman, greedy LZ77) -----------------
 
-  private[ops] def deflateFixed(data: Array[Byte]): Array[Byte] = {
-    val bw = new BitWriter
-    bw.writeBits(1, 1) // BFINAL
-    bw.writeBits(1, 2) // BTYPE=01 fixed Huffman
+  /** Greedy LZ77 + entropy emit through the given code tables — shared
+    * by the fixed and dynamic block writers.
+    */
+  private def emitLz77(bw: BitWriter, data: Array[Byte],
+      litCode: Int => (Int, Int), distCode: Int => (Int, Int)): Unit = {
     var i = 0
     while (i < data.length) {
       // greedy longest match, closest distance on ties — deterministic
@@ -166,7 +171,7 @@ object PngCodec {
           while (lenBase(c) > bestLen) c -= 1
           c
         }
-        val (code, n) = fixedLitCode(257 + lc)
+        val (code, n) = litCode(257 + lc)
         bw.writeCode(code, n)
         bw.writeBits(bestLen - lenBase(lc), lenExtra(lc))
         val dc = {
@@ -174,17 +179,107 @@ object PngCodec {
           while (distBase(c) > bestDist) c -= 1
           c
         }
-        bw.writeCode(dc, 5)
+        val (dcode, dn) = distCode(dc)
+        bw.writeCode(dcode, dn)
         bw.writeBits(bestDist - distBase(dc), distExtra(dc))
         i += bestLen
       } else {
-        val (code, n) = fixedLitCode(data(i) & 0xff)
+        val (code, n) = litCode(data(i) & 0xff)
         bw.writeCode(code, n)
         i += 1
       }
     }
-    val (eob, eobN) = fixedLitCode(256)
+    val (eob, eobN) = litCode(256)
     bw.writeCode(eob, eobN)
+  }
+
+  private[ops] def deflateFixed(data: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter
+    bw.writeBits(1, 1) // BFINAL
+    bw.writeBits(1, 2) // BTYPE=01 fixed Huffman
+    emitLz77(bw, data, fixedLitCode, dc => (dc, 5))
+    bw.toBytes
+  }
+
+  /** RFC 1951 canonical code assignment from a length array:
+    * symbol → (code, length), consecutive codes in (length, symbol)
+    * order — the encoder-side mirror of [[CanonicalTree]].
+    */
+  private def canonicalCodes1951(lengths: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](lengths.length)
+    var code = 0
+    var prevLen = 0
+    lengths.indices.filter(lengths(_) > 0)
+      .sortBy(s => (lengths(s), s))
+      .foreach { s =>
+        code <<= (lengths(s) - prevLen)
+        prevLen = lengths(s)
+        out(s) = (code, lengths(s))
+        code += 1
+      }
+    out
+  }
+
+  /** One BFINAL dynamic-Huffman block (BTYPE=10): transmits a COMPLETE
+    * length set that is deliberately NOT the fixed one. zlib caps the
+    * transmitted counts at 286 lits / 30 dists, where the fixed shape
+    * is incomplete (Kraft 508/512 and 30/32), so literals 0-1 get
+    * promoted to 7 bits and distances 0-1 to 4 bits to close both
+    * sums exactly — every canonical code class shifts relative to the
+    * fixed table, so a decoder that skips the header and assumes the
+    * fixed codes cannot decode the payload. Lengths go out
+    * RLE-compressed through a 6-symbol code-length code with
+    * repeat-16 runs, then the same greedy LZ77 stream flows through
+    * the transmitted trees. zlib-strict throughout
+    * (`java.util.zip.Inflater` accepts the stream — spec-verified).
+    */
+  private[ops] def deflateDynamic(data: Array[Byte]): Array[Byte] = {
+    val litLens = Array.tabulate(286)(s =>
+      if (s <= 1) 7
+      else if (s <= 143) 8 else if (s <= 255) 9 else if (s <= 279) 7 else 8)
+    val distLens = Array.tabulate(30)(s => if (s <= 1) 4 else 5)
+    val bw = new BitWriter
+    bw.writeBits(1, 1) // BFINAL
+    bw.writeBits(2, 2) // BTYPE=10 dynamic
+    bw.writeBits(286 - 257, 5) // HLIT
+    bw.writeBits(30 - 1, 5) // HDIST
+    // code-length code: {8, 16}→2 bits, {4, 5, 7, 9}→3 — complete by Kraft
+    val clLens = new Array[Int](19)
+    clLens(16) = 2; clLens(8) = 2
+    clLens(4) = 3; clLens(5) = 3; clLens(7) = 3; clLens(9) = 3
+    bw.writeBits(12 - 4, 4) // HCLEN: permutation prefix through index 11 (sym 4)
+    var i = 0
+    while (i < 12) { bw.writeBits(clLens(clPerm(i)), 3); i += 1 }
+    val clCodes = canonicalCodes1951(clLens)
+    // RLE each length array: value once, runs continue as 16-repeats
+    // (chunks of 3..6, never leaving a 1-2 tail)
+    def emitLens(lens: Array[Int]): Unit = {
+      var i = 0
+      while (i < lens.length) {
+        val v = lens(i)
+        var run = 1
+        while (i + run < lens.length && lens(i + run) == v) run += 1
+        val (c, n) = clCodes(v)
+        bw.writeCode(c, n)
+        var rem = run - 1
+        while (rem >= 3) {
+          val take0 = math.min(6, rem)
+          val take = if (rem - take0 == 1) take0 - 2
+            else if (rem - take0 == 2) take0 - 1 else take0
+          val (rc, rn) = clCodes(16)
+          bw.writeCode(rc, rn)
+          bw.writeBits(take - 3, 2)
+          rem -= take
+        }
+        while (rem > 0) { bw.writeCode(c, n); rem -= 1 }
+        i += run
+      }
+    }
+    emitLens(litLens)
+    emitLens(distLens)
+    val litCodes = canonicalCodes1951(litLens)
+    val distCodes = canonicalCodes1951(distLens)
+    emitLz77(bw, data, litCodes(_), distCodes(_))
     bw.toBytes
   }
 
@@ -214,25 +309,96 @@ object PngCodec {
     out.toByteArray
   }
 
-  // ---- inflate (stored + fixed-Huffman subset) ------------------------
+  // ---- inflate (stored + fixed + dynamic Huffman: full RFC 1951) ------
 
-  /** Decode one fixed-tree lit/len symbol via the canonical ranges. */
-  private def readFixedLitSym(br: BitReader): Int = {
-    var code = 0
-    var i = 0
-    while (i < 7) { code = (code << 1) | br.readCodeBit(); i += 1 }
-    if (code <= 0x17) return 256 + code // 7-bit: 256..279
-    code = (code << 1) | br.readCodeBit()
-    if (code >= 0x30 && code <= 0xbf) return code - 0x30 // 8-bit: 0..143
-    if (code >= 0xc0 && code <= 0xc7) return 280 + (code - 0xc0) // 8-bit
-    code = (code << 1) | br.readCodeBit()
-    require(code >= 0x190 && code <= 0x1ff, s"bad fixed-Huffman code $code")
-    144 + (code - 0x190) // 9-bit: 144..255
+  /** Canonical Huffman decoder from a code-length array (RFC 1951
+    * §3.2.2): codes assigned in (length, symbol) order, read
+    * MSB-of-code-first. The MINCODE/MAXCODE/VALPTR walk caps at the
+    * deflate maximum of 15 bits.
+    */
+  private[ops] final class CanonicalTree(lengths: Array[Int]) {
+    private val maxLen = 15
+    private val minCode = new Array[Int](maxLen + 1)
+    private val maxCode = Array.fill(maxLen + 1)(-1)
+    private val valPtr = new Array[Int](maxLen + 1)
+    private val vals: Array[Int] = {
+      val order = (0 until lengths.length)
+        .filter(lengths(_) > 0).sortBy(s => (lengths(s), s)).toArray
+      var code = 0
+      var k = 0
+      for (len <- 1 to maxLen) {
+        val n = order.count(lengths(_) == len)
+        if (n > 0) {
+          valPtr(len) = k
+          minCode(len) = code
+          code += n; k += n
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+      }
+      order
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.readCodeBit()
+      var len = 1
+      while (code > maxCode(len)) {
+        require(len < maxLen, "huffman code overruns 15 bits")
+        code = (code << 1) | br.readCodeBit()
+        len += 1
+      }
+      vals(valPtr(len) + code - minCode(len))
+    }
   }
 
-  /** Inflate a zlib stream (header + deflate + Adler-32). Supports
-    * stored and fixed-Huffman blocks; dynamic blocks throw (subset
-    * contract). `expectedLen` bounds the output buffer.
+  // fixed trees expressed as canonical code lengths (RFC 1951 §3.2.6):
+  // the spec's fixed code VALUES are exactly the canonical assignment
+  private val fixedLitTree = new CanonicalTree(
+    Array.tabulate(288)(s =>
+      if (s <= 143) 8 else if (s <= 255) 9 else if (s <= 279) 7 else 8))
+  private val fixedDistTree = new CanonicalTree(Array.fill(32)(5))
+
+  // code-length-code transmission order (RFC 1951 §3.2.7)
+  private val clPerm =
+    Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+  /** Read the dynamic-block header: CL tree → RLE'd lit/dist lengths
+    * (symbols 16/17/18 = repeat-prev / zero-run / long-zero-run) →
+    * the two canonical trees.
+    */
+  private def readDynamicTrees(br: BitReader): (CanonicalTree, CanonicalTree) = {
+    val hlit = br.readBits(5) + 257
+    val hdist = br.readBits(5) + 1
+    val hclen = br.readBits(4) + 4
+    val clLens = new Array[Int](19)
+    var i = 0
+    while (i < hclen) { clLens(clPerm(i)) = br.readBits(3); i += 1 }
+    val clTree = new CanonicalTree(clLens)
+    val lens = new Array[Int](hlit + hdist)
+    i = 0
+    while (i < lens.length) {
+      clTree.decode(br) match {
+        case s if s < 16 => lens(i) = s; i += 1
+        case 16 =>
+          require(i > 0, "repeat code with no previous length")
+          val r = 3 + br.readBits(2)
+          val v = lens(i - 1)
+          var k = 0
+          while (k < r) { require(i < lens.length, "length overrun"); lens(i) = v; i += 1; k += 1 }
+        case 17 =>
+          i += 3 + br.readBits(3) // zeros (array pre-initialized)
+        case 18 =>
+          i += 11 + br.readBits(7)
+        case other => sys.error(s"bad code-length symbol $other")
+      }
+    }
+    require(i == lens.length, "code-length stream overran the header counts")
+    (new CanonicalTree(lens.take(hlit)),
+      new CanonicalTree(lens.drop(hlit)))
+  }
+
+  /** Inflate a zlib stream (header + deflate + Adler-32): stored,
+    * fixed-Huffman, AND dynamic-Huffman blocks — the complete RFC 1951
+    * surface. `expectedLen` bounds the output buffer.
     */
   private[ops] def zlibInflate(bytes: Array[Byte], expectedLen: Int): Array[Byte] = {
     require(bytes.length >= 6, "zlib stream truncated")
@@ -259,10 +425,12 @@ object PngCodec {
           System.arraycopy(bytes, p + 4, out, w, len)
           w += len
           br.pos = p + 4 + len
-        case 1 => // fixed Huffman
+        case bt @ (1 | 2) => // fixed or dynamic Huffman
+          val (lit, dst) =
+            if (bt == 1) (fixedLitTree, fixedDistTree) else readDynamicTrees(br)
           var eob = false
           while (!eob) {
-            val sym = readFixedLitSym(br)
+            val sym = lit.decode(br)
             if (sym == 256) eob = true
             else if (sym < 256) {
               require(w < expectedLen, "inflate output overflow")
@@ -271,9 +439,7 @@ object PngCodec {
               val lc = sym - 257
               require(lc < lenBase.length, s"bad length code $sym")
               val len = lenBase(lc) + br.readBits(lenExtra(lc))
-              var dc = 0
-              var i = 0
-              while (i < 5) { dc = (dc << 1) | br.readCodeBit(); i += 1 }
+              val dc = dst.decode(br)
               require(dc < distBase.length, s"bad distance code $dc")
               val dist = distBase(dc) + br.readBits(distExtra(dc))
               require(dist <= w, "distance beyond window start")
@@ -282,8 +448,6 @@ object PngCodec {
               while (k < len) { out(w) = out(w - dist); w += 1; k += 1 } // overlap-safe
             }
           }
-        case 2 => throw new IllegalArgumentException(
-          "dynamic-Huffman deflate block: outside this decoder's documented subset")
         case b => throw new IllegalArgumentException(s"reserved deflate block type $b")
       }
     }
@@ -354,14 +518,17 @@ object PngCodec {
 
   /** Render a genuine PNG for a document (dims from the shared media
     * contract: w = 4 + n_chars%13, h = 3 + n_chars%7). Every 5th doc
-    * uses a stored zlib block; every 4th splits the stream over two
-    * IDAT chunks.
+    * uses a stored zlib block; every 3rd (not stored) a
+    * DYNAMIC-Huffman block; every 4th splits the stream over two IDAT
+    * chunks — all three RFC 1951 block types ship corpus-wide under
+    * the hash gate.
     */
   private[ops] def encodePng(id: Long, nChars: Long): Array[Byte] = {
     val w = (4 + nChars % 13).toInt
     val h = (3 + nChars % 7).toInt
     buildPng(w, h, filteredScanlines(id, w, h),
-      storedBlock = id % 5 == 0, splitIdat = id % 4 == 0)
+      storedBlock = id % 5 == 0, splitIdat = id % 4 == 0,
+      dynamicBlock = id % 3 == 0)
   }
 
   /** Assemble a PNG container around an already-filtered scanline
@@ -369,9 +536,12 @@ object PngCodec {
     * the fixture encoder never emits).
     */
   private[ops] def buildPng(w: Int, h: Int, filtered: Array[Byte],
-      storedBlock: Boolean, splitIdat: Boolean): Array[Byte] = {
+      storedBlock: Boolean, splitIdat: Boolean,
+      dynamicBlock: Boolean = false): Array[Byte] = {
     val z = zlibWrap(
-      if (storedBlock) deflateStored(filtered) else deflateFixed(filtered),
+      if (storedBlock) deflateStored(filtered)
+      else if (dynamicBlock) deflateDynamic(filtered)
+      else deflateFixed(filtered),
       filtered)
     val out = new java.io.ByteArrayOutputStream()
     out.write(signature, 0, signature.length)

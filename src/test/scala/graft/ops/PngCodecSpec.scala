@@ -149,23 +149,69 @@ class PngCodecSpec extends AnyFlatSpec with Matchers {
     // not a PNG at all
     an[IllegalArgumentException] should be thrownBy
       PngCodec.decodePng("BMnotapng".getBytes("US-ASCII"))
-    // dynamic-Huffman zlib is outside the documented subset and must be
-    // refused loudly, not mis-decoded. (On tiny inputs the JDK deflater
-    // itself picks FIXED blocks — which our inflater then decodes — so
-    // this uses a few KB of skewed text where dynamic always wins.)
-    val raw = ("the quick brown fox jumps over the lazy dog; " * 150)
-      .getBytes("US-ASCII")
-    val jdkZlib = {
-      val d = new java.util.zip.Deflater(9, false)
-      d.setInput(raw); d.finish()
-      val buf = new Array[Byte](raw.length * 2 + 64)
-      val n = d.deflate(buf)
-      d.end()
-      buf.take(n)
+  }
+
+  private def jdkZlib(raw: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level, false)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(buf)
+    d.end()
+    buf.take(n)
+  }
+
+  "dynamic-Huffman inflate" should "decode real JDK Deflater streams" in {
+    // the JDK picks DYNAMIC blocks for compressible multi-KB inputs —
+    // arbitrary trees, 17/18 zero-run codes, everything our own encoder
+    // never emits; decoding them proves the full RFC 1951 header path
+    val texts = Seq(
+      ("the quick brown fox jumps over the lazy dog; " * 150).getBytes("US-ASCII"),
+      PngCodec.filteredScanlines(99L, 16, 9) ++ randomBytes(4000, 7),
+      Array.tabulate(6000)(i => ((i * i + i / 3) % 251).toByte))
+    texts.foreach { raw =>
+      PngCodec.zlibInflate(jdkZlib(raw, 9), raw.length).toSeq shouldBe raw.toSeq
+      PngCodec.zlibInflate(jdkZlib(raw, 6), raw.length).toSeq shouldBe raw.toSeq
     }
-    val ex = intercept[IllegalArgumentException] {
-      PngCodec.zlibInflate(jdkZlib, raw.length)
+  }
+
+  it should "round-trip our own dynamic blocks and satisfy the JDK inflater" in {
+    val cases = Seq(
+      PngCodec.filteredScanlines(3L, 12, 8),
+      randomBytes(300, 42),
+      ("ababab" * 200).getBytes("US-ASCII"))
+    cases.foreach { raw =>
+      val deflated = PngCodec.deflateDynamic(raw)
+      // BTYPE of the first block must really be 10 (dynamic)
+      ((deflated(0) >> 1) & 3) shouldBe 2
+      val zl = {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(0x78); out.write(0x01)
+        out.write(deflated, 0, deflated.length)
+        val ad = PngCodec.adler32(raw)
+        out.write((ad >>> 24) & 0xff); out.write((ad >>> 16) & 0xff)
+        out.write((ad >>> 8) & 0xff); out.write(ad & 0xff)
+        out.toByteArray
+      }
+      PngCodec.zlibInflate(zl, raw.length).toSeq shouldBe raw.toSeq
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(deflated)
+      val buf = new Array[Byte](raw.length + 16)
+      val n = inf.inflate(buf)
+      n shouldBe raw.length
+      buf.take(n).toSeq shouldBe raw.toSeq
+      inf.end()
     }
-    ex.getMessage should include("dynamic")
+  }
+
+  it should "decode a dynamic-block PNG end-to-end" in {
+    val filtered = PngCodec.filteredScanlines(6L, 10, 7)
+    val png = PngCodec.buildPng(10, 7, filtered,
+      storedBlock = false, splitIdat = false, dynamicBlock = true)
+    val (w, h, px) = PngCodec.pngPixels(png)
+    (w, h) shouldBe (10, 7)
+    px.indices.foreach { p =>
+      val (r, g, b) = Multimodal.pixel(6L, p.toLong)
+      px(p) shouldBe r + g + b
+    }
   }
 }
