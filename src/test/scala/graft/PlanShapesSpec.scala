@@ -90,7 +90,10 @@ class PlanShapesSpec extends SparkSpec {
     // broadcast build by construction) + 1-row n_days attach
     "ts_theil_sen",
     // 1-row basket-total attach for the triple support denominator
-    "mining_frequent_triples")
+    "mining_frequent_triples",
+    // decile-domain-bounded j≤k segment and j≤i≤k triple theta joins
+    // (≤55 / ≤220 rows by construction — the minimax isotonic lattice)
+    "ml_isotonic_frozen")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
@@ -105,7 +108,11 @@ class PlanShapesSpec extends SparkSpec {
     * levels) must use the two-pass [[graft.ops.Prefix]] shape instead.
     */
   private val sanctionedGlobalWindow =
-    Set("audit_key_skew", "search_hybrid_rrf", "agg_largest_remainder")
+    Set("audit_key_skew", "search_hybrid_rrf", "agg_largest_remainder",
+      // cumulative sums over the 10-row DECILE dimension (bucket =
+      // least(floor(score*10), 9) is domain-bounded by definition,
+      // like the nation apportionment above)
+      "ml_isotonic_frozen")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {
