@@ -243,7 +243,38 @@ object EtlQueries {
       .orderBy("c_nationkey")
   }
 
+  /** Schema-evolution union (`etl_schema_evolution`): land two batches
+    * of the same feed written under DIFFERENT schema versions — v1
+    * (even orderkeys) lacks the `o_orderstatus` column and spells
+    * priority under an old name; v2 (odd) carries both — and reconcile
+    * with `unionByName(allowMissingColumns = true)` + explicit rename,
+    * the Spark-native answer to schema drift (missing columns
+    * NULL-fill; renamed columns are aligned by the mapping, never by
+    * position). The aggregate proves the reconciliation: per priority,
+    * v1 rows contribute NULL statuses (counted separately) and both
+    * versions' revenues land in one column. Pure map-side projections
+    * + one keyed agg — drift handling costs nothing at 100 TB.
+    */
+  def etlSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d)
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio_v1"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val v2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val landed = v1.withColumnRenamed("prio_v1", "o_orderpriority")
+      .unionByName(v2, allowMissingColumns = true)
+    landed.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderstatus")).as("n_with_status"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("n_v1_nulls"),
+        sum("cents").as("rev_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_schema_evolution" -> (etlSchemaEvolution _),
     "etl_ivm_join" -> (etlIvmJoin _),
     "etl_zorder_stats" -> (etlZorderStats _),
     "etl_cdc_apply" -> (etlCdcApply _),
@@ -257,6 +288,24 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the NULL-fill union replay: v1 rows carry NULL status by schema,
+    // v2 rows their real one — counts and revenue must reconcile
+    "etl_schema_evolution" ->
+      """WITH v1 AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |   FROM orders WHERE o_orderkey % 2 = 0),
+        | v2 AS (SELECT o_orderkey, o_orderpriority, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |   FROM orders WHERE o_orderkey % 2 = 1),
+        | landed AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(o_orderstatus) AS BIGINT) AS n_with_status,
+        | CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_v1_nulls,
+        | CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM landed GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_zorder_stats" -> {
       val morton = (0 until 16).map { i =>
         s"((((pk16 >> $i) & 1) << ${2 * i + 1}) + (((sk16 >> $i) & 1) << ${2 * i}))"

@@ -149,7 +149,58 @@ object Privacy {
       .orderBy("c_mktsegment")
   }
 
+  private val segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** LOCAL-DP randomized-response frequency estimation
+    * (`priv_rr_frequency`): each respondent reports their true market
+    * segment with p = 3/4, else one of the other 4 uniformly
+    * (generalized randomized response, k = 5) — the Warner 1965
+    * mechanism that lets an aggregator estimate frequencies while no
+    * individual row is trustworthy. The unbiased estimator inverts the
+    * mixing: E[obs_v] = p·n_v + q·(n − n_v) with q = (1−p)/(k−1) =
+    * 1/16, so n̂_v = (obs_v − n·q)/(p − q) = (16·obs_v − n)/11 — shipped
+    * as exact integers (`est_num`, and the 1e-6-lattice quotient).
+    * Both hash draws (keep? / which alternative?) use the Knuth 2²⁰
+    * lattice keyed on c_custkey, so the DuckDB oracle replays the
+    * mechanism bit-for-bit; as with `priv_dp_*`, a real deployment
+    * keys the hash with a client secret and the true counts would not
+    * ride along — the fixture check certifies the MECHANISM and the
+    * estimator algebra (map-side CASE chain + one keyed aggregate; the
+    * n attach is a 1-row broadcast).
+    */
+  def rrFrequency(s: SparkSession, d: String): DataFrame = {
+    val segIdx = segments.zipWithIndex.foldRight(lit(-1L): Column) {
+      case ((seg, i), rest) =>
+        when(col("c_mktsegment") === seg, lit(i.toLong)).otherwise(rest)
+    }
+    val base = Sources.customer(s, d)
+      .select(col("c_custkey").cast("long").as("ck"), segIdx.as("own"))
+    val u1 = pmod(pmod(col("ck"), lit(1048576L)) * lit(2654435761L), lit(1048576L))
+    val alt = pmod(pmod(col("ck"), lit(1048576L)) * lit(2246822519L), lit(1048576L)) % 4
+    val reported = base.withColumn("rep",
+      when(u1 < lit(786432L), col("own")) // keep with p = 3/4 exactly
+        .otherwise(when(alt >= col("own"), alt + 1).otherwise(alt)))
+    val obs = reported.groupBy(col("rep").as("seg_idx"))
+      .agg(count(lit(1)).as("n_reported"))
+    val truth = base.groupBy(col("own").as("seg_idx"))
+      .agg(count(lit(1)).as("n_true"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    val segName = segments.zipWithIndex.foldRight(lit(""): Column) {
+      case ((seg, i), rest) =>
+        when(col("seg_idx") === i.toLong, lit(seg)).otherwise(rest)
+    }
+    obs.join(truth, Seq("seg_idx"))
+      .crossJoin(broadcast(total))
+      .withColumn("est_num", lit(16L) * col("n_reported") - col("n_total"))
+      .withColumn("n_est_e6", expr("(est_num * 1000000L) div 11"))
+      .select(segName.as("segment"), col("n_reported"), col("n_true"),
+        col("est_num"), col("n_est_e6"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_rr_frequency" -> (rrFrequency _),
     "priv_k_anonymity" -> (kAnonymity _),
     "priv_l_diversity" -> (lDiversity _),
     "priv_dp_counts" -> (dpCounts _),
@@ -164,6 +215,37 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // bit-replay of both hash draws + the estimator algebra; `--`
+    // comments avoided, arithmetic kept on BIGINTs throughout
+    "priv_rr_frequency" ->
+      """WITH segs AS (SELECT c_custkey AS ck,
+        |    CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+        |      WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+        |      ELSE 4 END AS own
+        |   FROM customer),
+        | rep AS (SELECT ck, own,
+        |    ((ck % 1048576) * 2654435761) % 1048576 AS u1,
+        |    (((ck % 1048576) * 2246822519) % 1048576) % 4 AS alt
+        |   FROM segs),
+        | r2 AS (SELECT own,
+        |    CASE WHEN u1 < 786432 THEN own
+        |      WHEN alt >= own THEN alt + 1 ELSE alt END AS rep
+        |   FROM rep),
+        | obs AS (SELECT rep AS seg_idx, CAST(count(*) AS BIGINT) AS n_reported
+        |   FROM r2 GROUP BY 1),
+        | tr AS (SELECT own AS seg_idx, CAST(count(*) AS BIGINT) AS n_true
+        |   FROM r2 GROUP BY 1),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r2)
+        |SELECT
+        | CASE obs.seg_idx WHEN 0 THEN 'AUTOMOBILE' WHEN 1 THEN 'BUILDING'
+        |   WHEN 2 THEN 'FURNITURE' WHEN 3 THEN 'HOUSEHOLD'
+        |   ELSE 'MACHINERY' END AS segment,
+        | obs.n_reported, tr.n_true,
+        | CAST(16 * obs.n_reported - tot.n_total AS BIGINT) AS est_num,
+        | CAST(((16 * obs.n_reported - tot.n_total) * 1000000) // 11
+        |   AS BIGINT) AS n_est_e6
+        |FROM obs JOIN tr ON obs.seg_idx = tr.seg_idx CROSS JOIN tot
+        |ORDER BY segment""".stripMargin,
     "priv_k_anonymity" ->
       s"""WITH cl AS ($qiSql)
          |SELECT c_nationkey, bal_bucket, class_size,

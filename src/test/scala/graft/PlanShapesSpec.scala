@@ -93,7 +93,9 @@ class PlanShapesSpec extends SparkSpec {
     "mining_frequent_triples",
     // decile-domain-bounded j≤k segment and j≤i≤k triple theta joins
     // (≤55 / ≤220 rows by construction — the minimax isotonic lattice)
-    "ml_isotonic_frozen")
+    "ml_isotonic_frozen",
+    // 1-row respondent-total attach for the RR estimator denominator
+    "priv_rr_frequency")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -114,4 +114,50 @@ class PrivacySpec extends SparkSpec {
       noisyMean shouldBe noisySum / noisyN
     }
   }
+
+  "Privacy.rrFrequency" should "satisfy the RR mechanism and estimator identities" in {
+    val rows = Privacy.rrFrequency(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.length shouldBe 5
+    val n = rows.map(_._3).sum // true counts partition the respondents
+    rows.map(_._2).sum shouldBe n // reports partition them too
+    // Σ est_num = Σ(16·obs_v − n) = 16n − 5n = 11n EXACTLY — the
+    // estimator is a bijective linear reweighting, so totals reconcile
+    rows.map(_._4).sum shouldBe 11 * n
+    // replay the mechanism per respondent: reported counts must equal
+    // the hash-replayed assignment EXACTLY, and the keep rate sits
+    // near the designed 3/4
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val resp = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), segs.indexOf(r.getString(1))))
+    val replayed = resp.map { case (ck, own) =>
+      val u1 = ((ck % 1048576L) * 2654435761L) % 1048576L
+      val alt = ((((ck % 1048576L) * 2246822519L) % 1048576L) % 4L).toInt
+      if (u1 < 786432L) own else if (alt >= own) alt + 1 else alt
+    }
+    val flips = resp.zip(replayed).count { case ((_, own), rep) => rep != own }
+    flips.toDouble / n should (be > 0.10 and be < 0.35) // ≈1/4: alt skips own
+    val repCounts = replayed.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.zipWithIndex.foreach { case ((_, nReported, _, _, _), i) =>
+      nReported shouldBe repCounts.getOrElse(i, 0L)
+    }
+    // the debiased estimate tracks the truth far better than raw obs
+    rows.foreach { case (_, _, nTrue, estNum, _) =>
+      math.abs(estNum / 11.0 - nTrue) should be < (0.25 * n / 5 + 10.0)
+    }
+  }
+
+  "EtlQueries.etlSchemaEvolution" should "reconcile both schema versions" in {
+    val rows = graft.etl.EtlQueries.etlSchemaEvolution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows should not be empty
+    rows.foreach { case (_, nRows, withStatus, v1Nulls, _) =>
+      nRows shouldBe withStatus + v1Nulls // NULL-fill partitions each group
+      withStatus should be > 0L // v2 rows present
+      v1Nulls should be > 0L // v1 rows present
+    }
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    rows.map(_._2).sum shouldBe total // nothing dropped by the union
+  }
 }
