@@ -554,8 +554,36 @@ object ScaleProbe {
         erGroups = g.select("group_id").distinct().count()
         erGroups
       }
+      // Subtree-rollup probe (r12): decimal-radix tree over 15k·k
+      // synthetic nodes (the graph_subtree_rollup shape). Pointer
+      // doubling runs a FIXED four rounds at every scale — depth grows
+      // +1 per 10× nodes, rounds = ⌈log₂ depth⌉ — so closure rows must
+      // track N·depth (≈ N·log₁₀N) and wall ~N; a per-level iterative
+      // walk would add rounds with scale, an all-pairs ancestor join
+      // would grow N·N.
+      val treeN = 15000L * k
+      val treeNodes = spark.range(treeN).select(col("id")).localCheckpoint(true)
+      var closureRows = 0L
+      val tTree = time {
+        val par = treeNodes.withColumn("pid", expr("id div 10"))
+        var anc = par.select(col("id").as("n"), col("id").as("a"))
+          .unionAll(par.filter(col("pid") =!= col("id"))
+            .select(col("id").as("n"), col("pid").as("a")))
+        var jump = par.select(col("id").as("ji"), col("pid").as("jp"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          anc = anc.unionAll(anc.join(jump, col("a") === col("ji"))
+              .select(col("n"), col("jp").as("a"))).distinct()
+            .localCheckpoint(true)
+          val j2 = jump.select(col("ji").as("j2i"), col("jp").as("j2p"))
+          jump = jump.join(j2, col("jp") === col("j2i"))
+            .select(col("ji"), col("j2p").as("jp")).localCheckpoint(true)
+        }
+        closureRows = anc.count()
+        closureRows
+      }
       val rows = li.count()
-      println(s"""{"scale":$k,"er_parts":$erParts,"er_banded_cand":$erBandedCand,"er_brand_cand":$erBrandCand,"er_pairs09":$erPairs09,"er_pairs_sec":$tErPairs,"er_cc_rounds":$erCcRounds,"er_cc_groups":$erGroups,"er_cc_sec":$tErCc,"dupspan_gram_rows":$gramRows,"dupspan_gram_str_bytes":$gramStrBytes,"dupspan_gram_hash_bytes":${gramRows * 8},"dupspan_rows":$spanRows,"dupspan_sec":$tSpan,"tri_rows":$triRows,"tri_sec":$tTri,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge,"prmaint_new_edges":$prmNewEdges,"prmaint_full_derive_sec":$tPrmFullDerive,"prmaint_merge_sec":$tPrmMerge}""")
+      println(s"""{"scale":$k,"tree_nodes":$treeN,"tree_closure_rows":$closureRows,"tree_sec":$tTree,"er_parts":$erParts,"er_banded_cand":$erBandedCand,"er_brand_cand":$erBrandCand,"er_pairs09":$erPairs09,"er_pairs_sec":$tErPairs,"er_cc_rounds":$erCcRounds,"er_cc_groups":$erGroups,"er_cc_sec":$tErCc,"dupspan_gram_rows":$gramRows,"dupspan_gram_str_bytes":$gramStrBytes,"dupspan_gram_hash_bytes":${gramRows * 8},"dupspan_rows":$spanRows,"dupspan_sec":$tSpan,"tri_rows":$triRows,"tri_sec":$tTri,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge,"prmaint_new_edges":$prmNewEdges,"prmaint_full_derive_sec":$tPrmFullDerive,"prmaint_merge_sec":$tPrmMerge}""")
     }
     spark.stop()
   }

@@ -454,7 +454,37 @@ object Stats {
       .orderBy("c_nationkey")
   }
 
+  /** Kernel density estimate on a FROZEN evaluation grid
+    * (`stats_kde_grid`): order totals (whole dollars) smoothed with the
+    * Epanechnikov kernel K(u) ∝ 1 − u² at bandwidth H = 25 000 $,
+    * evaluated at the 41 published grid points g = 12 500·j — the
+    * standard distribution-shape diagnostic, in the frozen-basis
+    * discipline so the whole computation sits under the hash gate. The
+    * kernel is kept INTEGER: w(x, g) = max(0, H² − (x − g)²) — the
+    * unnormalized Epanechnikov numerator — so `kde_num(g) = Σ_x w` is
+    * exact BIGINT arithmetic identical in both engines; density needs
+    * only the published constant factor (3/(4H³·n)), which a consumer
+    * applies outside. Plan: one broadcast of the 41-row grid against
+    * the corpus scan (fan-out bounded by |grid|, a published constant),
+    * kernel-support filter, one keyed agg. Lattice headroom: w ≤ H² =
+    * 6.25e8, so Σ fits BIGINT to ~10⁹ in-support rows per point; a
+    * 10¹²-row corpus re-scales dollars→10-dollar units (same plan).
+    */
+  def kdeGrid(s: SparkSession, d: String): DataFrame = {
+    val h = 25000L // bandwidth, whole dollars
+    val grid = s.range(0, 41).select((col("id") * 12500L).as("g"))
+    val x = Sources.orders(s, d)
+      .select(round(col("o_totalprice")).cast("long").as("x"))
+    x.crossJoin(broadcast(grid))
+      .filter(abs(col("x") - col("g")) < h)
+      .withColumn("w", lit(h * h) - (col("x") - col("g")) * (col("x") - col("g")))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_support"), sum("w").as("kde_num"))
+      .orderBy("g")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_kde_grid" -> (kdeGrid _),
     "agg_trimmed_mean" -> (trimmedMean _),
     "agg_largest_remainder" -> (largestRemainder _),
     "agg_theil_segment" -> (theilBySegment _),
@@ -467,6 +497,16 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer kernel over the identical frozen grid — any
+    // rounding or support-boundary slip breaks the hash
+    "stats_kde_grid" ->
+      """WITH grid AS (SELECT 12500 * CAST(j AS BIGINT) AS g
+        |   FROM generate_series(0, 40) AS t(j)),
+        | x AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS x FROM orders)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_support,
+        | CAST(sum(625000000 - (x - g) * (x - g)) AS BIGINT) AS kde_num
+        |FROM x JOIN grid ON abs(x - g) < 25000
+        |GROUP BY g ORDER BY g""".stripMargin,
     "agg_trimmed_mean" ->
       """WITH h AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,

@@ -95,7 +95,9 @@ class PlanShapesSpec extends SparkSpec {
     // (≤55 / ≤220 rows by construction — the minimax isotonic lattice)
     "ml_isotonic_frozen",
     // 1-row respondent-total attach for the RR estimator denominator
-    "priv_rr_frequency")
+    "priv_rr_frequency",
+    // 41-row published-grid broadcast for the KDE evaluation points
+    "stats_kde_grid")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

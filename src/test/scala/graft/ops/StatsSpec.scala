@@ -331,4 +331,23 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  "Stats.kdeGrid" should "equal the brute-force Epanechnikov numerator" in {
+    val xs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice) AS LONG) AS x").collect()
+      .map(_.getLong(0))
+    val h = 25000L
+    val want = (0 to 40).map(j => 12500L * j).flatMap { g =>
+      val in = xs.filter(x => math.abs(x - g) < h)
+      if (in.isEmpty) None
+      else Some(g -> ((in.length.toLong, in.map(x => h * h - (x - g) * (x - g)).sum)))
+    }.toMap
+    val got = Stats.kdeGrid(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe want
+    // the density shape is non-trivial on this fixture: several
+    // populated points, and mass varies across the grid
+    got.size should be > 10
+    got.values.map(_._2).toSet.size should be > 5
+  }
 }
