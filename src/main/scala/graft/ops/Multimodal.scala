@@ -346,6 +346,49 @@ object Multimodal {
       sample_rate: Long, n_samples: Long, amp_sum: Long,
       amp_abs_sum: Long, peak: Long, zero_crossings: Long)
 
+  /** What the pitch pass recovers from one file. */
+  final case class PitchFeatures(
+      doc_id: Long, n_samples: Long, energy: Long,
+      best_lag: Long, best_corr: Long)
+
+  /** Autocorrelation pitch estimate (`mm_audio_pitch`): the classic
+    * time-domain pitch detector — r(ℓ) = Σ_t s[t]·s[t+ℓ] over lags
+    * 1..40, best lag = argmax (ties to the SMALLER lag) — computed on
+    * the decoded int16 samples INSIDE the codec `mapPartitions` pass,
+    * exact 64-bit integers end-to-end (|s| ≤ 1000, n ≤ 150 ⇒ |r| ≤
+    * 1.5e8; at real corpus scale int16² · n fits BIGINT to ~2×10⁹
+    * samples per clip). No FFT: spectral methods need irrational
+    * twiddles that no integer oracle can replay — the O(n·L) direct
+    * form is exact, and L is a constant (the 200-400 Hz pitch band at
+    * these sample rates). The oracle replays r(ℓ) from the shared
+    * sample formula with a t→t+ℓ self-join, so the hash gate covers
+    * the full decode + feature-extract chain.
+    */
+  def audioPitch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (_, sm) = wavSamples(encodeWav(id, nc))
+        var energy = 0L
+        var t = 0
+        while (t < sm.length) { energy += sm(t).toLong * sm(t); t += 1 }
+        var bestLag = 0L
+        var bestCorr = Long.MinValue
+        var lag = 1
+        while (lag <= 40) {
+          var r = 0L
+          var i = 0
+          while (i + lag < sm.length) { r += sm(i).toLong * sm(i + lag); i += 1 }
+          if (r > bestCorr) { bestCorr = r; bestLag = lag.toLong }
+          lag += 1
+        }
+        PitchFeatures(id, sm.length.toLong, energy, bestLag, bestCorr)
+      })
+      .toDF().orderBy("doc_id")
+  }
+
   /** The real audio-decode pipeline as a query (`mm_decode_wav`):
     * generate a genuine PCM WAV per document, then DECODE the bytes in
     * the batched `mapPartitions` shape and ship what the decoder
@@ -825,6 +868,7 @@ object Multimodal {
     "mm_decode_wav" -> (mediaDecodeWav _),
     "mm_decode_ulaw" -> (mediaDecodeUlaw _),
     "mm_audio_rms" -> (audioFrameRms _),
+    "mm_audio_pitch" -> (audioPitch _),
     "mm_resize_pool" -> (resizePool _),
     "mm_video_frames" -> (videoFrames _),
     "mm_frame_sample" -> (frameSample _),
@@ -967,6 +1011,30 @@ object Multimodal {
         | CAST(sum(av) AS BIGINT) AS pool_sum,
         | CAST(sum(cid1 * av) AS BIGINT) AS pool_wsum
         |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // pitch replay: r(l) via a t -> t+l self-join on the shared sample
+    // formula; argmax ties resolve to the smaller lag in both engines
+    "mm_audio_pitch" ->
+      """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n FROM documents),
+        | t AS (SELECT doc_id, n, unnest(range(0, n)) AS t FROM d),
+        | sam AS (SELECT doc_id, n, t,
+        |    CAST((13 * doc_id + 7 * t + 3) % 2001 - 1000 AS BIGINT) AS amp
+        |   FROM t),
+        | en AS (SELECT doc_id, any_value(n) AS n,
+        |    CAST(sum(amp * amp) AS BIGINT) AS energy
+        |   FROM sam GROUP BY doc_id),
+        | lags AS (SELECT CAST(l AS BIGINT) AS lag
+        |   FROM generate_series(1, 40) AS g(l)),
+        | r AS (SELECT a.doc_id, lags.lag,
+        |    CAST(sum(a.amp * b.amp) AS BIGINT) AS corr
+        |   FROM sam a JOIN lags ON true
+        |   JOIN sam b ON b.doc_id = a.doc_id AND b.t = a.t + lags.lag
+        |   GROUP BY 1, 2),
+        | best AS (SELECT doc_id, lag, corr, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY corr DESC, lag ASC) AS rn FROM r)
+        |SELECT en.doc_id, CAST(en.n AS BIGINT) AS n_samples, en.energy,
+        | best.lag AS best_lag, best.corr AS best_corr
+        |FROM en JOIN best ON en.doc_id = best.doc_id AND best.rn = 1
+        |ORDER BY en.doc_id""".stripMargin,
     "mm_decode_wav" ->
       """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n,
         |    8000 + 1000 * (doc_id % 5) AS sr FROM documents),

@@ -525,7 +525,59 @@ object TextSignals {
       .orderBy("w")
   }
 
+  /** Retrieval evaluation (`search_eval_mrr`): MRR, hits@10 and
+    * recall@10 of the tf-ranked posting lists against a
+    * ranker-independent relevance label (tf ≥ 2 — "the query term
+    * appears at least twice"). Everything is exact integer arithmetic:
+    * ranks order by (tf desc, doc_id asc), reciprocal ranks and recall
+    * ship on the 1e-6 lattice via integer division. Scale shape: the
+    * FIRST-relevant rank is NOT a full-posting window — the top
+    * relevant doc per query comes from two keyed aggs (max tf, then
+    * min id at that tf), and its rank is 1 + the count of postings
+    * ordered above it (one broadcast of the |queries|-row table
+    * against the posting scan); only the top-10 intersection uses a
+    * window, and `rank ≤ 10` compiles to WindowGroupLimit (per-
+    * partition top-k, never a full sort). The eval loop every
+    * retrieval stack runs nightly, in one oracle-checkable pass.
+    */
+  def searchEvalMrr(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "vector", "dup")
+    val postings = Sources.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+    val rel = postings.filter(col("tf") >= 2)
+    val relStats = rel.groupBy("w").agg(count(lit(1)).as("n_relevant"),
+      max("tf").as("max_tf"))
+    val firstRel = rel
+      .join(relStats.select(col("w"), col("max_tf")), Seq("w"))
+      .filter(col("tf") === col("max_tf"))
+      .groupBy("w").agg(min("doc_id").as("first_id"), min("max_tf").as("first_tf"))
+    val firstRank = postings
+      .join(broadcast(firstRel), Seq("w"))
+      .groupBy("w")
+      .agg((sum(when(col("tf") > col("first_tf") ||
+          (col("tf") === col("first_tf") && col("doc_id") < col("first_id")),
+          1L).otherwise(0L)) + 1L).as("first_rank"))
+    val w10 = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("tf").desc, col("doc_id").asc)
+    val hits = postings.withColumn("rk", row_number().over(w10))
+      .filter(col("rk") <= 10)
+      .join(rel.select(col("w"), col("doc_id"), lit(1L).as("is_rel")),
+        Seq("w", "doc_id"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("hits_at10"))
+    relStats.select(col("w"), col("n_relevant"))
+      .join(firstRank, Seq("w"))
+      .join(hits, Seq("w"))
+      .withColumn("rr_e6", expr("1000000L div first_rank"))
+      .withColumn("recall10_e6", expr("(hits_at10 * 1000000L) div n_relevant"))
+      .select(col("w").as("term"), col("n_relevant"), col("first_rank"),
+        col("rr_e6"), col("hits_at10"), col("recall10_e6"))
+      .orderBy("term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_eval_mrr" -> (searchEvalMrr _),
     "text_keyness" -> (keyness _),
     "search_phrase_match" -> (phraseMatch _),
     "search_boolean_and" -> (booleanAnd _),
@@ -545,6 +597,26 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    // same label, same tie-breaks, same integer lattices — the window
+    // formulation here cross-checks the engine's aggregate-derived rank
+    "search_eval_mrr" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | p AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |   WHERE w IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY w
+        |    ORDER BY tf DESC, doc_id ASC) AS rk FROM p),
+        | rel AS (SELECT w, doc_id, rk FROM r WHERE tf >= 2),
+        | stats AS (SELECT w, CAST(count(*) AS BIGINT) AS n_relevant,
+        |    CAST(min(rk) AS BIGINT) AS first_rank FROM rel GROUP BY 1),
+        | h AS (SELECT w, CAST(count(*) AS BIGINT) AS hits_at10
+        |   FROM rel WHERE rk <= 10 GROUP BY 1)
+        |SELECT stats.w AS term, stats.n_relevant, stats.first_rank,
+        | CAST(1000000 // stats.first_rank AS BIGINT) AS rr_e6,
+        | h.hits_at10,
+        | CAST((h.hits_at10 * 1000000) // stats.n_relevant AS BIGINT)
+        |   AS recall10_e6
+        |FROM stats JOIN h ON stats.w = h.w ORDER BY term""".stripMargin,
     "text_keyness" ->
       """WITH tok AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS in0,
         |    unnest(string_split(text, ' ')) AS w FROM documents),

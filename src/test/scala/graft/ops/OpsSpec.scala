@@ -490,4 +490,33 @@ class OpsSpec extends SparkSpec {
     // sanity: a vector's own sign words are 0 bits away from themselves
     expected should have size (probes.length * 5L).toInt
   }
+
+  "Multimodal.audioPitch" should "match a direct autocorrelation over the sample formula" in {
+    val rows = Multimodal.audioPitch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows should not be empty
+    val nChars = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.take(50).foreach { case (id, n, energy, bestLag, bestCorr) =>
+      val m = (50 + nChars(id) % 101).toInt
+      n shouldBe m.toLong
+      val sm = Array.tabulate(m)(t => Multimodal.ampAt(id, t.toLong).toLong)
+      energy shouldBe sm.map(v => v * v).sum
+      val corrs = (1 to 40).map(l =>
+        l.toLong -> (0 until m - l).map(i => sm(i) * sm(i + l)).sum)
+      val (wantLag, wantCorr) = corrs.maxBy { case (l, c) => (c, -l) }
+      (bestLag, bestCorr) shouldBe ((wantLag, wantCorr))
+    }
+    // structural bounds: lag in range, |r(l)| <= r(0) (Cauchy-Schwarz
+    // on the truncated windows). Lags do NOT vary on this fixture —
+    // every doc is the same slope-7 sawtooth shifted by id, so the
+    // argmax landing on one lag corpus-wide is the CORRECT answer,
+    // not a degenerate detector (the per-doc replay above is the
+    // correctness evidence).
+    rows.foreach { case (_, _, energy, bestLag, bestCorr) =>
+      bestLag should (be >= 1L and be <= 40L)
+      math.abs(bestCorr) should be <= energy
+    }
+  }
 }
