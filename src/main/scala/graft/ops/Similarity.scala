@@ -1052,6 +1052,59 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** 8 frozen IVF coarse centroids — published integer formulas
+    * c_j[i] = 100·(((7j+3)·i + (11j+5)) mod (13+2j) − (13+2j) div 2),
+    * the Decomp frozen-basis discipline applied to a coarse quantizer.
+    */
+  private val ivfFrozenCentroids: Array[Array[Long]] = Array.tabulate(8) { j =>
+    val m = 13L + 2L * j
+    val a = 7L * j + 3L
+    val b = 11L * j + 5L
+    Array.tabulate(64)(i => (((a * i + b) % m) - m / 2) * 100L)
+  }
+
+  /** IVF ANN with FROZEN coarse centroids (`sim_ivf_frozen`) — the
+    * hash-gated twin of the trained [[sim_ann_ivf]] sketch, the same
+    * way `sim_multiprobe_frozen` twins the trained LSH: corpus vectors
+    * assign to their nearest of 8 published integer centroids (exact
+    * d², map-side literal argmin with ties to the smaller cell — the
+    * k-means-assign plan shape, no join), queries probe their nearest
+    * TWO cells (nprobe = 2, the IVF recall knob), candidates come from
+    * one equi-join of the 2·|q| probe rows against the cell-assigned
+    * corpus, and the exact integer dot ranks top-3. Every stage of the
+    * serving path — assignment, probe selection, cell join, re-rank —
+    * is the production IVF plan; only the centroid TRAINING stays
+    * rows-only (in the trained twin), exactly the split the logreg
+    * family uses. `probe_rank` rides out under the hash so the oracle
+    * certifies second-probe candidates genuinely serve.
+    */
+  def ivfFrozen(s: SparkSession, d: String): DataFrame = {
+    val dists = ivfFrozenCentroids.zipWithIndex.map { case (cj, j) =>
+      struct(
+        aggregate(zip_with(col("qv"), lit(cj), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("d"),
+        lit(j.toLong).as("j"))
+    }
+    val assigned = quantEmb(s, d).withColumn("cells", array_sort(array(dists: _*)))
+    val corpus = assigned.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("qv").as("cv"),
+        col("cells")(0).getField("j").as("cell"))
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("qe"),
+        posexplode(slice(col("cells"), 1, 2)))
+      .select(col("q_id"), col("qe"), (col("pos") + 1).cast("long").as("probe_rank"),
+        col("col").getField("j").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("vec_id").asc)
+    broadcast(probes).join(corpus, "cell")
+      .withColumn("dot", aggregate(zip_with(col("qe"), col("cv"),
+        (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("dot"), col("probe_rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Multi-probe ANN over the frozen sign buckets
     * (`sim_multiprobe_frozen`): each query probes its own bucket PLUS
     * the 6 buckets at Hamming distance 1 (one sign bit flipped) — the
@@ -1247,6 +1300,7 @@ object Similarity {
     "sim_norm_stats" -> (normStats _),
     "sim_semdedup_frozen" -> (semDedupFrozen _),
     "sim_multiprobe_frozen" -> (multiprobeFrozen _),
+    "sim_ivf_frozen" -> (ivfFrozen _),
   )
 
   /** One unrolled Lloyd iteration for the DuckDB oracle: E-step distance
@@ -1307,6 +1361,40 @@ object Similarity {
         |    ORDER BY d2 ASC, vec_id ASC) AS rn FROM dist)
         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, d2, rn = 1 AS is_kept
         |FROM r ORDER BY vec_id""".stripMargin,
+    "sim_ivf_frozen" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x
+        |   FROM e),
+        | cj AS (SELECT CAST(j AS BIGINT) AS j, CAST(i AS BIGINT) AS i,
+        |    CAST((((7 * j + 3) * (i - 1) + (11 * j + 5)) % (13 + 2 * j)
+        |      - (13 + 2 * j) // 2) * 100 AS BIGINT) AS c
+        |   FROM generate_series(0, 7) t(j)
+        |   CROSS JOIN generate_series(1, 64) s(i)),
+        | d AS (SELECT eu.vec_id, cj.j,
+        |    CAST(sum((eu.x - cj.c) * (eu.x - cj.c)) AS BIGINT) AS d2
+        |   FROM eu JOIN cj ON eu.i = cj.i GROUP BY 1, 2),
+        | rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2 ASC, j ASC) AS rn FROM d),
+        | corpus AS (SELECT vec_id, j AS cell FROM rnk
+        |   WHERE rn = 1 AND vec_id >= 8),
+        | probes AS (SELECT vec_id AS q_id, j AS cell,
+        |    CAST(rn AS BIGINT) AS probe_rank
+        |   FROM rnk WHERE rn <= 2 AND vec_id < 8),
+        | cand AS (SELECT p.q_id, c.vec_id, p.probe_rank
+        |   FROM probes p JOIN corpus c ON p.cell = c.cell),
+        | dots AS (SELECT cand.q_id, cand.vec_id, cand.probe_rank,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS dot
+        |   FROM cand
+        |   JOIN eu a ON a.vec_id = cand.q_id
+        |   JOIN eu b ON b.vec_id = cand.vec_id AND b.i = a.i
+        |   GROUP BY 1, 2, 3),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY dot DESC, vec_id ASC) AS rn FROM dots)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, dot, probe_rank
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin,
     "sim_multiprobe_frozen" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

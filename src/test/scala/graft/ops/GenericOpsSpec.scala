@@ -202,6 +202,24 @@ class GenericOpsSpec extends SparkSpec {
     }
   }
 
+  "Similarity.ivfFrozen" should "rank candidates exactly and serve from the second probe" in {
+    val got = Similarity.ivfFrozen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got should not be empty
+    // winners come from probe cells 1 AND 2 — nprobe=2 is load-bearing
+    got.map(_._5).toSet shouldBe Set(1L, 2L)
+    // per query: ranks 1..k, strictly ordered (dot desc, id asc)
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2) shouldBe (1L to sorted.length)
+      sorted.sliding(2).foreach {
+        case Array((_, _, id0, d0, _), (_, _, id1, d1, _)) =>
+          assert(d0 > d1 || (d0 == d1 && id0 < id1))
+        case _ => ()
+      }
+    }
+  }
+
   "Graph.subtreeRollup" should "equal a literal per-chain ancestor walk" in {
     val spend = graft.io.Sources.customer(spark, sfDir)
       .select(col("c_custkey").cast("long").as("id"))
