@@ -950,9 +950,12 @@ object Graph {
     * POINTER DOUBLING: `jump_k(n)` = the 2^k-th ancestor, each round
     * squares the jump table (one self-equi-join) and extends every
     * node's known-ancestor set through it, so a depth-D hierarchy
-    * closes in ⌈log₂ D⌉ rounds — 4 rounds cover depth 16, i.e. 10^16
-    * nodes of this decimal-radix tree; a 100 TB corpus adds rows, not
-    * rounds. Closure size is N·depth = N·log N pairs (exactly what the
+    * closes in ⌈log₂ D⌉ rounds. After r rounds the closure holds
+    * ancestor offsets ≤ 2^r, and a key with d digits needs offset
+    * d + 1 to reach the root (10^16 needs 17 — the r12 review's
+    * off-by-one catch), so the FIVE rounds shipped cover offsets ≤ 32
+    * = keys beyond 10^30; a 100 TB corpus adds rows, not rounds.
+    * Closure size is N·depth = N·log N pairs (exactly what the
     * oracle's recursive CTE materializes), the rollup is one keyed agg
     * over it. The tree is deterministic from the data: parent(c) =
     * c div 10 (customer 0 is the root), so the DuckDB recursive CTE
@@ -968,7 +971,7 @@ object Graph {
         .unionAll(par.filter(col("pid") =!= col("id"))
           .select(col("id").as("n"), col("pid").as("a"))), eager = false)
     var jump = Checkpoints.pin(par, eager = false)
-    for (_ <- 1 to 4) { // covers depth <= 2^4
+    for (_ <- 1 to 5) { // offsets <= 2^5 = 32: root chains of 10^30+ keys
       anc = Checkpoints.pin(
         anc.unionAll(
           anc.join(jump, anc("a") === jump("id"))

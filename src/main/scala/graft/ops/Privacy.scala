@@ -170,7 +170,10 @@ object Privacy {
     * n attach is a 1-row broadcast).
     */
   def rrFrequency(s: SparkSession, d: String): DataFrame = {
-    val segIdx = segments.zipWithIndex.foldRight(lit(-1L): Column) {
+    // fall through to index 4 (MACHINERY) for any unknown segment,
+    // mirroring the oracle's CASE ... ELSE 4 — the engines must agree
+    // even under fixture drift (r12 review catch)
+    val segIdx = segments.zipWithIndex.init.foldRight(lit(4L): Column) {
       case ((seg, i), rest) =>
         when(col("c_mktsegment") === seg, lit(i.toLong)).otherwise(rest)
     }

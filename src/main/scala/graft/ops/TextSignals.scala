@@ -526,27 +526,39 @@ object TextSignals {
   }
 
   /** Retrieval evaluation (`search_eval_mrr`): MRR, hits@10 and
-    * recall@10 of the tf-ranked posting lists against a
-    * ranker-independent relevance label (tf ≥ 2 — "the query term
-    * appears at least twice"). Everything is exact integer arithmetic:
-    * ranks order by (tf desc, doc_id asc), reciprocal ranks and recall
-    * ship on the 1e-6 lattice via integer division. Scale shape: the
-    * FIRST-relevant rank is NOT a full-posting window — the top
-    * relevant doc per query comes from two keyed aggs (max tf, then
-    * min id at that tf), and its rank is 1 + the count of postings
-    * ordered above it (one broadcast of the |queries|-row table
-    * against the posting scan); only the top-10 intersection uses a
-    * window, and `rank ≤ 10` compiles to WindowGroupLimit (per-
-    * partition top-k, never a full sort). The eval loop every
-    * retrieval stack runs nightly, in one oracle-checkable pass.
+    * recall@10 of the tf-ranked posting lists against a CROSS-TERM
+    * relevance label — for query term w, a retrieved doc is relevant
+    * iff it ALSO contains the cycle partner (spark's relevant docs
+    * also contain dup, vector's contain spark, dup's contain vector).
+    * The label never looks at the ranking key, so first
+    * ranks genuinely vary (a tf-correlated label like "tf ≥ 2" would
+    * pin first_rank to 1 on every corpus — the r12 review catch).
+    * Everything is exact integer arithmetic: ranks order by (tf desc,
+    * doc_id asc), reciprocal ranks and recall ship on the 1e-6 lattice
+    * via integer division. Scale shape: the FIRST-relevant rank is NOT
+    * a full-posting window — the top relevant doc per query comes from
+    * two keyed aggs (max tf among relevant, then min id at that tf),
+    * and its rank is 1 + the count of postings ordered above it (one
+    * broadcast of the |queries|-row table against the posting scan);
+    * only the top-10 intersection uses a window, and `rank ≤ 10`
+    * compiles to WindowGroupLimit. The eval loop every retrieval stack
+    * runs nightly, in one oracle-checkable pass.
     */
   def searchEvalMrr(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "vector", "dup")
+    val relOf = Map("spark" -> "vector", "vector" -> "dup", "dup" -> "spark")
     val postings = Sources.documents(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .filter(col("w").isin(terms: _*))
       .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
-    val rel = postings.filter(col("tf") >= 2)
+    // label table: doc relevant FOR w iff it contains rel(w)
+    val relTerm = relOf.foldLeft(lit(""): org.apache.spark.sql.Column) {
+      case (acc, (w0, r0)) =>
+      when(col("w") === w0, lit(r0)).otherwise(acc)
+    }
+    val rel = postings
+      .join(postings.select(relTerm.as("w"), col("doc_id")).distinct(),
+        Seq("w", "doc_id"), "left_semi")
     val relStats = rel.groupBy("w").agg(count(lit(1)).as("n_relevant"),
       max("tf").as("max_tf"))
     val firstRel = rel
@@ -563,12 +575,12 @@ object TextSignals {
       .partitionBy("w").orderBy(col("tf").desc, col("doc_id").asc)
     val hits = postings.withColumn("rk", row_number().over(w10))
       .filter(col("rk") <= 10)
-      .join(rel.select(col("w"), col("doc_id"), lit(1L).as("is_rel")),
-        Seq("w", "doc_id"), "left_semi")
+      .join(rel.select(col("w"), col("doc_id")), Seq("w", "doc_id"), "left_semi")
       .groupBy("w").agg(count(lit(1)).as("hits_at10"))
     relStats.select(col("w"), col("n_relevant"))
       .join(firstRank, Seq("w"))
-      .join(hits, Seq("w"))
+      .join(hits, Seq("w"), "left")
+      .na.fill(0L, Seq("hits_at10"))
       .withColumn("rr_e6", expr("1000000L div first_rank"))
       .withColumn("recall10_e6", expr("(hits_at10 * 1000000L) div n_relevant"))
       .select(col("w").as("term"), col("n_relevant"), col("first_rank"),
@@ -597,26 +609,30 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
-    // same label, same tie-breaks, same integer lattices — the window
-    // formulation here cross-checks the engine's aggregate-derived rank
+    // same cross-term label, same tie-breaks, same integer lattices —
+    // the window formulation cross-checks the engine's aggregate-
+    // derived first rank
     "search_eval_mrr" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |   FROM documents),
         | p AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
         |   WHERE w IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+        | lbl AS (SELECT DISTINCT CASE w WHEN 'spark' THEN 'vector'
+        |    WHEN 'vector' THEN 'dup' ELSE 'spark' END AS w, doc_id FROM p),
         | r AS (SELECT *, row_number() OVER (PARTITION BY w
         |    ORDER BY tf DESC, doc_id ASC) AS rk FROM p),
-        | rel AS (SELECT w, doc_id, rk FROM r WHERE tf >= 2),
+        | rel AS (SELECT r.w, r.doc_id, r.rk FROM r
+        |   JOIN lbl ON r.w = lbl.w AND r.doc_id = lbl.doc_id),
         | stats AS (SELECT w, CAST(count(*) AS BIGINT) AS n_relevant,
         |    CAST(min(rk) AS BIGINT) AS first_rank FROM rel GROUP BY 1),
         | h AS (SELECT w, CAST(count(*) AS BIGINT) AS hits_at10
         |   FROM rel WHERE rk <= 10 GROUP BY 1)
         |SELECT stats.w AS term, stats.n_relevant, stats.first_rank,
         | CAST(1000000 // stats.first_rank AS BIGINT) AS rr_e6,
-        | h.hits_at10,
-        | CAST((h.hits_at10 * 1000000) // stats.n_relevant AS BIGINT)
-        |   AS recall10_e6
-        |FROM stats JOIN h ON stats.w = h.w ORDER BY term""".stripMargin,
+        | CAST(coalesce(h.hits_at10, 0) AS BIGINT) AS hits_at10,
+        | CAST((coalesce(h.hits_at10, 0) * 1000000) // stats.n_relevant
+        |   AS BIGINT) AS recall10_e6
+        |FROM stats LEFT JOIN h ON stats.w = h.w ORDER BY term""".stripMargin,
     "text_keyness" ->
       """WITH tok AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS in0,
         |    unnest(string_split(text, ' ')) AS w FROM documents),
