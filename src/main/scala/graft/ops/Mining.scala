@@ -306,7 +306,42 @@ object Mining {
       .orderBy("type_a", "type_b")
   }
 
+  /** Sequential TRIPLE support (`mining_seq_triples`): users with some
+    * a-event < b-event < c-event in strict timestamp order — the k = 3
+    * GSP pass on top of [[seqPairs]]. The existence test reduces
+    * exactly to an INTERVAL WITNESS: u supports a→b→c iff some b-event
+    * falls strictly inside (min ts(u,a), max ts(u,c)) — pick the
+    * extreme a and c events around any such witness. So the plan is:
+    * the (user, type) min/max agg [shared shape with seqPairs], the
+    * ≤|types|² per-user (a, c) interval table, and ONE user-keyed join
+    * of b-events against those intervals — fan-out = |events(u)| ×
+    * |types|², linear in the event table with a data-model-constant
+    * factor, never events². (user, a, b, c) dedupes before the count,
+    * so support = distinct users.
+    */
+  def seqTriples(s: SparkSession, d: String): DataFrame = {
+    val ev = Sources.events(s, d)
+      .select(col("user_id"), col("event_type").as("t"),
+        unix_micros(col("ts")).as("us"))
+    val ut = ev.groupBy("user_id", "t")
+      .agg(min("us").as("first_us"), max("us").as("last_us"))
+    val intervals = ut.select(col("user_id"), col("t").as("type_a"),
+        col("first_us").as("lo"))
+      .join(ut.select(col("user_id"), col("t").as("type_c"),
+        col("last_us").as("hi")), Seq("user_id"))
+      .filter(col("lo") < col("hi")) // no b-event can witness otherwise
+    intervals
+      .join(ev.select(col("user_id"), col("t").as("type_b"), col("us")),
+        Seq("user_id"))
+      .filter(col("lo") < col("us") && col("us") < col("hi"))
+      .select("user_id", "type_a", "type_b", "type_c").distinct()
+      .groupBy("type_a", "type_b", "type_c")
+      .agg(count(lit(1)).as("support"))
+      .orderBy("type_a", "type_b", "type_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mining_seq_triples" -> (seqTriples _),
     "mining_seq_pairs" -> (seqPairs _),
     "mining_frequent_triples" -> (frequentTriples _),
     "mining_frequent_pairs" -> (frequentPairs _),
@@ -317,6 +352,24 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    // the interval-witness reduction must equal the existential
+    // three-event definition — DuckDB replays the same interval table
+    // and witness join
+    "mining_seq_triples" ->
+      """WITH ev AS (SELECT user_id, event_type AS t, epoch_us(ts) AS us
+        |   FROM events),
+        | ut AS (SELECT user_id, t, min(us) AS first_us, max(us) AS last_us
+        |   FROM ev GROUP BY 1, 2),
+        | iv AS (SELECT a.user_id, a.t AS type_a, c.t AS type_c,
+        |    a.first_us AS lo, c.last_us AS hi
+        |   FROM ut a JOIN ut c ON a.user_id = c.user_id
+        |   WHERE a.first_us < c.last_us),
+        | w AS (SELECT DISTINCT iv.user_id, iv.type_a, b.t AS type_b,
+        |    iv.type_c
+        |   FROM iv JOIN ev b ON b.user_id = iv.user_id
+        |    AND iv.lo < b.us AND b.us < iv.hi)
+        |SELECT type_a, type_b, type_c, CAST(count(*) AS BIGINT) AS support
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // the min/max reduction must equal the existential definition —
     // DuckDB replays the same (user, type) agg + bounded pair join
     "mining_seq_pairs" ->

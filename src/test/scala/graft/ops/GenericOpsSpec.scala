@@ -270,4 +270,26 @@ class GenericOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     got shouldBe perUser
   }
+
+  "Mining.seqTriples" should "equal the brute-force three-event definition" in {
+    val evs = graft.io.Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // literal definition: exists a-event < b-event < c-event, any types
+    val perUser = evs.groupBy(_._1).values.flatMap { rows =>
+      (for {
+        (_, ta, ua) <- rows
+        (_, tb, ub) <- rows
+        if ua < ub
+        (_, tc, uc) <- rows
+        if ub < uc
+      } yield (ta, tb, tc)).toSet
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    perUser should not be empty
+    val got = Mining.seqTriples(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    got shouldBe perUser
+  }
 }
