@@ -750,7 +750,53 @@ object Temporal {
       .orderBy("o_custkey", "day")
   }
 
+  /** Maximum drawdown per priority (`ts_drawdown`): over the daily
+    * cumulative NET-FLOW series (signed by orderkey parity, the
+    * [[clampedBalance]] fixture convention — a pure-revenue cum is
+    * monotone and its drawdown identically 0),
+    * dd_t = runmax_{s≤t}(cum_s) − cum_t and
+    * the headline max_dd = max_t dd_t — the standard risk statistic,
+    * and the same reflection-trick family as [[clampedBalance]] (one
+    * extra frame over the SAME per-key window, no recursion, no
+    * second shuffle). The corpus pays one keyed (priority, day) agg;
+    * both windows run over the CALENDAR-BOUNDED daily table (≤3.7k
+    * rows per priority regardless of corpus — the TWAP/Theil-Sen
+    * argument). Exact cents end-to-end; the peak day is the EARLIEST
+    * day the global peak was reached, recovered by one keyed join
+    * back over the same bounded daily table.
+    */
+  def drawdown(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .select(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("day"),
+        (when(col("o_orderkey") % 2 === 0, lit(1L)).otherwise(lit(-1L)) *
+          round(col("o_totalprice") * 100).cast("long")).as("net_c"))
+      .groupBy("prio", "day")
+      .agg(sum("net_c").as("flow_c"))
+    val w = Window.partitionBy("prio").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = daily
+      .withColumn("cum", sum("flow_c").over(w))
+      .withColumn("runmax", max("cum").over(w))
+      .withColumn("dd", col("runmax") - col("cum"))
+    val heads = cums.groupBy("prio")
+      .agg(count(lit(1)).as("n_days"),
+        max("cum").as("peak_c"),
+        max("dd").as("max_drawdown_c"))
+    // peak day = earliest day the global peak was reached (keyed join
+    // back over the same calendar-bounded daily table)
+    val peakDay = cums.join(heads.select(col("prio"), col("peak_c")), Seq("prio"))
+      .filter(col("cum") === col("peak_c"))
+      .groupBy("prio").agg(min("day").as("peak_day_raw"))
+    heads.join(peakDay, Seq("prio"))
+      .select(col("prio"), col("n_days"), col("peak_c"),
+        col("max_drawdown_c"),
+        date_format(col("peak_day_raw"), "yyyy-MM-dd").as("peak_day"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_drawdown" -> (drawdown _),
     "ts_clamped_balance" -> (clampedBalance _),
     "ts_twap" -> (twap _),
     "ts_theil_sen" -> (theilSen _),
@@ -790,6 +836,27 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_drawdown" ->
+      """WITH daily AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END)
+        |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS flow_c
+        |   FROM orders GROUP BY 1, 2),
+        | c AS (SELECT prio, day, flow_c,
+        |    CAST(sum(flow_c) OVER (PARTITION BY prio ORDER BY day) AS BIGINT) AS cum
+        |   FROM daily),
+        | cd AS (SELECT *, CAST(max(cum) OVER (PARTITION BY prio ORDER BY day)
+        |    - cum AS BIGINT) AS dd FROM c),
+        | heads AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(max(cum) AS BIGINT) AS peak_c,
+        |    CAST(max(dd) AS BIGINT) AS max_drawdown_c
+        |   FROM cd GROUP BY 1),
+        | pk AS (SELECT cd.prio, min(cd.day) AS peak_day_raw
+        |   FROM cd JOIN heads ON cd.prio = heads.prio AND cd.cum = heads.peak_c
+        |   GROUP BY 1)
+        |SELECT heads.prio, heads.n_days, heads.peak_c, heads.max_drawdown_c,
+        | strftime(pk.peak_day_raw, '%Y-%m-%d') AS peak_day
+        |FROM heads JOIN pk ON heads.prio = pk.prio ORDER BY heads.prio""".stripMargin,
     "ts_clamped_balance" ->
       """WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
         |    CAST(sum((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END)

@@ -384,4 +384,35 @@ class TemporalSpec extends SparkSpec {
     }
     plainSums shouldBe true
   }
+
+  behavior of "Temporal.drawdown"
+
+  it should "equal a literal running-peak walk over the daily flows" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderpriority AS prio", "CAST(o_orderdate AS DATE) AS day",
+        "CAST((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END)" +
+          " * CAST(round(o_totalprice * 100) AS LONG) AS LONG) AS f")
+      .groupBy("prio", "day").agg(org.apache.spark.sql.functions.sum("f").as("flow"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (prio, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var cum = 0L
+      var peak = Long.MinValue
+      var maxDd = 0L
+      var peakDay = ""
+      sorted.foreach { case (_, day, f) =>
+        cum += f
+        if (cum > peak) { peak = cum; peakDay = day } // earliest by strict >
+        maxDd = math.max(maxDd, peak - cum)
+      }
+      prio -> ((sorted.length.toLong, peak, maxDd, peakDay))
+    }
+    val got = Temporal.drawdown(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    got shouldBe want
+    // the signed flow genuinely draws down on the fixture
+    got.values.map(_._3).max should be > 0L
+  }
 }
