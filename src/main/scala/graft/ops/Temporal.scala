@@ -795,7 +795,41 @@ object Temporal {
       .orderBy("prio")
   }
 
+  /** Monthly OHLC bars per priority (`ts_ohlc_bars`): the candlestick
+    * reduction every market/telemetry store ships — open = first
+    * day's total, high/low = extreme daily totals, close = last
+    * day's total, per (priority, month). High/low are plain keyed
+    * aggregates; open/close use the join-back discipline (min/max day
+    * per bar, then one keyed equi-join back to the daily table) —
+    * NO struct-max SortAggregate, no window: every stage is a
+    * map-side-combinable agg or an equi-join on the calendar-bounded
+    * daily table (≤3.7k rows per priority regardless of corpus).
+    * Exact cents end-to-end.
+    */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .select(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("prio", "day")
+      .agg(sum("cents").as("tot_c"))
+      .withColumn("month", date_format(col("day"), "yyyy-MM"))
+    val bars = daily.groupBy("prio", "month")
+      .agg(count(lit(1)).as("n_days"),
+        max("tot_c").as("high_c"), min("tot_c").as("low_c"),
+        min("day").as("open_day"), max("day").as("close_day"))
+    bars
+      .join(daily.select(col("prio"), col("day").as("open_day"),
+        col("tot_c").as("open_c")), Seq("prio", "open_day"))
+      .join(daily.select(col("prio"), col("day").as("close_day"),
+        col("tot_c").as("close_c")), Seq("prio", "close_day"))
+      .select(col("prio"), col("month"), col("n_days"),
+        col("open_c"), col("high_c"), col("low_c"), col("close_c"))
+      .orderBy("prio", "month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ohlc_bars" -> (ohlcBars _),
     "ts_drawdown" -> (drawdown _),
     "ts_clamped_balance" -> (clampedBalance _),
     "ts_twap" -> (twap _),
@@ -836,6 +870,24 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_ohlc_bars" ->
+      """WITH daily AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS tot_c,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month
+        |   FROM orders GROUP BY 1, 2, 4),
+        | bars AS (SELECT prio, month, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(max(tot_c) AS BIGINT) AS high_c,
+        |    CAST(min(tot_c) AS BIGINT) AS low_c,
+        |    min(day) AS open_day, max(day) AS close_day
+        |   FROM daily GROUP BY 1, 2)
+        |SELECT bars.prio, bars.month, bars.n_days,
+        | o.tot_c AS open_c, bars.high_c, bars.low_c, c.tot_c AS close_c
+        |FROM bars
+        |JOIN daily o ON o.prio = bars.prio AND o.day = bars.open_day
+        |JOIN daily c ON c.prio = bars.prio AND c.day = bars.close_day
+        |ORDER BY bars.prio, bars.month""".stripMargin,
     "ts_drawdown" ->
       """WITH daily AS (SELECT o_orderpriority AS prio,
         |    CAST(o_orderdate AS DATE) AS day,

@@ -415,4 +415,24 @@ class TemporalSpec extends SparkSpec {
     // the signed flow genuinely draws down on the fixture
     got.values.map(_._3).max should be > 0L
   }
+
+  behavior of "Temporal.ohlcBars"
+
+  it should "satisfy the candlestick invariants and match the daily extremes" in {
+    val rows = Temporal.ohlcBars(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows should not be empty
+    rows.foreach { case (prio, month, nDays, open, high, low, close) =>
+      withClue(s"$prio $month") {
+        low should be <= high
+        open should (be >= low and be <= high)
+        close should (be >= low and be <= high)
+        nDays should be >= 1L
+        if (nDays == 1) { open shouldBe close; high shouldBe low }
+      }
+    }
+    // bars vary: not every month is one flat candle
+    rows.count { case (_, _, _, o, h, l, c) => h != l } should be > 10
+  }
 }
