@@ -1,5 +1,56 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Pure contention-flag logic, factored out of the bench main so a spec can
+  * drive it with synthetic telemetry (r12 verdict task 1: four consecutive
+  * rounds shipped contention-skewed records that each cost the judge a
+  * same-tree adjudication replay — r9 351 s, r10 651 s, r11 warm 110 s,
+  * r12 487 s — because the CPU canary ran once BEFORE the query loop and
+  * the warm flag guarded only materialization, so mid-query-phase steal
+  * was invisible to every flag).
+  *
+  * The steal signature (per-query, from the SAME iteration as the reported
+  * min): wall > 3x process-cpu-seconds (less than 1/3 of ONE core busy
+  * while 32 are available) with gc below 100 ms — heap pressure shows up
+  * as gc time, plan problems show up as cpu time, hypervisor steal shows
+  * up as neither. A 1-second wall floor keeps trivially-short queries
+  * (where scheduler jitter dominates) out of the suspect set; they cannot
+  * meaningfully skew a multi-minute total anyway.
+  */
+object BenchFlags {
+  val StealWallFactor = 3.0
+  val StealGcCeilingMs = 100L
+  val StealWallFloorSec = 1.0
+  val ContendedShare = 0.20
+
+  /** Query names whose telemetry matches the steal signature. */
+  def stealSuspects(
+      wall: Seq[(String, Double)],
+      cpu: Map[String, Double],
+      gcMs: Map[String, Long]): Seq[String] =
+    wall.collect {
+      case (name, w)
+          if w >= StealWallFloorSec &&
+            w > StealWallFactor * cpu.getOrElse(name, 0.0) &&
+            gcMs.getOrElse(name, 0L) < StealGcCeilingMs =>
+        name
+    }.map(_.toString)
+
+  /** True when the suspects' wall share of the query-phase total crosses
+    * the threshold — one I/O-bound outlier stays a footnote; a contended
+    * WINDOW (queries run in sorted order, so steal maps to a name range)
+    * taints the headline and must self-declare.
+    */
+  def queriesContended(
+      wall: Seq[(String, Double)],
+      suspects: Seq[String]): Boolean = {
+    val total = wall.collect { case (_, w) if w >= 0 => w }.sum
+    val sus = suspects.toSet
+    val susWall = wall.collect { case (n, w) if w >= 0 && sus(n) => w }.sum
+    total > 0 && susWall / total > ContendedShare
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,6 +193,24 @@ object Bench {
       cpuByQuery(name) = best._3
       name -> (if (times.exists(_._1 == -1.0)) -1.0 else best._1)
     }
+    // post-loop canary (r12 verdict task 1): the pre-loop canary certifies
+    // only the moment BEFORE the query phase — r12's contention arrived
+    // mid-phase and shipped a 2.3x-skewed headline under contended:false.
+    // The identical fixed workload re-run after the loop brackets the
+    // phase; `contended` below gates on the max of the two.
+    val canaryEnd = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // per-query steal telemetry → self-flagging record (BenchFlags doc)
+    val stealSuspects = BenchFlags.stealSuspects(
+      results, cpuByQuery.toMap, gcByQuery.toMap)
+    val queriesContended = BenchFlags.queriesContended(results, stealSuspects)
+    if (queriesContended) System.err.println(
+      s"[bench] QUERIES-CONTENDED: ${stealSuspects.size} steal-suspect queries " +
+        s"(wall>3x cpu, gc~0) hold >20% of query-phase wall - totals reflect " +
+        s"host contention, not code: ${stealSuspects.mkString(",")}")
     // The harness keeps only the last ~2000 chars of stdout, and 78 query
     // names cannot fit in that window. So: the FULL per-query JSON goes to
     // bench.json (committed in-repo) and stdout first; the LAST line
@@ -221,10 +290,14 @@ object Bench {
       if (vals.isEmpty) None else Some(vals.sorted.apply(vals.size / 2))
     }
     val canaryBase = trailingMedian("canary_sec")
-    val contended = canaryBase.exists(m => canary > 1.5 * m)
+    // gate on the WORSE of the bracketing canaries: a clean start plus a
+    // contended end means the phase in between cannot be trusted either
+    val canaryMax = math.max(canary, canaryEnd)
+    val contended = canaryBase.exists(m => canaryMax > 1.5 * m)
     if (contended) System.err.println(
-      f"[bench] CONTENDED: canary ${canary}%.3f s is >1.5x the trailing-round median " +
-        f"${canaryBase.get}%.3f s - totals in this record reflect host contention, not code")
+      f"[bench] CONTENDED: canary max(start=${canary}%.3f, end=${canaryEnd}%.3f) s is >1.5x " +
+        f"the trailing-round median ${canaryBase.get}%.3f s - totals in this record " +
+        f"reflect host contention, not code")
     // warm-phase contention flag (r11 verdict task 2): the r11 driver
     // record shipped contended:false at CPU-canary 1.02 while its warm
     // phase ran 110 s vs 38-40 s on three same-tree solo runs — the
@@ -243,9 +316,12 @@ object Bench {
     val canaryJson = canaryBase
       .map(m => s""","canary_median_prior":${fmt(m)},"contended":$contended""")
       .getOrElse(""","contended":false""") +
+      s""","canary_end_sec":${fmt(canaryEnd)}""" +
       s""","io_canary_sec":${fmt(ioCanary)}""" +
       warmBase.map(m => s""","warm_median_prior":${fmt(m)},"warm_contended":$warmContended""")
-        .getOrElse(""","warm_contended":false""")
+        .getOrElse(""","warm_contended":false""") +
+      s""","steal_suspects":${stealSuspects.map(jstr).mkString("[", ",", "]")}""" +
+      s""","queries_contended":$queriesContended"""
     flagged.foreach(l => System.err.println(
       s"[bench] WARM-COST FLAG: shared table '$l' cost >5s to build but served <=1 query"))
     val flaggedJson = flagged.map(jstr).mkString("[", ",", "]")

@@ -510,10 +510,9 @@ object ScaleProbe {
         .agg(sum(col("n") * (col("n") - 1))).head().getLong(0) / 2
       val erBrandCand = sumPairs(
         partEr.groupBy("p_brand").agg(count(lit(1)).as("n")))
-      val toks = split(col("p_name"), " ")
-      val erBanded = partEr.withColumn("blk", explode(array(
-        concat(lit("1:"), toks.getItem(0)),
-        concat(lit("2:"), coalesce(toks.getItem(1), toks.getItem(0))))))
+      // the SHIPPED blocking (r13: three bands incl. the 4-char prefix),
+      // not an inline copy that could drift from it
+      val erBanded = graft.ops.EntityRes.banded(partEr)
       val erBandedCand = sumPairs(
         erBanded.groupBy("p_brand", "blk").agg(count(lit(1)).as("n")))
       var erPairs09 = 0L

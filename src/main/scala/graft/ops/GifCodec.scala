@@ -68,15 +68,21 @@ object GifCodec {
         val code = if (cur.length == 1) cur.head & 0xff else dict(cur)
         emit(code)
         emitted += 1
-        dict(ext) = nextCode
-        nextCode += 1
-        // width grows when the NEXT code to assign no longer fits
-        if (nextCode == (1 << width) + 1 && width < 12) width += 1
+        // assign only while a 12-bit code remains assignable — mirrors the
+        // decoder's `nextCode < 4096` guard, so code 4096 (unemittable at
+        // the 12-bit cap) is never even transiently present in the dict
+        val full = nextCode == 4096
+        if (!full) {
+          dict(ext) = nextCode
+          nextCode += 1
+          // width grows when the NEXT code to assign no longer fits
+          if (nextCode == (1 << width) + 1 && width < 12) width += 1
+        }
         cur = List(k)
-        if (clearEvery > 0 && emitted % clearEvery == 0) {
+        if (full || (clearEvery > 0 && emitted % clearEvery == 0)) {
           emit(clear); reset()
           // restart the phrase after a reset: cur stays the single symbol
-        } else if (nextCode > 4096) { emit(clear); reset() }
+        }
       }
       i += 1
     }

@@ -285,8 +285,13 @@ object PngCodec {
 
   private[ops] def deflateStored(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    if (data.isEmpty) {
+      // single empty final stored block: BFINAL=1, LEN=0, NLEN=0xffff
+      out.write(1); out.write(0); out.write(0); out.write(0xff); out.write(0xff)
+      return out.toByteArray
+    }
     var off = 0
-    while (off < data.length || data.isEmpty) {
+    while (off < data.length) {
       val n = math.min(65535, data.length - off)
       val fin = if (off + n >= data.length) 1 else 0
       out.write(fin) // BFINAL in bit 0, BTYPE=00 — byte-aligned by design
@@ -294,7 +299,6 @@ object PngCodec {
       out.write(~n & 0xff); out.write((~n >> 8) & 0xff)
       out.write(data, off, n)
       off += n
-      if (data.isEmpty) off = 1 // single empty stored block
     }
     out.toByteArray
   }

@@ -696,6 +696,14 @@ object Temporal {
     * (≤ 2.4k rows each) regardless of corpus size, the same argument as
     * [[theilSen]]. TWAP numerator/denominator ship as exact BIGINT gate
     * columns; the one division is identical IEEE in both engines.
+    *
+    * Multi-consumer audit (r12 verdict task 4): `o` IS consumed twice
+    * (the last-key aggregate and the join-back), but deliberately
+    * UN-pinned — its lineage is a pruned 4-column scan+project with no
+    * compute, and at 100 TB two pruned parquet scans beat
+    * checkpointing a corpus-sized projection. The expensive pattern the
+    * pin discipline targets (re-executed AGGREGATE lineage) is what
+    * [[drawdown]]/[[ohlcBars]] pin; [[clampedBalance]] is single-chain.
     */
   def twap(s: SparkSession, d: String): DataFrame = {
     val o = Sources.orders(s, d).select(col("o_orderpriority"),
@@ -775,10 +783,16 @@ object Temporal {
       .agg(sum("net_c").as("flow_c"))
     val w = Window.partitionBy("prio").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cums = daily
+    // pinned (lazy): `heads` and `peakDay` BOTH traverse this table and
+    // the final join re-derives `heads` — un-pinned, the corpus-sized
+    // orders scan+agg re-executed ~4x in one query (r12 verdict task 4;
+    // the graph_hits lesson). The pinned table itself is the
+    // calendar-bounded daily series (≤3.7k rows/priority), so the pin
+    // costs nothing and every consumer re-reads, never re-derives.
+    val cums = graft.io.Checkpoints.pin(daily
       .withColumn("cum", sum("flow_c").over(w))
       .withColumn("runmax", max("cum").over(w))
-      .withColumn("dd", col("runmax") - col("cum"))
+      .withColumn("dd", col("runmax") - col("cum")), eager = false)
     val heads = cums.groupBy("prio")
       .agg(count(lit(1)).as("n_days"),
         max("cum").as("peak_c"),
@@ -807,13 +821,17 @@ object Temporal {
     * Exact cents end-to-end.
     */
   def ohlcBars(s: SparkSession, d: String): DataFrame = {
-    val daily = Sources.orders(s, d)
+    // pinned (lazy): `bars` plus the two open/close join-backs make
+    // THREE consumers of this table — un-pinned, the corpus orders
+    // scan+agg re-executed 3x (r12 verdict task 4). The pinned table is
+    // calendar-bounded (≤3.7k rows/priority), so the pin is ~free.
+    val daily = graft.io.Checkpoints.pin(Sources.orders(s, d)
       .select(col("o_orderpriority").as("prio"),
         to_date(col("o_orderdate")).as("day"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy("prio", "day")
       .agg(sum("cents").as("tot_c"))
-      .withColumn("month", date_format(col("day"), "yyyy-MM"))
+      .withColumn("month", date_format(col("day"), "yyyy-MM")), eager = false)
     val bars = daily.groupBy("prio", "month")
       .agg(count(lit(1)).as("n_days"),
         max("tot_c").as("high_c"), min("tot_c").as("low_c"),

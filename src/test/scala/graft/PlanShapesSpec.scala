@@ -227,4 +227,19 @@ class PlanShapesSpec extends SparkSpec {
     planOf("ml_kmeans_lloyd") should not include "Join"
     planOf("ml_kmeans_assign") should not include "Join"
   }
+
+  // r12 verdict task 4: drawdown/OHLC have multiple consumers of their
+  // daily-aggregate lineage (heads + peakDay + final join; bars + two
+  // join-backs). The fix pins the shared table lazily, so the final plan
+  // must contain at most ONE orders parquet scan — every other consumer
+  // reads the pinned LogicalRDD. Un-pinning regresses to 3-4 corpus
+  // scans per query, invisible at sf0.1 but real money at 100 TB.
+  "ts_drawdown and ts_ohlc_bars" should "scan orders at most once (pinned daily lineage)" in {
+    Seq("ts_drawdown", "ts_ohlc_bars").foreach { q =>
+      val p = planOf(q)
+      val scans = "orders\\.parquet".r.findAllIn(p).size
+      withClue(s"$q orders scans: ") { scans should be <= 1 }
+      p should include("ExistingRDD") // the pinned daily table
+    }
+  }
 }

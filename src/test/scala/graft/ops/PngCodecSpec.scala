@@ -84,6 +84,20 @@ class PngCodecSpec extends AnyFlatSpec with Matchers {
     PngCodec.zlibInflate(zl, raw.length).toSeq shouldBe raw.toSeq
   }
 
+  it should "emit a single empty final block on empty input" in {
+    // unreachable from encodePng (filtered scanlines are never empty) but
+    // the helper documents this case — r12 advice: the old loop guard
+    // never terminated on empty input
+    val d = PngCodec.deflateStored(Array.emptyByteArray)
+    d.toSeq shouldBe Seq[Byte](1, 0, 0, 0xff.toByte, 0xff.toByte)
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(d)
+    val buf = new Array[Byte](8)
+    inf.inflate(buf) shouldBe 0
+    inf.finished() shouldBe true
+    inf.end()
+  }
+
   "encodePng/decodePng" should "reproduce the pixel contract end-to-end" in {
     // ids hitting every encoder branch: %5==0 stored, %4==0 split IDAT,
     // both, neither; dims sweep the w 4..16 / h 3..9 fixture range
