@@ -214,6 +214,176 @@ object JpegCodec {
     out.toByteArray
   }
 
+  // ---- AC profile (r13) ----------------------------------------------
+  // The r12 DC-only scope left one asterisk: real JPEG corpora carry AC
+  // coefficients. This extends the SAME container/Huffman machinery with
+  // run-length/magnitude AC coding (RRRRSSSS symbols, ZRL, EOB) and a
+  // fixed-point integer IDCT with PUBLISHED rounding, so the pixel
+  // oracle replays the identical arithmetic — the family discipline: no
+  // irrational ever leaves the integer lattice.
+
+  /** Fixture contract for the AC profile (the oracle's whole
+    * knowledge): dims as [[dims]]; block b carries quantized
+    * coefficients in ZIGZAG index space —
+    *   k = 0 (DC):  ((23·id + 41·b + 13) mod 256) − 128
+    *   k ∈ {1,2,3,6,10,20,40}: ((17·id + 29·b + 11·k) mod 33) − 16
+    * (all other k zero). The position set is chosen to exercise every
+    * AC coding construct corpus-wide: short runs (k 3→6, 6→10), a
+    * 9-run (10→20), a 19-run needing ZRL+run3 (20→40), EOB after 40,
+    * magnitude categories 1–5 with both signs, and occasional zeros AT
+    * listed positions (the mod-33 lattice hits 0) that lengthen runs.
+    */
+  private[ops] val acPositions: Array[Int] = Array(1, 2, 3, 6, 10, 20, 40)
+
+  private[ops] def dcQ(id: Long, b: Long): Int =
+    ((23L * id + 41L * b + 13L) % 256L).toInt - 128
+
+  private[ops] def acQ(id: Long, b: Long, k: Int): Int =
+    ((17L * id + 29L * b + 11L * k) % 33L).toInt - 16
+
+  /** Published fixed-point IDCT basis, u-major:
+    * T(u,x) = round(2¹⁰ · (C(u)/2) · cos((2x+1)uπ/16)), C(0)=1/√2 else 1
+    * — 64 integer constants shared verbatim by the DuckDB oracle, so
+    * pixel(x,y) = floor((Σ S(v·8+u)·T(u,x)·T(v,y) + 2¹⁹)/2²⁰) + 128,
+    * clamped to [0,255], is bit-identical in both engines.
+    */
+  private[ops] val idctT: Array[Array[Int]] = Array(
+    Array(362, 362, 362, 362, 362, 362, 362, 362),
+    Array(502, 426, 284, 100, -100, -284, -426, -502),
+    Array(473, 196, -196, -473, -473, -196, 196, 473),
+    Array(426, -100, -502, -284, 284, 502, 100, -426),
+    Array(362, -362, -362, 362, 362, -362, -362, 362),
+    Array(284, -502, 100, 426, -426, -100, 502, -284),
+    Array(196, -473, 473, -196, -196, 473, -473, 196),
+    Array(100, -284, 426, -502, 502, -426, 284, -100))
+
+  /** Integer IDCT with the published rounding over NATURAL-order
+    * dequantized coefficients; returns the 64 clamped pixels
+    * (row-major). Two separable passes, NO intermediate rounding —
+    * exactness is the whole point.
+    */
+  private[ops] def idctBlock(sNat: Array[Long]): Array[Int] = {
+    val m = Array.ofDim[Long](8, 8) // m(u)(y) = Σ_v S(v,u)·T(v,y)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0L
+        var v = 0
+        while (v < 8) { acc += sNat(v * 8 + u) * idctT(v)(y); v += 1 }
+        m(u)(y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0L
+        var uu = 0
+        while (uu < 8) { acc += m(uu)(y) * idctT(uu)(x); uu += 1 }
+        val g = ((acc + 524288L) >> 20).toInt + 128
+        out(y * 8 + x) = math.max(0, math.min(255, g))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Baseline JFIF bytes with REAL AC coefficients for document `id`:
+    * the [[encodeJpeg]] container (markers, Annex K tables, DRI=3,
+    * stuffing) with the full run-length/magnitude entropy coding.
+    */
+  private[ops] def encodeJpegAc(id: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = dims(nChars)
+    val (bw, bh) = (w / 8, h / 8)
+    val blocks = Array.tabulate(bw * bh) { b =>
+      val z = new Array[Int](64)
+      z(0) = dcQ(id, b.toLong)
+      acPositions.foreach(k => z(k) = acQ(id, b.toLong, k))
+      z
+    }
+    encodeCoefs(blocks, bw, bh, s"junk-comment-$id")
+  }
+
+  /** Encode explicit zigzag-space quantized coefficient blocks — the
+    * general baseline entropy coder (F.1.2): DC difference + category,
+    * AC (run, size) symbols with ZRL for runs ≥ 16 and EOB for a
+    * trailing zero run.
+    */
+  private[ops] def encodeCoefs(
+      blocks: Array[Array[Int]], bw: Int, bh: Int, junk: String): Array[Byte] = {
+    val (w, h) = (bw * 8, bh * 8)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0 / JFIF
+    "JFIF".foreach(c => out.write(c.toInt)); out.write(0)
+    out.write(1); out.write(1)
+    out.write(0); be16(1); be16(1)
+    out.write(0); out.write(0)
+    marker(0xfe); be16(2 + junk.length)
+    junk.foreach(c => out.write(c.toInt))
+    marker(0xdb); be16(67); out.write(0x00)
+    (0 until 64).foreach(i => out.write(quantNatural(zigzag(i))))
+    marker(0xc4); be16(2 + 1 + 16 + dcVals.length + 1 + 16 + acVals.length)
+    out.write(0x00); dcBits.foreach(out.write); dcVals.foreach(out.write)
+    out.write(0x10); acBits.foreach(out.write); acVals.foreach(out.write)
+    marker(0xc0); be16(11)
+    out.write(8); be16(h); be16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xdd); be16(4); be16(3)
+    marker(0xda); be16(8)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+
+    val bits = new BitWriter(out)
+    def category(mag: Int): Int = 32 - Integer.numberOfLeadingZeros(mag)
+    def putCoded(tab: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = tab(sym); bits.put(c, l)
+    }
+    var pred = 0
+    var b = 0
+    while (b < blocks.length) {
+      if (b > 0 && b % 3 == 0) {
+        bits.align()
+        marker(0xd0 + ((b / 3 - 1) % 8))
+        pred = 0
+      }
+      val z = blocks(b)
+      val diff = z(0) - pred
+      pred = z(0)
+      val ssss = category(math.abs(diff))
+      putCoded(dcEnc, ssss)
+      if (ssss > 0)
+        bits.put(if (diff >= 0) diff else diff + (1 << ssss) - 1, ssss)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val v = z(k)
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { putCoded(acEnc, 0xf0); run -= 16 } // ZRL
+          val s = category(math.abs(v))
+          putCoded(acEnc, (run << 4) | s)
+          bits.put(if (v >= 0) v else v + (1 << s) - 1, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putCoded(acEnc, 0x00) // EOB
+      b += 1
+    }
+    bits.align()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   // ---- decoder ------------------------------------------------------
 
   /** Canonical decode tables in the T.81 F.2.2.3 MINCODE/MAXCODE/VALPTR
@@ -283,12 +453,16 @@ object JpegCodec {
     else if (v < (1 << (ssss - 1))) v - (1 << ssss) + 1
     else v
 
-  /** Decode the JFIF bytes back to (width, height, pixSum, pixWsum) —
-    * dims and both raster-weighted gray statistics, everything
-    * recovered through the parsed tables. Fails loudly on any marker,
-    * stuffing, restart, or Huffman irregularity.
+  /** Everything the scan needs, recovered from the marker walk. */
+  private final case class Headers(
+      quant: Array[Int], dcTab: HuffTable, acTab: HuffTable,
+      w: Int, h: Int, dri: Int, sosAt: Int)
+
+  /** The marker-segment container walk (SOI/APP0/COM/DQT/DHT/SOF0/DRI/
+    * SOS) shared by the DC-only and AC decoders. Fails loudly on any
+    * irregularity.
     */
-  private[ops] def decodeJpeg(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+  private def parseHeaders(bytes: Array[Byte]): Headers = {
     def be16(off: Int): Int =
       ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
     require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff &&
@@ -337,7 +511,16 @@ object JpegCodec {
     }
     require(quant != null && dcTab != null && acTab != null && w > 0,
       "scan started before tables/frame")
+    Headers(quant, dcTab, acTab, w, h, dri, sosAt)
+  }
 
+  /** Decode the JFIF bytes back to (width, height, pixSum, pixWsum) —
+    * dims and both raster-weighted gray statistics, everything
+    * recovered through the parsed tables. Fails loudly on any marker,
+    * stuffing, restart, or Huffman irregularity.
+    */
+  private[ops] def decodeJpeg(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val Headers(quant, dcTab, acTab, w, h, dri, sosAt) = parseHeaders(bytes)
     val (bw, bh) = ((w + 7) / 8, (h + 7) / 8)
     val in = new BitReader(bytes, sosAt)
     val grays = new Array[Int](bw * bh)
@@ -371,6 +554,77 @@ object JpegCodec {
       var x = 0
       while (x < w) {
         val g = grays((y / 8) * bw + (x / 8))
+        val p = y.toLong * w + x
+        pixSum += g
+        pixWsum += (p + 1) * g
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, pixSum, pixWsum)
+  }
+
+  /** Full-baseline decode (AC profile): the same marker walk, then per
+    * block a complete coefficient decode — DC difference + EXTEND, AC
+    * (run, size) symbols with ZRL (0xF0 = skip 16) and EOB — dequantize
+    * in natural order, [[idctBlock]] with the published rounding, and
+    * the raster gray statistics. Restart resync and stuffing exactly as
+    * the DC path.
+    */
+  private[ops] def decodeJpegAc(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val Headers(quant, dcTab, acTab, w, h, dri, sosAt) = parseHeaders(bytes)
+    val (bw, bh) = ((w + 7) / 8, (h + 7) / 8)
+    val in = new BitReader(bytes, sosAt)
+    val pixels = new Array[Array[Int]](bw * bh)
+    var pred = 0
+    var b = 0
+    while (b < bw * bh) {
+      if (dri > 0 && b > 0 && b % dri == 0) {
+        in.align()
+        val m = in.rawMarker()
+        require(m == 0xd0 + ((b / dri - 1) % 8), f"bad restart 0xff$m%02x")
+        pred = 0
+      }
+      val sNat = new Array[Long](64)
+      val ssss = dcTab.decode(in)
+      var payload = 0
+      var i = 0
+      while (i < ssss) { payload = (payload << 1) | in.bit(); i += 1 }
+      pred += extend(payload, ssss)
+      sNat(0) = pred.toLong * quant(0)
+      var k = 1
+      var open = true
+      while (open && k < 64) {
+        val rs = acTab.decode(in)
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else open = false // EOB
+        } else {
+          k += r
+          require(k < 64, s"AC run overflows the block at k=$k")
+          var p = 0
+          var j = 0
+          while (j < s) { p = (p << 1) | in.bit(); j += 1 }
+          val nat = zigzag(k)
+          sNat(nat) = extend(p, s).toLong * quant(nat)
+          k += 1
+        }
+      }
+      pixels(b) = idctBlock(sNat)
+      b += 1
+    }
+    in.align()
+    require(in.rawMarker() == 0xd9, "missing EOI after scan")
+
+    var pixSum = 0L
+    var pixWsum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pixels((y / 8) * bw + (x / 8))((y % 8) * 8 + (x % 8))
         val p = y.toLong * w + x
         pixSum += g
         pixWsum += (p + 1) * g

@@ -858,7 +858,33 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Full-baseline JPEG decode with AC coefficients
+    * (`mm_decode_jpeg_ac`, r13 — closing the r12 DC-only asterisk):
+    * encode each document with REAL run-length/magnitude AC entropy
+    * coding ([[JpegCodec.encodeJpegAc]] — ZRL, EOB, categories 1–5
+    * both signs, DRI=3 restarts, stuffing) and decode through the
+    * parsed Annex K tables plus the PUBLISHED fixed-point integer IDCT
+    * ([[JpegCodec.idctBlock]]: T = round(2¹⁰·C(u)/2·cos), floor((Σ +
+    * 2¹⁹)/2²⁰), clamp). The oracle recomputes the quantized
+    * coefficients from the published zigzag-space formula and replays
+    * the identical integer IDCT — no irrational ever leaves the
+    * lattice, so the hash gate certifies the complete baseline entropy
+    * decode AND the transform, not just markers.
+    */
+  def mediaDecodeJpegAc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, sum, wsum) = JpegCodec.decodeJpegAc(JpegCodec.encodeJpegAc(id, nc))
+        PngFeatures(id, w.toLong, h.toLong, sum, wsum)
+      })
+      .toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_jpeg_ac" -> (mediaDecodeJpegAc _),
     "mm_shard_plan" -> (shardPlan _),
     "mm_media_meta" -> (mediaMeta _),
     "mm_decode_bmp" -> (mediaDecodeBmp _),
@@ -964,6 +990,53 @@ object Multimodal {
         |    ((p // w) // 8) * (w // 8) + (p % w) // 8 AS b FROM px),
         | g AS (SELECT doc_id, w, h, p,
         |    (23 * doc_id + 41 * b + 7 * b * b + 13) % 256 AS gray FROM v)
+        |SELECT doc_id,
+        | CAST(any_value(w) AS BIGINT) AS width,
+        | CAST(any_value(h) AS BIGINT) AS height,
+        | CAST(sum(gray) AS BIGINT) AS pix_sum,
+        | CAST(sum((p + 1) * gray) AS BIGINT) AS pix_wsum
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // JPEG AC profile: the oracle recomputes the published zigzag-space
+    // quantized coefficients per block and replays the published
+    // fixed-point integer IDCT (the same 64 T constants as
+    // JpegCodec.idctT, floor((Σ+2^19)/2^20)+128, clamp) — it never sees
+    // Huffman runs, ZRL, EOB, restarts, or stuffing; only a complete
+    // baseline entropy decode + bit-identical IDCT reproduces the sums.
+    // floor() (not //) because the engine's >>20 floors negatives while
+    // DuckDB's // truncates toward zero; exact in double at |raw|<2^52.
+    "mm_decode_jpeg_ac" ->
+      """WITH tt AS (SELECT unnest(range(0, 64)) AS i, unnest([
+        |   362,362,362,362,362,362,362,362,
+        |   502,426,284,100,-100,-284,-426,-502,
+        |   473,196,-196,-473,-473,-196,196,473,
+        |   426,-100,-502,-284,284,502,100,-426,
+        |   362,-362,-362,362,362,-362,-362,362,
+        |   284,-502,100,426,-426,-100,502,-284,
+        |   196,-473,473,-196,-196,473,-473,196,
+        |   100,-284,426,-502,502,-426,284,-100]) AS tv),
+        | dims AS (SELECT doc_id, 8 * (1 + n_chars % 4) AS w,
+        |    8 * (1 + n_chars % 3) AS h FROM documents),
+        | blk AS (SELECT doc_id, w, h,
+        |    unnest(range(0, (w // 8) * (h // 8))) AS b FROM dims),
+        | coef AS (SELECT doc_id, w, h, b, c.u, c.v,
+        |    CASE WHEN c.k = 0 THEN 8 * ((23 * doc_id + 41 * b + 13) % 256 - 128)
+        |         ELSE c.q * ((17 * doc_id + 29 * b + 11 * c.k) % 33 - 16) END AS s
+        |  FROM blk CROSS JOIN (VALUES (0, 0, 0, 8), (1, 1, 0, 17),
+        |    (2, 0, 1, 24), (3, 0, 2, 32), (6, 3, 0, 19), (10, 0, 4, 48),
+        |    (20, 0, 5, 56), (40, 5, 3, 45)) AS c(k, u, v, q)),
+        | m AS (SELECT doc_id, w, h, b, u, yy.y, sum(s * t1.tv) AS mv
+        |  FROM coef CROSS JOIN (SELECT unnest(range(0, 8)) AS y) yy
+        |  JOIN tt t1 ON t1.i = v * 8 + yy.y
+        |  GROUP BY doc_id, w, h, b, u, yy.y),
+        | pixel AS (SELECT doc_id, w, h, b, xx.x, y,
+        |    least(255, greatest(0, CAST(floor(
+        |      (sum(mv * t2.tv) + 524288) / 1048576.0) AS BIGINT) + 128)) AS gray
+        |  FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS x) xx
+        |  JOIN tt t2 ON t2.i = u * 8 + xx.x
+        |  GROUP BY doc_id, w, h, b, xx.x, y),
+        | g AS (SELECT doc_id, w, h,
+        |    ((b // (w // 8)) * 8 + y) * w + (b % (w // 8)) * 8 + x AS p, gray
+        |  FROM pixel)
         |SELECT doc_id,
         | CAST(any_value(w) AS BIGINT) AS width,
         | CAST(any_value(h) AS BIGINT) AS height,

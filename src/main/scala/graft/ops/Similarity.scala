@@ -1017,18 +1017,67 @@ object Similarity {
     * switches the election to per-bucket MEAN-centered doubles or
     * DECIMAL accumulation — the plan is unchanged).
     */
+  /** Open-ended frozen direction family: j < 6 returns the published
+    * [[semBases]] (the fixture-frozen, oracle-replayed directions);
+    * j ≥ 6 extends with the same published formula class
+    * c_j[i] = ((7j+3)·i + (11j+5)) mod (37+2j) − (37+2j) div 2 — so a
+    * larger corpus can take MORE sign bits without retraining anything
+    * (still deterministic, still oracle-replayable if a future frozen
+    * query publishes its bit count).
+    */
+  private[graft] def semBasisExt(j: Int): Array[Long] =
+    if (j < semBases.length) semBases(j)
+    else {
+      val m = 37L + 2L * j
+      val a = 7L * j + 3L
+      val b = 11L * j + 5L
+      Array.tabulate(64)(i => ((a * i + b) % m) - m / 2)
+    }
+
+  /** `bits`-bit sign bucket of `qv` along [[semBasisExt]]. */
+  private[graft] def signBucketCol(bits: Int): Column =
+    (0 until bits).map { j =>
+      when(semDotQ(semBasisExt(j)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Sign-bits needed to hold expected bucket occupancy ≈ `target` at
+    * corpus size `n` — the corpus-scaled bucket width the 100 TB
+    * arithmetic in [[semDedupOn]] calls for. Floor 6 = the fixture's
+    * published frozen width.
+    */
+  private[graft] def scaledSignBits(n: Long, target: Long = 64L): Int =
+    math.max(6, math.ceil(
+      math.log(math.max(1.0, n.toDouble / target)) / math.log(2.0)).toInt)
+
   /** 6-bit sign bucket of `qv` along [[semBases]] — shared by the
     * SemDeDup election and the multiprobe ANN query.
     */
-  private def semBucketCol: Column =
-    semBases.zipWithIndex.map { case (c, j) =>
-      when(semDotQ(c) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def semBucketCol: Column = signBucketCol(6)
 
-  def semDedupFrozen(s: SparkSession, d: String): DataFrame = {
+  def semDedupFrozen(s: SparkSession, d: String): DataFrame =
+    semDedupOn(quantEmb(s, d), 6)
+
+  /** SemDeDup election over a pre-quantized corpus at `bits` sign bits
+    * — the [[semDedupFrozen]] body, parameterized so the ScaleProbe can
+    * measure bucket occupancy and election cost at corpus-scaled widths
+    * (r12 verdict task 3: a FIXED 2⁶ bucket count makes per-bucket work
+    * grow linearly with the corpus — at 100 TB / 1e11 rows each bucket
+    * holds ~1.6e9 rows and the per-bucket election window becomes a
+    * 64-task ceiling. The fix is arithmetic, not architectural: take
+    * bits = log₂(n / target) ([[scaledSignBits]]) and the same plan —
+    * map-side bucketing, model-sized stats (2^bits × 64 longs: 25 bits
+    * ≈ 16 GB is the driver ceiling, so past ~2²⁰ buckets the stats
+    * collect switches to a broadcast-free shuffle join, same shape),
+    * broadcast d² scoring, ONE corpus shuffle for the election — keeps
+    * per-bucket occupancy at the constant target. The occupancy probe
+    * records exactly this: fixed-6-bit max-bucket grows ~k×, scaled-bit
+    * max-bucket stays flat, election wall tracks corpus not bucket.)
+    */
+  private[graft] def semDedupOn(quant: DataFrame, bits: Int): DataFrame = {
+    val s = quant.sparkSession
     import s.implicits._
-    val q = quantEmb(s, d).withColumn("bucket", semBucketCol)
-    // per-bucket per-dim exact sums: bounded by 2^6 buckets x 64 dims
+    val q = quant.withColumn("bucket", signBucketCol(bits))
+    // per-bucket per-dim exact sums: bounded by 2^bits buckets x 64 dims
     val stats = q.select(col("bucket"), posexplode(col("qv")).as(Seq("i", "x")))
       .groupBy("bucket", "i")
       .agg(sum("x").as("sx"), count(lit(1)).as("nb"))
@@ -1120,7 +1169,12 @@ object Similarity {
     * oracle-replayable because the buckets are the frozen published
     * projections — the trained-LSH twin (`sim_ann_lsh`) stays
     * rows-only; at scale the probe ring generalizes to distance ≤ r
-    * with the identical join shape.
+    * with the identical join shape. Bucket width shares the
+    * [[semDedupOn]] corpus-scaled arithmetic: at n rows take
+    * [[scaledSignBits]] bits (the ring grows to bits+1 probes — still
+    * O(log n) probe rows per query, never corpus-sized) so per-bucket
+    * candidates stay at the constant target; the occupancy probe
+    * records fixed-vs-scaled occupancy at ×1/×4/×16/×64.
     */
   def multiprobeFrozen(s: SparkSession, d: String): DataFrame = {
     val q0 = quantEmb(s, d).withColumn("bucket", semBucketCol)

@@ -963,6 +963,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Published frozen merge table for [[bpeTokenizeFrozen]] — the
+    * logreg/PCA/IVF frozen-twin discipline applied to tokenization:
+    * eight FIXED (left, right) merges in rank order, chosen to fire on
+    * the fixture vocabulary and to exercise chained merges (rank 2
+    * consumes rank 1's product, rank 7 consumes rank 4's). Every pair
+    * has left ≠ right as strings — load-bearing for the oracle replay
+    * (see [[bpeTokenizeFrozen]]).
+    */
+  private[ops] val frozenBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("o", "r"),
+    ("e", "r"), ("s", "t"), ("or", "t"), ("w", "i"))
+
+  /** BPE tokenization with the PUBLISHED merge table
+    * (`text_bpe_tokenize_frozen`) — the hash-gated serving twin of
+    * [[bpeTokenize]] (which applies TRAINED merges and stays rows-only
+    * by contract, like `ml_logreg_score` vs `_frozen`). Identical plan:
+    * k chained `aggregate`-HOF folds, map-side, one corpus scan, no
+    * shuffle before the per-document count.
+    *
+    * Oracle replayability is the point: the DuckDB twin encodes each
+    * word as a chr(31)-separated symbol string and applies each merge as
+    * TWO `replace(sep+a+sep+b+sep → sep+ab+sep)` passes.
+    * Two passes replay the engine's left-to-right greedy fold EXACTLY
+    * when left ≠ right: occurrences over the symbol sequence are then
+    * disjoint (an overlap at (i,i+1)/(i+1,i+2) forces left = right),
+    * pass 1's only misses are pairs whose leading separator was
+    * consumed by the immediately-preceding match — never two in a row,
+    * since a skipped pair's successor keeps its separator — and pass 2
+    * picks up exactly those. (With left = right the two-pass replay can
+    * commit to a smaller maximal matching than the fold — merge
+    * ("a","a") over "aaaaaa" folds to 3 tokens but replays to 4 — which
+    * is why the published table excludes self-merges.) Separator safety:
+    * fixture text is ASCII 32–121, checked per SF; chr(31) cannot occur.
+    */
+  def bpeTokenizeFrozen(s: SparkSession, d: String): DataFrame = {
+    val toks = Sources.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("syms", split(col("w"), ""))
+    val merged = frozenBpeMerges.foldLeft(toks) { case (df, (a, b)) =>
+      df.withColumn("syms", applyMerge(col("syms"), a, b))
+    }
+    merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms")).cast("long")).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_letters"))
+      .withColumn("saved_bp",
+        expr("(10000 * (n_letters - n_tokens)) div n_letters"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-document boilerplate audit (`text_boilerplate`): per source,
     * the share of distinct 5-gram shingles appearing in ≥ 30% of that
     * source's documents — the template/navigation-chrome signal that
@@ -1065,6 +1116,7 @@ object TextOps {
     "text_langid_confusion" -> (langIdConfusion _),
     "text_boilerplate" -> (boilerplate _),
     "text_bpe_tokenize" -> (bpeTokenize _),
+    "text_bpe_tokenize_frozen" -> (bpeTokenizeFrozen _),
     "text_bpe_merges" -> (bpeMerges _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -1136,7 +1188,41 @@ object TextOps {
       |      len(list_distinct(list_concat(a.sset, b.sset))), 4) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Generated (not hand-written) from [[frozenBpeMerges]] so the
+    * published table cannot drift from its oracle: each merge becomes
+    * two identical `replace` passes over the chr(31)-separated symbol
+    * string (the two-pass greedy-fold replay proven in
+    * [[bpeTokenizeFrozen]]'s scaladoc).
+    */
+  private def bpeFrozenOracle: String = {
+    val sep = "chr(31)"
+    def pat(a: String, b: String) = s"$sep || '$a' || $sep || '$b' || $sep"
+    def rep(ab: String) = s"$sep || '$ab' || $sep"
+    val chain = frozenBpeMerges.foldLeft(
+      s"$sep || array_to_string(string_split(w, ''), chr(31)) || $sep") {
+      case (acc, (a, b)) =>
+        val one = s"replace($acc, ${pat(a, b)}, ${rep(a + b)})"
+        s"replace($one, ${pat(a, b)}, ${rep(a + b)})"
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       | enc AS (SELECT doc_id, w, $chain AS s FROM words),
+       | agg AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(length(s) - length(replace(s, chr(31), '')) - 1) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(sum(length(w)) AS BIGINT) AS n_letters
+       |  FROM enc GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_tokens, n_letters,
+       |  (10000 * (n_letters - n_tokens)) // n_letters AS saved_bp
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_tokenize_frozen" -> bpeFrozenOracle,
     "text_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | p AS (SELECT doc_id, ws,

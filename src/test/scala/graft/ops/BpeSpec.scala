@@ -104,6 +104,83 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  behavior of "TextOps.bpeTokenizeFrozen"
+
+  /** The greedy left-to-right fold — the engine semantics. */
+  private def foldMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == a && x == b) {
+        out.remove(out.length - 1); out += (a + b)
+      } else out += x
+    }
+    out.toVector
+  }
+
+  it should "match reference tokenization with the published merges" in {
+    def tokenize(w: String): Vector[String] =
+      TextOps.frozenBpeMerges.foldLeft(w.split("").toVector) {
+        case (syms, (a, b)) => foldMerge(syms, a, b)
+      }
+    val want = graft.io.Sources.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+        val nTok = ws.map(w => tokenize(w).length.toLong).sum
+        val nLet = ws.map(_.length.toLong).sum
+        (r.getLong(0), ws.length.toLong, nTok, nLet,
+          10000 * (nLet - nTok) / nLet)
+      }.sortBy(_._1).toSeq
+    val got = TextOps.bpeTokenizeFrozen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe want
+    // the published merges must actually fire on this vocabulary
+    got.map(t => t._4 - t._3).sum should be > 0L
+  }
+
+  it should "be replayed exactly by the oracle's two-pass replace (left != right)" in {
+    // driver-side simulation of the DuckDB formulation: sep-encoded
+    // symbol string, each merge applied as TWO java replace passes
+    // (String.replace = leftmost-first non-overlapping, the same
+    // semantics as DuckDB's replace)
+    val sep = "\u001f"
+    def twoPass(w: String): Int = {
+      val enc = TextOps.frozenBpeMerges.foldLeft(
+        sep + w.split("").mkString(sep) + sep) { case (s, (a, b)) =>
+        val pat = sep + a + sep + b + sep
+        val rep = sep + (a + b) + sep
+        s.replace(pat, rep).replace(pat, rep)
+      }
+      enc.count(_ == '\u001f') - 1
+    }
+    def fold(w: String): Int =
+      TextOps.frozenBpeMerges.foldLeft(w.split("").toVector) {
+        case (syms, (a, b)) => foldMerge(syms, a, b)
+      }.length
+    // every distinct fixture word, plus adversarial shapes: chained
+    // occurrences, back-to-back pairs, merge products re-participating
+    val fixtureWords = graft.io.Sources.documents(spark, sfDir)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty).distinct
+    val crafted = Seq("ththth", "thethethe", "ananan", "sortsortsort",
+      "thesorthe", "ssttsstt", "orororor", "wiwiwi", "the", "t", "")
+      .filter(_.nonEmpty)
+    (fixtureWords ++ crafted).foreach { w =>
+      withClue(s"word '$w': ") { twoPass(w) shouldBe fold(w) }
+    }
+    // the self-merge counterexample from the scaladoc: ("a","a") over
+    // a^6 folds to 3 tokens but two-pass replays to 4 — the reason the
+    // published table excludes left == right
+    val s0 = sep + "a a a a a a".split(" ").mkString(sep) + sep
+    val pat = sep + "a" + sep + "a" + sep
+    val rep = sep + "aa" + sep
+    val twoPassSelf = s0.replace(pat, rep).replace(pat, rep).count(_ == '\u001f') - 1
+    val foldSelf = foldMerge(Vector.fill(6)("a"), "a", "a").length
+    foldSelf shouldBe 3
+    twoPassSelf shouldBe 4
+    TextOps.frozenBpeMerges.foreach { case (a, b) => a should not be b }
+  }
+
   it should "hold the structural invariants on the fixture corpus" in {
     val got = TextOps.bpeMerges(spark, sfDir).collect()
     got.length should be > 0

@@ -106,4 +106,96 @@ class JpegCodecSpec extends AnyFlatSpec with Matchers {
     an[Exception] should be thrownBy JpegCodec.decodeJpeg(bytes.take(20))
     an[Exception] should be thrownBy JpegCodec.decodeJpeg(Array[Byte](1, 2, 3))
   }
+
+  // ---- AC profile (r13) ----------------------------------------------
+
+  /** Driver-side reference: the published coefficient formula through a
+    * straight (non-separable) evaluation of the published integer IDCT —
+    * an independent implementation of the same published arithmetic.
+    */
+  private def formulaAc(id: Long, nChars: Long): (Int, Int, Long, Long) = {
+    val (w, h) = JpegCodec.dims(nChars)
+    val bw = w / 8
+    def pixels(b: Long): Array[Int] = {
+      val sNat = new Array[Long](64)
+      sNat(0) = 8L * JpegCodec.dcQ(id, b)
+      JpegCodec.acPositions.foreach { k =>
+        val nat = JpegCodec.zigzag(k)
+        sNat(nat) = (16L + nat) * JpegCodec.acQ(id, b, k)
+      }
+      val out = new Array[Int](64)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var acc = 0L
+        for (v <- 0 until 8; u <- 0 until 8)
+          acc += sNat(v * 8 + u) * JpegCodec.idctT(u)(x) * JpegCodec.idctT(v)(y)
+        val g = ((acc + 524288L) >> 20).toInt + 128
+        out(y * 8 + x) = math.max(0, math.min(255, g))
+      }
+      out
+    }
+    var s = 0L
+    var ws = 0L
+    val cache = scala.collection.mutable.Map[Long, Array[Int]]()
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (y / 8).toLong * bw + (x / 8)
+      val g = cache.getOrElseUpdate(b, pixels(b))((y % 8) * 8 + (x % 8))
+      val p = y.toLong * w + x
+      s += g
+      ws += (p + 1) * g
+    }
+    (w, h, s, ws)
+  }
+
+  "AC encode/decode" should "reproduce the published coefficient formula + IDCT" in {
+    for (id <- Seq(0L, 1L, 7L, 123L, 99991L); nc <- 0L until 12L) {
+      val got = JpegCodec.decodeJpegAc(JpegCodec.encodeJpegAc(id, nc))
+      withClue(s"id=$id nc=$nc") { got shouldBe formulaAc(id, nc) }
+    }
+  }
+
+  it should "exercise ZRL, EOB, multi-run coding and both payload signs corpus-wide" in {
+    // the position set {1,2,3,6,10,20,40} forces: runs 2, 3, 9 and
+    // 19 (= ZRL + 3) between nonzeros, EOB after 40 — and the mod-33
+    // lattice hits 0 at listed positions, lengthening runs further
+    val coefs = for (id <- 0L until 50L; b <- 0L until 12L; k <- JpegCodec.acPositions)
+      yield JpegCodec.acQ(id, b, k)
+    coefs.count(_ > 0) should be > 0
+    coefs.count(_ < 0) should be > 0
+    coefs.count(_ == 0) should be > 0 // zero AT a listed position
+    coefs.map(v => 32 - Integer.numberOfLeadingZeros(math.abs(v)))
+      .toSet should contain allOf (1, 2, 3, 4, 5)
+    // ZRL symbol (0xF0) actually appears: decode would fail on a wrong
+    // run reconstruction, but also assert the encoder emits category-0
+    // runs >= 16 structurally — position 20 -> 40 is a 19-gap whenever
+    // acQ(.,.,40) != 0
+    (0L until 50L).flatMap(id => (0L until 12L).map(b =>
+      JpegCodec.acQ(id, b, 40))).count(_ != 0) should be > 400
+  }
+
+  it should "decode the DC-only streams too (strict subset)" in {
+    // the general decoder must agree with the DC-only decoder on
+    // DC-only streams: constant blocks are exact under ANY correct
+    // IDCT, published-rounding included (S00 = 8*(g-128) gives
+    // acc = g-128 << 20 exactly, so floor rounding is lossless)
+    for (id <- Seq(3L, 44L); nc <- 0L until 6L) {
+      val bytes = JpegCodec.encodeJpeg(id, nc)
+      JpegCodec.decodeJpegAc(bytes) shouldBe JpegCodec.decodeJpeg(bytes)
+    }
+  }
+
+  it should "use the parsed AC table: corrupting it breaks decode loudly" in {
+    val bytes = JpegCodec.encodeJpegAc(42L, 7L)
+    // find the DHT segment (FFC4); the AC table starts after the DC
+    // table (1 + 16 + 12 bytes in): swap its first two BITS counts so
+    // canonical code assignment shifts — decode must not silently agree
+    val i = (0 until bytes.length - 1).indexWhere(j =>
+      (bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xc4)
+    val acBitsOff = i + 4 + 1 + 16 + 12 + 1 // segment body + DC block + AC class byte
+    val mutated = bytes.clone()
+    val t = mutated(acBitsOff); mutated(acBitsOff) = mutated(acBitsOff + 1)
+    mutated(acBitsOff + 1) = t
+    val ok = JpegCodec.decodeJpegAc(bytes)
+    val broken = try Some(JpegCodec.decodeJpegAc(mutated)) catch { case _: Exception => None }
+    broken should not be Some(ok)
+  }
 }
