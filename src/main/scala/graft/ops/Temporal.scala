@@ -846,7 +846,135 @@ object Temporal {
       .orderBy("prio", "month")
   }
 
+  /** Trailing-window self-join over the gap-filled daily series: one
+    * exploded offset array (0..w−1) + one equi-join on the shifted
+    * index — the [[autocorr]] shape, distributed and bounded, never a
+    * single-partition global window. Returns (i, day, x, plus one row
+    * per window member y at offset k).
+    */
+  private def trailing(ser: DataFrame, w: Int): DataFrame = {
+    val a = ser.select(col("i"), col("day"), col("x"),
+      explode(array((0 until w).map(lit(_)): _*)).as("k"))
+      .withColumn("ti", col("i") - col("k"))
+    a.join(ser.select(col("i").as("ti"), col("x").as("y")), "ti")
+  }
+
+  /** Monthly VWAP (`ts_vwap`): volume-weighted average unit price per
+    * ship month — Σ extended-price / Σ quantity, the market-data
+    * reduction (extendedprice = unitprice·qty, so the ratio IS the
+    * quantity-weighted mean unit price; the unweighted mean of unit
+    * prices is the classic wrong answer this operator exists to
+    * avoid). ONE map-side-combinable keyed aggregate over lineitem —
+    * the cheapest possible 100 TB shape; numerator/denominator ship as
+    * exact BIGINT gate columns, one rounded division.
+    */
+  def vwap(s: SparkSession, d: String): DataFrame =
+    Sources.lineitem(s, d)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_items"),
+        sum("cents").as("price_c"), sum("qty").as("qty_sum"))
+      .withColumn("vwap", graft.functions.Num.roundNorm(
+        col("price_c").cast("double") / 100.0 / col("qty_sum").cast("double"), 4))
+      .orderBy("month")
+
+  /** 14-day RSI (`ts_rsi`): the relative-strength index over the daily
+    * revenue series — trailing-14 sums of up-moves vs down-moves,
+    * RSI = 100·ΣG/(ΣG+ΣL) (the 1/14 averaging cancels in the ratio, so
+    * the statistic is an exact-integer ratio with ONE double division).
+    * Deltas via a lag equi-join, the window via [[trailing]] — no
+    * global window. All-flat windows (ΣG+ΣL = 0, real at small SFs
+    * where the gap-filled series has long zero runs) emit the neutral
+    * 50 by convention rather than 0/0. Gate columns: exact gain/loss
+    * sums; emitted once the delta window is full (i ≥ 14).
+    */
+  def rsi(s: SparkSession, d: String): DataFrame = {
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val deltas = ser
+      .join(ser.select((col("i") + 1).as("i"), col("x").as("xp")), "i")
+      .select(col("i"), col("day"), (col("x") - col("xp")).as("dx"))
+    val win = deltas.select(col("i"),
+        explode(array((0 until 14).map(lit(_)): _*)).as("k"))
+      .withColumn("ti", col("i") - col("k"))
+      .join(deltas.select(col("i").as("ti"), col("dx").as("dy")), "ti")
+      .groupBy(col("i"))
+      .agg(sum(greatest(col("dy"), lit(0L))).as("gain_sum"),
+        sum(greatest(-col("dy"), lit(0L))).as("loss_sum"))
+      .filter(col("i") >= 14)
+    win.join(deltas.select(col("i"), col("day")), "i")
+      .withColumn("rsi",
+        when(col("gain_sum") + col("loss_sum") === 0, lit(50.0))
+          .otherwise(graft.functions.Num.roundNorm(
+            lit(100.0) * col("gain_sum").cast("double") /
+              (col("gain_sum") + col("loss_sum")).cast("double"), 4)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("gain_sum"), col("loss_sum"), col("rsi"))
+      .orderBy("day")
+  }
+
+  /** 20-day Bollinger bands (`ts_bollinger`): trailing mean ± 2
+    * population σ over the daily series, with the BREAKOUT decision
+    * made in exact integers — x > μ + 2σ ⇔ (n·x − S) > 0 ∧
+    * (n·x − S)² > 4·(n·Q − S²), all BIGINT cross-multiplications (the
+    * float bands are display-rounded; the flag both engines hash can
+    * never diverge on a boundary ulp). Full windows only (i ≥ 19);
+    * IEEE sqrt is correctly rounded, so the σ column rounds
+    * identically in both engines.
+    */
+  def bollinger(s: SparkSession, d: String): DataFrame = {
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val w = 20
+    trailing(ser, w)
+      .groupBy(col("i"), col("day"), col("x"))
+      .agg(count(lit(1)).as("n"), sum("y").as("sx"),
+        sum(col("y") * col("y")).as("qx"))
+      .filter(col("i") >= w - 1)
+      .withColumn("mean", graft.functions.Num.roundNorm(
+        col("sx").cast("double") / w, 4))
+      .withColumn("sigma", graft.functions.Num.roundNorm(
+        sqrt((col("n") * col("qx") - col("sx") * col("sx")).cast("double")) / w, 4))
+      .withColumn("breakout_hi",
+        (col("n") * col("x") - col("sx") > 0) &&
+          (col("n") * col("x") - col("sx")) * (col("n") * col("x") - col("sx")) >
+            lit(4L) * (col("n") * col("qx") - col("sx") * col("sx")))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
+        col("mean"), col("sigma"), col("breakout_hi"))
+      .orderBy("day")
+  }
+
+  /** SMA crossover signals (`ts_sma_crossover`): trailing 7-day vs
+    * 28-day means of daily revenue; a signal fires when the fast mean
+    * crosses the slow one. The comparison is the exact integer
+    * cross-multiplication c = 4·S₇ − S₂₈ (28/7 = 4 — means never
+    * materialize as floats), state = c > 0, event = state flip vs the
+    * previous day. One [[trailing]] join builds BOTH sums (conditional
+    * on offset < 7); the flip test is a lag equi-join. Output: signal
+    * days only, with direction and the exact c before/after.
+    */
+  def smaCrossover(s: SparkSession, d: String): DataFrame = {
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val sums = trailing(ser, 28)
+      .groupBy(col("i"), col("day"))
+      .agg(sum(when(col("k") < 7, col("y")).otherwise(lit(0L))).as("s7"),
+        sum("y").as("s28"))
+      .filter(col("i") >= 27)
+      .withColumn("c", lit(4L) * col("s7") - col("s28"))
+    val prev = sums.select((col("i") + 1).as("i"), col("c").as("c_prev"))
+    sums.join(prev, "i")
+      .filter((col("c") > 0) =!= (col("c_prev") > 0))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        when(col("c") > 0, lit("golden")).otherwise(lit("death")).as("signal"),
+        col("c_prev"), col("c"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_vwap" -> (vwap _),
+    "ts_rsi" -> (rsi _),
+    "ts_bollinger" -> (bollinger _),
+    "ts_sma_crossover" -> (smaCrossover _),
     "ts_ohlc_bars" -> (ohlcBars _),
     "ts_drawdown" -> (drawdown _),
     "ts_clamped_balance" -> (clampedBalance _),
@@ -888,6 +1016,58 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_vwap" ->
+      """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS price_c,
+        | CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
+        | round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE
+        |   / 100.0 / sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE, 4) + 0.0
+        |   AS vwap
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_rsi" ->
+      s"""WITH RECURSIVE $seriesCte,
+        | d AS (SELECT i, day, x - lag(x) OVER (ORDER BY i) AS dx FROM ser),
+        | win AS (SELECT i, day,
+        |    CAST(sum(greatest(dx, 0)) OVER (ORDER BY i
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS gain_sum,
+        |    CAST(sum(greatest(-dx, 0)) OVER (ORDER BY i
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS loss_sum
+        |  FROM d WHERE dx IS NOT NULL)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, gain_sum, loss_sum,
+        | CASE WHEN gain_sum + loss_sum = 0 THEN 50.0
+        |      ELSE round(100.0 * gain_sum::DOUBLE
+        |        / (gain_sum + loss_sum)::DOUBLE, 4) + 0.0 END AS rsi
+        |FROM win WHERE i >= 14 ORDER BY day""".stripMargin,
+    "ts_bollinger" ->
+      s"""WITH RECURSIVE $seriesCte,
+        | w AS (SELECT i, day, x,
+        |    CAST(count(*) OVER tw AS BIGINT) AS n,
+        |    CAST(sum(x) OVER tw AS BIGINT) AS sx,
+        |    CAST(sum(x * x) OVER tw AS BIGINT) AS qx
+        |  FROM ser WINDOW tw AS (ORDER BY i
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, x,
+        | round(sx::DOUBLE / 20, 4) + 0.0 AS mean,
+        | round(sqrt((n * qx - sx * sx)::DOUBLE) / 20, 4) + 0.0 AS sigma,
+        | n * x - sx > 0 AND (n * x - sx) * (n * x - sx) > 4 * (n * qx - sx * sx)
+        |   AS breakout_hi
+        |FROM w WHERE i >= 19 ORDER BY day""".stripMargin,
+    "ts_sma_crossover" ->
+      s"""WITH RECURSIVE $seriesCte,
+        | sums AS (SELECT i, day,
+        |    CAST(sum(x) OVER (ORDER BY i
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s7,
+        |    CAST(sum(x) OVER (ORDER BY i
+        |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS s28
+        |  FROM ser),
+        | c AS (SELECT i, day, 4 * s7 - s28 AS c FROM sums WHERE i >= 27),
+        | f AS (SELECT *, lag(c) OVER (ORDER BY i) AS c_prev FROM c)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | CASE WHEN c > 0 THEN 'golden' ELSE 'death' END AS signal, c_prev, c
+        |FROM f WHERE c_prev IS NOT NULL AND (c > 0) <> (c_prev > 0)
+        |ORDER BY day""".stripMargin,
     "ts_ohlc_bars" ->
       """WITH daily AS (SELECT o_orderpriority AS prio,
         |    CAST(o_orderdate AS DATE) AS day,

@@ -435,4 +435,66 @@ class TemporalSpec extends SparkSpec {
     // bars vary: not every month is one flat candle
     rows.count { case (_, _, _, o, h, l, c) => h != l } should be > 10
   }
+
+  behavior of "the r13 market-stats family (rsi/bollinger/smaCrossover/vwap)"
+
+  it should "replay RSI as a literal trailing-14 gain/loss walk" in {
+    val xs = dailySeries.map(_._2).toArray
+    val dx = xs.indices.drop(1).map(i => xs(i) - xs(i - 1))
+    val want = (14 until xs.length).map { i =>
+      // deltas dx(0)..; window for day i = deltas at days i-13..i
+      val w = ((i - 14) until (i - 0)).map(dx) // dx(j) is the delta INTO day j+1
+      val g = w.map(v => math.max(v, 0L)).sum
+      val l = w.map(v => math.max(-v, 0L)).sum
+      (g, l, if (g + l == 0) 50.0 else math.round(1e4 * 100.0 * g / (g + l)) / 1e4)
+    }
+    val got = Temporal.rsi(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    got.length shouldBe want.length
+    got shouldBe want
+    // both signs of motion genuinely present
+    got.map(_._1).max should be > 0L
+    got.map(_._2).max should be > 0L
+  }
+
+  it should "make the Bollinger breakout decision in exact integers" in {
+    val xs = dailySeries.map(_._2).toArray
+    val rows = Temporal.bollinger(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    rows.length shouldBe xs.length - 19
+    rows.zipWithIndex.foreach { case ((x, _, _, flag), idx) =>
+      val i = idx + 19
+      val w = xs.slice(i - 19, i + 1)
+      val s = w.sum
+      val q = w.map(v => v * v).sum
+      x shouldBe xs(i)
+      flag shouldBe (20 * x - s > 0 &&
+        (20 * x - s) * (20 * x - s) > 4 * (20 * q - s * s))
+    }
+    rows.count(_._4) should be > 0 // breakouts genuinely occur
+  }
+
+  it should "fire SMA crossovers exactly at integer sign flips" in {
+    val xs = dailySeries.map(_._2).toArray
+    def c(i: Int): Long =
+      4 * xs.slice(i - 6, i + 1).sum - xs.slice(i - 27, i + 1).sum
+    val want = (28 until xs.length).filter(i => (c(i) > 0) != (c(i - 1) > 0))
+      .map(i => (if (c(i) > 0) "golden" else "death", c(i - 1), c(i)))
+    val got = Temporal.smaCrossover(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    got.map(_._1).toSet shouldBe Set("golden", "death")
+  }
+
+  it should "weight VWAP by quantity, not average unit prices" in {
+    val rows = Temporal.vwap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    rows should not be empty
+    rows.foreach { case (m, n, pc, qs, v) =>
+      withClue(m) {
+        n should be > 0L
+        v shouldBe math.round(1e4 * pc.toDouble / 100.0 / qs) / 1e4
+      }
+    }
+  }
 }
