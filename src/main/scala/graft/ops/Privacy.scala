@@ -202,7 +202,52 @@ object Privacy {
       .orderBy("segment")
   }
 
+  /** t-closeness audit (`priv_t_closeness`, r13): per QI class, the
+    * total-variation distance between the class's sensitive-value
+    * (market segment) distribution and the global one — the
+    * Li/Li/Venkatasubramanian criterion that catches what l-diversity
+    * misses (a class can be diverse yet still skewed far from the
+    * population, leaking membership). The DECISION is exact integers:
+    * TVD = Σ_s |c_{g,s}/n_g − C_s/N| / 2, compared as the
+    * cross-multiplied BIGINT tvd_scaled = Σ_s |c_{g,s}·N − C_s·n_g|
+    * against the threshold t = 0.4 via tvd_scaled > 2·t·n_g·N (exact:
+    * 5·tvd_scaled > 4·n_g·N — no float ever decides). Plan: one
+    * (class, segment) cell aggregate, the 5-row global segment census
+    * as a broadcast grid (every class × every segment, zeros included
+    * — absent cells carry the FULL |0 − C_s·n_g| mass, which a naive
+    * inner join silently drops), one class-keyed rollup.
+    */
+  def tCloseness(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.customer(s, d)
+      .select(col("c_nationkey"),
+        balBucket(col("c_acctbal")).cast("long").as("bal_bucket"),
+        col("c_mktsegment"))
+    val cells = base.groupBy("c_nationkey", "bal_bucket", "c_mktsegment")
+      .agg(count(lit(1)).as("c_gs"))
+    val segTot = base.groupBy("c_mktsegment").agg(count(lit(1)).as("c_s"))
+    val classN = base.groupBy("c_nationkey", "bal_bucket")
+      .agg(count(lit(1)).as("n_g"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    classN.crossJoin(broadcast(segTot))
+      .join(cells, Seq("c_nationkey", "bal_bucket", "c_mktsegment"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("c_nationkey"), col("bal_bucket"), col("n_g"), col("n_total"),
+        abs(coalesce(col("c_gs"), lit(0L)) * col("n_total") -
+          col("c_s") * col("n_g")).as("term"))
+      .groupBy("c_nationkey", "bal_bucket", "n_g", "n_total")
+      .agg(sum("term").as("tvd_scaled"))
+      .select(col("c_nationkey"), col("bal_bucket"), col("n_g"),
+        col("tvd_scaled"),
+        graft.functions.Num.roundNorm(col("tvd_scaled").cast("double") /
+          (lit(2.0) * col("n_g").cast("double") * col("n_total").cast("double")), 6)
+          .as("tvd"),
+        (lit(5L) * col("tvd_scaled") > lit(4L) * col("n_g") * col("n_total"))
+          .as("t_violation"))
+      .orderBy("c_nationkey", "bal_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_t_closeness" -> (tCloseness _),
     "priv_rr_frequency" -> (rrFrequency _),
     "priv_k_anonymity" -> (kAnonymity _),
     "priv_l_diversity" -> (lDiversity _),
@@ -249,6 +294,32 @@ object Privacy {
         |   AS BIGINT) AS n_est_e6
         |FROM obs JOIN tr ON obs.seg_idx = tr.seg_idx CROSS JOIN tot
         |ORDER BY segment""".stripMargin,
+    "priv_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey,
+        |   (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+        |     AS bal_bucket, c_mktsegment FROM customer),
+        | cells AS (SELECT c_nationkey, bal_bucket, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS c_gs FROM base GROUP BY 1, 2, 3),
+        | seg AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS c_s
+        |   FROM base GROUP BY 1),
+        | cls AS (SELECT c_nationkey, bal_bucket,
+        |    CAST(count(*) AS BIGINT) AS n_g FROM base GROUP BY 1, 2),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+        | grid AS (SELECT cls.c_nationkey, cls.bal_bucket, cls.n_g,
+        |    tot.n_total, seg.c_s, coalesce(cells.c_gs, 0) AS c_gs,
+        |    seg.c_mktsegment
+        |  FROM cls CROSS JOIN seg CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+        |   AND cells.bal_bucket = cls.bal_bucket
+        |   AND cells.c_mktsegment = seg.c_mktsegment),
+        | agg AS (SELECT c_nationkey, bal_bucket, n_g, n_total,
+        |    CAST(sum(abs(c_gs * n_total - c_s * n_g)) AS BIGINT) AS tvd_scaled
+        |  FROM grid GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, bal_bucket, n_g, tvd_scaled,
+        | round(tvd_scaled::DOUBLE / (2.0 * n_g::DOUBLE * n_total::DOUBLE), 6)
+        |   + 0.0 AS tvd,
+        | 5 * tvd_scaled > 4 * n_g * n_total AS t_violation
+        |FROM agg ORDER BY c_nationkey, bal_bucket""".stripMargin,
     "priv_k_anonymity" ->
       s"""WITH cl AS ($qiSql)
          |SELECT c_nationkey, bal_bucket, class_size,

@@ -483,7 +483,87 @@ object Stats {
       .orderBy("g")
   }
 
+  /** Mann-Whitney U (`stats_mann_whitney`, r13): the rank-sum test
+    * between urgent ('1-URGENT') and low ('5-LOW') order totals — the
+    * nonparametric two-sample location test [[Audit.welchTtest]]'s
+    * normality assumption can't cover. Midranks stay EXACT integers on
+    * the doubled lattice (2·midrank = 2·cum − cnt + 1, the
+    * [[spearman]] rank2 machinery: value-keyed counts + one Prefix
+    * pass — never a global window), so 2U_A = Σ_A cnt_a·r2 −
+    * n_A(n_A+1) and the identity 2U_A + 2U_B = 2·n_A·n_B are BIGINT
+    * gate columns; the tie correction ΣT = Σ(t³−t) is exact too. Only
+    * the z finish (normal approximation, no continuity correction —
+    * documented, mirrored) casts to double once, rounded 4.
+    */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+        (col("o_orderpriority") === "1-URGENT").as("is_a"))
+    val g = t.groupBy("v").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"),
+      count(lit(1)).as("cnt"))
+    val ranked = Prefix.running(g, Seq(col("v")), sums = Seq((col("cnt"), "cum")))
+      .withColumn("r2", col("cum") * 2 - col("cnt") + 1)
+    ranked.agg(
+        sum("cnt_a").as("n_a"), sum("cnt_b").as("n_b"),
+        sum(col("cnt_a") * col("r2")).as("r2_a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+        (lit(2L) * col("n_a") * col("n_b") -
+          (col("r2_a") - col("n_a") * (col("n_a") + 1))).as("u2_b"),
+        col("tie_term"))
+      .withColumn("z", {
+        def D(c: Column): Column = c.cast("double")
+        val n = col("n_a") + col("n_b")
+        val varU = D(col("n_a")) * D(col("n_b")) / 12.0 *
+          (D(n) + 1.0 - D(col("tie_term")) / (D(n) * (D(n) - 1.0)))
+        roundNorm((D(col("u2_a")) / 2.0 - D(col("n_a")) * D(col("n_b")) / 2.0) /
+          sqrt(varU), 4)
+      })
+  }
+
+  /** Jensen-Shannon divergence by quantity bucket (`stats_jsd`, r13):
+    * the symmetric, bounded drift measure between the returned ('R')
+    * and accepted ('A') quantity distributions, emitted PER BUCKET
+    * (the [[Audit.psiDrift]] discipline: per-row rounding is
+    * deterministic; a global float sum over buckets would be
+    * order-dependent across engines). Counts are exact BIGINTs; each
+    * bucket's term ½p·ln(p/m) + ½q·ln(q/m) (m = (p+q)/2, zero terms
+    * when the side is absent) runs the identical mirrored double
+    * expression, rounded 6. One quantity-keyed conditional-count
+    * aggregate + two 1-row attaches — map-side combinable.
+    */
+  def jsdBuckets(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(round(col("l_quantity")).cast("long").as("qty"),
+        (col("l_returnflag") === "R").as("is_a"))
+    val g = t.groupBy("qty").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
+    val tot = t.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("js_term", {
+        def D(c: Column): Column = c.cast("double")
+        val p = D(col("c_a")) / D(col("n_a"))
+        val q = D(col("c_b")) / D(col("n_b"))
+        val m = (p + q) / 2.0
+        roundNorm(
+          when(col("c_a") > 0, p / 2.0 * log(p / m)).otherwise(lit(0.0)) +
+            when(col("c_b") > 0, q / 2.0 * log(q / m)).otherwise(lit(0.0)), 6)
+      })
+      .select(col("qty"), col("c_a"), col("c_b"), col("js_term"))
+      .orderBy("qty")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mann_whitney" -> (mannWhitney _),
+    "stats_jsd" -> (jsdBuckets _),
     "stats_kde_grid" -> (kdeGrid _),
     "agg_trimmed_mean" -> (trimmedMean _),
     "agg_largest_remainder" -> (largestRemainder _),
@@ -497,6 +577,55 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_mann_whitney" ->
+      """WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |   o_orderpriority = '1-URGENT' AS is_a
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        | g AS (SELECT v,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t GROUP BY 1),
+        | r AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        |  FROM g),
+        | a AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+        |    CAST(sum(cnt_a * (2 * cum - cnt + 1)) AS BIGINT) AS r2_a,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+        |  FROM r)
+        |SELECT n_a, n_b,
+        | r2_a - n_a * (n_a + 1) AS u2_a,
+        | 2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+        | tie_term,
+        | round((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+        |    - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+        |  / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+        |    * ((n_a + n_b)::DOUBLE + 1.0 - tie_term::DOUBLE
+        |      / ((n_a + n_b)::DOUBLE * ((n_a + n_b)::DOUBLE - 1.0)))), 4)
+        |   + 0.0 AS z
+        |FROM a""".stripMargin,
+    "stats_jsd" ->
+      """WITH t AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        |   l_returnflag = 'R' AS is_a
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        | g AS (SELECT qty,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM t GROUP BY 1),
+        | tot AS (SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_a,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM t)
+        |SELECT qty, c_a, c_b,
+        | round(
+        |   (CASE WHEN c_a > 0 THEN (c_a::DOUBLE / n_a::DOUBLE) / 2.0
+        |      * ln((c_a::DOUBLE / n_a::DOUBLE)
+        |        / ((c_a::DOUBLE / n_a::DOUBLE + c_b::DOUBLE / n_b::DOUBLE) / 2.0))
+        |     ELSE 0.0 END)
+        |   + (CASE WHEN c_b > 0 THEN (c_b::DOUBLE / n_b::DOUBLE) / 2.0
+        |      * ln((c_b::DOUBLE / n_b::DOUBLE)
+        |        / ((c_a::DOUBLE / n_a::DOUBLE + c_b::DOUBLE / n_b::DOUBLE) / 2.0))
+        |     ELSE 0.0 END), 6) + 0.0 AS js_term
+        |FROM g CROSS JOIN tot ORDER BY qty""".stripMargin,
     // identical integer kernel over the identical frozen grid — any
     // rounding or support-boundary slip breaks the hash
     "stats_kde_grid" ->

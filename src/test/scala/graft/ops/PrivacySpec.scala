@@ -160,4 +160,31 @@ class PrivacySpec extends SparkSpec {
     val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
     rows.map(_._2).sum shouldBe total // nothing dropped by the union
   }
+
+  behavior of "Privacy.tCloseness (r13)"
+
+  it should "match a brute-force TVD replay with zero cells counted" in {
+    val rows = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_nationkey",
+        "(CAST(round(c_acctbal * 100) AS LONG) + 100000) div 100000 AS bb",
+        "c_mktsegment")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getString(2)))
+    val n = rows.length.toLong
+    val segTot = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val want = rows.groupBy(r => (r._1, r._2)).map { case (k, g) =>
+      val ng = g.length.toLong
+      val cg = g.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      // zero cells carry |0 - C_s * n_g| mass: iterate the GLOBAL segs
+      val tvd = segTot.map { case (seg, cs) =>
+        math.abs(cg.getOrElse(seg, 0L) * n - cs * ng) }.sum
+      k -> ((ng, tvd, 5 * tvd > 4 * ng * n))
+    }
+    val got = Privacy.tCloseness(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    got shouldBe want
+    // the threshold genuinely separates on this fixture
+    got.values.count(_._3) should be > 0
+    got.values.count(!_._3) should be > 0
+  }
 }

@@ -350,4 +350,45 @@ class StatsSpec extends SparkSpec {
     got.size should be > 10
     got.values.map(_._2).toSet.size should be > 5
   }
+
+  behavior of "Stats.mannWhitney (r13)"
+
+  it should "match a brute-force midrank replay and the U identity" in {
+    val vs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter("o_orderpriority IN ('1-URGENT', '5-LOW')")
+      .selectExpr("CAST(round(o_totalprice * 100) AS LONG) AS v",
+        "o_orderpriority = '1-URGENT' AS is_a")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val sorted = vs.sortBy(_._1)
+    // 2x midranks by value group
+    val byV = sorted.groupBy(_._1)
+    val cums = sorted.map(_._1).distinct.sorted
+      .scanLeft((0L, 0L)) { case ((_, cum), v) => (v, cum + byV(v).length) }.drop(1).toMap
+    def r2(v: Long): Long = 2 * cums(v) - byV(v).length + 1
+    val nA = vs.count(_._2).toLong
+    val nB = vs.length - nA
+    val r2A = vs.filter(_._2).map(x => r2(x._1)).sum
+    val u2A = r2A - nA * (nA + 1)
+    val row = Stats.mannWhitney(spark, sfDir).collect()(0)
+    row.getLong(0) shouldBe nA
+    row.getLong(1) shouldBe nB
+    row.getLong(2) shouldBe u2A
+    row.getLong(2) + row.getLong(3) shouldBe 2 * nA * nB // U_A + U_B = n_A n_B
+    row.getLong(4) should be >= 0L
+  }
+
+  behavior of "Stats.jsdBuckets (r13)"
+
+  it should "hold the per-bucket JS invariants" in {
+    val rows = Stats.jsdBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.length should be > 10
+    // per-bucket JS contribution is nonnegative (log-sum inequality)
+    rows.foreach { case (q, _, _, t) => withClue(s"qty $q") {
+      t should be >= -1e-9 } }
+    // total bounded by ln 2 and strictly positive on this fixture
+    val total = rows.map(_._4).sum
+    total should be > 0.0
+    total should be < math.log(2.0)
+  }
 }
