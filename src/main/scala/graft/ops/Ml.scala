@@ -472,7 +472,99 @@ object Ml {
       .orderBy("bucket")
   }
 
+  /** Lift/gain deciles of the frozen scorer (`ml_lift_deciles`, r13):
+    * the campaign-targeting readout — documents ranked by score
+    * (rounded-score desc, doc_id asc: a TOTAL order, so decile
+    * membership is replayable), split into 10 equal-width rank deciles
+    * via the explicit `(10·(rk−1)) div n + 1` formula (the
+    * win_ntile_quartiles discipline — NTILE built-ins differ on
+    * remainder placement; the formula doesn't), then per-decile
+    * response rate, lift vs the base rate, and cumulative gain. The
+    * rank is a two-pass [[Prefix]] scan, the rollup is 10 rows, and
+    * the cumulative gain runs a window over those 10 rows — bounded by
+    * the decile count, never the corpus.
+    */
+  def liftDeciles(s: SparkSession, d: String): DataFrame = {
+    val scored = logregScoreFrozen(s, d)
+      .select(col("doc_id"), col("label"), col("score"))
+    val tot = scored.agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+    val byDec = graft.ops.Prefix.running(scored,
+        order = Seq(col("score").desc, col("doc_id").asc), rankOut = Some("rk"))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(10 * (rk - 1)) div n + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("label").as("n_pos_d"),
+        max("n").as("n"), max("n_pos").as("n_pos"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def D(c: Column): Column = c.cast("double")
+    byDec
+      .withColumn("cum_pos", sum("n_pos_d").over(w))
+      .select(col("decile"), col("n_docs"), col("n_pos_d"),
+        roundNorm(D(col("n_pos_d")) / D(col("n_docs")), 6).as("response_rate"),
+        roundNorm(D(col("n_pos_d")) / D(col("n_docs")) /
+          (D(col("n_pos")) / D(col("n"))), 4).as("lift"),
+        roundNorm(D(col("cum_pos")) / D(col("n_pos")), 6).as("cum_gain"))
+      .orderBy("decile")
+  }
+
+  /** Best decision stump (`ml_decision_stump`, r13): the single best
+    * (feature, threshold ≤) split predicting the planted teacher label
+    * over documents (the [[featurized]] `y` — n_chars genuinely drives
+    * it through the teacher's f1 weight, so an informative split
+    * EXISTS; the lineitem columns were measured independent and
+    * rejected as a fixture), chosen by EXACT INTEGER misclassification
+    * count — min(posL, negL) + min(posR, negR), the one impurity whose
+    * argmin needs no per-candidate rational comparison (Gini/entropy
+    * have per-side denominators, so an exact argmin needs pairwise
+    * cross-multiplication; the misclassification objective IS the
+    * stump's decision rule anyway). Ties break (errors, feature,
+    * threshold) lexicographically; the winner's weighted Gini rides
+    * along display-rounded. Plan: one `stack` unpivot (2 features:
+    * char count, word count), one (feature, value)-keyed count
+    * aggregate, a cumulative window PER FEATURE over the VALUE DOMAIN
+    * (bounded by the max document length, never corpus-sized), a
+    * 1-row totals attach, TakeOrdered(1).
+    */
+  def decisionStump(s: SparkSession, d: String): DataFrame = {
+    val lab = featurized(s, d).select(col("doc_id"), col("y").cast("long").as("y"))
+    val dims = Sources.documents(s, d).select(col("doc_id"),
+      col("n_chars").cast("long").as("nchars"),
+      size(split(col("text"), " ")).cast("long").as("nwords"))
+    val base = lab.join(dims, "doc_id")
+    val long = base.select(col("y"),
+      expr("stack(2, 'nchars', nchars, 'nwords', nwords) AS (feature, value)"))
+    val g = long.groupBy("feature", "value")
+      .agg(count(lit(1)).as("n_v"), sum("y").as("pos_v"))
+    val wCum = Window.partitionBy("feature").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.agg(count(lit(1)).as("n_tot"), sum("y").as("pos_tot"))
+    def D(c: Column): Column = c.cast("double")
+    g.withColumn("n_l", sum("n_v").over(wCum))
+      .withColumn("pos_l", sum("pos_v").over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_r", col("n_tot") - col("n_l"))
+      .withColumn("pos_r", col("pos_tot") - col("pos_l"))
+      .filter(col("n_r") > 0) // v <= max(value) is not a split
+      .withColumn("errors",
+        least(col("pos_l"), col("n_l") - col("pos_l")) +
+          least(col("pos_r"), col("n_r") - col("pos_r")))
+      .withColumn("baseline_errors",
+        least(col("pos_tot"), col("n_tot") - col("pos_tot")))
+      .withColumn("gini", roundNorm(
+        (lit(2.0) * D(col("pos_l")) * D(col("n_l") - col("pos_l")) / D(col("n_l")) +
+          lit(2.0) * D(col("pos_r")) * D(col("n_r") - col("pos_r")) / D(col("n_r"))) /
+          D(col("n_tot")), 6))
+      .select(col("feature"), col("value").as("threshold"),
+        col("n_l"), col("pos_l"), col("n_r"), col("pos_r"),
+        col("errors"), col("baseline_errors"), col("gini"))
+      .orderBy(col("errors"), col("feature"), col("threshold"))
+      .limit(1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_lift_deciles" -> (liftDeciles _),
+    "ml_decision_stump" -> (decisionStump _),
     "ml_isotonic_frozen" -> (isotonicFrozen _),
     "ml_feature_hash" -> (featureHash _),
     "ml_target_encoding" -> (targetEncoding _),
@@ -488,6 +580,93 @@ object Ml {
   )
 
   val oracles: Map[String, String] = Map(
+    // frozen scoring CTE + explicit-formula rank deciles (NTILE
+    // built-ins differ on remainder placement; the formula doesn't)
+    "ml_lift_deciles" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |    ln(1.0 + CAST(n_chars AS DOUBLE)) AS f1,
+        |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1))
+        |      / CAST(len(ws) AS DOUBLE) AS f2,
+        |    CAST(len(list_filter(ws, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f3,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f4
+        |  FROM w),
+        |e AS (SELECT doc_id,
+        |    1.0 * (-16.0) + f1 * 3.0 + f2 * (-1.2) + f3 * 25.0 + f4 * 6.0 AS eta
+        |  FROM f),
+        |p AS (SELECT doc_id, 1.0 / (1.0 + exp(-eta)) AS mu,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM e),
+        |sc AS (SELECT doc_id,
+        |    CAST(CASE WHEN u < mu THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |    round(mu, 6) + 0.0 AS score FROM p),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(label) AS BIGINT) AS n_pos FROM sc),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        |    AS BIGINT) AS rk FROM sc),
+        |dd AS (SELECT (10 * (rk - 1)) // n + 1 AS decile, label
+        |  FROM rk CROSS JOIN tot),
+        |bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(label) AS BIGINT) AS n_pos_d FROM dd GROUP BY 1),
+        |cm AS (SELECT *, CAST(sum(n_pos_d) OVER (ORDER BY decile) AS BIGINT)
+        |    AS cum_pos FROM bd)
+        |SELECT decile, n_docs, n_pos_d,
+        | round(n_pos_d::DOUBLE / n_docs::DOUBLE, 6) + 0.0 AS response_rate,
+        | round(n_pos_d::DOUBLE / n_docs::DOUBLE
+        |   / ((SELECT n_pos FROM tot)::DOUBLE / (SELECT n FROM tot)::DOUBLE), 4)
+        |   + 0.0 AS lift,
+        | round(cum_pos::DOUBLE / (SELECT n_pos FROM tot)::DOUBLE, 6) + 0.0
+        |   AS cum_gain
+        |FROM cm ORDER BY decile""".stripMargin,
+    "ml_decision_stump" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |           FROM documents),
+        | f AS (SELECT doc_id, n_chars, len(ws) AS nw,
+        |    ln(1.0 + CAST(n_chars AS DOUBLE)) AS f1,
+        |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1))
+        |      / CAST(len(ws) AS DOUBLE) AS f2,
+        |    CAST(len(list_filter(ws, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f3,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f4
+        |  FROM w),
+        | p AS (SELECT doc_id, n_chars, nw,
+        |    1.0 / (1.0 + exp(-(1.0 * (-16.0) + f1 * 3.0 + f2 * (-1.2)
+        |      + f3 * 25.0 + f4 * 6.0))) AS mu,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+        |      AS u
+        |  FROM f),
+        | base AS (SELECT
+        |    CAST(CASE WHEN u < mu THEN 1 ELSE 0 END AS BIGINT) AS y,
+        |    CAST(n_chars AS BIGINT) AS nchars, CAST(nw AS BIGINT) AS nwords
+        |  FROM p),
+        | lng AS (SELECT y, 'nchars' AS feature, nchars AS value FROM base
+        |   UNION ALL SELECT y, 'nwords', nwords FROM base),
+        | g AS (SELECT feature, value, CAST(count(*) AS BIGINT) AS n_v,
+        |    CAST(sum(y) AS BIGINT) AS pos_v FROM lng GROUP BY 1, 2),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+        |    CAST(sum(y) AS BIGINT) AS pos_tot FROM base),
+        | c AS (SELECT feature, value,
+        |    CAST(sum(n_v) OVER (PARTITION BY feature ORDER BY value) AS BIGINT)
+        |      AS n_l,
+        |    CAST(sum(pos_v) OVER (PARTITION BY feature ORDER BY value) AS BIGINT)
+        |      AS pos_l
+        |  FROM g),
+        | sp AS (SELECT feature, value, n_l, pos_l, n_tot - n_l AS n_r,
+        |    pos_tot - pos_l AS pos_r, n_tot, pos_tot
+        |  FROM c CROSS JOIN tot WHERE n_tot - n_l > 0),
+        | er AS (SELECT *,
+        |    least(pos_l, n_l - pos_l) + least(pos_r, n_r - pos_r) AS errors,
+        |    least(pos_tot, n_tot - pos_tot) AS baseline_errors FROM sp)
+        |SELECT feature, value AS threshold, n_l, pos_l, n_r, pos_r, errors,
+        | baseline_errors,
+        | round((2.0 * pos_l::DOUBLE * (n_l - pos_l)::DOUBLE / n_l::DOUBLE
+        |   + 2.0 * pos_r::DOUBLE * (n_r - pos_r)::DOUBLE / n_r::DOUBLE)
+        |   / n_tot::DOUBLE, 6) + 0.0 AS gini
+        |FROM er ORDER BY errors, feature, threshold LIMIT 1""".stripMargin,
     // same frozen scoring CTE as ml_calibration_frozen, then the
     // minimax identity on the exact 1e-9 integer lattice
     "ml_isotonic_frozen" ->

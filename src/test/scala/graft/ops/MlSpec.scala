@@ -147,4 +147,60 @@ class MlSpec extends SparkSpec {
     val w2 = Ml.logregWeights(spark, "/root/testdata/sf0.01").collect()
     w2.map(_.getAs[Double]("weight")).toSeq shouldBe w1.map(_.getAs[Double]("weight")).toSeq
   }
+
+  behavior of "Ml.decisionStump (r13)"
+
+  it should "match a brute-force exhaustive split scan" in {
+    val rows = Ml.featurized(spark, sfDir).select("doc_id", "y")
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nchars",
+          "CAST(size(split(text, ' ')) AS LONG) AS nwords"), "doc_id")
+      .selectExpr("CAST(y AS LONG) AS y", "nchars", "nwords")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nTot = rows.length.toLong
+    val posTot = rows.map(_._1).sum
+    val cands = Seq("nchars" -> rows.map(r => (r._1, r._2)),
+        "nwords" -> rows.map(r => (r._1, r._3)))
+      .flatMap { case (feat, fv) =>
+        fv.map(_._2).distinct.sorted.dropRight(1).map { t =>
+          val l = fv.filter(_._2 <= t)
+          val nL = l.length.toLong
+          val posL = l.map(_._1).sum
+          val nR = nTot - nL
+          val posR = posTot - posL
+          val errs = math.min(posL, nL - posL) + math.min(posR, nR - posR)
+          (errs, feat, t, nL, posL, nR, posR)
+        }
+      }
+    val best = cands.minBy(c => (c._1, c._2, c._3))
+    val got = Ml.decisionStump(spark, sfDir).collect()(0)
+    (got.getLong(6), got.getString(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4), got.getLong(5)) shouldBe
+      (best._1, best._2, best._3, best._4, best._5, best._6, best._7)
+    // the high-value label genuinely correlates with quantity: the
+    // stump must beat always-predict-majority
+    got.getLong(6) should be < got.getLong(7)
+  }
+
+  behavior of "Ml.liftDeciles (r13)"
+
+  it should "hold the gain-curve invariants" in {
+    val rows = Ml.liftDeciles(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    rows.map(_._1).toSeq shouldBe (1L to 10L)
+    // equal-width rank deciles: sizes differ by at most 1
+    val sizes = rows.map(_._2)
+    (sizes.max - sizes.min) should be <= 1L
+    // counts reconcile with the corpus
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    sizes.sum shouldBe n
+    // cumulative gain is nondecreasing and ends at 1
+    val gains = rows.map(_._6).toSeq
+    gains.zip(gains.tail).foreach { case (a, b) => b should be >= a }
+    gains.last shouldBe 1.0 +- 1e-9
+    // the model ranks: top decile lifts above 1, bottom below
+    rows.head._5 should be > 1.0
+    rows.last._5 should be < 1.0
+  }
 }
