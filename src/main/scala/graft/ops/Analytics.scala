@@ -658,7 +658,55 @@ object Analytics {
       ORDER BY s_suppkey""")
   }
 
+  /** Relational division (`complex_all_quarters`, r13): customers who
+    * ordered in EVERY quarter of 1995 — the classic "suppliers of all
+    * parts" shape, reduced Codd-style to a count-distinct-equals-
+    * divisor-size aggregate instead of the textbook double-NOT-EXISTS
+    * (which plans as two correlated anti joins; the aggregate is ONE
+    * keyed pass with map-side partial distinct). Divisor size 4 is a
+    * literal — the quarter domain, not data-derived.
+    */
+  def allQuarters(s: SparkSession, d: String): DataFrame =
+    Sources.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(quarter(col("o_orderdate"))).as("n_quarters"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+      .filter(col("n_quarters") === 4)
+      .select(col("o_custkey"), col("n_orders"), col("spend_c"))
+      .orderBy("o_custkey")
+
+  /** Longest consecutive-order-day streak per customer
+    * (`win_streaks`, r13): gaps-and-islands over each customer's
+    * DISTINCT order days — island key = day − row_number (constant
+    * within a run of consecutive days), max island length per
+    * customer. Windows partition by customer and are bounded by the
+    * calendar (≤ 2.4k distinct days per key), never the corpus; one
+    * shuffle on custkey. Only multi-day-history customers are
+    * interesting at the fixture's density, but ALL are emitted — the
+    * streak-1 mass is the honest answer, not a filter artifact.
+    */
+  def orderStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Sources.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+    days
+      .withColumn("island",
+        datediff(col("day"), lit("1990-01-01").cast("date")).cast("long") -
+          row_number().over(w))
+      .groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_islands"), sum("len").as("n_days"),
+        max("len").as("max_streak"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_all_quarters" -> (allQuarters _),
+    "win_streaks" -> (orderStreaks _),
     "complex_solo_late_supplier" -> (soloLateSupplier _),
     "complex_dominant_supplier" -> (dominantSupplier _),
     "complex_priority_waiting" -> (priorityWaiting _),
@@ -687,6 +735,28 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "complex_all_quarters" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS spend_c
+        |FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |GROUP BY o_custkey
+        |HAVING count(DISTINCT quarter(CAST(o_orderdate AS DATE))) = 4
+        |ORDER BY o_custkey""".stripMargin,
+    "win_streaks" ->
+      """WITH days AS (SELECT DISTINCT o_custkey,
+        |   CAST(o_orderdate AS DATE) AS day FROM orders),
+        | isl AS (SELECT o_custkey,
+        |    datediff('day', DATE '1990-01-01', day)
+        |      - row_number() OVER (PARTITION BY o_custkey ORDER BY day)
+        |      AS island
+        |  FROM days),
+        | runs AS (SELECT o_custkey, island, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(len) AS BIGINT) AS n_days,
+        | CAST(max(len) AS BIGINT) AS max_streak
+        |FROM runs GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "complex_solo_late_supplier" ->
       """WITH lo AS (
         |  SELECT l_orderkey, l_suppkey,

@@ -1111,7 +1111,52 @@ object TextOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Single-sentence Flesch-style readability (`text_readability`,
+    * r13): per document, word count, vowel-group syllable proxy
+    * ([aeiou]+ runs over the lowercased text — groups never span the
+    * space separator, so one regex pass over the raw text counts all
+    * words at once), and the Flesch Reading Ease with the fixture's
+    * one-sentence convention (sentences := 1, documented — the corpus
+    * carries no sentence punctuation). Counts are exact BIGINT gates;
+    * the score is one mirrored double expression, rounded 4. Pure
+    * map-side projection + per-doc row — no shuffle at all before the
+    * final order.
+    */
+  def textReadability(s: SparkSession, d: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val syll = size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+      .cast("long")
+    Sources.documents(s, d)
+      .select(col("doc_id"), words.as("n_words"), syll.as("n_syll"))
+      .withColumn("flesch", graft.functions.Num.roundNorm(
+        lit(206.835) - lit(1.015) * col("n_words").cast("double") -
+          lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Hapax legomena share per source (`text_hapax`, r13): the fraction
+    * of a source's distinct vocabulary occurring exactly once — the
+    * classic productivity/diversity signal (a source whose hapax share
+    * collapses is template-generated; one that stays near Zipf's ~50 %
+    * is organic). One (source, word)-keyed count aggregate — the
+    * inverted-vocabulary shuffle — then a source-grain rollup;
+    * share as integer basis points (exact `div`).
+    */
+  def textHapax(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_bp", expr("(10000 * n_hapax) div n_vocab"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (textReadability _),
+    "text_hapax" -> (textHapax _),
     "text_dup_spans" -> (dupSpans _),
     "text_langid_confusion" -> (langIdConfusion _),
     "text_boilerplate" -> (boilerplate _),
@@ -1222,6 +1267,25 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_readability" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        | CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+        |   AS n_syll,
+        | round(206.835 - 1.015 * len(string_split(text, ' '))::DOUBLE
+        |   - 84.6 * (len(regexp_extract_all(lower(text), '[aeiou]+'))::DOUBLE
+        |     / len(string_split(text, ' '))::DOUBLE), 4) + 0.0 AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_hapax" ->
+      """WITH wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+        | CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        | CAST((10000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)) // count(*)
+        |   AS BIGINT) AS hapax_bp
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin,
     "text_bpe_tokenize_frozen" -> bpeFrozenOracle,
     "text_dup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -92,4 +92,51 @@ class AnalyticsSpec extends SparkSpec {
     got shouldBe expected // sound AND complete vs the quadratic definition
     expected should not be empty
   }
+
+  behavior of "Analytics.allQuarters (r13)"
+
+  it should "match a brute-force division replay" in {
+    val os = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice * 100) AS LONG) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .filter(_._2.getYear == 1995)
+    val want = os.groupBy(_._1).collect {
+      case (ck, rows)
+          if rows.map(r => (r._2.getMonthValue - 1) / 3).distinct.size == 4 =>
+        (ck, rows.length.toLong, rows.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Analytics.allQuarters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    want should not be empty // the division is non-vacuous on the fixture
+  }
+
+  behavior of "Analytics.orderStreaks (r13)"
+
+  it should "match a literal consecutive-day walk" in {
+    val os = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .distinct
+    val want = os.groupBy(_._1).map { case (ck, rows) =>
+      val days = rows.map(_._2).distinct.sorted
+      // literal linear walk over sorted distinct days
+      var streaks = List.empty[Long]
+      var cur = 1L
+      days.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          if (w(1) == w(0) + 1) cur += 1 else { streaks ::= cur; cur = 1 }
+        }
+      }
+      streaks ::= cur
+      ck -> ((streaks.length.toLong, days.length.toLong, streaks.max))
+    }
+    val got = Analytics.orderStreaks(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got shouldBe want
+    // genuine multi-day streaks exist on the fixture
+    got.values.map(_._3).max should be >= 2L
+  }
 }
