@@ -128,7 +128,50 @@ object Geo {
       .orderBy("gx", "gy")
   }
 
+  /** Five published hub coordinates (lat, lon) for the spherical
+    * nearest-hub query — fixed literals shared verbatim with the
+    * oracle.
+    */
+  private val hubs: Seq[(Long, Double, Double)] = Seq(
+    (0L, 48.8566, 2.3522), (1L, 40.7128, -74.006), (2L, 35.6762, 139.6503),
+    (3L, -33.8688, 151.2093), (4L, -1.2921, 36.8219))
+
+  /** Spherical nearest hub by haversine (`geo_haversine_hub`, r13):
+    * every customer's lattice point maps to (lat, lon) by the published
+    * affine (lat = cx/10⁴·170 − 85, lon = cy/10⁴·360 − 180 — poles
+    * avoided so cos φ never vanishes), then the nearest of 5 published
+    * hubs by great-circle distance. The trig is necessarily double, so
+    * the DECISION runs on the repo's quantized-lattice discipline
+    * (the ER jwE6 pattern): d_e6 = round(d_km·10⁶) as BIGINT, argmin =
+    * `least` over 5 literal structs (d_e6, hub_id) — ties to the lower
+    * hub id, no join, no shuffle, pure map-side codegen (the
+    * nearestLiteralCentroid shape). Both engines evaluate the
+    * IDENTICAL expression tree (12742·asin(sqrt(sin²(Δφ/2) +
+    * cosφ₁·cosφ₂·sin²(Δλ/2)))) before the one rounding.
+    */
+  def haversineHub(s: SparkSession, d: String): DataFrame = {
+    val lat = col("cx").cast("double") / 10000.0 * 170.0 - 85.0
+    val lon = col("cy").cast("double") / 10000.0 * 360.0 - 180.0
+    def distE6(hlat: Double, hlon: Double): org.apache.spark.sql.Column = {
+      val dphi = (radians(lit(hlat)) - radians(lat)) / 2.0
+      val dlmb = (radians(lit(hlon)) - radians(lon)) / 2.0
+      val a = sin(dphi) * sin(dphi) +
+        cos(radians(lat)) * cos(radians(lit(hlat))) * sin(dlmb) * sin(dlmb)
+      round(lit(12742.0) * asin(sqrt(a)) * 1e6).cast("long")
+    }
+    custPoints(s, d)
+      .withColumn("best", least(hubs.map { case (h, la, lo) =>
+        struct(distE6(la, lo).as("d"), lit(h).as("hub"))
+      }: _*))
+      .select(col("c_custkey"),
+        col("best.hub").as("hub_id"),
+        graft.functions.Num.roundNorm(
+          col("best.d").cast("double") / 1e6, 4).as("dist_km"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_haversine_hub" -> (haversineHub _),
     "geo_grid_neighbors" -> (gridNeighbors _),
     "geo_nearest_hub" -> (nearestHub _),
     "geo_cell_density" -> (cellDensity _),
@@ -146,7 +189,37 @@ object Geo {
       |   ((s_suppkey + 777) % 1048576) * 2246822519 % 10000 AS sy
       | FROM supplier)""".stripMargin
 
+  /** Generated from [[hubs]] so the published coordinates cannot drift
+    * from their oracle; the mirrored expression tree matches
+    * [[haversineHub]] operation-for-operation before the one rounding.
+    */
+  private def haversineOracle: String = {
+    val hubRows = hubs.map { case (h, la, lo) => s"($h, $la, $lo)" }.mkString(", ")
+    s"""WITH pts AS (
+       | SELECT c_custkey,
+       |   ((c_custkey % 1048576) * 2654435761 % 10000)::DOUBLE
+       |     / 10000.0 * 170.0 - 85.0 AS lat,
+       |   ((c_custkey % 1048576) * 2246822519 % 10000)::DOUBLE
+       |     / 10000.0 * 360.0 - 180.0 AS lon
+       | FROM customer),
+       | cand AS (SELECT c_custkey, h.hub, CAST(round(12742.0 * asin(sqrt(
+       |    sin((radians(h.hlat) - radians(lat)) / 2.0)
+       |      * sin((radians(h.hlat) - radians(lat)) / 2.0)
+       |    + cos(radians(lat)) * cos(radians(h.hlat))
+       |      * sin((radians(h.hlon) - radians(lon)) / 2.0)
+       |      * sin((radians(h.hlon) - radians(lon)) / 2.0))) * 1e6) AS BIGINT)
+       |    AS d_e6
+       |  FROM pts CROSS JOIN (VALUES $hubRows) AS h(hub, hlat, hlon)),
+       | best AS (SELECT c_custkey, hub, d_e6,
+       |    row_number() OVER (PARTITION BY c_custkey ORDER BY d_e6, hub) AS rn
+       |  FROM cand)
+       |SELECT c_custkey, CAST(hub AS BIGINT) AS hub_id,
+       | round(d_e6::DOUBLE / 1e6, 4) + 0.0 AS dist_km
+       |FROM best WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "geo_haversine_hub" -> haversineOracle,
     "geo_grid_neighbors" ->
       s"""WITH $pointsSql
          |SELECT c_custkey, s_suppkey,

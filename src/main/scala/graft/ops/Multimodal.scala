@@ -883,7 +883,68 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** Published fixed-point DFT basis, 16-phase: for bin k (k/16 cycles
+    * per sample), c_k(p) = round(2¹⁰·cos(2πkp/16)) and
+    * s_k(p) = round(2¹⁰·sin(2πkp/16)) — the [[JpegCodec.idctT]]
+    * discipline applied to spectral analysis: both engines share the
+    * 128 integer constants verbatim, so the bin energies are exact
+    * BIGINTs end-to-end.
+    */
+  private[ops] val dftCos: Map[Int, Array[Long]] = Map(
+    1 -> Array(1024L, 946, 724, 392, 0, -392, -724, -946, -1024, -946, -724, -392, 0, 392, 724, 946),
+    2 -> Array(1024L, 724, 0, -724, -1024, -724, 0, 724, 1024, 724, 0, -724, -1024, -724, 0, 724),
+    3 -> Array(1024L, 392, -724, -946, 0, 946, 724, -392, -1024, -392, 724, 946, 0, -946, -724, 392),
+    4 -> Array(1024L, 0, -1024, 0, 1024, 0, -1024, 0, 1024, 0, -1024, 0, 1024, 0, -1024, 0))
+
+  private[ops] val dftSin: Map[Int, Array[Long]] = Map(
+    1 -> Array(0L, 392, 724, 946, 1024, 946, 724, 392, 0, -392, -724, -946, -1024, -946, -724, -392),
+    2 -> Array(0L, 724, 1024, 724, 0, -724, -1024, -724, 0, 724, 1024, 724, 0, -724, -1024, -724),
+    3 -> Array(0L, 946, 724, -392, -1024, -392, 724, 946, 0, -946, -724, 392, 1024, 392, -724, -946),
+    4 -> Array(0L, 1024, 0, -1024, 0, 1024, 0, -1024, 0, 1024, 0, -1024, 0, 1024, 0, -1024))
+
+  final case class DftBins(
+      doc_id: Long, n_samples: Long,
+      re1: Long, im1: Long, e1: Long, re2: Long, im2: Long, e2: Long,
+      re3: Long, im3: Long, e3: Long, re4: Long, im4: Long, e4: Long)
+
+  /** Fixed-point spectral bin energies (`mm_audio_dft_bins`, r13): the
+    * Goertzel/DFT feature every audio triage pass wants (tone vs
+    * noise, hum detection, bandwidth probes) — four bins at k/16
+    * cycles per sample over the REAL decoded WAV container (chunk
+    * walk, LIST skip, PCM16), re_k = Σ x_t·c_k(t mod 16), im_k with
+    * the sine table, energy = re² + im² — exact BIGINTs (|x| ≤ 1000,
+    * |c| ≤ 1024, n ≤ 150 ⇒ |re| ≤ 1.5e8, e ≤ 4.7e16). The oracle
+    * replays from the amplitude FORMULA + the same published tables;
+    * it never sees the RIFF container, so a hash-PASS certifies the
+    * chunk walk and the spectral reduction together. Same
+    * one-codec-pass mapPartitions shape as the other decoders.
+    */
+  def audioDftBins(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (_, xs) = wavSamples(encodeWav(id, nc))
+        def bin(k: Int): (Long, Long, Long) = {
+          val c = dftCos(k); val sn = dftSin(k)
+          var re = 0L; var im = 0L; var t = 0
+          while (t < xs.length) {
+            re += xs(t).toLong * c(t % 16)
+            im += xs(t).toLong * sn(t % 16)
+            t += 1
+          }
+          (re, im, re * re + im * im)
+        }
+        val (r1, i1, e1) = bin(1); val (r2, i2, e2) = bin(2)
+        val (r3, i3, e3) = bin(3); val (r4, i4, e4) = bin(4)
+        DftBins(id, xs.length.toLong, r1, i1, e1, r2, i2, e2, r3, i3, e3, r4, i4, e4)
+      })
+      .toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_dft_bins" -> (audioDftBins _),
     "mm_decode_jpeg_ac" -> (mediaDecodeJpegAc _),
     "mm_shard_plan" -> (shardPlan _),
     "mm_media_meta" -> (mediaMeta _),
@@ -925,7 +986,35 @@ object Multimodal {
       .orderBy("channel", "shard")
   }
 
+  /** Generated from [[dftCos]]/[[dftSin]] so the published tables
+    * cannot drift from their oracle.
+    */
+  private def dftBinsOracle: String = {
+    val rows = (1 to 4).flatMap { k =>
+      (0 until 16).map(p => s"($k, $p, ${dftCos(k)(p)}, ${dftSin(k)(p)})")
+    }.mkString(", ")
+    def wide(col: String, k: Int) =
+      s"CAST(max(CASE WHEN k = $k THEN $col END) AS BIGINT)"
+    val cols = (1 to 4).flatMap { k =>
+      Seq(s"${wide("re", k)} AS re$k", s"${wide("im", k)} AS im$k",
+        s"${wide("re", k)} * ${wide("re", k)} + ${wide("im", k)} * ${wide("im", k)} AS e$k")
+    }.mkString(",\n ")
+    s"""WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n FROM documents),
+       | tt AS (SELECT doc_id, n, unnest(range(0, n)) AS t FROM d),
+       | x AS (SELECT doc_id, n, t,
+       |    (13 * doc_id + 7 * t + 3) % 2001 - 1000 AS amp FROM tt),
+       | b AS (SELECT doc_id, any_value(n) AS n, k,
+       |    CAST(sum(amp * c) AS BIGINT) AS re,
+       |    CAST(sum(amp * s) AS BIGINT) AS im
+       |  FROM x JOIN (VALUES $rows) AS tab(k, p, c, s) ON tab.p = x.t % 16
+       |  GROUP BY doc_id, k)
+       |SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_samples,
+       | $cols
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_audio_dft_bins" -> dftBinsOracle,
     "mm_shard_plan" ->
       """WITH m AS (SELECT doc_id, doc_id % 4 AS channel,
         |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),

@@ -69,4 +69,37 @@ class GeoSpec extends SparkSpec {
         r.getLong(4))).toSeq
     got shouldBe expected
   }
+
+  behavior of "Geo.haversineHub (r13)"
+
+  it should "match a driver-side haversine argmin replay" in {
+    val hubs = Seq((0L, 48.8566, 2.3522), (1L, 40.7128, -74.006),
+      (2L, 35.6762, 139.6503), (3L, -33.8688, 151.2093), (4L, -1.2921, 36.8219))
+    val pts = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey").collect().map(_.getLong(0)).map { ck =>
+        val cx = ck % 1048576L * 2654435761L % 10000L
+        val cy = ck % 1048576L * 2246822519L % 10000L
+        (ck, cx.toDouble / 10000.0 * 170.0 - 85.0,
+          cy.toDouble / 10000.0 * 360.0 - 180.0)
+      }
+    def dE6(lat: Double, lon: Double, hlat: Double, hlon: Double): Long = {
+      val dphi = (math.toRadians(hlat) - math.toRadians(lat)) / 2.0
+      val dlmb = (math.toRadians(hlon) - math.toRadians(lon)) / 2.0
+      val a = math.sin(dphi) * math.sin(dphi) +
+        math.cos(math.toRadians(lat)) * math.cos(math.toRadians(hlat)) *
+          math.sin(dlmb) * math.sin(dlmb)
+      math.round(12742.0 * math.asin(math.sqrt(a)) * 1e6)
+    }
+    val want = pts.map { case (ck, la, lo) =>
+      val best = hubs.map { case (h, hla, hlo) => (dE6(la, lo, hla, hlo), h) }.min
+      (ck, best._2, math.round(best._1.toDouble / 1e6 * 1e4) / 1e4)
+    }.sortBy(_._1).toSeq
+    val got = Geo.haversineHub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    got shouldBe want
+    // hubs genuinely partition the lattice: several distinct winners
+    got.map(_._2).toSet.size should be >= 4
+    // sanity: distances inside the half-circumference
+    got.foreach(_._3 should be <= 20015.1)
+  }
 }
