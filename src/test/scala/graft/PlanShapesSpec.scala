@@ -68,6 +68,10 @@ class PlanShapesSpec extends SparkSpec {
     "ml_roc_curve", "ml_pr_curve",
     // 1-row customer-count attach for the ntile denominator
     "win_ntile_quartiles",
+    // r13 1-row/bounded attaches: corpus (n, n_pos) for deciles and the
+    // stump; (n_a, n_b) for the JS buckets; the 5-row segment census +
+    // 1-row total grid for t-closeness (zero cells need the full grid)
+    "ml_lift_deciles", "ml_decision_stump", "stats_jsd", "priv_t_closeness",
     // 1-row part-count attach for the negative-sample hash range
     "sample_negatives",
     // 1-row both-sides-overlap attach for the split audit
@@ -116,7 +120,10 @@ class PlanShapesSpec extends SparkSpec {
       // cumulative sums over the 10-row DECILE dimension (bucket =
       // least(floor(score*10), 9) is domain-bounded by definition,
       // like the nation apportionment above)
-      "ml_isotonic_frozen")
+      "ml_isotonic_frozen",
+      // cumulative gain over the 10-row rank-decile rollup (r13) —
+      // the decile dimension again, post-aggregate
+      "ml_lift_deciles")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {
