@@ -1355,7 +1355,71 @@ object Similarity {
     "sim_semdedup_frozen" -> (semDedupFrozen _),
     "sim_multiprobe_frozen" -> (multiprobeFrozen _),
     "sim_ivf_frozen" -> (ivfFrozen _),
+    "sim_pq_adc_frozen" -> (pqAdcFrozen _),
   )
+
+  /** Published PQ codebook for the frozen ADC twin: 8 subspaces × 4
+    * cells × 8 dims on the quantEmb 1e4 lattice,
+    * cb(sub, cell)[i] = ((7·sub + 3·cell + 5·i) mod 13 − 6) · 1000.
+    * 3·cell mod 13 keeps the 4 cells of every subspace distinct.
+    */
+  private[ops] def pqFrozenCb(sub: Int, cell: Int, i: Int): Long =
+    ((7L * sub + 3L * cell + 5L * i) % 13L - 6L) * 1000L
+
+  /** PQ/ADC nearest neighbor with the PUBLISHED codebook
+    * (`sim_pq_adc_frozen`, r13) — the last trained ANN family gets its
+    * hash-gated frozen serving twin (IVF, multi-probe LSH, PCA and the
+    * logreg scorer already have theirs): corpus vectors encode to 8
+    * sub-codes by EXACT integer argmin over 4 published centroids per
+    * subspace (map-side `least` over literal structs — the
+    * nearestLiteralCentroid shape, no join), queries expand against
+    * the same codebook into a 256-row exact-integer ADC lookup table
+    * (model-sized driver build, the pqAdcTopNeighbor discipline), and
+    * asymmetric distance = Σ sub-table entries — BIGINTs end-to-end,
+    * so unlike the trained twin even the DISTANCES ride under the hash
+    * gate, not just the winner ids. Serving plan: one corpus scan +
+    * broadcast equi-join + two keyed aggregates — the 100 TB shape.
+    */
+  def pqAdcFrozen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = 8; val subDim = 8; val kCells = 4
+    def subCode(sub: Int): Column = least((0 until kCells).map { cell =>
+      struct(
+        (0 until subDim).map { i =>
+          val x = col("qv").getItem(sub * subDim + i) - lit(pqFrozenCb(sub, cell, i))
+          x * x
+        }.reduce(_ + _).as("d2"),
+        lit(cell.toLong).as("cell"))
+    }: _*).getField("cell")
+    val q = quantEmb(s, d)
+    val corpus = q.filter(col("vec_id") >= 8)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(subCode): _*)).as(Seq("sub", "cell")))
+    val queries = q.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val lut = for {
+      (qid, qv) <- queries.toSeq
+      sub <- 0 until m
+      cell <- 0 until kCells
+    } yield {
+      var acc = 0L
+      var i = 0
+      while (i < subDim) {
+        val dd = qv(sub * subDim + i) - pqFrozenCb(sub, cell, i)
+        acc += dd * dd
+        i += 1
+      }
+      (qid, sub.toLong, cell.toLong, acc)
+    }
+    corpus.join(broadcast(lut.toDF("q_id", "sub", "cell", "pd")), Seq("sub", "cell"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("pd").as("adc_d2"))
+      .groupBy("q_id")
+      .agg(min(struct(col("adc_d2"), col("vec_id"))).as("best"))
+      .select(col("q_id"), col("best.vec_id").as("nn_id"),
+        col("best.adc_d2").as("adc_d2"))
+      .orderBy("q_id")
+  }
 
   /** One unrolled Lloyd iteration for the DuckDB oracle: E-step distance
     * + argmin, census, then the truncated-integer-mean M-step with the
@@ -1379,6 +1443,34 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_adc_frozen" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | grid AS (SELECT s.sub, c.cell, i.i
+        |  FROM (SELECT unnest(range(0, 8)) AS sub) s
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS cell) c
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i),
+        | terms AS (SELECT e.vec_id, g.sub, g.cell,
+        |    e.qv[g.sub * 8 + g.i + 1]
+        |      - ((7 * g.sub + 3 * g.cell + 5 * g.i) % 13 - 6) * 1000 AS df
+        |  FROM e CROSS JOIN grid g),
+        | d2 AS (SELECT vec_id, sub, cell, CAST(sum(df * df) AS BIGINT) AS d2
+        |  FROM terms GROUP BY 1, 2, 3),
+        | codes AS (SELECT vec_id, sub, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2, cell) AS rn FROM d2 WHERE vec_id >= 8)
+        |  WHERE rn = 1),
+        | lut AS (SELECT vec_id AS q_id, sub, cell, d2 AS pd
+        |  FROM d2 WHERE vec_id < 8),
+        | adc AS (SELECT l.q_id, c.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc_d2
+        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
+        |  GROUP BY 1, 2),
+        | best AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adc_d2, vec_id) AS rn FROM adc)
+        |SELECT q_id, CAST(vec_id AS BIGINT) AS nn_id, adc_d2
+        |FROM best WHERE rn = 1 ORDER BY q_id""".stripMargin,
     "sim_semdedup_frozen" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

@@ -292,4 +292,34 @@ class GenericOpsSpec extends SparkSpec {
       .toMap
     got shouldBe perUser
   }
+
+  "Similarity.pqAdcFrozen (r13)" should "match a brute-force encode + ADC replay" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS LONG)) AS qv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    def cb(sub: Int, cell: Int, i: Int): Long =
+      ((7L * sub + 3L * cell + 5L * i) % 13L - 6L) * 1000L
+    def d2(qv: Array[Long], sub: Int, cell: Int): Long =
+      (0 until 8).map { i =>
+        val d = qv(sub * 8 + i) - cb(sub, cell, i); d * d
+      }.sum
+    val corpus = vecs.filter(_._1 >= 8)
+    val queries = vecs.filter(_._1 < 8)
+    val codes = corpus.map { case (id, qv) =>
+      id -> (0 until 8).map(sub => (0 until 4).map(c => (d2(qv, sub, c), c)).min._2)
+    }.toMap
+    val want = queries.map { case (qid, qqv) =>
+      val best = corpus.map { case (cid, _) =>
+        val adc = (0 until 8).map(sub => d2(qqv, sub, codes(cid)(sub))).sum
+        (adc, cid)
+      }.min
+      (qid, best._2, best._1)
+    }.sortBy(_._1).toSeq
+    val got = Similarity.pqAdcFrozen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // the codebook genuinely partitions: multiple cells used per subspace
+    codes.values.flatten.toSet.size should be > 1
+  }
 }
