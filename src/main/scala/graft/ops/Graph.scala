@@ -942,6 +942,47 @@ object Graph {
     visited.groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
   }
 
+  /** Sampled closeness centrality (`graph_closeness_seeds`, r13): the
+    * classic closeness statistic from the FOUR highest-degree hubs
+    * (ties to the smaller id — a deterministic seed set; exact all-
+    * sources closeness is O(V·E) and the sampled form is what any
+    * production graph stack computes), via ONE multi-source BFS — the
+    * frontier carries (seed, node) pairs, so the 4 traversals share
+    * every edge-join instead of running serially. Six rounds like
+    * [[bfsLayers]] (the fixture graph's diameter bound, asserted by
+    * the oracle replaying the same horizon); per-seed output: reached
+    * count, exact hop sum, and closeness = (reached−1)/hop_sum rounded
+    * (0 by convention for isolated seeds). Per-round state is pinned
+    * (constant-depth lineage); the corpus-sized edge table never
+    * re-shuffles — frontiers join into its pinned layout.
+    */
+  def closenessSeeds(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d)
+    val seeds = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(4)
+      .select(col("u").as("seed"))
+    var visited = Checkpoints.pin(
+      seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hop")),
+      eager = false)
+    var frontier = visited
+    for (h <- 1 to 6) {
+      frontier = Checkpoints.pin(
+        frontier.join(und, col("node") === col("u"))
+          .select(col("seed"), col("v").as("node")).distinct()
+          .join(visited.select("seed", "node"), Seq("seed", "node"), "left_anti")
+          .withColumn("hop", lit(h.toLong)),
+        eager = false)
+      visited = Checkpoints.pin(visited.unionAll(frontier), eager = false)
+    }
+    visited.groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"), sum("hop").as("hop_sum"))
+      .withColumn("closeness",
+        when(col("hop_sum") === 0, lit(0.0))
+          .otherwise(graft.functions.Num.roundNorm(
+            (col("n_reached") - 1).cast("double") / col("hop_sum").cast("double"), 6)))
+      .orderBy("seed")
+  }
+
   /** Hierarchy subtree rollup (`graph_subtree_rollup`): per ancestor,
     * the order-spend cents and node count of its ENTIRE subtree — the
     * org-chart / category-tree / BOM aggregation that recursive SQL
@@ -1003,6 +1044,7 @@ object Graph {
     "graph_subtree_rollup" -> (subtreeRollup _),
     "graph_modularity" -> (modularity _),
     "graph_bfs_layers" -> (bfsLayers _),
+    "graph_closeness_seeds" -> (closenessSeeds _),
     "graph_degree_hist" -> (degreeHist _),
     "graph_reciprocity" -> (reciprocity _),
     "graph_copurchase_customers" -> (copurchaseCustomers _),
@@ -1163,6 +1205,31 @@ object Graph {
         | round((n * sxy - sx * sy) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS assortativity
         |FROM p""".stripMargin,
+    "graph_closeness_seeds" ->
+      (s"""WITH RECURSIVE $edgeCte,
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+        | deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u),
+        | s0 AS (SELECT u AS seed FROM deg ORDER BY dg DESC, u LIMIT 4),
+        | it(iter, seed, node, dist) AS (
+        |   SELECT 0, seed, seed, CAST(0 AS BIGINT) FROM s0
+        |   UNION ALL
+        |   SELECT z.ni, z.seed, z.node, min(z.nd) FROM (
+        |     SELECT p.iter + 1 AS ni, p.seed, p.node, p.dist AS nd
+        |     FROM it p WHERE p.iter < 6
+        |     UNION ALL
+        |     SELECT p2.iter + 1, p2.seed, und.v, p2.dist + 1
+        |     FROM it p2 JOIN und ON p2.node = und.u WHERE p2.iter < 6
+        |   ) z GROUP BY z.ni, z.seed, z.node),
+        | last AS (SELECT max(iter) AS mi FROM it),
+        | agg AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+        |    CAST(sum(dist) AS BIGINT) AS hop_sum
+        |  FROM it, last WHERE iter = last.mi GROUP BY seed)
+        |SELECT seed, n_reached, hop_sum,
+        | CASE WHEN hop_sum = 0 THEN 0.0
+        |      ELSE round((n_reached - 1)::DOUBLE / hop_sum::DOUBLE, 6) + 0.0 END
+        |   AS closeness
+        |FROM agg ORDER BY seed""".stripMargin),
     "graph_bfs_layers" ->
       (s"""WITH RECURSIVE $edgeCte,
         | und AS (SELECT DISTINCT u, v FROM

@@ -454,4 +454,38 @@ class GraphSpec extends SparkSpec {
       .agg(sum(round(col("value") * 100).cast("long"))).head().getLong(0)
     out.values.sum shouldBe totalCents
   }
+
+  "Graph.closenessSeeds (r13)" should "match a brute-force multi-source BFS" in {
+    val und = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2)))
+      .toSeq
+      .groupBy(_._1).values.flatMap { rows =>
+        // (orderkey, linenumber) is NOT unique in the fixture: the join
+        // pairs EVERY row at ln with every row at ln+1
+        rows.flatMap { case (_, ln, pk) =>
+          rows.collect { case (_, ln2, pk2) if ln2 == ln + 1 && pk2 != pk => (pk, pk2) }
+        }
+      }.toSeq
+    val adj = (und ++ und.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    val seeds = deg.toSeq.sortBy { case (n, dg) => (-dg, n) }.take(4).map(_._1)
+    val want = seeds.map { s0 =>
+      var dist = Map(s0 -> 0L)
+      var frontier = Set(s0)
+      for (h <- 1 to 6) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= frontier.map(_ -> h.toLong)
+      }
+      val hops = dist.values.sum
+      (s0, dist.size.toLong, hops,
+        if (hops == 0) 0.0
+        else math.round(1e6 * (dist.size - 1).toDouble / hops) / 1e6)
+    }.sortBy(_._1)
+    val got = Graph.closenessSeeds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    got shouldBe want
+    got.map(_._4).max should be > 0.0
+  }
 }
