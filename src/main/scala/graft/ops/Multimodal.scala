@@ -943,7 +943,75 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** 16-bin brightness histogram (`mm_image_histogram`, r13): per
+    * decoded BMP, the pixel census over bins of the rgb-sum (div 48 —
+    * max 765 ⇒ bins 0..15) — the first feature an image-curation
+    * triage computes (black-frame / blown-out / low-contrast
+    * detection). Long-format output (one row per non-empty bin), exact
+    * integers; the oracle replays the pixel formula and never sees the
+    * container.
+    */
+  def imageHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        val (_, _, px) = bmpPixels(encodeBmp(id, nc))
+        px.groupBy(_ / 48).toSeq.sortBy(_._1).map { case (bin, vs) =>
+          (id, bin.toLong, vs.length.toLong)
+        }
+      })
+      .toDF("doc_id", "bin", "n_pixels")
+      .orderBy("doc_id", "bin")
+  }
+
+  /** Sobel gradient energy (`mm_image_sobel`, r13): the 3×3 integer
+    * Sobel kernels over the decoded brightness grid — gradient
+    * magnitude as |Gx| + |Gy| (the L1 form: stays an exact integer;
+    * the L2 form would need a sqrt), summed and maxed over the
+    * INTERIOR pixels (the border has no 3×3 neighborhood — excluded
+    * identically by both engines). Blur/edge-density screening is the
+    * standard image-quality triage next to the histogram. Everything
+    * BIGINT; the oracle replays the pixel formula + the same kernels
+    * via a 9-row offset join.
+    */
+  def imageSobel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, px) = bmpPixels(encodeBmp(id, nc))
+        def g(x: Int, y: Int): Long = px(y * w + x).toLong
+        var gradSum = 0L
+        var gradMax = 0L
+        var n = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val gx = -g(x - 1, y - 1) + g(x + 1, y - 1) - 2 * g(x - 1, y) +
+              2 * g(x + 1, y) - g(x - 1, y + 1) + g(x + 1, y + 1)
+            val gy = -g(x - 1, y - 1) - 2 * g(x, y - 1) - g(x + 1, y - 1) +
+              g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)
+            val m = math.abs(gx) + math.abs(gy)
+            gradSum += m
+            if (m > gradMax) gradMax = m
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        (id, w.toLong, h.toLong, n, gradSum, gradMax)
+      })
+      .toDF("doc_id", "width", "height", "n_interior", "grad_sum", "grad_max")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_histogram" -> (imageHistogram _),
+    "mm_image_sobel" -> (imageSobel _),
     "mm_audio_dft_bins" -> (audioDftBins _),
     "mm_decode_jpeg_ac" -> (mediaDecodeJpegAc _),
     "mm_shard_plan" -> (shardPlan _),
@@ -1014,6 +1082,48 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "mm_image_histogram" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | px AS (SELECT doc_id, unnest(range(0, w * h)) AS p FROM dims),
+        | v AS (SELECT doc_id,
+        |    ((31 * doc_id + 7 * p + 11) % 256
+        |     + (17 * doc_id + 13 * p + 23) % 256
+        |     + (29 * doc_id + 19 * p + 31) % 256) // 48 AS bin
+        |  FROM px)
+        |SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n_pixels
+        |FROM v GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin,
+    "mm_image_sobel" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | inner_px AS (SELECT doc_id, w, h, p % w AS x, p // w AS y
+        |  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims)
+        |  WHERE p % w >= 1 AND p % w < w - 1 AND p // w >= 1 AND p // w < h - 1),
+        | k AS (SELECT * FROM (VALUES
+        |    (-1, -1, -1, -1), (0, -1, 0, -2), (1, -1, 1, -1),
+        |    (-1, 0, -2, 0), (0, 0, 0, 0), (1, 0, 2, 0),
+        |    (-1, 1, -1, 1), (0, 1, 0, 2), (1, 1, 1, 1))
+        |   AS t(dx, dy, kx, ky)),
+        | terms AS (SELECT i.doc_id, i.w, i.h, i.x, i.y,
+        |    k.kx * ((31 * i.doc_id + 7 * ((i.y + k.dy) * i.w + i.x + k.dx) + 11) % 256
+        |      + (17 * i.doc_id + 13 * ((i.y + k.dy) * i.w + i.x + k.dx) + 23) % 256
+        |      + (29 * i.doc_id + 19 * ((i.y + k.dy) * i.w + i.x + k.dx) + 31) % 256)
+        |      AS tx,
+        |    k.ky * ((31 * i.doc_id + 7 * ((i.y + k.dy) * i.w + i.x + k.dx) + 11) % 256
+        |      + (17 * i.doc_id + 13 * ((i.y + k.dy) * i.w + i.x + k.dx) + 23) % 256
+        |      + (29 * i.doc_id + 19 * ((i.y + k.dy) * i.w + i.x + k.dx) + 31) % 256)
+        |      AS ty
+        |  FROM inner_px i CROSS JOIN k),
+        | grads AS (SELECT doc_id, w, h, x, y,
+        |    abs(sum(tx)) + abs(sum(ty)) AS m
+        |  FROM terms GROUP BY doc_id, w, h, x, y)
+        |SELECT doc_id, CAST(any_value(w) AS BIGINT) AS width,
+        | CAST(any_value(h) AS BIGINT) AS height,
+        | CAST(count(*) AS BIGINT) AS n_interior,
+        | CAST(sum(m) AS BIGINT) AS grad_sum,
+        | CAST(max(m) AS BIGINT) AS grad_max
+        |FROM grads GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_audio_dft_bins" -> dftBinsOracle,
     "mm_shard_plan" ->
       """WITH m AS (SELECT doc_id, doc_id % 4 AS channel,

@@ -519,4 +519,48 @@ class OpsSpec extends SparkSpec {
       math.abs(bestCorr) should be <= energy
     }
   }
+
+  "Multimodal.imageSobel (r13)" should "match a literal 3x3 convolution replay" in {
+    // driver-side: pixel formula -> Sobel over interior, doc 0..30
+    def rgb(id: Long, p: Long): Long =
+      (31 * id + 7 * p + 11) % 256 + (17 * id + 13 * p + 23) % 256 +
+        (29 * id + 19 * p + 31) % 256
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .orderBy("doc_id").limit(30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.map { case (id, nc) =>
+      val w = (4 + nc % 13).toInt
+      val h = (3 + nc % 7).toInt
+      def g(x: Int, y: Int): Long = rgb(id, y.toLong * w + x)
+      var sum = 0L; var mx = 0L; var n = 0L
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val gx = -g(x - 1, y - 1) + g(x + 1, y - 1) - 2 * g(x - 1, y) +
+          2 * g(x + 1, y) - g(x - 1, y + 1) + g(x + 1, y + 1)
+        val gy = -g(x - 1, y - 1) - 2 * g(x, y - 1) - g(x + 1, y - 1) +
+          g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)
+        val m = math.abs(gx) + math.abs(gy)
+        sum += m; if (m > mx) mx = m; n += 1
+      }
+      (id, w.toLong, h.toLong, n, sum, mx)
+    }.toSeq
+    val got = Multimodal.imageSobel(spark, sfDir).orderBy("doc_id").limit(30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    got.map(_._5).max should be > 0L // edges genuinely present
+  }
+
+  "Multimodal.imageHistogram (r13)" should "census every pixel exactly once" in {
+    val got = Multimodal.imageHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.map(_._2).max should be <= 15L
+    got.map(_._2).min should be >= 0L
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val dims = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST((4 + n_chars % 13) * (3 + n_chars % 7) AS LONG) AS np")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc shouldBe dims
+  }
 }
