@@ -1411,13 +1411,23 @@ object Similarity {
       }
       (qid, sub.toLong, cell.toLong, acc)
     }
-    corpus.join(broadcast(lut.toDF("q_id", "sub", "cell", "pd")), Seq("sub", "cell"))
-      .groupBy("q_id", "vec_id")
-      .agg(sum("pd").as("adc_d2"))
-      .groupBy("q_id")
-      .agg(min(struct(col("adc_d2"), col("vec_id"))).as("best"))
-      .select(col("q_id"), col("best.vec_id").as("nn_id"),
-        col("best.adc_d2").as("adc_d2"))
+    // argmin by the JOIN-BACK discipline (min then equi-join then
+    // min-id), NOT min(struct(...)): a struct-min over the 8×corpus
+    // candidate table degrades to a keyed SortAggregate that sorts the
+    // whole grid per partition — PlanShapesSpec caught exactly that in
+    // this query's first draft. Two hash aggregates + one 8-row-keyed
+    // join keep every stage map-side combinable; the grid is pinned
+    // lazily because two consumers would otherwise re-run its shuffle.
+    val adc = graft.io.Checkpoints.pin(
+      corpus.join(broadcast(lut.toDF("q_id", "sub", "cell", "pd")), Seq("sub", "cell"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("pd").as("adc_d2")),
+      eager = false)
+    adc.groupBy("q_id").agg(min("adc_d2").as("adc_d2"))
+      .join(adc, Seq("q_id", "adc_d2"))
+      .groupBy("q_id", "adc_d2")
+      .agg(min("vec_id").as("nn_id"))
+      .select(col("q_id"), col("nn_id"), col("adc_d2"))
       .orderBy("q_id")
   }
 
