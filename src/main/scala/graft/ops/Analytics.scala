@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -704,7 +704,69 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Shannon entropy of the priority mix per market segment
+    * (`agg_entropy_segment`, r13): the order-mix diversity signal —
+    * a segment whose priority distribution collapses to one value is
+    * operationally different from a uniform one. The priority DOMAIN
+    * is fixed (5 values), so the five counts land as conditional-sum
+    * columns and the entropy expression combines them in FIXED textual
+    * order — the float sum is a deterministic expression tree, never
+    * an order-dependent aggregate over rows (the stats_jsd lesson,
+    * solved the other way because the domain is enumerable). Exact
+    * BIGINT count gates; H in nats, rounded 6; empty terms contribute
+    * 0 by the `when` guard.
+    */
+  def entropySegment(s: SparkSession, d: String): DataFrame = {
+    val joined = Sources.orders(s, d)
+      .join(Sources.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val aggCols = count(lit(1)).as("n") +:
+      prios.zipWithIndex.map { case (p, i) =>
+        sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(s"c$i")
+      }
+    val counted = joined.groupBy("c_mktsegment")
+      .agg(aggCols.head, aggCols.tail: _*)
+    def D(c: Column): Column = c.cast("double")
+    val h = prios.indices.map { i =>
+      when(col(s"c$i") > 0,
+        -(D(col(s"c$i")) / D(col("n"))) * log(D(col(s"c$i")) / D(col("n"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    counted
+      .withColumn("entropy", graft.functions.Num.roundNorm(h, 6))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Late-arriving dimension handling (`etl_late_arriving`, r13): the
+    * data-warehouse pattern — facts whose dimension key has not landed
+    * yet must neither drop (losing revenue) nor fail the load; they
+    * park on the UNKNOWN surrogate member and back-fill later. Fixture:
+    * customers with c_custkey % 20 == 0 are "late"; orders LEFT-join
+    * the present dimension and missing rows roll up under nation −1 /
+    * 'UNKNOWN'. Output per nation: order count, exact spend cents, and
+    * the parked-row share — the audit that tells the backfill job how
+    * much is waiting. One broadcastable dim join + one keyed agg.
+    */
+  def lateArriving(s: SparkSession, d: String): DataFrame = {
+    val dim = Sources.customer(s, d)
+      .filter(col("c_custkey") % 20 =!= 0)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    Sources.orders(s, d)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(dim, Seq("o_custkey"), "left")
+      .select(coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("nationkey"),
+        (col("c_nationkey").isNull).as("parked"), col("cents"))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("spend_c"),
+        sum(when(col("parked"), 1L).otherwise(0L)).as("n_parked"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_entropy_segment" -> (entropySegment _),
+    "etl_late_arriving" -> (lateArriving _),
     "complex_all_quarters" -> (allQuarters _),
     "win_streaks" -> (orderStreaks _),
     "complex_solo_late_supplier" -> (soloLateSupplier _),
@@ -735,6 +797,36 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_entropy_segment" ->
+      """WITH j AS (SELECT c.c_mktsegment, o.o_orderpriority
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        | g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |   CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |   CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |  FROM j GROUP BY 1)
+        |SELECT c_mktsegment, n, c0, c1, c2, c3, c4,
+        | round(
+        |   (CASE WHEN c0 > 0 THEN -(c0::DOUBLE / n::DOUBLE) * ln(c0::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+        |   + (CASE WHEN c1 > 0 THEN -(c1::DOUBLE / n::DOUBLE) * ln(c1::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+        |   + (CASE WHEN c2 > 0 THEN -(c2::DOUBLE / n::DOUBLE) * ln(c2::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+        |   + (CASE WHEN c3 > 0 THEN -(c3::DOUBLE / n::DOUBLE) * ln(c3::DOUBLE / n::DOUBLE) ELSE 0.0 END)
+        |   + (CASE WHEN c4 > 0 THEN -(c4::DOUBLE / n::DOUBLE) * ln(c4::DOUBLE / n::DOUBLE) ELSE 0.0 END),
+        |   6) + 0.0 AS entropy
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+    "etl_late_arriving" ->
+      """WITH dim AS (SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE c_custkey % 20 <> 0),
+        | f AS (SELECT coalesce(CAST(d.c_nationkey AS BIGINT), -1) AS nationkey,
+        |    d.c_nationkey IS NULL AS parked,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey)
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(cents) AS BIGINT) AS spend_c,
+        | CAST(sum(CASE WHEN parked THEN 1 ELSE 0 END) AS BIGINT) AS n_parked
+        |FROM f GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     "complex_all_quarters" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -859,6 +859,52 @@ object Temporal {
     a.join(ser.select(col("i").as("ti"), col("x").as("y")), "ti")
   }
 
+  /** Lagged cross-correlation (`ts_crosscorr`, r13): Pearson
+    * correlation between daily revenue and daily ORDER COUNT at lags
+    * −7..+7 — the lead/lag diagnostic behind any "does volume lead
+    * value?" question, and the cross-series twin of [[autocorr]]
+    * (same exploded-lag-join shape: 15 lags ride one join, never a
+    * window over the series). Both series share one gap-filled spine;
+    * six integer power sums per lag (counts and integer dollars —
+    * exact Longs), one mirrored IEEE finish. Zero-variance windows
+    * (degenerate at tiny SFs) emit NULL-free 0.0 by convention.
+    */
+  def crossCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = bounds.select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val ser = graft.io.Checkpoints.pin(
+      spine.join(daily, Seq("day"), "left")
+        .select(datediff(col("day"), col("d0")).cast("long").as("i"),
+          coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y")),
+      eager = false)
+    val a = ser.select(col("i"), col("x"),
+      explode(array((-7 to 7).map(lit(_)): _*)).as("k"))
+      .withColumn("ti", col("i") + col("k"))
+    val b = ser.select(col("i").as("ti"), col("y"))
+    def D(c: Column): Column = c.cast("double")
+    a.join(b, "ti")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("xcorr", {
+        val num = D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))
+        val den = sqrt(D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) *
+          sqrt(D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))
+        when(den === 0.0, lit(0.0))
+          .otherwise(graft.functions.Num.roundNorm(num / den, 6))
+      })
+      .select(col("k").cast("long").as("k"), col("n"), col("xcorr"))
+      .orderBy("k")
+  }
+
   /** Monthly VWAP (`ts_vwap`): volume-weighted average unit price per
     * ship month — Σ extended-price / Σ quantity, the market-data
     * reduction (extendedprice = unitprice·qty, so the ratio IS the
@@ -971,6 +1017,7 @@ object Temporal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_crosscorr" -> (crossCorr _),
     "ts_vwap" -> (vwap _),
     "ts_rsi" -> (rsi _),
     "ts_bollinger" -> (bollinger _),
@@ -1016,6 +1063,35 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_crosscorr" ->
+      """WITH dd AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x,
+        |   CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        | bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM dd),
+        | sp AS (SELECT unnest(generate_series((SELECT d0 FROM bnd),
+        |     (SELECT d1 FROM bnd), INTERVAL 1 DAY))::DATE AS day),
+        | ser AS (SELECT datediff('day', (SELECT d0 FROM bnd), sp.day) AS i,
+        |   coalesce(dd.x, 0) AS x, coalesce(dd.y, 0) AS y
+        |  FROM sp LEFT JOIN dd USING (day)),
+        | lags AS (SELECT unnest(range(-7, 8)) AS k),
+        | j AS (SELECT l.k, a.x, b.y
+        |  FROM ser a CROSS JOIN lags l JOIN ser b ON b.i = a.i + l.k),
+        | g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM j GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        | CASE WHEN sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |     * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) = 0
+        |   THEN 0.0
+        |   ELSE round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |     / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |       * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+        |     + 0.0 END AS xcorr
+        |FROM g ORDER BY k""".stripMargin,
     "ts_vwap" ->
       """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
         | CAST(count(*) AS BIGINT) AS n_items,

@@ -139,4 +139,50 @@ class AnalyticsSpec extends SparkSpec {
     // genuine multi-day streaks exist on the fixture
     got.values.map(_._3).max should be >= 2L
   }
+
+  behavior of "Analytics.entropySegment and lateArriving (r13)"
+
+  it should "hold entropy bounds and count reconciliation" in {
+    val rows = Analytics.entropySegment(spark, sfDir).collect()
+    rows.length shouldBe 5
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val cs = (2 to 6).map(r.getLong(_))
+      cs.sum shouldBe n // the 5 priorities partition every order
+      val h = r.getDouble(7)
+      h should be >= 0.0
+      h should be <= math.log(5.0) + 1e-9 // uniform bound over 5 values
+    }
+  }
+
+  it should "park exactly the late-dimension facts under nation -1" in {
+    val lateCusts = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter("c_custkey % 20 = 0").select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val expectedParked = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey").collect().map(_.getLong(0))
+      .count(lateCusts.contains)
+    val rows = Analytics.lateArriving(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val unknown = rows.filter(_._1 == -1L)
+    unknown.map(_._2).sum shouldBe expectedParked
+    unknown.map(_._3).sum shouldBe expectedParked // all unknown rows are parked
+    rows.filter(_._1 >= 0).map(_._3).sum shouldBe 0 // known rows never park
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    rows.map(_._2).sum shouldBe total // zero row loss
+  }
+
+  behavior of "Temporal.crossCorr (r13)"
+
+  it should "be symmetric-consistent and bounded" in {
+    val rows = graft.ops.Temporal.crossCorr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.map(_._1).toSeq shouldBe (-7L to 7L)
+    rows.foreach { case (_, n, c) =>
+      n should be > 0L
+      math.abs(c) should be <= 1.0 + 1e-9
+    }
+    // the lag-0 cross-correlation of value vs count is strongly positive
+    rows.find(_._1 == 0L).get._3 should be > 0.5
+  }
 }
