@@ -764,7 +764,71 @@ object Analytics {
       .orderBy("nationkey")
   }
 
+  /** Skew-salted join as an ORACLE-CHECKED query
+    * (`join_salted_revenue`, r13): per-priority revenue computed
+    * through [[Joins.saltedEquiJoin]] (saltFactor 4 — fact keys split
+    * into content-hashed sub-keys, the dim side replicated 4×) while
+    * the DuckDB oracle runs the PLAIN join — hash equality is the
+    * proof that salting is result-transparent, promoting the skew tool
+    * from test-only coverage (GenericOpsSpec) to the correctness gate.
+    */
+  def saltedRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val dim = Sources.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Joins.saltedEquiJoin(li, dim, "l_orderkey", saltFactor = 4)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("cents").as("revenue_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** RFM quintile scoring (`win_rfm_scores`, r13): the classic
+    * customer-value segmentation — Recency (days since last order,
+    * relative to the corpus max date), Frequency (order count),
+    * Monetary (exact spend cents), each ranked into quintiles by the
+    * explicit `(5·(rk−1)) div n + 1` formula over a TOTAL order
+    * (metric, custkey) — the lift-deciles discipline: never NTILE,
+    * never an unpartitioned window (three two-pass [[Prefix]] ranks).
+    * Scores orient 5 = best (most recent / most frequent / highest
+    * spend); composite = 100·R + 10·F + M.
+    */
+  def rfmScores(s: SparkSession, d: String): DataFrame = {
+    val maxDay = Sources.orders(s, d).agg(max(to_date(col("o_orderdate"))).as("mx"))
+    val base = Sources.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("money_c"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"),
+        datediff(col("mx"), col("last_day")).cast("long").as("recency_d"),
+        col("freq"), col("money_c"))
+    val n1 = base.agg(count(lit(1)).as("n"))
+    def quint(metric: Column, asc: Boolean, out: String)(df: DataFrame): DataFrame = {
+      val ord = if (asc) Seq(metric.asc, col("o_custkey").asc)
+      else Seq(metric.desc, col("o_custkey").asc)
+      Prefix.running(df, ord, rankOut = Some(s"__rk_$out"))
+        .crossJoin(broadcast(n1))
+        .withColumn(out, lit(6L) - (expr(s"(5 * (__rk_$out - 1)) div n") + 1))
+        .drop(s"__rk_$out", "n")
+    }
+    // quintile 1 = best metric value, so score = 6 - quintile = 5 best:
+    // recency ranks ASC (smaller = more recent = better), freq/money DESC
+    val scored = quint(col("recency_d"), asc = true, "r_score")(
+      quint(col("freq"), asc = false, "f_score")(
+        quint(col("money_c"), asc = false, "m_score")(base)))
+    scored
+      .select(col("o_custkey"), col("recency_d"), col("freq"), col("money_c"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted_revenue" -> (saltedRevenue _),
+    "win_rfm_scores" -> (rfmScores _),
     "agg_entropy_segment" -> (entropySegment _),
     "etl_late_arriving" -> (lateArriving _),
     "complex_all_quarters" -> (allQuarters _),
@@ -797,6 +861,40 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // the PLAIN join — hash equality proves the engine's salted join
+    // (content-hashed sub-keys, 4x replicated dim) is result-transparent
+    "join_salted_revenue" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS revenue_c
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "win_rfm_scores" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
+        | b AS (SELECT o_custkey,
+        |    CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT m FROM mx)) AS BIGINT) AS recency_d,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS money_c
+        |  FROM orders GROUP BY 1),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        | r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY recency_d ASC, o_custkey ASC)
+        |      AS BIGINT) AS rk_r,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, o_custkey ASC)
+        |      AS BIGINT) AS rk_f,
+        |    CAST(row_number() OVER (ORDER BY money_c DESC, o_custkey ASC)
+        |      AS BIGINT) AS rk_m
+        |  FROM b)
+        |SELECT o_custkey, recency_d, freq, money_c,
+        | CAST(6 - ((5 * (rk_r - 1)) // n + 1) AS BIGINT) AS r_score,
+        | CAST(6 - ((5 * (rk_f - 1)) // n + 1) AS BIGINT) AS f_score,
+        | CAST(6 - ((5 * (rk_m - 1)) // n + 1) AS BIGINT) AS m_score,
+        | CAST((6 - ((5 * (rk_r - 1)) // n + 1)) * 100
+        |   + (6 - ((5 * (rk_f - 1)) // n + 1)) * 10
+        |   + (6 - ((5 * (rk_m - 1)) // n + 1)) AS BIGINT) AS rfm
+        |FROM r CROSS JOIN nn ORDER BY o_custkey""".stripMargin,
     "agg_entropy_segment" ->
       """WITH j AS (SELECT c.c_mktsegment, o.o_orderpriority
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),

@@ -185,4 +185,38 @@ class AnalyticsSpec extends SparkSpec {
     // the lag-0 cross-correlation of value vs count is strongly positive
     rows.find(_._1 == 0L).get._3 should be > 0.5
   }
+
+  behavior of "Analytics.rfmScores and saltedRevenue (r13)"
+
+  it should "hold the RFM structural invariants" in {
+    val rows = Analytics.rfmScores(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    rows should not be empty
+    rows.foreach { case (_, rs, fs, ms, rfm) =>
+      rs should (be >= 1L and be <= 5L)
+      fs should (be >= 1L and be <= 5L)
+      ms should (be >= 1L and be <= 5L)
+      rfm shouldBe rs * 100 + fs * 10 + ms
+    }
+    // quintiles are balanced: each score bucket within 1 of n/5
+    Seq(rows.map(_._2), rows.map(_._3), rows.map(_._4)).foreach { scores =>
+      val byScore = scores.groupBy(identity).view.mapValues(_.size)
+      (byScore.values.max - byScore.values.min) should be <= 1
+    }
+  }
+
+  it should "make the salted join result-transparent vs a plain join" in {
+    val plain = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey", "CAST(round(l_extendedprice * 100) AS LONG) AS cents")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet")
+        .selectExpr("o_orderkey AS l_orderkey", "o_orderpriority"), "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("cents").as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Analytics.saltedRevenue(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    salted shouldBe plain
+  }
 }
