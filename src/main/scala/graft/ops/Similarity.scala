@@ -1356,7 +1356,45 @@ object Similarity {
     "sim_multiprobe_frozen" -> (multiprobeFrozen _),
     "sim_ivf_frozen" -> (ivfFrozen _),
     "sim_pq_adc_frozen" -> (pqAdcFrozen _),
+    "ml_knn_eval" -> (knnEval _),
   )
+
+  /** Exact-integer kNN classifier evaluation (`ml_knn_eval`, r13): the
+    * other half of the ANN story — once neighbors can be found, the
+    * first thing a pipeline does with them is VOTE. Eval set =
+    * vec_ids 8..39 (32 vectors — the bounded REQUEST, broadcast like
+    * every serving query), train = the rest; synthetic label =
+    * vec_id mod 2; k = 3 neighbors by exact quantized d² (ties to the
+    * smaller train id — a total order, so membership is replayable);
+    * prediction = majority vote (k odd ⇒ no tie rule needed). Plan:
+    * broadcast eval rows against one corpus scan (map-side distance),
+    * per-eval top-3 via the rank window on the 32-key partition
+    * (WindowGroupLimit pushes the limit below the shuffle), one vote
+    * aggregate. All integers end-to-end.
+    */
+  def knnEval(s: SparkSession, d: String): DataFrame = {
+    val q = quantEmb(s, d)
+    val eval = q.filter(col("vec_id") >= 8 && col("vec_id") < 40)
+      .select(col("vec_id").as("eval_id"), col("qv").as("ev"))
+    val train = q.filter(col("vec_id") < 8 || col("vec_id") >= 40)
+      .select(col("vec_id").as("train_id"), col("qv").as("tv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("eval_id").orderBy(col("d2").asc, col("train_id").asc)
+    broadcast(eval).join(train, lit(true))
+      .withColumn("d2", aggregate(zip_with(col("ev"), col("tv"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("eval_id")
+      .agg(sum(pmod(col("train_id"), lit(2L))).as("votes_1"),
+        min(col("d2")).as("nn_d2"))
+      .select(col("eval_id"),
+        pmod(col("eval_id"), lit(2L)).as("label"),
+        (col("votes_1") >= 2).cast("long").as("pred"),
+        col("votes_1"), col("nn_d2"))
+      .withColumn("correct", (col("label") === col("pred")).cast("long"))
+      .orderBy("eval_id")
+  }
 
   /** Published PQ codebook for the frozen ADC twin: 8 subspaces × 4
     * cells × 8 dims on the quantEmb 1e4 lattice,
@@ -1453,6 +1491,33 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "ml_knn_eval" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | ev AS (SELECT vec_id AS eval_id, qv AS evv FROM e
+        |  WHERE vec_id >= 8 AND vec_id < 40),
+        | tr AS (SELECT vec_id AS train_id, qv AS tvv FROM e
+        |  WHERE vec_id < 8 OR vec_id >= 40),
+        | pairs AS (SELECT ev.eval_id, tr.train_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (ev.evv[i] - tr.tvv[i]) * (ev.evv[i] - tr.tvv[i])))
+        |      AS BIGINT) AS d2
+        |  FROM ev CROSS JOIN tr),
+        | rk AS (SELECT *, row_number() OVER (PARTITION BY eval_id
+        |    ORDER BY d2 ASC, train_id ASC) AS rn FROM pairs),
+        | top AS (SELECT eval_id,
+        |    CAST(sum(train_id % 2) AS BIGINT) AS votes_1,
+        |    CAST(min(d2) AS BIGINT) AS nn_d2
+        |  FROM rk WHERE rn <= 3 GROUP BY 1)
+        |SELECT eval_id, eval_id % 2 AS label,
+        | CAST(CASE WHEN votes_1 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+        | votes_1, nn_d2,
+        | CAST(CASE WHEN eval_id % 2 =
+        |   (CASE WHEN votes_1 >= 2 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END
+        |   AS BIGINT) AS correct
+        |FROM top ORDER BY eval_id""".stripMargin,
     "sim_pq_adc_frozen" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

@@ -905,6 +905,27 @@ object Temporal {
       .orderBy("k")
   }
 
+  /** Naive-seasonal forecast error (`ts_forecast_error`, r13): the
+    * WAPE/MAE/bias of the week-ago-naive forecast x̂_i = x_{i−7} — the
+    * baseline every forecasting effort must beat, and the error
+    * arithmetic is EXACT (integer dollars: Σ|err| and Σ|x| are BIGINT
+    * gates, the two ratios are single mirrored divisions). One lag
+    * equi-join on the gap-filled spine, one global aggregate.
+    */
+  def forecastError(s: SparkSession, d: String): DataFrame = {
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    def D(c: Column): Column = c.cast("double")
+    ser.join(ser.select((col("i") + 7).as("i"), col("x").as("xf")), "i")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("x") - col("xf"))).as("abs_err"),
+        sum(abs(col("x"))).as("abs_actual"),
+        sum(col("x") - col("xf")).as("bias"))
+      .withColumn("wape", graft.functions.Num.roundNorm(
+        D(col("abs_err")) / D(col("abs_actual")), 6))
+      .withColumn("mae", graft.functions.Num.roundNorm(
+        D(col("abs_err")) / D(col("n")), 4))
+  }
+
   /** Monthly VWAP (`ts_vwap`): volume-weighted average unit price per
     * ship month — Σ extended-price / Σ quantity, the market-data
     * reduction (extendedprice = unitprice·qty, so the ratio IS the
@@ -1018,6 +1039,7 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_crosscorr" -> (crossCorr _),
+    "ts_forecast_error" -> (forecastError _),
     "ts_vwap" -> (vwap _),
     "ts_rsi" -> (rsi _),
     "ts_bollinger" -> (bollinger _),
@@ -1063,6 +1085,16 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_forecast_error" ->
+      s"""WITH $seriesCte,
+        | j AS (SELECT a.x, b.x AS xf FROM ser a JOIN ser b ON a.i = b.i + 7)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(abs(x - xf)) AS BIGINT) AS abs_err,
+        | CAST(sum(abs(x)) AS BIGINT) AS abs_actual,
+        | CAST(sum(x - xf) AS BIGINT) AS bias,
+        | round(sum(abs(x - xf))::DOUBLE / sum(abs(x))::DOUBLE, 6) + 0.0 AS wape,
+        | round(sum(abs(x - xf))::DOUBLE / count(*)::DOUBLE, 4) + 0.0 AS mae
+        |FROM j""".stripMargin,
     "ts_crosscorr" ->
       """WITH dd AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |   CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x,

@@ -72,6 +72,11 @@ class PlanShapesSpec extends SparkSpec {
     // stump; (n_a, n_b) for the JS buckets; the 5-row segment census +
     // 1-row total grid for t-closeness (zero cells need the full grid)
     "ml_lift_deciles", "ml_decision_stump", "stats_jsd", "priv_t_closeness",
+    // 32-row eval-request broadcast against the train scan (the
+    // cosineTopK discipline)
+    "ml_knn_eval",
+    // 1-row max-date + 1-row customer-count attaches for the quintiles
+    "win_rfm_scores",
     // 1-row part-count attach for the negative-sample hash range
     "sample_negatives",
     // 1-row both-sides-overlap attach for the split audit
