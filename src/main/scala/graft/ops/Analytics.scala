@@ -209,6 +209,84 @@ object Analytics {
       .orderBy("channel")
   }
 
+  /** Position-based (U-shaped) attribution
+    * (`join_attribution_ushaped`, r13): the 40/20/40 model next to
+    * [[attributionLinear]]'s equal split — first and last touch in the
+    * 7-day window carry 40 % each, middles share the 20 %. Exact
+    * integer allocation with every convention PINNED (conventions are
+    * where attribution implementations silently diverge): n = 1 →
+    * 100 % to the only touch; n = 2 → div-2 split, remainder cent to
+    * the FIRST; n ≥ 3 → first = last = (2·cents) div 5, middles split
+    * the exact remainder by div with the division residue reported as
+    * its own 'residual' channel (the largest-remainder discipline of
+    * `agg_largest_remainder`, simplified to a visible residue row).
+    * First/last identified by min/max over a struct (us, event_id,
+    * type) — a TOTAL order, so the oracle's identical window replays
+    * them bit-for-bit. One windowed pass over the user-keyed event
+    * stream + one global aggregate.
+    */
+  def attributionUShaped(s: SparkSession, d: String): DataFrame = {
+    val touch = Seq("click", "view", "signup")
+    val base = Sources.events(s, d)
+      .filter(col("event_type").isin("purchase" +: touch: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-7L * 86400L * 1000000L, 0L)
+    val tStruct = when(col("event_type").isin(touch: _*),
+      struct(col("us"), col("event_id"), col("event_type")))
+    val counted = touch.foldLeft(
+      base
+        .withColumn("fst", min(tStruct).over(w))
+        .withColumn("lst", max(tStruct).over(w))) { (df, t) =>
+      df.withColumn(s"n_$t",
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w))
+    }
+    val per = counted
+      .filter(col("event_type") === "purchase")
+      .withColumn("total", touch.map(t => col(s"n_$t")).reduce(_ + _))
+      .withColumn("f_type", col("fst.event_type"))
+      .withColumn("l_type", col("lst.event_type"))
+      .withColumn("first_c",
+        when(col("total") === 0, lit(0L))
+          .when(col("total") === 1, col("cents"))
+          .when(col("total") === 2, col("cents") - expr("cents div 2"))
+          .otherwise(expr("(2 * cents) div 5")))
+      .withColumn("last_c",
+        when(col("total") <= 1, lit(0L))
+          .when(col("total") === 2, expr("cents div 2"))
+          .otherwise(expr("(2 * cents) div 5")))
+      .withColumn("mtot",
+        when(col("total") >= 3, col("cents") - col("first_c") - col("last_c"))
+          .otherwise(lit(0L)))
+      .withColumn("per_mid", when(col("total") >= 3,
+        expr("mtot div (total - 2)")).otherwise(lit(0L)))
+      .withColumn("resid", when(col("total") >= 3,
+        col("mtot") - col("per_mid") * (col("total") - 2)).otherwise(lit(0L)))
+    val channelCredit = touch.map { t =>
+      sum(
+        when(col("total") === 0, lit(0L)).otherwise(
+          when(col("f_type") === t, col("first_c")).otherwise(lit(0L)) +
+            when(col("l_type") === t && col("total") >= 2, col("last_c"))
+              .otherwise(lit(0L)) +
+            col("per_mid") * (col(s"n_$t") -
+              when(col("f_type") === t, 1L).otherwise(0L) -
+              when(col("l_type") === t && col("total") >= 2, 1L).otherwise(0L))))
+        .as(s"c_$t")
+    }
+    val resid = sum(col("resid")).as("c_residual")
+    val unatt = sum(when(col("total") === 0, col("cents")).otherwise(0L))
+      .as("c_unattributed")
+    per.agg(channelCredit.head, (channelCredit.tail :+ resid :+ unatt): _*)
+      .select(expr(
+        "stack(5, 'click', c_click, 'view', c_view, 'signup', c_signup, " +
+          "'residual', c_residual, 'unattributed', c_unattributed) " +
+          "AS (channel, attributed_cents)"))
+      .orderBy("channel")
+  }
+
   /** Q5-style local-supplier revenue (`join_local_supplier_rev`): the
     * canonical star-schema plan — the lineitem fact joins orders on the
     * shuffle side, then customer/supplier by key PLUS the
@@ -858,6 +936,7 @@ object Analytics {
     "agg_retention_cohorts" -> (retentionCohorts _),
     "complex_skyline_parts" -> (skylineParts _),
     "join_attribution_linear" -> (attributionLinear _),
+    "join_attribution_ushaped" -> (attributionUShaped _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1165,6 +1244,71 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE year(o_orderdate) = 1995
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_attribution_ushaped" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+        |   CAST(round(value * 100) AS BIGINT) AS cents
+        |   FROM events WHERE event_type = 'purchase'),
+        | t AS (SELECT user_id, ts, event_id, event_type FROM events
+        |   WHERE event_type IN ('click', 'view', 'signup')),
+        | j AS (SELECT p.event_id, any_value(p.cents) AS cents,
+        |   CAST(count(*) FILTER (WHERE t.event_type = 'click') AS BIGINT) AS n_click,
+        |   CAST(count(*) FILTER (WHERE t.event_type = 'view') AS BIGINT) AS n_view,
+        |   CAST(count(*) FILTER (WHERE t.event_type = 'signup') AS BIGINT) AS n_signup,
+        |   min(struct_pack(a := t.ts, b := t.event_id, c := t.event_type)) AS fst,
+        |   max(struct_pack(a := t.ts, b := t.event_id, c := t.event_type)) AS lst
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.ts BETWEEN p.ts - INTERVAL 7 DAY AND p.ts
+        |  GROUP BY p.event_id),
+        | k AS (SELECT *, n_click + n_view + n_signup AS total,
+        |   struct_extract(fst, 'c') AS f_type,
+        |   struct_extract(lst, 'c') AS l_type FROM j),
+        | m AS (SELECT *,
+        |   CASE WHEN total = 0 THEN 0 WHEN total = 1 THEN cents
+        |        WHEN total = 2 THEN cents - cents // 2
+        |        ELSE (2 * cents) // 5 END AS first_c,
+        |   CASE WHEN total <= 1 THEN 0 WHEN total = 2 THEN cents // 2
+        |        ELSE (2 * cents) // 5 END AS last_c
+        |  FROM k),
+        | q AS (SELECT *,
+        |   CASE WHEN total >= 3 THEN cents - first_c - last_c ELSE 0 END AS mtot
+        |  FROM m),
+        | r AS (SELECT *,
+        |   CASE WHEN total >= 3 THEN mtot // (total - 2) ELSE 0 END AS per_mid
+        |  FROM q),
+        | agg AS (SELECT
+        |   CAST(sum(CASE WHEN total = 0 THEN 0 ELSE
+        |     (CASE WHEN f_type = 'click' THEN first_c ELSE 0 END)
+        |     + (CASE WHEN l_type = 'click' AND total >= 2 THEN last_c ELSE 0 END)
+        |     + per_mid * (n_click
+        |        - (CASE WHEN f_type = 'click' THEN 1 ELSE 0 END)
+        |        - (CASE WHEN l_type = 'click' AND total >= 2 THEN 1 ELSE 0 END))
+        |    END) AS BIGINT) AS c_click,
+        |   CAST(sum(CASE WHEN total = 0 THEN 0 ELSE
+        |     (CASE WHEN f_type = 'view' THEN first_c ELSE 0 END)
+        |     + (CASE WHEN l_type = 'view' AND total >= 2 THEN last_c ELSE 0 END)
+        |     + per_mid * (n_view
+        |        - (CASE WHEN f_type = 'view' THEN 1 ELSE 0 END)
+        |        - (CASE WHEN l_type = 'view' AND total >= 2 THEN 1 ELSE 0 END))
+        |    END) AS BIGINT) AS c_view,
+        |   CAST(sum(CASE WHEN total = 0 THEN 0 ELSE
+        |     (CASE WHEN f_type = 'signup' THEN first_c ELSE 0 END)
+        |     + (CASE WHEN l_type = 'signup' AND total >= 2 THEN last_c ELSE 0 END)
+        |     + per_mid * (n_signup
+        |        - (CASE WHEN f_type = 'signup' THEN 1 ELSE 0 END)
+        |        - (CASE WHEN l_type = 'signup' AND total >= 2 THEN 1 ELSE 0 END))
+        |    END) AS BIGINT) AS c_signup,
+        |   CAST(sum(CASE WHEN total >= 3
+        |     THEN mtot - per_mid * (total - 2) ELSE 0 END) AS BIGINT) AS c_residual,
+        |   CAST(sum(CASE WHEN total = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |     AS c_unattributed
+        |  FROM r)
+        |SELECT channel, attributed_cents FROM (
+        |  SELECT 'click' AS channel, c_click AS attributed_cents FROM agg
+        |  UNION ALL SELECT 'view', c_view FROM agg
+        |  UNION ALL SELECT 'signup', c_signup FROM agg
+        |  UNION ALL SELECT 'residual', c_residual FROM agg
+        |  UNION ALL SELECT 'unattributed', c_unattributed FROM agg)
+        |ORDER BY channel""".stripMargin,
     "join_attribution_linear" ->
       """WITH p AS (SELECT event_id, user_id, ts,
         |   CAST(round(value * 100) AS BIGINT) AS cents

@@ -219,4 +219,21 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     salted shouldBe plain
   }
+
+  behavior of "Analytics.attributionUShaped (r13)"
+
+  it should "conserve every purchase cent across channels" in {
+    val rows = Analytics.attributionUShaped(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.keySet shouldBe Set("click", "view", "signup", "residual", "unattributed")
+    val totalPurchases = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter("event_type = 'purchase'")
+      .selectExpr("CAST(round(value * 100) AS LONG) AS cents")
+      .collect().map(_.getLong(0)).sum
+    rows.values.sum shouldBe totalPurchases // exact conservation
+    // the U-shape genuinely differs from the linear split on this fixture
+    val linear = Analytics.attributionLinear(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows should not equal linear
+  }
 }
