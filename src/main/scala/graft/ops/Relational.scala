@@ -284,6 +284,26 @@ object Relational {
       .limit(10)
 
   /** EXCEPT (set-distinct) of active customer keys across two years. */
+  /** Symmetric difference (`setop_symmetric_diff`, r13): customers
+    * active in exactly ONE of 1995/1996, tagged by side — the churn ∪
+    * acquisition set in one pass. Planned as two anti joins over the
+    * two distinct-key sets (each dim-sized), unioned with the side
+    * tag; a single full-outer-join + null-filter would carry both
+    * sides' payloads through one shuffle for the same answer — this
+    * form keeps each side semi-join-prunable.
+    */
+  def setopSymmetricDiff(s: SparkSession, d: String): DataFrame = {
+    val ord = Sources.orders(s, d)
+    def yr(y: Int) = ord.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val a = yr(1995)
+    val b = yr(1996)
+    a.join(b, Seq("custkey"), "left_anti").withColumn("side", lit("only_1995"))
+      .unionAll(
+        b.join(a, Seq("custkey"), "left_anti").withColumn("side", lit("only_1996")))
+      .orderBy("custkey", "side")
+  }
+
   def setopExceptYears(s: SparkSession, d: String): DataFrame = {
     val ord = Sources.orders(s, d)
     val y95 = ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("custkey")).distinct()
@@ -448,6 +468,7 @@ object Relational {
     "win_rank_suppliers" -> (winRankSuppliers _),
     "topk_global_orders" -> (topkGlobalOrders _),
     "setop_except_years" -> (setopExceptYears _),
+    "setop_symmetric_diff" -> (setopSymmetricDiff _),
     "setop_except_all" -> (setopExceptAll _),
     "setop_intersect_years" -> (setopIntersectYears _),
     "setop_union_tagged" -> (setopUnionTagged _),
@@ -575,6 +596,18 @@ object Relational {
       """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY custkey""".stripMargin,
+    "setop_symmetric_diff" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        | b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+        |SELECT custkey, side FROM (
+        |  SELECT custkey, 'only_1995' AS side FROM a
+        |   WHERE custkey NOT IN (SELECT custkey FROM b)
+        |  UNION ALL
+        |  SELECT custkey, 'only_1996' FROM b
+        |   WHERE custkey NOT IN (SELECT custkey FROM a))
+        |ORDER BY custkey, side""".stripMargin,
     "setop_intersect_years" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996

@@ -73,6 +73,50 @@ object RelationalExt {
       .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
 
+  /** Row-normalized pivot (`pivot_share_matrix`, r13): per nation, the
+    * SHARE of each order priority as integer basis points — the
+    * conditional-aggregation pivot (explicit value list, single pass)
+    * followed by exact `div` normalization against the row total; the
+    * residue basis points from flooring stay visible in the row total
+    * column rather than being forced to sum to 10 000 (the honest
+    * flooring contract, same as text_hapax).
+    */
+  def pivotShareMatrix(s: SparkSession, d: String): DataFrame = {
+    val joined = Sources.orders(s, d)
+      .join(Sources.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val counts = prios.zipWithIndex.map { case (p, i) =>
+      sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val base = joined.groupBy(col("c_nationkey"))
+      .agg(counts.head, counts.tail :+ count(lit(1)).as("n"): _*)
+    prios.indices.foldLeft(base) { (df, i) =>
+      df.withColumn(s"bp$i", expr(s"(10000 * c$i) div n"))
+    }
+      .select((col("c_nationkey").cast("long").as("nationkey") +: col("n") +:
+        prios.indices.map(i => col(s"bp$i"))): _*)
+      .orderBy("nationkey")
+  }
+
+  /** Days to the next order per customer (`win_next_order_gap`, r13):
+    * the inter-purchase interval — `lead` over the per-customer order
+    * stream (ties broken by orderkey: a total order), last order per
+    * customer emits NULL-free −1 by convention. One shuffle on
+    * custkey; windows bounded per key.
+    */
+  def nextOrderGap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+    Sources.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("day"))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(datediff(col("next_day"), col("day")).cast("long"), lit(-1L))
+          .as("gap_days"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
   /** Analytic window functions over the full-partition frame. */
   def winAnalytics(s: SparkSession, d: String): DataFrame = {
     val byId = Window.partitionBy("user_id").orderBy("event_id")
@@ -578,6 +622,8 @@ object RelationalExt {
     "agg_collect" -> (aggCollect _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "pivot_event_counts" -> (pivotEventCounts _),
+    "pivot_share_matrix" -> (pivotShareMatrix _),
+    "win_next_order_gap" -> (nextOrderGap _),
     "win_analytics" -> (winAnalytics _),
     "scalar_string_ext" -> (scalarStringExt _),
     "scalar_date_ext" -> (scalarDateExt _),
@@ -792,6 +838,33 @@ object RelationalExt {
         | count(*) FILTER (event_type = 'signup') AS signup,
         | count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "pivot_share_matrix" ->
+      """WITH j AS (SELECT c.c_nationkey, o.o_orderpriority
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        | g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS c0,
+        |   CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS c1,
+        |   CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS c2,
+        |   CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS c3,
+        |   CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS c4
+        |  FROM j GROUP BY 1)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n,
+        | CAST((10000 * c0) // n AS BIGINT) AS bp0,
+        | CAST((10000 * c1) // n AS BIGINT) AS bp1,
+        | CAST((10000 * c2) // n AS BIGINT) AS bp2,
+        | CAST((10000 * c3) // n AS BIGINT) AS bp3,
+        | CAST((10000 * c4) // n AS BIGINT) AS bp4
+        |FROM g ORDER BY nationkey""".stripMargin,
+    "win_next_order_gap" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |   CAST(o_orderdate AS DATE) AS day FROM orders),
+        | g AS (SELECT o_custkey, o_orderkey, day,
+        |    lead(day) OVER (PARTITION BY o_custkey
+        |      ORDER BY day, o_orderkey) AS next_day
+        |  FROM o)
+        |SELECT o_custkey, o_orderkey, strftime(day, '%Y-%m-%d') AS day,
+        | CAST(coalesce(datediff('day', day, next_day), -1) AS BIGINT) AS gap_days
+        |FROM g ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "win_analytics" ->
       """SELECT event_id, user_id,
         | ntile(4) OVER b AS quartile,
