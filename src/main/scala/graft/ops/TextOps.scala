@@ -1154,7 +1154,93 @@ object TextOps {
       .withColumn("hapax_bp", expr("(10000 * n_hapax) div n_vocab"))
       .orderBy("source")
 
+  /** SimHash near-dup with a PUBLISHED token hash
+    * (`dedup_simhash_frozen`, r13) — the frozen serving twin that puts
+    * the simhash FAMILY under the DuckDB hash gate (the trained
+    * [[dedupSimHash]] stays rows-only because xxhash64 has no SQL
+    * replay; this twin swaps in the published polynomial hash
+    * h(w) = foldLeft(0)((a,c) => (31a + code(c)) mod 2⁴⁰), which
+    * DuckDB's `list_reduce` replays exactly — a zero-seeded fold and a
+    * first-element-seeded reduce agree for this h because
+    * 31·0 + c₁ = c₁). Same plan as the trained op: 32 bit-votes in one
+    * doc-keyed aggregate, 4×8-bit chunk bands (pigeonhole-complete for
+    * Hamming ≤ 3), band equi-join, exact popcount verify — never
+    * all-pairs.
+    */
+  def dedupSimHashFrozen(s: SparkSession, d: String): DataFrame = {
+    val nBits = 32
+    val nChunks = 4
+    val chunkBits = nBits / nChunks
+    val maxHamming = nChunks - 1
+    val exploded = Sources.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", aggregate(
+        transform(split(col("w"), ""), c => ascii(c).cast("long")),
+        lit(0L), (a, x) => (a * 31L + x) % (1L << 40)))
+    val bitVotes = (0 until nBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v_$b")
+    }
+    val sig = (0 until nBits).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val sigs = exploded.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .withColumn("sig", sig)
+      .select("doc_id", "sig")
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("sig"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1))): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunks.select(col("doc_id").as("id_a"), col("sig").as("sa"),
+      col("chunk_idx"), col("chunk_val"))
+    val b = chunks.select(col("doc_id").as("id_b"), col("sig").as("sb"),
+      col("chunk_idx").as("ci_b"), col("chunk_val").as("cv_b"))
+    a.join(b, col("chunk_idx") === col("ci_b")
+        && col("chunk_val") === col("cv_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Generated oracle for [[dedupSimHashFrozen]] — the 32 bit-vote
+    * columns and the signature assembly are emitted from the same
+    * constants the engine uses.
+    */
+  private def simHashFrozenOracle: String = {
+    val votes = (0 until 32).map { j =>
+      s"CAST(sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v_$j"
+    }.mkString(",\n   ")
+    val sig = (0 until 32).map { j =>
+      s"(CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       | f AS (SELECT doc_id, list_reduce(
+       |    list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT)),
+       |    (a, b) -> (a * 31 + b) % 1099511627776) AS h
+       |  FROM w WHERE length(w) > 0),
+       | v AS (SELECT doc_id,
+       |   $votes
+       |  FROM f GROUP BY doc_id),
+       | s AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM v),
+       | c AS (SELECT doc_id, sig, j.j AS chunk_idx,
+       |    (sig // (CASE j.j WHEN 0 THEN 1 WHEN 1 THEN 256
+       |      WHEN 2 THEN 65536 ELSE 16777216 END)) % 256 AS cv
+       |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+       | p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sig AS sa, b.sig AS sb
+       |  FROM c a JOIN c b ON a.chunk_idx = b.chunk_idx AND a.cv = b.cv
+       |   AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash_frozen" -> (dedupSimHashFrozen _),
     "text_readability" -> (textReadability _),
     "text_hapax" -> (textHapax _),
     "text_dup_spans" -> (dupSpans _),
@@ -1267,6 +1353,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_simhash_frozen" -> simHashFrozenOracle,
     "text_readability" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

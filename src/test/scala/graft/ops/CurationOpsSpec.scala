@@ -214,4 +214,36 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     got shouldBe expected
   }
+
+  "TextOps.dedupSimHashFrozen (r13)" should "match a driver-side replay" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def polyHash(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % (1L << 40))
+    def sigOf(text: String): Long = {
+      val hs = text.split(" ").filter(_.nonEmpty).map(polyHash)
+      (0 until 32).map { j =>
+        val v = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+        if (v > 0) 1L << j else 0L
+      }.sum
+    }
+    val sigs = docs.map { case (id, t) => id -> sigOf(t) }.toMap
+    // brute-force pair set: hamming <= 3 AND sharing at least one of the
+    // four 8-bit chunks (the banding is part of the operator contract)
+    def chunks(sg: Long): Seq[Long] =
+      (0 until 4).map(c => (sg >> (c * 8)) & 0xffL)
+    val ids = docs.map(_._1).sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if chunks(sigs(a)).zip(chunks(sigs(b))).exists { case (x, y) => x == y }
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong
+      if h <= 3
+    } yield (a, b, h)).toSet
+    val got = TextOps.dedupSimHashFrozen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe want
+    got should not be empty
+  }
 }
