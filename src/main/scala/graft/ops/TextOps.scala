@@ -1165,7 +1165,12 @@ object TextOps {
     * 31·0 + c₁ = c₁). Same plan as the trained op: 32 bit-votes in one
     * doc-keyed aggregate, 4×8-bit chunk bands (pigeonhole-complete for
     * Hamming ≤ 3), band equi-join, exact popcount verify — never
-    * all-pairs.
+    * all-pairs. Density note: 32 bits over this fixture's SMALL shared
+    * vocabulary makes Hamming ≤ 3 genuinely dense (~17 % of all pairs
+    * at sf0.1 — the query is output-bound, not shape-bound); a
+    * production corpus takes the trained 64-bit twin's width, where
+    * the same banded plan keeps candidates sparse. Width is a
+    * parameter of the FAMILY, not of the plan.
     */
   def dedupSimHashFrozen(s: SparkSession, d: String): DataFrame = {
     val nBits = 32
