@@ -117,6 +117,56 @@ object RelationalExt {
       .orderBy("o_custkey", "day", "o_orderkey")
   }
 
+  /** Cumulative revenue share per nation over months
+    * (`win_cumulative_share`, r13): the market-penetration curve — per
+    * nation, the running month-by-month revenue as exact cents plus
+    * its share of the nation's total in integer basis points. Windows
+    * partition by nation over the MONTH grain (calendar-bounded per
+    * key); the total attaches by a nation-keyed join of the same
+    * monthly table (pinned lazily — two consumers).
+    */
+  def cumulativeShare(s: SparkSession, d: String): DataFrame = {
+    val monthly = graft.io.Checkpoints.pin(
+      Sources.orders(s, d)
+        .join(Sources.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c")),
+      eager = false)
+    val tot = monthly.groupBy("nationkey").agg(sum("rev_c").as("tot_c"))
+    val w = Window.partitionBy("nationkey").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_c", sum("rev_c").over(w))
+      .join(tot, "nationkey")
+      .withColumn("cum_bp", expr("(10000 * cum_c) div tot_c"))
+      .select(col("nationkey"), col("month"), col("rev_c"), col("cum_c"),
+        col("cum_bp"))
+      .orderBy("nationkey", "month")
+  }
+
+  /** Key/date inversion audit (`audit_key_inversions`, r13): per
+    * customer, the pairs of orders where the LARGER orderkey carries
+    * the EARLIER date — the monotonicity contract every
+    * sequence-assigned key should satisfy, and the first check on a
+    * suspected out-of-order ingest. Per-key self-join (bounded by
+    * orders-per-customer, never corpus²), exact counts; only violating
+    * customers are emitted.
+    */
+  def keyInversions(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("day"))
+    o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey"))
+      .groupBy(col("a.o_custkey").as("o_custkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a.day") > col("b.day"), 1L).otherwise(0L)).as("n_inversions"))
+      .filter(col("n_inversions") > 0)
+      .orderBy("o_custkey")
+  }
+
   /** Analytic window functions over the full-partition frame. */
   def winAnalytics(s: SparkSession, d: String): DataFrame = {
     val byId = Window.partitionBy("user_id").orderBy("event_id")
@@ -624,6 +674,8 @@ object RelationalExt {
     "pivot_event_counts" -> (pivotEventCounts _),
     "pivot_share_matrix" -> (pivotShareMatrix _),
     "win_next_order_gap" -> (nextOrderGap _),
+    "win_cumulative_share" -> (cumulativeShare _),
+    "audit_key_inversions" -> (keyInversions _),
     "win_analytics" -> (winAnalytics _),
     "scalar_string_ext" -> (scalarStringExt _),
     "scalar_date_ext" -> (scalarDateExt _),
@@ -838,6 +890,32 @@ object RelationalExt {
         | count(*) FILTER (event_type = 'signup') AS signup,
         | count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "win_cumulative_share" ->
+      """WITH m AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+        |   strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+        |   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS rev_c
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        | t AS (SELECT nationkey, CAST(sum(rev_c) AS BIGINT) AS tot_c
+        |  FROM m GROUP BY 1),
+        | w AS (SELECT m.*, CAST(sum(rev_c) OVER (PARTITION BY nationkey
+        |    ORDER BY month) AS BIGINT) AS cum_c FROM m)
+        |SELECT w.nationkey, w.month, w.rev_c, w.cum_c,
+        | CAST((10000 * w.cum_c) // t.tot_c AS BIGINT) AS cum_bp
+        |FROM w JOIN t ON w.nationkey = t.nationkey
+        |ORDER BY w.nationkey, w.month""".stripMargin,
+    "audit_key_inversions" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |   CAST(o_orderdate AS DATE) AS day FROM orders)
+        |SELECT a.o_custkey, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(CASE WHEN a.day > b.day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_inversions
+        |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |GROUP BY a.o_custkey
+        |HAVING sum(CASE WHEN a.day > b.day THEN 1 ELSE 0 END) > 0
+        |ORDER BY a.o_custkey""".stripMargin,
     "pivot_share_matrix" ->
       """WITH j AS (SELECT c.c_nationkey, o.o_orderpriority
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
