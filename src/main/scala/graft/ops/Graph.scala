@@ -524,6 +524,46 @@ object Graph {
       .orderBy("part")
   }
 
+  /** Synchronous label propagation, 3 published rounds
+    * (`graph_lpa_rounds`, r13): the community detector that needs no
+    * modularity objective — every node adopts the most frequent label
+    * among its neighbors (ties → smallest label), all nodes update
+    * simultaneously, labels start as node ids. The round count is
+    * FROZEN at 3 (the frozen-twin discipline: synchronous LPA has no
+    * order-dependence, so a fixed round count makes the whole
+    * trajectory — not just a fixpoint — replayable by the unrolled
+    * oracle CTEs; asynchronous LPA's update order is engine-dependent
+    * and can never sit under a hash gate). Runs on the strong
+    * (weight ≥ 2) co-purchase graph, symmetrized, so every node has a
+    * neighbor and the argmax is total. Per round: one edge-sized
+    * shuffle (neighbor-label count) + a per-node WindowGroupLimit
+    * argmax — label tables are lazily PINNED each round so the plan
+    * stays constant-depth (the adaptive-PageRank lineage rule); at a
+    * 10¹² -edge corpus each round is exactly one keyed agg over edges,
+    * the canonical distributed-LPA cost.
+    */
+  def lpaRounds(s: SparkSession, d: String): DataFrame = {
+    val strong = strongEdges(s, d)
+    val e = strong.select(col("src"), col("dst"))
+      .union(strong.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = e.select(col("src").as("part")).distinct()
+    var lab = nodes.select(col("part"), col("part").as("lbl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to 3) {
+      val cnt = e.join(lab.withColumnRenamed("part", "src"), "src")
+        .groupBy(col("dst").as("part"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      lab = Checkpoints.pin(
+        cnt.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("part"), col("lbl")),
+        eager = false)
+    }
+    lab.select(col("part"), col("lbl").as("label3")).orderBy("part")
+  }
+
   /** Partition modularity (`graph_modularity`) — Newman's Q for the
     * strong-component partition evaluated over the FULL undirected
     * co-purchase graph (nodes outside any strong component count as
@@ -1061,6 +1101,7 @@ object Graph {
     "graph_ppr_seeds" -> (pprCrawlSeeds _),
     "graph_pagerank_weighted" -> (pageRankWeighted _),
     "graph_components" -> (components _),
+    "graph_lpa_rounds" -> (lpaRounds _),
   )
 
   private val edgeCte: String =
@@ -1083,6 +1124,19 @@ object Graph {
     s"""k$t AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS c FROM und$p GROUP BY u) WHERE c >= 2),
        | und$t AS MATERIALIZED (SELECT a.u, a.v FROM und$p a
        |   JOIN k$t x ON a.u = x.u JOIN k$t y ON a.v = y.u)""".stripMargin
+  }
+
+  /** One unrolled synchronous LPA round k-1 → k: neighbor-label counts,
+    * then the (count DESC, label ASC) argmax per node — the identical
+    * total order the Spark window uses.
+    */
+  private def lpaStep(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""c$k AS (SELECT e.dst AS part, $prev.lbl, count(*) AS c
+       |   FROM e JOIN $prev ON e.src = $prev.part GROUP BY 1, 2),
+       | l$k AS (SELECT part, lbl FROM (SELECT part, lbl,
+       |    row_number() OVER (PARTITION BY part
+       |      ORDER BY c DESC, lbl ASC) AS rk FROM c$k) WHERE rk = 1)""".stripMargin
   }
 
   private def prStep(k: Int): String = {
@@ -1404,6 +1458,21 @@ object Graph {
         |    / (4.0 * m * m), 8) + 0.0 AS q_cell
         |FROM dc LEFT JOIN ec ON dc.community_id = ec.community_id, mm
         |ORDER BY dc.community_id""".stripMargin,
+    // unrolled synchronous rounds — the oracle replays the full
+    // 3-round trajectory, not just a fixpoint
+    "graph_lpa_rounds" ->
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+         |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_linenumber + 1 = b.l_linenumber
+         |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+         | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+         | e AS (SELECT src, dst FROM st
+         |   UNION SELECT dst AS src, src AS dst FROM st),
+         | nodes AS (SELECT src AS part FROM e GROUP BY 1),
+         | l0 AS (SELECT part, part AS lbl FROM nodes),
+         | ${(1 to 3).map(lpaStep).mkString(",\n ")}
+         |SELECT part, lbl AS label3 FROM l3 ORDER BY part""".stripMargin,
     "graph_components" ->
       """WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w

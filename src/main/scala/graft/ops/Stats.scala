@@ -561,7 +561,53 @@ object Stats {
       .orderBy("qty")
   }
 
+  /** One-way ANOVA F (`stats_anova_f`, r13): the k-sample mean-equality
+    * test across order priorities on whole-dollar totals — the
+    * parametric complement to [[mannWhitney]] (2-sample, rank) and
+    * [[Audit.welchTtest]] (2-sample, unpooled): one statistic for "do
+    * ANY of the k segments differ", the screening test run before any
+    * pairwise drill-down. Lattice discipline: raw moments are exact
+    * BIGINTs (Σx, Σx², n per group — whole dollars keep Σx² < 2⁶³ to
+    * ~10¹⁰ rows; past that re-scale to 10-dollar units, the KDE rule);
+    * each group's between-term S_g²/n_g is ONE mirrored double
+    * expression rounded onto a 10³-dollar² lattice per group BEFORE the
+    * cross-group sum — so the only float sums are over pre-rounded
+    * integers and no engine-dependent accumulation order can leak into
+    * the hash (the [[theilBySegment]] t_e9 discipline). SSB and SSW
+    * ship as exact lattice BIGINTs; only F divides once, rounded 6.
+    * Plan: one map-side-combinable keyed agg (k=5 groups) + one global
+    * agg + a 1-row broadcast attach — no shuffle wider than k rows
+    * after the scan.
+    */
+  def anovaF(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice")).cast("long").as("x"))
+    val g = t.groupBy("grp").agg(
+        count(lit(1)).as("n_g"), sum("x").as("s_g"))
+      .withColumn("term", round(
+        col("s_g").cast("double") * col("s_g").cast("double")
+          / col("n_g").cast("double") / 1000.0, 0).cast("long"))
+    val tot = t.agg(count(lit(1)).as("n_total"), sum("x").as("s_all"),
+      sum(col("x") * col("x")).as("ssq"))
+    g.agg(count(lit(1)).as("k_groups"), sum("term").as("bt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("gt", round(
+        col("s_all").cast("double") * col("s_all").cast("double")
+          / col("n_total").cast("double") / 1000.0, 0).cast("long"))
+      .withColumn("ssb_k", col("bt") - col("gt"))
+      .withColumn("ssw_k",
+        round(col("ssq").cast("double") / 1000.0, 0).cast("long") - col("bt"))
+      .withColumn("f_stat", roundNorm(
+        (col("ssb_k").cast("double") / (col("k_groups") - 1).cast("double")) /
+          (col("ssw_k").cast("double") /
+            (col("n_total") - col("k_groups")).cast("double")), 6))
+      .select(col("k_groups"), col("n_total"), col("ssb_k"), col("ssw_k"),
+        col("f_stat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_anova_f" -> (anovaF _),
     "stats_mann_whitney" -> (mannWhitney _),
     "stats_jsd" -> (jsdBuckets _),
     "stats_kde_grid" -> (kdeGrid _),
@@ -577,6 +623,30 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical per-group lattice rounding BEFORE the cross-group sum —
+    // the only float sums are over pre-rounded BIGINTs in both engines
+    "stats_anova_f" ->
+      """WITH t AS (SELECT o_orderpriority AS grp,
+        |   CAST(round(o_totalprice) AS BIGINT) AS x FROM orders),
+        | g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(x) AS BIGINT) AS s_g FROM t GROUP BY 1),
+        | gt AS (SELECT grp, CAST(round(s_g::DOUBLE * s_g::DOUBLE
+        |    / n_g::DOUBLE / 1000.0) AS BIGINT) AS term FROM g),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(x) AS BIGINT) AS s_all,
+        |    CAST(sum(x * x) AS BIGINT) AS ssq FROM t),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |    CAST(sum(term) AS BIGINT) AS bt FROM gt),
+        | f AS (SELECT k_groups, n_total,
+        |    bt - CAST(round(s_all::DOUBLE * s_all::DOUBLE
+        |      / n_total::DOUBLE / 1000.0) AS BIGINT) AS ssb_k,
+        |    CAST(round(ssq::DOUBLE / 1000.0) AS BIGINT) - bt AS ssw_k
+        |  FROM a CROSS JOIN tot)
+        |SELECT k_groups, n_total, ssb_k, ssw_k,
+        | round((ssb_k::DOUBLE / (k_groups - 1)::DOUBLE)
+        |   / (ssw_k::DOUBLE / (n_total - k_groups)::DOUBLE), 6) + 0.0
+        |  AS f_stat
+        |FROM f""".stripMargin,
     "stats_mann_whitney" ->
       """WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
         |   o_orderpriority = '1-URGENT' AS is_a

@@ -588,7 +588,69 @@ object TextSignals {
       .orderBy("term")
   }
 
+  /** Frozen integer NDCG@10 weights: w_i = round(10⁶ / log2(i+1)) for
+    * ranks 1..10 — published constants (the frozen-twin discipline), so
+    * DCG stays on an exact integer lattice in both engines and no
+    * engine's log implementation is ever in the hash path.
+    */
+  private[graft] val NdcgWeights: Seq[(Long, Long)] = Seq(
+    1L -> 1000000L, 2L -> 630930L, 3L -> 500000L, 4L -> 430677L,
+    5L -> 386853L, 6L -> 356207L, 7L -> 333333L, 8L -> 315465L,
+    9L -> 301030L, 10L -> 289065L)
+
+  /** NDCG@10 (`search_eval_ndcg`, r13): the graded-position retrieval
+    * metric [[searchEvalMrr]]'s reciprocal-rank can't express — MRR
+    * sees only the FIRST relevant hit, NDCG credits every relevant doc
+    * in the top 10 by a rank-discounted weight. Same tf-ranked
+    * candidate lists, same cross-term relevance label, same
+    * (tf DESC, doc_id ASC) total order. The log2 discount ships as the
+    * FROZEN integer weight table [[NdcgWeights]] (10 published
+    * constants), so DCG_s = Σ rel_i·w_i and the ideal IDCG_s =
+    * Σ_{i≤min(10,R)} w_i are exact BIGINTs; ndcg_e6 is one integer
+    * floor-division — nothing irrational ever leaves either engine.
+    * Plan: the WindowGroupLimit top-10 per term (|terms| partitions),
+    * a 10-row broadcast weight join, and |terms|-row aggregates — the
+    * corpus is touched once by the posting scan.
+    */
+  def searchEvalNdcg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "vector", "dup")
+    val relOf = Map("spark" -> "vector", "vector" -> "dup", "dup" -> "spark")
+    val postings = Sources.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+    val relTerm = relOf.foldLeft(lit(""): org.apache.spark.sql.Column) {
+      case (acc, (w0, r0)) =>
+        when(col("w") === w0, lit(r0)).otherwise(acc)
+    }
+    val rel = postings
+      .join(postings.select(relTerm.as("w"), col("doc_id")).distinct(),
+        Seq("w", "doc_id"), "left_semi")
+    val weights = NdcgWeights.toDF("rk", "wgt")
+    val w10 = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("tf").desc, col("doc_id").asc)
+    val dcg = postings
+      .withColumn("rk", row_number().over(w10).cast("long"))
+      .filter(col("rk") <= 10)
+      .join(rel.select(col("w"), col("doc_id"), lit(1L).as("is_rel")),
+        Seq("w", "doc_id"), "left")
+      .na.fill(0L, Seq("is_rel"))
+      .join(broadcast(weights), Seq("rk"))
+      .groupBy("w").agg(sum(col("is_rel") * col("wgt")).as("dcg_s"))
+    val idcg = rel.groupBy("w").agg(count(lit(1)).as("n_relevant"))
+      .crossJoin(broadcast(weights))
+      .filter(col("rk") <= least(lit(10L), col("n_relevant")))
+      .groupBy("w", "n_relevant").agg(sum("wgt").as("idcg_s"))
+    dcg.join(idcg, Seq("w"))
+      .select(col("w").as("term"), col("n_relevant"), col("dcg_s"),
+        col("idcg_s"),
+        expr("(dcg_s * 1000000L) div idcg_s").as("ndcg_e6"))
+      .orderBy("term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_eval_ndcg" -> (searchEvalNdcg _),
     "search_eval_mrr" -> (searchEvalMrr _),
     "text_keyness" -> (keyness _),
     "search_phrase_match" -> (phraseMatch _),
@@ -609,6 +671,37 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    // same ranked lists as the MRR oracle; the frozen 10-constant
+    // weight table replays the log2 discount as exact integers
+    "search_eval_ndcg" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | p AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |   WHERE w IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+        | lbl AS (SELECT DISTINCT CASE w WHEN 'spark' THEN 'vector'
+        |    WHEN 'vector' THEN 'dup' ELSE 'spark' END AS w, doc_id FROM p),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY w
+        |    ORDER BY tf DESC, doc_id ASC) AS rk FROM p),
+        | rel AS (SELECT r.w, r.doc_id FROM r
+        |   JOIN lbl ON r.w = lbl.w AND r.doc_id = lbl.doc_id),
+        | stats AS (SELECT w, CAST(count(*) AS BIGINT) AS n_relevant
+        |   FROM rel GROUP BY 1),
+        | wt AS (SELECT CAST(rk AS BIGINT) AS rk, CAST(wgt AS BIGINT) AS wgt
+        |   FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        |     (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+        |     (8, 315465), (9, 301030), (10, 289065)) t(rk, wgt)),
+        | dcg AS (SELECT r.w, CAST(sum(CASE WHEN lbl.doc_id IS NOT NULL
+        |     THEN wt.wgt ELSE 0 END) AS BIGINT) AS dcg_s
+        |   FROM r JOIN wt ON r.rk = wt.rk
+        |   LEFT JOIN lbl ON r.w = lbl.w AND r.doc_id = lbl.doc_id
+        |   WHERE r.rk <= 10 GROUP BY 1),
+        | idcg AS (SELECT s.w, s.n_relevant,
+        |    CAST(sum(wt.wgt) AS BIGINT) AS idcg_s
+        |   FROM stats s JOIN wt ON wt.rk <= least(10, s.n_relevant)
+        |   GROUP BY 1, 2)
+        |SELECT d.w AS term, i.n_relevant, d.dcg_s, i.idcg_s,
+        | CAST((d.dcg_s * 1000000) // i.idcg_s AS BIGINT) AS ndcg_e6
+        |FROM dcg d JOIN idcg i ON d.w = i.w ORDER BY term""".stripMargin,
     // same cross-term label, same tie-breaks, same integer lattices —
     // the window formulation cross-checks the engine's aggregate-
     // derived first rank

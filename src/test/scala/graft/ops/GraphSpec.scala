@@ -488,4 +488,33 @@ class GraphSpec extends SparkSpec {
     got shouldBe want
     got.map(_._4).max should be > 0.0
   }
+
+  "Graph.lpaRounds" should "replay 3 synchronous rounds with the min-label tie-break" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pairCount = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // keySet, NOT collect-to-tuples: collecting (src, dst) pairs out of a
+    // Map rebuilds a Map keyed by src and silently drops parallel edges
+    val st = pairCount.filter(_._2 >= 2).keySet
+    val sym = st ++ st.map(_.swap)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.map { case (v, ns) =>
+        val cnt = ns.map(lab).groupBy(identity).view.mapValues(_.size).toMap
+        v -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graph.lpaRounds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe lab.toSeq.sortBy(_._1)
+    // propagation must actually coalesce labels (not the identity map)
+    got.map(_._2).distinct.size should be < got.size
+  }
 }

@@ -391,4 +391,31 @@ class StatsSpec extends SparkSpec {
     total should be > 0.0
     total should be < math.log(2.0)
   }
+
+  behavior of "Stats.anovaF (r13)"
+
+  it should "replay the lattice ANOVA assembly exactly" in {
+    val xs = Sources.orders(spark, sfDir)
+      .selectExpr("o_orderpriority", "CAST(round(o_totalprice) AS LONG) AS x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val bt = groups.values.map { v =>
+      math.round(v.sum.toDouble * v.sum.toDouble / v.length.toDouble / 1000.0)
+    }.sum
+    val n = xs.length.toLong
+    val sAll = xs.map(_._2).sum
+    val ssq = xs.map(t => t._2 * t._2).sum
+    val gt = math.round(sAll.toDouble * sAll.toDouble / n.toDouble / 1000.0)
+    val ssbK = bt - gt
+    val sswK = math.round(ssq.toDouble / 1000.0) - bt
+    val k = groups.size.toLong
+    val f = (ssbK.toDouble / (k - 1)) / (sswK.toDouble / (n - k))
+    val row = Stats.anovaF(spark, sfDir).collect().head
+    row.getLong(0) shouldBe k
+    row.getLong(1) shouldBe n
+    row.getLong(2) shouldBe ssbK
+    row.getLong(3) shouldBe sswK
+    row.getDouble(4) shouldBe (math.round(f * 1e6) / 1e6) +- 1e-9
+    sswK should be > 0L // within-variance strictly positive on the fixture
+  }
 }

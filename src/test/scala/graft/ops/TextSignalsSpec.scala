@@ -271,4 +271,40 @@ class TextSignalsSpec extends SparkSpec {
     row.getDouble(2) shouldBe round4((sy - slope * sx) / n) +- 1e-9
     slope should be < 0.0 // frequencies must decay with rank
   }
+
+  "TextSignals.searchEvalNdcg" should "match the brute-force frozen-weight NDCG@10" in {
+    val terms = Seq("spark", "vector", "dup")
+    val relOf = Map("spark" -> "vector", "vector" -> "dup", "dup" -> "spark")
+    val wgt = TextSignals.NdcgWeights.map { case (r, w) => r.toInt -> w }.toMap
+    val tf: Map[(String, Long), Long] = docs.flatMap { case (id, text, _, _) =>
+      text.split(" ", -1).filter(terms.contains).map(w => (w, id))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = terms.flatMap { t =>
+      // a doc is relevant FOR t iff it contains the u with relOf(u) = t
+      // (the label direction the MRR query publishes); toSeq BEFORE
+      // collect so tuple results don't re-fold into a Map
+      val u = relOf.collectFirst { case (k, v) if v == t => k }.get
+      val posting = tf.toSeq.collect { case ((w, id), c) if w == t => (id, c) }
+      val withRel = tf.keys.collect { case (w, id) if w == u => id }.toSet
+      val relDocs = posting.map(_._1).toSet intersect withRel
+      val ranked = posting.sortBy { case (id, c) => (-c, id) }.take(10)
+      val dcg = ranked.zipWithIndex.map { case ((id, _), i) =>
+        if (relDocs(id)) wgt(i + 1) else 0L
+      }.sum
+      val idcg = (1 to math.min(10, relDocs.size)).map(i => wgt(i)).sum
+      if (relDocs.isEmpty) None
+      else Some((t, relDocs.size.toLong, dcg, idcg, dcg * 1000000L / idcg))
+    }.sortBy(_._1)
+    want should not be empty // the cross-term label must bind
+    val got = TextSignals.searchEvalNdcg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // graded-position metric must sit strictly inside (0, 1] somewhere
+    got.foreach { case (_, _, dcg, idcg, e6) =>
+      dcg should be <= idcg
+      e6 should be <= 1000000L
+    }
+    got.map(_._5).max should be > 0L
+  }
 }
