@@ -170,7 +170,64 @@ object Geo {
       .orderBy("c_custkey")
   }
 
+  /** Grid DBSCAN (`geo_grid_dbscan`, r13): density clustering reduced
+    * to its distributed core — GBSCAN/grid-DBSCAN (Gunawan 2013): bin
+    * points into ε-cells, call a cell CORE when it holds ≥ minPts
+    * points (ε = 1250, minPts = 4, published constants), and connect
+    * 8-adjacent core cells into clusters with the same large-star/
+    * small-star CC machinery every pairs→groups pipeline here uses
+    * ([[Dedup.connectedGroups]]). Point-level DBSCAN needs a
+    * per-neighbor distance pass; the cell-level variant is the standard
+    * first reduction at scale because the expensive step collapses to
+    * ONE keyed count over the corpus — cluster topology is then decided
+    * on the cell table, which is corpus-size / (ε² density) rows, and
+    * the adjacency join is a 9-way map-side explode + equi-join, the
+    * [[suppCells]] shape, never points×points. The DuckDB oracle
+    * brute-forces adjacency (|cells|² is oracle-sized) and replays the
+    * CC as a recursive CTE, so a hash-PASS proves the shifted-key
+    * candidate set is COMPLETE on the fixture, not just self-consistent.
+    * Cluster id = min cell key (the CC canonical), cell key = gx·1000+gy.
+    * ε = 500 / minPts = 5 bind at the gate SF (tens of multi-cell
+    * clusters at sf0.01); at saturating densities the single giant
+    * cluster the query returns IS the correct DBSCAN answer for a
+    * near-uniform corpus — density clustering only separates what the
+    * density separates.
+    */
+  def gridDbscan(s: SparkSession, d: String): DataFrame =
+    gridDbscanOf(custPoints(s, d))
+
+  /** Core algorithm on any (cx, cy) point table — separated so specs
+    * can drive it with synthetic blobs where the expected clusters are
+    * known by construction, not just fixture-replayed.
+    */
+  private[graft] def gridDbscanOf(points: DataFrame): DataFrame = {
+    val eps = 500L
+    val minPts = 5L
+    val core = points
+      .select(expr(s"cx div $eps").as("gx"), expr(s"cy div $eps").as("gy"))
+      .groupBy("gx", "gy").agg(count(lit(1)).as("n_pts"))
+      .filter(col("n_pts") >= minPts)
+      .withColumn("cellkey", col("gx") * 1000L + col("gy"))
+    val shifted = core
+      .withColumn("ddx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("ddy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select((col("gx") + col("ddx")).as("gx"), (col("gy") + col("ddy")).as("gy"),
+        col("cellkey").as("id_a"))
+    val pairs = shifted
+      .join(core.select(col("gx"), col("gy"), col("cellkey").as("id_b")),
+        Seq("gx", "gy"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    val groups = Dedup.connectedGroups(
+      pairs, core.select(col("cellkey")), "cellkey")
+    groups.join(core.select(col("cellkey").as("id"), col("n_pts")), Seq("id"))
+      .groupBy(col("group_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum("n_pts").as("n_points"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_grid_dbscan" -> (gridDbscan _),
     "geo_haversine_hub" -> (haversineHub _),
     "geo_grid_neighbors" -> (gridNeighbors _),
     "geo_nearest_hub" -> (nearestHub _),
@@ -239,6 +296,29 @@ object Geo {
          |   ORDER BY d2 ASC, s_suppkey ASC) AS rn FROM cand)
          |SELECT c_custkey, s_suppkey AS hub_suppkey, d2
          |FROM ranked WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+    // brute-force cell adjacency + recursive-CTE CC: a hash-PASS proves
+    // the engine's shifted-key candidate join found every adjacency
+    "geo_grid_dbscan" ->
+      s"""WITH RECURSIVE $pointsSql,
+         |core AS (
+         | SELECT cx // 500 AS gx, cy // 500 AS gy,
+         |   CAST(count(*) AS BIGINT) AS n_pts
+         | FROM pts GROUP BY 1, 2 HAVING count(*) >= 5),
+         |cells AS (SELECT gx * 1000 + gy AS cellkey, gx, gy, n_pts FROM core),
+         |e AS (
+         | SELECT a.cellkey AS src, b.cellkey AS dst FROM cells a JOIN cells b
+         |  ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+         |   AND a.cellkey <> b.cellkey),
+         |reach(src, dst) AS (
+         | SELECT cellkey, cellkey FROM cells
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         |comp AS (SELECT src AS cellkey, min(dst) AS cluster_id
+         | FROM reach GROUP BY src)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+         | CAST(sum(n_pts) AS BIGINT) AS n_points
+         |FROM comp JOIN cells USING (cellkey)
+         |GROUP BY 1 ORDER BY cluster_id""".stripMargin,
     "geo_cell_density" ->
       s"""WITH $pointsSql,
          |cc AS (

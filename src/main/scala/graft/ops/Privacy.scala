@@ -217,6 +217,42 @@ object Privacy {
     * — absent cells carry the FULL |0 − C_s·n_g| mass, which a naive
     * inner join silently drops), one class-keyed rollup.
     */
+  /** Small-cell suppression with one-step complementary suppression
+    * (`priv_cell_suppression`, r13): the statistical-disclosure-control
+    * primitive every published contingency table runs before release —
+    * PRIMARY-suppress cells under the k = 6 threshold, then per row
+    * group (nation) apply the classic margin-recovery rule: when
+    * EXACTLY ONE cell in a group is primary-suppressed, its value is
+    * recoverable from the published row margin, so the next-smallest
+    * unsuppressed cell is suppressed too (tie → smallest segment name —
+    * a published, deterministic total order, never an engine's
+    * arbitrary pick). One keyed count + two windows over |nations|-row
+    * partitions of an already-aggregated |nations|×|segments| table —
+    * the corpus is touched once; at 100 TB the windows run over cells,
+    * not rows. Audit-shaped output: every cell ships with its decision
+    * flag ('primary' / 'complementary' / 'ok'); a release pipeline
+    * would drop `n` where flag ≠ 'ok'.
+    */
+  def cellSuppression(s: SparkSession, d: String): DataFrame = {
+    val k = 6L
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("c_nationkey")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey")
+      .orderBy(col("primary_sup").asc, col("n").asc, col("c_mktsegment").asc)
+    Sources.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("primary_sup", col("n") < k)
+      .withColumn("n_primary",
+        sum(when(col("primary_sup"), 1L).otherwise(0L)).over(w))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        when(col("primary_sup"), lit("primary"))
+          .when(col("n_primary") === 1L && col("rk") === 1, lit("complementary"))
+          .otherwise(lit("ok")).as("flag"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   def tCloseness(s: SparkSession, d: String): DataFrame = {
     val base = Sources.customer(s, d)
       .select(col("c_nationkey"),
@@ -247,6 +283,7 @@ object Privacy {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_cell_suppression" -> (cellSuppression _),
     "priv_t_closeness" -> (tCloseness _),
     "priv_rr_frequency" -> (rrFrequency _),
     "priv_k_anonymity" -> (kAnonymity _),
@@ -263,6 +300,23 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical CASE order: a cell that is both the lone primary AND
+    // rank-1 stays 'primary' — the first branch wins in both engines
+    "priv_cell_suppression" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+        |   CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2),
+        | m AS (SELECT *, n < 6 AS primary_sup FROM cells),
+        | w AS (SELECT *,
+        |   CAST(sum(CASE WHEN primary_sup THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_primary,
+        |   row_number() OVER (PARTITION BY c_nationkey
+        |     ORDER BY primary_sup ASC, n ASC, c_mktsegment ASC) AS rk
+        |  FROM m)
+        |SELECT c_nationkey, c_mktsegment, n,
+        | CASE WHEN primary_sup THEN 'primary'
+        |   WHEN n_primary = 1 AND rk = 1 THEN 'complementary'
+        |   ELSE 'ok' END AS flag
+        |FROM w ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // bit-replay of both hash draws + the estimator algebra; `--`
     // comments avoided, arithmetic kept on BIGINTs throughout
     "priv_rr_frequency" ->

@@ -606,7 +606,37 @@ object Stats {
         col("f_stat"))
   }
 
+  /** Weight-of-Evidence / Information-Value bins (`ml_woe_bins`, r13):
+    * the credit-scoring feature encoding — order totals banded into 6
+    * FROZEN 100k-dollar bins (`least(cents div 10⁷, 5)`, published; a
+    * quantile binning would put the engine's quantile algorithm in the
+    * hash path), pos/neg counts from the same planted Knuth-hash
+    * teacher as [[aucExact]], WOE = ln((pos⁺/P⁺)/(neg⁺/N⁺)) with +1/+B
+    * Laplace smoothing (B = 6 bins, so zero cells stay finite). Counts
+    * are exact BIGINTs; WOE and the per-bin IV term run ONE mirrored
+    * double expression each, rounded 6 — the consumer sums iv_term for
+    * the feature's IV, and no cross-bin float accumulation happens
+    * inside either engine. Plan: one map-side-combinable 6-key agg +
+    * one 1-row broadcast attach.
+    */
+  def woeBins(s: SparkSession, d: String): DataFrame = {
+    val b = plantedScores(s, d)
+      .withColumn("bin", least(expr("cents div 10000000"), lit(5L)))
+      .groupBy("bin")
+      .agg(sum("label").as("pos"), sum(lit(1L) - col("label")).as("neg"))
+    val tot = b.agg(sum("pos").as("p_tot"), sum("neg").as("n_tot"))
+    def D(c: Column): Column = c.cast("double")
+    val pr = D(col("pos") + 1) / D(col("p_tot") + 6)
+    val nr = D(col("neg") + 1) / D(col("n_tot") + 6)
+    b.crossJoin(broadcast(tot))
+      .withColumn("woe", roundNorm(log(pr / nr), 6))
+      .withColumn("iv_term", roundNorm((pr - nr) * log(pr / nr), 6))
+      .select(col("bin"), col("pos"), col("neg"), col("woe"), col("iv_term"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_woe_bins" -> (woeBins _),
     "stats_anova_f" -> (anovaF _),
     "stats_mann_whitney" -> (mannWhitney _),
     "stats_jsd" -> (jsdBuckets _),
@@ -623,6 +653,28 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same planted teacher as ml_auc_exact; smoothing constants and the
+    // ln expression mirrored exactly, one rounded double per bin
+    "ml_woe_bins" ->
+      """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | b AS (SELECT least(cents // 10000000, 5) AS bin,
+        |    CAST(sum(label) AS BIGINT) AS pos,
+        |    CAST(sum(1 - label) AS BIGINT) AS neg
+        |  FROM scored GROUP BY 1),
+        | tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+        |    CAST(sum(neg) AS BIGINT) AS n_tot FROM b)
+        |SELECT bin, pos, neg,
+        | round(ln(((pos + 1)::DOUBLE / (p_tot + 6)::DOUBLE)
+        |   / ((neg + 1)::DOUBLE / (n_tot + 6)::DOUBLE)), 6) + 0.0 AS woe,
+        | round(((pos + 1)::DOUBLE / (p_tot + 6)::DOUBLE
+        |     - (neg + 1)::DOUBLE / (n_tot + 6)::DOUBLE)
+        |   * ln(((pos + 1)::DOUBLE / (p_tot + 6)::DOUBLE)
+        |     / ((neg + 1)::DOUBLE / (n_tot + 6)::DOUBLE)), 6) + 0.0 AS iv_term
+        |FROM b CROSS JOIN tot ORDER BY bin""".stripMargin,
     // identical per-group lattice rounding BEFORE the cross-group sum —
     // the only float sums are over pre-rounded BIGINTs in both engines
     "stats_anova_f" ->

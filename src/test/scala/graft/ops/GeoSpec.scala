@@ -102,4 +102,49 @@ class GeoSpec extends SparkSpec {
     // sanity: distances inside the half-circumference
     got.foreach(_._3 should be <= 20015.1)
   }
+
+  "Geo.gridDbscanOf" should "cluster synthetic blobs exactly (core, merge, diagonal, noise)" in {
+    import spark.implicits._
+    // blob A: 6 pts in cell (0,0); blob B: 5 pts in cell (0,1) — edge-adjacent → merge
+    // blob C: 7 pts in cell (4,4); blob D: 5 pts in cell (5,5) — DIAGONAL-adjacent → merge
+    // noise: 3 singleton cells (below minPts=5) → dropped
+    val pts = (Seq.fill(6)((100L, 100L)) ++ Seq.fill(5)((120L, 600L)) ++
+      Seq.fill(7)((2200L, 2200L)) ++ Seq.fill(5)((2700L, 2700L)) ++
+      Seq((4000L, 9000L), (9000L, 1000L), (6000L, 5000L)))
+      .toDF("cx", "cy")
+    val got = Geo.gridDbscanOf(pts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe Seq((0L, 2L, 11L), (4004L, 2L, 12L))
+  }
+
+  it should "match a driver-side grid DBSCAN replay on the fixture" in {
+    val pts = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("(c_custkey % 1048576) * 2654435761 % 10000 AS cx",
+        "(c_custkey % 1048576) * 2246822519 % 10000 AS cy")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = pts.groupBy { case (x, y) => (x / 500, y / 500) }
+      .view.mapValues(_.length.toLong).toMap
+    val core = cnt.filter(_._2 >= 5)
+    // union-find over 8-adjacency
+    val parent = scala.collection.mutable.Map(core.keys.map(c => c -> c).toSeq: _*)
+    def find(c: (Long, Long)): (Long, Long) = {
+      var a = c
+      while (parent(a) != a) a = parent(a)
+      a
+    }
+    for (c <- core.keys; dx <- -1L to 1L; dy <- -1L to 1L) {
+      val nb = (c._1 + dx, c._2 + dy)
+      if (core.contains(nb)) {
+        val (ra, rb) = (find(c), find(nb))
+        if (ra != rb) parent(ra) = rb
+      }
+    }
+    def key(c: (Long, Long)): Long = c._1 * 1000L + c._2
+    val want = core.keys.groupBy(find).map { case (_, cells) =>
+      (cells.map(key).min, cells.size.toLong, cells.map(core).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Geo.gridDbscan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+  }
 }

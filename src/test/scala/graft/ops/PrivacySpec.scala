@@ -187,4 +187,34 @@ class PrivacySpec extends SparkSpec {
     got.values.count(_._3) should be > 0
     got.values.count(!_._3) should be > 0
   }
+
+  "Privacy.cellSuppression" should "replay primary + one-step complementary suppression" in {
+    val rows = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_nationkey", "c_mktsegment")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (nat, g) =>
+      val cells = g.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      val primary = cells.filter(_._2 < 6).map(_._1).toSet
+      val unsup = cells.filterNot(c => primary(c._1))
+      val comp: Set[String] =
+        if (primary.size == 1 && unsup.nonEmpty)
+          Set(unsup.minBy { case (seg, n) => (n, seg) }._1)
+        else Set.empty
+      cells.map { case (seg, n) =>
+        val flag = if (primary(seg)) "primary"
+          else if (comp(seg)) "complementary" else "ok"
+        (nat, seg, n, flag)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Privacy.cellSuppression(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1), r.getLong(2),
+        r.getString(3))).toSeq
+    got shouldBe want
+    // primary binds at sf0.001; the exactly-one-primary complementary
+    // case needs denser cells — assert it binds at sf0.01 (2 nations)
+    got.count(_._4 == "primary") should be > 0
+    val comp01 = Privacy.cellSuppression(spark, "/root/testdata/sf0.01")
+      .filter("flag = 'complementary'").count()
+    comp01 shouldBe 2L
+  }
 }

@@ -418,4 +418,40 @@ class StatsSpec extends SparkSpec {
     row.getDouble(4) shouldBe (math.round(f * 1e6) / 1e6) +- 1e-9
     sswK should be > 0L // within-variance strictly positive on the fixture
   }
+
+  behavior of "Stats.woeBins (r13)"
+
+  it should "replay the smoothed WOE/IV assembly per frozen bin" in {
+    val scored = Sources.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(1) * 100)
+        val u = ((r.getLong(0) * 2654435761L) % 4294967296L) % 1000000L
+        val label = if (u < math.min(100000L + cents / 100, 900000L)) 1L else 0L
+        (math.min(cents / 10000000L, 5L), label)
+      }
+    val byBin = scored.groupBy(_._1).view.mapValues { g =>
+      (g.map(_._2).sum, g.length - g.map(_._2).sum)
+    }.toMap
+    val pTot = byBin.values.map(_._1).sum
+    val nTot = byBin.values.map(_._2).sum
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    val want = byBin.toSeq.sortBy(_._1).map { case (bin, (pos, neg)) =>
+      val pr = (pos + 1).toDouble / (pTot + 6)
+      val nr = (neg + 1).toDouble / (nTot + 6)
+      (bin, pos, neg, r6(math.log(pr / nr)), r6((pr - nr) * math.log(pr / nr)))
+    }
+    val got = Stats.woeBins(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    got.map(t => (t._1, t._2, t._3)) shouldBe want.map(t => (t._1, t._2, t._3))
+    got.zip(want).foreach { case (g, w) =>
+      g._4 shouldBe w._4 +- 1e-9
+      g._5 shouldBe w._5 +- 1e-9
+    }
+    // monotone signal: the planted teacher's WOE rises with price bin
+    got.map(_._4) shouldBe got.map(_._4).sorted
+    // IV terms are nonnegative by construction: (pr-nr) and ln share sign
+    got.foreach(_._5 should be >= 0.0)
+  }
 }
