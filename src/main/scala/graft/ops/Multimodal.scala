@@ -1009,7 +1009,58 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Fixed-point 2× bilinear upsample (`mm_image_upsample`, r13): the
+    * resize direction [[resizePool]]'s 2×2 average pool can't cover —
+    * super-resolution preprocessing (thumbnail → model input size)
+    * upsamples. Midpoint bilinear on the brightness grid (rgb-sum) at
+    * the ×4 fixed-point lattice, so every output sample is an exact
+    * integer: on the (2w−1)×(2h−1) grid, even/even = 4·v, odd/even =
+    * 2·(left+right), even/odd = 2·(top+bottom), odd/odd = the 4-corner
+    * sum — the standard separable bilinear weights (1, ½, ¼) with the
+    * denominator published instead of divided away (the codec family's
+    * no-irrationals discipline). Ships per-doc aggregates (sum, max,
+    * and a position-weighted mod-97 checksum that pins every sample to
+    * its coordinate); the batched mapPartitions decode keeps the
+    * per-row work allocation-free, the plan a single corpus scan.
+    */
+  def imageUpsample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, px) = bmpPixels(encodeBmp(id, nc))
+        val ow = 2 * w - 1
+        val oh = 2 * h - 1
+        def v(x: Int, y: Int): Long = px(y * w + x).toLong
+        var sum = 0L
+        var max = 0L
+        var chk = 0L
+        var yy = 0
+        while (yy < oh) {
+          var xx = 0
+          while (xx < ow) {
+            val (x, y) = (xx / 2, yy / 2)
+            val u =
+              if (xx % 2 == 0 && yy % 2 == 0) 4L * v(x, y)
+              else if (yy % 2 == 0) 2L * (v(x, y) + v(x + 1, y))
+              else if (xx % 2 == 0) 2L * (v(x, y) + v(x, y + 1))
+              else v(x, y) + v(x + 1, y) + v(x + 1, y + 1) + v(x, y + 1)
+            sum += u
+            if (u > max) max = u
+            chk += u * ((yy.toLong * ow + xx) % 97L)
+            xx += 1
+          }
+          yy += 1
+        }
+        (id, ow.toLong, oh.toLong, sum, max, chk)
+      })
+      .toDF("doc_id", "out_w", "out_h", "sum_u4", "max_u4", "chk_u4")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_upsample" -> (imageUpsample _),
     "mm_image_histogram" -> (imageHistogram _),
     "mm_image_sobel" -> (imageSobel _),
     "mm_audio_dft_bins" -> (audioDftBins _),
@@ -1082,6 +1133,35 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // separable axis weights (2·1{dx=0} on even coords, 1 on odd)
+    // replay the 4/2/1 midpoint-bilinear lattice; clamped corner
+    // indices carry weight 0, so the clamp never changes a value
+    "mm_image_upsample" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | og AS (SELECT doc_id, w, h, 2 * w - 1 AS ow, 2 * h - 1 AS oh
+        |   FROM dims),
+        | opx AS (SELECT doc_id, w, h, ow, oh, p % ow AS xx, p // ow AS yy
+        |  FROM (SELECT *, unnest(range(0, ow * oh)) AS p FROM og)),
+        | k AS (SELECT * FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1))
+        |   t(dx, dy)),
+        | cpt AS (SELECT doc_id, ow, oh, xx, yy,
+        |    (CASE WHEN xx % 2 = 0 THEN CASE WHEN dx = 0 THEN 2 ELSE 0 END
+        |      ELSE 1 END)
+        |  * (CASE WHEN yy % 2 = 0 THEN CASE WHEN dy = 0 THEN 2 ELSE 0 END
+        |      ELSE 1 END) AS wgt,
+        |    least(yy // 2 + dy, h - 1) * w + least(xx // 2 + dx, w - 1) AS pp
+        |  FROM opx CROSS JOIN k),
+        | u AS (SELECT doc_id, ow, oh, xx, yy,
+        |    CAST(sum(wgt * ((31 * doc_id + 7 * pp + 11) % 256
+        |      + (17 * doc_id + 13 * pp + 23) % 256
+        |      + (29 * doc_id + 19 * pp + 31) % 256)) AS BIGINT) AS u
+        |  FROM cpt GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(max(ow) AS BIGINT) AS out_w,
+        | CAST(max(oh) AS BIGINT) AS out_h,
+        | CAST(sum(u) AS BIGINT) AS sum_u4, CAST(max(u) AS BIGINT) AS max_u4,
+        | CAST(sum(u * ((yy * ow + xx) % 97)) AS BIGINT) AS chk_u4
+        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_image_histogram" ->
       """WITH dims AS (SELECT doc_id,
         |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),

@@ -172,4 +172,36 @@ class EntityResSpec extends SparkSpec {
         r.getString(4), r.getBoolean(5))).toSeq
     got shouldBe expected
   }
+
+  "EntityRes.blockingMetrics" should "replay the candidate census and certify complete fixture recall" in {
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_brand", "p_partkey", "p_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    def bands(name: String): Seq[String] = {
+      val t = name.split(" ", -1)
+      Seq("1:" + t(0), "2:" + (if (t.length > 1) t(1) else t(0)))
+    }
+    val byBlock = parts.flatMap { case (br, k, n) =>
+      bands(n).map(b => (br, b) -> k)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val cand = byBlock.values.flatMap { ks =>
+      for (a <- ks; b <- ks if a < b) yield (a, b)
+    }.toSet
+    val truth = (for {
+      a <- parts; b <- parts
+      if a._1 == b._1 && a._2 < b._2 && q09(a._3, b._3)
+    } yield (a._2, b._2)).toSet
+    val nTotal = parts.groupBy(_._1).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val row = EntityRes.blockingMetrics(spark, sfDir).collect().head
+    row.getLong(0) shouldBe parts.size.toLong // n_records
+    row.getLong(1) shouldBe byBlock.size.toLong // n_blocks
+    row.getLong(2) shouldBe cand.size.toLong // n_candidates
+    row.getLong(3) shouldBe nTotal // n_total_pairs
+    row.getLong(4) shouldBe truth.size.toLong // n_truth
+    row.getLong(5) shouldBe (truth intersect cand).size.toLong // n_covered
+    row.getLong(6) shouldBe 1000000L // fixture recall is complete
+    row.getLong(7) shouldBe (nTotal - cand.size) * 1000000L / nTotal
+    row.getLong(7) should be > 0L // blocking genuinely reduces work
+  }
 }

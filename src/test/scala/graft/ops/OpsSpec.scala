@@ -563,4 +563,40 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     perDoc shouldBe dims
   }
+
+  "Multimodal.imageUpsample (r13)" should "replay midpoint bilinear on the x4 lattice from the pixel formula" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .orderBy("doc_id").limit(30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def bright(id: Long, p: Long): Long =
+      (31 * id + 7 * p + 11) % 256 + (17 * id + 13 * p + 23) % 256 +
+        (29 * id + 19 * p + 31) % 256
+    val want = docs.map { case (id, nc) =>
+      val w = (4 + nc % 13).toInt
+      val h = (3 + nc % 7).toInt
+      val ow = 2 * w - 1
+      val oh = 2 * h - 1
+      def v(x: Int, y: Int): Long = bright(id, y.toLong * w + x)
+      var sum = 0L; var mx = 0L; var chk = 0L
+      for (yy <- 0 until oh; xx <- 0 until ow) {
+        val x = xx / 2; val y = yy / 2
+        val u = (xx % 2, yy % 2) match {
+          case (0, 0) => 4 * v(x, y)
+          case (1, 0) => 2 * (v(x, y) + v(x + 1, y))
+          case (0, 1) => 2 * (v(x, y) + v(x, y + 1))
+          case _      => v(x, y) + v(x + 1, y) + v(x + 1, y + 1) + v(x, y + 1)
+        }
+        sum += u; if (u > mx) mx = u
+        chk += u * ((yy.toLong * ow + xx) % 97)
+      }
+      (id, ow.toLong, oh.toLong, sum, mx, chk)
+    }.toSeq
+    val got = Multimodal.imageUpsample(spark, sfDir).orderBy("doc_id").limit(30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    got.foreach(_._5 should be <= 4L * 765L) // x4 lattice bound
+  }
 }
