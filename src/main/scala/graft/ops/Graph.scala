@@ -564,6 +564,48 @@ object Graph {
     lab.select(col("part"), col("lbl").as("label3")).orderBy("part")
   }
 
+  /** Frozen pseudo-random walks (`graph_frozen_walks`, r13): one
+    * 4-step walk from EVERY node of the strong co-purchase graph, with
+    * the "random" neighbor choice replaced by a published hash argmin —
+    * next(u) = argmin over neighbors v of ((start·31 + v·17 + step·7)
+    * mod 1009, v) — the derandomized sampling infrastructure under
+    * node2vec/DeepWalk-style pipelines: walk UNION shapes, per-step
+    * cost and state size are identical to true uniform sampling, but
+    * the full trajectory sits under the hash gate (the frozen-twin
+    * discipline; a PRNG walk could only ever be rows-only). The
+    * step-dependent hash makes walks non-repeating in expectation;
+    * ties break on the smaller neighbor, a total order. Per step: one
+    * edge-sized equi-join + a per-walker WindowGroupLimit argmin,
+    * position tables lazily pinned ([[pageRankLoopAdaptive]]'s
+    * constant-depth lineage rule) — at 10¹² edges each step is one
+    * shuffle, the canonical distributed-walk cost. Output: the visit
+    * census of walk endpoints (the stationary-ish sample a downstream
+    * embedding trainer consumes).
+    */
+  def frozenWalks(s: SparkSession, d: String): DataFrame = {
+    val strong = strongEdges(s, d)
+    val e = strong.select(col("src"), col("dst"))
+      .union(strong.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = e.select(col("src").as("part")).distinct()
+    var pos = nodes.select(col("part").as("start"), col("part").as("pos"))
+    for (k <- 1 to 4) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("start").orderBy(col("h").asc, col("dst").asc)
+      pos = Checkpoints.pin(
+        pos.join(e.withColumnRenamed("src", "pos"), "pos")
+          .withColumn("h",
+            (col("start") * 31L + col("dst") * 17L + lit(k * 7L)) % 1009L)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("start"), col("dst").as("pos")),
+        eager = false)
+    }
+    pos.groupBy(col("pos").as("part"))
+      .agg(count(lit(1)).as("n_ends"))
+      .orderBy("part")
+  }
+
   /** Partition modularity (`graph_modularity`) — Newman's Q for the
     * strong-component partition evaluated over the FULL undirected
     * co-purchase graph (nodes outside any strong component count as
@@ -1102,6 +1144,7 @@ object Graph {
     "graph_pagerank_weighted" -> (pageRankWeighted _),
     "graph_components" -> (components _),
     "graph_lpa_rounds" -> (lpaRounds _),
+    "graph_frozen_walks" -> (frozenWalks _),
   )
 
   private val edgeCte: String =
@@ -1137,6 +1180,19 @@ object Graph {
        | l$k AS (SELECT part, lbl FROM (SELECT part, lbl,
        |    row_number() OVER (PARTITION BY part
        |      ORDER BY c DESC, lbl ASC) AS rk FROM c$k) WHERE rk = 1)""".stripMargin
+  }
+
+  /** One unrolled frozen-walk step k-1 → k: hash-argmin neighbor pick
+    * per walker, identical total order to the Spark window.
+    */
+  private def walkStep(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""w$k AS (SELECT start, pos FROM (
+       |   SELECT $prev.start, e.dst AS pos, row_number() OVER (
+       |     PARTITION BY $prev.start
+       |     ORDER BY ($prev.start * 31 + e.dst * 17 + ${k * 7}) % 1009 ASC,
+       |       e.dst ASC) AS rk
+       |   FROM $prev JOIN e ON $prev.pos = e.src) WHERE rk = 1)""".stripMargin
   }
 
   private def prStep(k: Int): String = {
@@ -1458,6 +1514,21 @@ object Graph {
         |    / (4.0 * m * m), 8) + 0.0 AS q_cell
         |FROM dc LEFT JOIN ec ON dc.community_id = ec.community_id, mm
         |ORDER BY dc.community_id""".stripMargin,
+    // unrolled hash-argmin steps — the oracle replays the full 4-step
+    // trajectory of every walker
+    "graph_frozen_walks" ->
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+         | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+         |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_linenumber + 1 = b.l_linenumber
+         |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+         | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+         | e AS (SELECT src, dst FROM st
+         |   UNION SELECT dst AS src, src AS dst FROM st),
+         | w0 AS (SELECT src AS start, src AS pos FROM e GROUP BY 1, 2),
+         | ${(1 to 4).map(walkStep).mkString(",\n ")}
+         |SELECT pos AS part, CAST(count(*) AS BIGINT) AS n_ends
+         |FROM w4 GROUP BY 1 ORDER BY part""".stripMargin,
     // unrolled synchronous rounds — the oracle replays the full
     // 3-round trajectory, not just a fixpoint
     "graph_lpa_rounds" ->

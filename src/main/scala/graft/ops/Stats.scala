@@ -635,7 +635,83 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** Pythagorean mean family (`agg_mean_family`, r13): arithmetic,
+    * harmonic, contraharmonic and quadratic means of order totals per
+    * priority — the scale-free location family (HM ≤ GM ≤ AM ≤ RMS ≤
+    * CHM) whose spreads are classic skew/dispersion diagnostics (e.g.
+    * CHM−AM is a size-biased-sampling premium). Everything stays on
+    * exact integer lattices until one final op per mean: AM =
+    * (100·Σx) div n (an exact e2 integer), HM via the per-row
+    * reciprocal lattice r = 10¹² div x (integer floor-div per row —
+    * deterministic in any engine, unlike a per-row double ln whose
+    * 1-ulp wobble across 10⁵ rows WOULD eventually flip a lattice
+    * round; the geometric mean is omitted for exactly that reason), CHM
+    * = (100·Σx²) div Σx (exact — Σx² in whole dollars stays < 2⁶³ to
+    * ~10¹⁰ rows), RMS = one sqrt of the exact ratio, rounded 4. One
+    * map-side-combinable keyed agg over the scan — no second pass.
+    */
+  def meanFamily(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice")).cast("long").as("x"))
+      .withColumn("r", expr("1000000000000L div x"))
+    t.groupBy("grp").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("r").as("sr"))
+      .select(col("grp"), col("n"), col("sx"),
+        expr("(100L * sx) div n").as("am_e2"),
+        expr("(n * 1000000000000L) div sr").as("hm_e0"),
+        expr("(100L * sxx) div sx").as("chm_e2"),
+        roundNorm(sqrt(col("sxx").cast("double") / col("n").cast("double")), 4)
+          .as("rms"))
+      .orderBy("grp")
+  }
+
+  /** Delta-method CI for a ratio-of-sums metric
+    * (`stats_ratio_delta_ci`, r13): revenue-per-item by order priority —
+    * the canonical A/B-test metric whose denominator is itself random,
+    * so a naive mean-of-ratios or a per-order t-interval is WRONG; the
+    * standard fix is the delta method on (Σx, Σy):
+    * R = Σx/Σy, var(R) ≈ (s_xx − 2R·s_xy + R²·s_yy)/(n·ȳ²). All six
+    * moments (n, Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs in one
+    * map-side-combinable keyed agg (whole dollars keep Σx² < 2⁶³ to
+    * ~10¹⁰ rows, the ANOVA bound); R ships exactly as ratio_e6 =
+    * (10⁶·Σx) div Σy, and se/lo/hi are ONE mirrored double expression
+    * each, rounded 6 — the z = 1.96 normal quantile is a published
+    * constant. Per-order item counts come from one lineitem
+    * pre-aggregate joined on the order key.
+    */
+  def ratioDeltaCi(s: SparkSession, d: String): DataFrame = {
+    val items = Sources.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("y"))
+    val t = Sources.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+        round(col("o_totalprice")).cast("long").as("x"))
+      .join(items, Seq("o_orderkey"))
+    val g = t.groupBy("grp").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def D(c: Column): Column = c.cast("double")
+    val r = D(col("sx")) / D(col("sy"))
+    val nD = D(col("n"))
+    val vxx = (D(col("sxx")) - D(col("sx")) * D(col("sx")) / nD) / (nD - 1.0)
+    val vyy = (D(col("syy")) - D(col("sy")) * D(col("sy")) / nD) / (nD - 1.0)
+    val vxy = (D(col("sxy")) - D(col("sx")) * D(col("sy")) / nD) / (nD - 1.0)
+    val yBar = D(col("sy")) / nD
+    val se = sqrt((vxx - lit(2.0) * r * vxy + r * r * vyy) / nD) / yBar
+    g.select(col("grp"), col("n"), col("sx"), col("sy"),
+        expr("(1000000L * sx) div sy").as("ratio_e6"),
+        roundNorm(se, 6).as("se"),
+        roundNorm(r - lit(1.96) * se, 6).as("lo"),
+        roundNorm(r + lit(1.96) * se, 6).as("hi"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_ratio_delta_ci" -> (ratioDeltaCi _),
+    "agg_mean_family" -> (meanFamily _),
     "ml_woe_bins" -> (woeBins _),
     "stats_anova_f" -> (anovaF _),
     "stats_mann_whitney" -> (mannWhitney _),
@@ -653,6 +729,55 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // six exact moments, then ONE mirrored double expression per
+    // emitted statistic — sample (co)variances use the n-1 form
+    "stats_ratio_delta_ci" ->
+      """WITH items AS (SELECT l_orderkey AS o_orderkey,
+        |   CAST(count(*) AS BIGINT) AS y FROM lineitem GROUP BY 1),
+        | t AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice) AS BIGINT) AS x, y
+        |  FROM orders JOIN items USING (o_orderkey)),
+        | g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY 1),
+        | f AS (SELECT *,
+        |    sx::DOUBLE / sy::DOUBLE AS r,
+        |    (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+        |      / (n::DOUBLE - 1.0) AS vxx,
+        |    (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+        |      / (n::DOUBLE - 1.0) AS vyy,
+        |    (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+        |      / (n::DOUBLE - 1.0) AS vxy,
+        |    sy::DOUBLE / n::DOUBLE AS ybar
+        |  FROM g),
+        | z AS (SELECT *,
+        |    sqrt((vxx - 2.0 * r * vxy + r * r * vyy) / n::DOUBLE) / ybar AS se
+        |  FROM f)
+        |SELECT grp, n, sx, sy,
+        | CAST((1000000 * sx) // sy AS BIGINT) AS ratio_e6,
+        | round(se, 6) + 0.0 AS se,
+        | round(r - 1.96 * se, 6) + 0.0 AS lo,
+        | round(r + 1.96 * se, 6) + 0.0 AS hi
+        |FROM z ORDER BY grp""".stripMargin,
+    // per-row reciprocals are integer floor-divisions — deterministic
+    // on any engine; the only double is the final RMS sqrt
+    "agg_mean_family" ->
+      """WITH t AS (SELECT o_orderpriority AS grp,
+        |   CAST(round(o_totalprice) AS BIGINT) AS x FROM orders),
+        | r AS (SELECT grp, x, 1000000000000 // x AS r FROM t),
+        | g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(r) AS BIGINT) AS sr
+        |  FROM r GROUP BY 1)
+        |SELECT grp, n, sx,
+        | CAST((100 * sx) // n AS BIGINT) AS am_e2,
+        | CAST((n * 1000000000000) // sr AS BIGINT) AS hm_e0,
+        | CAST((100 * sxx) // sx AS BIGINT) AS chm_e2,
+        | round(sqrt(sxx::DOUBLE / n::DOUBLE), 4) + 0.0 AS rms
+        |FROM g ORDER BY grp""".stripMargin,
     // same planted teacher as ml_auc_exact; smoothing constants and the
     // ln expression mirrored exactly, one rounded double per bin
     "ml_woe_bins" ->

@@ -517,4 +517,34 @@ class GraphSpec extends SparkSpec {
     // propagation must actually coalesce labels (not the identity map)
     got.map(_._2).distinct.size should be < got.size
   }
+
+  "Graph.frozenWalks" should "replay every 4-step hash-argmin walk" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pairCount = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val st = pairCount.filter(_._2 >= 2).keySet
+    val sym = st ++ st.map(_.swap)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // toSeq BEFORE map: mapping a key Set would dedupe walk endpoints
+    val ends = adj.keys.toSeq.map { start =>
+      var pos = start
+      for (k <- 1 to 4)
+        pos = adj(pos).minBy(v => ((start * 31 + v * 17 + k * 7) % 1009, v))
+      pos
+    }
+    val want = ends.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val got = Graph.frozenWalks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe want
+    // walks concentrate: strictly fewer endpoints than walkers
+    got.map(_._2).sum shouldBe adj.size.toLong
+    got.size should be < adj.size
+  }
 }

@@ -454,4 +454,74 @@ class StatsSpec extends SparkSpec {
     // IV terms are nonnegative by construction: (pr-nr) and ln share sign
     got.foreach(_._5 should be >= 0.0)
   }
+
+  behavior of "Stats.meanFamily (r13)"
+
+  it should "replay all four lattice means and order them HM <= AM <= RMS <= CHM" in {
+    val xs = Sources.orders(spark, sfDir)
+      .selectExpr("o_orderpriority", "CAST(round(o_totalprice) AS LONG) AS x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = xs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val v = rows.map(_._2)
+      val n = v.length.toLong
+      val sx = v.sum
+      val sxx = v.map(x => x * x).sum
+      val sr = v.map(x => 1000000000000L / x).sum
+      (g, n, sx, 100L * sx / n, n * 1000000000000L / sr, 100L * sxx / sx,
+        math.round(math.sqrt(sxx.toDouble / n) * 1e4) / 1e4)
+    }
+    val got = Stats.meanFamily(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)) shouldBe
+      want.map(t => (t._1, t._2, t._3, t._4, t._5, t._6))
+    got.zip(want).foreach { case (g, w) => g._7 shouldBe w._7 +- 1e-9 }
+    // Pythagorean-mean ordering (e2 units; 100 slack for lattice floors)
+    got.foreach { case (_, _, _, am, hm, chm, rms) =>
+      (hm * 100) should be <= am + 100
+      am.toDouble should be <= rms * 100 + 100
+      (rms * 100) should be <= chm.toDouble + 100
+    }
+  }
+
+  behavior of "Stats.ratioDeltaCi (r13)"
+
+  it should "replay the six moments and the delta-method interval" in {
+    val items = Sources.lineitem(spark, sfDir)
+      .groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // inner join: orders without lineitems drop, exactly as the engine's
+    val t = Sources.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .collect().flatMap(r => items.get(r.getLong(0))
+        .map(y => (r.getString(1), r.getLong(2), y)))
+    val want = t.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum
+      val sy = rows.map(_._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val syy = rows.map(r => r._3 * r._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val r0 = sx.toDouble / sy
+      val vxx = (sxx - sx.toDouble * sx / n) / (n - 1)
+      val vyy = (syy - sy.toDouble * sy / n) / (n - 1)
+      val vxy = (sxy - sx.toDouble * sy / n) / (n - 1)
+      val se = math.sqrt((vxx - 2 * r0 * vxy + r0 * r0 * vyy) / n) / (sy / n)
+      (g, rows.length.toLong, sx, sy, 1000000L * sx / sy, se,
+        r0 - 1.96 * se, r0 + 1.96 * se)
+    }
+    val got = Stats.ratioDeltaCi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
+    got.map(t => (t._1, t._2, t._3, t._4, t._5)) shouldBe
+      want.map(t => (t._1, t._2, t._3, t._4, t._5))
+    got.zip(want).foreach { case (g, w) =>
+      g._6 shouldBe (math.round(w._6 * 1e6) / 1e6) +- 1e-9
+      g._7 shouldBe (math.round(w._7 * 1e6) / 1e6) +- 1e-9
+      g._8 shouldBe (math.round(w._8 * 1e6) / 1e6) +- 1e-9
+      g._6 should be > 0.0
+      g._7 should be < g._8
+    }
+  }
 }
