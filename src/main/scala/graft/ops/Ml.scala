@@ -262,6 +262,61 @@ object Ml {
   def logregCalibrationFrozen(s: SparkSession, d: String): DataFrame =
     calibrationOf(logregScoreFrozen(s, d))
 
+  /** Permutation feature importance on the frozen scorer
+    * (`ml_perm_importance_frozen`, r13): for each non-intercept
+    * feature, break its association with the label by a DETERMINISTIC
+    * cyclic-shift permutation — doc i takes the feature value of doc
+    * (i + 17) mod N on the dense id space (a bijection, so the
+    * permuted column keeps the exact marginal distribution the method
+    * requires) — rescore with the published teacher weights, and
+    * report the AUC drop. The standard model-debugging loop
+    * (Breiman-style permutation importance), derandomized the
+    * frozen-twin way so the full pipeline sits under the hash gate; at
+    * scale the dense-id assumption is replaced by any keyed bijection
+    * (Feistel on the key space) — same plan. AUC is the tie-aware U on
+    * the round(μ·10⁶) score lattice (an exact integer both engines
+    * derive from the same double): per variant one keyed agg + one
+    * [[Prefix]] running sum — never a global sort; the featurized scan
+    * is pinned once and read five times. Labels use the UNPERMUTED
+    * teacher (permutation must only affect scoring, not supervision).
+    */
+  def permImportanceFrozen(s: SparkSession, d: String): DataFrame = {
+    val n = graft.io.CorpusStats.rowCount(s, d, "documents")
+    val fdf = graft.io.Checkpoints.pin(featurized(s, d), eager = false)
+    val donors = fdf.select(((col("doc_id") + 17) % n).as("doc_id"),
+      col("f1").as("g1"), col("f2").as("g2"),
+      col("f3").as("g3"), col("f4").as("g4"))
+    val joined = fdf.join(donors, "doc_id")
+    def etaWith(j: Int): Column =
+      (0 until k).map { i =>
+        (if (i == j) col(s"g$i") else col(s"f$i")) * lit(teacher(i))
+      }.reduce(_ + _)
+    def scoredWith(j: Int): DataFrame = joined.select(
+      round(lit(1000000.0) * (lit(1.0) / (lit(1.0) + exp(-etaWith(j)))))
+        .cast("long").as("sc"),
+      col("y").cast("long").as("y"))
+    def aucRow(scored: DataFrame): DataFrame = {
+      val by = scored.groupBy("sc")
+        .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      val run = Prefix.running(by, Seq(col("sc")),
+        sums = Seq((col("neg"), "cumneg")))
+      run.agg(sum("pos").as("p"), sum("neg").as("ng"),
+          sum(col("pos") * (col("cumneg") - col("neg")) * 2 +
+            col("pos") * col("neg")).as("u2"))
+        .select(expr("(u2 * 500000L) div (p * ng)").as("auc_e6"))
+    }
+    val base = aucRow(scoredWith(-1)).withColumnRenamed("auc_e6", "auc_base_e6")
+    val rows = (1 until k).map { j =>
+      aucRow(scoredWith(j))
+        .select(lit(featureNames(j)).as("feature"),
+          col("auc_e6").as("auc_perm_e6"))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(base))
+      .select(col("feature"), col("auc_base_e6"), col("auc_perm_e6"),
+        (col("auc_base_e6") - col("auc_perm_e6")).as("delta_e6"))
+      .orderBy("feature")
+  }
+
   /** The confusion aggregate shared by the trained and frozen scorers. */
   private def confusionOf(scored: DataFrame): DataFrame =
     scored.agg(
@@ -575,6 +630,7 @@ object Ml {
     "ml_logreg_score" -> (logregScore _),
     "ml_logreg_eval" -> (logregEval _),
     "ml_logreg_score_frozen" -> (logregScoreFrozen _),
+    "ml_perm_importance_frozen" -> (permImportanceFrozen _),
     "ml_logreg_eval_frozen" -> (logregEvalFrozen _),
     "ml_calibration_frozen" -> (logregCalibrationFrozen _),
   )
@@ -772,6 +828,70 @@ object Ml {
         |  CAST((10000 * n_docs) // tn AS BIGINT) AS share_bp
         |FROM cells JOIN tot ON cells.lang = tot.lang
         |ORDER BY cells.lang, predicted_lang""".stripMargin,
+    // same featurization/teacher as the frozen scorer; the cyclic-shift
+    // donor join and per-variant tie-aware U replay the whole pipeline
+    "ml_perm_importance_frozen" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |    ln(1.0 + CAST(n_chars AS DOUBLE)) AS f1,
+        |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1))
+        |      / CAST(len(ws) AS DOUBLE) AS f2,
+        |    CAST(len(list_filter(ws, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f3,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f4
+        |  FROM w),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |lab AS (SELECT doc_id, f1, f2, f3, f4,
+        |    CASE WHEN CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        |        / 4294967296.0
+        |      < 1.0 / (1.0 + exp(-(1.0 * (-16.0) + f1 * 3.0 + f2 * (-1.2)
+        |        + f3 * 25.0 + f4 * 6.0)))
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM f),
+        |don AS (SELECT (doc_id + 17) % n AS doc_id,
+        |    f1 AS g1, f2 AS g2, f3 AS g3, f4 AS g4
+        |  FROM f CROSS JOIN nn),
+        |j AS (SELECT lab.doc_id, f1, f2, f3, f4, g1, g2, g3, g4, y
+        |  FROM lab JOIN don USING (doc_id)),
+        |sc AS (SELECT y,
+        |   CAST(round(1000000 * (1.0 / (1.0 + exp(-(1.0 * (-16.0) + f1 * 3.0
+        |     + f2 * (-1.2) + f3 * 25.0 + f4 * 6.0))))) AS BIGINT) AS s0,
+        |   CAST(round(1000000 * (1.0 / (1.0 + exp(-(1.0 * (-16.0) + g1 * 3.0
+        |     + f2 * (-1.2) + f3 * 25.0 + f4 * 6.0))))) AS BIGINT) AS s1,
+        |   CAST(round(1000000 * (1.0 / (1.0 + exp(-(1.0 * (-16.0) + f1 * 3.0
+        |     + g2 * (-1.2) + f3 * 25.0 + f4 * 6.0))))) AS BIGINT) AS s2,
+        |   CAST(round(1000000 * (1.0 / (1.0 + exp(-(1.0 * (-16.0) + f1 * 3.0
+        |     + f2 * (-1.2) + g3 * 25.0 + f4 * 6.0))))) AS BIGINT) AS s3,
+        |   CAST(round(1000000 * (1.0 / (1.0 + exp(-(1.0 * (-16.0) + f1 * 3.0
+        |     + f2 * (-1.2) + f3 * 25.0 + g4 * 6.0))))) AS BIGINT) AS s4
+        |  FROM j),
+        |u AS (
+        |  SELECT 'base' AS feature, s0 AS sc, y FROM sc
+        |  UNION ALL SELECT 'log_len', s1, y FROM sc
+        |  UNION ALL SELECT 'avg_tok_len', s2, y FROM sc
+        |  UNION ALL SELECT 'stop_ratio', s3, y FROM sc
+        |  UNION ALL SELECT 'type_token_ratio', s4, y FROM sc),
+        |byv AS (SELECT feature, sc, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS neg
+        |  FROM u GROUP BY 1, 2),
+        |run AS (SELECT feature, pos, neg,
+        |    sum(neg) OVER (PARTITION BY feature ORDER BY sc
+        |      ROWS UNBOUNDED PRECEDING) AS cumneg
+        |  FROM byv),
+        |agg AS (SELECT feature, CAST(sum(pos) AS BIGINT) AS p,
+        |    CAST(sum(neg) AS BIGINT) AS ng,
+        |    CAST(sum(pos * (cumneg - neg) * 2 + pos * neg) AS BIGINT) AS u2
+        |  FROM run GROUP BY 1),
+        |base AS (SELECT CAST((u2 * 500000) // (p * ng) AS BIGINT)
+        |    AS auc_base_e6 FROM agg WHERE feature = 'base')
+        |SELECT a.feature, b.auc_base_e6,
+        | CAST((a.u2 * 500000) // (a.p * a.ng) AS BIGINT) AS auc_perm_e6,
+        | b.auc_base_e6 - CAST((a.u2 * 500000) // (a.p * a.ng) AS BIGINT)
+        |   AS delta_e6
+        |FROM agg a CROSS JOIN base b WHERE a.feature <> 'base'
+        |ORDER BY a.feature""".stripMargin,
     "ml_logreg_score_frozen" ->
       """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
         |           FROM documents),

@@ -397,6 +397,7 @@ object Sampling {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_ess_weights" -> (essWeights _),
     "sample_kfold_balance" -> (sampleKfoldBalance _),
     "sample_time_split" -> (sampleTimeSplit _),
     "sample_negatives" -> (sampleNegatives _),
@@ -411,6 +412,43 @@ object Sampling {
     "sample_seq_pack" -> (sampleSeqPack _),
     "sample_leakage_audit" -> (sampleLeakageAudit _),
   )
+
+  /** Effective sample size under importance weights
+    * (`sample_ess_weights`, r13): the Kish diagnostics every weighted
+    * corpus mixture must publish BEFORE training on it — ESS =
+    * (Σw)²/Σw² (how many unweighted samples the weighted set is worth)
+    * and the design effect deff = n·Σw²/(Σw)² (variance inflation).
+    * Weights come from a PUBLISHED 5-row priority table (the frozen
+    * upweighting a mixture pipeline applies: urgent orders
+    * oversampled), joined broadcast; per customer-nation cell the three
+    * weight moments are exact BIGINTs in one map-side-combinable agg,
+    * and ESS/deff/weighted-mean ship on exact floor lattices — no
+    * float ever. A cell where every row shares one weight collapses to
+    * ESS = n, deff = 10⁶ (e6 lattice) — the spec asserts the mixture
+    * genuinely varies within cells.
+    */
+  def essWeights(s: SparkSession, d: String): DataFrame = {
+    val wTab = Seq(("1-URGENT", 5L), ("2-HIGH", 4L), ("3-MEDIUM", 3L),
+      ("4-NOT SPECIFIED", 2L), ("5-LOW", 1L))
+    import s.implicits._
+    val wDf = wTab.toDF("o_orderpriority", "wgt")
+    val t = Sources.orders(s, d)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        round(col("o_totalprice")).cast("long").as("x"))
+      .join(broadcast(wDf), Seq("o_orderpriority"))
+      .join(Sources.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+    t.groupBy("c_nationkey").agg(
+        count(lit(1)).as("n"), sum("wgt").as("sw"),
+        sum(col("wgt") * col("wgt")).as("sww"),
+        sum(col("wgt") * col("x")).as("swx"))
+      .select(col("c_nationkey"), col("n"), col("sw"), col("sww"),
+        expr("(100L * swx) div sw").as("wmean_e2"),
+        expr("(sw * sw * 1000000L) div sww").as("ess_e6"),
+        expr("(n * sww * 1000000L) div (sw * sw)").as("deff_e6"))
+      .orderBy("c_nationkey")
+  }
 
   /** Importance-weighted sampling with a CONTINUOUS per-document rate:
     * keep probability = the doc's unique-word ratio (distinct/total
@@ -448,6 +486,25 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // the Kish moments are pure BIGINTs; every ratio is a floor lattice
+    "sample_ess_weights" ->
+      """WITH wt AS (SELECT * FROM (VALUES ('1-URGENT', 5), ('2-HIGH', 4),
+        |    ('3-MEDIUM', 3), ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+        |   t(o_orderpriority, wgt)),
+        | t AS (SELECT c_nationkey, CAST(wgt AS BIGINT) AS wgt,
+        |    CAST(round(o_totalprice) AS BIGINT) AS x
+        |  FROM orders JOIN wt USING (o_orderpriority)
+        |  JOIN customer ON o_custkey = c_custkey),
+        | g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(wgt) AS BIGINT) AS sw,
+        |    CAST(sum(wgt * wgt) AS BIGINT) AS sww,
+        |    CAST(sum(wgt * x) AS BIGINT) AS swx
+        |  FROM t GROUP BY 1)
+        |SELECT c_nationkey, n, sw, sww,
+        | CAST((100 * swx) // sw AS BIGINT) AS wmean_e2,
+        | CAST((sw * sw * 1000000) // sww AS BIGINT) AS ess_e6,
+        | CAST((n * sww * 1000000) // (sw * sw) AS BIGINT) AS deff_e6
+        |FROM g ORDER BY c_nationkey""".stripMargin,
     "sample_kfold_balance" ->
       """WITH f AS (SELECT c_mktsegment,
         |    ((c_custkey % 1048576) * 2654435761 % 1048576) % 5 AS fold

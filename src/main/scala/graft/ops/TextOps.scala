@@ -168,6 +168,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Simpson lexical diversity (`text_simpson`, r13): the
+    * collision-probability diversity family over word tokens —
+    * Simpson's D = Σc(c−1)/(n(n−1)) (the chance two draws WITHOUT
+    * replacement repeat a type; its complement is Gini–Simpson) and
+    * Berger–Parker dominance max(c)/n — the repeat-heaviness signals
+    * that complement [[textEntropy]] (entropy weights rare types; D is
+    * dominated by the head, so templated/boilerplate docs light it up
+    * first). Exact rational → e6 floor lattice; numerators Σc(c−1) and
+    * max(c) ship as gate columns. One tokenize + two keyed aggs,
+    * map-side combinable; single-token docs (n(n−1) = 0) are excluded
+    * identically by both engines.
+    */
+  def textSimpson(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        sum(col("c") * (col("c") - 1)).as("sum_cc1"),
+        max("c").as("max_c"))
+      .filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), col("n_tokens"), col("sum_cc1"), col("max_c"),
+        expr("(sum_cc1 * 1000000L) div (n_tokens * (n_tokens - 1))")
+          .as("simpson_e6"),
+        expr("(max_c * 1000000L) div n_tokens").as("berger_parker_e6"))
+      .orderBy("doc_id")
+
   /** Polynomial rolling-hash fingerprint over characters (mod 1e9+7) —
     * deterministic, engine-independent document fingerprint.
     */
@@ -1267,6 +1294,7 @@ object TextOps {
     "text_lang_id" -> (langIdHeuristic _),
     "text_fingerprint" -> (textFingerprint _),
     "text_entropy" -> (textEntropy _),
+    "text_simpson" -> (textSimpson _),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _),
     "dedup_jaccard_prefix" -> (jaccardPrefixJoin _),
     "graph_triangle_stats" -> (triangleStats _),
@@ -1526,6 +1554,20 @@ object TextOps {
         |           len(list_filter(string_split(text,' '), w -> list_contains(['le','la','et','les','est'], w)))
         |      THEN 'de' ELSE 'fr' END AS predicted_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_simpson" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | cnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |   FROM tok GROUP BY 1, 2),
+        | g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS sum_cc1,
+        |    CAST(max(c) AS BIGINT) AS max_c
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_tokens, sum_cc1, max_c,
+        | CAST((sum_cc1 * 1000000) // (n_tokens * (n_tokens - 1)) AS BIGINT)
+        |   AS simpson_e6,
+        | CAST((max_c * 1000000) // n_tokens AS BIGINT) AS berger_parker_e6
+        |FROM g WHERE n_tokens >= 2 ORDER BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         | cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),

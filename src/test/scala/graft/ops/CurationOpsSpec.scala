@@ -246,4 +246,34 @@ class CurationOpsSpec extends SparkSpec {
     got shouldBe want
     got should not be empty
   }
+
+  "Sampling.essWeights" should "replay the Kish moments and bound ESS by n" in {
+    val wTab = Map("1-URGENT" -> 5L, "2-HIGH" -> 4L, "3-MEDIUM" -> 3L,
+      "4-NOT SPECIFIED" -> 2L, "5-LOW" -> 1L)
+    val nat = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "o_orderpriority",
+        "CAST(round(o_totalprice) AS LONG) AS x").collect()
+      .map(r => (nat(r.getLong(0)), wTab(r.getString(1)), r.getLong(2)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (natk, g) =>
+      val n = g.length.toLong
+      val sw = g.map(_._2).sum
+      val sww = g.map(t => t._2 * t._2).sum
+      val swx = g.map(t => t._2 * t._3).sum
+      (natk, n, sw, sww, 100L * swx / sw, sw * sw * 1000000L / sww,
+        n * sww * 1000000L / (sw * sw))
+    }
+    val got = Sampling.essWeights(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldBe want
+    // Kish: ESS <= n (equality only under constant weights) and deff >= 1
+    got.foreach { case (_, n, _, _, _, ess, deff) =>
+      ess should be <= n * 1000000L
+      ess should be < n * 1000000L // mixture genuinely varies in-cell
+      deff should be >= 1000000L
+    }
+  }
 }

@@ -203,4 +203,57 @@ class MlSpec extends SparkSpec {
     rows.head._5 should be > 1.0
     rows.last._5 should be < 1.0
   }
+
+  "Ml.permImportanceFrozen" should "replay all five AUCs through the cyclic-shift permutation" in {
+    val teacher = Array(-16.0, 3.0, -1.2, 25.0, 6.0)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val n = docs.length
+    val feats = docs.map { case (id, nc, text) =>
+      val ws = text.split(" ", -1)
+      val nt = ws.length.toDouble
+      val f = Array(1.0, math.log1p(nc.toDouble), (nc - (nt - 1)) / nt,
+        ws.count(t => t == "a" || t == "the") / nt,
+        ws.distinct.length / nt)
+      val eta = (0 until 5).map(i => f(i) * teacher(i)).sum
+      val u = ((id * 2654435761L) % 4294967296L).toDouble / 4294967296.0
+      val y = if (u < 1.0 / (1.0 + math.exp(-eta))) 1L else 0L
+      (id, f, y)
+    }
+    val byId = feats.map(t => t._1 -> t._2).toMap
+    def aucE6(scored: Seq[(Long, Long)]): Long = {
+      // tie-aware U over the score lattice
+      val by = scored.groupBy(_._1).toSeq.sortBy(_._1).map { case (sc, g) =>
+        (sc, g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong)
+      }
+      var cum = 0L; var u2 = 0L; var p = 0L; var ng = 0L
+      by.foreach { case (_, pos, neg) =>
+        u2 += pos * cum * 2 + pos * neg
+        cum += neg; p += pos; ng += neg
+      }
+      u2 * 500000L / (p * ng)
+    }
+    def scoreWith(j: Int): Seq[(Long, Long)] = feats.toSeq.map { case (id, f, y) =>
+      // donors are re-keyed +17, so recipient id draws donor id-17
+      val g = byId((id - 17 + n) % n)
+      val eta = (0 until 5).map { i =>
+        (if (i == j) g(i) else f(i)) * teacher(i)
+      }.foldLeft(0.0)(_ + _)
+      (math.round(1000000.0 * (1.0 / (1.0 + math.exp(-eta)))), y)
+    }
+    val base = aucE6(scoreWith(-1))
+    val names = Seq("log_len", "avg_tok_len", "stop_ratio", "type_token_ratio")
+    val want = names.zipWithIndex.map { case (nm, i) =>
+      val perm = aucE6(scoreWith(i + 1))
+      (nm, base, perm, base - perm)
+    }.sortBy(_._1)
+    val got = Ml.permImportanceFrozen(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // the effectively-dominant feature (weight x variance) shows the
+    // largest AUC drop on this fixture: log_len
+    got.maxBy(_._4)._1 shouldBe "log_len"
+    got.foreach(t => t._2 should be >= 500000L)
+  }
 }

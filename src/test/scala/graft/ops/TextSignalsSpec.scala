@@ -307,4 +307,24 @@ class TextSignalsSpec extends SparkSpec {
     }
     got.map(_._5).max should be > 0L
   }
+
+  "TextOps.textSimpson" should "replay collision-probability diversity exactly" in {
+    val want = docs.flatMap { case (id, text, _, _) =>
+      val cs = text.split(" ", -1).groupBy(identity).values.map(_.length.toLong).toSeq
+      val n = cs.sum
+      if (n < 2) None
+      else {
+        val cc1 = cs.map(c => c * (c - 1)).sum
+        val mx = cs.max
+        Some((id, n, cc1, mx, cc1 * 1000000L / (n * (n - 1)), mx * 1000000L / n))
+      }
+    }.sortBy(_._1)
+    val got = TextOps.textSimpson(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // dominance bounds simpson: D <= BP (Cauchy-Schwarz on the head),
+    // within a 1-unit floor-lattice slack
+    got.foreach { case (_, _, _, _, d, bp) => d should be <= bp + 1 }
+  }
 }
