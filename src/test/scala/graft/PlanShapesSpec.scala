@@ -106,7 +106,14 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row respondent-total attach for the RR estimator denominator
     "priv_rr_frequency",
     // 41-row published-grid broadcast for the KDE evaluation points
-    "stats_kde_grid")
+    "stats_kde_grid",
+    // r13 batch-61+ 1-row/bounded attaches: grand-moment totals for the
+    // ANOVA F and the WOE priors; 10-row frozen weight table with the
+    // rank-<=min(10,R) theta filter for IDCG; blocking-census scalars
+    // (counts only) for the ER metrics row; 1-row base-AUC attach for
+    // the permutation-importance deltas
+    "stats_anova_f", "ml_woe_bins", "search_eval_ndcg",
+    "er_blocking_metrics", "ml_perm_importance_frozen")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
