@@ -140,6 +140,47 @@ object EtlQueries {
     * perturb them — and cast to double only at the edge, which is why
     * merged state hash-matches the full-recompute oracle bit-for-bit.
     */
+  /** Data-quality quarantine routing (`etl_dq_quarantine`, r13): the
+    * contract-enforcement stage every ingest runs BEFORE facts reach
+    * consumers — each order is tested against a published rule set and
+    * routed: 'childless' (no lineitems — referential completeness),
+    * 'early_ship' (some lineitem ships before the order exists — a
+    * cross-table temporal contract the fixture genuinely violates),
+    * 'bad_priority' (domain violation — empty on this feed, the
+    * clean-rule shape an audit must still report as zero, not omit).
+    * Rows failing ANY rule are quarantined; the '_clean' row counts the
+    * pass-through population, so the four counts reconcile to... NOT
+    * the order count (rules overlap) — which is exactly why the clean
+    * count is computed as violates-none, not n−Σ. Plan: one lineitem
+    * pre-aggregate (min shipdate per order, map-side combinable), one
+    * left join, one conditional-sum pass — the quarantine decision
+    * never rescans the corpus per rule.
+    */
+  def etlDqQuarantine(s: SparkSession, d: String): DataFrame = {
+    val known = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val minShip = Sources.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("min_ship"))
+    Sources.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority"))
+      .join(minShip, Seq("o_orderkey"), "left")
+      .select(
+        col("min_ship").isNull.as("childless"),
+        (col("min_ship").isNotNull && col("min_ship") < col("od"))
+          .as("early_ship"),
+        (!col("o_orderpriority").isin(known: _*)).as("bad_priority"))
+      .agg(
+        sum(col("childless").cast("long")).as("childless"),
+        sum(col("early_ship").cast("long")).as("early_ship"),
+        sum(col("bad_priority").cast("long")).as("bad_priority"),
+        sum((!col("childless") && !col("early_ship") && !col("bad_priority"))
+          .cast("long")).as("_clean"))
+      .selectExpr("stack(4, 'bad_priority', bad_priority, " +
+        "'childless', childless, 'early_ship', early_ship, " +
+        "'zz_clean', _clean) AS (rule, n_orders)")
+  }
+
   def etlIncrementalAgg(s: SparkSession, d: String): DataFrame = {
     val o = Sources.orders(s, d).select(
       date_format(col("o_orderdate"), "yyyy-MM").as("month"),
@@ -279,6 +320,7 @@ object EtlQueries {
     "etl_zorder_stats" -> (etlZorderStats _),
     "etl_cdc_apply" -> (etlCdcApply _),
     "etl_incremental_agg" -> (etlIncrementalAgg _),
+    "etl_dq_quarantine" -> (etlDqQuarantine _),
     "etl_pipeline_e2e" -> (etlPipelineE2e _),
     "etl_normalize_dates" -> (etlNormalizeDates _),
     "etl_range_filter" -> (etlRangeFilter _),
@@ -339,6 +381,31 @@ object EtlQueries {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // full recompute — the semantics the partial-merge must equal; the
     // decimal sums make both sides exact, so the doubles agree bitwise
+    // overlapping rules: the clean census is violates-NONE, never n - sum
+    "etl_dq_quarantine" ->
+      """WITH ms AS (SELECT l_orderkey AS o_orderkey,
+        |   CAST(min(l_shipdate) AS DATE) AS min_ship FROM lineitem GROUP BY 1),
+        | f AS (SELECT
+        |    ms.min_ship IS NULL AS childless,
+        |    ms.min_ship IS NOT NULL
+        |      AND ms.min_ship < CAST(o_orderdate AS DATE) AS early_ship,
+        |    o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+        |      '4-NOT SPECIFIED', '5-LOW') AS bad_priority
+        |  FROM orders LEFT JOIN ms USING (o_orderkey)),
+        | g AS (SELECT
+        |    CAST(sum(CASE WHEN childless THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS childless,
+        |    CAST(sum(CASE WHEN early_ship THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS early_ship,
+        |    CAST(sum(CASE WHEN bad_priority THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bad_priority,
+        |    CAST(sum(CASE WHEN NOT childless AND NOT early_ship
+        |      AND NOT bad_priority THEN 1 ELSE 0 END) AS BIGINT) AS clean
+        |  FROM f)
+        |SELECT 'bad_priority' AS rule, bad_priority AS n_orders FROM g
+        |UNION ALL SELECT 'childless', childless FROM g
+        |UNION ALL SELECT 'early_ship', early_ship FROM g
+        |UNION ALL SELECT 'zz_clean', clean FROM g""".stripMargin,
     "etl_incremental_agg" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

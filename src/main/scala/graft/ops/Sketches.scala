@@ -224,7 +224,60 @@ object Sketches {
       .orderBy("q")
   }
 
+  /** Theta-sketch set intersection (`sketch_theta_intersect`, r13):
+    * the sketch family's one genuinely NEW capability over HLL — HLL
+    * unions losslessly but cannot intersect; the KMV/theta sketch
+    * (Dasgupta et al.) estimates |A∩B| from the k smallest hash values
+    * of each side. Here A/B = distinct customers ordering in 1995/1996
+    * (year-over-year repeat-buyer overlap), h = the Knuth hash onto the
+    * 2²⁰ lattice (deterministic, so the WHOLE sketch is hash-gated —
+    * a seeded-PRNG sketch could only ever be rows-only), k = 64:
+    * θ = min(θ_A, θ_B) with θ_side = the k-th smallest distinct hash
+    * (2²⁰ when the side has < k values, i.e. exhaustive), and
+    * est = |sketch_A ∩ sketch_B ∩ {h < θ}| · 2²⁰ div θ. The exact
+    * intersection ships alongside as the accuracy witness — the
+    * estimate/exact pair is the CBO-statistics shape
+    * ([[joinSizeEst]]'s discipline). Plan: per-side distinct + one
+    * rank-≤-k WindowGroupLimit (two |years| partitions), then
+    * model-sized (≤ 2k rows) joins; the exact twin is one semi-join
+    * count. At 10¹² rows the sketch side stays k-bounded per side —
+    * the entire point of KMV.
+    */
+  def thetaIntersect(s: SparkSession, d: String): DataFrame = {
+    val k = 64L
+    val yrs = Sources.orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .filter(col("yr").isin(1995, 1996))
+    val hashes = yrs
+      .select(col("yr"),
+        pmod(col("o_custkey") * lit(2654435761L), lit(1048576L)).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("yr").orderBy(col("h").asc)
+    val ranked = hashes.withColumn("rk", row_number().over(w))
+    val sketch = graft.io.Checkpoints.pin(
+      ranked.filter(col("rk") <= k), eager = false)
+    val theta = sketch.groupBy("yr")
+      .agg(max("h").as("kth"), count(lit(1)).as("nk"))
+      .agg(min(when(col("nk") >= k, col("kth")).otherwise(lit(1048576L)))
+        .as("theta"))
+    val a = sketch.filter(col("yr") === 1995).select(col("h"))
+    val b = sketch.filter(col("yr") === 1996).select(col("h"))
+    val common = a.join(b, Seq("h")).crossJoin(broadcast(theta))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common_below"))
+    val exact = yrs.filter(col("yr") === 1995).select("o_custkey").distinct()
+      .join(yrs.filter(col("yr") === 1996).select("o_custkey").distinct(),
+        Seq("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("exact_common"))
+    theta.crossJoin(broadcast(common)).crossJoin(broadcast(exact))
+      .select(lit(k).as("k"), col("theta"), col("n_common_below"),
+        expr("(n_common_below * 1048576L) div theta").as("est_common"),
+        col("exact_common"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_theta_intersect" -> (thetaIntersect _),
     "sketch_cms_users" -> (cmsUsers _),
     "sketch_join_size" -> (joinSizeEst _),
     "sketch_hll_daily" -> (hllDailyUsers _),
@@ -234,6 +287,32 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    // the KMV trajectory (ranks, theta, the below-theta census) is
+    // replayed exactly; the exact twin certifies the estimate's error
+    "sketch_theta_intersect" ->
+      """WITH yrs AS (SELECT o_custkey,
+        |   CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders
+        |  WHERE year(o_orderdate) IN (1995, 1996)),
+        | h AS (SELECT DISTINCT yr,
+        |   (o_custkey * 2654435761) % 1048576 AS h FROM yrs),
+        | r AS (SELECT yr, h, row_number() OVER (PARTITION BY yr
+        |   ORDER BY h ASC) AS rk FROM h),
+        | sk AS (SELECT yr, h FROM r WHERE rk <= 64),
+        | th AS (SELECT CAST(min(CASE WHEN nk >= 64 THEN kth
+        |     ELSE 1048576 END) AS BIGINT) AS theta
+        |  FROM (SELECT yr, max(h) AS kth, count(*) AS nk FROM sk GROUP BY 1)),
+        | com AS (SELECT CAST(count(*) AS BIGINT) AS n_common_below
+        |  FROM (SELECT h FROM sk WHERE yr = 1995) a
+        |  JOIN (SELECT h FROM sk WHERE yr = 1996) b USING (h)
+        |  CROSS JOIN th WHERE a.h < th.theta),
+        | ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_common
+        |  FROM (SELECT DISTINCT o_custkey FROM yrs WHERE yr = 1995) a
+        |  JOIN (SELECT DISTINCT o_custkey FROM yrs WHERE yr = 1996) b
+        |   USING (o_custkey))
+        |SELECT CAST(64 AS BIGINT) AS k, theta, n_common_below,
+        | CAST((n_common_below * 1048576) // theta AS BIGINT) AS est_common,
+        | exact_common
+        |FROM th CROSS JOIN com CROSS JOIN ex""".stripMargin,
     "sketch_qgrid_daily" ->
       """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
         |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

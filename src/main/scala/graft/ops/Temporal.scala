@@ -773,6 +773,52 @@ object Temporal {
     * day the global peak was reached, recovered by one keyed join
     * back over the same bounded daily table.
     */
+  /** Frozen-basis periodogram at the weekly cycle
+    * (`ts_periodogram_frozen`, r13): spectral energy of daily revenue
+    * at harmonics k = 1..3 of the 7-day period — the seasonality
+    * detector behind every weekly-pattern dashboard, in the frozen
+    * discipline: the 7 cos/sin phase constants ship as published e6
+    * integers ([[Stats.kdeGrid]]'s grid rule — no engine's trig is in
+    * the hash path), harmonic k reads the SAME table at phase (k·t)
+    * mod 7, and the mean is removed on the integer lattice (x′ = x −
+    * (Σx div n), exact; un-centered, the DC term swamps every bin).
+    * re/im are exact BIGINT dot products (|x′| ≲ 10⁷ dollars × 10⁶
+    * constants × 10⁴ days < 2⁶³ to ~10¹⁷ daily-dollar-days); only the
+    * amplitude does one mirrored sqrt, rounded 2. Plan: one daily
+    * keyed agg, a 1-row mean attach, a 3×7-row published-constant
+    * broadcast, one final 3-key agg.
+    */
+  def periodogramFrozen(s: SparkSession, d: String): DataFrame = {
+    val cosT = Seq(1000000L, 623490L, -222521L, -900969L, -900969L,
+      -222521L, 623490L)
+    val sinT = Seq(0L, 781831L, 974928L, 433884L, -433884L, -974928L,
+      -781831L)
+    import s.implicits._
+    val trig = (for (k <- 1L to 3L; j <- 0L to 6L)
+      yield (k, j, cosT(j.toInt), sinT(j.toInt))).toDF("k", "ph", "c", "sn")
+    val daily = Sources.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice")).cast("long").as("x"))
+      .groupBy("day").agg(sum("x").as("x"))
+      .withColumn("t", datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    val m = daily.agg(sum("x").as("sx"), count(lit(1)).as("nd"))
+      .select(expr("sx div nd").as("m"))
+    daily.crossJoin(broadcast(m))
+      .withColumn("xc", col("x") - col("m"))
+      .join(broadcast(trig), pmod(col("t") * col("k"), lit(7L)) === col("ph"))
+      .groupBy("k").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("xc") * col("c")).as("re_e6"),
+        sum(col("xc") * col("sn")).as("im_e6"))
+      .select(col("k"), col("n_days"), col("re_e6"), col("im_e6"),
+        graft.functions.Num.roundNorm(sqrt(
+          col("re_e6").cast("double") * col("re_e6").cast("double") +
+            col("im_e6").cast("double") * col("im_e6").cast("double")) / 1e6,
+          2).as("amp"))
+      .orderBy("k")
+  }
+
   def drawdown(s: SparkSession, d: String): DataFrame = {
     val daily = Sources.orders(s, d)
       .select(col("o_orderpriority").as("prio"),
@@ -1046,6 +1092,7 @@ object Temporal {
     "ts_sma_crossover" -> (smaCrossover _),
     "ts_ohlc_bars" -> (ohlcBars _),
     "ts_drawdown" -> (drawdown _),
+    "ts_periodogram_frozen" -> (periodogramFrozen _),
     "ts_clamped_balance" -> (clampedBalance _),
     "ts_twap" -> (twap _),
     "ts_theil_sen" -> (theilSen _),
@@ -1194,6 +1241,37 @@ object Temporal {
         |JOIN daily o ON o.prio = bars.prio AND o.day = bars.open_day
         |JOIN daily c ON c.prio = bars.prio AND c.day = bars.close_day
         |ORDER BY bars.prio, bars.month""".stripMargin,
+    // the 7 phase constants are published integers; harmonic k reads
+    // the same table at phase (k*t) mod 7 — no trig in the hash path
+    "ts_periodogram_frozen" ->
+      """WITH tg AS (SELECT k, ph, c, sn FROM (VALUES
+        |   (1, 0, 1000000, 0), (1, 1, 623490, 781831), (1, 2, -222521, 974928),
+        |   (1, 3, -900969, 433884), (1, 4, -900969, -433884),
+        |   (1, 5, -222521, -974928), (1, 6, 623490, -781831),
+        |   (2, 0, 1000000, 0), (2, 1, 623490, 781831), (2, 2, -222521, 974928),
+        |   (2, 3, -900969, 433884), (2, 4, -900969, -433884),
+        |   (2, 5, -222521, -974928), (2, 6, 623490, -781831),
+        |   (3, 0, 1000000, 0), (3, 1, 623490, 781831), (3, 2, -222521, 974928),
+        |   (3, 3, -900969, 433884), (3, 4, -900969, -433884),
+        |   (3, 5, -222521, -974928), (3, 6, 623490, -781831))
+        |  t(k, ph, c, sn)),
+        | daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        | dt AS (SELECT x, CAST(datediff('day', DATE '1970-01-01', day)
+        |    AS BIGINT) AS t FROM daily),
+        | mm AS (SELECT CAST(sum(x) // count(*) AS BIGINT) AS m FROM dt),
+        | j AS (SELECT tg.k, (dt.x - mm.m) AS xc, tg.c, tg.sn
+        |  FROM dt CROSS JOIN mm
+        |  JOIN tg ON (dt.t * tg.k) % 7 = tg.ph)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(xc * c) AS BIGINT) AS re_e6,
+        | CAST(sum(xc * sn) AS BIGINT) AS im_e6,
+        | round(sqrt((CAST(sum(xc * c) AS BIGINT))::DOUBLE
+        |     * (CAST(sum(xc * c) AS BIGINT))::DOUBLE
+        |   + (CAST(sum(xc * sn) AS BIGINT))::DOUBLE
+        |     * (CAST(sum(xc * sn) AS BIGINT))::DOUBLE) / 1e6, 2) + 0.0 AS amp
+        |FROM j GROUP BY 1 ORDER BY k""".stripMargin,
     "ts_drawdown" ->
       """WITH daily AS (SELECT o_orderpriority AS prio,
         |    CAST(o_orderdate AS DATE) AS day,

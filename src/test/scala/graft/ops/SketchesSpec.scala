@@ -90,4 +90,31 @@ class SketchesSpec extends SparkSpec {
       r.getAs[Double]("rel_err") should be <= 0.05
     }
   }
+
+  "Sketches.thetaIntersect" should "replay the KMV trajectory and land near the exact overlap" in {
+    val yrs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "CAST(year(o_orderdate) AS LONG) AS yr")
+      .filter("yr IN (1995, 1996)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def side(y: Long): Set[Long] = yrs.filter(_._2 == y).map(_._1).toSet
+    val (ca, cb) = (side(1995L), side(1996L))
+    def hashes(cs: Set[Long]): Seq[Long] =
+      cs.map(c => (c * 2654435761L) % 1048576L).toSeq.distinct.sorted
+    val (ha, hb) = (hashes(ca), hashes(cb))
+    def thetaOf(h: Seq[Long]): Long = if (h.size >= 64) h(63) else 1048576L
+    val theta = math.min(thetaOf(ha), thetaOf(hb))
+    val skA = ha.take(64).toSet
+    val skB = hb.take(64).toSet
+    val below = (skA intersect skB).count(_ < theta).toLong
+    val est = below * 1048576L / theta
+    val exact = (ca intersect cb).size.toLong
+    val row = Sketches.thetaIntersect(spark, sfDir).collect().head
+    row.getLong(0) shouldBe 64L
+    row.getLong(1) shouldBe theta
+    row.getLong(2) shouldBe below
+    row.getLong(3) shouldBe est
+    row.getLong(4) shouldBe exact
+    // KMV at k=64: the estimate must land inside a broad error band
+    est.toDouble shouldBe exact.toDouble +- math.max(10.0, exact * 0.6)
+  }
 }

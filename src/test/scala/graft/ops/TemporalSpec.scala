@@ -497,4 +497,31 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  "Temporal.periodogramFrozen" should "replay the frozen-phase dot products per harmonic" in {
+    val cosT = Seq(1000000L, 623490L, -222521L, -900969L, -900969L,
+      -222521L, 623490L)
+    val sinT = Seq(0L, 781831L, 974928L, 433884L, -433884L, -974928L,
+      -781831L)
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("x").as("x"))
+      .selectExpr("CAST(datediff(day, DATE '1970-01-01') AS LONG) AS t", "x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val m = daily.map(_._2).sum / daily.length
+    val want = (1L to 3L).map { k =>
+      val re = daily.map { case (t, x) => (x - m) * cosT(((t * k) % 7).toInt) }.sum
+      val im = daily.map { case (t, x) => (x - m) * sinT(((t * k) % 7).toInt) }.sum
+      val amp = math.round(math.sqrt(re.toDouble * re + im.toDouble * im) / 1e6 * 100) / 100.0
+      (k, daily.length.toLong, re, im, amp)
+    }
+    val got = Temporal.periodogramFrozen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    got.map(t => (t._1, t._2, t._3, t._4)) shouldBe
+      want.map(t => (t._1, t._2, t._3, t._4))
+    got.zip(want).foreach { case (g, w) => g._5 shouldBe w._5 +- 1e-6 }
+    got.foreach(_._5 should be > 0.0)
+  }
 }
