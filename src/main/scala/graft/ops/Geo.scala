@@ -226,7 +226,45 @@ object Geo {
       .orderBy("cluster_id")
   }
 
+  /** Published CCW convex pentagon for the membership test — the
+    * "service region" polygon a geo pipeline clips against.
+    */
+  private[graft] val Pentagon: Seq[(Long, Long)] = Seq(
+    (2000L, 1000L), (8000L, 2000L), (9000L, 7000L), (5000L, 9500L),
+    (1000L, 6000L))
+
+  /** Point-in-convex-polygon census (`geo_point_in_polygon`, r13): each
+    * customer point is tested against the published CCW pentagon via
+    * the half-plane rule — inside ⇔ cross(b−a, p−a) ≥ 0 for every edge
+    * (boundary counts as inside; the convention is published). Convex
+    * membership needs NO ray casting and NO floats: five exact integer
+    * cross products, compiled as one whole-stage-codegen expression —
+    * there is no join at all; the polygon is a compile-time constant
+    * like the KDE grid. One pass + a nation-keyed census with exact
+    * basis-point shares. At 100 TB this is the cheapest possible geo
+    * clip: a scan-local predicate the planner can even push past
+    * projections.
+    */
+  def pointInPolygon(s: SparkSession, d: String): DataFrame = {
+    val edges = Pentagon.zip(Pentagon.tail :+ Pentagon.head)
+    val inside = edges.map { case ((ax, ay), (bx, by)) =>
+      ((lit(bx) - lit(ax)) * (col("cy") - lit(ay)) -
+        (lit(by) - lit(ay)) * (col("cx") - lit(ax))) >= 0L
+    }.reduce(_ && _)
+    Sources.customer(s, d).select(
+        col("c_nationkey"),
+        (col("c_custkey") % 1048576L * M1 % 10000L).as("cx"),
+        (col("c_custkey") % 1048576L * M2 % 10000L).as("cy"))
+      .withColumn("inside", inside)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("inside").cast("long")).as("n_inside"))
+      .withColumn("share_bp", expr("(10000L * n_inside) div n_total"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_point_in_polygon" -> (pointInPolygon _),
     "geo_grid_dbscan" -> (gridDbscan _),
     "geo_haversine_hub" -> (haversineHub _),
     "geo_grid_neighbors" -> (gridNeighbors _),
@@ -296,6 +334,24 @@ object Geo {
          |   ORDER BY d2 ASC, s_suppkey ASC) AS rn FROM cand)
          |SELECT c_custkey, s_suppkey AS hub_suppkey, d2
          |FROM ranked WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+    // the five half-plane tests replay as exact integer cross products
+    "geo_point_in_polygon" ->
+      """WITH pts AS (SELECT c_nationkey,
+        |   (c_custkey % 1048576) * 2654435761 % 10000 AS cx,
+        |   (c_custkey % 1048576) * 2246822519 % 10000 AS cy
+        |  FROM customer),
+        | t AS (SELECT c_nationkey,
+        |   CASE WHEN (8000 - 2000) * (cy - 1000) - (2000 - 1000) * (cx - 2000) >= 0
+        |     AND (9000 - 8000) * (cy - 2000) - (7000 - 2000) * (cx - 8000) >= 0
+        |     AND (5000 - 9000) * (cy - 7000) - (9500 - 7000) * (cx - 9000) >= 0
+        |     AND (1000 - 5000) * (cy - 9500) - (6000 - 9500) * (cx - 5000) >= 0
+        |     AND (2000 - 1000) * (cy - 6000) - (1000 - 6000) * (cx - 1000) >= 0
+        |    THEN 1 ELSE 0 END AS inside
+        |  FROM pts)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(sum(inside) AS BIGINT) AS n_inside,
+        | CAST((10000 * sum(inside)) // count(*) AS BIGINT) AS share_bp
+        |FROM t GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     // brute-force cell adjacency + recursive-CTE CC: a hash-PASS proves
     // the engine's shifted-key candidate join found every adjacency
     "geo_grid_dbscan" ->

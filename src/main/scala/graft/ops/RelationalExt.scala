@@ -651,7 +651,39 @@ object RelationalExt {
       .orderBy("l_returnflag")
   }
 
+  /** Luhn mod-10 validation (`scalar_luhn_check`, r13): the checksum
+    * every PII-bearing ingest runs to tell REAL card-like identifiers
+    * from noise before redaction ([[graft.ops.TextOps]]' PII family,
+    * here as the pure scalar kernel). Synthetic 13-digit PANs derive
+    * deterministically from the customer key (pan = 4·10¹² + key·7919 —
+    * the '4' IIN prefix keeps the domain realistic); the Luhn sum
+    * unrolls over 16 fixed digit positions — d_i = (pan div 10^i) mod
+    * 10, positions odd-from-rightmost doubled with digit-sum folding
+    * (2d div 10 + 2d mod 10) — one branch-free integer expression,
+    * whole-stage-codegen'd, no UDF. Census per segment: how many
+    * synthetic PANs happen to be Luhn-valid (≈ 1/10 by construction —
+    * the spec pins the exact fixture counts).
+    */
+  def scalarLuhnCheck(s: SparkSession, d: String): DataFrame = {
+    val pan = lit(4000000000000L) + col("c_custkey") * lit(7919L)
+    val luhnSum = (0 until 16).map { i =>
+      val di = pmod(call_function("div", pan, lit(math.pow(10, i).toLong)),
+        lit(10L))
+      if (i % 2 == 1)
+        call_function("div", di * 2L, lit(10L)) + (di * 2L) % 10L
+      else di
+    }.reduce(_ + _)
+    Sources.customer(s, d)
+      .select(col("c_mktsegment"), luhnSum.as("lsum"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lsum") % 10L === 0L, 1L).otherwise(0L)).as("n_valid"),
+        sum("lsum").as("sum_luhn"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_luhn_check" -> (scalarLuhnCheck _),
     "scalar_business_days" -> (scalarBusinessDays _),
     "pivot_unpivot_quarters" -> (unpivotQuarters _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
@@ -699,6 +731,21 @@ object RelationalExt {
        |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // 16 unrolled digit positions, doubling folded as 2d//10 + 2d%10
+    "scalar_luhn_check" ->
+      s"""WITH p AS (SELECT c_mktsegment,
+         |   4000000000000 + c_custkey * 7919 AS pan FROM customer),
+         | l AS (SELECT c_mktsegment,
+         |   ${(0 until 16).map { i =>
+               val d = s"((pan // ${math.pow(10, i).toLong}) % 10)"
+               if (i % 2 == 1) s"(($d * 2) // 10 + ($d * 2) % 10)" else d
+             }.mkString("\n   + ")} AS lsum
+         |  FROM p)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CASE WHEN lsum % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_valid,
+         | CAST(sum(lsum) AS BIGINT) AS sum_luhn
+         |FROM l GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "scalar_business_days" ->
       """WITH d AS (SELECT l_returnflag,
         |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ec,

@@ -709,7 +709,51 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Bootstrap AUC replicates (`ml_auc_bootstrap`, r13): the
+    * uncertainty every headline eval metric needs — 16 Poisson(1)
+    * bootstrap replicates of the exact tie-aware AUC, using the SAME
+    * hash-Poisson weights as [[Sampling.sampleBootstrapReps]] (CDF
+    * thresholds on the 2²⁰ lattice keyed by (row, replicate) — fully
+    * deterministic, so all 16 resampled U statistics sit under the
+    * hash gate; an RNG bootstrap could only ever be rows-only). The
+    * weighted U needs no new machinery: pos/neg become weight sums and
+    * the identity U = Σ pos·negBelow + ½Σ pos·neg holds verbatim. ONE
+    * corpus pass computes all 32 weight-moment columns
+    * (map-side-combinable), ONE [[Prefix]] two-pass carries the 16
+    * running negatives simultaneously (never 16 scans, never a global
+    * sort), one final aggregate + stack emits the replicate table. The
+    * consumer reads the spread as the CI; every value is an exact
+    * integer.
+    */
+  def aucBootstrap(s: SparkSession, d: String): DataFrame = {
+    val B = 16
+    def wOf(b: Int): Column = {
+      val u = pmod((pmod(col("o_orderkey"), lit(1048576L)) +
+        lit(b.toLong * 7919L)) * lit(2654435761L), lit(1048576L))
+      when(u < 385749L, 0L).when(u < 771499L, 1L).when(u < 964373L, 2L)
+        .when(u < 1028665L, 3L).when(u < 1044738L, 4L).otherwise(5L)
+    }
+    val aggs = (0 until B).flatMap { b =>
+      Seq(sum(wOf(b) * col("label")).as(s"pos$b"),
+        sum(wOf(b) * (lit(1L) - col("label"))).as(s"neg$b"))
+    }
+    val by = plantedScores(s, d).groupBy("cents").agg(aggs.head, aggs.tail: _*)
+    val run = Prefix.running(by, Seq(col("cents")),
+      sums = (0 until B).map(b => (col(s"neg$b"), s"cum$b")))
+    val finals = (0 until B).flatMap { b =>
+      Seq(sum(col(s"pos$b")).as(s"p$b"), sum(col(s"neg$b")).as(s"n$b"),
+        sum(col(s"pos$b") * (col(s"cum$b") - col(s"neg$b")) * 2 +
+          col(s"pos$b") * col(s"neg$b")).as(s"u$b"))
+    }
+    run.agg(finals.head, finals.tail: _*)
+      .selectExpr(s"stack($B, " + (0 until B).map { b =>
+        s"${b}L, p$b, n$b, (u$b * 500000L) div (p$b * n$b)"
+      }.mkString(", ") + ") AS (rep, n_pos_w, n_neg_w, auc_e6)")
+      .orderBy("rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_auc_bootstrap" -> (aucBootstrap _),
     "stats_ratio_delta_ci" -> (ratioDeltaCi _),
     "agg_mean_family" -> (meanFamily _),
     "ml_woe_bins" -> (woeBins _),
@@ -729,6 +773,36 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // the replicate dimension unnests oracle-side; weights, the running
+    // negatives, and the weighted U identity replay exactly
+    "ml_auc_bootstrap" ->
+      """WITH scored AS (SELECT o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100,
+        |       900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | reps AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS rep),
+        | wtd AS (SELECT rep, cents, label,
+        |    CASE WHEN u < 385749 THEN 0 WHEN u < 771499 THEN 1
+        |      WHEN u < 964373 THEN 2 WHEN u < 1028665 THEN 3
+        |      WHEN u < 1044738 THEN 4 ELSE 5 END AS w
+        |  FROM (SELECT rep, cents, label,
+        |     ((o_orderkey % 1048576 + rep * 7919) * 2654435761) % 1048576 AS u
+        |    FROM scored CROSS JOIN reps)),
+        | byv AS (SELECT rep, cents, CAST(sum(w * label) AS BIGINT) AS pos,
+        |    CAST(sum(w * (1 - label)) AS BIGINT) AS neg
+        |  FROM wtd GROUP BY 1, 2),
+        | run AS (SELECT rep, pos, neg, sum(neg) OVER (PARTITION BY rep
+        |    ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumneg
+        |  FROM byv)
+        |SELECT rep, CAST(sum(pos) AS BIGINT) AS n_pos_w,
+        | CAST(sum(neg) AS BIGINT) AS n_neg_w,
+        | CAST((CAST(sum(pos * (cumneg - neg) * 2 + pos * neg) AS BIGINT)
+        |   * 500000) // (CAST(sum(pos) AS BIGINT) * CAST(sum(neg) AS BIGINT))
+        |   AS BIGINT) AS auc_e6
+        |FROM run GROUP BY rep ORDER BY rep""".stripMargin,
     // six exact moments, then ONE mirrored double expression per
     // emitted statistic — sample (co)variances use the n-1 form
     "stats_ratio_delta_ci" ->

@@ -113,7 +113,10 @@ class PlanShapesSpec extends SparkSpec {
     // (counts only) for the ER metrics row; 1-row base-AUC attach for
     // the permutation-importance deltas
     "stats_anova_f", "ml_woe_bins", "search_eval_ndcg",
-    "er_blocking_metrics", "ml_perm_importance_frozen")
+    "er_blocking_metrics", "ml_perm_importance_frozen",
+    // 1-row integer-mean attach for the centered periodogram; 1-row
+    // theta/census attaches over the k<=64-bounded KMV sketches
+    "ts_periodogram_frozen", "sketch_theta_intersect")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -147,4 +147,33 @@ class GeoSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     got shouldBe want
   }
+
+  "Geo.pointInPolygon" should "replay the five half-plane tests per nation" in {
+    val pent = Geo.Pentagon
+    def inside(px: Long, py: Long): Boolean =
+      pent.zip(pent.tail :+ pent.head).forall { case ((ax, ay), (bx, by)) =>
+        (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0
+      }
+    // geometry sanity on known points: centroid in, far corner out
+    inside(5000, 5000) shouldBe true
+    inside(9999, 9999) shouldBe false
+    inside(0, 0) shouldBe false
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_nationkey",
+        "(c_custkey % 1048576) * 2654435761 % 10000 AS cx",
+        "(c_custkey % 1048576) * 2246822519 % 10000 AS cy")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2)))
+    val want = cust.groupBy(_._1).toSeq.sortBy(_._1).map { case (nat, g) =>
+      val in = g.count(p => inside(p._2, p._3)).toLong
+      (nat, g.length.toLong, in, 10000L * in / g.length)
+    }
+    val got = Geo.pointInPolygon(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    got shouldBe want
+    // the clip genuinely separates: both sides populated corpus-wide
+    got.map(_._3).sum should be > 0L
+    got.map(_._3).sum should be < cust.length.toLong
+  }
 }

@@ -93,4 +93,26 @@ class ReshapeOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     got shouldBe direct
   }
+
+  "RelationalExt.scalarLuhnCheck" should "agree with a digit-list Luhn reference" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // reference: textbook Luhn over the decimal string, not unrolled math
+    def luhn(pan: Long): Long =
+      pan.toString.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val dd = d * 2; dd / 10 + dd % 10 } else d
+      }.sum.toLong
+    val want = cust.groupBy(_._2).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val sums = g.map(c => luhn(4000000000000L + c._1 * 7919L))
+      (seg, g.length.toLong, sums.count(_ % 10 == 0).toLong, sums.sum)
+    }
+    val got = RelationalExt.scalarLuhnCheck(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // roughly a tenth of random PANs pass Luhn; both outcomes must bind
+    got.map(_._3).sum should be > 0L
+    got.map(_._3).sum should be < cust.length.toLong
+  }
 }

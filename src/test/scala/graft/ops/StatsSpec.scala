@@ -524,4 +524,46 @@ class StatsSpec extends SparkSpec {
       g._7 should be < g._8
     }
   }
+
+  behavior of "Stats.aucBootstrap (r13)"
+
+  it should "replay the weighted tie-aware U for spot replicates" in {
+    val scored = Sources.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(1) * 100)
+        val u = ((r.getLong(0) * 2654435761L) % 4294967296L) % 1000000L
+        val label = if (u < math.min(100000L + cents / 100, 900000L)) 1L else 0L
+        (r.getLong(0), cents, label)
+      }
+    def wOf(id: Long, rep: Long): Long = {
+      val u = ((id % 1048576L + rep * 7919L) * 2654435761L) % 1048576L
+      if (u < 385749L) 0L else if (u < 771499L) 1L else if (u < 964373L) 2L
+      else if (u < 1028665L) 3L else if (u < 1044738L) 4L else 5L
+    }
+    def aucRep(rep: Long): (Long, Long, Long) = {
+      val by = scored.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, g) =>
+        (g.map(t => wOf(t._1, rep) * t._3).sum,
+          g.map(t => wOf(t._1, rep) * (1 - t._3)).sum)
+      }
+      var cum = 0L; var u2 = 0L; var p = 0L; var ng = 0L
+      by.foreach { case (pos, neg) =>
+        u2 += pos * cum * 2 + pos * neg; cum += neg; p += pos; ng += neg
+      }
+      (p, ng, u2 * 500000L / (p * ng))
+    }
+    val got = Stats.aucBootstrap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got.map(_._1) shouldBe (0L until 16L)
+    Seq(0L, 7L, 15L).foreach { rep =>
+      val (p, ng, auc) = aucRep(rep)
+      val row = got(rep.toInt)
+      row._2 shouldBe p
+      row._3 shouldBe ng
+      row._4 shouldBe auc
+    }
+    // replicates spread around the point estimate but stay informative
+    got.map(_._4).distinct.size should be > 1
+    got.foreach(_._4 should (be > 500000L and be < 1000000L))
+  }
 }
