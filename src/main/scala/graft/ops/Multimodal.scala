@@ -1059,7 +1059,87 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Scene-cut detection (`mm_video_scene_cuts`, r13): walk the GVID
+    * container, decode EVERY frame's brightness sum with the real BMP
+    * codec, and flag a cut wherever the absolute frame-to-frame
+    * brightness delta exceeds the published threshold 900 — the
+    * first-pass shot segmentation every video-curation pipeline runs
+    * before sampling keyframes (cuts, not uniform stride, decide what
+    * a caption model sees). Unlike [[decodeVideoSampled]] this pass
+    * must decode every frame (a cut needs both neighbors) — the honest
+    * cost, noted against the sampled walker. Per-doc exact integers:
+    * frame count, cut count, max/sum of deltas.
+    */
+  def videoSceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutT = 900L
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val bytes = encodeVideo(id, nc)
+        def le32(off: Int): Int =
+          (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+            ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+        val nf = le32(4)
+        var off = 8
+        var prev = -1L
+        var nCuts = 0L; var maxD = 0L; var sumD = 0L
+        var f = 0
+        while (f < nf) {
+          val len = le32(off)
+          val (_, _, pixSum, _) = decodeBmp(
+            java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len))
+          if (prev >= 0) {
+            val dd = math.abs(pixSum - prev)
+            if (dd > cutT) nCuts += 1
+            if (dd > maxD) maxD = dd
+            sumD += dd
+          }
+          prev = pixSum
+          off += 4 + len
+          f += 1
+        }
+        (id, nf.toLong, nCuts, maxD, sumD)
+      })
+      .toDF("doc_id", "n_frames", "n_cuts", "max_diff", "sum_diff")
+      .orderBy("doc_id")
+  }
+
+  /** Silence trimming (`mm_audio_trim`, r13): the head/tail silence
+    * strip every ASR ingest runs before windowing — decode the real
+    * RIFF/WAVE bytes (chunk walk, LIST skip), classify samples silent
+    * at |v| < 100 (published), and report the leading/trailing silent
+    * runs plus the kept segment's census. All exact integers; the
+    * all-silent edge collapses to (lead = n, tail = 0, kept = 0) by
+    * published convention, mirrored in the oracle's coalesce.
+    */
+  def audioTrim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (_, samples) = wavSamples(encodeWav(id, nc))
+        val n = samples.length
+        val loud = samples.indices.filter(t => math.abs(samples(t)) >= 100)
+        if (loud.isEmpty) (id, n.toLong, n.toLong, 0L, 0L, 0L)
+        else {
+          val lead = loud.head.toLong
+          val tail = (n - 1 - loud.last).toLong
+          val kept = samples.slice(loud.head, loud.last + 1)
+          (id, n.toLong, lead, tail, kept.length.toLong,
+            kept.map(v => math.abs(v).toLong).sum)
+        }
+      })
+      .toDF("doc_id", "n_samples", "lead_trim", "tail_trim", "n_kept",
+        "kept_abs_sum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_scene_cuts" -> (videoSceneCuts _),
+    "mm_audio_trim" -> (audioTrim _),
     "mm_image_upsample" -> (imageUpsample _),
     "mm_image_histogram" -> (imageHistogram _),
     "mm_image_sobel" -> (imageSobel _),
@@ -1133,6 +1213,51 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // every frame's brightness sum, then a lag diff over the frame
+    // order — the cut threshold is the published constant 900
+    "mm_video_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h,
+        |    2 + n_chars % 7 AS nf FROM documents),
+        | f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM d),
+        | px AS (SELECT doc_id, nf, fi, doc_id + 1000003 * fi AS fk, w, h,
+        |    unnest(range(0, w * h)) AS p FROM f),
+        | fs AS (SELECT doc_id, nf, fi, CAST(sum(
+        |     (31 * fk + 7 * p + 11) % 256 + (17 * fk + 13 * p + 23) % 256
+        |     + (29 * fk + 19 * p + 31) % 256) AS BIGINT) AS pix_sum
+        |  FROM px GROUP BY 1, 2, 3),
+        | dd AS (SELECT doc_id, nf,
+        |    abs(pix_sum - lag(pix_sum) OVER (PARTITION BY doc_id
+        |      ORDER BY fi)) AS diff
+        |  FROM fs)
+        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        | CAST(sum(CASE WHEN diff > 900 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_cuts,
+        | CAST(coalesce(max(diff), 0) AS BIGINT) AS max_diff,
+        | CAST(coalesce(sum(diff), 0) AS BIGINT) AS sum_diff
+        |FROM dd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // head/tail silent runs from the min/max loud index; the all-silent
+    // convention (lead = n, tail = 0, kept = 0) mirrors the engine
+    "mm_audio_trim" ->
+      """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n FROM documents),
+        | t AS (SELECT doc_id, n, unnest(range(0, n)) AS t FROM d),
+        | sam AS (SELECT doc_id, n, t,
+        |    (13 * doc_id + 7 * t + 3) % 2001 - 1000 AS amp FROM t),
+        | loud AS (SELECT doc_id, min(t) AS lo, max(t) AS hi
+        |  FROM sam WHERE abs(amp) >= 100 GROUP BY 1),
+        | base AS (SELECT doc_id, max(n) AS n FROM sam GROUP BY 1),
+        | kept AS (SELECT sam.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(abs(amp)) AS BIGINT) AS kept_abs_sum
+        |  FROM sam JOIN loud ON sam.doc_id = loud.doc_id
+        |   AND sam.t BETWEEN loud.lo AND loud.hi GROUP BY 1)
+        |SELECT base.doc_id, CAST(base.n AS BIGINT) AS n_samples,
+        | CAST(coalesce(loud.lo, base.n) AS BIGINT) AS lead_trim,
+        | CAST(coalesce(base.n - 1 - loud.hi, 0) AS BIGINT) AS tail_trim,
+        | CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST(coalesce(kept.kept_abs_sum, 0) AS BIGINT) AS kept_abs_sum
+        |FROM base LEFT JOIN loud ON base.doc_id = loud.doc_id
+        |LEFT JOIN kept ON base.doc_id = kept.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     // separable axis weights (2·1{dx=0} on even coords, 1 on odd)
     // replay the 4/2/1 midpoint-bilinear lattice; clamped corner
     // indices carry weight 0, so the clamp never changes a value

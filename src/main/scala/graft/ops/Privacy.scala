@@ -84,6 +84,47 @@ object Privacy {
     * (year, priority) cell + two-sided geometric noise, clamped at 0
     * (post-processing keeps DP guarantees).
     */
+  /** Exponential-mechanism median release (`priv_dp_median`, r13): the
+    * DP primitive for NON-additive statistics — counts/means add noise
+    * to a number, but a median must be SELECTED, and the exponential
+    * mechanism selects candidate v with weight ∝ exp(ε·u(v)/2) for the
+    * standard median utility u(v) = −|#{x<v} − #{x>v}| (sensitivity 1).
+    * The frozen twin replaces the Gumbel-max draw with the family's
+    * published hash perturbation ([[dpCounts]]' derandomization
+    * discipline): pick argmax over candidates of score = 2¹⁰·u(v) +
+    * (Knuth(v) mod 2¹⁰) — the hash tie-breaks within a ±512 utility
+    * band exactly like a bounded noise draw, and the whole release
+    * sits under the hash gate (a sampled mechanism could only ever be
+    * rows-only). Candidates = distinct whole-dollar totals; below/above
+    * counts come from ONE [[graft.ops.Prefix]] two-pass (never a global
+    * sort). Ships the released value next to the exact median and the
+    * achieved utility — the accuracy audit a DP deployment publishes.
+    */
+  def dpMedian(s: SparkSession, d: String): DataFrame = {
+    val byV = Sources.orders(s, d)
+      .select(round(col("o_totalprice")).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val run = graft.ops.Prefix.running(byV, Seq(col("v")),
+      sums = Seq((col("c"), "cum")))
+    val tot = run.agg(sum("c").as("n"))
+    val scored = run.crossJoin(broadcast(tot))
+      .withColumn("below", col("cum") - col("c"))
+      .withColumn("above", col("n") - col("cum"))
+      .withColumn("u", -abs(col("below") - col("above")))
+      .withColumn("h", pmod(pmod(col("v"), lit(1048576L)) *
+        lit(2654435761L), lit(1024L)))
+      .withColumn("score", col("u") * 1024L + col("h"))
+    val isMed = col("below") <= expr("n div 2") && col("above") <= expr("n div 2")
+    val pick = scored.agg(
+      max(struct(col("score"), col("v"), col("u"))).as("best"),
+      min(when(isMed, col("v"))).as("exact_lo"),
+      max(when(isMed, col("v"))).as("exact_hi"))
+    pick.crossJoin(broadcast(tot))
+      .select(col("n"), col("exact_lo"), col("exact_hi"),
+        col("best.v").as("dp_median"), col("best.u").as("utility"),
+        col("best.score").as("score"))
+  }
+
   def dpCounts(s: SparkSession, d: String): DataFrame = {
     val cells = Sources.orders(s, d)
       .select(year(col("o_orderdate").cast("date")).cast("long").as("o_year"),
@@ -284,6 +325,7 @@ object Privacy {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_cell_suppression" -> (cellSuppression _),
+    "priv_dp_median" -> (dpMedian _),
     "priv_t_closeness" -> (tCloseness _),
     "priv_rr_frequency" -> (rrFrequency _),
     "priv_k_anonymity" -> (kAnonymity _),
@@ -300,6 +342,29 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the argmax runs over (score, v, u) lexicographically in both
+    // engines; the hash perturbation and the median band replay exactly
+    "priv_dp_median" ->
+      """WITH byv AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS v,
+        |   CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        | run AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+        | tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM byv),
+        | sc AS (SELECT v, cum - c AS below, n - cum AS above,
+        |    -abs((cum - c) - (n - cum)) AS u,
+        |    ((v % 1048576) * 2654435761) % 1024 AS h
+        |  FROM run CROSS JOIN tot),
+        | s2 AS (SELECT v, u, u * 1024 + h AS score, below, above FROM sc),
+        | best AS (SELECT v, u, score FROM s2
+        |   ORDER BY score DESC, v DESC LIMIT 1),
+        | med AS (SELECT CAST(min(CASE WHEN below <= n // 2
+        |     AND above <= n // 2 THEN v END) AS BIGINT) AS exact_lo,
+        |    CAST(max(CASE WHEN below <= n // 2 AND above <= n // 2
+        |      THEN v END) AS BIGINT) AS exact_hi
+        |  FROM s2 CROSS JOIN tot)
+        |SELECT n, exact_lo, exact_hi, best.v AS dp_median,
+        | best.u AS utility, best.score AS score
+        |FROM tot CROSS JOIN med CROSS JOIN best""".stripMargin,
     // identical CASE order: a cell that is both the lone primary AND
     // rank-1 stays 'primary' — the first branch wins in both engines
     "priv_cell_suppression" ->

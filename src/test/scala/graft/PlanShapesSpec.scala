@@ -116,7 +116,9 @@ class PlanShapesSpec extends SparkSpec {
     "er_blocking_metrics", "ml_perm_importance_frozen",
     // 1-row integer-mean attach for the centered periodogram; 1-row
     // theta/census attaches over the k<=64-bounded KMV sketches
-    "ts_periodogram_frozen", "sketch_theta_intersect")
+    "ts_periodogram_frozen", "sketch_theta_intersect",
+    // 1-row total-count attach for the median utility band
+    "priv_dp_median")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

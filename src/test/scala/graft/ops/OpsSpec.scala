@@ -599,4 +599,56 @@ class OpsSpec extends SparkSpec {
     got shouldBe want
     got.foreach(_._5 should be <= 4L * 765L) // x4 lattice bound
   }
+
+  "Multimodal.videoSceneCuts (r13)" should "replay the lag-diff census from the pixel formula" in {
+    def bright(fk: Long, p: Long): Long =
+      (31 * fk + 7 * p + 11) % 256 + (17 * fk + 13 * p + 23) % 256 +
+        (29 * fk + 19 * p + 31) % 256
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .orderBy("doc_id").limit(40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.map { case (id, nc) =>
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      val nf = (2 + nc % 7).toInt
+      val sums = (0 until nf).map { f =>
+        val fk = id + 1000003L * f
+        (0 until w * h).map(p => bright(fk, p)).sum
+      }
+      val diffs = sums.zip(sums.tail).map { case (a, b) => math.abs(b - a) }
+      (id, nf.toLong, diffs.count(_ > 900).toLong,
+        if (diffs.isEmpty) 0L else diffs.max, diffs.sum)
+    }.toSeq
+    val got = Multimodal.videoSceneCuts(spark, sfDir).orderBy("doc_id")
+      .limit(40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // the published threshold genuinely separates on the fixture
+    got.count(_._3 > 0) should (be > 0 and be < got.size)
+  }
+
+  "Multimodal.audioTrim (r13)" should "replay head/tail silent runs from the amp formula" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.map { case (id, nc) =>
+      val n = (50 + nc % 101).toInt
+      val amps = (0 until n).map(t => ((13 * id + 7 * t + 3) % 2001 - 1000))
+      val loud = amps.indices.filter(t => math.abs(amps(t)) >= 100)
+      if (loud.isEmpty) (id, n.toLong, n.toLong, 0L, 0L, 0L)
+      else {
+        val kept = amps.slice(loud.head, loud.last + 1)
+        (id, n.toLong, loud.head.toLong, (n - 1 - loud.last).toLong,
+          kept.length.toLong, kept.map(v => math.abs(v).toLong).sum)
+      }
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.audioTrim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // trims bind on the fixture at both ends
+    got.count(_._3 > 0) should be > 0
+    got.count(_._4 > 0) should be > 0
+  }
 }

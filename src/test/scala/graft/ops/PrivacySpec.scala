@@ -217,4 +217,32 @@ class PrivacySpec extends SparkSpec {
       .filter("flag = 'complementary'").count()
     comp01 shouldBe 2L
   }
+
+  "Privacy.dpMedian" should "replay the exponential-mechanism argmax and stay in the high-utility band" in {
+    val vs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice) AS LONG) AS v").collect()
+      .map(_.getLong(0))
+    val byV = vs.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val n = vs.length.toLong
+    var cum = 0L
+    val scored = byV.map { case (v, c) =>
+      val below = cum; cum += c
+      val above = n - cum
+      val u = -math.abs(below - above)
+      (v, below, above, u, u * 1024L + ((v % 1048576L) * 2654435761L) % 1024L)
+    }
+    val best = scored.maxBy(t => (t._5, t._1))
+    val med = scored.filter(t => t._2 <= n / 2 && t._3 <= n / 2)
+    val row = Privacy.dpMedian(spark, sfDir).collect().head
+    row.getLong(0) shouldBe n
+    row.getLong(1) shouldBe med.map(_._1).min
+    row.getLong(2) shouldBe med.map(_._1).max
+    row.getLong(3) shouldBe best._1
+    row.getLong(4) shouldBe best._4
+    row.getLong(5) shouldBe best._5
+    // the hash perturbation can only move the pick inside a +-512
+    // utility band around the true median's utility
+    row.getLong(4) should be >= -1024L
+  }
 }
