@@ -317,6 +317,55 @@ object Ml {
       .orderBy("feature")
   }
 
+  /** Split-conformal prediction interval (`ml_conformal_frozen`, r13):
+    * the distribution-free uncertainty wrapper modern ML serving puts
+    * around ANY point predictor — here the published linear rule
+    * ŷ = 3600·(items per order) dollars (deliberately crude: conformal
+    * calibration guarantees ≥ 90 % coverage REGARDLESS of fit quality,
+    * which is the whole point and what the test split verifies). The
+    * hash split (Knuth parity) sends half the orders to calibration;
+    * the conformal quantile is the k = ⌈0.9·(n_c+1)⌉-th smallest
+    * absolute residual — an EXACT order statistic found by one keyed
+    * count + one [[Prefix]] running sum + a min-over-qualifying filter,
+    * never a sort (the AUC-rank machinery); coverage on the held-out
+    * split ships as an exact e6 share. Everything whole-dollar
+    * integers.
+    */
+  def conformalFrozen(s: SparkSession, d: String): DataFrame = {
+    val items = Sources.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("x"))
+    val t = Sources.orders(s, d)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice")).cast("long").as("y"))
+      .join(items, Seq("o_orderkey"))
+      .withColumn("calib",
+        pmod(pmod(col("o_orderkey"), lit(1048576L)) * lit(2654435761L),
+          lit(2L)) === 0L)
+      .withColumn("resid", abs(col("y") - lit(3600L) * col("x")))
+    val pinned = graft.io.Checkpoints.pin(t, eager = false)
+    val byR = pinned.filter(col("calib"))
+      .groupBy("resid").agg(count(lit(1)).as("c"))
+    val run = Prefix.running(byR, Seq(col("resid")),
+      sums = Seq((col("c"), "cum")))
+    val nc = run.agg(sum("c").as("n_calib"))
+    val q = run.crossJoin(broadcast(nc))
+      .withColumn("k_order", expr("((n_calib + 1) * 9 + 9) div 10"))
+      .filter(col("cum") >= col("k_order"))
+      .agg(min(struct(col("resid"), col("n_calib"), col("k_order")))
+        .as("qrow"))
+      .select(col("qrow.n_calib").as("n_calib"),
+        col("qrow.k_order").as("k_order"), col("qrow.resid").as("q_resid"))
+    pinned.filter(!col("calib")).crossJoin(broadcast(q))
+      .agg(max("n_calib").as("n_calib"), max("k_order").as("k_order"),
+        max("q_resid").as("q_resid"), count(lit(1)).as("n_test"),
+        sum(when(col("resid") <= col("q_resid"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_calib"), col("k_order"), col("q_resid"), col("n_test"),
+        col("n_covered"),
+        expr("(n_covered * 1000000L) div n_test").as("coverage_e6"))
+  }
+
   /** The confusion aggregate shared by the trained and frozen scorers. */
   private def confusionOf(scored: DataFrame): DataFrame =
     scored.agg(
@@ -631,6 +680,7 @@ object Ml {
     "ml_logreg_eval" -> (logregEval _),
     "ml_logreg_score_frozen" -> (logregScoreFrozen _),
     "ml_perm_importance_frozen" -> (permImportanceFrozen _),
+    "ml_conformal_frozen" -> (conformalFrozen _),
     "ml_logreg_eval_frozen" -> (logregEvalFrozen _),
     "ml_calibration_frozen" -> (logregCalibrationFrozen _),
   )
@@ -828,6 +878,33 @@ object Ml {
         |  CAST((10000 * n_docs) // tn AS BIGINT) AS share_bp
         |FROM cells JOIN tot ON cells.lang = tot.lang
         |ORDER BY cells.lang, predicted_lang""".stripMargin,
+    // the conformal order statistic replays through the same running-sum
+    // rank; ceil(0.9(n+1)) is the published integer formula
+    "ml_conformal_frozen" ->
+      """WITH items AS (SELECT l_orderkey AS o_orderkey,
+        |   CAST(count(*) AS BIGINT) AS x FROM lineitem GROUP BY 1),
+        | t AS (SELECT o_orderkey, x,
+        |    ((o_orderkey % 1048576) * 2654435761) % 2 = 0 AS calib,
+        |    abs(CAST(round(o_totalprice) AS BIGINT) - 3600 * x) AS resid
+        |  FROM orders JOIN items USING (o_orderkey)),
+        | byr AS (SELECT resid, CAST(count(*) AS BIGINT) AS c FROM t
+        |  WHERE calib GROUP BY 1),
+        | run AS (SELECT resid, c, CAST(sum(c) OVER (ORDER BY resid
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byr),
+        | nc AS (SELECT CAST(sum(c) AS BIGINT) AS n_calib FROM byr),
+        | q AS (SELECT n_calib,
+        |    CAST(((n_calib + 1) * 9 + 9) // 10 AS BIGINT) AS k_order,
+        |    CAST(min(CASE WHEN cum >= ((n_calib + 1) * 9 + 9) // 10
+        |      THEN resid END) AS BIGINT) AS q_resid
+        |  FROM run CROSS JOIN nc GROUP BY 1)
+        |SELECT q.n_calib, q.k_order, q.q_resid,
+        | CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN t.resid <= q.q_resid THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_covered,
+        | CAST((sum(CASE WHEN t.resid <= q.q_resid THEN 1 ELSE 0 END)
+        |   * 1000000) // count(*) AS BIGINT) AS coverage_e6
+        |FROM t CROSS JOIN q WHERE NOT t.calib
+        |GROUP BY 1, 2, 3""".stripMargin,
     // same featurization/teacher as the frozen scorer; the cyclic-shift
     // donor join and per-variant tie-aware U replay the whole pipeline
     "ml_perm_importance_frozen" ->

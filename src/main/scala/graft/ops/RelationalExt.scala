@@ -682,7 +682,40 @@ object RelationalExt {
       .orderBy("c_mktsegment")
   }
 
+  /** IPv4 parse/validate census (`scalar_ipv4_parse`, r13): the
+    * log-ingest cleaning kernel — synthetic dotted-quad strings derive
+    * from the customer key with the FIRST octet drawn on a 0..299
+    * domain (so ~15 % of rows carry an out-of-range octet, the real
+    * dirty-feed shape), then the string is parsed BACK (split + cast —
+    * the round trip through the string domain is the point: the
+    * parser, not the generator, is under test), octets validated
+    * against 0..255, and the valid population censused per segment
+    * with the RFC-1918 10/8 private-range flag. Pure string/integer
+    * expressions, codegen'd, no UDF.
+    */
+  def scalarIpv4Parse(s: SparkSession, d: String): DataFrame = {
+    val ip = concat_ws(".",
+      (col("c_custkey") * 31L % 300L).cast("string"),
+      (col("c_custkey") * 17L % 256L).cast("string"),
+      (col("c_custkey") * 13L % 256L).cast("string"),
+      (col("c_custkey") * 7L % 256L).cast("string"))
+    val parts = split(col("ip"), "\\.")
+    def oct(i: Int): Column = parts.getItem(i).cast("long")
+    Sources.customer(s, d)
+      .select(col("c_mktsegment"), ip.as("ip"))
+      .withColumn("valid",
+        oct(0) <= 255L && oct(1) <= 255L && oct(2) <= 255L && oct(3) <= 255L)
+      .withColumn("priv10", col("valid") && oct(0) === 10L)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("valid").cast("long")).as("n_valid"),
+        sum(col("priv10").cast("long")).as("n_private10"),
+        sum(when(col("valid"), oct(3)).otherwise(0L)).as("sum_o4"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_ipv4_parse" -> (scalarIpv4Parse _),
     "scalar_luhn_check" -> (scalarLuhnCheck _),
     "scalar_business_days" -> (scalarBusinessDays _),
     "pivot_unpivot_quarters" -> (unpivotQuarters _),
@@ -731,6 +764,29 @@ object RelationalExt {
        |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // generate the dotted string, then parse it back — split + cast,
+    // validation and the 10/8 flag replay on the parsed octets
+    "scalar_ipv4_parse" ->
+      """WITH g AS (SELECT c_mktsegment,
+        |   CAST(c_custkey * 31 % 300 AS VARCHAR) || '.' ||
+        |   CAST(c_custkey * 17 % 256 AS VARCHAR) || '.' ||
+        |   CAST(c_custkey * 13 % 256 AS VARCHAR) || '.' ||
+        |   CAST(c_custkey * 7 % 256 AS VARCHAR) AS ip FROM customer),
+        | p AS (SELECT c_mktsegment,
+        |    CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+        |    CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+        |    CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+        |    CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+        |  FROM g),
+        | v AS (SELECT c_mktsegment,
+        |    o1 <= 255 AND o2 <= 255 AND o3 <= 255 AND o4 <= 255 AS valid,
+        |    o1 = 10 AS is10, o4 FROM p)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        | CAST(sum(CASE WHEN valid AND is10 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_private10,
+        | CAST(sum(CASE WHEN valid THEN o4 ELSE 0 END) AS BIGINT) AS sum_o4
+        |FROM v GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     // 16 unrolled digit positions, doubling folded as 2d//10 + 2d%10
     "scalar_luhn_check" ->
       s"""WITH p AS (SELECT c_mktsegment,

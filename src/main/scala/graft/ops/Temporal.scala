@@ -819,6 +819,36 @@ object Temporal {
       .orderBy("k")
   }
 
+  /** Local-peak detection (`ts_peak_days`, r13): days whose revenue
+    * strictly exceeds both calendar-adjacent observations AND clears
+    * 150 % of the integer corpus mean — the campaign-spike / anomaly
+    * shortlist a revenue dashboard surfaces. Scale-free by
+    * construction: the prominence floor is 3·(Σx div n) div 2, so the
+    * same published rule binds at any SF. One daily keyed agg, one
+    * day-ordered lag/lead window over the calendar-bounded series
+    * (≤ 3.7k rows), one 1-row mean attach; day ships as a formatted
+    * string (the driver dtype rule). Exact integers throughout.
+    */
+  def peakDays(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice")).cast("long").as("x"))
+      .groupBy("day").agg(sum("x").as("v"))
+    val m = daily.agg(sum("v").as("sv"), count(lit(1)).as("nd"))
+      .select(expr("(3L * (sv div nd)) div 2").as("floor150"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("pv", lag("v", 1).over(w))
+      .withColumn("nv", lead("v", 1).over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("pv").isNotNull && col("nv").isNotNull &&
+        col("v") > col("pv") && col("v") > col("nv") &&
+        col("v") > col("floor150"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("v"),
+        (col("v") - col("floor150")).as("excess"))
+      .orderBy("day")
+  }
+
   def drawdown(s: SparkSession, d: String): DataFrame = {
     val daily = Sources.orders(s, d)
       .select(col("o_orderpriority").as("prio"),
@@ -1093,6 +1123,7 @@ object Temporal {
     "ts_ohlc_bars" -> (ohlcBars _),
     "ts_drawdown" -> (drawdown _),
     "ts_periodogram_frozen" -> (periodogramFrozen _),
+    "ts_peak_days" -> (peakDays _),
     "ts_clamped_balance" -> (clampedBalance _),
     "ts_twap" -> (twap _),
     "ts_theil_sen" -> (theilSen _),
@@ -1241,6 +1272,24 @@ object Temporal {
         |JOIN daily o ON o.prio = bars.prio AND o.day = bars.open_day
         |JOIN daily c ON c.prio = bars.prio AND c.day = bars.close_day
         |ORDER BY bars.prio, bars.month""".stripMargin,
+    // strict 3-point local max + the scale-free 150%-of-integer-mean
+    // prominence floor, all exact integers
+    "ts_peak_days" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        | m AS (SELECT CAST((3 * (sum(v) // count(*))) // 2 AS BIGINT)
+        |    AS floor150 FROM daily),
+        | lagd AS (SELECT day, v,
+        |    lag(v) OVER (ORDER BY day) AS pv,
+        |    lead(v) OVER (ORDER BY day) AS nv
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, v,
+        | CAST(v - floor150 AS BIGINT) AS excess
+        |FROM lagd CROSS JOIN m
+        |WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+        | AND v > floor150
+        |ORDER BY day""".stripMargin,
     // the 7 phase constants are published integers; harmonic k reads
     // the same table at phase (k*t) mod 7 — no trig in the hash path
     "ts_periodogram_frozen" ->

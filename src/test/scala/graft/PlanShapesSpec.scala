@@ -118,7 +118,10 @@ class PlanShapesSpec extends SparkSpec {
     // theta/census attaches over the k<=64-bounded KMV sketches
     "ts_periodogram_frozen", "sketch_theta_intersect",
     // 1-row total-count attach for the median utility band
-    "priv_dp_median")
+    "priv_dp_median",
+    // 1-row prominence-floor attach over the calendar-bounded dailies;
+    // 1-row conformal-quantile attach against the test split
+    "ts_peak_days", "ml_conformal_frozen")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
@@ -140,7 +143,10 @@ class PlanShapesSpec extends SparkSpec {
       "ml_isotonic_frozen",
       // cumulative gain over the 10-row rank-decile rollup (r13) —
       // the decile dimension again, post-aggregate
-      "ml_lift_deciles")
+      "ml_lift_deciles",
+      // lag/lead over the CALENDAR-bounded daily series (≤3.7k rows —
+      // the ts_theil_sen bound), not a corpus-growing input
+      "ts_peak_days")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

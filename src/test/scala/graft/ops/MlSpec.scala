@@ -256,4 +256,33 @@ class MlSpec extends SparkSpec {
     got.maxBy(_._4)._1 shouldBe "log_len"
     got.foreach(t => t._2 should be >= 500000L)
   }
+
+  "Ml.conformalFrozen" should "replay the conformal order statistic and hit ~90% coverage" in {
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice) AS LONG) AS y")
+      .collect().flatMap { r =>
+        items.get(r.getLong(0)).map { x =>
+          val calib = ((r.getLong(0) % 1048576L) * 2654435761L) % 2L == 0L
+          (calib, math.abs(r.getLong(1) - 3600L * x))
+        }
+      }
+    val calibR = rows.filter(_._1).map(_._2).sorted
+    val nc = calibR.length.toLong
+    val k = ((nc + 1) * 9 + 9) / 10
+    val q = calibR((k - 1).toInt)
+    val test = rows.filterNot(_._1).map(_._2)
+    val covered = test.count(_ <= q).toLong
+    val row = Ml.conformalFrozen(spark, sfDir).collect().head
+    row.getLong(0) shouldBe nc
+    row.getLong(1) shouldBe k
+    row.getLong(2) shouldBe q
+    row.getLong(3) shouldBe test.length.toLong
+    row.getLong(4) shouldBe covered
+    row.getLong(5) shouldBe covered * 1000000L / test.length
+    // the distribution-free guarantee: coverage lands near the 90% target
+    row.getLong(5) should (be > 850000L and be < 960000L)
+  }
 }

@@ -115,4 +115,29 @@ class ReshapeOpsSpec extends SparkSpec {
     got.map(_._3).sum should be > 0L
     got.map(_._3).sum should be < cust.length.toLong
   }
+
+  "RelationalExt.scalarIpv4Parse" should "replay parse + validation from the string domain" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = cust.groupBy(_._2).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val parsed = g.map { case (c, _) =>
+        // reference path: build the string, then parse it back
+        val ip = s"${c * 31 % 300}.${c * 17 % 256}.${c * 13 % 256}.${c * 7 % 256}"
+        val o = ip.split("\\.").map(_.toLong)
+        (o(0) <= 255 && o(1) <= 255 && o(2) <= 255 && o(3) <= 255,
+          o(0) == 10L, o(3))
+      }
+      (seg, g.length.toLong, parsed.count(_._1).toLong,
+        parsed.count(p => p._1 && p._2).toLong,
+        parsed.filter(_._1).map(_._3).sum)
+    }
+    val got = RelationalExt.scalarIpv4Parse(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // the 0..299 first-octet domain makes ~15% invalid — both bind
+    val (n, nv) = (got.map(_._2).sum, got.map(_._3).sum)
+    nv should (be > 0L and be < n)
+  }
 }

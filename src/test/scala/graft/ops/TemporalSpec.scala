@@ -524,4 +524,25 @@ class TemporalSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => g._5 shouldBe w._5 +- 1e-6 }
     got.foreach(_._5 should be > 0.0)
   }
+
+  "Temporal.peakDays" should "replay the 3-point local-max rule with the 150% floor" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("x").as("v"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val floor = 3L * (daily.map(_._2).sum / daily.length) / 2L
+    val want = daily.indices.drop(1).dropRight(1).flatMap { i =>
+      val v = daily(i)._2
+      if (v > daily(i - 1)._2 && v > daily(i + 1)._2 && v > floor)
+        Some((daily(i)._1, v, v - floor))
+      else None
+    }
+    val got = Temporal.peakDays(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    got should not be empty
+    got.foreach(_._3 should be > 0L)
+  }
 }
