@@ -752,7 +752,38 @@ object Stats {
       .orderBy("rep")
   }
 
+  /** Count overdispersion profile (`stats_overdispersion`, r13): the
+    * dispersion diagnostics for per-customer order counts by priority —
+    * the modeling gate every count-valued pipeline runs BEFORE choosing
+    * Poisson vs negative-binomial (dispersion index var/mean = 1 under
+    * Poisson; > 1 demands NB), plus the NB method-of-moments size
+    * r̂ = m²/(v − m). Two stacked keyed aggs (customer grain → priority
+    * grain) with exact BIGINT count moments; mean/var/index/r̂ are ONE
+    * mirrored double expression each, rounded 6 (the n−1 sample form;
+    * r̂ is NULL-free because the under-dispersed branch ships the
+    * documented −1 sentinel instead of a NULL dtype hazard).
+    */
+  def overdispersion(s: SparkSession, d: String): DataFrame = {
+    val c = Sources.orders(s, d)
+      .groupBy(col("o_orderpriority").as("grp"), col("o_custkey"))
+      .agg(count(lit(1)).as("k"))
+    val g = c.groupBy("grp").agg(count(lit(1)).as("n_cust"),
+      sum("k").as("sk"), sum(col("k") * col("k")).as("skk"))
+    def D(cc: Column): Column = cc.cast("double")
+    val m = D(col("sk")) / D(col("n_cust"))
+    val v = (D(col("skk")) - D(col("sk")) * D(col("sk")) / D(col("n_cust"))) /
+      (D(col("n_cust")) - 1.0)
+    g.select(col("grp"), col("n_cust"), col("sk"), col("skk"),
+        roundNorm(m, 6).as("mean_k"),
+        roundNorm(v, 6).as("var_k"),
+        roundNorm(v / m, 6).as("dispersion"),
+        when(v > m, roundNorm(m * m / (v - m), 6)).otherwise(lit(-1.0))
+          .as("nb_r"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_overdispersion" -> (overdispersion _),
     "ml_auc_bootstrap" -> (aucBootstrap _),
     "stats_ratio_delta_ci" -> (ratioDeltaCi _),
     "agg_mean_family" -> (meanFamily _),
@@ -773,6 +804,26 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // customer-grain counts then priority-grain moments; the v > m
+    // branch and the -1 sentinel mirror exactly
+    "stats_overdispersion" ->
+      """WITH c AS (SELECT o_orderpriority AS grp, o_custkey,
+        |   CAST(count(*) AS BIGINT) AS k FROM orders GROUP BY 1, 2),
+        | g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(k) AS BIGINT) AS sk,
+        |    CAST(sum(k * k) AS BIGINT) AS skk
+        |  FROM c GROUP BY 1),
+        | f AS (SELECT *, sk::DOUBLE / n_cust::DOUBLE AS m,
+        |    (skk::DOUBLE - sk::DOUBLE * sk::DOUBLE / n_cust::DOUBLE)
+        |      / (n_cust::DOUBLE - 1.0) AS v
+        |  FROM g)
+        |SELECT grp, n_cust, sk, skk,
+        | round(m, 6) + 0.0 AS mean_k,
+        | round(v, 6) + 0.0 AS var_k,
+        | round(v / m, 6) + 0.0 AS dispersion,
+        | CASE WHEN v > m THEN round(m * m / (v - m), 6) + 0.0
+        |   ELSE -1.0 END AS nb_r
+        |FROM f ORDER BY grp""".stripMargin,
     // the replicate dimension unnests oracle-side; weights, the running
     // negatives, and the weighted U identity replay exactly
     "ml_auc_bootstrap" ->

@@ -819,6 +819,43 @@ object Temporal {
       .orderBy("k")
   }
 
+  /** Haar wavelet detail energy (`ts_haar_energy`, r13): the multi-
+    * resolution change profile of daily revenue — at level L the detail
+    * coefficient of dyadic window w is Σ(left half) − Σ(right half) of
+    * the 2^L-day block, and the per-level energy Σd² localizes WHERE
+    * variance lives (L=1 day-to-day noise, L=3 week-ish swings) — the
+    * complement to [[periodogramFrozen]]'s global frequencies. Exact
+    * by construction: no irrational filter coefficients exist in the
+    * Haar basis, so the whole transform is integer sign-sums on the
+    * hundred-dollar lattice (v div 100, keeping Σd² < 2⁶³ to ~10⁹
+    * daily-hundred-dollars); absent days contribute 0 implicitly
+    * (windows group by t div 2^L — no gap-fill pass), and partial tail
+    * windows are included as-is (published convention). Plan: one
+    * daily keyed agg, a 1-row min-date attach, a 3-row level explode,
+    * one (level, window)-keyed agg + a 3-key rollup.
+    */
+  def haarEnergy(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice")).cast("long").as("x"))
+      .groupBy("day").agg(expr("sum(x) div 100").as("h"))
+    val t0 = daily.agg(min("day").as("d0"))
+    val lv = daily.crossJoin(broadcast(t0))
+      .withColumn("t", datediff(col("day"), col("d0")).cast("long"))
+      .withColumn("lvl", explode(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("blk", expr(
+        "CASE WHEN lvl = 1 THEN 2L WHEN lvl = 2 THEN 4L ELSE 8L END"))
+      .withColumn("w", expr("t div blk"))
+      .withColumn("sgn",
+        when(expr("(t % blk) < (blk div 2)"), 1L).otherwise(-1L))
+    lv.groupBy("lvl", "w").agg(sum(col("sgn") * col("h")).as("dcoef"))
+      .groupBy("lvl").agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("dcoef") * col("dcoef")).as("energy"),
+        max(abs(col("dcoef"))).as("max_abs"))
+      .orderBy("lvl")
+  }
+
   /** Local-peak detection (`ts_peak_days`, r13): days whose revenue
     * strictly exceeds both calendar-adjacent observations AND clears
     * 150 % of the integer corpus mean — the campaign-spike / anomaly
@@ -1124,6 +1161,7 @@ object Temporal {
     "ts_drawdown" -> (drawdown _),
     "ts_periodogram_frozen" -> (periodogramFrozen _),
     "ts_peak_days" -> (peakDays _),
+    "ts_haar_energy" -> (haarEnergy _),
     "ts_clamped_balance" -> (clampedBalance _),
     "ts_twap" -> (twap _),
     "ts_theil_sen" -> (theilSen _),
@@ -1272,6 +1310,28 @@ object Temporal {
         |JOIN daily o ON o.prio = bars.prio AND o.day = bars.open_day
         |JOIN daily c ON c.prio = bars.prio AND c.day = bars.close_day
         |ORDER BY bars.prio, bars.month""".stripMargin,
+    // integer Haar: sign-sums on the hundred-dollar lattice, dyadic
+    // windows keyed by t div 2^L, partial tails included as-is
+    "ts_haar_energy" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(sum(CAST(round(o_totalprice) AS BIGINT)) // 100 AS BIGINT)
+        |     AS h
+        |  FROM orders GROUP BY 1),
+        | t0 AS (SELECT min(day) AS d0 FROM daily),
+        | dt AS (SELECT h, CAST(datediff('day', d0, day) AS BIGINT) AS t
+        |  FROM daily CROSS JOIN t0),
+        | lv AS (SELECT h, t, CAST(unnest([1, 2, 3]) AS BIGINT) AS lvl
+        |  FROM dt),
+        | sg AS (SELECT lvl, t // (1 << lvl) AS w,
+        |    CASE WHEN t % (1 << lvl) < (1 << (lvl - 1)) THEN h ELSE -h END
+        |      AS sh
+        |  FROM lv),
+        | dc AS (SELECT lvl, w, CAST(sum(sh) AS BIGINT) AS dcoef
+        |  FROM sg GROUP BY 1, 2)
+        |SELECT lvl, CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(dcoef * dcoef) AS BIGINT) AS energy,
+        | CAST(max(abs(dcoef)) AS BIGINT) AS max_abs
+        |FROM dc GROUP BY 1 ORDER BY lvl""".stripMargin,
     // strict 3-point local max + the scale-free 150%-of-integer-mean
     // prominence floor, all exact integers
     "ts_peak_days" ->

@@ -1238,6 +1238,63 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Frozen-minhash blocking metrics (`dedup_minhash_metrics`, r13):
+    * the [[graft.ops.EntityRes.blockingMetrics]] discipline applied to
+    * the near-dup family — reduction ratio and pairs completeness of a
+    * PUBLISHED minhash banding, measured against the exact-Jaccard
+    * truth. The twin swaps xxhash64 for the published polynomial
+    * shingle hash (the [[dedupSimHashFrozen]] fold, mod 2⁴⁰) and 8
+    * published affine minhashes h_i = (31+2i)·x + (7+13i) mod 10⁹+7 in
+    * 4 bands of 2, so the ENTIRE banding trajectory — signatures, band
+    * keys, the candidate census — replays in DuckDB. Truth engine-side
+    * is [[dedupMinHashLsh]]'s verified pair table (recall-complete —
+    * its own oracle is the un-blocked all-pairs scan); oracle-side it
+    * is recomputed un-blocked, so n_truth doubles as a recall re-proof
+    * while completeness_e6 measures the FROZEN 8-hash banding honestly
+    * (4 bands of 2 catch J = 0.8 with p ≈ 0.983 — a miss is a
+    * measurement, not a bug; the trained 16-hash twin is the
+    * production recall path). Candidate generation stays a band
+    * equi-join — never all-pairs — at any corpus size.
+    */
+  def dedupMinhashMetrics(s: SparkSession, d: String): DataFrame = {
+    val polySets = Sources.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("__w"))
+      .select(col("doc_id"), array_distinct(
+        transform(Dedup.wordShingles(col("__w")),
+          sh => aggregate(
+            transform(split(sh, ""), c => ascii(c).cast("long")),
+            lit(0L), (a, x) => (a * 31L + x) % (1L << 40)))).as("hset"))
+    val mh = (0 until 8).map { i =>
+      array_min(transform(col("hset"),
+        h => (h * lit(31L + 2L * i) + lit(7L + 13L * i)) % 1000000007L))
+        .as(s"mh_$i")
+    }
+    val sigs = polySets.select(col("doc_id") +: mh: _*)
+    val bd = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        (col(s"mh_${2 * b}") * 1000003L + col(s"mh_${2 * b + 1}")) %
+          (1L << 40)): _*)).as(Seq("bi", "bk")))
+    val cand = bd.select(col("bi"), col("bk"), col("doc_id").as("id_a"))
+      .join(bd.select(col("bi"), col("bk"), col("doc_id").as("id_b")),
+        Seq("bi", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val truth = dedupMinHashLsh(s, d).select("id_a", "id_b")
+    val nCov = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_covered"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nDocs = polySets.agg(count(lit(1)).as("n_docs"))
+    nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTruth))
+      .crossJoin(broadcast(nCov))
+      .withColumn("n_all_pairs", expr("(n_docs * (n_docs - 1)) div 2"))
+      .select(col("n_docs"), col("n_all_pairs"), col("n_candidates"),
+        col("n_truth"), col("n_covered"),
+        expr("(n_covered * 1000000L) div n_truth").as("completeness_e6"),
+        expr("((n_all_pairs - n_candidates) * 1000000L) div n_all_pairs")
+          .as("reduction_e6"))
+  }
+
   /** Generated oracle for [[dedupSimHashFrozen]] — the 32 bit-vote
     * columns and the signature assembly are emitted from the same
     * constants the engine uses.
@@ -1273,6 +1330,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_frozen" -> (dedupSimHashFrozen _),
+    "dedup_minhash_metrics" -> (dedupMinhashMetrics _),
     "text_readability" -> (textReadability _),
     "text_hapax" -> (textHapax _),
     "text_dup_spans" -> (dupSpans _),
@@ -1339,6 +1397,49 @@ object TextOps {
     * an ORACLE (it runs in DuckDB on the small fixture); the Spark
     * queries it checks never do all-pairs work.
     */
+  /** Generated oracle for [[dedupMinhashMetrics]] — minhash multipliers
+    * and band assembly emitted from the same constants as the engine.
+    */
+  private def minhashMetricsOracle: String = {
+    val mhs = (0 until 8).map { i =>
+      s"list_min(list_transform(hset, h -> (h * ${31 + 2 * i} + ${7 + 13 * i}) % 1000000007)) AS mh_$i"
+    }.mkString(",\n    ")
+    val bandSel = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS bi, (mh_${2 * b} * 1000003 + mh_${2 * b + 1}) % 1099511627776 AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       | sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(ws) - 2, 1) + 1),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS sset FROM w),
+       | hs AS (SELECT doc_id, sset, list_distinct(list_transform(sset,
+       |    s -> list_reduce(list_transform(string_split(s, ''),
+       |      c -> CAST(unicode(c) AS BIGINT)),
+       |      (a, b) -> (a * 31 + b) % 1099511627776))) AS hset FROM sh),
+       | sig AS (SELECT doc_id,
+       |    $mhs
+       |  FROM hs),
+       | bd AS ($bandSel),
+       | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |   FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk
+       |    AND a.doc_id < b.doc_id),
+       | truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |   WHERE round(len(list_intersect(a.sset, b.sset))::DOUBLE /
+       |     len(list_distinct(list_concat(a.sset, b.sset))), 4) >= 0.6),
+       | cov AS (SELECT CAST(count(*) AS BIGINT) AS n_covered FROM truth t
+       |   JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b),
+       | nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       | c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+       | t2 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT n_docs,
+       | CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS n_all_pairs,
+       | n_candidates, n_truth, n_covered,
+       | CAST(n_covered * 1000000 // n_truth AS BIGINT) AS completeness_e6,
+       | CAST(((n_docs * (n_docs - 1)) // 2 - n_candidates) * 1000000
+       |   // ((n_docs * (n_docs - 1)) // 2) AS BIGINT) AS reduction_e6
+       |FROM nd CROSS JOIN c2 CROSS JOIN t2 CROSS JOIN cov""".stripMargin
+  }
+
   private val verifiedPairsOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       | d AS (SELECT doc_id, list_distinct(list_transform(
@@ -1387,6 +1488,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "dedup_simhash_frozen" -> simHashFrozenOracle,
+    "dedup_minhash_metrics" -> minhashMetricsOracle,
     "text_readability" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

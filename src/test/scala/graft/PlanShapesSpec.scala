@@ -121,7 +121,10 @@ class PlanShapesSpec extends SparkSpec {
     "priv_dp_median",
     // 1-row prominence-floor attach over the calendar-bounded dailies;
     // 1-row conformal-quantile attach against the test split
-    "ts_peak_days", "ml_conformal_frozen")
+    "ts_peak_days", "ml_conformal_frozen",
+    // 1-row min-date attach for the dyadic time axis; 1-row census
+    // scalars for the frozen-banding metrics row
+    "ts_haar_energy", "dedup_minhash_metrics")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -247,6 +247,44 @@ class CurationOpsSpec extends SparkSpec {
     got should not be empty
   }
 
+  "TextOps.dedupMinhashMetrics" should "replay the frozen banding trajectory and the truth census" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Seq[String] = {
+      val ws = text.split(" ", -1)
+      (1 to math.max(ws.length - 2, 1)).map(i =>
+        ws.slice(i - 1, math.min(i + 2, ws.length)).mkString(" ")).distinct
+    }
+    def poly(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % (1L << 40))
+    val hsets = docs.map { case (id, t) => id -> shingles(t).map(poly).distinct }
+    val bands = hsets.flatMap { case (id, hs) =>
+      val mh = (0 until 8).map(i => hs.map(h =>
+        (h * (31 + 2 * i) + (7 + 13 * i)) % 1000000007L).min)
+      (0 until 4).map(b =>
+        ((b.toLong, (mh(2 * b) * 1000003L + mh(2 * b + 1)) % (1L << 40)), id))
+    }
+    val cand = bands.groupBy(_._1).values.flatMap { g =>
+      val ids = g.map(_._2).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val ssets = docs.map { case (id, t) => id -> shingles(t).toSet }
+    val truth = (for {
+      (a, sa) <- ssets; (b, sb) <- ssets
+      if a < b
+      j = math.round(1e4 * (sa intersect sb).size.toDouble / (sa union sb).size) / 1e4
+      if j >= 0.6
+    } yield (a, b)).toSet
+    val row = TextOps.dedupMinhashMetrics(spark, sfDir).collect().head
+    row.getLong(0) shouldBe docs.length.toLong
+    row.getLong(1) shouldBe docs.length.toLong * (docs.length - 1) / 2
+    row.getLong(2) shouldBe cand.size.toLong
+    row.getLong(3) shouldBe truth.size.toLong
+    row.getLong(4) shouldBe (truth intersect cand).size.toLong
+    row.getLong(6) should be > 990000L // banding must genuinely reduce
+  }
+
   "Sampling.essWeights" should "replay the Kish moments and bound ESS by n" in {
     val wTab = Map("1-URGENT" -> 5L, "2-HIGH" -> 4L, "3-MEDIUM" -> 3L,
       "4-NOT SPECIFIED" -> 2L, "5-LOW" -> 1L)

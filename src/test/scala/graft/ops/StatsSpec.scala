@@ -566,4 +566,36 @@ class StatsSpec extends SparkSpec {
     got.map(_._4).distinct.size should be > 1
     got.foreach(_._4 should (be > 500000L and be < 1000000L))
   }
+
+  behavior of "Stats.overdispersion (r13)"
+
+  it should "replay the count moments and the NB method-of-moments size" in {
+    val ks = Sources.orders(spark, sfDir)
+      .select("o_orderpriority", "o_custkey").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((g, _), k) => (g, k) }
+    val want = ks.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val n = rows.length.toLong
+      val sk = rows.map(_._2).sum
+      val skk = rows.map(r => r._2 * r._2).sum
+      val m = sk.toDouble / n
+      val v = (skk - sk.toDouble * sk / n) / (n - 1)
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      (g, n, sk, skk, r6(m), r6(v), r6(v / m),
+        if (v > m) r6(m * m / (v - m)) else -1.0)
+    }
+    val got = Stats.overdispersion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
+    got.map(t => (t._1, t._2, t._3, t._4)) shouldBe
+      want.map(t => (t._1, t._2, t._3, t._4))
+    got.zip(want).foreach { case (g, w) =>
+      g._5 shouldBe w._5 +- 1e-9
+      g._6 shouldBe w._6 +- 1e-9
+      g._7 shouldBe w._7 +- 1e-9
+      g._8 shouldBe w._8 +- 1e-9
+      g._7 should be > 0.0
+    }
+  }
 }

@@ -545,4 +545,31 @@ class TemporalSpec extends SparkSpec {
     got should not be empty
     got.foreach(_._3 should be > 0L)
   }
+
+  "Temporal.haarEnergy" should "replay the integer Haar details per level" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .groupBy("day")
+      .agg(org.apache.spark.sql.functions.expr("sum(x) div 100").as("h"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val d0 = daily.map(_._1).minBy(_.toEpochDay)
+    val ts = daily.map { case (dy, h) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(d0, dy), h)
+    }
+    val want = (1L to 3L).map { lvl =>
+      val blk = 1L << lvl
+      val coefs = ts.groupBy(_._1 / blk).values.map { g =>
+        g.map { case (t, h) => if (t % blk < blk / 2) h else -h }.sum
+      }.toSeq
+      (lvl, coefs.length.toLong, coefs.map(c => c * c).sum,
+        coefs.map(math.abs).max)
+    }
+    val got = Temporal.haarEnergy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // coarser levels cover the same span with ~half the windows
+    got.map(_._2) shouldBe got.map(_._2).sorted.reverse
+    got.foreach(_._3 should be > 0L)
+  }
 }
