@@ -1065,6 +1065,49 @@ object Graph {
       .orderBy("seed")
   }
 
+  /** Seed eccentricity + diameter lower bound
+    * (`graph_eccentricity_seeds`, r13): BFS from the 4 top-degree hubs
+    * TO FIXPOINT (unlike [[closenessSeeds]]' published 6-hop sampling
+    * horizon — eccentricity is exactly the quantity a horizon would
+    * corrupt), reporting per seed the reach census and ecc = max hop;
+    * max(ecc) over seeds is the textbook diameter lower bound and
+    * 2·max(ecc) an upper bound within each component. The loop runs
+    * until the frontier EMPTIES — each round one edge-keyed equi-join +
+    * anti-join against the visited set, frontier/visited lazily pinned
+    * (constant-depth lineage), rounds bounded by the true eccentricity
+    * (≤ 20 cap, asserted unreached in the spec) — the frontier-empty
+    * check is one count on an already-pinned model-sized table, the
+    * same convergence discipline as adaptive PageRank.
+    */
+  def eccentricitySeeds(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d)
+    val seeds = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(4)
+      .select(col("u").as("seed"))
+    var visited = Checkpoints.pin(
+      seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hop")),
+      eager = false)
+    var frontier = visited
+    var h = 1
+    var frontierSize = 1L
+    while (frontierSize > 0 && h <= 20) {
+      frontier = Checkpoints.pin(
+        frontier.join(und, col("node") === col("u"))
+          .select(col("seed"), col("v").as("node")).distinct()
+          .join(visited.select("seed", "node"), Seq("seed", "node"),
+            "left_anti")
+          .withColumn("hop", lit(h.toLong)),
+        eager = false)
+      frontierSize = frontier.count()
+      if (frontierSize > 0)
+        visited = Checkpoints.pin(visited.unionAll(frontier), eager = false)
+      h += 1
+    }
+    visited.groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"), max("hop").as("ecc"))
+      .orderBy("seed")
+  }
+
   /** Hierarchy subtree rollup (`graph_subtree_rollup`): per ancestor,
     * the order-spend cents and node count of its ENTIRE subtree — the
     * org-chart / category-tree / BOM aggregation that recursive SQL
@@ -1145,6 +1188,7 @@ object Graph {
     "graph_components" -> (components _),
     "graph_lpa_rounds" -> (lpaRounds _),
     "graph_frozen_walks" -> (frozenWalks _),
+    "graph_eccentricity_seeds" -> (eccentricitySeeds _),
   )
 
   private val edgeCte: String =
@@ -1514,6 +1558,24 @@ object Graph {
         |    / (4.0 * m * m), 8) + 0.0 AS q_cell
         |FROM dc LEFT JOIN ec ON dc.community_id = ec.community_id, mm
         |ORDER BY dc.community_id""".stripMargin,
+    // bounded-walk recursion + min-dist fold: true BFS distances, ecc
+    // as their max — the 20 cap is asserted unreached by the spec
+    "graph_eccentricity_seeds" ->
+      (s"""WITH RECURSIVE $edgeCte,
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+        | deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u),
+        | s0 AS (SELECT u AS seed FROM deg ORDER BY dg DESC, u LIMIT 4),
+        | reach(seed, node, dist) AS (
+        |   SELECT seed, seed, CAST(0 AS BIGINT) FROM s0
+        |   UNION
+        |   SELECT r.seed, und.v, r.dist + 1
+        |   FROM reach r JOIN und ON r.node = und.u WHERE r.dist < 20),
+        | sp AS (SELECT seed, node, min(dist) AS hop FROM reach
+        |  GROUP BY 1, 2)
+        |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+        | CAST(max(hop) AS BIGINT) AS ecc
+        |FROM sp GROUP BY seed ORDER BY seed""".stripMargin),
     // unrolled hash-argmin steps — the oracle replays the full 4-step
     // trajectory of every walker
     "graph_frozen_walks" ->

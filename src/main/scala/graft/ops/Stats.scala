@@ -782,7 +782,41 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Cost-optimal decision threshold (`ml_cost_threshold`, r13): the
+    * deployment step after every scored model — given published error
+    * costs (c_fp = 1, c_fn = 5: a missed positive is five times a
+    * false alarm), sweep every candidate threshold and release the
+    * cost-minimizing one. Candidates are the distinct score values
+    * ("predict positive iff score ≥ v"); FP/FN at every candidate come
+    * from ONE [[Prefix]] running sum over the score-keyed table
+    * (FP = N⁻ − cumneg + neg_at_v, FN = cumpos − pos_at_v — both exact
+    * BIGINTs), and the argmin is a struct-MIN with the smaller
+    * threshold breaking ties — never a global sort, never a per-
+    * threshold rescan. The all-positive corner (min v) is in the sweep
+    * by construction; the all-negative corner ships as the published
+    * baseline column c_fn·P for comparison.
+    */
+  def costThreshold(s: SparkSession, d: String): DataFrame = {
+    val by = plantedScores(s, d).groupBy("cents")
+      .agg(sum("label").as("pos"), sum(lit(1L) - col("label")).as("neg"))
+    val run = Prefix.running(by, Seq(col("cents")),
+      sums = Seq((col("pos"), "cumpos"), (col("neg"), "cumneg")))
+    val tot = run.agg(sum("pos").as("p_tot"), sum("neg").as("n_tot"))
+    run.crossJoin(broadcast(tot))
+      .withColumn("fp", col("n_tot") - col("cumneg") + col("neg"))
+      .withColumn("fn", col("cumpos") - col("pos"))
+      .withColumn("cost", col("fp") + lit(5L) * col("fn"))
+      .agg(min(struct(col("cost"), col("cents"), col("fp"), col("fn")))
+        .as("best"), max("p_tot").as("p_tot"), max("n_tot").as("n_tot"))
+      .select(col("best.cents").as("threshold_cents"),
+        col("best.fp").as("fp"), col("best.fn").as("fn"),
+        col("best.cost").as("cost"),
+        (lit(5L) * col("p_tot")).as("all_negative_cost"),
+        col("n_tot").as("all_positive_cost"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_cost_threshold" -> (costThreshold _),
     "stats_overdispersion" -> (overdispersion _),
     "ml_auc_bootstrap" -> (aucBootstrap _),
     "stats_ratio_delta_ci" -> (ratioDeltaCi _),
@@ -804,6 +838,37 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // the sweep's FP/FN identities and the (cost, threshold) argmin
+    // replay over the same running sums
+    "ml_cost_threshold" ->
+      """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100,
+        |       900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | byv AS (SELECT cents, CAST(sum(label) AS BIGINT) AS pos,
+        |    CAST(sum(1 - label) AS BIGINT) AS neg
+        |  FROM scored GROUP BY 1),
+        | run AS (SELECT cents, pos, neg,
+        |    CAST(sum(pos) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cumpos,
+        |    CAST(sum(neg) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cumneg
+        |  FROM byv),
+        | tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+        |    CAST(sum(neg) AS BIGINT) AS n_tot FROM byv),
+        | sw AS (SELECT cents, n_tot - cumneg + neg AS fp,
+        |    cumpos - pos AS fn,
+        |    (n_tot - cumneg + neg) + 5 * (cumpos - pos) AS cost
+        |  FROM run CROSS JOIN tot),
+        | best AS (SELECT cents AS threshold_cents, fp, fn, cost FROM sw
+        |  ORDER BY cost ASC, cents ASC LIMIT 1)
+        |SELECT threshold_cents, CAST(fp AS BIGINT) AS fp,
+        | CAST(fn AS BIGINT) AS fn, CAST(cost AS BIGINT) AS cost,
+        | CAST(5 * p_tot AS BIGINT) AS all_negative_cost,
+        | CAST(n_tot AS BIGINT) AS all_positive_cost
+        |FROM best CROSS JOIN tot""".stripMargin,
     // customer-grain counts then priority-grain moments; the v > m
     // branch and the -1 sentinel mirror exactly
     "stats_overdispersion" ->

@@ -819,6 +819,41 @@ object Temporal {
       .orderBy("k")
   }
 
+  /** New-vs-returning census (`ts_new_returning`, r13): per month, how
+    * many active customers are ordering for the FIRST time vs coming
+    * back — the growth-accounting split behind every acquisition
+    * dashboard (flat actives can hide collapsing acquisition). Two
+    * keyed aggs: first-order month per customer (a customer-keyed MIN —
+    * map-side combinable), then the monthly distinct-active census with
+    * the new/returning partition decided by one broadcast-joinable
+    * equality. New + returning = active by construction (spec-pinned);
+    * month ships as a string (the driver dtype rule).
+    */
+  def newReturning(s: SparkSession, d: String): DataFrame = {
+    // integer month key, NOT the string month: min over a string
+    // degrades the customer-grain aggregate to a per-partition
+    // SortAggregate over corpus-sized input (the audit_column_profile
+    // bug class) — the Long key keeps it a hash aggregate
+    val cm = Sources.orders(s, d)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L)
+          .as("mk"))
+      .distinct()
+    val first = cm.groupBy("o_custkey").agg(min("mk").as("first_mk"))
+    cm.join(first, Seq("o_custkey"))
+      .groupBy("mk")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("mk") === col("first_mk"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(
+        concat(expr("mk div 12"), lit("-"),
+          lpad((pmod(col("mk"), lit(12L)) + 1).cast("string"), 2, "0"))
+          .as("month"),
+        col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .orderBy("month")
+  }
+
   /** Haar wavelet detail energy (`ts_haar_energy`, r13): the multi-
     * resolution change profile of daily revenue — at level L the detail
     * coefficient of dyadic window w is Σ(left half) − Σ(right half) of
@@ -1162,6 +1197,7 @@ object Temporal {
     "ts_periodogram_frozen" -> (periodogramFrozen _),
     "ts_peak_days" -> (peakDays _),
     "ts_haar_energy" -> (haarEnergy _),
+    "ts_new_returning" -> (newReturning _),
     "ts_clamped_balance" -> (clampedBalance _),
     "ts_twap" -> (twap _),
     "ts_theil_sen" -> (theilSen _),
@@ -1310,6 +1346,22 @@ object Temporal {
         |JOIN daily o ON o.prio = bars.prio AND o.day = bars.open_day
         |JOIN daily c ON c.prio = bars.prio AND c.day = bars.close_day
         |ORDER BY bars.prio, bars.month""".stripMargin,
+    // first-month MIN per customer, then the monthly census with the
+    // new/returning equality split
+    "ts_new_returning" ->
+      """WITH cm AS (SELECT DISTINCT o_custkey,
+        |   CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |     AS mk FROM orders),
+        | f AS (SELECT o_custkey, min(mk) AS first_mk FROM cm GROUP BY 1),
+        | g AS (SELECT mk, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN mk = first_mk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new
+        |  FROM cm JOIN f USING (o_custkey) GROUP BY mk)
+        |SELECT CAST(mk // 12 AS VARCHAR) || '-' ||
+        |  lpad(CAST(mk % 12 + 1 AS VARCHAR), 2, '0') AS month,
+        | n_active, n_new,
+        | CAST(n_active - n_new AS BIGINT) AS n_returning
+        |FROM g ORDER BY month""".stripMargin,
     // integer Haar: sign-sums on the hundred-dollar lattice, dyadic
     // windows keyed by t div 2^L, partial tails included as-is
     "ts_haar_energy" ->

@@ -124,7 +124,9 @@ class PlanShapesSpec extends SparkSpec {
     "ts_peak_days", "ml_conformal_frozen",
     // 1-row min-date attach for the dyadic time axis; 1-row census
     // scalars for the frozen-banding metrics row
-    "ts_haar_energy", "dedup_minhash_metrics")
+    "ts_haar_energy", "dedup_minhash_metrics",
+    // 1-row (P, N) totals attach for the cost sweep
+    "ml_cost_threshold")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -547,4 +547,28 @@ class GraphSpec extends SparkSpec {
     got.map(_._2).sum shouldBe adj.size.toLong
     got.size should be < adj.size
   }
+
+  "Graph.eccentricitySeeds" should "match a fixpoint BFS and stay under the round cap" in {
+    val und = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = und.toSeq.map { case (u, vs) => (u, vs.size) }
+      .sortBy { case (u, dg) => (-dg, u) }.take(4).map(_._1)
+    val want = seeds.map { s0 =>
+      var dist = Map(s0 -> 0L)
+      var frontier = Set(s0)
+      var h = 1L
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(und.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= frontier.map(_ -> h)
+        h += 1
+      }
+      (s0, dist.size.toLong, dist.values.max)
+    }.sortBy(_._1)
+    val got = Graph.eccentricitySeeds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // the 20-round cap must never be the binding constraint
+    got.foreach(_._3 should be < 20L)
+    got.map(_._3).max should be >= 2L // a hub still can't see everything in 1 hop
+  }
 }

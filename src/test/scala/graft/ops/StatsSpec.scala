@@ -598,4 +598,31 @@ class StatsSpec extends SparkSpec {
       g._7 should be > 0.0
     }
   }
+
+  behavior of "Stats.costThreshold (r13)"
+
+  it should "replay the full sweep and beat both trivial corners" in {
+    val scored = Sources.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(1) * 100)
+        val u = ((r.getLong(0) * 2654435761L) % 4294967296L) % 1000000L
+        (cents, if (u < math.min(100000L + cents / 100, 900000L)) 1L else 0L)
+      }
+    val p = scored.map(_._2).sum
+    val ng = scored.length - p
+    val sweep = scored.map(_._1).distinct.sorted.map { v =>
+      val fp = scored.count(t => t._2 == 0 && t._1 >= v).toLong
+      val fn = scored.count(t => t._2 == 1 && t._1 < v).toLong
+      (v, fp, fn, fp + 5 * fn)
+    }
+    val best = sweep.minBy(t => (t._4, t._1))
+    val row = Stats.costThreshold(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe best
+    row.getLong(4) shouldBe 5L * p
+    row.getLong(5) shouldBe ng
+    // the swept optimum beats (or ties) both trivial corners
+    row.getLong(3) should be <= row.getLong(4)
+    row.getLong(3) should be <= row.getLong(5)
+  }
 }

@@ -572,4 +572,22 @@ class TemporalSpec extends SparkSpec {
     got.map(_._2) shouldBe got.map(_._2).sorted.reverse
     got.foreach(_._3 should be > 0L)
   }
+
+  "Temporal.newReturning" should "replay the acquisition split and conserve actives" in {
+    val cm = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_custkey", "date_format(o_orderdate, 'yyyy-MM') AS month")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val first = cm.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = cm.groupBy(_._2).toSeq.sortBy(_._1).map { case (m, g) =>
+      val nNew = g.count { case (c, _) => first(c) == m }.toLong
+      (m, g.length.toLong, nNew, g.length - nNew)
+    }
+    val got = Temporal.newReturning(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    got.foreach { case (_, a, nw, rt) => nw + rt shouldBe a }
+    got.head._4 shouldBe 0L // the first month is all acquisition
+    got.last._3 should be < got.last._2 // the tail has genuine returners
+  }
 }
