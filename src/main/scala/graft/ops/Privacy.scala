@@ -84,6 +84,41 @@ object Privacy {
     * (year, priority) cell + two-sided geometric noise, clamped at 0
     * (post-processing keeps DP guarantees).
     */
+  /** Microaggregation release (`priv_microaggregation`, r13): the SDC
+    * alternative to suppression — sort records by the sensitive value,
+    * partition into fixed-size groups of k = 5 (the optimal univariate
+    * microaggregation partition is consecutive-in-sort-order; Domingo-
+    * Ferrer & Mateo-Sanz), and release each group's mean in place of
+    * its members, so every published value is shared by ≥ k records
+    * (the k-anonymity guarantee for numeric data; the ragged tail
+    * joins the final group, published convention: group id = (rank−1)
+    * div 5 capped at ⌊n/5⌋−1). The global sort order (balance cents,
+    * customer key) is realized by ONE [[graft.ops.Prefix]] rank pass —
+    * never a single-partition window — and the release is one
+    * group-keyed agg with exact e2 means. Per-group spread (max−min)
+    * ships as the information-loss audit every microaggregation
+    * publishes.
+    */
+  def microaggregation(s: SparkSession, d: String): DataFrame = {
+    val recs = Sources.customer(s, d)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val ranked = graft.ops.Prefix.running(recs,
+      Seq(col("cents"), col("c_custkey")), rankOut = Some("rk"))
+    val nTot = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("grp_id",
+        least(expr("(rk - 1) div 5"), expr("(n div 5) - 1")))
+      .groupBy("grp_id")
+      .agg(count(lit(1)).as("n_members"), sum("cents").as("sum_c"),
+        min("cents").as("min_c"), max("cents").as("max_c"))
+      .select(col("grp_id"), col("n_members"),
+        expr("(100L * sum_c) div n_members").as("mean_c_e2"),
+        col("min_c"), col("max_c"),
+        (col("max_c") - col("min_c")).as("spread_c"))
+      .orderBy("grp_id")
+  }
+
   /** Exponential-mechanism median release (`priv_dp_median`, r13): the
     * DP primitive for NON-additive statistics — counts/means add noise
     * to a number, but a median must be SELECTED, and the exponential
@@ -326,6 +361,7 @@ object Privacy {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_cell_suppression" -> (cellSuppression _),
     "priv_dp_median" -> (dpMedian _),
+    "priv_microaggregation" -> (microaggregation _),
     "priv_t_closeness" -> (tCloseness _),
     "priv_rr_frequency" -> (rrFrequency _),
     "priv_k_anonymity" -> (kAnonymity _),
@@ -342,6 +378,23 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical (cents, custkey) total order, identical ragged-tail
+    // capping — the release and its loss audit replay exactly
+    "priv_microaggregation" ->
+      """WITH r AS (SELECT c_custkey,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | rk AS (SELECT cents, row_number() OVER (ORDER BY cents, c_custkey)
+        |    AS rk FROM r),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        | g AS (SELECT least((rk - 1) // 5, (n // 5) - 1) AS grp_id, cents
+        |  FROM rk CROSS JOIN nn)
+        |SELECT CAST(grp_id AS BIGINT) AS grp_id,
+        | CAST(count(*) AS BIGINT) AS n_members,
+        | CAST((100 * sum(cents)) // count(*) AS BIGINT) AS mean_c_e2,
+        | CAST(min(cents) AS BIGINT) AS min_c,
+        | CAST(max(cents) AS BIGINT) AS max_c,
+        | CAST(max(cents) - min(cents) AS BIGINT) AS spread_c
+        |FROM g GROUP BY 1 ORDER BY grp_id""".stripMargin,
     // the argmax runs over (score, v, u) lexicographically in both
     // engines; the hash perturbation and the median band replay exactly
     "priv_dp_median" ->

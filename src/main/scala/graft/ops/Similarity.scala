@@ -60,6 +60,33 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Range-count retrieval (`sim_range_count`, r13): per probe, how
+    * many corpus vectors fall inside a cosine radius — the retrieval
+    * primitive top-k can't answer ("how much support does this query
+    * have?" — density estimation, dedup-rate prediction, filter-first
+    * planning all consume counts, not ranked lists). Two published
+    * radii (0.1 / 0.3 on the rounded-4 cosine lattice — thresholding
+    * the ROUNDED value keeps a one-ulp cosine wobble from flipping
+    * membership, the EntityRes quantize-then-compare rule) plus the
+    * per-probe max as the top-1 witness. Brute-force probe-broadcast
+    * scan — the exact baseline; the IVF cells ([[ivfFrozen]]) are the
+    * scale path for selective radii, same counts.
+    */
+  def rangeCount(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+      .select(col("q_id"),
+        graft.functions.Num.roundNorm(cosine(col("embedding"), col("q_emb")), 4)
+          .as("cos"))
+      .groupBy("q_id").agg(
+        sum(when(col("cos") >= 0.1, 1L).otherwise(0L)).as("n_r01"),
+        sum(when(col("cos") >= 0.3, 1L).otherwise(0L)).as("n_r03"),
+        max("cos").as("max_cos"))
+      .orderBy("q_id")
+  }
+
   /** Binary-quantized Hamming top-k (`sim_binary_hamming`): each
     * embedding collapses to its 64 sign bits packed into two BIGINT
     * words (dims 0–31 / 32–63 — two words because bit 63 of a single
@@ -1340,6 +1367,7 @@ object Similarity {
     "sim_pq_adc" -> (pqAdcTopNeighbor _),
     "sim_pq_audit" -> (pqAudit _),
     "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_range_count" -> (rangeCount _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_binary_hamming" -> (binaryHamming _),
     "sim_outliers" -> (centroidOutliers _),
@@ -1801,6 +1829,19 @@ object Similarity {
         |  x -> printf('%.4f', x + 0.0)), ',') AS centroid_csv,
         | count(*) AS n_vecs
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    // thresholds compare the ROUNDED lattice value in both engines
+    "sim_range_count" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |   WHERE vec_id < 8),
+        | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        | s AS (SELECT q_id,
+        |   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |     CAST(q_emb AS DOUBLE[])), 4) + 0.0 AS cos FROM c, q)
+        |SELECT q_id,
+        | CAST(sum(CASE WHEN cos >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r01,
+        | CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_r03,
+        | max(cos) AS max_cos
+        |FROM s GROUP BY q_id ORDER BY q_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
         | c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),

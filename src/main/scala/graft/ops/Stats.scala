@@ -815,7 +815,64 @@ object Stats {
         col("n_tot").as("all_positive_cost"))
   }
 
+  /** Exact VaR / expected shortfall per segment (`stats_cvar_segment`,
+    * r13): the tail-risk pair for order totals by priority — VaR₉₅ =
+    * the ⌈0.95·n⌉-th order statistic, ES₉₅ = the exact mean of the top
+    * n−k+1 observations (tie-correct: the cutoff row contributes
+    * exactly cum−k+1 of its copies). The whole tail machinery is ONE
+    * global [[Prefix]] two-pass over (segment, value) carrying BOTH the
+    * count and the value-weighted running sums; per-segment cumulatives
+    * are recovered by subtracting earlier-segment offsets from a 5×5
+    * broadcast theta self-join — never a per-segment sort, never a
+    * partitioned window over corpus-sized value tables. All BIGINTs;
+    * ES ships on the e2 cent lattice.
+    */
+  def cvarSegment(s: SparkSession, d: String): DataFrame = {
+    val byV = Sources.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("grp", "cents").agg(count(lit(1)).as("c"))
+      .withColumn("vc", col("c") * col("cents"))
+    val run = Prefix.running(byV, Seq(col("grp"), col("cents")),
+      sums = Seq((col("c"), "cumn"), (col("vc"), "cumv")))
+    val segTot = byV.groupBy("grp")
+      .agg(sum("c").as("n_g"), sum("vc").as("sum_g"))
+    val off = segTot.as("a")
+      .join(segTot.select(col("grp").as("bgrp"), col("n_g").as("bn"),
+        col("sum_g").as("bs")), col("bgrp") < col("a.grp"), "left")
+      .groupBy(col("a.grp").as("grp"), col("a.n_g").as("n_g"),
+        col("a.sum_g").as("sum_g"))
+      .agg(coalesce(sum("bn"), lit(0L)).as("off_n"),
+        coalesce(sum("bs"), lit(0L)).as("off_v"))
+      .withColumn("k_order", expr("(19L * n_g + 19L) div 20L"))
+    // min cents then a join-back for its running sums — a struct-MIN
+    // here would degrade to a SortAggregate over the tail value levels
+    val inSeg = graft.io.Checkpoints.pin(
+      run.join(broadcast(off), Seq("grp"))
+        .withColumn("cum_in", col("cumn") - col("off_n"))
+        .withColumn("vw_in", col("cumv") - col("off_v")),
+      eager = false)
+    val cutV = inSeg.filter(col("cum_in") >= col("k_order"))
+      .groupBy("grp").agg(min("cents").as("var_cents"))
+      .withColumnRenamed("grp", "cgrp")
+    val cut = inSeg
+      .join(broadcast(cutV),
+        col("grp") === col("cgrp") && col("cents") === col("var_cents"))
+      .select(col("grp"), col("var_cents"),
+        col("cum_in").as("cum_at"), col("vw_in").as("vw_at"))
+    cut.join(broadcast(off), Seq("grp"))
+      .withColumn("n_tail", col("n_g") - col("k_order") + 1)
+      .withColumn("tail_sum_c",
+        col("sum_g") - col("vw_at") +
+          col("var_cents") * (col("cum_at") - col("k_order") + 1))
+      .select(col("grp"), col("n_g").as("n"), col("k_order"),
+        col("var_cents"), col("n_tail"), col("tail_sum_c"),
+        expr("(tail_sum_c * 100L) div n_tail").as("es_c_e2"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cvar_segment" -> (cvarSegment _),
     "ml_cost_threshold" -> (costThreshold _),
     "stats_overdispersion" -> (overdispersion _),
     "ml_auc_bootstrap" -> (aucBootstrap _),
@@ -838,6 +895,38 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // tie-correct tail algebra: the cutoff row contributes cum-k+1
+    // copies; the oracle's per-segment window replays the Prefix
+    // offsets exactly
+    "stats_cvar_segment" ->
+      """WITH t AS (SELECT o_orderpriority AS grp,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        | byv AS (SELECT grp, cents, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        | run AS (SELECT grp, cents, c, c * cents AS vc,
+        |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_in,
+        |    CAST(sum(c * cents) OVER (PARTITION BY grp ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vw_in
+        |  FROM byv),
+        | seg AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+        |    CAST(sum(c * cents) AS BIGINT) AS sum_g,
+        |    CAST((19 * sum(c) + 19) // 20 AS BIGINT) AS k_order
+        |  FROM byv GROUP BY 1),
+        | cut AS (SELECT run.grp, min(cents) AS var_cents
+        |  FROM run JOIN seg ON run.grp = seg.grp
+        |  WHERE cum_in >= k_order GROUP BY 1),
+        | at AS (SELECT run.grp, run.cum_in AS cum_at, run.vw_in AS vw_at,
+        |    cut.var_cents
+        |  FROM run JOIN cut ON run.grp = cut.grp
+        |   AND run.cents = cut.var_cents)
+        |SELECT seg.grp, n_g AS n, k_order, var_cents,
+        | CAST(n_g - k_order + 1 AS BIGINT) AS n_tail,
+        | CAST(sum_g - vw_at + var_cents * (cum_at - k_order + 1) AS BIGINT)
+        |   AS tail_sum_c,
+        | CAST((sum_g - vw_at + var_cents * (cum_at - k_order + 1)) * 100
+        |   // (n_g - k_order + 1) AS BIGINT) AS es_c_e2
+        |FROM seg JOIN at ON seg.grp = at.grp ORDER BY seg.grp""".stripMargin,
     // the sweep's FP/FN identities and the (cost, threshold) argmin
     // replay over the same running sums
     "ml_cost_threshold" ->

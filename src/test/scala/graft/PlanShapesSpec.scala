@@ -126,7 +126,11 @@ class PlanShapesSpec extends SparkSpec {
     // scalars for the frozen-banding metrics row
     "ts_haar_energy", "dedup_minhash_metrics",
     // 1-row (P, N) totals attach for the cost sweep
-    "ml_cost_threshold")
+    "ml_cost_threshold",
+    // 5x5 segment-offset theta self-join + cutoff attaches for the
+    // tail algebra; 1-row n attach for the ragged-tail cap; 8-probe
+    // broadcast for the radius census (the cosineTopK class)
+    "stats_cvar_segment", "priv_microaggregation", "sim_range_count")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -293,6 +293,33 @@ class GenericOpsSpec extends SparkSpec {
     got shouldBe perUser
   }
 
+  "Similarity.rangeCount (r13)" should "match a brute-force radius census" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(t => t._1 * t._2).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.round(dot / (na * nb) * 1e4) / 1e4
+    }
+    val queries = vecs.filter(_._1 < 8)
+    val corpus = vecs.filter(_._1 >= 8)
+    val want = queries.sortBy(_._1).map { case (qid, qv) =>
+      val cs = corpus.map(c => cos4(c._2, qv))
+      (qid, cs.count(_ >= 0.1).toLong, cs.count(_ >= 0.3).toLong, cs.max)
+    }.toSeq
+    val got = Similarity.rangeCount(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    got.map(t => (t._1, t._2, t._3)) shouldBe want.map(t => (t._1, t._2, t._3))
+    got.zip(want).foreach { case (g, w) => g._4 shouldBe w._4 +- 1e-9 }
+    // the radii nest, and both genuinely bind on the fixture
+    got.foreach { case (_, r1, r3, _) => r3 should be <= r1 }
+    got.map(_._2).sum should be > 0L
+    got.map(_._2).max.toInt should be < corpus.length
+  }
+
   "Similarity.pqAdcFrozen (r13)" should "match a brute-force encode + ADC replay" in {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("vec_id",

@@ -245,4 +245,26 @@ class PrivacySpec extends SparkSpec {
     // utility band around the true median's utility
     row.getLong(4) should be >= -1024L
   }
+
+  "Privacy.microaggregation" should "replay the sorted k-partition and hold k-anonymity" in {
+    val recs = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "CAST(round(c_acctbal * 100) AS LONG) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = recs.sortBy { case (ck, c) => (c, ck) }.map(_._2)
+    val n = sorted.length.toLong
+    val want = sorted.zipWithIndex
+      .groupBy { case (_, i) => math.min(i / 5L, n / 5 - 1) }
+      .toSeq.sortBy(_._1).map { case (g, vs0) =>
+        val vs = vs0.map(_._1)
+        (g, vs.length.toLong, 100L * vs.sum / vs.length, vs.min, vs.max,
+          vs.max - vs.min)
+      }
+    val got = Privacy.microaggregation(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // the k-anonymity contract: every published group holds >= 5 records
+    got.foreach(_._2 should be >= 5L)
+    got.map(_._2).sum shouldBe n
+  }
 }

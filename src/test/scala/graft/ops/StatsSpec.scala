@@ -625,4 +625,28 @@ class StatsSpec extends SparkSpec {
     row.getLong(3) should be <= row.getLong(4)
     row.getLong(3) should be <= row.getLong(5)
   }
+
+  behavior of "Stats.cvarSegment (r13)"
+
+  it should "replay the tie-correct tail mean against a sorted reference" in {
+    val rows = Sources.orders(spark, sfDir)
+      .selectExpr("o_orderpriority", "CAST(round(o_totalprice * 100) AS LONG) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val v = rs.map(_._2).sorted
+      val n = v.length.toLong
+      val k = (19 * n + 19) / 20
+      val tail = v.drop((k - 1).toInt) // positions k..n
+      (g, n, k, v((k - 1).toInt), tail.length.toLong, tail.sum,
+        tail.sum * 100 / tail.length)
+    }
+    val got = Stats.cvarSegment(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldBe want
+    // ES dominates VaR (tail mean >= cutoff), strictly on this fixture
+    got.foreach { case (_, _, _, varC, _, _, es) =>
+      es should be > varC * 100L
+    }
+  }
 }
