@@ -177,6 +177,59 @@ object Analytics {
     * range join, which degenerates to a per-user cross product (the
     * oracle runs that quadratic form; the engine must not).
     */
+  /** Exact Shapley channel attribution (`join_attribution_shapley`,
+    * r13): the game-theoretic credit split the linear/U-shaped
+    * heuristics approximate — with a 4-channel universe the coalition
+    * space is 16 subsets, so the EXACT Shapley value is a closed
+    * enumeration, not a simulation: per converting user, the channel
+    * set touched BEFORE the first purchase collapses to a 4-bit mask
+    * (one bit_or aggregate); the characteristic function
+    * v(S) = #conversions with mask ⊆ S is a 16×16 broadcast
+    * subset-sum; and φ_c = Σ_{S∌c} w(|S|)·(v(S∪c) − v(S)) uses the
+    * published ×24 integer weights {6,2,2,6} (s!(3−s)! for s = |S|) —
+    * every credit is an exact multiple of 1/24, shipped as phi_24 with
+    * the e6 ratio alongside. Efficiency (Σφ = v(full) − v(∅)) is
+    * spec-pinned. One events scan + user-keyed aggs; everything after
+    * is 16-row model-sized algebra.
+    */
+  def attributionShapley(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chans = Seq("click" -> 1L, "view" -> 2L, "signup" -> 4L, "error" -> 8L)
+    val ev = Sources.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    val maskOf = chans.foldLeft(lit(0L)) { case (acc, (t, b)) =>
+      acc + when(col("event_type") === t, lit(b)).otherwise(0L)
+    }
+    val masks = ev.join(firstP, Seq("user_id"))
+      .filter(col("us") < col("p_us"))
+      .select(col("user_id"), maskOf.as("mb"))
+      .groupBy("user_id")
+      .agg(expr("bit_or(mb)").as("mask"))
+    val nOf = masks.groupBy("mask").agg(count(lit(1)).as("n_conv"))
+    val subsets = s.range(0, 16).select(col("id").as("s_mask"))
+    val vOf = subsets.join(broadcast(nOf),
+        (col("mask").bitwiseAND(col("s_mask"))) === col("mask"), "left")
+      .groupBy("s_mask").agg(coalesce(sum("n_conv"), lit(0L)).as("v"))
+    val chanDf = chans.toDF("channel", "cbit")
+    val terms = chanDf.crossJoin(broadcast(vOf.as("vs")))
+      .filter((col("s_mask").bitwiseAND(col("cbit"))) === 0L)
+      .withColumn("w24", expr(
+        "CASE bit_count(s_mask) WHEN 0 THEN 6L WHEN 1 THEN 2L " +
+          "WHEN 2 THEN 2L ELSE 6L END"))
+      .join(broadcast(vOf.select(col("s_mask").as("su_mask"),
+        col("v").as("v_up"))),
+        col("su_mask") === (col("s_mask") + col("cbit")))
+      .groupBy("channel")
+      .agg(sum(col("w24") * (col("v_up") - col("v"))).as("phi_24"))
+    terms
+      .select(col("channel"), col("phi_24"),
+        expr("(phi_24 * 1000000L) div 24").as("phi_e6"))
+      .orderBy("channel")
+  }
+
   def attributionLinear(s: SparkSession, d: String): DataFrame = {
     val touch = Seq("click", "view", "signup")
     val base = Sources.events(s, d)
@@ -936,6 +989,7 @@ object Analytics {
     "agg_retention_cohorts" -> (retentionCohorts _),
     "complex_skyline_parts" -> (skylineParts _),
     "join_attribution_linear" -> (attributionLinear _),
+    "join_attribution_shapley" -> (attributionShapley _),
     "join_attribution_ushaped" -> (attributionUShaped _),
   )
 
@@ -1309,6 +1363,37 @@ object Analytics {
         |  UNION ALL SELECT 'residual', c_residual FROM agg
         |  UNION ALL SELECT 'unattributed', c_unattributed FROM agg)
         |ORDER BY channel""".stripMargin,
+    // the same 4-bit masks, the same 16-subset characteristic function,
+    // the same x24 integer weights — the whole game replays
+    "join_attribution_shapley" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        | fp AS (SELECT user_id, min(us) AS p_us FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        | mk AS (SELECT ev.user_id, bit_or(
+        |    CASE ev.event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END) AS mask
+        |  FROM ev JOIN fp ON ev.user_id = fp.user_id AND ev.us < fp.p_us
+        |  GROUP BY 1),
+        | nf AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_conv FROM mk
+        |  GROUP BY 1),
+        | ss AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS s_mask),
+        | vf AS (SELECT s_mask,
+        |    CAST(coalesce(sum(CASE WHEN (mask & s_mask) = mask
+        |      THEN n_conv END), 0) AS BIGINT) AS v
+        |  FROM ss LEFT JOIN nf ON (mask & s_mask) = mask GROUP BY 1),
+        | ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2),
+        |   ('signup', 4), ('error', 8)) t(channel, cbit)),
+        | terms AS (SELECT channel,
+        |    CASE bit_count(CAST(s_mask AS INTEGER)) WHEN 0 THEN 6
+        |      WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+        |      * (vu.v_up - vf.v) AS term
+        |  FROM ch JOIN vf ON (vf.s_mask & cbit) = 0
+        |  JOIN (SELECT s_mask AS su_mask, v AS v_up FROM vf) vu
+        |   ON vu.su_mask = vf.s_mask + cbit)
+        |SELECT channel, CAST(sum(term) AS BIGINT) AS phi_24,
+        | CAST((sum(term) * 1000000) // 24 AS BIGINT) AS phi_e6
+        |FROM terms GROUP BY 1 ORDER BY channel""".stripMargin,
     "join_attribution_linear" ->
       """WITH p AS (SELECT event_id, user_id, ts,
         |   CAST(round(value * 100) AS BIGINT) AS cents

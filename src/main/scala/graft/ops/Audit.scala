@@ -730,7 +730,37 @@ object Audit {
         "sqrt(chi2_e6 / 1e6 / (n * least(r - 1, c - 1)))"), 6).as("cramers_v"))
   }
 
+  /** Key-gap census (`audit_key_gaps`, r13): the sequence-completeness
+    * audit for a surrogate-key column — run over the order keys SEEN BY
+    * LINEITEM, where childless orders leave genuine holes (the
+    * referential gap the DQ quarantine routes) — total missing keys in the
+    * occupied range, the number of contiguous gap RUNS, and the
+    * occupancy density. The run count needs adjacency but NO window:
+    * a gap run starts exactly at a key whose successor k+1 is absent
+    * (and k ≠ max), so runs = (keys without a successor) − 1, and the
+    * successor census is one self-equi-join on k+1 = k′ — the
+    * [[graft.ops.Graph]] edge-join shape, shuffle-partitioned on the
+    * key, scale-clean where a lead() window would serialize the corpus.
+    */
+  def keyGaps(s: SparkSession, d: String): DataFrame = {
+    val keys = Sources.lineitem(s, d).select(col("l_orderkey").as("k"))
+      .distinct()
+    val succ = keys.join(keys.select((col("k") - 1).as("k")), Seq("k"),
+      "left_semi")
+    val nSucc = succ.agg(count(lit(1)).as("n_with_succ"))
+    keys.agg(count(lit(1)).as("n_keys"), min("k").as("min_key"),
+        max("k").as("max_key"))
+      .crossJoin(broadcast(nSucc))
+      .select(col("n_keys"), col("min_key"), col("max_key"),
+        (col("max_key") - col("min_key") + 1 - col("n_keys"))
+          .as("missing_total"),
+        (col("n_keys") - col("n_with_succ") - 1).as("n_gap_runs"),
+        expr("(10000L * n_keys) div (max_key - min_key + 1)")
+          .as("density_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_key_gaps" -> (keyGaps _),
     "audit_cramers_v" -> (cramersV _),
     "audit_ks_test" -> (ksTest _),
     "audit_chi2_segment_nation" -> (chi2SegmentNation _),
@@ -762,6 +792,20 @@ object Audit {
        |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // successor census via the k+1 self-join, runs = no-successor - 1
+    "audit_key_gaps" ->
+      """WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        | sc AS (SELECT CAST(count(*) AS BIGINT) AS n_with_succ
+        |  FROM k a JOIN k b ON a.k + 1 = b.k),
+        | g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(min(k) AS BIGINT) AS min_key,
+        |    CAST(max(k) AS BIGINT) AS max_key FROM k)
+        |SELECT n_keys, min_key, max_key,
+        | CAST(max_key - min_key + 1 - n_keys AS BIGINT) AS missing_total,
+        | CAST(n_keys - n_with_succ - 1 AS BIGINT) AS n_gap_runs,
+        | CAST((10000 * n_keys) // (max_key - min_key + 1) AS BIGINT)
+        |   AS density_bp
+        |FROM g CROSS JOIN sc""".stripMargin,
     "audit_cramers_v" ->
       """WITH cells AS (
         |  SELECT c_mktsegment, c_nationkey, count(*) AS obs

@@ -130,7 +130,10 @@ class PlanShapesSpec extends SparkSpec {
     // 5x5 segment-offset theta self-join + cutoff attaches for the
     // tail algebra; 1-row n attach for the ragged-tail cap; 8-probe
     // broadcast for the radius census (the cosineTopK class)
-    "stats_cvar_segment", "priv_microaggregation", "sim_range_count")
+    "stats_cvar_segment", "priv_microaggregation", "sim_range_count",
+    // 16-subset characteristic-function algebra (model-sized by
+    // construction); 1-row successor-census attach for the gap audit
+    "join_attribution_shapley", "audit_key_gaps")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -236,4 +236,32 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     rows should not equal linear
   }
+
+  "Analytics.attributionShapley" should "replay the exact 4-channel game and satisfy efficiency" in {
+    val ev = graft.io.Sources.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val bit = Map("click" -> 1L, "view" -> 2L, "signup" -> 4L, "error" -> 8L)
+    val firstP = ev.filter(_._3 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val masks = ev.flatMap { case (u, us, t) =>
+      firstP.get(u).filter(us < _).flatMap(_ => bit.get(t)).map(b => (u, b))
+    }.groupBy(_._1).values.map(_.map(_._2).reduce(_ | _)).toSeq
+    val nOf = masks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def v(s0: Long): Long =
+      nOf.collect { case (m, n) if (m & s0) == m => n }.sum
+    val w24 = Array(6L, 2L, 2L, 6L)
+    val want = bit.toSeq.sortBy(_._1).map { case (ch, b) =>
+      val phi = (0L until 16L).filter(s0 => (s0 & b) == 0).map { s0 =>
+        w24(java.lang.Long.bitCount(s0)) * (v(s0 + b) - v(s0))
+      }.sum
+      (ch, phi, phi * 1000000L / 24)
+    }
+    val got = Analytics.attributionShapley(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // efficiency: credits sum to 24 * (v(full) - v(empty))
+    got.map(_._2).sum shouldBe 24L * (v(15L) - v(0L))
+    got.foreach(_._2 should be > 0L) // every channel carries some credit
+  }
 }

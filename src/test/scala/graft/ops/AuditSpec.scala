@@ -237,4 +237,23 @@ class AuditSpec extends SparkSpec {
     Audit.ksFromPerValue(pv, wide = false).schema shouldBe
       Audit.ksFromPerValue(pv, wide = true).schema
   }
+
+  "Audit.keyGaps" should "match a sorted-walk gap census and genuinely bind" in {
+    val ks = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).sorted
+    var missing = 0L
+    var runs = 0L
+    ks.zip(ks.tail).foreach { case (a, b) =>
+      if (b - a > 1) { missing += b - a - 1; runs += 1 }
+    }
+    val row = Audit.keyGaps(spark, sfDir).collect().head
+    row.getLong(0) shouldBe ks.length.toLong
+    row.getLong(1) shouldBe ks.head
+    row.getLong(2) shouldBe ks.last
+    row.getLong(3) shouldBe missing
+    row.getLong(4) shouldBe runs
+    row.getLong(5) shouldBe 10000L * ks.length / (ks.last - ks.head + 1)
+    // childless orders leave real holes in the lineitem key sequence
+    missing should be > 0L
+  }
 }
