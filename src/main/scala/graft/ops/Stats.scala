@@ -871,7 +871,81 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Fairness parity audit (`ml_fairness_audit`, r13): the group-metric
+    * table every deployed classifier publishes — per customer segment
+    * (the protected-attribute stand-in), the positive-decision rate of
+    * the planted scorer's published decision rule (cents ≥ 2·10⁷, the
+    * cost-threshold regime) and TPR/FPR against the planted teacher
+    * (demographic parity needs rates; equalized odds needs the
+    * conditional pair), plus the disparate-impact ratio of each group's
+    * rate to the MAX group rate (the four-fifths-rule denominator
+    * convention). All counts exact BIGINTs in one keyed conditional
+    * agg + a 1-row max attach; every rate an e6 floor lattice.
+    */
+  def fairnessAudit(s: SparkSession, d: String): DataFrame = {
+    val t = plantedScores(s, d)
+      .join(Sources.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        Seq("o_orderkey"))
+      .join(Sources.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      .withColumn("dec", (col("cents") >= 20000000L).cast("long"))
+    val g = t.groupBy("c_mktsegment").agg(
+      count(lit(1)).as("n"),
+      sum("dec").as("n_pos_dec"),
+      sum(col("dec") * col("label")).as("tp"),
+      sum(col("dec") * (lit(1L) - col("label"))).as("fp"),
+      sum("label").as("n_pos_label"))
+      .withColumn("rate_e6", expr("(n_pos_dec * 1000000L) div n"))
+      .withColumn("tpr_e6", expr("(tp * 1000000L) div n_pos_label"))
+      .withColumn("fpr_e6",
+        expr("(fp * 1000000L) div (n - n_pos_label)"))
+    val mx = g.agg(max("rate_e6").as("max_rate_e6"))
+    g.crossJoin(broadcast(mx))
+      .select(col("c_mktsegment"), col("n"), col("n_pos_dec"),
+        col("rate_e6"), col("tpr_e6"), col("fpr_e6"),
+        expr("(rate_e6 * 1000000L) div max_rate_e6").as("di_e6"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Difference-in-differences (`stats_did`, r13): the workhorse
+    * causal estimator — treated = customers of even nations, published
+    * intervention date 1996-01-01, outcome = whole-dollar order total;
+    * DiD = (T̄_post − T̄_pre) − (C̄_post − C̄_pre) cancels both the group
+    * fixed effect and the common time trend. One conditional 4-cell
+    * aggregate over the orders⋈customer scan; the four cell (n, Σ)
+    * pairs ship as exact BIGINTs (the audit a referee recomputes) and
+    * the estimate is ONE mirrored double expression over them, rounded
+    * 4. The fixture's pre-period is thin (orders cluster post-1996),
+    * so the point estimate carries real small-sample noise — shipping
+    * the four cells alongside is exactly why: the consumer can judge
+    * the design, not just the number.
+    */
+  def did(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.orders(s, d)
+      .join(Sources.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .select((col("c_nationkey") % 2 === 0).cast("long").as("treated"),
+        (to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date"))
+          .cast("long").as("post"),
+        round(col("o_totalprice")).cast("long").as("x"))
+    def cell(tr: Int, po: Int, nm: String): Seq[Column] = Seq(
+      sum(when(col("treated") === tr && col("post") === po, 1L).otherwise(0L))
+        .as(s"n_$nm"),
+      sum(when(col("treated") === tr && col("post") === po, col("x"))
+        .otherwise(0L)).as(s"s_$nm"))
+    val aggs = cell(1, 1, "t1") ++ cell(1, 0, "t0") ++
+      cell(0, 1, "c1") ++ cell(0, 0, "c0")
+    def m(nm: String): Column =
+      col(s"s_$nm").cast("double") / col(s"n_$nm").cast("double")
+    t.agg(aggs.head, aggs.tail: _*)
+      .withColumn("did", roundNorm((m("t1") - m("t0")) - (m("c1") - m("c0")), 4))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_did" -> (did _),
+    "ml_fairness_audit" -> (fairnessAudit _),
     "stats_cvar_segment" -> (cvarSegment _),
     "ml_cost_threshold" -> (costThreshold _),
     "stats_overdispersion" -> (overdispersion _),
@@ -895,6 +969,57 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // four exact cells, one mirrored double finish
+    "stats_did" ->
+      """WITH t AS (SELECT
+        |   CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+        |   CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |     THEN 1 ELSE 0 END AS post,
+        |   CAST(round(o_totalprice) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        | g AS (SELECT
+        |   CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        |   CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN x ELSE 0 END) AS BIGINT) AS s_t1,
+        |   CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+        |   CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN x ELSE 0 END) AS BIGINT) AS s_t0,
+        |   CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+        |   CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN x ELSE 0 END) AS BIGINT) AS s_c1,
+        |   CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+        |   CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN x ELSE 0 END) AS BIGINT) AS s_c0
+        |  FROM t)
+        |SELECT n_t1, s_t1, n_t0, s_t0, n_c1, s_c1, n_c0, s_c0,
+        | round((s_t1::DOUBLE / n_t1::DOUBLE - s_t0::DOUBLE / n_t0::DOUBLE)
+        |   - (s_c1::DOUBLE / n_c1::DOUBLE - s_c0::DOUBLE / n_c0::DOUBLE), 4)
+        |   + 0.0 AS did
+        |FROM g""".stripMargin,
+    // same planted teacher and published decision rule; rates, the
+    // conditional pair, and the DI ratio all replay on e6 lattices
+    "ml_fairness_audit" ->
+      """WITH scored AS (SELECT o_orderkey, o_custkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100,
+        |       900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | t AS (SELECT c_mktsegment,
+        |    CASE WHEN cents >= 20000000 THEN 1 ELSE 0 END AS dec, label
+        |  FROM scored JOIN customer ON o_custkey = c_custkey),
+        | g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dec) AS BIGINT) AS n_pos_dec,
+        |    CAST(sum(dec * label) AS BIGINT) AS tp,
+        |    CAST(sum(dec * (1 - label)) AS BIGINT) AS fp,
+        |    CAST(sum(label) AS BIGINT) AS n_pos_label
+        |  FROM t GROUP BY 1),
+        | r AS (SELECT *,
+        |    CAST((n_pos_dec * 1000000) // n AS BIGINT) AS rate_e6,
+        |    CAST((tp * 1000000) // n_pos_label AS BIGINT) AS tpr_e6,
+        |    CAST((fp * 1000000) // (n - n_pos_label) AS BIGINT) AS fpr_e6
+        |  FROM g),
+        | mx AS (SELECT max(rate_e6) AS max_rate_e6 FROM r)
+        |SELECT c_mktsegment, n, n_pos_dec, rate_e6, tpr_e6, fpr_e6,
+        | CAST((rate_e6 * 1000000) // max_rate_e6 AS BIGINT) AS di_e6
+        |FROM r CROSS JOIN mx ORDER BY c_mktsegment""".stripMargin,
     // tie-correct tail algebra: the cutoff row contributes cum-k+1
     // copies; the oracle's per-segment window replays the Prefix
     // offsets exactly

@@ -133,7 +133,9 @@ class PlanShapesSpec extends SparkSpec {
     "stats_cvar_segment", "priv_microaggregation", "sim_range_count",
     // 16-subset characteristic-function algebra (model-sized by
     // construction); 1-row successor-census attach for the gap audit
-    "join_attribution_shapley", "audit_key_gaps")
+    "join_attribution_shapley", "audit_key_gaps",
+    // 1-row max-rate attach for the disparate-impact denominator
+    "ml_fairness_audit")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

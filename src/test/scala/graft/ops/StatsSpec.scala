@@ -649,4 +649,70 @@ class StatsSpec extends SparkSpec {
       es should be > varC * 100L
     }
   }
+
+  behavior of "Stats.did (r13)"
+
+  it should "replay the four cells and the mirrored estimate" in {
+    val nat = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val rows = Sources.orders(spark, sfDir)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS od",
+        "CAST(round(o_totalprice) AS LONG) AS x").collect()
+      .map { r =>
+        (nat(r.getLong(0)) % 2 == 0,
+          !r.getDate(1).toLocalDate.isBefore(java.time.LocalDate.of(1996, 1, 1)),
+          r.getLong(2))
+      }
+    def cell(tr: Boolean, po: Boolean): (Long, Long) = {
+      val g = rows.filter(t => t._1 == tr && t._2 == po)
+      (g.length.toLong, g.map(_._3).sum)
+    }
+    val (nt1, st1) = cell(true, true); val (nt0, st0) = cell(true, false)
+    val (nc1, sc1) = cell(false, true); val (nc0, sc0) = cell(false, false)
+    val didRef = (st1.toDouble / nt1 - st0.toDouble / nt0) -
+      (sc1.toDouble / nc1 - sc0.toDouble / nc0)
+    val row = Stats.did(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7)) shouldBe
+      ((nt1, st1, nt0, st0, nc1, sc1, nc0, sc0))
+    row.getDouble(8) shouldBe (math.round(didRef * 1e4) / 1e4) +- 1e-9
+    // all four design cells are populated
+    Seq(nt1, nt0, nc1, nc0).foreach(_ should be > 0L)
+  }
+
+  behavior of "Stats.fairnessAudit (r13)"
+
+  it should "replay the group rates and the disparate-impact ratios" in {
+    val seg = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Sources.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(2) * 100)
+        val u = ((r.getLong(0) * 2654435761L) % 4294967296L) % 1000000L
+        val label = if (u < math.min(100000L + cents / 100, 900000L)) 1L else 0L
+        (seg(r.getLong(1)), if (cents >= 20000000L) 1L else 0L, label)
+      }
+    val byG = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val n = rs.length.toLong
+      val pos = rs.map(_._2).sum
+      val tp = rs.map(t => t._2 * t._3).sum
+      val fp = rs.map(t => t._2 * (1 - t._3)).sum
+      val pl = rs.map(_._3).sum
+      (g, n, pos, pos * 1000000L / n, tp * 1000000L / pl,
+        fp * 1000000L / (n - pl))
+    }
+    val mx = byG.map(_._4).max
+    val want = byG.map(t =>
+      (t._1, t._2, t._3, t._4, t._5, t._6, t._4 * 1000000L / mx))
+    val got = Stats.fairnessAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldBe want
+    // exactly one reference group at DI = 1e6; none below four-fifths
+    got.count(_._7 == 1000000L) shouldBe 1
+    got.foreach(_._7 should be > 800000L)
+  }
 }
