@@ -554,14 +554,23 @@ object TextOps {
     * size, the re-rank is linear in candidates, and all-pairs comparison
     * never happens.
     */
-  def dedupMinHashLsh(s: SparkSession, d: String): DataFrame = {
-    // bands from the materialized hashed-shingle table (bit-identical to
-    // banding the raw text — Dedup.minHashBandsFromSets): propose and
-    // verify share one shingling pass per corpus
-    val sigs = Dedup.minHashBandsFromSets(
-      shingleSetsRaw(s, d), "doc_id", "sset", nHashes = 16, bandSize = 2)
-    exactRerank(Dedup.lshCandidatePairs(sigs, "doc_id"), s, d)
-  }
+  def dedupMinHashLsh(s: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairs(s, d)
+
+  /** Session-materialized verified near-dup pair table — the expensive
+    * propose+verify stage that BOTH `dedup_minhash_lsh` and the
+    * [[dedupMinhashMetrics]] truth side consume (the erPairs09
+    * discipline: two consumers, one derivation).
+    */
+  private[graft] def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    graft.io.Materialized.of(s, s"minhashPairs|$d") {
+      // bands from the materialized hashed-shingle table (bit-identical
+      // to banding the raw text — Dedup.minHashBandsFromSets): propose
+      // and verify share one shingling pass per corpus
+      val sigs = Dedup.minHashBandsFromSets(
+        shingleSetsRaw(s, d), "doc_id", "sset", nHashes = 16, bandSize = 2)
+      exactRerank(Dedup.lshCandidatePairs(sigs, "doc_id"), s, d)
+    }
 
   /** SimHash near-dup pairs, exact-verified: 64-bit signature (per word
     * occurrence, each bit of xxhash64(word) votes ±1; sign of the vote
@@ -1279,7 +1288,7 @@ object TextOps {
         Seq("bi", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val truth = dedupMinHashLsh(s, d).select("id_a", "id_b")
+    val truth = minhashVerifiedPairs(s, d).select("id_a", "id_b")
     val nCov = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("n_covered"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
