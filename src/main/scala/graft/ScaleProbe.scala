@@ -114,6 +114,28 @@ object ScaleProbe {
       val iterJson = iterTimes.map { case (it, dl, sec) =>
         f"""{"iter":$it,"delta":$dl,"sec":$sec%.3f}""" }.mkString("[", ",", "]")
 
+      // Bounded-round iterative ops (r13): 3-round LPA and the 4-step
+      // frozen walks over the strong (w>=2) graph of the SAME doubly-
+      // offset lineitem replica. Round count is fixed by construction,
+      // labels/walkers pin per round (constant-depth lineage) — wall
+      // must track edges ~linearly, like the PageRank loops above.
+      val liGS = spark.read.parquet(s"$dir/lineitem_g.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val stGS = liGS.as("a").join(liGS.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") + 1 === col("b.l_linenumber"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("src", "dst")
+      val symG = stGS
+        .union(stGS.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+      val nStrongSym = symG.count()
+      val tLpa = time { graft.ops.Graph.lpaLoop(symG).count() }
+      val tWalk = time { graft.ops.Graph.walkLoop(symG).count() }
+
       // LSH dedup: replicated corpora are exactly the near-dup-heavy case;
       // bits re-sized per scale keeps expected bucket size constant, so the
       // candidate count (and the timing) should track n, not n²
@@ -582,7 +604,7 @@ object ScaleProbe {
         closureRows
       }
       val rows = li.count()
-      println(s"""{"scale":$k,"tree_nodes":$treeN,"tree_closure_rows":$closureRows,"tree_sec":$tTree,"er_parts":$erParts,"er_banded_cand":$erBandedCand,"er_brand_cand":$erBrandCand,"er_pairs09":$erPairs09,"er_pairs_sec":$tErPairs,"er_cc_rounds":$erCcRounds,"er_cc_groups":$erGroups,"er_cc_sec":$tErCc,"dupspan_gram_rows":$gramRows,"dupspan_gram_str_bytes":$gramStrBytes,"dupspan_gram_hash_bytes":${gramRows * 8},"dupspan_rows":$spanRows,"dupspan_sec":$tSpan,"tri_rows":$triRows,"tri_sec":$tTri,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge,"prmaint_new_edges":$prmNewEdges,"prmaint_full_derive_sec":$tPrmFullDerive,"prmaint_merge_sec":$tPrmMerge}""")
+      println(s"""{"scale":$k,"tree_nodes":$treeN,"tree_closure_rows":$closureRows,"tree_sec":$tTree,"er_parts":$erParts,"er_banded_cand":$erBandedCand,"er_brand_cand":$erBrandCand,"er_pairs09":$erPairs09,"er_pairs_sec":$tErPairs,"er_cc_rounds":$erCcRounds,"er_cc_groups":$erGroups,"er_cc_sec":$tErCc,"dupspan_gram_rows":$gramRows,"dupspan_gram_str_bytes":$gramStrBytes,"dupspan_gram_hash_bytes":${gramRows * 8},"dupspan_rows":$spanRows,"dupspan_sec":$tSpan,"tri_rows":$triRows,"tri_sec":$tTri,"lineitem_rows":$rows,"agg_sec":$tAgg,"join_sec":$tJoin,"window_sec":$tWin,"emb_rows":$nEmb,"lsh_bits":$bits,"lsh_candidates":$cands,"lsh_sec":$tLsh,"inc_corpus_rows":$nCorp,"inc_verified":$incMatches,"inc_sec":$tInc,"pq_train_sec":$tPqTrain,"pq_encode_sec":$tPqEnc,"pq_code_rows":$pqRows,"rank_rows":$custRows,"rank_prefix_sec":$tPrefix,"rank_globalwin_sec":$tGlobalWin,"graph_edges":$nEdges,"pagerank_sec":$tPr,"strong_sym_edges":$nStrongSym,"lpa3_sec":$tLpa,"walk4_sec":$tWalk,"pagerank_adaptive_iters":$aIters,"pagerank_adaptive_iter_times":$iterJson,"proj_pairs":$projPairs,"proj_sec":$tProj,"mod_communities":$modCommunities,"mod_sec":$tMod,"incc_docs":${docsX.count()},"incc_touched":$inccTouched,"incc_full_edges":$inccFullEdges,"incc_contracted_edges":$inccContractedEdges,"incc_full_sec":$tInccFull,"incc_merge_sec":$tInccMerge,"prmaint_new_edges":$prmNewEdges,"prmaint_full_derive_sec":$tPrmFullDerive,"prmaint_merge_sec":$tPrmMerge}""")
     }
     spark.stop()
   }

@@ -547,6 +547,13 @@ object Graph {
     val e = strong.select(col("src"), col("dst"))
       .union(strong.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    lpaLoop(e).select(col("part"), col("lbl").as("label3")).orderBy("part")
+  }
+
+  /** The 3-round synchronous core over any symmetrized edge table —
+    * exposed for the ScaleProbe receipts.
+    */
+  private[graft] def lpaLoop(e: DataFrame): DataFrame = {
     val nodes = e.select(col("src").as("part")).distinct()
     var lab = nodes.select(col("part"), col("part").as("lbl"))
     val w = org.apache.spark.sql.expressions.Window
@@ -561,7 +568,7 @@ object Graph {
           .select(col("part"), col("lbl")),
         eager = false)
     }
-    lab.select(col("part"), col("lbl").as("label3")).orderBy("part")
+    lab
   }
 
   /** Frozen pseudo-random walks (`graph_frozen_walks`, r13): one
@@ -587,6 +594,15 @@ object Graph {
     val e = strong.select(col("src"), col("dst"))
       .union(strong.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    walkLoop(e).groupBy(col("pos").as("part"))
+      .agg(count(lit(1)).as("n_ends"))
+      .orderBy("part")
+  }
+
+  /** The 4-step hash-argmin walk core over any symmetrized edge table —
+    * exposed for the ScaleProbe receipts.
+    */
+  private[graft] def walkLoop(e: DataFrame): DataFrame = {
     val nodes = e.select(col("src").as("part")).distinct()
     var pos = nodes.select(col("part").as("start"), col("part").as("pos"))
     for (k <- 1 to 4) {
@@ -601,9 +617,7 @@ object Graph {
           .select(col("start"), col("dst").as("pos")),
         eager = false)
     }
-    pos.groupBy(col("pos").as("part"))
-      .agg(count(lit(1)).as("n_ends"))
-      .orderBy("part")
+    pos
   }
 
   /** Partition modularity (`graph_modularity`) — Newman's Q for the
