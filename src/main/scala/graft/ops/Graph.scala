@@ -888,6 +888,42 @@ object Graph {
       .limit(20)
   }
 
+  /** Adamic-Adar link prediction (`graph_adamic_adar`, r13): the
+    * degree-discounted common-neighbor score AA(a,b) = Σ_{z∈Γa∩Γb}
+    * 1/ln(deg z) — rare shared neighbors say more than hubs, the
+    * refinement [[linkPrediction]]'s raw count misses. Lattice
+    * discipline: each wedge center contributes a PER-NEIGHBOR term
+    * round(10⁶/ln deg) — rounded BEFORE the cross-pair sum, so the only
+    * float sums are over pre-rounded integers (the theil/ANOVA rule;
+    * deg = 1 centers are excluded — ln 1 = 0 — matching the standard
+    * definition where leaves predict nothing... they have no wedge
+    * anyway). Plan: degree join onto the wedge self-join (the
+    * [[linkPrediction]] shape), existing-edge anti-join, integer-keyed
+    * top-20 via TakeOrderedAndProject.
+    */
+  def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    val es = strongEdges(s, d)
+    val und = es.select(col("src").as("u"), col("dst").as("v"))
+      .union(es.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val wgt = deg.filter(col("deg") >= 2)
+      .select(col("u"),
+        round(lit(1000000.0) / log(col("deg").cast("double")), 0)
+          .cast("long").as("aa_w"))
+    val wedges = und.select(col("u"), col("v").as("a"))
+      .join(und.select(col("u"), col("v").as("b")), Seq("u"))
+      .filter(col("a") < col("b"))
+      .join(wgt, Seq("u"))
+    wedges
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum("aa_w").as("aa_e6"))
+      .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+        "left_anti")
+      .orderBy(col("aa_e6").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** 2-core peeling trajectory (`graph_kcore2`) of the UNDIRECTED
     * strong co-purchase graph: repeatedly drop every node of degree < 2
     * (and its edges) — the surviving subgraph after each round
@@ -1203,6 +1239,7 @@ object Graph {
     "graph_lpa_rounds" -> (lpaRounds _),
     "graph_frozen_walks" -> (frozenWalks _),
     "graph_eccentricity_seeds" -> (eccentricitySeeds _),
+    "graph_adamic_adar" -> (adamicAdar _),
   )
 
   private val edgeCte: String =
@@ -1572,6 +1609,33 @@ object Graph {
         |    / (4.0 * m * m), 8) + 0.0 AS q_cell
         |FROM dc LEFT JOIN ec ON dc.community_id = ec.community_id, mm
         |ORDER BY dc.community_id""".stripMargin,
+    // per-neighbor 1e6/ln(deg) rounded BEFORE the pair sum — the only
+    // float sums are over pre-rounded integers in both engines
+    "graph_adamic_adar" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM st
+        |    UNION ALL SELECT dst, src FROM st)),
+        | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und
+        |  GROUP BY 1),
+        | wgt AS (SELECT u, CAST(round(1000000.0 / ln(deg::DOUBLE))
+        |    AS BIGINT) AS aa_w FROM deg WHERE deg >= 2),
+        | wd AS (SELECT a.v AS a, b.v AS b, wgt.aa_w
+        |  FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+        |  JOIN wgt ON wgt.u = a.u),
+        | sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(aa_w) AS BIGINT) AS aa_e6
+        |  FROM wd GROUP BY 1, 2),
+        | pruned AS (SELECT sc.* FROM sc
+        |  LEFT JOIN und ON und.u = sc.a AND und.v = sc.b
+        |  WHERE und.u IS NULL)
+        |SELECT a, b, n_common, aa_e6 FROM pruned
+        |ORDER BY aa_e6 DESC, a, b LIMIT 20""".stripMargin,
     // bounded-walk recursion + min-dist fold: true BFS distances, ecc
     // as their max — the 20 cap is asserted unreached by the spec
     "graph_eccentricity_seeds" ->

@@ -398,6 +398,7 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_ess_weights" -> (essWeights _),
+    "sample_neyman_alloc" -> (neymanAlloc _),
     "sample_kfold_balance" -> (sampleKfoldBalance _),
     "sample_time_split" -> (sampleTimeSplit _),
     "sample_negatives" -> (sampleNegatives _),
@@ -450,6 +451,46 @@ object Sampling {
       .orderBy("c_nationkey")
   }
 
+  /** Neyman optimal stratified allocation (`sample_neyman_alloc`, r13):
+    * the survey-design complement to [[essWeights]] — given a budget of
+    * B = 1000 draws over the priority strata, allocate n_h ∝ N_h·S_h
+    * (minimum-variance allocation for a stratified mean; Neyman 1934).
+    * Stratum stddevs come from exact BIGINT moments with ONE mirrored
+    * sqrt each; the integer weights w_h = round(N_h·s_h) then go
+    * through the exact largest-remainder apportionment (the
+    * [[Stats.largestRemainder]] discipline — floor shares plus ranked
+    * remainders over the 5-row stratum dimension, so Σ alloc = B
+    * EXACTLY, spec-pinned). All ratios exact floor lattices.
+    */
+  def neymanAlloc(s: SparkSession, d: String): DataFrame = {
+    val b = 1000L
+    val g = Sources.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice")).cast("long").as("x"))
+      .groupBy("grp").agg(count(lit(1)).as("n_pop"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    def D(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    val sd = sqrt((D(col("sxx")) - D(col("sx")) * D(col("sx")) / D(col("n_pop")))
+      / (D(col("n_pop")) - 1.0))
+    val wDf = g.withColumn("w_h", round(D(col("n_pop")) * sd, 0).cast("long"))
+    val tot = wDf.agg(sum("w_h").as("w_tot"))
+    val based = wDf.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($b * w_h) div w_tot"))
+      .withColumn("rem", lit(b) * col("w_h") - col("base") * col("w_tot"))
+    val leftover = based.agg((lit(b) - sum("base")).as("leftover"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("grp").asc)
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("grp"), col("n_pop"),
+        graft.functions.Num.roundNorm(sd, 2).as("sd"),
+        col("w_h"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("grp")
+  }
+
   /** Importance-weighted sampling with a CONTINUOUS per-document rate:
     * keep probability = the doc's unique-word ratio (distinct/total
     * words), so repetitive documents are downweighted smoothly instead of
@@ -486,6 +527,35 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact moments, one mirrored sqrt per stratum, then the exact
+    // largest-remainder apportionment — sum(alloc) = 1000 exactly
+    "sample_neyman_alloc" ->
+      """WITH g AS (SELECT o_orderpriority AS grp,
+        |   CAST(count(*) AS BIGINT) AS n_pop,
+        |   CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sx,
+        |   CAST(sum(CAST(round(o_totalprice) AS BIGINT)
+        |     * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM orders GROUP BY 1),
+        | wd AS (SELECT grp, n_pop,
+        |    sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n_pop::DOUBLE)
+        |      / (n_pop::DOUBLE - 1.0)) AS sd,
+        |    CAST(round(n_pop::DOUBLE
+        |      * sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n_pop::DOUBLE)
+        |        / (n_pop::DOUBLE - 1.0))) AS BIGINT) AS w_h
+        |  FROM g),
+        | tot AS (SELECT CAST(sum(w_h) AS BIGINT) AS w_tot FROM wd),
+        | based AS (SELECT grp, n_pop, sd, w_h,
+        |    CAST((1000 * w_h) // w_tot AS BIGINT) AS base,
+        |    1000 * w_h - ((1000 * w_h) // w_tot) * w_tot AS rem
+        |  FROM wd CROSS JOIN tot),
+        | lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover
+        |  FROM based),
+        | rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, grp ASC)
+        |    AS rk FROM based)
+        |SELECT grp, n_pop, round(sd, 2) + 0.0 AS sd, w_h,
+        | CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |   AS alloc
+        |FROM rk CROSS JOIN lo ORDER BY grp""".stripMargin,
     // the Kish moments are pure BIGINTs; every ratio is a floor lattice
     "sample_ess_weights" ->
       """WITH wt AS (SELECT * FROM (VALUES ('1-URGENT', 5), ('2-HIGH', 4),

@@ -135,7 +135,9 @@ class PlanShapesSpec extends SparkSpec {
     // construction); 1-row successor-census attach for the gap audit
     "join_attribution_shapley", "audit_key_gaps",
     // 1-row max-rate attach for the disparate-impact denominator
-    "ml_fairness_audit")
+    "ml_fairness_audit",
+    // 1-row weight-total/leftover attaches for the Neyman apportionment
+    "sample_neyman_alloc")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
@@ -160,7 +162,10 @@ class PlanShapesSpec extends SparkSpec {
       "ml_lift_deciles",
       // lag/lead over the CALENDAR-bounded daily series (≤3.7k rows —
       // the ts_theil_sen bound), not a corpus-growing input
-      "ts_peak_days")
+      "ts_peak_days",
+      // remainder ranking over the 5-row stratum DIMENSION (the
+      // agg_largest_remainder apportionment class)
+      "sample_neyman_alloc")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

@@ -285,6 +285,37 @@ class CurationOpsSpec extends SparkSpec {
     row.getLong(6) should be > 990000L // banding must genuinely reduce
   }
 
+  "Sampling.neymanAlloc" should "replay N_h*S_h weights and conserve the budget exactly" in {
+    val xs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderpriority", "CAST(round(o_totalprice) AS LONG) AS x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val wd = xs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum
+      val sxx = rows.map(t => t._2 * t._2).sum
+      val sd = math.sqrt((sxx - sx.toDouble * sx / n) / (n - 1))
+      (g, n, sd, math.round(n * sd))
+    }
+    val wTot = wd.map(_._4).sum
+    val based = wd.map { case (g, n, sd, w) =>
+      (g, n, sd, w, 1000L * w / wTot, 1000L * w - (1000L * w / wTot) * wTot)
+    }
+    val leftover = 1000L - based.map(_._5).sum
+    val bump = based.sortBy { case (g, _, _, _, _, rem) => (-rem, g) }
+      .take(leftover.toInt).map(_._1).toSet
+    val want = based.map { case (g, n, sd, w, base, _) =>
+      (g, n, math.round(sd * 100) / 100.0, w,
+        base + (if (bump(g)) 1L else 0L))
+    }
+    val got = Sampling.neymanAlloc(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got.map(t => (t._1, t._2, t._4, t._5)) shouldBe
+      want.map(t => (t._1, t._2, t._4, t._5))
+    got.zip(want).foreach { case (g, w0) => g._3 shouldBe w0._3 +- 1e-9 }
+    got.map(_._5).sum shouldBe 1000L // exact budget conservation
+  }
+
   "Sampling.essWeights" should "replay the Kish moments and bound ESS by n" in {
     val wTab = Map("1-URGENT" -> 5L, "2-HIGH" -> 4L, "3-MEDIUM" -> 3L,
       "4-NOT SPECIFIED" -> 2L, "5-LOW" -> 1L)

@@ -571,4 +571,38 @@ class GraphSpec extends SparkSpec {
     got.foreach(_._3 should be < 20L)
     got.map(_._3).max should be >= 2L // a hub still can't see everything in 1 hop
   }
+
+  "Graph.adamicAdar" should "replay the lattice-weighted wedge census" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pairCount = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val st = pairCount.filter(_._2 >= 2).keySet
+    val sym = st ++ st.map(_.swap)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def w(u: Long): Option[Long] = {
+      val d = adj(u).size
+      if (d >= 2) Some(math.round(1e6 / math.log(d.toDouble))) else None
+    }
+    val pairScores = (for {
+      (u, ns) <- adj.toSeq
+      wu <- w(u).toSeq
+      a <- ns; b <- ns if a < b
+    } yield ((a, b), wu))
+      .groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+      .filterNot { case ((a, b), _) => sym((a, b)) }
+    val want = pairScores.toSeq
+      .map { case ((a, b), (nc, aa)) => (a, b, nc, aa) }
+      .sortBy { case (a, b, _, aa) => (-aa, a, b) }.take(20)
+    val got = Graph.adamicAdar(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    got should not be empty
+  }
 }
