@@ -179,6 +179,10 @@ object EtlQueries {
       .selectExpr("stack(4, 'bad_priority', bad_priority, " +
         "'childless', childless, 'early_ship', early_ship, " +
         "'zz_clean', _clean) AS (rule, n_orders)")
+      // explicit order: the driver compare is row-order-sensitive and
+      // stack/UNION ALL emission order is incidental, not contractual
+      // (r13 self-review find — the zz_ prefix exists to sort last)
+      .orderBy("rule")
   }
 
   def etlIncrementalAgg(s: SparkSession, d: String): DataFrame = {
@@ -402,10 +406,12 @@ object EtlQueries {
         |    CAST(sum(CASE WHEN NOT childless AND NOT early_ship
         |      AND NOT bad_priority THEN 1 ELSE 0 END) AS BIGINT) AS clean
         |  FROM f)
-        |SELECT 'bad_priority' AS rule, bad_priority AS n_orders FROM g
-        |UNION ALL SELECT 'childless', childless FROM g
-        |UNION ALL SELECT 'early_ship', early_ship FROM g
-        |UNION ALL SELECT 'zz_clean', clean FROM g""".stripMargin,
+        |SELECT rule, n_orders FROM (
+        | SELECT 'bad_priority' AS rule, bad_priority AS n_orders FROM g
+        | UNION ALL SELECT 'childless', childless FROM g
+        | UNION ALL SELECT 'early_ship', early_ship FROM g
+        | UNION ALL SELECT 'zz_clean', clean FROM g)
+        |ORDER BY rule""".stripMargin,
     "etl_incremental_agg" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

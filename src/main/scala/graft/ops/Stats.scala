@@ -896,10 +896,16 @@ object Stats {
       sum(col("dec") * col("label")).as("tp"),
       sum(col("dec") * (lit(1L) - col("label"))).as("fp"),
       sum("label").as("n_pos_label"))
+      // degenerate one-class segments ship the -1 sentinel instead of a
+      // NULL-vs-error divergence between engines (r13 self-review find:
+      // Spark `div 0` yields NULL where DuckDB `// 0` throws)
       .withColumn("rate_e6", expr("(n_pos_dec * 1000000L) div n"))
-      .withColumn("tpr_e6", expr("(tp * 1000000L) div n_pos_label"))
-      .withColumn("fpr_e6",
-        expr("(fp * 1000000L) div (n - n_pos_label)"))
+      .withColumn("tpr_e6", expr(
+        "CASE WHEN n_pos_label = 0 THEN -1L " +
+          "ELSE (tp * 1000000L) div n_pos_label END"))
+      .withColumn("fpr_e6", expr(
+        "CASE WHEN n = n_pos_label THEN -1L " +
+          "ELSE (fp * 1000000L) div (n - n_pos_label) END"))
     val mx = g.agg(max("rate_e6").as("max_rate_e6"))
     g.crossJoin(broadcast(mx))
       .select(col("c_mktsegment"), col("n"), col("n_pos_dec"),
@@ -1013,8 +1019,11 @@ object Stats {
         |  FROM t GROUP BY 1),
         | r AS (SELECT *,
         |    CAST((n_pos_dec * 1000000) // n AS BIGINT) AS rate_e6,
-        |    CAST((tp * 1000000) // n_pos_label AS BIGINT) AS tpr_e6,
-        |    CAST((fp * 1000000) // (n - n_pos_label) AS BIGINT) AS fpr_e6
+        |    CAST(CASE WHEN n_pos_label = 0 THEN -1
+        |      ELSE (tp * 1000000) // n_pos_label END AS BIGINT) AS tpr_e6,
+        |    CAST(CASE WHEN n = n_pos_label THEN -1
+        |      ELSE (fp * 1000000) // (n - n_pos_label) END AS BIGINT)
+        |      AS fpr_e6
         |  FROM g),
         | mx AS (SELECT max(rate_e6) AS max_rate_e6 FROM r)
         |SELECT c_mktsegment, n, n_pos_dec, rate_e6, tpr_e6, fpr_e6,
