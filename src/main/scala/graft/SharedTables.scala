@@ -47,6 +47,7 @@ object SharedTables {
     "miningBaskets" -> ((s, d) => { ops.Mining.basketsRaw(s, d); () }),
     "miningPairCounts" -> ((s, d) => { ops.Mining.pairCountsRaw(s, d); () }),
     "erPairs09" -> ((s, d) => { ops.EntityRes.pairs09Raw(s, d); () }),
+    "minhashPairs" -> ((s, d) => { ops.TextOps.minhashVerifiedPairs(s, d); () }),
   )
 
   /** Persisted [[graft.io.ModelStore]] artifacts, warmed alongside the
