@@ -1358,7 +1358,138 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Probe-vs-corpus scores on the e4 INTEGER cosine lattice, ranked per
+    * probe (rn = 1 is the nearest corpus vector). Shared by the
+    * contrastive-mining and MMR serving twins: probes are the 8 fixture
+    * query vectors, scores are `round(cos·10⁴)` BIGINTs — quantize-then-
+    * compare (the EntityRes rule), so every downstream comparison,
+    * margin, and tie-break is exact integer arithmetic and the DuckDB
+    * hash needs no float-ordering tolerance.
+    */
+  private def probeRankedE4(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")) * 10000).cast("long")
+          .as("cos_e4"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_e4").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** Semi-hard negative mining (`sim_hard_negatives`, r13): the
+    * contrastive-training data op (FaceNet, Schroff et al. 2015) — for
+    * each anchor probe, the positive is its nearest corpus vector and
+    * the mined negatives are the 3 HARDEST vectors inside the semi-hard
+    * band: strictly less similar than the positive (so the loss margin
+    * is active) but within a published margin 0.3 of it (so the gradient
+    * is informative — easy negatives teach nothing). Both band edges
+    * compare e4-lattice INTEGERS (`cos_e4 < pos_e4`,
+    * `cos_e4 ≥ pos_e4 − 3000`), so band membership cannot flip on a
+    * 1-ulp cosine wobble. Plan: one probe-broadcast corpus scan, one
+    * bounded-partition rank window (positives = rn 1), an 8-row
+    * broadcast join back, and a WindowGroupLimit top-3 — the ranked scan
+    * is pinned lazily because positives and negatives both consume it.
+    * At 100 TB this is the [[cosineTopK]] serving shape: the per-probe
+    * band filter prunes before the final rank.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val ranked = graft.io.Checkpoints.pin(probeRankedE4(s, d), eager = false)
+    val pos = ranked.filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"), col("cos_e4").as("pos_e4"))
+    val band = ranked.filter(col("rn") > 1)
+      .join(broadcast(pos), Seq("q_id"))
+      .filter(col("cos_e4") < col("pos_e4") &&
+        col("cos_e4") >= col("pos_e4") - 3000L)
+    val w = Window.partitionBy("q_id").orderBy(col("cos_e4").desc, col("vec_id"))
+    band.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 3)
+      .select(col("q_id"), col("neg_rank"), col("vec_id").as("neg_id"),
+        col("cos_e4").as("neg_e4"), col("pos_id"), col("pos_e4"))
+      .orderBy("q_id", "neg_rank")
+  }
+
+  /** Maximal-marginal-relevance rerank (`sim_mmr_rerank`, r13):
+    * diversified top-3 selection from each probe's top-8 candidates
+    * (Carbonell & Goldstein 1998) — the serving-time dedup of retrieval:
+    * a RAG or training-mix sampler that takes the raw top-k gets
+    * near-duplicate passages; MMR greedily selects
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s). λ = 7/10 is published,
+    * and with rel/sim on the e4 integer lattice the objective is the
+    * exact BIGINT `7·rel_e4 − 3·maxsim_e4` — every greedy choice and
+    * tie-break (min vec_id) is integer-decided, so the full 3-step
+    * trajectory sits under the hash gate (maxsim ≔ 0 at step 1 by
+    * convention). The greedy recursion is unrolled exactly 3 steps —
+    * the frozen-trajectory discipline ([[ivfFrozen]], graph_lpa_rounds).
+    * Plan: candidate generation is the [[cosineTopK]] probe-broadcast
+    * scan + rank window; everything after operates on the 64-row
+    * candidate table (8 probes × top-8), pinned eagerly (model-sized),
+    * with bounded equi-joins for the pairwise sims and min+join-back
+    * argmaxes (never a struct-min SortAggregate). At 100 TB candidate
+    * generation dominates and is the proven ANN serving path; the MMR
+    * stage stays k²-bounded per probe by construction.
+    */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val cand0 = probeRankedE4(s, d).filter(col("rn") <= 8)
+      .select(col("q_id"), col("vec_id"), col("cos_e4").as("rel_e4"))
+    // attach candidate embeddings (64-row broadcast side, corpus probes it)
+    val withEmb = Sources.embeddings(s, d)
+      .join(broadcast(cand0.select("vec_id").distinct()), Seq("vec_id"))
+    val cand = graft.io.Checkpoints.pin(
+      cand0.join(broadcast(withEmb), Seq("vec_id")))
+    val pairs = graft.io.Checkpoints.pin(
+      cand.select(col("q_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        .join(cand.select(col("q_id"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb")), Seq("q_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("q_id"), col("a_id"), col("b_id"),
+          round(cosine(col("a_emb"), col("b_emb")) * 10000).cast("long")
+            .as("sim_e4")))
+    val base = cand.select(col("q_id"), col("vec_id"), col("rel_e4"))
+
+    // step 1: argmax rel (maxsim := 0)
+    def argmax(scored: DataFrame, score: String): DataFrame = {
+      val m = scored.groupBy("q_id").agg(max(col(score)).as("__best"))
+      scored.join(broadcast(m), Seq("q_id"))
+        .filter(col(score) === col("__best"))
+        .groupBy("q_id").agg(min("vec_id").as("sel_id"),
+          max(col(score)).as("sel_score"))
+    }
+    val s1 = argmax(base.withColumn("mmr_e4", col("rel_e4") * 7), "mmr_e4")
+    // step 2: penalize by sim to s1
+    val rem1 = base.join(broadcast(s1), Seq("q_id"))
+      .filter(col("vec_id") =!= col("sel_id"))
+      .join(pairs.withColumnRenamed("a_id", "vec_id"),
+        Seq("q_id", "vec_id"))
+      .filter(col("b_id") === col("sel_id"))
+      .select(col("q_id"), col("vec_id"), col("rel_e4"),
+        (col("rel_e4") * 7 - col("sim_e4") * 3).as("mmr_e4"))
+    val s2 = argmax(rem1, "mmr_e4")
+    // step 3: penalize by max sim to {s1, s2}
+    val selected = s1.select(col("q_id"), col("sel_id"))
+      .union(s2.select(col("q_id"), col("sel_id")))
+    val rem2 = base
+      .join(selected.groupBy("q_id").agg(collect_set("sel_id").as("sel_set")),
+        Seq("q_id"))
+      .filter(!array_contains(col("sel_set"), col("vec_id")))
+      .join(pairs.withColumnRenamed("a_id", "vec_id"), Seq("q_id", "vec_id"))
+      .filter(array_contains(col("sel_set"), col("b_id")))
+      .groupBy(col("q_id"), col("vec_id"), col("rel_e4"))
+      .agg(max("sim_e4").as("maxsim_e4"))
+      .select(col("q_id"), col("vec_id"), col("rel_e4"),
+        (col("rel_e4") * 7 - col("maxsim_e4") * 3).as("mmr_e4"))
+    val s3 = argmax(rem2, "mmr_e4")
+
+    def out(sel: DataFrame, step: Int): DataFrame =
+      sel.select(col("q_id"), lit(step.toLong).as("step"),
+        col("sel_id"), col("sel_score").as("mmr_e4"))
+    out(s1, 1).union(out(s2, 2)).union(out(s3, 3)).orderBy("q_id", "step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives" -> (hardNegatives _),
+    "sim_mmr_rerank" -> (mmrRerank _),
     "sim_prefix_recall" -> (prefixRecall _),
     "ml_kmeans_lloyd" -> (kmeansLloyd _),
     "ml_kmeans_assign" -> (kmeansAssign _),
@@ -1519,6 +1650,79 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // both band edges compare e4-lattice integers in both engines
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |   WHERE vec_id < 8),
+        | s AS (SELECT q_id, vec_id,
+        |   CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |     CAST(q_emb AS DOUBLE[])) * 10000) AS BIGINT) AS cos_e4
+        |  FROM embeddings, q WHERE vec_id >= 8),
+        | r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS BIGINT) AS rn
+        |  FROM s),
+        | p AS (SELECT q_id, vec_id AS pos_id, cos_e4 AS pos_e4 FROM r
+        |  WHERE rn = 1),
+        | band AS (SELECT r.q_id, r.vec_id, r.cos_e4, p.pos_id, p.pos_e4
+        |  FROM r JOIN p ON r.q_id = p.q_id
+        |  WHERE r.rn > 1 AND r.cos_e4 < p.pos_e4
+        |    AND r.cos_e4 >= p.pos_e4 - 3000),
+        | k AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS BIGINT)
+        |    AS neg_rank FROM band)
+        |SELECT q_id, neg_rank, vec_id AS neg_id, cos_e4 AS neg_e4,
+        | pos_id, pos_e4
+        |FROM k WHERE neg_rank <= 3 ORDER BY q_id, neg_rank""".stripMargin,
+    // the greedy trajectory is pure BIGINT arithmetic: 7·rel − 3·maxsim
+    // on the e4 lattice, ties by min vec_id — replayed step by step
+    "sim_mmr_rerank" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |   WHERE vec_id < 8),
+        | s AS (SELECT q_id, vec_id,
+        |   CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |     CAST(q_emb AS DOUBLE[])) * 10000) AS BIGINT) AS cos_e4
+        |  FROM embeddings, q WHERE vec_id >= 8),
+        | r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos_e4 DESC, vec_id) AS rn FROM s),
+        | cand AS (SELECT q_id, vec_id, cos_e4 AS rel_e4 FROM r WHERE rn <= 8),
+        | ce AS (SELECT c.q_id, c.vec_id, c.rel_e4, e.embedding
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id),
+        | pr AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+        |   CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS sim_e4
+        |  FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+        | s1 AS (SELECT q_id, min(vec_id) AS sel_id,
+        |   CAST(max(mmr_e4) AS BIGINT) AS sel_score
+        |  FROM (SELECT q_id, vec_id, 7 * rel_e4 AS mmr_e4,
+        |    max(7 * rel_e4) OVER (PARTITION BY q_id) AS best FROM cand)
+        |  WHERE mmr_e4 = best GROUP BY q_id),
+        | r1 AS (SELECT c.q_id, c.vec_id,
+        |   7 * c.rel_e4 - 3 * p.sim_e4 AS mmr_e4
+        |  FROM cand c JOIN s1 ON c.q_id = s1.q_id AND c.vec_id <> s1.sel_id
+        |  JOIN pr p ON p.q_id = c.q_id AND p.a_id = c.vec_id
+        |    AND p.b_id = s1.sel_id),
+        | s2 AS (SELECT q_id, min(vec_id) AS sel_id,
+        |   CAST(max(mmr_e4) AS BIGINT) AS sel_score
+        |  FROM (SELECT *, max(mmr_e4) OVER (PARTITION BY q_id) AS best
+        |   FROM r1)
+        |  WHERE mmr_e4 = best GROUP BY q_id),
+        | r2 AS (SELECT c.q_id, c.vec_id,
+        |   7 * c.rel_e4 - 3 * max(p.sim_e4) AS mmr_e4
+        |  FROM cand c JOIN s1 ON c.q_id = s1.q_id JOIN s2 ON c.q_id = s2.q_id
+        |  JOIN pr p ON p.q_id = c.q_id AND p.a_id = c.vec_id
+        |    AND (p.b_id = s1.sel_id OR p.b_id = s2.sel_id)
+        |  WHERE c.vec_id <> s1.sel_id AND c.vec_id <> s2.sel_id
+        |  GROUP BY c.q_id, c.vec_id, c.rel_e4),
+        | s3 AS (SELECT q_id, min(vec_id) AS sel_id,
+        |   CAST(max(mmr_e4) AS BIGINT) AS sel_score
+        |  FROM (SELECT *, max(mmr_e4) OVER (PARTITION BY q_id) AS best
+        |   FROM r2)
+        |  WHERE mmr_e4 = best GROUP BY q_id)
+        |SELECT q_id, CAST(1 AS BIGINT) AS step, sel_id, sel_score AS mmr_e4
+        | FROM s1
+        |UNION ALL SELECT q_id, CAST(2 AS BIGINT), sel_id, sel_score FROM s2
+        |UNION ALL SELECT q_id, CAST(3 AS BIGINT), sel_id, sel_score FROM s3
+        |ORDER BY q_id, step""".stripMargin,
     "ml_knn_eval" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

@@ -561,6 +561,63 @@ object Stats {
       .orderBy("qty")
   }
 
+  /** Kruskal-Wallis H (`stats_kruskal_wallis`, r13): the k-sample RANK
+    * test across all 5 order priorities — the nonparametric complement
+    * to [[anovaF]] (same screening question, no normality assumption;
+    * the k-group generalization of [[mannWhitney]], whose doubled-
+    * midrank machinery it reuses verbatim). Ranks come from the cents
+    * value-count table: one keyed agg to (value → per-group counts),
+    * one [[Prefix]] two-pass for the running total, doubled midrank
+    * r2 = 2·cum − cnt + 1 so midranks stay INTEGER under ties. Per-group
+    * doubled rank sums r2_g = Σ c_g(v)·r2(v) and the tie term Σ(t³−t)
+    * ship as exact BIGINTs; the per-group between-term (r2_g)²/(4·n_g)
+    * is ONE mirrored double rounded onto a 10³ lattice per group BEFORE
+    * the cross-group sum (the [[anovaF]] discipline — no engine-
+    * dependent float accumulation), and H with the tie correction
+    * divides once, rounded 6. r2_g ≤ 2·N² caps the exact lattice at
+    * ~N = 3·10⁹ rows; past that, rank on a coarser value lattice (the
+    * KDE re-scale rule). Plan: value-keyed agg + Prefix + a 5-row
+    * conditional-sum aggregate — nothing wider than the value domain
+    * shuffles after the scan.
+    */
+  def kruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val t = Sources.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+        col("o_orderpriority").as("grp"))
+    val g = t.groupBy("v").agg(
+      count(lit(1)).as("cnt"),
+      prios.zipWithIndex.map { case (p, i) =>
+        sum(when(col("grp") === p, 1L).otherwise(0L)).as(s"c$i")
+      }: _*)
+    val ranked = Prefix.running(g, Seq(col("v")), sums = Seq((col("cnt"), "cum")))
+      .withColumn("r2", col("cum") * 2 - col("cnt") + 1)
+    val aggs = Seq(
+      sum("cnt").as("n_total"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term")) ++
+      prios.indices.flatMap { i =>
+        Seq(sum(col(s"c$i")).as(s"n_g$i"),
+          sum(col(s"c$i") * col("r2")).as(s"r2_g$i"))
+      }
+    val wide = ranked.agg(aggs.head, aggs.tail: _*)
+    // per-group between-term on the 10³ lattice BEFORE the cross-group sum
+    val bt = prios.indices.map { i =>
+      round(col(s"r2_g$i").cast("double") * col(s"r2_g$i").cast("double")
+        / (col(s"n_g$i").cast("double") * 4000.0), 0).cast("long")
+    }.reduce(_ + _)
+    def D(c: Column): Column = c.cast("double")
+    wide.withColumn("bt_k", bt)
+      .withColumn("h_stat", {
+        val n = D(col("n_total"))
+        val h = lit(12.0) / (n * (n + lit(1.0))) * (D(col("bt_k")) * 1000.0) -
+          lit(3.0) * (n + lit(1.0))
+        val corr = lit(1.0) - D(col("tie_term")) / (n * n * n - n)
+        roundNorm(h / corr, 6)
+      })
+      .select(Seq(col("n_total"), col("tie_term"), col("bt_k"), col("h_stat")) ++
+        prios.indices.flatMap(i => Seq(col(s"n_g$i"), col(s"r2_g$i"))): _*)
+  }
+
   /** One-way ANOVA F (`stats_anova_f`, r13): the k-sample mean-equality
     * test across order priorities on whole-dollar totals — the
     * parametric complement to [[mannWhitney]] (2-sample, rank) and
@@ -960,6 +1017,7 @@ object Stats {
     "agg_mean_family" -> (meanFamily _),
     "ml_woe_bins" -> (woeBins _),
     "stats_anova_f" -> (anovaF _),
+    "stats_kruskal_wallis" -> (kruskalWallis _),
     "stats_mann_whitney" -> (mannWhitney _),
     "stats_jsd" -> (jsdBuckets _),
     "stats_kde_grid" -> (kdeGrid _),
@@ -1237,6 +1295,43 @@ object Stats {
         |   / (ssw_k::DOUBLE / (n_total - k_groups)::DOUBLE), 6) + 0.0
         |  AS f_stat
         |FROM f""".stripMargin,
+    // doubled midranks keep ties integer; per-group between-terms round
+    // onto the 10^3 lattice BEFORE the cross-group sum (anova discipline)
+    "stats_kruskal_wallis" ->
+      """WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |   o_orderpriority AS grp FROM orders),
+        | g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(sum(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |   CAST(sum(CASE WHEN grp = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |   CAST(sum(CASE WHEN grp = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |   CAST(sum(CASE WHEN grp = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |   CAST(sum(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |  FROM t GROUP BY 1),
+        | r AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) * 2
+        |    - cnt + 1 AS r2 FROM g),
+        | a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |   CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term,
+        |   CAST(sum(c0) AS BIGINT) AS n_g0, CAST(sum(c0 * r2) AS BIGINT) AS r2_g0,
+        |   CAST(sum(c1) AS BIGINT) AS n_g1, CAST(sum(c1 * r2) AS BIGINT) AS r2_g1,
+        |   CAST(sum(c2) AS BIGINT) AS n_g2, CAST(sum(c2 * r2) AS BIGINT) AS r2_g2,
+        |   CAST(sum(c3) AS BIGINT) AS n_g3, CAST(sum(c3 * r2) AS BIGINT) AS r2_g3,
+        |   CAST(sum(c4) AS BIGINT) AS n_g4, CAST(sum(c4 * r2) AS BIGINT) AS r2_g4
+        |  FROM r),
+        | b AS (SELECT *,
+        |   CAST(round(r2_g0::DOUBLE * r2_g0::DOUBLE / (n_g0::DOUBLE * 4000.0)) AS BIGINT)
+        |   + CAST(round(r2_g1::DOUBLE * r2_g1::DOUBLE / (n_g1::DOUBLE * 4000.0)) AS BIGINT)
+        |   + CAST(round(r2_g2::DOUBLE * r2_g2::DOUBLE / (n_g2::DOUBLE * 4000.0)) AS BIGINT)
+        |   + CAST(round(r2_g3::DOUBLE * r2_g3::DOUBLE / (n_g3::DOUBLE * 4000.0)) AS BIGINT)
+        |   + CAST(round(r2_g4::DOUBLE * r2_g4::DOUBLE / (n_g4::DOUBLE * 4000.0)) AS BIGINT)
+        |   AS bt_k FROM a)
+        |SELECT n_total, tie_term, bt_k,
+        | round((12.0 / (n_total::DOUBLE * (n_total::DOUBLE + 1.0))
+        |     * (bt_k::DOUBLE * 1000.0) - 3.0 * (n_total::DOUBLE + 1.0))
+        |   / (1.0 - tie_term::DOUBLE
+        |     / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+        |       - n_total::DOUBLE)), 6) + 0.0 AS h_stat,
+        | n_g0, r2_g0, n_g1, r2_g1, n_g2, r2_g2, n_g3, r2_g3, n_g4, r2_g4
+        |FROM b""".stripMargin,
     "stats_mann_whitney" ->
       """WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
         |   o_orderpriority = '1-URGENT' AS is_a

@@ -349,4 +349,83 @@ class GenericOpsSpec extends SparkSpec {
     // the codebook genuinely partitions: multiple cells used per subspace
     codes.values.flatten.toSet.size should be > 1
   }
+
+  private def e4Scores: (Seq[(Long, Long, Long)], Map[Long, Array[Double]]) = {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosE4(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map(t => t._1 * t._2).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.round(dot / (na * nb) * 1e4)
+    }
+    val scored = for {
+      (qid, qv) <- vecs.toSeq if qid < 8
+      (cid, cv) <- vecs.toSeq if cid >= 8
+    } yield (qid, cid, cosE4(qv, cv))
+    (scored, vecs)
+  }
+
+  "Similarity.hardNegatives (r13)" should "mine the semi-hard band exactly" in {
+    val (scored, _) = e4Scores
+    val want = scored.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (qid, rows) =>
+        val ranked = rows.sortBy(t => (-t._3, t._2))
+        val (posId, posE4) = (ranked.head._2, ranked.head._3)
+        ranked.tail
+          .filter(t => t._3 < posE4 && t._3 >= posE4 - 3000)
+          .sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, nid, ne4), i) =>
+            (qid, (i + 1).toLong, nid, ne4, posId, posE4) }
+    }
+    val got = Similarity.hardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // the band genuinely binds: every mined negative is strictly below
+    // the positive and within the margin
+    got.foreach { case (_, _, _, ne4, _, pe4) =>
+      ne4 should be < pe4
+      ne4 should be >= pe4 - 3000
+    }
+    got should not be empty
+  }
+
+  "Similarity.mmrRerank (r13)" should "replay the greedy integer MMR trajectory" in {
+    val (scored, vecs) = e4Scores
+    def simE4(a: Long, b: Long): Long = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.zip(vb).map(t => t._1 * t._2).sum
+      math.round(dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum)) * 1e4)
+    }
+    val want = scored.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (qid, rows) =>
+        val cand = rows.sortBy(t => (-t._3, t._2)).take(8)
+          .map(t => (t._2, t._3)) // (vec_id, rel_e4)
+        var selected = Vector.empty[(Long, Long)] // (vec_id, mmr_e4)
+        (1 to 3).foreach { _ =>
+          val selIds = selected.map(_._1).toSet
+          val best = cand.filterNot(c => selIds(c._1)).map { case (id, rel) =>
+            val pen = if (selIds.isEmpty) 0L
+              else selIds.map(s => simE4(id, s)).max
+            (id, 7 * rel - 3 * pen)
+          }.minBy(t => (-t._2, t._1))
+          selected :+= best
+        }
+        selected.zipWithIndex.map { case ((id, sc), i) =>
+          (qid, (i + 1).toLong, id, sc) }
+    }
+    val got = Similarity.mmrRerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // diversification is load-bearing on the fixture: for at least one
+    // probe the MMR set differs from the plain relevance top-3
+    val plainTop3 = scored.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSet }
+    val mmrSets = got.groupBy(_._1).map { case (q, g) => q -> g.map(_._3).toSet }
+    mmrSets.exists { case (q, s) => s != plainTop3(q) } shouldBe true
+  }
 }

@@ -392,6 +392,45 @@ class StatsSpec extends SparkSpec {
     total should be < math.log(2.0)
   }
 
+  behavior of "Stats.kruskalWallis (r13)"
+
+  it should "replay the doubled-midrank H assembly exactly" in {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val xs = Sources.orders(spark, sfDir)
+      .selectExpr("CAST(round(o_totalprice * 100) AS LONG) AS v",
+        "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = xs.length.toLong
+    // doubled midrank per distinct value: 2*cum - cnt + 1
+    val byV = xs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val sortedV = byV.keys.toSeq.sorted
+    val cums = sortedV.scanLeft(0L)((acc, v) => acc + byV(v)).tail
+    val r2 = sortedV.zip(cums).map { case (v, cum) =>
+      v -> (2 * cum - byV(v) + 1) }.toMap
+    val tieTerm = byV.values.map(c => c * c * c - c).sum
+    val groups = prios.map { p =>
+      val g = xs.filter(_._2 == p)
+      (g.length.toLong, g.map(t => r2(t._1)).sum)
+    }
+    val btK = groups.map { case (ng, r2g) =>
+      math.round(r2g.toDouble * r2g.toDouble / (ng.toDouble * 4000.0)) }.sum
+    val nd = n.toDouble
+    val h = (12.0 / (nd * (nd + 1.0)) * (btK.toDouble * 1000.0) - 3.0 * (nd + 1.0)) /
+      (1.0 - tieTerm.toDouble / (nd * nd * nd - nd))
+    val row = Stats.kruskalWallis(spark, sfDir).collect().head
+    row.getLong(0) shouldBe n
+    row.getLong(1) shouldBe tieTerm
+    row.getLong(2) shouldBe btK
+    row.getDouble(3) shouldBe (math.round(h * 1e6) / 1e6) +- 1e-9
+    groups.zipWithIndex.foreach { case ((ng, r2g), i) =>
+      row.getLong(4 + 2 * i) shouldBe ng
+      row.getLong(5 + 2 * i) shouldBe r2g
+    }
+    // doubled rank sums partition the total doubled rank mass N(N+1)
+    groups.map(_._2).sum shouldBe n * (n + 1)
+    row.getDouble(3) should be >= 0.0
+  }
+
   behavior of "Stats.anovaF (r13)"
 
   it should "replay the lattice ANOVA assembly exactly" in {
