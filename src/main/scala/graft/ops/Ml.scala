@@ -666,7 +666,120 @@ object Ml {
       .limit(1)
   }
 
+  /** Cohen's kappa (`ml_cohens_kappa`, r13): chance-corrected agreement
+    * between two frozen classifiers of order value — the planted
+    * Knuth-hash teacher ([[graft.ops.Stats.plantedScores]]) vs the
+    * published 100k-dollar threshold rule (`cents ≥ 10⁷`). Raw accuracy
+    * overstates agreement when both raters say "no" most of the time;
+    * kappa subtracts the chance agreement p_e implied by the marginals.
+    * The whole statistic is EXACT INTEGER arithmetic: with 2×2 cells
+    * (a,b,c,d), n = a+b+c+d, chance mass m = r1·c1 + r0·c0,
+    * kappa_e6 = (10⁶·(n·(a+d) − m)) div (n² − m) — one floor division,
+    * no doubles anywhere (n²·10⁶ < 2⁶³ to ~3·10⁶ rows per fixture;
+    * past that drop to the mirrored-double finish, the AucLongBound
+    * rule). Plan: one conditional-sum corpus aggregate — map-side
+    * combinable, 1 output row.
+    */
+  def cohensKappa(s: SparkSession, d: String): DataFrame = {
+    val t = Stats.plantedScores(s, d)
+      .withColumn("pred", (col("cents") >= 10000000L).cast("long"))
+    t.agg(
+        sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("m", (col("a") + col("b")) * (col("a") + col("c")) +
+        (col("c") + col("d")) * (col("b") + col("d")))
+      .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+        expr("(1000000L * (n * (a + d))) div (n * n)").as("po_e6"),
+        expr("(1000000L * m) div (n * n)").as("pe_e6"),
+        expr("(1000000L * (n * (a + d) - m)) div (n * n - m)").as("kappa_e6"))
+  }
+
+  /** Murphy decomposition of the Brier score
+    * (`ml_brier_decomposition`, r13): BS = REL − RES + UNC over the 10
+    * published decile forecasts f_k = (2k+1)/20 against the planted
+    * teacher — the standard diagnostic separating calibration error
+    * (REL: forecast vs realized rate per bin) from discrimination
+    * (RES: how far bin rates spread from the base rate). Counts are
+    * exact BIGINTs; the global Brier mass ships EXACTLY as
+    * bs_400n = Σ_k (2k+1)²·n_k − 40(2k+1)·pos_k + 400·pos_k (y² = y);
+    * per-bin REL/RES terms are ONE mirrored double each — REL_k =
+    * ((2k+1)n_k − 20·pos_k)²/(400·n·n_k), RES_k = (n·pos_k − P·n_k)²/
+    * (n³·n_k) — rounded onto the e9 lattice per bin BEFORE any
+    * cross-bin sum (the [[Stats.anovaF]] discipline). The spec asserts
+    * the decomposition identity REL − RES + UNC = BS to lattice
+    * precision. Plan: one 10-key conditional agg + a 1-row broadcast
+    * attach (sanctioned).
+    */
+  def brierDecomposition(s: SparkSession, d: String): DataFrame = {
+    val t = Stats.plantedScores(s, d)
+      .withColumn("bin", least(expr("cents div 10000000"), lit(9L)))
+    val g = t.groupBy("bin").agg(
+      count(lit(1)).as("n_k"), sum("label").as("pos_k"))
+    val tot = g.agg(sum("n_k").as("n"), sum("pos_k").as("p_tot"))
+    def D(c: Column): Column = c.cast("double")
+    g.crossJoin(broadcast(tot))
+      .withColumn("f_e3", (col("bin") * 2 + 1) * 50)
+      .withColumn("rel_e9", {
+        val a = D((col("bin") * 2 + 1) * col("n_k") - lit(20L) * col("pos_k"))
+        round(a * a * lit(1e9) / (D(col("n_k")) * 400.0 * D(col("n"))), 0)
+          .cast("long")
+      })
+      .withColumn("res_e9", {
+        val b = D(col("n") * col("pos_k") - col("p_tot") * col("n_k"))
+        round(b * b * lit(1e9) / (D(col("n")) * D(col("n")) * D(col("n")) * D(col("n_k"))), 0)
+          .cast("long")
+      })
+      .withColumn("bs_term_400", (col("bin") * 2 + 1) * (col("bin") * 2 + 1)
+        * col("n_k") - lit(40L) * (col("bin") * 2 + 1) * col("pos_k")
+        + lit(400L) * col("pos_k"))
+      .select(col("bin"), col("n_k"), col("pos_k"), col("f_e3"),
+        col("rel_e9"), col("res_e9"), col("bs_term_400"))
+      .orderBy("bin")
+  }
+
+  /** Closed-form ridge regression (`ml_ridge_frozen`, r13): the
+    * regularized twin of [[linearFit]] — per-brand price-on-size fit
+    * with the slope shrunk by a PUBLISHED penalty α = 50 added to the
+    * scatter in scale-free form: slope = S_xy / (S_xx + 50·n²), where
+    * S_xy = n·Σxy − Σx·Σy and S_xx = n·Σx² − (Σx)² are exact BIGINTs
+    * (cents × integer sizes; α·n² matches S_xx's n²·var(x) scale, so
+    * the shrinkage fraction is corpus-size-invariant — the sklearn
+    * per-observation-alpha convention). No iteration, no matrix solve:
+    * one keyed aggregate computes the five moments; slope/intercept/
+    * OLS-slope are one mirrored double each, rounded 6, and the spec
+    * asserts |ridge| < |OLS| strictly on every brand (shrinkage is
+    * real, not decorative). The same five moments serve any λ — a grid
+    * search reuses one corpus pass.
+    */
+  def ridgeFrozen(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.part(s, d).select(col("p_brand"),
+      col("p_size").cast("long").as("x"),
+      round(col("p_retailprice") * 100).cast("long").as("y"))
+    def D(c: Column): Column = c.cast("double")
+    t.groupBy("p_brand").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("s_xy", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("s_xx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_ridge", roundNorm(
+        D(col("s_xy")) / (D(col("s_xx")) + lit(50.0) * D(col("n")) * D(col("n"))), 6))
+      .withColumn("slope_ols", roundNorm(D(col("s_xy")) / D(col("s_xx")), 6))
+      .withColumn("icept_ridge", roundNorm(
+        (D(col("sy")) - D(col("s_xy")) /
+          (D(col("s_xx")) + lit(50.0) * D(col("n")) * D(col("n"))) * D(col("sx")))
+          / D(col("n")), 4))
+      .select(col("p_brand"), col("n"), col("s_xy"), col("s_xx"),
+        col("slope_ridge"), col("slope_ols"), col("icept_ridge"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_cohens_kappa" -> (cohensKappa _),
+    "ml_brier_decomposition" -> (brierDecomposition _),
+    "ml_ridge_frozen" -> (ridgeFrozen _),
     "ml_lift_deciles" -> (liftDeciles _),
     "ml_decision_stump" -> (decisionStump _),
     "ml_isotonic_frozen" -> (isotonicFrozen _),
@@ -686,6 +799,72 @@ object Ml {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer kappa: one floor division, no doubles anywhere
+    "ml_cohens_kappa" ->
+      """WITH s AS (SELECT
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label,
+        |   CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >= 10000000
+        |     THEN 1 ELSE 0 END AS pred
+        |  FROM orders),
+        | c AS (SELECT
+        |   CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |   CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |   CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |   CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM s),
+        | k AS (SELECT *, a + b + c + d AS n,
+        |   (a + b) * (a + c) + (c + d) * (b + d) AS m FROM c)
+        |SELECT a, b, c, d, n,
+        | (1000000 * (n * (a + d))) // (n * n) AS po_e6,
+        | (1000000 * m) // (n * n) AS pe_e6,
+        | (1000000 * (n * (a + d) - m)) // (n * n - m) AS kappa_e6
+        |FROM k""".stripMargin,
+    // per-bin REL/RES terms round onto the e9 lattice BEFORE any
+    // cross-bin sum; the Brier mass itself ships exact (x 400n)
+    "ml_brier_decomposition" ->
+      """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | g AS (SELECT least(cents // 10000000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_k,
+        |    CAST(sum(label) AS BIGINT) AS pos_k
+        |  FROM scored GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+        |    CAST(sum(pos_k) AS BIGINT) AS p_tot FROM g)
+        |SELECT bin, n_k, pos_k,
+        | CAST((bin * 2 + 1) * 50 AS BIGINT) AS f_e3,
+        | CAST(round(((bin * 2 + 1) * n_k - 20 * pos_k)::DOUBLE
+        |     * ((bin * 2 + 1) * n_k - 20 * pos_k)::DOUBLE * 1e9
+        |   / (n_k::DOUBLE * 400.0 * n::DOUBLE)) AS BIGINT) AS rel_e9,
+        | CAST(round((n * pos_k - p_tot * n_k)::DOUBLE
+        |     * (n * pos_k - p_tot * n_k)::DOUBLE * 1e9
+        |   / (n::DOUBLE * n::DOUBLE * n::DOUBLE * n_k::DOUBLE)) AS BIGINT) AS res_e9,
+        | CAST((bin * 2 + 1) * (bin * 2 + 1) * n_k
+        |   - 40 * (bin * 2 + 1) * pos_k + 400 * pos_k AS BIGINT) AS bs_term_400
+        |FROM g CROSS JOIN tot ORDER BY bin""".stripMargin,
+    // exact scatter moments; slope/intercept one mirrored double each
+    "ml_ridge_frozen" ->
+      """WITH t AS (SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+        |   CAST(round(p_retailprice * 100) AS BIGINT) AS y FROM part),
+        | g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM t GROUP BY 1),
+        | m AS (SELECT p_brand, n, sx, sy,
+        |   n * sxy - sx * sy AS s_xy, n * sxx - sx * sx AS s_xx FROM g)
+        |SELECT p_brand, n, s_xy, s_xx,
+        | round(s_xy::DOUBLE / (s_xx::DOUBLE + 50.0 * n::DOUBLE * n::DOUBLE), 6)
+        |   + 0.0 AS slope_ridge,
+        | round(s_xy::DOUBLE / s_xx::DOUBLE, 6) + 0.0 AS slope_ols,
+        | round((sy::DOUBLE - s_xy::DOUBLE
+        |     / (s_xx::DOUBLE + 50.0 * n::DOUBLE * n::DOUBLE) * sx::DOUBLE)
+        |   / n::DOUBLE, 4) + 0.0 AS icept_ridge
+        |FROM m ORDER BY p_brand""".stripMargin,
     // frozen scoring CTE + explicit-formula rank deciles (NTILE
     // built-ins differ on remainder placement; the formula doesn't)
     "ml_lift_deciles" ->

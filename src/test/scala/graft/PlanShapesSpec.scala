@@ -137,7 +137,9 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row max-rate attach for the disparate-impact denominator
     "ml_fairness_audit",
     // 1-row weight-total/leftover attaches for the Neyman apportionment
-    "sample_neyman_alloc")
+    "sample_neyman_alloc",
+    // 1-row (n, P) totals attach for the per-bin Murphy terms (r13)
+    "ml_brier_decomposition")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

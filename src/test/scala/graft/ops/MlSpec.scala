@@ -285,4 +285,81 @@ class MlSpec extends SparkSpec {
     // the distribution-free guarantee: coverage lands near the 90% target
     row.getLong(5) should (be > 850000L and be < 960000L)
   }
+
+  /** Replay of the planted Knuth-hash teacher over orders: (cents, label). */
+  private def plantedReplay: Array[(Long, Long)] =
+    graft.io.Sources.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").collect().map { r =>
+        val cents = math.round(r.getDouble(1) * 100)
+        val u = ((r.getLong(0) * 2654435761L) % 4294967296L) % 1000000L
+        val label = if (u < math.min(100000L + cents / 100, 900000L)) 1L else 0L
+        (cents, label)
+      }
+
+  behavior of "Ml.cohensKappa (r13)"
+
+  it should "replay the exact-integer kappa assembly" in {
+    val cells = plantedReplay.map { case (cents, label) =>
+      (label, if (cents >= 10000000L) 1L else 0L) }
+    val a = cells.count(t => t._1 == 1 && t._2 == 1).toLong
+    val b = cells.count(t => t._1 == 1 && t._2 == 0).toLong
+    val c = cells.count(t => t._1 == 0 && t._2 == 1).toLong
+    val dd = cells.count(t => t._1 == 0 && t._2 == 0).toLong
+    val n = a + b + c + dd
+    val m = (a + b) * (a + c) + (c + dd) * (b + dd)
+    val row = Ml.cohensKappa(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe
+      ((a, b, c, dd))
+    row.getLong(4) shouldBe n
+    row.getLong(5) shouldBe (1000000L * (n * (a + dd))) / (n * n)
+    row.getLong(6) shouldBe (1000000L * m) / (n * n)
+    row.getLong(7) shouldBe (1000000L * (n * (a + dd) - m)) / (n * n - m)
+    // kappa is strictly below raw accuracy (chance correction binds) and
+    // strictly positive (the raters genuinely correlate on the fixture)
+    row.getLong(7) should be < row.getLong(5)
+    row.getLong(7) should be > 0L
+  }
+
+  behavior of "Ml.brierDecomposition (r13)"
+
+  it should "satisfy the Murphy identity REL - RES + UNC = BS on the lattice" in {
+    val rows = Ml.brierDecomposition(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.length should be > 2
+    val n = rows.map(_._2).sum
+    val p = rows.map(_._3).sum
+    val bs = rows.map(_._7).sum.toDouble / (400.0 * n)
+    val rel = rows.map(_._5).sum.toDouble / 1e9
+    val res = rows.map(_._6).sum.toDouble / 1e9
+    val oBar = p.toDouble / n
+    val unc = oBar * (1.0 - oBar)
+    (rel - res + unc) shouldBe bs +- 1e-6
+    // resolution is strictly positive: the planted rate rises with price
+    res should be > 0.0
+    // per-bin replay of one bin's REL term
+    val (bin, nk, pk, fe3, relE9, _, _) = rows.head
+    fe3 shouldBe (2 * bin + 1) * 50
+    val aa = ((2 * bin + 1) * nk - 20 * pk).toDouble
+    relE9 shouldBe math.round(aa * aa * 1e9 / (nk.toDouble * 400.0 * n.toDouble))
+  }
+
+  behavior of "Ml.ridgeFrozen (r13)"
+
+  it should "shrink every brand's slope strictly toward zero" in {
+    val rows = Ml.ridgeFrozen(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    rows.length should be > 10
+    rows.foreach { case (brand, n, sxy, sxx, ridge, ols) =>
+      withClue(s"brand $brand") {
+        sxx should be > 0L
+        // shrinkage binds: |ridge| < |ols| whenever the fit is nonzero
+        if (sxy != 0L) math.abs(ridge) should be < math.abs(ols)
+        // replay the closed form
+        ridge shouldBe math.round(sxy.toDouble /
+          (sxx.toDouble + 50.0 * n.toDouble * n.toDouble) * 1e6) / 1e6 +- 1e-9
+      }
+    }
+  }
 }
