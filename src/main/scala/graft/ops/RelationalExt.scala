@@ -714,7 +714,46 @@ object RelationalExt {
       .orderBy("c_mktsegment")
   }
 
+  /** URL parse census (`scalar_url_parse`, r13): deterministic URLs
+    * synthesized per customer (the [[scalarIpv4Parse]] dirty-data
+    * pattern — every 7th key gets an `ftp` scheme so validation binds,
+    * every 4th a bare root path, every 5th a query string), then parsed
+    * back with anchored regexes: scheme validation (`^https?://`), host
+    * and path extraction via `regexp_extract` group 1 (the pattern
+    * `^[a-z]+://…` matches EVERY synthesized row, so neither engine
+    * hits the no-match return-value divergence). Census per segment:
+    * valid share, query/root-path counts, distinct host count — all
+    * exact integers. Map-side string work + one keyed agg; the ETL
+    * log/clickstream-parsing staple.
+    */
+  def scalarUrlParse(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    val url = concat(
+      when(k % 7 === 0, lit("ftp")).when(k % 3 === 0, lit("http"))
+        .otherwise(lit("https")),
+      lit("://shop"), (k % 50).cast("string"), lit(".example.com"),
+      when(k % 4 === 0, lit("")).otherwise(
+        concat(lit("/cat/"), (k % 20).cast("string"))),
+      when(k % 5 === 0, concat(lit("?q="), (k % 9).cast("string"),
+        lit("&page=2"))).otherwise(lit("")))
+    Sources.customer(s, d)
+      .select(col("c_mktsegment"), url.as("url"))
+      .withColumn("valid", col("url").rlike("^https?://"))
+      .withColumn("host", regexp_extract(col("url"),
+        "^[a-z]+://([a-z0-9.-]+)", 1))
+      .withColumn("path", regexp_extract(col("url"),
+        "^[a-z]+://[a-z0-9.-]+([^?]*)", 1))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("valid").cast("long")).as("n_valid"),
+        sum(col("url").contains("?").cast("long")).as("n_query"),
+        sum((col("path") === "").cast("long")).as("n_root"),
+        countDistinct("host").as("n_hosts"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_url_parse" -> (scalarUrlParse _),
     "scalar_ipv4_parse" -> (scalarIpv4Parse _),
     "scalar_luhn_check" -> (scalarLuhnCheck _),
     "scalar_business_days" -> (scalarBusinessDays _),
@@ -764,6 +803,30 @@ object RelationalExt {
        |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the synthesized URLs all match ^[a-z]+:// so group extraction
+    // never hits either engine's no-match convention
+    "scalar_url_parse" ->
+      """WITH t AS (SELECT c_mktsegment,
+        |   (CASE WHEN c_custkey % 7 = 0 THEN 'ftp'
+        |     WHEN c_custkey % 3 = 0 THEN 'http' ELSE 'https' END)
+        |   || '://shop' || CAST(c_custkey % 50 AS VARCHAR) || '.example.com'
+        |   || (CASE WHEN c_custkey % 4 = 0 THEN ''
+        |     ELSE '/cat/' || CAST(c_custkey % 20 AS VARCHAR) END)
+        |   || (CASE WHEN c_custkey % 5 = 0 THEN '?q='
+        |     || CAST(c_custkey % 9 AS VARCHAR) || '&page=2' ELSE '' END)
+        |   AS url
+        |  FROM customer),
+        | p AS (SELECT c_mktsegment, url,
+        |   regexp_matches(url, '^https?://') AS valid,
+        |   regexp_extract(url, '^[a-z]+://([a-z0-9.-]+)', 1) AS host,
+        |   regexp_extract(url, '^[a-z]+://[a-z0-9.-]+([^?]*)', 1) AS path
+        |  FROM t)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        | CAST(sum(CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END) AS BIGINT) AS n_query,
+        | CAST(sum(CASE WHEN path = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_root,
+        | CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // generate the dotted string, then parse it back — split + cast,
     // validation and the 10/8 flag replay on the parsed octets
     "scalar_ipv4_parse" ->

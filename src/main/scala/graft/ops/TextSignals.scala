@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -588,6 +588,104 @@ object TextSignals {
       .orderBy("term")
   }
 
+  /** MAP@10 (`search_eval_map`, r13): mean-average-precision — the
+    * third member of the retrieval-eval family ([[searchEvalMrr]] sees
+    * the first hit, NDCG discounts by position, AP averages the
+    * precision AT each relevant hit, rewarding front-loaded rankings
+    * proportionally). Same tf-ranked lists, same cross-term label, same
+    * (tf DESC, doc_id ASC) total order. The whole metric is exact
+    * integer arithmetic: the i-th relevant hit at list rank rk
+    * contributes prec_e6 = (i·10⁶) div rk — per-hit flooring, the
+    * psi_drift per-row rounding discipline, so no float sum exists in
+    * either engine — and ap_e6 = Σprec div min(R, 10). Plan: the
+    * rank-window cut is WindowGroupLimit; the hit-index window rides
+    * on the ≤10-rows-per-term top-10 table, bounded by construction.
+    */
+  def searchEvalMap(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "vector", "dup")
+    val relOf = Map("spark" -> "vector", "vector" -> "dup", "dup" -> "spark")
+    val postings = Sources.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+    val relTerm = relOf.foldLeft(lit(""): org.apache.spark.sql.Column) {
+      case (acc, (w0, r0)) => when(col("w") === w0, lit(r0)).otherwise(acc)
+    }
+    val rel = postings
+      .join(postings.select(relTerm.as("w"), col("doc_id")).distinct(),
+        Seq("w", "doc_id"), "left_semi")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("tf").desc, col("doc_id").asc)
+    val top10 = postings.withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= 10)
+    val wHit = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("rk").asc)
+    val hits = top10
+      .join(rel.select(col("w"), col("doc_id")), Seq("w", "doc_id"), "left_semi")
+      .withColumn("i", row_number().over(wHit).cast("long"))
+      .withColumn("prec_e6", expr("(i * 1000000L) div rk"))
+      .groupBy("w").agg(count(lit(1)).as("n_hits10"),
+        sum("prec_e6").as("sum_prec_e6"))
+    rel.groupBy("w").agg(count(lit(1)).as("n_relevant"))
+      .join(hits, Seq("w"), "left")
+      .na.fill(0L, Seq("n_hits10", "sum_prec_e6"))
+      .withColumn("ap_e6", expr("sum_prec_e6 div least(n_relevant, 10L)"))
+      .select(col("w").as("term"), col("n_relevant"), col("n_hits10"),
+        col("sum_prec_e6"), col("ap_e6"))
+      .orderBy("term")
+  }
+
+  /** Dunning log-likelihood-ratio collocations
+    * (`text_collocation_llr`, r13): the statistically-sound upgrade of
+    * [[pmiBigrams]] — PMI over-ranks rare pairs (two hapaxes that
+    * co-occur once get maximal PMI); Dunning's G² weights the evidence
+    * by count, which is why it's the standard collocation extractor
+    * (Dunning 1993). Contingency from BIGRAM-position counts: k11 =
+    * c(ab), R = c(a·), C = c(·b), N = all bigrams; k12/k21/k22 by
+    * subtraction — all exact BIGINTs. G² = 2·Σ O·ln(O·N / (row·col))
+    * over the four cells (zero cells contribute 0) runs as ONE mirrored
+    * double expression per pair, rounded onto the e4 lattice — the
+    * WOE/adamic-adar per-row-ln discipline — and the top-20 cut ranks
+    * the INTEGER llr_e4 (ties by pair) via TakeOrderedAndProject.
+    * Plan: adjacency-pair aggregation (never all-pairs), two broadcast
+    * margin joins, a 1-row N attach (sanctioned).
+    */
+  def collocationLlr(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d).withColumn("__w", words(col("text")))
+    val bg = docs.filter(size(col("__w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__w")) - 1),
+        i => concat_ws(" ", slice(col("__w"), i, lit(2))))).as("bgs"))
+      .select(split(col("bgs"), " ").getItem(0).as("wa"),
+        split(col("bgs"), " ").getItem(1).as("wb"))
+    val pairC = bg.groupBy("wa", "wb").agg(count(lit(1)).as("k11"))
+      .filter(col("k11") >= 5)
+    val rC = bg.groupBy("wa").agg(count(lit(1)).as("r_cnt"))
+    val cC = bg.groupBy("wb").agg(count(lit(1)).as("c_cnt"))
+    val tot = bg.agg(count(lit(1)).as("n_bg"))
+    def D(c: Column): Column = c.cast("double")
+    def cell(k: Column, rowM: Column, colM: Column): Column =
+      when(k > 0, D(k) * log(D(k) * D(col("n_bg")) / (D(rowM) * D(colM))))
+        .otherwise(lit(0.0))
+    val scored = pairC
+      .join(broadcast(rC), Seq("wa"))
+      .join(broadcast(cC), Seq("wb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("k12", col("r_cnt") - col("k11"))
+      .withColumn("k21", col("c_cnt") - col("k11"))
+      .withColumn("k22", col("n_bg") - col("r_cnt") - col("c_cnt") + col("k11"))
+      .withColumn("llr_e4", round((
+        cell(col("k11"), col("r_cnt"), col("c_cnt")) +
+          cell(col("k12"), col("r_cnt"), col("n_bg") - col("c_cnt")) +
+          cell(col("k21"), col("n_bg") - col("r_cnt"), col("c_cnt")) +
+          cell(col("k22"), col("n_bg") - col("r_cnt"),
+            col("n_bg") - col("c_cnt"))) * 20000, 0).cast("long"))
+    scored.orderBy(col("llr_e4").desc, col("wa"), col("wb")).limit(20)
+      .select(col("wa"), col("wb"), col("k11"), col("r_cnt"), col("c_cnt"),
+        col("llr_e4"))
+      .orderBy(col("llr_e4").desc, col("wa"), col("wb"))
+  }
+
   /** Frozen integer NDCG@10 weights: w_i = round(10⁶ / log2(i+1)) for
     * ranks 1..10 — published constants (the frozen-twin discipline), so
     * DCG stays on an exact integer lattice in both engines and no
@@ -661,6 +759,8 @@ object TextSignals {
     "search_hybrid_rrf" -> (hybridRrf _),
     "text_zipf_slope" -> (zipfSlope _),
     "text_pmi_bigrams" -> (pmiBigrams _),
+    "search_eval_map" -> (searchEvalMap _),
+    "text_collocation_llr" -> (collocationLlr _),
     "text_bigram_novelty" -> (bigramNovelty _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_bigram_lm" -> (bigramLmScore _),
@@ -672,6 +772,62 @@ object TextSignals {
 
   val oracles: Map[String, String] = Map(
     // same ranked lists as the MRR oracle; the frozen 10-constant
+    // per-hit precision floors onto e6 BEFORE the sum in both engines
+    "search_eval_map" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | p AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |   WHERE w IN ('spark', 'vector', 'dup') GROUP BY 1, 2),
+        | lbl AS (SELECT DISTINCT CASE w WHEN 'spark' THEN 'vector'
+        |    WHEN 'vector' THEN 'dup' ELSE 'spark' END AS w, doc_id FROM p),
+        | rel AS (SELECT p.w, p.doc_id FROM p
+        |   JOIN lbl ON p.w = lbl.w AND p.doc_id = lbl.doc_id),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY w
+        |    ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rk FROM p),
+        | h AS (SELECT r.w, r.rk, CAST(row_number() OVER (PARTITION BY r.w
+        |    ORDER BY r.rk ASC) AS BIGINT) AS i
+        |   FROM r JOIN rel ON r.w = rel.w AND r.doc_id = rel.doc_id
+        |   WHERE r.rk <= 10),
+        | agg AS (SELECT w, CAST(count(*) AS BIGINT) AS n_hits10,
+        |    CAST(sum((i * 1000000) // rk) AS BIGINT) AS sum_prec_e6
+        |   FROM h GROUP BY 1),
+        | stats AS (SELECT w, CAST(count(*) AS BIGINT) AS n_relevant
+        |   FROM rel GROUP BY 1)
+        |SELECT s.w AS term, s.n_relevant,
+        | coalesce(a.n_hits10, 0) AS n_hits10,
+        | coalesce(a.sum_prec_e6, 0) AS sum_prec_e6,
+        | coalesce(a.sum_prec_e6, 0) // least(s.n_relevant, 10) AS ap_e6
+        |FROM stats s LEFT JOIN agg a ON s.w = a.w ORDER BY term""".stripMargin,
+    // contingency cells exact; G^2 is one mirrored ln expression per
+    // pair, rounded e4; the top-20 cut ranks the INTEGER lattice
+    "text_collocation_llr" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |   WHERE len(string_split(text, ' ')) >= 2),
+        | bg AS (SELECT ws[i] AS wa, ws[i + 1] AS wb
+        |   FROM w, unnest(range(1, len(ws))) t(i)),
+        | pc AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS k11 FROM bg
+        |   GROUP BY 1, 2 HAVING count(*) >= 5),
+        | rc AS (SELECT wa, CAST(count(*) AS BIGINT) AS r_cnt FROM bg GROUP BY 1),
+        | cc AS (SELECT wb, CAST(count(*) AS BIGINT) AS c_cnt FROM bg GROUP BY 1),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bg),
+        | s AS (SELECT pc.wa, pc.wb, pc.k11, rc.r_cnt, cc.c_cnt, tot.n_bg,
+        |   rc.r_cnt - pc.k11 AS k12, cc.c_cnt - pc.k11 AS k21,
+        |   tot.n_bg - rc.r_cnt - cc.c_cnt + pc.k11 AS k22
+        |  FROM pc JOIN rc ON pc.wa = rc.wa JOIN cc ON pc.wb = cc.wb
+        |  CROSS JOIN tot),
+        | g AS (SELECT wa, wb, k11, r_cnt, c_cnt,
+        |   CAST(round((
+        |    (CASE WHEN k11 > 0 THEN k11::DOUBLE * ln(k11::DOUBLE * n_bg::DOUBLE
+        |      / (r_cnt::DOUBLE * c_cnt::DOUBLE)) ELSE 0 END)
+        |    + (CASE WHEN k12 > 0 THEN k12::DOUBLE * ln(k12::DOUBLE * n_bg::DOUBLE
+        |      / (r_cnt::DOUBLE * (n_bg - c_cnt)::DOUBLE)) ELSE 0 END)
+        |    + (CASE WHEN k21 > 0 THEN k21::DOUBLE * ln(k21::DOUBLE * n_bg::DOUBLE
+        |      / ((n_bg - r_cnt)::DOUBLE * c_cnt::DOUBLE)) ELSE 0 END)
+        |    + (CASE WHEN k22 > 0 THEN k22::DOUBLE * ln(k22::DOUBLE * n_bg::DOUBLE
+        |      / ((n_bg - r_cnt)::DOUBLE * (n_bg - c_cnt)::DOUBLE)) ELSE 0 END)
+        |   ) * 20000) AS BIGINT) AS llr_e4 FROM s)
+        |SELECT wa, wb, k11, r_cnt, c_cnt, llr_e4 FROM g
+        |ORDER BY llr_e4 DESC, wa, wb LIMIT 20""".stripMargin,
     // weight table replays the log2 discount as exact integers
     "search_eval_ndcg" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

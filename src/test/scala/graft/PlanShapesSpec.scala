@@ -139,7 +139,9 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row weight-total/leftover attaches for the Neyman apportionment
     "sample_neyman_alloc",
     // 1-row (n, P) totals attach for the per-bin Murphy terms (r13)
-    "ml_brier_decomposition")
+    "ml_brier_decomposition",
+    // 1-row bigram-total attach for the G2 contingency (r13)
+    "text_collocation_llr")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

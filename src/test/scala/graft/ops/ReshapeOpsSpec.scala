@@ -140,4 +140,33 @@ class ReshapeOpsSpec extends SparkSpec {
     val (n, nv) = (got.map(_._2).sum, got.map(_._3).sum)
     nv should (be > 0L and be < n)
   }
+
+  "RelationalExt.scalarUrlParse (r13)" should "replay the URL build + parse census" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = cust.groupBy(_._2).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val parsed = g.map { case (k, _) =>
+        val scheme = if (k % 7 == 0) "ftp" else if (k % 3 == 0) "http" else "https"
+        val host = s"shop${k % 50}.example.com"
+        val path = if (k % 4 == 0) "" else s"/cat/${k % 20}"
+        val query = if (k % 5 == 0) s"?q=${k % 9}&page=2" else ""
+        val url = s"$scheme://$host$path$query"
+        (url.matches("^https?://.*"), url.contains("?"), path.isEmpty, host)
+      }
+      (seg, g.length.toLong, parsed.count(_._1).toLong,
+        parsed.count(_._2).toLong, parsed.count(_._3).toLong,
+        parsed.map(_._4).distinct.length.toLong)
+    }
+    val got = RelationalExt.scalarUrlParse(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // the planted ftp scheme makes validation bind; queries and root
+    // paths both occur
+    val (n, nv) = (got.map(_._2).sum, got.map(_._3).sum)
+    nv should (be > 0L and be < n)
+    got.map(_._4).sum should be > 0L
+    got.map(_._5).sum should be > 0L
+  }
 }

@@ -327,4 +327,66 @@ class TextSignalsSpec extends SparkSpec {
     // within a 1-unit floor-lattice slack
     got.foreach { case (_, _, _, _, d, bp) => d should be <= bp + 1 }
   }
+
+  "TextSignals.searchEvalMap (r13)" should "replay per-hit floored AP@10" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val terms = Seq("dup", "spark", "vector")
+    // the label direction matches the engine/oracle: doc relevant FOR w
+    // iff it posts for the term whose cross-label is w
+    val invRel = Map("vector" -> "spark", "dup" -> "vector", "spark" -> "dup")
+    val want = terms.map { w =>
+      val postings = docs.filter(_._2.contains(w))
+        .map(d => (d._1, d._2.count(_ == w).toLong))
+      val relSet = docs.filter(_._2.contains(invRel(w))).map(_._1)
+        .toSet.intersect(postings.map(_._1).toSet)
+      val rel = postings.filter(p => relSet(p._1))
+      val ranked = postings.sortBy(p => (-p._2, p._1)).take(10)
+      val hits = ranked.zipWithIndex
+        .filter { case ((id, _), _) => relSet(id) }
+      val sumPrec = hits.zipWithIndex.map { case ((_, rk0), i) =>
+        ((i + 1).toLong * 1000000L) / (rk0 + 1) }.sum
+      (w, rel.length.toLong, hits.length.toLong, sumPrec,
+        sumPrec / math.min(rel.length.toLong, 10L))
+    }
+    val got = TextSignals.searchEvalMap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // AP is a probability-like score in (0, 1e6] and the top-10 cut binds
+    got.foreach { case (_, nRel, h10, _, ap) =>
+      ap should be <= 1000000L
+      h10 should be <= math.min(nRel, 10L)
+    }
+  }
+
+  "TextSignals.collocationLlr (r13)" should "replay the Dunning G2 top-20" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ").toSeq)
+      .filter(_.length >= 2)
+    val bgs = docs.flatMap(ws => ws.zip(ws.tail))
+    val n = bgs.length.toLong
+    val k11 = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rCnt = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cCnt = bgs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def cell(k: Long, row: Long, colc: Long): Double =
+      if (k > 0) k.toDouble * math.log(k.toDouble * n / (row.toDouble * colc))
+      else 0.0
+    val scored = k11.toSeq.filter(_._2 >= 5).map { case ((a, b), k) =>
+      val (r, c) = (rCnt(a), cCnt(b))
+      val g2 = cell(k, r, c) + cell(r - k, r, n - c) +
+        cell(c - k, n - r, c) + cell(n - r - c + k, n - r, n - c)
+      (a, b, k, r, c, math.round(g2 * 20000))
+    }
+    val want = scored.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = TextSignals.collocationLlr(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // G2 is nonnegative (2N x mutual information) and the head is
+    // genuinely collocational (beats the min-count floor)
+    got.foreach(_._6 should be >= 0L)
+    got.head._6 should be > 0L
+  }
 }
