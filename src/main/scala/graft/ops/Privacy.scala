@@ -358,7 +358,44 @@ object Privacy {
       .orderBy("c_nationkey", "bal_bucket")
   }
 
+  /** Local-DP mean estimation (`priv_ldp_mean`, r13): the continuous
+    * companion to [[rrFrequency]] — each respondent's normalized
+    * account balance x ∈ [0,1] is released as ONE randomized BIT
+    * (y = 1 with probability (x(e^ε−1)+1)/(e^ε+1)), and the collector
+    * recovers an unbiased mean from the bit rate alone. ε = ln 3 is
+    * published so e^ε = 3 EXACTLY and the whole mechanism stays on
+    * integer lattices: p = (2x+1)/4, threshold 2·x_e6 + 10⁶ on the
+    * [0, 4·10⁶) Knuth-hash lattice (bit-replayable, the rrFrequency
+    * discipline), estimator x̂ = (4ȳ−1)/2 shipped exactly as
+    * ((4Σy + n)·10⁶) div (2n) − 10⁶ — the +n shift keeps the floored
+    * numerator positive even when the realized bit rate dips below
+    * 1/4, sidestepping the Spark-truncation vs DuckDB-floor division
+    * divergence on negatives (the PPS-sampling shift rule). The true
+    * mean rides along so the
+    * estimator error is visible under the same hash gate. One corpus
+    * aggregate; nothing but 3 longs leaves the map side.
+    */
+  def ldpMean(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.customer(s, d)
+      .select(col("c_custkey").cast("long").as("ck"),
+        least(greatest(round(col("c_acctbal") * 100).cast("long"), lit(0L)),
+          lit(1000000L)).as("x_e6"))
+      .withColumn("u",
+        pmod(col("ck") * lit(2654435761L), lit(4294967296L)) % 4000000L)
+      .withColumn("y",
+        (col("u") < col("x_e6") * 2 + 1000000L).cast("long"))
+    base.agg(count(lit(1)).as("n"), sum("y").as("n_ones"),
+        sum("x_e6").as("sum_x_e6"))
+      .select(col("n"), col("n_ones"),
+        expr("((4L * n_ones + n) * 1000000L) div (2L * n) - 1000000L")
+          .as("est_mean_e6"),
+        expr("sum_x_e6 div n").as("true_mean_e6"),
+        (expr("((4L * n_ones + n) * 1000000L) div (2L * n) - 1000000L") -
+          expr("sum_x_e6 div n")).as("err_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_ldp_mean" -> (ldpMean _),
     "priv_cell_suppression" -> (cellSuppression _),
     "priv_dp_median" -> (dpMedian _),
     "priv_microaggregation" -> (microaggregation _),
@@ -378,6 +415,24 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // e^eps = 3 exactly, so mechanism and estimator are pure integer
+    // lattices; the +n shift keeps the floored numerator positive
+    "priv_ldp_mean" ->
+      """WITH b AS (SELECT c_custkey AS ck,
+        |   least(greatest(CAST(round(c_acctbal * 100) AS BIGINT), 0),
+        |     1000000) AS x_e6
+        |  FROM customer),
+        | r AS (SELECT *, CASE WHEN (ck * 2654435761) % 4294967296 % 4000000
+        |    < x_e6 * 2 + 1000000 THEN 1 ELSE 0 END AS y FROM b),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(y) AS BIGINT) AS n_ones,
+        |   CAST(sum(x_e6) AS BIGINT) AS sum_x FROM r)
+        |SELECT n, n_ones,
+        | ((4 * n_ones + n) * 1000000) // (2 * n) - 1000000 AS est_mean_e6,
+        | sum_x // n AS true_mean_e6,
+        | ((4 * n_ones + n) * 1000000) // (2 * n) - 1000000 - sum_x // n
+        |   AS err_e6
+        |FROM a""".stripMargin,
     // identical (cents, custkey) total order, identical ragged-tail
     // capping — the release and its loss audit replay exactly
     "priv_microaggregation" ->

@@ -396,7 +396,42 @@ object Sampling {
       .orderBy("fold", "c_mktsegment")
   }
 
+  /** PPS systematic sampling (`sample_pps_systematic`, r13):
+    * probability-proportional-to-size selection of n = 100 customer
+    * draws by systematic intervals over the cumulative spend line — the
+    * survey-sampling workhorse (one pass, fixed sample size, inclusion
+    * probability exactly proportional to size, large units selectable
+    * multiple times). The random start is DERANDOMIZED to the published
+    * midpoint r = s div 2 (s = T div 100) — the frozen-trajectory
+    * discipline, so the full draw is hash-gated. A unit with cumulative
+    * span [cum−size, cum) receives hits = g(cum−1) − g(cum−size−1)
+    * where g(x) = (x − r + 2s) div s — the +2s shift keeps every
+    * numerator strictly positive, sidestepping the Spark-truncation vs
+    * DuckDB-floor division divergence on negatives (same family as the
+    * business-days weekday-numbering sidestep). Cumulative spend comes
+    * from the two-pass [[graft.ops.Prefix]] (never a single-partition
+    * window); everything else is map-side integer arithmetic.
+    */
+  def ppsSystematic(s: SparkSession, d: String): DataFrame = {
+    val sizes = Sources.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("sz_cents"))
+    val cum = Prefix.running(sizes, Seq(col("custkey")),
+      sums = Seq((col("sz_cents"), "cum")))
+    val tot = cum.agg(max("cum").as("t_total"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("step", expr("t_total div 100"))
+      .withColumn("start", expr("step div 2"))
+      .withColumn("n_hits",
+        expr("(cum - 1 - start + 2 * step) div step" +
+          " - (cum - sz_cents - 1 - start + 2 * step) div step"))
+      .filter(col("n_hits") > 0)
+      .select(col("custkey"), col("sz_cents"), col("cum"), col("n_hits"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_pps_systematic" -> (ppsSystematic _),
     "sample_ess_weights" -> (essWeights _),
     "sample_neyman_alloc" -> (neymanAlloc _),
     "sample_kfold_balance" -> (sampleKfoldBalance _),
@@ -527,6 +562,24 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // same frozen start, same +2s positivity shift — the Spark div and
+    // DuckDB // agree because every numerator stays positive
+    "sample_pps_systematic" ->
+      """WITH sz AS (SELECT o_custkey AS custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS sz_cents
+        |  FROM orders GROUP BY 1),
+        | c AS (SELECT *, CAST(sum(sz_cents) OVER (ORDER BY custkey)
+        |    AS BIGINT) AS cum FROM sz),
+        | t AS (SELECT CAST(max(cum) AS BIGINT) AS t_total FROM c),
+        | h AS (SELECT custkey, sz_cents, cum,
+        |   (cum - 1 - (t_total // 100) // 2 + 2 * (t_total // 100))
+        |     // (t_total // 100)
+        |   - (cum - sz_cents - 1 - (t_total // 100) // 2
+        |     + 2 * (t_total // 100)) // (t_total // 100) AS n_hits
+        |  FROM c CROSS JOIN t)
+        |SELECT custkey, sz_cents, cum, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY custkey""".stripMargin,
     // exact moments, one mirrored sqrt per stratum, then the exact
     // largest-remainder apportionment — sum(alloc) = 1000 exactly
     "sample_neyman_alloc" ->

@@ -276,7 +276,60 @@ object Sketches {
         col("exact_common"))
   }
 
+  /** Bloom-filter false-positive audit (`sketch_bloom_fpr`, r13): build
+    * a 4096-bit Bloom filter (k = 3 published Knuth-style hashes) over
+    * the urgent-order customer set, probe it with every NON-member
+    * customer, and report the measured false-positive rate next to the
+    * fill-rate prediction (bits_set/m)^k — the filter-sizing feedback a
+    * join-pruning planner needs (cf. [[graft.ops.Joins]] bloom-pruned
+    * join: this query audits the primitive that join trusts). The
+    * ENTIRE trajectory is exact integers: positions are
+    * ((key·2654435761 + i·40503) mod 2³²) mod 4096, the filter is the
+    * distinct-position table (m-bounded — at 100 TB the filter state
+    * is 4096 rows regardless of corpus), membership = all of a probe's
+    * DISTINCT positions present (self-collisions handled by comparing
+    * distinct counts), and both rates are floor divisions — no doubles
+    * anywhere, so the DuckDB replay is bit-exact. Plan: member/probe
+    * position streams are map-side; the probe test is one m-bounded
+    * broadcast semi-join + two keyed aggs; the final row assembles
+    * 1-row aggregates (sanctioned attaches).
+    */
+  def bloomFpr(s: SparkSession, d: String): DataFrame = {
+    val m = 4096L
+    def posCol(key: Column, i: Int): Column =
+      pmod(key * lit(2654435761L) + lit(i * 40503L), lit(4294967296L)) % m
+    val members = Sources.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("key")).distinct()
+    val bitset = members
+      .select(explode(array(posCol(col("key"), 0), posCol(col("key"), 1),
+        posCol(col("key"), 2))).as("pos")).distinct()
+    val probes = Sources.customer(s, d)
+      .select(col("c_custkey").as("key"))
+      .join(members, Seq("key"), "left_anti")
+    val probePos = probes
+      .select(col("key"), explode(array(posCol(col("key"), 0),
+        posCol(col("key"), 1), posCol(col("key"), 2))).as("pos"))
+      .distinct()
+    val perProbe = probePos
+      .join(broadcast(bitset.withColumn("hit", lit(1L))), Seq("pos"), "left")
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_pos"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val fp = perProbe.agg(
+      count(lit(1)).as("n_probes"),
+      sum(when(col("n_hit") === col("n_pos"), 1L).otherwise(0L)).as("n_false_pos"))
+    val nm = members.agg(count(lit(1)).as("n_members"))
+    val nb = bitset.agg(count(lit(1)).as("n_bits_set"))
+    fp.crossJoin(broadcast(nm)).crossJoin(broadcast(nb))
+      .select(col("n_members"), col("n_bits_set"), col("n_probes"),
+        col("n_false_pos"),
+        expr("(n_false_pos * 1000000L) div n_probes").as("fpr_e6"),
+        expr(s"(n_bits_set * n_bits_set * n_bits_set * 1000000L) div ${m * m * m}L")
+          .as("pred_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bloom_fpr" -> (bloomFpr _),
     "sketch_theta_intersect" -> (thetaIntersect _),
     "sketch_cms_users" -> (cmsUsers _),
     "sketch_join_size" -> (joinSizeEst _),
@@ -287,6 +340,33 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    // the whole Bloom trajectory — positions, fill, probe verdicts,
+    // both rates — is exact integer arithmetic in both engines
+    "sketch_bloom_fpr" ->
+      """WITH mem AS (SELECT DISTINCT o_custkey AS key FROM orders
+        |   WHERE o_orderpriority = '1-URGENT'),
+        | mpos AS (SELECT DISTINCT
+        |    ((key * 2654435761 + i * 40503) % 4294967296) % 4096 AS pos
+        |   FROM mem, unnest([0, 1, 2]) AS t(i)),
+        | pr AS (SELECT c_custkey AS key FROM customer
+        |   WHERE c_custkey NOT IN (SELECT key FROM mem)),
+        | ppos AS (SELECT DISTINCT key,
+        |    ((key * 2654435761 + i * 40503) % 4294967296) % 4096 AS pos
+        |   FROM pr, unnest([0, 1, 2]) AS t(i)),
+        | per AS (SELECT p.key, CAST(count(*) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN m.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_hit
+        |   FROM ppos p LEFT JOIN mpos m ON p.pos = m.pos GROUP BY 1),
+        | fp AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |    CAST(sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_false_pos FROM per),
+        | nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM mem),
+        | nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM mpos)
+        |SELECT n_members, n_bits_set, n_probes, n_false_pos,
+        | (n_false_pos * 1000000) // n_probes AS fpr_e6,
+        | (n_bits_set * n_bits_set * n_bits_set * 1000000) // 68719476736
+        |   AS pred_e6
+        |FROM fp CROSS JOIN nm CROSS JOIN nb""".stripMargin,
     // the KMV trajectory (ranks, theta, the below-theta census) is
     // replayed exactly; the exact twin certifies the estimate's error
     "sketch_theta_intersect" ->

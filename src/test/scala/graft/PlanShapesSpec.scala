@@ -141,7 +141,10 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row (n, P) totals attach for the per-bin Murphy terms (r13)
     "ml_brier_decomposition",
     // 1-row bigram-total attach for the G2 contingency (r13)
-    "text_collocation_llr")
+    "text_collocation_llr",
+    // 1-row member/bit-census attaches onto the 1-row probe verdict;
+    // 1-row spend-total attach for the systematic sample points (r13)
+    "sketch_bloom_fpr", "sample_pps_systematic")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -345,4 +345,27 @@ class CurationOpsSpec extends SparkSpec {
       deff should be >= 1000000L
     }
   }
+
+  "Sampling.ppsSystematic (r13)" should "draw exactly 100 PPS hits with the frozen start" in {
+    val sizes = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val cums = sizes.scanLeft(0L)((acc, t) => acc + t._2).tail
+    val total = cums.last
+    val step = total / 100
+    val start = step / 2
+    def g(x: Long): Long = (x - start + 2 * step) / step
+    val want = sizes.zip(cums).map { case ((ck, sz), cum) =>
+      (ck, sz, cum, g(cum - 1) - g(cum - sz - 1))
+    }.filter(_._4 > 0)
+    val got = Sampling.ppsSystematic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // systematic PPS with s = T div 100, r = s div 2 lands exactly 100
+    // draws (all 100 sample points fall inside [0, T))
+    got.map(_._4).sum shouldBe 100L
+    // a unit spanning more than one step gets multiple hits iff any do
+    got.foreach { case (_, sz, _, h) => h should be <= sz / step + 1 }
+  }
 }

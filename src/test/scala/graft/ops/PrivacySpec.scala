@@ -267,4 +267,29 @@ class PrivacySpec extends SparkSpec {
     got.foreach(_._2 should be >= 5L)
     got.map(_._2).sum shouldBe n
   }
+
+  "Privacy.ldpMean (r13)" should "replay the 1-bit mechanism and its unbiased estimator" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val rep = cust.map { case (ck, bal) =>
+      val x = math.min(math.max(math.round(bal * 100), 0L), 1000000L)
+      val u = ((ck * 2654435761L) % 4294967296L) % 4000000L
+      (x, if (u < 2 * x + 1000000L) 1L else 0L)
+    }
+    val n = rep.length.toLong
+    val ones = rep.map(_._2).sum
+    val sumX = rep.map(_._1).sum
+    val est = ((4 * ones + n) * 1000000L) / (2 * n) - 1000000L
+    val row = Privacy.ldpMean(spark, sfDir).collect().head
+    row.getLong(0) shouldBe n
+    row.getLong(1) shouldBe ones
+    row.getLong(2) shouldBe est
+    row.getLong(3) shouldBe sumX / n
+    row.getLong(4) shouldBe est - sumX / n
+    // the 1-bit estimator recovers the mean within sampling noise
+    // (sd ~ 1e6/sqrt(n)); loose 5-sigma band, deterministic replay
+    math.abs(est - sumX / n) should be <
+      (5.0 * 1000000.0 / math.sqrt(n.toDouble)).toLong
+  }
 }

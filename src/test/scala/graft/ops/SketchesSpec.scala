@@ -117,4 +117,29 @@ class SketchesSpec extends SparkSpec {
     // KMV at k=64: the estimate must land inside a broad error band
     est.toDouble shouldBe exact.toDouble +- math.max(10.0, exact * 0.6)
   }
+
+  "Sketches.bloomFpr (r13)" should "replay the integer Bloom trajectory" in {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val members = orders.filter(_._2 == "1-URGENT").map(_._1).toSet
+    def pos(k: Long, i: Int): Long =
+      (((k * 2654435761L + i * 40503L) % 4294967296L) + 4294967296L) % 4294967296L % 4096L
+    val bitset = members.flatMap(k => Seq(pos(k, 0), pos(k, 1), pos(k, 2)))
+    val probes = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).filterNot(members)
+    val falsePos = probes.count { k =>
+      Seq(pos(k, 0), pos(k, 1), pos(k, 2)).forall(bitset) }
+    val row = Sketches.bloomFpr(spark, sfDir).collect().head
+    row.getLong(0) shouldBe members.size.toLong
+    row.getLong(1) shouldBe bitset.size.toLong
+    row.getLong(2) shouldBe probes.length.toLong
+    row.getLong(3) shouldBe falsePos.toLong
+    row.getLong(4) shouldBe falsePos.toLong * 1000000L / probes.length
+    val b = bitset.size.toLong
+    row.getLong(5) shouldBe b * b * b * 1000000L / 68719476736L
+    // the filter genuinely discriminates: FPR well below 100% and the
+    // fill-rate prediction is in the same decade as the measurement
+    row.getLong(4) should be < 500000L
+  }
 }
