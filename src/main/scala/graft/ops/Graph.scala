@@ -1158,6 +1158,53 @@ object Graph {
       .orderBy("seed")
   }
 
+  /** Harmonic centrality from seed hubs
+    * (`graph_harmonic_seeds`, r13): H(s) = Σ_{v≠s} 1/d(s,v) — the
+    * centrality [[closenessSeeds]] approximates badly on disconnected
+    * or far-flung graphs (closeness divides by the hop SUM, so one
+    * distant island drags the score; harmonic's per-node reciprocal
+    * gives unreachable nodes exactly 0 and is the form recommended by
+    * Boldi & Vigna 2014). Same 4 top-degree seeds, same fixpoint BFS
+    * as [[eccentricitySeeds]] (hop-capped 20, frontier-empty
+    * convergence, lazily pinned rounds) — but the score accumulates on
+    * the INTEGER lattice: each reached node contributes
+    * 10⁶ div hop (per-node flooring, the adamic-adar pre-sum rounding
+    * rule), so H_e6 is an exact BIGINT and the oracle's recursive CTE
+    * replays it term-for-term. One BFS serves all seeds (frontier
+    * carries (seed, node) pairs).
+    */
+  def harmonicSeeds(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d)
+    val seeds = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(4)
+      .select(col("u").as("seed"))
+    var visited = Checkpoints.pin(
+      seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hop")),
+      eager = false)
+    var frontier = visited
+    var h = 1
+    var frontierSize = 1L
+    while (frontierSize > 0 && h <= 20) {
+      frontier = Checkpoints.pin(
+        frontier.join(und, col("node") === col("u"))
+          .select(col("seed"), col("v").as("node")).distinct()
+          .join(visited.select("seed", "node"), Seq("seed", "node"),
+            "left_anti")
+          .withColumn("hop", lit(h.toLong)),
+        eager = false)
+      frontierSize = frontier.count()
+      if (frontierSize > 0)
+        visited = Checkpoints.pin(visited.unionAll(frontier), eager = false)
+      h += 1
+    }
+    visited.filter(col("hop") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div hop")).as("harmonic_e6"),
+        max("hop").as("max_hop"))
+      .orderBy("seed")
+  }
+
   /** Hierarchy subtree rollup (`graph_subtree_rollup`): per ancestor,
     * the order-spend cents and node count of its ENTIRE subtree — the
     * org-chart / category-tree / BOM aggregation that recursive SQL
@@ -1239,6 +1286,7 @@ object Graph {
     "graph_lpa_rounds" -> (lpaRounds _),
     "graph_frozen_walks" -> (frozenWalks _),
     "graph_eccentricity_seeds" -> (eccentricitySeeds _),
+    "graph_harmonic_seeds" -> (harmonicSeeds _),
     "graph_adamic_adar" -> (adamicAdar _),
   )
 
@@ -1654,6 +1702,24 @@ object Graph {
         |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
         | CAST(max(hop) AS BIGINT) AS ecc
         |FROM sp GROUP BY seed ORDER BY seed""".stripMargin),
+    // same recursive reach, per-node 10^6 div hop floored BEFORE the sum
+    "graph_harmonic_seeds" ->
+      (s"""WITH RECURSIVE $edgeCte,
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+        | deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u),
+        | s0 AS (SELECT u AS seed FROM deg ORDER BY dg DESC, u LIMIT 4),
+        | reach(seed, node, dist) AS (
+        |   SELECT seed, seed, CAST(0 AS BIGINT) FROM s0
+        |   UNION
+        |   SELECT r.seed, und.v, r.dist + 1
+        |   FROM reach r JOIN und ON r.node = und.u WHERE r.dist < 20),
+        | sp AS (SELECT seed, node, min(dist) AS hop FROM reach
+        |  GROUP BY 1, 2)
+        |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+        | CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_e6,
+        | CAST(max(hop) AS BIGINT) AS max_hop
+        |FROM sp WHERE hop > 0 GROUP BY seed ORDER BY seed""".stripMargin),
     // unrolled hash-argmin steps — the oracle replays the full 4-step
     // trajectory of every walker
     "graph_frozen_walks" ->

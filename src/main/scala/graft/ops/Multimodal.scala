@@ -1106,6 +1106,85 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Motion energy (`mm_video_motion_energy`, r13): per-PIXEL
+    * per-CHANNEL absolute frame deltas over the real GVID container —
+    * the motion statistic [[videoSceneCuts]]' brightness-sum delta
+    * cannot express (equal-brightness frames with moved content score 0
+    * there; here every channel change counts — the shot-boundary /
+    * static-clip triage a video-curation pipeline runs before sampling
+    * training frames). Decodes EVERY frame's raw B,G,R raster (honest
+    * all-frames cost, like the scene-cut walker) inside the codec
+    * `mapPartitions` pass; per consecutive pair md = Σ_p Σ_ch |c−c′|,
+    * shipping sum/max/min over pairs — all exact BIGINTs, so the
+    * oracle replays the pixel formula per channel. Per-pixel rows
+    * never shuffle (the framed-RMS discipline).
+    */
+  def videoMotionEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val bytes = encodeVideo(id, nc)
+        def le32(off: Int): Int =
+          (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+            ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+        require(bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' &&
+          bytes(3) == 'D', "not a GVID container")
+        val nf = le32(4)
+        // decode one frame's channels in top-down raster order (B,G,R)
+        def channels(fo: Int, flen: Int): Array[Int] = {
+          val fb = java.util.Arrays.copyOfRange(bytes, fo, fo + flen)
+          require(fb(0) == 'B' && fb(1) == 'M', "frame is not a BMP")
+          def fle32(off: Int): Int =
+            (fb(off) & 0xff) | ((fb(off + 1) & 0xff) << 8) |
+              ((fb(off + 2) & 0xff) << 16) | ((fb(off + 3) & 0xff) << 24)
+          val pixOff = fle32(10); val w = fle32(18); val h = fle32(22)
+          val stride = (w * 3 + 3) / 4 * 4
+          val out = new Array[Int](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val rowOff = pixOff + (h - 1 - y) * stride
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              out(p) = fb(rowOff + x * 3) & 0xff
+              out(p + 1) = fb(rowOff + x * 3 + 1) & 0xff
+              out(p + 2) = fb(rowOff + x * 3 + 2) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        var off = 8
+        var prev: Array[Int] = null
+        var sumM = 0L; var maxM = 0L; var minM = Long.MaxValue
+        var pairs = 0L
+        var f = 0
+        while (f < nf) {
+          val len = le32(off)
+          val cur = channels(off + 4, len)
+          if (prev != null) {
+            var md = 0L
+            var i = 0
+            while (i < cur.length) {
+              md += math.abs(cur(i) - prev(i)); i += 1
+            }
+            sumM += md; if (md > maxM) maxM = md; if (md < minM) minM = md
+            pairs += 1
+          }
+          prev = cur
+          off += 4 + len
+          f += 1
+        }
+        (id, nf.toLong, pairs, sumM, maxM, if (pairs == 0) 0L else minM)
+      })
+      .toDF("doc_id", "n_frames", "n_pairs", "motion_sum", "motion_max",
+        "motion_min")
+      .orderBy("doc_id")
+  }
+
   /** Silence trimming (`mm_audio_trim`, r13): the head/tail silence
     * strip every ASR ingest runs before windowing — decode the real
     * RIFF/WAVE bytes (chunk walk, LIST skip), classify samples silent
@@ -1157,6 +1236,7 @@ object Multimodal {
     "mm_audio_pitch" -> (audioPitch _),
     "mm_resize_pool" -> (resizePool _),
     "mm_video_frames" -> (videoFrames _),
+    "mm_video_motion_energy" -> (videoMotionEnergy _),
     "mm_frame_sample" -> (frameSample _),
     "mm_frame_overlap" -> (frameOverlapPairs _),
   )
@@ -1213,6 +1293,27 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // per-pixel per-channel abs deltas between consecutive frame keys —
+    // the decoded bytes must reproduce the generator formula exactly
+    "mm_video_motion_energy" ->
+      """WITH d AS (SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h,
+        |    2 + n_chars % 7 AS nf FROM documents),
+        | f AS (SELECT doc_id, w, h, nf, unnest(range(1, nf)) AS fi FROM d),
+        | px AS (SELECT doc_id, nf, fi, doc_id + 1000003 * fi AS fk,
+        |    doc_id + 1000003 * (fi - 1) AS pk,
+        |    unnest(range(0, w * h)) AS p FROM f),
+        | ms AS (SELECT doc_id, nf, fi, CAST(sum(
+        |     abs((31 * fk + 7 * p + 11) % 256 - (31 * pk + 7 * p + 11) % 256)
+        |   + abs((17 * fk + 13 * p + 23) % 256 - (17 * pk + 13 * p + 23) % 256)
+        |   + abs((29 * fk + 19 * p + 31) % 256 - (29 * pk + 19 * p + 31) % 256))
+        |    AS BIGINT) AS md
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(md) AS BIGINT) AS motion_sum,
+        | CAST(max(md) AS BIGINT) AS motion_max,
+        | CAST(min(md) AS BIGINT) AS motion_min
+        |FROM ms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // every frame's brightness sum, then a lag diff over the frame
     // order — the cut threshold is the published constant 900
     "mm_video_scene_cuts" ->

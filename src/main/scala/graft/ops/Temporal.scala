@@ -901,6 +901,50 @@ object Temporal {
     * (≤ 3.7k rows), one 1-row mean attach; day ships as a formatted
     * string (the driver dtype rule). Exact integers throughout.
     */
+  /** SAX symbolization (`ts_sax_symbols`, r13): the daily-revenue
+    * series rendered as Symbolic Aggregate approXimation words — one
+    * letter per day from the 4-symbol N(0,1) breakpoint alphabet
+    * (±0.6745, 0), concatenated per ISO-epoch week (Lin & Keogh 2003;
+    * the discretization under time-series motif/anomaly mining). The
+    * symbol decision is quantize-then-compare: with exact lattice
+    * moments (v = day cents div 10⁴, dev_n = n·v − Σv,
+    * var_n2 = n·Σv² − (Σv)² — hundred-dollar units keep n·Σv² < 2⁶³
+    * to ~10⁵ days × 10⁹/day, the Haar-lattice rule), the ONLY double
+    * is one mirrored sqrt rounded to the integer s = round(√var_n2) =
+    * n·σ; every breakpoint test is then the integer comparison
+    * 100·dev_n ⋛ ±67·s, so a 1-ulp sqrt wobble is the single guarded
+    * leaf and symbols can't flip engine-to-engine past it. The week
+    * key is the epoch-day floor-7 (engine-neutral — never ISO
+    * weekofyear, which the engines number differently). Plan: one
+    * calendar-bounded daily agg + a 1-row moment attach + one
+    * week-keyed ordered string fold.
+    */
+  def saxSymbols(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(expr("sum(cents) div 10000").as("v"))
+    val m = daily.agg(count(lit(1)).as("n"), sum("v").as("sv"),
+      sum(col("v") * col("v")).as("svv"))
+      .select(col("n"), col("sv"),
+        round(sqrt((col("n") * col("svv") - col("sv") * col("sv"))
+          .cast("double")), 0).cast("long").as("s_scaled"))
+    val sym = daily.crossJoin(broadcast(m))
+      .withColumn("dev_n", col("n") * col("v") - col("sv"))
+      .withColumn("sym",
+        when(col("dev_n") * 100 < col("s_scaled") * -67, "a")
+          .when(col("dev_n") < 0, "b")
+          .when(col("dev_n") * 100 < col("s_scaled") * 67, "c")
+          .otherwise("d"))
+      .withColumn("week", expr("datediff(day, DATE'1970-01-01') div 7"))
+    sym.groupBy("week")
+      .agg(count(lit(1)).as("n_days"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("day"), col("sym")))),
+          x => x.getField("sym")), "").as("sax_word"))
+      .orderBy("week")
+  }
+
   def peakDays(s: SparkSession, d: String): DataFrame = {
     val daily = Sources.orders(s, d)
       .select(to_date(col("o_orderdate")).as("day"),
@@ -1196,6 +1240,7 @@ object Temporal {
     "ts_drawdown" -> (drawdown _),
     "ts_periodogram_frozen" -> (periodogramFrozen _),
     "ts_peak_days" -> (peakDays _),
+    "ts_sax_symbols" -> (saxSymbols _),
     "ts_haar_energy" -> (haarEnergy _),
     "ts_new_returning" -> (newReturning _),
     "ts_clamped_balance" -> (clampedBalance _),
@@ -1384,6 +1429,28 @@ object Temporal {
         | CAST(sum(dcoef * dcoef) AS BIGINT) AS energy,
         | CAST(max(abs(dcoef)) AS BIGINT) AS max_abs
         |FROM dc GROUP BY 1 ORDER BY lvl""".stripMargin,
+    // exact lattice moments, ONE rounded sqrt, integer breakpoint
+    // compares; weeks keyed by epoch-day div 7 (engine-neutral)
+    "ts_sax_symbols" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     // 10000 AS v
+        |  FROM orders GROUP BY 1),
+        | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(v) AS BIGINT) AS sv,
+        |   CAST(round(sqrt((CAST(count(*) AS BIGINT) * sum(v * v)
+        |     - sum(v) * sum(v))::DOUBLE)) AS BIGINT) AS s_scaled
+        |  FROM daily),
+        | sym AS (SELECT day,
+        |   datediff('day', DATE '1970-01-01', day) // 7 AS week,
+        |   CASE WHEN (n * v - sv) * 100 < s_scaled * -67 THEN 'a'
+        |    WHEN n * v - sv < 0 THEN 'b'
+        |    WHEN (n * v - sv) * 100 < s_scaled * 67 THEN 'c'
+        |    ELSE 'd' END AS sy
+        |  FROM daily CROSS JOIN m)
+        |SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+        | string_agg(sy, '' ORDER BY day) AS sax_word
+        |FROM sym GROUP BY week ORDER BY week""".stripMargin,
     // strict 3-point local max + the scale-free 150%-of-integer-mean
     // prominence floor, all exact integers
     "ts_peak_days" ->

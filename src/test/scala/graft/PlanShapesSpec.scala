@@ -144,7 +144,9 @@ class PlanShapesSpec extends SparkSpec {
     "text_collocation_llr",
     // 1-row member/bit-census attaches onto the 1-row probe verdict;
     // 1-row spend-total attach for the systematic sample points (r13)
-    "sketch_bloom_fpr", "sample_pps_systematic")
+    "sketch_bloom_fpr", "sample_pps_systematic",
+    // 1-row moment attach for the SAX breakpoint lattice (r13)
+    "ts_sax_symbols")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

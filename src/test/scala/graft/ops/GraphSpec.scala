@@ -572,6 +572,35 @@ class GraphSpec extends SparkSpec {
     got.map(_._3).max should be >= 2L // a hub still can't see everything in 1 hop
   }
 
+  "Graph.harmonicSeeds" should "replay the per-node reciprocal-hop lattice" in {
+    val und = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = und.toSeq.map { case (u, vs) => (u, vs.size) }
+      .sortBy { case (u, dg) => (-dg, u) }.take(4).map(_._1)
+    val want = seeds.map { s0 =>
+      var dist = Map(s0 -> 0L)
+      var frontier = Set(s0)
+      var h = 1L
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(und.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= frontier.map(_ -> h)
+        h += 1
+      }
+      val hops = dist.values.filter(_ > 0)
+      (s0, hops.size.toLong, hops.map(1000000L / _).sum, hops.max)
+    }.sortBy(_._1)
+    val got = Graph.harmonicSeeds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // harmonic is bounded by degree*1e6 + (reached-degree)*5e5 from
+    // below 1-hop/2-hop structure; sanity: positive, cap unreached
+    got.foreach { case (_, nr, harm, mh) =>
+      harm should be > 0L
+      harm should be <= nr * 1000000L
+      mh should be < 20L
+    }
+  }
+
   "Graph.adamicAdar" should "replay the lattice-weighted wedge census" in {
     val li = Sources.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_partkey").collect()

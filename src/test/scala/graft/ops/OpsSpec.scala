@@ -628,6 +628,40 @@ class OpsSpec extends SparkSpec {
     got.count(_._3 > 0) should (be > 0 and be < got.size)
   }
 
+  "Multimodal.videoMotionEnergy (r13)" should "replay per-channel frame deltas from the pixel formula" in {
+    def chans(fk: Long, p: Long): Seq[Long] = Seq(
+      (31 * fk + 7 * p + 11) % 256, (17 * fk + 13 * p + 23) % 256,
+      (29 * fk + 19 * p + 31) % 256)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .orderBy("doc_id").limit(40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.map { case (id, nc) =>
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      val nf = (2 + nc % 7).toInt
+      val mds = (1 until nf).map { f =>
+        val (fk, pk) = (id + 1000003L * f, id + 1000003L * (f - 1))
+        (0 until w * h).map { p =>
+          chans(fk, p).zip(chans(pk, p)).map(t => math.abs(t._1 - t._2)).sum
+        }.sum
+      }
+      (id, nf.toLong, mds.length.toLong, mds.sum, mds.max, mds.min)
+    }.toSeq
+    val got = Multimodal.videoMotionEnergy(spark, sfDir).orderBy("doc_id")
+      .limit(40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // motion is genuinely nonzero (frames differ) and bounded by the
+    // full-swing ceiling 3*255 per pixel
+    got.foreach { case (_, _, pairs, sum, mx, mn) =>
+      pairs should be >= 1L
+      mn should be > 0L
+      mx should be <= 3L * 255L * (16L * 9L)
+      sum should be >= mx
+    }
+  }
+
   "Multimodal.audioTrim (r13)" should "replay head/tail silent runs from the amp formula" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")

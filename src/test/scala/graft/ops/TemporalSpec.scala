@@ -546,6 +546,35 @@ class TemporalSpec extends SparkSpec {
     got.foreach(_._3 should be > 0L)
   }
 
+  "Temporal.saxSymbols (r13)" should "replay the quantize-then-compare alphabet" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice * 100) AS LONG) AS c")
+      .groupBy("day")
+      .agg(org.apache.spark.sql.functions.expr("sum(c) div 10000").as("v"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val n = daily.length.toLong
+    val sv = daily.map(_._2).sum
+    val svv = daily.map(t => t._2 * t._2).sum
+    val sS = math.round(math.sqrt((n * svv - sv * sv).toDouble))
+    val want = daily.map { case (day, v) =>
+      val dev = n * v - sv
+      val sym = if (dev * 100 < -67 * sS) "a"
+        else if (dev < 0) "b"
+        else if (dev * 100 < 67 * sS) "c" else "d"
+      (day.toEpochDay / 7, sym)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (wk, g) => (wk, g.length.toLong, g.map(_._2).mkString) }
+    val got = Temporal.saxSymbols(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    got shouldBe want
+    // all four symbols occur and no week exceeds 7 days
+    val alphabet = got.flatMap(_._3).toSet
+    alphabet shouldBe Set('a', 'b', 'c', 'd')
+    got.foreach(_._2 should be <= 7L)
+  }
+
   "Temporal.haarEnergy" should "replay the integer Haar details per level" in {
     val daily = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("CAST(o_orderdate AS DATE) AS day",
