@@ -318,7 +318,37 @@ object EtlQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Surrogate-key assignment (`etl_surrogate_keys`, r13): dense,
+    * stable integer surrogates for the (nation, segment) dimension —
+    * the warehouse-modeling step every star schema runs before facts
+    * can join on compact keys (natural keys are composite and wide;
+    * surrogates are join- and partition-friendly). The surrogate is the
+    * 1-based dense rank of the natural key in (nationkey, segment)
+    * order, realized by the two-pass [[graft.ops.Prefix]] over the
+    * DISTINCT dimension table — rank assignment stays distributed even
+    * when the dimension grows (the audit_column_profile lesson: never
+    * a single-partition window on a corpus-derived table). Facts then
+    * take their surrogate via one broadcast equi-join on the natural
+    * key, and the census proves the mapping is total (Σ n_customers =
+    * corpus) and collision-free (one natural key per sk). Exact
+    * integers throughout (balances as cents).
+    */
+  def surrogateKeys(s: SparkSession, d: String): DataFrame = {
+    val dim = Sources.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+    val withSk = graft.ops.Prefix.running(dim,
+      Seq(col("c_nationkey"), col("c_mktsegment")), rankOut = Some("sk"))
+    Sources.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .join(broadcast(withSk), Seq("c_nationkey", "c_mktsegment"))
+      .groupBy("sk", "c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("sum_cents"))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_surrogate_keys" -> (surrogateKeys _),
     "etl_schema_evolution" -> (etlSchemaEvolution _),
     "etl_ivm_join" -> (etlIvmJoin _),
     "etl_zorder_stats" -> (etlZorderStats _),
@@ -334,6 +364,22 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical (nationkey, segment) total order realizes the same
+    // dense surrogate in both engines
+    "etl_surrogate_keys" ->
+      """WITH dim AS (SELECT DISTINCT c_nationkey, c_mktsegment
+        |   FROM customer),
+        | sk AS (SELECT c_nationkey, c_mktsegment,
+        |   CAST(row_number() OVER (ORDER BY c_nationkey, c_mktsegment)
+        |     AS BIGINT) AS sk
+        |  FROM dim)
+        |SELECT sk.sk, sk.c_nationkey, sk.c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM customer c JOIN sk ON c.c_nationkey = sk.c_nationkey
+        |  AND c.c_mktsegment = sk.c_mktsegment
+        |GROUP BY 1, 2, 3 ORDER BY sk.sk""".stripMargin,
     // the NULL-fill union replay: v1 rows carry NULL status by schema,
     // v2 rows their real one — counts and revenue must reconcile
     "etl_schema_evolution" ->

@@ -340,7 +340,36 @@ object Mining {
       .orderBy("type_a", "type_b", "type_c")
   }
 
+  /** Emerging-pattern mining (`mining_emerging_patterns`, r13): parts
+    * whose ship-volume GROWS most between the two corpus halves
+    * (Dong & Li 1999's growth-rate patterns at itemset size 1) — the
+    * trend-screening complement to frequent-itemset support: a static
+    * support threshold can't see that an item doubled. Halves split at
+    * the published date 1995-06-01 on `l_shipdate`; early support ≥ 5
+    * (published min-support keeps the ratio out of the hapax tail and
+    * makes the growth ratio well-defined — no division by zero branch
+    * in either engine); growth ships exactly as
+    * growth_e4 = (c_late·10⁴) div c_early. Top-20 by (growth DESC,
+    * partkey) via TakeOrderedAndProject on the integer lattice. One
+    * conditional-count keyed agg over the scan — map-side combinable.
+    */
+  def emergingPatterns(s: SparkSession, d: String): DataFrame =
+    Sources.lineitem(s, d)
+      .select(col("l_partkey"),
+        (col("l_shipdate") < lit("1995-06-01").cast("timestamp"))
+          .as("early"))
+      .groupBy("l_partkey")
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("c_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("c_late"))
+      .filter(col("c_early") >= 5)
+      .withColumn("growth_e4", expr("(c_late * 10000L) div c_early"))
+      .orderBy(col("growth_e4").desc, col("l_partkey")).limit(20)
+      .select(col("l_partkey"), col("c_early"), col("c_late"),
+        col("growth_e4"))
+      .orderBy(col("growth_e4").desc, col("l_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mining_emerging_patterns" -> (emergingPatterns _),
     "mining_seq_triples" -> (seqTriples _),
     "mining_seq_pairs" -> (seqPairs _),
     "mining_frequent_triples" -> (frequentTriples _),
@@ -352,6 +381,19 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    // published split date + min-support; growth exact on the e4 lattice
+    "mining_emerging_patterns" ->
+      """WITH g AS (SELECT l_partkey,
+        |   CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1995-06-01'
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS c_early,
+        |   CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1995-06-01'
+        |     THEN 0 ELSE 1 END) AS BIGINT) AS c_late
+        |  FROM lineitem GROUP BY 1 HAVING
+        |   sum(CASE WHEN l_shipdate < TIMESTAMP '1995-06-01'
+        |     THEN 1 ELSE 0 END) >= 5)
+        |SELECT l_partkey, c_early, c_late,
+        | (c_late * 10000) // c_early AS growth_e4
+        |FROM g ORDER BY growth_e4 DESC, l_partkey LIMIT 20""".stripMargin,
     // the interval-witness reduction must equal the existential
     // three-event definition — DuckDB replays the same interval table
     // and witness join

@@ -561,6 +561,61 @@ object Stats {
       .orderBy("qty")
   }
 
+  /** Brown-Forsythe Levene test (`stats_levene_bf`, r13): the k-sample
+    * VARIANCE-equality screen — the third member of the screening
+    * family ([[anovaF]] = means, [[kruskalWallis]] = ranks, this =
+    * spreads; ANOVA's equal-variance assumption is exactly what this
+    * test checks). Brown-Forsythe centers on the per-group MEDIAN
+    * (robust form): z = |x − med_g| with the LOWER median published as
+    * the convention (min v whose running count reaches (n_g+1) div 2 —
+    * an exact order statistic, no interpolation to diverge on), found
+    * via a value-count table + a window PARTITIONED by the 5-group key
+    * (value-domain input, never a global window). z re-scales to whole
+    * dollars (z_d = z div 100) so Σz² stays < 2⁶³ to ~10¹⁰ rows (the
+    * ANOVA bound), and the F assembly on z replays [[anovaF]]'s
+    * lattice discipline verbatim: per-group between-terms rounded onto
+    * the 10³ lattice BEFORE the cross-group sum, one mirrored division
+    * for F. Plan: value-count agg + partitioned window + a 5-row
+    * median broadcast back onto the scan + one keyed agg.
+    */
+  def leveneBf(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+    val vc = t.groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withCum = vc.withColumn("cum", sum("cnt").over(w))
+    val nG = vc.groupBy("grp").agg(sum("cnt").as("n_g"))
+    val med = withCum.join(broadcast(nG), Seq("grp"))
+      .filter(col("cum") >= expr("(n_g + 1) div 2"))
+      .groupBy("grp").agg(min("v").as("med_c"))
+    val z = t.join(broadcast(med), Seq("grp"))
+      .select(col("grp"), expr("abs(v - med_c) div 100").as("x"))
+    val g = z.groupBy("grp").agg(
+        count(lit(1)).as("n_g"), sum("x").as("s_g"))
+      .withColumn("term", round(
+        col("s_g").cast("double") * col("s_g").cast("double")
+          / col("n_g").cast("double") / 1000.0, 0).cast("long"))
+    val tot = z.agg(count(lit(1)).as("n_total"), sum("x").as("s_all"),
+      sum(col("x") * col("x")).as("ssq"))
+    g.agg(count(lit(1)).as("k_groups"), sum("term").as("bt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("gt", round(
+        col("s_all").cast("double") * col("s_all").cast("double")
+          / col("n_total").cast("double") / 1000.0, 0).cast("long"))
+      .withColumn("ssb_k", col("bt") - col("gt"))
+      .withColumn("ssw_k",
+        round(col("ssq").cast("double") / 1000.0, 0).cast("long") - col("bt"))
+      .withColumn("f_stat", roundNorm(
+        (col("ssb_k").cast("double") / (col("k_groups") - 1).cast("double")) /
+          (col("ssw_k").cast("double") /
+            (col("n_total") - col("k_groups")).cast("double")), 6))
+      .select(col("k_groups"), col("n_total"), col("ssb_k"), col("ssw_k"),
+        col("f_stat"))
+  }
+
   /** Kruskal-Wallis H (`stats_kruskal_wallis`, r13): the k-sample RANK
     * test across all 5 order priorities — the nonparametric complement
     * to [[anovaF]] (same screening question, no normality assumption;
@@ -1018,6 +1073,7 @@ object Stats {
     "ml_woe_bins" -> (woeBins _),
     "stats_anova_f" -> (anovaF _),
     "stats_kruskal_wallis" -> (kruskalWallis _),
+    "stats_levene_bf" -> (leveneBf _),
     "stats_mann_whitney" -> (mannWhitney _),
     "stats_jsd" -> (jsdBuckets _),
     "stats_kde_grid" -> (kdeGrid _),
@@ -1283,6 +1339,41 @@ object Stats {
         | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
         |    CAST(sum(x) AS BIGINT) AS s_all,
         |    CAST(sum(x * x) AS BIGINT) AS ssq FROM t),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |    CAST(sum(term) AS BIGINT) AS bt FROM gt),
+        | f AS (SELECT k_groups, n_total,
+        |    bt - CAST(round(s_all::DOUBLE * s_all::DOUBLE
+        |      / n_total::DOUBLE / 1000.0) AS BIGINT) AS ssb_k,
+        |    CAST(round(ssq::DOUBLE / 1000.0) AS BIGINT) - bt AS ssw_k
+        |  FROM a CROSS JOIN tot)
+        |SELECT k_groups, n_total, ssb_k, ssw_k,
+        | round((ssb_k::DOUBLE / (k_groups - 1)::DOUBLE)
+        |   / (ssw_k::DOUBLE / (n_total - k_groups)::DOUBLE), 6) + 0.0
+        |  AS f_stat
+        |FROM f""".stripMargin,
+    // same lower-median convention, same z = |v - med| div 100 lattice,
+    // same per-group 10^3 rounding before the cross-group sum
+    "stats_levene_bf" ->
+      """WITH t AS (SELECT o_orderpriority AS grp,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        | vc AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt FROM t
+        |  GROUP BY 1, 2),
+        | wc AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v)
+        |    AS BIGINT) AS cum FROM vc),
+        | ng AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g FROM vc
+        |  GROUP BY 1),
+        | med AS (SELECT wc.grp, CAST(min(v) AS BIGINT) AS med_c
+        |  FROM wc JOIN ng ON wc.grp = ng.grp
+        |  WHERE cum >= (n_g + 1) // 2 GROUP BY 1),
+        | z AS (SELECT t.grp, abs(v - med_c) // 100 AS x
+        |  FROM t JOIN med ON t.grp = med.grp),
+        | g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(x) AS BIGINT) AS s_g FROM z GROUP BY 1),
+        | gt AS (SELECT grp, CAST(round(s_g::DOUBLE * s_g::DOUBLE
+        |    / n_g::DOUBLE / 1000.0) AS BIGINT) AS term FROM g),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(x) AS BIGINT) AS s_all,
+        |    CAST(sum(x * x) AS BIGINT) AS ssq FROM z),
         | a AS (SELECT CAST(count(*) AS BIGINT) AS k_groups,
         |    CAST(sum(term) AS BIGINT) AS bt FROM gt),
         | f AS (SELECT k_groups, n_total,

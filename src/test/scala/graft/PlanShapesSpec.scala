@@ -146,7 +146,9 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row spend-total attach for the systematic sample points (r13)
     "sketch_bloom_fpr", "sample_pps_systematic",
     // 1-row moment attach for the SAX breakpoint lattice (r13)
-    "ts_sax_symbols")
+    "ts_sax_symbols",
+    // 1-row grand-moment attach for the Brown-Forsythe F (r13)
+    "stats_levene_bf")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -57,4 +57,24 @@ class EtlQueriesSpec extends SparkSpec {
     bad shouldBe 0L
     clean should be > 0L
   }
+
+  "surrogateKeys (r13)" should "assign dense, total, collision-free surrogates" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_nationkey", "c_mktsegment",
+        "CAST(round(c_acctbal * 100) AS LONG) AS cents")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val dim = cust.map(t => (t._1, t._2)).distinct.sorted
+    val skOf = dim.zipWithIndex.map { case (k, i) => k -> (i + 1).toLong }.toMap
+    val want = cust.groupBy(t => (t._1, t._2)).toSeq
+      .map { case (k, g) =>
+        (skOf(k), k._1, k._2, g.length.toLong, g.map(_._3).sum) }
+      .sortBy(_._1)
+    val got = EtlQueries.surrogateKeys(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // dense 1..|dim|, mapping total over the corpus
+    got.map(_._1) shouldBe (1L to dim.length.toLong)
+    got.map(_._4).sum shouldBe cust.length.toLong
+  }
 }

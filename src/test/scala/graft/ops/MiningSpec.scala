@@ -184,4 +184,23 @@ class MiningSpec extends SparkSpec {
     val allMean = docs.map(_._2.toDouble).sum / docs.length
     selMean should be > allMean
   }
+
+  "Mining.emergingPatterns (r13)" should "replay the growth-rate top-20" in {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_partkey", "CAST(l_shipdate AS DATE) < DATE'1995-06-01' AS early")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val want = li.groupBy(_._1).toSeq.map { case (pk, rows) =>
+      val ce = rows.count(_._2).toLong
+      val cl = rows.length - ce
+      (pk, ce, cl)
+    }.filter(_._2 >= 5)
+      .map { case (pk, ce, cl) => (pk, ce, cl, cl * 10000L / ce) }
+      .sortBy(t => (-t._4, t._1)).take(20)
+    val got = Mining.emergingPatterns(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // the ranking genuinely discriminates: head grows, growth ordered
+    got.head._4 should be >= got.last._4
+    got.foreach(_._2 should be >= 5L)
+  }
 }

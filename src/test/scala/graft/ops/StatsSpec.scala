@@ -392,6 +392,37 @@ class StatsSpec extends SparkSpec {
     total should be < math.log(2.0)
   }
 
+  behavior of "Stats.leveneBf (r13)"
+
+  it should "replay the median-centered F assembly exactly" in {
+    val xs = Sources.orders(spark, sfDir)
+      .selectExpr("o_orderpriority", "CAST(round(o_totalprice * 100) AS LONG) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = xs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // lower median: element at 1-based rank (n+1) div 2
+    val med = groups.map { case (g, vs) => g -> vs(((vs.length + 1) / 2) - 1) }
+    val z = xs.map { case (g, v) => (g, math.abs(v - med(g)) / 100) }
+    val zg = z.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bt = zg.values.map { v =>
+      math.round(v.sum.toDouble * v.sum.toDouble / v.length.toDouble / 1000.0)
+    }.sum
+    val n = z.length.toLong
+    val sAll = z.map(_._2).sum
+    val ssq = z.map(t => t._2 * t._2).sum
+    val gt = math.round(sAll.toDouble * sAll.toDouble / n.toDouble / 1000.0)
+    val ssbK = bt - gt
+    val sswK = math.round(ssq.toDouble / 1000.0) - bt
+    val k = zg.size.toLong
+    val f = (ssbK.toDouble / (k - 1)) / (sswK.toDouble / (n - k))
+    val row = Stats.leveneBf(spark, sfDir).collect().head
+    row.getLong(0) shouldBe k
+    row.getLong(1) shouldBe n
+    row.getLong(2) shouldBe ssbK
+    row.getLong(3) shouldBe sswK
+    row.getDouble(4) shouldBe (math.round(f * 1e6) / 1e6) +- 1e-9
+    sswK should be > 0L
+  }
+
   behavior of "Stats.kruskalWallis (r13)"
 
   it should "replay the doubled-midrank H assembly exactly" in {
