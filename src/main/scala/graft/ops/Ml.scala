@@ -776,7 +776,66 @@ object Ml {
       .orderBy("p_brand")
   }
 
+  /** Exact Shapley attributions for a linear model
+    * (`ml_shap_linear_frozen`, r13): for a linear scorer the Shapley
+    * value has the CLOSED FORM φ_i(x) = w_i·(x_i − μ_i) — no sampling,
+    * no kernel approximation — so the per-feature attribution audit
+    * (which features carry the model's decisions, the explainability
+    * report every deployed scorer ships) is computable exactly at
+    * corpus scale. Model: four PUBLISHED integer weights (3, −5, 2, 7)
+    * over four exact integer order features (value in 10⁴-dollar
+    * units, priority index, order weekday, item count). The n-scaled
+    * lattice keeps everything integer: φ_scaled = w_i·(n·x_i − S_i)
+    * (the Kruskal dev_n trick — n·μ_i = S_i is exact), so the
+    * per-feature mean-|φ| mass Σ|φ_scaled| and its share in basis
+    * points are exact BIGINTs, and the efficiency axiom
+    * Σ_i φ_i(x) = η(x) − η̄ holds exactly on the same lattice
+    * (spec-asserted per row). Plan: one item-count pre-agg join + one
+    * corpus aggregate emitting 4·2 longs; the long-form output is a
+    * literal 4-row stack.
+    */
+  def shapLinearFrozen(s: SparkSession, d: String): DataFrame = {
+    val weights = Seq(3L, -5L, 2L, 7L)
+    val names = Seq("value_10k", "prio_idx", "weekday", "n_items")
+    val items = Sources.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("x3"))
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val prioIdx = prios.zipWithIndex.init.foldRight(lit(4L): Column) {
+      case ((p, i), rest) =>
+        when(col("o_orderpriority") === p, lit(i.toLong)).otherwise(rest)
+    }
+    val t = Sources.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS LONG) div 1000000").as("x0"),
+        prioIdx.as("x1"),
+        // weekday via epoch-day arithmetic (0 = Sunday) — never the
+        // engines' differently-numbered dayofweek built-ins
+        expr("(datediff(o_orderdate, DATE'1970-01-01') + 4) % 7").as("x2"))
+      .join(items, Seq("o_orderkey"))
+    val aggs = (0 until 4).flatMap { i =>
+      Seq(sum(col(s"x$i")).as(s"s$i"))
+    } :+ count(lit(1)).as("n")
+    val m = t.agg(aggs.head, aggs.tail: _*)
+    val withPhi = t.crossJoin(broadcast(m))
+    val absAggs = (0 until 4).map { i =>
+      sum(abs(lit(weights(i)) * (col("n") * col(s"x$i") - col(s"s$i"))))
+        .as(s"a$i")
+    }
+    val wide = withPhi.agg(absAggs.head, absAggs.tail: _*)
+      .crossJoin(broadcast(m))
+    val total = (0 until 4).map(i => col(s"a$i")).reduce(_ + _)
+    val rows = (0 until 4).map { i =>
+      wide.select(lit(names(i)).as("feature"), lit(weights(i)).as("w"),
+        col(s"s$i").as("s_i"), col("n"),
+        col(s"a$i").as("sum_abs_phi_n"),
+        call_function("div", col(s"a$i") * 10000L, total).as("share_bp"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_shap_linear_frozen" -> (shapLinearFrozen _),
     "ml_cohens_kappa" -> (cohensKappa _),
     "ml_brier_decomposition" -> (brierDecomposition _),
     "ml_ridge_frozen" -> (ridgeFrozen _),
@@ -799,6 +858,42 @@ object Ml {
   )
 
   val oracles: Map[String, String] = Map(
+    // closed-form linear Shapley on the n-scaled integer lattice;
+    // weekday from epoch-day arithmetic in both engines
+    "ml_shap_linear_frozen" ->
+      """WITH it AS (SELECT l_orderkey AS o_orderkey,
+        |   CAST(count(*) AS BIGINT) AS x3 FROM lineitem GROUP BY 1),
+        | t AS (SELECT
+        |   CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS x0,
+        |   CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 0
+        |    WHEN '2-HIGH' THEN 1 WHEN '3-MEDIUM' THEN 2
+        |    WHEN '4-NOT SPECIFIED' THEN 3 ELSE 4 END AS BIGINT) AS x1,
+        |   CAST((datediff('day', DATE '1970-01-01',
+        |     CAST(o_orderdate AS DATE)) + 4) % 7 AS BIGINT) AS x2,
+        |   it.x3
+        |  FROM orders JOIN it USING (o_orderkey)),
+        | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x0) AS BIGINT) AS s0, CAST(sum(x1) AS BIGINT) AS s1,
+        |   CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x3) AS BIGINT) AS s3
+        |  FROM t),
+        | a AS (SELECT max(m.n) AS n, max(s0) AS s0, max(s1) AS s1,
+        |   max(s2) AS s2, max(s3) AS s3,
+        |   CAST(sum(abs(3 * (m.n * x0 - s0))) AS BIGINT) AS a0,
+        |   CAST(sum(abs(-5 * (m.n * x1 - s1))) AS BIGINT) AS a1,
+        |   CAST(sum(abs(2 * (m.n * x2 - s2))) AS BIGINT) AS a2,
+        |   CAST(sum(abs(7 * (m.n * x3 - s3))) AS BIGINT) AS a3
+        |  FROM t CROSS JOIN m)
+        |SELECT * FROM (
+        | SELECT 'n_items' AS feature, CAST(7 AS BIGINT) AS w, s3 AS s_i,
+        |  n, a3 AS sum_abs_phi_n, (a3 * 10000) // (a0+a1+a2+a3) AS share_bp
+        | FROM a
+        | UNION ALL SELECT 'prio_idx', -5, s1, n, a1,
+        |  (a1 * 10000) // (a0+a1+a2+a3) FROM a
+        | UNION ALL SELECT 'value_10k', 3, s0, n, a0,
+        |  (a0 * 10000) // (a0+a1+a2+a3) FROM a
+        | UNION ALL SELECT 'weekday', 2, s2, n, a2,
+        |  (a2 * 10000) // (a0+a1+a2+a3) FROM a)
+        |ORDER BY feature""".stripMargin,
     // exact integer kappa: one floor division, no doubles anywhere
     "ml_cohens_kappa" ->
       """WITH s AS (SELECT

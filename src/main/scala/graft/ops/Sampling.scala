@@ -412,7 +412,12 @@ object Sampling {
     * from the two-pass [[graft.ops.Prefix]] (never a single-partition
     * window); everything else is map-side integer arithmetic.
     */
-  def ppsSystematic(s: SparkSession, d: String): DataFrame = {
+  /** The PPS systematic design shared by [[ppsSystematic]] (the draw)
+    * and [[hhEstimator]] (estimation under the draw): per selected
+    * customer, spend size, cumulative position, hit multiplicity, and
+    * the population spend total.
+    */
+  private def ppsHits(s: SparkSession, d: String): DataFrame = {
     val sizes = Sources.orders(s, d)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("sz_cents"))
@@ -426,12 +431,50 @@ object Sampling {
         expr("(cum - 1 - start + 2 * step) div step" +
           " - (cum - sz_cents - 1 - start + 2 * step) div step"))
       .filter(col("n_hits") > 0)
+  }
+
+  def ppsSystematic(s: SparkSession, d: String): DataFrame =
+    ppsHits(s, d)
       .select(col("custkey"), col("sz_cents"), col("cum"), col("n_hits"))
       .orderBy("custkey")
+
+  /** Hansen-Hurwitz estimation under the PPS design
+    * (`sample_hh_estimator`, r13): estimate the population's total
+    * LINEITEM count from the 100 spend-proportional draws — the
+    * estimation half of the survey pair ([[ppsSystematic]] is the
+    * design half; a sample without its estimator is scaffolding).
+    * t̂_HH = (1/n)Σ_draws y_i/p_i with p_i = size_i/T, i.e.
+    * (T/100)·Σ hits·y_i/size_i. Per-unit contributions floor onto the
+    * e9 lattice BEFORE the sum (c_i = (y_i·10⁹) div size_i — the psi
+    * per-row rounding rule; e9 because item-per-cent ratios sit near
+    * 10⁻⁷, so an e6 floor would zero them), the estimate is one more
+    * floor division (t_total·Σ < 2⁶³ to ~10³-scale SFs),
+    * and the true total rides along so the design's efficiency is
+    * visible under the hash gate. Plan: the design's Prefix pass + one
+    * per-customer item-count pre-agg joined on the ~100 selected keys.
+    */
+  def hhEstimator(s: SparkSession, d: String): DataFrame = {
+    val items = Sources.orders(s, d)
+      .join(Sources.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("y"))
+    val tTrue = items.agg(sum("y").as("t_true"))
+    val draws = ppsHits(s, d).join(items, Seq("custkey"))
+      .withColumn("c_e9", expr("(y * 1000000000L) div sz_cents"))
+    draws.agg(sum("n_hits").as("n_draws"),
+        sum(col("n_hits") * col("c_e9")).as("sum_c_e9"),
+        max("t_total").as("t_total"))
+      .crossJoin(broadcast(tTrue))
+      .select(col("n_draws"), col("t_total"), col("t_true"),
+        expr("(t_total * sum_c_e9) div (100L * 1000000000L)").as("t_hh"),
+        (expr("(t_total * sum_c_e9) div (100L * 1000000000L)") -
+          col("t_true")).as("err"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_pps_systematic" -> (ppsSystematic _),
+    "sample_hh_estimator" -> (hhEstimator _),
     "sample_ess_weights" -> (essWeights _),
     "sample_neyman_alloc" -> (neymanAlloc _),
     "sample_kfold_balance" -> (sampleKfoldBalance _),
@@ -580,6 +623,34 @@ object Sampling {
         |  FROM c CROSS JOIN t)
         |SELECT custkey, sz_cents, cum, n_hits FROM h WHERE n_hits > 0
         |ORDER BY custkey""".stripMargin,
+    // same design CTE as the draw; per-unit contributions floor onto
+    // e9 BEFORE the weighted sum
+    "sample_hh_estimator" ->
+      """WITH sz AS (SELECT o_custkey AS custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS sz_cents
+        |  FROM orders GROUP BY 1),
+        | c AS (SELECT *, CAST(sum(sz_cents) OVER (ORDER BY custkey)
+        |    AS BIGINT) AS cum FROM sz),
+        | t AS (SELECT CAST(max(cum) AS BIGINT) AS t_total FROM c),
+        | h AS (SELECT custkey, sz_cents,
+        |   (cum - 1 - (t_total // 100) // 2 + 2 * (t_total // 100))
+        |     // (t_total // 100)
+        |   - (cum - sz_cents - 1 - (t_total // 100) // 2
+        |     + 2 * (t_total // 100)) // (t_total // 100) AS n_hits
+        |  FROM c CROSS JOIN t),
+        | it AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS y
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1),
+        | tt AS (SELECT CAST(sum(y) AS BIGINT) AS t_true FROM it),
+        | dr AS (SELECT h.custkey, h.n_hits,
+        |   (it.y * 1000000000) // h.sz_cents AS c_e9
+        |  FROM h JOIN it ON h.custkey = it.custkey WHERE h.n_hits > 0),
+        | a AS (SELECT CAST(sum(n_hits) AS BIGINT) AS n_draws,
+        |   CAST(sum(n_hits * c_e9) AS BIGINT) AS sum_c_e9 FROM dr)
+        |SELECT n_draws, t_total, t_true,
+        | (t_total * sum_c_e9) // (100 * CAST(1000000000 AS BIGINT)) AS t_hh,
+        | (t_total * sum_c_e9) // (100 * CAST(1000000000 AS BIGINT)) - t_true AS err
+        |FROM a CROSS JOIN t CROSS JOIN tt""".stripMargin,
     // exact moments, one mirrored sqrt per stratum, then the exact
     // largest-remainder apportionment — sum(alloc) = 1000 exactly
     "sample_neyman_alloc" ->

@@ -686,6 +686,48 @@ object TextSignals {
       .orderBy(col("llr_e4").desc, col("wa"), col("wb"))
   }
 
+  /** Bigram conditional entropy rate (`text_entropy_rate`, r13): per
+    * language, H(next | current) = (1/N)·Σ_ab c(ab)·ln(r(a)/c(ab)) —
+    * the first-order entropy-rate estimate that separates repetitive/
+    * templated text from genuinely varied text better than the unigram
+    * entropy ([[graft.ops.TextOps]]' `text_entropy`) because it prices
+    * CONTEXT: a corpus that always follows "new" with "york" has low
+    * conditional entropy however rich its vocabulary. Counts are exact
+    * BIGINTs from one adjacency aggregation per language; each bigram's
+    * term c·ln(r/c)·10⁶/N rounds onto the e6 lattice PER ROW before the
+    * sum (the psi_drift discipline — the only float sums in either
+    * engine are over pre-rounded integers), so h_cond_e6 is an exact
+    * BIGINT. The unigram-context margin r(a) uses BIGRAM-position
+    * counts (Σ_b c(ab)), making the conditional distribution exactly
+    * normalized. Plan: two vocabulary-sized aggs + one broadcast
+    * margin join — never all-pairs.
+    */
+  def entropyRate(s: SparkSession, d: String): DataFrame = {
+    val bg = Sources.documents(s, d)
+      .withColumn("__w", words(col("text")))
+      .filter(size(col("__w")) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), size(col("__w")) - 1),
+        i => concat_ws(" ", slice(col("__w"), i, lit(2))))).as("bgs"))
+      .select(col("lang"),
+        split(col("bgs"), " ").getItem(0).as("wa"),
+        split(col("bgs"), " ").getItem(1).as("wb"))
+    val pc = bg.groupBy("lang", "wa", "wb").agg(count(lit(1)).as("c_ab"))
+    val rc = bg.groupBy("lang", "wa").agg(count(lit(1)).as("r_a"))
+    val n = bg.groupBy("lang").agg(count(lit(1)).as("n_bg"))
+    pc.join(rc, Seq("lang", "wa"))
+      .join(broadcast(n), Seq("lang"))
+      .withColumn("term_e6", round(
+        col("c_ab").cast("double") *
+          log(col("r_a").cast("double") / col("c_ab").cast("double")) *
+          lit(1e6) / col("n_bg").cast("double"), 0).cast("long"))
+      .groupBy("lang")
+      .agg(max("n_bg").as("n_bigrams"),
+        count(lit(1)).as("n_types"),
+        sum("term_e6").as("h_cond_e6"))
+      .orderBy("lang")
+  }
+
   /** Frozen integer NDCG@10 weights: w_i = round(10⁶ / log2(i+1)) for
     * ranks 1..10 — published constants (the frozen-twin discipline), so
     * DCG stays on an exact integer lattice in both engines and no
@@ -761,6 +803,7 @@ object TextSignals {
     "text_pmi_bigrams" -> (pmiBigrams _),
     "search_eval_map" -> (searchEvalMap _),
     "text_collocation_llr" -> (collocationLlr _),
+    "text_entropy_rate" -> (entropyRate _),
     "text_bigram_novelty" -> (bigramNovelty _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_bigram_lm" -> (bigramLmScore _),
@@ -772,6 +815,28 @@ object TextSignals {
 
   val oracles: Map[String, String] = Map(
     // same ranked lists as the MRR oracle; the frozen 10-constant
+    // per-bigram term rounds e6 PER ROW; only pre-rounded integers sum
+    "text_entropy_rate" ->
+      """WITH w AS (SELECT lang, string_split(text, ' ') AS ws
+        |   FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        | bg AS (SELECT lang, ws[i] AS wa, ws[i + 1] AS wb
+        |   FROM w, unnest(range(1, len(ws))) t(i)),
+        | pc AS (SELECT lang, wa, wb, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM bg GROUP BY 1, 2, 3),
+        | rc AS (SELECT lang, wa, CAST(count(*) AS BIGINT) AS r_a
+        |  FROM bg GROUP BY 1, 2),
+        | n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bg
+        |  FROM bg GROUP BY 1),
+        | terms AS (SELECT pc.lang,
+        |   CAST(round(pc.c_ab::DOUBLE
+        |     * ln(rc.r_a::DOUBLE / pc.c_ab::DOUBLE)
+        |     * 1e6 / n.n_bg::DOUBLE) AS BIGINT) AS term_e6, n.n_bg
+        |  FROM pc JOIN rc ON pc.lang = rc.lang AND pc.wa = rc.wa
+        |  JOIN n ON pc.lang = n.lang)
+        |SELECT lang, CAST(max(n_bg) AS BIGINT) AS n_bigrams,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(sum(term_e6) AS BIGINT) AS h_cond_e6
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
     // per-hit precision floors onto e6 BEFORE the sum in both engines
     "search_eval_map" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -148,7 +148,9 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row moment attach for the SAX breakpoint lattice (r13)
     "ts_sax_symbols",
     // 1-row grand-moment attach for the Brown-Forsythe F (r13)
-    "stats_levene_bf")
+    "stats_levene_bf",
+    // 1-row moment/total attaches: Shapley means, HH true total (r13)
+    "ml_shap_linear_frozen", "sample_hh_estimator")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -346,6 +346,18 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  "Sampling.hhEstimator (r13)" should "estimate the item total within PPS sampling error" in {
+    val row = Sampling.hhEstimator(spark, sfDir).collect().head
+    val (nDraws, tTrue, tHh, err) =
+      (row.getLong(0), row.getLong(2), row.getLong(3), row.getLong(4))
+    nDraws shouldBe 100L
+    err shouldBe tHh - tTrue
+    // spend-proportional draws estimating item counts: sizes correlate
+    // with item counts, so HH lands well inside a 15% relative band
+    math.abs(err).toDouble should be < 0.15 * tTrue.toDouble
+    tHh should be > 0L
+  }
+
   "Sampling.ppsSystematic (r13)" should "draw exactly 100 PPS hits with the frozen start" in {
     val sizes = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_custkey", "o_totalprice").collect()

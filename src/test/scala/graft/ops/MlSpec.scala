@@ -296,6 +296,51 @@ class MlSpec extends SparkSpec {
         (cents, label)
       }
 
+  behavior of "Ml.shapLinearFrozen (r13)"
+
+  it should "replay the closed form and satisfy the efficiency axiom" in {
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "o_totalprice", "o_orderpriority",
+        "CAST(o_orderdate AS DATE) AS dt")
+      .collect().flatMap { r =>
+        items.get(r.getLong(0)).map { x3 =>
+          Array(math.round(r.getDouble(1) * 100) / 1000000L,
+            prios.indexOf(r.getString(2)).toLong,
+            (r.getDate(3).toLocalDate.toEpochDay + 4) % 7, x3)
+        }
+      }
+    val n = rows.length.toLong
+    val w = Seq(3L, -5L, 2L, 7L)
+    val sums = (0 until 4).map(i => rows.map(_(i)).sum)
+    val absM = (0 until 4).map(i =>
+      rows.map(r => math.abs(w(i) * (n * r(i) - sums(i)))).sum)
+    val got = Ml.shapLinearFrozen(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byName = got.map(t => t._1 -> t).toMap
+    Seq(("value_10k", 0), ("prio_idx", 1), ("weekday", 2), ("n_items", 3))
+      .foreach { case (nm, i) =>
+        val t = byName(nm)
+        t._2 shouldBe w(i)
+        t._3 shouldBe sums(i)
+        t._4 shouldBe n
+        t._5 shouldBe absM(i)
+        t._6 shouldBe absM(i) * 10000L / absM.sum
+      }
+    // efficiency axiom on the scaled lattice, checked on 5 rows:
+    // sum_i w_i (n x_i - S_i) = n*eta(x) - sum_rows eta
+    val etaSum = rows.map(r => (0 until 4).map(i => w(i) * r(i)).sum).sum
+    rows.take(5).foreach { r =>
+      val phiSum = (0 until 4).map(i => w(i) * (n * r(i) - sums(i))).sum
+      val eta = (0 until 4).map(i => w(i) * r(i)).sum
+      phiSum shouldBe n * eta - etaSum
+    }
+  }
+
   behavior of "Ml.cohensKappa (r13)"
 
   it should "replay the exact-integer kappa assembly" in {

@@ -361,6 +361,33 @@ class TextSignalsSpec extends SparkSpec {
     }
   }
 
+  "TextSignals.entropyRate (r13)" should "replay the per-row-rounded conditional entropy" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.length >= 2)
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ds) =>
+      val bgs = ds.flatMap { case (_, ws) => ws.zip(ws.tail) }
+      val n = bgs.length.toLong
+      val cab = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val ra = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val h = cab.map { case ((a, _), c) =>
+        math.round(c.toDouble * math.log(ra(a).toDouble / c) * 1e6 / n)
+      }.sum
+      (lang, n, cab.size.toLong, h)
+    }
+    val got = TextSignals.entropyRate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // conditional entropy is nonnegative and bounded by ln of the
+    // context fan-out ceiling (types per context <= vocabulary)
+    got.foreach { case (_, nbg, types, h) =>
+      h should be >= 0L
+      types should be <= nbg
+      h should be < math.round(math.log(types.toDouble) * 1e6)
+    }
+  }
+
   "TextSignals.collocationLlr (r13)" should "replay the Dunning G2 top-20" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("text").collect().map(_.getString(0).split(" ").toSeq)
