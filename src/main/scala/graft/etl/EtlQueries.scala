@@ -347,7 +347,42 @@ object EtlQueries {
       .orderBy("sk")
   }
 
+  /** Backfill planning (`etl_backfill_plan`, r13): the scheduling dual
+    * of the reference's range generators (`config.py:152-208` make
+    * ranges for known work; this derives the ranges for MISSING work):
+    * build the full calendar spine between the landed min/max days,
+    * anti-join the days that actually have orders, and merge the
+    * missing days into maximal consecutive ranges via gaps-and-islands
+    * (epoch-day − row_number, the win_streaks key) — exactly the
+    * (start, end) batches `run_etl_service` would be handed to repair
+    * the holes. The island window is GLOBAL but over the
+    * calendar-bounded missing-day set (≤ span days by construction —
+    * the ts_peak_days sanction class). Empty output = nothing to
+    * backfill (true at sf0.1, where every calendar day has orders —
+    * the plan reports a clean corpus honestly).
+    */
+  def backfillPlan(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day")).distinct()
+    val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+    val spine = bounds.select(explode(
+      expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    val missing = spine.join(daily, Seq("day"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    missing
+      .withColumn("grp",
+        expr("datediff(day, DATE'1970-01-01')") -
+          row_number().over(w).cast("long"))
+      .groupBy("grp")
+      .agg(date_format(min("day"), "yyyy-MM-dd").as("range_start"),
+        date_format(max("day"), "yyyy-MM-dd").as("range_end"),
+        count(lit(1)).as("n_days"))
+      .select("range_start", "range_end", "n_days")
+      .orderBy("range_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_backfill_plan" -> (backfillPlan _),
     "etl_surrogate_keys" -> (surrogateKeys _),
     "etl_schema_evolution" -> (etlSchemaEvolution _),
     "etl_ivm_join" -> (etlIvmJoin _),
@@ -364,6 +399,22 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same spine, same anti-join, same epoch-day-minus-rank island key
+    "etl_backfill_plan" ->
+      """WITH daily AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+        |   FROM orders),
+        | b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        | spine AS (SELECT CAST(unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        | miss AS (SELECT s.day FROM spine s LEFT JOIN daily d
+        |   ON s.day = d.day WHERE d.day IS NULL),
+        | g AS (SELECT day,
+        |   datediff('day', DATE '1970-01-01', day)
+        |     - row_number() OVER (ORDER BY day) AS grp FROM miss)
+        |SELECT strftime(min(day), '%Y-%m-%d') AS range_start,
+        | strftime(max(day), '%Y-%m-%d') AS range_end,
+        | CAST(count(*) AS BIGINT) AS n_days
+        |FROM g GROUP BY grp ORDER BY range_start""".stripMargin,
     // identical (nationkey, segment) total order realizes the same
     // dense surrogate in both engines
     "etl_surrogate_keys" ->

@@ -127,6 +127,36 @@ object Multimodal {
     * magic/offsets/format, return (w, h, per-pixel r+g+b values in
     * TOP-DOWN raster order).
     */
+  /** Parse a 24-bit BMP into per-channel values in top-down raster
+    * order: out(3p) = B, out(3p+1) = G, out(3p+2) = R for pixel p —
+    * the channel-level decode [[bmpPixels]]' brightness sum collapses.
+    */
+  private[ops] def bmpChannels(fb: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(fb.length >= 54 && fb(0) == 'B' && fb(1) == 'M',
+      "not a BMP: bad magic or truncated header")
+    def fle32(off: Int): Int =
+      (fb(off) & 0xff) | ((fb(off + 1) & 0xff) << 8) |
+        ((fb(off + 2) & 0xff) << 16) | ((fb(off + 3) & 0xff) << 24)
+    val pixOff = fle32(10); val w = fle32(18); val h = fle32(22)
+    val stride = (w * 3 + 3) / 4 * 4
+    require(pixOff + h * stride <= fb.length, "pixel array out of bounds")
+    val out = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val rowOff = pixOff + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        out(p) = fb(rowOff + x * 3) & 0xff
+        out(p + 1) = fb(rowOff + x * 3 + 1) & 0xff
+        out(p + 2) = fb(rowOff + x * 3 + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
   private[ops] def bmpPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP: bad magic or truncated header")
@@ -1132,31 +1162,8 @@ object Multimodal {
         require(bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' &&
           bytes(3) == 'D', "not a GVID container")
         val nf = le32(4)
-        // decode one frame's channels in top-down raster order (B,G,R)
-        def channels(fo: Int, flen: Int): Array[Int] = {
-          val fb = java.util.Arrays.copyOfRange(bytes, fo, fo + flen)
-          require(fb(0) == 'B' && fb(1) == 'M', "frame is not a BMP")
-          def fle32(off: Int): Int =
-            (fb(off) & 0xff) | ((fb(off + 1) & 0xff) << 8) |
-              ((fb(off + 2) & 0xff) << 16) | ((fb(off + 3) & 0xff) << 24)
-          val pixOff = fle32(10); val w = fle32(18); val h = fle32(22)
-          val stride = (w * 3 + 3) / 4 * 4
-          val out = new Array[Int](w * h * 3)
-          var y = 0
-          while (y < h) {
-            val rowOff = pixOff + (h - 1 - y) * stride
-            var x = 0
-            while (x < w) {
-              val p = (y * w + x) * 3
-              out(p) = fb(rowOff + x * 3) & 0xff
-              out(p + 1) = fb(rowOff + x * 3 + 1) & 0xff
-              out(p + 2) = fb(rowOff + x * 3 + 2) & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          out
-        }
+        def channels(fo: Int, flen: Int): Array[Int] =
+          bmpChannels(java.util.Arrays.copyOfRange(bytes, fo, fo + flen))._3
         var off = 8
         var prev: Array[Int] = null
         var sumM = 0L; var maxM = 0L; var minM = Long.MaxValue
@@ -1182,6 +1189,50 @@ object Multimodal {
       })
       .toDF("doc_id", "n_frames", "n_pairs", "motion_sum", "motion_max",
         "motion_min")
+      .orderBy("doc_id")
+  }
+
+  /** 3-3-2 palette quantization (`mm_image_quantize`, r13): collapse
+    * each decoded pixel to the uniform 256-color RRRGGGBB palette
+    * (q = 32·(r div 32) + 4·(g div 32) + (b div 64)) and reconstruct at
+    * the published cell midpoints (r' = 32·(r div 32) + 16, b' at +32)
+    * — the thumbnail/dedup-preprocessing color reduction, with the
+    * quantization-error census (Σ|c − c'| per doc, exact BIGINT) as
+    * the quality audit and the dominant palette cell (max count, min
+    * index) as the cheap color signature. All integer; the oracle
+    * replays the pixel formula through the identical div lattice. Runs
+    * over REAL decoded containers inside the codec `mapPartitions`
+    * pass — per-pixel rows never shuffle.
+    */
+  def imageQuantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, ch) = bmpChannels(encodeBmp(id, nc))
+        val counts = new Array[Long](256)
+        var err = 0L
+        var p = 0
+        while (p < w * h) {
+          val b = ch(3 * p); val g = ch(3 * p + 1); val r = ch(3 * p + 2)
+          val q = 32 * (r / 32) + 4 * (g / 32) + (b / 64)
+          counts(q) += 1
+          err += math.abs(r - (32 * (r / 32) + 16)) +
+            math.abs(g - (32 * (g / 32) + 16)) +
+            math.abs(b - (64 * (b / 64) + 32))
+          p += 1
+        }
+        val nColors = counts.count(_ > 0).toLong
+        var topQ = 0; var topC = -1L
+        var i = 0
+        while (i < 256) {
+          if (counts(i) > topC) { topC = counts(i); topQ = i }
+          i += 1
+        }
+        (id, (w * h).toLong, nColors, topQ.toLong, topC, err)
+      })
+      .toDF("doc_id", "n_pixels", "n_colors", "top_q", "top_count", "err_sum")
       .orderBy("doc_id")
   }
 
@@ -1237,6 +1288,7 @@ object Multimodal {
     "mm_resize_pool" -> (resizePool _),
     "mm_video_frames" -> (videoFrames _),
     "mm_video_motion_energy" -> (videoMotionEnergy _),
+    "mm_image_quantize" -> (imageQuantize _),
     "mm_frame_sample" -> (frameSample _),
     "mm_frame_overlap" -> (frameOverlapPairs _),
   )
@@ -1293,6 +1345,33 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical div-lattice palette cells and midpoint reconstruction;
+    // dominant cell by (count DESC, q ASC)
+    "mm_image_quantize" ->
+      """WITH d AS (SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h
+        |   FROM documents),
+        | px AS (SELECT doc_id, w * h AS np,
+        |    (31 * doc_id + 7 * p + 11) % 256 AS r,
+        |    (17 * doc_id + 13 * p + 23) % 256 AS g,
+        |    (29 * doc_id + 19 * p + 31) % 256 AS b
+        |   FROM d, unnest(range(0, w * h)) t(p)),
+        | q AS (SELECT doc_id, np,
+        |    32 * (r // 32) + 4 * (g // 32) + (b // 64) AS q,
+        |    abs(r - (32 * (r // 32) + 16)) + abs(g - (32 * (g // 32) + 16))
+        |    + abs(b - (64 * (b // 64) + 32)) AS e
+        |   FROM px),
+        | pc AS (SELECT doc_id, np, q, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(e) AS BIGINT) AS es FROM q GROUP BY 1, 2, 3),
+        | top AS (SELECT doc_id, q AS top_q, c AS top_count FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY c DESC, q ASC) AS rk FROM pc) WHERE rk = 1)
+        |SELECT pc.doc_id, CAST(max(np) AS BIGINT) AS n_pixels,
+        | CAST(count(*) AS BIGINT) AS n_colors,
+        | CAST(max(top_q) AS BIGINT) AS top_q,
+        | CAST(max(top_count) AS BIGINT) AS top_count,
+        | CAST(sum(es) AS BIGINT) AS err_sum
+        |FROM pc JOIN top ON pc.doc_id = top.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-pixel per-channel abs deltas between consecutive frame keys —
     // the decoded bytes must reproduce the generator formula exactly
     "mm_video_motion_energy" ->

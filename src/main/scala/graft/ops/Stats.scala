@@ -561,6 +561,49 @@ object Stats {
       .orderBy("qty")
   }
 
+  /** Frozen learning curve (`ml_learning_curve_frozen`, r13): AUC of
+    * the planted scorer on NESTED 25/50/75/100 % corpus prefixes —
+    * the data-scaling diagnostic a curation pipeline runs before
+    * buying more data ("is the ranker still improving with corpus
+    * size?"). Prefix membership is a SECOND Knuth hash
+    * (multiplier 2246822519, deliberately different from the label's
+    * 2654435761 so band and label are uncorrelated) reduced mod 100 —
+    * nested by construction (band < f). The whole sweep is ONE
+    * corpus pass + ONE [[Prefix]] two-pass: the per-score table
+    * carries 4 conditional (pos, neg) pairs, the running pass carries
+    * 4 cumulative negatives (the aucBootstrap 16-replicate shape), and
+    * each fraction's tie-aware doubled U assembles exactly as in
+    * [[aucExact]] (Long-exact under [[AucLongBound]] per side). Output
+    * stacks the 4 (frac, n_pos, n_neg, auc) rows.
+    */
+  def learningCurveFrozen(s: SparkSession, d: String): DataFrame = {
+    val fracs = Seq(25L, 50L, 75L, 100L)
+    val scored = plantedScores(s, d)
+      .withColumn("band",
+        pmod(col("o_orderkey") * lit(2246822519L), lit(4294967296L)) % 100L)
+    val aggs = fracs.flatMap { f =>
+      Seq(sum(when(col("band") < f && col("label") === 1, 1L).otherwise(0L))
+          .as(s"pos_$f"),
+        sum(when(col("band") < f && col("label") === 0, 1L).otherwise(0L))
+          .as(s"neg_$f"))
+    }
+    val byScore = scored.groupBy("cents").agg(aggs.head, aggs.tail: _*)
+    val run = Prefix.running(byScore, Seq(col("cents")),
+      sums = fracs.map(f => (col(s"neg_$f"), s"cum_$f")))
+    val finals = fracs.flatMap { f =>
+      Seq(sum(col(s"pos_$f")).as(s"np_$f"), sum(col(s"neg_$f")).as(s"nn_$f"),
+        sum(col(s"pos_$f") * ((col(s"cum_$f") - col(s"neg_$f")) * 2 +
+          col(s"neg_$f"))).as(s"u2_$f"))
+    }
+    val wide = run.agg(finals.head, finals.tail: _*)
+    fracs.map { f =>
+      wide.select(lit(f).as("frac"), col(s"np_$f").as("n_pos"),
+        col(s"nn_$f").as("n_neg"),
+        roundNorm(col(s"u2_$f") /
+          (col(s"np_$f") * col(s"nn_$f") * 2.0), 6).as("auc"))
+    }.reduce(_.unionAll(_)).orderBy("frac")
+  }
+
   /** Brown-Forsythe Levene test (`stats_levene_bf`, r13): the k-sample
     * VARIANCE-equality screen — the third member of the screening
     * family ([[anovaF]] = means, [[kruskalWallis]] = ranks, this =
@@ -1074,6 +1117,7 @@ object Stats {
     "stats_anova_f" -> (anovaF _),
     "stats_kruskal_wallis" -> (kruskalWallis _),
     "stats_levene_bf" -> (leveneBf _),
+    "ml_learning_curve_frozen" -> (learningCurveFrozen _),
     "stats_mann_whitney" -> (mannWhitney _),
     "stats_jsd" -> (jsdBuckets _),
     "stats_kde_grid" -> (kdeGrid _),
@@ -1351,6 +1395,50 @@ object Stats {
         |   / (ssw_k::DOUBLE / (n_total - k_groups)::DOUBLE), 6) + 0.0
         |  AS f_stat
         |FROM f""".stripMargin,
+    // nested hash bands, one window cumsum, four tie-aware doubled Us
+    "ml_learning_curve_frozen" ->
+      """WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label,
+        |   (o_orderkey * 2246822519) % 4294967296 % 100 AS band
+        |  FROM orders),
+        | g AS (SELECT cents,
+        |   CAST(sum(CASE WHEN band < 25 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p25,
+        |   CAST(sum(CASE WHEN band < 25 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g25,
+        |   CAST(sum(CASE WHEN band < 50 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p50,
+        |   CAST(sum(CASE WHEN band < 50 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g50,
+        |   CAST(sum(CASE WHEN band < 75 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p75,
+        |   CAST(sum(CASE WHEN band < 75 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g75,
+        |   CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p100,
+        |   CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g100
+        |  FROM s GROUP BY 1),
+        | r AS (SELECT *,
+        |   CAST(sum(g25) OVER (ORDER BY cents) AS BIGINT) AS c25,
+        |   CAST(sum(g50) OVER (ORDER BY cents) AS BIGINT) AS c50,
+        |   CAST(sum(g75) OVER (ORDER BY cents) AS BIGINT) AS c75,
+        |   CAST(sum(g100) OVER (ORDER BY cents) AS BIGINT) AS c100
+        |  FROM g),
+        | a AS (SELECT
+        |   CAST(sum(p25) AS BIGINT) AS np25, CAST(sum(g25) AS BIGINT) AS nn25,
+        |   CAST(sum(p25 * ((c25 - g25) * 2 + g25)) AS BIGINT) AS u25,
+        |   CAST(sum(p50) AS BIGINT) AS np50, CAST(sum(g50) AS BIGINT) AS nn50,
+        |   CAST(sum(p50 * ((c50 - g50) * 2 + g50)) AS BIGINT) AS u50,
+        |   CAST(sum(p75) AS BIGINT) AS np75, CAST(sum(g75) AS BIGINT) AS nn75,
+        |   CAST(sum(p75 * ((c75 - g75) * 2 + g75)) AS BIGINT) AS u75,
+        |   CAST(sum(p100) AS BIGINT) AS np100, CAST(sum(g100) AS BIGINT) AS nn100,
+        |   CAST(sum(p100 * ((c100 - g100) * 2 + g100)) AS BIGINT) AS u100
+        |  FROM r)
+        |SELECT * FROM (
+        | SELECT CAST(25 AS BIGINT) AS frac, np25 AS n_pos, nn25 AS n_neg,
+        |  round(u25::DOUBLE / (np25::DOUBLE * nn25::DOUBLE * 2.0), 6) + 0.0 AS auc FROM a
+        | UNION ALL SELECT 50, np50, nn50,
+        |  round(u50::DOUBLE / (np50::DOUBLE * nn50::DOUBLE * 2.0), 6) + 0.0 FROM a
+        | UNION ALL SELECT 75, np75, nn75,
+        |  round(u75::DOUBLE / (np75::DOUBLE * nn75::DOUBLE * 2.0), 6) + 0.0 FROM a
+        | UNION ALL SELECT 100, np100, nn100,
+        |  round(u100::DOUBLE / (np100::DOUBLE * nn100::DOUBLE * 2.0), 6) + 0.0 FROM a)
+        |ORDER BY frac""".stripMargin,
     // same lower-median convention, same z = |v - med| div 100 lattice,
     // same per-group 10^3 rounding before the cross-group sum
     "stats_levene_bf" ->

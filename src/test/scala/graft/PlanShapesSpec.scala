@@ -178,7 +178,10 @@ class PlanShapesSpec extends SparkSpec {
       "ts_peak_days",
       // remainder ranking over the 5-row stratum DIMENSION (the
       // agg_largest_remainder apportionment class)
-      "sample_neyman_alloc")
+      "sample_neyman_alloc",
+      // island numbering over the CALENDAR-bounded missing-day set
+      // (≤ span days by construction — the ts_peak_days class)
+      "etl_backfill_plan")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

@@ -58,6 +58,29 @@ class EtlQueriesSpec extends SparkSpec {
     clean should be > 0L
   }
 
+  "backfillPlan (r13)" should "merge missing days into maximal consecutive ranges" in {
+    val days = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day").distinct().collect()
+      .map(_.getDate(0).toLocalDate).sortBy(_.toEpochDay)
+    val all = (days.head.toEpochDay to days.last.toEpochDay)
+      .map(java.time.LocalDate.ofEpochDay)
+    val landed = days.toSet
+    val missing = all.filterNot(landed)
+    // islands: group consecutive epoch days
+    val want = missing.foldLeft(Vector.empty[Vector[java.time.LocalDate]]) {
+      case (acc, d) if acc.nonEmpty &&
+        acc.last.last.toEpochDay + 1 == d.toEpochDay =>
+        acc.init :+ (acc.last :+ d)
+      case (acc, d) => acc :+ Vector(d)
+    }.map(g => (g.head.toString, g.last.toString, g.length.toLong))
+    val got = EtlQueries.backfillPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // the plan covers exactly the missing mass, ranges never touch
+    got.map(_._3).sum shouldBe (all.length - days.length).toLong
+    got should not be empty
+  }
+
   "surrogateKeys (r13)" should "assign dense, total, collision-free surrogates" in {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
       .selectExpr("c_nationkey", "c_mktsegment",

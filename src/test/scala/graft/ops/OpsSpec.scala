@@ -662,6 +662,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  "Multimodal.imageQuantize (r13)" should "replay the 3-3-2 palette census" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .orderBy("doc_id").limit(40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.map { case (id, nc) =>
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      val px = (0 until w * h).map { p =>
+        ((31 * id + 7 * p + 11) % 256, (17 * id + 13 * p + 23) % 256,
+          (29 * id + 19 * p + 31) % 256)
+      }
+      val qs = px.map { case (r, g, b) => 32 * (r / 32) + 4 * (g / 32) + b / 64 }
+      val err = px.map { case (r, g, b) =>
+        math.abs(r - (32 * (r / 32) + 16)) + math.abs(g - (32 * (g / 32) + 16)) +
+          math.abs(b - (64 * (b / 64) + 32))
+      }.sum
+      val byQ = qs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (topQ, topC) = byQ.toSeq.minBy(t => (-t._2, t._1))
+      (id, (w * h).toLong, byQ.size.toLong, topQ, topC, err)
+    }.toSeq
+    val got = Multimodal.imageQuantize(spark, sfDir).orderBy("doc_id")
+      .limit(40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // quantization genuinely compresses (fewer colors than pixels) and
+    // the midpoint error is bounded by the cell half-widths
+    got.foreach { case (_, np, nc2, _, _, err) =>
+      nc2 should be <= np
+      err should be <= np * (16L + 16L + 32L)
+    }
+  }
+
   "Multimodal.audioTrim (r13)" should "replay head/tail silent runs from the amp formula" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")

@@ -392,6 +392,26 @@ class StatsSpec extends SparkSpec {
     total should be < math.log(2.0)
   }
 
+  behavior of "Stats.learningCurveFrozen (r13)"
+
+  it should "nest the bands and agree with aucExact at 100%" in {
+    val rows = Stats.learningCurveFrozen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.map(_._1) shouldBe Array(25L, 50L, 75L, 100L)
+    // nested prefixes: counts monotone in the fraction
+    rows.sliding(2).foreach { case Array(a, b) =>
+      a._2 should be <= b._2
+      a._3 should be <= b._3
+    }
+    // the full-corpus point IS aucExact
+    val full = Stats.aucExact(spark, sfDir).collect().head
+    rows.last._2 shouldBe full.getLong(0)
+    rows.last._3 shouldBe full.getLong(1)
+    rows.last._4 shouldBe full.getDouble(3) +- 1e-9
+    // the planted scorer genuinely ranks at every budget
+    rows.foreach(_._4 should (be > 0.5 and be < 1.0))
+  }
+
   behavior of "Stats.leveneBf (r13)"
 
   it should "replay the median-centered F assembly exactly" in {
