@@ -822,8 +822,10 @@ object Ml {
       sum(abs(lit(weights(i)) * (col("n") * col(s"x$i") - col(s"s$i"))))
         .as(s"a$i")
     }
-    val wide = withPhi.agg(absAggs.head, absAggs.tail: _*)
-      .crossJoin(broadcast(m))
+    // pinned: the 4-feature stack fans out over this 1-row aggregate
+    // (the multi-consumer pin discipline)
+    val wide = graft.io.Checkpoints.pin(
+      withPhi.agg(absAggs.head, absAggs.tail: _*).crossJoin(broadcast(m)))
     val total = (0 until 4).map(i => col(s"a$i")).reduce(_ + _)
     val rows = (0 until 4).map { i =>
       wide.select(lit(names(i)).as("feature"), lit(weights(i)).as("w"),

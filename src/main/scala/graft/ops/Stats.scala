@@ -595,7 +595,10 @@ object Stats {
         sum(col(s"pos_$f") * ((col(s"cum_$f") - col(s"neg_$f")) * 2 +
           col(s"neg_$f"))).as(s"u2_$f"))
     }
-    val wide = run.agg(finals.head, finals.tail: _*)
+    // pinned: the 4-row stack below fans out over this 1-row aggregate,
+    // and without the pin each branch re-executes the corpus scan +
+    // Prefix (measured 5.8 s -> the ts_drawdown multi-consumer class)
+    val wide = graft.io.Checkpoints.pin(run.agg(finals.head, finals.tail: _*))
     fracs.map { f =>
       wide.select(lit(f).as("frac"), col(s"np_$f").as("n_pos"),
         col(s"nn_$f").as("n_neg"),
