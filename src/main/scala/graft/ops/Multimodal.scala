@@ -1236,6 +1236,41 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Clipping census (`mm_audio_clipping`, r13): per clip, how many
+    * samples sit at or above the published 99 %-of-full-scale floor
+    * (|v| ≥ 990 on the ±1000 fixture scale), the LONGEST consecutive
+    * clipped run, and the first clipped sample index (−1 sentinel when
+    * clean) — the recording-quality triage an ASR pipeline runs before
+    * wasting GPU on saturated audio (isolated peaks are fine; long
+    * clipped runs mean irrecoverable distortion). Decodes the real
+    * RIFF bytes in the codec `mapPartitions` pass; the sequential
+    * run-length scan is per-clip local, and the oracle replays it as
+    * per-doc gaps-and-islands over the amplitude formula. All exact
+    * integers.
+    */
+  def audioClipping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (_, samples) = wavSamples(encodeWav(id, nc))
+        var nClip = 0L; var longest = 0L; var run = 0L; var first = -1L
+        var t = 0
+        while (t < samples.length) {
+          if (math.abs(samples(t)) >= 990) {
+            nClip += 1; run += 1
+            if (run > longest) longest = run
+            if (first < 0) first = t.toLong
+          } else run = 0
+          t += 1
+        }
+        (id, samples.length.toLong, nClip, longest, first)
+      })
+      .toDF("doc_id", "n_samples", "n_clipped", "longest_run", "first_clip")
+      .orderBy("doc_id")
+  }
+
   /** Silence trimming (`mm_audio_trim`, r13): the head/tail silence
     * strip every ASR ingest runs before windowing — decode the real
     * RIFF/WAVE bytes (chunk walk, LIST skip), classify samples silent
@@ -1289,6 +1324,7 @@ object Multimodal {
     "mm_video_frames" -> (videoFrames _),
     "mm_video_motion_energy" -> (videoMotionEnergy _),
     "mm_image_quantize" -> (imageQuantize _),
+    "mm_audio_clipping" -> (audioClipping _),
     "mm_frame_sample" -> (frameSample _),
     "mm_frame_overlap" -> (frameOverlapPairs _),
   )
@@ -1345,6 +1381,29 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // run lengths via per-doc gaps-and-islands over the amp formula;
+    // the decoded bytes must reproduce it sample-for-sample
+    "mm_audio_clipping" ->
+      """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n FROM documents),
+        | x AS (SELECT doc_id, n, t,
+        |    abs((13 * doc_id + 7 * t + 3) % 2001 - 1000) >= 990 AS clip
+        |   FROM d, unnest(range(0, n)) tt(t)),
+        | c AS (SELECT doc_id, t,
+        |    t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+        |   FROM x WHERE clip),
+        | runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len,
+        |    CAST(min(t) AS BIGINT) AS run_start
+        |   FROM c GROUP BY doc_id, grp),
+        | agg AS (SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_clipped,
+        |    CAST(max(run_len) AS BIGINT) AS longest_run,
+        |    CAST(min(run_start) AS BIGINT) AS first_clip
+        |   FROM runs GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,
+        | coalesce(a.n_clipped, 0) AS n_clipped,
+        | coalesce(a.longest_run, 0) AS longest_run,
+        | coalesce(a.first_clip, -1) AS first_clip
+        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // identical div-lattice palette cells and midpoint reconstruction;
     // dominant cell by (count DESC, q ASC)
     "mm_image_quantize" ->

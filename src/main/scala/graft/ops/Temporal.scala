@@ -1061,6 +1061,73 @@ object Temporal {
     * exact Longs), one mirrored IEEE finish. Zero-variance windows
     * (degenerate at tiny SFs) emit NULL-free 0.0 by convention.
     */
+  /** Partial autocorrelations at lags 1..3 (`ts_pacf_frozen`, r13): the
+    * AR-order identification statistic — ACF says "lag 7 correlates",
+    * PACF says whether that is DIRECT structure or just propagated
+    * lag-1 memory (the Box-Jenkins model-selection step). Published
+    * estimator convention: ρ_k = the per-lag Pearson correlation of the
+    * zero-filled daily series against its k-shift (the [[crossCorr]]
+    * moments — exact BIGINTs in 10⁴-dollar units so n·Σxy < 2⁶³ far
+    * past the calendar bound), fed through the Durbin-Levinson
+    * recursion closed forms: φ11 = ρ1, φ22 = (ρ2−ρ1²)/(1−ρ1²),
+    * φ33 = (ρ3 − φ21ρ2 − φ22ρ1)/(1 − φ21ρ1 − φ22ρ2) with
+    * φ21 = ρ1(1−ρ2)/(1−ρ1²). Each ρ/φ is ONE mirrored double
+    * expression over the exact per-lag moments, rounded 6. Plan: one
+    * calendar-bounded spine + a 4-value exploded lag join + a 4-row
+    * conditional pivot — nothing grows with the corpus.
+    */
+  def pacfFrozen(s: SparkSession, d: String): DataFrame = {
+    val daily = Sources.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS LONG)) div 1000000")
+        .as("v"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = bounds.select(col("d0"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val ser = graft.io.Checkpoints.pin(
+      spine.join(daily, Seq("day"), "left")
+        .select(datediff(col("day"), col("d0")).cast("long").as("i"),
+          coalesce(col("v"), lit(0L)).as("v")),
+      eager = false)
+    val a = ser.select(col("i"), col("v").as("x"),
+      explode(array((0 to 3).map(lit(_)): _*)).as("k"))
+      .withColumn("ti", col("i") + col("k"))
+    val byK = a.join(ser.select(col("i").as("ti"), col("v").as("y")), "ti")
+      .groupBy("k")
+      .agg(count(lit(1)).as("nk"), sum("x").as("sa"), sum("y").as("sb"),
+        sum(col("x") * col("x")).as("saa"),
+        sum(col("y") * col("y")).as("sbb"),
+        sum(col("x") * col("y")).as("sab"))
+    def pick(k: Int, c: String): Column =
+      max(when(col("k") === k, col(c))).as(s"$c$k")
+    val wide = byK.groupBy().agg(
+      Seq("nk", "sa", "sb", "saa", "sbb", "sab")
+        .flatMap(c => (0 to 3).map(k => pick(k, c))).head,
+      Seq("nk", "sa", "sb", "saa", "sbb", "sab")
+        .flatMap(c => (0 to 3).map(k => pick(k, c))).tail: _*)
+    def D(c: Column): Column = c.cast("double")
+    def rho(k: Int): Column = {
+      val num = D(col(s"nk$k")) * D(col(s"sab$k")) -
+        D(col(s"sa$k")) * D(col(s"sb$k"))
+      val den = sqrt(D(col(s"nk$k")) * D(col(s"saa$k")) -
+          D(col(s"sa$k")) * D(col(s"sa$k"))) *
+        sqrt(D(col(s"nk$k")) * D(col(s"sbb$k")) -
+          D(col(s"sb$k")) * D(col(s"sb$k")))
+      num / den
+    }
+    val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+    val phi22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val phi21 = r1 * (lit(1.0) - r2) / (lit(1.0) - r1 * r1)
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+      (lit(1.0) - phi21 * r1 - phi22 * r2)
+    import graft.functions.Num.roundNorm
+    wide.select(col("nk0").as("n_days"),
+      roundNorm(r1, 6).as("rho1"), roundNorm(r2, 6).as("rho2"),
+      roundNorm(r3, 6).as("rho3"),
+      roundNorm(r1, 6).as("pacf1"), roundNorm(phi22, 6).as("pacf2"),
+      roundNorm(phi33, 6).as("pacf3"))
+  }
+
   def crossCorr(s: SparkSession, d: String): DataFrame = {
     val daily = Sources.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"))
@@ -1241,6 +1308,7 @@ object Temporal {
     "ts_periodogram_frozen" -> (periodogramFrozen _),
     "ts_peak_days" -> (peakDays _),
     "ts_sax_symbols" -> (saxSymbols _),
+    "ts_pacf_frozen" -> (pacfFrozen _),
     "ts_haar_energy" -> (haarEnergy _),
     "ts_new_returning" -> (newReturning _),
     "ts_clamped_balance" -> (clampedBalance _),
@@ -1429,6 +1497,72 @@ object Temporal {
         | CAST(sum(dcoef * dcoef) AS BIGINT) AS energy,
         | CAST(max(abs(dcoef)) AS BIGINT) AS max_abs
         |FROM dc GROUP BY 1 ORDER BY lvl""".stripMargin,
+    // same per-lag Pearson moments, same Durbin-Levinson closed forms —
+    // one mirrored double expression per emitted statistic
+    "ts_pacf_frozen" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     // 1000000 AS v
+        |  FROM orders GROUP BY 1),
+        | b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        | spine AS (SELECT d0, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        | ser AS (SELECT datediff('day', s.d0, s.day) AS i,
+        |   CAST(coalesce(d.v, 0) AS BIGINT) AS v
+        |  FROM spine s LEFT JOIN daily d ON s.day = d.day),
+        | byk AS (SELECT k, CAST(count(*) AS BIGINT) AS nk,
+        |   CAST(sum(a.v) AS BIGINT) AS sa, CAST(sum(c.v) AS BIGINT) AS sb,
+        |   CAST(sum(a.v * a.v) AS BIGINT) AS saa,
+        |   CAST(sum(c.v * c.v) AS BIGINT) AS sbb,
+        |   CAST(sum(a.v * c.v) AS BIGINT) AS sab
+        |  FROM ser a, unnest([0, 1, 2, 3]) t(k), ser c
+        |  WHERE c.i = a.i + k GROUP BY 1),
+        | w AS (SELECT
+        |   max(CASE WHEN k = 0 THEN nk END) AS nk0,
+        |   max(CASE WHEN k = 1 THEN nk END) AS nk1,
+        |   max(CASE WHEN k = 1 THEN sa END) AS sa1,
+        |   max(CASE WHEN k = 1 THEN sb END) AS sb1,
+        |   max(CASE WHEN k = 1 THEN saa END) AS saa1,
+        |   max(CASE WHEN k = 1 THEN sbb END) AS sbb1,
+        |   max(CASE WHEN k = 1 THEN sab END) AS sab1,
+        |   max(CASE WHEN k = 2 THEN nk END) AS nk2,
+        |   max(CASE WHEN k = 2 THEN sa END) AS sa2,
+        |   max(CASE WHEN k = 2 THEN sb END) AS sb2,
+        |   max(CASE WHEN k = 2 THEN saa END) AS saa2,
+        |   max(CASE WHEN k = 2 THEN sbb END) AS sbb2,
+        |   max(CASE WHEN k = 2 THEN sab END) AS sab2,
+        |   max(CASE WHEN k = 3 THEN nk END) AS nk3,
+        |   max(CASE WHEN k = 3 THEN sa END) AS sa3,
+        |   max(CASE WHEN k = 3 THEN sb END) AS sb3,
+        |   max(CASE WHEN k = 3 THEN saa END) AS saa3,
+        |   max(CASE WHEN k = 3 THEN sbb END) AS sbb3,
+        |   max(CASE WHEN k = 3 THEN sab END) AS sab3
+        |  FROM byk),
+        | r AS (SELECT nk0,
+        |   (nk1::DOUBLE * sab1::DOUBLE - sa1::DOUBLE * sb1::DOUBLE)
+        |    / (sqrt(nk1::DOUBLE * saa1::DOUBLE - sa1::DOUBLE * sa1::DOUBLE)
+        |     * sqrt(nk1::DOUBLE * sbb1::DOUBLE - sb1::DOUBLE * sb1::DOUBLE))
+        |    AS r1,
+        |   (nk2::DOUBLE * sab2::DOUBLE - sa2::DOUBLE * sb2::DOUBLE)
+        |    / (sqrt(nk2::DOUBLE * saa2::DOUBLE - sa2::DOUBLE * sa2::DOUBLE)
+        |     * sqrt(nk2::DOUBLE * sbb2::DOUBLE - sb2::DOUBLE * sb2::DOUBLE))
+        |    AS r2,
+        |   (nk3::DOUBLE * sab3::DOUBLE - sa3::DOUBLE * sb3::DOUBLE)
+        |    / (sqrt(nk3::DOUBLE * saa3::DOUBLE - sa3::DOUBLE * sa3::DOUBLE)
+        |     * sqrt(nk3::DOUBLE * sbb3::DOUBLE - sb3::DOUBLE * sb3::DOUBLE))
+        |    AS r3
+        |  FROM w),
+        | p AS (SELECT nk0, r1, r2, r3,
+        |   (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22,
+        |   r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi21
+        |  FROM r)
+        |SELECT nk0 AS n_days,
+        | round(r1, 6) + 0.0 AS rho1, round(r2, 6) + 0.0 AS rho2,
+        | round(r3, 6) + 0.0 AS rho3,
+        | round(r1, 6) + 0.0 AS pacf1, round(phi22, 6) + 0.0 AS pacf2,
+        | round((r3 - phi21 * r2 - phi22 * r1)
+        |   / (1.0 - phi21 * r1 - phi22 * r2), 6) + 0.0 AS pacf3
+        |FROM p""".stripMargin,
     // exact lattice moments, ONE rounded sqrt, integer breakpoint
     // compares; weeks keyed by epoch-day div 7 (engine-neutral)
     "ts_sax_symbols" ->

@@ -686,6 +686,35 @@ object TextSignals {
       .orderBy(col("llr_e4").desc, col("wa"), col("wb"))
   }
 
+  /** Term burstiness (`text_burstiness`, r13): variance-to-mean ratio
+    * of per-document term counts over the WHOLE corpus (zero-count
+    * documents included via the moment identity — no explode of
+    * absences) — Church & Gale's burstiness: content words arrive in
+    * bursts (VMR ≫ 1), function words arrive ~Poisson (VMR ≈ 1), so
+    * the ranking separates topical terms from glue without any
+    * stopword list. EXACT: with N docs, Σc and Σc² per term,
+    * vmr_e6 = ((N·Σc² − (Σc)²)·10⁶) div (N·Σc) — pure BIGINTs, one
+    * floor division. df ≥ 20 (published) keeps the tail out; top-20 by
+    * (vmr DESC, term) via TakeOrderedAndProject. Plan: one per-(term,
+    * doc) count agg + one per-term moment agg + a 1-row N attach.
+    */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Sources.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+    val nDocs = Sources.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy("w")
+      .agg(count(lit(1)).as("df"), sum("c").as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("df") >= 20)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("vmr_e6",
+        expr("((n_docs * scc - sc * sc) * 1000000L) div (n_docs * sc)"))
+      .orderBy(col("vmr_e6").desc, col("w")).limit(20)
+      .select(col("w"), col("df"), col("sc"), col("vmr_e6"))
+      .orderBy(col("vmr_e6").desc, col("w"))
+  }
+
   /** Bigram conditional entropy rate (`text_entropy_rate`, r13): per
     * language, H(next | current) = (1/N)·Σ_ab c(ab)·ln(r(a)/c(ab)) —
     * the first-order entropy-rate estimate that separates repetitive/
@@ -804,6 +833,7 @@ object TextSignals {
     "search_eval_map" -> (searchEvalMap _),
     "text_collocation_llr" -> (collocationLlr _),
     "text_entropy_rate" -> (entropyRate _),
+    "text_burstiness" -> (burstiness _),
     "text_bigram_novelty" -> (bigramNovelty _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_bigram_lm" -> (bigramLmScore _),
@@ -815,6 +845,20 @@ object TextSignals {
 
   val oracles: Map[String, String] = Map(
     // same ranked lists as the MRR oracle; the frozen 10-constant
+    // pure-BIGINT VMR via the moment identity; zero-count docs enter
+    // through N, never through an explode
+    "text_burstiness" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | pd AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  GROUP BY 1, 2),
+        | n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        | m AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+        |   CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+        |  FROM pd GROUP BY 1 HAVING count(*) >= 20)
+        |SELECT w, df, sc,
+        | ((n_docs * scc - sc * sc) * 1000000) // (n_docs * sc) AS vmr_e6
+        |FROM m CROSS JOIN n ORDER BY vmr_e6 DESC, w LIMIT 20""".stripMargin,
     // per-bigram term rounds e6 PER ROW; only pre-rounded integers sum
     "text_entropy_rate" ->
       """WITH w AS (SELECT lang, string_split(text, ' ') AS ws

@@ -150,7 +150,9 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row grand-moment attach for the Brown-Forsythe F (r13)
     "stats_levene_bf",
     // 1-row moment/total attaches: Shapley means, HH true total (r13)
-    "ml_shap_linear_frozen", "sample_hh_estimator")
+    "ml_shap_linear_frozen", "sample_hh_estimator",
+    // 1-row doc-count attach for the VMR denominator (r13)
+    "text_burstiness")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

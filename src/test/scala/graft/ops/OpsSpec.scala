@@ -662,6 +662,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  "Multimodal.audioClipping (r13)" should "replay the clipped-run census from the amp formula" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.sortBy(_._1).map { case (id, nc) =>
+      val nS = (50 + nc % 101).toInt
+      val flags = (0 until nS).map(t =>
+        math.abs((13 * id + 7 * t + 3) % 2001 - 1000) >= 990)
+      var nClip = 0L; var longest = 0L; var run = 0L; var first = -1L
+      flags.zipWithIndex.foreach { case (f, t) =>
+        if (f) {
+          nClip += 1; run += 1
+          if (run > longest) longest = run
+          if (first < 0) first = t.toLong
+        } else run = 0
+      }
+      (id, nS.toLong, nClip, longest, first)
+    }.toSeq
+    val got = Multimodal.audioClipping(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // both outcomes bind: some clips are clean, some clip
+    got.count(_._3 == 0) should be > 0
+    got.count(_._3 > 0) should be > 0
+  }
+
   "Multimodal.imageQuantize (r13)" should "replay the 3-3-2 palette census" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")

@@ -575,6 +575,45 @@ class TemporalSpec extends SparkSpec {
     got.foreach(_._2 should be <= 7L)
   }
 
+  "Temporal.pacfFrozen (r13)" should "replay the Durbin-Levinson closed forms" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice * 100) AS LONG) AS c")
+      .groupBy("day")
+      .agg(org.apache.spark.sql.functions.expr("sum(c) div 1000000").as("v"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .toMap
+    val (d0, d1) = (daily.keys.min, daily.keys.max)
+    val ser = (d0 to d1).map(e => daily.getOrElse(e, 0L)).toArray
+    def rho(k: Int): Double = {
+      val n = ser.length - k
+      val a = ser.dropRight(k); val b = ser.drop(k)
+      val (sa, sb) = (a.sum, b.sum)
+      val saa = a.map(x => x * x).sum; val sbb = b.map(x => x * x).sum
+      val sab = a.zip(b).map(t => t._1 * t._2).sum
+      (n.toDouble * sab - sa.toDouble * sb) /
+        (math.sqrt(n.toDouble * saa - sa.toDouble * sa) *
+          math.sqrt(n.toDouble * sbb - sb.toDouble * sb))
+    }
+    val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+    val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val phi21 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+      (1.0 - phi21 * r1 - phi22 * r2)
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    val row = Temporal.pacfFrozen(spark, sfDir).collect().head
+    row.getLong(0) shouldBe ser.length.toLong
+    row.getDouble(1) shouldBe r6(r1) +- 1e-9
+    row.getDouble(2) shouldBe r6(r2) +- 1e-9
+    row.getDouble(3) shouldBe r6(r3) +- 1e-9
+    row.getDouble(4) shouldBe r6(r1) +- 1e-9
+    row.getDouble(5) shouldBe r6(phi22) +- 1e-9
+    row.getDouble(6) shouldBe r6(phi33) +- 1e-9
+    // PACF is a partial correlation: bounded by 1 in magnitude
+    Seq(row.getDouble(4), row.getDouble(5), row.getDouble(6))
+      .foreach(p => math.abs(p) should be <= 1.0)
+  }
+
   "Temporal.haarEnergy" should "replay the integer Haar details per level" in {
     val daily = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("CAST(o_orderdate AS DATE) AS day",

@@ -361,6 +361,27 @@ class TextSignalsSpec extends SparkSpec {
     }
   }
 
+  "TextSignals.burstiness (r13)" should "replay the exact VMR moment identity" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val n = docs.length.toLong
+    val perDoc = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => (w, id, g.length.toLong) } }
+    val want = perDoc.groupBy(_._1).toSeq.map { case (w, g) =>
+      val df = g.length.toLong
+      val sc = g.map(_._3).sum
+      val scc = g.map(t => t._3 * t._3).sum
+      (w, df, sc, (n * scc - sc * sc) * 1000000L / (n * sc))
+    }.filter(_._2 >= 20).sortBy(t => (-t._4, t._1)).take(20)
+    val got = TextSignals.burstiness(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // bursty head well above Poisson; uniform glue would sit near
+    // (1 - sc/n)e6 — the ranking genuinely separates
+    got.head._4 should be > 1000000L
+  }
+
   "TextSignals.entropyRate (r13)" should "replay the per-row-rounded conditional entropy" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("lang", "text").collect()
