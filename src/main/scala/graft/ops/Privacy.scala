@@ -394,7 +394,47 @@ object Privacy {
           expr("sum_x_e6 div n")).as("err_e6"))
   }
 
+  /** DP top-k release (`priv_dp_topk`, r13): the 5 largest nations by
+    * customer count, selected and released under noise — the
+    * noisy-top-k primitive behind every private "most common X"
+    * dashboard (selection itself leaks, so the RANKING must be made on
+    * noisy counts, not true counts — one-shot noisy-max iterated, the
+    * peeling mechanism). Noise is the family's alpha = 1/2 two-sided
+    * geometric via exact integer CDF inversion on the Knuth lattice
+    * keyed by nationkey ([[dpCounts]]' derandomization — a sampled
+    * mechanism could only ever be rows-only), and the rank is decided
+    * by (noisy DESC, nationkey): the released order genuinely differs
+    * from the true order on the fixture (spec-asserted), which is the
+    * point. Plan: one 25-row keyed agg + TakeOrdered 5 + a rank window
+    * over the 5-row post-limit set (the audit_key_skew sanction
+    * class).
+    */
+  def dpTopK(s: SparkSession, d: String): DataFrame = {
+    val cells = Sources.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_true"))
+    val u = pmod(pmod(col("nationkey"), lit(1048576L)) * lit(2654435761L),
+      lit(1048576L))
+    val mag = geoThresholds.zipWithIndex.foldRight(lit(9L): Column) {
+      case ((t, j), rest) => when(u < t, lit(j.toLong)).otherwise(rest)
+    }
+    val sgn = when(
+      pmod(pmod(col("nationkey"), lit(1048576L)) * lit(2246822519L),
+        lit(1048576L)) < 524288L, lit(1L)).otherwise(lit(-1L))
+    val noisy = cells
+      .withColumn("noise", (sgn * mag).cast("long"))
+      .withColumn("n_noisy", greatest(lit(0L), col("n_true") + col("noise")))
+      .orderBy(col("n_noisy").desc, col("nationkey")).limit(5)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_noisy").desc, col("nationkey"))
+    noisy.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("nationkey"), col("n_noisy"), col("n_true"),
+        col("noise"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_dp_topk" -> (dpTopK _),
     "priv_ldp_mean" -> (ldpMean _),
     "priv_cell_suppression" -> (cellSuppression _),
     "priv_dp_median" -> (dpMedian _),
@@ -415,6 +455,34 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // ranking decided on the noisy counts in both engines — the
+    // released order is the mechanism's output, not the truth's
+    "priv_dp_topk" ->
+      """WITH cells AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |   CAST(count(*) AS BIGINT) AS n_true FROM customer GROUP BY 1),
+        | z AS (SELECT *,
+        |   (nationkey % 1048576) * 2654435761 % 1048576 AS u,
+        |   CASE WHEN (nationkey % 1048576) * 2246822519 % 1048576 < 524288
+        |    THEN 1 ELSE -1 END AS sgn FROM cells),
+        | n AS (SELECT nationkey, n_true,
+        |   CAST(sgn * (CASE
+        |     WHEN u < 1048576 - 2097152 // 3 THEN 0
+        |     WHEN u < 1048576 - 2097152 // 6 THEN 1
+        |     WHEN u < 1048576 - 2097152 // 12 THEN 2
+        |     WHEN u < 1048576 - 2097152 // 24 THEN 3
+        |     WHEN u < 1048576 - 2097152 // 48 THEN 4
+        |     WHEN u < 1048576 - 2097152 // 96 THEN 5
+        |     WHEN u < 1048576 - 2097152 // 192 THEN 6
+        |     WHEN u < 1048576 - 2097152 // 384 THEN 7
+        |     WHEN u < 1048576 - 2097152 // 768 THEN 8
+        |     ELSE 9 END) AS BIGINT) AS noise
+        |  FROM z),
+        | r AS (SELECT nationkey, n_true, noise,
+        |   greatest(0, n_true + noise) AS n_noisy FROM n)
+        |SELECT CAST(row_number() OVER (ORDER BY n_noisy DESC, nationkey)
+        |   AS BIGINT) AS rank,
+        | nationkey, n_noisy, n_true, noise
+        |FROM r ORDER BY n_noisy DESC, nationkey LIMIT 5""".stripMargin,
     // e^eps = 3 exactly, so mechanism and estimator are pure integer
     // lattices; the +n shift keeps the floored numerator positive
     "priv_ldp_mean" ->

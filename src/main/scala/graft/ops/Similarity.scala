@@ -1487,7 +1487,51 @@ object Similarity {
     out(s1, 1).union(out(s2, 2)).union(out(s3, 3)).orderBy("q_id", "step")
   }
 
+  /** Centroid drift between corpus halves
+    * (`sim_centroid_drift`, r13): per label, the L1 distance between
+    * the centroid computed on hash-half A and on hash-half B of the
+    * corpus — the embedding-stability audit run before trusting any
+    * centroid-based structure (SemDeDup buckets, IVF cells, dedup
+    * thresholds): a label whose two half-corpus centroids disagree is
+    * undersampled or multi-modal and its clusters are noise. Exact on
+    * the cross-scaled lattice: with per-half (n, per-dim sums S of the
+    * e4-quantized embedding), the per-dim difference n_b·S_a − n_a·S_b
+    * is an exact BIGINT (= n_a·n_b·(μ_a − μ_b) scaled), so
+    * drift_scaled = Σ_dims |n_b·S_a,d − n_a·S_b,d| carries no float
+    * anywhere, and drift_e4 = drift_scaled div (n_a·n_b·64) is the
+    * mean per-dim drift back on the e4 lattice. Halves by the Knuth
+    * parity hash of vec_id — reproducible, disjoint, exhaustive.
+    * Plan: one posexplode agg keyed by (label, half, dim) — |labels|·
+    * 2·64 rows — then a dim-keyed equi-join of the halves.
+    */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val q = Sources.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("qv"))
+      .withColumn("half",
+        pmod(pmod(col("vec_id"), lit(1048576L)) * lit(2654435761L),
+          lit(2L)))
+    val byDim = q.select(col("label"), col("half"),
+        posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("label", "half", "dim")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val a = byDim.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("n").as("n_a"), col("sv").as("s_a"))
+    val b = byDim.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("n").as("n_b"), col("sv").as("s_b"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum(abs(col("n_b") * col("s_a") - col("n_a") * col("s_b")))
+          .as("drift_scaled"))
+      .withColumn("drift_e4",
+        expr("drift_scaled div (n_a * n_b * 64L)"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_centroid_drift" -> (centroidDrift _),
     "sim_hard_negatives" -> (hardNegatives _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_prefix_recall" -> (prefixRecall _),
@@ -1650,6 +1694,25 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact cross-scaled centroid difference — no float mean anywhere
+    "sim_centroid_drift" ->
+      """WITH q AS (SELECT label, vec_id,
+        |   (vec_id % 1048576) * 2654435761 % 2 AS half,
+        |   CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS v,
+        |   i - 1 AS dim
+        |  FROM (SELECT label, vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        | g AS (SELECT label, half, dim, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(v) AS BIGINT) AS sv FROM q GROUP BY 1, 2, 3),
+        | a AS (SELECT label, dim, n AS n_a, sv AS s_a FROM g WHERE half = 0),
+        | b AS (SELECT label, dim, n AS n_b, sv AS s_b FROM g WHERE half = 1)
+        |SELECT a.label, CAST(max(n_a) AS BIGINT) AS n_a,
+        | CAST(max(n_b) AS BIGINT) AS n_b,
+        | CAST(sum(abs(n_b * s_a - n_a * s_b)) AS BIGINT) AS drift_scaled,
+        | CAST(sum(abs(n_b * s_a - n_a * s_b)) AS BIGINT)
+        |   // (max(n_a) * max(n_b) * 64) AS drift_e4
+        |FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // both band edges compare e4-lattice integers in both engines
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

@@ -652,6 +652,49 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** Seasonal strength (`ts_seasonal_strength`, r13): Hyndman's
+    * F_s = max(0, 1 − Var(remainder)/Var(detrended)) over the
+    * [[seasonalDecompose]] lattice — the single number that says
+    * whether the weekly cycle is real enough to model (F_s near 1) or
+    * the "seasonal" component is fit noise (near 0); the gate before
+    * any seasonal forecaster ([[Temporal]]'s naive-seasonal baseline
+    * included) is worth running. Components replay the decompose
+    * arithmetic exactly (7-day stencil trend, per-dow means), then
+    * round PER ROW onto the whole-dollar lattice (detr_r =
+    * round(detr_e/7), rem_r = round((cnt·detr_e − sd)/(7·cnt)) — the
+    * psi rule, so both engines sum identical integers; dollar squares
+    * keep Σx² < 2⁶³ to ~10⁸-dollar days × 10⁵ days). One mirrored
+    * double computes F from the exact moments, rounded 6.
+    */
+  def seasonalStrength(s: SparkSession, d: String): DataFrame = {
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val win = ser
+      .withColumn("off", explode(sequence(lit(-3L), lit(3L))))
+      .groupBy((col("i") + col("off")).as("i"))
+      .agg(count(lit(1)).as("c7"), sum(col("x")).as("sum7"))
+      .filter(col("c7") === 7)
+    val j = win.join(ser, Seq("i"))
+      .withColumn("detr_e", lit(7L) * col("x") - col("sum7"))
+      .withColumn("dow", col("i") % 7)
+    val dw = j.groupBy("dow")
+      .agg(sum(col("detr_e")).as("sd"), count(lit(1)).as("cnt"))
+    def D(c: Column): Column = c.cast("double")
+    val r = j.join(broadcast(dw), Seq("dow"))
+      .withColumn("detr_r", round(D(col("detr_e")) / 7.0, 0).cast("long"))
+      .withColumn("rem_r", round(
+        D(col("cnt") * col("detr_e") - col("sd")) /
+          (D(col("cnt")) * 7.0), 0).cast("long"))
+    r.agg(count(lit(1)).as("n_days"),
+        sum("detr_r").as("s_d"), sum(col("detr_r") * col("detr_r")).as("ss_d"),
+        sum("rem_r").as("s_r"), sum(col("rem_r") * col("rem_r")).as("ss_r"))
+      .withColumn("strength", {
+        val varD = D(col("n_days")) * D(col("ss_d")) - D(col("s_d")) * D(col("s_d"))
+        val varR = D(col("n_days")) * D(col("ss_r")) - D(col("s_r")) * D(col("s_r"))
+        graft.functions.Num.roundNorm(
+          greatest(lit(0.0), lit(1.0) - varR / varD), 6)
+      })
+  }
+
   /** Theil-Sen robust trend slope (`ts_theil_sen`): the median of ALL
     * pairwise slopes of the gap-filled daily revenue series — the
     * estimator with a 29% breakdown point that the OLS fit
@@ -1309,6 +1352,7 @@ object Temporal {
     "ts_peak_days" -> (peakDays _),
     "ts_sax_symbols" -> (saxSymbols _),
     "ts_pacf_frozen" -> (pacfFrozen _),
+    "ts_seasonal_strength" -> (seasonalStrength _),
     "ts_haar_energy" -> (haarEnergy _),
     "ts_new_returning" -> (newReturning _),
     "ts_clamped_balance" -> (clampedBalance _),
@@ -1497,6 +1541,42 @@ object Temporal {
         | CAST(sum(dcoef * dcoef) AS BIGINT) AS energy,
         | CAST(max(abs(dcoef)) AS BIGINT) AS max_abs
         |FROM dc GROUP BY 1 ORDER BY lvl""".stripMargin,
+    // identical stencil/dow lattice, per-row whole-dollar rounding,
+    // one mirrored F from exact moments
+    "ts_seasonal_strength" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        | b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        | ser AS (SELECT datediff('day', s.d0, s.day) AS i,
+        |   CAST(coalesce(d.x, 0) AS BIGINT) AS x
+        |  FROM (SELECT d0, CAST(unnest(generate_series(d0, d1,
+        |     INTERVAL 1 DAY)) AS DATE) AS day FROM b) s
+        |  LEFT JOIN daily d ON s.day = d.day),
+        | win AS (SELECT a.i + off AS i, CAST(count(*) AS BIGINT) AS c7,
+        |   CAST(sum(a.x) AS BIGINT) AS sum7
+        |  FROM ser a, unnest([-3, -2, -1, 0, 1, 2, 3]) t(off)
+        |  GROUP BY 1 HAVING count(*) = 7),
+        | j AS (SELECT win.i, 7 * ser.x - win.sum7 AS detr_e,
+        |   win.i % 7 AS dow FROM win JOIN ser ON win.i = ser.i),
+        | dw AS (SELECT dow, CAST(sum(detr_e) AS BIGINT) AS sd,
+        |   CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1),
+        | r AS (SELECT
+        |   CAST(round(detr_e::DOUBLE / 7.0) AS BIGINT) AS detr_r,
+        |   CAST(round((cnt * detr_e - sd)::DOUBLE / (cnt::DOUBLE * 7.0))
+        |     AS BIGINT) AS rem_r
+        |  FROM j JOIN dw ON j.dow = dw.dow),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |   CAST(sum(detr_r) AS BIGINT) AS s_d,
+        |   CAST(sum(detr_r * detr_r) AS BIGINT) AS ss_d,
+        |   CAST(sum(rem_r) AS BIGINT) AS s_r,
+        |   CAST(sum(rem_r * rem_r) AS BIGINT) AS ss_r FROM r)
+        |SELECT n_days, s_d, ss_d, s_r, ss_r,
+        | round(greatest(0.0, 1.0
+        |   - (n_days::DOUBLE * ss_r::DOUBLE - s_r::DOUBLE * s_r::DOUBLE)
+        |   / (n_days::DOUBLE * ss_d::DOUBLE - s_d::DOUBLE * s_d::DOUBLE)), 6)
+        |  + 0.0 AS strength
+        |FROM a""".stripMargin,
     // same per-lag Pearson moments, same Durbin-Levinson closed forms —
     // one mirrored double expression per emitted statistic
     "ts_pacf_frozen" ->

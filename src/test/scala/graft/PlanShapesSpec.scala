@@ -183,7 +183,9 @@ class PlanShapesSpec extends SparkSpec {
       "sample_neyman_alloc",
       // island numbering over the CALENDAR-bounded missing-day set
       // (≤ span days by construction — the ts_peak_days class)
-      "etl_backfill_plan")
+      "etl_backfill_plan",
+      // rank over the 5-row post-limit release (audit_key_skew class)
+      "priv_dp_topk")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

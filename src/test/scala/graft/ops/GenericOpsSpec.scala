@@ -368,6 +368,34 @@ class GenericOpsSpec extends SparkSpec {
     (scored, vecs)
   }
 
+  "Similarity.centroidDrift (r13)" should "replay the cross-scaled half-corpus drift" in {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("label", "vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS LONG)) AS qv")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getSeq[Long](2)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (lbl, g) =>
+      val (a, b) = g.partition(t => (t._2 % 1048576) * 2654435761L % 2 == 0)
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val dims = a.head._3.length
+      val drift = (0 until dims).map { d0 =>
+        val sa = a.map(_._3(d0)).sum; val sb = b.map(_._3(d0)).sum
+        math.abs(nb * sa - na * sb)
+      }.sum
+      (lbl, na, nb, drift, drift / (na * nb * 64))
+    }
+    val got = Similarity.centroidDrift(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe want
+    // both halves populated per label, drift finite and small relative
+    // to the e4 embedding scale (the labels are genuinely stable)
+    got.foreach { case (_, na, nb, _, de4) =>
+      na should be > 0L
+      nb should be > 0L
+      de4 should be < 10000L
+    }
+  }
+
   "Similarity.hardNegatives (r13)" should "mine the semi-hard band exactly" in {
     val (scored, _) = e4Scores
     val want = scored.groupBy(_._1).toSeq.sortBy(_._1).flatMap {

@@ -268,6 +268,32 @@ class PrivacySpec extends SparkSpec {
     got.map(_._2).sum shouldBe n
   }
 
+  "Privacy.dpTopK (r13)" should "rank on the noisy counts, not the truth" in {
+    val cells = spark.read.parquet(s"$sfDir/customer.parquet")
+      .groupBy("c_nationkey").count().collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val thresholds = (0 to 8).map(j => 1048576L - 2097152L / (3L * (1L << j)))
+    val want = cells.map { case (k, n) =>
+      val u = (k % 1048576) * 2654435761L % 1048576
+      val mag = thresholds.indexWhere(u < _) match {
+        case -1 => 9L; case i => i.toLong
+      }
+      val sgn = if ((k % 1048576) * 2246822519L % 1048576 < 524288) 1L else -1L
+      val noise = sgn * mag
+      (k, n, noise, math.max(0L, n + noise))
+    }.sortBy(t => (-t._4, t._1)).take(5).zipWithIndex
+      .map { case ((k, n, noise, noisy), i) =>
+        ((i + 1).toLong, k, noisy, n, noise) }.toSeq
+    val got = Privacy.dpTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // the mechanism genuinely perturbs: some released noise is nonzero
+    got.map(_._5).exists(_ != 0L) shouldBe true
+    // the released order is the NOISY order
+    got.map(_._3) shouldBe got.map(_._3).sorted(Ordering[Long].reverse)
+  }
+
   "Privacy.ldpMean (r13)" should "replay the 1-bit mechanism and its unbiased estimator" in {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_custkey", "c_acctbal").collect()

@@ -575,6 +575,39 @@ class TemporalSpec extends SparkSpec {
     got.foreach(_._2 should be <= 7L)
   }
 
+  "Temporal.seasonalStrength (r13)" should "replay the Hyndman F from the decompose lattice" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("x").as("v"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .toMap
+    val (d0, d1) = (daily.keys.min, daily.keys.max)
+    val ser = (d0 to d1).map(e => daily.getOrElse(e, 0L)).toArray
+    val full = (3 until ser.length - 3).map { i =>
+      val sum7 = (-3 to 3).map(o => ser(i + o)).sum
+      (i, 7L * ser(i) - sum7)
+    }
+    val byDow = full.groupBy(_._1 % 7).view
+      .mapValues(g => (g.map(_._2).sum, g.length.toLong)).toMap
+    val (detrR, remR) = full.map { case (i, de) =>
+      val (sd, cnt) = byDow(i % 7)
+      (math.round(de.toDouble / 7.0),
+        math.round((cnt * de - sd).toDouble / (cnt.toDouble * 7.0)))
+    }.unzip
+    val n = full.length.toLong
+    def varOf(xs: Seq[Long]): Double =
+      n.toDouble * xs.map(x => x * x).sum - xs.sum.toDouble * xs.sum.toDouble
+    val f = math.max(0.0, 1.0 - varOf(remR) / varOf(detrR))
+    val row = Temporal.seasonalStrength(spark, sfDir).collect().head
+    row.getLong(0) shouldBe n
+    row.getLong(1) shouldBe detrR.sum
+    row.getLong(3) shouldBe remR.sum
+    row.getDouble(5) shouldBe (math.round(f * 1e6) / 1e6) +- 1e-9
+    // strength is a proportion and the weekly cycle leaves SOME signal
+    row.getDouble(5) should (be >= 0.0 and be <= 1.0)
+  }
+
   "Temporal.pacfFrozen (r13)" should "replay the Durbin-Levinson closed forms" in {
     val daily = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("CAST(o_orderdate AS DATE) AS day",
