@@ -697,6 +697,43 @@ object Ml {
         expr("(1000000L * (n * (a + d) - m)) div (n * n - m)").as("kappa_e6"))
   }
 
+  /** Matthews correlation coefficient at two published thresholds
+    * (`ml_mcc_threshold`, r13): the confusion-matrix summary that,
+    * unlike accuracy or even [[cohensKappa]], stays honest under class
+    * imbalance (it is the Pearson φ of the binary pair — zero iff the
+    * rater is uninformative REGARDLESS of base rate). Evaluated at the
+    * $100k kappa threshold AND at $200k, so the row pair shows how the
+    * same planted teacher scores a strict rater vs a permissive one —
+    * the threshold-sensitivity read a single-point MCC hides. One
+    * corpus pass: thresholds explode map-side (×2 fan-out), the
+    * confusion cells are exact BIGINT conditional sums per threshold;
+    * mcc = (a·d − b·c)/(√(a+b)·√(a+c)·√(d+b)·√(d+c)) is ONE mirrored
+    * double expression (the four √ factors keep every intermediate ≤
+    * n² — the naive √ of the 4-way product overflows BIGINT at n >
+    * 55k), rounded 6; the numerator ships exactly as `num` (|a·d −
+    * b·c| ≤ n²/4 — Long-exact to 6e9 rows, then the count-gated
+    * DECIMAL widening applies).
+    */
+  def mccThreshold(s: SparkSession, d: String): DataFrame = {
+    val t = Stats.plantedScores(s, d)
+      .withColumn("thr_cents", explode(array(lit(10000000L), lit(20000000L))))
+      .withColumn("pred", (col("cents") >= col("thr_cents")).cast("long"))
+    def D(c: Column): Column = c.cast("double")
+    t.groupBy("thr_cents").agg(
+        sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("d"))
+      .withColumn("num", col("a") * col("d") - col("b") * col("c"))
+      .select(col("thr_cents"), col("a"), col("b"), col("c"), col("d"),
+        col("num"),
+        roundNorm(D(col("num")) /
+          (sqrt(D(col("a") + col("b"))) * sqrt(D(col("a") + col("c"))) *
+            sqrt(D(col("d") + col("b"))) * sqrt(D(col("d") + col("c")))), 6)
+          .as("mcc"))
+      .orderBy("thr_cents")
+  }
+
   /** Murphy decomposition of the Brier score
     * (`ml_brier_decomposition`, r13): BS = REL − RES + UNC over the 10
     * published decile forecasts f_k = (2k+1)/20 against the planted
@@ -839,6 +876,7 @@ object Ml {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_shap_linear_frozen" -> (shapLinearFrozen _),
     "ml_cohens_kappa" -> (cohensKappa _),
+    "ml_mcc_threshold" -> (mccThreshold _),
     "ml_brier_decomposition" -> (brierDecomposition _),
     "ml_ridge_frozen" -> (ridgeFrozen _),
     "ml_lift_deciles" -> (liftDeciles _),
@@ -918,6 +956,27 @@ object Ml {
         | (1000000 * m) // (n * n) AS pe_e6,
         | (1000000 * (n * (a + d) - m)) // (n * n - m) AS kappa_e6
         |FROM k""".stripMargin,
+    // same exploded thresholds, exact cells, num exact; mcc is the
+    // identical four-sqrt-factor double expression, rounded 6
+    "ml_mcc_threshold" ->
+      """WITH s AS (SELECT thr_cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label,
+        |   CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >= thr_cents
+        |     THEN 1 ELSE 0 END AS pred
+        |  FROM orders, unnest([10000000, 20000000]) t(thr_cents)),
+        | c AS (SELECT CAST(thr_cents AS BIGINT) AS thr_cents,
+        |   CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |   CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |   CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |   CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM s GROUP BY 1)
+        |SELECT thr_cents, a, b, c, d, a * d - b * c AS num,
+        | round((a * d - b * c)::DOUBLE
+        |   / (sqrt((a + b)::DOUBLE) * sqrt((a + c)::DOUBLE)
+        |      * sqrt((d + b)::DOUBLE) * sqrt((d + c)::DOUBLE)), 6) + 0.0 AS mcc
+        |FROM c ORDER BY thr_cents""".stripMargin,
     // per-bin REL/RES terms round onto the e9 lattice BEFORE any
     // cross-bin sum; the Brier mass itself ships exact (x 400n)
     "ml_brier_decomposition" ->

@@ -1302,7 +1302,163 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Connected-component blob census (`mm_image_blobs`, r13): binary
+    * segmentation — threshold the decoded brightness grid at half
+    * scale (rgb-sum ≥ 384) and label the 4-adjacent foreground
+    * components — the image-side instance of the pairs→groups verb the
+    * engine already runs corpus-wide ([[Dedup]]'s large/small-star,
+    * `geo_grid_dbscan`): object counting / mask extraction is the
+    * first step of any detection-style curation filter. The crucial
+    * scale point: components here are IMAGE-LOCAL, so the right plan
+    * is a per-image union-find INSIDE the codec `mapPartitions` pass
+    * (one array pass, min-root union keeps labels deterministic =
+    * each blob's minimum pixel index), NOT a corpus-wide edge shuffle
+    * — a 100 TB image corpus is millions of independent small CC
+    * problems, embarrassingly parallel per row, and per-pixel rows
+    * never leave the task. The corpus-wide CC machinery stays for
+    * graphs that genuinely span rows. Ships per-doc: foreground
+    * census, blob count, largest blob, and Σ(min pixel index) which
+    * pins the full labeling under the hash gate; the DuckDB oracle
+    * replays the pixel formula and closes the same 4-adjacency with a
+    * recursive CTE — transitive-closure reachability per image, blob
+    * id = min reachable index, proving the union-find agrees with the
+    * declarative fixpoint on every image.
+    */
+  def imageBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, px) = bmpPixels(encodeBmp(id, nc))
+        val n = w * h
+        val fg = new Array[Boolean](n)
+        var i = 0
+        while (i < n) { fg(i) = px(i) >= 384; i += 1 }
+        val parent = Array.tabulate(n)(identity)
+        def find(a: Int): Int = {
+          var x = a
+          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+          x
+        }
+        def union(a: Int, b: Int): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { // min root wins → final root = min index of blob
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = y * w + x
+            if (fg(p)) {
+              if (x + 1 < w && fg(p + 1)) union(p, p + 1)
+              if (y + 1 < h && fg(p + w)) union(p, p + w)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val sizes = scala.collection.mutable.HashMap.empty[Int, Long]
+        var nFg = 0L
+        i = 0
+        while (i < n) {
+          if (fg(i)) { nFg += 1; val r = find(i); sizes(r) = sizes.getOrElse(r, 0L) + 1L }
+          i += 1
+        }
+        (id, w.toLong, h.toLong, nFg, sizes.size.toLong,
+          if (sizes.isEmpty) 0L else sizes.values.max,
+          sizes.keysIterator.map(_.toLong).sum)
+      })
+      .toDF("doc_id", "width", "height", "n_fg", "n_blobs", "max_blob",
+        "sum_min_idx")
+      .orderBy("doc_id")
+  }
+
+  /** Ordered (Bayer 4×4) dithering census (`mm_image_dither_bayer`,
+    * r13): the halftoning verb — reduce the decoded brightness grid to
+    * 1 bit/pixel through the published index-4 Bayer matrix, the
+    * classic spatially-stable binarization (used for thumbnail
+    * sketches and perceptual prefilters; unlike Floyd-Steinberg
+    * error diffusion it has NO sequential dependency, so it is
+    * per-pixel parallel — exactly why it is the variant a distributed
+    * engine ships). Pixel (x, y) fires iff 32·v > (2·M(x%4, y%4)+1)·765
+    * — the exact-integer cross-multiplication of v/765 > (M+½)/16, so
+    * no rational ever leaves the lattice. Ships the on-census and the
+    * position-weighted sum that pins every fired pixel to its
+    * coordinate; oracle replays matrix and comparison verbatim from a
+    * 16-row VALUES table.
+    */
+  def imageDitherBayer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bayer = Array(0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5)
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, px) = bmpPixels(encodeBmp(id, nc))
+        var nOn = 0L
+        var wsum = 0L
+        var p = 0
+        while (p < px.length) {
+          val m = bayer((p / w % 4) * 4 + p % w % 4)
+          if (32L * px(p) > (2L * m + 1L) * 765L) {
+            nOn += 1; wsum += (p + 1).toLong
+          }
+          p += 1
+        }
+        (id, px.length.toLong, nOn, wsum)
+      })
+      .toDF("doc_id", "n_pixels", "n_on", "on_wsum")
+      .orderBy("doc_id")
+  }
+
+  /** Integer ×2 decimation (`mm_audio_downsample`, r13): sample-rate
+    * conversion — the audio twin of [[resizePool]]'s image downscale
+    * and the normalization step every speech pipeline runs before
+    * batching mixed-rate corpora. Adjacent sample pairs floor-average
+    * on the +4000-shifted lattice (out = (s₀+s₁+4000) div 2 − 2000 —
+    * the shift keeps the floored numerator nonnegative so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree, the
+    * `sample_pps_systematic` rule); an odd trailing sample passes
+    * through unaveraged (published convention). Decodes the REAL RIFF
+    * container (chunk walk, LIST skip) inside the codec
+    * `mapPartitions` pass — per-sample rows never shuffle; ships the
+    * halved rate, output census, abs-sum/peak, and the
+    * position-weighted checksum pinning every output sample.
+    */
+  def audioDownsample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (sr, samples) = wavSamples(encodeWav(id, nc))
+        val n = samples.length
+        val nOut = (n + 1) / 2
+        var absSum = 0L; var peak = 0L; var wsum = 0L
+        var k = 0
+        while (k < nOut) {
+          val v: Long =
+            if (2 * k + 1 < n)
+              (samples(2 * k).toLong + samples(2 * k + 1).toLong + 4000L) / 2L - 2000L
+            else samples(2 * k).toLong
+          absSum += math.abs(v)
+          if (math.abs(v) > peak) peak = math.abs(v)
+          wsum += (k + 1).toLong * v
+          k += 1
+        }
+        (id, sr.toLong / 2L, n.toLong, nOut.toLong, absSum, peak, wsum)
+      })
+      .toDF("doc_id", "sr_out", "n_in", "n_out", "abs_sum", "peak", "wsum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_blobs" -> (imageBlobs _),
+    "mm_image_dither_bayer" -> (imageDitherBayer _),
+    "mm_audio_downsample" -> (audioDownsample _),
     "mm_video_scene_cuts" -> (videoSceneCuts _),
     "mm_audio_trim" -> (audioTrim _),
     "mm_image_upsample" -> (imageUpsample _),
@@ -1381,6 +1537,91 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // 4-adjacency closed by a per-image recursive reachability CTE;
+    // blob id = min reachable pixel index — must equal the engine's
+    // min-root union-find labeling exactly
+    "mm_image_blobs" ->
+      """WITH RECURSIVE dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        | fg AS (SELECT doc_id, w, p, p % w AS x, p // w AS y FROM px
+        |  WHERE ((31 * doc_id + 7 * p + 11) % 256
+        |     + (17 * doc_id + 13 * p + 23) % 256
+        |     + (29 * doc_id + 19 * p + 31) % 256) >= 384),
+        | e AS (SELECT a.doc_id, a.p AS src, b.p AS dst
+        |  FROM fg a JOIN fg b ON a.doc_id = b.doc_id
+        |   AND ((b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1))),
+        | e2 AS (SELECT doc_id, src, dst FROM e
+        |  UNION ALL SELECT doc_id, dst, src FROM e),
+        | reach(doc_id, src, dst) AS (
+        |  SELECT doc_id, p, p FROM fg
+        |  UNION
+        |  SELECT r.doc_id, r.src, e2.dst FROM reach r
+        |   JOIN e2 ON r.doc_id = e2.doc_id AND r.dst = e2.src),
+        | comp AS (SELECT doc_id, src AS p, min(dst) AS root
+        |  FROM reach GROUP BY 1, 2),
+        | blobs AS (SELECT doc_id, root, CAST(count(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY 1, 2),
+        | agg AS (SELECT doc_id, CAST(sum(sz) AS BIGINT) AS n_fg,
+        |   CAST(count(*) AS BIGINT) AS n_blobs,
+        |   CAST(max(sz) AS BIGINT) AS max_blob,
+        |   CAST(sum(root) AS BIGINT) AS sum_min_idx
+        |  FROM blobs GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        | CAST(d.h AS BIGINT) AS height,
+        | CAST(coalesce(a.n_fg, 0) AS BIGINT) AS n_fg,
+        | CAST(coalesce(a.n_blobs, 0) AS BIGINT) AS n_blobs,
+        | CAST(coalesce(a.max_blob, 0) AS BIGINT) AS max_blob,
+        | CAST(coalesce(a.sum_min_idx, 0) AS BIGINT) AS sum_min_idx
+        |FROM dims d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // published Bayer-16 matrix in a VALUES table, identical
+    // 32v > (2M+1)·765 cross-multiplication
+    "mm_image_dither_bayer" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | px AS (SELECT doc_id, w, unnest(range(0, w * h)) AS p FROM dims),
+        | m AS (SELECT * FROM (VALUES
+        |    (0, 0, 0), (1, 0, 8), (2, 0, 2), (3, 0, 10),
+        |    (0, 1, 12), (1, 1, 4), (2, 1, 14), (3, 1, 6),
+        |    (0, 2, 3), (1, 2, 11), (2, 2, 1), (3, 2, 9),
+        |    (0, 3, 15), (1, 3, 7), (2, 3, 13), (3, 3, 5))
+        |   AS t(mx, my, mv)),
+        | v AS (SELECT doc_id, p,
+        |    ((31 * doc_id + 7 * p + 11) % 256
+        |     + (17 * doc_id + 13 * p + 23) % 256
+        |     + (29 * doc_id + 19 * p + 31) % 256) AS bright, mv
+        |  FROM px JOIN m ON m.mx = p % w % 4 AND m.my = p // w % 4),
+        | o AS (SELECT doc_id, p FROM v WHERE 32 * bright > (2 * mv + 1) * 765)
+        |SELECT d.doc_id, CAST(d.w * d.h AS BIGINT) AS n_pixels,
+        | CAST(coalesce(c.n_on, 0) AS BIGINT) AS n_on,
+        | CAST(coalesce(c.on_wsum, 0) AS BIGINT) AS on_wsum
+        |FROM dims d LEFT JOIN (SELECT doc_id,
+        |   CAST(count(*) AS BIGINT) AS n_on,
+        |   CAST(sum(p + 1) AS BIGINT) AS on_wsum FROM o GROUP BY 1) c
+        | USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // same +4000-shifted floor average per pair, odd tail passes
+    // through; position-weighted checksum pins every output sample
+    "mm_audio_downsample" ->
+      """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n,
+        |    8000 + 1000 * (doc_id % 5) AS sr FROM documents),
+        | ks AS (SELECT doc_id, n, unnest(range(0, (n + 1) // 2)) AS k FROM d),
+        | o AS (SELECT doc_id, k,
+        |    CASE WHEN 2 * k + 1 < n THEN
+        |      (((13 * doc_id + 7 * (2 * k) + 3) % 2001 - 1000)
+        |       + ((13 * doc_id + 7 * (2 * k + 1) + 3) % 2001 - 1000)
+        |       + 4000) // 2 - 2000
+        |    ELSE (13 * doc_id + 7 * (2 * k) + 3) % 2001 - 1000 END AS v
+        |  FROM ks)
+        |SELECT d.doc_id, CAST(d.sr // 2 AS BIGINT) AS sr_out,
+        | CAST(d.n AS BIGINT) AS n_in,
+        | CAST((d.n + 1) // 2 AS BIGINT) AS n_out,
+        | CAST(sum(abs(o.v)) AS BIGINT) AS abs_sum,
+        | CAST(max(abs(o.v)) AS BIGINT) AS peak,
+        | CAST(sum((o.k + 1) * o.v) AS BIGINT) AS wsum
+        |FROM d JOIN o USING (doc_id)
+        |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
     // run lengths via per-doc gaps-and-islands over the amp formula;
     // the decoded bytes must reproduce it sample-for-sample
     "mm_audio_clipping" ->

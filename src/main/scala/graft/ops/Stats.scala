@@ -1107,7 +1107,52 @@ object Stats {
       .withColumn("did", roundNorm((m("t1") - m("t0")) - (m("c1") - m("c0")), 4))
   }
 
+  /** Distribution-shape profile (`stats_moments_profile`, r13):
+    * skewness and excess kurtosis of order value per priority — the
+    * two shape numbers that decide whether a mean±stddev summary (or a
+    * z-score anomaly gate like `ts_anomaly_zscore`) is even meaningful
+    * on this segment, and the standard screen before picking a
+    * heavy-tail model. One conditional-sum corpus pass accumulates the
+    * first four RAW power sums as exact BIGINTs on the hundred-dollar
+    * lattice (x = cents div 100000 — a floor of nonnegative ints, so
+    * Spark `div` and DuckDB `//` agree; x ≤ ~6e3 keeps Σx⁴ ≤ 1.6e15·n,
+    * exact to ~5.7e3 corpus rows per group under 2⁶³ — beyond that the
+    * unit coarsens or the sums widen to DECIMAL(38,0), the
+    * count-gated [[aucFromByScore]] pattern). Central moments come
+    * from the raw-moment identities in ONE mirrored double expression
+    * per emitted statistic (the [[anovaF]] discipline): m2 = s2/n−m²,
+    * m3 = s3/n−3m·s2/n+2m³, m4 = s4/n−4m·s3/n+6m²·s2/n−3m⁴;
+    * skew = m3/m2^1.5, exkurt = m4/m2²−3, each rounded 6. The four
+    * sums ship as gate columns so the floats are referee-recomputable.
+    */
+  def momentsProfile(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.orders(s, d).select(col("o_orderpriority"),
+      expr("CAST(round(o_totalprice * 100) AS LONG) div 100000").as("x"))
+    def D(c: Column): Column = c.cast("double")
+    t.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .withColumn("m", D(col("s1")) / D(col("n")))
+      .withColumn("m2", D(col("s2")) / D(col("n")) - col("m") * col("m"))
+      .withColumn("m3", D(col("s3")) / D(col("n"))
+        - lit(3.0) * col("m") * D(col("s2")) / D(col("n"))
+        + lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("m4", D(col("s4")) / D(col("n"))
+        - lit(4.0) * col("m") * D(col("s3")) / D(col("n"))
+        + lit(6.0) * col("m") * col("m") * D(col("s2")) / D(col("n"))
+        - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+      .select(col("o_orderpriority"), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"),
+        roundNorm(col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+        roundNorm(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+          .as("ex_kurtosis"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_moments_profile" -> (momentsProfile _),
     "stats_did" -> (did _),
     "ml_fairness_audit" -> (fairnessAudit _),
     "stats_cvar_segment" -> (cvarSegment _),
@@ -1136,6 +1181,36 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same hundred-dollar floor lattice, same raw-moment identities,
+    // one mirrored double expression per shape statistic
+    "stats_moments_profile" ->
+      """WITH t AS (SELECT o_orderpriority,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS x
+        |  FROM orders),
+        | g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS s1,
+        |   CAST(sum(x * x) AS BIGINT) AS s2,
+        |   CAST(sum(x * x * x) AS BIGINT) AS s3,
+        |   CAST(sum(x * x * x * x) AS BIGINT) AS s4
+        |  FROM t GROUP BY 1),
+        | m AS (SELECT *, s1::DOUBLE / n::DOUBLE AS mu,
+        |   s2::DOUBLE / n::DOUBLE - (s1::DOUBLE / n::DOUBLE)
+        |     * (s1::DOUBLE / n::DOUBLE) AS m2,
+        |   s3::DOUBLE / n::DOUBLE
+        |    - 3.0 * (s1::DOUBLE / n::DOUBLE) * s2::DOUBLE / n::DOUBLE
+        |    + 2.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |      * (s1::DOUBLE / n::DOUBLE) AS m3,
+        |   s4::DOUBLE / n::DOUBLE
+        |    - 4.0 * (s1::DOUBLE / n::DOUBLE) * s3::DOUBLE / n::DOUBLE
+        |    + 6.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |      * s2::DOUBLE / n::DOUBLE
+        |    - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |      * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS m4
+        |  FROM g)
+        |SELECT o_orderpriority, n, s1, s2, s3, s4,
+        | round(m3 / pow(m2, 1.5), 6) + 0.0 AS skewness,
+        | round(m4 / (m2 * m2) - 3.0, 6) + 0.0 AS ex_kurtosis
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
     // four exact cells, one mirrored double finish
     "stats_did" ->
       """WITH t AS (SELECT

@@ -695,6 +695,47 @@ object Temporal {
       })
   }
 
+  /** Mann-Kendall trend test (`ts_mann_kendall`, r13): the
+    * distribution-free monotone-trend detector that PAIRS with
+    * [[theilSen]] — Sen's slope says how steep, Mann-Kendall says
+    * whether the trend is statistically there at all (a pure sign
+    * statistic, immune to the revenue spikes that would inflate an OLS
+    * t-test). S = Σ_{i<j} sign(x_j − x_i) over the gap-filled daily
+    * revenue series; the variance carries the standard tie correction
+    * Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (gap-filled zero days
+    * form one big tie group — the correction is load-bearing here, not
+    * decorative). The O(n²) pair join is the [[theilSen]] argument
+    * verbatim: the series is calendar-bounded (≤3.7k days → ≤7M pairs
+    * at ANY corpus size), the bounded side broadcasts, and S sums as
+    * ±1 Longs — exact. n, S and 18·Var ship as exact BIGINT gate
+    * columns; the continuity-corrected z = (S∓1)/√(Var18/18) is ONE
+    * mirrored double expression, rounded 4.
+    */
+  def mannKendall(s: SparkSession, d: String): DataFrame = {
+    // lazy pin: the series feeds both pair-join sides, ties, and n
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val a = ser.select(col("i").as("ia"), col("x").as("xa"))
+    val b = ser.select(col("i").as("ib"), col("x").as("xb"))
+    val sstat = a.join(broadcast(b), col("ia") < col("ib"))
+      .agg(sum(when(col("xb") > col("xa"), 1L)
+        .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = ser.groupBy("x").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).as("tie_term"))
+    val nn = ser.agg(count(lit(1)).as("n_days"))
+    nn.crossJoin(broadcast(sstat)).crossJoin(broadcast(ties)) // 1-row attaches
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+          - col("tie_term"))
+      .select(col("n_days"), col("s_stat"), col("var18"),
+        graft.functions.Num.roundNorm(
+          (when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0))) /
+            sqrt(col("var18").cast("double") / 18.0), 4).as("z"))
+  }
+
   /** Theil-Sen robust trend slope (`ts_theil_sen`): the median of ALL
     * pairwise slopes of the gap-filled daily revenue series — the
     * estimator with a 29% breakdown point that the OLS fit
@@ -1358,6 +1399,7 @@ object Temporal {
     "ts_clamped_balance" -> (clampedBalance _),
     "ts_twap" -> (twap _),
     "ts_theil_sen" -> (theilSen _),
+    "ts_mann_kendall" -> (mannKendall _),
     "ts_seasonal_decompose" -> (seasonalDecompose _),
     "ts_kaplan_meier" -> (kaplanMeier _),
     "ts_mom_growth" -> (momGrowth _),
@@ -1394,6 +1436,24 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical pair-sign sum, tie-corrected 18·Var, one mirrored z
+    "ts_mann_kendall" ->
+      s"""WITH $seriesCte,
+        | p AS (SELECT CAST(sum(CASE WHEN bb.x > aa.x THEN 1
+        |     WHEN bb.x < aa.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM ser aa JOIN ser bb ON aa.i < bb.i),
+        | tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |     AS BIGINT) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM ser
+        |        GROUP BY x HAVING count(*) > 1)),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM ser)
+        |SELECT n_days, s_stat,
+        | n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18,
+        | round((CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE
+        |    WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE ELSE 0.0 END)
+        |  / sqrt((n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)::DOUBLE
+        |     / 18.0), 4) + 0.0 AS z
+        |FROM nn, p, tt""".stripMargin,
     "ts_forecast_error" ->
       s"""WITH $seriesCte,
         | j AS (SELECT a.x, b.x AS xf FROM ser a JOIN ser b ON a.i = b.i + 7)

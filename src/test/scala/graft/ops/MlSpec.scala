@@ -365,6 +365,36 @@ class MlSpec extends SparkSpec {
     row.getLong(7) should be > 0L
   }
 
+  behavior of "Ml.mccThreshold (r13)"
+
+  it should "replay the confusion cells and the four-factor mcc at both thresholds" in {
+    val rows = Ml.mccThreshold(spark, sfDir).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(10000000L, 20000000L)
+    rows.foreach { row =>
+      val thr = row.getLong(0)
+      val cells = plantedReplay.map { case (cents, label) =>
+        (label, if (cents >= thr) 1L else 0L) }
+      val a = cells.count(t => t._1 == 1 && t._2 == 1).toLong
+      val b = cells.count(t => t._1 == 1 && t._2 == 0).toLong
+      val c = cells.count(t => t._1 == 0 && t._2 == 1).toLong
+      val dd = cells.count(t => t._1 == 0 && t._2 == 0).toLong
+      (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) shouldBe
+        ((a, b, c, dd))
+      row.getLong(5) shouldBe a * dd - b * c
+      val mcc = (a * dd - b * c).toDouble /
+        (math.sqrt((a + b).toDouble) * math.sqrt((a + c).toDouble) *
+          math.sqrt((dd + b).toDouble) * math.sqrt((dd + c).toDouble))
+      row.getDouble(6) shouldBe (math.round(mcc * 1e6) / 1e6) +- 1e-9
+      // the planted teacher correlates with price, so any price
+      // threshold rater lands strictly inside (0, 1)
+      row.getDouble(6) should be > 0.0
+      row.getDouble(6) should be < 1.0
+    }
+    // MCC and kappa must agree in sign at the shared $100k threshold
+    val kappa = Ml.cohensKappa(spark, sfDir).collect().head.getLong(7)
+    (rows.head.getDouble(6) > 0) shouldBe (kappa > 0)
+  }
+
   behavior of "Ml.brierDecomposition (r13)"
 
   it should "satisfy the Murphy identity REL - RES + UNC = BS on the lattice" in {

@@ -745,4 +745,99 @@ class OpsSpec extends SparkSpec {
     got.count(_._3 > 0) should be > 0
     got.count(_._4 > 0) should be > 0
   }
+
+  "Multimodal.imageBlobs (r13)" should "match a brute-force BFS labeling on every image" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.sortBy(_._1).map { case (id, nc) =>
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      val fg = (0 until w * h).map { p =>
+        ((31 * id + 7 * p + 11) % 256 + (17 * id + 13 * p + 23) % 256 +
+          (29 * id + 19 * p + 31) % 256) >= 384
+      }
+      val seen = Array.fill(w * h)(false)
+      var blobs = List.empty[(Long, Long)] // (minIdx, size)
+      for (start <- 0 until w * h if fg(start) && !seen(start)) {
+        var queue = List(start); seen(start) = true
+        var members = List.empty[Int]
+        while (queue.nonEmpty) {
+          val p = queue.head; queue = queue.tail; members ::= p
+          val x = p % w; val y = p / w
+          for ((nx, ny) <- Seq((x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1))
+               if nx >= 0 && nx < w && ny >= 0 && ny < h) {
+            val q = ny * w + nx
+            if (fg(q) && !seen(q)) { seen(q) = true; queue ::= q }
+          }
+        }
+        blobs ::= ((members.min.toLong, members.length.toLong))
+      }
+      (id, w.toLong, h.toLong, fg.count(identity).toLong, blobs.length.toLong,
+        if (blobs.isEmpty) 0L else blobs.map(_._2).max,
+        blobs.map(_._1).sum)
+    }.toSeq
+    val got = Multimodal.imageBlobs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldBe want
+    // segmentation is non-trivial: multiple blobs exist somewhere, and
+    // no blob exceeds its image's foreground census
+    got.map(_._5).max should be > 1L
+    got.foreach { case (_, _, _, nFg, nB, mx, _) =>
+      if (nFg > 0) { nB should be >= 1L; mx should be <= nFg }
+      else { nB shouldBe 0L; mx shouldBe 0L }
+    }
+  }
+
+  "Multimodal.imageDitherBayer (r13)" should "replay the 4x4 ordered-dither census" in {
+    val bayer = Array(0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.sortBy(_._1).map { case (id, nc) =>
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      var nOn = 0L; var wsum = 0L
+      for (p <- 0 until w * h) {
+        val v = (31 * id + 7 * p + 11) % 256 + (17 * id + 13 * p + 23) % 256 +
+          (29 * id + 19 * p + 31) % 256
+        val m = bayer((p / w % 4) * 4 + p % w % 4)
+        if (32L * v > (2L * m + 1L) * 765L) { nOn += 1; wsum += p + 1L }
+      }
+      (id, (w * h).toLong, nOn, wsum)
+    }.toSeq
+    val got = Multimodal.imageDitherBayer(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // dithering preserves mean brightness to first order: the global
+    // on-rate tracks the global brightness fraction within 10 points
+    val onRate = got.map(_._3).sum.toDouble / got.map(_._2).sum
+    onRate should (be > 0.3 and be < 0.7)
+  }
+
+  "Multimodal.audioDownsample (r13)" should "replay the shifted floor-average decimation" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.sortBy(_._1).map { case (id, nc) =>
+      val n = (50 + nc % 101).toInt
+      def amp(t: Int): Long = (13 * id + 7 * t + 3) % 2001 - 1000
+      val out = (0 until (n + 1) / 2).map { k =>
+        if (2 * k + 1 < n) {
+          val s = amp(2 * k) + amp(2 * k + 1) + 4000L
+          s / 2L - 2000L // s >= 2000: floor == truncate by construction
+        } else amp(2 * k)
+      }
+      (id, (8000L + 1000L * (id % 5)) / 2L, n.toLong, out.length.toLong,
+        out.map(math.abs).sum, out.map(math.abs).max,
+        out.zipWithIndex.map { case (v, k) => (k + 1) * v }.sum)
+    }.toSeq
+    val got = Multimodal.audioDownsample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldBe want
+    // averaging attenuates: downsampled peak never exceeds full scale,
+    // and odd-length clips pass the trailing sample through untouched
+    got.foreach(_._6 should be <= 1000L)
+    got.count(t => t._3 % 2 == 1) should be > 0
+  }
 }

@@ -509,6 +509,39 @@ class StatsSpec extends SparkSpec {
     sswK should be > 0L // within-variance strictly positive on the fixture
   }
 
+  behavior of "Stats.momentsProfile (r13)"
+
+  it should "replay raw power sums and the central-moment identities per priority" in {
+    val xs = Sources.orders(spark, sfDir)
+      .selectExpr("o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS LONG) div 100000 AS x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = Stats.momentsProfile(spark, sfDir).collect()
+    rows.map(_.getString(0)).toSeq shouldBe
+      xs.map(_._1).distinct.sorted.toSeq
+    rows.foreach { row =>
+      val v = xs.filter(_._1 == row.getString(0)).map(_._2)
+      val n = v.length.toLong
+      val (s1, s2) = (v.sum, v.map(x => x * x).sum)
+      val (s3, s4) = (v.map(x => x * x * x).sum, v.map(x => x * x * x * x).sum)
+      (row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe ((n, s1, s2))
+      (row.getLong(4), row.getLong(5)) shouldBe ((s3, s4))
+      val m = s1.toDouble / n
+      val m2 = s2.toDouble / n - m * m
+      val m3 = s3.toDouble / n - 3 * m * s2.toDouble / n + 2 * m * m * m
+      val m4 = s4.toDouble / n - 4 * m * s3.toDouble / n +
+        6 * m * m * s2.toDouble / n - 3 * m * m * m * m
+      row.getDouble(6) shouldBe
+        (math.round(m3 / math.pow(m2, 1.5) * 1e6) / 1e6) +- 1e-9
+      row.getDouble(7) shouldBe
+        (math.round((m4 / (m2 * m2) - 3.0) * 1e6) / 1e6) +- 1e-9
+      // bounded support: both shape statistics must land in the sane
+      // band for a sum-of-uniforms price distribution (not NaN/Inf)
+      math.abs(row.getDouble(6)) should be < 3.0
+      row.getDouble(7) should (be > -3.0 and be < 10.0)
+    }
+  }
+
   behavior of "Stats.woeBins (r13)"
 
   it should "replay the smoothed WOE/IV assembly per frozen bin" in {

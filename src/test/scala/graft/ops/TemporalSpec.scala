@@ -674,6 +674,34 @@ class TemporalSpec extends SparkSpec {
     got.foreach(_._3 should be > 0L)
   }
 
+  "Temporal.mannKendall" should "replay S, the tie-corrected variance, and z" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("x").as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val d0 = daily.map(_._1).minBy(_.toEpochDay)
+    val d1 = daily.map(_._1).maxBy(_.toEpochDay)
+    val m = daily.toMap
+    val ser = (0L to java.time.temporal.ChronoUnit.DAYS.between(d0, d1))
+      .map(i => m.getOrElse(d0.plusDays(i), 0L))
+    val n = ser.length.toLong
+    var sStat = 0L
+    for (i <- ser.indices; j <- (i + 1) until ser.length)
+      sStat += java.lang.Long.signum(ser(j) - ser(i))
+    val tieTerm = ser.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tieTerm
+    val row = Temporal.mannKendall(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe ((n, sStat, var18))
+    val zc = if (sStat > 0) sStat - 1.0 else if (sStat < 0) sStat + 1.0 else 0.0
+    row.getDouble(3) shouldBe
+      (math.round(zc / math.sqrt(var18 / 18.0) * 1e4) / 1e4) +- 1e-9
+    // the gap-filled zero days are one big tie group: correction binds
+    tieTerm should be > 0L
+    var18 should be > 0L
+  }
+
   "Temporal.newReturning" should "replay the acquisition split and conserve actives" in {
     val cm = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("o_custkey", "date_format(o_orderdate, 'yyyy-MM') AS month")
