@@ -328,7 +328,65 @@ object Sketches {
           .as("pred_e6"))
   }
 
+  // ------------------------------------------------------ Count-Sketch
+
+  /** Count-Sketch sign hash: ±1 from an independent affine family —
+    * same 2^62-safe integer arithmetic as [[bucket]].
+    */
+  private val SAs = Seq(49979687L, 67867967L, 86028121L)
+  private val SBs = Seq(2750159L, 4256233L, 5800079L)
+
+  private def csBucket(u: Column, j: Int): Column =
+    pmod(pmod(u, lit(P)) * lit(As(j)) + lit(Bs(j)), lit(P)) % lit(64L)
+
+  private def csSign(u: Column, j: Int): Column =
+    lit(1L) - lit(2L) * (pmod(pmod(u, lit(P)) * lit(SAs(j)) + lit(SBs(j)),
+      lit(P)) % lit(2L))
+
+  private def csCellArray(u: Column): Column =
+    array((0 until 3).map(j =>
+      struct(lit(j).cast("long").as("j"), csBucket(u, j).as("bucket"),
+        csSign(u, j).as("sign"))): _*)
+
+  /** Count-Sketch point estimates (`sketch_countsketch`, r13): the
+    * SIGNED sibling of [[cmsUsers]] — each update adds ±1 per hash row
+    * (Charikar-Chen-Farach-Colton), so colliding keys cancel in
+    * expectation and the estimator is UNBIASED where CMS only
+    * overestimates; the estimate is the MEDIAN over the 3 per-row
+    * signed reads, exact on integers (sort 3 Longs, take the middle —
+    * `array_sort` + element_at, no float ever). Same scale shape as
+    * the CMS: the sketch is one map-side-combinable aggregate to 3×64
+    * signed counter cells, probes are the exact top-10 heavy users
+    * (already computed by the CMS query family) equi-joined against
+    * sketch-sized state. Reported vs exact counts with the signed
+    * error — negative errors PROVE the unbiased-not-overestimate
+    * contrast with `sketch_cms_users` under the same hash gate; the
+    * whole trajectory (buckets, signs, cells, medians) is integer
+    * arithmetic DuckDB replays bit-for-bit.
+    */
+  def countSketch(s: SparkSession, d: String): DataFrame = {
+    val cells = Sources.events(s, d)
+      .select(explode(csCellArray(col("user_id"))).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.bucket").as("bucket"))
+      .agg(sum(col("c.sign")).as("cell"))
+    val exact = Sources.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+    val probes = exact.select(col("user_id"), col("exact_cnt"),
+      explode(csCellArray(col("user_id"))).as("c"))
+      .select(col("user_id"), col("exact_cnt"), col("c.j").as("j"),
+        col("c.bucket").as("bucket"), col("c.sign").as("sign"))
+    probes.join(cells, Seq("j", "bucket"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(element_at(array_sort(collect_list(col("sign") * col("cell"))), 2)
+        .as("cs_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cs_est"),
+        (col("cs_est") - col("exact_cnt")).as("err"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_countsketch" -> (countSketch _),
     "sketch_bloom_fpr" -> (bloomFpr _),
     "sketch_theta_intersect" -> (thetaIntersect _),
     "sketch_cms_users" -> (cmsUsers _),
@@ -340,6 +398,36 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    // signed cells and the 3-read median are pure integers; the
+    // quantile_disc middle element equals the engine's sorted-array
+    // element 2 of 3 exactly
+    "sketch_countsketch" ->
+      """WITH hp AS (SELECT * FROM (VALUES
+        |   (0, 1103515245, 12345, 49979687, 2750159),
+        |   (1, 1299709, 7919, 67867967, 4256233),
+        |   (2, 15485863, 104729, 86028121, 5800079)) t(j, a, b, sa, sb)),
+        | cells AS (SELECT h.j,
+        |    ((user_id % 2147483647) * a + b) % 2147483647 % 64 AS bucket,
+        |    1 - 2 * (((user_id % 2147483647) * sa + sb) % 2147483647 % 2)
+        |      AS sign
+        |  FROM events, hp h),
+        | sketch AS (SELECT j, bucket, CAST(sum(sign) AS BIGINT) AS cell
+        |  FROM cells GROUP BY 1, 2),
+        | top10 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY 1
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        | probes AS (SELECT t.user_id, t.exact_cnt, h.j,
+        |    ((t.user_id % 2147483647) * a + b) % 2147483647 % 64 AS bucket,
+        |    1 - 2 * (((t.user_id % 2147483647) * sa + sb) % 2147483647 % 2)
+        |      AS sign
+        |  FROM top10 t, hp h)
+        |SELECT p.user_id, p.exact_cnt,
+        | CAST(quantile_disc(p.sign * s.cell, 0.5) AS BIGINT) AS cs_est,
+        | CAST(quantile_disc(p.sign * s.cell, 0.5) AS BIGINT) - p.exact_cnt
+        |   AS err
+        |FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+        |GROUP BY p.user_id, p.exact_cnt
+        |ORDER BY exact_cnt DESC, user_id""".stripMargin,
     // the whole Bloom trajectory — positions, fill, probe verdicts,
     // both rates — is exact integer arithmetic in both engines
     "sketch_bloom_fpr" ->

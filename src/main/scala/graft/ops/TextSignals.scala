@@ -818,7 +818,106 @@ object TextSignals {
       .orderBy("term")
   }
 
+  /** RAKE keyword extraction (`text_rake_keywords`, r13): Rapid
+    * Automatic Keyword Extraction (Rose et al. 2010) — candidate
+    * phrases are the maximal stopword-free token runs, scored by
+    * Σ deg(w)/freq(w) over member occurrences, where freq counts a
+    * word's phrase occurrences and deg additionally credits the length
+    * of each hosting phrase (so words that live in long multi-word
+    * phrases outrank equally-frequent isolated ones). The degree/freq
+    * ratio rounds onto the e4 lattice PER WORD before the phrase sum
+    * (the psi rule — no cross-engine float accumulation; deg, freq > 0
+    * so Spark `div` and DuckDB `//` agree). Plan: runs form by
+    * gaps-and-islands over DOC-LOCAL positions (windows partition by
+    * doc_id — bounded by document length, never corpus-wide); the
+    * word-score table is vocabulary-sized; the phrase-score join is a
+    * plain equi-join on the word (scale-safe — no broadcast assumption
+    * on the vocabulary); top-20 via TakeOrderedAndProject.
+    */
+  def rakeKeywords(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val tok = Sources.documents(s, d)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .toDF("doc_id", "pos", "w")
+      .filter(col("w") =!= "" && !col("w").isin(stop: _*))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = tok.withColumn("grp", col("pos") - row_number().over(byDoc))
+    val occ = runs.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+    val occP = occ.pinned(eager = false) // feeds word stats AND phrase assembly
+    val wordScore = occP.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore_e4", expr("(10000L * deg) div freq"))
+    val phrases = occP.groupBy("doc_id", "grp")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("phrase"))
+    val phraseCounts = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occur"))
+    val scored = phraseCounts
+      .select(col("phrase"), col("n_occur"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScore.select("w", "wscore_e4"), Seq("w"))
+      .groupBy("phrase", "n_occur")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("wscore_e4").as("score_e4"))
+    scored.orderBy(col("score_e4").desc, col("phrase")).limit(20)
+      .select(col("phrase"), col("n_words"), col("n_occur"), col("score_e4"))
+      .orderBy(col("score_e4").desc, col("phrase"))
+  }
+
+  /** Heaps-law vocabulary growth (`text_heaps_law`, r13): V(N) at
+    * nested 25/50/75/100 % hash-prefix corpus budgets — the curve that
+    * tells a data buyer whether more corpus still buys new vocabulary
+    * (V ~ K·N^β, β < 1; β̂ near 1 means the corpus keeps minting tokens
+    * — or near-duplicate inflation, the corpus-level twin of the
+    * per-doc repetition filters). Budget membership is the
+    * `ml_learning_curve_frozen` discipline: the Knuth-hash quartile
+    * band of doc_id, so the budgets NEST and the whole trajectory sits
+    * under the hash gate. One token pass: cum tokens = per-band sums;
+    * cum vocabulary WITHOUT re-scanning per budget = each word
+    * contributes at its MINIMUM band (the first budget containing it)
+    * — a vocabulary-sized min-aggregate, then a 4-row cumulative
+    * window (bounded by the published band count, not by data). β̂ vs
+    * the 25 % base = ln(V/V₀)/ln(N/N₀), one mirrored double per row,
+    * 0 at the base by convention.
+    */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    val tok = Sources.documents(s, d)
+      .withColumn("band", least(
+        expr("(((doc_id * 2654435761L) % 4294967296L) % 1000000L) div 250000L"),
+        lit(3L)))
+      .select(col("band"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val tokP = tok.pinned(eager = false) // feeds the token census and the vocab min
+    val nt = tokP.groupBy("band").agg(count(lit(1)).as("nt"))
+    val nv = tokP.groupBy("w").agg(min("band").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("nv"))
+    val w4 = Window.orderBy("band") // 4 rows — band-domain-bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // LEFT join: a band with no first-seen words still emits its row
+    // (the fixture vocabulary saturates inside the 25 % budget — that
+    // flat V(N) tail IS the Heaps read, not a row to drop)
+    val cum = nt.join(nv, Seq("band"), "left")
+      .withColumn("n_tokens", sum("nt").over(w4))
+      .withColumn("n_vocab", sum(coalesce(col("nv"), lit(0L))).over(w4))
+      .pinned(eager = false) // 4 rows, two consumers (base + output)
+    val base = cum.filter(col("band") === 0)
+      .select(col("n_tokens").as("nt0"), col("n_vocab").as("nv0"))
+    def D(c: Column): Column = c.cast("double")
+    cum.crossJoin(broadcast(base)) // 1-row aggregate attach
+      .select(((col("band") + 1) * 25).as("f_pct"),
+        col("n_tokens"), col("n_vocab"),
+        when(col("band") === 0, lit(0.0)).otherwise(
+          graft.functions.Num.roundNorm(
+            log(D(col("n_vocab")) / D(col("nv0"))) /
+              log(D(col("n_tokens")) / D(col("nt0"))), 6)).as("beta_hat"))
+      .orderBy("f_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keywords" -> (rakeKeywords _),
+    "text_heaps_law" -> (heapsLaw _),
     "search_eval_ndcg" -> (searchEvalNdcg _),
     "search_eval_mrr" -> (searchEvalMrr _),
     "text_keyness" -> (keyness _),
@@ -844,6 +943,57 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    // same stopword-delimited islands, per-word e4 floor BEFORE the
+    // phrase sum, identical (score desc, phrase) top-20
+    "text_rake_keywords" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | t AS (SELECT doc_id, unnest(ws) AS w,
+        |   generate_subscripts(ws, 1) AS pos FROM w),
+        | ns AS (SELECT doc_id, w, pos FROM t WHERE w <> '' AND w NOT IN
+        |   ('the','a','of','and','to','in','is','it','for','on')),
+        | runs AS (SELECT doc_id, w, pos, pos - row_number()
+        |   OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM ns),
+        | occ AS (SELECT doc_id, grp, w, pos,
+        |   count(*) OVER (PARTITION BY doc_id, grp) AS plen FROM runs),
+        | wst AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |   CAST(sum(plen) AS BIGINT) AS deg FROM occ GROUP BY 1),
+        | wsc AS (SELECT w, (10000 * deg) // freq AS wscore_e4 FROM wst),
+        | phr AS (SELECT doc_id, grp,
+        |   string_agg(w, ' ' ORDER BY pos) AS phrase FROM occ GROUP BY 1, 2),
+        | pc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur
+        |  FROM phr GROUP BY 1),
+        | pw AS (SELECT phrase, n_occur,
+        |   unnest(string_split(phrase, ' ')) AS w FROM pc),
+        | psc AS (SELECT phrase, n_occur,
+        |   CAST(count(*) AS BIGINT) AS n_words,
+        |   CAST(sum(wscore_e4) AS BIGINT) AS score_e4
+        |  FROM pw JOIN wsc USING (w) GROUP BY 1, 2)
+        |SELECT phrase, n_words, n_occur, score_e4
+        |FROM psc ORDER BY score_e4 DESC, phrase LIMIT 20""".stripMargin,
+    // same Knuth quartile bands, min-band vocabulary attribution,
+    // 4-row cumulative, one mirrored log-ratio per row
+    "text_heaps_law" ->
+      """WITH tok AS (SELECT
+        |   least((((doc_id * 2654435761) % 4294967296) % 1000000) // 250000, 3)
+        |     AS band,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        | tk AS (SELECT band, w FROM tok WHERE w <> ''),
+        | nt AS (SELECT band, CAST(count(*) AS BIGINT) AS nt
+        |  FROM tk GROUP BY 1),
+        | nv AS (SELECT band, CAST(count(*) AS BIGINT) AS nv FROM
+        |  (SELECT w, min(band) AS band FROM tk GROUP BY 1) GROUP BY 1),
+        | cum AS (SELECT band,
+        |   CAST(sum(nt.nt) OVER (ORDER BY band) AS BIGINT) AS n_tokens,
+        |   CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY band) AS BIGINT)
+        |     AS n_vocab
+        |  FROM nt LEFT JOIN nv USING (band)),
+        | base AS (SELECT n_tokens AS nt0, n_vocab AS nv0 FROM cum
+        |  WHERE band = 0)
+        |SELECT CAST((band + 1) * 25 AS BIGINT) AS f_pct, n_tokens, n_vocab,
+        | CASE WHEN band = 0 THEN 0.0 ELSE
+        |   round(ln(n_vocab::DOUBLE / nv0::DOUBLE)
+        |     / ln(n_tokens::DOUBLE / nt0::DOUBLE), 6) + 0.0 END AS beta_hat
+        |FROM cum, base ORDER BY f_pct""".stripMargin,
     // same ranked lists as the MRR oracle; the frozen 10-constant
     // pure-BIGINT VMR via the moment identity; zero-count docs enter
     // through N, never through an explode

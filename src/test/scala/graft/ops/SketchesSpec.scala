@@ -142,4 +142,37 @@ class SketchesSpec extends SparkSpec {
     // fill-rate prediction is in the same decade as the measurement
     row.getLong(4) should be < 500000L
   }
+
+  "Sketches.countSketch (r13)" should "replay signed cells and the 3-read median" in {
+    val keys = Sources.events(spark, sfDir)
+      .select("user_id").collect().map(_.getLong(0))
+    val P = 2147483647L
+    val as = Seq(1103515245L, 1299709L, 15485863L)
+    val bs = Seq(12345L, 7919L, 104729L)
+    val sas = Seq(49979687L, 67867967L, 86028121L)
+    val sbs = Seq(2750159L, 4256233L, 5800079L)
+    def bucket(u: Long, j: Int): Long = ((u % P) * as(j) + bs(j)) % P % 64L
+    def sign(u: Long, j: Int): Long = 1L - 2L * (((u % P) * sas(j) + sbs(j)) % P % 2L)
+    val cells = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+    keys.foreach { u =>
+      (0 until 3).foreach { j =>
+        val c = (j, bucket(u, j)); cells(c) = cells.getOrElse(c, 0L) + sign(u, j)
+      }
+    }
+    val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top10 = exact.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val want = top10.map { case (u, cnt) =>
+      val reads = (0 until 3).map(j => sign(u, j) * cells((j, bucket(u, j))))
+      (u, cnt, reads.sorted.apply(1))
+    }
+    val got = Sketches.countSketch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got.map(t => (t._1, t._2, t._3)) shouldBe want
+    // the estimate is signed-error (unbiased), not overestimate-only:
+    // err = est - exact, and the median read lands near the truth
+    got.foreach { case (_, cnt, est, err) =>
+      err shouldBe est - cnt
+      math.abs(err) should be < cnt // heavy hitters dominate their cells
+    }
+  }
 }

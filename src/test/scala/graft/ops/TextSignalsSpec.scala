@@ -437,4 +437,65 @@ class TextSignalsSpec extends SparkSpec {
     got.foreach(_._6 should be >= 0L)
     got.head._6 should be > 0L
   }
+
+  "TextSignals.rakeKeywords (r13)" should "replay the RAKE phrase scores" in {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // phrases: maximal stopword-free runs, per doc
+    val phraseOcc = texts.flatMap { case (_, t) =>
+      val ws = t.split(" ", -1)
+      val runs = scala.collection.mutable.ListBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      ws.foreach { w =>
+        if (w.isEmpty || stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur ::= w
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.toList
+    }
+    val freq = phraseOcc.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val deg = phraseOcc.flatMap(p => p.map(w => (w, p.length.toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wscore = freq.keys.map(w => (w, 10000L * deg(w) / freq(w))).toMap
+    val byPhrase = phraseOcc.map(p => p.mkString(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val scored = byPhrase.toSeq.map { case (ph, nOcc) =>
+      val pws = ph.split(" ")
+      (ph, pws.length.toLong, nOcc, pws.map(wscore).sum)
+    }
+    val want = scored.sortBy(t => (-t._4, t._1)).take(20)
+    val got = TextSignals.rakeKeywords(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // multi-word phrases must reach the head — the degree term binds
+    got.count(_._2 >= 2) should be > 0
+  }
+
+  "TextSignals.heapsLaw (r13)" should "replay nested-budget vocab growth" in {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = texts.flatMap { case (id, t) =>
+      val band = math.min((id * 2654435761L) % 4294967296L % 1000000L / 250000L, 3L)
+      t.split(" ", -1).filter(_.nonEmpty).map(w => (band, w))
+    }
+    val ntC = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val minBand = toks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val want = (0L to 3L).map { b =>
+      val nTok = (0L to b).map(x => ntC.getOrElse(x, 0L)).sum
+      val nVoc = minBand.values.count(_ <= b).toLong
+      ((b + 1) * 25, nTok, nVoc)
+    }
+    val got = TextSignals.heapsLaw(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.map(t => (t._1, t._2, t._3)).toSeq shouldBe want
+    got.head._4 shouldBe 0.0
+    // budgets nest: both curves are monotone nondecreasing, and beta
+    // stays in [0, 1] (vocabulary can't grow faster than tokens)
+    got.map(_._2).toSeq shouldBe got.map(_._2).sorted.toSeq
+    got.map(_._3).toSeq shouldBe got.map(_._3).sorted.toSeq
+    got.tail.foreach(_._4 should (be >= 0.0 and be <= 1.0))
+  }
 }
