@@ -1262,7 +1262,52 @@ object Graph {
       .orderBy("anc_id")
   }
 
+  /** Rich-club coefficients (`graph_rich_club`, r13): φ(k) =
+    * 2·E_k/(N_k·(N_k−1)) over the hubs of degree > k for the published
+    * thresholds k ∈ {2, 4, 8} — the network-science read of whether
+    * high-degree parts preferentially co-purchase with EACH OTHER
+    * (φ(k) rising with k = an elite densely-wired core; the metric
+    * behind "rich-club ordering" in Colizza et al. 2006). Plan: one
+    * distinct canonical-edge table off the session-materialized strong
+    * graph, a node-sized degree aggregate, ×3 threshold fan-out of the
+    * club membership, and two semi-join passes to count in-club edges
+    * — every intermediate is node- or edge-sized, the thresholds are a
+    * 3-row literal domain, φ ships as an exact e6 floor (N_k < 2 emits
+    * the 0 sentinel by published convention).
+    */
+  def richClub(s: SparkSession, d: String): DataFrame = {
+    val es = strongEdges(s, d)
+    val canon = Checkpoints.pin(
+      es.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      eager = false) // feeds the degree table AND the in-club edge count
+    val deg = canon.select(col("u").as("node"), col("v").as("nb"))
+      .union(canon.select(col("v").as("node"), col("u").as("nb")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val clubs = deg.withColumn("k", explode(array(lit(2L), lit(4L), lit(8L))))
+      .filter(col("deg") > col("k"))
+      .select("k", "node")
+    val nk = clubs.groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = canon
+      .join(clubs.withColumnRenamed("node", "u"), Seq("u"))
+      .join(clubs.withColumnRenamed("node", "v"), Seq("k", "v"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    // drive from the literal k domain: an EMPTY club is a result
+    // (n_nodes = 0, phi = 0 sentinel), not a dropped row
+    val kDom = s.range(0, 3).select((pow(lit(2.0),
+      col("id") + 1)).cast("long").as("k"))
+    kDom.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(coalesce(col("n_nodes"), lit(0L)) >= 2,
+          expr("(2000000L * coalesce(n_edges, 0L)) div (n_nodes * (n_nodes - 1L))"))
+          .otherwise(lit(0L)).as("phi_e6"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_rich_club" -> (richClub _),
     "graph_subtree_rollup" -> (subtreeRollup _),
     "graph_modularity" -> (modularity _),
     "graph_bfs_layers" -> (bfsLayers _),
@@ -1399,6 +1444,35 @@ object Graph {
        |ORDER BY r DESC, part LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same strong graph, same canonical edges/degrees, exact e6 floors
+    "graph_rich_club" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | canon AS (SELECT DISTINCT least(src, dst) AS u,
+        |    greatest(src, dst) AS v FROM st WHERE src <> dst),
+        | deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |   SELECT u AS node, v AS nb FROM canon
+        |   UNION ALL SELECT v, u FROM canon) GROUP BY 1),
+        | clubs AS (SELECT k, node FROM deg, unnest([2, 4, 8]) t(k)
+        |   WHERE deg > k),
+        | nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+        |   FROM clubs GROUP BY 1),
+        | ek AS (SELECT cu.k, CAST(count(*) AS BIGINT) AS n_edges
+        |   FROM canon c JOIN clubs cu ON c.u = cu.node
+        |    JOIN clubs cv ON c.v = cv.node AND cu.k = cv.k
+        |   GROUP BY 1),
+        | kd AS (SELECT CAST(k AS BIGINT) AS k FROM unnest([2, 4, 8]) t(k))
+        |SELECT kd.k, CAST(coalesce(n_nodes, 0) AS BIGINT) AS n_nodes,
+        | CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+        | CASE WHEN coalesce(n_nodes, 0) >= 2 THEN
+        |   (2000000 * coalesce(n_edges, 0)) // (n_nodes * (n_nodes - 1))
+        |  ELSE 0 END AS phi_e6
+        |FROM kd LEFT JOIN nk ON kd.k = nk.k LEFT JOIN ek ON kd.k = ek.k
+        |ORDER BY kd.k""".stripMargin,
     // recursive CTE over the same decimal-radix parent relation — the
     // pointer-doubling closure must reproduce it pair-for-pair
     "graph_subtree_rollup" ->

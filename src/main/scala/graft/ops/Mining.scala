@@ -368,7 +368,55 @@ object Mining {
         col("growth_e4"))
       .orderBy(col("growth_e4").desc, col("l_partkey"))
 
+  /** Gap-constrained sequential pairs (`mining_seq_gap`, r13): user u
+    * supports a→b within the published 15-minute gap iff some b-event
+    * lands in (tₐ, tₐ + 900 s] after some a-event — the max-gap GSP
+    * variant. The crucial structural point vs [[seqPairs]]: a gap
+    * constraint DESTROYS the min/max reduction (the witness pair must
+    * be temporally LOCAL, so per-(user, type) extremes no longer
+    * decide support) — the honest plan needs a per-user event pair
+    * join, and the scale-safe form is the banding trick: equi-join on
+    * (user, 15-min time bucket) with the a-side exploded to {bkt,
+    * bkt+1} (any pair within the gap co-occupies same-or-adjacent
+    * buckets — completeness by construction, the [[Geo]] 3×3-cell
+    * argument in one dimension). Candidates are bounded by per-(user ×
+    * bucket) density, never events²; a pair is counted once (exactly
+    * one of the two a-copies matches the b bucket). Support_any rides
+    * along from the [[seqPairs]] reduction so the row shows the gap
+    * BINDING (support_gap ≪ support_any on every pair). The oracle is
+    * the unbanded quadratic truth — hash equality proves the banding
+    * drops no witness.
+    */
+  def seqGapPairs(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 900000000L // 15 min, published
+    val ev = graft.io.Checkpoints.pin(
+      Sources.events(s, d).select(col("user_id"), col("event_type").as("t"),
+        unix_micros(col("ts")).as("us")),
+      eager = false) // feeds both pair sides and the any-support agg
+    val a = ev.select(col("user_id"), col("t").as("type_a"), col("us").as("ua"))
+      .withColumn("bkt", explode(array(
+        expr(s"ua div ${gapUs}L"), expr(s"ua div ${gapUs}L + 1L"))))
+    val b = ev.select(col("user_id"), col("t").as("type_b"), col("us").as("ub"),
+      expr(s"us div ${gapUs}L").as("bkt"))
+    val gap = a.join(b, Seq("user_id", "bkt"))
+      .filter(col("ub") > col("ua") && col("ub") - col("ua") <= gapUs)
+      .select("user_id", "type_a", "type_b").distinct()
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("support_gap"))
+    val ut = ev.groupBy("user_id", "t")
+      .agg(min("us").as("first_us"), max("us").as("last_us"))
+    val any = ut.select(col("user_id"), col("t").as("type_a"), col("first_us"))
+      .join(ut.select(col("user_id"), col("t").as("type_b"), col("last_us")),
+        "user_id")
+      .filter(col("first_us") < col("last_us"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("support_any"))
+    any.join(gap, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("support_any"),
+        coalesce(col("support_gap"), lit(0L)).as("support_gap"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mining_seq_gap" -> (seqGapPairs _),
     "mining_emerging_patterns" -> (emergingPatterns _),
     "mining_seq_triples" -> (seqTriples _),
     "mining_seq_pairs" -> (seqPairs _),
@@ -414,6 +462,28 @@ object Mining {
         |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // the min/max reduction must equal the existential definition —
     // DuckDB replays the same (user, type) agg + bounded pair join
+    // the UNBANDED quadratic truth — hash equality proves the
+    // (user, bucket)±1 banding loses no witness pair
+    "mining_seq_gap" ->
+      """WITH ev AS (SELECT user_id, event_type AS t, epoch_us(ts) AS us
+        |   FROM events),
+        | g AS (SELECT DISTINCT a.user_id, a.t AS type_a, b.t AS type_b
+        |   FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND b.us > a.us AND b.us - a.us <= 900000000),
+        | gc AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT)
+        |     AS support_gap FROM g GROUP BY 1, 2),
+        | ut AS (SELECT user_id, event_type AS t,
+        |    min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |   FROM events GROUP BY 1, 2),
+        | ac AS (SELECT a.t AS type_a, b.t AS type_b,
+        |    CAST(count(*) AS BIGINT) AS support_any
+        |   FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.first_us < b.last_us
+        |   GROUP BY 1, 2)
+        |SELECT ac.type_a, ac.type_b, support_any,
+        | CAST(coalesce(support_gap, 0) AS BIGINT) AS support_gap
+        |FROM ac LEFT JOIN gc USING (type_a, type_b)
+        |ORDER BY type_a, type_b""".stripMargin,
     "mining_seq_pairs" ->
       """WITH ut AS (SELECT user_id, event_type AS t,
         |    min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us

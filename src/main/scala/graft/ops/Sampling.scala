@@ -472,7 +472,49 @@ object Sampling {
           col("t_true")).as("err"))
   }
 
+  /** Horvitz-Thompson estimation under Poisson sampling
+    * (`sample_ht_poisson`, r13): the without-replacement half of the
+    * PPS pair — [[hhEstimator]] assumes with-replacement draws; a
+    * Poisson design includes each order INDEPENDENTLY with
+    * size-proportional probability π_i = min(1, m·yᵢ/T) (m = 200
+    * published target size, certainty units capped at 1 — the cap is
+    * the part textbooks gloss over and the census column makes
+    * visible). Inclusion is the Knuth-hash lattice u(key) < π_e6, so
+    * the whole draw is engine-replayable; t̂_HT = Σ_incl yᵢ/πᵢ with
+    * each yᵢ/πᵢ floored onto cents PER ROW (psi rule); the Poisson
+    * variance estimate V̂ = Σ_incl (1−πᵢ)(yᵢ/πᵢ)² accumulates on the
+    * hundred-dollar lattice (terms ≤ ~1.2e14 — Long-exact to ~7e4
+    * sampled rows; at larger m the unit coarsens, the
+    * [[Stats.momentsProfile]] knob). Plan: one corpus aggregate for T
+    * (1-row broadcast attach), one map-side inclusion filter, one
+    * aggregate — no shuffle wider than the final 1-row reduce.
+    */
+  def htPoisson(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d).select(col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+    val tot = o.agg(sum("cents").as("t_cents"), count(lit(1)).as("n_pop"))
+    val withPi = o.crossJoin(broadcast(tot))
+      .withColumn("pi_e6",
+        least(lit(1000000L), expr("(200L * cents * 1000000L) div t_cents")))
+      .withColumn("u",
+        pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)) % 1000000L)
+      .filter(col("u") < col("pi_e6"))
+      .withColumn("y_over_pi", expr("(cents * 1000000L) div pi_e6"))
+      .withColumn("yk", expr("(cents div 100000L) * 1000000L div pi_e6"))
+      .withColumn("v_term",
+        expr("(((1000000L - pi_e6) * yk) div 1000000L) * yk"))
+    withPi.agg(
+        max("n_pop").as("n_pop"), max("t_cents").as("t_true_cents"),
+        count(lit(1)).as("n_sampled"),
+        sum(when(col("pi_e6") === 1000000L, 1L).otherwise(0L))
+          .as("n_certainty"),
+        sum("y_over_pi").as("t_ht_cents"),
+        sum("v_term").as("v_hat_kusd2"))
+      .withColumn("err_cents", col("t_ht_cents") - col("t_true_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_ht_poisson" -> (htPoisson _),
     "sample_pps_systematic" -> (ppsSystematic _),
     "sample_hh_estimator" -> (hhEstimator _),
     "sample_ess_weights" -> (essWeights _),
@@ -605,6 +647,33 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // same capped pi_e6 lattice, same Knuth inclusion, per-row floors
+    // for y/pi (cents) and the variance term (hundred-dollar units)
+    "sample_ht_poisson" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        | tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t_cents,
+        |    CAST(count(*) AS BIGINT) AS n_pop FROM o),
+        | incl AS (SELECT cents,
+        |    least(1000000, (200 * cents * 1000000) // t_cents) AS pi_e6
+        |   FROM o, tot
+        |   WHERE (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(1000000, (200 * cents * 1000000) // t_cents)),
+        | terms AS (SELECT pi_e6,
+        |    (cents * 1000000) // pi_e6 AS y_over_pi,
+        |    (((1000000 - pi_e6) * ((cents // 100000) * 1000000 // pi_e6))
+        |      // 1000000) * ((cents // 100000) * 1000000 // pi_e6) AS v_term
+        |   FROM incl)
+        |SELECT (SELECT n_pop FROM tot) AS n_pop,
+        | (SELECT t_cents FROM tot) AS t_true_cents,
+        | CAST(count(*) AS BIGINT) AS n_sampled,
+        | CAST(sum(CASE WHEN pi_e6 = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_certainty,
+        | CAST(sum(y_over_pi) AS BIGINT) AS t_ht_cents,
+        | CAST(sum(v_term) AS BIGINT) AS v_hat_kusd2,
+        | CAST(sum(y_over_pi) AS BIGINT) - (SELECT t_cents FROM tot)
+        |   AS err_cents
+        |FROM terms""".stripMargin,
     // same frozen start, same +2s positivity shift — the Spark div and
     // DuckDB // agree because every numerator stays positive
     "sample_pps_systematic" ->

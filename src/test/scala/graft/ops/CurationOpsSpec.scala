@@ -380,4 +380,34 @@ class CurationOpsSpec extends SparkSpec {
     // a unit spanning more than one step gets multiple hits iff any do
     got.foreach { case (_, sz, _, h) => h should be <= sz / step + 1 }
   }
+
+  "Sampling.htPoisson (r13)" should "replay the capped-pi inclusion and both estimators" in {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS LONG) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val t = orders.map(_._2).sum
+    val incl = orders.flatMap { case (k, c) =>
+      val pi = math.min(1000000L, 200L * c * 1000000L / t)
+      val u = (k * 2654435761L) % 4294967296L % 1000000L
+      if (u < pi) Some((c, pi)) else None
+    }
+    val tHt = incl.map { case (c, pi) => c * 1000000L / pi }.sum
+    val vHat = incl.map { case (c, pi) =>
+      val yk = (c / 100000L) * 1000000L / pi
+      ((1000000L - pi) * yk) / 1000000L * yk
+    }.sum
+    val row = Sampling.htPoisson(spark, sfDir).collect().head
+    row.getLong(0) shouldBe orders.length.toLong
+    row.getLong(1) shouldBe t
+    row.getLong(2) shouldBe incl.length.toLong
+    row.getLong(3) shouldBe incl.count(_._2 == 1000000L).toLong
+    row.getLong(4) shouldBe tHt
+    row.getLong(5) shouldBe vHat
+    row.getLong(6) shouldBe tHt - t
+    // HT is unbiased: the draw's error is well inside 3 sigma of the
+    // design (sigma^2 ~ vHat in hundred-dollar^2 units)
+    val sigmaCents = math.sqrt(vHat.toDouble) * 100000.0
+    math.abs((tHt - t).toDouble) should be < 4.0 * sigmaCents
+    incl.length should be > 50 // the design lands near its target size
+  }
 }

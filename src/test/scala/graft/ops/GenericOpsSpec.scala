@@ -271,6 +271,35 @@ class GenericOpsSpec extends SparkSpec {
     got shouldBe perUser
   }
 
+  "Mining.seqGapPairs (r13)" should "equal the unbanded gap-witness definition" in {
+    val evs = graft.io.Sources.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val gapUs = 900000000L
+    val byUser = evs.groupBy(_._1).values
+    val gapSup = byUser.flatMap { rows =>
+      (for {
+        (_, ta, ua) <- rows
+        (_, tb, ub) <- rows
+        if ub > ua && ub - ua <= gapUs
+      } yield (ta, tb)).toSet
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val anySup = byUser.flatMap { rows =>
+      (for { (_, ta, ua) <- rows; (_, tb, ub) <- rows if ua < ub }
+        yield (ta, tb)).toSet
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Mining.seqGapPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    got.view.mapValues(_._2).toMap.filter(_._2 > 0) shouldBe gapSup
+    got.view.mapValues(_._1).toMap shouldBe anySup
+    // the gap genuinely binds: every support shrinks or holds, and
+    // at least one pair loses most of its unconstrained support
+    got.values.foreach { case (anyC, gapC) => gapC should be <= anyC }
+    got.values.exists { case (anyC, gapC) => gapC * 2 < anyC } shouldBe true
+  }
+
   "Mining.seqTriples" should "equal the brute-force three-event definition" in {
     val evs = graft.io.Sources.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")))

@@ -634,4 +634,34 @@ class GraphSpec extends SparkSpec {
     got shouldBe want
     got should not be empty
   }
+
+  "Graph.richClub (r13)" should "replay phi(k) over the strong-graph hubs" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val dirPairs = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.toSeq
+    val strong = dirPairs.groupBy(identity).filter(_._2.size >= 2).keySet
+    val canon = strong.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(t => t._1 != t._2)
+    val deg = canon.toSeq.flatMap(t => Seq(t._1, t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = Seq(2L, 4L, 8L).map { k =>
+      val club = deg.filter(_._2 > k).keySet
+      val nk = club.size.toLong
+      val ekC = canon.count(t => club(t._1) && club(t._2)).toLong
+      (k, nk, ekC, if (nk >= 2) 2000000L * ekC / (nk * (nk - 1)) else 0L)
+    }
+    val got = Graph.richClub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // clubs nest: tightening k can only shrink the club and its edges
+    got.map(_._2).reverse.toSeq shouldBe got.map(_._2).reverse.sorted.toSeq
+    got.map(_._3).reverse.toSeq shouldBe got.map(_._3).reverse.sorted.toSeq
+    got.head._2 should be > 0L // the loosest club is non-empty
+  }
 }
