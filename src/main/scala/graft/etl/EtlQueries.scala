@@ -381,7 +381,39 @@ object EtlQueries {
       .orderBy("range_start")
   }
 
+  /** Partition sizing plan (`etl_partition_plan`, r13): the
+    * write-side planning audit the reference's GOLD CTAS delegates to
+    * BigQuery's automatic repartitioning (`materialize_gold.py:70`) —
+    * before writing a month-partitioned table at 100 TB you must know
+    * which partitions need how many files, or you ship the small-file
+    * problem (thousands of KB files) or its dual (one 40 GB file no
+    * executor can read in parallel). Per o_orderdate month: row
+    * census, estimated bytes at the PUBLISHED 120 bytes/row average
+    * (schema-derived, frozen so the plan is replayable), file count =
+    * ceil(bytes / 128 MiB target) as pure integer arithmetic
+    * ((b + t − 1) div t), and the skew read pct_of_avg = (100·rows)
+    * div avg-rows — the flag a compaction scheduler (`io/Sinks`
+    * small-file compaction) consumes. One month-keyed aggregate + a
+    * 1-row broadcast attach; months are calendar-bounded.
+    */
+  def partitionPlan(s: SparkSession, d: String): DataFrame = {
+    val rowBytes = 120L
+    val targetBytes = 134217728L // 128 MiB
+    val byMonth = Sources.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"))
+    val avg = byMonth.agg(expr("sum(n_rows) div count(1)").as("avg_rows"))
+    byMonth.crossJoin(broadcast(avg)) // 1-row aggregate attach
+      .select(col("month"), col("n_rows"),
+        (col("n_rows") * rowBytes).as("est_bytes"),
+        expr(s"(n_rows * ${rowBytes}L + ${targetBytes - 1}L) div ${targetBytes}L")
+          .as("n_files"),
+        expr("(100L * n_rows) div avg_rows").as("pct_of_avg"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_partition_plan" -> (partitionPlan _),
     "etl_backfill_plan" -> (backfillPlan _),
     "etl_surrogate_keys" -> (surrogateKeys _),
     "etl_schema_evolution" -> (etlSchemaEvolution _),
@@ -399,6 +431,19 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same frozen 120 B/row and 128 MiB target, ceil by integer
+    // identity, avg by floor division
+    "etl_partition_plan" ->
+      """WITH bm AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |     AS month, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY 1),
+        | av AS (SELECT CAST(sum(n_rows) // count(*) AS BIGINT) AS avg_rows
+        |  FROM bm)
+        |SELECT month, n_rows,
+        | n_rows * 120 AS est_bytes,
+        | (n_rows * 120 + 134217727) // 134217728 AS n_files,
+        | (100 * n_rows) // avg_rows AS pct_of_avg
+        |FROM bm, av ORDER BY month""".stripMargin,
     // same spine, same anti-join, same epoch-day-minus-rank island key
     "etl_backfill_plan" ->
       """WITH daily AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day

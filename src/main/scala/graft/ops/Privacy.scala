@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -71,6 +72,47 @@ object Privacy {
       .select(col("c_nationkey"), col("bal_bucket"), col("class_size"),
         col("seg_diversity"), (col("seg_diversity") < L).as("l_violation"))
       .orderBy("c_nationkey", "bal_bucket")
+
+  /** Entropy l-diversity audit (`priv_entropy_ldiv`, r13): the
+    * STRICTER Machanavajjhala et al. variant [[lDiversity]]'s distinct
+    * count can't enforce — a class with 3 distinct segments but 98 %
+    * mass on one of them passes distinct-l yet leaks almost surely;
+    * entropy l-diversity requires H(sensitive | class) ≥ ln l. Per
+    * (class, segment) the term c·ln(n/c) rounds onto the e6 lattice
+    * PER SEGMENT ROW before the class sum (the `text_entropy_rate`
+    * discipline), the class entropy is ONE floor division h_e6 =
+    * Σterms div n, and the l = 3 bar is the published integer
+    * constant ln3_e6 = 1098612 — so the violation flag is an integer
+    * compare, never a float threshold. Both flags ship; rows where
+    * distinct-l passes but entropy-l fails are the audit's payload.
+    * Plan: one segment-level keyed agg (class count bounded by the QI
+    * domain), one class-level reduce.
+    */
+  def entropyLDiv(s: SparkSession, d: String): DataFrame = {
+    val segCounts = Sources.customer(s, d)
+      .select(col("c_nationkey"),
+        balBucket(col("c_acctbal")).cast("long").as("bal_bucket"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_bucket", "c_mktsegment")
+      .agg(count(lit(1)).as("c"))
+    val n = Window.partitionBy("c_nationkey", "bal_bucket")
+    val terms = segCounts
+      .withColumn("n", sum("c").over(n))
+      .withColumn("term_e6",
+        round(lit(1e6) * col("c").cast("double") *
+          log(col("n").cast("double") / col("c").cast("double")), 0)
+          .cast("long"))
+    terms.groupBy("c_nationkey", "bal_bucket")
+      .agg(max("n").as("class_size"),
+        count(lit(1)).as("seg_diversity"),
+        sum("term_e6").as("h_num_e6"))
+      .select(col("c_nationkey"), col("bal_bucket"), col("class_size"),
+        col("seg_diversity"),
+        expr("h_num_e6 div class_size").as("entropy_e6"),
+        (col("seg_diversity") < L).as("l_violation"),
+        (expr("h_num_e6 div class_size") < 1098612L).as("entropy_violation"))
+      .orderBy("c_nationkey", "bal_bucket")
+  }
 
   /** Integer CDF thresholds for the alpha = 1/2 two-sided geometric on
     * the 2²⁰ lattice: magnitude j iff u < T_j, tail collapsed at 9.
@@ -434,6 +476,7 @@ object Privacy {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_entropy_ldiv" -> (entropyLDiv _),
     "priv_dp_topk" -> (dpTopK _),
     "priv_ldp_mean" -> (ldpMean _),
     "priv_cell_suppression" -> (cellSuppression _),
@@ -455,6 +498,28 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-segment e6 terms BEFORE the class sum; ln(3)e6 = 1098612 is
+    // the published integer bar, so the flag is an integer compare
+    "priv_entropy_ldiv" ->
+      """WITH sc AS (SELECT c_nationkey,
+        |   (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+        |     AS bal_bucket,
+        |   c_mktsegment, CAST(count(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        | t AS (SELECT *, CAST(sum(c) OVER (PARTITION BY c_nationkey,
+        |     bal_bucket) AS BIGINT) AS n FROM sc),
+        | terms AS (SELECT c_nationkey, bal_bucket, n, c,
+        |   CAST(round(1e6 * c::DOUBLE * ln(n::DOUBLE / c::DOUBLE))
+        |     AS BIGINT) AS term_e6 FROM t)
+        |SELECT c_nationkey, bal_bucket,
+        | CAST(max(n) AS BIGINT) AS class_size,
+        | CAST(count(*) AS BIGINT) AS seg_diversity,
+        | CAST(sum(term_e6) AS BIGINT) // max(n) AS entropy_e6,
+        | count(*) < 3 AS l_violation,
+        | (CAST(sum(term_e6) AS BIGINT) // max(n)) < 1098612
+        |   AS entropy_violation
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY c_nationkey, bal_bucket""".stripMargin,
     // ranking decided on the noisy counts in both engines — the
     // released order is the mechanism's output, not the truth's
     "priv_dp_topk" ->

@@ -695,6 +695,62 @@ object Temporal {
       })
   }
 
+  /** Rescaled-range Hurst estimate (`ts_hurst_rs`, r13): Mandelbrot's
+    * R/S analysis over the gap-filled daily revenue series at the
+    * published dyadic window sizes {16, 32, 64} — the long-memory
+    * diagnostic (H ≈ 0.5 random walk, H > 0.5 persistent trends,
+    * H < 0.5 mean-reverting) that decides whether yesterday's load
+    * carries information about next week's, i.e. whether the
+    * forecasting family upstream of capacity planning is even
+    * applicable. Per full block of w days (hundred-dollar units — the
+    * lattice keeps w·Σx² − S² Long-exact to ~10⁹-dollar days): the
+    * range of w-scaled cumulative deviations Z_t = w·cum_t − (t+1)·S
+    * is exact BIGINT (Z_w = 0 by construction, so the zero anchor is
+    * always included), the denominator identity R/S =
+    * (maxZ − minZ)/√(w·Σx² − S²) makes the block statistic ONE
+    * mirrored double rounded e6 PER BLOCK before the per-w mean (psi
+    * rule; zero-variance blocks are excluded by published convention
+    * and the used-block census ships); Ĥ = ln(RS̄₆₄/RS̄₁₆)/ln 4 — one
+    * mirrored double off the e6 lattice. All windows partition by
+    * (w, block) — 16-to-64-row frames, calendar-bounded overall.
+    */
+  def hurstRs(s: SparkSession, d: String): DataFrame = {
+    val xb = dailyRevenueSeries(s, d)
+      .select(col("i"), expr("x div 100").as("x"))
+      .withColumn("w", explode(array(lit(16L), lit(32L), lit(64L))))
+      .withColumn("blk", expr("i div w"))
+      .withColumn("t", col("i") % col("w"))
+    val blkWin = Window.partitionBy("w", "blk")
+    val cumWin = blkWin.orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = xb
+      .withColumn("nblk", count(lit(1)).over(blkWin))
+      .filter(col("nblk") === col("w"))
+      .withColumn("sblk", sum("x").over(blkWin))
+      .withColumn("ssq", sum(col("x") * col("x")).over(blkWin))
+      .withColumn("cum", sum("x").over(cumWin))
+      .withColumn("z",
+        col("w") * col("cum") - (col("t") + 1) * col("sblk"))
+    val blocks = z.groupBy("w", "blk")
+      .agg((max("z") - min("z")).as("r_scaled"),
+        max(col("w") * col("ssq") - col("sblk") * col("sblk"))
+          .as("var_scaled"))
+      .filter(col("var_scaled") > 0)
+      .withColumn("rs_e6", round(lit(1e6) * col("r_scaled").cast("double") /
+        sqrt(col("var_scaled").cast("double")), 0).cast("long"))
+    val byW = blocks.groupBy("w")
+      .agg(count(lit(1)).as("nb"), sum("rs_e6").as("srs"))
+      .withColumn("rsbar_e6", expr("srs div nb"))
+    def pick(w: Long, c: String): Column = max(when(col("w") === w, col(c)))
+    byW.agg(
+        pick(16, "nb").as("n16"), pick(16, "rsbar_e6").as("rs16_e6"),
+        pick(32, "nb").as("n32"), pick(32, "rsbar_e6").as("rs32_e6"),
+        pick(64, "nb").as("n64"), pick(64, "rsbar_e6").as("rs64_e6"))
+      .withColumn("h_est", graft.functions.Num.roundNorm(
+        log(col("rs64_e6").cast("double") / col("rs16_e6").cast("double")) /
+          log(lit(4.0)), 6))
+  }
+
   /** Mann-Kendall trend test (`ts_mann_kendall`, r13): the
     * distribution-free monotone-trend detector that PAIRS with
     * [[theilSen]] — Sen's slope says how steep, Mann-Kendall says
@@ -1400,6 +1456,7 @@ object Temporal {
     "ts_twap" -> (twap _),
     "ts_theil_sen" -> (theilSen _),
     "ts_mann_kendall" -> (mannKendall _),
+    "ts_hurst_rs" -> (hurstRs _),
     "ts_seasonal_decompose" -> (seasonalDecompose _),
     "ts_kaplan_meier" -> (kaplanMeier _),
     "ts_mom_growth" -> (momGrowth _),
@@ -1436,6 +1493,44 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical block lattice, per-block e6 rounding before the mean,
+    // one mirrored H off the e6 integers
+    "ts_hurst_rs" ->
+      s"""WITH $seriesCte,
+        | xb AS (SELECT i, x // 100 AS x, w, (i // w) AS blk, i % w AS t
+        |  FROM ser, unnest([16, 32, 64]) ws(w)),
+        | zz AS (SELECT w, blk, i, t, x,
+        |   count(*) OVER (PARTITION BY w, blk) AS nblk,
+        |   CAST(sum(x) OVER (PARTITION BY w, blk) AS BIGINT) AS sblk,
+        |   CAST(sum(x * x) OVER (PARTITION BY w, blk) AS BIGINT) AS ssq,
+        |   CAST(sum(x) OVER (PARTITION BY w, blk ORDER BY i
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM xb),
+        | zf AS (SELECT w, blk, sblk, ssq,
+        |   w * cum - (t + 1) * sblk AS z FROM zz WHERE nblk = w),
+        | blocks AS (SELECT w, blk,
+        |   CAST(max(z) - min(z) AS BIGINT) AS r_scaled,
+        |   CAST(max(w * ssq - sblk * sblk) AS BIGINT) AS var_scaled
+        |  FROM zf GROUP BY 1, 2),
+        | rs AS (SELECT w,
+        |   CAST(round(1e6 * r_scaled::DOUBLE / sqrt(var_scaled::DOUBLE))
+        |     AS BIGINT) AS rs_e6
+        |  FROM blocks WHERE var_scaled > 0),
+        | byw AS (SELECT w, CAST(count(*) AS BIGINT) AS nb,
+        |   CAST(sum(rs_e6) AS BIGINT) // count(*) AS rsbar_e6
+        |  FROM rs GROUP BY 1),
+        | p AS (SELECT
+        |   max(CASE WHEN w = 16 THEN nb END) AS n16,
+        |   max(CASE WHEN w = 16 THEN rsbar_e6 END) AS rs16_e6,
+        |   max(CASE WHEN w = 32 THEN nb END) AS n32,
+        |   max(CASE WHEN w = 32 THEN rsbar_e6 END) AS rs32_e6,
+        |   max(CASE WHEN w = 64 THEN nb END) AS n64,
+        |   max(CASE WHEN w = 64 THEN rsbar_e6 END) AS rs64_e6
+        |  FROM byw)
+        |SELECT n16, rs16_e6, n32, rs32_e6, n64, rs64_e6,
+        | round(ln(rs64_e6::DOUBLE / rs16_e6::DOUBLE) / ln(4.0), 6) + 0.0
+        |   AS h_est
+        |FROM p""".stripMargin,
     // identical pair-sign sum, tie-corrected 18·Var, one mirrored z
     "ts_mann_kendall" ->
       s"""WITH $seriesCte,

@@ -100,4 +100,26 @@ class EtlQueriesSpec extends SparkSpec {
     got.map(_._1) shouldBe (1L to dim.length.toLong)
     got.map(_._4).sum shouldBe cust.length.toLong
   }
+
+  "EtlQueries.partitionPlan (r13)" should "replay the sizing arithmetic per month" in {
+    val months = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("date_format(o_orderdate, 'yyyy-MM') AS m")
+      .collect().map(_.getString(0))
+    val byM = months.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap.toSeq.sortBy(_._1)
+    val avgRows = byM.map(_._2).sum / byM.length
+    val want = byM.map { case (mth, n) =>
+      (mth, n, n * 120L, (n * 120L + 134217727L) / 134217728L,
+        100L * n / avgRows)
+    }
+    val got = EtlQueries.partitionPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // fixture months are far below one 128 MiB target file each, and
+    // the skew column is centered: some months above, some below avg
+    got.foreach(_._4 shouldBe 1L)
+    got.exists(_._5 > 100L) shouldBe true
+    got.exists(_._5 < 100L) shouldBe true
+  }
 }

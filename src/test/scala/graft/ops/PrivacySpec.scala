@@ -318,4 +318,31 @@ class PrivacySpec extends SparkSpec {
     math.abs(est - sumX / n) should be <
       (5.0 * 1000000.0 / math.sqrt(n.toDouble)).toLong
   }
+
+  "Privacy.entropyLDiv (r13)" should "replay per-class entropy on the e6 lattice" in {
+    val rows = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("CAST(c_nationkey AS LONG) AS nat",
+        "(CAST(round(c_acctbal * 100) AS LONG) + 100000L) div 100000L AS bb",
+        "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = rows.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map {
+      case ((nat, bb), g) =>
+        val n = g.length.toLong
+        val segs = g.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+        val hNum = segs.values.map(c =>
+          math.round(1e6 * c * math.log(n.toDouble / c))).sum
+        val hE6 = hNum / n // nonneg: floor == truncate
+        (nat, bb, n, segs.size.toLong, hE6, segs.size < 3, hE6 < 1098612L)
+    }
+    val got = Privacy.entropyLDiv(spark, sfDir).collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSeq
+    got shouldBe want
+    // the strictness ordering binds: entropy-l violations are a
+    // superset of distinct-l violations (H <= ln(distinct))
+    got.foreach { case (_, _, _, _, _, lv, ev) =>
+      if (lv) ev shouldBe true
+    }
+    got.exists(_._7) shouldBe true // the stricter audit genuinely fires
+  }
 }

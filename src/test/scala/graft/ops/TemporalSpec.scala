@@ -674,6 +674,46 @@ class TemporalSpec extends SparkSpec {
     got.foreach(_._3 should be > 0L)
   }
 
+  "Temporal.hurstRs (r13)" should "replay the per-block R/S lattice and H" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("x").as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val d0 = daily.map(_._1).minBy(_.toEpochDay)
+    val d1 = daily.map(_._1).maxBy(_.toEpochDay)
+    val m = daily.toMap
+    val ser = (0L to java.time.temporal.ChronoUnit.DAYS.between(d0, d1))
+      .map(i => m.getOrElse(d0.plusDays(i), 0L) / 100L)
+    def rsBar(w: Int): (Long, Long) = {
+      val rsList = ser.grouped(w).filter(_.length == w).flatMap { blk =>
+        val sBlk = blk.sum
+        val ssq = blk.map(v => v * v).sum
+        val varS = w * ssq - sBlk * sBlk
+        if (varS <= 0) None
+        else {
+          val zs = blk.scanLeft(0L)(_ + _).tail.zipWithIndex
+            .map { case (cum, t) => w * cum - (t + 1) * sBlk }
+          Some(math.round(1e6 * (zs.max - zs.min) / math.sqrt(varS.toDouble)))
+        }
+      }.toSeq
+      (rsList.length.toLong, rsList.sum / rsList.length)
+    }
+    val (n16, rs16) = rsBar(16)
+    val (n32, rs32) = rsBar(32)
+    val (n64, rs64) = rsBar(64)
+    val row = Temporal.hurstRs(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1)) shouldBe ((n16, rs16))
+    (row.getLong(2), row.getLong(3)) shouldBe ((n32, rs32))
+    (row.getLong(4), row.getLong(5)) shouldBe ((n64, rs64))
+    val h = math.log(rs64.toDouble / rs16) / math.log(4.0)
+    row.getDouble(6) shouldBe (math.round(h * 1e6) / 1e6) +- 1e-9
+    // R/S grows with window size (the scaling law the exponent reads)
+    rs64 should be > rs16
+    // H lands in the physical band (0, 1)
+    row.getDouble(6) should (be > 0.0 and be < 1.0)
+  }
+
   "Temporal.mannKendall" should "replay S, the tie-corrected variance, and z" in {
     val daily = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("CAST(o_orderdate AS DATE) AS day",
