@@ -1262,6 +1262,52 @@ object Graph {
       .orderBy("anc_id")
   }
 
+  /** Shortest-path counting from hub seeds (`graph_path_counts`, r13):
+    * σ_s(v) — the NUMBER of distinct shortest s→v paths — for the 4
+    * top-degree hubs over a FROZEN 4-hop horizon (the published-
+    * trajectory discipline). σ is the quantity BFS reach queries
+    * ([[closenessSeeds]], [[eccentricitySeeds]]) cannot see and the
+    * building block of Brandes betweenness/stress centrality: high
+    * σ-mass nodes are redundancy-rich (many equal-cost routes), σ = 1
+    * nodes are single-path bottlenecks. Propagation is the BFS loop
+    * with one extra column: next σ(v) = Σ σ(u) over frontier
+    * predecessors — the per-round distinct() becomes a SUM aggregate
+    * (same shuffle key, same cost), path counts stay exact BIGINTs
+    * (growth ≤ deg^h, ~1e5 at the fixture degrees; Long holds to
+    * deg^h < 9e18). Frontiers/visited lazily pinned per round
+    * (constant-depth lineage, the adaptive-PageRank discipline); the
+    * oracle unrolls all four rounds with the identical anti-join and
+    * sum, so every σ value sits under the hash gate.
+    */
+  def pathCounts(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d)
+    val seeds = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(4)
+      .select(col("u").as("seed"))
+    var visited = Checkpoints.pin(
+      seeds.select(col("seed"), col("seed").as("node"),
+        lit(0L).as("hop"), lit(1L).as("pc")),
+      eager = false)
+    var frontier = visited
+    for (h <- 1 to 4) {
+      frontier = Checkpoints.pin(
+        frontier.join(und, col("node") === col("u"))
+          .groupBy(col("seed"), col("v").as("node"))
+          .agg(sum("pc").as("pc"))
+          .join(visited.select("seed", "node"), Seq("seed", "node"),
+            "left_anti")
+          .withColumn("hop", lit(h.toLong)),
+        eager = false)
+      visited = Checkpoints.pin(
+        visited.unionAll(frontier.select("seed", "node", "hop", "pc")),
+        eager = false)
+    }
+    visited.groupBy("seed", "hop")
+      .agg(count(lit(1)).as("n_nodes"), sum("pc").as("sigma_sum"),
+        max("pc").as("sigma_max"))
+      .orderBy("seed", "hop")
+  }
+
   /** Rich-club coefficients (`graph_rich_club`, r13): φ(k) =
     * 2·E_k/(N_k·(N_k−1)) over the hubs of degree > k for the published
     * thresholds k ∈ {2, 4, 8} — the network-science read of whether
@@ -1308,6 +1354,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_rich_club" -> (richClub _),
+    "graph_path_counts" -> (pathCounts _),
     "graph_subtree_rollup" -> (subtreeRollup _),
     "graph_modularity" -> (modularity _),
     "graph_bfs_layers" -> (bfsLayers _),
@@ -1444,6 +1491,45 @@ object Graph {
        |ORDER BY r DESC, part LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // four unrolled rounds: identical predecessor-sum and anti-join
+    // per hop — every sigma value replayed exactly
+    "graph_path_counts" ->
+      (s"""WITH $edgeCte,
+        | und AS (SELECT DISTINCT u, v FROM
+        |   (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+        | deg AS (SELECT u, count(*) AS dg FROM und GROUP BY u),
+        | s0 AS (SELECT u AS seed FROM deg ORDER BY dg DESC, u LIMIT 4),
+        | f0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS pc FROM s0),
+        | v0 AS (SELECT seed, node FROM f0),
+        | f1 AS (SELECT p.seed, und.v AS node, CAST(sum(p.pc) AS BIGINT) AS pc
+        |   FROM f0 p JOIN und ON p.node = und.u
+        |   LEFT JOIN v0 ON v0.seed = p.seed AND v0.node = und.v
+        |   WHERE v0.node IS NULL GROUP BY 1, 2),
+        | v1 AS (SELECT * FROM v0 UNION ALL SELECT seed, node FROM f1),
+        | f2 AS (SELECT p.seed, und.v AS node, CAST(sum(p.pc) AS BIGINT) AS pc
+        |   FROM f1 p JOIN und ON p.node = und.u
+        |   LEFT JOIN v1 ON v1.seed = p.seed AND v1.node = und.v
+        |   WHERE v1.node IS NULL GROUP BY 1, 2),
+        | v2 AS (SELECT * FROM v1 UNION ALL SELECT seed, node FROM f2),
+        | f3 AS (SELECT p.seed, und.v AS node, CAST(sum(p.pc) AS BIGINT) AS pc
+        |   FROM f2 p JOIN und ON p.node = und.u
+        |   LEFT JOIN v2 ON v2.seed = p.seed AND v2.node = und.v
+        |   WHERE v2.node IS NULL GROUP BY 1, 2),
+        | v3 AS (SELECT * FROM v2 UNION ALL SELECT seed, node FROM f3),
+        | f4 AS (SELECT p.seed, und.v AS node, CAST(sum(p.pc) AS BIGINT) AS pc
+        |   FROM f3 p JOIN und ON p.node = und.u
+        |   LEFT JOIN v3 ON v3.seed = p.seed AND v3.node = und.v
+        |   WHERE v3.node IS NULL GROUP BY 1, 2),
+        | allv AS (
+        |  SELECT seed, node, CAST(0 AS BIGINT) AS hop, pc FROM f0
+        |  UNION ALL SELECT seed, node, 1, pc FROM f1
+        |  UNION ALL SELECT seed, node, 2, pc FROM f2
+        |  UNION ALL SELECT seed, node, 3, pc FROM f3
+        |  UNION ALL SELECT seed, node, 4, pc FROM f4)
+        |SELECT seed, hop, CAST(count(*) AS BIGINT) AS n_nodes,
+        | CAST(sum(pc) AS BIGINT) AS sigma_sum,
+        | CAST(max(pc) AS BIGINT) AS sigma_max
+        |FROM allv GROUP BY 1, 2 ORDER BY seed, hop""".stripMargin),
     // same strong graph, same canonical edges/degrees, exact e6 floors
     "graph_rich_club" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),

@@ -1455,7 +1455,72 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Keyframe selection (`mm_video_keyframes`, r13): the step AFTER
+    * [[videoSceneCuts]] — segment each clip into scenes at the
+    * published brightness-delta threshold (a cut with diff > 900
+    * STARTS a new scene), then elect one representative frame per
+    * scene: the brightest (max pix_sum, ties to the earliest frame —
+    * a deterministic published convention). This is the
+    * training-frame sampling policy a video-curation pipeline
+    * actually ships: one frame per shot instead of a fixed stride
+    * ([[decodeVideoSampled]]'s every-2nd), so long static shots stop
+    * dominating the sample. Scene structure is clip-LOCAL — the
+    * sequential walk lives inside the codec `mapPartitions` pass and
+    * only scene rows leave the task; the oracle rebuilds scenes
+    * declaratively (cumulative cut-flag sum over the frame window)
+    * and elects the same argmax via a max-join, proving the two
+    * formulations agree frame-for-frame.
+    */
+  def videoKeyframes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutT = 900L
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        val bytes = encodeVideo(id, nc)
+        def le32(off: Int): Int =
+          (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+            ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+        val nf = le32(4)
+        val sums = new Array[Long](nf)
+        var off = 8
+        var f = 0
+        while (f < nf) {
+          val len = le32(off)
+          val (_, _, pixSum, _) = decodeBmp(
+            java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len))
+          sums(f) = pixSum
+          off += 4 + len
+          f += 1
+        }
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long)]
+        var scene = -1L
+        var start = 0; var keyF = 0; var keyPs = -1L; var cnt = 0L
+        def flush(): Unit = if (cnt > 0) {
+          rows += ((id, scene, start.toLong, cnt, keyF.toLong, keyPs))
+        }
+        f = 0
+        while (f < nf) {
+          if (f == 0 || math.abs(sums(f) - sums(f - 1)) > cutT) {
+            flush()
+            scene += 1; start = f; keyF = f; keyPs = sums(f); cnt = 0L
+          }
+          if (sums(f) > keyPs) { keyPs = sums(f); keyF = f }
+          cnt += 1
+          f += 1
+        }
+        flush()
+        rows
+      })
+      .toDF("doc_id", "scene_id", "start_frame", "n_frames", "key_frame",
+        "key_pixsum")
+      .orderBy("doc_id", "scene_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_keyframes" -> (videoKeyframes _),
     "mm_image_blobs" -> (imageBlobs _),
     "mm_image_dither_bayer" -> (imageDitherBayer _),
     "mm_audio_downsample" -> (audioDownsample _),
@@ -1537,6 +1602,35 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // scenes rebuilt declaratively (cumulative cut-flag), keyframe
+    // elected by max-join with min-fi tie-break — must equal the
+    // engine's sequential walk exactly
+    "mm_video_keyframes" ->
+      """WITH d AS (SELECT doc_id, 4 + n_chars % 13 AS w,
+        |    3 + n_chars % 7 AS h, 2 + n_chars % 7 AS nf FROM documents),
+        | f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM d),
+        | px AS (SELECT doc_id, fi, doc_id + 1000003 * fi AS fk, w, h,
+        |    unnest(range(0, w * h)) AS p FROM f),
+        | fs AS (SELECT doc_id, fi, CAST(sum(
+        |     (31 * fk + 7 * p + 11) % 256 + (17 * fk + 13 * p + 23) % 256
+        |     + (29 * fk + 19 * p + 31) % 256) AS BIGINT) AS ps
+        |  FROM px GROUP BY 1, 2),
+        | sc AS (SELECT doc_id, fi, ps,
+        |    CAST(sum(CASE WHEN diff IS NULL OR diff > 900 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY fi) AS BIGINT) - 1
+        |      AS scene_id
+        |  FROM (SELECT doc_id, fi, ps, abs(ps - lag(ps)
+        |     OVER (PARTITION BY doc_id ORDER BY fi)) AS diff FROM fs)),
+        | g AS (SELECT doc_id, scene_id, CAST(min(fi) AS BIGINT)
+        |     AS start_frame, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(max(ps) AS BIGINT) AS key_pixsum
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT g.doc_id AS doc_id, g.scene_id AS scene_id, g.start_frame,
+        | g.n_frames, CAST(min(sc.fi) AS BIGINT) AS key_frame, g.key_pixsum
+        |FROM g JOIN sc ON sc.doc_id = g.doc_id
+        | AND sc.scene_id = g.scene_id AND sc.ps = g.key_pixsum
+        |GROUP BY 1, 2, 3, 4, 6
+        |ORDER BY 1, 2""".stripMargin,
     // 4-adjacency closed by a per-image recursive reachability CTE;
     // blob id = min reachable pixel index — must equal the engine's
     // min-root union-find labeling exactly

@@ -1151,7 +1151,59 @@ object Stats {
       .orderBy("o_orderpriority")
   }
 
+  /** Normal QQ deciles (`stats_qq_normal`, r13): the nine empirical
+    * deciles of order value against the Gaussian line μ + z_p·σ — the
+    * visual-test-as-table that localizes WHERE a distribution departs
+    * from normal (tails vs shoulders), one level finer than
+    * [[momentsProfile]]'s two summary shape numbers. The nine standard
+    * z quantiles ship as PUBLISHED e6 integers (±1281552, ±841621,
+    * ±524401, ±253347, 0), so the theoretical side is one mirrored
+    * double per decile off exact dollar moments. Empirical deciles are
+    * exact LOWER order statistics (rank = (n−1)·i div 10 + 1 — a
+    * published discrete convention, no interpolation, no float): one
+    * value-count aggregate, ONE [[Prefix]] running count (never a
+    * single-partition sort), then all nine picks as conditional MINs
+    * in a single pass over the value-domain table — no per-decile
+    * join, no second scan.
+    */
+  def qqNormal(s: SparkSession, d: String): DataFrame = {
+    val zE6 = Seq(-1281552L, -841621L, -524401L, -253347L, 0L,
+      253347L, 524401L, 841621L, 1281552L)
+    val t = Sources.orders(s, d).select(
+      expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+    // dollar moments keep s2 Long-exact (cents² overflows at 1.5e5
+    // rows); the variance finish is the mirrored s2/n − m² form — the
+    // integer n·s2−s1² identity itself overflows past ~1.5e4 rows
+    val mom = t.agg(count(lit(1)).as("n"),
+      sum(expr("cents div 100")).as("s1"),
+      sum(expr("(cents div 100) * (cents div 100)")).as("s2"))
+    val vc = t.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val pf = Prefix.running(vc, Seq(col("cents")),
+      sums = Seq((col("cnt"), "cum")))
+    val picks = (1 to 9).map { i =>
+      min(when(col("cum") >= expr(s"((n - 1L) * ${i}L) div 10L + 1L"),
+        col("cents"))).as(s"e$i")
+    } ++ Seq(max("n").as("n"), max("s1").as("s1"), max("s2").as("s2"))
+    val wide = pf.crossJoin(broadcast(mom)).agg(picks.head, picks.tail: _*)
+    val long = wide.select(
+      expr("stack(9, " + (1 to 9).map(i => s"${i * 10}L, e$i")
+        .mkString(", ") + ") AS (p, emp_cents)"),
+      col("n"), col("s1"), col("s2"))
+    val zCol = (1 to 9).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("p") === i * 10, lit(zE6(i - 1))).otherwise(acc)
+    }
+    def D(c: Column): Column = c.cast("double")
+    long.withColumn("z_e6", zCol)
+      .select(col("p"), col("n"), col("emp_cents"), col("z_e6"),
+        roundNorm(D(col("s1")) / D(col("n")) + D(col("z_e6")) / 1e6 *
+          sqrt(D(col("s2")) / D(col("n")) -
+            (D(col("s1")) / D(col("n"))) * (D(col("s1")) / D(col("n")))),
+          2).as("theo_usd"))
+      .orderBy("p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_qq_normal" -> (qqNormal _),
     "stats_moments_profile" -> (momentsProfile _),
     "stats_did" -> (did _),
     "ml_fairness_audit" -> (fairnessAudit _),
@@ -1181,6 +1233,48 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same published z_e6 constants, same lower-order-statistic ranks,
+    // same dollar moments — one mirrored double per theoretical decile
+    "stats_qq_normal" ->
+      """WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |     AS cents FROM orders),
+        | mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(cents // 100) AS BIGINT) AS s1,
+        |   CAST(sum((cents // 100) * (cents // 100)) AS BIGINT) AS s2
+        |  FROM t),
+        | vc AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t GROUP BY 1),
+        | pf AS (SELECT cents, CAST(sum(cnt) OVER (ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM vc),
+        | picks AS (SELECT
+        |   min(CASE WHEN cum >= ((n - 1) * 1) // 10 + 1 THEN cents END) AS e1,
+        |   min(CASE WHEN cum >= ((n - 1) * 2) // 10 + 1 THEN cents END) AS e2,
+        |   min(CASE WHEN cum >= ((n - 1) * 3) // 10 + 1 THEN cents END) AS e3,
+        |   min(CASE WHEN cum >= ((n - 1) * 4) // 10 + 1 THEN cents END) AS e4,
+        |   min(CASE WHEN cum >= ((n - 1) * 5) // 10 + 1 THEN cents END) AS e5,
+        |   min(CASE WHEN cum >= ((n - 1) * 6) // 10 + 1 THEN cents END) AS e6,
+        |   min(CASE WHEN cum >= ((n - 1) * 7) // 10 + 1 THEN cents END) AS e7,
+        |   min(CASE WHEN cum >= ((n - 1) * 8) // 10 + 1 THEN cents END) AS e8,
+        |   min(CASE WHEN cum >= ((n - 1) * 9) // 10 + 1 THEN cents END) AS e9,
+        |   max(n) AS n, max(s1) AS s1, max(s2) AS s2
+        |  FROM pf, mom),
+        | longf AS (
+        |  SELECT 10 AS p, e1 AS emp_cents, -1281552 AS z_e6, n, s1, s2 FROM picks
+        |  UNION ALL SELECT 20, e2, -841621, n, s1, s2 FROM picks
+        |  UNION ALL SELECT 30, e3, -524401, n, s1, s2 FROM picks
+        |  UNION ALL SELECT 40, e4, -253347, n, s1, s2 FROM picks
+        |  UNION ALL SELECT 50, e5, 0, n, s1, s2 FROM picks
+        |  UNION ALL SELECT 60, e6, 253347, n, s1, s2 FROM picks
+        |  UNION ALL SELECT 70, e7, 524401, n, s1, s2 FROM picks
+        |  UNION ALL SELECT 80, e8, 841621, n, s1, s2 FROM picks
+        |  UNION ALL SELECT 90, e9, 1281552, n, s1, s2 FROM picks)
+        |SELECT CAST(p AS BIGINT) AS p, n, emp_cents,
+        | CAST(z_e6 AS BIGINT) AS z_e6,
+        | round(s1::DOUBLE / n::DOUBLE + z_e6::DOUBLE / 1e6
+        |   * sqrt(s2::DOUBLE / n::DOUBLE
+        |      - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)), 2)
+        |  + 0.0 AS theo_usd
+        |FROM longf ORDER BY p""".stripMargin,
     // same hundred-dollar floor lattice, same raw-moment identities,
     // one mirrored double expression per shape statistic
     "stats_moments_profile" ->

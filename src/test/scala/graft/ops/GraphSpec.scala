@@ -635,6 +635,38 @@ class GraphSpec extends SparkSpec {
     got should not be empty
   }
 
+  "Graph.pathCounts (r13)" should "replay BFS sigma propagation from the hub seeds" in {
+    val und = (edges ++ edges.map(t => (t._2, t._1)))
+      .filter(t => t._1 != t._2)
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seeds = deg.toSeq.sortBy(t => (-t._2, t._1)).take(4).map(_._1)
+    val want = seeds.flatMap { s0 =>
+      var visited = Map(s0 -> (0L, 1L)) // node -> (hop, pc)
+      var frontier = Map(s0 -> 1L)
+      for (h <- 1 to 4) {
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        frontier.foreach { case (u, pc) =>
+          adj.getOrElse(u, Nil).foreach { v =>
+            if (!visited.contains(v)) next(v) = next.getOrElse(v, 0L) + pc
+          }
+        }
+        frontier = next.toMap
+        visited ++= frontier.map { case (v, pc) => v -> (h.toLong, pc) }
+      }
+      visited.values.groupBy(_._1).toSeq.map { case (hop, g) =>
+        (s0, hop, g.size.toLong, g.map(_._2).sum, g.map(_._2).max)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Graph.pathCounts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // sigma is genuinely multiplicative: some node at hop >= 2 is
+    // reached by more than one shortest path
+    got.exists(t => t._2 >= 2 && t._5 > 1) shouldBe true
+  }
+
   "Graph.richClub (r13)" should "replay phi(k) over the strong-graph hubs" in {
     val li = Sources.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_partkey").collect()

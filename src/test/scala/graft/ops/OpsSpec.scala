@@ -746,6 +746,42 @@ class OpsSpec extends SparkSpec {
     got.count(_._4 > 0) should be > 0
   }
 
+  "Multimodal.videoKeyframes (r13)" should "replay scene segmentation and the argmax election" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.sortBy(_._1).flatMap { case (id, nc) =>
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      val nf = (2 + nc % 7).toInt
+      val sums = (0 until nf).map { f =>
+        val fk = id + 1000003L * f
+        (0 until w * h).map { p =>
+          (31 * fk + 7 * p + 11) % 256 + (17 * fk + 13 * p + 23) % 256 +
+            (29 * fk + 19 * p + 31) % 256
+        }.sum
+      }
+      val sceneOf = sums.indices.map { f =>
+        sums.take(f + 1).indices.count(g =>
+          g > 0 && math.abs(sums(g) - sums(g - 1)) > 900L)
+      }
+      sceneOf.distinct.map { sc =>
+        val fs = sums.indices.filter(sceneOf(_) == sc)
+        val keyPs = fs.map(sums).max
+        (id, sc.toLong, fs.head.toLong, fs.length.toLong,
+          fs.filter(f => sums(f) == keyPs).head.toLong, keyPs)
+      }
+    }.toSeq
+    val got = Multimodal.videoKeyframes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // multi-scene clips exist and keyframes sit inside their scene
+    got.exists(_._2 >= 1L) shouldBe true
+    got.foreach { case (_, _, st, cnt, kf, _) =>
+      kf should (be >= st and be < st + cnt)
+    }
+  }
+
   "Multimodal.imageBlobs (r13)" should "match a brute-force BFS labeling on every image" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")

@@ -509,6 +509,36 @@ class StatsSpec extends SparkSpec {
     sswK should be > 0L // within-variance strictly positive on the fixture
   }
 
+  behavior of "Stats.qqNormal (r13)"
+
+  it should "replay lower order statistics and the Gaussian line" in {
+    val cents = Sources.orders(spark, sfDir)
+      .selectExpr("CAST(round(o_totalprice * 100) AS LONG) AS c")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val dollars = cents.map(_ / 100L)
+    val (s1, s2) = (dollars.sum, dollars.map(x => x * x).sum)
+    val m = s1.toDouble / n
+    val sd = math.sqrt(s2.toDouble / n - m * m)
+    val zE6 = Seq(-1281552L, -841621L, -524401L, -253347L, 0L,
+      253347L, 524401L, 841621L, 1281552L)
+    val rows = Stats.qqNormal(spark, sfDir).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe (1 to 9).map(_ * 10L)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      r.getLong(1) shouldBe n
+      val rank = ((n - 1) * (i + 1)) / 10 + 1
+      r.getLong(2) shouldBe cents(rank.toInt - 1)
+      r.getLong(3) shouldBe zE6(i)
+      val theo = m + zE6(i).toDouble / 1e6 * sd
+      r.getDouble(4) shouldBe (math.round(theo * 100) / 100.0) +- 1e-6
+    }
+    // both curves are monotone; the median pair sits closest in
+    // relative terms for this near-symmetric distribution
+    val emp = rows.map(_.getLong(2)).toSeq
+    emp shouldBe emp.sorted
+    rows.map(_.getDouble(4)).toSeq shouldBe rows.map(_.getDouble(4)).sorted.toSeq
+  }
+
   behavior of "Stats.momentsProfile (r13)"
 
   it should "replay raw power sums and the central-moment identities per priority" in {
