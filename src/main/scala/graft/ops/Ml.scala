@@ -666,6 +666,68 @@ object Ml {
       .limit(1)
   }
 
+  /** Depth-2 decision tree (`ml_tree_depth2`, r13): one greedy level
+    * past [[decisionStump]] — the root split is the stump's exact
+    * integer-misclassification argmin, then EACH side greedily picks
+    * its own best (feature, threshold) over the same two features.
+    * The tree is fully data-driven yet deterministic (argmin ties
+    * break on (errors, feature, threshold) — a total order), so the
+    * whole 3-node trajectory sits under the hash gate; the leaf rows'
+    * error sum ≤ the root's is the monotone-improvement read. Plan:
+    * the stump machinery generalized by a branch key — per-branch
+    * value-domain cumulative windows (partitioned by (branch,
+    * feature) — value-domain-bounded), per-branch totals broadcast,
+    * argmin per branch via one rank window (WindowGroupLimit); branch
+    * assignment is a 1-row broadcast of the root pick. Two passes
+    * over the corpus total — the depth is the published constant, so
+    * no iterative driver loop exists.
+    */
+  def treeDepth2(s: SparkSession, d: String): DataFrame = {
+    val lab = featurized(s, d).select(col("doc_id"), col("y").cast("long").as("y"))
+    val dims = Sources.documents(s, d).select(col("doc_id"),
+      col("n_chars").cast("long").as("nchars"),
+      size(split(col("text"), " ")).cast("long").as("nwords"))
+    val base = lab.join(dims, "doc_id")
+      .pinned(eager = false) // feeds the root pass AND branch assignment
+    def bestSplits(rows: DataFrame): DataFrame = {
+      val long = rows.select(col("branch"), col("y"),
+        expr("stack(2, 'nchars', nchars, 'nwords', nwords) AS (feature, value)"))
+      val g = long.groupBy("branch", "feature", "value")
+        .agg(count(lit(1)).as("n_v"), sum("y").as("pos_v"))
+      val wCum = Window.partitionBy("branch", "feature").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rows.groupBy("branch")
+        .agg(count(lit(1)).as("n_tot"), sum("y").as("pos_tot"))
+      g.withColumn("n_l", sum("n_v").over(wCum))
+        .withColumn("pos_l", sum("pos_v").over(wCum))
+        .join(broadcast(tot), Seq("branch"))
+        .withColumn("n_r", col("n_tot") - col("n_l"))
+        .withColumn("pos_r", col("pos_tot") - col("pos_l"))
+        .filter(col("n_r") > 0)
+        .withColumn("errors",
+          least(col("pos_l"), col("n_l") - col("pos_l")) +
+            least(col("pos_r"), col("n_r") - col("pos_r")))
+        .withColumn("rk", row_number().over(Window.partitionBy("branch")
+          .orderBy(col("errors"), col("feature"), col("value"))))
+        .filter(col("rk") === 1)
+        .select(col("branch").as("node"), col("feature"),
+          col("value").as("threshold"), col("n_tot").as("n_node"),
+          col("pos_tot").as("pos_node"), col("errors"),
+          least(col("pos_tot"), col("n_tot") - col("pos_tot"))
+            .as("baseline_errors"))
+    }
+    val root = bestSplits(base.withColumn("branch", lit("root")))
+      .pinned(eager = false) // output row AND the broadcast pick
+    val pick = broadcast(
+      root.select(col("feature").as("rf"), col("threshold").as("rt")))
+    val branched = base.crossJoin(pick)
+      .withColumn("branch", when(
+        (col("rf") === "nchars" && col("nchars") <= col("rt")) ||
+          (col("rf") === "nwords" && col("nwords") <= col("rt")),
+        lit("L")).otherwise(lit("R")))
+    root.unionAll(bestSplits(branched)).orderBy("node")
+  }
+
   /** Cohen's kappa (`ml_cohens_kappa`, r13): chance-corrected agreement
     * between two frozen classifiers of order value — the planted
     * Knuth-hash teacher ([[graft.ops.Stats.plantedScores]]) vs the
@@ -876,6 +938,7 @@ object Ml {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_shap_linear_frozen" -> (shapLinearFrozen _),
     "ml_cohens_kappa" -> (cohensKappa _),
+    "ml_tree_depth2" -> (treeDepth2 _),
     "ml_mcc_threshold" -> (mccThreshold _),
     "ml_brier_decomposition" -> (brierDecomposition _),
     "ml_ridge_frozen" -> (ridgeFrozen _),
@@ -956,6 +1019,85 @@ object Ml {
         | (1000000 * m) // (n * n) AS pe_e6,
         | (1000000 * (n * (a + d) - m)) // (n * n - m) AS kappa_e6
         |FROM k""".stripMargin,
+    // identical greedy trajectory: root argmin, broadcast pick,
+    // per-branch argmin — every count and tie-break replayed
+    "ml_tree_depth2" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |           FROM documents),
+        | f AS (SELECT doc_id, n_chars, len(ws) AS nw,
+        |    ln(1.0 + CAST(n_chars AS DOUBLE)) AS f1,
+        |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1))
+        |      / CAST(len(ws) AS DOUBLE) AS f2,
+        |    CAST(len(list_filter(ws, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f3,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) AS f4
+        |  FROM w),
+        | p AS (SELECT doc_id, n_chars, nw,
+        |    1.0 / (1.0 + exp(-(1.0 * (-16.0) + f1 * 3.0 + f2 * (-1.2)
+        |      + f3 * 25.0 + f4 * 6.0))) AS mu,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+        |      AS u
+        |  FROM f),
+        | base AS (SELECT
+        |    CAST(CASE WHEN u < mu THEN 1 ELSE 0 END AS BIGINT) AS y,
+        |    CAST(n_chars AS BIGINT) AS nchars, CAST(nw AS BIGINT) AS nwords
+        |  FROM p),
+        | rl AS (SELECT y, 'nchars' AS feature, nchars AS value FROM base
+        |   UNION ALL SELECT y, 'nwords', nwords FROM base),
+        | rg AS (SELECT feature, value, CAST(count(*) AS BIGINT) AS n_v,
+        |    CAST(sum(y) AS BIGINT) AS pos_v FROM rl GROUP BY 1, 2),
+        | rtot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+        |    CAST(sum(y) AS BIGINT) AS pos_tot FROM base),
+        | rc AS (SELECT feature, value,
+        |    CAST(sum(n_v) OVER (PARTITION BY feature ORDER BY value)
+        |      AS BIGINT) AS n_l,
+        |    CAST(sum(pos_v) OVER (PARTITION BY feature ORDER BY value)
+        |      AS BIGINT) AS pos_l
+        |  FROM rg),
+        | rsp AS (SELECT feature, value, n_l, pos_l, n_tot - n_l AS n_r,
+        |    pos_tot - pos_l AS pos_r, n_tot, pos_tot
+        |  FROM rc, rtot WHERE n_tot - n_l > 0),
+        | rerr AS (SELECT *, least(pos_l, n_l - pos_l)
+        |    + least(pos_r, n_r - pos_r) AS errors FROM rsp),
+        | rbest AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    ORDER BY errors, feature, value) AS rk FROM rerr) WHERE rk = 1),
+        | br AS (SELECT CASE WHEN (b.feature = 'nchars'
+        |      AND base.nchars <= b.value) OR (b.feature = 'nwords'
+        |      AND base.nwords <= b.value) THEN 'L' ELSE 'R' END AS branch,
+        |    y, nchars, nwords FROM base, rbest b),
+        | ll AS (SELECT branch, y, 'nchars' AS feature, nchars AS value
+        |   FROM br UNION ALL SELECT branch, y, 'nwords', nwords FROM br),
+        | lg AS (SELECT branch, feature, value,
+        |    CAST(count(*) AS BIGINT) AS n_v, CAST(sum(y) AS BIGINT) AS pos_v
+        |  FROM ll GROUP BY 1, 2, 3),
+        | ltot AS (SELECT branch, CAST(count(*) AS BIGINT) AS n_tot,
+        |    CAST(sum(y) AS BIGINT) AS pos_tot FROM br GROUP BY 1),
+        | lc AS (SELECT branch, feature, value,
+        |    CAST(sum(n_v) OVER (PARTITION BY branch, feature ORDER BY value)
+        |      AS BIGINT) AS n_l,
+        |    CAST(sum(pos_v) OVER (PARTITION BY branch, feature ORDER BY value)
+        |      AS BIGINT) AS pos_l
+        |  FROM lg),
+        | lsp AS (SELECT lc.branch, feature, value, n_l, pos_l,
+        |    n_tot - n_l AS n_r, pos_tot - pos_l AS pos_r, n_tot, pos_tot
+        |  FROM lc JOIN ltot ON lc.branch = ltot.branch
+        |  WHERE n_tot - n_l > 0),
+        | lerr AS (SELECT *, least(pos_l, n_l - pos_l)
+        |    + least(pos_r, n_r - pos_r) AS errors FROM lsp),
+        | lbest AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY branch ORDER BY errors, feature, value) AS rk
+        |   FROM lerr) WHERE rk = 1),
+        | outp AS (
+        |  SELECT 'root' AS node, feature, value AS threshold,
+        |    n_tot AS n_node, pos_tot AS pos_node, errors,
+        |    least(pos_tot, n_tot - pos_tot) AS baseline_errors FROM rbest
+        |  UNION ALL
+        |  SELECT branch, feature, value, n_tot, pos_tot, errors,
+        |    least(pos_tot, n_tot - pos_tot) FROM lbest)
+        |SELECT node, feature, threshold, n_node, pos_node, errors,
+        | baseline_errors
+        |FROM outp ORDER BY node""".stripMargin,
     // same exploded thresholds, exact cells, num exact; mcc is the
     // identical four-sqrt-factor double expression, rounded 6
     "ml_mcc_threshold" ->

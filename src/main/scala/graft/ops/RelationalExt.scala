@@ -247,6 +247,33 @@ object RelationalExt {
       )
       .orderBy("p_partkey")
 
+  /** Base64 round-trip census (`scalar_base64_census`, r13): the
+    * binary↔text bridge every ingest API crosses (payload columns
+    * arrive base64-wrapped in JSON; the reference's REST extraction
+    * ships strings) — per source: RFC 4648 encode of each document's
+    * 16-char prefix, decode-back equality census (must be total — a
+    * failed round trip means an encoder/decoder disagreement), the
+    * exact encoded-length sum (4·⌈len/3⌉ with '=' padding counted),
+    * and a doc_id-weighted length checksum pinning every encoded
+    * string to its row. Spark `base64`/`unbase64` vs DuckDB
+    * `to_base64`/`from_base64` — same RFC, so hash equality is a
+    * cross-engine conformance check of the codecs themselves. One
+    * map-side projection + one keyed agg.
+    */
+  def scalarBase64Census(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        base64(substring(col("text"), 1, 16).cast("binary")).as("b64"),
+        substring(col("text"), 1, 16).as("head16"))
+      .withColumn("ok",
+        (unbase64(col("b64")).cast("string") === col("head16")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ok").as("n_roundtrip_ok"),
+        sum(length(col("b64")).cast("long")).as("b64_len_sum"),
+        sum(col("doc_id") * length(col("b64")).cast("long")).as("len_chk"))
+      .orderBy("source")
+
   /** Extended date scalar family. */
   def scalarDateExt(s: SparkSession, d: String): DataFrame =
     Sources.orders(s, d)
@@ -753,6 +780,7 @@ object RelationalExt {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_base64_census" -> (scalarBase64Census _),
     "scalar_url_parse" -> (scalarUrlParse _),
     "scalar_ipv4_parse" -> (scalarIpv4Parse _),
     "scalar_luhn_check" -> (scalarLuhnCheck _),
@@ -803,6 +831,20 @@ object RelationalExt {
        |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // to_base64/from_base64 vs base64/unbase64 — same RFC 4648; hash
+    // equality doubles as a cross-engine codec conformance check
+    "scalar_base64_census" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   substr(text, 1, 16) AS head16,
+        |   to_base64(substr(text, 1, 16)::BLOB) AS b64
+        |  FROM documents),
+        | r AS (SELECT *, CASE WHEN from_base64(b64)::VARCHAR = head16
+        |    THEN 1 ELSE 0 END AS ok FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(ok) AS BIGINT) AS n_roundtrip_ok,
+        | CAST(sum(length(b64)) AS BIGINT) AS b64_len_sum,
+        | CAST(sum(doc_id * length(b64)) AS BIGINT) AS len_chk
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
     // the synthesized URLs all match ^[a-z]+:// so group extraction
     // never hits either engine's no-match convention
     "scalar_url_parse" ->

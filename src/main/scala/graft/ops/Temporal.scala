@@ -695,6 +695,49 @@ object Temporal {
       })
   }
 
+  /** Wald-Wolfowitz runs test (`stats_runs_test`, r13): is the daily
+    * revenue sequence RANDOM around its median, or does it cluster
+    * (fewer, longer runs = positive serial dependence; more, shorter
+    * runs = oscillation)? The nonparametric sibling of `ts_autocorr`
+    * that needs no lag choice and no moment assumptions — the first
+    * screen before trusting any i.i.d.-based interval on the series.
+    * Published dichotomy: above = x > lower-median (the exact order
+    * statistic at rank (n+1) div 2 — no interpolation; ties at the
+    * median fall BELOW by convention). R = 1 + #{sign flips between
+    * consecutive days}; E[R] = 1 + 2n₁n₂/n and Var[R] =
+    * 2n₁n₂(2n₁n₂−n)/(n²(n−1)) assemble from exact Longs (2n₁n₂ ≤ n²/2
+    * keeps every product ≤ n⁴/4 — exact to 55k-day calendars), z is
+    * ONE mirrored double rounded 4. All windows are calendar-bounded
+    * (the daily table), the median pick is one conditional MIN.
+    */
+  def runsTest(s: SparkSession, d: String): DataFrame = {
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val nn = ser.agg(count(lit(1)).as("n"))
+    val medKern = ser.groupBy("x").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(nn))
+      .agg(min(when(col("cum") >= expr("(n + 1L) div 2L"), col("x")))
+        .as("med"))
+    val signs = ser.crossJoin(broadcast(medKern))
+      .select(col("i"), (col("x") > col("med")).cast("long").as("sg"))
+    val flips = signs
+      .withColumn("prev", lag("sg", 1).over(Window.orderBy("i")))
+      .agg(sum(col("sg")).as("n1"),
+        sum(lit(1L) - col("sg")).as("n2"),
+        (sum(when(col("prev").isNotNull && col("prev") =!= col("sg"), 1L)
+          .otherwise(0L)) + 1L).as("runs"))
+    def D(c: Column): Column = c.cast("double")
+    flips
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("two12", lit(2L) * col("n1") * col("n2"))
+      .select(col("n").as("n_days"), col("n1"), col("n2"), col("runs"),
+        graft.functions.Num.roundNorm(
+          (D(col("runs")) - (lit(1.0) + D(col("two12")) / D(col("n")))) /
+            sqrt(D(col("two12")) * D(col("two12") - col("n")) /
+              (D(col("n")) * D(col("n")) * D(col("n") - 1))), 4).as("z"))
+  }
+
   /** Rescaled-range Hurst estimate (`ts_hurst_rs`, r13): Mandelbrot's
     * R/S analysis over the gap-filled daily revenue series at the
     * published dyadic window sizes {16, 32, 64} — the long-memory
@@ -1457,6 +1500,7 @@ object Temporal {
     "ts_theil_sen" -> (theilSen _),
     "ts_mann_kendall" -> (mannKendall _),
     "ts_hurst_rs" -> (hurstRs _),
+    "stats_runs_test" -> (runsTest _),
     "ts_seasonal_decompose" -> (seasonalDecompose _),
     "ts_kaplan_meier" -> (kaplanMeier _),
     "ts_mom_growth" -> (momGrowth _),
@@ -1493,6 +1537,30 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same lower-median dichotomy, same flip count, one mirrored z
+    "stats_runs_test" ->
+      (s"""WITH $seriesCte,
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser),
+        | vc AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ser GROUP BY 1),
+        | cm AS (SELECT x, CAST(sum(cnt) OVER (ORDER BY x
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM vc),
+        | med AS (SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN x END)
+        |    AS med FROM cm, nn),
+        | sg AS (SELECT i, CASE WHEN x > med THEN 1 ELSE 0 END AS sg
+        |  FROM ser, med),
+        | fl AS (SELECT CAST(sum(sg) AS BIGINT) AS n1,
+        |    CAST(sum(1 - sg) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> sg
+        |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+        |  FROM (SELECT sg, lag(sg) OVER (ORDER BY i) AS prev FROM sg)),
+        | k AS (SELECT n1 + n2 AS n, n1, n2, runs, 2 * n1 * n2 AS two12
+        |  FROM fl)
+        |SELECT n AS n_days, n1, n2, runs,
+        | round((runs::DOUBLE - (1.0 + two12::DOUBLE / n::DOUBLE))
+        |  / sqrt(two12::DOUBLE * (two12 - n)::DOUBLE
+        |     / (n::DOUBLE * n::DOUBLE * (n - 1)::DOUBLE)), 4) + 0.0 AS z
+        |FROM k""".stripMargin),
     // identical block lattice, per-block e6 rounding before the mean,
     // one mirrored H off the e6 integers
     "ts_hurst_rs" ->

@@ -365,6 +365,63 @@ class MlSpec extends SparkSpec {
     row.getLong(7) should be > 0L
   }
 
+  behavior of "Ml.treeDepth2 (r13)"
+
+  it should "replay the greedy two-level split trajectory" in {
+    // brute-force the teacher label + features exactly as featurized()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "n_chars", "text").collect()
+      .map { r =>
+        val id = r.getLong(0); val nc = r.getLong(1)
+        val ws = r.getString(2).split(" ", -1)
+        val nt = ws.length.toDouble
+        val f1 = math.log1p(nc.toDouble)
+        val f2 = (nc.toDouble - (nt - 1)) / nt
+        val f3 = ws.count(t => t == "a" || t == "the") / nt
+        val f4 = ws.distinct.length / nt
+        val eta = -16.0 + f1 * 3.0 + f2 * -1.2 + f3 * 25.0 + f4 * 6.0
+        val mu = 1.0 / (1.0 + math.exp(-eta))
+        val u = ((id * 2654435761L) % 4294967296L).toDouble / 4294967296.0
+        (if (u < mu) 1L else 0L, nc, ws.length.toLong)
+      }
+    def best(rows: Seq[(Long, Long, Long)]): (String, Long, Long) = {
+      val cands = Seq("nchars", "nwords").flatMap { f =>
+        val vals = rows.map(r => (if (f == "nchars") r._2 else r._3, r._1))
+        val nTot = vals.length.toLong; val posTot = vals.map(_._2).sum
+        vals.map(_._1).distinct.sorted.dropRight(1).map { thr =>
+          val l = vals.filter(_._1 <= thr)
+          val (nL, pL) = (l.length.toLong, l.map(_._2).sum)
+          val (nR, pR) = (nTot - nL, posTot - pL)
+          val err = math.min(pL, nL - pL) + math.min(pR, nR - pR)
+          (err, f, thr)
+        }
+      }
+      val (e, f, t) = cands.minBy(c => (c._1, c._2, c._3))
+      (f, t, e)
+    }
+    val (rf, rt, rerr) = best(docs.toSeq)
+    val (lRows, rRows) = docs.toSeq.partition(r =>
+      (if (rf == "nchars") r._2 else r._3) <= rt)
+    val (lf, lt, lerr) = best(lRows)
+    val (rf2, rt2, rerr2) = best(rRows)
+    val got = Ml.treeDepth2(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got.map(_._1) shouldBe Seq("L", "R", "root")
+    val byNode = got.map(t => t._1 -> t).toMap
+    (byNode("root")._2, byNode("root")._3, byNode("root")._6) shouldBe
+      ((rf, rt, rerr))
+    (byNode("L")._2, byNode("L")._3, byNode("L")._6) shouldBe ((lf, lt, lerr))
+    (byNode("R")._2, byNode("R")._3, byNode("R")._6) shouldBe
+      ((rf2, rt2, rerr2))
+    byNode("L")._4 shouldBe lRows.length.toLong
+    byNode("R")._4 shouldBe rRows.length.toLong
+    // greedy depth-2 cannot be worse than depth-1 on the training set
+    (byNode("L")._6 + byNode("R")._6) should be <= byNode("root")._6
+    // and the root split genuinely beats the majority-class baseline
+    byNode("root")._6 should be < byNode("root")._7
+  }
+
   behavior of "Ml.mccThreshold (r13)"
 
   it should "replay the confusion cells and the four-factor mcc at both thresholds" in {

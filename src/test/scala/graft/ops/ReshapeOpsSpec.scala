@@ -169,4 +169,27 @@ class ReshapeOpsSpec extends SparkSpec {
     got.map(_._4).sum should be > 0L
     got.map(_._5).sum should be > 0L
   }
+
+  "RelationalExt.scalarBase64Census (r13)" should "replay RFC 4648 lengths and round-trip totality" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "source", "substring(text, 1, 16) AS h")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, g) =>
+      val lens = g.map { case (id, _, h) =>
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(h.getBytes("UTF-8"))
+        (id, b64.length.toLong, new String(
+          java.util.Base64.getDecoder.decode(b64), "UTF-8") == h)
+      }
+      (src, lens.length.toLong, lens.count(_._3).toLong,
+        lens.map(_._2).sum, lens.map(t => t._1 * t._2).sum)
+    }
+    val got = RelationalExt.scalarBase64Census(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // round trips are total, and every encoded length is 4*ceil(16/3)
+    // = 24 for full-width prefixes (shorter docs pad differently)
+    got.foreach { case (_, nd, ok, _, _) => ok shouldBe nd }
+  }
 }

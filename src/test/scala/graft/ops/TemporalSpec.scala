@@ -674,6 +674,36 @@ class TemporalSpec extends SparkSpec {
     got.foreach(_._3 should be > 0L)
   }
 
+  "Temporal.runsTest (r13)" should "replay the median dichotomy and run count" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("x").as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val d0 = daily.map(_._1).minBy(_.toEpochDay)
+    val d1 = daily.map(_._1).maxBy(_.toEpochDay)
+    val m = daily.toMap
+    val ser = (0L to java.time.temporal.ChronoUnit.DAYS.between(d0, d1))
+      .map(i => m.getOrElse(d0.plusDays(i), 0L))
+    val n = ser.length.toLong
+    val med = ser.sorted.apply(((n + 1) / 2).toInt - 1)
+    val sg = ser.map(x => if (x > med) 1L else 0L)
+    val n1 = sg.sum; val n2 = n - n1
+    val runs = 1L + sg.sliding(2).count(p => p(0) != p(1))
+    val row = Temporal.runsTest(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) shouldBe
+      ((n, n1, n2, runs))
+    val two12 = 2.0 * n1 * n2
+    val z = (runs - (1.0 + two12 / n)) /
+      math.sqrt(two12 * (two12 - n) / (n.toDouble * n * (n - 1)))
+    row.getDouble(4) shouldBe (math.round(z * 1e4) / 1e4) +- 1e-9
+    // both sides of the dichotomy are populated and the statistic is
+    // a finite, reproducible read
+    n1 should be > 0L
+    n2 should be > 0L
+    java.lang.Double.isFinite(row.getDouble(4)) shouldBe true
+  }
+
   "Temporal.hurstRs (r13)" should "replay the per-block R/S lattice and H" in {
     val daily = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("CAST(o_orderdate AS DATE) AS day",
