@@ -152,7 +152,13 @@ class PlanShapesSpec extends SparkSpec {
     // 1-row moment/total attaches: Shapley means, HH true total (r13)
     "ml_shap_linear_frozen", "sample_hh_estimator",
     // 1-row doc-count attach for the VMR denominator (r13)
-    "text_burstiness")
+    "text_burstiness",
+    // batches 81-86 (r13): all 1-row broadcast attaches — MK pair
+    // stats + tie term, QQ/HT/partition-plan grand totals, runs-test
+    // median kernel, Heaps 25%-base row, tree root-split pick
+    "ts_mann_kendall", "stats_qq_normal", "stats_runs_test",
+    "sample_ht_poisson", "etl_partition_plan", "text_heaps_law",
+    "ml_tree_depth2")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
@@ -185,7 +191,11 @@ class PlanShapesSpec extends SparkSpec {
       // (≤ span days by construction — the ts_peak_days class)
       "etl_backfill_plan",
       // rank over the 5-row post-limit release (audit_key_skew class)
-      "priv_dp_topk")
+      "priv_dp_topk",
+      // runs test (r13): cumulative count over the CALENDAR-bounded
+      // daily value domain + lag over the daily index — both the
+      // ts_peak_days class (≤ span days by construction)
+      "stats_runs_test")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {
