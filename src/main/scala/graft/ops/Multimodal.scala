@@ -1519,7 +1519,51 @@ object Multimodal {
       .orderBy("doc_id", "scene_id")
   }
 
+  /** Perceptual difference hash (`mm_image_dhash`, r13): the dHash
+    * image fingerprint — pool the decoded brightness grid onto a 4×3
+    * integer cell lattice (cell membership gx = 4x div w, gy = 3y div
+    * h — every cell is non-empty because the fixture dims are ≥ 4×3
+    * and the maps are monotone onto; cell value = floor-average), then
+    * one bit per ADJACENT-cell comparison: 9 horizontal (right >
+    * left) + 8 vertical (down > up) gradient signs packed into one
+    * 17-bit BIGINT. Gradient signs survive brightness/contrast shifts
+    * that break exact byte hashes — this is the image twin of SimHash
+    * in the dedup family (near-dup candidates = equal or
+    * Hamming-adjacent dhash, the `dedup_simhash` banding). Per-pixel
+    * work stays in the codec `mapPartitions` pass; ships the hash plus
+    * the pooled-cell checksum that pins every cell average.
+    */
+  def imageDhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val (w, h, px) = bmpPixels(encodeBmp(id, nc))
+        val sums = Array.ofDim[Long](4, 3)
+        val cnts = Array.ofDim[Long](4, 3)
+        var p = 0
+        while (p < px.length) {
+          val gx = (p % w) * 4 / w
+          val gy = (p / w) * 3 / h
+          sums(gx)(gy) += px(p); cnts(gx)(gy) += 1
+          p += 1
+        }
+        val avg = Array.tabulate(4, 3)((gx, gy) => sums(gx)(gy) / cnts(gx)(gy))
+        var dhash = 0L
+        for (gy <- 0 until 3; gx <- 0 until 3)
+          if (avg(gx + 1)(gy) > avg(gx)(gy)) dhash |= 1L << (gy * 3 + gx)
+        for (gy <- 0 until 2; gx <- 0 until 4)
+          if (avg(gx)(gy + 1) > avg(gx)(gy)) dhash |= 1L << (9 + gy * 4 + gx)
+        val chk = avg.map(_.sum).sum
+        (id, w.toLong, h.toLong, dhash, chk)
+      })
+      .toDF("doc_id", "width", "height", "dhash", "cell_chk")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_dhash" -> (imageDhash _),
     "mm_video_keyframes" -> (videoKeyframes _),
     "mm_image_blobs" -> (imageBlobs _),
     "mm_image_dither_bayer" -> (imageDitherBayer _),
@@ -1602,6 +1646,41 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // same 4x3 integer pooling, same adjacent-cell gradient bits
+    "mm_image_dhash" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        | v AS (SELECT doc_id, (p % w) * 4 // w AS gx, (p // w) * 3 // h AS gy,
+        |    ((31 * doc_id + 7 * p + 11) % 256
+        |     + (17 * doc_id + 13 * p + 23) % 256
+        |     + (29 * doc_id + 19 * p + 31) % 256) AS b
+        |  FROM px),
+        | cell AS (SELECT doc_id, gx, gy,
+        |    CAST(sum(b) // count(*) AS BIGINT) AS avg
+        |  FROM v GROUP BY 1, 2, 3),
+        | hb AS (SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN b.avg > a.avg
+        |     THEN 1::BIGINT << (a.gy * 3 + a.gx) ELSE 0 END), 0) AS BIGINT)
+        |     AS bits
+        |  FROM cell a JOIN cell b ON a.doc_id = b.doc_id
+        |   AND b.gx = a.gx + 1 AND b.gy = a.gy AND a.gx < 3
+        |  GROUP BY 1),
+        | vb AS (SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN b.avg > a.avg
+        |     THEN 1::BIGINT << (9 + a.gy * 4 + a.gx) ELSE 0 END), 0)
+        |     AS BIGINT) AS bits
+        |  FROM cell a JOIN cell b ON a.doc_id = b.doc_id
+        |   AND b.gx = a.gx AND b.gy = a.gy + 1 AND a.gy < 2
+        |  GROUP BY 1),
+        | chk AS (SELECT doc_id, CAST(sum(avg) AS BIGINT) AS cell_chk
+        |  FROM cell GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        | CAST(d.h AS BIGINT) AS height,
+        | CAST(coalesce(hb.bits, 0) + coalesce(vb.bits, 0) AS BIGINT)
+        |   AS dhash,
+        | chk.cell_chk
+        |FROM dims d LEFT JOIN hb USING (doc_id) LEFT JOIN vb USING (doc_id)
+        | JOIN chk USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // scenes rebuilt declaratively (cumulative cut-flag), keyframe
     // elected by max-join with min-fi tie-break — must equal the
     // engine's sequential walk exactly

@@ -1378,6 +1378,44 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long"))
   }
 
+  /** Late-interaction MaxSim scoring (`sim_maxsim_late`, r13): the
+    * ColBERT retrieval primitive (Khattab & Zaharia 2020) — documents
+    * and queries are MULTI-vector (published grouping: vec_id div 4,
+    * so groups 0-1 are the two query docs and groups ≥ 2 the corpus),
+    * and score(Q, D) = Σ_{q∈Q} max_{v∈D} cos(q, v): each query vector
+    * independently finds its best-matching document vector, unlike the
+    * single-vector dot the rest of the ANN family serves. On the e4
+    * integer cosine lattice the max and the sum are exact, so the full
+    * scoring trajectory is hash-gated. Plan: ONE corpus scan against
+    * the 8-vector broadcast query side, then two keyed aggregates (max
+    * per (query-vector, doc), sum per (query-doc, doc)) — both
+    * map-side combinable — and a WindowGroupLimit top-5 per query doc.
+    * At 100 TB this is exactly the [[cosineTopK]] serving shape ×|Q|
+    * query vectors; the PLAID-style pruning path would gate the scan
+    * with the IVF cells, same as the single-vector family.
+    */
+  def maxsimLate(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), expr("vec_id div 4L").as("q_grp"),
+        col("embedding").as("q_emb"))
+    val scored = emb.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+      .select(col("q_grp"), col("q_id"), expr("vec_id div 4L").as("d_grp"),
+        round(cosine(col("embedding"), col("q_emb")) * 10000).cast("long")
+          .as("cos_e4"))
+    val perQvec = scored.groupBy("q_grp", "q_id", "d_grp")
+      .agg(max("cos_e4").as("mx"))
+    val perDoc = perQvec.groupBy("q_grp", "d_grp")
+      .agg(sum("mx").as("maxsim_e4"), count(lit(1)).as("n_qvecs"))
+    val w = Window.partitionBy("q_grp")
+      .orderBy(col("maxsim_e4").desc, col("d_grp"))
+    perDoc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_grp"), col("rn"), col("d_grp"), col("maxsim_e4"),
+        col("n_qvecs"))
+      .orderBy("q_grp", "rn")
+  }
+
   /** Semi-hard negative mining (`sim_hard_negatives`, r13): the
     * contrastive-training data op (FaceNet, Schroff et al. 2015) — for
     * each anchor probe, the positive is its nearest corpus vector and
@@ -1533,6 +1571,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_centroid_drift" -> (centroidDrift _),
     "sim_hard_negatives" -> (hardNegatives _),
+    "sim_maxsim_late" -> (maxsimLate _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_prefix_recall" -> (prefixRecall _),
     "ml_kmeans_lloyd" -> (kmeansLloyd _),
@@ -1714,6 +1753,23 @@ object Similarity {
         |FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // both band edges compare e4-lattice integers in both engines
+    // same e4 lattice, same div-4 grouping, exact max-then-sum
+    "sim_maxsim_late" ->
+      """WITH q AS (SELECT vec_id AS q_id, vec_id // 4 AS q_grp,
+        |   embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT q.q_grp, q.q_id, c.vec_id // 4 AS d_grp,
+        |   CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |     CAST(q.q_emb AS DOUBLE[])) * 10000) AS BIGINT) AS cos_e4
+        |  FROM embeddings c, q WHERE c.vec_id >= 8),
+        | pq AS (SELECT q_grp, q_id, d_grp, CAST(max(cos_e4) AS BIGINT) AS mx
+        |  FROM s GROUP BY 1, 2, 3),
+        | pd AS (SELECT q_grp, d_grp, CAST(sum(mx) AS BIGINT) AS maxsim_e4,
+        |   CAST(count(*) AS BIGINT) AS n_qvecs FROM pq GROUP BY 1, 2),
+        | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_grp
+        |    ORDER BY maxsim_e4 DESC, d_grp) AS BIGINT) AS rn FROM pd)
+        |SELECT CAST(q_grp AS BIGINT) AS q_grp, rn, CAST(d_grp AS BIGINT)
+        |   AS d_grp, maxsim_e4, n_qvecs
+        |FROM r WHERE rn <= 5 ORDER BY q_grp, rn""".stripMargin,
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
         |   WHERE vec_id < 8),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num.roundNorm
+import graft.io.Checkpoints.PinOps
 import graft.io.Sources
 
 /** Exact distributed evaluation statistics — the model-quality and
@@ -1202,7 +1203,43 @@ object Stats {
       .orderBy("p")
   }
 
+  /** KS scorer separation (`ml_ks_separation`, r13): the
+    * Kolmogorov-Smirnov distance between the positive and negative
+    * score distributions of the planted scorer — credit-scoring's
+    * standard companion to AUC ([[aucExact]]): AUC integrates ranking
+    * quality over all thresholds, KS reports the SINGLE best
+    * threshold's separation and WHERE it is (the released cutoff a
+    * deployment actually uses). Entirely exact: per distinct score the
+    * running positive/negative counts come from ONE [[Prefix]]
+    * two-pass (never a single-partition sort); D's numerator is the
+    * integer max |cumPos·N − cumNeg·P| (≤ P·N < 2⁶³ to ~2e9 rows per
+    * side — the [[AucLongBound]] arithmetic), ks_e6 one floor
+    * division, and the optimal threshold is the min-cents argmax by
+    * max + join-back (the sanctioned argmin shape, no struct-max
+    * SortAggregate). The prefix table is pinned lazily for its two
+    * consumers (the max and the pick).
+    */
+  def ksSeparation(s: SparkSession, d: String): DataFrame = {
+    val byScore = plantedScores(s, d).groupBy("cents").agg(
+      sum(col("label")).as("pos"), sum(lit(1L) - col("label")).as("neg"))
+    val run = Prefix.running(byScore, Seq(col("cents")),
+      sums = Seq((col("pos"), "cum_pos"), (col("neg"), "cum_neg")))
+    val tots = run.agg(max("cum_pos").as("p_tot"), max("cum_neg").as("n_tot"))
+    val diff = run.crossJoin(broadcast(tots)) // 1-row total attach
+      .withColumn("dn",
+        abs(col("cum_pos") * col("n_tot") - col("cum_neg") * col("p_tot")))
+      .pinned(eager = false) // consumed by the max AND the pick
+    val dm = diff.agg(max("dn").as("d_num"))
+    diff.join(broadcast(dm), col("dn") === col("d_num"))
+      .agg(min("cents").as("ks_threshold_cents"))
+      .crossJoin(broadcast(dm)).crossJoin(broadcast(tots))
+      .select(col("p_tot"), col("n_tot"), col("d_num"),
+        expr("(1000000L * d_num) div (p_tot * n_tot)").as("ks_e6"),
+        col("ks_threshold_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_ks_separation" -> (ksSeparation _),
     "stats_qq_normal" -> (qqNormal _),
     "stats_moments_profile" -> (momentsProfile _),
     "stats_did" -> (did _),
@@ -1233,6 +1270,33 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same exact integer D numerator and min-cents argmax; the global
+    // window replays the Prefix two-pass exactly
+    "ml_ks_separation" ->
+      """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |     AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | bs AS (SELECT cents, CAST(sum(label) AS BIGINT) AS pos,
+        |   CAST(sum(1 - label) AS BIGINT) AS neg FROM scored GROUP BY 1),
+        | run AS (SELECT cents,
+        |   CAST(sum(pos) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS cum_pos,
+        |   CAST(sum(neg) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |     AS BIGINT) AS cum_neg
+        |  FROM bs),
+        | tots AS (SELECT max(cum_pos) AS p_tot, max(cum_neg) AS n_tot
+        |  FROM run),
+        | diff AS (SELECT cents,
+        |   abs(cum_pos * n_tot - cum_neg * p_tot) AS dn FROM run, tots),
+        | dm AS (SELECT CAST(max(dn) AS BIGINT) AS d_num FROM diff)
+        |SELECT p_tot, n_tot, d_num,
+        | (1000000 * d_num) // (p_tot * n_tot) AS ks_e6,
+        | (SELECT CAST(min(cents) AS BIGINT) FROM diff, dm
+        |   WHERE dn = d_num) AS ks_threshold_cents
+        |FROM tots, dm""".stripMargin,
     // same published z_e6 constants, same lower-order-statistic ranks,
     // same dollar moments — one mirrored double per theoretical decile
     "stats_qq_normal" ->

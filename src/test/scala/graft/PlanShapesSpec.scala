@@ -158,7 +158,10 @@ class PlanShapesSpec extends SparkSpec {
     // median kernel, Heaps 25%-base row, tree root-split pick
     "ts_mann_kendall", "stats_qq_normal", "stats_runs_test",
     "sample_ht_poisson", "etl_partition_plan", "text_heaps_law",
-    "ml_tree_depth2")
+    "ml_tree_depth2",
+    // batch 87 (r13): the 8-vector ColBERT query side broadcasts
+    // (the cosineTopK probe shape); KS attaches its 1-row totals
+    "sim_maxsim_late", "ml_ks_separation")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -425,6 +425,28 @@ class GenericOpsSpec extends SparkSpec {
     }
   }
 
+  "Similarity.maxsimLate (r13)" should "replay the ColBERT max-then-sum trajectory" in {
+    val (scored, _) = e4Scores
+    val perQvec = scored.groupBy(t => (t._1 / 4, t._1, t._2 / 4)).view
+      .mapValues(_.map(_._3).max).toMap
+    val perDoc = perQvec.toSeq.groupBy(t => (t._1._1, t._1._3)).view
+      .mapValues(g => (g.map(_._2).sum, g.length.toLong)).toMap
+    val want = perDoc.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap {
+      case (qg, docs) =>
+        docs.sortBy(t => (-t._2._1, t._1._2)).take(5).zipWithIndex.map {
+          case (((_, dg), (ms, nq)), i) => (qg, (i + 1).toLong, dg, ms, nq)
+        }
+    }
+    val got = Similarity.maxsimLate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // every query doc contributes all 4 of its vectors, and MaxSim
+    // dominates any single-vector best (it sums 4 maxima)
+    got.foreach(_._5 shouldBe 4L)
+    got.foreach(_._4 should be > 0L)
+  }
+
   "Similarity.hardNegatives (r13)" should "mine the semi-hard band exactly" in {
     val (scored, _) = e4Scores
     val want = scored.groupBy(_._1).toSeq.sortBy(_._1).flatMap {

@@ -365,6 +365,29 @@ class MlSpec extends SparkSpec {
     row.getLong(7) should be > 0L
   }
 
+  behavior of "Stats.ksSeparation (r13)"
+
+  it should "replay the exact KS numerator and the argmax threshold" in {
+    val scored = plantedReplay
+    val byScore = scored.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, g) =>
+      (c, g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong)
+    }
+    val p = byScore.map(_._2).sum; val n = byScore.map(_._3).sum
+    var (cp, cn) = (0L, 0L)
+    val diffs = byScore.map { case (c, pos, neg) =>
+      cp += pos; cn += neg; (c, math.abs(cp * n - cn * p))
+    }
+    val dnum = diffs.map(_._2).max
+    val thr = diffs.filter(_._2 == dnum).map(_._1).min
+    val row = graft.ops.Stats.ksSeparation(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe ((p, n, dnum))
+    row.getLong(3) shouldBe 1000000L * dnum / (p * n)
+    row.getLong(4) shouldBe thr
+    // the scorer genuinely separates (KS well above noise) but is not
+    // perfect (below 1)
+    row.getLong(3) should (be > 100000L and be < 1000000L)
+  }
+
   behavior of "Ml.treeDepth2 (r13)"
 
   it should "replay the greedy two-level split trajectory" in {

@@ -746,6 +746,36 @@ class OpsSpec extends SparkSpec {
     got.count(_._4 > 0) should be > 0
   }
 
+  "Multimodal.imageDhash (r13)" should "replay the 4x3 pooled gradient-sign hash" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.sortBy(_._1).map { case (id, nc) =>
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      val sums = Array.ofDim[Long](4, 3); val cnts = Array.ofDim[Long](4, 3)
+      for (p <- 0 until w * h) {
+        val b = (31 * id + 7 * p + 11) % 256 + (17 * id + 13 * p + 23) % 256 +
+          (29 * id + 19 * p + 31) % 256
+        sums((p % w) * 4 / w)((p / w) * 3 / h) += b
+        cnts((p % w) * 4 / w)((p / w) * 3 / h) += 1
+      }
+      val avg = Array.tabulate(4, 3)((x, y) => sums(x)(y) / cnts(x)(y))
+      var dh = 0L
+      for (gy <- 0 until 3; gx <- 0 until 3)
+        if (avg(gx + 1)(gy) > avg(gx)(gy)) dh |= 1L << (gy * 3 + gx)
+      for (gy <- 0 until 2; gx <- 0 until 4)
+        if (avg(gx)(gy + 1) > avg(gx)(gy)) dh |= 1L << (9 + gy * 4 + gx)
+      (id, w.toLong, h.toLong, dh, avg.map(_.sum).sum)
+    }.toSeq
+    val got = Multimodal.imageDhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // hashes live in the 17-bit space and genuinely discriminate
+    got.foreach(_._4 should (be >= 0L and be < (1L << 17)))
+    got.map(_._4).distinct.length should be > got.length / 4
+  }
+
   "Multimodal.videoKeyframes (r13)" should "replay scene segmentation and the argmax election" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
