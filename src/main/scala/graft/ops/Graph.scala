@@ -1262,6 +1262,43 @@ object Graph {
       .orderBy("anc_id")
   }
 
+  /** Square (4-cycle) census (`graph_square_count`, r13): the motif
+    * one step past [[triangle counting|graph_triangle_stats]] —
+    * C₄-density separates locally-clustered graphs (triangles) from
+    * bipartite-ish co-occurrence structure (squares without
+    * triangles), the signature of complementary-product pairs in a
+    * co-purchase graph. Exact identity: every 4-cycle is counted once
+    * per diagonal, so squares = Σ_{x<y} C(common(x,y), 2) / 2 — the
+    * common-neighbor table comes from ONE mid-keyed wedge self-join
+    * with the [[copurchaseCustomers]] df-cap (deg ≤ 64 per mid node
+    * BEFORE the join: wedge fan-out per node is then ≤ 64·63/2, so
+    * the join output is LINEAR in nodes at any corpus size; the
+    * oracle applies the identical cap so the census is well-defined).
+    * The ÷2 is exact — the sum counts each square exactly twice.
+    */
+  def squareCount(s: SparkSession, d: String): DataFrame = {
+    val es = strongEdges(s, d)
+    val und = Checkpoints.pin(
+      es.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      eager = false)
+    val adj = und.select(col("u").as("mid"), col("v").as("nb"))
+      .union(und.select(col("v").as("mid"), col("u").as("nb")))
+    val deg = adj.groupBy("mid").agg(count(lit(1)).as("dg"))
+    val capped = adj.join(deg.filter(col("dg") <= 64).select("mid"),
+      Seq("mid"), "left_semi")
+    val wedges = capped.as("a").join(capped.as("b"),
+      col("a.mid") === col("b.mid") && col("a.nb") < col("b.nb"))
+      .select(col("a.nb").as("x"), col("b.nb").as("y"))
+    val common = wedges.groupBy("x", "y").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2)
+    common.agg(count(lit(1)).as("n_diag_pairs"),
+        coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).as("sum_c2"))
+      .select(col("n_diag_pairs"), col("sum_c2"),
+        expr("sum_c2 div 2").as("n_squares"))
+  }
+
   /** Shortest-path counting from hub seeds (`graph_path_counts`, r13):
     * σ_s(v) — the NUMBER of distinct shortest s→v paths — for the 4
     * top-degree hubs over a FROZEN 4-hop horizon (the published-
@@ -1355,6 +1392,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_rich_club" -> (richClub _),
     "graph_path_counts" -> (pathCounts _),
+    "graph_square_count" -> (squareCount _),
     "graph_subtree_rollup" -> (subtreeRollup _),
     "graph_modularity" -> (modularity _),
     "graph_bfs_layers" -> (bfsLayers _),
@@ -1530,6 +1568,30 @@ object Graph {
         | CAST(sum(pc) AS BIGINT) AS sigma_sum,
         | CAST(max(pc) AS BIGINT) AS sigma_max
         |FROM allv GROUP BY 1, 2 ORDER BY seed, hop""".stripMargin),
+    // same capped wedge join, same diagonal identity, exact /2
+    "graph_square_count" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | canon AS (SELECT DISTINCT least(src, dst) AS u,
+        |    greatest(src, dst) AS v FROM st WHERE src <> dst),
+        | adj AS (SELECT u AS mid, v AS nb FROM canon
+        |   UNION ALL SELECT v, u FROM canon),
+        | deg AS (SELECT mid, count(*) AS dg FROM adj GROUP BY 1),
+        | capped AS (SELECT adj.mid, adj.nb FROM adj
+        |   JOIN deg ON adj.mid = deg.mid AND deg.dg <= 64),
+        | wedges AS (SELECT a.nb AS x, b.nb AS y
+        |   FROM capped a JOIN capped b ON a.mid = b.mid AND a.nb < b.nb),
+        | com AS (SELECT x, y, CAST(count(*) AS BIGINT) AS k
+        |   FROM wedges GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_diag_pairs,
+        | CAST(coalesce(sum(k * (k - 1) // 2), 0) AS BIGINT) AS sum_c2,
+        | CAST(coalesce(sum(k * (k - 1) // 2), 0) // 2 AS BIGINT)
+        |   AS n_squares
+        |FROM com""".stripMargin,
     // same strong graph, same canonical edges/degrees, exact e6 floors
     "graph_rich_club" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),

@@ -666,6 +666,54 @@ object Ml {
       .limit(1)
   }
 
+  /** Cook's distance influence audit (`ml_cooks_distance`, r13): for
+    * the simple OLS of order value on basket size, the top-20 most
+    * INFLUENTIAL orders — D_i = e_i²·h_i / (p·s²·(1−h_i)²) with
+    * leverage h_i = 1/n + (x_i−x̄)²/Sxx — the regression-diagnostics
+    * verb that tells a pipeline which rows to quarantine before
+    * refitting (an un-influential outlier is noise; an influential one
+    * REWRITES the model). All raw moments are exact Longs on the
+    * (items, dollars) lattice; every central-moment combination and
+    * the per-row (e, h, D) are mirrored double expressions (the
+    * [[Stats.momentsProfile]] discipline — the integer n·Σxy identity
+    * itself would overflow at 1.5e5 rows), rounded onto the e9 lattice
+    * PER ROW so the rank is an integer order. One aggregate + a 1-row
+    * broadcast attach + TakeOrderedAndProject — no sort, no window.
+    */
+  def cooksDistance(s: SparkSession, d: String): DataFrame = {
+    val xy = Sources.orders(s, d)
+      .join(Sources.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("x"),
+        expr("max(CAST(round(o_totalprice * 100) AS LONG)) div 100").as("y"))
+      .pinned(eager = false) // feeds the moment pass AND the per-row scan
+    val mom = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    def D(c: Column): Column = c.cast("double")
+    xy.crossJoin(broadcast(mom))
+      .withColumn("xb", D(col("sx")) / D(col("n")))
+      .withColumn("yb", D(col("sy")) / D(col("n")))
+      .withColumn("sxxc", D(col("sxx")) - D(col("n")) * col("xb") * col("xb"))
+      .withColumn("sxyc", D(col("sxy")) - D(col("n")) * col("xb") * col("yb"))
+      .withColumn("syyc", D(col("syy")) - D(col("n")) * col("yb") * col("yb"))
+      .withColumn("b", col("sxyc") / col("sxxc"))
+      .withColumn("s2",
+        (col("syyc") - col("b") * col("sxyc")) / D(col("n") - 2))
+      .withColumn("e",
+        D(col("y")) - (col("yb") - col("b") * col("xb")) - col("b") * D(col("x")))
+      .withColumn("h", lit(1.0) / D(col("n")) +
+        (D(col("x")) - col("xb")) * (D(col("x")) - col("xb")) / col("sxxc"))
+      .withColumn("d_e9", round(lit(1e9) *
+        col("e") * col("e") * col("h") /
+        (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
+          (lit(1.0) - col("h"))), 0).cast("long"))
+      .orderBy(col("d_e9").desc, col("o_orderkey")).limit(20)
+      .select(col("o_orderkey"), col("x").as("n_items"), col("y").as("y_usd"),
+        col("d_e9"))
+      .orderBy(col("d_e9").desc, col("o_orderkey"))
+  }
+
   /** Depth-2 decision tree (`ml_tree_depth2`, r13): one greedy level
     * past [[decisionStump]] — the root split is the stump's exact
     * integer-misclassification argmin, then EACH side greedily picks
@@ -939,6 +987,7 @@ object Ml {
     "ml_shap_linear_frozen" -> (shapLinearFrozen _),
     "ml_cohens_kappa" -> (cohensKappa _),
     "ml_tree_depth2" -> (treeDepth2 _),
+    "ml_cooks_distance" -> (cooksDistance _),
     "ml_mcc_threshold" -> (mccThreshold _),
     "ml_brier_decomposition" -> (brierDecomposition _),
     "ml_ridge_frozen" -> (ridgeFrozen _),
@@ -1019,6 +1068,38 @@ object Ml {
         | (1000000 * m) // (n * n) AS pe_e6,
         | (1000000 * (n * (a + d) - m)) // (n * n - m) AS kappa_e6
         |FROM k""".stripMargin,
+    // same exact raw moments, same mirrored central combinations and
+    // per-row e9 rounding, same (d_e9 desc, key) cut
+    "ml_cooks_distance" ->
+      """WITH xy AS (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS x,
+        |   CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+        |     AS BIGINT) AS y
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1),
+        | mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |   CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy FROM xy),
+        | k AS (SELECT o_orderkey, x, y,
+        |   sx::DOUBLE / n::DOUBLE AS xb, sy::DOUBLE / n::DOUBLE AS yb,
+        |   sxx::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+        |     * (sx::DOUBLE / n::DOUBLE) AS sxxc,
+        |   sxy::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+        |     * (sy::DOUBLE / n::DOUBLE) AS sxyc,
+        |   syy::DOUBLE - n::DOUBLE * (sy::DOUBLE / n::DOUBLE)
+        |     * (sy::DOUBLE / n::DOUBLE) AS syyc,
+        |   n FROM xy, mom),
+        | k2 AS (SELECT *, sxyc / sxxc AS b FROM k),
+        | k3 AS (SELECT *, (syyc - b * sxyc) / (n - 2)::DOUBLE AS s2,
+        |   y::DOUBLE - (yb - b * xb) - b * x::DOUBLE AS e,
+        |   1.0 / n::DOUBLE + (x::DOUBLE - xb) * (x::DOUBLE - xb) / sxxc
+        |     AS h FROM k2),
+        | k4 AS (SELECT o_orderkey, x AS n_items, y AS y_usd,
+        |   CAST(round(1e9 * e * e * h
+        |     / (2.0 * s2 * (1.0 - h) * (1.0 - h))) AS BIGINT) AS d_e9
+        |  FROM k3)
+        |SELECT o_orderkey, n_items, y_usd, d_e9
+        |FROM k4 ORDER BY d_e9 DESC, o_orderkey LIMIT 20""".stripMargin,
     // identical greedy trajectory: root argmin, broadcast pick,
     // per-branch argmin — every count and tie-break replayed
     "ml_tree_depth2" ->

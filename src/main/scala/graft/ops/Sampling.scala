@@ -513,7 +513,44 @@ object Sampling {
       .withColumn("err_cents", col("t_ht_cents") - col("t_true_cents"))
   }
 
+  /** Two-stage cluster sampling (`sample_two_stage`, r13): the survey
+    * design for when frame access is hierarchical (you can't sample
+    * customers directly at 100 TB without first touching every
+    * shard — but you CAN pick nation partitions, then sample within
+    * the picked ones): stage 1 draws 10 of the 25 nations (lowest
+    * Knuth hash, ties by key — a deterministic draw over the bounded
+    * DIMENSION, π₁ = 2/5), stage 2 keeps customers at π₂ = 1/4 on an
+    * independent second hash lattice. The two-stage HT estimator
+    * t̂ = Σ y/(π₁π₂) = 10·Σy is EXACT integer (the inverse inclusion
+    * probability is a whole number by design — the published
+    * fractions are chosen so no per-row rational ever appears). Scale
+    * story: stage 1 prunes to the sampled nations' partitions BEFORE
+    * the corpus scan (the broadcast semi-join is partition pruning in
+    * survey-design form); only sampled clusters are read.
+    */
+  def twoStage(s: SparkSession, d: String): DataFrame = {
+    val cust = Sources.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+      expr("CAST(round(c_acctbal * 100) AS LONG)").as("cents"))
+    val nations = cust.select("nk").distinct() // bounded dimension
+      .withColumn("u", pmod(col("nk") * lit(2654435761L), lit(4294967296L)))
+      .orderBy("u", "nk").limit(10).select("nk")
+    val sampled = cust.join(broadcast(nations), Seq("nk"))
+      .filter(pmod(col("c_custkey") * lit(2246822519L),
+        lit(4294967296L)) % 1000000L < 250000L)
+    val truth = cust.agg(sum("cents").as("t_true_cents"),
+      count(lit(1)).as("n_pop"))
+    sampled.agg(countDistinct("nk").as("n_nations_hit"),
+        count(lit(1)).as("n_sampled"),
+        (sum("cents") * lit(10L)).as("t_hat_cents"))
+      .crossJoin(broadcast(truth)) // 1-row truth attach
+      .select(col("n_pop"), col("n_nations_hit"), col("n_sampled"),
+        col("t_hat_cents"), col("t_true_cents"),
+        (col("t_hat_cents") - col("t_true_cents")).as("err_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_two_stage" -> (twoStage _),
     "sample_ht_poisson" -> (htPoisson _),
     "sample_pps_systematic" -> (ppsSystematic _),
     "sample_hh_estimator" -> (hhEstimator _),
@@ -647,6 +684,24 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // same hash-ranked stage-1 draw, same quarter-lattice stage 2,
+    // exact x10 inverse-probability expansion
+    "sample_two_stage" ->
+      """WITH cust AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | nat AS (SELECT nk FROM (SELECT DISTINCT nk FROM cust)
+        |   ORDER BY (nk * 2654435761) % 4294967296, nk LIMIT 10),
+        | samp AS (SELECT c.* FROM cust c JOIN nat USING (nk)
+        |   WHERE (c_custkey * 2246822519) % 4294967296 % 1000000 < 250000),
+        | tr AS (SELECT CAST(sum(cents) AS BIGINT) AS t_true_cents,
+        |   CAST(count(*) AS BIGINT) AS n_pop FROM cust)
+        |SELECT n_pop,
+        | CAST(count(DISTINCT nk) AS BIGINT) AS n_nations_hit,
+        | CAST(count(*) AS BIGINT) AS n_sampled,
+        | CAST(sum(cents) * 10 AS BIGINT) AS t_hat_cents,
+        | t_true_cents,
+        | CAST(sum(cents) * 10 AS BIGINT) - t_true_cents AS err_cents
+        |FROM samp, tr GROUP BY n_pop, t_true_cents""".stripMargin,
     // same capped pi_e6 lattice, same Knuth inclusion, per-row floors
     // for y/pi (cents) and the variance term (hundred-dollar units)
     "sample_ht_poisson" ->

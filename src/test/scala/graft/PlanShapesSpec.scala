@@ -161,7 +161,10 @@ class PlanShapesSpec extends SparkSpec {
     "ml_tree_depth2",
     // batch 87 (r13): the 8-vector ColBERT query side broadcasts
     // (the cosineTopK probe shape); KS attaches its 1-row totals
-    "sim_maxsim_late", "ml_ks_separation")
+    "sim_maxsim_late", "ml_ks_separation",
+    // batch 88 (r13): Cook's-distance moment attach and the
+    // two-stage truth attach — both 1-row broadcast sides
+    "ml_cooks_distance", "sample_two_stage")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -381,6 +381,29 @@ class CurationOpsSpec extends SparkSpec {
     got.foreach { case (_, sz, _, h) => h should be <= sz / step + 1 }
   }
 
+  "Sampling.twoStage (r13)" should "replay both stages and the x10 HT expansion" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS LONG) AS nk",
+        "CAST(round(c_acctbal * 100) AS LONG) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nations = cust.map(_._2).distinct
+      .sortBy(nk => ((nk * 2654435761L) % 4294967296L, nk)).take(10).toSet
+    val samp = cust.filter(c => nations(c._2) &&
+      (c._1 * 2246822519L) % 4294967296L % 1000000L < 250000L)
+    val row = Sampling.twoStage(spark, sfDir).collect().head
+    row.getLong(0) shouldBe cust.length.toLong
+    row.getLong(1) shouldBe samp.map(_._2).distinct.length.toLong
+    row.getLong(2) shouldBe samp.length.toLong
+    row.getLong(3) shouldBe samp.map(_._3).sum * 10L
+    row.getLong(4) shouldBe cust.map(_._3).sum
+    row.getLong(5) shouldBe row.getLong(3) - row.getLong(4)
+    // the design delivers: ~n/10 of the frame sampled, all 10 picked
+    // clusters populated, estimate within half the truth's magnitude
+    row.getLong(2) should be > 0L
+    math.abs(row.getLong(5)) should be <
+      math.max(math.abs(row.getLong(4)), 100000L)
+  }
+
   "Sampling.htPoisson (r13)" should "replay the capped-pi inclusion and both estimators" in {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS LONG) AS cents")

@@ -635,6 +635,37 @@ class GraphSpec extends SparkSpec {
     got should not be empty
   }
 
+  "Graph.squareCount (r13)" should "replay the diagonal identity on the strong graph" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val dirPairs = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.toSeq
+    val strong = dirPairs.groupBy(identity).filter(_._2.size >= 2).keySet
+    val canon = strong.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(t => t._1 != t._2)
+    val adj = canon.toSeq.flatMap(t => Seq(t, t.swap))
+    val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val capped = adj.filter(t => deg(t._1) <= 64)
+    val wedges = capped.groupBy(_._1).values.flatMap { g =>
+      val ns = g.map(_._2).sorted
+      for (i <- ns.indices; j <- (i + 1) until ns.length)
+        yield (ns(i), ns(j))
+    }.toSeq
+    val ks = wedges.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2)
+    val sumC2 = ks.values.map(k => k * (k - 1) / 2).sum
+    val row = Graph.squareCount(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe
+      ((ks.size.toLong, sumC2, sumC2 / 2))
+    // the double-count identity holds: the C2 mass is even
+    sumC2 % 2 shouldBe 0L
+  }
+
   "Graph.pathCounts (r13)" should "replay BFS sigma propagation from the hub seeds" in {
     val und = (edges ++ edges.map(t => (t._2, t._1)))
       .filter(t => t._1 != t._2)

@@ -365,6 +365,40 @@ class MlSpec extends SparkSpec {
     row.getLong(7) should be > 0L
   }
 
+  behavior of "Ml.cooksDistance (r13)"
+
+  it should "replay the OLS influence ranking on the e9 lattice" in {
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS LONG) div 100 AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => items.contains(t._1))
+    val xy = orders.map { case (k, y) => (k, items(k), y) }
+    val n = xy.length.toLong
+    val (sx, sxx) = (xy.map(_._2).sum, xy.map(t => t._2 * t._2).sum)
+    val (sy, syy) = (xy.map(_._3).sum, xy.map(t => t._3 * t._3).sum)
+    val sxy = xy.map(t => t._2 * t._3).sum
+    val xb = sx.toDouble / n; val yb = sy.toDouble / n
+    val sxxc = sxx.toDouble - n * xb * xb
+    val sxyc = sxy.toDouble - n * xb * yb
+    val syyc = syy.toDouble - n * yb * yb
+    val b = sxyc / sxxc
+    val s2 = (syyc - b * sxyc) / (n - 2).toDouble
+    val scored = xy.map { case (k, x, y) =>
+      val e = y.toDouble - (yb - b * xb) - b * x
+      val h = 1.0 / n + (x - xb) * (x - xb) / sxxc
+      (k, x, y, math.round(1e9 * e * e * h / (2.0 * s2 * (1 - h) * (1 - h))))
+    }
+    val want = scored.sortBy(t => (-t._4, t._1)).take(20).toSeq
+    val got = Ml.cooksDistance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // influence concentrates: the head dominates the 20th entry
+    got.head._4 should be > got.last._4
+  }
+
   behavior of "Stats.ksSeparation (r13)"
 
   it should "replay the exact KS numerator and the argmax threshold" in {
