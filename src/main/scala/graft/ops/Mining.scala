@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Num.roundNorm
+import graft.io.Checkpoints.PinOps
 import graft.io.Sources
 
 /** Pattern mining and join-pruning operators (SURVEY §2.13 extensions):
@@ -368,6 +369,47 @@ object Mining {
         col("growth_e4"))
       .orderBy(col("growth_e4").desc, col("l_partkey"))
 
+  /** Negative association mining (`mining_negative_assoc`, r13): the
+    * pairs that co-occur LESS than independence predicts — substitute
+    * products, the complement the frequent-pairs lift ranking can't
+    * surface (a pair must first be candidate-generated to be scored,
+    * and infrequent-by-design pairs never are). The honest candidate
+    * universe: all C(50,2) pairs of the TOP-50 items by basket
+    * support (published cap — negative association is only
+    * statistically meaningful between individually frequent items,
+    * and the cap bounds the pair table at 1 225 rows at ANY corpus
+    * size), joint counts attached by LEFT join so never-co-occurring
+    * pairs enter at joint = 0 (exactly the rows a join-first plan
+    * silently drops). lift_e6 = (n·joint·10⁶) div (s_a·s_b) exact,
+    * bottom-20 by (lift, pair). One distinct-incidence aggregate, one
+    * in-basket self-join pruned to the 50-item candidate set.
+    */
+  def negativeAssoc(s: SparkSession, d: String): DataFrame = {
+    val inc = basketsRaw(s, d) // session-materialized incidence
+    val nOrders = inc.agg(countDistinct("ok").as("n_orders"))
+    val top = inc.groupBy("pk").agg(count(lit(1)).as("supp"))
+      .orderBy(col("supp").desc, col("pk")).limit(50)
+      .pinned(eager = false) // both pair sides and the prune filter
+    val cands = top.select(col("pk").as("pk_a"), col("supp").as("s_a"))
+      .crossJoin(broadcast(
+        top.select(col("pk").as("pk_b"), col("supp").as("s_b"))))
+      .filter(col("pk_a") < col("pk_b"))
+    val pruned = inc.join(broadcast(top.select("pk")), Seq("pk"), "left_semi")
+    val joint = pruned.as("a").join(pruned.as("b"),
+      col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pk_a"), col("b.pk").as("pk_b"))
+      .agg(count(lit(1)).as("joint"))
+    cands.join(joint, Seq("pk_a", "pk_b"), "left")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("joint", coalesce(col("joint"), lit(0L)))
+      .withColumn("lift_e6",
+        expr("(n_orders * joint * 1000000L) div (s_a * s_b)"))
+      .orderBy(col("lift_e6"), col("pk_a"), col("pk_b")).limit(20)
+      .select(col("pk_a"), col("pk_b"), col("s_a"), col("s_b"),
+        col("joint"), col("lift_e6"))
+      .orderBy(col("lift_e6"), col("pk_a"), col("pk_b"))
+  }
+
   /** Gap-constrained sequential pairs (`mining_seq_gap`, r13): user u
     * supports a→b within the published 15-minute gap iff some b-event
     * lands in (tₐ, tₐ + 900 s] after some a-event — the max-gap GSP
@@ -417,6 +459,7 @@ object Mining {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mining_seq_gap" -> (seqGapPairs _),
+    "mining_negative_assoc" -> (negativeAssoc _),
     "mining_emerging_patterns" -> (emergingPatterns _),
     "mining_seq_triples" -> (seqTriples _),
     "mining_seq_pairs" -> (seqPairs _),
@@ -462,6 +505,31 @@ object Mining {
         |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // the min/max reduction must equal the existential definition —
     // DuckDB replays the same (user, type) agg + bounded pair join
+    // same top-50 candidate cap, LEFT-joined joints (zero rows kept),
+    // same exact lift floor and bottom-20 cut
+    "mining_negative_assoc" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |   FROM lineitem),
+        | no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+        |   FROM inc),
+        | top AS (SELECT pk, CAST(count(*) AS BIGINT) AS supp FROM inc
+        |   GROUP BY 1 ORDER BY supp DESC, pk LIMIT 50),
+        | cands AS (SELECT a.pk AS pk_a, a.supp AS s_a, b.pk AS pk_b,
+        |    b.supp AS s_b FROM top a, top b WHERE a.pk < b.pk),
+        | pruned AS (SELECT inc.ok, inc.pk FROM inc
+        |   JOIN top ON inc.pk = top.pk),
+        | joint AS (SELECT a.pk AS pk_a, b.pk AS pk_b,
+        |    CAST(count(*) AS BIGINT) AS joint
+        |   FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.pk < b.pk
+        |   GROUP BY 1, 2),
+        | sc AS (SELECT c.pk_a, c.pk_b, c.s_a, c.s_b,
+        |    CAST(coalesce(j.joint, 0) AS BIGINT) AS joint,
+        |    (n_orders * coalesce(j.joint, 0) * 1000000)
+        |      // (c.s_a * c.s_b) AS lift_e6
+        |   FROM cands c LEFT JOIN joint j
+        |     ON c.pk_a = j.pk_a AND c.pk_b = j.pk_b, no)
+        |SELECT pk_a, pk_b, s_a, s_b, joint, lift_e6
+        |FROM sc ORDER BY lift_e6, pk_a, pk_b LIMIT 20""".stripMargin,
     // the UNBANDED quadratic truth — hash equality proves the
     // (user, bucket)±1 banding loses no witness pair
     "mining_seq_gap" ->

@@ -680,13 +680,21 @@ object Ml {
     * PER ROW so the rank is an integer order. One aggregate + a 1-row
     * broadcast attach + TakeOrderedAndProject — no sort, no window.
     */
-  def cooksDistance(s: SparkSession, d: String): DataFrame = {
-    val xy = Sources.orders(s, d)
+  /** (order, basket size x, order value y in whole dollars) — the
+    * regression frame [[cooksDistance]] and [[regressionMetrics]]
+    * share; lazily pinned because each consumer runs a moment pass
+    * AND a per-row scan over it.
+    */
+  private def orderSizeValue(s: SparkSession, d: String): DataFrame =
+    Sources.orders(s, d)
       .join(Sources.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey")
       .agg(count(lit(1)).as("x"),
         expr("max(CAST(round(o_totalprice * 100) AS LONG)) div 100").as("y"))
-      .pinned(eager = false) // feeds the moment pass AND the per-row scan
+      .pinned(eager = false)
+
+  def cooksDistance(s: SparkSession, d: String): DataFrame = {
+    val xy = orderSizeValue(s, d)
     val mom = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
       sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
       sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
@@ -712,6 +720,51 @@ object Ml {
       .select(col("o_orderkey"), col("x").as("n_items"), col("y").as("y_usd"),
         col("d_e9"))
       .orderBy(col("d_e9").desc, col("o_orderkey"))
+  }
+
+  /** Regression metrics battery (`ml_regression_metrics`, r13): the
+    * evaluation quartet — MAE, RMSE, R², MAPE — for the
+    * [[cooksDistance]] OLS of order value on basket size; the
+    * deliverable every fitted model must publish before anything
+    * consumes its predictions (the engine's forecasters publish WAPE;
+    * this is the regression-side analogue). Per-row residuals are
+    * mirrored doubles off the exact moments; each metric's row term
+    * rounds onto its published lattice BEFORE aggregation (|e| and e²
+    * to whole dollars, |e|/y to e6 — the psi rule, so both engines
+    * sum identical integers; e² ≤ 2e11 keeps the square sum Long to
+    * ~4e7 rows, then the unit coarsens). The finishes are one
+    * mirrored double each off the integer sums. One moment aggregate
+    * + one per-row scan + one reduce.
+    */
+  def regressionMetrics(s: SparkSession, d: String): DataFrame = {
+    val xy = orderSizeValue(s, d)
+    val mom = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    def D(c: Column): Column = c.cast("double")
+    val terms = xy.crossJoin(broadcast(mom))
+      .withColumn("xb", D(col("sx")) / D(col("n")))
+      .withColumn("yb", D(col("sy")) / D(col("n")))
+      .withColumn("b",
+        (D(col("sxy")) - D(col("n")) * col("xb") * col("yb")) /
+          (D(col("sxx")) - D(col("n")) * col("xb") * col("xb")))
+      .withColumn("e",
+        D(col("y")) - (col("yb") - col("b") * col("xb")) - col("b") * D(col("x")))
+      .withColumn("abs_r", round(abs(col("e")), 0).cast("long"))
+      .withColumn("sq_r", round(col("e") * col("e"), 0).cast("long"))
+      .withColumn("ape_e6",
+        round(lit(1e6) * abs(col("e")) / D(col("y")), 0).cast("long"))
+    terms.agg(max("n").as("n"), sum("abs_r").as("sum_abs"),
+        sum("sq_r").as("sum_sq"), sum("ape_e6").as("sum_ape_e6"),
+        max("sy").as("sy"), max("syy").as("syy"))
+      .select(col("n"), col("sum_abs"), col("sum_sq"),
+        expr("sum_abs div n").as("mae_usd"),
+        graft.functions.Num.roundNorm(
+          sqrt(D(col("sum_sq")) / D(col("n"))), 4).as("rmse_usd"),
+        graft.functions.Num.roundNorm(lit(1.0) - D(col("sum_sq")) /
+          (D(col("syy")) - D(col("sy")) * D(col("sy")) / D(col("n"))), 6)
+          .as("r2"),
+        expr("sum_ape_e6 div n").as("mape_e6"))
   }
 
   /** Depth-2 decision tree (`ml_tree_depth2`, r13): one greedy level
@@ -988,6 +1041,7 @@ object Ml {
     "ml_cohens_kappa" -> (cohensKappa _),
     "ml_tree_depth2" -> (treeDepth2 _),
     "ml_cooks_distance" -> (cooksDistance _),
+    "ml_regression_metrics" -> (regressionMetrics _),
     "ml_mcc_threshold" -> (mccThreshold _),
     "ml_brier_decomposition" -> (brierDecomposition _),
     "ml_ridge_frozen" -> (ridgeFrozen _),
@@ -1068,6 +1122,44 @@ object Ml {
         | (1000000 * m) // (n * n) AS pe_e6,
         | (1000000 * (n * (a + d) - m)) // (n * n - m) AS kappa_e6
         |FROM k""".stripMargin,
+    // same mirrored residuals, same per-row lattice terms, one
+    // mirrored finish per metric
+    "ml_regression_metrics" ->
+      """WITH xy AS (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS x,
+        |   CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+        |     AS BIGINT) AS y
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1),
+        | mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |   CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy FROM xy),
+        | k AS (SELECT x, y, n, sy, syy,
+        |   sx::DOUBLE / n::DOUBLE AS xb, sy::DOUBLE / n::DOUBLE AS yb,
+        |   (sxy::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+        |      * (sy::DOUBLE / n::DOUBLE))
+        |   / (sxx::DOUBLE - n::DOUBLE * (sx::DOUBLE / n::DOUBLE)
+        |      * (sx::DOUBLE / n::DOUBLE)) AS b
+        |  FROM xy, mom),
+        | t AS (SELECT n, sy, syy,
+        |   y::DOUBLE - (yb - b * xb) - b * x::DOUBLE AS e, y FROM k),
+        | r AS (SELECT n, sy, syy,
+        |   CAST(round(abs(e)) AS BIGINT) AS abs_r,
+        |   CAST(round(e * e) AS BIGINT) AS sq_r,
+        |   CAST(round(1e6 * abs(e) / y::DOUBLE) AS BIGINT) AS ape_e6
+        |  FROM t),
+        | agg AS (SELECT max(n) AS n, CAST(sum(abs_r) AS BIGINT) AS sum_abs,
+        |   CAST(sum(sq_r) AS BIGINT) AS sum_sq,
+        |   CAST(sum(ape_e6) AS BIGINT) AS sum_ape_e6,
+        |   max(sy) AS sy, max(syy) AS syy FROM r)
+        |SELECT n, sum_abs, sum_sq,
+        | sum_abs // n AS mae_usd,
+        | round(sqrt(sum_sq::DOUBLE / n::DOUBLE), 4) + 0.0 AS rmse_usd,
+        | round(1.0 - sum_sq::DOUBLE
+        |   / (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE), 6) + 0.0
+        |   AS r2,
+        | sum_ape_e6 // n AS mape_e6
+        |FROM agg""".stripMargin,
     // same exact raw moments, same mirrored central combinations and
     // per-row e9 rounding, same (d_e9 desc, key) cut
     "ml_cooks_distance" ->

@@ -695,6 +695,47 @@ object Temporal {
       })
   }
 
+  /** Ljung-Box portmanteau test (`stats_ljung_box`, r13): the single
+    * statistic summarizing whether ANY of the first 7 autocorrelations
+    * is real — Q = n(n+2)·Σ_k r_k²/(n−k) — the standard residual-
+    * whiteness gate after fitting any of the engine's forecasters
+    * (naive-seasonal, Holt, SMA): significant Q on residuals means
+    * structure was left on the table. r_k rides the exact
+    * [[autocorr]] lag-join moments (contiguous spine ⇒ the pair count
+    * IS n−k, so no separate length pass); each lag's r²/(n−k) rounds
+    * onto the e9 lattice PER LAG before the sum (psi rule), the seven
+    * lattice terms ship as gate columns, and Q is one mirrored double
+    * off the exact term sum. Plan: the ×7 exploded lag join + one
+    * keyed agg + a 7-row reduce.
+    */
+  def ljungBox(s: SparkSession, d: String): DataFrame = {
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val a = ser.select(col("i"), col("x"),
+      explode(array((1 to 7).map(lit(_)): _*)).as("k"))
+      .withColumn("ti", col("i") + col("k"))
+    val b = ser.select(col("i").as("ti"), col("x").as("y"))
+    def D(c: Column): Column = c.cast("double")
+    val byK = a.join(b, "ti").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("r",
+        (D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
+          (sqrt(D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) *
+            sqrt(D(col("n")) * D(col("syy")) - D(col("sy")) * D(col("sy")))))
+      .withColumn("term_e9",
+        round(lit(1e9) * col("r") * col("r") / D(col("n")), 0).cast("long"))
+    def pick(k: Int): Column =
+      max(when(col("k") === k, col("term_e9"))).as(s"t$k")
+    byK.agg((max(when(col("k") === 1, col("n"))) + 1).as("n_days"),
+        sum("term_e9").as("sum_term_e9"),
+        pick(1), pick(2), pick(3), pick(4), pick(5), pick(6), pick(7))
+      .withColumn("q_stat", graft.functions.Num.roundNorm(
+        D(col("n_days")) * D(col("n_days") + 2) * D(col("sum_term_e9"))
+          / 1e9, 4))
+  }
+
   /** Wald-Wolfowitz runs test (`stats_runs_test`, r13): is the daily
     * revenue sequence RANDOM around its median, or does it cluster
     * (fewer, longer runs = positive serial dependence; more, shorter
@@ -1501,6 +1542,7 @@ object Temporal {
     "ts_mann_kendall" -> (mannKendall _),
     "ts_hurst_rs" -> (hurstRs _),
     "stats_runs_test" -> (runsTest _),
+    "stats_ljung_box" -> (ljungBox _),
     "ts_seasonal_decompose" -> (seasonalDecompose _),
     "ts_kaplan_meier" -> (kaplanMeier _),
     "ts_mom_growth" -> (momGrowth _),
@@ -1537,6 +1579,41 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same lag-join moments, per-lag e9 terms before the sum, one
+    // mirrored Q off the exact term total
+    "stats_ljung_box" ->
+      (s"""WITH $seriesCte,
+        | aa AS (SELECT i, x, k, i + k AS ti
+        |  FROM ser, unnest([1, 2, 3, 4, 5, 6, 7]) t(k)),
+        | byk AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(aa.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+        |   CAST(sum(aa.x * aa.x) AS BIGINT) AS sxx,
+        |   CAST(sum(b.x * b.x) AS BIGINT) AS syy,
+        |   CAST(sum(aa.x * b.x) AS BIGINT) AS sxy
+        |  FROM aa JOIN ser b ON aa.ti = b.i GROUP BY 1),
+        | rr AS (SELECT k, n,
+        |   (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |   / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |     AS r FROM byk),
+        | tm AS (SELECT k, n,
+        |   CAST(round(1e9 * r * r / n::DOUBLE) AS BIGINT) AS term_e9
+        |  FROM rr),
+        | agg AS (SELECT
+        |   CAST(max(CASE WHEN k = 1 THEN n END) + 1 AS BIGINT) AS n_days,
+        |   CAST(sum(term_e9) AS BIGINT) AS sum_term_e9,
+        |   max(CASE WHEN k = 1 THEN term_e9 END) AS t1,
+        |   max(CASE WHEN k = 2 THEN term_e9 END) AS t2,
+        |   max(CASE WHEN k = 3 THEN term_e9 END) AS t3,
+        |   max(CASE WHEN k = 4 THEN term_e9 END) AS t4,
+        |   max(CASE WHEN k = 5 THEN term_e9 END) AS t5,
+        |   max(CASE WHEN k = 6 THEN term_e9 END) AS t6,
+        |   max(CASE WHEN k = 7 THEN term_e9 END) AS t7
+        |  FROM tm)
+        |SELECT n_days, sum_term_e9, t1, t2, t3, t4, t5, t6, t7,
+        | round(n_days::DOUBLE * (n_days + 2)::DOUBLE
+        |   * sum_term_e9::DOUBLE / 1e9, 4) + 0.0 AS q_stat
+        |FROM agg""".stripMargin),
     // same lower-median dichotomy, same flip count, one mirrored z
     "stats_runs_test" ->
       (s"""WITH $seriesCte,

@@ -164,7 +164,11 @@ class PlanShapesSpec extends SparkSpec {
     "sim_maxsim_late", "ml_ks_separation",
     // batch 88 (r13): Cook's-distance moment attach and the
     // two-stage truth attach — both 1-row broadcast sides
-    "ml_cooks_distance", "sample_two_stage")
+    "ml_cooks_distance", "sample_two_stage",
+    // batch 89 (r13): regression-metrics moment attach; the
+    // negative-assoc candidate table is the 50-row top-support
+    // DIMENSION crossed with itself (1 225 rows by construction)
+    "ml_regression_metrics", "mining_negative_assoc")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

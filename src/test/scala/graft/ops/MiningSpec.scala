@@ -203,4 +203,33 @@ class MiningSpec extends SparkSpec {
     got.head._4 should be >= got.last._4
     got.foreach(_._2 should be >= 5L)
   }
+
+  "Mining.negativeAssoc (r13)" should "surface the least-lifted top-item pairs" in {
+    val inc = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey AS ok", "l_partkey AS pk").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = inc.map(_._1).distinct.length.toLong
+    val supp = inc.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val top = supp.toSeq.sortBy(t => (-t._2, t._1)).take(50).map(_._1).toSet
+    val joint = inc.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).filter(top).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tl = top.toSeq.sorted
+    val cands = for {
+      i <- tl.indices; j <- (i + 1) until tl.length
+    } yield {
+      val (a, b) = (tl(i), tl(j))
+      val jt = joint.getOrElse((a, b), 0L)
+      (a, b, supp(a), supp(b), jt, n * jt * 1000000L / (supp(a) * supp(b)))
+    }
+    val want = cands.sortBy(t => (t._6, t._1, t._2)).take(20)
+    val got = Mining.negativeAssoc(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // the bottom of the lift order sits well under independence (1e6)
+    got.foreach(_._6 should be < 1000000L)
+  }
 }

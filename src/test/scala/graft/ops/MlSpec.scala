@@ -365,6 +365,42 @@ class MlSpec extends SparkSpec {
     row.getLong(7) should be > 0L
   }
 
+  behavior of "Ml.regressionMetrics (r13)"
+
+  it should "replay the per-row metric lattices and the mirrored finishes" in {
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val xy = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS LONG) div 100 AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => items.contains(t._1))
+      .map { case (k, y) => (items(k), y) }
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(t => t._1 * t._1).sum
+    val syy = xy.map(t => t._2 * t._2).sum
+    val sxy = xy.map(t => t._1 * t._2).sum
+    val xb = sx.toDouble / n; val yb = sy.toDouble / n
+    val b = (sxy - n * xb * yb) / (sxx - n * xb * xb)
+    val es = xy.map { case (x, y) => (y.toDouble - (yb - b * xb) - b * x, y) }
+    val sumAbs = es.map(t => math.round(math.abs(t._1))).sum
+    val sumSq = es.map(t => math.round(t._1 * t._1)).sum
+    val sumApe = es.map(t => math.round(1e6 * math.abs(t._1) / t._2)).sum
+    val row = Ml.regressionMetrics(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe ((n, sumAbs, sumSq))
+    row.getLong(3) shouldBe sumAbs / n
+    row.getDouble(4) shouldBe
+      (math.round(math.sqrt(sumSq.toDouble / n) * 1e4) / 1e4) +- 1e-9
+    val r2 = 1.0 - sumSq.toDouble / (syy - sy.toDouble * sy / n)
+    row.getDouble(5) shouldBe (math.round(r2 * 1e6) / 1e6) +- 1e-9
+    row.getLong(6) shouldBe sumApe / n
+    // the fit is honest: R2 in [0, 1) (at sf0.001 basket size explains
+    // little of the price variance - the metric reports that truthfully)
+    row.getDouble(5) should (be >= 0.0 and be < 1.0)
+    row.getLong(3) should be > 0L
+  }
+
   behavior of "Ml.cooksDistance (r13)"
 
   it should "replay the OLS influence ranking on the e9 lattice" in {

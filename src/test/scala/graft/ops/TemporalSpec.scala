@@ -674,6 +674,41 @@ class TemporalSpec extends SparkSpec {
     got.foreach(_._3 should be > 0L)
   }
 
+  "Temporal.ljungBox (r13)" should "replay per-lag e9 terms and the Q assembly" in {
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("x").as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val d0 = daily.map(_._1).minBy(_.toEpochDay)
+    val d1 = daily.map(_._1).maxBy(_.toEpochDay)
+    val m = daily.toMap
+    val ser = (0L to java.time.temporal.ChronoUnit.DAYS.between(d0, d1))
+      .map(i => m.getOrElse(d0.plusDays(i), 0L))
+    val n = ser.length.toLong
+    val terms = (1 to 7).map { k =>
+      val pairs = ser.dropRight(k).zip(ser.drop(k))
+      val np = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(t => t._1 * t._1).sum
+      val syy = pairs.map(t => t._2 * t._2).sum
+      val sxy = pairs.map(t => t._1 * t._2).sum
+      val r = (np.toDouble * sxy - sx.toDouble * sy) /
+        (math.sqrt(np.toDouble * sxx - sx.toDouble * sx) *
+          math.sqrt(np.toDouble * syy - sy.toDouble * sy))
+      math.round(1e9 * r * r / np)
+    }
+    val row = Temporal.ljungBox(spark, sfDir).collect().head
+    row.getLong(0) shouldBe n
+    row.getLong(1) shouldBe terms.sum
+    (1 to 7).foreach(k => row.getLong(1 + k) shouldBe terms(k - 1))
+    val q = n.toDouble * (n + 2) * terms.sum / 1e9
+    row.getDouble(9) shouldBe (math.round(q * 1e4) / 1e4) +- 1e-6
+    // Q accumulates nonnegative lattice terms and lands finite
+    row.getDouble(9) should be >= 0.0
+    terms.foreach(_ should be >= 0L)
+  }
+
   "Temporal.runsTest (r13)" should "replay the median dichotomy and run count" in {
     val daily = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("CAST(o_orderdate AS DATE) AS day",
