@@ -114,6 +114,49 @@ object Privacy {
       .orderBy("c_nationkey", "bal_bucket")
   }
 
+  /** Synthetic-data marginal release (`priv_synthetic_marginal`, r13):
+    * the simplest synthetic-data generator — per nation, emit the SAME
+    * NUMBER of synthetic rows and draw each row's segment from the
+    * true conditional distribution by integer CDF inversion on the
+    * Knuth lattice (u = hash(nation·2²⁰ + r) mod n_g indexes into the
+    * exact count partition: segment s iff cum_{s−1} ≤ u < cum_s). The
+    * released table preserves the (nation × segment) marginal up to
+    * the hash draw's multinomial noise — the utility audit ships as
+    * (n_true, n_synth, diff) per cell, which is exactly what a
+    * synthetic-data buyer checks first. The whole trajectory is
+    * integer (thresholds, draws, assignment), so the oracle replays
+    * every synthetic row bit-for-bit. Plan: the CDF is a
+    * dimension-bounded broadcast (nations × segments); synthetic rows
+    * explode per nation (×1 corpus-scale fan-out) and assign by ONE
+    * range join against the broadcast CDF.
+    */
+  def syntheticMarginal(s: SparkSession, d: String): DataFrame = {
+    val cust = Sources.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nk"), col("c_mktsegment"))
+    val cellCounts = cust.groupBy("nk", "c_mktsegment")
+      .agg(count(lit(1)).as("n_true"))
+    val w = Window.partitionBy("nk").orderBy("c_mktsegment")
+    val cdf = cellCounts
+      .withColumn("cum_hi", sum("n_true").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_lo", col("cum_hi") - col("n_true"))
+    val perNation = cellCounts.groupBy("nk").agg(sum("n_true").as("n_g"))
+    val synth = perNation
+      .select(col("nk"), col("n_g"),
+        explode(expr("sequence(1L, n_g)")).as("r"))
+      .withColumn("u",
+        pmod((col("nk") * lit(1048576L) + col("r")) * lit(2654435761L),
+          lit(4294967296L)) % col("n_g"))
+    val assigned = synth.join(broadcast(cdf), Seq("nk"))
+      .filter(col("u") >= col("cum_lo") && col("u") < col("cum_hi"))
+      .groupBy("nk", "c_mktsegment").agg(count(lit(1)).as("n_synth"))
+    cellCounts.join(assigned, Seq("nk", "c_mktsegment"), "left")
+      .select(col("nk"), col("c_mktsegment"), col("n_true"),
+        coalesce(col("n_synth"), lit(0L)).as("n_synth"),
+        (coalesce(col("n_synth"), lit(0L)) - col("n_true")).as("diff"))
+      .orderBy("nk", "c_mktsegment")
+  }
+
   /** Integer CDF thresholds for the alpha = 1/2 two-sided geometric on
     * the 2²⁰ lattice: magnitude j iff u < T_j, tail collapsed at 9.
     * T_j = 2²⁰ − ⌊2²¹ / (3·2ʲ)⌋.
@@ -477,6 +520,7 @@ object Privacy {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_entropy_ldiv" -> (entropyLDiv _),
+    "priv_synthetic_marginal" -> (syntheticMarginal _),
     "priv_dp_topk" -> (dpTopK _),
     "priv_ldp_mean" -> (ldpMean _),
     "priv_cell_suppression" -> (cellSuppression _),
@@ -498,6 +542,36 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // every synthetic draw replayed: same per-nation CDF partition,
+    // same Knuth index, same range assignment
+    "priv_synthetic_marginal" ->
+      """WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |   c_mktsegment FROM customer),
+        | cc AS (SELECT nk, c_mktsegment, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM cust GROUP BY 1, 2),
+        | cdf AS (SELECT *, CAST(sum(n_true) OVER (PARTITION BY nk
+        |    ORDER BY c_mktsegment ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |     AS cum_hi,
+        |   CAST(sum(n_true) OVER (PARTITION BY nk ORDER BY c_mktsegment
+        |    ROWS UNBOUNDED PRECEDING) - n_true AS BIGINT) AS cum_lo
+        |  FROM cc),
+        | pn AS (SELECT nk, CAST(sum(n_true) AS BIGINT) AS n_g
+        |  FROM cc GROUP BY 1),
+        | synth AS (SELECT nk, n_g, unnest(range(1, n_g + 1)) AS r FROM pn),
+        | drawn AS (SELECT nk,
+        |   ((nk * 1048576 + r) * 2654435761) % 4294967296 % n_g AS u
+        |  FROM synth),
+        | asg AS (SELECT d.nk, c.c_mktsegment,
+        |   CAST(count(*) AS BIGINT) AS n_synth
+        |  FROM drawn d JOIN cdf c ON d.nk = c.nk
+        |   AND d.u >= c.cum_lo AND d.u < c.cum_hi
+        |  GROUP BY 1, 2)
+        |SELECT cc.nk AS nk, cc.c_mktsegment AS c_mktsegment, cc.n_true,
+        | CAST(coalesce(asg.n_synth, 0) AS BIGINT) AS n_synth,
+        | CAST(coalesce(asg.n_synth, 0) - cc.n_true AS BIGINT) AS diff
+        |FROM cc LEFT JOIN asg ON cc.nk = asg.nk
+        | AND cc.c_mktsegment = asg.c_mktsegment
+        |ORDER BY 1, 2""".stripMargin,
     // per-segment e6 terms BEFORE the class sum; ln(3)e6 = 1098612 is
     // the published integer bar, so the flag is an integer compare
     "priv_entropy_ldiv" ->

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.io.Checkpoints.PinOps
 import graft.io.Sources
 
 /** Similarity search over the `embeddings` table (SURVEY §2.13):
@@ -1378,6 +1379,60 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long"))
   }
 
+  /** Cluster-quality evaluation (`ml_cluster_purity`, r13): purity and
+    * NMI of the frozen 6-bit sign-projection buckets against the
+    * embedding labels — the external-validity audit that tells a
+    * SemDeDup/IVF deployment whether its partition geometry tracks the
+    * semantics it claims to (high purity = buckets are label-coherent;
+    * NMI corrects purity's bucket-count inflation, the reason both
+    * ship). Per-cell mutual-information terms n_bl·ln(n·n_bl/(n_b·n_l))
+    * and per-margin entropy terms round onto the e6 lattice PER
+    * CELL/MARGIN ROW before their sums (psi rule); purity's numerator
+    * Σ_b max_l n_bl is pure integer; NMI = I/√(H_B·H_L) is ONE
+    * mirrored double off the three exact e6 sums. Plan: one map-side
+    * HOF bucketing pass, one (bucket × label) keyed aggregate — cell
+    * count bounded by 2⁶·|labels|, model-sized — then dimension-table
+    * joins only.
+    */
+  def clusterPurity(s: SparkSession, d: String): DataFrame = {
+    val cells = Sources.embeddings(s, d)
+      .select(col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("qv"))
+      .withColumn("bucket", signBucketCol(6))
+      .groupBy("bucket", "label").agg(count(lit(1)).as("n_bl"))
+      .pinned(eager = false) // margins, purity, and the I terms
+    val nb = cells.groupBy("bucket").agg(sum("n_bl").as("n_b"))
+    val nl = cells.groupBy("label").agg(sum("n_bl").as("n_l"))
+    val nn = cells.agg(sum("n_bl").as("n"))
+    def D(c: Column): Column = c.cast("double")
+    val iSum = cells.join(broadcast(nb), Seq("bucket"))
+      .join(broadcast(nl), Seq("label"))
+      .crossJoin(broadcast(nn))
+      .withColumn("t_e6", round(lit(1e6) * D(col("n_bl")) *
+        log(D(col("n")) * D(col("n_bl")) / (D(col("n_b")) * D(col("n_l")))),
+        0).cast("long"))
+      .agg(sum("t_e6").as("i_e6"))
+    val hb = nb.crossJoin(broadcast(nn))
+      .withColumn("h_e6", round(lit(1e6) * D(col("n_b")) *
+        log(D(col("n")) / D(col("n_b"))), 0).cast("long"))
+      .agg(sum("h_e6").as("hb_e6"), count(lit(1)).as("n_buckets"))
+    val hl = nl.crossJoin(broadcast(nn))
+      .withColumn("h_e6", round(lit(1e6) * D(col("n_l")) *
+        log(D(col("n")) / D(col("n_l"))), 0).cast("long"))
+      .agg(sum("h_e6").as("hl_e6"), count(lit(1)).as("n_labels"))
+    val purity = cells.groupBy("bucket").agg(max("n_bl").as("mx"))
+      .agg(sum("mx").as("purity_num"))
+    nn.crossJoin(broadcast(purity)).crossJoin(broadcast(iSum))
+      .crossJoin(broadcast(hb)).crossJoin(broadcast(hl))
+      .select(col("n"), col("n_buckets"), col("n_labels"),
+        col("purity_num"),
+        expr("(1000000L * purity_num) div n").as("purity_e6"),
+        col("i_e6"), col("hb_e6"), col("hl_e6"),
+        graft.functions.Num.roundNorm(D(col("i_e6")) /
+          sqrt(D(col("hb_e6")) * D(col("hl_e6"))), 6).as("nmi"))
+  }
+
   /** Late-interaction MaxSim scoring (`sim_maxsim_late`, r13): the
     * ColBERT retrieval primitive (Khattab & Zaharia 2020) — documents
     * and queries are MULTI-vector (published grouping: vec_id div 4,
@@ -1572,6 +1627,7 @@ object Similarity {
     "sim_centroid_drift" -> (centroidDrift _),
     "sim_hard_negatives" -> (hardNegatives _),
     "sim_maxsim_late" -> (maxsimLate _),
+    "ml_cluster_purity" -> (clusterPurity _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_prefix_recall" -> (prefixRecall _),
     "ml_kmeans_lloyd" -> (kmeansLloyd _),
@@ -1753,6 +1809,56 @@ object Similarity {
         |FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // both band edges compare e4-lattice integers in both engines
+    // same frozen buckets, per-cell/margin e6 terms before the sums,
+    // one mirrored NMI off the exact e6 integers
+    "ml_cluster_purity" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | eu AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS i,
+        |   unnest(qv) AS x FROM e),
+        | dots AS (SELECT vec_id, max(label) AS label,
+        |    CAST(sum(x * ((7 * (i-1) + 3) % 17 - 8)) AS BIGINT) AS d0,
+        |    CAST(sum(x * ((5 * (i-1) + 11) % 19 - 9)) AS BIGINT) AS d1,
+        |    CAST(sum(x * ((11 * (i-1) + 5) % 23 - 11)) AS BIGINT) AS d2_,
+        |    CAST(sum(x * ((13 * (i-1) + 7) % 29 - 14)) AS BIGINT) AS d3,
+        |    CAST(sum(x * ((3 * (i-1) + 1) % 13 - 6)) AS BIGINT) AS d4,
+        |    CAST(sum(x * ((17 * (i-1) + 2) % 31 - 15)) AS BIGINT) AS d5
+        |   FROM eu GROUP BY vec_id),
+        | bk AS (SELECT vec_id, label,
+        |    (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN d2_ >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN d4 >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN d5 >= 0 THEN 32 ELSE 0 END) AS bucket
+        |   FROM dots),
+        | cells AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS n_bl
+        |   FROM bk GROUP BY 1, 2),
+        | nb AS (SELECT bucket, CAST(sum(n_bl) AS BIGINT) AS n_b
+        |   FROM cells GROUP BY 1),
+        | nl AS (SELECT label, CAST(sum(n_bl) AS BIGINT) AS n_l
+        |   FROM cells GROUP BY 1),
+        | nn AS (SELECT CAST(sum(n_bl) AS BIGINT) AS n FROM cells),
+        | isum AS (SELECT CAST(sum(CAST(round(1e6 * n_bl::DOUBLE
+        |     * ln(n::DOUBLE * n_bl::DOUBLE / (n_b::DOUBLE * n_l::DOUBLE)))
+        |     AS BIGINT)) AS BIGINT) AS i_e6
+        |   FROM cells JOIN nb USING (bucket) JOIN nl USING (label), nn),
+        | hb AS (SELECT CAST(sum(CAST(round(1e6 * n_b::DOUBLE
+        |     * ln(n::DOUBLE / n_b::DOUBLE)) AS BIGINT)) AS BIGINT) AS hb_e6,
+        |    CAST(count(*) AS BIGINT) AS n_buckets FROM nb, nn),
+        | hl AS (SELECT CAST(sum(CAST(round(1e6 * n_l::DOUBLE
+        |     * ln(n::DOUBLE / n_l::DOUBLE)) AS BIGINT)) AS BIGINT) AS hl_e6,
+        |    CAST(count(*) AS BIGINT) AS n_labels FROM nl, nn),
+        | pu AS (SELECT CAST(sum(mx) AS BIGINT) AS purity_num FROM
+        |   (SELECT bucket, max(n_bl) AS mx FROM cells GROUP BY 1))
+        |SELECT n, n_buckets, n_labels, purity_num,
+        | (1000000 * purity_num) // n AS purity_e6,
+        | i_e6, hb_e6, hl_e6,
+        | round(i_e6::DOUBLE / sqrt(hb_e6::DOUBLE * hl_e6::DOUBLE), 6) + 0.0
+        |   AS nmi
+        |FROM nn, pu, isum, hb, hl""".stripMargin,
     // same e4 lattice, same div-4 grouping, exact max-then-sum
     "sim_maxsim_late" ->
       """WITH q AS (SELECT vec_id AS q_id, vec_id // 4 AS q_grp,

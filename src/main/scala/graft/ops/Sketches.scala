@@ -385,7 +385,39 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("user_id"))
   }
 
+  /** Linear counting (`sketch_linear_counting`, r13): the
+    * low-cardinality distinct estimator HLL is BIASED at — set bit
+    * h(key) mod m in an m = 1024-bit table, estimate n̂ = m·ln(m/z)
+    * from the empty-cell count z (Whang et al. 1990; the occupancy
+    * argument is exact for uniform hashing, and LC beats HLL whenever
+    * n ≲ m — exactly the per-partition / per-day regime where a
+    * pipeline keeps thousands of SMALL sketches). The whole
+    * trajectory is integer (positions, fill, z) except the single
+    * mirrored ln at the finish; the exact distinct rides along so the
+    * row is its own error audit. Plan: one distinct-position
+    * aggregate (state ≤ m rows at any corpus size) + the exact-twin
+    * count, map-side combinable throughout.
+    */
+  def linearCounting(s: SparkSession, d: String): DataFrame = {
+    val keys = Sources.events(s, d).select(col("user_id"))
+    val bits = keys.select(
+      (pmod(col("user_id") * lit(2654435761L), lit(4294967296L)) % 1024L)
+        .as("pos")).distinct()
+      .agg(count(lit(1)).as("n_bits_set"))
+    val exact = keys.agg(countDistinct("user_id").as("exact_distinct"))
+    def D(c: Column): Column = c.cast("double")
+    bits.crossJoin(broadcast(exact)) // 1-row × 1-row attach
+      .withColumn("z", lit(1024L) - col("n_bits_set"))
+      .select(lit(1024L).as("m"), col("n_bits_set"), col("z"),
+        round(lit(1024.0) * log(lit(1024.0) / D(col("z"))), 0).cast("long")
+          .as("lc_est"),
+        col("exact_distinct"),
+        (round(lit(1024.0) * log(lit(1024.0) / D(col("z"))), 0).cast("long")
+          - col("exact_distinct")).as("err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_linear_counting" -> (linearCounting _),
     "sketch_countsketch" -> (countSketch _),
     "sketch_bloom_fpr" -> (bloomFpr _),
     "sketch_theta_intersect" -> (thetaIntersect _),
@@ -398,6 +430,21 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer bit census, one mirrored ln finish
+    "sketch_linear_counting" ->
+      """WITH pos AS (SELECT DISTINCT
+        |   (user_id * 2654435761) % 4294967296 % 1024 AS pos FROM events),
+        | b AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM pos),
+        | ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS exact_distinct FROM events)
+        |SELECT CAST(1024 AS BIGINT) AS m, n_bits_set,
+        | 1024 - n_bits_set AS z,
+        | CAST(round(1024.0 * ln(1024.0 / (1024 - n_bits_set)::DOUBLE))
+        |   AS BIGINT) AS lc_est,
+        | exact_distinct,
+        | CAST(round(1024.0 * ln(1024.0 / (1024 - n_bits_set)::DOUBLE))
+        |   AS BIGINT) - exact_distinct AS err
+        |FROM b, ex""".stripMargin,
     // signed cells and the 3-read median are pure integers; the
     // quantile_disc middle element equals the engine's sorted-array
     // element 2 of 3 exactly

@@ -168,7 +168,10 @@ class PlanShapesSpec extends SparkSpec {
     // batch 89 (r13): regression-metrics moment attach; the
     // negative-assoc candidate table is the 50-row top-support
     // DIMENSION crossed with itself (1 225 rows by construction)
-    "ml_regression_metrics", "mining_negative_assoc")
+    "ml_regression_metrics", "mining_negative_assoc",
+    // batch 90 (r13): cluster-purity margin/total attaches and the
+    // linear-counting 1-row x 1-row attach
+    "ml_cluster_purity", "sketch_linear_counting")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

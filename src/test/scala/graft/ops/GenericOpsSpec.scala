@@ -425,6 +425,47 @@ class GenericOpsSpec extends SparkSpec {
     }
   }
 
+  "Similarity.clusterPurity (r13)" should "replay purity and NMI on the e6 lattice" in {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("CAST(label AS LONG) AS label",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS LONG)) AS qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val bases = Seq(
+      (7L, 3L, 17L), (5L, 11L, 19L), (11L, 5L, 23L),
+      (13L, 7L, 29L), (3L, 1L, 13L), (17L, 2L, 31L))
+    def bucket(qv: Array[Long]): Long =
+      bases.zipWithIndex.map { case ((a, b, m), j) =>
+        val dot = qv.indices.map(i => qv(i) * ((a * i + b) % m - m / 2)).sum
+        if (dot >= 0) 1L << j else 0L
+      }.sum
+    val cells = rows.map(t => (bucket(t._2), t._1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.length.toLong
+    val nb = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nl = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val purity = nb.keys.toSeq.map(b =>
+      cells.filter(_._1._1 == b).values.max).sum
+    val iE6 = cells.map { case ((b, l), c) =>
+      math.round(1e6 * c * math.log(n.toDouble * c / (nb(b).toDouble * nl(l))))
+    }.sum
+    val hbE6 = nb.values.map(c =>
+      math.round(1e6 * c * math.log(n.toDouble / c))).sum
+    val hlE6 = nl.values.map(c =>
+      math.round(1e6 * c * math.log(n.toDouble / c))).sum
+    val row = Similarity.clusterPurity(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe
+      ((n, nb.size.toLong, nl.size.toLong))
+    row.getLong(3) shouldBe purity
+    row.getLong(4) shouldBe 1000000L * purity / n
+    (row.getLong(5), row.getLong(6), row.getLong(7)) shouldBe
+      ((iE6, hbE6, hlE6))
+    val nmi = iE6.toDouble / math.sqrt(hbE6.toDouble * hlE6)
+    row.getDouble(8) shouldBe (math.round(nmi * 1e6) / 1e6) +- 1e-9
+    // structural bounds: purity >= 1/|labels| share, NMI in [0, 1]
+    row.getLong(4) should be >= 1000000L / nl.size
+    row.getDouble(8) should (be >= 0.0 and be <= 1.0)
+  }
+
   "Similarity.maxsimLate (r13)" should "replay the ColBERT max-then-sum trajectory" in {
     val (scored, _) = e4Scores
     val perQvec = scored.groupBy(t => (t._1 / 4, t._1, t._2 / 4)).view

@@ -345,4 +345,37 @@ class PrivacySpec extends SparkSpec {
     }
     got.exists(_._7) shouldBe true // the stricter audit genuinely fires
   }
+
+  "Privacy.syntheticMarginal (r13)" should "replay every synthetic draw and conserve counts" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("CAST(c_nationkey AS LONG)", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byNat = cust.groupBy(_._1)
+    val want = byNat.toSeq.sortBy(_._1).flatMap { case (nk, g) =>
+      val segs = g.map(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap.toSeq.sortBy(_._1)
+      val nG = g.length.toLong
+      val cum = segs.scanLeft(0L)(_ + _._2).tail
+      val lo = 0L +: cum.dropRight(1)
+      val synth = (1L to nG).map { r =>
+        val u = (((nk * 1048576L + r) * 2654435761L) % 4294967296L) % nG
+        segs.indices.find(i => u >= lo(i) && u < cum(i)).get
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      segs.zipWithIndex.map { case ((seg, nt), i) =>
+        (nk, seg, nt, synth.getOrElse(i, 0L))
+      }
+    }
+    val got = Privacy.syntheticMarginal(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    got.map(t => (t._1, t._2, t._3, t._4)).toSeq shouldBe want
+    got.foreach { case (_, _, nt, ns, diff) => diff shouldBe ns - nt }
+    // the release conserves per-nation totals exactly (same row count)
+    got.groupBy(_._1).foreach { case (nk, rows) =>
+      rows.map(_._4).sum shouldBe byNat(nk).length.toLong
+    }
+    // the draw is noisy but close: total variation far below half
+    got.map(t => math.abs(t._5)).sum should be <
+      (cust.length.toLong / 2)
+  }
 }

@@ -143,6 +143,24 @@ class SketchesSpec extends SparkSpec {
     row.getLong(4) should be < 500000L
   }
 
+  "Sketches.linearCounting (r13)" should "replay the bit census and the occupancy estimate" in {
+    val keys = Sources.events(spark, sfDir)
+      .select("user_id").collect().map(_.getLong(0))
+    val setBits = keys.map(u => (u * 2654435761L) % 4294967296L % 1024L)
+      .distinct.length.toLong
+    val z = 1024L - setBits
+    val est = math.round(1024.0 * math.log(1024.0 / z))
+    val exact = keys.distinct.length.toLong
+    val row = Sketches.linearCounting(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe
+      ((1024L, setBits, z))
+    row.getLong(3) shouldBe est
+    row.getLong(4) shouldBe exact
+    row.getLong(5) shouldBe est - exact
+    // in the n << m regime LC is tight: within 20% of the truth
+    math.abs(est - exact).toDouble should be < math.max(2.0, 0.2 * exact)
+  }
+
   "Sketches.countSketch (r13)" should "replay signed cells and the 3-read median" in {
     val keys = Sources.events(spark, sfDir)
       .select("user_id").collect().map(_.getLong(0))
