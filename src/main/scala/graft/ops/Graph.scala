@@ -1262,6 +1262,46 @@ object Graph {
       .orderBy("anc_id")
   }
 
+  /** Per-node local clustering, top-20 (`graph_local_cc_topk`, r13):
+    * c(u) = 2·tri(u)/(deg(u)·(deg(u)−1)) — the NODE-level read the
+    * global coefficient averages away: high-cc nodes sit inside
+    * cliques (bundle products), low-cc high-degree nodes are brokers
+    * between otherwise-disconnected baskets. Same capped wedge
+    * machinery as [[squareCount]] (deg ≤ 64 per center node,
+    * published — candidates stay linear in nodes; hubs past the cap
+    * are excluded by convention and the oracle applies the identical
+    * cap), triangles close by ONE equi-join of wedge endpoints
+    * against the canonical edge table, cc ships as an exact e6 floor,
+    * rank = (cc desc, node) — total order, TakeOrdered cut; deg ≥ 2
+    * required (c undefined below).
+    */
+  def localCcTopk(s: SparkSession, d: String): DataFrame = {
+    val es = strongEdges(s, d)
+    val canon = Checkpoints.pin(
+      es.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      eager = false)
+    val adj = canon.select(col("u").as("mid"), col("v").as("nb"))
+      .union(canon.select(col("v").as("mid"), col("u").as("nb")))
+    val deg = adj.groupBy("mid").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= 64)
+    val capped = adj.join(deg.select("mid"), Seq("mid"), "left_semi")
+    val wedges = capped.as("a").join(capped.as("b"),
+      col("a.mid") === col("b.mid") && col("a.nb") < col("b.nb"))
+      .select(col("a.mid").as("mid"), col("a.nb").as("u"),
+        col("b.nb").as("v"))
+    val tri = wedges.join(canon, Seq("u", "v"), "left_semi")
+      .groupBy("mid").agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("mid"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("cc_e6",
+        expr("(2000000L * n_tri) div (deg * (deg - 1L))"))
+      .orderBy(col("cc_e6").desc, col("mid")).limit(20)
+      .select(col("mid").as("node"), col("deg"), col("n_tri"), col("cc_e6"))
+      .orderBy(col("cc_e6").desc, col("node"))
+  }
+
   /** Square (4-cycle) census (`graph_square_count`, r13): the motif
     * one step past [[triangle counting|graph_triangle_stats]] —
     * C₄-density separates locally-clustered graphs (triangles) from
@@ -1393,6 +1433,7 @@ object Graph {
     "graph_rich_club" -> (richClub _),
     "graph_path_counts" -> (pathCounts _),
     "graph_square_count" -> (squareCount _),
+    "graph_local_cc_topk" -> (localCcTopk _),
     "graph_subtree_rollup" -> (subtreeRollup _),
     "graph_modularity" -> (modularity _),
     "graph_bfs_layers" -> (bfsLayers _),
@@ -1568,6 +1609,34 @@ object Graph {
         | CAST(sum(pc) AS BIGINT) AS sigma_sum,
         | CAST(max(pc) AS BIGINT) AS sigma_max
         |FROM allv GROUP BY 1, 2 ORDER BY seed, hop""".stripMargin),
+    // same capped wedges, same triangle closure, exact e6 floors,
+    // identical (cc desc, node) cut
+    "graph_local_cc_topk" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | canon AS (SELECT DISTINCT least(src, dst) AS u,
+        |    greatest(src, dst) AS v FROM st WHERE src <> dst),
+        | adj AS (SELECT u AS mid, v AS nb FROM canon
+        |   UNION ALL SELECT v, u FROM canon),
+        | deg AS (SELECT mid, CAST(count(*) AS BIGINT) AS deg FROM adj
+        |   GROUP BY 1 HAVING count(*) >= 2 AND count(*) <= 64),
+        | capped AS (SELECT adj.mid, adj.nb FROM adj
+        |   JOIN deg ON adj.mid = deg.mid),
+        | wedges AS (SELECT a.mid, a.nb AS u, b.nb AS v
+        |   FROM capped a JOIN capped b ON a.mid = b.mid AND a.nb < b.nb),
+        | tri AS (SELECT w.mid, CAST(count(*) AS BIGINT) AS n_tri
+        |   FROM wedges w JOIN canon c ON w.u = c.u AND w.v = c.v
+        |   GROUP BY 1)
+        |SELECT deg.mid AS node, deg.deg,
+        | CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri,
+        | (2000000 * coalesce(tri.n_tri, 0)) // (deg.deg * (deg.deg - 1))
+        |   AS cc_e6
+        |FROM deg LEFT JOIN tri ON deg.mid = tri.mid
+        |ORDER BY cc_e6 DESC, node LIMIT 20""".stripMargin,
     // same capped wedge join, same diagonal identity, exact /2
     "graph_square_count" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),

@@ -695,6 +695,33 @@ object Temporal {
       })
   }
 
+  /** Pinball (quantile) loss of the naive-seasonal forecaster
+    * (`ts_pinball_loss`, r13): the quantile-forecast metric —
+    * L_τ(e) = max(τ·e, (τ−1)·e) with e = actual − forecast — at the
+    * published τ ∈ {0.1, 0.5, 0.9}, for x̂ᵢ = xᵢ₋₇ (the
+    * [[forecastError]] baseline). Pinball is WHAT a quantile model
+    * optimizes, so evaluating the point baseline under it quantifies
+    * exactly how much a true quantile forecaster could gain at each
+    * tail — the decision metric for stocking/capacity models that
+    * care about P90, not the mean. On the ×10 lattice the loss is
+    * pure integer: 10·L = max(τ₁₀·e, (τ₁₀−10)·e) with τ₁₀ ∈ {1,5,9}
+    * (both branches Long-exact; e is whole dollars). One lag-7
+    * equi-join with a ×3 tau fan-out, one keyed aggregate.
+    */
+  def pinballLoss(s: SparkSession, d: String): DataFrame = {
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d), eager = false)
+    val j = ser.join(ser.select((col("i") + 7).as("i"), col("x").as("xf")), "i")
+      .withColumn("e", col("x") - col("xf"))
+      .withColumn("tau10", explode(array(lit(1L), lit(5L), lit(9L))))
+    j.groupBy("tau10")
+      .agg(count(lit(1)).as("n"),
+        sum(greatest(col("tau10") * col("e"),
+          (col("tau10") - 10) * col("e"))).as("sum_loss_x10"))
+      .select(col("tau10"), col("n"), col("sum_loss_x10"),
+        expr("sum_loss_x10 div (10L * n)").as("mean_loss_usd"))
+      .orderBy("tau10")
+  }
+
   /** Ljung-Box portmanteau test (`stats_ljung_box`, r13): the single
     * statistic summarizing whether ANY of the first 7 autocorrelations
     * is real — Q = n(n+2)·Σ_k r_k²/(n−k) — the standard residual-
@@ -1543,6 +1570,7 @@ object Temporal {
     "ts_hurst_rs" -> (hurstRs _),
     "stats_runs_test" -> (runsTest _),
     "stats_ljung_box" -> (ljungBox _),
+    "ts_pinball_loss" -> (pinballLoss _),
     "ts_seasonal_decompose" -> (seasonalDecompose _),
     "ts_kaplan_meier" -> (kaplanMeier _),
     "ts_mom_growth" -> (momGrowth _),
@@ -1579,6 +1607,19 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same x10 integer pinball branches, same lag-7 join
+    "ts_pinball_loss" ->
+      (s"""WITH $seriesCte,
+        | j AS (SELECT a.x - b.x AS e, t.tau10
+        |  FROM ser a JOIN ser b ON a.i = b.i + 7,
+        |   unnest([1, 5, 9]) t(tau10))
+        |SELECT CAST(tau10 AS BIGINT) AS tau10,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(greatest(tau10 * e, (tau10 - 10) * e)) AS BIGINT)
+        |   AS sum_loss_x10,
+        | CAST(sum(greatest(tau10 * e, (tau10 - 10) * e)) AS BIGINT)
+        |   // (10 * count(*)) AS mean_loss_usd
+        |FROM j GROUP BY 1 ORDER BY tau10""".stripMargin),
     // same lag-join moments, per-lag e9 terms before the sum, one
     // mirrored Q off the exact term total
     "stats_ljung_box" ->

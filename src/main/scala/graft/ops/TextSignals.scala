@@ -818,6 +818,34 @@ object TextSignals {
       .orderBy("term")
   }
 
+  /** Chao1 vocabulary richness (`text_chao1_vocab`, r13): the
+    * bias-corrected Chao1 estimate V̂ = V + f₁(f₁−1)/(2(f₂+1)) per
+    * language — the species-richness answer to the question
+    * [[heapsLaw]] only plots: how many word types exist that THIS
+    * corpus hasn't seen yet (f₁ = singletons, f₂ = doubletons carry
+    * the unseen-mass signal; Chao 1984). The curation read: a language
+    * whose Chao1 sits far above its observed V needs more corpus; one
+    * at V is saturated. The bc form is defined at f₂ = 0 (the reason
+    * it ships instead of f₁²/2f₂), and on the ×100 lattice the whole
+    * estimate is one integer floor — no float anywhere. One token
+    * pass, one vocabulary-sized count, one frequency-of-frequency
+    * aggregate per language.
+    */
+  def chao1Vocab(s: SparkSession, d: String): DataFrame = {
+    val counts = Sources.documents(s, d)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    counts.groupBy("lang")
+      .agg(count(lit(1)).as("v_obs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("v_obs"), col("f1"), col("f2"),
+        expr("100L * v_obs + (100L * f1 * (f1 - 1L)) div (2L * (f2 + 1L))")
+          .as("chao1_x100"))
+      .orderBy("lang")
+  }
+
   /** RAKE keyword extraction (`text_rake_keywords`, r13): Rapid
     * Automatic Keyword Extraction (Rose et al. 2010) — candidate
     * phrases are the maximal stopword-free token runs, scored by
@@ -917,6 +945,7 @@ object TextSignals {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rake_keywords" -> (rakeKeywords _),
+    "text_chao1_vocab" -> (chao1Vocab _),
     "text_heaps_law" -> (heapsLaw _),
     "search_eval_ndcg" -> (searchEvalNdcg _),
     "search_eval_mrr" -> (searchEvalMrr _),
@@ -943,6 +972,20 @@ object TextSignals {
   )
 
   val oracles: Map[String, String] = Map(
+    // same frequency-of-frequency counts, same x100 integer floor
+    "text_chao1_vocab" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok
+        |   WHERE w <> '' GROUP BY 1, 2),
+        | f AS (SELECT lang, CAST(count(*) AS BIGINT) AS v_obs,
+        |   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c GROUP BY 1)
+        |SELECT lang, v_obs, f1, f2,
+        | 100 * v_obs + (100 * f1 * (f1 - 1)) // (2 * (f2 + 1))
+        |   AS chao1_x100
+        |FROM f ORDER BY lang""".stripMargin,
     // same stopword-delimited islands, per-word e4 floor BEFORE the
     // phrase sum, identical (score desc, phrase) top-20
     "text_rake_keywords" ->

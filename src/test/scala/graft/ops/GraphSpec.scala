@@ -635,6 +635,41 @@ class GraphSpec extends SparkSpec {
     got should not be empty
   }
 
+  "Graph.localCcTopk (r13)" should "replay per-node clustering on the capped strong graph" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val dirPairs = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.toSeq
+    val strong = dirPairs.groupBy(identity).filter(_._2.size >= 2).keySet
+    val canon = strong.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(t => t._1 != t._2)
+    val nbrs = canon.toSeq.flatMap(t => Seq(t, t.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = nbrs.toSeq
+      .filter(t => t._2.size >= 2 && t._2.size <= 64)
+      .map { case (u, ns) =>
+        val nl = ns.toSeq.sorted
+        val tri = (for {
+          i <- nl.indices; j <- (i + 1) until nl.length
+          if canon((nl(i), nl(j)))
+        } yield 1).size.toLong
+        val dg = ns.size.toLong
+        (u, dg, tri, 2000000L * tri / (dg * (dg - 1)))
+      }
+      .sortBy(t => (-t._4, t._1)).take(20)
+    val got = Graph.localCcTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // the head is genuinely clustered and cc is a valid share
+    got.foreach(_._4 should be <= 1000000L)
+    got.headOption.foreach(_._4 should be > 0L)
+  }
+
   "Graph.squareCount (r13)" should "replay the diagonal identity on the strong graph" in {
     val li = Sources.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_partkey").collect()

@@ -674,6 +674,26 @@ class TemporalSpec extends SparkSpec {
     got.foreach(_._3 should be > 0L)
   }
 
+  "Temporal.pinballLoss (r13)" should "replay the x10 integer pinball branches" in {
+    val rows = Temporal.pinballLoss(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.map(_._1).toSeq shouldBe Seq(1L, 5L, 9L)
+    val es = {
+      val got = dailySeries.map(_._2)
+      got.drop(7).zip(got.dropRight(7)).map { case (x, xf) => x - xf }
+    }
+    rows.foreach { case (tau10, n, sumL, mean) =>
+      n shouldBe es.length.toLong
+      val want = es.map(e => math.max(tau10 * e, (tau10 - 10) * e)).sum
+      sumL shouldBe want
+      mean shouldBe want / (10 * n)
+      sumL should be >= 0L // pinball is nonnegative
+    }
+    // the median loss is the MAE/2 identity: tau=0.5 pinball = |e|/2
+    val mae2 = es.map(e => 5L * math.abs(e)).sum
+    rows.find(_._1 == 5L).get._3 shouldBe mae2
+  }
+
   "Temporal.ljungBox (r13)" should "replay per-lag e9 terms and the Q assembly" in {
     val daily = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("CAST(o_orderdate AS DATE) AS day",

@@ -438,6 +438,26 @@ class TextSignalsSpec extends SparkSpec {
     got.head._6 should be > 0L
   }
 
+  "TextSignals.chao1Vocab (r13)" should "replay the bias-corrected richness estimate" in {
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val want = toks.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, g) =>
+      val counts = g.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val v = counts.size.toLong
+      val f1 = counts.values.count(_ == 1L).toLong
+      val f2 = counts.values.count(_ == 2L).toLong
+      (lang, v, f1, f2, 100L * v + 100L * f1 * (f1 - 1) / (2L * (f2 + 1)))
+    }
+    val got = TextSignals.chao1Vocab(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // the estimate never undercuts the observed vocabulary
+    got.foreach { case (_, v, _, _, chao) => chao should be >= 100L * v }
+  }
+
   "TextSignals.rakeKeywords (r13)" should "replay the RAKE phrase scores" in {
     val stop = Set("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
