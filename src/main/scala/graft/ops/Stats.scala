@@ -1114,10 +1114,10 @@ object Stats {
     * z-score anomaly gate like `ts_anomaly_zscore`) is even meaningful
     * on this segment, and the standard screen before picking a
     * heavy-tail model. One conditional-sum corpus pass accumulates the
-    * first four RAW power sums as exact BIGINTs on the hundred-dollar
+    * first four RAW power sums as exact BIGINTs on the THOUSAND-dollar
     * lattice (x = cents div 100000 — a floor of nonnegative ints, so
-    * Spark `div` and DuckDB `//` agree; x ≤ ~6e3 keeps Σx⁴ ≤ 1.6e15·n,
-    * exact to ~5.7e3 corpus rows per group under 2⁶³ — beyond that the
+    * Spark `div` and DuckDB `//` agree; x ≤ ~600 keeps Σx⁴ ≤ 1.3e11·n,
+    * exact to ~7e7 corpus rows per group under 2⁶³ — beyond that the
     * unit coarsens or the sums widen to DECIMAL(38,0), the
     * count-gated [[aucFromByScore]] pattern). Central moments come
     * from the raw-moment identities in ONE mirrored double expression
