@@ -381,6 +381,38 @@ object EtlQueries {
       .orderBy("range_start")
   }
 
+  /** Retention/TTL plan (`etl_retention_plan`, r13): the compliance
+    * dual of [[backfillPlan]] — which month partitions a retention
+    * policy keeps, archives, or purges, with the row census each
+    * action touches. The as-of anchor is the corpus max order date
+    * (deterministic — a frozen wall clock would rot with the
+    * fixture); a partition's age is measured at its month END
+    * (youngest row governs — the conservative reading), and the
+    * published policy is keep < 365 days, archive < 730, purge ≥ 730.
+    * The reference deletes by date range (`utils.py:255-283`) but has
+    * no retention planning at all; at 100 TB this plan IS the
+    * delete-range driver. One month-keyed aggregate + a 1-row as-of
+    * attach; months are calendar-bounded.
+    */
+  def retentionPlan(s: SparkSession, d: String): DataFrame = {
+    val byMonth = Sources.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(to_date(col("o_orderdate"))).as("max_day_in_month"))
+    val asof = Sources.orders(s, d)
+      .agg(max(to_date(col("o_orderdate"))).as("asof"))
+    byMonth.crossJoin(broadcast(asof)) // 1-row as-of attach
+      .withColumn("month_end",
+        last_day(to_date(concat(col("month"), lit("-01")))))
+      .withColumn("age_days",
+        datediff(col("asof"), col("month_end")).cast("long"))
+      .select(col("month"), col("n_rows"), col("age_days"),
+        when(col("age_days") < 365, lit("keep"))
+          .when(col("age_days") < 730, lit("archive"))
+          .otherwise(lit("purge")).as("action"))
+      .orderBy("month")
+  }
+
   /** Partition sizing plan (`etl_partition_plan`, r13): the
     * write-side planning audit the reference's GOLD CTAS delegates to
     * BigQuery's automatic repartitioning (`materialize_gold.py:70`) —
@@ -414,6 +446,7 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_partition_plan" -> (partitionPlan _),
+    "etl_retention_plan" -> (retentionPlan _),
     "etl_backfill_plan" -> (backfillPlan _),
     "etl_surrogate_keys" -> (surrogateKeys _),
     "etl_schema_evolution" -> (etlSchemaEvolution _),
@@ -431,6 +464,23 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same corpus-max as-of, same month-end age, same 365/730 bands
+    // (CTE columns avoid `month` and `asof` — both are DuckDB
+    // keywords: `month` is a DATEPART inside datediff, `asof` is the
+    // ASOF-join keyword)
+    "etl_retention_plan" ->
+      """WITH bm AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+        |     AS mth, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY 1),
+        | ao AS (SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
+        | k AS (SELECT mth, n_rows,
+        |   CAST(datediff('day', last_day(CAST(mth || '-01' AS DATE)),
+        |     as_of) AS BIGINT) AS age_days
+        |  FROM bm, ao)
+        |SELECT mth AS month, n_rows, age_days,
+        | CASE WHEN age_days < 365 THEN 'keep'
+        |   WHEN age_days < 730 THEN 'archive' ELSE 'purge' END AS action
+        |FROM k ORDER BY mth""".stripMargin,
     // same frozen 120 B/row and 128 MiB target, ceil by integer
     // identity, avg by floor division
     "etl_partition_plan" ->

@@ -1262,6 +1262,39 @@ object Graph {
       .orderBy("anc_id")
   }
 
+  /** Degree-correlation profile (`graph_knn_degree`, r13): the
+    * k_nn(k) curve — average neighbor degree per degree class — the
+    * function whose SLOPE [[assortativity]] compresses to one number:
+    * rising k_nn(k) = assortative mixing (hubs wire to hubs), falling
+    * = disassortative hub-and-spoke (the typical co-purchase shape:
+    * staple products bridge many niche ones). Exact pipeline: one
+    * node-sized degree table, one edge-sized equi-join attaching each
+    * neighbor's degree, two keyed aggregates; the class average ships
+    * as an exact e6 floor of Σ(neighbor degrees) over (k · n_k). No
+    * caps needed — every intermediate is node- or edge-sized.
+    */
+  def knnDegree(s: SparkSession, d: String): DataFrame = {
+    val es = strongEdges(s, d)
+    val und = Checkpoints.pin(
+      es.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      eager = false)
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val withNbDeg = adj
+      .join(deg.select(col("node").as("nb"), col("deg").as("nb_deg")),
+        Seq("nb"))
+      .groupBy("node").agg(sum("nb_deg").as("sum_nb_deg"))
+    deg.join(withNbDeg, Seq("node"))
+      .groupBy(col("deg").as("k"))
+      .agg(count(lit(1)).as("n_nodes"), sum("sum_nb_deg").as("sum_nb"))
+      .select(col("k"), col("n_nodes"), col("sum_nb"),
+        expr("(1000000L * sum_nb) div (k * n_nodes)").as("knn_e6"))
+      .orderBy("k")
+  }
+
   /** Per-node local clustering, top-20 (`graph_local_cc_topk`, r13):
     * c(u) = 2·tri(u)/(deg(u)·(deg(u)−1)) — the NODE-level read the
     * global coefficient averages away: high-cc nodes sit inside
@@ -1434,6 +1467,7 @@ object Graph {
     "graph_path_counts" -> (pathCounts _),
     "graph_square_count" -> (squareCount _),
     "graph_local_cc_topk" -> (localCcTopk _),
+    "graph_knn_degree" -> (knnDegree _),
     "graph_subtree_rollup" -> (subtreeRollup _),
     "graph_modularity" -> (modularity _),
     "graph_bfs_layers" -> (bfsLayers _),
@@ -1609,6 +1643,28 @@ object Graph {
         | CAST(sum(pc) AS BIGINT) AS sigma_sum,
         | CAST(max(pc) AS BIGINT) AS sigma_max
         |FROM allv GROUP BY 1, 2 ORDER BY seed, hop""".stripMargin),
+    // same canonical graph, same two-aggregate k_nn pipeline
+    "graph_knn_degree" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+        | st AS (SELECT src, dst FROM pw WHERE w >= 2),
+        | canon AS (SELECT DISTINCT least(src, dst) AS u,
+        |    greatest(src, dst) AS v FROM st WHERE src <> dst),
+        | adj AS (SELECT u AS node, v AS nb FROM canon
+        |   UNION ALL SELECT v, u FROM canon),
+        | deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj
+        |   GROUP BY 1),
+        | wn AS (SELECT adj.node, CAST(sum(d2.deg) AS BIGINT) AS sum_nb_deg
+        |   FROM adj JOIN deg d2 ON adj.nb = d2.node GROUP BY 1)
+        |SELECT deg.deg AS k, CAST(count(*) AS BIGINT) AS n_nodes,
+        | CAST(sum(wn.sum_nb_deg) AS BIGINT) AS sum_nb,
+        | (1000000 * CAST(sum(wn.sum_nb_deg) AS BIGINT))
+        |   // (deg.deg * count(*)) AS knn_e6
+        |FROM deg JOIN wn ON deg.node = wn.node
+        |GROUP BY deg.deg ORDER BY k""".stripMargin,
     // same capped wedges, same triangle closure, exact e6 floors,
     // identical (cc desc, node) cut
     "graph_local_cc_topk" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -1519,6 +1519,74 @@ object Multimodal {
       .orderBy("doc_id", "scene_id")
   }
 
+  /** Frame-pair SSIM (`mm_video_ssim`, r13): the structural-similarity
+    * index between CONSECUTIVE frames of each clip — the standard
+    * perceptual quality/change metric (Wang et al. 2004), here in its
+    * global-frame form over the brightness grid: SSIM =
+    * (2μ₁μ₂+C₁)(2σ₁₂+C₂) / ((μ₁²+μ₂²+C₁)(σ₁²+σ₂²+C₂)) with the
+    * published constants C₁ = (0.01·765)², C₂ = (0.03·765)² (L = 765,
+    * the rgb-sum range). Scene-cut deltas say how MUCH total
+    * brightness moved; SSIM says whether the STRUCTURE changed
+    * (luminance/contrast/covariance decomposition) — the pair is the
+    * shot-boundary detector literature's baseline feature set. Per
+    * frame pair the five power sums (S₁, S₂, Q₁, Q₂, P) accumulate as
+    * exact BIGINTs inside the codec `mapPartitions` walk; SSIM is ONE
+    * mirrored double per pair off those integers, rounded 6. Only
+    * pair rows leave the task.
+    */
+  def videoSsim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        val bytes = encodeVideo(id, nc)
+        def le32(off: Int): Int =
+          (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+            ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+        val nf = le32(4)
+        var off = 8
+        var prev: Array[Int] = null
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        var f = 0
+        while (f < nf) {
+          val len = le32(off)
+          val (_, _, px) = bmpPixels(
+            java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len))
+          if (prev != null) {
+            var s1 = 0L; var s2 = 0L; var q1 = 0L; var q2 = 0L; var p = 0L
+            var i = 0
+            while (i < px.length) {
+              val x = prev(i).toLong; val y = px(i).toLong
+              s1 += x; s2 += y; q1 += x * x; q2 += y * y; p += x * y
+              i += 1
+            }
+            rows += ((id, (f - 1).toLong, px.length.toLong, s1, s2, q1, q2, p))
+          }
+          prev = px
+          off += 4 + len
+          f += 1
+        }
+        rows
+      })
+      .toDF("doc_id", "f_idx", "n_px", "s1", "s2", "q1", "q2", "p")
+      .withColumn("ssim", {
+        def D(c: Column): Column = c.cast("double")
+        val c1 = lit(58.5225); val c2 = lit(526.7025)
+        val n = D(col("n_px"))
+        val m1 = D(col("s1")) / n; val m2 = D(col("s2")) / n
+        val v1 = D(col("q1")) / n - m1 * m1
+        val v2 = D(col("q2")) / n - m2 * m2
+        val cov = D(col("p")) / n - m1 * m2
+        graft.functions.Num.roundNorm(
+          (lit(2.0) * m1 * m2 + c1) * (lit(2.0) * cov + c2) /
+            ((m1 * m1 + m2 * m2 + c1) * (v1 + v2 + c2)), 6)
+      })
+      .select("doc_id", "f_idx", "n_px", "s1", "s2", "q1", "q2", "p", "ssim")
+      .orderBy("doc_id", "f_idx")
+  }
+
   /** Perceptual difference hash (`mm_image_dhash`, r13): the dHash
     * image fingerprint — pool the decoded brightness grid onto a 4×3
     * integer cell lattice (cell membership gx = 4x div w, gy = 3y div
@@ -1564,6 +1632,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_image_dhash" -> (imageDhash _),
+    "mm_video_ssim" -> (videoSsim _),
     "mm_video_keyframes" -> (videoKeyframes _),
     "mm_image_blobs" -> (imageBlobs _),
     "mm_image_dither_bayer" -> (imageDitherBayer _),
@@ -1646,6 +1715,42 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // same five exact power sums per pair, one mirrored SSIM with
+    // the published (0.01L)^2/(0.03L)^2 constants
+    "mm_video_ssim" ->
+      """WITH d AS (SELECT doc_id, 4 + n_chars % 13 AS w,
+        |    3 + n_chars % 7 AS h, 2 + n_chars % 7 AS nf FROM documents),
+        | f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM d),
+        | px AS (SELECT doc_id, fi, doc_id + 1000003 * fi AS fk, w, h,
+        |    unnest(range(0, w * h)) AS p FROM f),
+        | v AS (SELECT doc_id, fi, p,
+        |    ((31 * fk + 7 * p + 11) % 256 + (17 * fk + 13 * p + 23) % 256
+        |     + (29 * fk + 19 * p + 31) % 256) AS b
+        |  FROM px),
+        | pr AS (SELECT a.doc_id, a.fi AS f_idx,
+        |    CAST(count(*) AS BIGINT) AS n_px,
+        |    CAST(sum(a.b) AS BIGINT) AS s1, CAST(sum(b.b) AS BIGINT) AS s2,
+        |    CAST(sum(a.b * a.b) AS BIGINT) AS q1,
+        |    CAST(sum(b.b * b.b) AS BIGINT) AS q2,
+        |    CAST(sum(a.b * b.b) AS BIGINT) AS p
+        |   FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.fi = a.fi + 1
+        |    AND a.p = b.p
+        |   GROUP BY 1, 2)
+        |SELECT doc_id, f_idx, n_px, s1, s2, q1, q2, p,
+        | round((2.0 * (s1::DOUBLE / n_px::DOUBLE) * (s2::DOUBLE / n_px::DOUBLE)
+        |     + 58.5225)
+        |   * (2.0 * (p::DOUBLE / n_px::DOUBLE
+        |     - (s1::DOUBLE / n_px::DOUBLE) * (s2::DOUBLE / n_px::DOUBLE))
+        |     + 526.7025)
+        |  / (((s1::DOUBLE / n_px::DOUBLE) * (s1::DOUBLE / n_px::DOUBLE)
+        |     + (s2::DOUBLE / n_px::DOUBLE) * (s2::DOUBLE / n_px::DOUBLE)
+        |     + 58.5225)
+        |   * ((q1::DOUBLE / n_px::DOUBLE
+        |     - (s1::DOUBLE / n_px::DOUBLE) * (s1::DOUBLE / n_px::DOUBLE))
+        |    + (q2::DOUBLE / n_px::DOUBLE
+        |     - (s2::DOUBLE / n_px::DOUBLE) * (s2::DOUBLE / n_px::DOUBLE))
+        |    + 526.7025)), 6) + 0.0 AS ssim
+        |FROM pr ORDER BY doc_id, f_idx""".stripMargin,
     // same 4x3 integer pooling, same adjacent-cell gradient bits
     "mm_image_dhash" ->
       """WITH dims AS (SELECT doc_id,

@@ -171,7 +171,9 @@ class PlanShapesSpec extends SparkSpec {
     "ml_regression_metrics", "mining_negative_assoc",
     // batch 90 (r13): cluster-purity margin/total attaches and the
     // linear-counting 1-row x 1-row attach
-    "ml_cluster_purity", "sketch_linear_counting")
+    "ml_cluster_purity", "sketch_linear_counting",
+    // batch 92 (r13): the retention plan's 1-row as-of attach
+    "etl_retention_plan")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

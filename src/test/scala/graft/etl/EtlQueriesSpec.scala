@@ -101,6 +101,31 @@ class EtlQueriesSpec extends SparkSpec {
     got.map(_._4).sum shouldBe cust.length.toLong
   }
 
+  "EtlQueries.retentionPlan (r13)" should "route month partitions by as-of age" in {
+    val days = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS DATE) AS d")
+      .collect().map(r => r.getDate(0).toLocalDate)
+    val asof = days.maxBy(_.toEpochDay)
+    val byMonth = days.groupBy(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+    val want = byMonth.toSeq.sortBy(_._1).map { case (m, g) =>
+      val monthEnd = java.time.LocalDate
+        .parse(m + "-01").withDayOfMonth(
+          java.time.LocalDate.parse(m + "-01").lengthOfMonth)
+      val age = java.time.temporal.ChronoUnit.DAYS.between(monthEnd, asof)
+      val action = if (age < 365) "keep" else if (age < 730) "archive"
+        else "purge"
+      (m, g.length.toLong, age, action)
+    }
+    val got = EtlQueries.retentionPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    got shouldBe want
+    // the policy genuinely splits the corpus: all three actions appear
+    got.map(_._4).distinct.sorted shouldBe Seq("archive", "keep", "purge")
+    // the newest month is always kept (age <= 0 < 365)
+    got.last._4 shouldBe "keep"
+  }
+
   "EtlQueries.partitionPlan (r13)" should "replay the sizing arithmetic per month" in {
     val months = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("date_format(o_orderdate, 'yyyy-MM') AS m")

@@ -635,6 +635,35 @@ class GraphSpec extends SparkSpec {
     got should not be empty
   }
 
+  "Graph.knnDegree (r13)" should "replay the degree-correlation curve" in {
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val dirPairs = li.groupBy(_._1).values.flatMap { rows =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3)
+    }.toSeq
+    val strong = dirPairs.groupBy(identity).filter(_._2.size >= 2).keySet
+    val canon = strong.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(t => t._1 != t._2)
+    val nbrs = canon.toSeq.flatMap(t => Seq(t, t.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    val want = nbrs.toSeq.map { case (u, ns) =>
+      (deg(u), ns.map(deg).sum)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, g) =>
+      val sumNb = g.map(_._2).sum
+      (k, g.length.toLong, sumNb, 1000000L * sumNb / (k * g.length))
+    }
+    val got = Graph.knnDegree(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+    // every class average is at least 1e6 (a neighbor has degree >= 1)
+    got.foreach(_._4 should be >= 1000000L)
+  }
+
   "Graph.localCcTopk (r13)" should "replay per-node clustering on the capped strong graph" in {
     val li = Sources.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_partkey").collect()

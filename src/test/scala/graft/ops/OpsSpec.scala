@@ -746,6 +746,47 @@ class OpsSpec extends SparkSpec {
     got.count(_._4 > 0) should be > 0
   }
 
+  "Multimodal.videoSsim (r13)" should "replay the five power sums and the mirrored SSIM" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .orderBy("doc_id").limit(30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.flatMap { case (id, nc) =>
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      val nf = (2 + nc % 7).toInt
+      def frame(f: Int): Array[Long] = {
+        val fk = id + 1000003L * f
+        Array.tabulate(w * h)(p =>
+          (31 * fk + 7 * p + 11) % 256 + (17 * fk + 13 * p + 23) % 256 +
+            (29 * fk + 19 * p + 31) % 256)
+      }
+      (0 until nf - 1).map { f =>
+        val (a, b) = (frame(f), frame(f + 1))
+        val n = (w * h).toLong
+        val s1 = a.sum; val s2 = b.sum
+        val q1 = a.map(x => x * x).sum; val q2 = b.map(x => x * x).sum
+        val p = a.zip(b).map(t => t._1 * t._2).sum
+        val m1 = s1.toDouble / n; val m2 = s2.toDouble / n
+        val v1 = q1.toDouble / n - m1 * m1; val v2 = q2.toDouble / n - m2 * m2
+        val cov = p.toDouble / n - m1 * m2
+        val ssim = (2 * m1 * m2 + 58.5225) * (2 * cov + 526.7025) /
+          ((m1 * m1 + m2 * m2 + 58.5225) * (v1 + v2 + 526.7025))
+        (id, f.toLong, n, s1, s2, q1, q2, p,
+          math.round(ssim * 1e6) / 1e6)
+      }
+    }.toSeq
+    val got = Multimodal.videoSsim(spark, sfDir).orderBy("doc_id", "f_idx")
+      .limit(want.length).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        math.round(r.getDouble(8) * 1e6) / 1e6)).toSeq
+    got shouldBe want
+    // SSIM is a bounded similarity: inside [-1, 1], rarely 1 exactly
+    // (consecutive frames genuinely differ)
+    got.foreach(_._9 should (be >= -1.0 and be <= 1.0))
+    got.exists(_._9 < 0.999) shouldBe true
+  }
+
   "Multimodal.imageDhash (r13)" should "replay the 4x3 pooled gradient-sign hash" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
