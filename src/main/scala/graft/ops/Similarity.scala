@@ -1379,6 +1379,62 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long"))
   }
 
+  /** Rocchio pseudo-relevance feedback (`sim_rocchio_prf`, r13): the
+    * classic query-expansion loop — retrieve top-3 by exact integer
+    * dot on the quantized lattice, move the query toward their
+    * centroid, re-retrieve. The expansion uses PUBLISHED INTEGER
+    * weights q' = 21·q + 7·Σ_{top3} v (α:β = 21:7 ≡ the textbook
+    * 1 : 1 with the ÷3 centroid division cleared — no rational ever
+    * appears, so the whole two-round trajectory sits under the hash
+    * gate; the same derandomized-trajectory discipline as the frozen
+    * ANN serving twins). Ships the expanded top-5 per probe with the
+    * `in_base_top5` flag — the rows where expansion CHANGED the
+    * answer are PRF's entire value proposition, made visible. Plan:
+    * two probe-broadcast corpus scans (the [[cosineTopK]] shape; q'
+    * assembles from 8×64 exploded dims — model-sized), two
+    * WindowGroupLimit ranks.
+    */
+  def rocchioPrf(s: SparkSession, d: String): DataFrame = {
+    val e = quantEmb(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val c = e.filter(col("vec_id") >= 8)
+    def dotOf(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val base = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), dotOf(col("qv"), col("q_qv")).as("dot"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id")))
+        .cast("long"))
+      .pinned(eager = false) // top-3 expansion AND the top-5 overlap audit
+    val top3Dims = base.filter(col("rn") <= 3)
+      .join(c, Seq("vec_id"))
+      .select(col("q_id"), posexplode(col("qv")))
+      .toDF("q_id", "i", "x")
+      .groupBy("q_id", "i").agg(sum("x").as("s3"))
+    val qprime = top3Dims
+      .join(q.select(col("q_id"), posexplode(col("q_qv"))).toDF("q_id", "i", "qx"),
+        Seq("q_id", "i"))
+      .withColumn("qp", lit(21L) * col("qx") + lit(7L) * col("s3"))
+      .groupBy("q_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("qp")))),
+        x => x.getField("qp")).as("qp_vec"))
+    val rescored = c.crossJoin(broadcast(qprime))
+      .select(col("q_id"), col("vec_id"),
+        dotOf(col("qv"), col("qp_vec")).as("dot_prime"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dot_prime").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rn") <= 5)
+    rescored
+      .join(base.filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), lit(true).as("in_base_top5")),
+        Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rn"), col("vec_id"), col("dot_prime"),
+        coalesce(col("in_base_top5"), lit(false)).as("in_base_top5"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Cluster-quality evaluation (`ml_cluster_purity`, r13): purity and
     * NMI of the frozen 6-bit sign-projection buckets against the
     * embedding labels — the external-validity audit that tells a
@@ -1628,6 +1684,7 @@ object Similarity {
     "sim_hard_negatives" -> (hardNegatives _),
     "sim_maxsim_late" -> (maxsimLate _),
     "ml_cluster_purity" -> (clusterPurity _),
+    "sim_rocchio_prf" -> (rocchioPrf _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_prefix_recall" -> (prefixRecall _),
     "ml_kmeans_lloyd" -> (kmeansLloyd _),
@@ -1809,6 +1866,42 @@ object Similarity {
         |FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // both band edges compare e4-lattice integers in both engines
+    // same integer-dot base rank, same 21:7 published expansion,
+    // same rescore — every dot exact on the quantized lattice
+    "sim_rocchio_prf" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, qv AS q_qv FROM e WHERE vec_id < 8),
+        | c AS (SELECT vec_id, qv FROM e WHERE vec_id >= 8),
+        | base AS (SELECT q_id, vec_id,
+        |   CAST(list_sum([q_qv[i+1] * qv[i+1] FOR i IN range(64)])
+        |     AS BIGINT) AS dot
+        |  FROM c, q),
+        | br AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY dot DESC, vec_id) AS rn FROM base),
+        | t3 AS (SELECT q_id, vec_id FROM br WHERE rn <= 3),
+        | ce AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i,
+        |    unnest(qv) AS x FROM c),
+        | s3 AS (SELECT t3.q_id, ce.i, CAST(sum(ce.x) AS BIGINT) AS s3
+        |  FROM t3 JOIN ce USING (vec_id) GROUP BY 1, 2),
+        | qe AS (SELECT q_id, generate_subscripts(q_qv, 1) - 1 AS i,
+        |    unnest(q_qv) AS qx FROM q),
+        | qp AS (SELECT s3.q_id, s3.i, 21 * qe.qx + 7 * s3.s3 AS qp
+        |  FROM s3 JOIN qe ON s3.q_id = qe.q_id AND s3.i = qe.i),
+        | resc AS (SELECT qp.q_id, ce.vec_id,
+        |   CAST(sum(qp.qp * ce.x) AS BIGINT) AS dot_prime
+        |  FROM ce JOIN qp ON ce.i = qp.i GROUP BY 1, 2),
+        | rr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY dot_prime DESC, vec_id) AS rn FROM resc)
+        |SELECT rr.q_id, CAST(rr.rn AS BIGINT) AS rn, rr.vec_id,
+        | rr.dot_prime,
+        | coalesce(br.rn <= 5, false) AS in_base_top5
+        |FROM rr LEFT JOIN br ON rr.q_id = br.q_id
+        |  AND rr.vec_id = br.vec_id AND br.rn <= 5
+        |WHERE rr.rn <= 5
+        |ORDER BY rr.q_id, rr.rn""".stripMargin,
     // same frozen buckets, per-cell/margin e6 terms before the sums,
     // one mirrored NMI off the exact e6 integers
     "ml_cluster_purity" ->

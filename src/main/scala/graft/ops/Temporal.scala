@@ -695,6 +695,54 @@ object Temporal {
       })
   }
 
+  /** Croston's intermittent-demand forecast (`ts_croston`, r13): the
+    * estimator for series where ZEROS are the signal — per priority,
+    * demand days are sparse, and naive/SMA forecasters smear demand
+    * over the gaps. Croston maintains two α = 1/2 EWMAs updated ONLY
+    * on demand days: z (demand size) and p (inter-demand interval);
+    * the rate forecast is z/p per day. Sequential by nature — the
+    * engine's [[ewma]] discipline applies: the fold runs inside
+    * `flatMapGroups` per priority (groups are calendar-bounded), both
+    * recurrences are the identical IEEE sequence the oracle's
+    * recursive CTE replays bitwise, and only the final state leaves
+    * the task. First-day conventions published: z₀ = first demand,
+    * p₀ = first demand day's 1-based index from the global series
+    * start.
+    */
+  def croston(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Sources.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+    val d0 = Sources.orders(s, d)
+      .agg(min(to_date(col("o_orderdate"))).as("d0"))
+    daily.crossJoin(broadcast(d0))
+      .select(col("o_orderpriority"),
+        (datediff(col("day"), col("d0")) + 1).cast("long").as("idx"),
+        col("x"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (prio, rows) =>
+        val sorted = rows.toArray.sortBy(_._2)
+        var z = 0.0; var p = 0.0
+        var prevIdx = 0L; var first = true; var n = 0L
+        sorted.foreach { case (_, idx, x) =>
+          val q = x.toDouble
+          val gap = (idx - prevIdx).toDouble
+          if (first) { z = q; p = gap; first = false }
+          else { z = z + 0.5 * (q - z); p = p + 0.5 * (gap - p) }
+          prevIdx = idx; n += 1
+        }
+        // half-up on positives — matches DuckDB round() exactly
+        (prio, n, math.round(z * 1e4) / 1e4, math.round(p * 1e4) / 1e4,
+          math.round(z / p * 1e4) / 1e4)
+      }
+      .toDF("o_orderpriority", "n_demand_days", "z_final", "p_final",
+        "croston_rate")
+      .orderBy("o_orderpriority")
+  }
+
   /** Pinball (quantile) loss of the naive-seasonal forecaster
     * (`ts_pinball_loss`, r13): the quantile-forecast metric —
     * L_τ(e) = max(τ·e, (τ−1)·e) with e = actual − forecast — at the
@@ -1571,6 +1619,7 @@ object Temporal {
     "stats_runs_test" -> (runsTest _),
     "stats_ljung_box" -> (ljungBox _),
     "ts_pinball_loss" -> (pinballLoss _),
+    "ts_croston" -> (croston _),
     "ts_seasonal_decompose" -> (seasonalDecompose _),
     "ts_kaplan_meier" -> (kaplanMeier _),
     "ts_mom_growth" -> (momGrowth _),
@@ -1607,6 +1656,33 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // bitwise replay of both EWMA folds via a recursive CTE — the
+    // ts_ewma discipline on the (z, p) pair
+    "ts_croston" ->
+      """WITH RECURSIVE dd AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        |   FROM orders GROUP BY 1, 2),
+        | d0 AS (SELECT min(CAST(o_orderdate AS DATE)) AS dmin FROM orders),
+        | sq AS (SELECT prio,
+        |    CAST(datediff('day', dmin, day) + 1 AS BIGINT) AS idx, x,
+        |    row_number() OVER (PARTITION BY prio ORDER BY day) AS rn
+        |   FROM dd, d0),
+        | r AS (
+        |  SELECT prio, rn, idx, x::DOUBLE AS z, idx::DOUBLE AS p
+        |  FROM sq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.prio, s.rn, s.idx,
+        |   r.z + 0.5 * (s.x::DOUBLE - r.z),
+        |   r.p + 0.5 * ((s.idx - r.idx)::DOUBLE - r.p)
+        |  FROM sq s JOIN r ON s.prio = r.prio AND s.rn = r.rn + 1),
+        | fin AS (SELECT prio, max(rn) AS n FROM r GROUP BY 1)
+        |SELECT r.prio AS o_orderpriority,
+        | CAST(fin.n AS BIGINT) AS n_demand_days,
+        | round(r.z, 4) + 0.0 AS z_final, round(r.p, 4) + 0.0 AS p_final,
+        | round(r.z / r.p, 4) + 0.0 AS croston_rate
+        |FROM r JOIN fin ON r.prio = fin.prio AND r.rn = fin.n
+        |ORDER BY o_orderpriority""".stripMargin,
     // same x10 integer pinball branches, same lag-7 join
     "ts_pinball_loss" ->
       (s"""WITH $seriesCte,

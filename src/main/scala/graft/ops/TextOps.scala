@@ -1337,7 +1337,49 @@ object TextOps {
        |FROM p WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Gazetteer entity tagging (`text_gazetteer_tag`, r13): dictionary
+    * tagging — the first pass of any PII/compliance or
+    * domain-vocabulary scanner: match every token against a published
+    * term → category gazetteer and census the hits per document
+    * (mention count, distinct terms, first mention position, dominant
+    * category). A document with ZERO hits is a RESULT (the clean
+    * census — LEFT join, −1 sentinel, 'none' category), not a dropped
+    * row. Plan: one posexplode pass, a 5-row broadcast gazetteer
+    * join, doc-local windows only (the dominant-category argmax ranks
+    * within a doc's ≤|gazetteer| category rows). At 100 TB a real
+    * gazetteer is ~10⁵ terms — still a broadcast, same plan.
+    */
+  def gazetteerTag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gaz = Seq(("spark", "engine"), ("query", "lang"), ("join", "op"),
+      ("stream", "mode"), ("hash", "op")).toDF("w", "cat")
+    val toks = Sources.documents(s, d)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    val hits = toks.join(broadcast(gaz), Seq("w"))
+    val perDoc = hits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct("w").as("n_terms"),
+        min("pos").cast("long").as("first_pos"))
+    val topCat = hits.groupBy("doc_id", "cat").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("c").desc, col("cat"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cat").as("top_cat"))
+    Sources.documents(s, d).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(topCat, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_mentions"), lit(0L)).as("n_mentions"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("first_pos"), lit(-1L)).as("first_pos"),
+        coalesce(col("top_cat"), lit("none")).as("top_cat"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gazetteer_tag" -> (gazetteerTag _),
     "dedup_simhash_frozen" -> (dedupSimHashFrozen _),
     "dedup_minhash_metrics" -> (dedupMinhashMetrics _),
     "text_readability" -> (textReadability _),
@@ -1496,6 +1538,31 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same 5-term gazetteer, same zero-hit sentinel rows, same
+    // (count desc, cat) dominant-category tie-break
+    "text_gazetteer_tag" ->
+      """WITH g AS (SELECT * FROM (VALUES ('spark', 'engine'),
+        |   ('query', 'lang'), ('join', 'op'), ('stream', 'mode'),
+        |   ('hash', 'op')) AS t(w, cat)),
+        | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        | h AS (SELECT doc_id, tok.w, cat, pos FROM tok JOIN g USING (w)),
+        | pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_mentions,
+        |   CAST(count(DISTINCT w) AS BIGINT) AS n_terms,
+        |   CAST(min(pos) AS BIGINT) AS first_pos FROM h GROUP BY 1),
+        | tc AS (SELECT doc_id, cat AS top_cat FROM (
+        |   SELECT doc_id, cat, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY count(*) DESC, cat) AS rk
+        |   FROM h GROUP BY doc_id, cat) WHERE rk = 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(pd.n_mentions, 0) AS BIGINT) AS n_mentions,
+        | CAST(coalesce(pd.n_terms, 0) AS BIGINT) AS n_terms,
+        | CAST(coalesce(pd.first_pos, -1) AS BIGINT) AS first_pos,
+        | coalesce(tc.top_cat, 'none') AS top_cat
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        | LEFT JOIN tc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_simhash_frozen" -> simHashFrozenOracle,
     "dedup_minhash_metrics" -> minhashMetricsOracle,
     "text_readability" ->

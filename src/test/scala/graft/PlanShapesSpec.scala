@@ -173,7 +173,10 @@ class PlanShapesSpec extends SparkSpec {
     // linear-counting 1-row x 1-row attach
     "ml_cluster_purity", "sketch_linear_counting",
     // batch 92 (r13): the retention plan's 1-row as-of attach
-    "etl_retention_plan")
+    "etl_retention_plan",
+    // batch 93 (r13): Rocchio's 8-row probe/expanded-probe broadcasts
+    // (the cosineTopK class) and Croston's 1-row series-start attach
+    "sim_rocchio_prf", "ts_croston")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

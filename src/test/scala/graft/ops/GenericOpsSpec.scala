@@ -425,6 +425,38 @@ class GenericOpsSpec extends SparkSpec {
     }
   }
 
+  "Similarity.rocchioPrf (r13)" should "replay the 21:7 integer expansion trajectory" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS LONG)) AS qv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val qs = vecs.keys.filter(_ < 8).toSeq.sorted
+    val cs = vecs.keys.filter(_ >= 8).toSeq.sorted
+    val want = qs.flatMap { qid =>
+      val baseRank = cs.map(c => (c, dot(vecs(qid), vecs(c))))
+        .sortBy(t => (-t._2, t._1))
+      val top3 = baseRank.take(3).map(_._1)
+      val baseTop5 = baseRank.take(5).map(_._1).toSet
+      val qp = vecs(qid).indices.map(i =>
+        21L * vecs(qid)(i) + 7L * top3.map(c => vecs(c)(i)).sum).toArray
+      cs.map(c => (c, dot(qp, vecs(c))))
+        .sortBy(t => (-t._2, t._1)).take(5).zipWithIndex
+        .map { case ((c, dp), i) =>
+          (qid, (i + 1).toLong, c, dp, baseTop5(c)) }
+    }
+    val got = Similarity.rocchioPrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    got shouldBe want
+    // expansion keeps the head relevant but genuinely reshuffles:
+    // most expanded top-5 entries come from the base top-5, yet at
+    // least one novel entry appears somewhere
+    got.count(_._5) should be > got.length / 2
+    got.exists(!_._5) shouldBe true
+  }
+
   "Similarity.clusterPurity (r13)" should "replay purity and NMI on the e6 lattice" in {
     val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("CAST(label AS LONG) AS label",

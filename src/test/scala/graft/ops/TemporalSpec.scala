@@ -674,6 +674,42 @@ class TemporalSpec extends SparkSpec {
     got.foreach(_._3 should be > 0L)
   }
 
+  "Temporal.croston (r13)" should "fold both EWMAs exactly like the sequential recurrence" in {
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderpriority", "CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice) AS LONG) AS x")
+      .groupBy("o_orderpriority", "day")
+      .agg(org.apache.spark.sql.functions.sum("x").as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2)))
+    val d0 = rows.map(_._2).minBy(_.toEpochDay)
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, g) =>
+      val seq0 = g.sortBy(_._2.toEpochDay).map { case (_, dy, x) =>
+        (java.time.temporal.ChronoUnit.DAYS.between(d0, dy) + 1, x)
+      }
+      var z = 0.0; var pp = 0.0; var prev = 0L; var first = true
+      seq0.foreach { case (idx, x) =>
+        val gap = (idx - prev).toDouble
+        if (first) { z = x.toDouble; pp = gap; first = false }
+        else { z = z + 0.5 * (x - z); pp = pp + 0.5 * (gap - pp) }
+        prev = idx
+      }
+      (p, seq0.length.toLong, math.round(z * 1e4) / 1e4,
+        math.round(pp * 1e4) / 1e4, math.round(z / pp * 1e4) / 1e4)
+    }
+    val got = Temporal.croston(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    got shouldBe want
+    // demand is dense at the priority grain: mean interval barely
+    // above 1 day, so the rate tracks the demand size
+    got.foreach { case (_, n, z, p, rate) =>
+      n should be > 0L
+      p should be >= 1.0
+      rate should be <= z
+    }
+  }
+
   "Temporal.pinballLoss (r13)" should "replay the x10 integer pinball branches" in {
     val rows = Temporal.pinballLoss(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -438,6 +438,33 @@ class TextSignalsSpec extends SparkSpec {
     got.head._6 should be > 0L
   }
 
+  "TextOps.gazetteerTag (r13)" should "census dictionary hits with zero-hit sentinels" in {
+    val gaz = Map("spark" -> "engine", "query" -> "lang", "join" -> "op",
+      "stream" -> "mode", "hash" -> "op")
+    val docs2 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs2.sortBy(_._1).map { case (id, t) =>
+      val toks = t.split(" ", -1).zipWithIndex
+      val hits = toks.filter(tw => gaz.contains(tw._1))
+      if (hits.isEmpty) (id, 0L, 0L, -1L, "none")
+      else {
+        val byCat = hits.groupBy(tw => gaz(tw._1)).view
+          .mapValues(_.length).toMap
+        val top = byCat.toSeq.minBy(t2 => (-t2._2, t2._1))._1
+        (id, hits.length.toLong, hits.map(_._1).distinct.length.toLong,
+          hits.map(_._2).min.toLong, top)
+      }
+    }.toSeq
+    val got = TextOps.gazetteerTag(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    got shouldBe want
+    // both outcomes present: tagged docs and clean docs
+    got.exists(_._2 > 0) shouldBe true
+    got.exists(_._2 == 0) shouldBe true
+  }
+
   "TextSignals.chao1Vocab (r13)" should "replay the bias-corrected richness estimate" in {
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("lang", "text").collect()
