@@ -1519,6 +1519,62 @@ object Multimodal {
       .orderBy("doc_id", "scene_id")
   }
 
+  /** Decoder fault-injection audit (`mm_decode_fuzz`, r13): corrupt
+    * every BMP at three PUBLISHED byte positions and census how the
+    * decoder responds — the contract [[bmpPixels]]' scaladoc claims
+    * ("throws on anything that isn't the format it claims") made
+    * measurable: 'magic' (byte 0 flipped) and 'bounds' (declared
+    * height +100, pushing the pixel array past the payload) MUST
+    * throw on every document; 'pixel' (the byte at 54 + (len−54) div
+    * 7 flipped) MUST decode — pixel-region damage is not structural —
+    * and the summed |Δ brightness| it induces is CLOSED-FORM (a flip
+    * maps channel value v to 255−v, so Δ = |255−2v| when the byte is
+    * a channel and 0 when it lands on stride padding), which is what
+    * the oracle replays from the pixel formula without running any
+    * decoder. A hash PASS therefore proves the engine's decode paths
+    * fail and recover exactly where the format spec says they should.
+    * Per-doc corruption + re-decode stays in the codec
+    * `mapPartitions` pass; only 3 census rows leave.
+    */
+  def decodeFuzz(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        val orig = encodeBmp(id, nc)
+        val (_, _, origSum, _) = decodeBmp(orig)
+        val h = (3 + nc % 7).toInt
+        def attempt(cls: String, mutate: Array[Byte] => Unit) = {
+          val b = orig.clone()
+          mutate(b)
+          try {
+            val (_, _, sum2, _) = decodeBmp(b)
+            (cls, 0L, 1L, math.abs(sum2 - origSum))
+          } catch {
+            case _: IllegalArgumentException => (cls, 1L, 0L, 0L)
+          }
+        }
+        def le32set(b: Array[Byte], off: Int, v: Int): Unit = {
+          b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+          b(off + 2) = ((v >> 16) & 0xff).toByte
+          b(off + 3) = ((v >> 24) & 0xff).toByte
+        }
+        Seq(
+          attempt("magic", b => b(0) = (b(0) ^ 0xff).toByte),
+          attempt("bounds", b => le32set(b, 22, h + 100)),
+          attempt("pixel", { b =>
+            val pos = 54 + (b.length - 54) / 7
+            b(pos) = (b(pos) ^ 0xff).toByte
+          }))
+      })
+      .toDF("corruption", "thrown", "ok", "delta")
+      .groupBy("corruption")
+      .agg(count(lit(1)).as("n_docs"), sum("thrown").as("n_throw"),
+        sum("ok").as("n_ok"), sum("delta").as("sum_abs_delta"))
+      .orderBy("corruption")
+  }
+
   /** Frame-pair SSIM (`mm_video_ssim`, r13): the structural-similarity
     * index between CONSECUTIVE frames of each clip — the standard
     * perceptual quality/change metric (Wang et al. 2004), here in its
@@ -1633,6 +1689,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_image_dhash" -> (imageDhash _),
     "mm_video_ssim" -> (videoSsim _),
+    "mm_decode_fuzz" -> (decodeFuzz _),
     "mm_video_keyframes" -> (videoKeyframes _),
     "mm_image_blobs" -> (imageBlobs _),
     "mm_image_dither_bayer" -> (imageDitherBayer _),
@@ -1715,6 +1772,41 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // the decoder contract in closed form: structural corruptions
+    // throw everywhere, the pixel flip decodes with |255-2v| deltas
+    // (0 on stride padding) replayed from the formula
+    "mm_decode_fuzz" ->
+      """WITH d AS (SELECT doc_id, 4 + n_chars % 13 AS w,
+        |    3 + n_chars % 7 AS h FROM documents),
+        | g AS (SELECT doc_id, w, h, (w * 3 + 3) // 4 * 4 AS stride
+        |  FROM d),
+        | px AS (SELECT doc_id, w, h, stride,
+        |   (h * stride) // 7 AS rel FROM g),
+        | loc AS (SELECT doc_id, w, h, stride, rel,
+        |   rel // stride AS rfb, rel % stride AS inrow FROM px),
+        | delta AS (SELECT doc_id,
+        |   CASE WHEN inrow >= w * 3 THEN 0 ELSE
+        |     abs(255 - 2 * (CASE inrow % 3
+        |       WHEN 0 THEN (29 * doc_id + 19 * ((h - 1 - rfb) * w
+        |         + inrow // 3) + 31) % 256
+        |       WHEN 1 THEN (17 * doc_id + 13 * ((h - 1 - rfb) * w
+        |         + inrow // 3) + 23) % 256
+        |       ELSE (31 * doc_id + 7 * ((h - 1 - rfb) * w
+        |         + inrow // 3) + 11) % 256 END))
+        |   END AS dlt
+        |  FROM loc),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+        |SELECT * FROM (
+        | SELECT 'bounds' AS corruption, nd AS n_docs, nd AS n_throw,
+        |   CAST(0 AS BIGINT) AS n_ok, CAST(0 AS BIGINT) AS sum_abs_delta
+        |  FROM nn
+        | UNION ALL
+        | SELECT 'magic', nd, nd, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM nn
+        | UNION ALL
+        | SELECT 'pixel', nd, CAST(0 AS BIGINT), nd,
+        |   (SELECT CAST(sum(dlt) AS BIGINT) FROM delta) FROM nn)
+        |ORDER BY corruption""".stripMargin,
     // same five exact power sums per pair, one mirrored SSIM with
     // the published (0.01L)^2/(0.03L)^2 constants
     "mm_video_ssim" ->

@@ -266,6 +266,52 @@ object Privacy {
       .orderBy("o_year", "prio")
   }
 
+  /** DP consistency post-processing (`priv_dp_consistency`, r13):
+    * independently-noised cells don't add up — a consumer summing the
+    * `priv_dp_counts` release gets a total that contradicts the
+    * separately-released noisy total, and post-processing (which
+    * costs NO privacy budget) is the standard fix. The released total
+    * draws its own noise (cell key 511, the mechanism's spare stream);
+    * the consistent cells are the Hamilton largest-remainder
+    * apportionment of that target over the noisy cell proportions —
+    * the same exact-integer machinery as `sample_temperature_mix`
+    * (base = floor shares, leftovers by (remainder desc, cell) — a
+    * total order), so Σ consistent = target EXACTLY and every cell
+    * moves minimally. The apportionment window ranks the ~40-cell
+    * release table (release-domain bounded). Whole trajectory
+    * integer; spec asserts conservation.
+    */
+  def dpConsistency(s: SparkSession, d: String): DataFrame = {
+    val noisy = dpCounts(s, d) // o_year, prio, n_true, noise, n_noisy
+    val totKey = lit(511L)
+    val uT = pmod(pmod(totKey, lit(1048576L)) * lit(2654435761L), lit(1048576L))
+    val magT = geoThresholds.zipWithIndex.foldRight(lit(9L): Column) {
+      case ((t, j), rest) => when(uT < t, lit(j.toLong)).otherwise(rest)
+    }
+    val sgnT = when(
+      pmod(pmod(totKey, lit(1048576L)) * lit(2246822519L), lit(1048576L)) < 524288L,
+      lit(1L)).otherwise(lit(-1L))
+    val target = noisy.agg(sum("n_true").as("t_true"),
+        sum("n_noisy").as("sum_noisy"))
+      .withColumn("target", greatest(lit(0L), col("t_true") + sgnT * magT))
+      .select("target", "sum_noisy")
+    val w = Window.orderBy(col("rem").desc, col("o_year"), col("prio"))
+    noisy.crossJoin(broadcast(target))
+      .withColumn("base", expr("(target * n_noisy) div sum_noisy"))
+      .withColumn("rem", expr("(target * n_noisy) % sum_noisy"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("leftover",
+        col("target") - sum("base").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .withColumn("n_consistent",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("o_year"), col("prio"), col("n_true"), col("n_noisy"),
+        col("target"), col("n_consistent"),
+        (col("n_consistent") - col("n_noisy")).as("adjustment"))
+      .orderBy("o_year", "prio")
+  }
+
   /** DP mean release (`priv_dp_mean`): average order value per market
     * segment under the standard clamp-and-noise recipe — each order's
     * contribution is CLAMPED to [0, 50000] cents (bounding per-row
@@ -521,6 +567,7 @@ object Privacy {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_entropy_ldiv" -> (entropyLDiv _),
     "priv_synthetic_marginal" -> (syntheticMarginal _),
+    "priv_dp_consistency" -> (dpConsistency _),
     "priv_dp_topk" -> (dpTopK _),
     "priv_ldp_mean" -> (ldpMean _),
     "priv_cell_suppression" -> (cellSuppression _),
@@ -542,6 +589,43 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same cell noise, same key-511 total draw, same Hamilton
+    // largest-remainder apportionment with (rem desc, cell) ties
+    "priv_dp_consistency" ->
+      """WITH cells AS (SELECT
+        |   CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |   CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+        |   CAST(count(*) AS BIGINT) AS n_true
+        |  FROM orders GROUP BY 1, 2),
+        | nz AS (SELECT *,
+        |   (CASE WHEN ((o_year * 8 + prio) % 1048576 * 2246822519)
+        |      % 1048576 < 524288 THEN 1 ELSE -1 END)
+        |   * (CASE WHEN u < 349526 THEN 0 WHEN u < 699051 THEN 1 WHEN u < 873814 THEN 2 WHEN u < 961195 THEN 3 WHEN u < 1004886 THEN 4 WHEN u < 1026731 THEN 5 WHEN u < 1037654 THEN 6 WHEN u < 1043115 THEN 7 WHEN u < 1045846 THEN 8 ELSE 9 END) AS noise
+        |  FROM (SELECT *, ((o_year * 8 + prio) % 1048576 * 2654435761)
+        |     % 1048576 AS u FROM cells)),
+        | ny AS (SELECT o_year, prio, n_true,
+        |   greatest(0, n_true + noise) AS n_noisy FROM nz),
+        | tt AS (SELECT CAST(sum(n_true) AS BIGINT) AS t_true,
+        |   CAST(sum(n_noisy) AS BIGINT) AS sum_noisy FROM ny),
+        | tg AS (SELECT greatest(0, t_true
+        |   + (CASE WHEN (511 * 2246822519) % 1048576 < 524288
+        |      THEN 1 ELSE -1 END)
+        |   * (CASE WHEN u < 349526 THEN 0 WHEN u < 699051 THEN 1 WHEN u < 873814 THEN 2 WHEN u < 961195 THEN 3 WHEN u < 1004886 THEN 4 WHEN u < 1026731 THEN 5 WHEN u < 1037654 THEN 6 WHEN u < 1043115 THEN 7 WHEN u < 1045846 THEN 8 ELSE 9 END)) AS target, sum_noisy
+        |  FROM (SELECT t_true, sum_noisy,
+        |    (511 * 2654435761) % 1048576 AS u FROM tt)),
+        | ap AS (SELECT ny.*, tg.target, tg.sum_noisy,
+        |   (tg.target * ny.n_noisy) // tg.sum_noisy AS base,
+        |   (tg.target * ny.n_noisy) % tg.sum_noisy AS rem
+        |  FROM ny, tg),
+        | rk AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC,
+        |    o_year, prio) AS BIGINT) AS rk,
+        |   CAST(sum(base) OVER () AS BIGINT) AS base_sum FROM ap)
+        |SELECT o_year, prio, n_true, n_noisy, target,
+        | CAST(base + (CASE WHEN rk <= target - base_sum THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_consistent,
+        | CAST(base + (CASE WHEN rk <= target - base_sum THEN 1 ELSE 0 END)
+        |   - n_noisy AS BIGINT) AS adjustment
+        |FROM rk ORDER BY o_year, prio""".stripMargin,
     // every synthetic draw replayed: same per-nation CDF partition,
     // same Knuth index, same range assignment
     "priv_synthetic_marginal" ->

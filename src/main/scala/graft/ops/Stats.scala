@@ -1203,6 +1203,52 @@ object Stats {
       .orderBy("p")
   }
 
+  /** Kendall's τ-b (`stats_kendall_tau_b`, r13): rank concordance
+    * between basket size and the published price band (cents div
+    * 2·10⁶, capped at 9) — the tie-robust alternative to
+    * [[spearman]]: with only 7×10 distinct value pairs, ties ARE the
+    * data, and τ-b's denominator corrects for both margins where
+    * Spearman's rank transform just smears them. Both variables live
+    * on BOUNDED published domains, so the whole statistic reduces to
+    * the ≤70-cell contingency table: concordant/discordant mass is a
+    * cell-pair join (≤70² rows — model-sized, never corpus pairs),
+    * tie masses come from the margins, everything up to the final
+    * division is exact Longs (C, D ≤ n²/2 — Long-exact to 4e9 rows),
+    * and τ-b is ONE mirrored double over two √ factors, rounded 6.
+    */
+  def kendallTauB(s: SparkSession, d: String): DataFrame = {
+    val t = Sources.orders(s, d)
+      .join(Sources.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("x"),
+        least(expr("max(CAST(round(o_totalprice * 100) AS LONG)) div 2000000"),
+          lit(9L)).as("y"))
+    val cells = t.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .pinned(eager = false) // pair join (both sides), margins, total
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"), col("c").as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
+    val conc = a.join(broadcast(b),
+        col("xb") > col("xa") && col("yb") > col("ya"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("c_cnt"))
+    val disc = a.join(broadcast(b),
+        col("xb") > col("xa") && col("yb") < col("ya"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("d_cnt"))
+    val n = cells.agg(sum("c").as("n"))
+    val tx = cells.groupBy("x").agg(sum("c").as("m"))
+      .agg(sum(expr("m * (m - 1L) div 2L")).as("tx"))
+    val ty = cells.groupBy("y").agg(sum("c").as("m"))
+      .agg(sum(expr("m * (m - 1L) div 2L")).as("ty"))
+    def D(c: Column): Column = c.cast("double")
+    n.crossJoin(broadcast(conc)).crossJoin(broadcast(disc))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .withColumn("n0", expr("n * (n - 1L) div 2L"))
+      .select(col("n"), col("c_cnt"), col("d_cnt"), col("tx"), col("ty"),
+        graft.functions.Num.roundNorm(
+          D(col("c_cnt") - col("d_cnt")) /
+            (sqrt(D(col("n0") - col("tx"))) * sqrt(D(col("n0") - col("ty")))),
+          6).as("tau_b"))
+  }
+
   /** KS scorer separation (`ml_ks_separation`, r13): the
     * Kolmogorov-Smirnov distance between the positive and negative
     * score distributions of the planted scorer — credit-scoring's
@@ -1240,6 +1286,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_ks_separation" -> (ksSeparation _),
+    "stats_kendall_tau_b" -> (kendallTauB _),
     "stats_qq_normal" -> (qqNormal _),
     "stats_moments_profile" -> (momentsProfile _),
     "stats_did" -> (did _),
@@ -1270,6 +1317,34 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same bounded-domain contingency, same cell-pair masses, one
+    // mirrored tau-b
+    "stats_kendall_tau_b" ->
+      """WITH t AS (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS x,
+        |   least(max(CAST(round(o_totalprice * 100) AS BIGINT)) // 2000000,
+        |     9) AS y
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1),
+        | cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        | conc AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+        |    AS c_cnt
+        |  FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y),
+        | disc AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+        |    AS d_cnt
+        |  FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y),
+        | nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        | tx AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS tx FROM
+        |  (SELECT CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY x)),
+        | ty AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS ty FROM
+        |  (SELECT CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY y)),
+        | k AS (SELECT n, c_cnt, d_cnt, tx, ty, n * (n - 1) // 2 AS n0
+        |  FROM nn, conc, disc, tx, ty)
+        |SELECT n, c_cnt, d_cnt, tx, ty,
+        | round((c_cnt - d_cnt)::DOUBLE
+        |   / (sqrt((n0 - tx)::DOUBLE) * sqrt((n0 - ty)::DOUBLE)), 6) + 0.0
+        |  AS tau_b
+        |FROM k""".stripMargin,
     // same exact integer D numerator and min-cents argmax; the global
     // window replays the Prefix two-pass exactly
     "ml_ks_separation" ->

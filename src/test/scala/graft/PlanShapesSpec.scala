@@ -176,7 +176,10 @@ class PlanShapesSpec extends SparkSpec {
     "etl_retention_plan",
     // batch 93 (r13): Rocchio's 8-row probe/expanded-probe broadcasts
     // (the cosineTopK class) and Croston's 1-row series-start attach
-    "sim_rocchio_prf", "ts_croston")
+    "sim_rocchio_prf", "ts_croston",
+    // batch 94 (r13): Kendall's ≤70-cell contingency pair joins +
+    // 1-row attaches; the DP-consistency 1-row target attach
+    "stats_kendall_tau_b", "priv_dp_consistency")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
@@ -213,7 +216,10 @@ class PlanShapesSpec extends SparkSpec {
       // runs test (r13): cumulative count over the CALENDAR-bounded
       // daily value domain + lag over the daily index — both the
       // ts_peak_days class (≤ span days by construction)
-      "stats_runs_test")
+      "stats_runs_test",
+      // DP consistency (r13): apportionment rank + base-sum window
+      // over the ~40-cell RELEASE table (the priv_dp_topk class)
+      "priv_dp_consistency")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

@@ -746,6 +746,40 @@ class OpsSpec extends SparkSpec {
     got.count(_._4 > 0) should be > 0
   }
 
+  "Multimodal.decodeFuzz (r13)" should "prove the decoder throws and recovers per contract" in {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // closed-form pixel-flip delta: |255 - 2v| on a channel byte,
+    // 0 on stride padding
+    val wantDelta = docs.map { case (id, nc) =>
+      val w = (4 + nc % 13).toInt; val h = (3 + nc % 7).toInt
+      val stride = (w * 3 + 3) / 4 * 4
+      val rel = h * stride / 7
+      val inrow = rel % stride
+      if (inrow >= w * 3) 0L
+      else {
+        val rfb = rel / stride
+        val p = (h - 1 - rfb) * w + inrow / 3
+        val v = inrow % 3 match {
+          case 0 => (29 * id + 19 * p + 31) % 256
+          case 1 => (17 * id + 13 * p + 23) % 256
+          case _ => (31 * id + 7 * p + 11) % 256
+        }
+        math.abs(255 - 2 * v)
+      }
+    }.sum
+    val got = Multimodal.decodeFuzz(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val nd = docs.length.toLong
+    got("magic") shouldBe ((nd, nd, 0L, 0L))
+    got("bounds") shouldBe ((nd, nd, 0L, 0L))
+    got("pixel") shouldBe ((nd, 0L, nd, wantDelta))
+    // the pixel class genuinely perturbs most documents
+    wantDelta should be > nd
+  }
+
   "Multimodal.videoSsim (r13)" should "replay the five power sums and the mirrored SSIM" in {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "CAST(n_chars AS LONG) AS nc")

@@ -346,6 +346,37 @@ class PrivacySpec extends SparkSpec {
     got.exists(_._7) shouldBe true // the stricter audit genuinely fires
   }
 
+  "Privacy.dpConsistency (r13)" should "conserve the released total exactly" in {
+    val noisy = Privacy.dpCounts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val tTrue = noisy.map(_._3).sum
+    val sumNoisy = noisy.map(_._4).sum
+    val uT = (511L * 2654435761L) % 1048576L
+    val mag = thresholds.indexWhere(uT < _) match {
+      case -1 => 9L; case j => j.toLong
+    }
+    val sgn = if ((511L * 2246822519L) % 1048576L < 524288L) 1L else -1L
+    val target = math.max(0L, tTrue + sgn * mag)
+    val base = noisy.map(t => (t._1, t._2, t._4,
+      target * t._4 / sumNoisy, target * t._4 % sumNoisy))
+    val leftover = target - base.map(_._4).sum
+    val ranked = base.sortBy(t => (-t._5, t._1, t._2)).zipWithIndex
+      .map { case ((y, p, ny, b, _), i) =>
+        ((y, p), b + (if (i + 1 <= leftover) 1L else 0L)) }.toMap
+    val got = Privacy.dpConsistency(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    got.foreach { case (y, p, _, ny, tg, nc, adj) =>
+      tg shouldBe target
+      nc shouldBe ranked((y, p))
+      adj shouldBe nc - ny
+    }
+    // the whole point: consistent cells sum to the released total
+    got.map(_._6).sum shouldBe target
+    // and post-processing moved at least one cell
+    got.exists(_._7 != 0L) shouldBe true
+  }
+
   "Privacy.syntheticMarginal (r13)" should "replay every synthetic draw and conserve counts" in {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
       .selectExpr("CAST(c_nationkey AS LONG)", "c_mktsegment").collect()

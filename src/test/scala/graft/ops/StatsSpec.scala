@@ -509,6 +509,40 @@ class StatsSpec extends SparkSpec {
     sswK should be > 0L // within-variance strictly positive on the fixture
   }
 
+  behavior of "Stats.kendallTauB (r13)"
+
+  it should "equal the brute-force pairwise concordance count" in {
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val xy = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey",
+        "least(CAST(round(o_totalprice * 100) AS LONG) div 2000000, 9L) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => items.contains(t._1))
+      .map { case (k, y) => (items(k), y) }
+    var c = 0L; var dd = 0L
+    for (i <- xy.indices; j <- (i + 1) until xy.length) {
+      val dx = xy(i)._1 - xy(j)._1; val dy = xy(i)._2 - xy(j)._2
+      if (dx * dy > 0) c += 1 else if (dx * dy < 0) dd += 1
+    }
+    val n = xy.length.toLong
+    val n0 = n * (n - 1) / 2
+    val tx = xy.groupBy(_._1).values.map(_.length.toLong)
+      .map(m => m * (m - 1) / 2).sum
+    val ty = xy.groupBy(_._2).values.map(_.length.toLong)
+      .map(m => m * (m - 1) / 2).sum
+    val row = Stats.kendallTauB(spark, sfDir).collect().head
+    (row.getLong(0), row.getLong(1), row.getLong(2)) shouldBe ((n, c, dd))
+    (row.getLong(3), row.getLong(4)) shouldBe ((tx, ty))
+    val tau = (c - dd).toDouble /
+      (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble))
+    row.getDouble(5) shouldBe (math.round(tau * 1e6) / 1e6) +- 1e-9
+    // tau is a valid correlation and the association is weak-positive
+    // at most (basket size barely orders price bands)
+    math.abs(row.getDouble(5)) should be < 1.0
+  }
+
   behavior of "Stats.qqNormal (r13)"
 
   it should "replay lower order statistics and the Gaussian line" in {
