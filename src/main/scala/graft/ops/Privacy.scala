@@ -564,7 +564,64 @@ object Privacy {
       .orderBy("rank")
   }
 
+  /** Exponential-mechanism selection (`priv_exponential_mech`, r13):
+    * the DP primitive for NON-numeric outputs (McSherry & Talwar 2007)
+    * — release, per order-year, ONE priority class chosen with
+    * probability ∝ exp(ε·u/(2Δu)) where the utility u is the class's
+    * order count (Δu = 1: one order moves one cell by one), ε = 0.2.
+    * The Laplace/geometric releases perturb every cell; the exponential
+    * mechanism answers "which cell wins?" while provably favouring
+    * near-argmax classes.
+    *
+    * Deterministic-replay design: utilities are shifted by the
+    * per-year max (the standard overflow-free normalization — the
+    * mechanism is shift-invariant), so the weight exp(0.1·(u − umax))
+    * ∈ (0, 1] is ONE mirrored exp on an exact integer argument, floored
+    * to the e6 lattice (+1 so zero-weight cells keep sampling mass and
+    * the support stays the full domain, as the mechanism requires);
+    * from there everything is integer: the CDF is a cumulative sum over
+    * the priority-ordered ≤5 cells per year, and the draw is the
+    * [[syntheticMarginal]] Knuth multiplicative lattice (u_draw =
+    * (year·2654435761 mod 2³²) mod Σw), selection = the unique cell
+    * with cum_lo ≤ u_draw < cum_hi. The released row carries the true
+    * argmax and its utility alongside the selected cell — the
+    * utility-loss audit every EM release publishes. Cells are one
+    * grouped count (the only corpus shuffle); the CDF windows run over
+    * ≤5-row year partitions.
+    */
+  def exponentialMech(s: SparkSession, d: String): DataFrame = {
+    val cells = Sources.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("u"))
+    val best = cells.groupBy("o_year").agg(max("u").as("umax"))
+    val w = cells.join(best, "o_year")
+      .withColumn("w_e6", (floor(
+        exp(lit(0.1) * (col("u") - col("umax")).cast("double")) * 1e6) + 1L)
+        .cast("long"))
+    val wCdf = Window.partitionBy("o_year").orderBy("prio")
+    val cdf = w
+      .withColumn("cum_hi", sum("w_e6").over(
+        wCdf.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_lo", col("cum_hi") - col("w_e6"))
+    val draw = w.groupBy("o_year").agg(sum("w_e6").as("tot_w"))
+      .withColumn("u_draw",
+        pmod(col("o_year") * lit(2654435761L), lit(4294967296L)) % col("tot_w"))
+    val bestRow = cells.join(best, "o_year")
+      .filter(col("u") === col("umax"))
+      .groupBy("o_year").agg(min("prio").as("best_prio"),
+        max("u").as("best_u"))
+    cdf.join(draw, "o_year")
+      .filter(col("u_draw") >= col("cum_lo") && col("u_draw") < col("cum_hi"))
+      .join(bestRow, "o_year")
+      .select(col("o_year"), col("prio").as("sel_prio"),
+        col("u").as("sel_u"), col("w_e6").as("sel_w_e6"), col("tot_w"),
+        col("best_prio"), col("best_u"))
+      .orderBy("o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_exponential_mech" -> (exponentialMech _),
     "priv_entropy_ldiv" -> (entropyLDiv _),
     "priv_synthetic_marginal" -> (syntheticMarginal _),
     "priv_dp_consistency" -> (dpConsistency _),
@@ -589,6 +646,33 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same shifted utilities, same mirrored exp on the e6-floor+1
+    // lattice, same priority-ordered CDF and Knuth-lattice draw
+    "priv_exponential_mech" ->
+      """WITH cells AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS u
+        |   FROM orders GROUP BY 1, 2),
+        | best AS (SELECT o_year, max(u) AS umax FROM cells GROUP BY 1),
+        | w AS (SELECT c.o_year, c.prio, c.u,
+        |    CAST(floor(exp(0.1 * (c.u - b.umax)) * 1e6) + 1 AS BIGINT) AS w_e6
+        |   FROM cells c JOIN best b USING (o_year)),
+        | cdf AS (SELECT o_year, prio, u, w_e6,
+        |    CAST(sum(w_e6) OVER (PARTITION BY o_year ORDER BY prio
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS BIGINT) AS cum_hi FROM w),
+        | draw AS (SELECT o_year, CAST(sum(w_e6) AS BIGINT) AS tot_w,
+        |    CAST(((o_year * 2654435761) % 4294967296)
+        |      % CAST(sum(w_e6) AS BIGINT) AS BIGINT) AS u_draw
+        |   FROM w GROUP BY o_year),
+        | bestrow AS (SELECT c.o_year, min(c.prio) AS best_prio,
+        |    max(c.u) AS best_u
+        |   FROM cells c JOIN best b USING (o_year)
+        |   WHERE c.u = b.umax GROUP BY 1)
+        |SELECT c.o_year, c.prio AS sel_prio, c.u AS sel_u,
+        | c.w_e6 AS sel_w_e6, d.tot_w, r.best_prio, r.best_u
+        |FROM cdf c JOIN draw d USING (o_year) JOIN bestrow r USING (o_year)
+        |WHERE d.u_draw >= c.cum_hi - c.w_e6 AND d.u_draw < c.cum_hi
+        |ORDER BY o_year""".stripMargin,
     // same cell noise, same key-511 total draw, same Hamilton
     // largest-remainder apportionment with (rem desc, cell) ties
     "priv_dp_consistency" ->

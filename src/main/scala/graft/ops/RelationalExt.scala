@@ -741,6 +741,53 @@ object RelationalExt {
       .orderBy("c_mktsegment")
   }
 
+  /** CIDR longest-prefix-match join (`join_cidr_lpm`, r13): the
+    * routing-table / IP-blocklist join — every record's IP is matched
+    * against a table of CIDR blocks and the MOST SPECIFIC (longest
+    * prefix) covering block wins, the lookup semantics of both routers
+    * and curation-pipeline IP filters (a /20 allowlist entry overrides
+    * the /8 block around it). IPs are synthesized as exact uint32s via
+    * the Knuth multiplicative hash of the customer key (uniform over
+    * the 32-bit space, so every published block sees traffic at the
+    * gated SFs); the 8-block table nests three deep (64/2 ⊃ 80/4 ⊃
+    * 84/7, 10/8 ⊃ 10.32/11) so the argmax is genuinely load-bearing —
+    * a join-only plan without the LPM election double-counts every
+    * nested IP. Plan: broadcast theta-join (ip BETWEEN lo AND hi)
+    * against the 8-row block table — at 100 TB a real 1M-entry routing
+    * table still broadcasts (~24 MB) — then a per-key row_number
+    * argmax on (plen DESC, block) partitioned by the record key (never
+    * a global window), LEFT join-back so unmatched IPs census under
+    * the sentinel, and one grouped count. All integer arithmetic.
+    */
+  def joinCidrLpm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocks = Seq(
+      ("any64/2", 64L, 2), ("mid80/4", 80L, 4), ("fine84/7", 84L, 7),
+      ("ten10/8", 10L, 8), ("teninner10.32/11", 10L * 256L + 32L, 11),
+      ("private172.16/12", 172L * 256L + 16L, 12),
+      ("upper192/3", 192L, 3), ("high224/4", 224L, 4))
+      .map { case (n, topBits, p) =>
+        val lo = topBits << (32 - (if (p <= 8) 8 else 16))
+        (n, lo, lo + (1L << (32 - p)) - 1L, p.toLong)
+      }.toDF("block", "lo", "hi", "plen")
+    val cust = Sources.customer(s, d).select(col("c_custkey"),
+      col("c_mktsegment"),
+      pmod(col("c_custkey") * lit(2654435761L), lit(4294967296L)).as("ip"))
+    val wLpm = Window.partitionBy("c_custkey")
+      .orderBy(col("plen").desc, col("block"))
+    val best = cust.join(broadcast(blocks),
+      col("ip") >= col("lo") && col("ip") <= col("hi"))
+      .withColumn("rn", row_number().over(wLpm)).filter(col("rn") === 1)
+      .select(col("c_custkey"), col("block"), col("plen"))
+    cust.join(best, Seq("c_custkey"), "left")
+      .select(col("c_mktsegment"),
+        coalesce(col("block"), lit("unmatched")).as("block"),
+        coalesce(col("plen"), lit(0L)).as("plen"), col("ip"))
+      .groupBy("c_mktsegment", "block", "plen")
+      .agg(count(lit(1)).as("n_ips"), sum("ip").as("sum_ip"))
+      .orderBy("c_mktsegment", "block")
+  }
+
   /** URL parse census (`scalar_url_parse`, r13): deterministic URLs
     * synthesized per customer (the [[scalarIpv4Parse]] dirty-data
     * pattern — every 7th key gets an `ftp` scheme so validation binds,
@@ -783,6 +830,7 @@ object RelationalExt {
     "scalar_base64_census" -> (scalarBase64Census _),
     "scalar_url_parse" -> (scalarUrlParse _),
     "scalar_ipv4_parse" -> (scalarIpv4Parse _),
+    "join_cidr_lpm" -> (joinCidrLpm _),
     "scalar_luhn_check" -> (scalarLuhnCheck _),
     "scalar_business_days" -> (scalarBusinessDays _),
     "pivot_unpivot_quarters" -> (unpivotQuarters _),
@@ -871,6 +919,32 @@ object RelationalExt {
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // generate the dotted string, then parse it back — split + cast,
     // validation and the 10/8 flag replay on the parsed octets
+    // same Knuth-hash uint32 IPs, same 8-block table, same
+    // (plen DESC, block) LPM election and unmatched sentinel
+    "join_cidr_lpm" ->
+      """WITH blocks(block, lo, hi, plen) AS (VALUES
+        |   ('any64/2', 1073741824, 2147483647, 2),
+        |   ('mid80/4', 1342177280, 1610612735, 4),
+        |   ('fine84/7', 1409286144, 1442840575, 7),
+        |   ('ten10/8', 167772160, 184549375, 8),
+        |   ('teninner10.32/11', 169869312, 171966463, 11),
+        |   ('private172.16/12', 2886729728, 2887778303, 12),
+        |   ('upper192/3', 3221225472, 3758096383, 3),
+        |   ('high224/4', 3758096384, 4026531839, 4)),
+        | cust AS (SELECT c_custkey, c_mktsegment,
+        |    (c_custkey * 2654435761) % 4294967296 AS ip FROM customer),
+        | best AS (SELECT c_custkey, block, plen FROM (
+        |   SELECT c.c_custkey, b.block, b.plen,
+        |     row_number() OVER (PARTITION BY c.c_custkey
+        |       ORDER BY b.plen DESC, b.block) AS rn
+        |    FROM cust c JOIN blocks b ON c.ip >= b.lo AND c.ip <= b.hi)
+        |  WHERE rn = 1)
+        |SELECT c.c_mktsegment, coalesce(b.block, 'unmatched') AS block,
+        | CAST(coalesce(b.plen, 0) AS BIGINT) AS plen,
+        | CAST(count(*) AS BIGINT) AS n_ips,
+        | CAST(sum(c.ip) AS BIGINT) AS sum_ip
+        |FROM cust c LEFT JOIN best b USING (c_custkey)
+        |GROUP BY 1, 2, 3 ORDER BY c_mktsegment, block""".stripMargin,
     "scalar_ipv4_parse" ->
       """WITH g AS (SELECT c_mktsegment,
         |   CAST(c_custkey * 31 % 300 AS VARCHAR) || '.' ||

@@ -350,6 +350,52 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking
+    * (`search_query_likelihood`, r13): the language-modelling
+    * alternative to [[bm25]] — score(d) = Σ_t ln((tf + μ·cf_t/|C|) /
+    * (|d| + μ)) with μ = 2000 (Zhai & Lafferty 2001), the ranking
+    * function behind LM-based retrieval and the usual second arm of a
+    * lexical A/B against BM25. Engine-parity design: the smoothed
+    * probability is the exact integer rational (tf·|C| + μ·cf) /
+    * ((|d| + μ)·|C|) — numerator and denominator are assembled as
+    * BIGINTs in BOTH engines, so the single mirrored ln sees the
+    * identical double ratio and the per-TERM e6 lattice value is
+    * deterministic; scores are then exact integer sums (the per-row-
+    * lattice-terms discipline of `ml_regression_metrics`). Unlike BM25
+    * every document is scored against every query term (tf = 0 rows
+    * carry the smoothing mass), so the plan fans the doc-length table
+    * out by the ≤3-row term-stat broadcast and LEFT-joins the sparse
+    * tf table — corpus × |q| rows, one shuffle for tf, one for the
+    * final top-10 TakeOrderedAndProject. The term domain is the terms
+    * PRESENT in the corpus (cf > 0; identical CTE in the oracle), so
+    * ln never sees zero mass on any fixture.
+    */
+  def queryLikelihood(s: SparkSession, d: String): DataFrame = {
+    val mu = 2000L
+    val terms = Seq("spark", "vector", "dup")
+    val docs = Sources.documents(s, d)
+    val lens = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("dl"))
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val clen = lens.agg(sum("dl").as("clen"))
+    val cf = tok.groupBy("w").agg(count(lit(1)).as("cf"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val scored = lens.crossJoin(broadcast(cf.crossJoin(clen)))
+      .join(tf, Seq("doc_id", "w"), "left")
+      .withColumn("tfv", coalesce(col("tf"), lit(0L)))
+      .withColumn("num", col("tfv") * col("clen") + lit(mu) * col("cf"))
+      .withColumn("den", (col("dl") + lit(mu)) * col("clen"))
+      .withColumn("term_e6", round(
+        log(col("num").cast("double") / col("den").cast("double")) * 1e6)
+        .cast("long"))
+    scored.groupBy("doc_id")
+      .agg(sum(when(col("tfv") > 0, 1L).otherwise(0L)).as("n_matched"),
+        sum("term_e6").as("score_e6"))
+      .select(col("doc_id"), col("n_matched"), col("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(10)
+  }
+
   /** Hybrid retrieval fusion (`search_hybrid_rrf`): reciprocal-rank
     * fusion (RRF, Cormack et al.) of the BM25 keyword arm and the
     * embedding-cosine arm for one request — the standard fusion step of
@@ -955,6 +1001,7 @@ object TextSignals {
     "search_boolean_or_not" -> (booleanOrNot _),
     "search_proximity" -> (proximitySearch _),
     "text_bm25" -> (bm25 _),
+    "search_query_likelihood" -> (queryLikelihood _),
     "search_hybrid_rrf" -> (hybridRrf _),
     "text_zipf_slope" -> (zipfSlope _),
     "text_pmi_bigrams" -> (pmiBigrams _),
@@ -1240,6 +1287,31 @@ object TextSignals {
         |  FROM w WHERE w IN ('spark', 'dup') GROUP BY doc_id)
         |SELECT doc_id, tf_spark, tf_dup FROM f
         |WHERE tf_spark > 0 AND tf_dup > 0 ORDER BY doc_id""".stripMargin,
+    // same integer rational per (doc, present-term), same mirrored ln
+    // on the e6 lattice, same top-10 cut
+    "search_query_likelihood" ->
+      """WITH lens AS (SELECT doc_id,
+        |   CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+        | cl AS (SELECT CAST(sum(dl) AS BIGINT) AS clen FROM lens),
+        | tok AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |     unnest(string_split(text,' ')) AS w FROM documents)
+        |  WHERE w IN ('spark', 'vector', 'dup')),
+        | cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY w),
+        | tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY doc_id, w),
+        | sc AS (SELECT lens.doc_id, coalesce(tf.tf, 0) AS tfv, cf.cf,
+        |    lens.dl, cl.clen
+        |   FROM lens CROSS JOIN cf CROSS JOIN cl
+        |   LEFT JOIN tf ON tf.doc_id = lens.doc_id AND tf.w = cf.w),
+        | terms AS (SELECT doc_id,
+        |   CASE WHEN tfv > 0 THEN 1 ELSE 0 END AS m,
+        |   CAST(round(ln(CAST(tfv * clen + 2000 * cf AS DOUBLE) /
+        |     CAST((dl + 2000) * clen AS DOUBLE)) * 1e6) AS BIGINT) AS term_e6
+        |  FROM sc)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_matched,
+        | CAST(sum(term_e6) AS BIGINT) AS score_e6
+        |FROM terms GROUP BY doc_id
+        |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin,
     "search_hybrid_rrf" ->
       """WITH lens AS (SELECT doc_id, len(string_split(text,' '))::DOUBLE AS dl
         |   FROM documents),

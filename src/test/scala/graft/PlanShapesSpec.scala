@@ -179,7 +179,12 @@ class PlanShapesSpec extends SparkSpec {
     "sim_rocchio_prf", "ts_croston",
     // batch 94 (r13): Kendall's ≤70-cell contingency pair joins +
     // 1-row attaches; the DP-consistency 1-row target attach
-    "stats_kendall_tau_b", "priv_dp_consistency")
+    "stats_kendall_tau_b", "priv_dp_consistency",
+    // batch 95 (r13): the Dirichlet-LM ≤3-row term-stat × 1-row
+    // corpus-length fan-out broadcast (the text_bm25 class), and the
+    // CIDR range join's 8-row block-table broadcast build (a real
+    // 1M-entry routing table still broadcasts — the cosineTopK class)
+    "search_query_likelihood", "join_cidr_lpm")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
@@ -267,9 +272,14 @@ class PlanShapesSpec extends SparkSpec {
     * partition sort is over survivor pairs only (and keeps map-side
     * partial aggregation, unlike the window formulation it replaced).
     */
+  /** `priv_exponential_mech` (r13): the argmax-priority min(prio) is a
+    * string MIN keyed by year over the years×5-priority CELL table —
+    * bounded by the released dimension (the agg_mode post-count class),
+    * never the order corpus.
+    */
   private val sanctionedSortAgg =
     Set("agg_minmax_by", "agg_mode", "ml_nb_confusion", "sim_pq_adc",
-      "er_best_link")
+      "er_best_link", "priv_exponential_mech")
 
   it should "plan keyed SortAggregates only at sanctioned model-sized sites" in {
     val keyed = "SortAggregate\\(key=\\[[^\\]]".r

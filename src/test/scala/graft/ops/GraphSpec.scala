@@ -791,4 +791,5 @@ class GraphSpec extends SparkSpec {
     got.map(_._3).reverse.toSeq shouldBe got.map(_._3).reverse.sorted.toSeq
     got.head._2 should be > 0L // the loosest club is non-empty
   }
+
 }

@@ -409,4 +409,37 @@ class PrivacySpec extends SparkSpec {
     got.map(t => math.abs(t._5)).sum should be <
       (cust.length.toLong / 2)
   }
+
+  "Privacy.exponentialMech" should "replay the shifted-exp CDF draw exactly" in {
+    import org.apache.spark.sql.functions.{col, year}
+    val rows = graft.io.Sources.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (y, rs) =>
+      val cells = rs.groupBy(_._2).map { case (p, xs) => (p, xs.size.toLong) }
+        .toSeq.sortBy(_._1)
+      val umax = cells.map(_._2).max
+      val ws = cells.map { case (p, u) =>
+        (p, u, math.floor(math.exp(0.1 * (u - umax)) * 1e6).toLong + 1L)
+      }
+      val tot = ws.map(_._3).sum
+      val draw = ((y * 2654435761L) % 4294967296L) % tot
+      val cums = ws.scanLeft(0L)(_ + _._3).tail
+      val idx = cums.indexWhere(_ > draw)
+      val (selP, selU, selW) = ws(idx)
+      val bestP = cells.filter(_._2 == umax).map(_._1).min
+      (y, selP, selU, selW, tot, bestP, umax)
+    }
+    val got = Privacy.exponentialMech(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6))).toSeq
+    got shouldBe want
+    // the mechanism's defining bias: the selected cell's weight is the
+    // e6 exp of its utility deficit — never larger than the argmax's
+    got.foreach { t =>
+      t._4 should be <= (1000000L + 1L)
+      t._7 should be >= t._3
+    }
+  }
 }

@@ -192,4 +192,44 @@ class ReshapeOpsSpec extends SparkSpec {
     // = 24 for full-width prefixes (shorter docs pad differently)
     got.foreach { case (_, nd, ok, _, _) => ok shouldBe nd }
   }
+
+  "RelationalExt.joinCidrLpm (r13)" should "replay the longest-prefix election" in {
+    val blocks = Seq( // (name, first-bits value, prefix len) — published table
+      ("any64/2", 64L, 2), ("mid80/4", 80L, 4), ("fine84/7", 84L, 7),
+      ("ten10/8", 10L, 8), ("teninner10.32/11", 10L * 256L + 32L, 11),
+      ("private172.16/12", 172L * 256L + 16L, 12),
+      ("upper192/3", 192L, 3), ("high224/4", 224L, 4))
+      .map { case (n, top, p) =>
+        val lo = top << (32 - (if (p <= 8) 8 else 16))
+        (n, lo, lo + (1L << (32 - p)) - 1L, p.toLong)
+      }
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val assigned = cust.map { case (k, seg) =>
+      val ip = (k * 2654435761L) % 4294967296L
+      val covering = blocks.filter(b => ip >= b._2 && ip <= b._3)
+      val best =
+        if (covering.isEmpty) ("unmatched", 0L)
+        else {
+          val b = covering.minBy(b => (-b._4, b._1))
+          (b._1, b._4)
+        }
+      (seg, best._1, best._2, ip)
+    }
+    val want = assigned.groupBy(t => (t._1, t._2, t._3)).toSeq
+      .map { case ((seg, b, p), g) =>
+        (seg, b, p, g.length.toLong, g.map(_._4).sum)
+      }.sortBy(t => (t._1, t._2))
+    val got = RelationalExt.joinCidrLpm(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // the election is load-bearing: at least one IP sits in a NESTED
+    // block (covered by >1 published range), and unmatched traffic
+    // exists (the table does not cover the space)
+    assigned.count(t => blocks.count(b =>
+      t._4 >= b._2 && t._4 <= b._3) >= 2) should be > 0
+    got.exists(_._2 == "unmatched") shouldBe true
+  }
 }

@@ -545,4 +545,35 @@ class TextSignalsSpec extends SparkSpec {
     got.map(_._3).toSeq shouldBe got.map(_._3).sorted.toSeq
     got.tail.foreach(_._4 should (be >= 0.0 and be <= 1.0))
   }
+
+  "TextSignals.queryLikelihood" should "match a driver-side Dirichlet LM replay" in {
+    val mu = 2000L
+    val terms = Seq("spark", "vector", "dup")
+    // split(text, " ", -1): Spark's split keeps trailing empty tokens
+    val docs = graft.io.Sources.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val clen = docs.map(_._2.length.toLong).sum
+    val cf = terms
+      .map(t => t -> docs.map(_._2.count(_ == t).toLong).sum)
+      .filter(_._2 > 0)
+    val want = docs.map { case (id, ws) =>
+      val perTerm = cf.map { case (t, c) =>
+        val tf = ws.count(_ == t).toLong
+        val v = math.log((tf * clen + mu * c).toDouble /
+          ((ws.length + mu) * clen).toDouble) * 1e6
+        (BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+          if (tf > 0) 1L else 0L)
+      }
+      (id, perTerm.map(_._2).sum, perTerm.map(_._1).sum)
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(10).toSeq
+    val got = TextSignals.queryLikelihood(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // scores are log-probabilities of a 3-term query: strictly negative,
+    // and a doc can match at most the 3 present terms
+    got.foreach { t =>
+      t._2 should be <= 3L
+      t._3 should be < 0L
+    }
+  }
 }
