@@ -957,7 +957,62 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Price/volume/mix revenue bridge (`complex_price_volume_mix`, r13):
+    * the FP&A waterfall decomposing the 1996→1997 revenue change into
+    * volume effect (q₂−q₁)·p₁, price effect (p₂−p₁)·q₂, new-part and
+    * exited-part contributions — per part, then rolled up. The
+    * identity (q₂−q₁)p₁ + (p₂−p₁)q₂ = q₂p₂ − q₁p₁ holds EXACTLY in
+    * the reals, so the published residual column is pure e2-lattice
+    * rounding (bounded by ~0.5 cent·e2 per common part — the spec
+    * asserts the bound); delta/new/exit ship as exact cents. Unit
+    * prices are the rational e/q (extendedprice is already the line
+    * total), so the two effect terms are the only mirrored doubles —
+    * one (div, sub, mul, round) chain per common part on exact Long
+    * inputs. Plan: one year-filtered scan (pushed predicate), one
+    * (part, year) pre-aggregate, a part-keyed FULL OUTER self-join of
+    * the two year slices (equi join — AQE picks broadcast vs SMJ by
+    * SF), and one global roll-up. At 100 TB the pre-aggregate bounds
+    * the join at part-dimension cardinality.
+    */
+  def priceVolumeMix(s: SparkSession, d: String): DataFrame = {
+    val per = Sources.lineitem(s, d)
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("e"))
+    val j = per.filter(col("y") === 1996)
+      .select(col("l_partkey"), col("q").as("q1"), col("e").as("e1"))
+      .join(per.filter(col("y") === 1997)
+        .select(col("l_partkey"), col("q").as("q2"), col("e").as("e2")),
+        Seq("l_partkey"), "full_outer")
+    val common = col("q1").isNotNull && col("q2").isNotNull
+    val eff = j.select(
+      when(common, 1L).otherwise(0L).as("is_common"),
+      when(col("q1").isNull, 1L).otherwise(0L).as("is_new"),
+      when(col("q2").isNull, 1L).otherwise(0L).as("is_exit"),
+      (coalesce(col("e2"), lit(0L)) - coalesce(col("e1"), lit(0L)))
+        .as("delta"),
+      when(common, round(lit(100.0) *
+        (col("q2") - col("q1")).cast("double") *
+        (col("e1").cast("double") / col("q1").cast("double")))
+        .cast("long")).otherwise(0L).as("vol"),
+      when(common, round(lit(100.0) *
+        (col("e2").cast("double") / col("q2").cast("double") -
+          col("e1").cast("double") / col("q1").cast("double")) *
+        col("q2").cast("double")).cast("long")).otherwise(0L).as("price"),
+      when(col("q1").isNull, col("e2")).otherwise(0L).as("newc"),
+      when(col("q2").isNull, -col("e1")).otherwise(0L).as("exitc"))
+    eff.agg(sum("is_common").as("n_common"), sum("is_new").as("n_new"),
+        sum("is_exit").as("n_exit"), sum("delta").as("delta_cents"),
+        sum("vol").as("vol_e2"), sum("price").as("price_e2"),
+        sum("newc").as("new_cents"), sum("exitc").as("exit_cents"))
+      .withColumn("resid_e2",
+        col("delta_cents") * 100L - col("vol_e2") - col("price_e2") -
+          col("new_cents") * 100L - col("exit_cents") * 100L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "complex_price_volume_mix" -> (priceVolumeMix _),
     "join_salted_revenue" -> (saltedRevenue _),
     "win_rfm_scores" -> (rfmScores _),
     "agg_entropy_segment" -> (entropySegment _),
@@ -994,6 +1049,49 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // same (part, year) pre-aggregate, same mirrored effect chain per
+    // common part, same exact residual algebra
+    "complex_price_volume_mix" ->
+      """WITH per AS (SELECT l_partkey, year(l_shipdate) AS y,
+        |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |     AS BIGINT) AS e
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        | j AS (SELECT coalesce(a.l_partkey, b.l_partkey) AS pk,
+        |    a.q AS q1, a.e AS e1, b.q AS q2, b.e AS e2
+        |   FROM (SELECT * FROM per WHERE y = 1996) a
+        |   FULL OUTER JOIN (SELECT * FROM per WHERE y = 1997) b
+        |    ON a.l_partkey = b.l_partkey),
+        | eff AS (SELECT
+        |   CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN 1 ELSE 0 END
+        |     AS is_common,
+        |   CASE WHEN q1 IS NULL THEN 1 ELSE 0 END AS is_new,
+        |   CASE WHEN q2 IS NULL THEN 1 ELSE 0 END AS is_exit,
+        |   coalesce(e2, 0) - coalesce(e1, 0) AS delta,
+        |   CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN
+        |     CAST(round(100.0 * CAST(q2 - q1 AS DOUBLE) *
+        |       (CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE))) AS BIGINT)
+        |    ELSE 0 END AS vol,
+        |   CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN
+        |     CAST(round(100.0 * (CAST(e2 AS DOUBLE) / CAST(q2 AS DOUBLE) -
+        |       CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE)) *
+        |       CAST(q2 AS DOUBLE)) AS BIGINT)
+        |    ELSE 0 END AS price,
+        |   CASE WHEN q1 IS NULL THEN e2 ELSE 0 END AS newc,
+        |   CASE WHEN q2 IS NULL THEN -e1 ELSE 0 END AS exitc
+        |  FROM j)
+        |SELECT CAST(sum(is_common) AS BIGINT) AS n_common,
+        | CAST(sum(is_new) AS BIGINT) AS n_new,
+        | CAST(sum(is_exit) AS BIGINT) AS n_exit,
+        | CAST(sum(delta) AS BIGINT) AS delta_cents,
+        | CAST(sum(vol) AS BIGINT) AS vol_e2,
+        | CAST(sum(price) AS BIGINT) AS price_e2,
+        | CAST(sum(newc) AS BIGINT) AS new_cents,
+        | CAST(sum(exitc) AS BIGINT) AS exit_cents,
+        | CAST(sum(delta) * 100 - sum(vol) - sum(price)
+        |   - sum(newc) * 100 - sum(exitc) * 100 AS BIGINT) AS resid_e2
+        |FROM eff""".stripMargin,
     // the PLAIN join — hash equality proves the engine's salted join
     // (content-hashed sub-keys, 4x replicated dim) is result-transparent
     "join_salted_revenue" ->

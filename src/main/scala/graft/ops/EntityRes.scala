@@ -267,14 +267,84 @@ object EntityRes {
           .as("reduction_e6"))
   }
 
+  /** American-Soundex key as ONE portable SQL scalar expression —
+    * identical text evaluated by Spark (`expr`) and spliced verbatim
+    * into the DuckDB oracle, so engine/oracle parity holds by
+    * construction (the strongest form of the mirrored-finish
+    * discipline: not two implementations of one spec, but one
+    * implementation). The classic procedure (Russell/Odell, as in
+    * Knuth TAOCP vol. 3): keep the first letter; elide H/W from the
+    * REST (they do not separate equal codes); code B F P V→1,
+    * C G J K Q S X Z→2, D T→3, L→4, M N→5, R→6, vowels→0 (separators),
+    * and a leading H/W→9 (a sentinel class so an uncoded first letter
+    * never collapses with its successor); collapse adjacent equal
+    * digits INCLUDING the first letter's own code (so Pfister → P236,
+    * not P123) via 3 rounds of pair-replace (a run of length L halves
+    * per round; L ≤ 8 in any realistic token ⇒ 3 rounds suffice);
+    * drop the first digit, strip the vowel zeros, take 3, right-pad
+    * with '0'. `translate`/`replace`/`substr`/`rpad` have identical
+    * semantics in both engines (regexp_replace does NOT — DuckDB
+    * replaces only the first match without the 'g' flag — hence the
+    * translate-based elision).
+    */
+  private[graft] def soundexSql(in: String): String = {
+    val up = s"upper($in)"
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val codes = "01230129022455012623019202"
+    val coded = s"translate(substr($up, 1, 1) || " +
+      s"translate(substr($up, 2), 'HW', ''), '$alphabet', '$codes')"
+    val collapsed = (1 to 3).foldLeft(coded) { (acc, _) =>
+      (1 to 6).foldLeft(acc) { (a, dg) => s"replace($a, '$dg$dg', '$dg')" }
+    }
+    s"substr($up, 1, 1) || rpad(replace(substr($collapsed, 2), '0', ''), 3, '0')"
+  }
+
+  /** Phonetic blocking census (`er_soundex_blocking`, r13): the OTHER
+    * classic ER blocking key family — where [[jaroPairs]] blocks on
+    * brand × name-token bands, record-linkage systems since Fellegi &
+    * Sunter have blocked on PHONETIC keys so spelling variants of one
+    * name land in one block without any pairwise scoring. Census over
+    * the document vocabulary: per Soundex key, the type count (block
+    * width in the pair-generation sense), token mass, and the
+    * lexicographic extremes (the collision witnesses — e.g. which
+    * distinct words share a key). Plan: one token-explode count to the
+    * vocabulary-sized type table (hash agg, map-side partials), the
+    * soundex expression evaluated once per TYPE (never per token), and
+    * the final ≤vocab-row census; the min/max string aggregate runs on
+    * the post-count type table — the agg_mode sanction class, never the
+    * corpus. At 100 TB the plan is one (word) shuffle; vocabulary
+    * tables are the bounded side of every text pipeline.
+    */
+  def soundexBlocking(s: SparkSession, d: String): DataFrame = {
+    val types = Sources.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_tok"))
+    types.withColumn("sx", expr(soundexSql("w")))
+      .groupBy("sx")
+      .agg(countDistinct("w").as("n_types"), sum("n_tok").as("n_tokens"),
+        min("w").as("first_word"), max("w").as("last_word"))
+      .orderBy("sx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_jaro_pairs" -> (jaroPairs _),
     "er_best_link" -> (bestLink _),
     "er_cluster_canonical" -> (clusterCanonical _),
     "er_blocking_metrics" -> (blockingMetrics _),
+    "er_soundex_blocking" -> (soundexBlocking _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the SAME generated soundex expression text, spliced verbatim
+    "er_soundex_blocking" ->
+      (s"""WITH types AS (SELECT w, CAST(count(*) AS BIGINT) AS n_tok
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        | keyed AS (SELECT w, n_tok, ${soundexSql("w")} AS sx FROM types)
+        |SELECT sx, CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | min(w) AS first_word, max(w) AS last_word
+        |FROM keyed GROUP BY sx ORDER BY sx""".stripMargin),
     // truth here is the UN-BLOCKED within-brand all-pairs scan — the
     // n_truth/n_covered agreement re-proves banded recall on the
     // fixture while certifying the published metrics

@@ -1284,7 +1284,104 @@ object Stats {
         col("ks_threshold_cents"))
   }
 
+  /** Grubbs outlier statistic per segment (`stats_grubbs`, r13): G =
+    * max|x − x̄| / s, the classic single-outlier test (Grubbs 1950) —
+    * the per-group "how extreme is the most extreme point" number a
+    * data-quality sweep publishes next to the moments (the decision
+    * threshold is a t-quantile in n, left to the consumer; the
+    * statistic itself is what the engine owes). Exact-arithmetic
+    * shape: the deviation ranking currency is |n·x − S| — an exact
+    * BIGINT, so the argmax (and its min-key tie-break) is pure integer
+    * comparison — and the only doubles are ONE mirrored finish per
+    * segment on the exact (n, S, Q, max|n·x−S|) tuple, in the
+    * overflow-safe s2/n − m² form (the qq-normal lesson: n·Q − S²
+    * leaves Long at ~2e9 corpus rows). Plan: the record table is
+    * pinned once and consumed by the moment agg, the deviation argmax,
+    * and the witness fetch; the argmax is the TWO-PASS hash-agg shape
+    * (per-segment max, equi-join back, min-key among ties) — never a
+    * keyed sort-aggregate or a low-cardinality window over the corpus,
+    * so map-side partials survive at any scale.
+    */
+  def grubbsOutlier(s: SparkSession, d: String): DataFrame = {
+    val recs = Sources.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .pinned(eager = false)
+    val m = recs.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    val dev = recs.join(broadcast(m.select("c_mktsegment", "n", "s1")),
+        "c_mktsegment")
+      .withColumn("adev", abs(col("cents") * col("n") - col("s1")))
+    val mx = dev.groupBy("c_mktsegment").agg(max("adev").as("adev"))
+    val arg = dev.join(broadcast(mx), Seq("c_mktsegment", "adev"))
+      .groupBy("c_mktsegment", "adev")
+      .agg(min("c_custkey").as("outlier_key"))
+    val witness = recs.join(broadcast(arg.select(col("c_mktsegment"),
+        col("adev"), col("outlier_key").as("c_custkey"))),
+        Seq("c_mktsegment", "c_custkey"))
+      .select(col("c_mktsegment"), col("adev"),
+        col("c_custkey").as("outlier_key"), col("cents").as("outlier_cents"))
+    val nD = col("n").cast("double")
+    val varS = (col("s2").cast("double") / nD -
+      (col("s1").cast("double") / nD) * (col("s1").cast("double") / nD)) *
+      (nD / (col("n") - lit(1L)).cast("double"))
+    witness.join(broadcast(m), "c_mktsegment")
+      .select(col("c_mktsegment"), col("n"), col("outlier_key"),
+        col("outlier_cents"), col("adev"),
+        round(lit(1e6) * (col("adev").cast("double") / nD) / sqrt(varS))
+          .cast("long").as("g_e6"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Theil T inequality decomposition (`stats_theil_decomp`, r13): the
+    * entropy-based inequality index T = Σ (x_i/X)·ln(x_i/μ) over order
+    * values, decomposed by priority group into WITHIN + BETWEEN — the
+    * property Gini famously lacks (Theil 1967; Shorrocks 1980 on
+    * additive decomposability): ln(x·N/S) = ln(x·N_g/S_g) +
+    * ln(S_g·N/(S·N_g)) splits every record's contribution into its
+    * within-group inequality and its group's positional term, exactly,
+    * in the reals. Lattice shape: group moments (N_g, S_g) and totals
+    * are exact Longs; each record contributes ONE mirrored
+    * (x/S)·ln(x·N_g/S_g) double rounded to the e12 lattice (terms are
+    * ≤ ~1e-4, so e12 keeps ~8 significant digits; integer sums from
+    * there), and the ≤5 BETWEEN terms mirror at group level. The
+    * revenue share ships as the exact integer floor (S_g·1e6) div S —
+    * past ~9e12 total cents the share numerator needs the count-gated
+    * DECIMAL widening (the aucExact convention). Plan: one grouped
+    * moment pass, a ≤5-row broadcast back onto the pinned records, one
+    * keyed sum — map-side partials throughout, no window.
+    */
+  def theilDecomp(s: SparkSession, d: String): DataFrame = {
+    val recs = Sources.orders(s, d)
+      .select(col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .pinned(eager = false)
+    val g = recs.groupBy("prio")
+      .agg(count(lit(1)).as("ng"), sum("cents").as("sg"))
+    val tot = g.agg(sum("ng").as("n"), sum("sg").as("st"))
+    val gm = g.crossJoin(broadcast(tot))
+    val within = recs.join(broadcast(gm), "prio")
+      .withColumn("t_e12", round(lit(1e12) *
+        (col("cents").cast("double") / col("st").cast("double")) *
+        log(col("cents").cast("double") * col("ng").cast("double") /
+          col("sg").cast("double"))).cast("long"))
+      .groupBy("prio").agg(sum("t_e12").as("within_e12"))
+    gm.withColumn("between_e12", round(lit(1e12) *
+        (col("sg").cast("double") / col("st").cast("double")) *
+        log(col("sg").cast("double") * col("n").cast("double") /
+          (col("st").cast("double") * col("ng").cast("double"))))
+        .cast("long"))
+      .join(within, "prio")
+      .select(col("prio"), col("ng").as("n"), col("sg").as("cents_sum"),
+        expr("(sg * 1000000L) div st").as("share_e6"),
+        col("within_e12"), col("between_e12"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_grubbs" -> (grubbsOutlier _),
+    "stats_theil_decomp" -> (theilDecomp _),
     "ml_ks_separation" -> (ksSeparation _),
     "stats_kendall_tau_b" -> (kendallTauB _),
     "stats_qq_normal" -> (qqNormal _),
@@ -1317,6 +1414,60 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same e12 per-row within terms, same ≤5 group-level between terms,
+    // same exact share floor
+    "stats_theil_decomp" ->
+      """WITH recs AS (SELECT o_orderpriority AS prio,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        | g AS (SELECT prio, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(cents) AS BIGINT) AS sg FROM recs GROUP BY 1),
+        | tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS BIGINT) AS st FROM g),
+        | w AS (SELECT r.prio, CAST(sum(CAST(round(1e12 *
+        |     (CAST(r.cents AS DOUBLE) / CAST(t.st AS DOUBLE)) *
+        |     ln(CAST(r.cents AS DOUBLE) * CAST(g.ng AS DOUBLE) /
+        |       CAST(g.sg AS DOUBLE))) AS BIGINT)) AS BIGINT) AS within_e12
+        |  FROM recs r JOIN g USING (prio) CROSS JOIN tot t GROUP BY 1)
+        |SELECT g.prio, g.ng AS n, g.sg AS cents_sum,
+        | (g.sg * 1000000) // t.st AS share_e6,
+        | w.within_e12,
+        | CAST(round(1e12 * (CAST(g.sg AS DOUBLE) / CAST(t.st AS DOUBLE)) *
+        |   ln(CAST(g.sg AS DOUBLE) * CAST(t.n AS DOUBLE) /
+        |     (CAST(t.st AS DOUBLE) * CAST(g.ng AS DOUBLE)))) AS BIGINT)
+        |  AS between_e12
+        |FROM g CROSS JOIN tot t JOIN w USING (prio)
+        |ORDER BY prio""".stripMargin,
+    // same integer |n·x − S| ranking currency, same min-key ties, same
+    // single mirrored finish in the s2/n − m² form
+    "stats_grubbs" ->
+      """WITH recs AS (SELECT c_mktsegment, c_custkey,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | m AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s1,
+        |    CAST(sum(cents * cents) AS BIGINT) AS s2
+        |   FROM recs GROUP BY 1),
+        | dev AS (SELECT r.c_mktsegment, r.c_custkey, r.cents,
+        |    abs(r.cents * m.n - m.s1) AS adev
+        |   FROM recs r JOIN m USING (c_mktsegment)),
+        | mx AS (SELECT c_mktsegment, max(adev) AS adev FROM dev GROUP BY 1),
+        | arg AS (SELECT d.c_mktsegment, d.adev,
+        |    min(d.c_custkey) AS outlier_key
+        |   FROM dev d JOIN mx ON d.c_mktsegment = mx.c_mktsegment
+        |    AND d.adev = mx.adev
+        |   GROUP BY 1, 2),
+        | wit AS (SELECT a.c_mktsegment, a.adev, a.outlier_key,
+        |    r.cents AS outlier_cents
+        |   FROM arg a JOIN recs r ON r.c_mktsegment = a.c_mktsegment
+        |    AND r.c_custkey = a.outlier_key)
+        |SELECT w.c_mktsegment, m.n, w.outlier_key, w.outlier_cents, w.adev,
+        | CAST(round(1e6 * (CAST(w.adev AS DOUBLE) / CAST(m.n AS DOUBLE)) /
+        |   sqrt((CAST(m.s2 AS DOUBLE) / CAST(m.n AS DOUBLE) -
+        |     (CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE)) *
+        |     (CAST(m.s1 AS DOUBLE) / CAST(m.n AS DOUBLE))) *
+        |    (CAST(m.n AS DOUBLE) / CAST(m.n - 1 AS DOUBLE)))) AS BIGINT)
+        |   AS g_e6
+        |FROM wit w JOIN m USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
     // same bounded-domain contingency, same cell-pair masses, one
     // mirrored tau-b
     "stats_kendall_tau_b" ->

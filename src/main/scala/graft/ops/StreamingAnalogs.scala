@@ -227,7 +227,45 @@ object StreamingAnalogs {
       .groupBy("path").agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path")).limit(10)
 
+  /** Watermark-lateness planning audit (`stream_lateness_audit`, r13):
+    * the census you run BEFORE choosing `withWatermark`'s allowed
+    * lateness — for each candidate policy L, how many events would a
+    * tumbling-hour aggregate DROP because they arrive after their
+    * window closes at window_end + L? Arrival times are synthesized
+    * deterministically (the scalarIpv4Parse dirty-feed pattern): a
+    * Knuth-hash delay on a 0–119 s domain, with every 13th event a
+    * +3600 s straggler — the long-tail shape real event buses exhibit
+    * and the reason the policy choice is non-trivial (L = 60 s catches
+    * the bulk, only L > 1 h catches stragglers). The drop predicate
+    * `arrival > window_end + L` is the idealized-watermark bound
+    * (watermark = max event time − L ≥ this event's window_end + L at
+    * drop time); everything is exact integer µs, the share an exact e6
+    * floor. Plan: map-side flags, a 3-row policy broadcast fan-out,
+    * one keyed census.
+    */
+  def latenessAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Sources.events(s, d).select(
+      (pmod(col("event_id") * lit(2654435761L), lit(4294967296L)) % 120L +
+        when(col("event_id") % 13 === 0, lit(3600L)).otherwise(lit(0L)))
+        .as("delay_s"),
+      unix_micros(col("ts")).as("ts_us"),
+      (unix_micros(date_trunc("hour", col("ts"))) + lit(3600000000L))
+        .as("wend_us"))
+    val pol = Seq(0L, 60L, 600L).toDF("policy_s")
+    ev.crossJoin(broadcast(pol))
+      .groupBy("policy_s")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("ts_us") + col("delay_s") * lit(1000000L) >
+          col("wend_us") + col("policy_s") * lit(1000000L), 1L)
+          .otherwise(0L)).as("n_dropped"),
+        max("delay_s").as("max_delay_s"))
+      .withColumn("drop_e6", expr("(n_dropped * 1000000L) div n_total"))
+      .orderBy("policy_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_lateness_audit" -> (latenessAudit _),
     "seq_user_paths" -> (userPaths _),
     "stream_drift_monitor" -> (driftMonitor _),
     "stream_static_enrich" -> (staticEnrich _),
@@ -241,6 +279,27 @@ object StreamingAnalogs {
   )
 
   val oracles: Map[String, String] = Map(
+    // same Knuth-hash delays with the 13th-event straggler tail, same
+    // integer-µs drop predicate per policy, same exact e6 share
+    "stream_lateness_audit" ->
+      """WITH ev AS (SELECT
+        |   (event_id * 2654435761) % 4294967296 % 120 +
+        |     CASE WHEN event_id % 13 = 0 THEN 3600 ELSE 0 END AS delay_s,
+        |   epoch_us(ts) AS ts_us,
+        |   epoch_us(date_trunc('hour', ts)) + 3600000000 AS wend_us
+        |  FROM events),
+        | pol AS (SELECT unnest([0, 60, 600]) AS policy_s)
+        |SELECT CAST(policy_s AS BIGINT) AS policy_s,
+        | CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(sum(CASE WHEN ts_us + delay_s * 1000000 >
+        |   wend_us + policy_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dropped,
+        | CAST(max(delay_s) AS BIGINT) AS max_delay_s,
+        | (CAST(sum(CASE WHEN ts_us + delay_s * 1000000 >
+        |    wend_us + policy_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   * 1000000) // CAST(count(*) AS BIGINT) AS drop_e6
+        |FROM ev CROSS JOIN pol GROUP BY policy_s
+        |ORDER BY policy_s""".stripMargin,
     "seq_user_paths" ->
       """WITH p AS (SELECT user_id, array_to_string(
         |   (array_agg(event_type ORDER BY ts, event_id))[1:3], '>') AS path

@@ -1595,7 +1595,61 @@ object Temporal {
       .orderBy("day")
   }
 
+  /** X̄ control chart zone census (`ts_xbar_control`, r13): the
+    * Shewhart statistical-process-control read of the daily revenue
+    * series — center line and sigma from a FROZEN 30-day baseline
+    * window (days 0–29 of the gap-filled series: control limits must
+    * come from an in-control reference period, not from the data being
+    * judged), then every day is z-scored against the baseline and
+    * censused into the standard SPC zones (beyond 3σ = out of control,
+    * zone A 2–3σ, zone B 1–2σ, zone C <1σ, per side — the Western
+    * Electric vocabulary). Exact-arithmetic shape: baseline (n, S, Q)
+    * are exact Longs (daily revenue in whole dollars; the count-gated
+    * DECIMAL widening applies past ~2e9-dollar days, the ts_twap
+    * convention), the per-day z is ONE mirrored finish in the
+    * s2/n − m² sample form, and zone assignment compares the e6
+    * INTEGER z against integer thresholds — a one-ulp z divergence
+    * cannot flip a zone unless it flips the e6 rounding itself.
+    * Plan: the pinned calendar-bounded series, a 1-row baseline
+    * broadcast attach, and one ≤8-row census driven from the LITERAL
+    * side × zone domain so empty zones publish as zeros at every SF.
+    */
+  def xbarControl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ser = graft.io.Checkpoints.pin(dailyRevenueSeries(s, d),
+      eager = false)
+    val base = ser.filter(col("i") < 30)
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+    val nD = col("n").cast("double")
+    val varS = (col("s2").cast("double") / nD -
+      (col("s1").cast("double") / nD) * (col("s1").cast("double") / nD)) *
+      (nD / (col("n") - lit(1L)).cast("double"))
+    val z = ser.crossJoin(broadcast(base))
+      .withColumn("z_e6", round(lit(1e6) *
+        (col("x").cast("double") - col("s1").cast("double") / nD) /
+        sqrt(varS)).cast("long"))
+    val zoned = z.select(
+      when(col("z_e6") >= 0, lit("hi")).otherwise(lit("lo")).as("side"),
+      when(abs(col("z_e6")) >= 3000000L, lit("beyond_3s"))
+        .when(abs(col("z_e6")) >= 2000000L, lit("zone_a"))
+        .when(abs(col("z_e6")) >= 1000000L, lit("zone_b"))
+        .otherwise(lit("zone_c")).as("zone"),
+      col("x"))
+    val dom = Seq("hi", "lo").flatMap(sd =>
+      Seq("beyond_3s", "zone_a", "zone_b", "zone_c").map(zn => (sd, zn)))
+      .toDF("side", "zone")
+    dom.join(zoned.groupBy("side", "zone")
+        .agg(count(lit(1)).as("nd"), sum("x").as("sx")),
+        Seq("side", "zone"), "left")
+      .select(col("side"), col("zone"),
+        coalesce(col("nd"), lit(0L)).as("n_days"),
+        coalesce(col("sx"), lit(0L)).as("sum_x"))
+      .orderBy("side", "zone")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_xbar_control" -> (xbarControl _),
     "ts_crosscorr" -> (crossCorr _),
     "ts_forecast_error" -> (forecastError _),
     "ts_vwap" -> (vwap _),
@@ -1656,6 +1710,39 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same frozen 30-day baseline, same mirrored s2/n − m² z finish,
+    // same e6 integer zone thresholds and literal 8-row domain
+    "ts_xbar_control" ->
+      (s"""WITH $seriesCte,
+        | base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS s2
+        |   FROM ser WHERE i < 30),
+        | z AS (SELECT ser.x,
+        |   CAST(round(1e6 * (CAST(ser.x AS DOUBLE)
+        |       - CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)) /
+        |     sqrt((CAST(b.s2 AS DOUBLE) / CAST(b.n AS DOUBLE) -
+        |       (CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)) *
+        |       (CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE))) *
+        |      (CAST(b.n AS DOUBLE) / CAST(b.n - 1 AS DOUBLE))))
+        |    AS BIGINT) AS z_e6
+        |  FROM ser CROSS JOIN base b),
+        | zoned AS (SELECT
+        |   CASE WHEN z_e6 >= 0 THEN 'hi' ELSE 'lo' END AS side,
+        |   CASE WHEN abs(z_e6) >= 3000000 THEN 'beyond_3s'
+        |     WHEN abs(z_e6) >= 2000000 THEN 'zone_a'
+        |     WHEN abs(z_e6) >= 1000000 THEN 'zone_b'
+        |     ELSE 'zone_c' END AS zone, x FROM z),
+        | dom AS (SELECT s.side, zn.zone
+        |   FROM (SELECT unnest(['hi', 'lo']) AS side) s,
+        |    (SELECT unnest(['beyond_3s', 'zone_a', 'zone_b', 'zone_c'])
+        |      AS zone) zn),
+        | cen AS (SELECT side, zone, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM zoned GROUP BY 1, 2)
+        |SELECT dom.side, dom.zone,
+        | coalesce(cen.nd, 0) AS n_days, coalesce(cen.sx, 0) AS sum_x
+        |FROM dom LEFT JOIN cen USING (side, zone)
+        |ORDER BY side, zone""".stripMargin),
     // bitwise replay of both EWMA folds via a recursive CTE — the
     // ts_ewma discipline on the (z, p) pair
     "ts_croston" ->

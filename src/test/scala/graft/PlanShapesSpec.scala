@@ -184,7 +184,12 @@ class PlanShapesSpec extends SparkSpec {
     // corpus-length fan-out broadcast (the text_bm25 class), and the
     // CIDR range join's 8-row block-table broadcast build (a real
     // 1M-entry routing table still broadcasts — the cosineTopK class)
-    "search_query_likelihood", "join_cidr_lpm")
+    "search_query_likelihood", "join_cidr_lpm",
+    // batch 96 (r13): the control chart's 1-row frozen-baseline attach
+    "ts_xbar_control",
+    // batch 97 (r13): Theil's 1-row grand-total attach; the lateness
+    // audit's 3-row policy fan-out broadcast
+    "stats_theil_decomp", "stream_lateness_audit")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
@@ -277,9 +282,12 @@ class PlanShapesSpec extends SparkSpec {
     * bounded by the released dimension (the agg_mode post-count class),
     * never the order corpus.
     */
+  /** `er_soundex_blocking` (r13): the min/max word witnesses aggregate
+    * the VOCABULARY-sized type table (post-count, the agg_mode class).
+    */
   private val sanctionedSortAgg =
     Set("agg_minmax_by", "agg_mode", "ml_nb_confusion", "sim_pq_adc",
-      "er_best_link", "priv_exponential_mech")
+      "er_best_link", "priv_exponential_mech", "er_soundex_blocking")
 
   it should "plan keyed SortAggregates only at sanctioned model-sized sites" in {
     val keyed = "SortAggregate\\(key=\\[[^\\]]".r

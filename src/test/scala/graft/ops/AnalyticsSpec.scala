@@ -264,4 +264,43 @@ class AnalyticsSpec extends SparkSpec {
     got.map(_._2).sum shouldBe 24L * (v(15L) - v(0L))
     got.foreach(_._2 should be > 0L) // every channel carries some credit
   }
+
+  "Analytics.priceVolumeMix" should "replay the waterfall and bound the residual by rounding" in {
+    import org.apache.spark.sql.functions.{col, year}
+    val rows = graft.io.Sources.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .select(year(col("l_shipdate")).cast("int").as("y"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2).toLong,
+        math.round(r.getDouble(3) * 100)))
+    val per = rows.groupBy(r => (r._2, r._1))
+      .map { case ((pk, y), g) => (pk, y) -> (g.map(_._3).sum, g.map(_._4).sum) }
+    val parts = per.keys.map(_._1).toSet
+    var (nc, nn, nx, delta, vol, price, newc, exitc) =
+      (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    parts.foreach { pk =>
+      (per.get((pk, 1996)), per.get((pk, 1997))) match {
+        case (Some((q1, e1)), Some((q2, e2))) =>
+          nc += 1; delta += e2 - e1
+          vol += BigDecimal(100.0 * (q2 - q1).toDouble *
+            (e1.toDouble / q1.toDouble))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          price += BigDecimal(100.0 * (e2.toDouble / q2.toDouble -
+            e1.toDouble / q1.toDouble) * q2.toDouble)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        case (None, Some((_, e2))) => nn += 1; delta += e2; newc += e2
+        case (Some((_, e1)), None) => nx += 1; delta -= e1; exitc -= e1
+        case _ =>
+      }
+    }
+    val resid = delta * 100L - vol - price - newc * 100L - exitc * 100L
+    val r0 = Analytics.priceVolumeMix(spark, sfDir).head()
+    (r0.getLong(0), r0.getLong(1), r0.getLong(2)) shouldBe ((nc, nn, nx))
+    (r0.getLong(3), r0.getLong(4), r0.getLong(5)) shouldBe ((delta, vol, price))
+    (r0.getLong(6), r0.getLong(7), r0.getLong(8)) shouldBe ((newc, exitc, resid))
+    // the decomposition identity is exact in the reals, so the lattice
+    // residual is bounded by half an e2 unit per mirrored common term
+    math.abs(resid) should be <= nc
+  }
 }

@@ -204,4 +204,63 @@ class EntityResSpec extends SparkSpec {
     row.getLong(7) shouldBe (nTotal - cand.size) * 1000000L / nTotal
     row.getLong(7) should be > 0L // blocking genuinely reduces work
   }
+
+  /** Textbook American Soundex, written INDEPENDENTLY of the SQL
+    * expression under test (imperative walk, not string surgery), so
+    * the generated translate/replace chain is checked against the
+    * published procedure, not against itself.
+    */
+  private def soundexRef(word: String): String = {
+    val u = word.toUpperCase
+    def code(c: Char): Char = c match {
+      case 'B' | 'F' | 'P' | 'V' => '1'
+      case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => '2'
+      case 'D' | 'T' => '3'
+      case 'L' => '4'
+      case 'M' | 'N' => '5'
+      case 'R' => '6'
+      case 'H' | 'W' => '9' // sentinel class for a leading H/W
+      case _ => '0'
+    }
+    // elide H/W after the first letter, code everything, collapse runs
+    val kept = u.head +: u.tail.filterNot(c => c == 'H' || c == 'W')
+    val coded = kept.map(code)
+    val collapsed = coded.foldLeft("") { (acc, c) =>
+      if (acc.nonEmpty && acc.last == c) acc else acc + c
+    }
+    val tail = collapsed.drop(1).filter(_ != '0').take(3)
+    u.head.toString + tail.padTo(3, '0')
+  }
+
+  "EntityRes.soundexBlocking" should "census phonetic keys per the textbook procedure" in {
+    val toks = graft.io.Sources.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val types = toks.groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+    val want = types.groupBy { case (w, _) => soundexRef(w) }.toSeq
+      .map { case (sx, g) =>
+        (sx, g.size.toLong, g.map(_._2).sum,
+          g.map(_._1).min, g.map(_._1).max)
+      }.sortBy(_._1)
+    val got = EntityRes.soundexBlocking(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4))).toSeq
+    got shouldBe want
+    // the fixture vocabulary happens to be collision-free (31 words,
+    // 31 keys) — the collision behaviour itself is pinned by the
+    // published-example test below (Robert ≡ Rupert, Ashcraft ≡
+    // Ashcroft); here every key must be well-formed letter+3-digits
+    got.foreach(_._1 should fullyMatch regex "[A-Z][0-9]{3}")
+    got.map(_._2).sum shouldBe want.map(_._2).sum
+  }
+
+  it should "reproduce published reference keys" in {
+    // classic published examples (Knuth TAOCP vol. 3 / census bureau)
+    soundexRef("Robert") shouldBe "R163"
+    soundexRef("Rupert") shouldBe "R163"
+    soundexRef("Ashcraft") shouldBe "A261" // h elision: s-c NOT separated
+    soundexRef("Ashcroft") shouldBe "A261"
+    soundexRef("Tymczak") shouldBe "T522"
+    soundexRef("Pfister") shouldBe "P236" // first-letter code collapses
+    soundexRef("Honeyman") shouldBe "H555"
+  }
 }

@@ -226,4 +226,30 @@ class RoundFiveOpsSpec extends SparkSpec {
     StreamingAnalogs.staticEnrich(spark, sfDir)
       .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
+
+  "StreamingAnalogs.latenessAudit" should "replay the idealized-watermark drop census" in {
+    import org.apache.spark.sql.functions.{col, date_trunc, unix_micros}
+    val evs = graft.io.Sources.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        unix_micros(date_trunc("hour", col("ts"))).as("h_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Seq(0L, 60L, 600L).map { pol =>
+      val flags = evs.map { case (id, us, hUs) =>
+        val delay = ((id * 2654435761L) % 4294967296L) % 120L +
+          (if (id % 13 == 0) 3600L else 0L)
+        (delay, us + delay * 1000000L > hUs + 3600000000L + pol * 1000000L)
+      }
+      val dropped = flags.count(_._2).toLong
+      (pol, evs.length.toLong, dropped, flags.map(_._1).max,
+        dropped * 1000000L / evs.length)
+    }
+    val got = StreamingAnalogs.latenessAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // the policy sweep is monotone: a laxer watermark never drops more
+    got.map(_._3) shouldBe got.map(_._3).sorted.reverse
+    // the straggler tail binds: even L = 600 s drops the +3600 events
+    got.last._3 should be > 0L
+  }
 }

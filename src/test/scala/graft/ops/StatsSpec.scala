@@ -902,4 +902,72 @@ class StatsSpec extends SparkSpec {
     got.count(_._7 == 1000000L) shouldBe 1
     got.foreach(_._7 should be > 800000L)
   }
+
+  "Stats.grubbsOutlier" should "match the max-studentized-deviation definition" in {
+    val recs = Sources.customer(spark, sfDir)
+      .select("c_mktsegment", "c_custkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    val want = recs.groupBy(_._1).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val n = g.length.toLong
+      val s1 = g.map(_._3).sum
+      val s2 = g.map(x => x._3 * x._3).sum
+      // integer ranking currency |n·x − S|, min-key ties
+      val (key, cents, adev) = g
+        .map(r => (r._2, r._3, math.abs(r._3 * n - s1)))
+        .minBy(t => (-t._3, t._1))
+      val varS = (s2.toDouble / n - (s1.toDouble / n) * (s1.toDouble / n)) *
+        (n.toDouble / (n - 1).toDouble)
+      val g6 = BigDecimal(1e6 * (adev.toDouble / n) / math.sqrt(varS))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (seg, n, key, cents, adev, g6)
+    }
+    val got = Stats.grubbsOutlier(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // the statistic is a maximum over studentized deviations, so it is
+    // bounded below by the RMS deviation (~1) and above by (n-1)/sqrt(n)
+    got.foreach { t =>
+      t._6 should be > 1000000L
+      t._6.toDouble / 1e6 should be < ((t._2 - 1).toDouble / math.sqrt(t._2.toDouble))
+    }
+  }
+
+  "Stats.theilDecomp" should "decompose T into within + between exactly in the reals" in {
+    val recs = Sources.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    val n = recs.length.toLong
+    val st = recs.map(_._2).sum
+    val groups = recs.groupBy(_._1)
+    val want = groups.toSeq.sortBy(_._1).map { case (prio, g) =>
+      val ng = g.length.toLong
+      val sg = g.map(_._2).sum
+      val within = g.map { case (_, x) =>
+        BigDecimal(1e12 * (x.toDouble / st) *
+          math.log(x.toDouble * ng / sg))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      val between = BigDecimal(1e12 * (sg.toDouble / st) *
+        math.log(sg.toDouble * n / (st.toDouble * ng)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (prio, ng, sg, sg * 1000000L / st, within, between)
+    }
+    val got = Stats.theilDecomp(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // Shorrocks: Σ within + Σ between = the undecomposed global T, up
+    // to per-row lattice rounding (≤ 0.5e0 per term on the e12 lattice)
+    val totalT = recs.map { case (_, x) =>
+      1e12 * (x.toDouble / st) * math.log(x.toDouble * n / st)
+    }.sum
+    val decomposed = got.map(t => t._5 + t._6).sum.toDouble
+    math.abs(decomposed - totalT) should be < (recs.length.toDouble)
+    // priorities are near-uniform slices of one distribution: between
+    // inequality must be tiny relative to within
+    math.abs(got.map(_._6).sum) should be <
+      (got.map(_._5).sum / 10L)
+  }
 }

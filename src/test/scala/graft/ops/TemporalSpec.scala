@@ -880,4 +880,48 @@ class TemporalSpec extends SparkSpec {
     got.head._4 shouldBe 0L // the first month is all acquisition
     got.last._3 should be < got.last._2 // the tail has genuine returners
   }
+
+  "Temporal.xbarControl" should "replay the frozen-baseline zone census" in {
+    import org.apache.spark.sql.functions._
+    // driver-side gap-filled daily series (same derivation as the op)
+    val daily = graft.io.Sources.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    val ser = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .zipWithIndex.map { case (d, i) => (i.toLong, daily.getOrElse(d, 0L)) }
+      .toSeq
+    val base = ser.filter(_._1 < 30).map(_._2)
+    val (n, s1, s2) = (base.length.toLong, base.sum, base.map(x => x * x).sum)
+    val varS = (s2.toDouble / n - (s1.toDouble / n) * (s1.toDouble / n)) *
+      (n.toDouble / (n - 1).toDouble)
+    val zoned = ser.map { case (_, x) =>
+      val z6 = BigDecimal(1e6 * (x.toDouble - s1.toDouble / n) /
+        math.sqrt(varS)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val side = if (z6 >= 0) "hi" else "lo"
+      val zone =
+        if (math.abs(z6) >= 3000000L) "beyond_3s"
+        else if (math.abs(z6) >= 2000000L) "zone_a"
+        else if (math.abs(z6) >= 1000000L) "zone_b"
+        else "zone_c"
+      (side, zone, x)
+    }
+    val cen = zoned.groupBy(t => (t._1, t._2))
+      .map { case (k, g) => k -> (g.size.toLong, g.map(_._3).sum) }
+    val want = for {
+      sd <- Seq("hi", "lo")
+      zn <- Seq("beyond_3s", "zone_a", "zone_b", "zone_c")
+    } yield {
+      val (nd, sx) = cen.getOrElse((sd, zn), (0L, 0L))
+      (sd, zn, nd, sx)
+    }
+    val got = Temporal.xbarControl(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe want
+    got.length shouldBe 8 // the literal domain always publishes 8 zones
+    got.map(_._3).sum shouldBe ser.length.toLong // every day zoned once
+  }
 }
