@@ -1431,6 +1431,69 @@ object Graph {
     * 3-row literal domain, φ ships as an exact e6 floor (N_k < 2 emits
     * the 0 sentinel by published convention).
     */
+  /** Time-respecting reachability (`graph_temporal_reach`, r13):
+    * earliest-arrival propagation on the TEMPORAL co-purchase graph —
+    * an edge stamped with its order's date is traversable only at a
+    * time ≥ the walker's arrival at its source, the foremost-path
+    * semantics of temporal graph theory (Holme & Saramäki 2012). The
+    * static reach queries ([[khopReach]], [[ssspSeeds]]) overstate
+    * influence: a 1992 co-purchase cannot forward anything learned in
+    * 1995. Edges are distinct (src, dst, day) triples (a pair
+    * re-observed later is a genuinely different traversal
+    * opportunity); seeds are the 4 top-out-degree hubs with arrival 0;
+    * each of the FROZEN 4 rounds relaxes arr(v) = min(arr(v), min{t :
+    * edge (u,v,t), t ≥ arr(u)}) — all integer epoch days, so the
+    * whole trajectory is hash-gated with no lattice at all. Per-round
+    * plan: one frontier-sized equi-join on src against the pinned
+    * temporal edge table (the non-equi t ≥ arr rides the join as a
+    * residual filter), a (seed, dst) MIN aggregate, and a full-merge
+    * MIN with the previous arrival table; census per round = reach
+    * count, Σ arrival, max arrival. The oracle unrolls all four
+    * rounds MATERIALIZED.
+    */
+  def temporalReach(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val ord = Sources.orders(s, d).select(col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        .cast("long").as("t"))
+    val edges = Checkpoints.pin(
+      li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") + 1 === col("b.l_linenumber"))
+        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+        .join(ord, col("a.l_orderkey") === col("o_orderkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"),
+          col("t"))
+        .distinct(),
+      eager = false)
+    val seeds = edges.groupBy("src").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("src")).limit(4)
+      .select(col("src").as("seed"))
+    var arr = Checkpoints.pin(
+      seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("arr")),
+      eager = false)
+    def census(r: Int, a: DataFrame): DataFrame =
+      a.agg(count(lit(1)).as("n_reached"), sum("arr").as("sum_arr"),
+        max("arr").as("max_arr"))
+        .select(lit(r.toLong).as("round"), col("n_reached"),
+          col("sum_arr"), col("max_arr"))
+    var out = census(0, arr)
+    for (r <- 1 to 4) {
+      val cand = arr.join(edges, col("node") === col("src"))
+        .filter(col("t") >= col("arr"))
+        .groupBy(col("seed"), col("dst").as("node2"))
+        .agg(min("t").as("arr2"))
+        .select(col("seed"), col("node2").as("node"), col("arr2").as("arr"))
+      arr = Checkpoints.pin(
+        arr.unionAll(cand).groupBy("seed", "node")
+          .agg(min("arr").as("arr")),
+        eager = false)
+      out = out.unionAll(census(r, arr))
+    }
+    out.orderBy("round")
+  }
+
   def richClub(s: SparkSession, d: String): DataFrame = {
     val es = strongEdges(s, d)
     val canon = Checkpoints.pin(
@@ -1464,6 +1527,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_rich_club" -> (richClub _),
+    "graph_temporal_reach" -> (temporalReach _),
     "graph_path_counts" -> (pathCounts _),
     "graph_square_count" -> (squareCount _),
     "graph_local_cc_topk" -> (localCcTopk _),
@@ -1606,6 +1670,60 @@ object Graph {
   val oracles: Map[String, String] = Map(
     // four unrolled rounds: identical predecessor-sum and anti-join
     // per hop — every sigma value replayed exactly
+    // same temporal edge triples, same 4 unrolled earliest-arrival
+    // relaxations (t >= arr residual on the src equi-join), pure integers
+    "graph_temporal_reach" ->
+      ("""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        | te AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src,
+        |    b.l_partkey AS dst,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o.o_orderdate AS DATE)) AS BIGINT) AS t
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   JOIN orders o ON a.l_orderkey = o.o_orderkey
+        |   WHERE a.l_partkey <> b.l_partkey),
+        | s0 AS (SELECT src AS seed FROM (SELECT src, count(*) AS dg
+        |   FROM te GROUP BY src ORDER BY dg DESC, src LIMIT 4)),
+        | a0 AS MATERIALIZED (SELECT seed, seed AS node,
+        |    CAST(0 AS BIGINT) AS arr FROM s0),
+        | a1 AS MATERIALIZED (SELECT seed, node, min(arr) AS arr FROM (
+        |   SELECT seed, node, arr FROM a0
+        |   UNION ALL
+        |   SELECT p.seed, te.dst, min(te.t)
+        |    FROM a0 p JOIN te ON p.node = te.src AND te.t >= p.arr
+        |    GROUP BY p.seed, te.dst) GROUP BY seed, node),
+        | a2 AS MATERIALIZED (SELECT seed, node, min(arr) AS arr FROM (
+        |   SELECT seed, node, arr FROM a1
+        |   UNION ALL
+        |   SELECT p.seed, te.dst, min(te.t)
+        |    FROM a1 p JOIN te ON p.node = te.src AND te.t >= p.arr
+        |    GROUP BY p.seed, te.dst) GROUP BY seed, node),
+        | a3 AS MATERIALIZED (SELECT seed, node, min(arr) AS arr FROM (
+        |   SELECT seed, node, arr FROM a2
+        |   UNION ALL
+        |   SELECT p.seed, te.dst, min(te.t)
+        |    FROM a2 p JOIN te ON p.node = te.src AND te.t >= p.arr
+        |    GROUP BY p.seed, te.dst) GROUP BY seed, node),
+        | a4 AS MATERIALIZED (SELECT seed, node, min(arr) AS arr FROM (
+        |   SELECT seed, node, arr FROM a3
+        |   UNION ALL
+        |   SELECT p.seed, te.dst, min(te.t)
+        |    FROM a3 p JOIN te ON p.node = te.src AND te.t >= p.arr
+        |    GROUP BY p.seed, te.dst) GROUP BY seed, node)
+        |SELECT * FROM (
+        | SELECT CAST(0 AS BIGINT) AS round,
+        |   CAST(count(*) AS BIGINT) AS n_reached,
+        |   CAST(sum(arr) AS BIGINT) AS sum_arr,
+        |   CAST(max(arr) AS BIGINT) AS max_arr FROM a0
+        | UNION ALL SELECT 1, CAST(count(*) AS BIGINT),
+        |   CAST(sum(arr) AS BIGINT), CAST(max(arr) AS BIGINT) FROM a1
+        | UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+        |   CAST(sum(arr) AS BIGINT), CAST(max(arr) AS BIGINT) FROM a2
+        | UNION ALL SELECT 3, CAST(count(*) AS BIGINT),
+        |   CAST(sum(arr) AS BIGINT), CAST(max(arr) AS BIGINT) FROM a3
+        | UNION ALL SELECT 4, CAST(count(*) AS BIGINT),
+        |   CAST(sum(arr) AS BIGINT), CAST(max(arr) AS BIGINT) FROM a4)
+        |ORDER BY round""".stripMargin),
     "graph_path_counts" ->
       (s"""WITH $edgeCte,
         | und AS (SELECT DISTINCT u, v FROM

@@ -741,6 +741,93 @@ object RelationalExt {
       .orderBy("c_mktsegment")
   }
 
+  /** Unrolled (r·10 + dᵢ) mod 97 fold over a fixed-width digit-string
+    * column — ONE generated expression text shared verbatim by Spark
+    * and the DuckDB oracle (the soundexSql discipline). 97 keeps every
+    * intermediate < 970, so the fold never leaves small-integer range.
+    */
+  private def mod97Sql(c: String, len: Int): String =
+    (1 to len).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc * 10 + CAST(substr($c, $i, 1) AS BIGINT)) % 97)"
+    }
+
+  /** IBAN mod-97 check census (`scalar_iban_mod97`, r13): the ISO 13616
+    * checksum — the OTHER standard account-number validator next to
+    * [[scalarLuhnCheck]]'s mod-10, and a different algorithm class: a
+    * single big-integer residue over the whole rearranged number, not a
+    * per-digit parity sum, computed here as the standard streaming fold
+    * (r = (r·10 + d) mod 97, unrolled over the fixed 24-digit width; no
+    * big-int type needed in either engine). Round-trip discipline: the
+    * check digits are DERIVED (kk = 98 − (BBAN‖'131400') mod 97), the
+    * account number is then PRESENTED as a string — with every 11th
+    * record's BBAN corrupted by +1, the dirty-feed pattern — and the
+    * validator re-parses and re-folds the string; a corrupted BBAN
+    * shifts the residue by 10⁶ mod 97 = 27 ≠ 0, so every corrupt row
+    * must fail and every clean row must pass (the spec asserts the
+    * exact reconciliation). Pure codegen'd string/integer expressions,
+    * map-side + one keyed census.
+    */
+  def scalarIbanMod97(s: SparkSession, d: String): DataFrame = {
+    val numChk = "lpad(CAST(c_custkey * 7919 AS STRING), 18, '0') || '131400'"
+    val numVal = "lpad(CAST(c_custkey * 7919 + " +
+      "(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) AS STRING), 18, '0')" +
+      " || '1314' || lpad(CAST(kk AS STRING), 2, '0')"
+    Sources.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"))
+      .withColumn("numchk", expr(numChk))
+      .withColumn("kk", expr(s"98 - ${mod97Sql("numchk", 24)}"))
+      .withColumn("numval", expr(numVal))
+      .withColumn("valid",
+        expr(s"CASE WHEN ${mod97Sql("numval", 24)} = 1 THEN 1L ELSE 0L END"))
+      .withColumn("corrupt",
+        when(col("c_custkey") % 11 === 0, 1L).otherwise(0L))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("valid").as("n_valid"),
+        sum("corrupt").as("n_corrupt"), sum("kk").as("sum_kk"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Bowley quartile skewness (`agg_bowley_skew`, r13): (Q₁ + Q₃ −
+    * 2·Q₂)/(Q₃ − Q₁) per segment on nearest-rank (type-1) quartiles —
+    * the robust skewness a profiling sweep publishes when moments are
+    * outlier-dominated ([[Stats.grubbsOutlier]] is the companion
+    * diagnostic). Fully integer until one mirrored e6 round: the
+    * global (segment, cents, key) rank comes from ONE
+    * [[graft.ops.Prefix]] pass (segments are contiguous in that
+    * order, so the per-segment rank is rank − segment-min + 1 via a
+    * 5-row broadcast), the three quartiles are conditional-MIN
+    * order-statistic picks in ONE grouped pass (the stats_qq_normal
+    * pattern), and the skew coefficient mirrors as round(1e6·num/den)
+    * — NOT an integer div, whose truncate-toward-zero (Spark) vs
+    * floor (DuckDB) semantics diverge on the negative numerators a
+    * left-skewed segment produces.
+    */
+  def bowleySkew(s: SparkSession, d: String): DataFrame = {
+    val recs = Sources.customer(s, d)
+      .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val ranked = Prefix.running(recs,
+      Seq(col("seg"), col("cents"), col("c_custkey")), rankOut = Some("rk"))
+    val segs = ranked.groupBy("seg")
+      .agg(min("rk").as("rk0"), count(lit(1)).as("n"))
+      .withColumn("r1", expr("(n + 3) div 4"))
+      .withColumn("r2", expr("(n + 1) div 2"))
+      .withColumn("r3", expr("(3 * n + 3) div 4"))
+    ranked.join(broadcast(segs), "seg")
+      .withColumn("relrk", col("rk") - col("rk0") + 1L)
+      .groupBy("seg")
+      .agg(max("n").as("n"),
+        min(when(col("relrk") >= col("r1"), col("cents"))).as("q1"),
+        min(when(col("relrk") >= col("r2"), col("cents"))).as("q2"),
+        min(when(col("relrk") >= col("r3"), col("cents"))).as("q3"))
+      .withColumn("bowley_e6",
+        when(col("q3") > col("q1"), round(lit(1e6) *
+          (col("q1") + col("q3") - lit(2L) * col("q2")).cast("double") /
+          (col("q3") - col("q1")).cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+      .orderBy("seg")
+  }
+
   /** CIDR longest-prefix-match join (`join_cidr_lpm`, r13): the
     * routing-table / IP-blocklist join — every record's IP is matched
     * against a table of CIDR blocks and the MOST SPECIFIC (longest
@@ -830,6 +917,8 @@ object RelationalExt {
     "scalar_base64_census" -> (scalarBase64Census _),
     "scalar_url_parse" -> (scalarUrlParse _),
     "scalar_ipv4_parse" -> (scalarIpv4Parse _),
+    "scalar_iban_mod97" -> (scalarIbanMod97 _),
+    "agg_bowley_skew" -> (bowleySkew _),
     "join_cidr_lpm" -> (joinCidrLpm _),
     "scalar_luhn_check" -> (scalarLuhnCheck _),
     "scalar_business_days" -> (scalarBusinessDays _),
@@ -919,6 +1008,50 @@ object RelationalExt {
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // generate the dotted string, then parse it back — split + cast,
     // validation and the 10/8 flag replay on the parsed octets
+    // the SAME generated mod-97 fold text, spliced verbatim; same
+    // derived check digits and +1 corruption on every 11th record
+    "scalar_iban_mod97" ->
+      (s"""WITH s1 AS (SELECT c_mktsegment, c_custkey,
+        |   lpad(CAST(c_custkey * 7919 AS STRING), 18, '0') || '131400'
+        |     AS numchk FROM customer),
+        | s2 AS (SELECT c_mktsegment, c_custkey,
+        |    98 - ${mod97Sql("numchk", 24)} AS kk FROM s1),
+        | s3 AS (SELECT c_mktsegment, c_custkey, kk,
+        |    lpad(CAST(c_custkey * 7919 +
+        |      (CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) AS STRING),
+        |      18, '0') || '1314' || lpad(CAST(kk AS STRING), 2, '0')
+        |     AS numval FROM s2),
+        | s4 AS (SELECT c_mktsegment, kk,
+        |    CASE WHEN ${mod97Sql("numval", 24)} = 1 THEN 1 ELSE 0 END
+        |      AS valid,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END AS corrupt
+        |   FROM s3)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(valid) AS BIGINT) AS n_valid,
+        | CAST(sum(corrupt) AS BIGINT) AS n_corrupt,
+        | CAST(sum(kk) AS BIGINT) AS sum_kk
+        |FROM s4 GROUP BY 1 ORDER BY c_mktsegment""".stripMargin),
+    // same one-pass rank, same conditional-MIN type-1 quartiles, same
+    // mirrored e6 skew finish (never an integer div on a signed value)
+    "agg_bowley_skew" ->
+      """WITH recs AS (SELECT c_mktsegment AS seg, c_custkey,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | rk AS (SELECT seg, cents,
+        |   row_number() OVER (PARTITION BY seg ORDER BY cents, c_custkey)
+        |     AS relrk FROM recs),
+        | segs AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM recs
+        |   GROUP BY 1),
+        | q AS (SELECT rk.seg,
+        |    min(CASE WHEN relrk >= (s.n + 3) // 4 THEN cents END) AS q1,
+        |    min(CASE WHEN relrk >= (s.n + 1) // 2 THEN cents END) AS q2,
+        |    min(CASE WHEN relrk >= (3 * s.n + 3) // 4 THEN cents END) AS q3
+        |   FROM rk JOIN segs s USING (seg) GROUP BY 1)
+        |SELECT q.seg, s.n, q.q1, q.q2, q.q3,
+        | CASE WHEN q.q3 > q.q1 THEN
+        |   CAST(round(1e6 * CAST(q.q1 + q.q3 - 2 * q.q2 AS DOUBLE) /
+        |     CAST(q.q3 - q.q1 AS DOUBLE)) AS BIGINT)
+        |  ELSE 0 END AS bowley_e6
+        |FROM q JOIN segs s USING (seg) ORDER BY seg""".stripMargin,
     // same Knuth-hash uint32 IPs, same 8-block table, same
     // (plen DESC, block) LPM election and unmatched sentinel
     "join_cidr_lpm" ->

@@ -792,4 +792,50 @@ class GraphSpec extends SparkSpec {
     got.head._2 should be > 0L // the loosest club is non-empty
   }
 
+  "Graph.temporalReach" should "replay 4 earliest-arrival relaxations exactly" in {
+    // temporal edges: bought-after pairs stamped with the order's day
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val days = Sources.orders(spark, sfDir)
+      .selectExpr("o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS LONG) AS t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val te = li.groupBy(_._1).flatMap { case (ok, rows) =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (a._3, b._3, days(ok))
+    }.toSet
+    val seeds = te.groupBy(_._1).view.mapValues(_.size).toSeq
+      .sortBy { case (n, dg) => (-dg, n) }.take(4).map(_._1)
+    var arr: Map[(Long, Long), Long] =
+      seeds.map(sd => (sd, sd) -> 0L).toMap
+    def census(r: Int) =
+      (r.toLong, arr.size.toLong, arr.values.sum, arr.values.max)
+    var want = Seq(census(0))
+    for (r <- 1 to 4) {
+      val cand = scala.collection.mutable.Map[(Long, Long), Long]()
+      arr.foreach { case ((sd, u), a) =>
+        te.foreach { case (src, dst, t) =>
+          if (src == u && t >= a) {
+            val k = (sd, dst)
+            cand(k) = math.min(cand.getOrElse(k, Long.MaxValue), t)
+          }
+        }
+      }
+      arr = (arr.keySet ++ cand.keySet).map { k =>
+        k -> math.min(arr.getOrElse(k, Long.MaxValue),
+          cand.getOrElse(k, Long.MaxValue))
+      }.toMap
+      want = want :+ census(r)
+    }
+    val got = Graph.temporalReach(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe want
+    // time-respecting reach is a SUBSET of static reach: it can never
+    // exceed the untimed frontier growth (monotone set sizes bind)
+    got.map(_._2) shouldBe got.map(_._2).sorted
+  }
 }

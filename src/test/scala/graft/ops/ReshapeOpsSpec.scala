@@ -232,4 +232,58 @@ class ReshapeOpsSpec extends SparkSpec {
       t._4 >= b._2 && t._4 <= b._3) >= 2) should be > 0
     got.exists(_._2 == "unmatched") shouldBe true
   }
+
+  "RelationalExt.scalarIbanMod97 (r13)" should "agree with a BigInteger reference" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def mod97(digits: String): Long =
+      (new java.math.BigInteger(digits)).mod(
+        java.math.BigInteger.valueOf(97)).longValue
+    val want = cust.groupBy(_._2).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val rows = g.map { case (k, _) =>
+        val bban = "%018d".format(k * 7919)
+        val kk = 98 - mod97(bban + "131400")
+        val presented = "%018d".format(k * 7919 + (if (k % 11 == 0) 1 else 0))
+        val valid = mod97(presented + "1314" + "%02d".format(kk)) == 1
+        (kk, valid, k % 11 == 0)
+      }
+      (seg, g.length.toLong, rows.count(_._2).toLong,
+        rows.count(_._3).toLong, rows.map(_._1).sum)
+    }
+    val got = RelationalExt.scalarIbanMod97(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // the ISO property: every clean row validates, every corrupt row
+    // fails (the +1 shifts the residue by 10^6 mod 97 = 27 ≠ 0)
+    got.foreach(t => t._3 shouldBe (t._2 - t._4))
+    got.map(_._4).sum should be > 0L
+  }
+
+  "RelationalExt.bowleySkew (r13)" should "match brute-force type-1 quartiles" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_mktsegment", "c_custkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    val want = cust.groupBy(_._1).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val sorted = g.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.length.toLong
+      def q(rank: Long) = sorted((rank - 1).toInt)
+      val (q1, q2, q3) = (q((n + 3) / 4), q((n + 1) / 2), q((3 * n + 3) / 4))
+      val bow = if (q3 > q1)
+        BigDecimal(1e6 * (q1 + q3 - 2 * q2).toDouble / (q3 - q1).toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      else 0L
+      (seg, n, q1, q2, q3, bow)
+    }
+    val got = RelationalExt.bowleySkew(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // quartiles are order statistics: monotone within every segment
+    got.foreach { t =>
+      t._3 should be <= t._4
+      t._4 should be <= t._5
+    }
+  }
 }
