@@ -183,9 +183,96 @@ object Layout {
     ).reduce(_ unionAll _).orderBy("layout", "predicate")
   }
 
+  /** The 8 unrolled Hilbert xy2d rounds (order-8 curve, 256×256 grid)
+    * as (column, expression) stages — generated ONCE and shared
+    * verbatim by the Spark fold and the oracle's CTE chain (the
+    * soundexSql/mod97Sql discipline). The classic loop (s halving from
+    * 128; d += s²·((3rx) XOR ry); conditional reflect + swap) is made
+    * engine-portable two ways: the XOR collapses to the closed form
+    * 3rx + ry − 2·rx·ry on the {0,1}² domain (DuckDB's `^` is POWER,
+    * not xor), and the reflect+swap becomes one 3-way CASE per
+    * coordinate computed from the PRE-stage columns (simultaneous
+    * assignment — a sequential rewrite would read the already-swapped
+    * x). Stage i reads hx{i}/hy{i}/hd{i} and defines hx{i+1}/…
+    */
+  private[ops] def hilbertStages: Seq[(String, String)] = {
+    Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.flatMap { case (s, i) =>
+      val (x, y, dd) = (s"hx$i", s"hy$i", s"hd$i")
+      val rx = s"(CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END)"
+      Seq(
+        s"hd${i + 1}" -> s"$dd + $s * $s * (3 * $rx + $ry - 2 * $rx * $ry)",
+        s"hx${i + 1}" ->
+          s"(CASE WHEN $ry = 1 THEN $x WHEN $rx = 1 THEN $s - 1 - $y ELSE $y END)",
+        s"hy${i + 1}" ->
+          s"(CASE WHEN $ry = 1 THEN $y WHEN $rx = 1 THEN $s - 1 - $x ELSE $x END)")
+    }
+  }
+
+  /** Hilbert vs Morton clustering face-off (`layout_hilbert_compare`,
+    * r13): the published metric behind every "Z-order or Hilbert?"
+    * clustering decision is the CLUSTER COUNT — how many runs of
+    * CONSECUTIVE index values a rectangle query shatters into (Moon
+    * et al. 2001: each run is one contiguous scan; fewer/longer runs
+    * = fewer seeks and fuller row-groups). Bucket-count comparisons
+    * are a trap here: any power-of-4 equal-width cut partitions BOTH
+    * curves into the same 2ᵏ×2ᵏ squares (a complete curve subtree IS
+    * a square), so their bucket censuses are identical by
+    * construction — the run structure inside the index line is where
+    * the curves genuinely differ. Audit: the 4096 cells of one
+    * DELIBERATELY tile-unaligned 64×64 rectangle (x 40–103, y 20–83)
+    * are indexed under both curves (8 generated xy2d stages shared
+    * verbatim with the oracle; Morton via the same spread ladder);
+    * run starts are cells whose predecessor index is absent — ONE
+    * self anti-join on d = d+1, no sort, no window — and the corpus
+    * joins in as the count/index-sum census of the customer points
+    * landing in the rectangle (a per-curve integer signature). All
+    * integer; mean run length ships as an e6 floor.
+    */
+  def hilbertCompare(s: SparkSession, d: String): DataFrame = {
+    def withCurves(df: DataFrame): DataFrame = {
+      val hil = hilbertStages.foldLeft(
+        df.withColumn("hx0", col("x")).withColumn("hy0", col("y"))
+          .withColumn("hd0", lit(0L))) { case (acc, (c, e)) =>
+        acc.withColumn(c, expr(e))
+      }
+      hil.select(col("x"), col("y"), col("hd8").cast("long").as("hilbert"),
+        zorderKey(col("x"), col("y")).as("morton"))
+    }
+    val cells = graft.io.Checkpoints.pin(withCurves(
+      s.range(0, 4096).select(expr("id div 64 + 40").as("x"),
+        expr("id % 64 + 20").as("y"))),
+      eager = false)
+    val inRegion = col("x") >= 40L && col("x") <= 103L &&
+      col("y") >= 20L && col("y") <= 83L
+    val pts = graft.io.Checkpoints.pin(
+      withCurves(Sources.customer(s, d).select(
+        pmod(col("c_custkey") * lit(2654435761L), lit(4294967296L))
+          .mod(lit(256L)).as("x"),
+        pmod(col("c_custkey") * lit(2246822519L), lit(4294967296L))
+          .mod(lit(256L)).as("y")))
+        .filter(inRegion),
+      eager = false)
+    def arm(curve: String, idx: String): DataFrame = {
+      val ids = cells.select(col(idx).as("dd"))
+      val starts = ids.join(ids.select((col("dd") + 1L).as("dd")),
+        Seq("dd"), "left_anti")
+      val cens = ids.agg(count(lit(1)).as("n_cells"))
+        .crossJoin(broadcast(starts.agg(count(lit(1)).as("n_clusters"))))
+        .crossJoin(broadcast(pts.agg(count(lit(1)).as("n_points"),
+          coalesce(sum(col(idx)), lit(0L)).as("sum_idx"))))
+      cens.select(lit(curve).as("curve"), col("n_cells"), col("n_clusters"),
+        expr("(n_cells * 1000000L) div n_clusters").as("mean_run_e6"),
+        col("n_points"), col("sum_idx"))
+    }
+    arm("hilbert", "hilbert").unionAll(arm("morton", "morton"))
+      .orderBy("curve")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_spans" -> (zorderSpans _),
     "layout_prune_compare" -> (pruneCompare _),
+    "layout_hilbert_compare" -> (hilbertCompare _),
   )
 
   /** The Morton ladder inlined per dimension; constants in decimal
@@ -201,7 +288,60 @@ object Layout {
     s"((($e | ($e << 1)) & 6148914691236517205))"
   }
 
+  /** The shared Hilbert stages rendered as a DuckDB CTE chain: stage 1
+    * reads `src`, later stages chain on `prefix{i}`; the final CTE is
+    * `prefix8`.
+    */
+  private def hilbertCteChain(prefix: String, src: String): String =
+    hilbertStages.grouped(3).zipWithIndex.map {
+      case (Seq((cd, ed), (cx, ex), (cy, ey)), i) =>
+        val from = if (i == 0) src else s"$prefix$i"
+        s"$prefix${i + 1} AS (SELECT *, $ed AS $cd, $ex AS $cx, $ey AS $cy" +
+          s" FROM $from)"
+      case other => sys.error(s"unexpected stage group: $other")
+    }.mkString(",\n ")
+
   val oracles: Map[String, String] = Map(
+    // same generated xy2d stages over the same unaligned 4096-cell
+    // rectangle, same anti-join run starts, same point census
+    "layout_hilbert_compare" ->
+      (s"""WITH grid AS (SELECT CAST(i // 64 + 40 AS BIGINT) AS x,
+         |   CAST(i % 64 + 20 AS BIGINT) AS y
+         |  FROM (SELECT unnest(generate_series(0, 4095)) AS i)),
+         | st0 AS (SELECT x, y, x AS hx0, y AS hy0,
+         |   CAST(0 AS BIGINT) AS hd0 FROM grid),
+         | ${hilbertCteChain("st", "st0")},
+         | cells AS MATERIALIZED (SELECT CAST(hd8 AS BIGINT) AS hilbert,
+         |    (${mortonSql("x")} | (${mortonSql("y")} << 1)) AS morton
+         |   FROM st8),
+         | ph AS (SELECT (c_custkey * 2654435761) % 4294967296 % 256 AS x,
+         |    (c_custkey * 2246822519) % 4294967296 % 256 AS y FROM customer),
+         | p0 AS (SELECT x, y, x AS hx0, y AS hy0,
+         |   CAST(0 AS BIGINT) AS hd0 FROM ph
+         |  WHERE x BETWEEN 40 AND 103 AND y BETWEEN 20 AND 83),
+         | ${hilbertCteChain("pt", "p0")},
+         | pts AS (SELECT CAST(hd8 AS BIGINT) AS hilbert,
+         |    (${mortonSql("x")} | (${mortonSql("y")} << 1)) AS morton
+         |   FROM pt8),
+         | hruns AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters
+         |   FROM cells a LEFT JOIN cells b ON a.hilbert = b.hilbert + 1
+         |   WHERE b.hilbert IS NULL),
+         | mruns AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters
+         |   FROM cells a LEFT JOIN cells b ON a.morton = b.morton + 1
+         |   WHERE b.morton IS NULL),
+         | hp AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(coalesce(sum(hilbert), 0) AS BIGINT) AS sum_idx FROM pts),
+         | mp AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(coalesce(sum(morton), 0) AS BIGINT) AS sum_idx FROM pts)
+         |SELECT * FROM (
+         | SELECT 'hilbert' AS curve, CAST(4096 AS BIGINT) AS n_cells,
+         |   h.n_clusters, (CAST(4096 AS BIGINT) * 1000000) // h.n_clusters AS mean_run_e6,
+         |   hp.n_points, hp.sum_idx FROM hruns h CROSS JOIN hp
+         | UNION ALL
+         | SELECT 'morton', CAST(4096 AS BIGINT), m.n_clusters,
+         |   (CAST(4096 AS BIGINT) * 1000000) // m.n_clusters, mp.n_points, mp.sum_idx
+         |  FROM mruns m CROSS JOIN mp)
+         |ORDER BY curve""".stripMargin),
     "layout_zorder_spans" ->
       s"""WITH o AS (SELECT o_custkey AS ck,
          |   CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS dy

@@ -416,7 +416,53 @@ object Sketches {
           - col("exact_distinct")).as("err"))
   }
 
+  /** Unrolled 12-char polynomial word hash (base 31, mod 1e9+7) — one
+    * generated expression shared verbatim by engine and oracle (the
+    * mod97Sql discipline); substr past the word end yields '' and
+    * ascii('') = 0 in BOTH engines, so short words hash as if
+    * zero-padded.
+    */
+  private def charHashSql(c: String): String =
+    (1 to 12).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc * 31 + ascii(substr($c, $i, 1))) % 1000000007)"
+    }
+
+  /** AMS second-moment sketch (`sketch_ams_f2`, r13): the
+    * Alon-Matias-Szegedy F₂ estimator — Z_h = Σ_w f_w·s_h(w) with
+    * 4-wise-ish sign hashes s_h ∈ {±1}; E[Z²] = F₂ = Σ f_w², the
+    * self-join size that drives CMS join-size estimation
+    * ([[cmsJoinSize]]) and repetitiveness audits. The release is the
+    * full 16-estimator table (Z_h, Z_h², and the e6 ratio to the
+    * exact F₂ computed alongside — at 100 TB the exact column is the
+    * audit you can afford once, the sketch is what you maintain), so
+    * the hash gate pins every sign, not just the mean; the spec
+    * asserts the mean-of-16 is within the AMS variance envelope.
+    * All integer: word keys from the shared 12-char polynomial hash,
+    * signs from a Knuth multiplicative bit (the word key is reduced
+    * mod 2²⁰ BEFORE the (2h+3)·2654435761 mix so the product stays
+    * ≤ ~1e17, inside Long). Plan: one (word) shuffle to the vocab
+    * table, a ×16 explode of the VOCAB (bounded side), one 16-group
+    * sum, a 1-row exact-F₂ attach.
+    */
+  def amsF2(s: SparkSession, d: String): DataFrame = {
+    val types = Sources.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val f2 = types.agg(sum(col("f") * col("f")).as("f2"))
+    types.withColumn("wh", expr(charHashSql("w")))
+      .withColumn("h", explode(expr("sequence(0L, 15L)")))
+      .withColumn("sign", when(
+        pmod(col("wh") % 1048576L * (col("h") * 2L + 3L) * 2654435761L,
+          lit(4294967296L)) < 2147483648L, 1L).otherwise(-1L))
+      .groupBy("h").agg(sum(col("f") * col("sign")).as("z"))
+      .crossJoin(broadcast(f2))
+      .select(col("h"), col("z"), (col("z") * col("z")).as("z2"),
+        col("f2"), expr("(z * z * 1000000L) div f2").as("ratio_e6"))
+      .orderBy("h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_ams_f2" -> (amsF2 _),
     "sketch_linear_counting" -> (linearCounting _),
     "sketch_countsketch" -> (countSketch _),
     "sketch_bloom_fpr" -> (bloomFpr _),
@@ -430,6 +476,24 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    // the SAME generated char hash, same mod-2^20 reduction and Knuth
+    // sign bit, same 16-estimator census with the exact-F2 attach
+    "sketch_ams_f2" ->
+      (s"""WITH types AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        | f2t AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2 FROM types),
+        | keyed AS (SELECT w, f, ${charHashSql("w")} AS wh FROM types),
+        | est AS (SELECT h, CAST(sum(f * sgn) AS BIGINT) AS z FROM (
+        |   SELECT k.f, hh.h,
+        |     CASE WHEN (k.wh % 1048576 * (hh.h * 2 + 3) * 2654435761)
+        |       % 4294967296 < 2147483648 THEN 1 ELSE -1 END AS sgn
+        |    FROM keyed k CROSS JOIN
+        |     (SELECT unnest(generate_series(0, 15)) AS h) hh)
+        |  GROUP BY h)
+        |SELECT CAST(h AS BIGINT) AS h, z, z * z AS z2, f2,
+        | (z * z * 1000000) // f2 AS ratio_e6
+        |FROM est CROSS JOIN f2t ORDER BY h""".stripMargin),
     // integer bit census, one mirrored ln finish
     "sketch_linear_counting" ->
       """WITH pos AS (SELECT DISTINCT

@@ -1379,8 +1379,58 @@ object Stats {
       .orderBy("prio")
   }
 
+  /** DeLong AUC variance and 95 % CI (`stats_auc_delong`, r13): the
+    * standard error every reported AUC owes (DeLong, DeLong &
+    * Clarke-Pearson 1988) — without it, "model A's 0.71 beats B's
+    * 0.70" is numerology. The estimator is the two-sample U-statistic
+    * variance: per-positive placements v10 (fraction of negatives
+    * below, ties half) and per-negative placements v01; Var(AUC) =
+    * Var(v10)/P + Var(v01)/N. Exact-lattice shape: placements live on
+    * the ×(2N) / ×(2P) integer lattices (u10 = 2·negBelow + negTied,
+    * exactly the [[aucExact]] u2 currency), their first/second moments
+    * are exact Long sums off the SAME one-pass Prefix cumulative table
+    * — the v01 side needs no second pass because variance is
+    * shift-invariant: var(2P − w) = var(w) with w = 2·posBelowIncl −
+    * posTied, so its moments (A1, A2) aggregate without knowing P.
+    * One mirrored finish produces variance, SE, and the ±1.96 CI on
+    * e12/e6 lattices. (Long bound: Q10 ≤ P·4N² ≈ 1.3e16 at sf0.1;
+    * past the [[AucLongBound]] regime the moments need the DECIMAL
+    * widening, the aucFromByScore convention.)
+    */
+  def aucDelong(s: SparkSession, d: String): DataFrame = {
+    val byScore = plantedScores(s, d).groupBy("cents").agg(
+      sum(col("label")).as("pos"),
+      sum(lit(1L) - col("label")).as("neg"))
+    val run = Prefix.running(byScore, Seq(col("cents")),
+      sums = Seq((col("neg"), "cumneg"), (col("pos"), "cumpos")))
+    val m = run.select(col("pos"), col("neg"),
+        (lit(2L) * (col("cumneg") - col("neg")) + col("neg")).as("u10"),
+        (lit(2L) * col("cumpos") - col("pos")).as("w01"))
+      .agg(sum("pos").as("p"), sum("neg").as("n"),
+        sum(col("pos") * col("u10")).as("s10"),
+        sum(col("pos") * col("u10") * col("u10")).as("q10"),
+        sum(col("neg") * col("w01")).as("a1"),
+        sum(col("neg") * col("w01") * col("w01")).as("a2"))
+    val pD = col("p").cast("double")
+    val nD = col("n").cast("double")
+    val var10 = (col("q10").cast("double") / pD -
+      (col("s10").cast("double") / pD) * (col("s10").cast("double") / pD)) *
+      (pD / (col("p") - lit(1L)).cast("double")) / (lit(4.0) * nD * nD)
+    val var01 = (col("a2").cast("double") / nD -
+      (col("a1").cast("double") / nD) * (col("a1").cast("double") / nD)) *
+      (nD / (col("n") - lit(1L)).cast("double")) / (lit(4.0) * pD * pD)
+    val auc = col("s10").cast("double") / (lit(2.0) * pD * nD)
+    val varA = var10 / pD + var01 / nD
+    m.select(col("p").as("n_pos"), col("n").as("n_neg"),
+      roundNorm(auc, 6).as("auc"),
+      round(varA * lit(1e12)).cast("long").as("var_e12"),
+      round((auc - lit(1.96) * sqrt(varA)) * 1e6).cast("long").as("ci_lo_e6"),
+      round((auc + lit(1.96) * sqrt(varA)) * 1e6).cast("long").as("ci_hi_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_grubbs" -> (grubbsOutlier _),
+    "stats_auc_delong" -> (aucDelong _),
     "stats_theil_decomp" -> (theilDecomp _),
     "ml_ks_separation" -> (ksSeparation _),
     "stats_kendall_tau_b" -> (kendallTauB _),
@@ -1414,6 +1464,49 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same one-pass cumulative moments (shift-invariant w01 trick),
+    // same mirrored variance finish and ±1.96 lattice CI
+    "stats_auc_delong" -> {
+      val var10 = "((CAST(q10 AS DOUBLE) / CAST(p AS DOUBLE) - " +
+        "(CAST(s10 AS DOUBLE) / CAST(p AS DOUBLE)) * " +
+        "(CAST(s10 AS DOUBLE) / CAST(p AS DOUBLE))) * " +
+        "(CAST(p AS DOUBLE) / CAST(p - 1 AS DOUBLE)) / " +
+        "(4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+      val var01 = "((CAST(a2 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(a1 AS DOUBLE) / CAST(n AS DOUBLE))) * " +
+        "(CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)) / " +
+        "(4.0 * CAST(p AS DOUBLE) * CAST(p AS DOUBLE)))"
+      val varA = s"($var10 / CAST(p AS DOUBLE) + $var01 / CAST(n AS DOUBLE))"
+      val auc = "(CAST(s10 AS DOUBLE) / " +
+        "(2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)))"
+      s"""WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT) // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | bys AS (SELECT cents, sum(label) AS pos, sum(1 - label) AS neg
+        |  FROM scored GROUP BY cents),
+        | run AS (SELECT pos, neg,
+        |   sum(neg) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumneg,
+        |   sum(pos) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumpos
+        |  FROM bys),
+        | t AS (SELECT pos, neg,
+        |   2 * (cumneg - neg) + neg AS u10,
+        |   2 * cumpos - pos AS w01 FROM run),
+        | m AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+        |   CAST(sum(neg) AS BIGINT) AS n,
+        |   CAST(sum(pos * u10) AS BIGINT) AS s10,
+        |   CAST(sum(pos * u10 * u10) AS BIGINT) AS q10,
+        |   CAST(sum(neg * w01) AS BIGINT) AS a1,
+        |   CAST(sum(neg * w01 * w01) AS BIGINT) AS a2 FROM t)
+        |SELECT p AS n_pos, n AS n_neg,
+        | round($auc, 6) + 0.0 AS auc,
+        | CAST(round($varA * 1e12) AS BIGINT) AS var_e12,
+        | CAST(round(($auc - 1.96 * sqrt($varA)) * 1e6) AS BIGINT) AS ci_lo_e6,
+        | CAST(round(($auc + 1.96 * sqrt($varA)) * 1e6) AS BIGINT) AS ci_hi_e6
+        |FROM m""".stripMargin
+    },
     // same e12 per-row within terms, same ≤5 group-level between terms,
     // same exact share floor
     "stats_theil_decomp" ->

@@ -189,7 +189,10 @@ class PlanShapesSpec extends SparkSpec {
     "ts_xbar_control",
     // batch 97 (r13): Theil's 1-row grand-total attach; the lateness
     // audit's 3-row policy fan-out broadcast
-    "stats_theil_decomp", "stream_lateness_audit")
+    "stats_theil_decomp", "stream_lateness_audit",
+    // batch 99 (r13): the AMS sketch's 1-row exact-F2 attach; the
+    // Hilbert face-off's three 1-row census attaches per curve arm
+    "sketch_ams_f2", "layout_hilbert_compare")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -193,4 +193,72 @@ class SketchesSpec extends SparkSpec {
       math.abs(err) should be < cnt // heavy hitters dominate their cells
     }
   }
+
+  "Sketches.amsF2" should "replay all 16 sign-hash estimators exactly" in {
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val types = toks.groupBy(identity).map { case (w, xs) =>
+      (w, xs.length.toLong)
+    }.toSeq
+    val f2 = types.map(t => t._2 * t._2).sum
+    def wh(w: String): Long =
+      (1 to 12).foldLeft(0L) { (acc, i) =>
+        val c = if (i <= w.length) w.charAt(i - 1).toLong else 0L
+        (acc * 31 + c) % 1000000007L
+      }
+    val want = (0L to 15L).map { h =>
+      val z = types.map { case (w, f) =>
+        val sgn =
+          if ((wh(w) % 1048576L * (h * 2 + 3) * 2654435761L) % 4294967296L
+            < 2147483648L) 1L else -1L
+        f * sgn
+      }.sum
+      (h, z, z * z, f2, z * z * 1000000L / f2)
+    }
+    val got = Sketches.amsF2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // AMS unbiasedness: the mean of 16 estimators lands within the
+    // variance envelope (Var(Z^2) <= 2 F2^2 per estimator, so the mean
+    // of 16 has relative sd <= sqrt(2)/4 ~ 0.35; 4 sds of slack)
+    val mean = got.map(_._3).sum.toDouble / 16.0
+    mean should be > (f2.toDouble * 0.1)
+    mean should be < (f2.toDouble * 3.0)
+  }
+
+  "Stats.aucDelong" should "match a brute-force placement-variance replay" in {
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(1) * 100)
+        val u = ((r.getLong(0) * 2654435761L) % 4294967296L) % 1000000L
+        (cents, if (u < math.min(100000L + cents / 100, 900000L)) 1 else 0)
+      }
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val (p, n) = (pos.length.toLong, neg.length.toLong)
+    // per-positive placements on the x(2N) lattice, brute force
+    val u10 = pos.map(x => 2L * neg.count(_ < x) + neg.count(_ == x).toLong)
+    val w01 = neg.map(x => 2L * pos.count(_ < x) + pos.count(_ == x).toLong)
+    def varOf(v: Seq[Long], m: Long, scale: Long): Double = {
+      val s1 = v.sum
+      val s2 = v.map(x => x * x).sum
+      (s2.toDouble / m - (s1.toDouble / m) * (s1.toDouble / m)) *
+        (m.toDouble / (m - 1).toDouble) / (scale.toDouble * scale.toDouble)
+    }
+    val varA = varOf(u10, p, 2 * n) / p + varOf(w01, n, 2 * p) / n
+    val auc = u10.sum.toDouble / (2.0 * p * n)
+    val got = Stats.aucDelong(spark, sfDir).head()
+    got.getLong(0) shouldBe p
+    got.getLong(1) shouldBe n
+    got.getDouble(2) shouldBe (auc +- 1e-6)
+    got.getLong(3).toDouble shouldBe (varA * 1e12 +- 2.0)
+    got.getLong(4).toDouble shouldBe ((auc - 1.96 * math.sqrt(varA)) * 1e6 +- 2.0)
+    got.getLong(5).toDouble shouldBe ((auc + 1.96 * math.sqrt(varA)) * 1e6 +- 2.0)
+    // the CI must bracket the point estimate and stay inside [0, 1]
+    got.getLong(4) should be < got.getLong(5)
+    got.getLong(4).toDouble / 1e6 should be > 0.0
+    got.getLong(5).toDouble / 1e6 should be < 1.0
+  }
 }
