@@ -620,8 +620,45 @@ object Privacy {
       .orderBy("o_year")
   }
 
+  /** k-map risk audit (`priv_k_map`, r13): the re-identification
+    * metric k-anonymity silently overstates — a released SAMPLE class
+    * of size 1 is still safe if the POPULATION it was drawn from holds
+    * many candidates (Sweeney's k-map; El Emam's "journalist risk").
+    * Here the released microdata is every third customer (key % 3 = 0)
+    * and the population is the full customer table; for each published
+    * threshold k ∈ {2, 5, 10} the census counts sample records whose
+    * POPULATION quasi-identifier class (nation × segment) is smaller
+    * than k — the true k-map violations — next to the k-anonymity
+    * count computed on the sample alone, whose overstatement
+    * (kanon ≥ kmap, spec-asserted: sample classes are subsets) is the
+    * whole point of the audit. Plan: two QI-class aggregates (one per
+    * table role), a broadcast join back onto the sample, a 3-row
+    * threshold fan-out, one census. All exact integers.
+    */
+  def kMap(s: SparkSession, d: String): DataFrame = {
+    val qi = Sources.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment"))
+    val pop = qi.groupBy("nk", "c_mktsegment")
+      .agg(count(lit(1)).as("n_pop"))
+    val samp = qi.filter(col("c_custkey") % 3 === 0)
+    val sampCls = samp.groupBy("nk", "c_mktsegment")
+      .agg(count(lit(1)).as("n_samp"))
+    samp.join(broadcast(pop), Seq("nk", "c_mktsegment"))
+      .join(broadcast(sampCls), Seq("nk", "c_mktsegment"))
+      .withColumn("k", explode(array(lit(2L), lit(5L), lit(10L))))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_sample"),
+        sum(when(col("n_pop") < col("k"), 1L).otherwise(0L)).as("kmap_viol"),
+        sum(when(col("n_samp") < col("k"), 1L).otherwise(0L))
+          .as("kanon_viol"),
+        min("n_pop").as("min_pop_class"), min("n_samp").as("min_samp_class"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_exponential_mech" -> (exponentialMech _),
+    "priv_k_map" -> (kMap _),
     "priv_entropy_ldiv" -> (entropyLDiv _),
     "priv_synthetic_marginal" -> (syntheticMarginal _),
     "priv_dp_consistency" -> (dpConsistency _),
@@ -646,6 +683,27 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same sample rule, same population/sample class joins, same 3-row
+    // threshold fan-out — all exact integers
+    "priv_k_map" ->
+      """WITH qi AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+        |   c_mktsegment FROM customer),
+        | pop AS (SELECT nk, c_mktsegment, CAST(count(*) AS BIGINT) AS n_pop
+        |  FROM qi GROUP BY 1, 2),
+        | samp AS (SELECT * FROM qi WHERE c_custkey % 3 = 0),
+        | scls AS (SELECT nk, c_mktsegment, CAST(count(*) AS BIGINT) AS n_samp
+        |  FROM samp GROUP BY 1, 2),
+        | f AS (SELECT s.c_custkey, p.n_pop, c.n_samp, k.k
+        |   FROM samp s JOIN pop p USING (nk, c_mktsegment)
+        |   JOIN scls c USING (nk, c_mktsegment)
+        |   CROSS JOIN (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k) k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_sample,
+        | CAST(sum(CASE WHEN n_pop < k THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS kmap_viol,
+        | CAST(sum(CASE WHEN n_samp < k THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS kanon_viol,
+        | min(n_pop) AS min_pop_class, min(n_samp) AS min_samp_class
+        |FROM f GROUP BY k ORDER BY k""".stripMargin,
     // same shifted utilities, same mirrored exp on the e6-floor+1
     // lattice, same priority-ordered CDF and Knuth-lattice draw
     "priv_exponential_mech" ->

@@ -828,6 +828,54 @@ object RelationalExt {
       .orderBy("seg")
   }
 
+  /** Interpolated percentiles, EXACT (`agg_percentile_cont`, r13): the
+    * type-7 / PERCENTILE_CONT convention (h = 1 + (n−1)·p, linear
+    * interpolation between the two bracketing order statistics) that
+    * every BI tool defaults to — made lattice-exact instead of a
+    * float interpolation: with p ∈ {25, 50, 75}/100 the fractional
+    * part of h is always a multiple of 1/100, so the interpolated
+    * value lives EXACTLY on the cents×100 lattice: q·100 = 100·x_lo +
+    * ((n−1)·p mod 100)·(x_hi − x_lo). No doubles anywhere — the
+    * companion [[bowleySkew]] shows the type-1 (nearest-rank) picks;
+    * this is the continuous twin, same one-Prefix-pass shape with SIX
+    * conditional-MIN order-statistic picks (lo and lo+1 per
+    * percentile; lo+1 ≤ n always since p < 100).
+    */
+  def percentileCont(s: SparkSession, d: String): DataFrame = {
+    val recs = Sources.customer(s, d)
+      .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val ranked = Prefix.running(recs,
+      Seq(col("seg"), col("cents"), col("c_custkey")), rankOut = Some("rk"))
+    var segs = ranked.groupBy("seg")
+      .agg(min("rk").as("rk0"), count(lit(1)).as("n"))
+    for (p <- Seq(25, 50, 75)) {
+      segs = segs
+        .withColumn(s"lo$p", expr(s"1 + ((n - 1) * $p) div 100"))
+        .withColumn(s"fr$p", expr(s"((n - 1) * $p) % 100"))
+    }
+    val picks = Seq(25, 50, 75).flatMap { p =>
+      Seq(
+        min(when(col("relrk") >= col(s"lo$p"), col("cents"))).as(s"xlo$p"),
+        min(when(col("relrk") >= col(s"lo$p") + 1L, col("cents")))
+          .as(s"xhi$p"))
+    }
+    val agg = ranked.join(broadcast(segs), "seg")
+      .withColumn("relrk", col("rk") - col("rk0") + 1L)
+      .groupBy("seg")
+      .agg(max("n").as("n"), picks: _*)
+    Seq(25, 50, 75).foldLeft(agg.join(broadcast(segs.select(
+      col("seg"), col("fr25"), col("fr50"), col("fr75"))), "seg")) {
+      (df, p) =>
+        df.withColumn(s"p${p}_x100",
+          lit(100L) * col(s"xlo$p") + col(s"fr$p") *
+            (coalesce(col(s"xhi$p"), col(s"xlo$p")) - col(s"xlo$p")))
+    }
+      .select(col("seg"), col("n"), col("p25_x100"), col("p50_x100"),
+        col("p75_x100"))
+      .orderBy("seg")
+  }
+
   /** CIDR longest-prefix-match join (`join_cidr_lpm`, r13): the
     * routing-table / IP-blocklist join — every record's IP is matched
     * against a table of CIDR blocks and the MOST SPECIFIC (longest
@@ -919,6 +967,7 @@ object RelationalExt {
     "scalar_ipv4_parse" -> (scalarIpv4Parse _),
     "scalar_iban_mod97" -> (scalarIbanMod97 _),
     "agg_bowley_skew" -> (bowleySkew _),
+    "agg_percentile_cont" -> (percentileCont _),
     "join_cidr_lpm" -> (joinCidrLpm _),
     "scalar_luhn_check" -> (scalarLuhnCheck _),
     "scalar_business_days" -> (scalarBusinessDays _),
@@ -1031,6 +1080,38 @@ object RelationalExt {
         | CAST(sum(corrupt) AS BIGINT) AS n_corrupt,
         | CAST(sum(kk) AS BIGINT) AS sum_kk
         |FROM s4 GROUP BY 1 ORDER BY c_mktsegment""".stripMargin),
+    // same type-7 lattice identity (q·100 = 100·x_lo + fr·(x_hi −
+    // x_lo)), same six conditional-MIN picks — no doubles anywhere
+    "agg_percentile_cont" ->
+      """WITH recs AS (SELECT c_mktsegment AS seg, c_custkey,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | rk AS (SELECT seg, cents,
+        |   row_number() OVER (PARTITION BY seg ORDER BY cents, c_custkey)
+        |     AS relrk FROM recs),
+        | segs AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM recs
+        |   GROUP BY 1),
+        | q AS (SELECT rk.seg,
+        |    min(CASE WHEN relrk >= 1 + ((s.n - 1) * 25) // 100
+        |      THEN cents END) AS xlo25,
+        |    min(CASE WHEN relrk >= 2 + ((s.n - 1) * 25) // 100
+        |      THEN cents END) AS xhi25,
+        |    min(CASE WHEN relrk >= 1 + ((s.n - 1) * 50) // 100
+        |      THEN cents END) AS xlo50,
+        |    min(CASE WHEN relrk >= 2 + ((s.n - 1) * 50) // 100
+        |      THEN cents END) AS xhi50,
+        |    min(CASE WHEN relrk >= 1 + ((s.n - 1) * 75) // 100
+        |      THEN cents END) AS xlo75,
+        |    min(CASE WHEN relrk >= 2 + ((s.n - 1) * 75) // 100
+        |      THEN cents END) AS xhi75
+        |   FROM rk JOIN segs s USING (seg) GROUP BY 1)
+        |SELECT q.seg, s.n,
+        | 100 * xlo25 + ((s.n - 1) * 25) % 100 *
+        |   (coalesce(xhi25, xlo25) - xlo25) AS p25_x100,
+        | 100 * xlo50 + ((s.n - 1) * 50) % 100 *
+        |   (coalesce(xhi50, xlo50) - xlo50) AS p50_x100,
+        | 100 * xlo75 + ((s.n - 1) * 75) % 100 *
+        |   (coalesce(xhi75, xlo75) - xlo75) AS p75_x100
+        |FROM q JOIN segs s USING (seg) ORDER BY seg""".stripMargin,
     // same one-pass rank, same conditional-MIN type-1 quartiles, same
     // mirrored e6 skew finish (never an integer div on a signed value)
     "agg_bowley_skew" ->

@@ -1648,8 +1648,60 @@ object Temporal {
       .orderBy("side", "zone")
   }
 
+  /** Markov hitting times to 'purchase' (`stream_markov_hitting`, r13):
+    * the question the [[transitionMatrix]] exists to answer — from each
+    * behavioural state, how many steps until a purchase? — via the
+    * standard first-step recursion h(s) = 1 + Σ_t P(s,t)·h(t) with
+    * h(purchase) = 0, iterated for a FROZEN 8-round horizon from h ≡ 0
+    * (partial sums converge from below; a data-dependent stop would
+    * put the round count outside the hash gate — the pathCounts
+    * discipline). Arithmetic is e6 FIXED-POINT integers end to end:
+    * transition probabilities are exact floors (n·1e6 div rowtotal),
+    * each round is one integer multiply-sum-divide — bit-reproducible,
+    * no lattice rounding to mirror. Plan: the corpus pays ONE
+    * user-keyed window shuffle for the transition counts (the
+    * transitionMatrix shape); the 8 rounds run on the pinned
+    * |types|²-row matrix — model-sized at any corpus scale, the
+    * ml_tree_depth2 class. States never observed as predecessors are
+    * treated absorbing (left join, documented); the row-mass audit
+    * ships alongside.
+    */
+  def markovHitting(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = Sources.events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val pm = graft.io.Checkpoints.pin(
+      tr.join(tr.groupBy("prev").agg(sum("n").as("tot")), "prev")
+        .select(col("prev"), col("nxt"),
+          expr("(n * 1000000L) div tot").as("p_e6")),
+      eager = false)
+    var h = graft.io.Checkpoints.pin(
+      pm.select(col("prev").as("state")).distinct()
+        .withColumn("h_e6", lit(0L)),
+      eager = false)
+    for (_ <- 1 to 8) {
+      h = graft.io.Checkpoints.pin(
+        pm.join(h.withColumnRenamed("state", "nxt"), Seq("nxt"), "left")
+          .groupBy("prev")
+          .agg(sum(col("p_e6") * coalesce(col("h_e6"), lit(0L))).as("acc"))
+          .select(col("prev").as("state"),
+            when(col("prev") === "purchase", 0L)
+              .otherwise(lit(1000000L) + expr("acc div 1000000L"))
+              .as("h_e6")),
+        eager = false)
+    }
+    val mass = pm.groupBy("prev").agg(sum("p_e6").as("p_out_e6"))
+    h.join(mass.withColumnRenamed("prev", "state"), "state")
+      .select(col("state"), col("p_out_e6"), col("h_e6"))
+      .orderBy("state")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_xbar_control" -> (xbarControl _),
+    "stream_markov_hitting" -> (markovHitting _),
     "ts_crosscorr" -> (crossCorr _),
     "ts_forecast_error" -> (forecastError _),
     "ts_vwap" -> (vwap _),
@@ -1710,6 +1762,33 @@ object Temporal {
       |  FROM sp LEFT JOIN dd USING (day))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same e6-floor transition matrix, same 8 unrolled integer
+    // first-step rounds with the absorbing-purchase clamp
+    "stream_markov_hitting" -> {
+      def round(i: Int): String =
+        s"""h$i AS MATERIALIZED (SELECT p.prev AS state,
+           |   CASE WHEN p.prev = 'purchase' THEN CAST(0 AS BIGINT)
+           |     ELSE 1000000 + CAST(sum(p.p_e6 * coalesce(h.h_e6, 0))
+           |       AS BIGINT) // 1000000 END AS h_e6
+           |  FROM pm p LEFT JOIN h${i - 1} h ON p.nxt = h.state
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH tr AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n FROM (
+        |   SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |     event_type AS nxt FROM events)
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        | pm AS MATERIALIZED (SELECT t.prev, t.nxt,
+        |    (t.n * 1000000) // r.tot AS p_e6
+        |   FROM tr t JOIN (SELECT prev, CAST(sum(n) AS BIGINT) AS tot
+        |     FROM tr GROUP BY 1) r USING (prev)),
+        | h0 AS (SELECT DISTINCT prev AS state, CAST(0 AS BIGINT) AS h_e6
+        |   FROM pm),
+        | ${(1 to 8).map(round).mkString(",\n ")},
+        | mass AS (SELECT prev AS state, CAST(sum(p_e6) AS BIGINT)
+        |    AS p_out_e6 FROM pm GROUP BY 1)
+        |SELECT h8.state, mass.p_out_e6, h8.h_e6
+        |FROM h8 JOIN mass USING (state) ORDER BY state""".stripMargin
+    },
     // same frozen 30-day baseline, same mirrored s2/n − m² z finish,
     // same e6 integer zone thresholds and literal 8-row domain
     "ts_xbar_control" ->

@@ -442,4 +442,25 @@ class PrivacySpec extends SparkSpec {
       t._7 should be >= t._3
     }
   }
+
+  "Privacy.kMap" should "replay sample-vs-population class risk exactly" in {
+    val all = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pop = all.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong)
+    val samp = all.filter(_._1 % 3 == 0)
+    val scls = samp.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong)
+    val want = Seq(2L, 5L, 10L).map { k =>
+      val rows = samp.map(t => (pop((t._2, t._3)), scls((t._2, t._3))))
+      (k, rows.length.toLong, rows.count(_._1 < k).toLong,
+        rows.count(_._2 < k).toLong, rows.map(_._1).min, rows.map(_._2).min)
+    }
+    val got = Privacy.kMap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    got shouldBe want
+    // the audit's raison d'être: k-anonymity on the sample always
+    // overstates risk vs the population (sample classes are subsets)
+    got.foreach(t => t._4 should be >= t._3)
+  }
 }

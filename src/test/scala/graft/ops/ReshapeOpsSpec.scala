@@ -286,4 +286,42 @@ class ReshapeOpsSpec extends SparkSpec {
       t._4 should be <= t._5
     }
   }
+
+  "RelationalExt.percentileCont (r13)" should "match the type-7 definition exactly" in {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_mktsegment", "c_custkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    val want = cust.groupBy(_._1).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val sorted = g.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.length.toLong
+      def q(p: Long): Long = {
+        val lo = 1 + (n - 1) * p / 100
+        val fr = (n - 1) * p % 100
+        val xlo = sorted((lo - 1).toInt)
+        val xhi = if (lo < n) sorted(lo.toInt) else xlo
+        100L * xlo + fr * (xhi - xlo)
+      }
+      (seg, n, q(25), q(50), q(75))
+    }
+    val got = RelationalExt.percentileCont(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // type-7 sits between the bracketing order statistics, so the
+    // continuous quartiles are monotone too
+    got.foreach { t =>
+      t._3 should be <= t._4
+      t._4 should be <= t._5
+    }
+    // cross-check against Spark's own percentile_cont on dollars
+    import org.apache.spark.sql.functions.{col, expr => sexpr}
+    val ref = spark.read.parquet(s"$sfDir/customer.parquet")
+      .groupBy(col("c_mktsegment"))
+      .agg(sexpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY round(c_acctbal * 100))")
+        .as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { t =>
+      (t._4.toDouble / 100.0) shouldBe (ref(t._1) +- 1e-6)
+    }
+  }
 }

@@ -924,4 +924,42 @@ class TemporalSpec extends SparkSpec {
     got.length shouldBe 8 // the literal domain always publishes 8 zones
     got.map(_._3).sum shouldBe ser.length.toLong // every day zoned once
   }
+
+  "Temporal.markovHitting" should "replay 8 fixed-point first-step rounds exactly" in {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val evs = graft.io.Sources.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(t => (t._2, t._3)).map(_._4).toSeq
+      sorted.sliding(2).collect { case Seq(a, b) => (a, b) }
+    }
+    val counts = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val pm = counts.map { case ((a, b), n) =>
+      (a, b, n * 1000000L / rowTot(a))
+    }.toSeq
+    val states = pm.map(_._1).distinct.sorted
+    var h: Map[String, Long] = states.map(_ -> 0L).toMap
+    for (_ <- 1 to 8) {
+      h = states.map { st =>
+        st -> (if (st == "purchase") 0L
+        else 1000000L + pm.filter(_._1 == st)
+          .map(t => t._3 * h.getOrElse(t._2, 0L)).sum / 1000000L)
+      }.toMap
+    }
+    val want = states.map(st =>
+      (st, pm.filter(_._1 == st).map(_._3).sum, h(st)))
+    val got = Temporal.markovHitting(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // the absorbing target reports zero; every other state needs at
+    // least one full step; row mass is an e6 floor of 1
+    got.find(_._1 == "purchase").get._3 shouldBe 0L
+    got.filter(_._1 != "purchase").foreach(_._3 should be >= 1000000L)
+    got.foreach(_._2 should (be >= 999990L and be <= 1000000L))
+  }
 }
