@@ -444,7 +444,55 @@ object EtlQueries {
       .orderBy("month")
   }
 
+  /** Snapshot reconciliation census (`etl_snapshot_diff`, r13): the
+    * post-migration validation every replication/backfill pipeline
+    * runs — full-outer-join yesterday's snapshot against today's on
+    * the business key and publish added / removed / changed /
+    * unchanged counts plus the changed-value drift, so a silent CDC
+    * gap shows up as a number, not a hunch. Today's snapshot is
+    * DERIVED deterministically from the base (the fixture plays both
+    * roles): every 50th key dropped (removed), every 10th surviving
+    * key's balance bumped one cent (changed), every 40th key mirrored
+    * STRICTLY beyond the key space (k + maxkey + 1 — keys start at 0,
+    * so a bare k + maxkey mirror of key 0 would collide with the max
+    * key and mis-classify it as changed) (added) — each census class provably
+    * non-empty at every SF. One full-outer equi-join on the
+    * pre-aggregated key level, one 4-class census off the literal
+    * domain; balance compare on the exact cents lattice.
+    */
+  def etlSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Sources.customer(s, d).select(col("c_custkey").as("k"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val maxK = base.agg(max("k").as("mk"))
+    val today = base.filter(col("k") % 50 =!= 0)
+      .select(col("k"),
+        (col("cents") + when(col("k") % 10 === 0, 1L).otherwise(0L))
+          .as("cents"))
+      .unionAll(base.filter(col("k") % 40 === 0)
+        .crossJoin(broadcast(maxK))
+        .select((col("k") + col("mk") + 1L).as("k"), col("cents")))
+    val j = base.select(col("k"), col("cents").as("c0"))
+      .join(today.select(col("k"), col("cents").as("c1")), Seq("k"),
+        "full_outer")
+      .select(col("k"),
+        when(col("c0").isNull, "added")
+          .when(col("c1").isNull, "removed")
+          .when(col("c0") =!= col("c1"), "changed")
+          .otherwise("unchanged").as("cls"),
+        coalesce(col("c1"), lit(0L)) - coalesce(col("c0"), lit(0L)))
+      .toDF("k", "cls", "drift")
+    val dom = Seq("added", "changed", "removed", "unchanged").toDF("cls")
+    dom.join(j.groupBy("cls").agg(count(lit(1)).as("nn"),
+        sum("drift").as("dr"), sum("k").as("sk")), Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("nn"), lit(0L)).as("n_keys"),
+        coalesce(col("dr"), lit(0L)).as("drift_cents"),
+        coalesce(col("sk"), lit(0L)).as("sum_keys"))
+      .orderBy("cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_snapshot_diff" -> (etlSnapshotDiff _),
     "etl_partition_plan" -> (partitionPlan _),
     "etl_retention_plan" -> (retentionPlan _),
     "etl_backfill_plan" -> (backfillPlan _),
@@ -464,6 +512,33 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same derived today-snapshot (drop %50, bump %10, mirror %40 to
+    // k + maxkey + 1), same full-outer classify, same literal class domain
+    "etl_snapshot_diff" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | mk AS (SELECT max(k) AS mk FROM base),
+        | today AS (
+        |  SELECT k, cents + CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END AS cents
+        |   FROM base WHERE k % 50 <> 0
+        |  UNION ALL
+        |  SELECT k + mk.mk + 1, cents FROM base CROSS JOIN mk WHERE k % 40 = 0),
+        | j AS (SELECT coalesce(b.k, t.k) AS k,
+        |    CASE WHEN b.k IS NULL THEN 'added'
+        |      WHEN t.k IS NULL THEN 'removed'
+        |      WHEN b.cents <> t.cents THEN 'changed'
+        |      ELSE 'unchanged' END AS cls,
+        |    coalesce(t.cents, 0) - coalesce(b.cents, 0) AS drift
+        |   FROM base b FULL OUTER JOIN today t ON b.k = t.k),
+        | dom AS (SELECT unnest(['added', 'changed', 'removed',
+        |   'unchanged']) AS cls),
+        | cen AS (SELECT cls, CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(drift) AS BIGINT) AS dr,
+        |    CAST(sum(k) AS BIGINT) AS sk FROM j GROUP BY 1)
+        |SELECT dom.cls, coalesce(cen.nn, 0) AS n_keys,
+        | coalesce(cen.dr, 0) AS drift_cents,
+        | coalesce(cen.sk, 0) AS sum_keys
+        |FROM dom LEFT JOIN cen USING (cls) ORDER BY cls""".stripMargin,
     // same corpus-max as-of, same month-end age, same 365/730 bands
     // (CTE columns avoid `month` and `asof` — both are DuckDB
     // keywords: `month` is a DATEPART inside datediff, `asof` is the

@@ -1494,6 +1494,63 @@ object Graph {
     out.orderBy("round")
   }
 
+  /** Bow-tie decomposition (`graph_bowtie_structure`, r13): the Broder
+    * et al. (2000) macroscopic map of a directed graph — relative to
+    * the top-out-degree hub, every node is classified by whether it
+    * can REACH the hub and whether the hub can reach IT: CORE (both —
+    * the hub's strongly-connected neighbourhood), IN (reaches only),
+    * OUT (reached only), OTHER (neither). The classic read of a link
+    * graph's crawlability: seeds in IN feed the core, OUT is sink
+    * mass, OTHER needs independent seeds. Reach is the FROZEN 4-hop
+    * horizon of the other seeded traversals (pathCounts discipline:
+    * hash-gate the trajectory, not a data-dependent fixpoint);
+    * backward reach runs the SAME frontier loop on the transposed
+    * edges — no new machinery. Census per class: node count + Σ node
+    * (an exact signature one misclassified node breaks), driven from
+    * the literal 4-class domain so empty classes publish zeros.
+    * Per-round plan: frontier-sized equi-joins against the pinned
+    * directed edge table, distinct-collapse per hop, two ≤N-row
+    * reach sets, one full-outer classify + census.
+    */
+  def bowtieStructure(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = edgesWithDeg(s, d).select("src", "dst")
+    val hub = e.groupBy("src").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("src")).limit(1)
+      .select(col("src").as("node"))
+    def reach(edges: DataFrame): DataFrame = {
+      var seen = Checkpoints.pin(hub, eager = false)
+      var frontier = seen
+      for (_ <- 1 to 4) {
+        frontier = Checkpoints.pin(
+          frontier.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(seen, Seq("node"), "left_anti"),
+          eager = false)
+        seen = Checkpoints.pin(seen.unionAll(frontier), eager = false)
+      }
+      seen
+    }
+    val fwd = reach(e)
+    val bwd = reach(e.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = nodeTable(s, d).select(col("part").as("node"))
+    val classed = nodes
+      .join(fwd.withColumn("f", lit(1L)), Seq("node"), "left")
+      .join(bwd.withColumn("b", lit(1L)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("f").isNotNull && col("b").isNotNull, "core")
+          .when(col("f").isNotNull, "out")
+          .when(col("b").isNotNull, "in")
+          .otherwise("other").as("cls"))
+    val dom = Seq("core", "in", "other", "out").toDF("cls")
+    dom.join(classed.groupBy("cls")
+        .agg(count(lit(1)).as("nn"), sum("node").as("sn")),
+        Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("nn"), lit(0L)).as("n_nodes"),
+        coalesce(col("sn"), lit(0L)).as("sum_node"))
+      .orderBy("cls")
+  }
+
   def richClub(s: SparkSession, d: String): DataFrame = {
     val es = strongEdges(s, d)
     val canon = Checkpoints.pin(
@@ -1528,6 +1585,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_rich_club" -> (richClub _),
     "graph_temporal_reach" -> (temporalReach _),
+    "graph_bowtie_structure" -> (bowtieStructure _),
     "graph_path_counts" -> (pathCounts _),
     "graph_square_count" -> (squareCount _),
     "graph_local_cc_topk" -> (localCcTopk _),
@@ -1670,6 +1728,38 @@ object Graph {
   val oracles: Map[String, String] = Map(
     // four unrolled rounds: identical predecessor-sum and anti-join
     // per hop — every sigma value replayed exactly
+    // same hub seed, same 4 unrolled closure rounds each direction
+    // (UNION dedups ≡ the engine's frontier/anti-join form), same
+    // literal class domain
+    "graph_bowtie_structure" -> {
+      def rounds(p: String, joinTpl: String): String = (1 to 4).map { i =>
+        val j = joinTpl.replace("PREV", s"$p${i - 1}")
+        s"""$p$i AS MATERIALIZED (SELECT node FROM $p${i - 1}
+           | UNION SELECT $j)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH $edgeCte,
+        | hub AS (SELECT src AS node FROM (SELECT src, count(*) AS dg
+        |   FROM e GROUP BY 1 ORDER BY dg DESC, src LIMIT 1)),
+        | f0 AS (SELECT node FROM hub),
+        | b0 AS (SELECT node FROM hub),
+        | ${rounds("f", "e.dst FROM PREV p JOIN e ON p.node = e.src")},
+        | ${rounds("b", "e.src FROM PREV p JOIN e ON p.node = e.dst")},
+        | nodes AS (SELECT DISTINCT node FROM
+        |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        | classed AS (SELECT n.node,
+        |   CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+        |     WHEN f.node IS NOT NULL THEN 'out'
+        |     WHEN b.node IS NOT NULL THEN 'in'
+        |     ELSE 'other' END AS cls
+        |  FROM nodes n LEFT JOIN f4 f ON n.node = f.node
+        |  LEFT JOIN b4 b ON n.node = b.node),
+        | dom AS (SELECT unnest(['core', 'in', 'other', 'out']) AS cls),
+        | cen AS (SELECT cls, CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(node) AS BIGINT) AS sn FROM classed GROUP BY 1)
+        |SELECT dom.cls, coalesce(cen.nn, 0) AS n_nodes,
+        | coalesce(cen.sn, 0) AS sum_node
+        |FROM dom LEFT JOIN cen USING (cls) ORDER BY cls""".stripMargin
+    },
     // same temporal edge triples, same 4 unrolled earliest-arrival
     // relaxations (t >= arr residual on the src equi-join), pure integers
     "graph_temporal_reach" ->

@@ -1428,8 +1428,40 @@ object Stats {
       round((auc + lit(1.96) * sqrt(varA)) * 1e6).cast("long").as("ci_hi_e6"))
   }
 
+  /** Two-proportion power analysis (`stats_power_twoprop`, r13): the
+    * experiment-design number every A/B platform computes before a
+    * test — the per-arm sample size to detect an absolute lift δ over
+    * the observed baseline conversion at two-sided α = 0.05 and 80 %
+    * power, by the standard normal-approximation formula n =
+    * (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))² / δ². The baseline p₁ is
+    * the corpus purchase share (exact integer counts); the published
+    * z constants (1.959964, 0.841621) are literals in BOTH engines;
+    * each of the 3 published lifts gets ONE mirrored finish (q·q
+    * instead of pow — DuckDB's ^ is POWER with different typing; ceil
+    * mirrored on the identical double). Plan: one corpus aggregate,
+    * a 3-row lift fan-out, map-side math.
+    */
+  def powerTwoProp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Sources.events(s, d).agg(count(lit(1)).as("nt"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+    val deltas = Seq(10000L, 20000L, 50000L).toDF("delta_e6")
+    val p1 = col("np").cast("double") / col("nt").cast("double")
+    val p2 = p1 + col("delta_e6").cast("double") / lit(1000000.0)
+    val pbar = (p1 + p2) / lit(2.0)
+    val q = lit(1.959964) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(0.841621) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    deltas.crossJoin(broadcast(base))
+      .select(col("delta_e6"), col("nt").as("n_events"),
+        col("np").as("n_purchase"),
+        expr("(np * 1000000L) div nt").as("p1_e6"),
+        ceil(q * q / ((p2 - p1) * (p2 - p1))).cast("long").as("n_per_arm"))
+      .orderBy("delta_e6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_grubbs" -> (grubbsOutlier _),
+    "stats_power_twoprop" -> (powerTwoProp _),
     "stats_auc_delong" -> (aucDelong _),
     "stats_theil_decomp" -> (theilDecomp _),
     "ml_ks_separation" -> (ksSeparation _),
@@ -1464,6 +1496,28 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same exact baseline counts, same published z literals, same
+    // mirrored q·q/δ² finish and ceil
+    "stats_power_twoprop" ->
+      """WITH base AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS np FROM events),
+        | d AS (SELECT CAST(unnest([10000, 20000, 50000]) AS BIGINT)
+        |   AS delta_e6),
+        | t AS (SELECT delta_e6, nt, np,
+        |    CAST(np AS DOUBLE) / CAST(nt AS DOUBLE) AS p1,
+        |    CAST(np AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      + CAST(delta_e6 AS DOUBLE) / 1000000.0 AS p2
+        |   FROM d CROSS JOIN base),
+        | f AS (SELECT delta_e6, nt, np, p1, p2, (p1 + p2) / 2.0 AS pbar,
+        |    1.959964 * sqrt(2.0 * ((p1 + p2) / 2.0) *
+        |      (1.0 - (p1 + p2) / 2.0)) +
+        |    0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS q
+        |   FROM t)
+        |SELECT delta_e6, nt AS n_events, np AS n_purchase,
+        | (np * 1000000) // nt AS p1_e6,
+        | CAST(ceil(q * q / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+        |FROM f ORDER BY delta_e6""".stripMargin,
     // same one-pass cumulative moments (shift-invariant w01 trick),
     // same mirrored variance finish and ±1.96 lattice CI
     "stats_auc_delong" -> {

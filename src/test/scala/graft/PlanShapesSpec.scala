@@ -192,7 +192,10 @@ class PlanShapesSpec extends SparkSpec {
     "stats_theil_decomp", "stream_lateness_audit",
     // batch 99 (r13): the AMS sketch's 1-row exact-F2 attach; the
     // Hilbert face-off's three 1-row census attaches per curve arm
-    "sketch_ams_f2", "layout_hilbert_compare")
+    "sketch_ams_f2", "layout_hilbert_compare",
+    // batch 101 (r13): the power sweep's 1-row baseline attach on the
+    // 3-row lift domain; the snapshot diff's 1-row max-key attach
+    "stats_power_twoprop", "etl_snapshot_diff")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

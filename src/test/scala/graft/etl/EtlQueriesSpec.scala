@@ -147,4 +147,30 @@ class EtlQueriesSpec extends SparkSpec {
     got.exists(_._5 > 100L) shouldBe true
     got.exists(_._5 < 100L) shouldBe true
   }
+
+  "etlSnapshotDiff" should "reconcile the derived snapshot class by class" in {
+    val base = Sources.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val mk = base.map(_._1).max
+    val removed = base.filter(_._1 % 50 == 0)
+    val changed = base.filter(t => t._1 % 50 != 0 && t._1 % 10 == 0)
+    val unchanged = base.filter(t => t._1 % 50 != 0 && t._1 % 10 != 0)
+    val added = base.filter(_._1 % 40 == 0).map(t => (t._1 + mk + 1, t._2))
+    val want = Seq(
+      ("added", added.length.toLong, added.map(_._2).sum,
+        added.map(_._1).sum),
+      ("changed", changed.length.toLong, changed.length.toLong,
+        changed.map(_._1).sum),
+      ("removed", removed.length.toLong, -removed.map(_._2).sum,
+        removed.map(_._1).sum),
+      ("unchanged", unchanged.length.toLong, 0L,
+        unchanged.map(_._1).sum))
+    val got = EtlQueries.etlSnapshotDiff(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe want
+    // every class binds at every SF (the derivation guarantees it)
+    got.foreach(_._2 should be > 0L)
+  }
 }

@@ -838,4 +838,36 @@ class GraphSpec extends SparkSpec {
     // exceed the untimed frontier growth (monotone set sizes bind)
     got.map(_._2) shouldBe got.map(_._2).sorted
   }
+
+  "Graph.bowtieStructure" should "classify every node per the 4-hop closure definition" in {
+    val hub = edges.groupBy(_._1).view.mapValues(_.size).toSeq
+      .minBy { case (n, dg) => (-dg, n) }._1
+    def closure(adj: Map[Long, Seq[Long]]): Set[Long] = {
+      var seen = Set(hub)
+      for (_ <- 1 to 4)
+        seen = seen ++ seen.flatMap(n => adj.getOrElse(n, Nil))
+      seen
+    }
+    val fwd = closure(edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap)
+    val bwd = closure(edges.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    val classed = nodes.toSeq.map { n =>
+      val cls =
+        if (fwd(n) && bwd(n)) "core"
+        else if (fwd(n)) "out"
+        else if (bwd(n)) "in"
+        else "other"
+      (cls, n)
+    }
+    val want = Seq("core", "in", "other", "out").map { c =>
+      val g = classed.filter(_._1 == c)
+      (c, g.size.toLong, g.map(_._2).sum)
+    }
+    val got = Graph.bowtieStructure(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // the hub sits in its own core, and the partition covers the graph
+    got.find(_._1 == "core").get._2 should be >= 1L
+    got.map(_._2).sum shouldBe nodes.size.toLong
+  }
 }

@@ -970,4 +970,33 @@ class StatsSpec extends SparkSpec {
     math.abs(got.map(_._6).sum) should be <
       (got.map(_._5).sum / 10L)
   }
+
+  "Stats.powerTwoProp" should "match the textbook normal-approximation sample size" in {
+    val evs = graft.io.Sources.events(spark, sfDir)
+      .select("event_type").collect().map(_.getString(0))
+    val nt = evs.length.toLong
+    val np = evs.count(_ == "purchase").toLong
+    val want = Seq(10000L, 20000L, 50000L).map { dl =>
+      val p1 = np.toDouble / nt.toDouble
+      val p2 = p1 + dl.toDouble / 1000000.0
+      val pbar = (p1 + p2) / 2.0
+      val q = 1.959964 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+        0.841621 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+      (dl, nt, np, np * 1000000L / nt,
+        math.ceil(q * q / ((p2 - p1) * (p2 - p1))).toLong)
+    }
+    val got = Stats.powerTwoProp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // a bigger detectable lift needs fewer subjects — strictly
+    got.map(_._5) shouldBe got.map(_._5).sorted.reverse
+    got.map(_._5).distinct.size shouldBe 3
+    // sanity vs the classic rule of thumb: ~16·p̄q̄/δ² within 2x
+    got.foreach { t =>
+      val p1 = t._3.toDouble / t._2
+      val rough = 16.0 * p1 * (1 - p1) / math.pow(t._1.toDouble / 1e6, 2)
+      (t._5.toDouble / rough) should (be > 0.5 and be < 2.0)
+    }
+  }
 }
