@@ -996,6 +996,71 @@ object Multimodal {
       .orderBy("doc_id", "bin")
   }
 
+  /** Published (cos, sin)·1e4 table for the 8 Hough angles θ = k·π/8 —
+    * integer constants in BOTH engines, so the accumulator is exact.
+    */
+  private[ops] val houghAngles: Seq[(Int, Long, Long)] = Seq(
+    (0, 10000L, 0L), (1, 9239L, 3827L), (2, 7071L, 7071L),
+    (3, 3827L, 9239L), (4, 0L, 10000L), (5, -3827L, 9239L),
+    (6, -7071L, 7071L), (7, -9239L, 3827L))
+
+  /** Hough line-transform census (`mm_image_hough`, r13): the classic
+    * ρ = x·cosθ + y·sinθ voting accumulator (Duda & Hart 1972) over
+    * the decoded images' edge pixels (brightness ≥ 400 of the 765
+    * max), at 8 published angles — the structure-detection primitive
+    * behind deskewing and layout analysis in document-image pipelines.
+    * Exact-integer shape: the angle table is published as (cos, sin)
+    * ·1e4 integer constants, and the ρ bin is ((x·cos_e4 + y·sin_e4 +
+    * 205000) div 10000) — the +205000 offset keeps the dividend
+    * POSITIVE at every representable coordinate, because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors: on a negative
+    * dividend the two engines would disagree by one bin (the
+    * agg_bowley_skew divergence class, dodged by construction instead
+    * of by a mirrored round — no doubles needed anywhere). Votes
+    * accumulate per (angle, ρ) across the corpus; the per-angle census
+    * releases the bin count, the winning bin (max votes, min-ρ ties —
+    * a two-pass hash-agg argmax, never a window over the accumulator)
+    * and its vote mass. Per-doc vote emission stays inside the codec
+    * `mapPartitions` pass; only (angle, ρ, count) partials leave.
+    */
+  def imageHough(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val votes = Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.Map[(Int, Long), Long]()
+        it.foreach { case (id, nc) =>
+          val (w, h, px) = bmpPixels(encodeBmp(id, nc))
+          var p = 0
+          while (p < w * h) {
+            if (px(p) >= 400) {
+              val x = (p % w).toLong
+              val y = (p / w).toLong
+              houghAngles.foreach { case (k, c, sn) =>
+                val rho = (x * c + y * sn + 205000L) / 10000L
+                val key = (k, rho)
+                acc(key) = acc.getOrElse(key, 0L) + 1L
+              }
+            }
+            p += 1
+          }
+        }
+        acc.iterator.map { case ((k, rho), n) => (k.toLong, rho, n) }
+      }
+      .toDF("k", "rho", "n")
+      .groupBy("k", "rho").agg(sum("n").as("votes"))
+    val pinned = graft.io.Checkpoints.pin(votes, eager = false)
+    val mx = pinned.groupBy("k").agg(max("votes").as("votes"))
+    val top = pinned.join(broadcast(mx), Seq("k", "votes"))
+      .groupBy("k", "votes").agg(min("rho").as("top_rho"))
+    pinned.groupBy("k")
+      .agg(sum("votes").as("n_edge_votes"), count(lit(1)).as("n_bins"))
+      .join(top.select(col("k"), col("votes").as("max_votes"),
+        col("top_rho")), "k")
+      .orderBy("k")
+  }
+
   /** Sobel gradient energy (`mm_image_sobel`, r13): the 3×3 integer
     * Sobel kernels over the decoded brightness grid — gradient
     * magnitude as |Gx| + |Gy| (the L1 form: stays an exact integer;
@@ -1699,6 +1764,7 @@ object Multimodal {
     "mm_image_upsample" -> (imageUpsample _),
     "mm_image_histogram" -> (imageHistogram _),
     "mm_image_sobel" -> (imageSobel _),
+    "mm_image_hough" -> (imageHough _),
     "mm_audio_dft_bins" -> (audioDftBins _),
     "mm_decode_jpeg_ac" -> (mediaDecodeJpegAc _),
     "mm_shard_plan" -> (shardPlan _),
@@ -2149,6 +2215,34 @@ object Multimodal {
         |SELECT doc_id, CAST(bin AS BIGINT) AS bin,
         | CAST(count(*) AS BIGINT) AS n_pixels
         |FROM v GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin,
+    // same pixel formula, same published (cos,sin)·1e4 table, same
+    // positive-offset integer rho bins and min-rho argmax
+    "mm_image_hough" ->
+      """WITH dims AS (SELECT doc_id,
+        |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),
+        | px AS (SELECT doc_id, p % w AS x, p // w AS y,
+        |    (31 * doc_id + 7 * p + 11) % 256
+        |      + (17 * doc_id + 13 * p + 23) % 256
+        |      + (29 * doc_id + 19 * p + 31) % 256 AS b
+        |  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims)),
+        | ed AS (SELECT x, y FROM px WHERE b >= 400),
+        | ang AS (SELECT * FROM (VALUES (0, 10000, 0), (1, 9239, 3827),
+        |    (2, 7071, 7071), (3, 3827, 9239), (4, 0, 10000),
+        |    (5, -3827, 9239), (6, -7071, 7071), (7, -9239, 3827))
+        |   AS t(k, c, sn)),
+        | v AS (SELECT CAST(k AS BIGINT) AS k,
+        |    CAST((x * c + y * sn + 205000) // 10000 AS BIGINT) AS rho,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |   FROM ed CROSS JOIN ang GROUP BY 1, 2),
+        | mx AS (SELECT k, max(votes) AS votes FROM v GROUP BY 1),
+        | top AS (SELECT v.k, v.votes, min(v.rho) AS top_rho
+        |   FROM v JOIN mx ON v.k = mx.k AND v.votes = mx.votes
+        |   GROUP BY 1, 2)
+        |SELECT v.k, CAST(sum(v.votes) AS BIGINT) AS n_edge_votes,
+        | CAST(count(*) AS BIGINT) AS n_bins,
+        | t.votes AS max_votes, t.top_rho
+        |FROM v JOIN top t USING (k)
+        |GROUP BY v.k, t.votes, t.top_rho ORDER BY k""".stripMargin,
     "mm_image_sobel" ->
       """WITH dims AS (SELECT doc_id,
         |    4 + n_chars % 13 AS w, 3 + n_chars % 7 AS h FROM documents),

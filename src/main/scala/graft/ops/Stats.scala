@@ -1459,8 +1459,49 @@ object Stats {
       .orderBy("delta_e6")
   }
 
+  /** Distribution-free median CI (`stats_median_ci`, r13): the
+    * binomial order-statistic confidence interval for the median — no
+    * normality assumption, the interval every robust-reporting
+    * guideline asks for next to the point estimate. Normal-
+    * approximation ranks (the standard large-n recipe): lo =
+    * max(1, ⌊(n − z√n)/2⌋), hi = min(n, ⌈1 + (n + z√n)/2⌉) with
+    * z = 1.959964 published; the ONLY doubles are that one mirrored
+    * rank pair per segment (floor/ceil on identical expressions —
+    * a one-ulp flip needs n − z√n within an ulp of an even integer),
+    * everything else is the [[graft.ops.Prefix]] one-pass rank +
+    * THREE conditional-MIN order-statistic picks (lower median at
+    * (n+1) div 2, the two bounds) — the bowleySkew shape exactly.
+    */
+  def medianCi(s: SparkSession, d: String): DataFrame = {
+    val recs = Sources.customer(s, d)
+      .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val ranked = graft.ops.Prefix.running(recs,
+      Seq(col("seg"), col("cents"), col("c_custkey")), rankOut = Some("rk"))
+    val nD = col("n").cast("double")
+    val segs = ranked.groupBy("seg")
+      .agg(min("rk").as("rk0"), count(lit(1)).as("n"))
+      .withColumn("r_med", expr("(n + 1) div 2"))
+      .withColumn("r_lo", greatest(lit(1L),
+        floor((nD - lit(1.959964) * sqrt(nD)) / lit(2.0)).cast("long")))
+      .withColumn("r_hi", least(col("n"),
+        ceil(lit(1.0) + (nD + lit(1.959964) * sqrt(nD)) / lit(2.0))
+          .cast("long")))
+    ranked.join(broadcast(segs), "seg")
+      .withColumn("relrk", col("rk") - col("rk0") + 1L)
+      .groupBy("seg")
+      .agg(max("n").as("n"), max("r_lo").as("r_lo"), max("r_hi").as("r_hi"),
+        min(when(col("relrk") >= col("r_med"), col("cents"))).as("med_cents"),
+        min(when(col("relrk") >= col("r_lo"), col("cents")))
+          .as("ci_lo_cents"),
+        min(when(col("relrk") >= col("r_hi"), col("cents")))
+          .as("ci_hi_cents"))
+      .orderBy("seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_grubbs" -> (grubbsOutlier _),
+    "stats_median_ci" -> (medianCi _),
     "stats_power_twoprop" -> (powerTwoProp _),
     "stats_auc_delong" -> (aucDelong _),
     "stats_theil_decomp" -> (theilDecomp _),
@@ -1496,6 +1537,29 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same mirrored rank pair, same one-pass conditional-MIN picks
+    "stats_median_ci" ->
+      """WITH recs AS (SELECT c_mktsegment AS seg, c_custkey,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | rk AS (SELECT seg, cents,
+        |   row_number() OVER (PARTITION BY seg ORDER BY cents, c_custkey)
+        |     AS relrk FROM recs),
+        | segs AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |    (CAST(count(*) AS BIGINT) + 1) // 2 AS r_med,
+        |    greatest(1, CAST(floor((CAST(count(*) AS DOUBLE)
+        |      - 1.959964 * sqrt(CAST(count(*) AS DOUBLE))) / 2.0)
+        |     AS BIGINT)) AS r_lo,
+        |    least(CAST(count(*) AS BIGINT), CAST(ceil(1.0
+        |      + (CAST(count(*) AS DOUBLE)
+        |        + 1.959964 * sqrt(CAST(count(*) AS DOUBLE))) / 2.0)
+        |     AS BIGINT)) AS r_hi
+        |   FROM recs GROUP BY 1)
+        |SELECT rk.seg, s.n, s.r_lo, s.r_hi,
+        | min(CASE WHEN relrk >= s.r_med THEN cents END) AS med_cents,
+        | min(CASE WHEN relrk >= s.r_lo THEN cents END) AS ci_lo_cents,
+        | min(CASE WHEN relrk >= s.r_hi THEN cents END) AS ci_hi_cents
+        |FROM rk JOIN segs s USING (seg)
+        |GROUP BY 1, 2, 3, 4 ORDER BY seg""".stripMargin,
     // same exact baseline counts, same published z literals, same
     // mirrored q·q/δ² finish and ceil
     "stats_power_twoprop" ->

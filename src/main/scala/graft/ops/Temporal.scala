@@ -1699,8 +1699,66 @@ object Temporal {
       .orderBy("state")
   }
 
+  /** Additive Holt-Winters, frozen parameters
+    * (`ts_holt_winters_frozen`, r13): triple exponential smoothing —
+    * level + trend + weekly seasonality — over the gap-filled daily
+    * revenue series with α = 1/2, β = 1/4, γ = 1/4 and m = 7
+    * PUBLISHED (a fitted parameterization would put the optimizer
+    * outside the hash gate; the croston/ewma frozen-smoother
+    * discipline). Init is the standard first-cycle recipe: l₀ = mean
+    * of days 0–6, b₀ = 0, s_j = x_j − l₀; each step t ≥ 7 emits the
+    * one-step-ahead error x_t − (l + b + s_{t mod 7}) BEFORE updating
+    * (l, b, s). Determinism class: the fold's IEEE op sequence is
+    * written IDENTICALLY in the DuckDB recursive CTE (the ts_ewma
+    * strongest class) — per-step errors round to the e2 lattice and
+    * accumulate as exact integers, so the release (error mass, max
+    * error, final state) has no summation-order exposure. The fold
+    * runs imperatively in one typed flatMapGroups over the
+    * CALENDAR-BOUNDED series (≤ span days by construction — the
+    * ts_peak_days bound; a recursive smoother over a corpus-growing
+    * key set would instead shard per key, the ewma shape).
+    */
+  def holtWintersFrozen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e2 = (v: Double) => BigDecimal(v)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    dailyRevenueSeries(s, d).select(col("i"), col("x")).as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, rows) =>
+        val xs = rows.toArray.sortBy(_._1).map(_._2.toDouble)
+        if (xs.length < 8) Iterator.empty
+        else {
+          val l0 = xs.take(7).sum / 7.0
+          var l = l0
+          var b = 0.0
+          val sArr = Array.tabulate(7)(j => xs(j) - l0)
+          var sumAbs = 0L
+          var maxAbs = 0L
+          var n = 0L
+          var t = 7
+          while (t < xs.length) {
+            val j = t % 7
+            val err = xs(t) - (l + b + sArr(j))
+            val errE2 = e2(err * 100.0)
+            sumAbs += math.abs(errE2)
+            if (math.abs(errE2) > maxAbs) maxAbs = math.abs(errE2)
+            n += 1
+            val lNew = 0.5 * (xs(t) - sArr(j)) + 0.5 * (l + b)
+            b = 0.25 * (lNew - l) + 0.75 * b
+            sArr(j) = 0.25 * (xs(t) - lNew) + 0.75 * sArr(j)
+            l = lNew
+            t += 1
+          }
+          Iterator.single((n, sumAbs, maxAbs, e2(l * 100.0), e2(b * 100.0)))
+        }
+      }
+      .toDF("n_steps", "sum_abs_err_e2", "max_abs_err_e2", "level_e2",
+        "trend_e2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_xbar_control" -> (xbarControl _),
+    "ts_holt_winters_frozen" -> (holtWintersFrozen _),
     "stream_markov_hitting" -> (markovHitting _),
     "ts_crosscorr" -> (crossCorr _),
     "ts_forecast_error" -> (forecastError _),
@@ -1788,6 +1846,45 @@ object Temporal {
         |    AS p_out_e6 FROM pm GROUP BY 1)
         |SELECT h8.state, mass.p_out_e6, h8.h_e6
         |FROM h8 JOIN mass USING (state) ORDER BY state""".stripMargin
+    },
+    // the fold's IEEE op sequence written identically step for step:
+    // same init recipe, same pre-update error, same e2 lattice
+    "ts_holt_winters_frozen" -> {
+      val sj = "(CASE s.i % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1" +
+        " WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4" +
+        " WHEN 5 THEN r.s5 ELSE r.s6 END)"
+      val xd = "CAST(s.x AS DOUBLE)"
+      val lNew = s"(0.5 * ($xd - $sj) + 0.5 * (r.l + r.b))"
+      val e2 = s"CAST(round(($xd - (r.l + r.b + $sj)) * 100.0) AS BIGINT)"
+      val sCols = (0 to 6).map(j =>
+        s"CASE WHEN s.i % 7 = $j THEN 0.25 * ($xd - $lNew) + 0.75 * r.s$j" +
+          s" ELSE r.s$j END AS s$j").mkString(",\n        |    ")
+        .replace("|", "")
+      s"""WITH RECURSIVE $seriesCte,
+        | x7 AS (SELECT ${(0 to 6).map(j =>
+             s"max(CASE WHEN i = $j THEN x END) AS x$j").mkString(", ")}
+        |   FROM ser WHERE i < 7),
+        | init AS (SELECT l, ${(0 to 6).map(j =>
+             s"CAST(x$j AS DOUBLE) - l AS s$j").mkString(", ")}
+        |  FROM (SELECT (CAST(x0 AS DOUBLE) + x1 + x2 + x3 + x4 + x5 + x6)
+        |      / 7.0 AS l, * FROM x7)),
+        | r AS (
+        |  SELECT CAST(6 AS BIGINT) AS i, l, CAST(0.0 AS DOUBLE) AS b,
+        |    s0, s1, s2, s3, s4, s5, s6,
+        |    CAST(0 AS BIGINT) AS sum_abs, CAST(0 AS BIGINT) AS max_abs,
+        |    CAST(0 AS BIGINT) AS n
+        |  FROM init
+        |  UNION ALL
+        |  SELECT s.i, $lNew AS l,
+        |    0.25 * ($lNew - r.l) + 0.75 * r.b AS b,
+        |    $sCols,
+        |    r.sum_abs + abs($e2), greatest(r.max_abs, abs($e2)), r.n + 1
+        |  FROM ser s JOIN r ON s.i = r.i + 1)
+        |SELECT n AS n_steps, sum_abs AS sum_abs_err_e2,
+        | max_abs AS max_abs_err_e2,
+        | CAST(round(l * 100.0) AS BIGINT) AS level_e2,
+        | CAST(round(b * 100.0) AS BIGINT) AS trend_e2
+        |FROM r ORDER BY i DESC LIMIT 1""".stripMargin
     },
     // same frozen 30-day baseline, same mirrored s2/n − m² z finish,
     // same e6 integer zone thresholds and literal 8-row domain

@@ -981,4 +981,44 @@ class OpsSpec extends SparkSpec {
     got.foreach(_._6 should be <= 1000L)
     got.count(t => t._3 % 2 == 1) should be > 0
   }
+
+  "Multimodal.imageHough (r13)" should "replay the integer voting accumulator" in {
+    val docs = graft.io.Sources.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val angles = Seq((0, 10000L, 0L), (1, 9239L, 3827L), (2, 7071L, 7071L),
+      (3, 3827L, 9239L), (4, 0L, 10000L), (5, -3827L, 9239L),
+      (6, -7071L, 7071L), (7, -9239L, 3827L))
+    val votes = scala.collection.mutable.Map[(Int, Long), Long]()
+    docs.foreach { case (id, nc) =>
+      val w = (4 + nc % 13).toInt
+      val h = (3 + nc % 7).toInt
+      for (p <- 0 until w * h) {
+        val b = (31 * id + 7 * p + 11) % 256 + (17 * id + 13 * p + 23) % 256 +
+          (29 * id + 19 * p + 31) % 256
+        if (b >= 400) {
+          val x = (p % w).toLong
+          val y = (p / w).toLong
+          angles.foreach { case (k, c, sn) =>
+            val key = (k, (x * c + y * sn + 205000L) / 10000L)
+            votes(key) = votes.getOrElse(key, 0L) + 1L
+          }
+        }
+      }
+    }
+    val want = angles.map(_._1).map { k =>
+      val bins = votes.collect { case ((`k`, rho), n) => (rho, n) }.toSeq
+      val mx = bins.map(_._2).max
+      (k.toLong, bins.map(_._2).sum, bins.size.toLong, mx,
+        bins.filter(_._2 == mx).map(_._1).min)
+    }
+    val got = Multimodal.imageHough(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // every edge pixel votes exactly once per angle: equal mass per k
+    got.map(_._2).distinct.size shouldBe 1
+    // the accumulator genuinely concentrates: some bin beats uniform
+    got.foreach(t => t._4 * t._3 should be >= t._2)
+  }
 }

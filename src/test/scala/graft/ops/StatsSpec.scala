@@ -999,4 +999,30 @@ class StatsSpec extends SparkSpec {
       (t._5.toDouble / rough) should (be > 0.5 and be < 2.0)
     }
   }
+
+  "Stats.medianCi" should "bracket the median with the binomial order-statistic ranks" in {
+    val cust = Sources.customer(spark, sfDir)
+      .select("c_mktsegment", "c_custkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    val want = cust.groupBy(_._1).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val sorted = g.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.length.toLong
+      val rMed = (n + 1) / 2
+      val rLo = math.max(1L,
+        math.floor((n.toDouble - 1.959964 * math.sqrt(n.toDouble)) / 2.0).toLong)
+      val rHi = math.min(n,
+        math.ceil(1.0 + (n.toDouble + 1.959964 * math.sqrt(n.toDouble)) / 2.0).toLong)
+      (seg, n, rLo, rHi, sorted((rMed - 1).toInt), sorted((rLo - 1).toInt),
+        sorted((rHi - 1).toInt))
+    }
+    val got = Stats.medianCi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    got shouldBe want
+    // the interval brackets the point estimate by construction
+    got.foreach { t =>
+      t._6 should be <= t._5
+      t._5 should be <= t._7
+    }
+  }
 }

@@ -962,4 +962,38 @@ class TemporalSpec extends SparkSpec {
     got.filter(_._1 != "purchase").foreach(_._3 should be >= 1000000L)
     got.foreach(_._2 should (be >= 999990L and be <= 1000000L))
   }
+
+  "Temporal.holtWintersFrozen" should "replay the triple-smoothing fold step for step" in {
+    import org.apache.spark.sql.functions._
+    val daily = graft.io.Sources.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => daily.getOrElse(d, 0L).toDouble).toArray
+    def e2(v: Double) = BigDecimal(v)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val l0 = xs.take(7).sum / 7.0
+    var (l, b) = (l0, 0.0)
+    val sA = Array.tabulate(7)(j => xs(j) - l0)
+    var (sumAbs, maxAbs, n) = (0L, 0L, 0L)
+    for (t <- 7 until xs.length) {
+      val j = t % 7
+      val err = e2((xs(t) - (l + b + sA(j))) * 100.0)
+      sumAbs += math.abs(err); maxAbs = math.max(maxAbs, math.abs(err)); n += 1
+      val lN = 0.5 * (xs(t) - sA(j)) + 0.5 * (l + b)
+      b = 0.25 * (lN - l) + 0.75 * b
+      sA(j) = 0.25 * (xs(t) - lN) + 0.75 * sA(j)
+      l = lN
+    }
+    val got = Temporal.holtWintersFrozen(spark, sfDir).head()
+    (got.getLong(0), got.getLong(1), got.getLong(2)) shouldBe ((n, sumAbs, maxAbs))
+    got.getLong(3) shouldBe e2(l * 100.0)
+    got.getLong(4) shouldBe e2(b * 100.0)
+    // every post-init step is scored exactly once
+    n shouldBe (xs.length - 7).toLong
+    maxAbs should be <= sumAbs
+  }
 }
