@@ -1551,6 +1551,84 @@ object Graph {
       .orderBy("cls")
   }
 
+  /** Borůvka minimum-spanning-forest rounds (`graph_boruvka_msf`,
+    * r13): the oldest MST algorithm (1926) and still the distributed
+    * one — every component hooks its MINIMUM-weight incident edge,
+    * selected edges join the forest, components contract; each round
+    * at least halves the component count, so the frozen 2-round
+    * horizon (the pathCounts discipline) does the heavy lifting and
+    * its whole trajectory sits under the hash gate. Weights are exact
+    * co-purchase counts; the edge order is the TOTAL order (w, u, v),
+    * so the per-component minimum — and therefore the forest itself —
+    * is deterministic (the cut property holds under any total order
+    * extending the weights). Plan per round: the weighted canonical
+    * edge table joins the node-sized label table twice (broadcast-able
+    * at fixture scale, AQE-decided), the per-component argmin runs as
+    * THREE chained hash-agg passes (min w → min u → min v; the
+    * stats_grubbs two-pass discipline — never a keyed sort-agg or a
+    * component-keyed window over the corpus), and contraction reuses
+    * [[Dedup.connectedGroupsWithStats]] — the same large/small-star
+    * machinery the dedup families run, labels = component min id.
+    * Census per round: components, forest edges, forest weight,
+    * largest component.
+    */
+  def boruvkaMsf(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val wedges = Checkpoints.pin(
+      li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") + 1 === col("b.l_linenumber"))
+        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(least(col("a.l_partkey"), col("b.l_partkey")).as("u"),
+          greatest(col("a.l_partkey"), col("b.l_partkey")).as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w")),
+      eager = false)
+    val nodes = Checkpoints.pin(
+      wedges.select(col("u").as("node"))
+        .union(wedges.select(col("v").as("node"))).distinct(),
+      eager = false)
+    var labels = nodes.withColumn("lbl", col("node"))
+    var forest: DataFrame = null
+    var out: DataFrame = null
+    for (r <- 1 to 2) {
+      val ce = wedges
+        .join(labels.select(col("node").as("u"), col("lbl").as("cu")), "u")
+        .join(labels.select(col("node").as("v"), col("lbl").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+      val cand = Checkpoints.pin(
+        ce.select(col("cu").as("c"), col("w"), col("u"), col("v"))
+          .unionAll(ce.select(col("cv").as("c"), col("w"), col("u"),
+            col("v"))),
+        eager = false)
+      // deterministic per-component argmin on the (w, u, v) total order
+      val mw = cand.groupBy("c").agg(min("w").as("w"))
+      val mu = cand.join(broadcast(mw), Seq("c", "w"))
+        .groupBy("c", "w").agg(min("u").as("u"))
+      val sel = cand.join(broadcast(mu), Seq("c", "w", "u"))
+        .groupBy("c", "w", "u").agg(min("v").as("v"))
+        .select("u", "v", "w").distinct()
+      forest = Checkpoints.pin(
+        if (forest == null) sel else forest.unionAll(sel).distinct(),
+        eager = false)
+      // covers every node: CC members plus singletons, group = min id
+      labels = Checkpoints.pin(
+        Dedup.connectedGroupsWithStats(
+          forest.select(col("u").as("id_a"), col("v").as("id_b")),
+          nodes, "node")._1
+          .select(col("id").as("node"), col("group_id").as("lbl")),
+        eager = false)
+      val census = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"), max("sz").as("max_comp"))
+        .crossJoin(broadcast(forest.agg(count(lit(1)).as("n_forest_edges"),
+          sum("w").as("forest_weight"))))
+        .select(lit(r.toLong).as("round"), col("n_components"),
+          col("n_forest_edges"), col("forest_weight"), col("max_comp"))
+      out = if (out == null) census else out.unionAll(census)
+    }
+    out.orderBy("round")
+  }
+
   def richClub(s: SparkSession, d: String): DataFrame = {
     val es = strongEdges(s, d)
     val canon = Checkpoints.pin(
@@ -1586,6 +1664,7 @@ object Graph {
     "graph_rich_club" -> (richClub _),
     "graph_temporal_reach" -> (temporalReach _),
     "graph_bowtie_structure" -> (bowtieStructure _),
+    "graph_boruvka_msf" -> (boruvkaMsf _),
     "graph_path_counts" -> (pathCounts _),
     "graph_square_count" -> (squareCount _),
     "graph_local_cc_topk" -> (localCcTopk _),
@@ -1728,6 +1807,71 @@ object Graph {
   val oracles: Map[String, String] = Map(
     // four unrolled rounds: identical predecessor-sum and anti-join
     // per hop — every sigma value replayed exactly
+    // same (w, u, v) total-order argmin per component (row_number ≡ the
+    // engine's three chained mins), same CC-to-min-label contraction
+    // (reach closure ≡ large/small-star fixpoint), both rounds gated
+    "graph_boruvka_msf" ->
+      ("""WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey
+        |   FROM lineitem),
+        | pw AS (SELECT a.l_partkey AS s0, b.l_partkey AS d0
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber + 1 = b.l_linenumber
+        |   WHERE a.l_partkey <> b.l_partkey),
+        | we AS MATERIALIZED (SELECT least(s0, d0) AS u,
+        |    greatest(s0, d0) AS v, CAST(count(*) AS BIGINT) AS w
+        |   FROM pw GROUP BY 1, 2),
+        | nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+        |   (SELECT u AS node FROM we UNION ALL SELECT v FROM we)),
+        | ce1 AS (SELECT u AS c, w, u, v FROM we
+        |   UNION ALL SELECT v, w, u, v FROM we),
+        | f1 AS MATERIALIZED (SELECT DISTINCT u, v, w FROM (
+        |   SELECT c, w, u, v,
+        |     row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+        |    FROM ce1) WHERE rn = 1),
+        | e1 AS (SELECT u AS src, v AS dst FROM f1
+        |   UNION ALL SELECT v, u FROM f1),
+        | reach1(src, dst) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT r.src, e1.dst FROM reach1 r JOIN e1 ON r.dst = e1.src),
+        | lbl1 AS MATERIALIZED (SELECT src AS node, min(dst) AS lbl
+        |   FROM reach1 GROUP BY 1),
+        | ce2 AS (
+        |  SELECT l1.lbl AS c, we.w, we.u, we.v
+        |   FROM we JOIN lbl1 l1 ON we.u = l1.node
+        |   JOIN lbl1 l2 ON we.v = l2.node WHERE l1.lbl <> l2.lbl
+        |  UNION ALL
+        |  SELECT l2.lbl, we.w, we.u, we.v
+        |   FROM we JOIN lbl1 l1 ON we.u = l1.node
+        |   JOIN lbl1 l2 ON we.v = l2.node WHERE l1.lbl <> l2.lbl),
+        | sel2 AS (SELECT DISTINCT u, v, w FROM (
+        |   SELECT c, w, u, v,
+        |     row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+        |    FROM ce2) WHERE rn = 1),
+        | f2 AS MATERIALIZED (SELECT DISTINCT u, v, w FROM
+        |   (SELECT u, v, w FROM f1 UNION ALL SELECT u, v, w FROM sel2)),
+        | e2 AS (SELECT u AS src, v AS dst FROM f2
+        |   UNION ALL SELECT v, u FROM f2),
+        | reach2(src, dst) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach2 r JOIN e2 ON r.dst = e2.src),
+        | lbl2 AS MATERIALIZED (SELECT src AS node, min(dst) AS lbl
+        |   FROM reach2 GROUP BY 1),
+        | sz1 AS (SELECT lbl, count(*) AS sz FROM lbl1 GROUP BY 1),
+        | sz2 AS (SELECT lbl, count(*) AS sz FROM lbl2 GROUP BY 1)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS round,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM sz1) AS n_components,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_forest_edges,
+        |   (SELECT CAST(sum(w) AS BIGINT) FROM f1) AS forest_weight,
+        |   (SELECT CAST(max(sz) AS BIGINT) FROM sz1) AS max_comp
+        | UNION ALL
+        | SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM sz2),
+        |   (SELECT CAST(count(*) AS BIGINT) FROM f2),
+        |   (SELECT CAST(sum(w) AS BIGINT) FROM f2),
+        |   (SELECT CAST(max(sz) AS BIGINT) FROM sz2))
+        |ORDER BY round""".stripMargin),
     // same hub seed, same 4 unrolled closure rounds each direction
     // (UNION dedups ≡ the engine's frontier/anti-join form), same
     // literal class domain

@@ -1655,6 +1655,83 @@ object Multimodal {
     * mirrored double per pair off those integers, rounded 6. Only
     * pair rows leave the task.
     */
+  /** Global motion estimation (`mm_video_motion_vectors`, r13): the
+    * block-matching core of every P-frame encoder — for each
+    * consecutive frame pair, the shift (dx, dy) ∈ {−1,0,1}² whose SAD
+    * (sum of absolute brightness differences) over the frame INTERIOR
+    * is minimal, ties broken on (sad, dy, dx). Comparing over the
+    * interior (x, y ∈ 1..dim−2) keeps the pixel count IDENTICAL for
+    * every candidate shift, so raw integer SADs compare fairly — no
+    * per-shift normalization, no doubles anywhere. Complements
+    * [[videoMotionEnergy]] (which measures THAT pixels changed; this
+    * estimates WHERE they went). Census per winning vector: picks and
+    * SAD mass across all clips' frame pairs — 9 possible rows, the
+    * motion-vector histogram a codec tuner reads. Per-pair work stays
+    * in the codec mapPartitions pass; only (dy, dx, sad) rows leave.
+    */
+  def videoMotionVectors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        val bytes = encodeVideo(id, nc)
+        def le32(off: Int): Int =
+          (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+            ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+        val nf = le32(4)
+        var off = 8
+        var prev: Array[Int] = null
+        var pw = 0
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)]
+        var f = 0
+        while (f < nf) {
+          val len = le32(off)
+          val (w, h, px) = bmpPixels(
+            java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len))
+          if (prev != null) {
+            var best = Long.MaxValue
+            var bdy = 0L
+            var bdx = 0L
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                var sad = 0L
+                var y = 1
+                while (y < h - 1) {
+                  var x = 1
+                  while (x < w - 1) {
+                    sad += math.abs(px(y * w + x).toLong -
+                      prev((y + dy) * pw + (x + dx)).toLong)
+                    x += 1
+                  }
+                  y += 1
+                }
+                if (sad < best || (sad == best &&
+                  (dy < bdy || (dy == bdy && dx < bdx)))) {
+                  best = sad; bdy = dy; bdx = dx
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            rows += ((bdy, bdx, best))
+          }
+          prev = px
+          pw = w
+          off += 4 + len
+          f += 1
+        }
+        rows.iterator
+      })
+      .toDF("dy", "dx", "sad")
+      .groupBy("dy", "dx")
+      .agg(count(lit(1)).as("n_picks"), sum("sad").as("sum_sad"))
+      .orderBy("dy", "dx")
+  }
+
   def videoSsim(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Sources.documents(s, d)
@@ -1765,6 +1842,7 @@ object Multimodal {
     "mm_image_histogram" -> (imageHistogram _),
     "mm_image_sobel" -> (imageSobel _),
     "mm_image_hough" -> (imageHough _),
+    "mm_video_motion_vectors" -> (videoMotionVectors _),
     "mm_audio_dft_bins" -> (audioDftBins _),
     "mm_decode_jpeg_ac" -> (mediaDecodeJpegAc _),
     "mm_shard_plan" -> (shardPlan _),
@@ -2215,6 +2293,37 @@ object Multimodal {
         |SELECT doc_id, CAST(bin AS BIGINT) AS bin,
         | CAST(count(*) AS BIGINT) AS n_pixels
         |FROM v GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin,
+    // same frame pixel formula (frame id = doc + 1000003·f), same
+    // fixed-interior SAD, same (sad, dy, dx) argmin per pair
+    "mm_video_motion_vectors" -> {
+      def b(fid: String, p: String): String =
+        s"((31 * ($fid) + 7 * ($p) + 11) % 256" +
+          s" + (17 * ($fid) + 13 * ($p) + 23) % 256" +
+          s" + (29 * ($fid) + 19 * ($p) + 31) % 256)"
+      val cur = b("doc_id + 1000003 * f", "y * w + x")
+      val prv = b("doc_id + 1000003 * (f - 1)", "(y + dy) * w + (x + dx)")
+      s"""WITH dims AS (SELECT doc_id, 4 + n_chars % 13 AS w,
+        |    3 + n_chars % 7 AS h, 2 + n_chars % 7 AS nf FROM documents),
+        | pairs AS (SELECT doc_id, w, h, unnest(range(1, nf)) AS f
+        |   FROM dims),
+        | ip AS (SELECT doc_id, w, h, f,
+        |    unnest(range(0, (w - 2) * (h - 2))) AS q FROM pairs),
+        | px AS (SELECT doc_id, w, h, f, 1 + q % (w - 2) AS x,
+        |    1 + q // (w - 2) AS y FROM ip),
+        | sh AS (SELECT * FROM (VALUES (-1, -1), (-1, 0), (-1, 1),
+        |    (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+        |   AS t(dy, dx)),
+        | sad AS (SELECT doc_id, f, dy, dx,
+        |    CAST(sum(abs($cur - $prv)) AS BIGINT) AS sad
+        |   FROM px CROSS JOIN sh GROUP BY 1, 2, 3, 4),
+        | best AS (SELECT dy, dx, sad FROM (SELECT dy, dx, sad,
+        |    row_number() OVER (PARTITION BY doc_id, f
+        |      ORDER BY sad, dy, dx) AS rn FROM sad) WHERE rn = 1)
+        |SELECT CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx,
+        | CAST(count(*) AS BIGINT) AS n_picks,
+        | CAST(sum(sad) AS BIGINT) AS sum_sad
+        |FROM best GROUP BY 1, 2 ORDER BY dy, dx""".stripMargin
+    },
     // same pixel formula, same published (cos,sin)·1e4 table, same
     // positive-offset integer rho bins and min-rho argmax
     "mm_image_hough" ->

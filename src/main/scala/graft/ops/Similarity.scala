@@ -1242,6 +1242,47 @@ object Similarity {
         lit(c).as("cid"))
     }: _*)
 
+  /** Simplified silhouette per cluster (`ml_silhouette_frozen`, r13):
+    * the clustering-quality score (Rousseeuw 1987, in the
+    * centroid-distance simplification of Hruschka et al. — O(n·k), the
+    * only form that scales; pairwise silhouette is O(n²)) against the
+    * SAME deterministic k = 8 seed centroids as [[kmeansAssign]]:
+    * a = distance to own (nearest) centroid, b = distance to the
+    * second-nearest, s = (b − a)/b — the max(a,b) denominator
+    * simplifies to b because the two distances come SORTED from the
+    * same array. Exact shape: squared distances are exact Longs on the
+    * e4 lattice (the kmeansAssign argmin currency) via one
+    * `array_sort` over the 8 literal-centroid d² expressions — no
+    * join, no shuffle, whole-stage codegen; the ONLY doubles are one
+    * mirrored (√b² − √a²)/√b² per row, rounded to e6 and summed as
+    * integers; the per-cluster mean mirrors round(sum/n) rather than
+    * an integer div (negative sums — the bowleySkew trunc/floor trap).
+    */
+  def silhouetteFrozen(s: SparkSession, d: String): DataFrame = {
+    val emb = quantEmb(s, d)
+    val seeds = emb.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).toSeq
+    val d2s = array_sort(array(seeds.map { case (_, v) =>
+      aggregate(zip_with(col("qv"), array(v.map(lit(_)): _*),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e)
+    }: _*))
+    emb.select(nearestLiteralCentroid(seeds).as("b"), d2s.as("ds"))
+      .select(col("b.cid").as("cluster_id"),
+        col("ds").getItem(0).as("a2"), col("ds").getItem(1).as("b2"))
+      .withColumn("s_e6", when(col("b2") > 0,
+        round(lit(1e6) *
+          (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+          sqrt(col("b2").cast("double"))).cast("long"))
+        .otherwise(lit(0L)))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"), sum("s_e6").as("sum_s_e6"),
+        min("s_e6").as("min_s_e6"))
+      .withColumn("mean_s_e6", round(
+        col("sum_s_e6").cast("double") / col("n_vecs").cast("double"))
+        .cast("long"))
+      .orderBy("cluster_id")
+  }
+
   /** One exact k-means assignment step (`ml_kmeans_assign`): every
     * vector assigned to its nearest of k=8 seed centroids (the first 8
     * vectors by id — deterministic seeding), with per-cluster size and
@@ -1689,6 +1730,7 @@ object Similarity {
     "sim_prefix_recall" -> (prefixRecall _),
     "ml_kmeans_lloyd" -> (kmeansLloyd _),
     "ml_kmeans_assign" -> (kmeansAssign _),
+    "ml_silhouette_frozen" -> (silhouetteFrozen _),
     "sim_mips_topk" -> (mipsTopK _),
     "sim_ivfadc_topk" -> (ivfAdcTopK _),
     "sim_pq_adc" -> (pqAdcTopNeighbor _),
@@ -2242,6 +2284,40 @@ object Similarity {
         |SELECT iter, cluster_id, n_vecs, inertia
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
         |ORDER BY iter, cluster_id""".stripMargin),
+    // same e4 d2 lattice, same (d2, cid) argmin and rn=2 runner-up,
+    // same mirrored (sqrt b - sqrt a)/sqrt b on the e6 lattice
+    "ml_silhouette_frozen" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | s AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < 8),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i,
+        |   unnest(qv) AS x FROM e),
+        | su AS (SELECT cid, generate_subscripts(cv, 1) AS i,
+        |   unnest(cv) AS y FROM s),
+        | dist AS (SELECT eu.vec_id, su.cid,
+        |   CAST(sum((x - y) * (x - y)) AS BIGINT) AS d2
+        |  FROM eu JOIN su USING (i) GROUP BY 1, 2),
+        | rk AS (SELECT vec_id, cid, d2,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dist),
+        | ab AS (SELECT a.vec_id, a.cid AS cluster_id, a.d2 AS a2,
+        |    b.d2 AS b2
+        |   FROM (SELECT * FROM rk WHERE rn = 1) a
+        |   JOIN (SELECT * FROM rk WHERE rn = 2) b USING (vec_id)),
+        | sc AS (SELECT cluster_id,
+        |   CASE WHEN b2 > 0 THEN
+        |     CAST(round(1e6 * (sqrt(CAST(b2 AS DOUBLE))
+        |         - sqrt(CAST(a2 AS DOUBLE))) / sqrt(CAST(b2 AS DOUBLE)))
+        |      AS BIGINT)
+        |    ELSE 0 END AS s_e6 FROM ab)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(s_e6) AS BIGINT) AS sum_s_e6,
+        | CAST(min(s_e6) AS BIGINT) AS min_s_e6,
+        | CAST(round(CAST(sum(s_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |   AS BIGINT) AS mean_s_e6
+        |FROM sc GROUP BY 1 ORDER BY cluster_id""".stripMargin,
     "ml_kmeans_assign" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

@@ -195,7 +195,9 @@ class PlanShapesSpec extends SparkSpec {
     "sketch_ams_f2", "layout_hilbert_compare",
     // batch 101 (r13): the power sweep's 1-row baseline attach on the
     // 3-row lift domain; the snapshot diff's 1-row max-key attach
-    "stats_power_twoprop", "etl_snapshot_diff")
+    "stats_power_twoprop", "etl_snapshot_diff",
+    // batch 103 (r13): Boruvka's per-round 1-row forest-census attach
+    "graph_boruvka_msf")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

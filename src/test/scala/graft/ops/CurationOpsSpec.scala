@@ -433,4 +433,40 @@ class CurationOpsSpec extends SparkSpec {
     math.abs((tHt - t).toDouble) should be < 4.0 * sigmaCents
     incl.length should be > 50 // the design lands near its target size
   }
+
+  "Similarity.silhouetteFrozen (r13)" should "replay the centroid-form silhouette" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+    val seeds = vecs.filter(_._1 < 8).sortBy(_._1)
+    val rows = vecs.map { case (_, qv) =>
+      val d2s = seeds.map { case (cid, cv) =>
+        (qv.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+      }
+      val cid = d2s.minBy(t => (t._1, t._2))._2
+      val sorted = d2s.map(_._1).sorted
+      val (a2, b2) = (sorted(0), sorted(1))
+      val s6 = if (b2 > 0)
+        BigDecimal(1e6 * (math.sqrt(b2.toDouble) - math.sqrt(a2.toDouble)) /
+          math.sqrt(b2.toDouble))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      else 0L
+      (cid, s6)
+    }
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, g) =>
+      val mean = BigDecimal(g.map(_._2).sum.toDouble / g.size.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (c, g.size.toLong, g.map(_._2).sum, g.map(_._2).min, mean)
+    }
+    val got = Similarity.silhouetteFrozen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // silhouette lives in [-1e6, 1e6]; the 8 seed vectors themselves
+    // score a perfect 1e6 (a = 0 against their own centroid)
+    got.foreach(t => t._4 should (be >= -1000000L and be <= 1000000L))
+    rows.count(_._2 == 1000000L) should be >= 8
+  }
 }

@@ -870,4 +870,52 @@ class GraphSpec extends SparkSpec {
     got.find(_._1 == "core").get._2 should be >= 1L
     got.map(_._2).sum shouldBe nodes.size.toLong
   }
+
+  "Graph.boruvkaMsf" should "replay two hook-and-contract rounds with union-find" in {
+    // weighted canonical edges from the raw (multi-)pair derivation
+    val li = Sources.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val wedges = li.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      for {
+        a <- rows.toSeq; b <- rows.toSeq
+        if b._2 == a._2 + 1 && a._3 != b._3
+      } yield (math.min(a._3, b._3), math.max(a._3, b._3))
+    }.groupBy(identity).map { case ((u, v), g) => (u, v, g.size.toLong) }.toSeq
+    val nodes = (wedges.map(_._1) ++ wedges.map(_._2)).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    var forest = Set.empty[(Long, Long, Long)]
+    val want = (1 to 2).map { r =>
+      val cand = wedges.flatMap { case (u, v, w) =>
+        val (cu, cv) = (lbl(u), lbl(v))
+        if (cu == cv) Nil else Seq((cu, w, u, v), (cv, w, u, v))
+      }
+      val sel = cand.groupBy(_._1).values
+        .map(_.minBy(t => (t._2, t._3, t._4)))
+        .map(t => (t._3, t._4, t._2)).toSet
+      forest = forest ++ sel
+      // union-find relabel to component minimum
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val p = find(parent(x)); parent(x) = p; p }
+      forest.foreach { case (u, v, _) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+      }
+      lbl = nodes.map(n => n -> find(n)).toMap
+      val sizes = lbl.values.groupBy(identity).map(_._2.size.toLong)
+      (r.toLong, lbl.values.toSet.size.toLong, forest.size.toLong,
+        forest.toSeq.map(_._3).sum, sizes.max)
+    }
+    val got = Graph.boruvkaMsf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // Boruvka's invariant: each round at least halves the components
+    val n0 = nodes.size.toLong
+    got.head._2 should be <= (n0 / 2 + 1)
+    got.last._2 should be <= (got.head._2 / 2 + 1)
+    // the forest never cycles: edges < nodes
+    got.foreach(t => t._3 should be < n0)
+  }
 }

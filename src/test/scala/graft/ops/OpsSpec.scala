@@ -1021,4 +1021,42 @@ class OpsSpec extends SparkSpec {
     // the accumulator genuinely concentrates: some bin beats uniform
     got.foreach(t => t._4 * t._3 should be >= t._2)
   }
+
+  "Multimodal.videoMotionVectors (r13)" should "replay the interior-SAD argmin" in {
+    val docs = graft.io.Sources.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def b(fid: Long, p: Long): Long =
+      (31 * fid + 7 * p + 11) % 256 + (17 * fid + 13 * p + 23) % 256 +
+        (29 * fid + 19 * p + 31) % 256
+    val picks = docs.flatMap { case (id, nc) =>
+      val w = 4 + nc % 13
+      val h = 3 + nc % 7
+      val nf = 2 + nc % 7
+      (1L until nf).map { f =>
+        val cands = for (dy <- -1 to 1; dx <- -1 to 1) yield {
+          var sad = 0L
+          for (y <- 1L until h - 1; x <- 1L until w - 1)
+            sad += math.abs(b(id + 1000003L * f, y * w + x) -
+              b(id + 1000003L * (f - 1), (y + dy) * w + (x + dx)))
+          (sad, dy.toLong, dx.toLong)
+        }
+        cands.minBy(t => (t._1, t._2, t._3))
+      }
+    }
+    val want = picks.groupBy(t => (t._2, t._3)).toSeq
+      .map { case ((dy, dx), g) => (dy, dx, g.size.toLong, g.map(_._1).sum) }
+      .sortBy(t => (t._1, t._2))
+    val got = Multimodal.videoMotionVectors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe want
+    // hash-noise frames have no coherent motion: the zero vector need
+    // not win, but every pick's SAD is bounded by the interior mass
+    got.foreach { t =>
+      t._2 should (be >= -1L and be <= 1L)
+      t._1 should (be >= -1L and be <= 1L)
+    }
+    got.map(_._3).sum shouldBe picks.length.toLong
+  }
 }
