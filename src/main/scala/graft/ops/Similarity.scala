@@ -1182,6 +1182,66 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF recall/cost tuning sweep (`sim_ivf_nprobe_sweep`, r13): THE
+    * table an ANN deployment is tuned from — recall@10 against the
+    * exact top-10 and candidate volume, at nprobe ∈ {1, 2, 4} over
+    * the same frozen coarse centroids as [[ivfFrozen]]. Each arm is
+    * the serving plan itself (bucketed broadcast-probe equi-join +
+    * exact integer dot top-10), the exact arm is the brute-force scan
+    * (8-query broadcast, the cosineTopK class), and recall ships as
+    * the exact integer floor Σhits·1e6 div 80 (8 queries × k=10 — the
+    * denominator is FIXED, so an under-filled candidate set honestly
+    * costs recall instead of shrinking its own denominator). The
+    * whole sweep is hash-gated: every hit count and candidate count
+    * exact. The assigned table and the exact arm are pinned once and
+    * shared by all three arms.
+    */
+  def ivfNprobeSweep(s: SparkSession, d: String): DataFrame = {
+    val dists = ivfFrozenCentroids.zipWithIndex.map { case (cj, j) =>
+      struct(
+        aggregate(zip_with(col("qv"), lit(cj), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("d"),
+        lit(j.toLong).as("j"))
+    }
+    val assigned = graft.io.Checkpoints.pin(
+      quantEmb(s, d).withColumn("cells", array_sort(array(dists: _*))),
+      eager = false)
+    val corpus = assigned.filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("qv").as("cv"),
+        col("cells")(0).getField("j").as("cell"))
+    val queries = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("cells"))
+    val dot = aggregate(zip_with(col("qe"), col("cv"), (x, y) => x * y),
+      lit(0L), (a, v) => a + v)
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("vec_id").asc)
+    val exact = graft.io.Checkpoints.pin(
+      corpus.crossJoin(broadcast(queries.select(col("q_id"), col("qe"))))
+        .withColumn("dot", dot)
+        .withColumn("rank", row_number().over(wQ))
+        .filter(col("rank") <= 10).select("q_id", "vec_id"),
+      eager = false)
+    Seq(1, 2, 4).map { np =>
+      val probes = queries
+        .select(col("q_id"), col("qe"),
+          explode(slice(col("cells"), 1, np)).as("c0"))
+        .select(col("q_id"), col("qe"), col("c0").getField("j").as("cell"))
+      val cand = graft.io.Checkpoints.pin(
+        broadcast(probes).join(corpus, "cell"), eager = false)
+      val nCand = cand.agg(count(lit(1)).as("sum_candidates"))
+      val approx = cand.withColumn("dot", dot)
+        .withColumn("rank", row_number().over(wQ))
+        .filter(col("rank") <= 10).select("q_id", "vec_id")
+      approx.join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("sum_hits"))
+        .crossJoin(broadcast(nCand))
+        .select(lit(np.toLong).as("nprobe"), lit(8L).as("n_queries"),
+          col("sum_hits"), expr("(sum_hits * 1000000L) div 80")
+            .as("recall_e6"),
+          col("sum_candidates"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
   /** Multi-probe ANN over the frozen sign buckets
     * (`sim_multiprobe_frozen`): each query probes its own bucket PLUS
     * the 6 buckets at Hamming distance 1 (one sign bit flipped) — the
@@ -1752,6 +1812,7 @@ object Similarity {
     "sim_semdedup_frozen" -> (semDedupFrozen _),
     "sim_multiprobe_frozen" -> (multiprobeFrozen _),
     "sim_ivf_frozen" -> (ivfFrozen _),
+    "sim_ivf_nprobe_sweep" -> (ivfNprobeSweep _),
     "sim_pq_adc_frozen" -> (pqAdcFrozen _),
     "ml_knn_eval" -> (knnEval _),
   )
@@ -2174,6 +2235,64 @@ object Similarity {
         |    ORDER BY d2 ASC, vec_id ASC) AS rn FROM dist)
         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, d2, rn = 1 AS is_kept
         |FROM r ORDER BY vec_id""".stripMargin,
+    // same frozen centroids, same per-arm candidate join and fixed-
+    // denominator recall floors, exact arm = full dot ranking
+    "sim_ivf_nprobe_sweep" -> {
+      def arm(np: Int): String =
+        s"""p$np AS (SELECT vec_id AS q_id, j AS cell FROM rnk
+           |   WHERE rn <= $np AND vec_id < 8),
+           | c$np AS MATERIALIZED (SELECT p.q_id, c.vec_id
+           |   FROM p$np p JOIN corpus c USING (cell)),
+           | a$np AS (SELECT q_id, vec_id FROM (SELECT cd.q_id, cd.vec_id,
+           |    row_number() OVER (PARTITION BY cd.q_id
+           |      ORDER BY ad.dot DESC, cd.vec_id) AS rn
+           |   FROM c$np cd JOIN alldots ad ON ad.q_id = cd.q_id
+           |    AND ad.vec_id = cd.vec_id) WHERE rn <= 10)""".stripMargin
+      def row(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, CAST(8 AS BIGINT)
+           |   AS n_queries,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM a$np
+           |    JOIN exact USING (q_id, vec_id)) AS sum_hits,
+           |  ((SELECT CAST(count(*) AS BIGINT) FROM a$np
+           |    JOIN exact USING (q_id, vec_id)) * 1000000) // 80
+           |    AS recall_e6,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c$np)
+           |    AS sum_candidates""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+        |   list_transform(embedding,
+        |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        | eu AS (SELECT vec_id, generate_subscripts(qv, 1) AS i,
+        |   unnest(qv) AS x FROM e),
+        | cj AS (SELECT CAST(j AS BIGINT) AS j, CAST(i AS BIGINT) AS i,
+        |    CAST((((7 * j + 3) * (i - 1) + (11 * j + 5)) % (13 + 2 * j)
+        |      - (13 + 2 * j) // 2) * 100 AS BIGINT) AS c
+        |   FROM generate_series(0, 7) t(j)
+        |   CROSS JOIN generate_series(1, 64) s(i)),
+        | d AS (SELECT eu.vec_id, cj.j,
+        |    CAST(sum((eu.x - cj.c) * (eu.x - cj.c)) AS BIGINT) AS d2
+        |   FROM eu JOIN cj ON eu.i = cj.i GROUP BY 1, 2),
+        | rnk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2 ASC, j ASC) AS rn FROM d),
+        | corpus AS (SELECT vec_id, j AS cell FROM rnk
+        |   WHERE rn = 1 AND vec_id >= 8),
+        | alldots AS MATERIALIZED (SELECT a.vec_id AS q_id,
+        |    b.vec_id AS vec_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+        |   FROM eu a JOIN eu b ON b.i = a.i AND b.vec_id >= 8
+        |   WHERE a.vec_id < 8 GROUP BY 1, 2),
+        | exact AS MATERIALIZED (SELECT q_id, vec_id FROM (SELECT q_id,
+        |    vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot DESC, vec_id) AS rn FROM alldots)
+        |   WHERE rn <= 10),
+        | ${arm(1)},
+        | ${arm(2)},
+        | ${arm(4)}
+        |SELECT * FROM (
+        | ${row(1)}
+        | UNION ALL ${row(2)}
+        | UNION ALL ${row(4)})
+        |ORDER BY nprobe""".stripMargin
+    },
     "sim_ivf_frozen" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding,

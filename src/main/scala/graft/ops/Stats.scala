@@ -1499,8 +1499,39 @@ object Stats {
       .orderBy("seg")
   }
 
+  /** Average precision, threshold form (`ml_average_precision`, r13):
+    * the area under the precision-recall curve by the step rule AP =
+    * Σ_t (R_t − R_{t−1})·P_t over distinct score thresholds descending
+    * — sklearn's `average_precision_score` definition, the PR-side
+    * companion of [[aucExact]] and the metric that matters when
+    * positives are rare (AUC saturates, AP doesn't). Tie-safe by
+    * construction: thresholds are DISTINCT scores, so the ambiguity of
+    * within-tie ordering never arises. Shape: the by-score table runs
+    * through ONE descending [[Prefix]] pass (cumulative TP/FP at each
+    * threshold are exact Longs), each threshold contributes ONE
+    * mirrored (pos/P)·(TP/(TP+FP)) double on the e9 lattice, and AP is
+    * their exact integer sum. 1-row P attach.
+    */
+  def averagePrecision(s: SparkSession, d: String): DataFrame = {
+    val byScore = plantedScores(s, d).groupBy("cents").agg(
+      sum(col("label")).as("pos"),
+      sum(lit(1L) - col("label")).as("neg"))
+      .withColumn("nc", -col("cents"))
+    val run = Prefix.running(byScore, Seq(col("nc")),
+      sums = Seq((col("pos"), "tp"), (col("neg"), "fp")))
+    val tot = run.agg(sum("pos").as("p"), sum("neg").as("n"))
+    run.crossJoin(broadcast(tot))
+      .withColumn("term_e9", round(lit(1e9) *
+        (col("pos").cast("double") / col("p").cast("double")) *
+        (col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"))).cast("long"))
+      .agg(max("p").as("n_pos"), max("n").as("n_neg"),
+        count(lit(1)).as("n_thresholds"), sum("term_e9").as("ap_e9"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_grubbs" -> (grubbsOutlier _),
+    "ml_average_precision" -> (averagePrecision _),
     "stats_median_ci" -> (medianCi _),
     "stats_power_twoprop" -> (powerTwoProp _),
     "stats_auc_delong" -> (aucDelong _),
@@ -1537,6 +1568,34 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same descending-threshold cumulative TP/FP, same mirrored
+    // (pos/P)·(TP/(TP+FP)) e9 terms, exact integer AP sum
+    "ml_average_precision" ->
+      """WITH scored AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT)
+        |       // 100, 900000)
+        |     THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | bys AS (SELECT cents, CAST(sum(label) AS BIGINT) AS pos,
+        |    CAST(sum(1 - label) AS BIGINT) AS neg
+        |  FROM scored GROUP BY cents),
+        | run AS (SELECT pos, neg,
+        |   sum(pos) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING)
+        |     AS tp,
+        |   sum(neg) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING)
+        |     AS fp
+        |  FROM bys),
+        | tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+        |    CAST(sum(neg) AS BIGINT) AS n FROM run)
+        |SELECT t.p AS n_pos, t.n AS n_neg,
+        | CAST(count(*) AS BIGINT) AS n_thresholds,
+        | CAST(sum(CAST(round(1e9 *
+        |   (CAST(r.pos AS DOUBLE) / CAST(t.p AS DOUBLE)) *
+        |   (CAST(r.tp AS DOUBLE) / CAST(r.tp + r.fp AS DOUBLE)))
+        |  AS BIGINT)) AS BIGINT) AS ap_e9
+        |FROM run r CROSS JOIN tot t GROUP BY t.p, t.n""".stripMargin,
     // same mirrored rank pair, same one-pass conditional-MIN picks
     "stats_median_ci" ->
       """WITH recs AS (SELECT c_mktsegment AS seg, c_custkey,

@@ -1756,8 +1756,55 @@ object Temporal {
         "trend_e2")
   }
 
+  /** MAD-robust anomaly census (`ts_anomaly_mad`, r13): the modified
+    * z-score M = 0.6745·(x − median)/MAD with the |M| > 3.5 flag
+    * (Iglewicz & Hoaglin 1993, both constants published) over the
+    * daily revenue series — the robust companion of
+    * [[anomalyZscore]]: mean/σ move WITH the outliers they are
+    * supposed to find (masking), the median/MAD pair does not.
+    * Exact shape: median and MAD are nearest-rank order statistics —
+    * two [[graft.ops.Prefix]] passes (values, then absolute
+    * deviations), each pick a conditional MIN, all exact Longs; the
+    * only doubles are ONE mirrored M per day on the e6 lattice, and
+    * the flag compares e6 integers against the published 3.5e6
+    * threshold. Census: days, median, MAD, flagged days, max |M|,
+    * flagged revenue mass.
+    */
+  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    val ser = graft.io.Checkpoints.pin(
+      dailyRevenueSeries(s, d).select("i", "x"), eager = false)
+    val r1 = graft.ops.Prefix.running(ser, Seq(col("x"), col("i")),
+      rankOut = Some("rk"))
+    val n1 = r1.agg(count(lit(1)).as("n"))
+    val med = r1.crossJoin(broadcast(n1))
+      .agg(min(when(col("rk") >= expr("(n + 1) div 2"), col("x")))
+        .as("med"))
+    val dev = graft.io.Checkpoints.pin(
+      ser.crossJoin(broadcast(med))
+        .withColumn("ad", abs(col("x") - col("med"))),
+      eager = false)
+    val r2 = graft.ops.Prefix.running(dev.select(col("i"), col("ad")),
+      Seq(col("ad"), col("i")), rankOut = Some("rk2"))
+    val mad = r2.crossJoin(broadcast(n1))
+      .agg(min(when(col("rk2") >= expr("(n + 1) div 2"), col("ad")))
+        .as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("m_e6", when(col("mad") > 0,
+        round(lit(1e6) * lit(0.6745) *
+          (col("x") - col("med")).cast("double") /
+          col("mad").cast("double")).cast("long")).otherwise(lit(0L)))
+      .agg(count(lit(1)).as("n_days"), max("med").as("med_x"),
+        max("mad").as("mad_x"),
+        sum(when(abs(col("m_e6")) > 3500000L, 1L).otherwise(0L))
+          .as("n_flagged"),
+        max(abs(col("m_e6"))).as("max_m_e6"),
+        sum(when(abs(col("m_e6")) > 3500000L, col("x")).otherwise(0L))
+          .as("flagged_x_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_xbar_control" -> (xbarControl _),
+    "ts_anomaly_mad" -> (anomalyMad _),
     "ts_holt_winters_frozen" -> (holtWintersFrozen _),
     "stream_markov_hitting" -> (markovHitting _),
     "ts_crosscorr" -> (crossCorr _),
@@ -1847,6 +1894,35 @@ object Temporal {
         |SELECT h8.state, mass.p_out_e6, h8.h_e6
         |FROM h8 JOIN mass USING (state) ORDER BY state""".stripMargin
     },
+    // same two nearest-rank picks, same published 0.6745/3.5
+    // constants, same mirrored e6 M per day
+    "ts_anomaly_mad" ->
+      (s"""WITH $seriesCte,
+        | n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser),
+        | r1 AS (SELECT x, row_number() OVER (ORDER BY x, i) AS rk FROM ser),
+        | med AS (SELECT min(CASE WHEN rk >= (n + 1) // 2 THEN x END)
+        |    AS med FROM r1 CROSS JOIN n1),
+        | dev AS (SELECT ser.i, ser.x, med.med,
+        |    abs(ser.x - med.med) AS ad FROM ser CROSS JOIN med),
+        | r2 AS (SELECT ad, row_number() OVER (ORDER BY ad, i) AS rk2
+        |   FROM dev),
+        | mad AS (SELECT min(CASE WHEN rk2 >= (n + 1) // 2 THEN ad END)
+        |    AS mad FROM r2 CROSS JOIN n1),
+        | m AS (SELECT dev.x, dev.med, mad.mad,
+        |   CASE WHEN mad.mad > 0 THEN
+        |     CAST(round(1e6 * 0.6745 * CAST(dev.x - dev.med AS DOUBLE)
+        |       / CAST(mad.mad AS DOUBLE)) AS BIGINT)
+        |    ELSE 0 END AS m_e6
+        |  FROM dev CROSS JOIN mad)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(max(med) AS BIGINT) AS med_x,
+        | CAST(max(mad) AS BIGINT) AS mad_x,
+        | CAST(sum(CASE WHEN abs(m_e6) > 3500000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_flagged,
+        | CAST(max(abs(m_e6)) AS BIGINT) AS max_m_e6,
+        | CAST(sum(CASE WHEN abs(m_e6) > 3500000 THEN x ELSE 0 END)
+        |   AS BIGINT) AS flagged_x_sum
+        |FROM m""".stripMargin),
     // the fold's IEEE op sequence written identically step for step:
     // same init recipe, same pre-update error, same e2 lattice
     "ts_holt_winters_frozen" -> {

@@ -197,7 +197,11 @@ class PlanShapesSpec extends SparkSpec {
     // 3-row lift domain; the snapshot diff's 1-row max-key attach
     "stats_power_twoprop", "etl_snapshot_diff",
     // batch 103 (r13): Boruvka's per-round 1-row forest-census attach
-    "graph_boruvka_msf")
+    "graph_boruvka_msf",
+    // batch 104 (r13): the sweep's 8-query broadcast exact arm + 1-row
+    // candidate/hit attaches (cosineTopK class); AP's 1-row P attach;
+    // the MAD census's 1-row median/MAD/count attaches
+    "sim_ivf_nprobe_sweep", "ml_average_precision", "ts_anomaly_mad")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -469,4 +469,49 @@ class CurationOpsSpec extends SparkSpec {
     got.foreach(t => t._4 should (be >= -1000000L and be <= 1000000L))
     rows.count(_._2 == 1000000L) should be >= 8
   }
+
+  "Similarity.ivfNprobeSweep (r13)" should "replay recall against a brute-force exact arm" in {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+    val cents = Array.tabulate(8) { j =>
+      val m = 13L + 2L * j
+      Array.tabulate(64)(i => (((7L * j + 3L) * i + (11L * j + 5L)) % m - m / 2) * 100L)
+    }
+    def cellsOf(qv: Array[Long]): Seq[Long] =
+      cents.zipWithIndex.map { case (c, j) =>
+        (qv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, j.toLong)
+      }.sortBy(t => (t._1, t._2)).map(_._2).toSeq
+    val corpus = vecs.filter(_._1 >= 8).map(v => (v._1, v._2, cellsOf(v._2).head))
+    val queries = vecs.filter(_._1 < 8)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val exact = queries.map { case (q, qv) =>
+      q -> corpus.map(c => (dot(qv, c._2), c._1))
+        .sortBy(t => (-t._1, t._2)).take(10).map(_._2).toSet
+    }.toMap
+    val want = Seq(1, 2, 4).map { np =>
+      var hits = 0L
+      var nCand = 0L
+      queries.foreach { case (q, qv) =>
+        val cells = cellsOf(qv).take(np).toSet
+        val cand = corpus.filter(c => cells(c._3))
+        nCand += cand.length
+        val approx = cand.map(c => (dot(qv, c._2), c._1))
+          .sortBy(t => (-t._1, t._2)).take(10).map(_._2)
+        hits += approx.count(exact(q))
+      }
+      (np.toLong, 8L, hits, hits * 1000000L / 80L, nCand)
+    }
+    val got = Similarity.ivfNprobeSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // the tuning curve is monotone: more probes never lose recall or
+    // shrink the candidate set
+    got.map(_._3) shouldBe got.map(_._3).sorted
+    got.map(_._5) shouldBe got.map(_._5).sorted
+  }
 }

@@ -1025,4 +1025,34 @@ class StatsSpec extends SparkSpec {
       t._5 should be <= t._7
     }
   }
+
+  "Stats.averagePrecision" should "match the sklearn step-rule definition" in {
+    val rows = Sources.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(1) * 100)
+        val u = ((r.getLong(0) * 2654435761L) % 4294967296L) % 1000000L
+        (cents, if (u < math.min(100000L + cents / 100, 900000L)) 1L else 0L)
+      }
+    val p = rows.map(_._2).sum
+    val n = rows.length - p
+    val byScore = rows.groupBy(_._1).toSeq
+      .map { case (c, g) => (c, g.map(_._2).sum, g.size - g.map(_._2).sum) }
+      .sortBy(-_._1)
+    var (tp, fp, ap) = (0L, 0L, 0L)
+    byScore.foreach { case (_, pos, neg) =>
+      tp += pos; fp += neg
+      ap += BigDecimal(1e9 * (pos.toDouble / p) *
+        (tp.toDouble / (tp + fp).toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val got = Stats.averagePrecision(spark, sfDir).head()
+    (got.getLong(0), got.getLong(1)) shouldBe ((p, n))
+    got.getLong(2) shouldBe byScore.length.toLong
+    got.getLong(3) shouldBe ap
+    // AP is a probability-like mass: within (base-rate, 1]·1e9 when
+    // the score genuinely ranks positives above the base rate
+    got.getLong(3) should be > (p * 1000000000L / rows.length)
+    got.getLong(3) should be <= 1000000000L
+  }
 }

@@ -996,4 +996,38 @@ class TemporalSpec extends SparkSpec {
     n shouldBe (xs.length - 7).toLong
     maxAbs should be <= sumAbs
   }
+
+  "Temporal.anomalyMad" should "replay the modified-z census from nearest-rank picks" in {
+    import org.apache.spark.sql.functions._
+    val daily = graft.io.Sources.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    val xs = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => daily.getOrElse(d, 0L)).toArray
+    val nd = xs.length.toLong
+    def pick(v: Array[Long]): Long = v.sorted.apply(((nd + 1) / 2 - 1).toInt)
+    val med = pick(xs)
+    val mad = pick(xs.map(x => math.abs(x - med)))
+    def m6(x: Long): Long =
+      if (mad > 0) BigDecimal(1e6 * 0.6745 * (x - med).toDouble / mad.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      else 0L
+    val flagged = xs.filter(x => math.abs(m6(x)) > 3500000L)
+    val got = Temporal.anomalyMad(spark, sfDir).head()
+    (got.getLong(0), got.getLong(1), got.getLong(2)) shouldBe ((nd, med, mad))
+    got.getLong(3) shouldBe flagged.length.toLong
+    got.getLong(4) shouldBe xs.map(x => math.abs(m6(x))).max
+    got.getLong(5) shouldBe flagged.sum
+    // at sf0.001 the gap-filled series is majority-zero, so the
+    // median/MAD collapse to 0 — the CLASSIC MAD failure mode — and
+    // the guard must neutralize every score; on dense series (sf0.01+,
+    // where the oracle gates it) MAD is positive and below the spread
+    if (mad == 0) {
+      got.getLong(3) shouldBe 0L
+      got.getLong(4) shouldBe 0L
+    } else mad should be < (xs.max - xs.min)
+  }
 }
