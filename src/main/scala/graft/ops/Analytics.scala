@@ -1011,8 +1011,59 @@ object Analytics {
           col("new_cents") * 100L - col("exit_cents") * 100L)
   }
 
+  /** Allen interval-relation census (`complex_allen_relations`, r13):
+    * classify every order's validity interval (orderdate, +1..30 days
+    * — the ts_concurrent_intervals derivation) against one published
+    * window (1995-06-01 .. 1995-06-30) into Allen's thirteen interval
+    * relations (Allen 1983) — the complete, mutually-exclusive
+    * taxonomy temporal reasoning is built on, and the vocabulary of
+    * every bitemporal-join predicate. The CASE chain tests the seven
+    * equality-boundary relations FIRST (equals/starts/started_by/
+    * finishes/finished_by/meets/met_by), then the four strict-boundary
+    * ones (before/after/during/contains), leaving overlaps/
+    * overlapped_by with loose residual conditions — exhaustiveness is
+    * enforced by an 'other' sentinel the spec pins to zero, the
+    * 14-row literal domain keeps empty relations as zeros. All date
+    * comparisons; n + Σ orderkey signatures per relation.
+    */
+  def allenRelations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iv = Sources.orders(s, d).select(
+      to_date(col("o_orderdate")).as("xs"),
+      expr("date_add(CAST(o_orderdate AS DATE), " +
+        "CAST(o_orderkey % 30 + 1 AS INT))").as("xe"),
+      col("o_orderkey"))
+    val ys = lit("1995-06-01").cast("date")
+    val ye = lit("1995-06-30").cast("date")
+    val rel = when(col("xs") === ys && col("xe") === ye, "equals")
+      .when(col("xs") === ys && col("xe") < ye, "starts")
+      .when(col("xs") === ys && col("xe") > ye, "started_by")
+      .when(col("xe") === ye && col("xs") > ys, "finishes")
+      .when(col("xe") === ye && col("xs") < ys, "finished_by")
+      .when(col("xe") === ys, "meets")
+      .when(col("xs") === ye, "met_by")
+      .when(col("xe") < ys, "before")
+      .when(col("xs") > ye, "after")
+      .when(col("xs") > ys && col("xe") < ye, "during")
+      .when(col("xs") < ys && col("xe") > ye, "contains")
+      .when(col("xs") < ys && col("xe") > ys && col("xe") < ye, "overlaps")
+      .when(col("xs") > ys && col("xs") < ye && col("xe") > ye,
+        "overlapped_by")
+      .otherwise("other")
+    val dom = Seq("after", "before", "contains", "during", "equals",
+      "finished_by", "finishes", "meets", "met_by", "other", "overlapped_by",
+      "overlaps", "started_by", "starts").toDF("rel")
+    dom.join(iv.select(rel.as("rel"), col("o_orderkey"))
+        .groupBy("rel").agg(count(lit(1)).as("nn"),
+          sum("o_orderkey").as("sk")), Seq("rel"), "left")
+      .select(col("rel"), coalesce(col("nn"), lit(0L)).as("n_orders"),
+        coalesce(col("sk"), lit(0L)).as("sum_keys"))
+      .orderBy("rel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "complex_price_volume_mix" -> (priceVolumeMix _),
+    "complex_allen_relations" -> (allenRelations _),
     "join_salted_revenue" -> (saltedRevenue _),
     "win_rfm_scores" -> (rfmScores _),
     "agg_entropy_segment" -> (entropySegment _),
@@ -1049,6 +1100,49 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // the IDENTICAL case chain (equality relations first), same
+    // sentinel and 14-row literal domain
+    "complex_allen_relations" ->
+      """WITH iv AS (SELECT CAST(o_orderdate AS DATE) AS xs,
+        |   CAST(o_orderdate AS DATE)
+        |     + CAST(o_orderkey % 30 + 1 AS INT) * INTERVAL 1 DAY AS xe0,
+        |   o_orderkey FROM orders),
+        | iv2 AS (SELECT xs, CAST(xe0 AS DATE) AS xe, o_orderkey FROM iv),
+        | c AS (SELECT o_orderkey,
+        |   CASE
+        |    WHEN xs = DATE '1995-06-01' AND xe = DATE '1995-06-30'
+        |      THEN 'equals'
+        |    WHEN xs = DATE '1995-06-01' AND xe < DATE '1995-06-30'
+        |      THEN 'starts'
+        |    WHEN xs = DATE '1995-06-01' AND xe > DATE '1995-06-30'
+        |      THEN 'started_by'
+        |    WHEN xe = DATE '1995-06-30' AND xs > DATE '1995-06-01'
+        |      THEN 'finishes'
+        |    WHEN xe = DATE '1995-06-30' AND xs < DATE '1995-06-01'
+        |      THEN 'finished_by'
+        |    WHEN xe = DATE '1995-06-01' THEN 'meets'
+        |    WHEN xs = DATE '1995-06-30' THEN 'met_by'
+        |    WHEN xe < DATE '1995-06-01' THEN 'before'
+        |    WHEN xs > DATE '1995-06-30' THEN 'after'
+        |    WHEN xs > DATE '1995-06-01' AND xe < DATE '1995-06-30'
+        |      THEN 'during'
+        |    WHEN xs < DATE '1995-06-01' AND xe > DATE '1995-06-30'
+        |      THEN 'contains'
+        |    WHEN xs < DATE '1995-06-01' AND xe > DATE '1995-06-01'
+        |      AND xe < DATE '1995-06-30' THEN 'overlaps'
+        |    WHEN xs > DATE '1995-06-01' AND xs < DATE '1995-06-30'
+        |      AND xe > DATE '1995-06-30' THEN 'overlapped_by'
+        |    ELSE 'other' END AS rel
+        |  FROM iv2),
+        | dom AS (SELECT unnest(['after', 'before', 'contains', 'during',
+        |   'equals', 'finished_by', 'finishes', 'meets', 'met_by',
+        |   'other', 'overlapped_by', 'overlaps', 'started_by', 'starts'])
+        |   AS rel),
+        | cen AS (SELECT rel, CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sk FROM c GROUP BY 1)
+        |SELECT dom.rel, coalesce(cen.nn, 0) AS n_orders,
+        | coalesce(cen.sk, 0) AS sum_keys
+        |FROM dom LEFT JOIN cen USING (rel) ORDER BY rel""".stripMargin,
     // same (part, year) pre-aggregate, same mirrored effect chain per
     // common part, same exact residual algebra
     "complex_price_volume_mix" ->

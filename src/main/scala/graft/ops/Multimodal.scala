@@ -491,6 +491,54 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Energy VAD with hangover (`mm_audio_vad`, r13): the
+    * voice-activity front door of every speech pipeline — frames whose
+    * energy clears a threshold are active, a ±1-frame dilation (the
+    * "hangover" that bridges short dips so one utterance doesn't
+    * shatter), then segments = runs of dilated-active frames. Exact
+    * shape: the activity test is the INTEGER inequality Σx² ≥
+    * 250000·n (mean-square ≥ 250000 with the division cleared — no
+    * rational leaves the lattice; frame mean-squares span ~1e2..7e5
+    * on this fixture, so the published threshold genuinely splits),
+    * dilation is a per-DOC ±1-row window max, segment starts a per-doc
+    * lag — never an unpartitioned window. Census: corpus totals plus
+    * a Σ doc_id·starts signature that pins segment ATTRIBUTION, not
+    * just the count. Frame energies come from the same codec
+    * `mapPartitions` pass as [[audioFrameRms]].
+    */
+  def audioVad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 50
+    val frames = Sources.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, nc) =>
+          val (_, samples) = wavSamples(encodeWav(id, nc))
+          samples.grouped(frameLen).zipWithIndex.map { case (fr, fi) =>
+            var sq = 0L
+            fr.foreach(v => sq += v.toLong * v)
+            (id, fi.toLong, fr.length.toLong, sq)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_samples", "sq_sum")
+      .withColumn("active",
+        when(col("sq_sum") >= lit(250000L) * col("n_samples"), 1L)
+          .otherwise(0L))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val dil = frames
+      .withColumn("act_d", max("active").over(wD.rowsBetween(-1, 1)))
+      .withColumn("start", when(col("act_d") === 1 &&
+        coalesce(lag("act_d", 1).over(wD), lit(0L)) === 0, 1L)
+        .otherwise(0L))
+    dil.agg(countDistinct("doc_id").as("n_docs"),
+      count(lit(1)).as("n_frames"), sum("active").as("n_active_raw"),
+      sum("act_d").as("n_active"), sum("start").as("n_segments"),
+      sum(col("doc_id") * col("start")).as("seg_doc_sig"))
+  }
+
   // ---- G.711 µ-law companded audio (r12) ------------------------------
 
   /** Encode one 16-bit sample to a µ-law byte — the G.711 standard
@@ -1843,6 +1891,7 @@ object Multimodal {
     "mm_image_sobel" -> (imageSobel _),
     "mm_image_hough" -> (imageHough _),
     "mm_video_motion_vectors" -> (videoMotionVectors _),
+    "mm_audio_vad" -> (audioVad _),
     "mm_audio_dft_bins" -> (audioDftBins _),
     "mm_decode_jpeg_ac" -> (mediaDecodeJpegAc _),
     "mm_shard_plan" -> (shardPlan _),
@@ -2614,6 +2663,35 @@ object Multimodal {
         | CAST(sum(CASE WHEN pds IS NOT NULL AND pds * ds < 0
         |   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same integer energy threshold (division cleared), same per-doc
+    // ±1 dilation window and lag-based segment starts
+    "mm_audio_vad" ->
+      """WITH d AS (SELECT doc_id, 50 + n_chars % 101 AS n FROM documents),
+        | t AS (SELECT doc_id, unnest(range(0, n)) AS t FROM d),
+        | fr AS (SELECT doc_id, t // 50 AS frame_idx,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(((13 * doc_id + 7 * t + 3) % 2001 - 1000)
+        |      * ((13 * doc_id + 7 * t + 3) % 2001 - 1000)) AS BIGINT)
+        |      AS sq_sum
+        |   FROM t GROUP BY 1, 2),
+        | act AS (SELECT doc_id, frame_idx,
+        |    CASE WHEN sq_sum >= 250000 * n_samples THEN 1 ELSE 0 END
+        |      AS active FROM fr),
+        | dil AS (SELECT doc_id, frame_idx, active,
+        |    max(active) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS act_d
+        |   FROM act),
+        | st AS (SELECT doc_id, active, act_d,
+        |    CASE WHEN act_d = 1 AND coalesce(lag(act_d) OVER
+        |      (PARTITION BY doc_id ORDER BY frame_idx), 0) = 0
+        |     THEN 1 ELSE 0 END AS s FROM dil)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(sum(active) AS BIGINT) AS n_active_raw,
+        | CAST(sum(act_d) AS BIGINT) AS n_active,
+        | CAST(sum(s) AS BIGINT) AS n_segments,
+        | CAST(sum(doc_id * s) AS BIGINT) AS seg_doc_sig
+        |FROM st""".stripMargin,
     // frame formula replay: same amp contract as mm_decode_wav, framed
     // by t div 50 — predicts every frame aggregate without the bytes
     "mm_audio_rms" ->

@@ -350,6 +350,56 @@ object TextSignals {
       .orderBy("doc_id")
   }
 
+  /** Burrows' Delta stylometry (`text_burrows_delta`, r13): the
+    * standard authorship-attribution distance (Burrows 2002; Evert et
+    * al. 2017 on why it works) — z-score the relative frequencies of
+    * the corpus's top function words across sources, then Δ(s₁, s₂) =
+    * mean |z₁ − z₂|; closest pairs share a "stylistic fingerprint".
+    * Lattice shape: relative frequencies are exact e6 integer floors
+    * (count·1e6 div source tokens — e6 keeps the squared moment sums
+    * ≤ ~2e13, far inside Long), the per-(word, source) z is ONE
+    * mirrored finish on the 20-source moments in the overflow-safe
+    * s2/n − m² sample form, and Δ is then pure integer arithmetic
+    * (sum of |z| differences div word count — positive, div-safe).
+    * Plan: one token shuffle to (source, word) counts, a top-10 word
+    * cut (TakeOrdered), the 20×10 frequency grid driven from the full
+    * source×word domain so ZERO counts z-score too (a missing word IS
+    * stylistic signal), a 10-row moment broadcast, and the 190-pair
+    * self-join of the 200-row z grid. Top-10 closest pairs released.
+    */
+  def burrowsDelta(s: SparkSession, d: String): DataFrame = {
+    val toks = Sources.documents(s, d)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+    val srcTok = toks.groupBy("source").agg(count(lit(1)).as("nt"))
+    val top = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(10).select("w")
+    val cnt = toks.join(broadcast(top), "w")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val f = srcTok.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        expr("(coalesce(c, 0L) * 1000000L) div nt").as("f_e6"))
+    val stats = f.groupBy("w").agg(count(lit(1)).as("ns"),
+      sum("f_e6").as("m1"), sum(col("f_e6") * col("f_e6")).as("m2"))
+    val nsD = col("ns").cast("double")
+    val varS = (col("m2").cast("double") / nsD -
+      (col("m1").cast("double") / nsD) * (col("m1").cast("double") / nsD)) *
+      (nsD / (col("ns") - lit(1L)).cast("double"))
+    val z = f.join(broadcast(stats), "w")
+      .select(col("source"), col("w"), round(lit(1e6) *
+        (col("f_e6").cast("double") - col("m1").cast("double") / nsD) /
+        sqrt(varS)).cast("long").as("z_e6"))
+    z.select(col("source").as("src_a"), col("w"), col("z_e6").as("za"))
+      .join(z.select(col("source").as("src_b"), col("w"),
+        col("z_e6").as("zb")), "w")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("m"), sum(abs(col("za") - col("zb")))
+        .as("sum_abs_dz"))
+      .withColumn("delta_e6", expr("sum_abs_dz div m"))
+      .orderBy(col("delta_e6").asc, col("src_a"), col("src_b")).limit(10)
+  }
+
   /** Dirichlet-smoothed query-likelihood ranking
     * (`search_query_likelihood`, r13): the language-modelling
     * alternative to [[bm25]] — score(d) = Σ_t ln((tf + μ·cf_t/|C|) /
@@ -1001,6 +1051,7 @@ object TextSignals {
     "search_boolean_or_not" -> (booleanOrNot _),
     "search_proximity" -> (proximitySearch _),
     "text_bm25" -> (bm25 _),
+    "text_burrows_delta" -> (burrowsDelta _),
     "search_query_likelihood" -> (queryLikelihood _),
     "search_hybrid_rrf" -> (hybridRrf _),
     "text_zipf_slope" -> (zipfSlope _),
@@ -1287,6 +1338,41 @@ object TextSignals {
         |  FROM w WHERE w IN ('spark', 'dup') GROUP BY doc_id)
         |SELECT doc_id, tf_spark, tf_dup FROM f
         |WHERE tf_spark > 0 AND tf_dup > 0 ORDER BY doc_id""".stripMargin,
+    // same e6 frequency floors over the full source×word domain, same
+    // mirrored sample-z, same integer Delta and (delta, pair) cut
+    "text_burrows_delta" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        | st AS (SELECT source, CAST(count(*) AS BIGINT) AS nt FROM toks
+        |  GROUP BY 1),
+        | top AS (SELECT w FROM (SELECT w, count(*) AS cw FROM toks
+        |   GROUP BY 1 ORDER BY cw DESC, w LIMIT 10)),
+        | cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |   FROM toks JOIN top USING (w) GROUP BY 1, 2),
+        | f AS (SELECT st.source, top.w,
+        |    (coalesce(cnt.c, 0) * 1000000) // st.nt AS f_e6
+        |   FROM st CROSS JOIN top
+        |   LEFT JOIN cnt ON cnt.source = st.source AND cnt.w = top.w),
+        | mo AS (SELECT w, CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(f_e6) AS BIGINT) AS m1,
+        |    CAST(sum(f_e6 * f_e6) AS BIGINT) AS m2 FROM f GROUP BY 1),
+        | z AS (SELECT f.source, f.w,
+        |   CAST(round(1e6 * (CAST(f.f_e6 AS DOUBLE)
+        |       - CAST(mo.m1 AS DOUBLE) / CAST(mo.ns AS DOUBLE)) /
+        |     sqrt((CAST(mo.m2 AS DOUBLE) / CAST(mo.ns AS DOUBLE) -
+        |       (CAST(mo.m1 AS DOUBLE) / CAST(mo.ns AS DOUBLE)) *
+        |       (CAST(mo.m1 AS DOUBLE) / CAST(mo.ns AS DOUBLE))) *
+        |      (CAST(mo.ns AS DOUBLE) / CAST(mo.ns - 1 AS DOUBLE))))
+        |    AS BIGINT) AS z_e6
+        |  FROM f JOIN mo USING (w))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | CAST(count(*) AS BIGINT) AS m,
+        | CAST(sum(abs(a.z_e6 - b.z_e6)) AS BIGINT) AS sum_abs_dz,
+        | CAST(sum(abs(a.z_e6 - b.z_e6)) AS BIGINT)
+        |   // CAST(count(*) AS BIGINT) AS delta_e6
+        |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY delta_e6 ASC, src_a, src_b
+        |LIMIT 10""".stripMargin,
     // same integer rational per (doc, present-term), same mirrored ln
     // on the e6 lattice, same top-10 cut
     "search_query_likelihood" ->

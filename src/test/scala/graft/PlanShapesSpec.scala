@@ -201,7 +201,10 @@ class PlanShapesSpec extends SparkSpec {
     // batch 104 (r13): the sweep's 8-query broadcast exact arm + 1-row
     // candidate/hit attaches (cosineTopK class); AP's 1-row P attach;
     // the MAD census's 1-row median/MAD/count attaches
-    "sim_ivf_nprobe_sweep", "ml_average_precision", "ts_anomaly_mad")
+    "sim_ivf_nprobe_sweep", "ml_average_precision", "ts_anomaly_mad",
+    // batch 105 (r13): Burrows' 10-row top-word broadcast fan-out of
+    // the 20-row source table (a 200-row grid by construction)
+    "text_burrows_delta")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

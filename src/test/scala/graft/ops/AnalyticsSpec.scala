@@ -303,4 +303,46 @@ class AnalyticsSpec extends SparkSpec {
     // residual is bounded by half an e2 unit per mirrored common term
     math.abs(resid) should be <= nc
   }
+
+  "Analytics.allenRelations" should "classify every interval exactly once per Allen 1983" in {
+    val os = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS d")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val ys = java.time.LocalDate.parse("1995-06-01")
+    val ye = java.time.LocalDate.parse("1995-06-30")
+    def rel(xs: java.time.LocalDate, xe: java.time.LocalDate): String =
+      if (xs == ys && xe == ye) "equals"
+      else if (xs == ys && xe.isBefore(ye)) "starts"
+      else if (xs == ys && xe.isAfter(ye)) "started_by"
+      else if (xe == ye && xs.isAfter(ys)) "finishes"
+      else if (xe == ye && xs.isBefore(ys)) "finished_by"
+      else if (xe == ys) "meets"
+      else if (xs == ye) "met_by"
+      else if (xe.isBefore(ys)) "before"
+      else if (xs.isAfter(ye)) "after"
+      else if (xs.isAfter(ys) && xe.isBefore(ye)) "during"
+      else if (xs.isBefore(ys) && xe.isAfter(ye)) "contains"
+      else if (xs.isBefore(ys) && xe.isAfter(ys) && xe.isBefore(ye)) "overlaps"
+      else if (xs.isAfter(ys) && xs.isBefore(ye) && xe.isAfter(ye)) "overlapped_by"
+      else "other"
+    val classed = os.map { case (k, d0) =>
+      (rel(d0, d0.plusDays(k % 30 + 1)), k)
+    }
+    val cen = classed.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val dom = Seq("after", "before", "contains", "during", "equals",
+      "finished_by", "finishes", "meets", "met_by", "other",
+      "overlapped_by", "overlaps", "started_by", "starts")
+    val want = dom.map { r =>
+      val (n, s0) = cen.getOrElse(r, (0L, 0L))
+      (r, n, s0)
+    }
+    val got = Analytics.allenRelations(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe want
+    // the taxonomy is a PARTITION: exhaustive (sentinel empty) and
+    // total (counts reconcile to the order count)
+    got.find(_._1 == "other").get._2 shouldBe 0L
+    got.map(_._2).sum shouldBe os.length.toLong
+  }
 }

@@ -1059,4 +1059,38 @@ class OpsSpec extends SparkSpec {
     }
     got.map(_._3).sum shouldBe picks.length.toLong
   }
+
+  "Multimodal.audioVad (r13)" should "replay the hangover state machine" in {
+    val docs = graft.io.Sources.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var (nf, nar, nad, nseg, sig) = (0L, 0L, 0L, 0L, 0L)
+    docs.foreach { case (id, nc) =>
+      val n = (50 + nc % 101).toInt
+      val amps = (0 until n).map(t => (13 * id + 7 * t + 3) % 2001 - 1000)
+      val frames = amps.grouped(50).toSeq
+      val act = frames.map(fr =>
+        if (fr.map(v => v * v).sum >= 250000L * fr.length) 1 else 0)
+      val dil = act.indices.map { i =>
+        val lo = math.max(0, i - 1)
+        val hi = math.min(act.length - 1, i + 1)
+        (lo to hi).map(act).max
+      }
+      nf += act.length
+      nar += act.sum
+      nad += dil.sum
+      dil.indices.foreach { i =>
+        if (dil(i) == 1 && (i == 0 || dil(i - 1) == 0)) {
+          nseg += 1; sig += id
+        }
+      }
+    }
+    val got = Multimodal.audioVad(spark, sfDir).head()
+    got.getLong(0) shouldBe docs.length.toLong
+    (got.getLong(1), got.getLong(2), got.getLong(3)) shouldBe ((nf, nar, nad))
+    (got.getLong(4), got.getLong(5)) shouldBe ((nseg, sig))
+    // dilation only grows activity; segments need active mass
+    nad should be >= nar
+    nseg should be > 0L
+  }
 }

@@ -576,4 +576,44 @@ class TextSignalsSpec extends SparkSpec {
       t._3 should be < 0L
     }
   }
+
+  "TextSignals.burrowsDelta" should "replay the z-scored top-word distance" in {
+    val docs = graft.io.Sources.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val toks = docs.flatMap { case (s0, ws) => ws.map(w => (s0, w)) }
+    val nt = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val top = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(10).map(_._1)
+    val f = (for {
+      s0 <- nt.keys.toSeq; w <- top
+    } yield {
+      val c = toks.count(t => t._1 == s0 && t._2 == w).toLong
+      ((s0, w), c * 1000000L / nt(s0))
+    }).toMap
+    val ns = nt.size.toLong
+    val z = f.map { case ((s0, w), fe) =>
+      val vals = nt.keys.toSeq.map(s1 => f((s1, w)))
+      val (m1, m2) = (vals.sum, vals.map(v => v * v).sum)
+      val varS = (m2.toDouble / ns - (m1.toDouble / ns) * (m1.toDouble / ns)) *
+        (ns.toDouble / (ns - 1).toDouble)
+      ((s0, w), BigDecimal(1e6 * (fe.toDouble - m1.toDouble / ns) /
+        math.sqrt(varS)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val srcs = nt.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val sad = top.map(w => math.abs(z((a, w)) - z((b, w)))).sum
+      (a, b, top.length.toLong, sad, sad / top.length)
+    }).sortBy(t => (t._5, t._1, t._2)).take(10)
+    val got = TextSignals.burrowsDelta(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // Delta is a mean of |z| gaps: nonnegative, and the released pairs
+    // are the CLOSEST — their deltas ascend
+    got.map(_._5) shouldBe got.map(_._5).sorted
+    got.head._5 should be >= 0L
+  }
 }
