@@ -491,8 +491,59 @@ object EtlQueries {
       .orderBy("cls")
   }
 
+  /** Right-to-erasure cascade audit (`etl_gdpr_erasure`, r13): the
+    * compliance planning query a deletion request triggers — given a
+    * subject list (every 97th customer), size the FULL cascade
+    * (orders, line items, revenue mass) and count the DANGLING
+    * references a naive single-table deletion would leave (orders
+    * still pointing at erased customers — the FK-orphan count that
+    * turns an erasure into a liability). The self-check column
+    * `n_orphans_after` recomputes orphans AFTER the simulated cascade
+    * and must be zero — the audit certifies its own plan. Three
+    * key-joins (subjects broadcast; order keys semi-join into
+    * lineitem), all exact integers, one census row.
+    */
+  def etlGdprErasure(s: SparkSession, d: String): DataFrame = {
+    val subjects = Sources.customer(s, d)
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val erasedOrders = Sources.orders(s, d)
+      .join(broadcast(subjects), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val pinned = graft.io.Checkpoints.pin(erasedOrders, eager = false)
+    val li = Sources.lineitem(s, d).select(col("l_orderkey"))
+    val cascadeLi = li.join(pinned.select(col("o_orderkey")
+      .as("l_orderkey")), "l_orderkey")
+    // orphans-after: surviving line items whose order does NOT survive
+    // — derived through TWO independent paths (cascade by erased-order
+    // keys vs survivors by subject anti-join), so a drifted cascade
+    // predicate shows up as a nonzero count instead of passing
+    // vacuously
+    val survivingOrders = Sources.orders(s, d)
+      .join(broadcast(subjects), col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val afterLi = li
+      .join(pinned.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .join(survivingOrders, Seq("l_orderkey"), "left_anti")
+    subjects.agg(count(lit(1)).as("n_subjects"))
+      .crossJoin(broadcast(pinned.agg(
+        count(lit(1)).as("n_orders_cascade"),
+        sum("cents").as("cents_cascade"))))
+      .crossJoin(broadcast(cascadeLi.agg(count(lit(1))
+        .as("n_lineitems_cascade"))))
+      .crossJoin(broadcast(afterLi.agg(count(lit(1))
+        .as("n_orphans_after"))))
+      .select(col("n_subjects"),
+        col("n_orders_cascade").as("n_dangling_naive"),
+        col("n_orders_cascade"), col("cents_cascade"),
+        col("n_lineitems_cascade"), col("n_orphans_after"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_snapshot_diff" -> (etlSnapshotDiff _),
+    "etl_gdpr_erasure" -> (etlGdprErasure _),
     "etl_partition_plan" -> (partitionPlan _),
     "etl_retention_plan" -> (retentionPlan _),
     "etl_backfill_plan" -> (backfillPlan _),
@@ -512,6 +563,27 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same subject rule, same cascade joins, same two-path orphan check
+    "etl_gdpr_erasure" ->
+      """WITH subjects AS (SELECT c_custkey FROM customer
+        |   WHERE c_custkey % 97 = 0),
+        | eo AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |   FROM orders JOIN subjects ON o_custkey = c_custkey),
+        | cl AS (SELECT l_orderkey FROM lineitem
+        |   JOIN eo ON l_orderkey = o_orderkey),
+        | so AS (SELECT o_orderkey FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM subjects)),
+        | orphans AS (SELECT l.l_orderkey FROM lineitem l
+        |   WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM eo)
+        |    AND l.l_orderkey NOT IN (SELECT o_orderkey FROM so))
+        |SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM subjects) AS n_subjects,
+        | (SELECT CAST(count(*) AS BIGINT) FROM eo) AS n_dangling_naive,
+        | (SELECT CAST(count(*) AS BIGINT) FROM eo) AS n_orders_cascade,
+        | (SELECT CAST(sum(cents) AS BIGINT) FROM eo) AS cents_cascade,
+        | (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_lineitems_cascade,
+        | (SELECT CAST(count(*) AS BIGINT) FROM orphans) AS n_orphans_after""".stripMargin,
     // same derived today-snapshot (drop %50, bump %10, mirror %40 to
     // k + maxkey + 1), same full-outer classify, same literal class domain
     "etl_snapshot_diff" ->

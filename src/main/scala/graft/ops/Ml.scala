@@ -1036,7 +1036,38 @@ object Ml {
     rows.reduce(_.unionAll(_)).orderBy("feature")
   }
 
+  /** McNemar's test (`ml_mcnemar`, r13): the PAIRED model-comparison
+    * test — on the same examples, is classifier B genuinely different
+    * from classifier A, judged only on the DISCORDANT pairs (b = A
+    * right & B wrong, c = A wrong & B right; the concordant mass is
+    * evidence about neither)? The test every "model B beats model A"
+    * claim owes when both are evaluated on one test set (accuracy
+    * deltas double-count the shared examples; [[cohensKappa]] measures
+    * agreement, this measures superiority). Raters: the published
+    * 100k-dollar threshold rule vs the looser 50k rule, truth = the
+    * planted Knuth-hash label. Continuity-corrected statistic
+    * (|b − c| − 1)²/(b + c) as an exact e6 floor — both b, c and the
+    * square are Longs, the division positive, no doubles anywhere.
+    * One conditional-sum corpus aggregate.
+    */
+  def mcnemar(s: SparkSession, d: String): DataFrame = {
+    val t = Stats.plantedScores(s, d)
+      .withColumn("pa", (col("cents") >= 10000000L).cast("long"))
+      .withColumn("pb", (col("cents") >= 5000000L).cast("long"))
+    t.agg(count(lit(1)).as("n"),
+        sum(when(col("pa") === col("label") && col("pb") =!= col("label"),
+          1L).otherwise(0L)).as("b"),
+        sum(when(col("pa") =!= col("label") && col("pb") === col("label"),
+          1L).otherwise(0L)).as("c"),
+        sum(when(col("pa") === col("label"), 1L).otherwise(0L)).as("acc_a"),
+        sum(when(col("pb") === col("label"), 1L).otherwise(0L)).as("acc_b"))
+      .select(col("n"), col("b"), col("c"), col("acc_a"), col("acc_b"),
+        expr("(1000000L * (abs(b - c) - 1L) * (abs(b - c) - 1L))" +
+          " div (b + c)").as("chi2_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_mcnemar" -> (mcnemar _),
     "ml_shap_linear_frozen" -> (shapLinearFrozen _),
     "ml_cohens_kappa" -> (cohensKappa _),
     "ml_tree_depth2" -> (treeDepth2 _),
@@ -1101,6 +1132,32 @@ object Ml {
         |  (a2 * 10000) // (a0+a1+a2+a3) FROM a)
         |ORDER BY feature""".stripMargin,
     // exact integer kappa: one floor division, no doubles anywhere
+    // same two published threshold raters, same discordant-only
+    // continuity-corrected integer statistic
+    "ml_mcnemar" ->
+      """WITH t AS (SELECT
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000
+        |     < least(100000 + CAST(round(o_totalprice * 100) AS BIGINT)
+        |       // 100, 900000) THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        | p AS (SELECT label,
+        |    CASE WHEN cents >= 10000000 THEN 1 ELSE 0 END AS pa,
+        |    CASE WHEN cents >= 5000000 THEN 1 ELSE 0 END AS pb FROM t),
+        | agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CASE WHEN pa = label AND pb <> label THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS b,
+        |   CAST(sum(CASE WHEN pa <> label AND pb = label THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS c,
+        |   CAST(sum(CASE WHEN pa = label THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS acc_a,
+        |   CAST(sum(CASE WHEN pb = label THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS acc_b
+        |  FROM p)
+        |SELECT n, b, c, acc_a, acc_b,
+        | (1000000 * (abs(b - c) - 1) * (abs(b - c) - 1)) // (b + c)
+        |   AS chi2_e6
+        |FROM agg""".stripMargin,
     "ml_cohens_kappa" ->
       """WITH s AS (SELECT
         |   CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000000

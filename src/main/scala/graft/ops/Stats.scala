@@ -1529,8 +1529,58 @@ object Stats {
         count(lit(1)).as("n_thresholds"), sum("term_e9").as("ap_e9"))
   }
 
+  /** Benjamini-Hochberg FDR control (`stats_bh_fdr`, r13): the
+    * multiple-testing correction every per-segment metric sweep owes —
+    * 25 nations each tested for a deviant negative-balance rate means
+    * ~1 false "discovery" at α = 0.05 by chance alone; BH's step-up
+    * rule (reject all ranks ≤ max{k : p₍ₖ₎ ≤ k·α/m}) controls the
+    * expected false-discovery RATE instead of Bonferroni's family
+    * blunderbuss. Determinism chain: exact per-nation counts → one
+    * mirrored two-proportion z → two-sided p via the Abramowitz-Stegun
+    * 26.2.17 polynomial (all six constants published; both engines run
+    * the identical exp/multiply chain) → e9 lattice → from there PURE
+    * INTEGERS: the BH threshold is (rank·50 000 000) div m exactly,
+    * the step-up cutoff a 1-row max attach. The rank window runs over
+    * the 25-row NATION DIMENSION (the agg_largest_remainder sanction
+    * class), never the corpus.
+    */
+  def bhFdr(s: SparkSession, d: String): DataFrame = {
+    val perN = Sources.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nk"),
+        (col("c_acctbal") < 0).cast("long").as("neg"))
+      .groupBy("nk").agg(count(lit(1)).as("n"), sum("neg").as("k"))
+    val tot = perN.agg(sum("n").as("nt"), sum("k").as("kt"),
+      count(lit(1)).as("m"))
+    val p0 = col("kt").cast("double") / col("nt").cast("double")
+    val z = (col("k").cast("double") / col("n").cast("double") - p0) /
+      sqrt(p0 * (lit(1.0) - p0) / col("n").cast("double"))
+    val az = abs(z)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) + tt *
+      (lit(1.781477937) + tt * (lit(-1.821255978) +
+        tt * lit(1.330274429)))))
+    val pTwo = lit(2.0) * (lit(0.3989422804014327) *
+      exp(lit(-0.5) * az * az)) * poly
+    val scored = perN.crossJoin(broadcast(tot))
+      .withColumn("p_e9", round(pTwo * lit(1e9)).cast("long"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_e9").asc, col("nk").asc)
+    val ranked = scored
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .withColumn("thresh_e9", expr("(rank * 50000000L) div m"))
+    val kmax = ranked.agg(coalesce(max(when(
+      col("p_e9") <= col("thresh_e9"), col("rank"))), lit(0L)).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("nk"), col("n"), col("k"),
+        expr("(k * 1000000L) div n").as("neg_share_e6"),
+        col("p_e9"), col("rank"), col("thresh_e9"),
+        when(col("rank") <= col("kmax"), 1L).otherwise(0L).as("rejected"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_grubbs" -> (grubbsOutlier _),
+    "stats_bh_fdr" -> (bhFdr _),
     "ml_average_precision" -> (averagePrecision _),
     "stats_median_ci" -> (medianCi _),
     "stats_power_twoprop" -> (powerTwoProp _),
@@ -1707,6 +1757,43 @@ object Stats {
         |  AS between_e12
         |FROM g CROSS JOIN tot t JOIN w USING (prio)
         |ORDER BY prio""".stripMargin,
+    // same mirrored z → A&S 26.2.17 p chain, same integer BH
+    // thresholds and step-up cutoff
+    "stats_bh_fdr" ->
+      """WITH perN AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS k
+        |  FROM customer GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(k) AS BIGINT) AS kt,
+        |    CAST(count(*) AS BIGINT) AS m FROM perN),
+        | sc AS (SELECT nk, n, k, m,
+        |   abs((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) /
+        |     sqrt(CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |       * (1.0 - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |       / CAST(n AS DOUBLE))) AS az
+        |  FROM perN CROSS JOIN tot),
+        | pv AS (SELECT nk, n, k, m,
+        |   CAST(round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az)) *
+        |     ((1.0 / (1.0 + 0.2316419 * az)) * (0.319381530
+        |       + (1.0 / (1.0 + 0.2316419 * az)) * (-0.356563782
+        |       + (1.0 / (1.0 + 0.2316419 * az)) * (1.781477937
+        |       + (1.0 / (1.0 + 0.2316419 * az)) * (-1.821255978
+        |       + (1.0 / (1.0 + 0.2316419 * az)) * 1.330274429)))))
+        |    * 1e9) AS BIGINT) AS p_e9
+        |  FROM sc),
+        | rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_e9, nk)
+        |    AS BIGINT) AS rank FROM pv),
+        | th AS (SELECT *, (rank * 50000000) // m AS thresh_e9 FROM rk),
+        | km AS (SELECT coalesce(max(CASE WHEN p_e9 <= thresh_e9
+        |    THEN rank END), 0) AS kmax FROM th)
+        |SELECT th.nk, th.n, th.k, (th.k * 1000000) // th.n AS neg_share_e6,
+        | th.p_e9, th.rank, th.thresh_e9,
+        | CAST(CASE WHEN th.rank <= km.kmax THEN 1 ELSE 0 END AS BIGINT)
+        |   AS rejected
+        |FROM th CROSS JOIN km ORDER BY rank""".stripMargin,
     // same integer |n·x − S| ranking currency, same min-key ties, same
     // single mirrored finish in the s2/n − m² form
     "stats_grubbs" ->

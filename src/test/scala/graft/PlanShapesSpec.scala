@@ -204,7 +204,10 @@ class PlanShapesSpec extends SparkSpec {
     "sim_ivf_nprobe_sweep", "ml_average_precision", "ts_anomaly_mad",
     // batch 105 (r13): Burrows' 10-row top-word broadcast fan-out of
     // the 20-row source table (a 200-row grid by construction)
-    "text_burrows_delta")
+    "text_burrows_delta",
+    // batch 106 (r13): the erasure audit's four 1-row census attaches;
+    // BH's 1-row totals/kmax attaches on the 25-row nation dimension
+    "etl_gdpr_erasure", "stats_bh_fdr")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed
@@ -244,7 +247,10 @@ class PlanShapesSpec extends SparkSpec {
       "stats_runs_test",
       // DP consistency (r13): apportionment rank + base-sum window
       // over the ~40-cell RELEASE table (the priv_dp_topk class)
-      "priv_dp_consistency")
+      "priv_dp_consistency",
+      // BH rank over the 25-row NATION dimension (r13) — the
+      // agg_largest_remainder apportionment class
+      "stats_bh_fdr")
 
   "every query plan" should "be free of cartesian products" in {
     val offenders = allPlans.collect {

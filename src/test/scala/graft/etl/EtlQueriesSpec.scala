@@ -173,4 +173,28 @@ class EtlQueriesSpec extends SparkSpec {
     // every class binds at every SF (the derivation guarantees it)
     got.foreach(_._2 should be > 0L)
   }
+
+  "etlGdprErasure" should "size the cascade and prove zero post-cascade orphans" in {
+    val subjects = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .filter(_ % 97 == 0).toSet
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(round(o_totalprice * 100) AS LONG) AS cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val erased = orders.filter(o => subjects(o._2))
+    val liKeys = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val erasedKeys = erased.map(_._1).toSet
+    val got = EtlQueries.etlGdprErasure(spark, sfDir).head()
+    got.getLong(0) shouldBe subjects.size.toLong
+    got.getLong(1) shouldBe erased.length.toLong
+    got.getLong(2) shouldBe erased.length.toLong
+    got.getLong(3) shouldBe erased.map(_._3).sum
+    got.getLong(4) shouldBe liKeys.count(erasedKeys).toLong
+    got.getLong(5) shouldBe 0L // the cascade leaves no dangling FK
+    // the audit binds: subjects exist and cascade is non-trivial
+    subjects.size should be > 0
+    erased.length should be > 0
+  }
 }

@@ -587,4 +587,29 @@ class MlSpec extends SparkSpec {
       }
     }
   }
+
+  "Ml.mcnemar (r13)" should "count discordant pairs per the paired-test definition" in {
+    val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(1) * 100)
+        val u = ((r.getLong(0) * 2654435761L) % 4294967296L) % 1000000L
+        val label = if (u < math.min(100000L + cents / 100, 900000L)) 1L else 0L
+        val pa = if (cents >= 10000000L) 1L else 0L
+        val pb = if (cents >= 5000000L) 1L else 0L
+        (label, pa, pb)
+      }
+    val b = rows.count(t => t._2 == t._1 && t._3 != t._1).toLong
+    val c = rows.count(t => t._2 != t._1 && t._3 == t._1).toLong
+    val got = Ml.mcnemar(spark, sfDir).head()
+    got.getLong(0) shouldBe rows.length.toLong
+    (got.getLong(1), got.getLong(2)) shouldBe ((b, c))
+    got.getLong(3) shouldBe rows.count(t => t._2 == t._1).toLong
+    got.getLong(4) shouldBe rows.count(t => t._3 == t._1).toLong
+    got.getLong(5) shouldBe
+      1000000L * (math.abs(b - c) - 1) * (math.abs(b - c) - 1) / (b + c)
+    // the paired design binds: discordant mass exists on both sides
+    b should be > 0L
+    c should be > 0L
+  }
 }

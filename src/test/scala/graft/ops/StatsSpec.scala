@@ -1055,4 +1055,44 @@ class StatsSpec extends SparkSpec {
     got.getLong(3) should be > (p * 1000000000L / rows.length)
     got.getLong(3) should be <= 1000000000L
   }
+
+  "Stats.bhFdr" should "replay the A&S p-values and the step-up rule" in {
+    val cust = Sources.customer(spark, sfDir)
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val perN = cust.groupBy(_._1).toSeq.map { case (nk, g) =>
+      (nk, g.length.toLong, g.count(_._2 < 0).toLong)
+    }
+    val (nt, kt, m) = (perN.map(_._2).sum, perN.map(_._3).sum,
+      perN.length.toLong)
+    val p0 = kt.toDouble / nt
+    def pOf(n: Long, k: Long): Long = {
+      val az = math.abs((k.toDouble / n - p0) /
+        math.sqrt(p0 * (1.0 - p0) / n))
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t *
+        (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+      BigDecimal(2.0 * (0.3989422804014327 * math.exp(-0.5 * az * az)) *
+        poly * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val ranked = perN.map(t => (t._1, t._2, t._3, pOf(t._2, t._3)))
+      .sortBy(t => (t._4, t._1)).zipWithIndex
+      .map { case ((nk, n, k, p), i) =>
+        (nk, n, k, k * 1000000L / n, p, (i + 1).toLong,
+          (i + 1).toLong * 50000000L / m)
+      }
+    val kmax = ranked.filter(t => t._5 <= t._7).map(_._6)
+      .foldLeft(0L)(math.max)
+    val want = ranked.map(t =>
+      (t._1, t._2, t._3, t._4, t._5, t._6, t._7,
+        if (t._6 <= kmax) 1L else 0L))
+    val got = Stats.bhFdr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    got shouldBe want
+    // p-values are probabilities, ranks a permutation, thresholds ramp
+    got.foreach(_._5 should (be >= 0L and be <= 1000000000L))
+    got.map(_._6).sorted shouldBe (1L to m)
+    got.map(_._7) shouldBe got.map(_._7).sorted
+  }
 }
