@@ -656,8 +656,44 @@ object Privacy {
       .orderBy("k")
   }
 
+  /** Random rounding to base 3 (`priv_rounding_rr3`, r13): the census-
+    * bureau SDC standard (ABS/StatsNZ "RR3") — every released count is
+    * a multiple of 3, so differencing attacks on ±1 cell changes die,
+    * and the rounding is UNBIASED: remainder r rounds up with
+    * probability r/3 (E[release] = true count), here via the
+    * deterministic Knuth-lattice draw (the syntheticMarginal
+    * discipline: u = key-hash mod 3, round up iff u < r). The
+    * companion of the geometric-DP release ([[priv_dp_counts]]): RR3
+    * perturbs less but composes worse — publishing both is exactly
+    * what an SDC methodology comparison does. Exact integers end to
+    * end; per-cell release plus the |residual| ≤ 2 audit the
+    * unbiasedness argument rests on. One grouped count, map-side
+    * arithmetic. Cell key reuses the priority's leading digit (the
+    * priorities are '1-URGENT'..'5-LOW', so substr(p,1,1) is a dense
+    * integer key in BOTH engines).
+    */
+  def roundingRr3(s: SparkSession, d: String): DataFrame = {
+    val cells = Sources.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n_true"))
+    cells
+      .withColumn("pk", substring(col("prio"), 1, 1).cast("long"))
+      .withColumn("r", col("n_true") % 3L)
+      .withColumn("u",
+        pmod((col("o_year") * 8L + col("pk")) * lit(2654435761L),
+          lit(4294967296L)) % 3L)
+      .withColumn("n_rounded",
+        col("n_true") - col("r") +
+          when(col("r") > 0 && col("u") < col("r"), 3L).otherwise(0L))
+      .select(col("o_year"), col("prio"), col("n_true"), col("n_rounded"),
+        (col("n_rounded") - col("n_true")).as("residual"))
+      .orderBy("o_year", "prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "priv_exponential_mech" -> (exponentialMech _),
+    "priv_rounding_rr3" -> (roundingRr3 _),
     "priv_k_map" -> (kMap _),
     "priv_entropy_ldiv" -> (entropyLDiv _),
     "priv_synthetic_marginal" -> (syntheticMarginal _),
@@ -683,6 +719,23 @@ object Privacy {
       |FROM customer GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same leading-digit cell key, same Knuth mod-3 draw, same
+    // unbiased round-up rule
+    "priv_rounding_rr3" ->
+      """WITH cells AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |   o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM orders GROUP BY 1, 2),
+        | g AS (SELECT o_year, prio, n_true,
+        |   n_true % 3 AS r,
+        |   ((o_year * 8 + CAST(substr(prio, 1, 1) AS BIGINT))
+        |     * 2654435761) % 4294967296 % 3 AS u
+        |  FROM cells)
+        |SELECT o_year, prio, n_true,
+        | n_true - r + CASE WHEN r > 0 AND u < r THEN 3 ELSE 0 END
+        |   AS n_rounded,
+        | n_true - r + CASE WHEN r > 0 AND u < r THEN 3 ELSE 0 END - n_true
+        |   AS residual
+        |FROM g ORDER BY o_year, prio""".stripMargin,
     // same sample rule, same population/sample class joins, same 3-row
     // threshold fan-out — all exact integers
     "priv_k_map" ->

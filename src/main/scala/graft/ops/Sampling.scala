@@ -549,7 +549,45 @@ object Sampling {
         (col("t_hat_cents") - col("t_true_cents")).as("err_cents"))
   }
 
+  /** Sample-ratio-mismatch guardrail (`sample_srm_check`, r13): the #1
+    * A/B-test validity check — if a 50/50 hash split doesn't land
+    * 50/50, every downstream metric on that experiment is garbage
+    * (Fabijan et al. 2019 report SRM in ~6 % of real experiments;
+    * assignment bugs, bot filtering, and redirect loss are the usual
+    * culprits). Assignment is the Knuth-hash parity bit; the test is
+    * the 1-df chi-square (n_a − n_b)²/(n_a + n_b) as an exact e6
+    * floor, with the two-sided p through the shared A&S 26.2.17
+    * polynomial (z = √χ² for 1 df) and the published p < 0.001 alarm
+    * threshold — a HEALTHY split must NOT alarm, which is itself the
+    * assertion (a guardrail that cries wolf on clean data is worse
+    * than none). One conditional-count aggregate, one row.
+    */
+  def srmCheck(s: SparkSession, d: String): DataFrame = {
+    val counts = Sources.orders(s, d)
+      .select((pmod(col("o_orderkey") * lit(2654435761L),
+        lit(4294967296L)) % 2L).as("arm"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val chi = (col("n_a") - col("n_b")).cast("double") *
+      (col("n_a") - col("n_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val az = sqrt(chi)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) + tt *
+      (lit(1.781477937) + tt * (lit(-1.821255978) +
+        tt * lit(1.330274429)))))
+    val pTwo = lit(2.0) * (lit(0.3989422804014327) *
+      exp(lit(-0.5) * az * az)) * poly
+    counts.select(col("n_a"), col("n_b"),
+      expr("((n_a - n_b) * (n_a - n_b) * 1000000L) div (n_a + n_b)")
+        .as("chi2_e6"),
+      round(pTwo * lit(1e9)).cast("long").as("p_e9"),
+      when(round(pTwo * lit(1e9)).cast("long") < 1000000L, 1L)
+        .otherwise(0L).as("srm_alarm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_srm_check" -> (srmCheck _),
     "sample_two_stage" -> (twoStage _),
     "sample_ht_poisson" -> (htPoisson _),
     "sample_pps_systematic" -> (ppsSystematic _),
@@ -684,6 +722,34 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    // same parity assignment, same exact chi-square floor, same A&S
+    // polynomial p on z = sqrt(chi2)
+    "sample_srm_check" ->
+      """WITH c AS (SELECT
+        |   CAST(sum(CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 2
+        |     = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 2
+        |     = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM orders),
+        | z AS (SELECT n_a, n_b,
+        |   sqrt(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |     / CAST(n_a + n_b AS DOUBLE)) AS az
+        |  FROM c),
+        | pv AS (SELECT n_a, n_b, az,
+        |   CAST(round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az)) *
+        |     ((1.0 / (1.0 + 0.2316419 * az)) * (0.319381530
+        |       + (1.0 / (1.0 + 0.2316419 * az)) * (-0.356563782
+        |       + (1.0 / (1.0 + 0.2316419 * az)) * (1.781477937
+        |       + (1.0 / (1.0 + 0.2316419 * az)) * (-1.821255978
+        |       + (1.0 / (1.0 + 0.2316419 * az)) * 1.330274429)))))
+        |    * 1e9) AS BIGINT) AS p_e9
+        |  FROM z)
+        |SELECT n_a, n_b,
+        | ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) AS chi2_e6,
+        | p_e9,
+        | CAST(CASE WHEN p_e9 < 1000000 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS srm_alarm
+        |FROM pv""".stripMargin,
     // same hash-ranked stage-1 draw, same quarter-lattice stage 2,
     // exact x10 inverse-probability expansion
     "sample_two_stage" ->

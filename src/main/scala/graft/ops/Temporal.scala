@@ -1802,8 +1802,62 @@ object Temporal {
           .as("flagged_x_sum"))
   }
 
+  /** Chain-ladder development factors (`ts_chain_ladder`, r13): the
+    * actuarial run-off triangle — orders are "claims" by origin year,
+    * line-item ship lag (months from order to ship, capped at 5) is
+    * the development age (early-ship dirty rows — the etl_dq_quarantine
+    * quirk — clamp into bucket 0), and the volume-weighted development factor
+    * f_j = Σᵢ C[i, j+1] / Σᵢ C[i, j] (Mack 1993) projects how much
+    * more an origin will develop — the standard IBNR estimation
+    * machinery, and the same cohort-maturation algebra a
+    * revenue-recognition or cohort-LTV forecast runs. The triangle is
+    * genuinely CENSORED: cell (i, j) enters only if origin-year-end +
+    * j months ≤ the as-of date (max ship date), so late origins have
+    * short rows — exactly the missing corner chain-ladder exists to
+    * fill; factor j sums only origins observed at BOTH j and j+1.
+    * All exact: cumulative cents via a ≤6-bucket per-origin window,
+    * factors as Σ·1e6 div Σ floors (positive). Plan: one fact scan,
+    * one (origin, dev) aggregate, a per-origin cumulative window over
+    * ≤6 rows, a 5-row factor aggregate.
+    */
+  def chainLadder(s: SparkSession, d: String): DataFrame = {
+    val li = Sources.lineitem(s, d)
+      .join(Sources.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(year(col("o_orderdate")).cast("long").as("origin"),
+        // CALENDAR month lag (year·12 + month deltas) — identical
+        // arithmetic in both engines; months_between's day-fraction
+        // semantics have no DuckDB twin
+        greatest(lit(0L), least(lit(5L),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) -
+            year(col("o_orderdate")) * 12 - month(col("o_orderdate")))
+            .cast("long"))).as("dev"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val asof = Sources.lineitem(s, d)
+      .agg(max(to_date(col("l_shipdate"))).as("ao"))
+    val cells = li.groupBy("origin", "dev").agg(sum("cents").as("inc"))
+    val wC = Window.partitionBy("origin").orderBy("dev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("c", sum("inc").over(wC))
+      .crossJoin(broadcast(asof))
+      // censor: the cell is observed iff its development window closed
+      .filter(expr("add_months(make_date(origin + 1, 1, 1), CAST(dev AS INT)) <= ao"))
+      .select(col("origin"), col("dev"), col("c"))
+    val pinned = graft.io.Checkpoints.pin(cum, eager = false)
+    pinned.as("a")
+      .join(pinned.as("b"),
+        col("a.origin") === col("b.origin") &&
+          col("a.dev") + 1L === col("b.dev"))
+      .groupBy(col("a.dev").as("dev"))
+      .agg(count(lit(1)).as("n_origins"), sum(col("a.c")).as("sum_c_j"),
+        sum(col("b.c")).as("sum_c_j1"))
+      .withColumn("f_e6", expr("(sum_c_j1 * 1000000L) div sum_c_j"))
+      .orderBy("dev")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_xbar_control" -> (xbarControl _),
+    "ts_chain_ladder" -> (chainLadder _),
     "ts_anomaly_mad" -> (anomalyMad _),
     "ts_holt_winters_frozen" -> (holtWintersFrozen _),
     "stream_markov_hitting" -> (markovHitting _),
@@ -1894,6 +1948,34 @@ object Temporal {
         |SELECT h8.state, mass.p_out_e6, h8.h_e6
         |FROM h8 JOIN mass USING (state) ORDER BY state""".stripMargin
     },
+    // same calendar-month lag, same censoring rule, same common-origin
+    // factor sums and e6 floors
+    "ts_chain_ladder" ->
+      """WITH li AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS origin,
+        |   greatest(0, least(5, CAST(year(l_shipdate) * 12
+        |     + month(l_shipdate) - year(o_orderdate) * 12
+        |     - month(o_orderdate) AS BIGINT))) AS dev,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | ao AS (SELECT max(CAST(l_shipdate AS DATE)) AS aod
+        |   FROM lineitem),
+        | cells AS (SELECT origin, dev, CAST(sum(cents) AS BIGINT) AS inc
+        |  FROM li GROUP BY 1, 2),
+        | cum AS (SELECT origin, dev,
+        |   CAST(sum(inc) OVER (PARTITION BY origin ORDER BY dev
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS c
+        |  FROM cells),
+        | obs AS (SELECT cum.* FROM cum CROSS JOIN ao
+        |  WHERE make_date(CAST(origin + 1 AS INT), 1, 1)
+        |    + INTERVAL (dev) MONTH <= aod)
+        |SELECT a.dev, CAST(count(*) AS BIGINT) AS n_origins,
+        | CAST(sum(a.c) AS BIGINT) AS sum_c_j,
+        | CAST(sum(b.c) AS BIGINT) AS sum_c_j1,
+        | (CAST(sum(b.c) AS BIGINT) * 1000000) // CAST(sum(a.c) AS BIGINT)
+        |   AS f_e6
+        |FROM obs a JOIN obs b ON a.origin = b.origin AND a.dev + 1 = b.dev
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same two nearest-rank picks, same published 0.6745/3.5
     // constants, same mirrored e6 M per day
     "ts_anomaly_mad" ->

@@ -207,7 +207,9 @@ class PlanShapesSpec extends SparkSpec {
     "text_burrows_delta",
     // batch 106 (r13): the erasure audit's four 1-row census attaches;
     // BH's 1-row totals/kmax attaches on the 25-row nation dimension
-    "etl_gdpr_erasure", "stats_bh_fdr")
+    "etl_gdpr_erasure", "stats_bh_fdr",
+    // batch 107 (r13): the triangle's 1-row as-of-date attach
+    "ts_chain_ladder")
 
   /** Queries allowed a `Window.orderBy` with NO partition key — i.e. a
     * single-partition window Exchange. Sanctioned ONLY when the windowed

@@ -514,4 +514,26 @@ class CurationOpsSpec extends SparkSpec {
     got.map(_._3) shouldBe got.map(_._3).sorted
     got.map(_._5) shouldBe got.map(_._5).sorted
   }
+
+  "Sampling.srmCheck (r13)" should "not alarm on a healthy hash split" in {
+    val keys = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val na = keys.count(k => (k * 2654435761L) % 4294967296L % 2 == 0).toLong
+    val nb = keys.length - na
+    val chi = (na - nb).toDouble * (na - nb).toDouble / (na + nb).toDouble
+    val az = math.sqrt(chi)
+    val t = 1.0 / (1.0 + 0.2316419 * az)
+    val poly = t * (0.319381530 + t * (-0.356563782 + t *
+      (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+    val p = BigDecimal(2.0 * (0.3989422804014327 *
+      math.exp(-0.5 * az * az)) * poly * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val got = Sampling.srmCheck(spark, sfDir).head()
+    (got.getLong(0), got.getLong(1)) shouldBe ((na, nb))
+    got.getLong(2) shouldBe (na - nb) * (na - nb) * 1000000L / (na + nb)
+    got.getLong(3) shouldBe p
+    // the guardrail's own guardrail: a clean Knuth split must not trip
+    // the p < 0.001 alarm
+    got.getLong(4) shouldBe 0L
+  }
 }

@@ -463,4 +463,33 @@ class PrivacySpec extends SparkSpec {
     // overstates risk vs the population (sample classes are subsets)
     got.foreach(t => t._4 should be >= t._3)
   }
+
+  "Privacy.roundingRr3" should "release unbiased base-3 multiples" in {
+    import org.apache.spark.sql.functions.{col, year}
+    val cells = graft.io.Sources.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((y, p), n) => (y, p, n) }.sortBy(t => (t._1, t._2))
+    val want = cells.map { case (y, p, n) =>
+      val r = n % 3
+      val u = ((y * 8 + p.substring(0, 1).toLong) * 2654435761L) %
+        4294967296L % 3
+      val rounded = n - r + (if (r > 0 && u < r) 3L else 0L)
+      (y, p, n, rounded, rounded - n)
+    }
+    val got = Privacy.roundingRr3(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // the SDC contract: every release a multiple of 3, |residual| <= 2
+    got.foreach { t =>
+      t._4 % 3 shouldBe 0L
+      math.abs(t._5) should be <= 2L
+    }
+    // both rounding directions occur (the draw genuinely binds)
+    got.exists(_._5 > 0) shouldBe true
+    got.exists(_._5 < 0) shouldBe true
+  }
 }

@@ -1030,4 +1030,49 @@ class TemporalSpec extends SparkSpec {
       got.getLong(4) shouldBe 0L
     } else mad should be < (xs.max - xs.min)
   }
+
+  "Temporal.chainLadder" should "replay the censored-triangle factors" in {
+    import org.apache.spark.sql.functions._
+    val rows = graft.io.Sources.lineitem(spark, sfDir)
+      .join(graft.io.Sources.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("CAST(year(o_orderdate) AS LONG) AS origin",
+        "CAST(year(l_shipdate) * 12 + month(l_shipdate)" +
+          " - year(o_orderdate) * 12 - month(o_orderdate) AS LONG) AS lag",
+        "CAST(round(l_extendedprice * 100) AS LONG) AS cents",
+        "CAST(l_shipdate AS DATE) AS sd")
+      .collect()
+      .map(r => (r.getLong(0), math.max(0L, math.min(5L, r.getLong(1))),
+        r.getLong(2), r.getDate(3).toLocalDate))
+    val asOf = rows.map(_._4).maxBy(_.toEpochDay)
+    val inc = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val origins = rows.map(_._1).distinct
+    // a cumulative ROW exists only where the incremental bucket does
+    // (the engine's window runs over present buckets), and survives
+    // only if its development window closed before the as-of date
+    val cellMap = (for {
+      (o, j) <- inc.keys.toSeq
+      if !java.time.LocalDate.of((o + 1).toInt, 1, 1).plusMonths(j)
+        .isAfter(asOf)
+    } yield ((o, j),
+      (0L to j).map(jj => inc.getOrElse((o, jj), 0L)).sum)).toMap
+    val want = (0L to 4L).flatMap { j =>
+      val pairs = origins.flatMap { o =>
+        for {
+          a <- cellMap.get((o, j)); b <- cellMap.get((o, j + 1))
+        } yield (a, b)
+      }
+      if (pairs.isEmpty) None
+      else Some((j, pairs.length.toLong, pairs.map(_._1).sum,
+        pairs.map(_._2).sum,
+        pairs.map(_._2).sum * 1000000L / pairs.map(_._1).sum))
+    }
+    val got = Temporal.chainLadder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    got shouldBe want
+    // development factors are >= 1e6: cumulatives only grow
+    got.foreach(_._5 should be >= 1000000L)
+  }
 }
