@@ -1062,8 +1062,11 @@ object Ml {
         sum(when(col("pa") === col("label"), 1L).otherwise(0L)).as("acc_a"),
         sum(when(col("pb") === col("label"), 1L).otherwise(0L)).as("acc_b"))
       .select(col("n"), col("b"), col("c"), col("acc_a"), col("acc_b"),
-        expr("(1000000L * (abs(b - c) - 1L) * (abs(b - c) - 1L))" +
-          " div (b + c)").as("chi2_e6"))
+        // two identical raters have no discordant mass — the test is
+        // undefined; 0 sentinel in both engines
+        expr("CASE WHEN b + c = 0 THEN 0L ELSE " +
+          "(1000000L * (abs(b - c) - 1L) * (abs(b - c) - 1L))" +
+          " div (b + c) END").as("chi2_e6"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1155,8 +1158,9 @@ object Ml {
         |     AS acc_b
         |  FROM p)
         |SELECT n, b, c, acc_a, acc_b,
-        | (1000000 * (abs(b - c) - 1) * (abs(b - c) - 1)) // (b + c)
-        |   AS chi2_e6
+        | CASE WHEN b + c = 0 THEN 0
+        |  ELSE (1000000 * (abs(b - c) - 1) * (abs(b - c) - 1)) // (b + c)
+        |  END AS chi2_e6
         |FROM agg""".stripMargin,
     "ml_cohens_kappa" ->
       """WITH s AS (SELECT

@@ -386,9 +386,14 @@ object TextSignals {
       (col("m1").cast("double") / nsD) * (col("m1").cast("double") / nsD)) *
       (nsD / (col("ns") - lit(1L)).cast("double"))
     val z = f.join(broadcast(stats), "w")
-      .select(col("source"), col("w"), round(lit(1e6) *
-        (col("f_e6").cast("double") - col("m1").cast("double") / nsD) /
-        sqrt(varS)).cast("long").as("z_e6"))
+      .select(col("source"), col("w"),
+        // a word with identical frequency in every source has zero
+        // variance — no stylistic signal, z pinned to 0 (NaN would
+        // diverge between engines)
+        when(col("m2") * col("ns") === col("m1") * col("m1"), lit(0L))
+          .otherwise(round(lit(1e6) *
+            (col("f_e6").cast("double") - col("m1").cast("double") / nsD) /
+            sqrt(varS)).cast("long")).as("z_e6"))
     z.select(col("source").as("src_a"), col("w"), col("z_e6").as("za"))
       .join(z.select(col("source").as("src_b"), col("w"),
         col("z_e6").as("zb")), "w")
@@ -1357,13 +1362,14 @@ object TextSignals {
         |    CAST(sum(f_e6) AS BIGINT) AS m1,
         |    CAST(sum(f_e6 * f_e6) AS BIGINT) AS m2 FROM f GROUP BY 1),
         | z AS (SELECT f.source, f.w,
-        |   CAST(round(1e6 * (CAST(f.f_e6 AS DOUBLE)
+        |   CASE WHEN mo.m2 * mo.ns = mo.m1 * mo.m1 THEN CAST(0 AS BIGINT)
+        |   ELSE CAST(round(1e6 * (CAST(f.f_e6 AS DOUBLE)
         |       - CAST(mo.m1 AS DOUBLE) / CAST(mo.ns AS DOUBLE)) /
         |     sqrt((CAST(mo.m2 AS DOUBLE) / CAST(mo.ns AS DOUBLE) -
         |       (CAST(mo.m1 AS DOUBLE) / CAST(mo.ns AS DOUBLE)) *
         |       (CAST(mo.m1 AS DOUBLE) / CAST(mo.ns AS DOUBLE))) *
         |      (CAST(mo.ns AS DOUBLE) / CAST(mo.ns - 1 AS DOUBLE))))
-        |    AS BIGINT) AS z_e6
+        |    AS BIGINT) END AS z_e6
         |  FROM f JOIN mo USING (w))
         |SELECT a.source AS src_a, b.source AS src_b,
         | CAST(count(*) AS BIGINT) AS m,
