@@ -1,9 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Scale-safe global rank / running (prefix) aggregation.
   *
@@ -15,17 +14,20 @@ import org.apache.spark.sql.types._
   * two-pass alternative with identical results:
   *
   *  1. range-partition by the order key (Spark's distributed
-  *     `RangePartitioning`, the same machinery a global ORDER BY uses) and
-  *     pin the layout with an eager local checkpoint so both passes see
-  *     the same partition ids;
+  *     `RangePartitioning`, the same machinery a global ORDER BY uses)
+  *     and pin the layout with a lazy local checkpoint so both passes
+  *     see the same partition ids;
   *  2. compute per-partition LOCAL ranks / prefix aggregates with a
   *     window partitioned by the physical partition id — a distributed
   *     window, never a single-partition exchange;
   *  3. reduce each partition to one summary row (count / sum / max),
-  *     collect the k summaries (k = shuffle-partition count: bounded by
-  *     config, never by data — a model-sized collect), turn them into
-  *     per-partition prefix OFFSETS on the driver, and broadcast-join the
-  *     k-row offset table back: global value = local value + offset.
+  *     turn the k summaries (k = shuffle-partition count: bounded by
+  *     config, never by data) into per-partition prefix OFFSETS with an
+  *     exclusive-frame window over the k-row summary table, and
+  *     broadcast-join the offsets back: global = local + offset. The
+  *     whole helper is ONE lazy plan — no driver collect, no eager
+  *     checkpoint job, no separate offset job (r13 optimization; the
+  *     original paid 3 extra driver-visible jobs per call).
   *
   * Running sums and maxes are restricted to `LongType` so the two-pass
   * regrouping is bit-exact: integer addition is associative, so the
@@ -61,12 +63,28 @@ object Prefix {
       rankOut: Option[String] = None,
       sums: Seq[(Column, String)] = Nil,
       maxes: Seq[RunMax] = Nil): DataFrame = {
+    // r13 optimization: the original form paid FOUR driver-visible jobs
+    // per call (range-boundary sample, eager checkpoint, offset collect,
+    // then the caller's action). This form is ONE lazy plan: the offsets
+    // are an exclusive prefix over the ≤ k per-partition summary rows
+    // (k = shuffle-partition count — bounded by CONFIG, never by data,
+    // the exact argument the driver-collect made), built by a k-row
+    // unpartitioned window and broadcast-joined back. The partition
+    // count stays EXPLICIT (user-specified repartitions are exempt from
+    // AQE coalescing): letting AQE coalesce was measured to collapse
+    // tiny-byte/CPU-heavy inputs to ONE partition and serialize the
+    // local-window pass (agg_weighted_median 1.9 → 3.5 s) — shuffle
+    // BYTES are the wrong proxy for window CPU. Results are
+    // bit-identical (exact Long arithmetic, any partitioning).
     val s = df.sparkSession
     val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-
     val parted = graft.io.Checkpoints.pin(
       df.repartitionByRange(nParts, order: _*)
-        .withColumn("__pid", spark_partition_id()))
+        .withColumn("__pid", spark_partition_id()),
+      // lazy: the broadcast (offset) side materializes the checkpoint
+      // inside the caller's action; the probe side then re-reads the
+      // same blocks — one execution, zero extra jobs
+      eager = false)
 
     val w = Window.partitionBy("__pid").orderBy(order: _*)
     val wIncl = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -85,36 +103,28 @@ object Prefix {
       Seq(count(lit(1)).as("__n")) ++
         sums.map { case (v, out) => sum(v).as(s"__t_$out") } ++
         maxes.map(m => max(m.value).as(s"__t_${m.inclusiveOut}"))
-    val partials = parted.groupBy("__pid").agg(summaryExprs.head, summaryExprs.tail: _*)
-      .collect().sortBy(_.getAs[Int]("__pid"))
+    val summary = parted.groupBy("__pid").agg(summaryExprs.head, summaryExprs.tail: _*)
 
-    // driver pass over ≤ nParts rows: exclusive prefix of each total
-    var rankOff = 0L
-    val sumOff = Array.fill(sums.size)(0L)
-    val maxOff = Array.fill[Option[Long]](maxes.size)(None)
-    val offsetRows = partials.map { r =>
-      // Seq[Any] with explicit boxing: Seq(int, long) would widen the
-      // Int to Long and corrupt the IntegerType __pid field
-      val row = Row.fromSeq(
-        Seq[Any](Int.box(r.getAs[Int]("__pid")), Long.box(rankOff)) ++
-          sumOff.toSeq.map(Long.box) ++
-          maxOff.map(_.map(java.lang.Long.valueOf).orNull).toSeq)
-      rankOff += r.getAs[Long]("__n")
-      sums.zipWithIndex.foreach { case ((_, out), i) =>
-        sumOff(i) += r.getAs[Long](s"__t_$out")
-      }
-      maxes.zipWithIndex.foreach { case (m, i) =>
-        val t = r.getAs[Long](s"__t_${m.inclusiveOut}")
-        maxOff(i) = Some(maxOff(i).fold(t)(math.max(_, t)))
-      }
-      row
+    // exclusive prefix of each total over the ≤ k summary rows: the ONE
+    // sanctioned unpartitioned window in the codebase — its input is
+    // groupBy(__pid), ≤ shuffle-partition-count rows by construction
+    // (PlanShapesSpec recognizes exactly this shape structurally)
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    var offsets = summary
+      .withColumn("__rank_off", coalesce(sum("__n").over(wOff), lit(0L)))
+    sums.foreach { case (_, out) =>
+      offsets = offsets.withColumn(s"__off_$out",
+        coalesce(sum(s"__t_$out").over(wOff), lit(0L)))
     }
-    val offsetSchema = StructType(
-      Seq(StructField("__pid", IntegerType), StructField("__rank_off", LongType)) ++
-        sums.map { case (_, out) => StructField(s"__off_$out", LongType) } ++
-        maxes.map(m => StructField(s"__off_${m.inclusiveOut}", LongType, nullable = true)))
-    val offsets = s.createDataFrame(
-      new java.util.ArrayList[Row](java.util.Arrays.asList(offsetRows: _*)), offsetSchema)
+    maxes.foreach { m =>
+      // no coalesce: null (no preceding partition) must stay null to
+      // reproduce the global lag's null on the very first row
+      offsets = offsets.withColumn(s"__off_${m.inclusiveOut}",
+        max(s"__t_${m.inclusiveOut}").over(wOff))
+    }
+    offsets = offsets.select(col("__pid") +: (Seq(col("__rank_off")) ++
+      sums.map { case (_, out) => col(s"__off_$out") } ++
+      maxes.map(m => col(s"__off_${m.inclusiveOut}"))): _*)
 
     var out = local.join(broadcast(offsets), Seq("__pid"))
     rankOut.foreach { c => out = out.withColumn(c, col(s"__loc_$c") + col("__rank_off")) }

@@ -269,11 +269,31 @@ class PlanShapesSpec extends SparkSpec {
     offenders.toSeq shouldBe empty
   }
 
+  /** The [[graft.ops.Prefix]] offset window is unpartitioned but bounded
+    * BY CONSTRUCTION: its input is the per-partition summary aggregate
+    * (groupBy `__pid`), ≤ shuffle-partition-count rows regardless of
+    * data size — the same boundedness argument as the sanctioned
+    * dimension windows, recognized structurally so every Prefix caller
+    * stays covered without a per-query allowlist entry.
+    */
+  private def isPidSummaryWindow(w: LogicalWindow): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+    def pidAggregate(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate =>
+        a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(_.references.forall(_.name == "__pid"))
+      case pr: Project => pidAggregate(pr.child)
+      case _ => false
+    }
+    pidAggregate(w.child)
+  }
+
   it should "contain no unpartitioned window over an unbounded input" in {
     val offenders = allQe.collect {
       case (name, qe) if !sanctionedGlobalWindow(name) &&
         qe.optimizedPlan.collect {
-          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+          case w: LogicalWindow
+            if w.partitionSpec.isEmpty && !isPidSummaryWindow(w) => w
         }.nonEmpty => name
     }
     offenders.toSeq shouldBe empty
