@@ -242,12 +242,18 @@ object EntityRes {
   def blockingMetrics(s: SparkSession, d: String): DataFrame = {
     val p = Sources.part(s, d)
       .select(col("p_brand"), col("p_partkey"), col("p_name"))
-    val bd = banded(p)
-    val cand = bd.select(col("p_brand"), col("blk"), col("p_partkey").as("key_a"))
-      .join(bd.select(col("p_brand"), col("blk"), col("p_partkey").as("key_b")),
-        Seq("p_brand", "blk"))
-      .filter(col("key_a") < col("key_b"))
-      .select("key_a", "key_b").distinct()
+    // lazy pins (r13): `bd` feeds both self-join sides AND the block
+    // census, `cand` feeds both the coverage semi-join and its own
+    // count — un-pinned, the banding projection ran 3x and the
+    // candidate self-join + distinct 2x inside one query
+    val bd = graft.io.Checkpoints.pin(banded(p), eager = false)
+    val cand = graft.io.Checkpoints.pin(
+      bd.select(col("p_brand"), col("blk"), col("p_partkey").as("key_a"))
+        .join(bd.select(col("p_brand"), col("blk"), col("p_partkey").as("key_b")),
+          Seq("p_brand", "blk"))
+        .filter(col("key_a") < col("key_b"))
+        .select("key_a", "key_b").distinct(),
+      eager = false)
     val truth = pairs09Raw(s, d).select("key_a", "key_b")
     val nCov = truth.join(cand, Seq("key_a", "key_b"), "left_semi")
       .agg(count(lit(1)).as("n_covered"))

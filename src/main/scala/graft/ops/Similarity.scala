@@ -282,6 +282,27 @@ object Similarity {
     if (cents.size <= literalAssignMaxK) assignCellsLiteral(emb, cents, nprobe)
     else assignCellsJoined(emb, cents, nprobe)
 
+  /** Corpus rows fanned out to session parallelism, hash-keyed on
+    * `vec_id` (r13 optimization): the single-file embeddings scan plans
+    * as ONE task, and the per-row vector math downstream of it — cell
+    * assignment, LSH signatures, PQ encoding, probe-broadcast exact
+    * scoring — is the serving hot path of every ANN query, so it ran
+    * serially regardless of core count. A small explicit repartition
+    * parallelizes it; vec_id-keyed, downstream vec_id joins/groupBys
+    * reuse the exchange. The count is EXPLICIT because AQE would
+    * coalesce the tiny-byte shuffle back to one partition (shuffle
+    * bytes are the wrong proxy for map CPU); at cluster scale the scan
+    * already carries ≥ parallelism tasks and the repartition is a no-op
+    * cost-wise (one pass over rows that were about to be scanned
+    * anyway). MODEL TRAINING inputs are deliberately NOT fanned out:
+    * distributed float sums must keep their summation order, and
+    * partitioning is part of that order.
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism),
+      col("vec_id"))
+
   /** Index-side assignment (top-1 cell); factored out so the spec can
     * check it partitions the corpus.
     */
@@ -336,7 +357,7 @@ object Similarity {
     // vectors are fetched back by two id equi-joins only for the deduped
     // pair set (at the 64× ScaleProbe: ~2.4 µs/candidate end-to-end,
     // down from ~7.5 µs at 1× — per-candidate cost amortizes with scale).
-    val sigs = emb
+    val sigs = fanOut(emb)
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val okBuckets = sigs.groupBy("band", "bucket")
@@ -430,10 +451,14 @@ object Similarity {
   private def dedupEmbeddingCosineCompute(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
     val cents = quantizerServed(s, d, emb)
-    val assigned = assignCells(emb, cents, 1)
+    // lazy pin: the assignment scan (k exact dot products per vector)
+    // feeds the radii collect AND both sides of the candidate join —
+    // un-pinned it executed 3x per warm build (r13)
+    val assigned = graft.io.Checkpoints.pin(assignCells(fanOut(emb), cents, 1)
       .select(col("vec_id"), col("embedding"),
         element_at(col("cells"), 1).getField("cent_id").as("cell"),
-        element_at(col("cells"), 1).getField("cs").as("cs"))
+        element_at(col("cells"), 1).getField("cs").as("cs")),
+      eager = false)
     // cell radii: k rows (model-sized), second bounded collect
     val radii = assigned.groupBy("cell").agg(min("cs").as("min_cs"))
       .collect()
@@ -596,7 +621,7 @@ object Similarity {
   def ivfTopNeighbor(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
     val cents = quantizerServed(s, d, emb)
-    val assigned = assignCells(emb, cents, 2)
+    val assigned = assignCells(fanOut(emb), cents, 2)
     val idx = assigned.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       element_at(col("cells"), 1).getField("cent_id").as("cell"))
     val probes = assigned
@@ -810,7 +835,7 @@ object Similarity {
   def pqAudit(s: SparkSession, d: String): DataFrame = {
     val emb = Sources.embeddings(s, d)
     val m = 8; val subDim = 8
-    pqEncode(s, emb, trainPqCached(s, emb, d), m, subDim)
+    pqEncode(s, fanOut(emb), trainPqCached(s, emb, d), m, subDim)
       .groupBy("vec_id")
       .agg(
         concat_ws("-", transform(array_sort(collect_list(struct(col("sub"), col("best.cell").as("cell")))),
@@ -836,7 +861,7 @@ object Similarity {
     val emb = Sources.embeddings(s, d)
     val m = 8; val subDim = 8
     val model = trainPqCached(s, emb, d)
-    val corpusCodes = pqEncode(s, emb.filter(col("vec_id") >= 8), model, m, subDim)
+    val corpusCodes = pqEncode(s, fanOut(emb.filter(col("vec_id") >= 8)), model, m, subDim)
       .select(col("vec_id"), col("sub"), col("best.cell").as("cell"))
     // query set is bounded (the search REQUEST, not the corpus): collect
     // and expand against the model into the ADC lookup table
@@ -891,7 +916,7 @@ object Similarity {
     val m = 8; val subDim = 8; val nprobe = 2
     val cents = quantizerServed(s, d, emb)
     val model = trainPqCached(s, emb, d)
-    val corpus = emb.filter(col("vec_id") >= 8)
+    val corpus = fanOut(emb.filter(col("vec_id") >= 8))
     val qs = emb.filter(col("vec_id") < 8)
     // index side: coarse cell (top-1) + PQ codes, equi-joined on vec_id
     val cellOf = assignCells(corpus, cents, 1)
@@ -1472,7 +1497,7 @@ object Similarity {
     val emb = Sources.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = emb.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+    val scored = fanOut(emb.filter(col("vec_id") >= 8)).crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")) * 10000).cast("long")
           .as("cos_e4"))
@@ -1888,7 +1913,7 @@ object Similarity {
         lit(cell.toLong).as("cell"))
     }: _*).getField("cell")
     val q = quantEmb(s, d)
-    val corpus = q.filter(col("vec_id") >= 8)
+    val corpus = fanOut(q.filter(col("vec_id") >= 8))
       .select(col("vec_id"),
         posexplode(array((0 until m).map(subCode): _*)).as(Seq("sub", "cell")))
     val queries = q.filter(col("vec_id") < 8).collect()

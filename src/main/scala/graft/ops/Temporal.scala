@@ -1667,35 +1667,42 @@ object Temporal {
     * ships alongside.
     */
   def markovHitting(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val tr = Sources.events(s, d)
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("event_type").as("nxt"))
       .agg(count(lit(1)).as("n"))
-    val pm = graft.io.Checkpoints.pin(
-      tr.join(tr.groupBy("prev").agg(sum("n").as("tot")), "prev")
-        .select(col("prev"), col("nxt"),
-          expr("(n * 1000000L) div tot").as("p_e6")),
-      eager = false)
-    var h = graft.io.Checkpoints.pin(
-      pm.select(col("prev").as("state")).distinct()
-        .withColumn("h_e6", lit(0L)),
-      eager = false)
+    // Bounded local finish (r13 optimization; the connectedGroups
+    // localFinishMaxEdges discipline): the transition matrix is
+    // event-type-DOMAIN-sized — |types|² rows regardless of corpus — so
+    // the corpus pays exactly one window + one keyed aggregate, and the
+    // 8 value-iteration rounds fold over the collected matrix on the
+    // driver instead of paying 8 distributed join+agg+pin rounds over a
+    // ≤ |types|² row table (measured 2.3 s of pure round overhead at
+    // sf0.1). The arithmetic is the IDENTICAL integer sequence the
+    // distributed loop ran and the oracle replays: p_e6 = n·10⁶ div tot,
+    // h' = 10⁶ + (Σ p_e6·h_e6) div 10⁶ with `purchase` pinned to 0;
+    // every quantity is a nonneg Long, so `div` = `/`.
+    val cells = tr.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val tot = cells.groupBy(_._1).map { case (p, cs) => p -> cs.map(_._3).sum }
+    val pm = cells.map { case (p, nx, n) => (p, nx, n * 1000000L / tot(p)) }
+    val states = pm.map(_._1).distinct.sorted
+    var h = states.map(_ -> 0L).toMap
     for (_ <- 1 to 8) {
-      h = graft.io.Checkpoints.pin(
-        pm.join(h.withColumnRenamed("state", "nxt"), Seq("nxt"), "left")
-          .groupBy("prev")
-          .agg(sum(col("p_e6") * coalesce(col("h_e6"), lit(0L))).as("acc"))
-          .select(col("prev").as("state"),
-            when(col("prev") === "purchase", 0L)
-              .otherwise(lit(1000000L) + expr("acc div 1000000L"))
-              .as("h_e6")),
-        eager = false)
+      val acc = pm.groupBy(_._1).map { case (p, cs) =>
+        p -> cs.map { case (_, nx, pe6) => pe6 * h.getOrElse(nx, 0L) }.sum
+      }
+      h = states.map { st =>
+        st -> (if (st == "purchase") 0L
+               else 1000000L + acc.getOrElse(st, 0L) / 1000000L)
+      }.toMap
     }
-    val mass = pm.groupBy("prev").agg(sum("p_e6").as("p_out_e6"))
-    h.join(mass.withColumnRenamed("prev", "state"), "state")
-      .select(col("state"), col("p_out_e6"), col("h_e6"))
+    val mass = pm.groupBy(_._1).map { case (p, cs) => p -> cs.map(_._3).sum }
+    states.map(st => (st, mass(st), h(st))).toSeq
+      .toDF("state", "p_out_e6", "h_e6")
       .orderBy("state")
   }
 

@@ -1213,7 +1213,16 @@ object TextOps {
     val nChunks = 4
     val chunkBits = nBits / nChunks
     val maxHamming = nChunks - 1
+    // repartition BY doc_id before the explode: the single-file scan
+    // runs one task, and the per-occurrence char-fold hash below is the
+    // query's CPU bulk — keyed on doc_id, the 32-vote groupBy then
+    // reuses this exchange (no second shuffle, and the one shuffle
+    // carries raw docs, not exploded hashed occurrences). The count is
+    // EXPLICIT: an unspecified count lets AQE coalesce the tiny-byte
+    // shuffle to one partition and serialize the hash pass.
     val exploded = Sources.documents(s, d)
+      .repartition(math.max(2, s.sparkContext.defaultParallelism),
+        col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("h", aggregate(
@@ -1266,7 +1275,11 @@ object TextOps {
     * equi-join — never all-pairs — at any corpus size.
     */
   def dedupMinhashMetrics(s: SparkSession, d: String): DataFrame = {
+    // repartition before shingling: the per-shingle char-fold hash is
+    // the CPU bulk and would otherwise run on the single-file scan's
+    // one task (the ngramJaccardPairsRaw lesson)
     val polySets = Sources.documents(s, d)
+      .repartition(math.max(2, s.sparkContext.defaultParallelism))
       .select(col("doc_id"), words(col("text")).as("__w"))
       .select(col("doc_id"), array_distinct(
         transform(Dedup.wordShingles(col("__w")),
