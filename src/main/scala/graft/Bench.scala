@@ -114,10 +114,19 @@ object Bench {
     // (sorted) order, so with the shared builds factored out the
     // per-query numbers are warm-path and run-to-run comparable.
     // Skipped for filtered local runs (which never ship bench.json).
+    val warmT0 = System.nanoTime()
     val shared =
       if (only.isEmpty) SharedTables.warmAll(spark, sfDir)
       else Seq.empty[(String, Double, Double)]
-    val sharedSec = shared.map(_._2).sum
+    // r13 measurement fix (documented in OPTIMIZATION_r13.md): warmAll
+    // now overlaps independent builds inside dependency waves, so the
+    // phase's true cost is its WALL CLOCK, not the sum of per-entry
+    // walls (overlapped entries double-count shared time). The old sum
+    // ships alongside as materialization_sum_sec so prior-round records
+    // stay comparable.
+    val sharedSec =
+      if (only.isEmpty) (System.nanoTime() - warmT0) / 1e9 else 0.0
+    val sharedSumSec = shared.map(_._2).sum
     // consumer counting starts AFTER the warm: nested warm builds (the
     // incremental-graph tables access graph-base-edges ~4x during
     // warmAll) inflated the pre-r11 counts so the WARM-COST flag could
@@ -335,7 +344,7 @@ object Bench {
     val cpuJson = cpuByQuery.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)}$canaryJson,""" +
-      s""""materialization_sec":${fmt(sharedSec)},"materialization":$sharedJson,""" +
+      s""""materialization_sec":${fmt(sharedSec)},"materialization_sum_sec":${fmt(sharedSumSec)},"materialization":$sharedJson,""" +
       s""""materialization_cpu":$sharedCpuJson,""" +
       s""""materialization_consumers":$consumersJson,""" +
       s""""materialization_warm_consumers":${warmConsumers.toSeq.sortBy(_._1)
