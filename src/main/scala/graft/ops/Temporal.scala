@@ -1780,8 +1780,13 @@ object Temporal {
   def anomalyMad(s: SparkSession, d: String): DataFrame = {
     val ser = graft.io.Checkpoints.pin(
       dailyRevenueSeries(s, d).select("i", "x"), eager = false)
-    val r1 = graft.ops.Prefix.running(ser, Seq(col("x"), col("i")),
-      rankOut = Some("rk"))
+    // lazy pin (r13): r1 feeds the count attach AND the median pick —
+    // un-pinned, the ranked subplan re-executed per broadcast subtree
+    // (the weightedMedian multi-consumer discipline)
+    val r1 = graft.io.Checkpoints.pin(
+      graft.ops.Prefix.running(ser, Seq(col("x"), col("i")),
+        rankOut = Some("rk")),
+      eager = false)
     val n1 = r1.agg(count(lit(1)).as("n"))
     val med = r1.crossJoin(broadcast(n1))
       .agg(min(when(col("rk") >= expr("(n + 1) div 2"), col("x")))
